@@ -1,13 +1,546 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.plans.Fixpoint
+import graft.operators.{Dedup, Similarity, TextAnalysis, Multimodal}
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF, TemporalFunctions => TempF}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in [[queries]] exercises one operator family from
+  * SURVEY.md §2 (scan/filter/project, equi- and cross-join, antijoin,
+  * union/intersect/except, distinct, group/global aggregation, compute,
+  * ranking top-k, sort/limit/offset, recursion/fixpoint, vector,
+  * temporal, text-pipeline ops). Entries with an [[oracleSql]] twin are
+  * hash-checked against DuckDB; the rest are rows-only (non-SQL ops)
+  * and verified by ScalaTest specs instead.
+  *
+  * Determinism rules used throughout so Spark and DuckDB agree bit-for-
+  * bit on doubles: sums go through DECIMAL(18,x) (order-independent)
+  * and are cast back to DOUBLE; averages divide an exact decimal
+  * numerator by a count in IEEE double; per-row double arithmetic is
+  * identical expression trees on both sides; libm-divergent functions
+  * (pow, exp, log) are kept out of oracle-checked outputs.
+  */
 object SparkEntry {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** sum(CAST(c AS DECIMAL(18,2))) cast back to double — deterministic. */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+  private def dsum4(c: Column): Column = sum(c.cast("decimal(18,4)")).cast("double")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q04_join3_arith")(spark, "/root/testdata/sf0.001")
+
+  /** Deterministic 25-node edge relation derived from `nation`:
+    * chain n→n+1 plus skip links n→n+5 (for the recursion queries). */
+  private def graphEdges(s: SparkSession, dir: String): DataFrame = {
+    val n = T(s, dir, "nation").select(col("n_nationkey").cast("int").as("k"))
+    n.where(col("k") < 24).select(col("k").as("src"), (col("k") + 1).as("dst"))
+      .union(n.where(col("k") + 5 <= 24).select(col("k").as("src"), (col("k") + 5).as("dst")))
+  }
+  private val graphEdgesSql =
+    """SELECT n_nationkey AS src, n_nationkey + 1 AS dst FROM nation WHERE n_nationkey < 24
+      |UNION ALL
+      |SELECT n_nationkey AS src, n_nationkey + 5 AS dst FROM nation WHERE n_nationkey + 5 <= 24""".stripMargin
+
+  /** Sparse undirected chain with 5 components (for connected components). */
+  private def ccEdges(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "nation").select(col("n_nationkey").cast("int").as("k"))
+      .where(col("k") < 24 && pmod(col("k"), lit(5)) =!= 4)
+      .select(col("k").as("a"), (col("k") + 1).as("b"))
+
+  // =====================================================================
+  // Query catalog
+  // =====================================================================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- scan / filter / project (predicate + projection pushdown) ----
+    "q01_filter_project" -> ((s, dir) =>
+      T(s, dir, "lineitem").where(col("l_quantity") > 45)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))),
+
+    // --- group-by aggregation (TPC-H Q1 shape) ------------------------
+    "q02_groupby_agg" -> ((s, dir) =>
+      T(s, dir, "lineitem").groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"),
+          count(lit(1)).as("n_rows"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"))),
+
+    // --- equi-join -----------------------------------------------------
+    "q03_join_basic" -> ((s, dir) =>
+      T(s, dir, "nation").join(T(s, dir, "region"),
+        col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_name"), col("r_name"))),
+
+    // --- 3-way join + filter + arithmetic + aggregation ----------------
+    "q04_join3_arith" -> ((s, dir) => {
+      val c = T(s, dir, "customer"); val o = T(s, dir, "orders"); val l = T(s, dir, "lineitem")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .where(col("l_quantity") > 10)
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(dsum4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // --- antijoin (stratified negation) --------------------------------
+    "q05_antijoin" -> ((s, dir) =>
+      T(s, dir, "customer").join(T(s, dir, "orders"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))),
+
+    // --- semijoin (EXISTS) ----------------------------------------------
+    "q06_semijoin" -> ((s, dir) =>
+      T(s, dir, "customer").join(T(s, dir, "orders"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"))),
+
+    // --- union + distinct (multi-rule head semantics) -------------------
+    "q07_union_distinct" -> ((s, dir) =>
+      T(s, dir, "customer").select(col("c_nationkey").as("nk"))
+        .union(T(s, dir, "supplier").select(col("s_nationkey").as("nk")))
+        .distinct()),
+
+    // --- intersect / except ---------------------------------------------
+    "q41_intersect" -> ((s, dir) =>
+      T(s, dir, "customer").select(col("c_nationkey").as("nk"))
+        .intersect(T(s, dir, "supplier").select(col("s_nationkey").as("nk")))),
+    "q42_except" -> ((s, dir) =>
+      T(s, dir, "customer").select(col("c_nationkey").as("nk"))
+        .except(T(s, dir, "supplier").select(col("s_nationkey").as("nk")))),
+
+    // --- cartesian product ----------------------------------------------
+    "q08_cross_product" -> ((s, dir) =>
+      T(s, dir, "region").select(col("r_name"))
+        .crossJoin(T(s, dir, "nation").select(col("n_name")))),
+
+    // --- distinct ---------------------------------------------------------
+    "q09_distinct" -> ((s, dir) =>
+      T(s, dir, "customer").select(col("c_mktsegment")).distinct()),
+
+    // --- top-k per group (ranking aggregate) ------------------------------
+    "q10_topk_group" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      T(s, dir, "orders").withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 2)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    }),
+
+    // --- sort + limit + offset --------------------------------------------
+    "q11_sort_limit_offset" -> ((s, dir) =>
+      T(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .offset(10).limit(50)),
+
+    // --- aggregate function suite -----------------------------------------
+    "q12_agg_suite" -> ((s, dir) =>
+      T(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"))),
+
+    // --- HAVING (filter over aggregate) -------------------------------------
+    "q13_having" -> ((s, dir) =>
+      T(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+        .where(col("n_orders") >= 12)),
+
+    // --- compute (per-row scalar arithmetic) --------------------------------
+    "q14_compute_arith" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("disc_price"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("charge"))),
+
+    // --- string builtins ------------------------------------------------------
+    "q15_string_funcs" -> ((s, dir) =>
+      T(s, dir, "part").select(col("p_partkey"),
+        upper(col("p_name")).as("uname"),
+        lower(col("p_brand")).as("lbrand"),
+        substring(col("p_type"), 1, 5).as("type5"),
+        length(col("p_name")).cast("long").as("name_len"),
+        concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
+        regexp_replace(col("p_name"), " ", "_").as("uscored"))),
+
+    // --- math builtins ---------------------------------------------------------
+    "q16_math_funcs" -> ((s, dir) =>
+      T(s, dir, "customer").select(col("c_custkey"),
+        abs(col("c_acctbal")).as("abal"),
+        sqrt(abs(col("c_acctbal"))).as("sq"),
+        floor(col("c_acctbal")).cast("long").as("fl"),
+        ceil(col("c_acctbal")).cast("long").as("ce"),
+        signum(col("c_acctbal")).cast("long").as("sgn"),
+        (col("c_acctbal") * col("c_acctbal")).as("sq2"))),
+
+    // --- conditional expression --------------------------------------------------
+    "q17_case_when" -> ((s, dir) =>
+      T(s, dir, "orders").select(
+        when(col("o_totalprice") > 200000, "high")
+          .when(col("o_totalprice") > 100000, "mid")
+          .otherwise("low").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))),
+
+    // --- temporal: date parts ------------------------------------------------------
+    "q18_date_parts" -> ((s, dir) =>
+      T(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mo"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))),
+
+    // --- temporal: ms-epoch window filter (reference temporal_ops domain) ----------
+    "q19_temporal_filter" -> ((s, dir) =>
+      T(s, dir, "events")
+        .where(TempF.timeBetween(TempF.fromTimestamp(col("ts")),
+          lit(1704844800000L), lit(1705449600000L)))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), min(col("value")).as("min_v"), max(col("value")).as("max_v"))),
+
+    // --- window: running sum ----------------------------------------------------------
+    "q20_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").as("running_total"))
+    }),
+
+    // --- recursion: full transitive closure (semi-naive fixpoint) ----------------------
+    "q21_transitive_closure" -> ((s, dir) =>
+      Fixpoint.transitiveClosure(graphEdges(s, dir))),
+
+    // --- recursion: bound reachability (magic-sets demand restriction) -----------------
+    "q22_bound_reach" -> ((s, dir) => {
+      import s.implicits._
+      Fixpoint.boundReachability(graphEdges(s, dir), Seq(0).toDF("src"))
+        .select(col("dst"))
+    }),
+
+    // --- recursion: connected components -----------------------------------------------
+    "q23_connected_components" -> ((s, dir) =>
+      Fixpoint.connectedComponents(ccEdges(s, dir))),
+
+    // --- global (group-less) aggregate --------------------------------------------------
+    "q24_global_agg" -> ((s, dir) =>
+      T(s, dir, "lineitem").agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        dsum(col("l_extendedprice")).as("sum_price"))),
+
+    // --- pipeline: exact dedup -----------------------------------------------------------
+    "q25_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(T(s, dir, "documents"))),
+
+    // --- pipeline: token counting ----------------------------------------------------------
+    "q26_token_stats" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(T(s, dir, "documents"))),
+
+    // --- pipeline: quality features ---------------------------------------------------------
+    "q27_quality_features" -> ((s, dir) =>
+      TextAnalysis.qualityFeatures(T(s, dir, "documents"))),
+
+    // --- pipeline: composite quality score (heuristic — rows-only) ---------------------------
+    "q28_quality_score" -> ((s, dir) =>
+      TextAnalysis.qualityScores(T(s, dir, "documents"))),
+
+    // --- pipeline: language id (heuristic — rows-only, accuracy in specs) ---------------------
+    "q29_lang_id" -> ((s, dir) =>
+      TextAnalysis.languageId(T(s, dir, "documents"))),
+
+    // --- pipeline: MinHash near-dup pairs (rows-only; properties in specs) ---------------------
+    "q30_minhash_pairs" -> ((s, dir) =>
+      Dedup.minHashPairs(T(s, dir, "documents"), threshold = 0.35)),
+
+    // --- pipeline: SimHash + rolling-hash fingerprints (rows-only) ------------------------------
+    "q31_fingerprints" -> ((s, dir) =>
+      TextAnalysis.fingerprints(T(s, dir, "documents"))),
+
+    // --- pipeline: exact n-gram Jaccard over LSH candidates (rows-only) --------------------------
+    "q32_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(T(s, dir, "documents"), shingleN = 2, threshold = 0.3)),
+
+    // --- pipeline: exact brute-force ANN top-k ----------------------------------------------------
+    "q33_ann_bruteforce" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0)
+      Similarity.bruteForceTopK(emb, q, 10).select(col("vec_id"))
+    }),
+
+    // --- pipeline: LSH-bucketed approximate ANN (rows-only; recall in specs) ----------------------
+    "q34_ann_lsh" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0)
+      Similarity.lshTopK(emb, q, 10, dim = 64)
+    }),
+
+    // --- pipeline: IVF approximate ANN (rows-only; recall in specs) -------------------------------
+    "q35_ann_ivf" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0)
+      Similarity.ivfTopK(emb, q, 10, dim = 64)
+    }),
+
+    // --- pipeline: embedding near-dup pairs (rows-only) --------------------------------------------
+    "q36_embedding_dedup" -> ((s, dir) =>
+      Dedup.embeddingCosinePairs(T(s, dir, "embeddings"), dim = 64, minCosine = 0.8)),
+
+    // --- vector norms (oracle via DuckDB list fns) ---------------------------------------------------
+    "q37_vector_norms" -> ((s, dir) =>
+      T(s, dir, "embeddings").select(col("vec_id"),
+        VF.vecDim(col("embedding")).as("dim"),
+        VF.norm(col("embedding")).as("l2_norm"))),
+
+    // --- within-radius range query (reference within_radius aggregate) ------------------------------
+    "q38_within_radius" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0)
+      Similarity.withinRadius(emb, q, 0.35).select(col("vec_id"))
+    }),
+
+    // --- temporal: linear decay scoring (exact arithmetic) --------------------------------------------
+    "q39_time_decay" -> ((s, dir) => {
+      val now = lit(1706659200000L) // 2024-01-31 00:00:00 UTC
+      T(s, dir, "events").select(col("event_id"),
+        (now - TempF.fromTimestamp(col("ts"))).as("age_ms"),
+        TempF.timeDecayLinear(TempF.fromTimestamp(col("ts")), now, lit(2592000000L)).as("decay"),
+        TempF.withinLast(TempF.fromTimestamp(col("ts")), now, lit(604800000L)).as("recent"))
+    }),
+
+    // --- multimodal: video frame sampling --------------------------------------------------------------
+    "q40_multimodal_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(Multimodal.syntheticAssets(T(s, dir, "documents")))
+        .select(col("asset_id"), col("frame_ts_ms"))),
+
+    // --- multimodal: decode + feature extraction (rows-only; stubbed codec) -----------------------------
+    "q43_multimodal_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(Multimodal.syntheticAssets(T(s, dir, "documents")))
+        .select(col("asset_id"), col("modality"), col("n_bytes"))),
+
+    // --- multimodal: image resize plumbing ---------------------------------------------------------------
+    "q44_multimodal_resize" -> ((s, dir) =>
+      Multimodal.resizePlan(Multimodal.syntheticAssets(T(s, dir, "documents")), 224, 224)
+        .select(col("asset_id"), col("width"), col("height"), col("scale")))
+  )
+
+  // =====================================================================
+  // DuckDB oracle SQL — must match the Spark result on columns AND values.
+  // =====================================================================
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_filter_project" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity > 45",
+
+    "q02_groupby_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |COUNT(*) AS n_rows, MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q03_join_basic" ->
+      "SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey",
+
+    "q04_join3_arith" ->
+      """SELECT c_custkey, c_name,
+        |CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |COUNT(*) AS n_items
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_quantity > 10
+        |GROUP BY c_custkey, c_name""".stripMargin,
+
+    "q05_antijoin" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q06_semijoin" ->
+      """SELECT c_custkey FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q07_union_distinct" ->
+      "SELECT c_nationkey AS nk FROM customer UNION SELECT s_nationkey AS nk FROM supplier",
+
+    "q41_intersect" ->
+      "SELECT c_nationkey AS nk FROM customer INTERSECT SELECT s_nationkey AS nk FROM supplier",
+
+    "q42_except" ->
+      "SELECT c_nationkey AS nk FROM customer EXCEPT SELECT s_nationkey AS nk FROM supplier",
+
+    "q08_cross_product" ->
+      "SELECT r_name, n_name FROM region CROSS JOIN nation",
+
+    "q09_distinct" ->
+      "SELECT DISTINCT c_mktsegment FROM customer",
+
+    "q10_topk_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |SELECT o_custkey, o_orderkey, o_totalprice,
+        |ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |FROM orders) WHERE rn <= 2""".stripMargin,
+
+    "q11_sort_limit_offset" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 50 OFFSET 10""".stripMargin,
+
+    "q12_agg_suite" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |COUNT(DISTINCT l_partkey) AS n_parts,
+        |MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q13_having" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 12""".stripMargin,
+
+    "q14_compute_arith" ->
+      """SELECT l_orderkey, l_linenumber,
+        |l_extendedprice * (1 - l_discount) AS disc_price,
+        |l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge
+        |FROM lineitem""".stripMargin,
+
+    "q15_string_funcs" ->
+      """SELECT p_partkey, UPPER(p_name) AS uname, LOWER(p_brand) AS lbrand,
+        |SUBSTR(p_type, 1, 5) AS type5, LEN(p_name) AS name_len,
+        |CONCAT(p_brand, '#', p_type) AS brand_type,
+        |REPLACE(p_name, ' ', '_') AS uscored
+        |FROM part""".stripMargin,
+
+    "q16_math_funcs" ->
+      """SELECT c_custkey, ABS(c_acctbal) AS abal, SQRT(ABS(c_acctbal)) AS sq,
+        |CAST(FLOOR(c_acctbal) AS BIGINT) AS fl, CAST(CEIL(c_acctbal) AS BIGINT) AS ce,
+        |CAST(SIGN(c_acctbal) AS BIGINT) AS sgn, c_acctbal * c_acctbal AS sq2
+        |FROM customer""".stripMargin,
+
+    "q17_case_when" ->
+      """SELECT CASE WHEN o_totalprice > 200000 THEN 'high'
+        |WHEN o_totalprice > 100000 THEN 'mid' ELSE 'low' END AS bucket,
+        |COUNT(*) AS n FROM orders GROUP BY 1""".stripMargin,
+
+    "q18_date_parts" ->
+      """SELECT YEAR(o_orderdate) AS yr, MONTH(o_orderdate) AS mo,
+        |COUNT(*) AS n_orders,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+
+    "q19_temporal_filter" ->
+      """SELECT event_type, COUNT(*) AS n, MIN(value) AS min_v, MAX(value) AS max_v
+        |FROM events
+        |WHERE epoch_ms(ts) >= 1704844800000 AND epoch_ms(ts) <= 1705449600000
+        |GROUP BY event_type""".stripMargin,
+
+    "q20_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |PARTITION BY o_custkey ORDER BY o_orderkey
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+        |FROM orders""".stripMargin,
+
+    "q21_transitive_closure" ->
+      s"""WITH RECURSIVE e AS ($graphEdgesSql),
+         |reach(src, dst) AS (
+         |SELECT src, dst FROM e
+         |UNION
+         |SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
+         |SELECT src, dst FROM reach""".stripMargin,
+
+    "q22_bound_reach" ->
+      s"""WITH RECURSIVE e AS ($graphEdgesSql),
+         |reach(dst) AS (
+         |SELECT dst FROM e WHERE src = 0
+         |UNION
+         |SELECT e.dst FROM reach r JOIN e ON r.dst = e.src)
+         |SELECT dst FROM reach""".stripMargin,
+
+    "q23_connected_components" ->
+      """WITH RECURSIVE e AS (
+        |SELECT n_nationkey AS a, n_nationkey + 1 AS b FROM nation
+        |WHERE n_nationkey < 24 AND n_nationkey % 5 <> 4),
+        |und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        |reach(id, r) AS (
+        |SELECT a, a FROM und
+        |UNION
+        |SELECT re.id, u.b FROM reach re JOIN und u ON re.r = u.a)
+        |SELECT id, MIN(r) AS comp FROM reach GROUP BY id""".stripMargin,
+
+    "q24_global_agg" ->
+      """SELECT COUNT(*) AS n_rows, COUNT(DISTINCT l_orderkey) AS n_orders,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem""".stripMargin,
+
+    "q25_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "q26_token_stats" ->
+      """SELECT doc_id,
+        |CASE WHEN LEN(TRIM(text)) = 0 THEN 0
+        |ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END AS n_tokens,
+        |LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_regex_tokens
+        |FROM documents""".stripMargin,
+
+    "q27_quality_features" ->
+      """SELECT doc_id, LEN(text) AS n_chars,
+        |CASE WHEN LEN(TRIM(text)) = 0 THEN 0
+        |ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END AS n_tokens,
+        |CASE WHEN LEN(TRIM(text)) = 0 THEN 0.0 ELSE
+        |CAST(list_sum(list_transform(regexp_split_to_array(TRIM(text), '\s+'), x -> LEN(x))) AS DOUBLE)
+        |  / LEN(regexp_split_to_array(TRIM(text), '\s+')) END AS mean_token_len,
+        |CASE WHEN LEN(TRIM(text)) = 0 THEN 0.0 ELSE
+        |CAST(LEN(list_filter(regexp_split_to_array(TRIM(text), '\s+'),
+        |  t -> list_contains(['the','a','an','and','or','but','of','to','in','on','at','for','with','is','are','was','were','be','it','this','that','as','by','from','not','no','he','she','they','we','you','i'], LOWER(t)))) AS DOUBLE)
+        |  / LEN(regexp_split_to_array(TRIM(text), '\s+')) END AS stopword_ratio,
+        |CASE WHEN LEN(text) = 0 THEN 0.0 ELSE
+        |CAST(LEN(text) - LEN(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / LEN(text) END AS punct_ratio,
+        |CASE WHEN LEN(regexp_replace(text, '[^A-Za-z]', '', 'g')) = 0 THEN 0.0 ELSE
+        |CAST(LEN(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
+        |  / LEN(regexp_replace(text, '[^A-Za-z]', '', 'g')) END AS upper_ratio
+        |FROM documents""".stripMargin,
+
+    "q33_ann_bruteforce" ->
+      """SELECT vec_id FROM embeddings
+        |ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC,
+        |vec_id ASC LIMIT 10""".stripMargin,
+
+    "q37_vector_norms" ->
+      """SELECT vec_id, LEN(embedding) AS dim,
+        |SQRT(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS l2_norm
+        |FROM embeddings""".stripMargin,
+
+    "q38_within_radius" ->
+      """SELECT vec_id FROM embeddings
+        |WHERE 1 - list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) <= 0.35""".stripMargin,
+
+    "q39_time_decay" ->
+      """SELECT event_id, 1706659200000 - epoch_ms(ts) AS age_ms,
+        |GREATEST(0.0, 1.0 - CAST(GREATEST(0, 1706659200000 - epoch_ms(ts)) AS DOUBLE) / 2592000000) AS decay,
+        |epoch_ms(ts) >= 1706659200000 - 604800000 AND epoch_ms(ts) <= 1706659200000 AS recent
+        |FROM events""".stripMargin,
+
+    "q40_multimodal_frames" ->
+      """SELECT doc_id AS asset_id,
+        |UNNEST(generate_series(0, (doc_id % 300) * 1000 + 999, 10000)) AS frame_ts_ms
+        |FROM documents WHERE doc_id % 3 = 2""".stripMargin
+  )
 }

@@ -1,0 +1,182 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, shingling, MinHash signatures, SimHash fingerprints,
+  * quality features, language-ID. All built from native Spark
+  * expressions (split / transform / xxhash64 / regexp) so they run
+  * inside codegen with no UDF serialization — on 100 TB of documents
+  * these are scan-local, shuffle-free per-row transforms.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of trimmed text; empty text → empty array. */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish subword-regex token count: word pieces, numbers, and
+    * individual punctuation marks counted separately (a cheap,
+    * deterministic proxy for a real BPE tokenizer's token count). */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+
+  /** Character n-gram shingles of the whitespace-normalized text. */
+  def charShingles(text: Column, n: Int): Column = {
+    val norm = lower(regexp_replace(trim(text), "\\s+", " "))
+    val count = greatest(lit(0), length(norm) - lit(n - 1))
+    transform(sequence(lit(1), count), i => norm.substr(i, lit(n)))
+  }
+
+  /** Word n-gram shingles (arrays of n consecutive tokens joined by space). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val ts = tokens(text)
+    val count = greatest(lit(0), size(ts) - lit(n - 1))
+    transform(sequence(lit(1), count),
+      i => array_join(slice(ts, i, lit(n)), " "))
+  }
+
+  // ---------------------------------------------------------------------
+  // MinHash: k independent hash functions realized as xxhash64(shingle, k)
+  // (seeding via an extra literal column mixes k into the hash). The
+  // signature is an array<long> of per-function minima; band buckets hash
+  // contiguous signature slices. Everything is per-row and codegen-native:
+  // dedup at 100 TB = scan → signature → explode bands → shuffle ONLY the
+  // (band, bucket, id) triples, never the documents.
+  // ---------------------------------------------------------------------
+
+  /** MinHash signature (array<long> of length k) over a shingle array. */
+  def minHashSignature(shingles: Column, k: Int): Column = {
+    val sig = (0 until k).map { i =>
+      array_min(transform(shingles, s => xxhash64(s, lit(i))))
+    }
+    array(sig: _*)
+  }
+
+  /** Band buckets for LSH: split the signature into `bands` rows of
+    * `rowsPerBand`, hash each band → array of (band, bucket) structs. */
+  def minHashBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(array_join(transform(slice(sig, b * rowsPerBand + 1, rowsPerBand),
+          x => x.cast("string")), ","), lit(b)).as("bucket"))
+    }: _*)
+
+  /** Exact Jaccard similarity of two shingle arrays (set semantics). */
+  def jaccard(a: Column, b: Column): Column = {
+    val da = array_distinct(a)
+    val db = array_distinct(b)
+    val inter = size(array_intersect(da, db)).cast("double")
+    val union = size(array_union(da, db)).cast("double")
+    when(union === 0.0, lit(0.0)).otherwise(inter / union)
+  }
+
+  /** Estimated Jaccard from two MinHash signatures (fraction of agreeing
+    * components). */
+  def minHashJaccardEstimate(sigA: Column, sigB: Column): Column =
+    aggregate(zip_with(sigA, sigB, (x, y) => when(x === y, 1.0).otherwise(0.0)),
+      lit(0.0), (acc, x) => acc + x) / size(sigA).cast("double")
+
+  // ---------------------------------------------------------------------
+  // SimHash: 64-bit fingerprint; bit j of the fingerprint is the sign of
+  // sum over tokens of (bit j of xxhash64(token) ? +1 : -1). Near-dups
+  // have small Hamming distance between fingerprints.
+  // Implemented as 64 native aggregate() passes folded into one per-row
+  // expression tree (wide but shuffle-free and UDF-free).
+  // ---------------------------------------------------------------------
+
+  /** 64-bit SimHash over a token/shingle array, as LongType. */
+  def simHash(terms: Column): Column = {
+    val hashes = transform(array_distinct(terms), t => xxhash64(t))
+    val bits = (0 until 64).map { j =>
+      // vote_j = sum(+1/-1 per term hash bit j); bit set iff vote > 0
+      val vote = aggregate(hashes, lit(0),
+        (acc, h) => acc + when(h.bitwiseAND(lit(1L << j)) =!= 0L, 1).otherwise(-1))
+      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Rolling-hash document fingerprint: min of the shingle hashes
+    * (winnowing-style representative), stable under whitespace changes. */
+  def docFingerprint(text: Column, n: Int = 8): Column =
+    coalesce(array_min(transform(charShingles(text, n), s => xxhash64(s))),
+      xxhash64(lower(trim(text))))
+
+  // ---------------------------------------------------------------------
+  // Quality features
+  // ---------------------------------------------------------------------
+
+  private val StopwordsEn: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "but", "of", "to", "in", "on", "at",
+    "for", "with", "is", "are", "was", "were", "be", "it", "this", "that",
+    "as", "by", "from", "not", "no", "he", "she", "they", "we", "you", "i")
+
+  /** Fraction of tokens that are (lowercased) English stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val ts = tokens(text)
+    val sw = typedLit(StopwordsEn)
+    when(size(ts) === 0, lit(0.0)).otherwise(
+      size(filter(ts, t => array_contains(sw, lower(t)))).cast("double") / size(ts).cast("double"))
+  }
+
+  /** Fraction of characters that are punctuation. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double")
+        / length(text).cast("double"))
+
+  /** Fraction of alphabetic characters that are upper-case. */
+  def upperRatio(text: Column): Column = {
+    val alpha = length(regexp_replace(text, "[^A-Za-z]", ""))
+    when(alpha === 0, lit(0.0)).otherwise(
+      length(regexp_replace(text, "[^A-Z]", "")).cast("double") / alpha.cast("double"))
+  }
+
+  /** Mean token length in characters (0 for empty). */
+  def meanTokenLength(text: Column): Column = {
+    val ts = tokens(text)
+    when(size(ts) === 0, lit(0.0)).otherwise(
+      aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(ts).cast("double"))
+  }
+
+  /** Composite [0,1] quality score: rewards stopword presence, sane mean
+    * token length, and low punctuation — the classic cheap-heuristic
+    * pre-filter for web-scale corpora (Gopher/C4-style rules). */
+  def qualityScore(text: Column): Column = {
+    val swOk = least(stopwordRatio(text) / 0.2, lit(1.0))
+    val lenOk = lit(1.0) - least(abs(meanTokenLength(text) - 5.0) / 5.0, lit(1.0))
+    val punctOk = lit(1.0) - least(punctRatio(text) / 0.2, lit(1.0))
+    val nonEmpty = when(tokenCount(text) >= 5, 1.0).otherwise(0.0)
+    round((swOk * 0.4 + lenOk * 0.3 + punctOk * 0.3) * nonEmpty, 6)
+  }
+
+  // ---------------------------------------------------------------------
+  // Language ID: stopword-hit-count heuristic over a handful of languages
+  // (the standard cheap n-gram/function-word trick). Returns the language
+  // whose marker set hits the most tokens, 'und' when nothing hits.
+  // ---------------------------------------------------------------------
+
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for", "with", "are", "this"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "für", "auf", "sich"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "des", "dans", "pour", "que", "qui", "pas"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "una", "en", "por", "para", "con", "del"),
+    "it" -> Seq("il", "la", "di", "che", "e", "un", "una", "per", "con", "del", "sono", "non"))
+
+  /** Best-guess ISO-639-1 code by function-word voting. */
+  def langId(text: Column): Column = {
+    val ts = transform(tokens(text), lower(_))
+    val scored = LangMarkers.map { case (lang, markers) =>
+      val m = typedLit(markers)
+      struct(size(filter(ts, t => array_contains(m, t))).as("hits"), lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("hits") === 0, lit("und")).otherwise(best.getField("lang"))
+  }
+}

@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector (embedding) scalar functions.
+  *
+  * Semantics follow the reference's vector builtins (reference:
+  * `src/vector_ops.rs:87-194` distances, `:381-416` vector ops,
+  * `:450-547` quantization, `:232` hamming). All are composed from
+  * native Spark higher-order functions (`zip_with` / `aggregate` /
+  * `transform`) rather than Scala UDFs, so they stay inside Catalyst,
+  * need no serialization, and distribute trivially: at 100 TB the
+  * per-row cost is a tight loop over the array with no JVM<->closure
+  * boundary crossing.
+  *
+  * Vectors are `ArrayType(FloatType)` (the reference's `Vector`) or
+  * `ArrayType(ByteType)` (its int8-quantized `VectorInt8`); every
+  * function accepts either because elements are cast to double inside
+  * the lambda.
+  */
+object VectorFunctions {
+
+  @inline private def d(c: Column): Column = c.cast("double")
+
+  /** Sum of element-wise products; 0.0 for empty vectors. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => d(x) * d(y)), lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm. */
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + d(x) * d(x)))
+
+  /** Cosine similarity in [-1, 1]; null-safe via division (0-norm → null). */
+  def cosineSimilarity(a: Column, b: Column): Column = {
+    val den = norm(a) * norm(b)
+    when(den === 0.0, lit(0.0)).otherwise(dot(a, b) / den)
+  }
+
+  /** Cosine distance = 1 - similarity (reference `vector_ops.rs:118-140`). */
+  def cosineDistance(a: Column, b: Column): Column =
+    lit(1.0) - cosineSimilarity(a, b)
+
+  /** Euclidean (L2) distance. */
+  def euclidean(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(a, b, (x, y) => (d(x) - d(y)) * (d(x) - d(y))),
+      lit(0.0), (acc, x) => acc + x))
+
+  /** Manhattan (L1) distance. */
+  def manhattan(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => abs(d(x) - d(y))), lit(0.0), (acc, x) => acc + x)
+
+  /** Hamming distance between two int64 bit patterns (reference
+    * `vector_ops.rs:232` operates on i64, not on vectors). */
+  def hammingInt64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b)).cast("long")
+
+  /** Element-wise sum; result keeps float elements. */
+  def vecAdd(a: Column, b: Column): Column =
+    zip_with(a, b, (x, y) => (d(x) + d(y)).cast("float"))
+
+  /** Scalar multiply. */
+  def vecScale(a: Column, s: Column): Column =
+    transform(a, x => (d(x) * s.cast("double")).cast("float"))
+
+  /** Unit-normalize; zero vector stays zero. */
+  def normalize(a: Column): Column = {
+    val n = norm(a)
+    when(n === 0.0, a).otherwise(transform(a, x => (d(x) / n).cast("float")))
+  }
+
+  /** Vector dimensionality. */
+  def vecDim(a: Column): Column = size(a).cast("long")
+
+  // ---------------------------------------------------------------------
+  // Quantization (reference `src/vector_ops.rs:450-547`): int8 storage at
+  // 75% memory savings. Linear (asymmetric, given scale+zero-point) and
+  // symmetric (scale only) schemes, plus the inverses.
+  // ---------------------------------------------------------------------
+
+  private def clampI8(c: Column): Column =
+    greatest(lit(-128.0), least(lit(127.0), c))
+
+  /** q = clamp(round(x / scale) + zeroPoint, -128, 127) as int8. */
+  def quantizeLinear(v: Column, scale: Column, zeroPoint: Column): Column =
+    transform(v, x => clampI8(round(d(x) / scale.cast("double")) + zeroPoint.cast("double")).cast("tinyint"))
+
+  /** Symmetric int8 quantization with scale = maxAbs / 127. */
+  def quantizeSymmetric(v: Column): Column = {
+    val maxAbs = aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(d(x))))
+    val scale = when(maxAbs === 0.0, lit(1.0)).otherwise(maxAbs / 127.0)
+    transform(v, x => clampI8(round(d(x) / scale)).cast("tinyint"))
+  }
+
+  /** Scale used by [[quantizeSymmetric]]; needed to dequantize. */
+  def symmetricScale(v: Column): Column = {
+    val maxAbs = aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(d(x))))
+    when(maxAbs === 0.0, lit(1.0)).otherwise(maxAbs / 127.0)
+  }
+
+  /** x = (q - zeroPoint) * scale as float vector. */
+  def dequantize(q: Column, scale: Column, zeroPoint: Column): Column =
+    transform(q, x => ((d(x) - zeroPoint.cast("double")) * scale.cast("double")).cast("float"))
+
+  /** Symmetric dequantize: x = q * scale. */
+  def dequantizeScaled(q: Column, scale: Column): Column =
+    transform(q, x => (d(x) * scale.cast("double")).cast("float"))
+}

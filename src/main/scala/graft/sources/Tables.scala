@@ -1,0 +1,25 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+
+/** Parquet table loader for the synthetic star schema (TESTDATA.md).
+  * One method so every query names tables uniformly; Catalyst handles
+  * column pruning + filter pushdown into these scans.
+  */
+object Tables {
+  val All: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // testdata events.parquet carries TIMESTAMP(NANOS) which Spark's
+    // vectorized reader rejects; read nanos as long, then rebuild a real
+    // TimestampType column with exact integer arithmetic (`div`, not
+    // double division — ns-since-epoch exceeds double's 53-bit mantissa).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+}
