@@ -336,8 +336,84 @@ object SparkEntry {
     // --- multimodal: image resize plumbing ---------------------------------------------------------------
     "q44_multimodal_resize" -> ((s, dir) =>
       Multimodal.resizePlan(Multimodal.syntheticAssets(T(s, dir, "documents")), 224, 224)
-        .select(col("asset_id"), col("width"), col("height"), col("scale")))
+        .select(col("asset_id"), col("width"), col("height"), col("scale"))),
+
+    // =================================================================
+    // IQL (Datalog) engine end-to-end: parse → stratify → compile to
+    // DataFrames → (fixpoint when recursive) — graft.iql.Engine
+    // =================================================================
+
+    // --- IQL: join + projection rule -------------------------------------
+    "q45_iql_join" -> ((s, dir) => {
+      val e = iqlEngine(s, dir, "nation", "region")
+      e.run(
+        """nr(NK, NN, RN) <- nation(NK, NN, RK), region(RK, RN)
+          |?nr(NK, NN, RN)
+          |""".stripMargin).last
+    }),
+
+    // --- IQL: aggregation rule with comparison filter ---------------------
+    // (sums l_quantity: integral-valued doubles sum exactly in IEEE754,
+    // so Spark's and DuckDB's accumulation orders can't diverge)
+    "q46_iql_agg" -> ((s, dir) => {
+      val e = iqlEngine(s, dir, "lineitem")
+      e.run(
+        """tot(RF, count<OK>, sum<Q>) <- lineitem(OK, _, _, _, Q, _, _, _, RF, _, _), Q > 10.0
+          |?tot(RF, N, S)
+          |""".stripMargin).last
+    }),
+
+    // --- IQL: stratified negation -----------------------------------------
+    "q47_iql_negation" -> ((s, dir) => {
+      val e = iqlEngine(s, dir, "customer", "orders")
+      e.run(
+        """has_order(CK) <- orders(_, CK, _, _, _, _)
+          |inactive(CK, NM) <- customer(CK, NM, _, _, _), !has_order(CK)
+          |?inactive(CK, NM)
+          |""".stripMargin).last
+    }),
+
+    // --- IQL: recursive transitive closure --------------------------------
+    "q48_iql_tc" -> ((s, dir) => {
+      val e = iqlEngine(s, dir)
+      e.catalog.register("edge", graphEdges(s, dir))
+      e.run(
+        """reach(X, Y) <- edge(X, Y)
+          |reach(X, Z) <- reach(X, Y), edge(Y, Z)
+          |?reach(X, Y)
+          |""".stripMargin).last
+    }),
+
+    // --- IQL: bound recursive query (demand restriction / magic sets) -----
+    "q49_iql_bound_reach" -> ((s, dir) => {
+      val e = iqlEngine(s, dir)
+      e.catalog.register("edge", graphEdges(s, dir))
+      e.run(
+        """reach(X, Y) <- edge(X, Y)
+          |reach(X, Z) <- reach(X, Y), edge(Y, Z)
+          |?- reach(0, Y)
+          |""".stripMargin).last
+    }),
+
+    // --- IQL: computed bindings + string/math builtins ---------------------
+    "q50_iql_compute" -> ((s, dir) => {
+      val e = iqlEngine(s, dir, "part")
+      e.run(
+        """pp(PK, UN, L, PR2) <- part(PK, NM, _, _, _, PR), UN = upper(NM),
+          |  L = len(NM), PR2 = PR * 2 + 1
+          |?pp(PK, UN, L, PR2)
+          |""".stripMargin).last
+    })
   )
+
+  /** Engine over a fresh per-query catalog with the named parquet tables
+    * registered — an IQL rule over a registered table compiles to a plan
+    * whose scan IS the parquet source (pushdown intact). */
+  private def iqlEngine(s: SparkSession, dir: String, tables: String*): graft.iql.Engine = {
+    val cat = new graft.iql.Catalog(s)
+    tables.foreach(t => cat.register(t, T(s, dir, t)))
+    new graft.iql.Engine(cat)
+  }
 
   // =====================================================================
   // DuckDB oracle SQL — must match the Spark result on columns AND values.
@@ -541,6 +617,38 @@ object SparkEntry {
     "q40_multimodal_frames" ->
       """SELECT doc_id AS asset_id,
         |UNNEST(generate_series(0, (doc_id % 300) * 1000 + 999, 10000)) AS frame_ts_ms
-        |FROM documents WHERE doc_id % 3 = 2""".stripMargin
+        |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
+
+    "q45_iql_join" ->
+      """SELECT n_nationkey AS NK, n_name AS NN, r_name AS RN
+        |FROM nation JOIN region ON n_regionkey = r_regionkey""".stripMargin,
+
+    "q46_iql_agg" ->
+      """SELECT l_returnflag AS RF, COUNT(*) AS N, SUM(l_quantity) AS S
+        |FROM lineitem WHERE l_quantity > 10 GROUP BY 1""".stripMargin,
+
+    "q47_iql_negation" ->
+      """SELECT c_custkey AS CK, c_name AS NM FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q48_iql_tc" ->
+      s"""WITH RECURSIVE e AS ($graphEdgesSql),
+         |reach(src, dst) AS (
+         |SELECT src, dst FROM e
+         |UNION
+         |SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
+         |SELECT src AS X, dst AS Y FROM reach""".stripMargin,
+
+    "q49_iql_bound_reach" ->
+      s"""WITH RECURSIVE e AS ($graphEdgesSql),
+         |reach(dst) AS (
+         |SELECT dst FROM e WHERE src = 0
+         |UNION
+         |SELECT e.dst FROM reach r JOIN e ON r.dst = e.src)
+         |SELECT dst AS Y FROM reach""".stripMargin,
+
+    "q50_iql_compute" ->
+      """SELECT p_partkey AS PK, UPPER(p_name) AS UN, LEN(p_name) AS L,
+        |p_retailprice * 2 + 1 AS PR2 FROM part""".stripMargin
   )
 }

@@ -1,0 +1,361 @@
+package graft.iql
+
+import scala.collection.mutable
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import Ast._
+import graft.plans.Fixpoint
+
+/** IQL execution engine: statements → catalog updates; queries →
+  * DataFrames. The Spark analogue of the reference compile pipeline
+  * (`src/lib.rs:589-800`): parse → safety → stratify (Tarjan SCC) →
+  * demand restriction for bound recursive goals → per-stratum
+  * evaluation (non-recursive: one-shot union of rule bodies;
+  * recursive: semi-naive fixpoint via [[Fixpoint]]).
+  */
+final class Engine(val catalog: Catalog) {
+
+  /** Execute a whole program; returns the result of each `?` query in
+    * order. Rules defined in the program (session or persistent) are
+    * visible to subsequent statements. */
+  def run(src: String): Seq[DataFrame] = {
+    val prog = Parser.parseProgram(src)
+    val sessionRules = mutable.ArrayBuffer.empty[Rule]
+    val results = Seq.newBuilder[DataFrame]
+    prog.statements.foreach {
+      case InsertFacts(rel, rows) => catalog.insert(rel, rows)
+      case DeleteFacts(rel, rows) => catalog.delete(rel, rows)
+      case DropRelation(rel) => catalog.dropRelation(rel)
+      case RuleDef(rule) =>
+        if (rule.persistent) catalog.addRule(rule) else sessionRules += rule
+      case DeleteWhere(atom, body) => deleteWhere(atom, body, sessionRules.toSeq)
+      case q: Query => results += evalQuery(q, sessionRules.toSeq)
+    }
+    results.result()
+  }
+
+  /** All rules visible right now: persistent + session. */
+  private def visibleRules(session: Seq[Rule]): Seq[Rule] = catalog.rules ++ session
+
+  // ------------------------------------------------------------ queries
+
+  def evalQuery(q: Query, sessionRules: Seq[Rule] = Seq.empty): DataFrame = {
+    val rules = visibleRules(sessionRules)
+    val idb = new IdbEvaluator(rules, demandFor(q, rules))
+    var df = RuleCompiler.compileBody(q.body, idb.resolve)
+    // shorthand queries keep the goal atom's full arity (constants too)
+    q.goal.foreach { g =>
+      df = df.select(g.args.zipWithIndex.map {
+        case (Var(v), _) => col(v)
+        case (Const(c), i) => lit(c).as(s"_c$i")
+        case (other, i) => throw new IllegalArgumentException(
+          s"goal arg $i must be var or const, got $other")
+      }: _*)
+    }
+    // result columns = variables in order of first appearance
+    val sorted = if (q.sort.nonEmpty)
+      df.orderBy(q.sort.map(s => if (s.desc) col(s.varName).desc else col(s.varName).asc): _*)
+    else df
+    val off = q.offset.map(o => sorted.offset(o)).getOrElse(sorted)
+    q.limit.map(off.limit).getOrElse(off)
+  }
+
+  /** Demand restriction for bound recursive goals (the magic-sets result
+    * without the full adornment machinery — reference
+    * `src/magic_sets/mod.rs`): if the query is `?r(...)` with a constant
+    * at position i, and every rule in r's recursive component passes the
+    * i-th head variable through unchanged to every recursive body atom,
+    * then filtering EVERY rule derivation on head[i]=const is equivalent
+    * to filtering the final result — but the fixpoint frontier only ever
+    * contains demanded tuples (BFS from the seed instead of full closure).
+    */
+  private def demandFor(q: Query, rules: Seq[Rule]): Map[String, (Int, Any)] = {
+    q.body match {
+      case Seq(Pos(Atom(rel, args))) =>
+        val sccs = Stratifier.sccOf(rules)
+        val scc = sccs.getOrElse(rel, Set(rel))
+        val recursive = scc.size > 1 ||
+          rules.exists(r => r.head.rel == rel && r.body.exists {
+            case Pos(a) => a.rel == rel
+            case _ => false
+          })
+        if (!recursive) return Map.empty
+        args.zipWithIndex.collectFirst { case (Const(v), i) => (i, v) } match {
+          case None => Map.empty
+          case Some((i, v)) =>
+            val relRules = rules.filter(r => scc(r.head.rel))
+            val passesThrough = relRules.forall { r =>
+              r.head.args.lift(i) match {
+                case Some(hv: Var) =>
+                  r.body.forall {
+                    case Pos(a) if scc(a.rel) => a.args.lift(i).contains(hv)
+                    case _ => true
+                  }
+                case _ => false
+              }
+            }
+            if (passesThrough) scc.map(rn => rn -> (i, v)).toMap else Map.empty
+        }
+      case _ => Map.empty
+    }
+  }
+
+  // ------------------------------------------------------------ deletes
+
+  private def deleteWhere(atom: Atom, body: Seq[BodyElem], session: Seq[Rule]): Unit = {
+    val rel = catalog.relation(atom.rel).getOrElse(
+      throw new IllegalArgumentException(s"unknown relation ${atom.rel}"))
+    val idb = new IdbEvaluator(visibleRules(session), Map.empty)
+    val full = RuleCompiler.compileBody(Pos(atom) +: body, idb.resolve)
+    // project the atom's args back to the relation's positional schema
+    val cols = atom.args.zipWithIndex.map {
+      case (Var(v), i) => col(v).as(rel.columns(i))
+      case (Const(c), i) => lit(c).as(rel.columns(i))
+      case (other, i) => throw new IllegalArgumentException(
+        s"delete pattern arg $i must be var or const, got $other")
+    }
+    val matching = full.select(cols: _*).distinct()
+    catalog.replace(atom.rel, rel.join(matching, rel.columns.toSeq, "left_anti"))
+  }
+
+  // ----------------------------------------------------- IDB evaluation
+
+  /** Evaluates derived relations on demand, respecting stratification;
+    * memoizes per query. `demand`: rel → (boundPos, boundConst) filters
+    * pushed into every derivation of that relation (see [[demandFor]]). */
+  private final class IdbEvaluator(rules: Seq[Rule], demand: Map[String, (Int, Any)]) {
+    private val byHead: Map[String, Seq[Rule]] = rules.groupBy(_.head.rel)
+    private val memo = mutable.HashMap.empty[String, DataFrame]
+    private val inProgress = mutable.HashSet.empty[String]
+
+    val resolve: RuleCompiler.Resolver = (name: String) => {
+      memo.getOrElse(name, {
+        if (!byHead.contains(name)) {
+          catalog.relation(name).getOrElse(
+            throw new IllegalArgumentException(s"unknown relation $name"))
+        } else {
+          require(!inProgress(name),
+            s"internal: unplanned recursive resolve of $name")
+          evalComponent(name)
+          memo(name)
+        }
+      })
+    }
+
+    /** Evaluate the whole SCC containing `name` (plus, transitively, the
+      * lower strata it depends on via `resolve`). */
+    private def evalComponent(name: String): Unit = {
+      val scc = Stratifier.sccOf(rules).getOrElse(name, Set(name))
+      val sccRules = rules.filter(r => scc(r.head.rel))
+      // negation inside the SCC is unstratifiable (reference safety check,
+      // `src/lib.rs:615-619`, `src/recursion.rs`)
+      sccRules.foreach(r => r.body.foreach {
+        case Neg(a) if scc(a.rel) => throw new IllegalArgumentException(
+          s"unstratifiable: negation of ${a.rel} inside its own recursive component")
+        case _ => ()
+      })
+      val isRecursive = scc.size > 1 || sccRules.exists(_.body.exists {
+        case Pos(a) => scc(a.rel)
+        case _ => false
+      })
+      scc.foreach(inProgress += _)
+      try {
+        if (!isRecursive) scc.foreach { rel =>
+          memo(rel) = oneShot(rel, byHead.getOrElse(rel, Seq.empty))
+        } else evalRecursiveScc(scc, sccRules)
+      } finally scc.foreach(inProgress -= _)
+    }
+
+    /** Union of a relation's rule derivations (set semantics — reference
+      * defaults to Distinct at stratum outputs, Boolean semiring
+      * `src/boolean_specialization/mod.rs`), plus its base facts when the
+      * name also exists as an EDB relation. */
+    private def oneShot(rel: String, rs: Seq[Rule]): DataFrame = {
+      val derived = rs.map(r => deriveRule(r))
+      val all = catalog.relation(rel) match {
+        case Some(base) => base +: derived.map(_.toDF(base.columns: _*))
+        case None => derived
+      }
+      val arities = all.map(_.columns.length).distinct
+      require(arities.size == 1, s"$rel derived with inconsistent arities $arities")
+      val n = all.head.columns.length
+      val named = all.map(df => df.toDF((0 until n).map(i => s"c$i"): _*))
+      val unioned = named.reduce(_ union _)
+      (if (rs.exists(_.head.args.exists(_.isInstanceOf[Agg]))) unioned
+       else unioned.distinct())
+    }
+
+    /** One rule → positional frame (c0..cn), demand filter applied. */
+    private def deriveRule(r: Rule, resolver: RuleCompiler.Resolver = resolve): DataFrame = {
+      val bodyDf = RuleCompiler.compileBody(r.body, resolver)
+      val aggs = r.head.args.collect { case a: Agg => a }
+      val out =
+        if (aggs.isEmpty) {
+          bodyDf.select(r.head.args.zipWithIndex.map {
+            case (t, i) => RuleCompiler.term(t, bodyDf).as(s"c$i")
+          }: _*)
+        } else {
+          // group by the non-aggregate head terms (reference
+          // `src/code_generator/mod.rs:2414-2723`)
+          val groups = r.head.args.zipWithIndex.collect {
+            case (t, i) if !t.isInstanceOf[Agg] => RuleCompiler.term(t, bodyDf).as(s"c$i")
+          }
+          val aggCols = r.head.args.zipWithIndex.collect {
+            case (Agg(f, arg), i) => aggFunc(f, arg, bodyDf).as(s"c$i")
+          }
+          val grouped = if (groups.isEmpty) bodyDf.groupBy()
+                        else bodyDf.groupBy(groups: _*)
+          grouped.agg(aggCols.head, aggCols.tail: _*)
+            .select(r.head.args.indices.map(i => col(s"c$i")): _*)
+        }
+      demand.get(r.head.rel) match {
+        case Some((i, v)) => out.filter(col(s"c$i") === lit(v))
+        case None => out
+      }
+    }
+
+    private def aggFunc(f: String, arg: Term, frame: DataFrame): Column = f match {
+      case "count" => count(lit(1))
+      case "count_distinct" => countDistinct(RuleCompiler.term(arg, frame))
+      case "sum" => sum(RuleCompiler.term(arg, frame))
+      case "min" => min(RuleCompiler.term(arg, frame))
+      case "max" => max(RuleCompiler.term(arg, frame))
+      case "avg" => avg(RuleCompiler.term(arg, frame))
+      case _ => throw new IllegalArgumentException(s"unknown aggregate $f")
+    }
+
+    /** Semi-naive evaluation of one recursive component (handles mutual
+      * recursion). Aggregates inside a recursive SCC are rejected (the
+      * reference's recursive min/max semiring is future work). */
+    private def evalRecursiveScc(scc: Set[String], sccRules: Seq[Rule]): Unit = {
+      sccRules.foreach { r =>
+        require(!r.head.args.exists(_.isInstanceOf[Agg]),
+          s"aggregates in recursive rules are not supported (${r.head.rel})")
+      }
+      // base = non-recursive rules (+ EDB facts under the same name).
+      // A relation may legitimately have NO base (mutual recursion seeds
+      // it through the cycle) — it simply starts absent/empty; its schema
+      // materializes the first time a rule derives tuples for it.
+      val acc = mutable.HashMap.empty[String, Fixpoint.Mat]
+      var delta = mutable.HashMap.empty[String, Fixpoint.Mat]
+      scc.foreach { rel =>
+        val baseRules = byHead.getOrElse(rel, Seq.empty)
+          .filterNot(_.body.exists { case Pos(a) => scc(a.rel); case _ => false })
+        val parts = catalog.relation(rel).map(b =>
+          b.toDF(b.columns.indices.map(i => s"c$i"): _*)).toSeq ++
+          baseRules.map(deriveRule(_))
+        if (parts.nonEmpty) {
+          val m = Fixpoint.materialize(parts.reduce(_ union _).distinct())
+          if (m.count > 0) { acc(rel) = m; delta(rel) = m }
+        }
+      }
+      require(acc.nonEmpty, s"recursive component ${scc.mkString(",")} has no base case at all")
+      val recRules = sccRules.filter(_.body.exists { case Pos(a) => scc(a.rel); case _ => false })
+      var iter = 0
+      while (delta.nonEmpty && iter < 10000) {
+        iter += 1
+        val nextDelta = mutable.HashMap.empty[String, Fixpoint.Mat]
+        scc.foreach { rel =>
+          val contributions = recRules.filter(_.head.rel == rel).flatMap { r =>
+            // semi-naive: one evaluation per recursive atom occurrence,
+            // with THAT occurrence bound to delta and the rest to acc.
+            // Occurrences whose delta (or whose siblings' acc) is still
+            // absent contribute nothing and are skipped.
+            val recBodyIdx = r.body.zipWithIndex.collect {
+              case (Pos(a), idx) if scc(a.rel) => idx
+            }
+            val bodyAtomRel = r.body.collect { case Pos(a) => a }.map(_.rel)
+            recBodyIdx.flatMap { dIdx =>
+              val dRel = r.body(dIdx) match { case Pos(a) => a.rel; case _ => "" }
+              val othersOk = recBodyIdx.filter(_ != dIdx).forall { oi =>
+                val orel = r.body(oi) match { case Pos(a) => a.rel; case _ => "" }
+                acc.contains(orel)
+              }
+              if (!delta.contains(dRel) || !othersOk) None
+              else {
+                var occ = -1
+                val resolver: RuleCompiler.Resolver = nm =>
+                  if (scc(nm)) {
+                    occ += 1
+                    val bodyIdx = recBodyIdx(occ)
+                    if (bodyIdx == dIdx) delta(nm).df else acc(nm).df
+                  } else resolve(nm)
+                Some(deriveRule(r, resolver))
+              }
+            }
+          }
+          if (contributions.nonEmpty) {
+            val cand = contributions.reduce(_ union _).distinct()
+            val next = acc.get(rel) match {
+              case Some(a) => Fixpoint.materialize(
+                cand.join(a.df, cand.columns.toSeq, "left_anti"))
+              case None => Fixpoint.materialize(cand)
+            }
+            if (next.count > 0) {
+              acc(rel) = acc.get(rel) match {
+                case Some(a) => Fixpoint.materialize(a.df.union(next.df))
+                case None => next
+              }
+              nextDelta(rel) = next
+            }
+          }
+        }
+        delta = nextDelta
+      }
+      scc.foreach { rel =>
+        memo(rel) = acc.get(rel).map(_.df).getOrElse {
+          // never derived: empty frame with the head's arity
+          val arity = byHead(rel).head.head.args.length
+          val schema = org.apache.spark.sql.types.StructType((0 until arity).map(i =>
+            org.apache.spark.sql.types.StructField(s"c$i",
+              org.apache.spark.sql.types.NullType, nullable = true)))
+          catalog.spark.createDataFrame(
+            catalog.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        }
+      }
+    }
+  }
+}
+
+/** Tarjan SCC over the rule dependency graph (reference stratification,
+  * `src/recursion.rs:156-550`). */
+object Stratifier {
+  /** rel → its SCC member set (only for relations appearing in rule heads;
+    * singletons included). */
+  def sccOf(rules: Seq[Rule]): Map[String, Set[String]] = {
+    val heads = rules.map(_.head.rel).toSet
+    val edges: Map[String, Set[String]] = rules
+      .groupBy(_.head.rel)
+      .map { case (h, rs) =>
+        h -> rs.flatMap(_.body.collect {
+          case Pos(a) if heads(a.rel) => a.rel
+          case Neg(a) if heads(a.rel) => a.rel
+        }).toSet
+      }
+    var index = 0
+    val idx = mutable.HashMap.empty[String, Int]
+    val low = mutable.HashMap.empty[String, Int]
+    val onStack = mutable.HashSet.empty[String]
+    val stack = mutable.Stack.empty[String]
+    val out = mutable.HashMap.empty[String, Set[String]]
+
+    def strongconnect(v: String): Unit = {
+      idx(v) = index; low(v) = index; index += 1
+      stack.push(v); onStack += v
+      edges.getOrElse(v, Set.empty).foreach { w =>
+        if (!idx.contains(w)) { strongconnect(w); low(v) = math.min(low(v), low(w)) }
+        else if (onStack(w)) low(v) = math.min(low(v), idx(w))
+      }
+      if (low(v) == idx(v)) {
+        val comp = mutable.Set.empty[String]
+        var w = ""
+        while ({ w = stack.pop(); onStack -= w; comp += w; w != v }) ()
+        val c = comp.toSet
+        c.foreach(out(_) = c)
+      }
+    }
+    heads.foreach(h => if (!idx.contains(h)) strongconnect(h))
+    out.toMap
+  }
+}

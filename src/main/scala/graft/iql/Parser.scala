@@ -1,0 +1,362 @@
+package graft.iql
+
+import Ast._
+
+/** Hand-rolled tokenizer + recursive-descent parser for the IQL surface
+  * (reference: ~1845-LoC hand-written parser `src/parser/mod.rs`;
+  * statement grammar `src/statement/parser.rs`). Covers the query/rule/
+  * fact sub-language:
+  *
+  *   +edge(1, 2)                      insert fact
+  *   +edge[(1,2),(2,3)]               batch insert
+  *   -edge(1, 2)                      delete fact
+  *   -edge(X) <- cond                 conditional delete
+  *   -edge                            drop relation
+  *   +path(X,Y) <- edge(X,Y)          persistent rule
+  *   path(X,Z) <- path(X,Y), edge(Y,Z)   session rule
+  *   ?path(1, Y)                      query (shorthand)
+  *   ?- path(X,Y), X < 3, !blocked(Y), limit(10, 2)
+  *   ?q(X:desc, Y)                    sort annotations
+  *
+  * Body elements: atoms, `!atom` negation, comparisons (= != < <= > >=)
+  * over arithmetic expressions (+ - * / %) with builtin function calls
+  * `f(args)` and head aggregates `sum<X>` etc.
+  */
+object Parser {
+
+  // ----------------------------------------------------------------- lexer
+  sealed trait Tok
+  case class TIdent(s: String) extends Tok
+  case class TInt(v: Long) extends Tok
+  case class TFloat(v: Double) extends Tok
+  case class TStr(s: String) extends Tok
+  case class TSym(s: String) extends Tok // punctuation / operators
+  case object TEnd extends Tok
+
+  private val symbols = Seq("<-", "<=", ">=", "!=", "(", ")", "[", "]",
+    "<", ">", ",", "=", "+", "-", "*", "/", "%", "!", "?", ":", ".", ";")
+
+  def tokenize(src: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val n = src.length
+    while (i < n) {
+      val c = src(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '#' || (c == '/' && i + 1 < n && src(i + 1) == '/')) {
+        while (i < n && src(i) != '\n') i += 1
+      } else if (c == '"') {
+        val sb = new StringBuilder
+        i += 1
+        while (i < n && src(i) != '"') {
+          if (src(i) == '\\' && i + 1 < n) { sb.append(src(i + 1)); i += 2 }
+          else { sb.append(src(i)); i += 1 }
+        }
+        if (i >= n) throw new IllegalArgumentException("unterminated string literal")
+        i += 1
+        out += TStr(sb.toString)
+      } else if (c.isDigit || (c == '.' && i + 1 < n && src(i + 1).isDigit)) {
+        val start = i
+        while (i < n && (src(i).isDigit || src(i) == '.' || src(i) == 'e' || src(i) == 'E' ||
+          ((src(i) == '+' || src(i) == '-') && i > start && (src(i - 1) == 'e' || src(i - 1) == 'E')))) i += 1
+        val s = src.substring(start, i)
+        if (s.contains('.') || s.toLowerCase.contains('e')) out += TFloat(s.toDouble)
+        else out += TInt(s.toLong)
+      } else if (c.isLetter || c == '_') {
+        val start = i
+        while (i < n && (src(i).isLetterOrDigit || src(i) == '_')) i += 1
+        out += TIdent(src.substring(start, i))
+      } else {
+        symbols.find(s => src.startsWith(s, i)) match {
+          case Some(s) => out += TSym(s); i += s.length
+          case None => throw new IllegalArgumentException(s"unexpected character '$c' at $i")
+        }
+      }
+    }
+    (out += TEnd).result()
+  }
+
+  // ---------------------------------------------------------------- parser
+  final class P(toks: Vector[Tok]) {
+    private var pos = 0
+    def peek: Tok = toks(pos)
+    def peek2: Tok = toks(math.min(pos + 1, toks.length - 1))
+    def next(): Tok = { val t = toks(pos); pos += 1; t }
+    def expectSym(s: String): Unit = next() match {
+      case TSym(`s`) => ()
+      case t => fail(s"expected '$s', got $t")
+    }
+    def acceptSym(s: String): Boolean = peek match {
+      case TSym(`s`) => pos += 1; true
+      case _ => false
+    }
+    def fail(msg: String): Nothing = throw new IllegalArgumentException(s"parse error: $msg")
+    def atEnd: Boolean = peek == TEnd
+  }
+
+  private val AggFuncs = Set("sum", "count", "count_distinct", "min", "max", "avg")
+  private val CmpOps = Set("=", "!=", "<", "<=", ">", ">=")
+
+  /** Parse a whole program: statements separated by newlines are already
+    * merged by the tokenizer, so statements are recognized by prefix and
+    * optionally separated by `;` or `.`. */
+  def parseProgram(src: String): Program = {
+    val p = new P(tokenize(src))
+    val stmts = Seq.newBuilder[Statement]
+    while (!p.atEnd) {
+      stmts += parseStatement(p)
+      while (p.acceptSym(";") || p.acceptSym(".")) ()
+    }
+    Program(stmts.result())
+  }
+
+  def parseStatement(p: P): Statement = p.peek match {
+    case TSym("+") => p.next(); parsePlus(p)
+    case TSym("-") => p.next(); parseMinus(p)
+    case TSym("?") =>
+      p.next()
+      if (p.acceptSym("-")) parseQueryBody(p)
+      else parseQueryShorthand(p)
+    case TIdent(_) => // session rule: head(...) <- body
+      val head = parseAtom(p)
+      p.expectSym("<-")
+      val body = parseBody(p)
+      RuleDef(Rule(head, body, persistent = false))
+    case t => p.fail(s"unexpected token $t at statement start")
+  }
+
+  /** `+rel(...)`, `+rel[(...),...]` or `+head(...) <- body`. */
+  private def parsePlus(p: P): Statement = {
+    val name = ident(p)
+    p.peek match {
+      case TSym("[") =>
+        p.next()
+        val rows = Seq.newBuilder[Seq[Any]]
+        while (!p.acceptSym("]")) {
+          p.expectSym("(")
+          rows += parseConstRow(p)
+          p.acceptSym(",")
+          ()
+        }
+        InsertFacts(name, rows.result())
+      case TSym("(") =>
+        val save = p
+        val atom = parseAtomArgs(p, name)
+        if (p.acceptSym("<-")) RuleDef(Rule(atom, parseBody(p), persistent = true))
+        else {
+          val consts = atom.args.map {
+            case Const(v) => v
+            case other => p.fail(s"fact arguments must be constants, got $other")
+          }
+          InsertFacts(name, Seq(consts))
+        }
+      case t => p.fail(s"expected '(' or '[' after +$name, got $t")
+    }
+  }
+
+  /** `-rel(...)`, `-rel(X) <- body`, or `-rel` (drop). */
+  private def parseMinus(p: P): Statement = {
+    val name = ident(p)
+    p.peek match {
+      case TSym("(") =>
+        val atom = parseAtomArgs(p, name)
+        if (p.acceptSym("<-")) DeleteWhere(atom, parseBody(p))
+        else {
+          val consts = atom.args.map {
+            case Const(v) => v
+            case other => p.fail(s"delete-fact arguments must be constants, got $other")
+          }
+          DeleteFacts(name, Seq(consts))
+        }
+      case _ => DropRelation(name)
+    }
+  }
+
+  /** `?rel(args...)` — shorthand (reference transform_query_shorthand,
+    * `protocol/handler.rs:4753`): constants become equality filters. */
+  private def parseQueryShorthand(p: P): Query = {
+    val atom0 = parseAtom(p)
+    // wildcards become fresh variables so their values survive into the
+    // result tuple (the shorthand result keeps the goal's full arity)
+    val atom = atom0.copy(args = atom0.args.zipWithIndex.map {
+      case (Wildcard, i) => Var(s"_w$i")
+      case (t, _) => t
+    })
+    val (sort, lim, off, rest) = parseQueryTail(p)
+    Query(Pos(atom) +: rest, sort, lim, off, goal = Some(atom))
+  }
+
+  /** `?- conj` full query body. */
+  private def parseQueryBody(p: P): Query = {
+    val body = parseBody(p)
+    // limit(N[,Off]) pseudo-predicate is parsed inside the body
+    val (limits, rest) = body.partition {
+      case Pos(Atom("limit", _)) => true
+      case _ => false
+    }
+    val (lim, off) = limits.lastOption match {
+      case Some(Pos(Atom(_, args))) =>
+        val nums = args.map { case Const(v: Long) => v.toInt; case x => p.fail(s"limit() takes int literals, got $x") }
+        (nums.headOption, nums.lift(1))
+      case None => (None, None)
+    }
+    Query(rest, Seq.empty, lim, off)
+  }
+
+  private def parseQueryTail(p: P): (Seq[SortKey], Option[Int], Option[Int], Seq[BodyElem]) = {
+    // after ?goal(...), allow `, extra, limit(n, off)` continuation
+    val rest = Seq.newBuilder[BodyElem]
+    var lim: Option[Int] = None
+    var off: Option[Int] = None
+    while (p.acceptSym(",")) {
+      parseBodyElem(p) match {
+        case Pos(Atom("limit", args)) =>
+          val nums = args.map { case Const(v: Long) => v.toInt; case x => p.fail(s"limit() takes int literals, got $x") }
+          lim = nums.headOption; off = nums.lift(1)
+        case e => rest += e
+      }
+    }
+    (Seq.empty, lim, off, rest.result())
+  }
+
+  def parseBody(p: P): Seq[BodyElem] = {
+    val out = Seq.newBuilder[BodyElem]
+    out += parseBodyElem(p)
+    while (p.acceptSym(",")) out += parseBodyElem(p)
+    out.result()
+  }
+
+  def parseBodyElem(p: P): BodyElem = p.peek match {
+    case TSym("!") => p.next(); Neg(parseAtom(p))
+    case _ =>
+      // either atom(...) or comparison expr OP expr
+      val isAtom = p.peek match {
+        case TIdent(_) => p.peek2 == TSym("(")
+        case _ => false
+      }
+      if (isAtom) {
+        val atom = parseAtom(p)
+        // function-call-looking atoms in comparison position: f(X) < 3
+        p.peek match {
+          case TSym(op) if CmpOps(op) =>
+            p.next()
+            val rhs = parseExpr(p)
+            Cmp(op, Func(atom.rel, atom.args), rhs)
+          case _ => Pos(atom)
+        }
+      } else {
+        val lhs = parseExpr(p)
+        val op = p.next() match {
+          case TSym(s) if CmpOps(s) => s
+          case t => p.fail(s"expected comparison operator, got $t")
+        }
+        val rhs = parseExpr(p)
+        Cmp(op, lhs, rhs)
+      }
+  }
+
+  def parseAtom(p: P): Atom = parseAtomArgs(p, ident(p))
+
+  private def parseAtomArgs(p: P, name: String): Atom = {
+    p.expectSym("(")
+    val args = Seq.newBuilder[Term]
+    if (!p.acceptSym(")")) {
+      args += parseHeadTerm(p)
+      while (p.acceptSym(",")) args += parseHeadTerm(p)
+      p.expectSym(")")
+    }
+    Atom(name, args.result())
+  }
+
+  /** Head/atom argument: term, aggregate `agg<X>`, or sort-annotated var
+    * `X:desc` (annotation recorded by caller when needed). */
+  private def parseHeadTerm(p: P): Term = p.peek match {
+    case TIdent(f) if AggFuncs(f) && p.peek2 == TSym("<") =>
+      p.next(); p.expectSym("<")
+      val arg = parseExpr(p)
+      p.expectSym(">")
+      Agg(f, arg)
+    case _ =>
+      val t = parseExpr(p)
+      // swallow :asc/:desc sort annotations (handled at query level)
+      if (p.acceptSym(":")) { ident(p); () }
+      t
+  }
+
+  // Expression grammar: addsub ::= muldiv (('+'|'-') muldiv)*
+  def parseExpr(p: P): Term = {
+    var t = parseMul(p)
+    var go = true
+    while (go) p.peek match {
+      case TSym("+") => p.next(); t = Arith("+", t, parseMul(p))
+      case TSym("-") => p.next(); t = Arith("-", t, parseMul(p))
+      case _ => go = false
+    }
+    t
+  }
+
+  private def parseMul(p: P): Term = {
+    var t = parseUnary(p)
+    var go = true
+    while (go) p.peek match {
+      case TSym("*") => p.next(); t = Arith("*", t, parseUnary(p))
+      case TSym("/") => p.next(); t = Arith("/", t, parseUnary(p))
+      case TSym("%") => p.next(); t = Arith("%", t, parseUnary(p))
+      case _ => go = false
+    }
+    t
+  }
+
+  private def parseUnary(p: P): Term = p.peek match {
+    case TSym("-") =>
+      p.next()
+      p.peek match {
+        case TInt(v) => p.next(); Const(-v)
+        case TFloat(v) => p.next(); Const(-v)
+        case _ => Arith("-", Const(0L), parseUnary(p))
+      }
+    case _ => parsePrimary(p)
+  }
+
+  private def parsePrimary(p: P): Term = p.next() match {
+    case TInt(v) => Const(v)
+    case TFloat(v) => Const(v)
+    case TStr(s) => Const(s)
+    case TIdent("true") => Const(true)
+    case TIdent("false") => Const(false)
+    case TIdent("_") => Wildcard
+    case TIdent(name) =>
+      if (p.acceptSym("(")) {
+        val args = Seq.newBuilder[Term]
+        if (!p.acceptSym(")")) {
+          args += parseExpr(p)
+          while (p.acceptSym(",")) args += parseExpr(p)
+          p.expectSym(")")
+        }
+        Func(name, args.result())
+      } else Var(name)
+    case TSym("(") =>
+      val t = parseExpr(p)
+      p.expectSym(")")
+      t
+    case t => p.fail(s"unexpected token $t in expression")
+  }
+
+  private def parseConstRow(p: P): Seq[Any] = {
+    val row = Seq.newBuilder[Any]
+    var done = false
+    while (!done) {
+      parseUnary(p) match {
+        case Const(v) => row += v
+        case other => p.fail(s"batch-insert rows take constants, got $other")
+      }
+      if (!p.acceptSym(",")) { p.expectSym(")"); done = true }
+    }
+    row.result()
+  }
+
+  private def ident(p: P): String = p.next() match {
+    case TIdent(s) => s
+    case t => p.fail(s"expected identifier, got $t")
+  }
+}

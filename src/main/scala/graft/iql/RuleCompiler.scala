@@ -1,0 +1,205 @@
+package graft.iql
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+
+import Ast._
+import graft.functions.{TemporalFunctions => TempF, VectorFunctions => VF}
+
+/** Compiles one rule body (a conjunction of atoms, negated atoms, and
+  * comparison/binding predicates) into a DataFrame whose columns are the
+  * body's variables.
+  *
+  * This is the AST→DataFrame analogue of the reference's IR builder +
+  * codegen (`src/ir_builder/mod.rs:185-1274`, `src/code_generator/mod.rs`):
+  * scans → equi-joins on shared variables → computed bindings →
+  * comparison filters → antijoins. We emit declarative DataFrame ops and
+  * let Catalyst do join strategy, pushdown, and codegen — the reference's
+  * optimizer passes (`src/optimizer/mod.rs`) are Catalyst built-ins here.
+  */
+object RuleCompiler {
+
+  /** Resolve a relation name to its DataFrame. */
+  type Resolver = String => DataFrame
+
+  /** Compile a body; returns a frame with one column per variable. */
+  def compileBody(body: Seq[BodyElem], resolve: Resolver): DataFrame = {
+    val positives = body.collect { case Pos(a) => a }
+    require(positives.nonEmpty, "rule body needs at least one positive atom (range restriction)")
+
+    // 1. positive atoms: join left-to-right on shared variables.
+    //    (The reference reorders joins by a max-spanning-tree heuristic,
+    //    `src/join_planning/mod.rs`; we rely on Catalyst/AQE instead.)
+    var cur: DataFrame = atomFrame(positives.head, resolve)
+    positives.tail.foreach { a =>
+      val af = atomFrame(a, resolve)
+      val shared = cur.columns.intersect(af.columns).toSeq
+      cur = if (shared.nonEmpty) cur.join(af, shared) else cur.crossJoin(af)
+    }
+
+    // 2. comparisons and computed bindings, in body order: `V = expr`
+    //    with V unbound appends a column (Compute); anything else filters.
+    body.foreach {
+      case Cmp("=", Var(v), rhs) if !cur.columns.contains(v) =>
+        cur = cur.withColumn(v, term(rhs, cur))
+      case Cmp("=", lhs, Var(v)) if !cur.columns.contains(v) =>
+        cur = cur.withColumn(v, term(lhs, cur))
+      case Cmp(op, l, r) =>
+        cur = cur.filter(cmp(op, term(l, cur), term(r, cur)))
+      case _ => ()
+    }
+
+    // 3. stratified negation last (all its variables are now bound):
+    //    left_anti on the shared columns (reference antijoin,
+    //    `src/code_generator/mod.rs:2085-2236`).
+    body.foreach {
+      case Neg(a) =>
+        val af = atomFrame(a, resolve)
+        val shared = cur.columns.intersect(af.columns).toSeq
+        require(shared.nonEmpty || af.columns.isEmpty,
+          s"negated atom !${a.rel} shares no variables with the positive body")
+        cur = cur.join(af, shared, "left_anti")
+      case _ => ()
+    }
+    cur
+  }
+
+  /** One atom → frame keyed by its variable names. Constants filter,
+    * repeated variables filter-by-equality, wildcards drop. */
+  private def atomFrame(a: Atom, resolve: Resolver): DataFrame = {
+    val df = resolve(a.rel)
+    require(df.columns.length == a.args.length,
+      s"${a.rel} has arity ${df.columns.length}, atom uses ${a.args.length}")
+    var out = df
+    val seen = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    a.args.zipWithIndex.foreach {
+      case (Const(v), i) => out = out.filter(col(df.columns(i)) === lit(v))
+      case (Var(name), i) =>
+        seen.get(name) match {
+          case Some(first) => out = out.filter(col(df.columns(i)) === col(df.columns(first)))
+          case None => seen(name) = i
+        }
+      case (Wildcard, _) => ()
+      case (other, i) =>
+        throw new IllegalArgumentException(
+          s"body atom ${a.rel} arg $i must be a variable or constant, got $other " +
+            "(bind computed values with `V = expr` predicates)")
+    }
+    out.select(seen.map { case (name, i) => col(df.columns(i)).as(name) }.toSeq: _*)
+  }
+
+  def cmp(op: String, l: Column, r: Column): Column = op match {
+    case "=" => l === r
+    case "!=" => l =!= r
+    case "<" => l < r
+    case "<=" => l <= r
+    case ">" => l > r
+    case ">=" => l >= r
+    case _ => throw new IllegalArgumentException(s"unknown comparison $op")
+  }
+
+  /** Scalar term → Column against the current frame. */
+  def term(t: Term, frame: DataFrame): Column = t match {
+    case Var(v) =>
+      require(frame.columns.contains(v), s"unbound variable $v in expression")
+      col(v)
+    case Const(v) => lit(v)
+    case Wildcard => throw new IllegalArgumentException("wildcard in expression position")
+    case Arith(op, l, r) => arith(op, t, frame)
+    case Func(name, args) => builtin(name, args.map(term(_, frame)))
+    case Agg(f, _) => throw new IllegalArgumentException(s"aggregate $f<> outside rule head")
+  }
+
+  private def isIntegral(c: Column, frame: DataFrame): Boolean =
+    try {
+      frame.select(c).schema.head.dataType match {
+        case LongType | IntegerType | ShortType | ByteType => true
+        case _ => false
+      }
+    } catch { case _: Throwable => false }
+
+  /** Int/float promotion like the reference (`code_generator/mod.rs:3510-3558`):
+    * both integral → integer result, incl. truncating division. */
+  private def arith(op: String, t: Term, frame: DataFrame): Column = {
+    val Arith(_, lt, rt) = t: @unchecked
+    val (l, r) = (term(lt, frame), term(rt, frame))
+    op match {
+      case "+" => l + r
+      case "-" => l - r
+      case "*" => l * r
+      case "%" => l % r
+      case "/" =>
+        if (isIntegral(l, frame) && isIntegral(r, frame)) (l / r).cast("long")
+        else l / r
+      case _ => throw new IllegalArgumentException(s"unknown arithmetic op $op")
+    }
+  }
+
+  /** Builtin scalar function registry (reference BuiltinFunc inventory,
+    * `src/ast/mod.rs:58-197`; vector ops `src/vector_ops.rs`; temporal
+    * `src/temporal_ops.rs`). All compile to native Column expressions. */
+  def builtin(name: String, a: Seq[Column]): Column = (name, a) match {
+    // math (floor/ceil return int64 in the reference)
+    case ("abs", Seq(x)) => abs(x)
+    case ("abs_int64", Seq(x)) => abs(x.cast("long"))
+    case ("abs_float64", Seq(x)) => abs(x.cast("double"))
+    case ("sqrt", Seq(x)) => sqrt(x)
+    case ("pow", Seq(x, y)) => pow(x, y)
+    case ("log", Seq(x)) => log(x)
+    case ("exp", Seq(x)) => exp(x)
+    case ("sin", Seq(x)) => sin(x)
+    case ("cos", Seq(x)) => cos(x)
+    case ("tan", Seq(x)) => tan(x)
+    case ("floor", Seq(x)) => floor(x).cast("long")
+    case ("ceil", Seq(x)) => ceil(x).cast("long")
+    case ("sign", Seq(x)) => signum(x).cast("long")
+    case ("min_val", xs) if xs.size >= 2 => least(xs: _*)
+    case ("max_val", xs) if xs.size >= 2 => greatest(xs: _*)
+    // conversion
+    case ("to_float", Seq(x)) => x.cast("double")
+    case ("to_int", Seq(x)) => x.cast("long")
+    // string (reference substr is 0-based start; Spark is 1-based)
+    case ("len", Seq(x)) => length(x).cast("long")
+    case ("upper", Seq(x)) => upper(x)
+    case ("lower", Seq(x)) => lower(x)
+    case ("trim", Seq(x)) => trim(x)
+    case ("substr", Seq(s, st, ln)) => substring(s, (st + lit(1)).cast("int"), ln.cast("int"))
+    case ("replace", Seq(s, f, r)) => regexp_replace(s, regexp_quote_lit(f), r)
+    case ("concat", xs) => concat(xs: _*)
+    // temporal (ms-since-epoch longs)
+    case ("time_now", Seq()) => TempF.timeNow()
+    case ("time_diff", Seq(x, y)) => TempF.timeDiff(x, y)
+    case ("time_add", Seq(x, y)) => TempF.timeAdd(x, y)
+    case ("time_sub", Seq(x, y)) => TempF.timeSub(x, y)
+    case ("time_decay", Seq(t0, now, hl)) => TempF.timeDecay(t0, now, hl)
+    case ("time_decay_linear", Seq(t0, now, ma)) => TempF.timeDecayLinear(t0, now, ma)
+    case ("time_before", Seq(x, y)) => TempF.timeBefore(x, y)
+    case ("time_after", Seq(x, y)) => TempF.timeAfter(x, y)
+    case ("time_between", Seq(t0, s, e)) => TempF.timeBetween(t0, s, e)
+    case ("within_last", Seq(t0, now, w)) => TempF.withinLast(t0, now, w)
+    case ("intervals_overlap", Seq(a1, b1, a2, b2)) => TempF.intervalsOverlap(a1, b1, a2, b2)
+    case ("interval_contains", Seq(a1, b1, a2, b2)) => TempF.intervalContains(a1, b1, a2, b2)
+    case ("interval_duration", Seq(s, e)) => TempF.intervalDuration(s, e)
+    case ("point_in_interval", Seq(t0, s, e)) => TempF.pointInInterval(t0, s, e)
+    // vector
+    case ("euclidean", Seq(x, y)) => VF.euclidean(x, y)
+    case ("cosine", Seq(x, y)) => VF.cosineDistance(x, y)
+    case ("dot", Seq(x, y)) => VF.dot(x, y)
+    case ("manhattan", Seq(x, y)) => VF.manhattan(x, y)
+    case ("hamming", Seq(x, y)) => VF.hammingInt64(x, y)
+    case ("normalize", Seq(x)) => VF.normalize(x)
+    case ("vec_dim", Seq(x)) => VF.vecDim(x)
+    case ("vec_add", Seq(x, y)) => VF.vecAdd(x, y)
+    case ("vec_scale", Seq(x, s)) => VF.vecScale(x, s)
+    case ("quantize_symmetric", Seq(x)) => VF.quantizeSymmetric(x)
+    case ("dequantize_scaled", Seq(q, s)) => VF.dequantizeScaled(q, s)
+    case _ => throw new IllegalArgumentException(
+      s"unknown builtin $name/${a.size}")
+  }
+
+  /** `replace` is literal in the reference; regexp_replace is regex —
+    * quote the pattern. */
+  private def regexp_quote_lit(c: Column): Column =
+    regexp_replace(c, "([\\\\.\\[\\]{}()*+?^$|])", "\\\\$1")
+}

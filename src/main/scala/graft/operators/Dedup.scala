@@ -30,6 +30,25 @@ object Dedup {
     docs.join(reps, Seq(idCol), "left_semi")
   }
 
+  /** MinHash signatures via explode + k min-aggregates: the shingle array
+    * is computed ONCE per doc (explode), each shingle hashed k ways, and
+    * the k minima reduce map-side before the (tiny) per-id shuffle.
+    * This is both the 100 TB shape AND avoids the expression-inlining
+    * trap where an `array(k × array_min(transform(shingles…)))` tree
+    * recomputes the shingling k times per row (observed 200s at sf0.001).
+    * Docs with no shingles (shorter than shingleN) drop out — they have
+    * no content to near-match on. */
+  def minHashSignatures(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                        shingleN: Int = 5, k: Int = 64,
+                        wordShingles: Boolean = false): DataFrame = {
+    val sh = if (wordShingles) TF.wordShingles(col(textCol), shingleN)
+             else TF.charShingles(col(textCol), shingleN)
+    val shingled = docs.select(col(idCol).as("id"), explode(sh).as("sh"))
+    val aggs = (0 until k).map(i => min(xxhash64(col("sh"), lit(i))).as(s"h$i"))
+    shingled.groupBy("id").agg(aggs.head, aggs.tail: _*)
+      .select(col("id"), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
   /** MinHash + banded-LSH near-duplicate PAIRS (id_a < id_b) with their
     * estimated Jaccard, verified against `threshold`.
     *
@@ -38,22 +57,28 @@ object Dedup {
     */
   def minHashPairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                    shingleN: Int = 5, k: Int = 64, bands: Int = 16,
-                   threshold: Double = 0.5): DataFrame = {
+                   threshold: Double = 0.5,
+                   wordShingles: Boolean = false): DataFrame = {
     val rowsPerBand = k / bands
-    val sigs = docs
-      .select(col(idCol).as("id"), TF.minHashSignature(TF.charShingles(col(textCol), shingleN), k).as("sig"))
+    val sigs = minHashSignatures(docs, idCol, textCol, shingleN, k, wordShingles)
+      .localCheckpoint(true) // one signature pass feeds both join sides
+    // Bucket join carries ONLY (band, bucket, id) — signatures join back
+    // after the pair-distinct, so the Jaccard estimate is computed once
+    // per candidate pair, not once per shared bucket (up to `bands`×).
     val banded = sigs
-      .select(col("id"), col("sig"), explode(TF.minHashBands(col("sig"), bands, rowsPerBand)).as("bb"))
-      .select(col("id"), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "bucket"))
+      .select(col("id"), explode(TF.minHashBands(col("sig"), bands, rowsPerBand)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val candPairs = a.join(b, Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    candPairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         TF.minHashJaccardEstimate(col("sig_a"), col("sig_b")).as("jaccard_est"))
       .where(col("jaccard_est") >= threshold)
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(max(col("jaccard_est")).as("jaccard_est"))
   }
 
   /** MinHash dedup survivors: connected-components-lite — drop any doc that
@@ -92,10 +117,20 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                         shingleN: Int = 3, threshold: Double = 0.4,
                         k: Int = 32, bands: Int = 16): DataFrame = {
-    val cand = minHashPairs(docs, idCol, textCol, shingleN, k, bands, threshold * 0.5)
-      .select(col("id_a"), col("id_b"))
-    val sh = docs.select(col(idCol).as("id"),
-      array_distinct(TF.wordShingles(col(textCol), shingleN)).as("sh"))
+    // Candidates come from WORD-shingle MinHash — the same shingling the
+    // exact verification uses. (Char-2-grams over natural text are nearly
+    // universal — every doc contains most frequent bigrams — so char-level
+    // signatures at n=2 would make ALL pairs candidates.)
+    val cand = minHashPairs(docs, idCol, textCol, shingleN, k, bands,
+        threshold * 0.5, wordShingles = true)
+      .select(col("id_a"), col("id_b")).localCheckpoint(true)
+    // Only candidate docs pay the O(len²) word-shingling: semi-join the
+    // doc table down to ids that appear in a pair first.
+    val candIds = cand.select(col("id_a").as(idCol))
+      .union(cand.select(col("id_b").as(idCol))).distinct()
+    val sh = docs.join(candIds, Seq(idCol), "left_semi")
+      .select(col(idCol).as("id"),
+        array_distinct(TF.wordShingles(col(textCol), shingleN)).as("sh"))
     cand
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
@@ -109,14 +144,21 @@ object Dedup {
   def embeddingCosinePairs(emb: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
                            dim: Int, minCosine: Double = 0.95,
                            nTables: Int = 4, nPlanes: Int = 12): DataFrame = {
-    val bucketed = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+    // Bucket join carries only ids; vectors join back after pair-distinct
+    // so each candidate pair computes cosine exactly once and the bucket
+    // shuffle payload is (table, bucket, id), not the embeddings.
+    val bucketed = emb.select(col(idCol).as("id"),
       explode(LF.lshMultiProbe(col(vecCol), dim, nTables, nPlanes)).as("tb"))
-      .select(col("id"), col("v"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
-    val a = bucketed.select(col("table"), col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = bucketed.select(col("table"), col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("table", "bucket"))
+      .select(col("id"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+    val a = bucketed.select(col("table"), col("bucket"), col("id").as("id_a"))
+    val b = bucketed.select(col("table"), col("bucket"), col("id").as("id_b"))
+    val candPairs = a.join(b, Seq("table", "bucket"))
       .where(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b")).agg(first(col("v_a")).as("v_a"), first(col("v_b")).as("v_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val vs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    candPairs
+      .join(vs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(vs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), VF.cosineSimilarity(col("v_a"), col("v_b")).as("cosine"))
       .where(col("cosine") >= minCosine)
   }

@@ -1,8 +1,7 @@
 package graft.plans
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Semi-naive fixpoint evaluation — the Spark realization of the
   * reference's recursive Datalog strata (reference: semi-naive DD loop
@@ -10,38 +9,54 @@ import org.apache.spark.storage.StorageLevel
   * path `:424-1002`).
   *
   * Spark has no recursive operator, so recursion is a driver loop over
-  * DataFrames. The loop is engineered for scale:
+  * DataFrames, engineered for both per-iteration latency (small graphs)
+  * and scale (big ones):
   *  - SEMI-NAIVE: each iteration joins only the delta (new tuples) against
   *    the static relations — never the full accumulator.
-  *  - LINEAGE CUT: `localCheckpoint(eager)` per iteration; otherwise the
-  *    plan tree grows linearly with graph diameter and planning cost
-  *    explodes (the classic iterative-Spark failure mode).
-  *  - ONE JOB per iteration: delta count is piggybacked on the checkpoint.
-  *  - The accumulator is unioned ONCE per iteration and checkpointed, so
-  *    the `except` (anti-join) sees a flat two-table plan, not a
-  *    union-of-N; AQE picks broadcast for small deltas at runtime.
+  *  - LINEAGE CUT: eager `localCheckpoint` per iteration; otherwise the
+  *    plan tree grows with graph diameter and planning cost explodes.
+  *  - STAT-DRIVEN BROADCASTS: checkpointed RDDs carry no Catalyst stats,
+  *    so the planner would shuffle-join every iteration. The loop tracks
+  *    exact row counts driver-side (free — the RDD is already cached) and
+  *    injects `broadcast()` hints when a side is small, making a whole
+  *    iteration shuffle-free on small/medium frontiers while degrading
+  *    gracefully to shuffle joins at scale.
+  *  - RIGHT-SIZED SHUFFLES: shuffle partitions are scaled to the delta
+  *    size each iteration (1 partition for a 100-row frontier, the session
+  *    default for a 100M-row one) — the AQE-coalesce benefit without
+  *    AQE's per-stage re-planning latency inside the loop.
   */
 object Fixpoint {
 
-  /** Materialize + plan-identity barrier: eager localCheckpoint cuts the
-    * lineage (iterative-plan growth), and rebuilding from the RDD gives
-    * the result fresh exprIds/dataset identity so iteration-over-the-same
-    * -relation self-joins never trip Spark's ambiguity detection. */
-  private def materialize(df: DataFrame): DataFrame = {
+  /** Rows below which a loop-side relation is broadcast. ~1M rows of
+    * (long, long) ≈ 16 MB — inside Spark's executor broadcast comfort. */
+  val BroadcastRows: Long = 1000000L
+
+  /** A materialized loop relation: plan-identity-barriered frame + its
+    * exact row count. The barrier (rebuild from the checkpointed RDD)
+    * gives fresh exprIds so iteration-over-the-same-relation self-joins
+    * never trip Spark's ambiguous-column detection. */
+  final case class Mat(df: DataFrame, count: Long)
+
+  def materialize(df: DataFrame): Mat = {
     val ck = df.localCheckpoint(true)
-    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+    val rdd = ck.rdd
+    Mat(ck.sparkSession.createDataFrame(rdd, ck.schema), rdd.count())
   }
+
+  private def maybeBroadcast(m: Mat): DataFrame =
+    if (m.count <= BroadcastRows) broadcast(m.df) else m.df
 
   /** Transitive closure of an edge relation with columns (src, dst).
     * `reach(x,y) <- edge(x,y); reach(x,z) <- reach(x,y), edge(y,z)`.
     * Right-linear: delta ⋈ edges each iteration; edges are the static
-    * side (broadcast when small, shuffle-hash otherwise via AQE). */
+    * side (broadcast when small, shuffle otherwise). */
   def transitiveClosure(edges: DataFrame, maxIter: Int = 0): DataFrame = {
     val e = materialize(edges.toDF("src", "dst").distinct())
-    iterateKeyed(e, delta => {
+    iterateKeyed(e.df, delta => {
       val d = delta.toDF("p_src", "p_dst")
-      d.join(e, d("p_dst") === e("src"))
-        .select(d("p_src").as("src"), e("dst").as("dst"))
+      d.join(maybeBroadcast(e), d("p_dst") === e.df("src"))
+        .select(d("p_src").as("src"), e.df("dst").as("dst"))
     }, maxIter)
   }
 
@@ -53,53 +68,98 @@ object Fixpoint {
   def boundReachability(edges: DataFrame, seeds: DataFrame, maxIter: Int = 0): DataFrame = {
     val e = materialize(edges.toDF("src", "dst").distinct())
     val s = seeds.toDF("src").distinct()
-    val base = s.join(e, "src").select(col("src"), col("dst"))
+    val base = s.join(maybeBroadcast(e), "src").select(col("src"), col("dst"))
     iterateKeyed(base, delta => {
       val d = delta.toDF("p_src", "p_dst")
-      d.join(e, d("p_dst") === e("src"))
-        .select(d("p_src").as("src"), e("dst").as("dst"))
+      d.join(maybeBroadcast(e), d("p_dst") === e.df("src"))
+        .select(d("p_src").as("src"), e.df("dst").as("dst"))
     }, maxIter)
   }
 
   /** Connected components over an undirected edge list: returns
-    * (id, component) with component = min reachable id. Large-star /
-    * small-star style alternation collapsed to min-propagation. */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 0): DataFrame = {
-    val sym = edges.toDF("a", "b")
-    val und = sym.union(sym.select(col("b"), col("a"))).distinct()
-    var labels = materialize(und.select(col("a").as("id")).distinct()
-      .withColumn("comp", col("id")))
-    var changed = true
-    var i = 0
-    while (changed && (maxIter <= 0 || i < maxIter)) {
-      i += 1
-      val prop = und.join(labels, und("b") === labels("id"))
-        .select(und("a").as("id"), col("comp"))
-      val next = materialize(labels.select(col("id"), col("comp")).union(prop)
-        .groupBy("id").agg(min("comp").as("comp")))
-      changed = !next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
-        .where(col("n.comp") =!= col("o.comp")).isEmpty
-      labels = next
+    * (id, comp) with comp = min reachable id (min-label propagation). */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 0): DataFrame =
+    withLoopConf(edges.sparkSession) {
+      val sym = edges.toDF("a", "b")
+      val und = materialize(sym.union(sym.select(col("b"), col("a"))).distinct())
+      // Labels only ever decrease; convergence iff the (overflow-safe
+      // decimal) sum of labels is unchanged — one cheap scan of the
+      // cached RDD per iteration instead of a self-join.
+      def labelSum(df: DataFrame): java.math.BigDecimal =
+        df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
+      var labels = materialize(und.df.select(col("a").as("id")).distinct()
+        .withColumn("comp", col("id")))
+      var prevSum = labelSum(labels.df)
+      var changed = true
+      var i = 0
+      while (changed && (maxIter <= 0 || i < maxIter)) {
+        i += 1
+        sizeShuffle(edges.sparkSession, labels.count + und.count)
+        val prop = maybeBroadcast(und).join(labels.df, und.df("b") === labels.df("id"))
+          .select(und.df("a").as("id"), col("comp"))
+        val next = materialize(labels.df.select(col("id"), col("comp")).union(prop)
+          .groupBy("id").agg(min("comp").as("comp")))
+        val nextSum = labelSum(next.df)
+        changed = nextSum.compareTo(prevSum) != 0
+        prevSum = nextSum
+        labels = next
+      }
+      labels.df
     }
-    labels
-  }
 
   /** Core semi-naive loop for relations with plain equality-comparable
     * columns. `step` sees only the last delta. */
-  def iterateKeyed(base: DataFrame, step: DataFrame => DataFrame, maxIter: Int = 0): DataFrame = {
-    val cols = base.columns.toSeq
-    var acc = materialize(base.distinct())
-    var delta = acc
-    var i = 0
-    while (!delta.isEmpty && (maxIter <= 0 || i < maxIter)) {
-      i += 1
-      val candidates = step(delta).toDF(cols: _*).distinct()
-      val next = materialize(candidates.join(acc, cols, "left_anti"))
-      if (!next.isEmpty) {
-        acc = materialize(acc.union(next))
+  def iterateKeyed(base: DataFrame, step: DataFrame => DataFrame, maxIter: Int = 0): DataFrame =
+    withLoopConf(base.sparkSession) {
+      val spark = base.sparkSession
+      val cols = base.columns.toSeq
+      var delta = materialize(base.distinct())
+      // acc = lazy union of materialized deltas: the anti-join still scans
+      // all prior deltas (that IS semi-naive's dedup), but we never pay an
+      // O(|acc|) copy job per iteration. Compacted every few iterations so
+      // deep recursions don't accumulate O(depth) scan stages.
+      var deltas = List(delta)
+      def accDf: DataFrame = deltas.map(_.df).reduce(_ union _)
+      def accCount: Long = deltas.map(_.count).sum
+      var i = 0
+      while (delta.count > 0 && (maxIter <= 0 || i < maxIter)) {
+        i += 1
+        if (deltas.size >= 6) deltas = List(materialize(accDf))
+        sizeShuffle(spark, delta.count)
+        val candidates = step(delta.df).toDF(cols: _*).distinct()
+        val acc = if (accCount <= BroadcastRows) broadcast(accDf) else accDf
+        val next = materialize(candidates.join(acc, cols, "left_anti"))
+        if (next.count > 0) deltas = deltas :+ next
+        delta = next
       }
-      delta = next
+      accDf
     }
-    acc
+
+  /** Scale shuffle partitions to the frontier size: tiny iterations get 1
+    * partition (one task per stage), large ones keep the session default. */
+  private def sizeShuffle(spark: SparkSession, rows: Long): Unit = {
+    val sessionDefault = spark.conf.get("spark.sql.shuffle.partitions.loopDefault",
+      spark.conf.get("spark.sql.shuffle.partitions", "32")).toInt
+    val p = math.max(1L, math.min(sessionDefault.toLong, rows / 50000L)).toInt
+    spark.conf.set("spark.sql.shuffle.partitions.loopDefault", sessionDefault.toString)
+    spark.conf.set("spark.sql.shuffle.partitions", p.toString)
+  }
+
+  /** Runs `body` with AQE disabled and shuffle partitions restored after:
+    * inside a fixpoint loop every job is a small known-shape plan whose
+    * sizes WE know exactly (driver-side counts); AQE's per-stage
+    * re-planning only adds latency (the reference pays none of this — its
+    * loop is one dataflow, `src/code_generator/mod.rs:314-423`). */
+  private def withLoopConf[T](spark: SparkSession)(body: => T): T = {
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val shufKey = "spark.sql.shuffle.partitions"
+    val prevAqe = spark.conf.get(aqeKey, "true")
+    val prevShuf = spark.conf.get(shufKey, "32")
+    spark.conf.set(aqeKey, "false")
+    try body finally {
+      spark.conf.set(aqeKey, prevAqe)
+      spark.conf.set(shufKey, prevShuf)
+      spark.conf.unset("spark.sql.shuffle.partitions.loopDefault")
+    }
   }
 }

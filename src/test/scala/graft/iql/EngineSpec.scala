@@ -1,0 +1,177 @@
+package graft.iql
+
+import graft.SparkSpec
+
+/** End-to-end IQL programs — mirrors the reference's snapshot-test
+  * categories (`examples/iql/`): joins, filters, negation, recursion,
+  * aggregation, arithmetic, strings (reference `TESTING.md:33-37`). */
+class EngineSpec extends SparkSpec {
+
+  private def engine = new Engine(new Catalog(spark))
+
+  private def query(src: String): Set[Seq[Any]] = rows(engine.run(src).last)
+
+  test("insert facts and query with constant filter") {
+    assert(query(
+      """+edge(1, 2)
+        |+edge[(2,3),(1,4)]
+        |?edge(1, Y)
+        |""".stripMargin) == Set(Seq(1L, 2L), Seq(1L, 4L)))
+  }
+
+  test("join via shared variables") {
+    assert(query(
+      """+parent[("alice","bob"),("bob","carol")]
+        |gp(X, Z) <- parent(X, Y), parent(Y, Z)
+        |?gp(X, Z)
+        |""".stripMargin) == Set(Seq("alice", "carol")))
+  }
+
+  test("stratified negation") {
+    assert(query(
+      """+person[("a"),("b"),("c")]
+        |+banned[("b")]
+        |ok(X) <- person(X), !banned(X)
+        |?ok(X)
+        |""".stripMargin) == Set(Seq("a"), Seq("c")))
+  }
+
+  test("comparisons and computed bindings") {
+    assert(query(
+      """+n[(1),(2),(3),(4)]
+        |d(X, Y) <- n(X), X < 3, Y = X * 10 + 1
+        |?d(X, Y)
+        |""".stripMargin) == Set(Seq(1L, 11L), Seq(2L, 21L)))
+  }
+
+  test("aggregation with grouping") {
+    assert(query(
+      """+emp[("eng", 10), ("eng", 20), ("ops", 5)]
+        |tot(D, sum<S>) <- emp(D, S)
+        |?tot(D, S)
+        |""".stripMargin) == Set(Seq("eng", 30L), Seq("ops", 5L)))
+  }
+
+  test("global aggregate and count/avg/min/max") {
+    assert(query(
+      """+v[(1),(2),(3),(4)]
+        |s(count<X>, sum<X>, min<X>, max<X>, avg<X>) <- v(X)
+        |?s(C, S, Mn, Mx, A)
+        |""".stripMargin) == Set(Seq(4L, 10L, 1L, 4L, 2.5)))
+  }
+
+  test("recursion: transitive closure") {
+    assert(query(
+      """+edge[(1,2),(2,3),(3,4)]
+        |reach(X, Y) <- edge(X, Y)
+        |reach(X, Z) <- reach(X, Y), edge(Y, Z)
+        |?reach(1, Y)
+        |""".stripMargin) == Set(Seq(1L, 2L), Seq(1L, 3L), Seq(1L, 4L)))
+  }
+
+  test("recursion with cycle terminates") {
+    assert(query(
+      """+edge[(1,2),(2,3),(3,1)]
+        |reach(X, Y) <- edge(X, Y)
+        |reach(X, Z) <- reach(X, Y), edge(Y, Z)
+        |?reach(1, Y)
+        |""".stripMargin) == Set(Seq(1L, 1L), Seq(1L, 2L), Seq(1L, 3L)))
+  }
+
+  test("mutual recursion (even/odd chain)") {
+    // even(X): reachable from 0 in an even number of steps
+    assert(query(
+      """+succ[(0,1),(1,2),(2,3),(3,4)]
+        |even(0) <- succ(0, _)
+        |odd(Y) <- even(X), succ(X, Y)
+        |even(Y) <- odd(X), succ(X, Y)
+        |?even(X)
+        |""".stripMargin) == Set(Seq(0L), Seq(2L), Seq(4L)))
+  }
+
+  test("aggregation over recursive result") {
+    assert(query(
+      """+edge[(1,2),(2,3),(3,4)]
+        |reach(X, Y) <- edge(X, Y)
+        |reach(X, Z) <- reach(X, Y), edge(Y, Z)
+        |cnt(X, count<Y>) <- reach(X, Y)
+        |?cnt(X, C)
+        |""".stripMargin) == Set(Seq(1L, 3L), Seq(2L, 2L), Seq(3L, 1L)))
+  }
+
+  test("unstratifiable negation is rejected") {
+    assertThrows[IllegalArgumentException](query(
+      """+p[(1)]
+        |a(X) <- p(X), !b(X)
+        |b(X) <- p(X), !a(X)
+        |?a(X)
+        |""".stripMargin))
+  }
+
+  test("string and math builtins in rules") {
+    assert(query(
+      """+w[("hello"),("spark")]
+        |u(X, Y, L) <- w(X), Y = upper(X), L = len(X) + 1
+        |?u(X, Y, L)
+        |""".stripMargin) == Set(Seq("hello", "HELLO", 6L), Seq("spark", "SPARK", 6L)))
+  }
+
+  test("integer division truncates; float division doesn't") {
+    assert(query(
+      """+n[(7)]
+        |d(A, B) <- n(X), A = X / 2, B = to_float(X) / 2
+        |?d(A, B)
+        |""".stripMargin) == Set(Seq(3L, 3.5)))
+  }
+
+  test("conditional delete") {
+    assert(query(
+      """+n[(1),(2),(3),(4)]
+        |-n(X) <- n(X), X > 2
+        |?n(X)
+        |""".stripMargin) == Set(Seq(1L), Seq(2L)))
+  }
+
+  test("delete fact and drop relation") {
+    val e = engine
+    e.run("+a[(1),(2)]\n-a(1)")
+    assert(rows(e.run("?a(X)").last) == Set(Seq(2L)))
+    e.run("-a")
+    assertThrows[IllegalArgumentException](e.run("?a(X)"))
+  }
+
+  test("bound recursive query uses demand restriction and matches") {
+    // correctness of the demanded result equals post-filtering full TC
+    val src =
+      """+edge[(1,2),(2,3),(3,4),(10,11),(11,12)]
+        |reach(X, Y) <- edge(X, Y)
+        |reach(X, Z) <- reach(X, Y), edge(Y, Z)
+        |""".stripMargin
+    assert(query(src + "?reach(10, Y)") == Set(Seq(10L, 11L), Seq(10L, 12L)))
+  }
+
+  test("query over registered external DataFrame") {
+    import spark.implicits._
+    val cat = new Catalog(spark)
+    cat.register("nums", Seq((1L, "one"), (2L, "two")).toDF("n", "name"))
+    val e = new Engine(cat)
+    assert(rows(e.run("?nums(N, S), N > 1").last) == Set(Seq(2L, "two")))
+  }
+
+  test("repeated variable in atom forces equality") {
+    assert(query(
+      """+p[(1,1),(1,2),(3,3)]
+        |eq(X) <- p(X, X)
+        |?eq(X)
+        |""".stripMargin) == Set(Seq(1L), Seq(3L)))
+  }
+
+  test("cartesian product when no shared vars") {
+    assert(query(
+      """+a[(1),(2)]
+        |+b[(10)]
+        |c(X, Y) <- a(X), b(Y)
+        |?c(X, Y)
+        |""".stripMargin) == Set(Seq(1L, 10L), Seq(2L, 10L)))
+  }
+}
