@@ -26,18 +26,22 @@ object TextFunctions {
   def regexTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
 
+  /** 1..count as an array; empty when count < 1 (Spark's `sequence(1, 0)`
+    * yields a DESCENDING [1,0], not an empty array). */
+  private def seq1(count: Column): Column =
+    when(count < 1, array().cast("array<int>"))
+      .otherwise(sequence(lit(1), count))
+
   /** Character n-gram shingles of the whitespace-normalized text. */
   def charShingles(text: Column, n: Int): Column = {
     val norm = lower(regexp_replace(trim(text), "\\s+", " "))
-    val count = greatest(lit(0), length(norm) - lit(n - 1))
-    transform(sequence(lit(1), count), i => norm.substr(i, lit(n)))
+    transform(seq1(length(norm) - lit(n - 1)), i => norm.substr(i, lit(n)))
   }
 
   /** Word n-gram shingles (arrays of n consecutive tokens joined by space). */
   def wordShingles(text: Column, n: Int): Column = {
     val ts = tokens(text)
-    val count = greatest(lit(0), size(ts) - lit(n - 1))
-    transform(sequence(lit(1), count),
+    transform(seq1(size(ts) - lit(n - 1)),
       i => array_join(slice(ts, i, lit(n)), " "))
   }
 

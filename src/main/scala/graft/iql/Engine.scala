@@ -163,8 +163,67 @@ final class Engine(val catalog: Catalog) {
       try {
         if (!isRecursive) scc.foreach { rel =>
           memo(rel) = oneShot(rel, byHead.getOrElse(rel, Seq.empty))
-        } else evalRecursiveScc(scc, sccRules)
+        } else tcFastPath(scc, sccRules) match {
+          case Some((rel, df)) => memo(rel) = df
+          case None => evalRecursiveScc(scc, sccRules)
+        }
       } finally scc.foreach(inProgress -= _)
+    }
+
+    /** Specialized transitive-closure fast path (reference
+      * `src/code_generator/mod.rs:424-1002`): detects
+      *   r(X,Y) <- e(X,Y);  r(X,Z) <- r(X,Y), e(Y,Z)   (or left-linear)
+      * over a non-recursive edge relation and routes to [[Fixpoint]]'s
+      * dedicated closure (driver-local BFS for small graphs, distributed
+      * semi-naive loop at scale). A position-0 demand constant becomes a
+      * seeded [[Fixpoint.boundReachability]] — the bound-TC fast path. */
+    private def tcFastPath(scc: Set[String], sccRules: Seq[Rule]): Option[(String, DataFrame)] = {
+      if (scc.size != 1) return None
+      val rel = scc.head
+      if (catalog.relation(rel).isDefined) return None // EDB facts mixed in
+      val rs = sccRules
+      if (rs.size != 2) return None
+      val (recRules, baseRules) = rs.partition(_.body.exists {
+        case Pos(a) => a.rel == rel
+        case _ => false
+      })
+      (baseRules, recRules) match {
+        case (Seq(Rule(Atom(_, Seq(bx: Var, by: Var)), Seq(Pos(Atom(e1, Seq(ex: Var, ey: Var)))), _)),
+              Seq(Rule(Atom(_, Seq(hx: Var, hz: Var)), body, _)))
+          if bx == ex && by == ey && bx != by =>
+          val rightLinear = body match {
+            case Seq(Pos(Atom(`rel`, Seq(rx: Var, ry: Var))), Pos(Atom(`e1`, Seq(sx: Var, sz: Var))))
+              if rx == hx && ry == sx && sz == hz && Set(rx, ry, sz).size == 3 => true
+            case Seq(Pos(Atom(`e1`, Seq(sx: Var, sy: Var))), Pos(Atom(`rel`, Seq(rx: Var, rz: Var))))
+              if sx == hx && sy == rx && rz == hz && Set(sx, sy, rz).size == 3 => true
+            case _ => false
+          }
+          if (!rightLinear) return None
+          val e = resolve(e1)
+          if (e.columns.length != 2) return None
+          val closed = demand.get(rel) match {
+            case Some((0, v)) =>
+              val seedSchema = org.apache.spark.sql.types.StructType(
+                Seq(e.schema.fields(0).copy(name = "src")))
+              val seedVal = coerce(v, e.schema.fields(0).dataType)
+              val seeds = catalog.spark.createDataFrame(
+                java.util.Arrays.asList(org.apache.spark.sql.Row(seedVal)), seedSchema)
+              Fixpoint.boundReachability(e, seeds)
+            case _ => Fixpoint.transitiveClosure(e)
+          }
+          Some(rel -> closed.toDF("c0", "c1"))
+        case _ => None
+      }
+    }
+
+    private def coerce(v: Any, dt: org.apache.spark.sql.types.DataType): Any = {
+      import org.apache.spark.sql.types._
+      (v, dt) match {
+        case (x: Long, IntegerType) => x.toInt
+        case (x: Long, DoubleType) => x.toDouble
+        case (x: Int, LongType) => x.toLong
+        case _ => v
+      }
     }
 
     /** Union of a relation's rule derivations (set semantics — reference

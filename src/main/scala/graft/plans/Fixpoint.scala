@@ -32,6 +32,18 @@ object Fixpoint {
     * (long, long) ≈ 16 MB — inside Spark's executor broadcast comfort. */
   val BroadcastRows: Long = 1000000L
 
+  /** Input-size ceiling for the driver-local fast path. A fixpoint on a
+    * small graph costs 2-4 Spark jobs PER ITERATION (~0.5-1s each on a
+    * warm local cluster) — three orders of magnitude more than just
+    * computing the closure in-process, which is what the reference does
+    * for every size (`src/code_generator/mod.rs:684-1002`). Below this
+    * row count we collect, solve with a HashMap BFS/union-find, and
+    * parallelize the result back; above it the distributed semi-naive
+    * loop runs. Correctness is identical; both paths are tested. */
+  val LocalEdgeRows: Long = 200000L
+  /** Node ceiling for local FULL transitive closure (output is O(V²)). */
+  val LocalTcNodes: Long = 4000L
+
   /** A materialized loop relation: plan-identity-barriered frame + its
     * exact row count. The barrier (rebuild from the checkpointed RDD)
     * gives fresh exprIds so iteration-over-the-same-relation self-joins
@@ -53,6 +65,11 @@ object Fixpoint {
     * side (broadcast when small, shuffle otherwise). */
   def transitiveClosure(edges: DataFrame, maxIter: Int = 0): DataFrame = {
     val e = materialize(edges.toDF("src", "dst").distinct())
+    if (maxIter <= 0 && e.count <= LocalEdgeRows) {
+      val pairs = e.df.collect().map(r => (r.get(0), r.get(1)))
+      val nodes = pairs.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
+      if (nodes.size <= LocalTcNodes) return localClosure(e, pairs, nodes.toSeq)
+    }
     iterateKeyed(e.df, delta => {
       val d = delta.toDF("p_src", "p_dst")
       d.join(maybeBroadcast(e), d("p_dst") === e.df("src"))
@@ -68,6 +85,9 @@ object Fixpoint {
   def boundReachability(edges: DataFrame, seeds: DataFrame, maxIter: Int = 0): DataFrame = {
     val e = materialize(edges.toDF("src", "dst").distinct())
     val s = seeds.toDF("src").distinct()
+    if (maxIter <= 0 && e.count <= LocalEdgeRows)
+      return localClosure(e, e.df.collect().map(r => (r.get(0), r.get(1))),
+        s.collect().map(_.get(0)).toSeq)
     val base = s.join(maybeBroadcast(e), "src").select(col("src"), col("dst"))
     iterateKeyed(base, delta => {
       val d = delta.toDF("p_src", "p_dst")
@@ -76,12 +96,33 @@ object Fixpoint {
     }, maxIter)
   }
 
+  /** Driver-local reachability: BFS from each source over a HashMap
+    * adjacency list; result parallelized back with the edge schema. */
+  private def localClosure(e: Mat, pairs: Array[(Any, Any)], sources: Seq[Any]): DataFrame = {
+    val adj = pairs.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+    val out = Seq.newBuilder[org.apache.spark.sql.Row]
+    sources.foreach { src =>
+      val seen = scala.collection.mutable.HashSet.empty[Any]
+      val queue = scala.collection.mutable.ArrayDeque[Any](src)
+      while (queue.nonEmpty) {
+        val n = queue.removeHead()
+        adj.getOrElse(n, Array.empty[Any]).foreach { m =>
+          if (seen.add(m)) queue.append(m)
+        }
+      }
+      seen.foreach(m => out += org.apache.spark.sql.Row(src, m))
+    }
+    e.df.sparkSession.createDataFrame(
+      e.df.sparkSession.sparkContext.parallelize(out.result(), 4), e.df.schema)
+  }
+
   /** Connected components over an undirected edge list: returns
     * (id, comp) with comp = min reachable id (min-label propagation). */
   def connectedComponents(edges: DataFrame, maxIter: Int = 0): DataFrame =
     withLoopConf(edges.sparkSession) {
       val sym = edges.toDF("a", "b")
       val und = materialize(sym.union(sym.select(col("b"), col("a"))).distinct())
+      if (maxIter <= 0 && und.count <= LocalEdgeRows) return localComponents(und)
       // Labels only ever decrease; convergence iff the (overflow-safe
       // decimal) sum of labels is unchanged — one cheap scan of the
       // cached RDD per iteration instead of a self-join.
@@ -106,6 +147,43 @@ object Fixpoint {
       }
       labels.df
     }
+
+  /** Driver-local connected components: union-find over collected edges,
+    * component label = min member id (matches the distributed variant). */
+  private def localComponents(und: Mat): DataFrame = {
+    val pairs = und.df.collect().map(r => (r.get(0), r.get(1)))
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra) = rb
+    }
+    val ord = new Ordering[Any] {
+      def compare(x: Any, y: Any): Int = (x, y) match {
+        case (a: Long, b: Long) => java.lang.Long.compare(a, b)
+        case (a: Int, b: Int) => Integer.compare(a, b)
+        case (a: Number, b: Number) => java.lang.Double.compare(a.doubleValue, b.doubleValue)
+        case (a, b) => a.toString.compareTo(b.toString)
+      }
+    }
+    val byRoot = parent.keys.toSeq.groupBy(find)
+    val rows = byRoot.values.flatMap { members =>
+      val comp = members.min(ord)
+      members.map(m => org.apache.spark.sql.Row(m, comp))
+    }.toSeq
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      und.df.schema.fields(0).copy(name = "id"),
+      und.df.schema.fields(0).copy(name = "comp")))
+    und.df.sparkSession.createDataFrame(
+      und.df.sparkSession.sparkContext.parallelize(rows, 4), schema)
+  }
 
   /** Core semi-naive loop for relations with plain equality-comparable
     * columns. `step` sees only the last delta. */

@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat again and again"), // near dup of 1
+    (4L, "completely different content about distributed query engines"),
+    (5L, "")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val r = Dedup.exact(docs).collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("dup_count"))).toSet
+    assert(r.contains((1L, 2L)))   // 1 and 2 merged, representative 1
+    assert(r.count(_._2 == 1L) == 3)
+    val survivors = rows(Dedup.exactSurvivors(docs).select($"doc_id"))
+    assert(survivors == Set(Seq(1L), Seq(3L), Seq(4L), Seq(5L)))
+  }
+
+  test("minhash finds exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.minHashPairs(docs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))  // identical → est 1.0
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // near dup
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash hamming distance separates near-dups from unrelated") {
+    val pairs = Dedup.simHashPairs(docs, maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("ngram jaccard verifies candidates exactly") {
+    val pairs = Dedup.ngramJaccardPairs(docs, shingleN = 2, threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.get((1L, 2L)).contains(1.0)) // identical word bigram sets
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("embedding cosine pairs finds the planted near-duplicate") {
+    val base = Array.tabulate(16)(i => math.sin(i * 1.7).toFloat)
+    val nearDup = base.clone(); nearDup(0) = nearDup(0) + 0.01f
+    val other = Array.tabulate(16)(i => math.cos(i * 3.1 + 1).toFloat)
+    val emb = Seq((1L, base.toSeq), (2L, nearDup.toSeq), (3L, other.toSeq))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingCosinePairs(emb, dim = 16, minCosine = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("minhash survivors drop near-dups with larger ids") {
+    val s = rows(Dedup.minHashSurvivors(docs, threshold = 0.9).select($"doc_id"))
+    assert(s.contains(Seq(1L)) && !s.contains(Seq(2L)))
+  }
+}

@@ -1,0 +1,58 @@
+package graft.plans
+
+import graft.SparkSpec
+
+/** Both fixpoint paths: the driver-local fast path (default for small
+  * inputs) and the distributed semi-naive loop (forced via maxIter > 0,
+  * which bypasses the local path). */
+class FixpointSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+  private def cyclic = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+
+  private val chainTC = Set[Seq[Any]](
+    Seq(1L, 2L), Seq(1L, 3L), Seq(1L, 4L),
+    Seq(2L, 3L), Seq(2L, 4L), Seq(3L, 4L))
+
+  test("transitive closure — local path") {
+    assert(rows(Fixpoint.transitiveClosure(chain)) == chainTC)
+  }
+
+  test("transitive closure — distributed path") {
+    assert(rows(Fixpoint.transitiveClosure(chain, maxIter = 50)) == chainTC)
+  }
+
+  test("closure with cycle terminates on both paths") {
+    val exp = Set[Seq[Any]](
+      Seq(1L, 1L), Seq(1L, 2L), Seq(1L, 3L),
+      Seq(2L, 1L), Seq(2L, 2L), Seq(2L, 3L),
+      Seq(3L, 1L), Seq(3L, 2L), Seq(3L, 3L))
+    assert(rows(Fixpoint.transitiveClosure(cyclic)) == exp)
+    assert(rows(Fixpoint.transitiveClosure(cyclic, maxIter = 50)) == exp)
+  }
+
+  test("bound reachability — both paths agree") {
+    val seeds = Seq(1L).toDF("src")
+    val exp = Set[Seq[Any]](Seq(1L, 2L), Seq(1L, 3L), Seq(1L, 4L))
+    assert(rows(Fixpoint.boundReachability(chain, seeds)) == exp)
+    assert(rows(Fixpoint.boundReachability(chain, seeds, maxIter = 50)) == exp)
+  }
+
+  test("connected components — both paths agree") {
+    val e = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val exp = Set[Seq[Any]](
+      Seq(1L, 1L), Seq(2L, 1L), Seq(3L, 1L), Seq(10L, 10L), Seq(11L, 10L))
+    assert(rows(Fixpoint.connectedComponents(e)) == exp)
+    assert(rows(Fixpoint.connectedComponents(e, maxIter = 50)) == exp)
+  }
+
+  test("larger random graph: local and distributed closures agree") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(120)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(p => p._1 != p._2).distinct
+    val df = edges.toDF("src", "dst")
+    assert(rows(Fixpoint.transitiveClosure(df)) ==
+      rows(Fixpoint.transitiveClosure(df, maxIter = 100)))
+  }
+}
