@@ -395,6 +395,18 @@ object SparkEntry {
           |""".stripMargin).last
     }),
 
+    // --- HNSW index probe (driver-held graph, reference hnsw_index.rs;
+    //     rows-only — recall asserted in HnswSpec) -------------------------
+    "q51_hnsw_topk" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0).toArray
+      val cat = new graft.iql.Catalog(s)
+      cat.register("embeddings", emb)
+      cat.createIndex("embeddings", "vec_id", "embedding")
+      cat.hnswSearch("embeddings", "embedding", q, 10, efSearch = 128)
+    }),
+
     // --- IQL: computed bindings + string/math builtins ---------------------
     "q50_iql_compute" -> ((s, dir) => {
       val e = iqlEngine(s, dir, "part")

@@ -1,0 +1,195 @@
+package graft.index
+
+import scala.collection.mutable
+
+/** Hierarchical Navigable Small World index over float vectors —
+  * independent implementation of the algorithm (Malkov & Yashunin 2016)
+  * matching the reference's feature surface (`src/hnsw_index.rs`:
+  * metric/m/ef_construction/ef_search options, driver-held index,
+  * serialized beside the data).
+  *
+  * Like the reference, the graph lives in one process (the driver): HNSW
+  * is a pointer-chasing structure, the wrong shape to distribute. It
+  * serves low-latency point probes over up to ~10M vectors; beyond that
+  * the engine's distributed IVF/LSH paths (graft.operators.Similarity)
+  * are the 100 TB answer, and a probe can seed a distributed refinement.
+  *
+  * Determinism: level assignment hashes the insertion id (no RNG state),
+  * so rebuilding from the same data yields the same graph everywhere.
+  */
+final class Hnsw(val dim: Int, val metric: String = "cosine",
+                 val m: Int = 16, val efConstruction: Int = 200)
+  extends Serializable {
+
+  require(metric == "cosine" || metric == "euclidean" || metric == "dot",
+    s"unknown metric $metric")
+
+  private val mMax0 = 2 * m
+  private val levelMult = 1.0 / math.log(m.toDouble)
+
+  // node storage: ids, vectors, per-level adjacency
+  private val ids = mutable.ArrayBuffer.empty[Long]
+  private val vecs = mutable.ArrayBuffer.empty[Array[Float]]
+  private val levels = mutable.ArrayBuffer.empty[Int]
+  /** neighbors(node)(level) = ArrayBuffer[nodeIdx] */
+  private val neighbors = mutable.ArrayBuffer.empty[Array[mutable.ArrayBuffer[Int]]]
+  private var entryPoint: Int = -1
+  private var maxLevel: Int = -1
+  private val deleted = mutable.HashSet.empty[Int]
+
+  def size: Int = ids.length - deleted.size
+
+  /** Distance (lower = closer) under the configured metric. */
+  def distance(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var l2 = 0.0
+    var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      val d = x - y; l2 += d * d
+      i += 1
+    }
+    metric match {
+      case "euclidean" => math.sqrt(l2)
+      case "dot" => -dot
+      case _ =>
+        val den = math.sqrt(na) * math.sqrt(nb)
+        if (den == 0.0) 1.0 else 1.0 - dot / den
+    }
+  }
+
+  /** Deterministic level from the id (reference rebuilds reproduce the
+    * same index; we get that by hashing instead of RNG). */
+  private def levelFor(id: Long): Int = {
+    var h = id * -7046029254386353131L + 0x9E3779B97F4A7C15L
+    h ^= h >>> 33; h *= -49064778989728563L; h ^= h >>> 33
+    val u = ((h >>> 11).toDouble / (1L << 53).toDouble) max 1e-12
+    (-math.log(u) * levelMult).toInt
+  }
+
+  def insert(id: Long, v: Array[Float]): Unit = synchronized {
+    require(v.length == dim, s"vector dim ${v.length} != index dim $dim")
+    val idx = ids.length
+    val lvl = levelFor(id)
+    ids += id; vecs += v; levels += lvl
+    neighbors += Array.fill(lvl + 1)(mutable.ArrayBuffer.empty[Int])
+    if (entryPoint < 0) { entryPoint = idx; maxLevel = lvl; return }
+
+    var ep = entryPoint
+    // greedy descent through layers above the new node's level
+    var l = maxLevel
+    while (l > lvl) { ep = greedyClosest(v, ep, l); l -= 1 }
+    // insert at each level from min(lvl, maxLevel) down to 0
+    l = math.min(lvl, maxLevel)
+    while (l >= 0) {
+      val cands = searchLayer(v, ep, efConstruction, l)
+      val mAtL = if (l == 0) mMax0 else m
+      val selected = cands.take(mAtL)
+      selected.foreach { case (_, c) =>
+        neighbors(idx)(l) += c
+        neighbors(c)(l) += idx
+        if (neighbors(c)(l).length > mAtL) shrink(c, l, mAtL)
+      }
+      ep = cands.head._2
+      l -= 1
+    }
+    if (lvl > maxLevel) { maxLevel = lvl; entryPoint = idx }
+  }
+
+  /** Keep the mBound closest neighbors of node at level l. */
+  private def shrink(node: Int, l: Int, mBound: Int): Unit = {
+    val v = vecs(node)
+    val kept = neighbors(node)(l).distinct
+      .sortBy(n => distance(v, vecs(n))).take(mBound)
+    neighbors(node)(l).clear()
+    neighbors(node)(l) ++= kept
+  }
+
+  private def greedyClosest(q: Array[Float], start: Int, l: Int): Int = {
+    var cur = start
+    var curDist = distance(q, vecs(cur))
+    var improved = true
+    while (improved) {
+      improved = false
+      neighbors(cur)(l).foreach { n =>
+        val d = distance(q, vecs(n))
+        if (d < curDist) { cur = n; curDist = d; improved = true }
+      }
+    }
+    cur
+  }
+
+  /** Best-first search of one layer; returns (dist, node) ascending. */
+  private def searchLayer(q: Array[Float], ep: Int, ef: Int, l: Int): Seq[(Double, Int)] = {
+    val visited = mutable.HashSet(ep)
+    val epDist = distance(q, vecs(ep))
+    // candidates: min-heap by dist; results: max-heap (worst first out)
+    val cand = mutable.PriorityQueue((-epDist, ep))(Ordering.by(_._1))
+    val res = mutable.PriorityQueue((epDist, ep))(Ordering.by(_._1))
+    while (cand.nonEmpty) {
+      val (negD, c) = cand.dequeue()
+      if (-negD > res.head._1 && res.size >= ef) cand.clear()
+      else neighbors(c)(l).foreach { n =>
+        if (visited.add(n)) {
+          val d = distance(q, vecs(n))
+          if (res.size < ef || d < res.head._1) {
+            cand.enqueue((-d, n))
+            res.enqueue((d, n))
+            if (res.size > ef) res.dequeue()
+          }
+        }
+      }
+    }
+    res.toSeq.sortBy(_._1)
+  }
+
+  /** k nearest (id, distance) pairs; efSearch ≥ k controls recall. */
+  def search(q: Array[Float], k: Int, efSearch: Int = 64): Seq[(Long, Double)] = {
+    if (entryPoint < 0) return Seq.empty
+    var ep = entryPoint
+    var l = maxLevel
+    while (l > 0) { ep = greedyClosest(q, ep, l); l -= 1 }
+    searchLayer(q, ep, math.max(efSearch, k), 0)
+      .filterNot { case (_, n) => deleted(n) }
+      .take(k).map { case (d, n) => (ids(n), d) }
+  }
+
+  /** Tombstone delete (reference `hnsw_index.rs:33-36`); graph edges stay
+    * as navigation waypoints until a rebuild. */
+  def remove(id: Long): Boolean = synchronized {
+    val idx = ids.indexOf(id)
+    if (idx < 0) false else { deleted += idx; true }
+  }
+
+  def stats: Map[String, Any] = Map(
+    "size" -> size, "dim" -> dim, "metric" -> metric, "m" -> m,
+    "maxLevel" -> maxLevel, "tombstones" -> deleted.size)
+
+  def save(path: String): Unit = {
+    val oos = new java.io.ObjectOutputStream(
+      new java.io.BufferedOutputStream(new java.io.FileOutputStream(path)))
+    try oos.writeObject(this) finally oos.close()
+  }
+}
+
+object Hnsw {
+  def load(path: String): Hnsw = {
+    val ois = new java.io.ObjectInputStream(
+      new java.io.BufferedInputStream(new java.io.FileInputStream(path)))
+    try ois.readObject().asInstanceOf[Hnsw] finally ois.close()
+  }
+
+  /** Build from a DataFrame's (id, vector) columns — collected to the
+    * driver like the reference's index build (`src/index_manager.rs`). */
+  def build(df: org.apache.spark.sql.DataFrame, idCol: String, vecCol: String,
+            metric: String = "cosine", m: Int = 16, efConstruction: Int = 200): Hnsw = {
+    val rows = df.select(idCol, vecCol).collect()
+    require(rows.nonEmpty, "cannot build an HNSW index over an empty relation")
+    val dim = rows.head.getSeq[Float](1).length
+    val idx = new Hnsw(dim, metric, m, efConstruction)
+    rows.foreach { r =>
+      idx.insert(r.getLong(0), r.getSeq[Float](1).toArray)
+    }
+    idx
+  }
+}

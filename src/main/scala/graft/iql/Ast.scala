@@ -47,6 +47,13 @@ object Ast {
   final case class DeleteWhere(atom: Atom, body: Seq[BodyElem]) extends Statement
   final case class DropRelation(rel: String) extends Statement
   final case class RuleDef(rule: Rule) extends Statement
+  /** Atomic update `-old(args), +new(args) <- body` (reference
+    * `Statement::Update`, `src/statement/mod.rs:39-40`): one transactional
+    * delete+insert per body binding. */
+  final case class Update(del: Atom, ins: Atom, body: Seq[BodyElem]) extends Statement
+  /** Schema declaration `+User(id: int, name: string)` (reference
+    * SchemaDecl, `src/statement/schema.rs`; types `src/schema/mod.rs:24-45`). */
+  final case class SchemaDecl(rel: String, fields: Seq[(String, String)]) extends Statement
   /** `goal` is set for shorthand queries `?rel(args)`: the result keeps
     * the goal atom's full arity (constants included), like the reference's
     * `__query__(_c0,Y) <- rel(_c0,Y), _c0=1` rewrite

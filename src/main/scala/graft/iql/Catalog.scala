@@ -18,8 +18,81 @@ final class Catalog(val spark: SparkSession) {
 
   private val relations = mutable.LinkedHashMap.empty[String, DataFrame]
   private val ruleList = mutable.ArrayBuffer.empty[Ast.Rule]
+  /** Declared schemas: rel → (fieldName, iql type). Validation is
+    * all-or-nothing per insert batch (reference `src/schema/mod.rs:1-8`)
+    * with int→float and int→timestamp coercion (`:70-79`). */
+  private val declared = mutable.LinkedHashMap.empty[String, Seq[(String, String)]]
+
+  /** HNSW indexes: (relation, column) → index (reference
+    * `src/index_manager.rs:84-126` — one HNSW per (relation, column)). */
+  val indexes = mutable.LinkedHashMap.empty[(String, String), graft.index.Hnsw]
 
   def register(name: String, df: DataFrame): Unit = relations(name) = df
+
+  def createIndex(rel: String, idCol: String, vecCol: String,
+                  metric: String = "cosine", m: Int = 16, efC: Int = 200): graft.index.Hnsw = {
+    val df = relations.getOrElse(rel,
+      throw new IllegalArgumentException(s"unknown relation $rel"))
+    val idx = graft.index.Hnsw.build(df, idCol, vecCol, metric, m, efC)
+    indexes((rel, vecCol)) = idx
+    idx
+  }
+
+  /** k-NN probe of an index → DataFrame(id, distance), joinable with the
+    * base relation (the HnswScan node, reference `src/ir/mod.rs:361-376`). */
+  def hnswSearch(rel: String, vecCol: String, query: Array[Float], k: Int,
+                 efSearch: Int = 64): DataFrame = {
+    val idx = indexes.getOrElse((rel, vecCol),
+      throw new IllegalArgumentException(s"no index on $rel($vecCol)"))
+    val rows = idx.search(query, k, efSearch).map { case (id, d) =>
+      org.apache.spark.sql.Row(id, d)
+    }
+    val schema = StructType(Seq(StructField("id", LongType, nullable = false),
+      StructField("distance", DoubleType, nullable = false)))
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
+  def declareSchema(name: String, fields: Seq[(String, String)]): Unit = {
+    declared(name) = fields
+    if (!relations.contains(name)) {
+      val schema = StructType(fields.map { case (n, t) => StructField(n, iqlType(t), nullable = true) })
+      relations(name) = spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+  }
+
+  def declaredSchema(name: String): Option[Seq[(String, String)]] = declared.get(name)
+
+  private def iqlType(t: String): org.apache.spark.sql.types.DataType = t match {
+    case "int" => LongType
+    case "float" => DoubleType
+    case "symbol" | "string" => StringType
+    case "bool" => BooleanType
+    case "timestamp" => LongType // ms since epoch (reference Value::Timestamp)
+    case v if v.startsWith("vector") => ArrayType(FloatType, containsNull = false)
+    case "any" => StringType
+    case other => throw new IllegalArgumentException(s"unknown schema type $other")
+  }
+
+  private def validate(name: String, rows: Seq[Seq[Any]]): Unit =
+    declared.get(name).foreach { fields =>
+      rows.foreach { r =>
+        require(r.length == fields.length,
+          s"arity mismatch inserting into $name: expected ${fields.length}, got ${r.length}")
+        r.zip(fields).foreach { case (v, (fn, ft)) =>
+          val ok = (ft, v) match {
+            case ("int", _: Long | _: Int) => true
+            case ("float", _: Double | _: Long | _: Int) => true // int→float coercion
+            case ("timestamp", _: Long | _: Int) => true        // int→timestamp coercion
+            case ("symbol" | "string", _: String) => true
+            case ("bool", _: Boolean) => true
+            case ("any", _) => true
+            case _ => false
+          }
+          require(ok, s"schema violation: $name.$fn expects $ft, got $v " +
+            s"(batch rejected — all-or-nothing)")
+        }
+      }
+    }
 
   def relation(name: String): Option[DataFrame] = relations.get(name)
 
@@ -65,6 +138,7 @@ final class Catalog(val spark: SparkSession) {
     * All-or-nothing per batch like the reference (`src/schema/mod.rs:1-8`). */
   def insert(name: String, rows: Seq[Seq[Any]]): Unit = {
     if (rows.isEmpty) return
+    validate(name, rows)
     relations.get(name) match {
       case None =>
         val schema = inferSchema(rows)
@@ -89,4 +163,22 @@ final class Catalog(val spark: SparkSession) {
 
   /** Replace a relation's contents (conditional delete / atomic update). */
   def replace(name: String, df: DataFrame): Unit = relations(name) = df
+
+  /** Append a derived frame (positional; cast to the relation's schema). */
+  def appendDf(name: String, df: DataFrame): Unit =
+    relations.get(name) match {
+      case None => relations(name) = df
+      case Some(base) =>
+        require(base.columns.length == df.columns.length,
+          s"arity mismatch appending to $name")
+        val cast = df.toDF(base.columns: _*).select(
+          base.schema.fields.map(f => org.apache.spark.sql.functions.col(f.name).cast(f.dataType)).toSeq: _*)
+        relations(name) = base.union(cast)
+    }
+
+  def dropRule(headRel: String): Unit = {
+    val remaining = ruleList.filterNot(_.head.rel == headRel)
+    ruleList.clear()
+    ruleList ++= remaining
+  }
 }

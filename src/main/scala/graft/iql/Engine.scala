@@ -16,12 +16,18 @@ import graft.plans.Fixpoint
   */
 final class Engine(val catalog: Catalog) {
 
+  /** Session rules: per-engine overlay, invisible to other engines on the
+    * same catalog, surviving across [[run]] calls until [[clearSession]]
+    * (reference `src/session.rs`). */
+  private val sessionRules = mutable.ArrayBuffer.empty[Rule]
+
+  def clearSession(): Unit = sessionRules.clear()
+
   /** Execute a whole program; returns the result of each `?` query in
     * order. Rules defined in the program (session or persistent) are
-    * visible to subsequent statements. */
+    * visible to subsequent statements and later runs. */
   def run(src: String): Seq[DataFrame] = {
     val prog = Parser.parseProgram(src)
-    val sessionRules = mutable.ArrayBuffer.empty[Rule]
     val results = Seq.newBuilder[DataFrame]
     prog.statements.foreach {
       case InsertFacts(rel, rows) => catalog.insert(rel, rows)
@@ -30,6 +36,8 @@ final class Engine(val catalog: Catalog) {
       case RuleDef(rule) =>
         if (rule.persistent) catalog.addRule(rule) else sessionRules += rule
       case DeleteWhere(atom, body) => deleteWhere(atom, body, sessionRules.toSeq)
+      case SchemaDecl(rel, fields) => catalog.declareSchema(rel, fields)
+      case Update(del, ins, body) => update(del, ins, body, sessionRules.toSeq)
       case q: Query => results += evalQuery(q, sessionRules.toSeq)
     }
     results.result()
@@ -117,6 +125,31 @@ final class Engine(val catalog: Catalog) {
     }
     val matching = full.select(cols: _*).distinct()
     catalog.replace(atom.rel, rel.join(matching, rel.columns.toSeq, "left_anti"))
+  }
+
+  /** Atomic update `-old(args), +new(args) <- body`: both the deletion
+    * pattern and the insertion rows are computed from the SAME body
+    * bindings, then the two relation swaps happen together (reference
+    * `Statement::Update` — one transactional replace). */
+  private def update(del: Atom, ins: Atom, body: Seq[BodyElem], session: Seq[Rule]): Unit = {
+    val delRel = catalog.relation(del.rel).getOrElse(
+      throw new IllegalArgumentException(s"unknown relation ${del.rel}"))
+    val idb = new IdbEvaluator(visibleRules(session), Map.empty)
+    val bindings = RuleCompiler.compileBody(Pos(del) +: body, idb.resolve)
+      .localCheckpoint(true) // evaluate ONCE against pre-update state
+    val delCols = del.args.zipWithIndex.map {
+      case (Var(v), i) => col(v).as(delRel.columns(i))
+      case (Const(c), i) => lit(c).as(delRel.columns(i))
+      case (other, i) => throw new IllegalArgumentException(
+        s"update delete-pattern arg $i must be var or const, got $other")
+    }
+    val insDf = bindings.select(ins.args.zipWithIndex.map {
+      case (t, i) => RuleCompiler.term(t, bindings).as(s"c$i")
+    }: _*).distinct()
+    val newDel = delRel.join(bindings.select(delCols: _*).distinct(),
+      delRel.columns.toSeq, "left_anti")
+    catalog.replace(del.rel, newDel)
+    catalog.appendDf(ins.rel, insDf)
   }
 
   // ----------------------------------------------------- IDB evaluation

@@ -81,6 +81,7 @@ object Parser {
     private var pos = 0
     def peek: Tok = toks(pos)
     def peek2: Tok = toks(math.min(pos + 1, toks.length - 1))
+    def lookahead(n: Int): Tok = toks(math.min(pos + n, toks.length - 1))
     def next(): Tok = { val t = toks(pos); pos += 1; t }
     def expectSym(s: String): Unit = next() match {
       case TSym(`s`) => ()
@@ -125,7 +126,11 @@ object Parser {
     case t => p.fail(s"unexpected token $t at statement start")
   }
 
-  /** `+rel(...)`, `+rel[(...),...]` or `+head(...) <- body`. */
+  private val SchemaTypes = Set("int", "float", "symbol", "string", "bool",
+    "timestamp", "any", "vector")
+
+  /** `+rel(...)`, `+rel[(...),...]`, `+head(...) <- body`, or a schema
+    * declaration `+Rel(field: type, ...)`. */
   private def parsePlus(p: P): Statement = {
     val name = ident(p)
     p.peek match {
@@ -140,27 +145,59 @@ object Parser {
         }
         InsertFacts(name, rows.result())
       case TSym("(") =>
-        val save = p
-        val atom = parseAtomArgs(p, name)
-        if (p.acceptSym("<-")) RuleDef(Rule(atom, parseBody(p), persistent = true))
+        // schema decl iff first arg looks like `ident : typename`
+        if (p.peek2.isInstanceOf[TIdent] && isSchemaDecl(p)) parseSchemaDecl(p, name)
         else {
-          val consts = atom.args.map {
-            case Const(v) => v
-            case other => p.fail(s"fact arguments must be constants, got $other")
+          val atom = parseAtomArgs(p, name)
+          if (p.acceptSym("<-")) RuleDef(Rule(atom, parseBody(p), persistent = true))
+          else {
+            val consts = atom.args.map {
+              case Const(v) => v
+              case other => p.fail(s"fact arguments must be constants, got $other")
+            }
+            InsertFacts(name, Seq(consts))
           }
-          InsertFacts(name, Seq(consts))
         }
       case t => p.fail(s"expected '(' or '[' after +$name, got $t")
     }
   }
 
-  /** `-rel(...)`, `-rel(X) <- body`, or `-rel` (drop). */
+  private def isSchemaDecl(p: P): Boolean = p.lookahead(2) == TSym(":")
+
+  private def parseSchemaDecl(p: P, name: String): SchemaDecl = {
+    p.expectSym("(")
+    val fields = Seq.newBuilder[(String, String)]
+    var done = false
+    while (!done) {
+      val fname = ident(p)
+      p.expectSym(":")
+      val tname = ident(p)
+      if (!SchemaTypes(tname)) p.fail(s"unknown schema type $tname")
+      // vector[dim]
+      val full = if (tname == "vector" && p.acceptSym("[")) {
+        val d = p.next() match { case TInt(v) => v; case t => p.fail(s"expected dim, got $t") }
+        p.expectSym("]")
+        s"vector[$d]"
+      } else tname
+      fields += ((fname, full))
+      if (!p.acceptSym(",")) { p.expectSym(")"); done = true }
+    }
+    SchemaDecl(name, fields.result())
+  }
+
+  /** `-rel(...)`, `-rel(X) <- body`, `-old(..), +new(..) <- body`
+    * (atomic update), or `-rel` (drop). */
   private def parseMinus(p: P): Statement = {
     val name = ident(p)
     p.peek match {
       case TSym("(") =>
         val atom = parseAtomArgs(p, name)
-        if (p.acceptSym("<-")) DeleteWhere(atom, parseBody(p))
+        if (p.acceptSym(",")) {
+          p.expectSym("+")
+          val ins = parseAtom(p)
+          p.expectSym("<-")
+          Update(atom, ins, parseBody(p))
+        } else if (p.acceptSym("<-")) DeleteWhere(atom, parseBody(p))
         else {
           val consts = atom.args.map {
             case Const(v) => v
@@ -175,15 +212,16 @@ object Parser {
   /** `?rel(args...)` — shorthand (reference transform_query_shorthand,
     * `protocol/handler.rs:4753`): constants become equality filters. */
   private def parseQueryShorthand(p: P): Query = {
-    val atom0 = parseAtom(p)
+    val sorts = scala.collection.mutable.ArrayBuffer.empty[SortKey]
+    val atom0 = parseAtomArgs(p, ident(p), sorts)
     // wildcards become fresh variables so their values survive into the
     // result tuple (the shorthand result keeps the goal's full arity)
     val atom = atom0.copy(args = atom0.args.zipWithIndex.map {
       case (Wildcard, i) => Var(s"_w$i")
       case (t, _) => t
     })
-    val (sort, lim, off, rest) = parseQueryTail(p)
-    Query(Pos(atom) +: rest, sort, lim, off, goal = Some(atom))
+    val (lim, off, rest) = parseQueryTail(p)
+    Query(Pos(atom) +: rest, sorts.toSeq, lim, off, goal = Some(atom))
   }
 
   /** `?- conj` full query body. */
@@ -203,7 +241,7 @@ object Parser {
     Query(rest, Seq.empty, lim, off)
   }
 
-  private def parseQueryTail(p: P): (Seq[SortKey], Option[Int], Option[Int], Seq[BodyElem]) = {
+  private def parseQueryTail(p: P): (Option[Int], Option[Int], Seq[BodyElem]) = {
     // after ?goal(...), allow `, extra, limit(n, off)` continuation
     val rest = Seq.newBuilder[BodyElem]
     var lim: Option[Int] = None
@@ -216,7 +254,7 @@ object Parser {
         case e => rest += e
       }
     }
-    (Seq.empty, lim, off, rest.result())
+    (lim, off, rest.result())
   }
 
   def parseBody(p: P): Seq[BodyElem] = {
@@ -257,20 +295,23 @@ object Parser {
 
   def parseAtom(p: P): Atom = parseAtomArgs(p, ident(p))
 
-  private def parseAtomArgs(p: P, name: String): Atom = {
+  private def parseAtomArgs(p: P, name: String,
+      sorts: scala.collection.mutable.ArrayBuffer[SortKey] = null): Atom = {
     p.expectSym("(")
     val args = Seq.newBuilder[Term]
     if (!p.acceptSym(")")) {
-      args += parseHeadTerm(p)
-      while (p.acceptSym(",")) args += parseHeadTerm(p)
+      args += parseHeadTerm(p, sorts)
+      while (p.acceptSym(",")) args += parseHeadTerm(p, sorts)
       p.expectSym(")")
     }
     Atom(name, args.result())
   }
 
   /** Head/atom argument: term, aggregate `agg<X>`, or sort-annotated var
-    * `X:desc` (annotation recorded by caller when needed). */
-  private def parseHeadTerm(p: P): Term = p.peek match {
+    * `X:desc` (annotations collected into `sorts` when provided —
+    * reference `src/statement/parser.rs:533-583`). */
+  private def parseHeadTerm(p: P,
+      sorts: scala.collection.mutable.ArrayBuffer[SortKey] = null): Term = p.peek match {
     case TIdent(f) if AggFuncs(f) && p.peek2 == TSym("<") =>
       p.next(); p.expectSym("<")
       val arg = parseExpr(p)
@@ -278,8 +319,13 @@ object Parser {
       Agg(f, arg)
     case _ =>
       val t = parseExpr(p)
-      // swallow :asc/:desc sort annotations (handled at query level)
-      if (p.acceptSym(":")) { ident(p); () }
+      if (p.acceptSym(":")) {
+        val dir = ident(p)
+        (t, sorts) match {
+          case (Var(v), s) if s != null => s += SortKey(v, dir == "desc")
+          case _ => ()
+        }
+      }
       t
   }
 

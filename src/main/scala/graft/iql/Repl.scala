@@ -1,0 +1,159 @@
+package graft.iql
+
+import scala.collection.mutable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session layer: multi-tenant knowledge graphs + dot-command dispatch
+  * (reference: `.kg`/`.rel`/`.rule`/`.load` meta commands,
+  * `src/statement/meta.rs:7-110`; KG storage `src/storage_engine/mod.rs`).
+  */
+object Repl {
+  sealed trait Result
+  final case class Text(lines: Seq[String]) extends Result
+  final case class Table(df: DataFrame) extends Result
+}
+
+final class Session(val spark: SparkSession) {
+  import Repl._
+
+  private val kgs = mutable.LinkedHashMap("default" -> new Catalog(spark))
+  private val engines = mutable.HashMap.empty[String, Engine]
+  private var currentKg = "default"
+
+  def catalog: Catalog = kgs(currentKg)
+  def engine: Engine = engines.getOrElseUpdate(currentKg, new Engine(catalog))
+
+  /** Execute one input: a meta command (`.`-prefixed) or an IQL program. */
+  def execute(input: String): Seq[Result] = {
+    val trimmed = input.trim
+    if (trimmed.startsWith(".")) Seq(meta(trimmed))
+    else engine.run(trimmed).map(Table)
+  }
+
+  private def meta(cmd: String): Result = {
+    val parts = cmd.split("\\s+").toSeq
+    parts match {
+      case Seq(".kg") | Seq(".kg", "show") => Text(Seq(currentKg))
+      case Seq(".kg", "list") => Text(kgs.keys.toSeq)
+      case Seq(".kg", "create", name) =>
+        require(!kgs.contains(name), s"knowledge graph $name already exists")
+        kgs(name) = new Catalog(spark); Text(Seq(s"created $name"))
+      case Seq(".kg", "use", name) =>
+        require(kgs.contains(name), s"unknown knowledge graph $name")
+        currentKg = name; Text(Seq(s"using $name"))
+      case Seq(".kg", "drop", name) =>
+        require(name != "default", "cannot drop the default knowledge graph")
+        kgs.remove(name); engines.remove(name)
+        if (currentKg == name) currentKg = "default"
+        Text(Seq(s"dropped $name"))
+
+      case Seq(".session") => Text(engine.toString +: Seq.empty)
+      case Seq(".session", "clear") =>
+        engine.clearSession(); Text(Seq("session rules cleared"))
+
+      case Seq(".rel", "list") => Text(catalog.relationNames)
+      case Seq(".rel", "describe", name) =>
+        val df = catalog.relation(name).getOrElse(
+          throw new IllegalArgumentException(s"unknown relation $name"))
+        Text(df.schema.fields.map(f => s"${f.name}: ${f.dataType.simpleString}").toSeq)
+      case Seq(".rel", "drop", name) =>
+        catalog.dropRelation(name); Text(Seq(s"dropped $name"))
+
+      case Seq(".rule", "list") => Text(catalog.rules.map(Printer.rule))
+      case Seq(".rule", "drop", headRel) =>
+        catalog.dropRule(headRel); Text(Seq(s"dropped rules for $headRel"))
+
+      case Seq(".load", path) =>
+        val src = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+        val n = engine.run(src).length
+        Text(Seq(s"loaded $path ($n query results discarded)"))
+
+      case Seq(".save", dir) => Storage.save(catalog, dir); Text(Seq(s"saved to $dir"))
+      case Seq(".open", dir) =>
+        val c = Storage.load(spark, dir)
+        kgs(currentKg) = c
+        engines.remove(currentKg) // engine was bound to the replaced catalog
+        Text(Seq(s"opened $dir (${c.relationNames.length} relations, ${c.rules.length} rules)"))
+
+      case Seq(".import", "csv", path, rel) =>
+        catalog.register(rel, graft.sources.Tables.loadCsv(spark, path))
+        Text(Seq(s"imported $path as $rel"))
+      case Seq(".export", "csv", rel, path) =>
+        val df = catalog.relation(rel).getOrElse(
+          throw new IllegalArgumentException(s"unknown relation $rel"))
+        graft.sources.Tables.saveCsv(df, path)
+        Text(Seq(s"exported $rel to $path"))
+
+      case Seq(".index", "list") =>
+        Text(catalog.indexes.keys.map { case (r, c) => s"$r($c)" }.toSeq)
+      case Seq(".index", "create", rel, idCol, vecCol) =>
+        catalog.createIndex(rel, idCol, vecCol)
+        Text(Seq(s"index created on $rel($vecCol)"))
+      case Seq(".index", "create", rel, idCol, vecCol, metric) =>
+        catalog.createIndex(rel, idCol, vecCol, metric)
+        Text(Seq(s"index created on $rel($vecCol) metric=$metric"))
+      case Seq(".index", "drop", rel, vecCol) =>
+        catalog.indexes.remove((rel, vecCol))
+        Text(Seq(s"index dropped on $rel($vecCol)"))
+      case Seq(".index", "stats", rel, vecCol) =>
+        val idx = catalog.indexes.getOrElse((rel, vecCol),
+          throw new IllegalArgumentException(s"no index on $rel($vecCol)"))
+        Text(idx.stats.map { case (k, v) => s"$k: $v" }.toSeq.sorted)
+      case Seq(".index", "rebuild", rel, idCol, vecCol) =>
+        catalog.createIndex(rel, idCol, vecCol)
+        Text(Seq(s"index rebuilt on $rel($vecCol)"))
+
+      case Seq(".status") =>
+        Text(Seq(s"kg: $currentKg",
+          s"relations: ${catalog.relationNames.length}",
+          s"rules: ${catalog.rules.length}"))
+      case Seq(".help") =>
+        Text(Seq(".kg [list|create|use|drop] — knowledge graphs",
+          ".rel [list|describe|drop] — relations",
+          ".rule [list|drop] — persistent rules",
+          ".load <file> — run an IQL script",
+          ".save <dir> / .open <dir> — persist / restore this KG",
+          ".import csv <path> <rel> / .export csv <rel> <path>",
+          ".status"))
+      case _ => throw new IllegalArgumentException(s"unknown meta command: $cmd")
+    }
+  }
+}
+
+/** Parquet + IQL-source persistence of one knowledge graph (reference:
+  * Parquet batch persistence `src/storage/parquet.rs` + rule catalog;
+  * WAL durability is subsumed by Spark's atomic parquet job commit). */
+object Storage {
+  def save(catalog: Catalog, dir: String): Unit = {
+    val d = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(d)
+    catalog.relationNames.foreach { name =>
+      catalog.relation(name).get.write.mode("overwrite").parquet(s"$dir/$name.parquet")
+    }
+    val decls = catalog.relationNames.flatMap(n =>
+      catalog.declaredSchema(n).map(fs => Printer.schemaDecl(n, fs)))
+    val rules = catalog.rules.map(Printer.rule)
+    java.nio.file.Files.write(d.resolve("rules.iql"),
+      (decls ++ rules).mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(d.resolve("relations.txt"),
+      catalog.relationNames.mkString("\n").getBytes("UTF-8"))
+  }
+
+  def load(spark: SparkSession, dir: String): Catalog = {
+    val c = new Catalog(spark)
+    val rels = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/relations.txt"))).split("\n").filter(_.nonEmpty)
+    rels.foreach(name => c.register(name, spark.read.parquet(s"$dir/$name.parquet")))
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/rules.iql")))
+    if (src.trim.nonEmpty) {
+      val prog = Parser.parseProgram(src)
+      prog.statements.foreach {
+        case Ast.SchemaDecl(rel, fields) => c.declareSchema(rel, fields)
+        case Ast.RuleDef(r) => c.addRule(r.copy(persistent = true))
+        case other => throw new IllegalStateException(s"unexpected statement in rules.iql: $other")
+      }
+    }
+    c
+  }
+}

@@ -11,6 +11,14 @@ object Tables {
   val All: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** CSV with header + type inference (reference `src/storage/csv.rs`:
+    * header row, i64/f64/bool/string inference). */
+  def loadCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
+  def saveCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     // testdata events.parquet carries TIMESTAMP(NANOS) which Spark's
     // vectorized reader rejects; read nanos as long, then rebuild a real

@@ -150,6 +150,30 @@ class EngineSpec extends SparkSpec {
     assert(query(src + "?reach(10, Y)") == Set(Seq(10L, 11L), Seq(10L, 12L)))
   }
 
+  test("atomic update replaces matching rows transactionally") {
+    assert(query(
+      """+acct[(1, 100), (2, 50)]
+        |-acct(Id, B), +acct(Id, B2) <- acct(Id, B), B >= 100, B2 = B * 2
+        |?acct(Id, B)
+        |""".stripMargin) == Set(Seq(1L, 200L), Seq(2L, 50L)))
+  }
+
+  test("schema declaration validates inserts all-or-nothing") {
+    val e = engine
+    e.run("+user(id: int, name: string, score: float)")
+    e.run("""+user(1, "a", 2.5)""")
+    e.run("""+user(2, "b", 3)""") // int→float coercion allowed
+    assertThrows[IllegalArgumentException](e.run("""+user("bad", "c", 1.0)"""))
+    assert(rows(e.run("?user(I, N, S)").last).map(_.head) == Set(1L, 2L))
+  }
+
+  test("sort annotations and limit order the result") {
+    val e = engine
+    e.run("+s[(1, 10), (2, 30), (3, 20)]")
+    val r = e.run("?s(X, Y:desc), limit(2)").last.collect().map(_.toSeq.toVector)
+    assert(r.toSeq == Seq(Vector(2L, 30L), Vector(3L, 20L)))
+  }
+
   test("query over registered external DataFrame") {
     import spark.implicits._
     val cat = new Catalog(spark)

@@ -1,0 +1,70 @@
+package graft.iql
+
+import graft.SparkSpec
+import java.nio.file.Files
+
+class ReplSpec extends SparkSpec {
+
+  private def table(r: Repl.Result) = r.asInstanceOf[Repl.Table].df
+  private def text(r: Repl.Result) = r.asInstanceOf[Repl.Text].lines
+
+  test("knowledge graphs are isolated namespaces") {
+    val s = new Session(spark)
+    s.execute("+x[(1)]")
+    s.execute(".kg create other")
+    s.execute(".kg use other")
+    s.execute("+x[(99)]")
+    assert(rows(table(s.execute("?x(V)").head)) == Set(Seq(99L)))
+    s.execute(".kg use default")
+    assert(rows(table(s.execute("?x(V)").head)) == Set(Seq(1L)))
+    assert(text(s.execute(".kg list").head) == Seq("default", "other"))
+  }
+
+  test("rel and rule meta commands") {
+    val s = new Session(spark)
+    s.execute("+edge[(1,2)]")
+    s.execute("+path(X, Y) <- edge(X, Y)")
+    assert(text(s.execute(".rel list").head) == Seq("edge"))
+    assert(text(s.execute(".rel describe edge").head) == Seq("c0: bigint", "c1: bigint"))
+    assert(text(s.execute(".rule list").head) == Seq("+path(X, Y) <- edge(X, Y)"))
+    s.execute(".rule drop path")
+    assert(text(s.execute(".rule list").head).isEmpty)
+  }
+
+  test("load script file") {
+    val s = new Session(spark)
+    val f = Files.createTempFile("graft", ".iql")
+    Files.write(f, "+sq[(2),(3)]\nsqr(X, Y) <- sq(X), Y = X * X\n".getBytes)
+    s.execute(s".load $f")
+    assert(rows(table(s.execute("?sqr(X, Y)").head)) == Set(Seq(2L, 4L), Seq(3L, 9L)))
+  }
+
+  test("save and open round-trips relations, schemas, and rules") {
+    val s = new Session(spark)
+    val dir = Files.createTempDirectory("graft_kg").toString
+    s.execute("+acct(id: int, bal: float)")
+    s.execute("+acct[(1, 10.5), (2, 20.0)]")
+    s.execute("+rich(I) <- acct(I, B), B > 15.0")
+    s.execute(s".save $dir")
+
+    val s2 = new Session(spark)
+    s2.execute(s".open $dir")
+    assert(rows(table(s2.execute("?rich(I)").head)) == Set(Seq(2L)))
+    // schema survived: bad insert still rejected
+    assertThrows[IllegalArgumentException](s2.execute("""+acct("x", 1.0)"""))
+  }
+
+  test("csv import/export round-trip") {
+    val s = new Session(spark)
+    s.execute("+t[(1, 100), (2, 200)]")
+    val dir = Files.createTempDirectory("graft_csv").toString + "/t.csv"
+    s.execute(s".export csv t $dir")
+    s.execute(s".import csv $dir t2")
+    assert(rows(table(s.execute("?t2(A, B)").head)) == Set(Seq(1L, 100L), Seq(2L, 200L)))
+  }
+
+  test("unknown meta command errors cleanly") {
+    val s = new Session(spark)
+    assertThrows[IllegalArgumentException](s.execute(".bogus"))
+  }
+}
