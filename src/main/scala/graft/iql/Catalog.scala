@@ -18,6 +18,14 @@ final class Catalog(val spark: SparkSession) {
 
   private val relations = mutable.LinkedHashMap.empty[String, DataFrame]
   private val ruleList = mutable.ArrayBuffer.empty[Ast.Rule]
+
+  /** Monotonic catalog version, bumped on every mutation — the engine
+    * keys its materialization cache on it, so an unchanged catalog
+    * re-serves cached derived relations (the reference's "re-query after
+    * change" pattern recomputes only when this moves —
+    * `src/derived_relations.rs:30-37` dependency invalidation). */
+  @volatile var version: Long = 0L
+  private def bump(): Unit = version += 1
   /** Declared schemas: rel → (fieldName, iql type). Validation is
     * all-or-nothing per insert batch (reference `src/schema/mod.rs:1-8`)
     * with int→float and int→timestamp coercion (`:70-79`). */
@@ -27,7 +35,7 @@ final class Catalog(val spark: SparkSession) {
     * `src/index_manager.rs:84-126` — one HNSW per (relation, column)). */
   val indexes = mutable.LinkedHashMap.empty[(String, String), graft.index.Hnsw]
 
-  def register(name: String, df: DataFrame): Unit = relations(name) = df
+  def register(name: String, df: DataFrame): Unit = { bump(); relations(name) = df }
 
   def createIndex(rel: String, idCol: String, vecCol: String,
                   metric: String = "cosine", m: Int = 16, efC: Int = 200): graft.index.Hnsw = {
@@ -53,6 +61,7 @@ final class Catalog(val spark: SparkSession) {
   }
 
   def declareSchema(name: String, fields: Seq[(String, String)]): Unit = {
+    bump()
     declared(name) = fields
     if (!relations.contains(name)) {
       val schema = StructType(fields.map { case (n, t) => StructField(n, iqlType(t), nullable = true) })
@@ -100,9 +109,10 @@ final class Catalog(val spark: SparkSession) {
 
   def rules: Seq[Ast.Rule] = ruleList.toSeq
 
-  def addRule(rule: Ast.Rule): Unit = ruleList += rule
+  def addRule(rule: Ast.Rule): Unit = { bump(); ruleList += rule }
 
   def dropRelation(name: String): Unit = {
+    bump()
     relations.remove(name)
     val remaining = ruleList.filterNot(_.head.rel == name)
     ruleList.clear()
@@ -139,6 +149,7 @@ final class Catalog(val spark: SparkSession) {
   def insert(name: String, rows: Seq[Seq[Any]]): Unit = {
     if (rows.isEmpty) return
     validate(name, rows)
+    bump()
     relations.get(name) match {
       case None =>
         val schema = inferSchema(rows)
@@ -156,16 +167,18 @@ final class Catalog(val spark: SparkSession) {
   /** Delete exact tuples (set semantics — reference `DeleteOp`). */
   def delete(name: String, rows: Seq[Seq[Any]]): Unit =
     relations.get(name).foreach { df =>
+      bump()
       val del = spark.createDataFrame(
         spark.sparkContext.parallelize(toRows(rows, df.schema)), df.schema)
       relations(name) = df.join(del, df.columns.toSeq, "left_anti")
     }
 
   /** Replace a relation's contents (conditional delete / atomic update). */
-  def replace(name: String, df: DataFrame): Unit = relations(name) = df
+  def replace(name: String, df: DataFrame): Unit = { bump(); relations(name) = df }
 
   /** Append a derived frame (positional; cast to the relation's schema). */
-  def appendDf(name: String, df: DataFrame): Unit =
+  def appendDf(name: String, df: DataFrame): Unit = {
+    bump()
     relations.get(name) match {
       case None => relations(name) = df
       case Some(base) =>
@@ -175,8 +188,10 @@ final class Catalog(val spark: SparkSession) {
           base.schema.fields.map(f => org.apache.spark.sql.functions.col(f.name).cast(f.dataType)).toSeq: _*)
         relations(name) = base.union(cast)
     }
+  }
 
   def dropRule(headRel: String): Unit = {
+    bump()
     val remaining = ruleList.filterNot(_.head.rel == headRel)
     ruleList.clear()
     ruleList ++= remaining

@@ -21,7 +21,23 @@ final class Engine(val catalog: Catalog) {
     * (reference `src/session.rs`). */
   private val sessionRules = mutable.ArrayBuffer.empty[Rule]
 
-  def clearSession(): Unit = sessionRules.clear()
+  def clearSession(): Unit = { sessionRules.clear(); matCache.clear() }
+
+  /** Materialization cache keyed by (relation, catalog version): while the
+    * catalog doesn't change, a re-query serves derived relations from here
+    * instead of recomputing — the v0 realization of the reference's
+    * incrementally-maintained persistent rules (recompute happens lazily
+    * on the first query AFTER a change, not on every query). Recursive
+    * results are already RDD-materialized; non-recursive plans are cached
+    * as plans (Catalyst re-executes them, but stays on the same version's
+    * inputs). Bounded: only the latest version's entries are kept. */
+  private[iql] val matCache = mutable.HashMap.empty[(String, Long), DataFrame]
+  private def cacheGet(rel: String): Option[DataFrame] = matCache.get((rel, catalog.version))
+  private def cachePut(rel: String, df: DataFrame): Unit = {
+    val v = catalog.version
+    matCache.filterInPlace { case ((_, ver), _) => ver == v }
+    matCache((rel, v)) = df
+  }
 
   /** Execute a whole program; returns the result of each `?` query in
     * order. Rules defined in the program (session or persistent) are
@@ -34,7 +50,8 @@ final class Engine(val catalog: Catalog) {
       case DeleteFacts(rel, rows) => catalog.delete(rel, rows)
       case DropRelation(rel) => catalog.dropRelation(rel)
       case RuleDef(rule) =>
-        if (rule.persistent) catalog.addRule(rule) else sessionRules += rule
+        if (rule.persistent) catalog.addRule(rule)
+        else { sessionRules += rule; matCache.clear() } // session rules bypass catalog versioning
       case DeleteWhere(atom, body) => deleteWhere(atom, body, sessionRules.toSeq)
       case SchemaDecl(rel, fields) => catalog.declareSchema(rel, fields)
       case Update(del, ins, body) => update(del, ins, body, sessionRules.toSeq)
@@ -45,6 +62,13 @@ final class Engine(val catalog: Catalog) {
 
   /** All rules visible right now: persistent + session. */
   private def visibleRules(session: Seq[Rule]): Seq[Rule] = catalog.rules ++ session
+
+  /** Rules and a resolver reflecting the engine's current state — used by
+    * provenance backward chaining (reference reconstructs proofs over
+    * rules + materialized data, `src/provenance/backward_chaining.rs`). */
+  def currentRules: Seq[Rule] = visibleRules(sessionRules.toSeq)
+  def newResolver(): RuleCompiler.Resolver =
+    new IdbEvaluator(currentRules, Map.empty).resolve
 
   // ------------------------------------------------------------ queries
 
@@ -167,10 +191,15 @@ final class Engine(val catalog: Catalog) {
         if (!byHead.contains(name)) {
           catalog.relation(name).getOrElse(
             throw new IllegalArgumentException(s"unknown relation $name"))
+        } else if (demand.isEmpty && cacheGet(name).isDefined) {
+          val df = cacheGet(name).get
+          memo(name) = df
+          df
         } else {
           require(!inProgress(name),
             s"internal: unplanned recursive resolve of $name")
           evalComponent(name)
+          if (demand.isEmpty) memo.get(name).foreach(cachePut(name, _))
           memo(name)
         }
       })

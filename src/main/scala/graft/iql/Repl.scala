@@ -31,6 +31,17 @@ final class Session(val spark: SparkSession) {
   }
 
   private def meta(cmd: String): Result = {
+    if (cmd.startsWith(".why_not ")) {
+      val atom = parseGroundAtom(cmd.stripPrefix(".why_not "))
+      return Text(Provenance.whyNot(engine, atom))
+    }
+    if (cmd.startsWith(".why ")) {
+      val atom = parseGroundAtom(cmd.stripPrefix(".why "))
+      return Provenance.why(engine, atom) match {
+        case Some(proof) => Text(proof.render())
+        case None => Text(Seq(s"${Printer.atom(atom)} is not derivable — try .why_not"))
+      }
+    }
     val parts = cmd.split("\\s+").toSeq
     parts match {
       case Seq(".kg") | Seq(".kg", "show") => Text(Seq(currentKg))
@@ -117,6 +128,11 @@ final class Session(val spark: SparkSession) {
           ".status"))
       case _ => throw new IllegalArgumentException(s"unknown meta command: $cmd")
     }
+  }
+
+  private def parseGroundAtom(src: String): Ast.Atom = {
+    val p = new Parser.P(Parser.tokenize(src))
+    Parser.parseAtom(p)
   }
 }
 

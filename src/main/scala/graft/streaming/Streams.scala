@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupState
+
+/** Structured Streaming realizations of the reference's incremental
+  * semantics (reference: DD-based incremental view maintenance,
+  * `src/incremental.rs`, `src/derived_relations.rs`). The reference has
+  * no event-time windows or watermarks — its "time" is a transaction
+  * counter — so the mapping is:
+  *
+  *  - persistent-rule incremental aggregation → `groupBy().agg()` in
+  *    update output mode (Spark maintains the running state);
+  *  - change-notification streams → the streaming query's result stream;
+  *  - plus genuinely event-time operators (windows, watermarks, late
+  *    data) that a 100 TB training-data pipeline needs and the
+  *    reference lacks.
+  *
+  * All functions accept either batch or streaming DataFrames — the plan
+  * is identical; only the sink differs.
+  */
+object Streams {
+
+  /** Continuously-maintained per-key aggregate (the reference's
+    * incremental `dept_total(Dept, sum<Salary>)` benchmark shape —
+    * `BENCHMARKS.md:91-93`). Run with outputMode("update"). */
+  def incrementalAgg(events: DataFrame, keyCol: String, valueCol: String): DataFrame =
+    events.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol)).as("total"),
+        min(col(valueCol)).as("min_v"),
+        max(col(valueCol)).as("max_v"))
+
+  /** Tumbling event-time window counts with a watermark bounding state
+    * (and defining late-data drop). */
+  def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
+                     windowDur: String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("window.start").as("window_start"), col(keyCol),
+        col("n"), col("total"))
+
+  /** Streaming exact dedup: first occurrence wins, state bounded by the
+    * watermark (the streaming analogue of Dedup.exact). */
+  def streamingDedup(docs: DataFrame, tsCol: String, textCol: String,
+                     watermark: String = "1 hour"): DataFrame =
+    docs.withColumn("content_hash", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates("content_hash")
+
+  /** Custom keyed state via mapGroupsWithState: running event count +
+    * exponentially-decayed activity score per user — the kind of
+    * incrementally-maintained derived state the reference keeps in DD
+    * arrangements. */
+  final case class Event(userId: Long, tsMs: Long, value: Double)
+  final case class UserState(count: Long, score: Double, lastTsMs: Long)
+
+  def decayedActivity(events: Dataset[Event], halfLifeMs: Long = 3600000L)
+                     (implicit enc1: org.apache.spark.sql.Encoder[UserState],
+                      enc2: org.apache.spark.sql.Encoder[(Long, UserState)]): Dataset[(Long, UserState)] =
+    events.groupByKey(_.userId)(org.apache.spark.sql.Encoders.scalaLong)
+      .mapGroupsWithState[UserState, (Long, UserState)] {
+        (userId: Long, batch: Iterator[Event], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0.0, 0L))
+          val updated = batch.foldLeft(prev) { (s, e) =>
+            val dt = math.max(0L, e.tsMs - s.lastTsMs)
+            val decayed = if (s.count == 0L) 0.0
+              else s.score * math.pow(0.5, dt.toDouble / halfLifeMs)
+            UserState(s.count + 1, decayed + e.value, math.max(s.lastTsMs, e.tsMs))
+          }
+          state.update(updated)
+          (userId, updated)
+      }
+}

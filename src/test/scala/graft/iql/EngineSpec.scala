@@ -174,6 +174,25 @@ class EngineSpec extends SparkSpec {
     assert(r.toSeq == Seq(Vector(2L, 30L), Vector(3L, 20L)))
   }
 
+  test("re-query caching: unchanged catalog serves cached derivations, changes invalidate") {
+    val e = engine
+    e.run(
+      """+edge[(1,2),(2,3)]
+        |+reach(X, Y) <- edge(X, Y)
+        |+reach(X, Z) <- reach(X, Y), edge(Y, Z)
+        |""".stripMargin)
+    assert(rows(e.run("?reach(X, Y)").last).size == 3)
+    val v1 = e.catalog.version
+    assert(e.matCache.contains(("reach", v1)))
+    val cached = e.matCache(("reach", v1))
+    assert(rows(e.run("?reach(X, Y)").last).size == 3)
+    assert(e.matCache(("reach", v1)) eq cached) // same frame reused
+    e.run("+edge(3, 4)")
+    assert(e.catalog.version > v1)
+    assert(rows(e.run("?reach(X, Y)").last).size == 6) // recomputed on new version
+    assert(!e.matCache.contains(("reach", v1)))        // old version evicted
+  }
+
   test("query over registered external DataFrame") {
     import spark.implicits._
     val cat = new Catalog(spark)

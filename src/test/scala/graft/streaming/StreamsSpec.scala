@@ -1,0 +1,85 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.sql.Timestamp
+
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("incremental aggregation maintains running per-key state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Double)]
+    val agg = Streams.incrementalAgg(
+      input.toDF().toDF("k", "value"), "k", "value")
+    val q = agg.writeStream.format("memory").queryName("inc_agg")
+      .outputMode("complete").start()
+    try {
+      input.addData(("a", 1.0), ("a", 2.0), ("b", 10.0))
+      q.processAllAvailable()
+      val r1 = spark.table("inc_agg").collect()
+        .map(r => r.getString(0) -> r.getDouble(2)).toMap
+      assert(r1 == Map("a" -> 3.0, "b" -> 10.0))
+      input.addData(("a", 4.0))   // incremental update, not recompute
+      q.processAllAvailable()
+      val r2 = spark.table("inc_agg").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(r2("a") == ((3L, 7.0)) && r2("b") == ((1L, 10.0)))
+    } finally q.stop()
+  }
+
+  test("windowed counts with watermark group by event-time windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val win = Streams.windowedCounts(
+      input.toDF().toDF("ts", "k", "value"), "ts", "k",
+      windowDur = "10 minutes", watermark = "1 hour")
+    val q = win.writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete").start()
+    try {
+      def t(min: Int) = new Timestamp(3600000L + min * 60000L)
+      input.addData((t(1), "a", 1.0), (t(5), "a", 2.0), (t(12), "a", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_counts").collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getLong(2), r.getDouble(3)))
+      assert(rows.toSet == Set((3600000L, 2L, 3.0), (4200000L, 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("streaming dedup keeps first occurrence per content hash") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val dd = Streams.streamingDedup(
+      input.toDF().toDF("ts", "text"), "ts", "text")
+    val q = dd.writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").start()
+    try {
+      input.addData((new Timestamp(1000), "hello"), (new Timestamp(2000), "hello"),
+        (new Timestamp(3000), "world"))
+      q.processAllAvailable()
+      assert(spark.table("sdedup").count() == 2)
+      input.addData((new Timestamp(4000), "hello")) // still duplicate
+      q.processAllAvailable()
+      assert(spark.table("sdedup").count() == 2)
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState keeps decayed per-user activity") {
+    implicit val sqlCtx = spark.sqlContext
+    import Streams._
+    val input = MemoryStream[Event]
+    val out = Streams.decayedActivity(input.toDS(), halfLifeMs = 1000L)
+    val q = out.writeStream.format("memory").queryName("activity")
+      .outputMode("update").start()
+    try {
+      input.addData(Event(1L, 0L, 4.0))
+      q.processAllAvailable()
+      input.addData(Event(1L, 1000L, 1.0)) // one half-life later: 4*0.5+1 = 3
+      q.processAllAvailable()
+      val s = spark.table("activity").collect()
+        .map(r => (r.getLong(0), r.getStruct(1).getLong(0), r.getStruct(1).getDouble(1)))
+        .maxBy(_._2)
+      assert(s._1 == 1L && s._2 == 2L && math.abs(s._3 - 3.0) < 1e-9)
+    } finally q.stop()
+  }
+}
