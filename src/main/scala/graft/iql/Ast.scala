@@ -23,6 +23,15 @@ object Ast {
     * (reference `src/ast/mod.rs:22-56`). */
   final case class Agg(func: String, arg: Term) extends Term
 
+  /** Ranking aggregate — multi-row-per-group head term (reference
+    * `src/ast/mod.rs:31-55`):
+    *   `top_k<k, Out..., Order:desc>`           k best rows per group
+    *   `top_k_threshold<k, t, Out..., Order:desc>`  + Order ≥ t (desc) / ≤ t (asc)
+    *   `within_radius<r, Out..., Dist>`         all rows with Dist ≤ r
+    * Expands to columns Out... ++ Order in the head's output. */
+  final case class Rank(func: String, params: Seq[Double], outs: Seq[Var],
+                        orderVar: Var, desc: Boolean) extends Term
+
   final case class Atom(rel: String, args: Seq[Term])
 
   sealed trait BodyElem

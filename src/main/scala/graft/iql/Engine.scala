@@ -52,10 +52,10 @@ final class Engine(val catalog: Catalog) {
       case RuleDef(rule) =>
         if (rule.persistent) catalog.addRule(rule)
         else { sessionRules += rule; matCache.clear() } // session rules bypass catalog versioning
-      case DeleteWhere(atom, body) => deleteWhere(atom, body, sessionRules.toSeq)
+      case DeleteWhere(atom, body) => deleteWhere(atom, body)
       case SchemaDecl(rel, fields) => catalog.declareSchema(rel, fields)
-      case Update(del, ins, body) => update(del, ins, body, sessionRules.toSeq)
-      case q: Query => results += evalQuery(q, sessionRules.toSeq)
+      case Update(del, ins, body) => update(del, ins, body)
+      case q: Query => results += evalQuery(q)
     }
     results.result()
   }
@@ -72,8 +72,8 @@ final class Engine(val catalog: Catalog) {
 
   // ------------------------------------------------------------ queries
 
-  def evalQuery(q: Query, sessionRules: Seq[Rule] = Seq.empty): DataFrame = {
-    val rules = visibleRules(sessionRules)
+  def evalQuery(q: Query): DataFrame = {
+    val rules = currentRules
     val idb = new IdbEvaluator(rules, demandFor(q, rules))
     var df = RuleCompiler.compileBody(q.body, idb.resolve)
     // shorthand queries keep the goal atom's full arity (constants too)
@@ -135,10 +135,10 @@ final class Engine(val catalog: Catalog) {
 
   // ------------------------------------------------------------ deletes
 
-  private def deleteWhere(atom: Atom, body: Seq[BodyElem], session: Seq[Rule]): Unit = {
+  private def deleteWhere(atom: Atom, body: Seq[BodyElem]): Unit = {
     val rel = catalog.relation(atom.rel).getOrElse(
       throw new IllegalArgumentException(s"unknown relation ${atom.rel}"))
-    val idb = new IdbEvaluator(visibleRules(session), Map.empty)
+    val idb = new IdbEvaluator(currentRules, Map.empty)
     val full = RuleCompiler.compileBody(Pos(atom) +: body, idb.resolve)
     // project the atom's args back to the relation's positional schema
     val cols = atom.args.zipWithIndex.map {
@@ -155,10 +155,10 @@ final class Engine(val catalog: Catalog) {
     * pattern and the insertion rows are computed from the SAME body
     * bindings, then the two relation swaps happen together (reference
     * `Statement::Update` — one transactional replace). */
-  private def update(del: Atom, ins: Atom, body: Seq[BodyElem], session: Seq[Rule]): Unit = {
+  private def update(del: Atom, ins: Atom, body: Seq[BodyElem]): Unit = {
     val delRel = catalog.relation(del.rel).getOrElse(
       throw new IllegalArgumentException(s"unknown relation ${del.rel}"))
-    val idb = new IdbEvaluator(visibleRules(session), Map.empty)
+    val idb = new IdbEvaluator(currentRules, Map.empty)
     val bindings = RuleCompiler.compileBody(Pos(del) +: body, idb.resolve)
       .localCheckpoint(true) // evaluate ONCE against pre-update state
     val delCols = del.args.zipWithIndex.map {
@@ -303,13 +303,21 @@ final class Engine(val catalog: Catalog) {
       val n = all.head.columns.length
       val named = all.map(df => df.toDF((0 until n).map(i => s"c$i"): _*))
       val unioned = named.reduce(_ union _)
-      (if (rs.exists(_.head.args.exists(_.isInstanceOf[Agg]))) unioned
+      (if (rs.exists(_.head.args.exists(a => a.isInstanceOf[Agg] || a.isInstanceOf[Rank])))
+        unioned
        else unioned.distinct())
     }
 
-    /** One rule → positional frame (c0..cn), demand filter applied. */
+    /** One rule → positional frame (c0..cn), demand filter applied.
+      * A [[Rank]] head term expands to (outs ++ order) columns. */
     private def deriveRule(r: Rule, resolver: RuleCompiler.Resolver = resolve): DataFrame = {
       val bodyDf = RuleCompiler.compileBody(r.body, resolver)
+      r.head.args.collect { case rk: Rank => rk } match {
+        case Seq(rank) => return deriveRankRule(r, rank, bodyDf)
+        case Seq() => ()
+        case many => throw new IllegalArgumentException(
+          s"at most one ranking aggregate per head, got ${many.size}")
+      }
       val aggs = r.head.args.collect { case a: Agg => a }
       val out =
         if (aggs.isEmpty) {
@@ -334,6 +342,49 @@ final class Engine(val catalog: Catalog) {
         case Some((i, v)) => out.filter(col(s"c$i") === lit(v))
         case None => out
       }
+    }
+
+    /** Ranking aggregates → window functions (reference
+      * `src/code_generator/mod.rs:2462-2560` heap-based top-k; here:
+      * `row_number().over(Window.partitionBy(groups).orderBy(...)) <= k`,
+      * which Spark executes with per-partition heaps after a group
+      * shuffle — the same algorithmic shape, distributed). */
+    private def deriveRankRule(r: Rule, rank: Rank, bodyDf: DataFrame): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val groupTerms = r.head.args.filterNot(_.isInstanceOf[Rank])
+      val groupCols = groupTerms.map(t => RuleCompiler.term(t, bodyDf))
+      val ord = if (rank.desc) col(rank.orderVar.name).desc else col(rank.orderVar.name).asc
+      // deterministic tiebreak on the output vars
+      val tiebreak = rank.outs.map(o => col(o.name).asc)
+      val filtered = rank.func match {
+        case "top_k" =>
+          val w = (if (groupCols.nonEmpty) Window.partitionBy(groupCols: _*) else Window.partitionBy())
+            .orderBy(ord +: tiebreak: _*)
+          bodyDf.withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") <= rank.params(0).toLong).drop("__rn")
+        case "top_k_threshold" =>
+          val thresholdOk = if (rank.desc) col(rank.orderVar.name) >= lit(rank.params(1))
+                            else col(rank.orderVar.name) <= lit(rank.params(1))
+          val w = (if (groupCols.nonEmpty) Window.partitionBy(groupCols: _*) else Window.partitionBy())
+            .orderBy(ord +: tiebreak: _*)
+          bodyDf.filter(thresholdOk)
+            .withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") <= rank.params(0).toLong).drop("__rn")
+        case "within_radius" =>
+          bodyDf.filter(col(rank.orderVar.name) <= lit(rank.params(0)))
+        case other => throw new IllegalArgumentException(s"unknown ranking aggregate $other")
+      }
+      // output: head terms in order, the Rank term expanding to outs ++ order
+      val cols = Seq.newBuilder[Column]
+      var i = 0
+      r.head.args.foreach {
+        case _: Rank =>
+          rank.outs.foreach { o => cols += col(o.name).as(s"c$i"); i += 1 }
+          cols += col(rank.orderVar.name).as(s"c$i"); i += 1
+        case t =>
+          cols += RuleCompiler.term(t, filtered).as(s"c$i"); i += 1
+      }
+      filtered.select(cols.result(): _*)
     }
 
     private def aggFunc(f: String, arg: Term, frame: DataFrame): Column = f match {

@@ -96,6 +96,7 @@ object Parser {
   }
 
   private val AggFuncs = Set("sum", "count", "count_distinct", "min", "max", "avg")
+  private val RankFuncs = Set("top_k", "top_k_threshold", "within_radius")
   private val CmpOps = Set("=", "!=", "<", "<=", ">", ">=")
 
   /** Parse a whole program: statements separated by newlines are already
@@ -312,6 +313,36 @@ object Parser {
     * reference `src/statement/parser.rs:533-583`). */
   private def parseHeadTerm(p: P,
       sorts: scala.collection.mutable.ArrayBuffer[SortKey] = null): Term = p.peek match {
+    case TIdent(f) if RankFuncs(f) && p.peek2 == TSym("<") =>
+      p.next(); p.expectSym("<")
+      // terms with optional :asc/:desc annotations, ">"-terminated
+      val items = Seq.newBuilder[(Term, Option[String])]
+      var done = false
+      while (!done) {
+        val t = parseExpr(p)
+        val ann = if (p.acceptSym(":")) Some(ident(p)) else None
+        items += ((t, ann))
+        if (!p.acceptSym(",")) { p.expectSym(">"); done = true }
+      }
+      val all = items.result()
+      val nParams = if (f == "top_k") 1 else if (f == "top_k_threshold") 2 else 1
+      val params = all.take(nParams).map {
+        case (Const(v: Long), _) => v.toDouble
+        case (Const(v: Double), _) => v
+        case (t, _) => p.fail(s"$f parameter must be a numeric literal, got $t")
+      }
+      val rest = all.drop(nParams)
+      if (rest.isEmpty) p.fail(s"$f needs at least an order/distance variable")
+      val (ordTerm, ordAnn) = rest.last
+      val ordVar = ordTerm match {
+        case v: Var => v
+        case t => p.fail(s"$f order variable must be a variable, got $t")
+      }
+      val outs = rest.dropRight(1).map {
+        case (v: Var, _) => v
+        case (t, _) => p.fail(s"$f output terms must be variables, got $t")
+      }
+      Rank(f, params, outs, ordVar, ordAnn.contains("desc"))
     case TIdent(f) if AggFuncs(f) && p.peek2 == TSym("<") =>
       p.next(); p.expectSym("<")
       val arg = parseExpr(p)

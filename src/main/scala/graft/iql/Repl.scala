@@ -31,6 +31,16 @@ final class Session(val spark: SparkSession) {
   }
 
   private def meta(cmd: String): Result = {
+    if (cmd.startsWith(".debug ")) {
+      // plan-without-execution trace (reference `.debug`,
+      // `src/pipeline_trace.rs`): the Catalyst formatted plan
+      val prog = Parser.parseProgram(cmd.stripPrefix(".debug "))
+      val q = prog.statements.collectFirst { case q: Ast.Query => q }.getOrElse(
+        throw new IllegalArgumentException(".debug takes a query"))
+      val df = engine.evalQuery(q)
+      return Text(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode).split("\n").toSeq)
+    }
     if (cmd.startsWith(".why_not ")) {
       val atom = parseGroundAtom(cmd.stripPrefix(".why_not "))
       return Text(Provenance.whyNot(engine, atom))

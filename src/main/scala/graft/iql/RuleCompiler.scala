@@ -46,7 +46,7 @@ object RuleCompiler {
       case Cmp("=", lhs, Var(v)) if !cur.columns.contains(v) =>
         cur = cur.withColumn(v, term(lhs, cur))
       case Cmp(op, l, r) =>
-        cur = cur.filter(cmp(op, term(l, cur), term(r, cur)))
+        cur = cur.filter(cmpTyped(op, term(l, cur), term(r, cur), cur))
       case _ => ()
     }
 
@@ -87,6 +87,18 @@ object RuleCompiler {
             "(bind computed values with `V = expr` predicates)")
     }
     out.select(seen.map { case (name, i) => col(df.columns(i)).as(name) }.toSeq: _*)
+  }
+
+  /** Like [[cmp]], but float (in)equality uses the reference's 1e-10
+    * tolerance (`src/code_generator/mod.rs:88-95`). */
+  def cmpTyped(op: String, l: Column, r: Column, frame: DataFrame): Column = {
+    def isDouble(c: Column): Boolean =
+      try frame.select(c).schema.head.dataType == org.apache.spark.sql.types.DoubleType
+      catch { case _: Throwable => false }
+    if ((op == "=" || op == "!=") && (isDouble(l) || isDouble(r))) {
+      val eq = abs(l.cast("double") - r.cast("double")) < lit(1e-10)
+      if (op == "=") eq else !eq
+    } else cmp(op, l, r)
   }
 
   def cmp(op: String, l: Column, r: Column): Column = op match {

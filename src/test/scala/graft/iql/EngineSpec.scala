@@ -193,6 +193,46 @@ class EngineSpec extends SparkSpec {
     assert(!e.matCache.contains(("reach", v1)))        // old version evicted
   }
 
+  test("top_k ranking aggregate: k best rows per group") {
+    assert(query(
+      """+emp[("eng","a",10),("eng","b",30),("eng","c",20),("ops","d",5),("ops","e",7)]
+        |best(D, top_k<2, N, S:desc>) <- emp(D, N, S)
+        |?best(D, N, S)
+        |""".stripMargin) == Set(
+      Seq("eng", "b", 30L), Seq("eng", "c", 20L),
+      Seq("ops", "e", 7L), Seq("ops", "d", 5L)))
+  }
+
+  test("top_k_threshold also enforces the score bound") {
+    assert(query(
+      """+emp[("eng","a",10),("eng","b",30),("eng","c",20)]
+        |best(D, top_k_threshold<2, 15, N, S:desc>) <- emp(D, N, S)
+        |?best(D, N, S)
+        |""".stripMargin) == Set(Seq("eng", "b", 30L), Seq("eng", "c", 20L)))
+    assert(query(
+      """+emp[("eng","a",10),("eng","b",30),("eng","c",20)]
+        |best(D, top_k_threshold<2, 25, N, S:desc>) <- emp(D, N, S)
+        |?best(D, N, S)
+        |""".stripMargin) == Set(Seq("eng", "b", 30L)))
+  }
+
+  test("within_radius keeps all rows under the bound") {
+    assert(query(
+      """+pt[("a", 1.0), ("b", 3.0), ("c", 0.5)]
+        |near(top_k<10, N, D:asc>) <- pt(N, D)
+        |close(within_radius<1.5, N, D>) <- pt(N, D)
+        |?close(N, D)
+        |""".stripMargin) == Set(Seq("a", 1.0), Seq("c", 0.5)))
+  }
+
+  test("float equality uses the 1e-10 tolerance") {
+    assert(query(
+      """+m[(1, 0.3)]
+        |hit(X) <- m(X, V), V = 0.1 + 0.2
+        |?hit(X)
+        |""".stripMargin) == Set(Seq(1L))) // 0.1+0.2 != 0.3 in IEEE754 without tolerance
+  }
+
   test("query over registered external DataFrame") {
     import spark.implicits._
     val cat = new Catalog(spark)
