@@ -203,11 +203,13 @@ object SparkEntry {
           month(col("o_orderdate")).cast("long").as("mo"))
         .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))),
 
-    // --- temporal: ms-epoch window filter (reference temporal_ops domain) ----------
+    // --- temporal: ms-epoch window filter (reference temporal_ops domain).
+    //     Filters on the RAW nanos column so the range predicate reaches
+    //     the parquet scan (ms bounds × 1e6 are exact — ns floor to ms). --
     "q19_temporal_filter" -> ((s, dir) =>
       T(s, dir, "events")
-        .where(TempF.timeBetween(TempF.fromTimestamp(col("ts")),
-          lit(1704844800000L), lit(1705449600000L)))
+        .where(col("ts_ns") >= lit(1704844800000L * 1000000L) &&
+               col("ts_ns") <= lit(1705449600000L * 1000000L + 999999L))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), min(col("value")).as("min_v"), max(col("value")).as("max_v"))),
 

@@ -28,22 +28,38 @@ object TextFunctions {
 
   /** 1..count as an array; empty when count < 1 (Spark's `sequence(1, 0)`
     * yields a DESCENDING [1,0], not an empty array). */
-  private def seq1(count: Column): Column =
+  def seq1(count: Column): Column =
     when(count < 1, array().cast("array<int>"))
       .otherwise(sequence(lit(1), count))
 
-  /** Character n-gram shingles of the whitespace-normalized text. */
+  /** Whitespace-normalized lowercase text (the shingling domain). */
+  def normText(text: Column): Column =
+    lower(regexp_replace(trim(text), "\\s+", " "))
+
+  /** Character n-gram shingles of the whitespace-normalized text.
+    *
+    * NOTE (scale): inside the `transform` lambda the `norm` expression is
+    * re-evaluated PER ELEMENT (higher-order functions are interpreted, no
+    * subexpression caching) — O(len²) per document. Fine for small/ad-hoc
+    * use; bulk pipelines should use the row-exploded shape
+    * ([[graft.operators.Dedup.minHashSignatures]]) where normalization
+    * runs once per row and the substring is codegen'd. */
   def charShingles(text: Column, n: Int): Column = {
-    val norm = lower(regexp_replace(trim(text), "\\s+", " "))
+    val norm = normText(text)
     transform(seq1(length(norm) - lit(n - 1)), i => norm.substr(i, lit(n)))
   }
 
-  /** Word n-gram shingles (arrays of n consecutive tokens joined by space). */
-  def wordShingles(text: Column, n: Int): Column = {
-    val ts = tokens(text)
-    transform(seq1(size(ts) - lit(n - 1)),
-      i => array_join(slice(ts, i, lit(n)), " "))
-  }
+  /** Word n-gram shingles over a PRE-PROJECTED token-array column (the
+    * lambda then only references an attribute — no per-element re-split). */
+  def wordShinglesOf(toks: Column, n: Int): Column =
+    transform(seq1(size(toks) - lit(n - 1)),
+      i => array_join(slice(toks, i, lit(n)), " "))
+
+  /** Word n-gram shingles (arrays of n consecutive tokens joined by space).
+    * Same per-element-reevaluation caveat as [[charShingles]] — prefer
+    * projecting [[tokens]] first and calling [[wordShinglesOf]]. */
+  def wordShingles(text: Column, n: Int): Column =
+    wordShinglesOf(tokens(text), n)
 
   // ---------------------------------------------------------------------
   // MinHash: k independent hash functions realized as xxhash64(shingle, k)

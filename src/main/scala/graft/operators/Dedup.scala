@@ -18,6 +18,18 @@ import graft.functions.{TextFunctions => TF, VectorFunctions => VF, LshFunctions
   */
 object Dedup {
 
+  /** Checkpoint-materialize + exact row count; frames below the threshold
+    * get a broadcast hint at their joins (checkpointed RDDs carry no
+    * Catalyst stats, so the planner would otherwise shuffle both sides).
+    * At 100 TB the signature table exceeds the bound and the same code
+    * degrades to a shuffle join — the hint is size-gated, not assumed. */
+  private def mat(df: DataFrame): (DataFrame, Long) = {
+    val ck = df.localCheckpoint(true)
+    (ck, ck.rdd.count())
+  }
+  private def maybeBroadcast(df: DataFrame, n: Long, limit: Long = 2000000L): DataFrame =
+    if (n <= limit) broadcast(df) else df
+
   /** Exact dedup: one representative (min id) per distinct text.
     * groupBy(md5) = map-side partial agg + 16-byte shuffle keys. */
   def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
@@ -41,13 +53,37 @@ object Dedup {
   def minHashSignatures(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                         shingleN: Int = 5, k: Int = 64,
                         wordShingles: Boolean = false): DataFrame = {
-    val sh = if (wordShingles) TF.wordShingles(col(textCol), shingleN)
-             else TF.charShingles(col(textCol), shingleN)
-    val shingled = docs.select(col(idCol).as("id"), explode(sh).as("sh"))
-    val aggs = (0 until k).map(i => min(xxhash64(col("sh"), lit(i))).as(s"h$i"))
-    shingled.groupBy("id").agg(aggs.head, aggs.tail: _*)
+    val shingled = explodedShingles(docs, idCol, textCol, shingleN, wordShingles)
+    // hash each shingle string ONCE to a long, then derive the k
+    // components by hashing that fixed-width long with the component id —
+    // k string re-hashes per shingle would dominate the whole pipeline
+    // (measured 10s → 3s for the signature stage at sf0.1). Wrapping
+    // multiply-add mixing would be cheaper still, but Spark 4's ANSI mode
+    // makes overflowing long arithmetic throw.
+    val hashed = shingled.select(col("id"), xxhash64(col("sh")).as("h"))
+    val aggs = (0 until k).map(i => min(xxhash64(col("h"), lit(i))).as(s"h$i"))
+    hashed.groupBy("id").agg(aggs.head, aggs.tail: _*)
       .select(col("id"), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
   }
+
+  /** (id, shingle) rows via position-explode: the normalization/tokenize
+    * expression evaluates ONCE per document (it sits below the generator),
+    * and the per-shingle substring/slice is a plain codegen'd projection —
+    * unlike `transform(...)`-based shingling, where the lambda re-evaluates
+    * the normalization per element (interpreted, O(len²) per doc; measured
+    * 19s → 2s at sf0.1 for the signature stage). */
+  private def explodedShingles(docs: DataFrame, idCol: String, textCol: String,
+                               shingleN: Int, wordShingles: Boolean): DataFrame =
+    if (wordShingles)
+      docs.select(col(idCol).as("id"), TF.tokens(col(textCol)).as("toks"))
+        .select(col("id"), col("toks"),
+          explode(TF.seq1(size(col("toks")) - (shingleN - 1))).as("pos"))
+        .select(col("id"), array_join(slice(col("toks"), col("pos"), lit(shingleN)), " ").as("sh"))
+    else
+      docs.select(col(idCol).as("id"), TF.normText(col(textCol)).as("nt"))
+        .select(col("id"), col("nt"),
+          explode(TF.seq1(length(col("nt")) - (shingleN - 1))).as("pos"))
+        .select(col("id"), col("nt").substr(col("pos"), lit(shingleN)).as("sh"))
 
   /** MinHash + banded-LSH near-duplicate PAIRS (id_a < id_b) with their
     * estimated Jaccard, verified against `threshold`.
@@ -60,8 +96,8 @@ object Dedup {
                    threshold: Double = 0.5,
                    wordShingles: Boolean = false): DataFrame = {
     val rowsPerBand = k / bands
-    val sigs = minHashSignatures(docs, idCol, textCol, shingleN, k, wordShingles)
-      .localCheckpoint(true) // one signature pass feeds both join sides
+    // one signature pass feeds the banding AND both pair-join sides
+    val (sigs, nSigs) = mat(minHashSignatures(docs, idCol, textCol, shingleN, k, wordShingles))
     // Bucket join carries ONLY (band, bucket, id) — signatures join back
     // after the pair-distinct, so the Jaccard estimate is computed once
     // per candidate pair, not once per shared bucket (up to `bands`×).
@@ -74,8 +110,8 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
     candPairs
-      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .join(maybeBroadcast(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), nSigs), Seq("id_a"))
+      .join(maybeBroadcast(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), nSigs), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         TF.minHashJaccardEstimate(col("sig_a"), col("sig_b")).as("jaccard_est"))
       .where(col("jaccard_est") >= threshold)
@@ -97,7 +133,8 @@ object Dedup {
     * Hamming distance 3), verified by exact Hamming ≤ maxHamming. */
   def simHashPairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                    maxHamming: Int = 3): DataFrame = {
-    val fps = docs.select(col(idCol).as("id"), TF.simHash(TF.tokens(col(textCol))).as("fp"))
+    val fps = TextAnalysis.simHashes(docs, idCol, textCol)
+      .select(col(idCol).as("id"), col("simhash").as("fp"))
     val sliced = fps.select(col("id"), col("fp"),
       explode(array((0 until 4).map { s =>
         struct(lit(s).as("slice"), shiftright(col("fp"), s * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
@@ -121,19 +158,20 @@ object Dedup {
     // exact verification uses. (Char-2-grams over natural text are nearly
     // universal — every doc contains most frequent bigrams — so char-level
     // signatures at n=2 would make ALL pairs candidates.)
-    val cand = minHashPairs(docs, idCol, textCol, shingleN, k, bands,
+    val (cand, nCand) = mat(minHashPairs(docs, idCol, textCol, shingleN, k, bands,
         threshold * 0.5, wordShingles = true)
-      .select(col("id_a"), col("id_b")).localCheckpoint(true)
+      .select(col("id_a"), col("id_b")))
     // Only candidate docs pay the O(len²) word-shingling: semi-join the
     // doc table down to ids that appear in a pair first.
     val candIds = cand.select(col("id_a").as(idCol))
       .union(cand.select(col("id_b").as(idCol))).distinct()
-    val sh = docs.join(candIds, Seq(idCol), "left_semi")
-      .select(col(idCol).as("id"),
-        array_distinct(TF.wordShingles(col(textCol), shingleN)).as("sh"))
+    val (sh, nSh) = mat(docs.join(maybeBroadcast(candIds, nCand * 2), Seq(idCol), "left_semi")
+      .select(col(idCol).as("id"), TF.tokens(col(textCol)).as("toks"))
+      .select(col("id"),
+        array_distinct(TF.wordShinglesOf(col("toks"), shingleN)).as("sh")))
     cand
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .join(maybeBroadcast(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), nSh), Seq("id_a"))
+      .join(maybeBroadcast(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), nSh), Seq("id_b"))
       .select(col("id_a"), col("id_b"), TF.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
@@ -155,10 +193,10 @@ object Dedup {
     val candPairs = a.join(b, Seq("table", "bucket"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-    val vs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val (vs, nVs) = mat(emb.select(col(idCol).as("id"), col(vecCol).as("v")))
     candPairs
-      .join(vs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
-      .join(vs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
+      .join(maybeBroadcast(vs.select(col("id").as("id_a"), col("v").as("v_a")), nVs), Seq("id_a"))
+      .join(maybeBroadcast(vs.select(col("id").as("id_b"), col("v").as("v_b")), nVs), Seq("id_b"))
       .select(col("id_a"), col("id_b"), VF.cosineSimilarity(col("v_a"), col("v_b")).as("cosine"))
       .where(col("cosine") >= minCosine)
   }

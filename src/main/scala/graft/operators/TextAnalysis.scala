@@ -32,9 +32,39 @@ object TextAnalysis {
   def languageId(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.select(col(idCol), TF.langId(col(textCol)).as("lang_pred"))
 
-  /** 64-bit content fingerprints: SimHash + rolling-hash min-shingle. */
-  def fingerprints(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs.select(col(idCol),
-      TF.simHash(TF.tokens(col(textCol))).as("simhash"),
-      TF.docFingerprint(col(textCol)).as("fingerprint"))
+  /** Per-doc 64-bit SimHash via explode + 64 bit-vote sum aggregates: one
+    * pass over (id, token) rows with map-side partial aggregation — the
+    * scale shape. (The Column-level `TF.simHash` re-evaluates its term
+    * array per bit × per element: 64× quadratic, only fit for ad-hoc use.)
+    * Docs with no tokens get simhash 0 (no votes). */
+  def simHashes(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("id"), explode(array_distinct(TF.tokens(col(textCol)))).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h"))
+    val votes = (0 until 64).map { j =>
+      sum(when(col("h").bitwiseAND(lit(1L << j)) =!= 0L, 1).otherwise(-1)).as(s"v$j")
+    }
+    val bits = (0 until 64).map { j =>
+      when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    val agg = toks.groupBy("id").agg(votes.head, votes.tail: _*)
+      .select(col("id"), bits.reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+    docs.select(col(idCol).as("id")).join(agg, Seq("id"), "left")
+      .select(col("id").as(idCol), coalesce(col("simhash"), lit(0L)).as("simhash"))
+  }
+
+  /** 64-bit content fingerprints: SimHash + rolling-hash min-shingle,
+    * both computed via explode/groupBy single passes. */
+  def fingerprints(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sim = simHashes(docs, idCol, textCol)
+    val fp = docs.select(col(idCol).as("id"), TF.normText(col(textCol)).as("nt"))
+      .select(col("id"), col("nt"), explode(TF.seq1(length(col("nt")) - 7)).as("pos"))
+      .select(col("id"), xxhash64(col("nt").substr(col("pos"), lit(8))).as("h"))
+      .groupBy("id").agg(min(col("h")).as("fingerprint"))
+    docs.select(col(idCol), TF.normText(col(textCol)).as("__nt"))
+      .join(sim, Seq(idCol), "left")
+      .join(fp.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), col("simhash"),
+        coalesce(col("fingerprint"), xxhash64(col("__nt"))).as("fingerprint"))
+  }
 }

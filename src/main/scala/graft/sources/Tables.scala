@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr}
 
 /** Parquet table loader for the synthetic star schema (TESTDATA.md).
   * One method so every query names tables uniformly; Catalyst handles
@@ -27,7 +27,10 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      // keep the raw nanos column too: range predicates on ts_ns push down
+      // to the parquet scan (a filter on the computed timestamp cannot)
+      df.withColumn("ts_ns", col("ts"))
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     else df
   }
 }
