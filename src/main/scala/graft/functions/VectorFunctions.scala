@@ -37,9 +37,13 @@ object VectorFunctions {
     when(den === 0.0, lit(0.0)).otherwise(dot(a, b) / den)
   }
 
-  /** Cosine distance = 1 - similarity (reference `vector_ops.rs:118-140`). */
-  def cosineDistance(a: Column, b: Column): Column =
-    lit(1.0) - cosineSimilarity(a, b)
+  /** Cosine distance = 1 - similarity; a zero vector is at distance 0
+    * from everything (reference `vector_ops.rs:118-140` — its corpus
+    * expects cosine distance 0 between zero vectors and any vector). */
+  def cosineDistance(a: Column, b: Column): Column = {
+    val den = norm(a) * norm(b)
+    when(den === 0.0, lit(0.0)).otherwise(lit(1.0) - dot(a, b) / den)
+  }
 
   /** Euclidean (L2) distance. */
   def euclidean(a: Column, b: Column): Column =
@@ -97,6 +101,21 @@ object VectorFunctions {
     val maxAbs = aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(d(x))))
     when(maxAbs === 0.0, lit(1.0)).otherwise(maxAbs / 127.0)
   }
+
+  /** Per-vector min/max affine quantization to int8 (reference
+    * `quantize_linear(v)`: q = round((x-min)/(max-min)*255) - 128; an
+    * all-equal vector quantizes to zeros). */
+  def quantizeLinearAuto(v: Column): Column = {
+    val mn = aggregate(v, lit(Double.MaxValue), (acc, x) => least(acc, d(x)))
+    val mx = aggregate(v, lit(Double.MinValue), (acc, x) => greatest(acc, d(x)))
+    val range = mx - mn
+    when(range === 0.0, transform(v, _ => lit(0).cast("tinyint")))
+      .otherwise(transform(v,
+        x => clampI8(round((d(x) - mn) / range * 255.0) - 128.0).cast("tinyint")))
+  }
+
+  /** Reference `dequantize(q)`: int8 → float cast (scale 1.0). */
+  def dequantizeCast(q: Column): Column = transform(q, x => d(x).cast("float"))
 
   /** x = (q - zeroPoint) * scale as float vector. */
   def dequantize(q: Column, scale: Column, zeroPoint: Column): Column =

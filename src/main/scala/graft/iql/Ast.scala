@@ -63,6 +63,8 @@ object Ast {
   /** Schema declaration `+User(id: int, name: string)` (reference
     * SchemaDecl, `src/statement/schema.rs`; types `src/schema/mod.rs:24-45`). */
   final case class SchemaDecl(rel: String, fields: Seq[(String, String)]) extends Statement
+  /** Named type alias `type Email: string` (reference `src/statement/types.rs`). */
+  final case class TypeAlias(alias: String, base: String) extends Statement
   /** `goal` is set for shorthand queries `?rel(args)`: the result keeps
     * the goal atom's full arity (constants included), like the reference's
     * `__query__(_c0,Y) <- rel(_c0,Y), _c0=1` rewrite

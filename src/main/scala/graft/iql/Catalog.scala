@@ -60,8 +60,17 @@ final class Catalog(val spark: SparkSession) {
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
-  def declareSchema(name: String, fields: Seq[(String, String)]): Unit = {
+  /** Named type aliases (`type Email: string`) resolved at declaration. */
+  private val typeAliases = mutable.LinkedHashMap.empty[String, String]
+  def addTypeAlias(alias: String, base: String): Unit = {
+    val resolved = typeAliases.getOrElse(base, base)
+    typeAliases(alias) = resolved
+  }
+  private def resolveType(t: String): String = typeAliases.getOrElse(t, t)
+
+  def declareSchema(name: String, fields0: Seq[(String, String)]): Unit = {
     bump()
+    val fields = fields0.map { case (n, t) => (n, resolveType(t)) }
     declared(name) = fields
     if (!relations.contains(name)) {
       val schema = StructType(fields.map { case (n, t) => StructField(n, iqlType(t), nullable = true) })
@@ -95,6 +104,9 @@ final class Catalog(val spark: SparkSession) {
             case ("symbol" | "string", _: String) => true
             case ("bool", _: Boolean) => true
             case ("any", _) => true
+            case (vt, s: Seq[_]) if vt.startsWith("vector") =>
+              val dim = "vector\\[(\\d+)\\]".r.findFirstMatchIn(vt).map(_.group(1).toInt)
+              dim.forall(_ == s.length) // dim constraint when declared
             case _ => false
           }
           require(ok, s"schema violation: $name.$fn expects $ft, got $v " +
@@ -109,11 +121,24 @@ final class Catalog(val spark: SparkSession) {
 
   def rules: Seq[Ast.Rule] = ruleList.toSeq
 
-  def addRule(rule: Ast.Rule): Unit = { bump(); ruleList += rule }
+  /** Re-registering an identical rule is a no-op (reference dedups rule
+    * submissions); different bodies for the same head accumulate. */
+  def addRule(rule: Ast.Rule): Unit =
+    if (!ruleList.contains(rule)) { bump(); ruleList += rule }
+
+  /** Remove the idx-th (1-based) clause of a head's rules. */
+  def removeRuleClause(headRel: String, idx: Int): Boolean = {
+    val clauses = ruleList.zipWithIndex.filter(_._1.head.rel == headRel)
+    clauses.lift(idx - 1) match {
+      case Some((_, globalIdx)) => bump(); ruleList.remove(globalIdx); true
+      case None => false
+    }
+  }
 
   def dropRelation(name: String): Unit = {
     bump()
     relations.remove(name)
+    emptyPlaceholders -= name
     val remaining = ruleList.filterNot(_.head.rel == name)
     ruleList.clear()
     ruleList ++= remaining
@@ -124,13 +149,17 @@ final class Catalog(val spark: SparkSession) {
   private def inferSchema(rows: Seq[Seq[Any]]): StructType = {
     val arity = rows.head.length
     StructType((0 until arity).map { i =>
-      val dt = rows.iterator.map(_(i)).collectFirst {
-        case _: Long => LongType
-        case _: Int => LongType
-        case _: Double => DoubleType
-        case _: Boolean => BooleanType
-        case _: String => StringType
-      }.getOrElse(StringType)
+      val vals = rows.map(_(i))
+      val dt =
+        if (vals.exists(_.isInstanceOf[Double]))
+          DoubleType // int/float mixed column promotes to float
+        else vals.collectFirst {
+          case _: Long => LongType
+          case _: Int => LongType
+          case _: Boolean => BooleanType
+          case _: String => StringType
+          case _: Seq[_] => ArrayType(FloatType, containsNull = false) // vector literal
+        }.getOrElse(StringType)
       StructField(s"c$i", dt, nullable = true)
     })
   }
@@ -146,21 +175,33 @@ final class Catalog(val spark: SparkSession) {
 
   /** Insert facts; creates the relation (inferring a schema) on first use.
     * All-or-nothing per batch like the reference (`src/schema/mod.rs:1-8`). */
+  /** `+rel[]` declares an empty relation whose arity/schema materialize
+    * at first non-empty use (queries against it see an empty frame). */
+  private val emptyPlaceholders = mutable.HashSet.empty[String]
+  def isEmptyPlaceholder(name: String): Boolean =
+    emptyPlaceholders(name) && !relations.contains(name)
+
   def insert(name: String, rows: Seq[Seq[Any]]): Unit = {
-    if (rows.isEmpty) return
+    if (rows.isEmpty) {
+      if (!relations.contains(name)) { bump(); emptyPlaceholders += name }
+      return
+    }
     validate(name, rows)
     bump()
+    emptyPlaceholders -= name
+    // facts are a SET (Datalog semantics — re-inserting a tuple is a
+    // no-op; the reference's own corpus sums duplicate inserts once)
     relations.get(name) match {
       case None =>
         val schema = inferSchema(rows)
         relations(name) = spark.createDataFrame(
-          spark.sparkContext.parallelize(toRows(rows, schema)), schema)
+          spark.sparkContext.parallelize(toRows(rows, schema)), schema).distinct()
       case Some(df) =>
         require(rows.forall(_.length == df.schema.length),
           s"arity mismatch inserting into $name: expected ${df.schema.length}")
         val add = spark.createDataFrame(
           spark.sparkContext.parallelize(toRows(rows, df.schema)), df.schema)
-        relations(name) = df.union(add)
+        relations(name) = df.union(add).distinct()
     }
   }
 

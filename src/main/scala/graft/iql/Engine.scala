@@ -54,6 +54,7 @@ final class Engine(val catalog: Catalog) {
         else { sessionRules += rule; matCache.clear() } // session rules bypass catalog versioning
       case DeleteWhere(atom, body) => deleteWhere(atom, body)
       case SchemaDecl(rel, fields) => catalog.declareSchema(rel, fields)
+      case TypeAlias(alias, base) => catalog.addTypeAlias(alias, base)
       case Update(del, ins, body) => update(del, ins, body)
       case q: Query => results += evalQuery(q)
     }
@@ -77,13 +78,18 @@ final class Engine(val catalog: Catalog) {
     val idb = new IdbEvaluator(rules, demandFor(q, rules))
     var df = RuleCompiler.compileBody(q.body, idb.resolve)
     // shorthand queries keep the goal atom's full arity (constants too)
+    // plus any vars BOUND by extra body elements (`?emb(Id, V), Q = f(V)`
+    // returns Id, V, Q — reference shorthand result shape)
     q.goal.foreach { g =>
-      df = df.select(g.args.zipWithIndex.map {
+      val goalCols = g.args.zipWithIndex.map {
         case (Var(v), _) => col(v)
         case (Const(c), i) => lit(c).as(s"_c$i")
         case (other, i) => throw new IllegalArgumentException(
           s"goal arg $i must be var or const, got $other")
-      }: _*)
+      }
+      val goalVars = g.args.collect { case Var(v) => v }.toSet
+      val extraVars = df.columns.filterNot(goalVars).toSeq // appearance order
+      df = df.select(goalCols ++ extraVars.map(col): _*)
     }
     // result columns = variables in order of first appearance
     val sorted = if (q.sort.nonEmpty)
@@ -186,11 +192,13 @@ final class Engine(val catalog: Catalog) {
     private val memo = mutable.HashMap.empty[String, DataFrame]
     private val inProgress = mutable.HashSet.empty[String]
 
-    val resolve: RuleCompiler.Resolver = (name: String) => {
+    val resolve: RuleCompiler.Resolver = (name: String, arity: Int) => {
       memo.getOrElse(name, {
         if (!byHead.contains(name)) {
-          catalog.relation(name).getOrElse(
-            throw new IllegalArgumentException(s"unknown relation $name"))
+          // unknown relation = empty (Datalog convention, matches the
+          // reference: querying a dropped/never-defined relation yields
+          // "No results", not an error)
+          catalog.relation(name).getOrElse(emptyFrame(arity))
         } else if (demand.isEmpty && cacheGet(name).isDefined) {
           val df = cacheGet(name).get
           memo(name) = df
@@ -203,6 +211,16 @@ final class Engine(val catalog: Catalog) {
           memo(name)
         }
       })
+    }
+
+    /** Zero-row frame with `arity` untyped columns (empty placeholders,
+      * never-derived recursive relations). */
+    private def emptyFrame(arity: Int): DataFrame = {
+      val schema = org.apache.spark.sql.types.StructType((0 until arity).map(i =>
+        org.apache.spark.sql.types.StructField(s"c$i",
+          org.apache.spark.sql.types.NullType, nullable = true)))
+      catalog.spark.createDataFrame(
+        catalog.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
 
     /** Evaluate the whole SCC containing `name` (plus, transitively, the
@@ -261,7 +279,7 @@ final class Engine(val catalog: Catalog) {
             case _ => false
           }
           if (!rightLinear) return None
-          val e = resolve(e1)
+          val e = resolve(e1, 2)
           if (e.columns.length != 2) return None
           val closed = demand.get(rel) match {
             case Some((0, v)) =>
@@ -303,8 +321,10 @@ final class Engine(val catalog: Catalog) {
       val n = all.head.columns.length
       val named = all.map(df => df.toDF((0 until n).map(i => s"c$i"): _*))
       val unioned = named.reduce(_ union _)
-      (if (rs.exists(_.head.args.exists(a => a.isInstanceOf[Agg] || a.isInstanceOf[Rank])))
-        unioned
+      // set semantics at stratum outputs — including aggregate heads
+      // (multi-clause agg rules union then dedup, reference corpus
+      // 14_aggregations/156); ranking heads keep their per-group rows
+      (if (rs.exists(_.head.args.exists(_.isInstanceOf[Rank]))) unioned
        else unioned.distinct())
     }
 
@@ -335,8 +355,13 @@ final class Engine(val catalog: Catalog) {
           }
           val grouped = if (groups.isEmpty) bodyDf.groupBy()
                         else bodyDf.groupBy(groups: _*)
-          grouped.agg(aggCols.head, aggCols.tail: _*)
+          val agged = grouped.agg(aggCols.head, aggCols.tail: _*)
             .select(r.head.args.indices.map(i => col(s"c$i")): _*)
+          // Datalog semantics: a global aggregate over an EMPTY body has
+          // no derivations (SQL would emit one null/zero row)
+          if (groups.isEmpty)
+            agged.crossJoin(bodyDf.limit(1).select(lit(1).as("__ne"))).drop("__ne")
+          else agged
         }
       demand.get(r.head.rel) match {
         case Some((i, v)) => out.filter(col(s"c$i") === lit(v))
@@ -390,7 +415,17 @@ final class Engine(val catalog: Catalog) {
     private def aggFunc(f: String, arg: Term, frame: DataFrame): Column = f match {
       case "count" => count(lit(1))
       case "count_distinct" => countDistinct(RuleCompiler.term(arg, frame))
-      case "sum" => sum(RuleCompiler.term(arg, frame))
+      case "sum" =>
+        // reference coercion: sum over non-numeric values yields 0
+        // (`src/value/mod.rs:353-379`)
+        val c = RuleCompiler.term(arg, frame)
+        val numeric = try {
+          frame.select(c).schema.head.dataType match {
+            case _: org.apache.spark.sql.types.NumericType => true
+            case _ => false
+          }
+        } catch { case _: Throwable => true }
+        if (numeric) sum(c) else coalesce(sum(lit(0L)), lit(0L))
       case "min" => min(RuleCompiler.term(arg, frame))
       case "max" => max(RuleCompiler.term(arg, frame))
       case "avg" => avg(RuleCompiler.term(arg, frame))
@@ -422,7 +457,6 @@ final class Engine(val catalog: Catalog) {
           if (m.count > 0) { acc(rel) = m; delta(rel) = m }
         }
       }
-      require(acc.nonEmpty, s"recursive component ${scc.mkString(",")} has no base case at all")
       val recRules = sccRules.filter(_.body.exists { case Pos(a) => scc(a.rel); case _ => false })
       var iter = 0
       while (delta.nonEmpty && iter < 10000) {
@@ -447,12 +481,12 @@ final class Engine(val catalog: Catalog) {
               if (!delta.contains(dRel) || !othersOk) None
               else {
                 var occ = -1
-                val resolver: RuleCompiler.Resolver = nm =>
+                val resolver: RuleCompiler.Resolver = (nm, ar) =>
                   if (scc(nm)) {
                     occ += 1
                     val bodyIdx = recBodyIdx(occ)
                     if (bodyIdx == dIdx) delta(nm).df else acc(nm).df
-                  } else resolve(nm)
+                  } else resolve(nm, ar)
                 Some(deriveRule(r, resolver))
               }
             }
@@ -476,15 +510,8 @@ final class Engine(val catalog: Catalog) {
         delta = nextDelta
       }
       scc.foreach { rel =>
-        memo(rel) = acc.get(rel).map(_.df).getOrElse {
-          // never derived: empty frame with the head's arity
-          val arity = byHead(rel).head.head.args.length
-          val schema = org.apache.spark.sql.types.StructType((0 until arity).map(i =>
-            org.apache.spark.sql.types.StructField(s"c$i",
-              org.apache.spark.sql.types.NullType, nullable = true)))
-          catalog.spark.createDataFrame(
-            catalog.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        }
+        memo(rel) = acc.get(rel).map(_.df).getOrElse(
+          emptyFrame(byHead(rel).head.head.args.length)) // never derived
       }
     }
   }

@@ -36,21 +36,48 @@ object Parser {
   private val symbols = Seq("<-", "<=", ">=", "!=", "(", ")", "[", "]",
     "<", ">", ",", "=", "+", "-", "*", "/", "%", "!", "?", ":", ".", ";")
 
+  /** Tokens after which a newline is a CONTINUATION, not a statement
+    * separator (IQL is line-oriented like the reference: `+a(1)` on the
+    * next line starts a new statement, it is not `... + a(1)` arithmetic). */
+  private val continuers: Set[Tok] = Set("<-", ",", "=", "!=", "<", "<=", ">",
+    ">=", "+", "-", "*", "/", "%", "!", "(", "[", ";", ":").map(TSym(_): Tok)
+
   def tokenize(src: String): Vector[Tok] = {
-    val out = Vector.newBuilder[Tok]
+    var depth = 0 // () / [] nesting; newlines inside are never separators
+    var toks = Vector.empty[Tok]
+    val out = new {
+      def +=(t: Tok): Unit = {
+        t match {
+          case TSym("(") | TSym("[") => depth += 1
+          case TSym(")") | TSym("]") => depth = math.max(0, depth - 1)
+          case _ => ()
+        }
+        toks = toks :+ t
+      }
+      def result(): Vector[Tok] = toks
+    }
     var i = 0
     val n = src.length
     while (i < n) {
       val c = src(i)
-      if (c.isWhitespace) i += 1
+      if (c == '\n') {
+        if (depth == 0 && toks.nonEmpty && !continuers(toks.last) && toks.last != TEnd)
+          out += TSym(";")
+        i += 1
+      } else if (c.isWhitespace) i += 1
       else if (c == '#' || (c == '/' && i + 1 < n && src(i + 1) == '/')) {
         while (i < n && src(i) != '\n') i += 1
       } else if (c == '"') {
         val sb = new StringBuilder
         i += 1
         while (i < n && src(i) != '"') {
-          if (src(i) == '\\' && i + 1 < n) { sb.append(src(i + 1)); i += 2 }
-          else { sb.append(src(i)); i += 1 }
+          if (src(i) == '\\' && i + 1 < n) {
+            sb.append(src(i + 1) match {
+              case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
+              case other => other
+            })
+            i += 2
+          } else { sb.append(src(i)); i += 1 }
         }
         if (i >= n) throw new IllegalArgumentException("unterminated string literal")
         i += 1
@@ -73,7 +100,8 @@ object Parser {
         }
       }
     }
-    (out += TEnd).result()
+    out += TEnd
+    out.result()
   }
 
   // ---------------------------------------------------------------- parser
@@ -105,6 +133,7 @@ object Parser {
   def parseProgram(src: String): Program = {
     val p = new P(tokenize(src))
     val stmts = Seq.newBuilder[Statement]
+    while (p.acceptSym(";") || p.acceptSym(".")) () // leading separators
     while (!p.atEnd) {
       stmts += parseStatement(p)
       while (p.acceptSym(";") || p.acceptSym(".")) ()
@@ -113,6 +142,10 @@ object Parser {
   }
 
   def parseStatement(p: P): Statement = p.peek match {
+    case TIdent("type") if p.peek2.isInstanceOf[TIdent] =>
+      // `type Email: string` named alias (reference `src/statement/types.rs`)
+      p.next(); val alias = ident(p); p.expectSym(":"); val base = ident(p)
+      TypeAlias(alias, base)
     case TSym("+") => p.next(); parsePlus(p)
     case TSym("-") => p.next(); parseMinus(p)
     case TSym("?") =>
@@ -144,7 +177,7 @@ object Parser {
           p.acceptSym(",")
           ()
         }
-        InsertFacts(name, rows.result())
+        InsertFacts(name, rows.result()) // may be empty: `+rel[]`
       case TSym("(") =>
         // schema decl iff first arg looks like `ident : typename`
         if (p.peek2.isInstanceOf[TIdent] && isSchemaDecl(p)) parseSchemaDecl(p, name)
@@ -172,8 +205,7 @@ object Parser {
     while (!done) {
       val fname = ident(p)
       p.expectSym(":")
-      val tname = ident(p)
-      if (!SchemaTypes(tname)) p.fail(s"unknown schema type $tname")
+      val tname = ident(p) // builtin type or a named alias (resolved at declare)
       // vector[dim]
       val full = if (tname == "vector" && p.acceptSym("[")) {
         val d = p.next() match { case TInt(v) => v; case t => p.fail(s"expected dim, got $t") }
@@ -302,7 +334,11 @@ object Parser {
     val args = Seq.newBuilder[Term]
     if (!p.acceptSym(")")) {
       args += parseHeadTerm(p, sorts)
-      while (p.acceptSym(",")) args += parseHeadTerm(p, sorts)
+      var more = p.acceptSym(",")
+      while (more && !(p.peek == TSym(")"))) { // tolerate trailing comma: (1,)
+        args += parseHeadTerm(p, sorts)
+        more = p.acceptSym(",")
+      }
       p.expectSym(")")
     }
     Atom(name, args.result())
@@ -399,6 +435,20 @@ object Parser {
     case TInt(v) => Const(v)
     case TFloat(v) => Const(v)
     case TStr(s) => Const(s)
+    case TSym("[") => // vector literal [1.0, 2.0, ...] → Seq[Float]
+      val elems = Seq.newBuilder[Float]
+      if (!p.acceptSym("]")) {
+        var done = false
+        while (!done) {
+          parseUnary(p) match {
+            case Const(v: Long) => elems += v.toFloat
+            case Const(v: Double) => elems += v.toFloat
+            case t => p.fail(s"vector elements must be numeric literals, got $t")
+          }
+          if (!p.acceptSym(",")) { p.expectSym("]"); done = true }
+        }
+      }
+      Const(elems.result())
     case TIdent("true") => Const(true)
     case TIdent("false") => Const(false)
     case TIdent("_") => Wildcard
@@ -428,6 +478,7 @@ object Parser {
         case other => p.fail(s"batch-insert rows take constants, got $other")
       }
       if (!p.acceptSym(",")) { p.expectSym(")"); done = true }
+      else if (p.acceptSym(")")) done = true // tolerate trailing comma: (1,)
     }
     row.result()
   }

@@ -83,6 +83,13 @@ final class Session(val spark: SparkSession) {
       case Seq(".rule", "list") => Text(catalog.rules.map(Printer.rule))
       case Seq(".rule", "drop", headRel) =>
         catalog.dropRule(headRel); Text(Seq(s"dropped rules for $headRel"))
+      case Seq(".rule", "remove", headRel, idx) =>
+        val ok = catalog.removeRuleClause(headRel, idx.toInt)
+        Text(Seq(if (ok) s"removed clause $idx of $headRel" else s"no clause $idx for $headRel"))
+      case Seq(".rule", "def" | "show", headRel) =>
+        Text(engine.currentRules.filter(_.head.rel == headRel).map(Printer.rule))
+      case Seq(".rule", headRel) if !Set("list", "drop", "remove", "def", "show", "clear")(headRel) =>
+        Text(engine.currentRules.filter(_.head.rel == headRel).map(Printer.rule))
 
       case Seq(".load", path) =>
         val src = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))

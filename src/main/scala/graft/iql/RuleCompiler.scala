@@ -20,11 +20,24 @@ import graft.functions.{TemporalFunctions => TempF, VectorFunctions => VF}
   */
 object RuleCompiler {
 
-  /** Resolve a relation name to its DataFrame. */
-  type Resolver = String => DataFrame
+  /** Resolve a relation name (with the referencing atom's arity — needed
+    * so empty-placeholder relations can materialize a frame of the right
+    * width) to its DataFrame. */
+  type Resolver = (String, Int) => DataFrame
+
+  /** Builtin boolean functions that may appear in ATOM position in a body
+    * (`recent(Id) <- events(Id, Ts), within_last(Ts, Now, D)`) — they are
+    * filters, not relation scans (reference BodyPredicate builtins). */
+  private val BoolBuiltins = Set("within_last", "time_before", "time_after",
+    "time_between", "intervals_overlap", "interval_contains", "point_in_interval")
 
   /** Compile a body; returns a frame with one column per variable. */
-  def compileBody(body: Seq[BodyElem], resolve: Resolver): DataFrame = {
+  def compileBody(body0: Seq[BodyElem], resolve: Resolver): DataFrame = {
+    val body = body0.map {
+      case Pos(Atom(n, args)) if BoolBuiltins(n.toLowerCase) =>
+        Cmp("=", Func(n, args), Const(true))
+      case other => other
+    }
     val positives = body.collect { case Pos(a) => a }
     require(positives.nonEmpty, "rule body needs at least one positive atom (range restriction)")
 
@@ -68,12 +81,14 @@ object RuleCompiler {
   /** One atom → frame keyed by its variable names. Constants filter,
     * repeated variables filter-by-equality, wildcards drop. */
   private def atomFrame(a: Atom, resolve: Resolver): DataFrame = {
-    val df = resolve(a.rel)
+    val df = resolve(a.rel, a.args.length)
     require(df.columns.length == a.args.length,
       s"${a.rel} has arity ${df.columns.length}, atom uses ${a.args.length}")
     var out = df
     val seen = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     a.args.zipWithIndex.foreach {
+      case (Const(sq: Seq[_]), i) =>
+        out = out.filter(col(df.columns(i)) === term(Const(sq), out))
       case (Const(v), i) => out = out.filter(col(df.columns(i)) === lit(v))
       case (Var(name), i) =>
         seen.get(name) match {
@@ -95,10 +110,17 @@ object RuleCompiler {
     def isDouble(c: Column): Boolean =
       try frame.select(c).schema.head.dataType == org.apache.spark.sql.types.DoubleType
       catch { case _: Throwable => false }
+    // = / != are NULL-SAFE (reference: null != 0 is true, null = null true)
     if ((op == "=" || op == "!=") && (isDouble(l) || isDouble(r))) {
-      val eq = abs(l.cast("double") - r.cast("double")) < lit(1e-10)
+      val eq = when(l.isNull && r.isNull, lit(true))
+        .when(l.isNull || r.isNull, lit(false))
+        .otherwise(abs(l.cast("double") - r.cast("double")) < lit(1e-10))
       if (op == "=") eq else !eq
-    } else cmp(op, l, r)
+    } else op match {
+      case "=" => l <=> r
+      case "!=" => !(l <=> r)
+      case _ => cmp(op, l, r)
+    }
   }
 
   def cmp(op: String, l: Column, r: Column): Column = op match {
@@ -116,10 +138,14 @@ object RuleCompiler {
     case Var(v) =>
       require(frame.columns.contains(v), s"unbound variable $v in expression")
       col(v)
+    case Const(s: Seq[_]) => typedLit(s.map {
+      case f: Float => f; case d: Double => d.toFloat; case l: Long => l.toFloat
+      case other => other.toString.toFloat
+    })
     case Const(v) => lit(v)
     case Wildcard => throw new IllegalArgumentException("wildcard in expression position")
     case Arith(op, l, r) => arith(op, t, frame)
-    case Func(name, args) => builtin(name, args.map(term(_, frame)))
+    case Func(name, args) => builtin(name.toLowerCase, args.map(term(_, frame)))
     case Agg(f, _) => throw new IllegalArgumentException(s"aggregate $f<> outside rule head")
   }
 
@@ -131,8 +157,10 @@ object RuleCompiler {
       }
     } catch { case _: Throwable => false }
 
-  /** Int/float promotion like the reference (`code_generator/mod.rs:3510-3558`):
-    * both integral → integer result, incl. truncating division. */
+  /** Int/float promotion like the reference (`code_generator/mod.rs:3510-3558`).
+    * Division is ALWAYS float — the reference's own snapshot corpus shows
+    * `7 / 3 = 2.3333...` (examples/iql/15_arithmetic/31_division_truncation
+    * .iql.out), matching its as_f64 coercion. */
   private def arith(op: String, t: Term, frame: DataFrame): Column = {
     val Arith(_, lt, rt) = t: @unchecked
     val (l, r) = (term(lt, frame), term(rt, frame))
@@ -142,8 +170,10 @@ object RuleCompiler {
       case "*" => l * r
       case "%" => l % r
       case "/" =>
-        if (isIntegral(l, frame) && isIntegral(r, frame)) (l / r).cast("long")
-        else l / r
+        // division by zero yields null (reference numeric safety — its
+        // corpus shows 100/0 → null, `tests/numeric_safety_tests.rs`)
+        val (ld, rd) = (l.cast("double"), r.cast("double"))
+        when(rd === 0.0, lit(null)).otherwise(ld / rd)
       case _ => throw new IllegalArgumentException(s"unknown arithmetic op $op")
     }
   }
@@ -205,7 +235,15 @@ object RuleCompiler {
     case ("vec_add", Seq(x, y)) => VF.vecAdd(x, y)
     case ("vec_scale", Seq(x, s)) => VF.vecScale(x, s)
     case ("quantize_symmetric", Seq(x)) => VF.quantizeSymmetric(x)
+    case ("quantize_linear", Seq(x)) => VF.quantizeLinearAuto(x)
+    case ("quantize_linear", Seq(v, s, z)) => VF.quantizeLinear(v, s, z)
+    case ("dequantize", Seq(q)) => VF.dequantizeCast(q)
+    case ("dequantize", Seq(q, s, z)) => VF.dequantize(q, s, z)
     case ("dequantize_scaled", Seq(q, s)) => VF.dequantizeScaled(q, s)
+    case ("euclidean_int8", Seq(x, y)) => VF.euclidean(x, y)
+    case ("cosine_int8", Seq(x, y)) => VF.cosineDistance(x, y)
+    case ("dot_int8", Seq(x, y)) => VF.dot(x, y)
+    case ("manhattan_int8", Seq(x, y)) => VF.manhattan(x, y)
     case _ => throw new IllegalArgumentException(
       s"unknown builtin $name/${a.size}")
   }

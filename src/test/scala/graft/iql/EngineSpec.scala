@@ -116,12 +116,12 @@ class EngineSpec extends SparkSpec {
         |""".stripMargin) == Set(Seq("hello", "HELLO", 6L), Seq("spark", "SPARK", 6L)))
   }
 
-  test("integer division truncates; float division doesn't") {
+  test("division is always float (reference as_f64 semantics)") {
     assert(query(
       """+n[(7)]
-        |d(A, B) <- n(X), A = X / 2, B = to_float(X) / 2
+        |d(A, B) <- n(X), A = X / 2, B = to_int(X / 2)
         |?d(A, B)
-        |""".stripMargin) == Set(Seq(3L, 3.5)))
+        |""".stripMargin) == Set(Seq(3.5, 3L)))
   }
 
   test("conditional delete") {
@@ -132,12 +132,12 @@ class EngineSpec extends SparkSpec {
         |""".stripMargin) == Set(Seq(1L), Seq(2L)))
   }
 
-  test("delete fact and drop relation") {
+  test("delete fact and drop relation (dropped = empty, Datalog semantics)") {
     val e = engine
     e.run("+a[(1),(2)]\n-a(1)")
     assert(rows(e.run("?a(X)").last) == Set(Seq(2L)))
     e.run("-a")
-    assertThrows[IllegalArgumentException](e.run("?a(X)"))
+    assert(rows(e.run("?a(X)").last) == Set.empty[Seq[Any]])
   }
 
   test("bound recursive query uses demand restriction and matches") {
