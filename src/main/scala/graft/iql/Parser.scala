@@ -218,26 +218,38 @@ object Parser {
     SchemaDecl(name, fields.result())
   }
 
-  /** `-rel(...)`, `-rel(X) <- body`, `-old(..), +new(..) <- body`
-    * (atomic update), or `-rel` (drop). */
+  /** `-rel(...)` (exact or pattern delete), `-rel[(..),(..)]` (batch),
+    * `-rel(X) <- body`, `-old(..), +new(..) <- body` (atomic update), or
+    * `-rel` (drop). */
   private def parseMinus(p: P): Statement = {
     val name = ident(p)
     p.peek match {
+      case TSym("[") =>
+        p.next()
+        val rows = Seq.newBuilder[Seq[Any]]
+        while (!p.acceptSym("]")) {
+          p.expectSym("(")
+          rows += parseConstRow(p)
+          p.acceptSym(",")
+          ()
+        }
+        DeleteFacts(name, rows.result())
       case TSym("(") =>
-        val atom = parseAtomArgs(p, name)
+        val atom0 = parseAtomArgs(p, name)
+        // wildcards in delete patterns become fresh variables
+        val atom = atom0.copy(args = atom0.args.zipWithIndex.map {
+          case (Wildcard, i) => Var(s"_d$i")
+          case (t, _) => t
+        })
         if (p.acceptSym(",")) {
           p.expectSym("+")
           val ins = parseAtom(p)
           p.expectSym("<-")
           Update(atom, ins, parseBody(p))
         } else if (p.acceptSym("<-")) DeleteWhere(atom, parseBody(p))
-        else {
-          val consts = atom.args.map {
-            case Const(v) => v
-            case other => p.fail(s"delete-fact arguments must be constants, got $other")
-          }
-          DeleteFacts(name, Seq(consts))
-        }
+        else if (atom.args.forall(_.isInstanceOf[Const])) {
+          DeleteFacts(name, Seq(atom.args.map { case Const(v) => v; case _ => ??? }))
+        } else DeleteWhere(atom, Seq(Pos(atom))) // pattern delete: -rel(Id, "a", V)
       case _ => DropRelation(name)
     }
   }

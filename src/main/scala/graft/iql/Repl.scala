@@ -72,7 +72,12 @@ final class Session(val spark: SparkSession) {
       case Seq(".session", "clear") =>
         engine.clearSession(); Text(Seq("session rules cleared"))
 
-      case Seq(".rel", "list") => Text(catalog.relationNames)
+      case Seq(".rel") | Seq(".rel", "list") => Text(catalog.relationNames)
+      case Seq(".rule") => Text(engine.currentRules.map(Printer.rule))
+      case Seq(".rel", name) if !Set("list", "describe", "drop")(name) =>
+        val df = catalog.relation(name).getOrElse(
+          throw new IllegalArgumentException(s"unknown relation $name"))
+        Text(df.schema.fields.map(f => s"${f.name}: ${f.dataType.simpleString}").toSeq)
       case Seq(".rel", "describe", name) =>
         val df = catalog.relation(name).getOrElse(
           throw new IllegalArgumentException(s"unknown relation $name"))
