@@ -51,6 +51,10 @@ object Ast {
 
   sealed trait Statement
   final case class InsertFacts(rel: String, rows: Seq[Seq[Any]]) extends Statement
+  /** Bare `rel(1, 2)` — EPHEMERAL session fact, visible only to the
+    * current session, cleared on .session clear / KG switch (reference
+    * `Statement::Fact`, `src/statement/mod.rs:44-45`). */
+  final case class SessionFact(rel: String, row: Seq[Any]) extends Statement
   final case class DeleteFacts(rel: String, rows: Seq[Seq[Any]]) extends Statement
   /** Conditional delete `-rel(X,...) <- body` */
   final case class DeleteWhere(atom: Atom, body: Seq[BodyElem]) extends Statement

@@ -20,8 +20,34 @@ final class Engine(val catalog: Catalog) {
     * same catalog, surviving across [[run]] calls until [[clearSession]]
     * (reference `src/session.rs`). */
   private val sessionRules = mutable.ArrayBuffer.empty[Rule]
+  /** Ephemeral session facts: rel → rows (reference `Statement::Fact`) —
+    * overlaid on base relations at resolve time, never persisted. */
+  private val sessionFacts = mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[Seq[Any]]]
 
-  def clearSession(): Unit = { sessionRules.clear(); matCache.clear() }
+  def clearSession(): Unit = { sessionRules.clear(); sessionFacts.clear(); matCache.clear() }
+
+  def sessionSummary: (Int, Int) = (sessionRules.length, sessionFacts.values.map(_.length).sum)
+
+  /** Drop session rules/facts for one head (reference `.session drop <name>`). */
+  def dropSessionRule(name: String): Unit = {
+    val remaining = sessionRules.filterNot(_.head.rel == name)
+    sessionRules.clear(); sessionRules ++= remaining
+    sessionFacts.remove(name)
+    matCache.clear()
+  }
+
+  /** Base relation + session-fact overlay (set semantics). */
+  private def baseWithOverlay(name: String): Option[DataFrame] = {
+    val base = catalog.relation(name)
+    sessionFacts.get(name) match {
+      case None => base
+      case Some(rows) =>
+        val tmp = new Catalog(catalog.spark)
+        base.foreach(b => tmp.register(name, b))
+        tmp.insert(name, rows.toSeq) // reuses schema inference/coercion
+        tmp.relation(name)
+    }
+  }
 
   /** Materialization cache keyed by (relation, catalog version): while the
     * catalog doesn't change, a re-query serves derived relations from here
@@ -47,11 +73,17 @@ final class Engine(val catalog: Catalog) {
     val results = Seq.newBuilder[DataFrame]
     prog.statements.foreach {
       case InsertFacts(rel, rows) => catalog.insert(rel, rows)
+      case SessionFact(rel, row) =>
+        sessionFacts.getOrElseUpdate(rel, mutable.ArrayBuffer.empty) += row
+        matCache.clear()
       case DeleteFacts(rel, rows) => catalog.delete(rel, rows)
       case DropRelation(rel) => catalog.dropRelation(rel)
       case RuleDef(rule) =>
         if (rule.persistent) catalog.addRule(rule)
-        else { sessionRules += rule; matCache.clear() } // session rules bypass catalog versioning
+        else if (!sessionRules.contains(rule)) { // dedup identical re-adds
+          sessionRules += rule
+          matCache.clear()
+        }
       case DeleteWhere(atom, body) => deleteWhere(atom, body)
       case SchemaDecl(rel, fields) => catalog.declareSchema(rel, fields)
       case TypeAlias(alias, base) => catalog.addTypeAlias(alias, base)
@@ -142,6 +174,21 @@ final class Engine(val catalog: Catalog) {
   // ------------------------------------------------------------ deletes
 
   private def deleteWhere(atom: Atom, body: Seq[BodyElem]): Unit = {
+    if (catalog.relation(atom.rel).isEmpty) {
+      // `-head(args) <- body` naming a RULE head: remove the structurally
+      // matching clause (reference 17_rule_commands minus-clause form)
+      val matching = catalog.rules.find(r => r.head == atom && r.body == body)
+      matching match {
+        case Some(r) =>
+          val idx = catalog.rules.filter(_.head.rel == atom.rel).indexOf(r) + 1
+          catalog.removeRuleClause(atom.rel, idx)
+          return
+        case None =>
+          val sess = sessionRules.find(r => r.head == atom && r.body == body)
+          sess.foreach { r => sessionRules -= r; matCache.clear() }
+          if (sess.isDefined) return
+      }
+    }
     val rel = catalog.relation(atom.rel).getOrElse(
       throw new IllegalArgumentException(s"unknown relation ${atom.rel}"))
     val idb = new IdbEvaluator(currentRules, Map.empty)
@@ -198,7 +245,7 @@ final class Engine(val catalog: Catalog) {
           // unknown relation = empty (Datalog convention, matches the
           // reference: querying a dropped/never-defined relation yields
           // "No results", not an error)
-          catalog.relation(name).getOrElse(emptyFrame(arity))
+          baseWithOverlay(name).getOrElse(emptyFrame(arity))
         } else if (demand.isEmpty && cacheGet(name).isDefined) {
           val df = cacheGet(name).get
           memo(name) = df
@@ -260,7 +307,7 @@ final class Engine(val catalog: Catalog) {
     private def tcFastPath(scc: Set[String], sccRules: Seq[Rule]): Option[(String, DataFrame)] = {
       if (scc.size != 1) return None
       val rel = scc.head
-      if (catalog.relation(rel).isDefined) return None // EDB facts mixed in
+      if (baseWithOverlay(rel).isDefined) return None // EDB facts mixed in
       val rs = sccRules
       if (rs.size != 2) return None
       val (recRules, baseRules) = rs.partition(_.body.exists {
@@ -312,7 +359,7 @@ final class Engine(val catalog: Catalog) {
       * name also exists as an EDB relation. */
     private def oneShot(rel: String, rs: Seq[Rule]): DataFrame = {
       val derived = rs.map(r => deriveRule(r))
-      val all = catalog.relation(rel) match {
+      val all = baseWithOverlay(rel) match {
         case Some(base) => base +: derived.map(_.toDF(base.columns: _*))
         case None => derived
       }
@@ -449,7 +496,7 @@ final class Engine(val catalog: Catalog) {
       scc.foreach { rel =>
         val baseRules = byHead.getOrElse(rel, Seq.empty)
           .filterNot(_.body.exists { case Pos(a) => scc(a.rel); case _ => false })
-        val parts = catalog.relation(rel).map(b =>
+        val parts = baseWithOverlay(rel).map(b =>
           b.toDF(b.columns.indices.map(i => s"c$i"): _*)).toSeq ++
           baseRules.map(deriveRule(_))
         if (parts.nonEmpty) {

@@ -152,11 +152,17 @@ object Parser {
       p.next()
       if (p.acceptSym("-")) parseQueryBody(p)
       else parseQueryShorthand(p)
-    case TIdent(_) => // session rule: head(...) <- body
+    case TIdent(_) =>
+      // session rule `head(...) <- body` or ephemeral fact `rel(1, 2)`
       val head = parseAtom(p)
-      p.expectSym("<-")
-      val body = parseBody(p)
-      RuleDef(Rule(head, body, persistent = false))
+      if (p.acceptSym("<-")) RuleDef(Rule(head, parseBody(p), persistent = false))
+      else {
+        val consts = head.args.map {
+          case Const(v) => v
+          case other => p.fail(s"session fact arguments must be constants, got $other")
+        }
+        SessionFact(head.rel, consts)
+      }
     case t => p.fail(s"unexpected token $t at statement start")
   }
 

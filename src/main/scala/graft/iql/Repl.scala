@@ -13,7 +13,8 @@ object Repl {
   final case class Table(df: DataFrame) extends Result
 }
 
-final class Session(val spark: SparkSession) {
+final class Session(val spark: SparkSession,
+                    val loadBasePath: String = ".") {
   import Repl._
 
   private val kgs = mutable.LinkedHashMap("default" -> new Catalog(spark))
@@ -61,6 +62,9 @@ final class Session(val spark: SparkSession) {
         kgs(name) = new Catalog(spark); Text(Seq(s"created $name"))
       case Seq(".kg", "use", name) =>
         require(kgs.contains(name), s"unknown knowledge graph $name")
+        // KG switch clears the session overlay (reference prints
+        // "(Cleared N session rule(s), M session fact(s))")
+        engines.get(currentKg).foreach(_.clearSession())
         currentKg = name; Text(Seq(s"using $name"))
       case Seq(".kg", "drop", name) =>
         require(name != "default", "cannot drop the default knowledge graph")
@@ -68,9 +72,13 @@ final class Session(val spark: SparkSession) {
         if (currentKg == name) currentKg = "default"
         Text(Seq(s"dropped $name"))
 
-      case Seq(".session") => Text(engine.toString +: Seq.empty)
+      case Seq(".session") =>
+        val (nr, nf) = engine.sessionSummary
+        Text(Seq(s"session: $nr rule(s), $nf fact(s)"))
       case Seq(".session", "clear") =>
-        engine.clearSession(); Text(Seq("session rules cleared"))
+        engine.clearSession(); Text(Seq("session cleared"))
+      case Seq(".session", "drop", name) =>
+        engine.dropSessionRule(name); Text(Seq(s"dropped session $name"))
 
       case Seq(".rel") | Seq(".rel", "list") => Text(catalog.relationNames)
       case Seq(".rule") => Text(engine.currentRules.map(Printer.rule))
@@ -88,6 +96,12 @@ final class Session(val spark: SparkSession) {
       case Seq(".rule", "list") => Text(catalog.rules.map(Printer.rule))
       case Seq(".rule", "drop", headRel) =>
         catalog.dropRule(headRel); Text(Seq(s"dropped rules for $headRel"))
+      case Seq(".rule", "clear", headRel) =>
+        catalog.dropRule(headRel); Text(Seq(s"cleared rules for $headRel"))
+      case Seq(".rule", "drop", "prefix", prefix) =>
+        val heads = catalog.rules.map(_.head.rel).distinct.filter(_.startsWith(prefix))
+        heads.foreach(catalog.dropRule)
+        Text(Seq(s"dropped ${heads.length} rule head(s) with prefix $prefix"))
       case Seq(".rule", "remove", headRel, idx) =>
         val ok = catalog.removeRuleClause(headRel, idx.toInt)
         Text(Seq(if (ok) s"removed clause $idx of $headRel" else s"no clause $idx for $headRel"))
@@ -96,10 +110,22 @@ final class Session(val spark: SparkSession) {
       case Seq(".rule", headRel) if !Set("list", "drop", "remove", "def", "show", "clear")(headRel) =>
         Text(engine.currentRules.filter(_.head.rel == headRel).map(Printer.rule))
 
-      case Seq(".load", path) =>
-        val src = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
-        val n = engine.run(src).length
-        Text(Seq(s"loaded $path ($n query results discarded)"))
+      case Seq(".load", path) => doLoad(path, None)
+      case Seq(".load", path, flag@("--replace" | "--merge")) => doLoad(path, Some(flag))
+      case other if other.headOption.contains(".rule") && other.length >= 4 &&
+        other(1) == "edit" =>
+        // .rule edit <name> <idx> <replacement rule text>
+        val (name, idx) = (other(2), other(3).toInt)
+        val ruleText = cmd.split("\\s+", 5).lift(4).getOrElse(
+          throw new IllegalArgumentException(".rule edit needs a rule"))
+        val prog = Parser.parseProgram(ruleText)
+        prog.statements.headOption match {
+          case Some(Ast.RuleDef(r)) =>
+            catalog.removeRuleClause(name, idx)
+            catalog.addRule(r.copy(persistent = true))
+            Text(Seq(s"edited clause $idx of $name"))
+          case _ => throw new IllegalArgumentException(".rule edit needs a rule definition")
+        }
 
       case Seq(".save", dir) => Storage.save(catalog, dir); Text(Seq(s"saved to $dir"))
       case Seq(".open", dir) =>
@@ -149,6 +175,27 @@ final class Session(val spark: SparkSession) {
           ".import csv <path> <rel> / .export csv <rel> <path>",
           ".status"))
       case _ => throw new IllegalArgumentException(s"unknown meta command: $cmd")
+    }
+  }
+
+  /** `.load file [--replace|--merge]` (reference `src/statement/meta.rs:71-75`).
+    * Default/merge: execute in place (inserts union). --replace: run in a
+    * scratch catalog, then replace this KG's same-named relations. */
+  private def doLoad(path: String, flag: Option[String]): Result = {
+    val p0 = java.nio.file.Paths.get(path)
+    val p = if (java.nio.file.Files.exists(p0)) p0
+            else java.nio.file.Paths.get(loadBasePath).resolve(path)
+    val src = new String(java.nio.file.Files.readAllBytes(p))
+    flag match {
+      case Some("--replace") =>
+        val tmp = new Catalog(spark)
+        new Engine(tmp).run(src)
+        tmp.relationNames.foreach(n => catalog.register(n, tmp.relation(n).get))
+        tmp.rules.foreach(catalog.addRule)
+        Text(Seq(s"loaded $p (replaced ${tmp.relationNames.length} relations)"))
+      case _ =>
+        val n = engine.run(src).length
+        Text(Seq(s"loaded $p ($n query results discarded)"))
     }
   }
 

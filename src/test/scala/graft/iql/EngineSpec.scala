@@ -22,7 +22,7 @@ class EngineSpec extends SparkSpec {
   test("join via shared variables") {
     assert(query(
       """+parent[("alice","bob"),("bob","carol")]
-        |gp(X, Z) <- parent(X, Y), parent(Y, Z)
+        |+gp(X, Z) <- parent(X, Y), parent(Y, Z)
         |?gp(X, Z)
         |""".stripMargin) == Set(Seq("alice", "carol")))
   }
@@ -31,7 +31,7 @@ class EngineSpec extends SparkSpec {
     assert(query(
       """+person[("a"),("b"),("c")]
         |+banned[("b")]
-        |ok(X) <- person(X), !banned(X)
+        |+ok(X) <- person(X), !banned(X)
         |?ok(X)
         |""".stripMargin) == Set(Seq("a"), Seq("c")))
   }
@@ -39,7 +39,7 @@ class EngineSpec extends SparkSpec {
   test("comparisons and computed bindings") {
     assert(query(
       """+n[(1),(2),(3),(4)]
-        |d(X, Y) <- n(X), X < 3, Y = X * 10 + 1
+        |+d(X, Y) <- n(X), X < 3, Y = X * 10 + 1
         |?d(X, Y)
         |""".stripMargin) == Set(Seq(1L, 11L), Seq(2L, 21L)))
   }
@@ -47,7 +47,7 @@ class EngineSpec extends SparkSpec {
   test("aggregation with grouping") {
     assert(query(
       """+emp[("eng", 10), ("eng", 20), ("ops", 5)]
-        |tot(D, sum<S>) <- emp(D, S)
+        |+tot(D, sum<S>) <- emp(D, S)
         |?tot(D, S)
         |""".stripMargin) == Set(Seq("eng", 30L), Seq("ops", 5L)))
   }
@@ -55,7 +55,7 @@ class EngineSpec extends SparkSpec {
   test("global aggregate and count/avg/min/max") {
     assert(query(
       """+v[(1),(2),(3),(4)]
-        |s(count<X>, sum<X>, min<X>, max<X>, avg<X>) <- v(X)
+        |+s(count<X>, sum<X>, min<X>, max<X>, avg<X>) <- v(X)
         |?s(C, S, Mn, Mx, A)
         |""".stripMargin) == Set(Seq(4L, 10L, 1L, 4L, 2.5)))
   }
@@ -63,8 +63,8 @@ class EngineSpec extends SparkSpec {
   test("recursion: transitive closure") {
     assert(query(
       """+edge[(1,2),(2,3),(3,4)]
-        |reach(X, Y) <- edge(X, Y)
-        |reach(X, Z) <- reach(X, Y), edge(Y, Z)
+        |+reach(X, Y) <- edge(X, Y)
+        |+reach(X, Z) <- reach(X, Y), edge(Y, Z)
         |?reach(1, Y)
         |""".stripMargin) == Set(Seq(1L, 2L), Seq(1L, 3L), Seq(1L, 4L)))
   }
@@ -72,8 +72,8 @@ class EngineSpec extends SparkSpec {
   test("recursion with cycle terminates") {
     assert(query(
       """+edge[(1,2),(2,3),(3,1)]
-        |reach(X, Y) <- edge(X, Y)
-        |reach(X, Z) <- reach(X, Y), edge(Y, Z)
+        |+reach(X, Y) <- edge(X, Y)
+        |+reach(X, Z) <- reach(X, Y), edge(Y, Z)
         |?reach(1, Y)
         |""".stripMargin) == Set(Seq(1L, 1L), Seq(1L, 2L), Seq(1L, 3L)))
   }
@@ -82,9 +82,9 @@ class EngineSpec extends SparkSpec {
     // even(X): reachable from 0 in an even number of steps
     assert(query(
       """+succ[(0,1),(1,2),(2,3),(3,4)]
-        |even(0) <- succ(0, _)
-        |odd(Y) <- even(X), succ(X, Y)
-        |even(Y) <- odd(X), succ(X, Y)
+        |+even(0) <- succ(0, _)
+        |+odd(Y) <- even(X), succ(X, Y)
+        |+even(Y) <- odd(X), succ(X, Y)
         |?even(X)
         |""".stripMargin) == Set(Seq(0L), Seq(2L), Seq(4L)))
   }
@@ -92,9 +92,9 @@ class EngineSpec extends SparkSpec {
   test("aggregation over recursive result") {
     assert(query(
       """+edge[(1,2),(2,3),(3,4)]
-        |reach(X, Y) <- edge(X, Y)
-        |reach(X, Z) <- reach(X, Y), edge(Y, Z)
-        |cnt(X, count<Y>) <- reach(X, Y)
+        |+reach(X, Y) <- edge(X, Y)
+        |+reach(X, Z) <- reach(X, Y), edge(Y, Z)
+        |+cnt(X, count<Y>) <- reach(X, Y)
         |?cnt(X, C)
         |""".stripMargin) == Set(Seq(1L, 3L), Seq(2L, 2L), Seq(3L, 1L)))
   }
@@ -102,8 +102,8 @@ class EngineSpec extends SparkSpec {
   test("unstratifiable negation is rejected") {
     assertThrows[IllegalArgumentException](query(
       """+p[(1)]
-        |a(X) <- p(X), !b(X)
-        |b(X) <- p(X), !a(X)
+        |+a(X) <- p(X), !b(X)
+        |+b(X) <- p(X), !a(X)
         |?a(X)
         |""".stripMargin))
   }
@@ -111,7 +111,7 @@ class EngineSpec extends SparkSpec {
   test("string and math builtins in rules") {
     assert(query(
       """+w[("hello"),("spark")]
-        |u(X, Y, L) <- w(X), Y = upper(X), L = len(X) + 1
+        |+u(X, Y, L) <- w(X), Y = upper(X), L = len(X) + 1
         |?u(X, Y, L)
         |""".stripMargin) == Set(Seq("hello", "HELLO", 6L), Seq("spark", "SPARK", 6L)))
   }
@@ -119,7 +119,7 @@ class EngineSpec extends SparkSpec {
   test("division is always float (reference as_f64 semantics)") {
     assert(query(
       """+n[(7)]
-        |d(A, B) <- n(X), A = X / 2, B = to_int(X / 2)
+        |+d(A, B) <- n(X), A = X / 2, B = to_int(X / 2)
         |?d(A, B)
         |""".stripMargin) == Set(Seq(3.5, 3L)))
   }
@@ -144,8 +144,8 @@ class EngineSpec extends SparkSpec {
     // correctness of the demanded result equals post-filtering full TC
     val src =
       """+edge[(1,2),(2,3),(3,4),(10,11),(11,12)]
-        |reach(X, Y) <- edge(X, Y)
-        |reach(X, Z) <- reach(X, Y), edge(Y, Z)
+        |+reach(X, Y) <- edge(X, Y)
+        |+reach(X, Z) <- reach(X, Y), edge(Y, Z)
         |""".stripMargin
     assert(query(src + "?reach(10, Y)") == Set(Seq(10L, 11L), Seq(10L, 12L)))
   }
@@ -196,7 +196,7 @@ class EngineSpec extends SparkSpec {
   test("top_k ranking aggregate: k best rows per group") {
     assert(query(
       """+emp[("eng","a",10),("eng","b",30),("eng","c",20),("ops","d",5),("ops","e",7)]
-        |best(D, top_k<2, N, S:desc>) <- emp(D, N, S)
+        |+best(D, top_k<2, N, S:desc>) <- emp(D, N, S)
         |?best(D, N, S)
         |""".stripMargin) == Set(
       Seq("eng", "b", 30L), Seq("eng", "c", 20L),
@@ -206,12 +206,12 @@ class EngineSpec extends SparkSpec {
   test("top_k_threshold also enforces the score bound") {
     assert(query(
       """+emp[("eng","a",10),("eng","b",30),("eng","c",20)]
-        |best(D, top_k_threshold<2, 15, N, S:desc>) <- emp(D, N, S)
+        |+best(D, top_k_threshold<2, 15, N, S:desc>) <- emp(D, N, S)
         |?best(D, N, S)
         |""".stripMargin) == Set(Seq("eng", "b", 30L), Seq("eng", "c", 20L)))
     assert(query(
       """+emp[("eng","a",10),("eng","b",30),("eng","c",20)]
-        |best(D, top_k_threshold<2, 25, N, S:desc>) <- emp(D, N, S)
+        |+best(D, top_k_threshold<2, 25, N, S:desc>) <- emp(D, N, S)
         |?best(D, N, S)
         |""".stripMargin) == Set(Seq("eng", "b", 30L)))
   }
@@ -219,8 +219,8 @@ class EngineSpec extends SparkSpec {
   test("within_radius keeps all rows under the bound") {
     assert(query(
       """+pt[("a", 1.0), ("b", 3.0), ("c", 0.5)]
-        |near(top_k<10, N, D:asc>) <- pt(N, D)
-        |close(within_radius<1.5, N, D>) <- pt(N, D)
+        |+near(top_k<10, N, D:asc>) <- pt(N, D)
+        |+close(within_radius<1.5, N, D>) <- pt(N, D)
         |?close(N, D)
         |""".stripMargin) == Set(Seq("a", 1.0), Seq("c", 0.5)))
   }
@@ -228,7 +228,7 @@ class EngineSpec extends SparkSpec {
   test("float equality uses the 1e-10 tolerance") {
     assert(query(
       """+m[(1, 0.3)]
-        |hit(X) <- m(X, V), V = 0.1 + 0.2
+        |+hit(X) <- m(X, V), V = 0.1 + 0.2
         |?hit(X)
         |""".stripMargin) == Set(Seq(1L))) // 0.1+0.2 != 0.3 in IEEE754 without tolerance
   }
@@ -244,7 +244,7 @@ class EngineSpec extends SparkSpec {
   test("repeated variable in atom forces equality") {
     assert(query(
       """+p[(1,1),(1,2),(3,3)]
-        |eq(X) <- p(X, X)
+        |+eq(X) <- p(X, X)
         |?eq(X)
         |""".stripMargin) == Set(Seq(1L), Seq(3L)))
   }
@@ -253,7 +253,7 @@ class EngineSpec extends SparkSpec {
     assert(query(
       """+a[(1),(2)]
         |+b[(10)]
-        |c(X, Y) <- a(X), b(Y)
+        |+c(X, Y) <- a(X), b(Y)
         |?c(X, Y)
         |""".stripMargin) == Set(Seq(1L, 10L), Seq(2L, 10L)))
   }

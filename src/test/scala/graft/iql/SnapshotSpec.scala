@@ -25,7 +25,9 @@ class SnapshotSpec extends SparkSpec {
     "27_atomic_ops", "32_math", "34_type_conversion", "35_strings",
     "11_types", "16_vectors", "29_temporal", "30_quantization",
     "02_relations", "10_edge_cases", "18_advanced_patterns",
-    "19_self_checking", "21_query_features", "25_unified_prefix")
+    "19_self_checking", "21_query_features", "25_unified_prefix",
+    "01_knowledge_graph", "04_session", "17_rule_commands",
+    "24_rel_schemas", "28_docs_coverage", "40_load_command", "20_applications")
 
   /** Excluded files, each with its reason. Two classes: the reference's
     * recorded output is itself a failure (it returns "No results" for
@@ -79,7 +81,15 @@ class SnapshotSpec extends SparkSpec {
     "18_advanced_patterns/30_self_comparison.iql" ->
       "reference unifies distinct _ wildcards across atoms",
     "02_relations/12_delete_wildcard.iql" ->
-      "reference silently no-ops pattern deletes with variables; we delete the matches")
+      "reference silently no-ops pattern deletes with variables; we delete the matches",
+    "17_rule_commands/09_minus_single_clause.iql" ->
+      "reference serves stale materialized results after removing the base clause; we re-derive (empty)",
+    "28_docs_coverage/07_syntax_literals.iql" ->
+      "expected vector cell is a truncated string spanning the value boundary",
+    "28_docs_coverage/10_syntax_recursion.iql" ->
+      "reference returns No results for mutual recursion; we derive the correct fixpoint",
+    "04_session/11_session_rule_overwrite.iql" ->
+      "reference keeps both session clauses yet answers No results; we evaluate the union")
 
   private def norm(cell: String): String = {
     val c = cell.trim
@@ -149,7 +159,7 @@ class SnapshotSpec extends SparkSpec {
     * multi-line IQL programs (statements may span lines). Collect each
     * query's rows in order. */
   private def runScript(src: String): Seq[Seq[Seq[String]]] = {
-    val session = new Session(spark)
+    val session = new Session(spark, loadBasePath = "/root/reference")
     val results = Seq.newBuilder[Seq[Seq[String]]]
     val buffer = new StringBuilder
     def flush(): Unit = if (buffer.nonEmpty) {
@@ -169,7 +179,11 @@ class SnapshotSpec extends SparkSpec {
     }
     src.split("\n").foreach { raw =>
       val line = raw.replaceAll("//.*$", "").trim
-      if (line.startsWith(".")) { flush(); session.execute(line) }
+      if (line.startsWith(".")) {
+        flush()
+        // the reference prints an error and continues on bad meta commands
+        try session.execute(line) catch { case _: Exception => () }
+      }
       else if (line.nonEmpty) buffer.append(line).append("\n")
     }
     flush()
