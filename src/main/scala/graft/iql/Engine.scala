@@ -93,6 +93,44 @@ final class Engine(val catalog: Catalog) {
     results.result()
   }
 
+  /** Like [[run]], but statement failures print-and-continue instead of
+    * aborting the program — the reference client's behavior (its error
+    * corpus inserts bad statements mid-script and continues). Failed
+    * queries yield an empty marker so callers can stay aligned. */
+  def runTolerant(src: String): Seq[Either[String, DataFrame]] = {
+    val prog = Parser.parseProgram(src)
+    val results = Seq.newBuilder[Either[String, DataFrame]]
+    prog.statements.foreach { st =>
+      try st match {
+        case q: Query => results += Right(evalQuery(q))
+        case other => runOne(other)
+      } catch {
+        case e: Exception => st match {
+          case _: Query => results += Left(e.getMessage)
+          case _ => () // non-query failure: statement skipped
+        }
+      }
+    }
+    results.result()
+  }
+
+  private def runOne(st: Statement): Unit = st match {
+    case InsertFacts(rel, rows) => catalog.insert(rel, rows)
+    case SessionFact(rel, row) =>
+      sessionFacts.getOrElseUpdate(rel, mutable.ArrayBuffer.empty) += row
+      matCache.clear()
+    case DeleteFacts(rel, rows) => catalog.delete(rel, rows)
+    case DropRelation(rel) => catalog.dropRelation(rel)
+    case RuleDef(rule) =>
+      if (rule.persistent) catalog.addRule(rule)
+      else if (!sessionRules.contains(rule)) { sessionRules += rule; matCache.clear() }
+    case DeleteWhere(atom, body) => deleteWhere(atom, body)
+    case SchemaDecl(rel, fields) => catalog.declareSchema(rel, fields)
+    case TypeAlias(alias, base) => catalog.addTypeAlias(alias, base)
+    case Update(del, ins, body) => update(del, ins, body)
+    case _: Query => ()
+  }
+
   /** All rules visible right now: persistent + session. */
   private def visibleRules(session: Seq[Rule]): Seq[Rule] = catalog.rules ++ session
 
@@ -108,6 +146,14 @@ final class Engine(val catalog: Catalog) {
   def evalQuery(q: Query): DataFrame = {
     val rules = currentRules
     val idb = new IdbEvaluator(rules, demandFor(q, rules))
+    // arity-mismatch fallback: `?data(X, Y)` against an arity-3 relation
+    // returns the FULL stored tuples (reference behavior — its error
+    // corpus records col0..colN tables, not an error)
+    q.goal.filter(_ => q.body.sizeIs == 1).foreach { g =>
+      val resolved = idb.resolve(g.rel, g.args.length)
+      if (resolved.columns.length != g.args.length)
+        return resolved.toDF(resolved.columns.indices.map(i => s"col$i"): _*)
+    }
     var df = RuleCompiler.compileBody(q.body, idb.resolve)
     // shorthand queries keep the goal atom's full arity (constants too)
     // plus any vars BOUND by extra body elements (`?emb(Id, V), Q = f(V)`

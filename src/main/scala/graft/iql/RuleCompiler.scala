@@ -168,7 +168,9 @@ object RuleCompiler {
       case "+" => l + r
       case "-" => l - r
       case "*" => l * r
-      case "%" => l % r
+      case "%" =>
+        // modulo by zero yields null, like division (reference corpus)
+        when(r.cast("double") === 0.0, lit(null)).otherwise(l % r)
       case "/" =>
         // division by zero yields null (reference numeric safety — its
         // corpus shows 100/0 → null, `tests/numeric_safety_tests.rs`)

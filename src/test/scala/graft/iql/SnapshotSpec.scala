@@ -27,7 +27,8 @@ class SnapshotSpec extends SparkSpec {
     "02_relations", "10_edge_cases", "18_advanced_patterns",
     "19_self_checking", "21_query_features", "25_unified_prefix",
     "01_knowledge_graph", "04_session", "17_rule_commands",
-    "24_rel_schemas", "28_docs_coverage", "40_load_command", "20_applications")
+    "24_rel_schemas", "28_docs_coverage", "40_load_command", "20_applications",
+    "12_errors")
 
   /** Excluded files, each with its reason. Two classes: the reference's
     * recorded output is itself a failure (it returns "No results" for
@@ -89,7 +90,11 @@ class SnapshotSpec extends SparkSpec {
     "28_docs_coverage/10_syntax_recursion.iql" ->
       "reference returns No results for mutual recursion; we derive the correct fixpoint",
     "04_session/11_session_rule_overwrite.iql" ->
-      "reference keeps both session clauses yet answers No results; we evaluate the union")
+      "reference keeps both session clauses yet answers No results; we evaluate the union",
+    "12_errors/36_three_way_cycle.iql" ->
+      "reference answers through an unstratifiable negation cycle; we reject it",
+    "12_errors/66_negation_cycle.iql" ->
+      "reference answers through an unstratifiable negation cycle; we reject it")
 
   private def norm(cell: String): String = {
     val c = cell.trim
@@ -165,14 +170,15 @@ class SnapshotSpec extends SparkSpec {
     def flush(): Unit = if (buffer.nonEmpty) {
       val src = buffer.toString
       buffer.clear()
-      try session.execute(src).foreach {
-        case Repl.Table(df) =>
-          results += df.collect().toSeq.map(r => r.toSeq.map(normAny))
-        case _ => ()
+      try session.engine.runTolerant(src).foreach {
+        case Right(df) =>
+          // a query can also fail at EXECUTION (collect) time
+          try results += df.collect().toSeq.map(r => r.toSeq.map(normAny))
+          catch { case _: Exception => results += Seq.empty }
+        case Left(_) => results += Seq.empty // failed query = error, no table
       } catch {
         case _: Exception =>
-          // the reference prints an error and no table for failing
-          // statements — record empty rows for each query in the segment
+          // whole-segment parse failure: pad one empty result per query
           (0 until src.split("\n").count(_.trim.startsWith("?")))
             .foreach(_ => results += Seq.empty)
       }
