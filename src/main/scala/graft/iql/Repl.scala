@@ -162,6 +162,15 @@ final class Session(val spark: SparkSession,
         catalog.createIndex(rel, idCol, vecCol)
         Text(Seq(s"index rebuilt on $rel($vecCol)"))
 
+      case Seq(".clear", "prefix", prefix) =>
+        val rels = catalog.relationNames.filter(_.startsWith(prefix))
+        rels.foreach(catalog.dropRelation)
+        Text(Seq(s"cleared ${rels.length} relation(s) with prefix $prefix"))
+      case Seq(".compact") =>
+        // storage compaction is a no-op here: relations live as Spark
+        // plans/parquet, which have no WAL/batch files to consolidate
+        Text(Seq("nothing to compact"))
+
       case Seq(".status") =>
         Text(Seq(s"kg: $currentKg",
           s"relations: ${catalog.relationNames.length}",
