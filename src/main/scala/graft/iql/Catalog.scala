@@ -205,29 +205,33 @@ final class Catalog(val spark: SparkSession) {
     }
   }
 
-  /** Delete exact tuples (set semantics — reference `DeleteOp`). */
+  /** Delete exact tuples (set semantics — reference `DeleteOp`).
+    * Null-safe match so a tuple containing null is deletable. */
   def delete(name: String, rows: Seq[Seq[Any]]): Unit =
     relations.get(name).foreach { df =>
       bump()
       val del = spark.createDataFrame(
         spark.sparkContext.parallelize(toRows(rows, df.schema)), df.schema)
-      relations(name) = df.join(del, df.columns.toSeq, "left_anti")
+      relations(name) = graft.plans.Fixpoint.antiNullSafe(df, del, hintBroadcast = true)
     }
 
   /** Replace a relation's contents (conditional delete / atomic update). */
   def replace(name: String, df: DataFrame): Unit = { bump(); relations(name) = df }
 
-  /** Append a derived frame (positional; cast to the relation's schema). */
+  /** Append a derived frame (positional; cast to the relation's schema).
+    * Set semantics like [[insert]]: duplicates — within the batch or vs
+    * the existing relation — collapse (reference `insert_in_memory`
+    * skips duplicate tuples on every insert path). */
   def appendDf(name: String, df: DataFrame): Unit = {
     bump()
     relations.get(name) match {
-      case None => relations(name) = df
+      case None => relations(name) = df.distinct()
       case Some(base) =>
         require(base.columns.length == df.columns.length,
           s"arity mismatch appending to $name")
         val cast = df.toDF(base.columns: _*).select(
           base.schema.fields.map(f => org.apache.spark.sql.functions.col(f.name).cast(f.dataType)).toSeq: _*)
-        relations(name) = base.union(cast)
+        relations(name) = base.union(cast).distinct()
     }
   }
 

@@ -43,8 +43,11 @@ final class Engine(val catalog: Catalog) {
       case None => base
       case Some(rows) =>
         val tmp = new Catalog(catalog.spark)
+        // carry the declared schema so session facts get the same
+        // arity/type/vector-dim validation as persistent inserts
+        catalog.declaredSchema(name).foreach(fs => tmp.declareSchema(name, fs))
         base.foreach(b => tmp.register(name, b))
-        tmp.insert(name, rows.toSeq) // reuses schema inference/coercion
+        tmp.insert(name, rows.toSeq) // reuses schema inference/coercion+validation
         tmp.relation(name)
     }
   }
@@ -588,7 +591,10 @@ final class Engine(val catalog: Catalog) {
             val cand = contributions.reduce(_ union _).distinct()
             val next = acc.get(rel) match {
               case Some(a) => Fixpoint.materialize(
-                cand.join(a.df, cand.columns.toSeq, "left_anti"))
+                // null-safe: a derived null tuple (x/0 → null) must match
+                // the accumulator or the delta never drains
+                Fixpoint.antiNullSafe(cand, a.df,
+                  hintBroadcast = a.count <= Fixpoint.BroadcastRows))
               case None => Fixpoint.materialize(cand)
             }
             if (next.count > 0) {

@@ -11,10 +11,17 @@ object Printer {
     case Var(n) => n
     case Wildcard => "_"
     case Const(s: String) => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    case Const(v: Seq[_]) => v.mkString("[", ", ", "]") // vector literal
     case Const(v) => String.valueOf(v)
     case Arith(op, l, r) => s"(${term(l)} $op ${term(r)})"
     case Func(n, args) => s"$n(${args.map(term).mkString(", ")})"
     case Agg(f, a) => s"$f<${term(a)}>"
+    case Rank(f, params, outs, ordVar, desc) =>
+      // re-parseable form: params print as int when integral (the parser
+      // accepts numeric literals and coerces to Double)
+      val ps = params.map(p => if (p == p.floor && !p.isInfinite) p.toLong.toString else p.toString)
+      val items = ps ++ outs.map(_.name) :+ s"${ordVar.name}:${if (desc) "desc" else "asc"}"
+      s"$f<${items.mkString(", ")}>"
   }
 
   def atom(a: Atom): String = s"${a.rel}(${a.args.map(term).mkString(", ")})"

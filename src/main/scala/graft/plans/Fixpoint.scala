@@ -59,6 +59,20 @@ object Fixpoint {
   private def maybeBroadcast(m: Mat): DataFrame =
     if (m.count <= BroadcastRows) broadcast(m.df) else m.df
 
+  /** left_anti on all columns with null-safe (`<=>`) equality. Plain
+    * using-column anti-joins compare with EqualTo, so a tuple containing
+    * null (the dialect derives null for x/0 and x%0) never matches the
+    * accumulator and semi-naive's delta never drains. EqualNullSafe is
+    * still a hash-join key for Spark, so this costs nothing. */
+  def antiNullSafe(left: DataFrame, right: DataFrame, hintBroadcast: Boolean = false): DataFrame = {
+    val cols = left.columns.toSeq
+    val l = left.alias("__anti_l")
+    val r0 = right.toDF(cols: _*).alias("__anti_r")
+    val r = if (hintBroadcast) broadcast(r0) else r0
+    val cond = cols.map(c => col(s"__anti_l.`$c`") <=> col(s"__anti_r.`$c`")).reduce(_ && _)
+    l.join(r, cond, "left_anti")
+  }
+
   /** Transitive closure of an edge relation with columns (src, dst).
     * `reach(x,y) <- edge(x,y); reach(x,z) <- reach(x,y), edge(y,z)`.
     * Right-linear: delta ⋈ edges each iteration; edges are the static
@@ -199,17 +213,22 @@ object Fixpoint {
       var deltas = List(delta)
       def accDf: DataFrame = deltas.map(_.df).reduce(_ union _)
       def accCount: Long = deltas.map(_.count).sum
+      // defensive bound even when the caller passes no cap — a diverging
+      // step function must terminate with an error, not spin forever
+      val cap = if (maxIter > 0) maxIter else 100000
       var i = 0
-      while (delta.count > 0 && (maxIter <= 0 || i < maxIter)) {
+      while (delta.count > 0 && i < cap) {
         i += 1
         if (deltas.size >= 6) deltas = List(materialize(accDf))
         sizeShuffle(spark, delta.count)
         val candidates = step(delta.df).toDF(cols: _*).distinct()
-        val acc = if (accCount <= BroadcastRows) broadcast(accDf) else accDf
-        val next = materialize(candidates.join(acc, cols, "left_anti"))
+        val next = materialize(antiNullSafe(candidates, accDf, accCount <= BroadcastRows))
         if (next.count > 0) deltas = deltas :+ next
         delta = next
       }
+      if (i >= cap && delta.count > 0)
+        throw new IllegalStateException(
+          s"fixpoint did not converge within $cap iterations")
       accDf
     }
 

@@ -257,4 +257,31 @@ class EngineSpec extends SparkSpec {
         |?c(X, Y)
         |""".stripMargin) == Set(Seq(1L, 10L), Seq(2L, 10L)))
   }
+
+  test("atomic update does not duplicate an already-existing tuple") {
+    val e = new Engine(new Catalog(spark))
+    e.run("+acct[(1, 10), (2, 20)]")
+    e.run("-acct(1, B), +acct(2, 20) <- acct(1, B)")
+    val df = e.run("?acct(X, Y)").last
+    assert(df.count() == 1) // set semantics: (2,20) exists once, not twice
+    assert(rows(df) == Set(Seq(2L, 20L)))
+  }
+
+  test("recursive rule deriving a null tuple terminates") {
+    // x/0 is null in the dialect; the null tuple must match the
+    // accumulator (null-safe anti-join) or the delta never drains
+    assert(query(
+      """+seed[(4)]
+        |+p(X) <- seed(X)
+        |+p(X / 0) <- p(X)
+        |?p(X)
+        |""".stripMargin) == Set(Seq(4.0), Seq(null)))
+  }
+
+  test("session facts validate against declared schemas") {
+    val e = new Engine(new Catalog(spark))
+    e.run("+t0(a: int)\n+t0[(1)]")
+    e.run("t0(\"oops\")") // ephemeral session fact with a type violation
+    assertThrows[IllegalArgumentException](e.run("?t0(X)"))
+  }
 }

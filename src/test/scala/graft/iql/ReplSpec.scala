@@ -54,6 +54,39 @@ class ReplSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](s2.execute("""+acct("x", 1.0)"""))
   }
 
+  test("ranking-aggregate rule round-trips through .rule list and .save/.open") {
+    val s = new Session(spark)
+    val dir = Files.createTempDirectory("graft_kg_rank").toString
+    s.execute("+emp[(\"eng\", \"a\", 10), (\"eng\", \"b\", 20), (\"eng\", \"c\", 30), (\"ops\", \"d\", 5)]")
+    s.execute("+best(D, top_k<2, N, S:desc>) <- emp(D, N, S)")
+    val listed = text(s.execute(".rule list").head)
+    assert(listed == Seq("+best(D, top_k<2, N, S:desc>) <- emp(D, N, S)"))
+    // printed form must re-parse to the same rule
+    assert(Parser.parseProgram(listed.head).statements ==
+      Parser.parseProgram("+best(D, top_k<2, N, S:desc>) <- emp(D, N, S)").statements)
+    s.execute(s".save $dir")
+    val s2 = new Session(spark)
+    s2.execute(s".open $dir")
+    assert(rows(table(s2.execute("?best(D, N, S)").head)) ==
+      Set(Seq("eng", "c", 30L), Seq("eng", "b", 20L), Seq("ops", "d", 5L)))
+  }
+
+  test("vector-literal rule round-trips through .save/.open") {
+    val s = new Session(spark)
+    val dir = Files.createTempDirectory("graft_kg_vec").toString
+    s.execute("+emb[(1, [1.0, 0.0]), (2, [0.0, 1.0])]")
+    s.execute("+sim(X, S) <- emb(X, V), S = cosine(V, [1.0, 0.0])")
+    // printed rule must re-parse (vector literal as [e1, e2], not Scala List(...))
+    val printed = Printer.rule(s.engine.catalog.rules.head)
+    assert(printed.contains("[1.0, 0.0]"))
+    Parser.parseProgram(printed)
+    s.execute(s".save $dir")
+    val s2 = new Session(spark)
+    s2.execute(s".open $dir")
+    val got = rows(table(s2.execute("?sim(X, S)").head))
+    assert(got.map(_.head) == Set(1L, 2L))
+  }
+
   test("csv import/export round-trip") {
     val s = new Session(spark)
     s.execute("+t[(1, 100), (2, 200)]")
