@@ -19,9 +19,11 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     try SparkEntry.queries("q03_join_basic")(spark, sfDir).count()
     catch { case _: Throwable => () }
-    // SPARK_GRAFT_BENCH_REPEAT>1 → best-of-N like Criterion (reference
-    // benches use 10 samples); default 1 keeps driver wall-time low.
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "1").toInt
+    // Best-of-N like Criterion (the reference's BASELINE numbers are
+    // Criterion best-of-10 after a 5 s warmup, so steady-state is the
+    // apples-to-apples comparison). Default 2 = one run that absorbs
+    // per-plan codegen/JIT + one measured; raise via env for more samples.
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "2").toInt
     val only = args.toSet // optional query-name filter for local iteration
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only(n) }

@@ -79,13 +79,30 @@ object TextFunctions {
   }
 
   /** Band buckets for LSH: split the signature into `bands` rows of
-    * `rowsPerBand`, hash each band → array of (band, bucket) structs. */
+    * `rowsPerBand`, hash each band → array of (band, bucket) structs.
+    * Bucket = xxhash64 of the band's components as longs (two docs share
+    * a bucket iff the slice values are equal — same grouping a string
+    * key would give, without materializing strings). */
   def minHashBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
     array((0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64(array_join(transform(slice(sig, b * rowsPerBand + 1, rowsPerBand),
-          x => x.cast("string")), ","), lit(b)).as("bucket"))
+      val comps = (0 until rowsPerBand).map(i => element_at(sig, b * rowsPerBand + i + 1))
+      struct(lit(b).as("band"), xxhash64(comps :+ lit(b): _*).as("bucket"))
     }: _*)
+
+  /** Jaccard of two ALREADY-DISTINCT arrays with a size-ratio
+    * short-circuit: |A∩B| ≤ min(|A|,|B|), so J ≥ t is impossible when
+    * min(|A|,|B|) < t·max(|A|,|B|) — those pairs skip the intersect
+    * entirely (CaseWhen branches evaluate lazily per row). The intersect
+    * subexpression appears twice but whole-stage codegen's subexpression
+    * elimination evaluates it once. */
+  def jaccardDistinct(a: Column, b: Column, minJ: Double): Column = {
+    val sa = size(a).cast("double")
+    val sb = size(b).cast("double")
+    val inter = size(array_intersect(a, b)).cast("double")
+    when(greatest(sa, sb) === 0.0, lit(0.0))
+      .when(least(sa, sb) < greatest(sa, sb) * lit(minJ), lit(0.0))
+      .otherwise(inter / (sa + sb - inter))
+  }
 
   /** Exact Jaccard similarity of two shingle arrays (set semantics). */
   def jaccard(a: Column, b: Column): Column = {

@@ -58,6 +58,36 @@ final class Hnsw(val dim: Int, val metric: String = "cosine",
     }
   }
 
+  /** Cosine fast path: stored vectors are L2-normalized at [[insert]],
+    * so the metric reduces to `1 - dot` and per-hop distance calls skip
+    * both norm computations and the sqrt (~3× fewer flops on the build's
+    * hot path). Zero vectors stay zero → dot 0 → distance 1, matching
+    * the raw-metric den==0 rule. */
+  private val isCosine = metric == "cosine"
+  private def prep(v: Array[Float]): Array[Float] =
+    if (!isCosine) v
+    else {
+      var n = 0.0; var i = 0
+      while (i < v.length) { n += v(i).toDouble * v(i).toDouble; i += 1 }
+      if (n == 0.0 || n == 1.0) v
+      else {
+        val inv = 1.0 / math.sqrt(n)
+        val out = new Array[Float](v.length)
+        i = 0
+        while (i < v.length) { out(i) = (v(i) * inv).toFloat; i += 1 }
+        out
+      }
+    }
+  /** Distance from a PREPPED query to a stored (prepped) node. */
+  private def dist(q: Array[Float], node: Int): Double = {
+    val b = vecs(node)
+    if (isCosine) {
+      var dot = 0.0; var i = 0
+      while (i < q.length) { dot += q(i).toDouble * b(i).toDouble; i += 1 }
+      1.0 - dot
+    } else distance(q, b)
+  }
+
   /** Deterministic level from the id (reference rebuilds reproduce the
     * same index; we get that by hashing instead of RNG). */
   private def levelFor(id: Long): Int = {
@@ -67,8 +97,9 @@ final class Hnsw(val dim: Int, val metric: String = "cosine",
     (-math.log(u) * levelMult).toInt
   }
 
-  def insert(id: Long, v: Array[Float]): Unit = synchronized {
-    require(v.length == dim, s"vector dim ${v.length} != index dim $dim")
+  def insert(id: Long, v0: Array[Float]): Unit = synchronized {
+    require(v0.length == dim, s"vector dim ${v0.length} != index dim $dim")
+    val v = prep(v0)
     val idx = ids.length
     val lvl = levelFor(id)
     ids += id; vecs += v; levels += lvl
@@ -100,19 +131,19 @@ final class Hnsw(val dim: Int, val metric: String = "cosine",
   private def shrink(node: Int, l: Int, mBound: Int): Unit = {
     val v = vecs(node)
     val kept = neighbors(node)(l).distinct
-      .sortBy(n => distance(v, vecs(n))).take(mBound)
+      .sortBy(n => dist(v, n)).take(mBound)
     neighbors(node)(l).clear()
     neighbors(node)(l) ++= kept
   }
 
   private def greedyClosest(q: Array[Float], start: Int, l: Int): Int = {
     var cur = start
-    var curDist = distance(q, vecs(cur))
+    var curDist = dist(q, cur)
     var improved = true
     while (improved) {
       improved = false
       neighbors(cur)(l).foreach { n =>
-        val d = distance(q, vecs(n))
+        val d = dist(q, n)
         if (d < curDist) { cur = n; curDist = d; improved = true }
       }
     }
@@ -122,7 +153,7 @@ final class Hnsw(val dim: Int, val metric: String = "cosine",
   /** Best-first search of one layer; returns (dist, node) ascending. */
   private def searchLayer(q: Array[Float], ep: Int, ef: Int, l: Int): Seq[(Double, Int)] = {
     val visited = mutable.HashSet(ep)
-    val epDist = distance(q, vecs(ep))
+    val epDist = dist(q, ep)
     // candidates: min-heap by dist; results: max-heap (worst first out)
     val cand = mutable.PriorityQueue((-epDist, ep))(Ordering.by(_._1))
     val res = mutable.PriorityQueue((epDist, ep))(Ordering.by(_._1))
@@ -131,7 +162,7 @@ final class Hnsw(val dim: Int, val metric: String = "cosine",
       if (-negD > res.head._1 && res.size >= ef) cand.clear()
       else neighbors(c)(l).foreach { n =>
         if (visited.add(n)) {
-          val d = distance(q, vecs(n))
+          val d = dist(q, n)
           if (res.size < ef || d < res.head._1) {
             cand.enqueue((-d, n))
             res.enqueue((d, n))
@@ -144,8 +175,9 @@ final class Hnsw(val dim: Int, val metric: String = "cosine",
   }
 
   /** k nearest (id, distance) pairs; efSearch ≥ k controls recall. */
-  def search(q: Array[Float], k: Int, efSearch: Int = 64): Seq[(Long, Double)] = {
+  def search(q0: Array[Float], k: Int, efSearch: Int = 64): Seq[(Long, Double)] = {
     if (entryPoint < 0) return Seq.empty
+    val q = prep(q0)
     var ep = entryPoint
     var l = maxLevel
     while (l > 0) { ep = greedyClosest(q, ep, l); l -= 1 }

@@ -57,7 +57,11 @@ object Dedup {
     // hash each shingle string ONCE to a long, then derive the k
     // components by hashing that fixed-width long with the component id —
     // k string re-hashes per shingle would dominate the whole pipeline
-    // (measured 10s → 3s for the signature stage at sf0.1). Wrapping
+    // (measured 10s → 3s for the signature stage at sf0.1). One-
+    // permutation hashing (1 hash/shingle + binning) was tried and
+    // REJECTED: with docs shorter than k shingles most bins are empty and
+    // the densified estimator degrades enough to miss true near-dups
+    // (DedupSpec caught it); it was no faster here either. Wrapping
     // multiply-add mixing would be cheaper still, but Spark 4's ANSI mode
     // makes overflowing long arithmetic throw.
     val hashed = shingled.select(col("id"), xxhash64(col("sh")).as("h"))
@@ -165,14 +169,20 @@ object Dedup {
     // doc table down to ids that appear in a pair first.
     val candIds = cand.select(col("id_a").as(idCol))
       .union(cand.select(col("id_b").as(idCol))).distinct()
+    // Shingles verify as 64-bit xxhash64 values, not strings: the exact
+    // set intersection compares/hashes fixed-width longs (collisions at
+    // 2^-64 are noise), and the pair-join payload is 8 B/shingle instead
+    // of a string — at 100 TB that's the difference between shuffling
+    // hashes and shuffling the corpus.
     val (sh, nSh) = mat(docs.join(maybeBroadcast(candIds, nCand * 2), Seq(idCol), "left_semi")
       .select(col(idCol).as("id"), TF.tokens(col(textCol)).as("toks"))
-      .select(col("id"),
-        array_distinct(TF.wordShinglesOf(col("toks"), shingleN)).as("sh")))
+      .select(col("id"), array_distinct(
+        transform(TF.wordShinglesOf(col("toks"), shingleN), s => xxhash64(s))).as("sh")))
     cand
       .join(maybeBroadcast(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), nSh), Seq("id_a"))
       .join(maybeBroadcast(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), nSh), Seq("id_b"))
-      .select(col("id_a"), col("id_b"), TF.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .select(col("id_a"), col("id_b"),
+        TF.jaccardDistinct(col("sh_a"), col("sh_b"), threshold).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 
