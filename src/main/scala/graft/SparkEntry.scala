@@ -422,6 +422,35 @@ object SparkEntry {
           |  L = len(NM), PR2 = PR * 2 + 1
           |?pp(PK, UN, L, PR2)
           |""".stripMargin).last
+    }),
+
+    // --- IQL: incremental re-query — materialize a recursive closure,
+    //     insert edges, re-query; the second query delta-extends the
+    //     cached fixpoint instead of recomputing (reference BENCHMARKS.md
+    //     "re-query after +100 edges" headline; Engine.tryMaintain) ------
+    "q53_iql_incremental" -> ((s, dir) => {
+      val e = iqlEngine(s, dir)
+      e.catalog.register("edge", graphEdges(s, dir))
+      e.run(
+        """+reach(X, Y) <- edge(X, Y)
+          |+reach(X, Z) <- reach(X, Y), edge(Y, Z)
+          |?reach(X, Y)
+          |""".stripMargin)
+      e.run("+edge[(0, 10), (5, 20)]") // monotone change
+      e.run("?reach(X, Y)").last       // served by incremental maintenance
+    }),
+
+    // --- IQL: recursive min aggregate (weighted shortest path — the
+    //     MinDiff-semiring semantics, realized as value iteration) --------
+    "q52_iql_shortest_path" -> ((s, dir) => {
+      val e = iqlEngine(s, dir)
+      e.catalog.register("wedge", graphEdges(s, dir).select(col("src"), col("dst"),
+        (pmod(col("src") * 7, lit(5)) + 1).as("w")))
+      e.run(
+        """+sp[(0, 0)]
+          |+sp(Y, min<D + W>) <- sp(X, D), wedge(X, Y, W)
+          |?sp(X, D)
+          |""".stripMargin).last
     })
   )
 
@@ -671,6 +700,23 @@ object SparkEntry {
 
     "q50_iql_compute" ->
       """SELECT p_partkey AS PK, UPPER(p_name) AS UN, LEN(p_name) AS L,
-        |p_retailprice * 2 + 1 AS PR2 FROM part""".stripMargin
+        |p_retailprice * 2 + 1 AS PR2 FROM part""".stripMargin,
+
+    "q52_iql_shortest_path" ->
+      s"""WITH RECURSIVE e AS (SELECT src, dst, (src * 7) % 5 + 1 AS w FROM ($graphEdgesSql)),
+         |paths(n, d) AS (
+         |SELECT 0, 0
+         |UNION
+         |SELECT e.dst, p.d + e.w FROM paths p JOIN e ON p.n = e.src)
+         |SELECT n AS X, MIN(d) AS D FROM paths GROUP BY n""".stripMargin,
+
+    "q53_iql_incremental" ->
+      s"""WITH RECURSIVE e AS ($graphEdgesSql
+         |UNION ALL SELECT 0 AS src, 10 AS dst UNION ALL SELECT 5, 20),
+         |reach(src, dst) AS (
+         |SELECT src, dst FROM e
+         |UNION
+         |SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
+         |SELECT src AS X, dst AS Y FROM reach""".stripMargin
   )
 }

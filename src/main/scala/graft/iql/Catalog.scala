@@ -26,6 +26,20 @@ final class Catalog(val spark: SparkSession) {
     * `src/derived_relations.rs:30-37` dependency invalidation). */
   @volatile var version: Long = 0L
   private def bump(): Unit = version += 1
+
+  /** Change log for incremental view maintenance (reference: DD feeds
+    * every insert as a `(data, time, +1)` update into maintained views,
+    * `src/incremental.rs`; our analogue logs the newly-inserted rows per
+    * version so the engine can delta-extend a cached materialization
+    * instead of recomputing). One entry PER version bump; `delta` is
+    * non-null only for pure inserts (monotone changes), `rel == "*"`
+    * marks a rule-set change that invalidates everything. Bounded. */
+  final case class Change(version: Long, rel: String, delta: DataFrame)
+  val changeLog = mutable.ArrayBuffer.empty[Change]
+  private def logChange(rel: String, delta: DataFrame): Unit = {
+    changeLog += Change(version, rel, delta)
+    if (changeLog.length > 64) changeLog.remove(0, changeLog.length - 64)
+  }
   /** Declared schemas: rel → (fieldName, iql type). Validation is
     * all-or-nothing per insert batch (reference `src/schema/mod.rs:1-8`)
     * with int→float and int→timestamp coercion (`:70-79`). */
@@ -34,17 +48,32 @@ final class Catalog(val spark: SparkSession) {
   /** HNSW indexes: (relation, column) → index (reference
     * `src/index_manager.rs:84-126` — one HNSW per (relation, column)). */
   val indexes = mutable.LinkedHashMap.empty[(String, String), graft.index.Hnsw]
+  /** Named-index registry: name → (relation, idCol, vecCol). The
+    * reference addresses indexes by name (`.index create <name> on
+    * <rel>(<col>)`, `hnsw_nearest("<name>", ...)`); unnamed creates
+    * register under `<rel>_<vecCol>`. */
+  val indexMeta = mutable.LinkedHashMap.empty[String, (String, String, String)]
 
-  def register(name: String, df: DataFrame): Unit = { bump(); relations(name) = df }
+  def register(name: String, df: DataFrame): Unit = {
+    bump(); logChange(name, null); relations(name) = df
+  }
 
   def createIndex(rel: String, idCol: String, vecCol: String,
-                  metric: String = "cosine", m: Int = 16, efC: Int = 200): graft.index.Hnsw = {
+                  metric: String = "cosine", m: Int = 16, efC: Int = 200,
+                  name: String = ""): graft.index.Hnsw = {
     val df = relations.getOrElse(rel,
       throw new IllegalArgumentException(s"unknown relation $rel"))
     val idx = graft.index.Hnsw.build(df, idCol, vecCol, metric, m, efC)
     indexes((rel, vecCol)) = idx
+    indexMeta(if (name.nonEmpty) name else s"${rel}_$vecCol") = (rel, idCol, vecCol)
     idx
   }
+
+  /** Resolve a named index → (hnsw, relation, idCol, vecCol). */
+  def indexByName(name: String): Option[(graft.index.Hnsw, String, String, String)] =
+    indexMeta.get(name).flatMap { case (rel, idCol, vecCol) =>
+      indexes.get((rel, vecCol)).map(idx => (idx, rel, idCol, vecCol))
+    }
 
   /** k-NN probe of an index → DataFrame(id, distance), joinable with the
     * base relation (the HnswScan node, reference `src/ir/mod.rs:361-376`). */
@@ -69,7 +98,7 @@ final class Catalog(val spark: SparkSession) {
   private def resolveType(t: String): String = typeAliases.getOrElse(t, t)
 
   def declareSchema(name: String, fields0: Seq[(String, String)]): Unit = {
-    bump()
+    bump(); logChange(name, null)
     val fields = fields0.map { case (n, t) => (n, resolveType(t)) }
     declared(name) = fields
     if (!relations.contains(name)) {
@@ -124,19 +153,20 @@ final class Catalog(val spark: SparkSession) {
   /** Re-registering an identical rule is a no-op (reference dedups rule
     * submissions); different bodies for the same head accumulate. */
   def addRule(rule: Ast.Rule): Unit =
-    if (!ruleList.contains(rule)) { bump(); ruleList += rule }
+    if (!ruleList.contains(rule)) { bump(); logChange("*", null); ruleList += rule }
 
   /** Remove the idx-th (1-based) clause of a head's rules. */
   def removeRuleClause(headRel: String, idx: Int): Boolean = {
     val clauses = ruleList.zipWithIndex.filter(_._1.head.rel == headRel)
     clauses.lift(idx - 1) match {
-      case Some((_, globalIdx)) => bump(); ruleList.remove(globalIdx); true
+      case Some((_, globalIdx)) =>
+        bump(); logChange("*", null); ruleList.remove(globalIdx); true
       case None => false
     }
   }
 
   def dropRelation(name: String): Unit = {
-    bump()
+    bump(); logChange("*", null) // may also drop rules of that head
     relations.remove(name)
     emptyPlaceholders -= name
     val remaining = ruleList.filterNot(_.head.rel == name)
@@ -168,7 +198,11 @@ final class Catalog(val spark: SparkSession) {
     rows.map { r =>
       org.apache.spark.sql.Row.fromSeq(r.zip(schema.fields).map {
         case (v: Int, f) if f.dataType == LongType => v.toLong
+        case (v: Long, f) if f.dataType == IntegerType => v.toInt // registered int cols
         case (v: Long, f) if f.dataType == DoubleType => v.toDouble
+        case (v: Long, f) if f.dataType == FloatType => v.toFloat
+        case (v: Int, f) if f.dataType == DoubleType => v.toDouble
+        case (v: Double, f) if f.dataType == FloatType => v.toFloat
         case (v, _) => v
       })
     }
@@ -183,7 +217,7 @@ final class Catalog(val spark: SparkSession) {
 
   def insert(name: String, rows: Seq[Seq[Any]]): Unit = {
     if (rows.isEmpty) {
-      if (!relations.contains(name)) { bump(); emptyPlaceholders += name }
+      if (!relations.contains(name)) { bump(); logChange(name, null); emptyPlaceholders += name }
       return
     }
     validate(name, rows)
@@ -194,14 +228,19 @@ final class Catalog(val spark: SparkSession) {
     relations.get(name) match {
       case None =>
         val schema = inferSchema(rows)
-        relations(name) = spark.createDataFrame(
+        val df = spark.createDataFrame(
           spark.sparkContext.parallelize(toRows(rows, schema)), schema).distinct()
+        relations(name) = df
+        logChange(name, df) // whole relation is new = the insert delta
       case Some(df) =>
         require(rows.forall(_.length == df.schema.length),
           s"arity mismatch inserting into $name: expected ${df.schema.length}")
         val add = spark.createDataFrame(
           spark.sparkContext.parallelize(toRows(rows, df.schema)), df.schema)
         relations(name) = df.union(add).distinct()
+        // delta = rows NOT previously present (lazy plan over the old frame)
+        logChange(name, graft.plans.Fixpoint.antiNullSafe(
+          add.distinct(), df, hintBroadcast = true))
     }
   }
 
@@ -209,14 +248,16 @@ final class Catalog(val spark: SparkSession) {
     * Null-safe match so a tuple containing null is deletable. */
   def delete(name: String, rows: Seq[Seq[Any]]): Unit =
     relations.get(name).foreach { df =>
-      bump()
+      bump(); logChange(name, null)
       val del = spark.createDataFrame(
         spark.sparkContext.parallelize(toRows(rows, df.schema)), df.schema)
       relations(name) = graft.plans.Fixpoint.antiNullSafe(df, del, hintBroadcast = true)
     }
 
   /** Replace a relation's contents (conditional delete / atomic update). */
-  def replace(name: String, df: DataFrame): Unit = { bump(); relations(name) = df }
+  def replace(name: String, df: DataFrame): Unit = {
+    bump(); logChange(name, null); relations(name) = df
+  }
 
   /** Append a derived frame (positional; cast to the relation's schema).
     * Set semantics like [[insert]]: duplicates — within the batch or vs
@@ -225,18 +266,23 @@ final class Catalog(val spark: SparkSession) {
   def appendDf(name: String, df: DataFrame): Unit = {
     bump()
     relations.get(name) match {
-      case None => relations(name) = df.distinct()
+      case None =>
+        val d = df.distinct()
+        relations(name) = d
+        logChange(name, d)
       case Some(base) =>
         require(base.columns.length == df.columns.length,
           s"arity mismatch appending to $name")
         val cast = df.toDF(base.columns: _*).select(
           base.schema.fields.map(f => org.apache.spark.sql.functions.col(f.name).cast(f.dataType)).toSeq: _*)
         relations(name) = base.union(cast).distinct()
+        logChange(name, graft.plans.Fixpoint.antiNullSafe(
+          cast.distinct(), base, hintBroadcast = true))
     }
   }
 
   def dropRule(headRel: String): Unit = {
-    bump()
+    bump(); logChange("*", null)
     val remaining = ruleList.filterNot(_.head.rel == headRel)
     ruleList.clear()
     ruleList ++= remaining

@@ -28,6 +28,27 @@ final class Engine(val catalog: Catalog) {
 
   def sessionSummary: (Int, Int) = (sessionRules.length, sessionFacts.values.map(_.length).sum)
 
+  /** Add ephemeral session facts directly (wire `insert_facts` message —
+    * reference session-scoped inserts, `rest/handlers/ws.rs`). */
+  def addSessionFacts(rel: String, rows: Seq[Seq[Any]]): Unit = {
+    sessionFacts.getOrElseUpdate(rel, mutable.ArrayBuffer.empty) ++= rows
+    matCache.clear()
+  }
+
+  /** Retract ephemeral session facts; returns how many were removed
+    * (wire `retract_facts`). Only the session overlay is touched. */
+  def retractSessionFacts(rel: String, rows: Seq[Seq[Any]]): Int =
+    sessionFacts.get(rel) match {
+      case None => 0
+      case Some(buf) =>
+        val toRemove = rows.toSet
+        val before = buf.length
+        val remaining = buf.filterNot(toRemove.contains)
+        buf.clear(); buf ++= remaining
+        matCache.clear()
+        before - buf.length
+    }
+
   /** Drop session rules/facts for one head (reference `.session drop <name>`). */
   def dropSessionRule(name: String): Unit = {
     val remaining = sessionRules.filterNot(_.head.rel == name)
@@ -52,6 +73,73 @@ final class Engine(val catalog: Catalog) {
     }
   }
 
+  /** `hnsw_nearest("index", Query, K, IdVar, DistVar[, EfSearch])` body
+    * predicate (reference `BodyPredicate::HnswNearest`, `src/ast/mod.rs:
+    * 964-982`; IR HnswScan `src/ir/mod.rs:361-376`): probes the named
+    * driver-held index and joins (IdVar, DistVar) — plus the query
+    * column when Query is a variable — into the body dataflow. A
+    * variable query probes once per DISTINCT bound vector (driver-side
+    * k-NN fan-out, the reference's own execution shape). */
+  private def hnswFrame(a: Atom, cur: Option[DataFrame]): DataFrame = {
+    val spark = catalog.spark
+    require(a.args.length == 5 || a.args.length == 6,
+      "hnsw_nearest(index, query, k, IdVar, DistVar[, efSearch])")
+    val idxName = a.args(0) match {
+      case Const(s: String) => s
+      case other => throw new IllegalArgumentException(
+        s"hnsw_nearest: index name must be a string literal, got $other")
+    }
+    val k = a.args(2) match {
+      case Const(n: Long) if n > 0 => n.toInt
+      case other => throw new IllegalArgumentException(
+        s"hnsw_nearest: k must be a positive integer literal, got $other")
+    }
+    val (idVar, distVar) = (a.args(3), a.args(4)) match {
+      case (Var(i), Var(d)) => (i, d)
+      case other => throw new IllegalArgumentException(
+        s"hnsw_nearest: id/distance args must be variables, got $other")
+    }
+    val ef = a.args.lift(5).map {
+      case Const(n: Long) => n.toInt
+      case other => throw new IllegalArgumentException(
+        s"hnsw_nearest: efSearch must be an integer literal, got $other")
+    }.getOrElse(64)
+    val (idx, _, _, _) = catalog.indexByName(idxName).getOrElse(
+      throw new IllegalArgumentException(s"unknown index '$idxName' " +
+        s"(create one with .index create $idxName on <rel>(<col>))"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(idVar,
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField(distVar,
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    def probeRows(q: Array[Float]) = idx.search(q, k, math.max(ef, k))
+    a.args(1) match {
+      case Const(s: Seq[_]) =>
+        val q = s.map {
+          case f: Float => f; case d: Double => d.toFloat
+          case l: Long => l.toFloat; case other => other.toString.toFloat
+        }.toArray
+        val rows = probeRows(q).map { case (id, d) =>
+          org.apache.spark.sql.Row(id, d) }
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      case Var(qv) =>
+        val curDf = cur.getOrElse(throw new IllegalArgumentException(
+          s"hnsw_nearest: query variable $qv must be bound by an earlier body atom"))
+        require(curDf.columns.contains(qv),
+          s"hnsw_nearest: query variable $qv is unbound in the rule body")
+        val qSchema = org.apache.spark.sql.types.StructType(
+          curDf.select(qv).schema.fields.head +: schema.fields)
+        val rows = curDf.select(qv).distinct().collect().flatMap { r =>
+          val q = r.getSeq[Float](0)
+          probeRows(q.toArray).map { case (id, d) =>
+            org.apache.spark.sql.Row(q, id, d) }
+        }
+        spark.createDataFrame(java.util.Arrays.asList(rows.toSeq: _*), qSchema)
+      case other => throw new IllegalArgumentException(
+        s"hnsw_nearest: query must be a variable or vector literal, got $other")
+    }
+  }
+
   /** Materialization cache keyed by (relation, catalog version): while the
     * catalog doesn't change, a re-query serves derived relations from here
     * instead of recomputing — the v0 realization of the reference's
@@ -62,11 +150,20 @@ final class Engine(val catalog: Catalog) {
     * inputs). Bounded: only the latest version's entries are kept. */
   private[iql] val matCache = mutable.HashMap.empty[(String, Long), DataFrame]
   private def cacheGet(rel: String): Option[DataFrame] = matCache.get((rel, catalog.version))
+  /** Newest cached materialization for `rel` at ANY version — the seed
+    * for incremental maintenance after catalog changes. */
+  private def cacheLatest(rel: String): Option[(Long, DataFrame)] =
+    matCache.collect { case ((r, v), df) if r == rel => (v, df) }.maxByOption(_._1)
   private def cachePut(rel: String, df: DataFrame): Unit = {
     val v = catalog.version
-    matCache.filterInPlace { case ((_, ver), _) => ver == v }
+    // keep ONE entry per relation (the newest) — older versions are only
+    // useful as maintenance seeds and the latest seed dominates
+    matCache.filterInPlace { case ((r, ver), _) => r != rel || ver == v }
     matCache((rel, v)) = df
   }
+  /** Observability: how many resolves were served by incremental
+    * maintenance instead of recomputation (tests assert on this). */
+  private[iql] var maintainedCount: Long = 0L
 
   /** Execute a whole program; returns the result of each `?` query in
     * order. Rules defined in the program (session or persistent) are
@@ -152,16 +249,17 @@ final class Engine(val catalog: Catalog) {
     // arity-mismatch fallback: `?data(X, Y)` against an arity-3 relation
     // returns the FULL stored tuples (reference behavior — its error
     // corpus records col0..colN tables, not an error)
-    q.goal.filter(_ => q.body.sizeIs == 1).foreach { g =>
+    q.goal.filter(g => q.body.sizeIs == 1 && g.rel != "hnsw_nearest").foreach { g =>
       val resolved = idb.resolve(g.rel, g.args.length)
       if (resolved.columns.length != g.args.length)
         return resolved.toDF(resolved.columns.indices.map(i => s"col$i"): _*)
     }
-    var df = RuleCompiler.compileBody(q.body, idb.resolve)
+    var df = RuleCompiler.compileBody(q.body, idb.resolve, hnswFrame)
     // shorthand queries keep the goal atom's full arity (constants too)
     // plus any vars BOUND by extra body elements (`?emb(Id, V), Q = f(V)`
-    // returns Id, V, Q — reference shorthand result shape)
-    q.goal.foreach { g =>
+    // returns Id, V, Q — reference shorthand result shape). A special-
+    // predicate goal (`?hnsw_nearest(...)`) returns just its bound vars.
+    q.goal.filterNot(_.rel == "hnsw_nearest").foreach { g =>
       val goalCols = g.args.zipWithIndex.map {
         case (Var(v), _) => col(v)
         case (Const(c), i) => lit(c).as(s"_c$i")
@@ -300,13 +398,153 @@ final class Engine(val catalog: Catalog) {
           memo(name) = df
           df
         } else {
-          require(!inProgress(name),
-            s"internal: unplanned recursive resolve of $name")
-          evalComponent(name)
-          if (demand.isEmpty) memo.get(name).foreach(cachePut(name, _))
-          memo(name)
+          (if (demand.isEmpty) tryMaintain(name) else None) match {
+            case Some(df) =>
+              maintainedCount += 1
+              memo(name) = df
+              cachePut(name, df)
+              df
+            case None =>
+              require(!inProgress(name),
+                s"internal: unplanned recursive resolve of $name")
+              evalComponent(name)
+              if (demand.isEmpty) memo.get(name).foreach(cachePut(name, _))
+              memo(name)
+          }
         }
       })
+    }
+
+    /** Incremental view maintenance on monotone changes (reference: DD
+      * keeps every persistent rule's materialization up to date per
+      * update, `src/incremental.rs`; its BENCHMARKS.md headline is
+      * re-query-after-change ≪ recompute). Preconditions checked here,
+      * bail to full recomputation (`None`) when any fails:
+      *  - a cached materialization of `name` exists at some version v0
+      *    and the change log covers every version since (no trims/gaps),
+      *  - all changes are pure inserts into BASE relations `name`
+      *    depends on (rule-set changes and deletes invalidate),
+      *  - no changed relation is itself rule-derived, none is referenced
+      *    through a derived lower stratum, none is negated in the
+      *    dependency tree, and `name`'s SCC has no aggregates (inserts
+      *    are only monotone for positive join/filter/recursion trees).
+      * Non-recursive: delta rules — each rule re-derives with ONE
+      * changed-atom occurrence bound to the insert delta and the rest at
+      * full current state; union with the cache. Recursive (single-rel
+      * SCC): the same delta seeding, then the semi-naive loop CONTINUES
+      * from the cached fixpoint — inserting 100 edges into a million-pair
+      * closure only explores paths through the new edges. */
+    private def tryMaintain(name: String): Option[DataFrame] = {
+      if (!byHead.contains(name)) return None
+      val (v0, cached) = cacheLatest(name).getOrElse(return None)
+      val changes = catalog.changeLog.filter(_.version > v0)
+      // contiguity: one log entry per bump, none trimmed away
+      if (changes.map(_.version).toSet != (v0 + 1 to catalog.version).toSet) return None
+      if (changes.exists(c => c.rel == "*" || c.delta == null)) return None
+      val changedRels = changes.map(_.rel).toSet
+      if (changedRels.exists(byHead.contains)) return None // derived rel changed
+
+      // dependency closure of a relation through the rule graph
+      def depsOf(rel: String, seen: mutable.HashSet[String] = mutable.HashSet.empty): Set[String] = {
+        if (!seen.add(rel)) return Set.empty
+        val direct = byHead.getOrElse(rel, Seq.empty).flatMap(_.body.collect {
+          case Pos(a) => a.rel
+          case Neg(a) => a.rel
+        })
+        direct.toSet ++ direct.flatMap(d => depsOf(d, seen))
+      }
+      val deps = depsOf(name) + name
+      if ((deps & changedRels).isEmpty) return Some(cached) // untouched: still valid
+      val scc = Stratifier.sccOf(rules).getOrElse(name, Set(name))
+      if (scc.size > 1) return None
+      val sccRules = byHead(name)
+      if (sccRules.exists(_.head.args.exists(a =>
+        a.isInstanceOf[Agg] || a.isInstanceOf[Rank]))) return None
+      // changed rels must be referenced DIRECTLY (not via a derived
+      // lower stratum whose delta we don't have), and never negated
+      val bodyRels = sccRules.flatMap(_.body.collect { case Pos(a) => a.rel })
+      val negRels = sccRules.flatMap(_.body.collect { case Neg(a) => a.rel })
+      if (negRels.exists(n => ((depsOf(n) + n) & changedRels).nonEmpty)) return None
+      if (bodyRels.exists(b => !scc(b) && !changedRels(b) && byHead.contains(b) &&
+        (depsOf(b) & changedRels).nonEmpty)) return None
+      if (sccRules.exists(_.body.exists { case Pos(a) =>
+        a.rel == "hnsw_nearest"; case _ => false })) return None
+
+      val arity = cached.columns.length
+      val cols = (0 until arity).map(i => s"c$i")
+      val deltaOf: Map[String, DataFrame] = changedRels.map { r =>
+        r -> changes.filter(_.rel == r).map(_.delta).reduce(_ union _).distinct()
+      }.toMap
+      val isRecursive = sccRules.exists(_.body.exists {
+        case Pos(a) => a.rel == name
+        case _ => false
+      })
+
+      /** Derivations with occurrence `dIdx` of `r`'s body bound to the
+        * delta of its relation; `name` occurrences bound to `recFrame`. */
+      def deltaDerive(r: Rule, dIdx: Int, recFrame: DataFrame): DataFrame = {
+        val targetRel = r.body(dIdx) match { case Pos(a) => a.rel; case _ => "" }
+        var occ = -1
+        val deltaResolver: RuleCompiler.Resolver = (nm, ar) =>
+          if (nm == targetRel) {
+            occ += 1
+            val bodyIdx = r.body.zipWithIndex.collect {
+              case (Pos(a), i) if a.rel == targetRel => i
+            }.apply(occ)
+            if (bodyIdx == dIdx) deltaOf(nm)
+            else if (nm == name) recFrame
+            else resolve(nm, ar)
+          } else if (nm == name) recFrame
+          else resolve(nm, ar)
+        deriveRule(r, deltaResolver).toDF(cols: _*)
+      }
+
+      val seedContribs = Seq.newBuilder[DataFrame]
+      if (changedRels(name)) seedContribs += deltaOf(name).toDF(cols: _*)
+      sccRules.foreach { r =>
+        r.body.zipWithIndex.foreach {
+          case (Pos(a), i) if changedRels(a.rel) =>
+            seedContribs += deltaDerive(r, i, cached)
+          case _ => ()
+        }
+      }
+      val contribs = seedContribs.result()
+      if (contribs.isEmpty) return Some(cached) // no rule touches the delta
+      val cand = Fixpoint.materialize(contribs.reduce(_ union _).distinct())
+      var delta = Fixpoint.materialize(
+        Fixpoint.antiNullSafe(cand.df, cached,
+          hintBroadcast = cand.count <= Fixpoint.BroadcastRows))
+      var acc = Fixpoint.materialize(cached.union(delta.df))
+      if (isRecursive) {
+        val recRules = sccRules.filter(_.body.exists {
+          case Pos(a) => a.rel == name
+          case _ => false
+        })
+        var iter = 0
+        while (delta.count > 0 && iter < 10000) {
+          iter += 1
+          val stepContribs = recRules.flatMap { r =>
+            val recIdx = r.body.zipWithIndex.collect {
+              case (Pos(a), i) if a.rel == name => i
+            }
+            recIdx.map { dIdx =>
+              var occ = -1
+              val resolver: RuleCompiler.Resolver = (nm, ar) =>
+                if (nm == name) {
+                  occ += 1
+                  if (recIdx(occ) == dIdx) delta.df else acc.df
+                } else resolve(nm, ar)
+              deriveRule(r, resolver).toDF(cols: _*)
+            }
+          }
+          val next = Fixpoint.materialize(Fixpoint.antiNullSafe(
+            stepContribs.reduce(_ union _).distinct(), acc.df,
+            hintBroadcast = acc.count <= Fixpoint.BroadcastRows))
+          if (next.count > 0) acc = Fixpoint.materialize(acc.df.union(next.df))
+          delta = next
+        }
+      }
+      Some(acc.df)
     }
 
     /** Zero-row frame with `arity` untyped columns (empty placeholders,
@@ -427,7 +665,7 @@ final class Engine(val catalog: Catalog) {
     /** One rule → positional frame (c0..cn), demand filter applied.
       * A [[Rank]] head term expands to (outs ++ order) columns. */
     private def deriveRule(r: Rule, resolver: RuleCompiler.Resolver = resolve): DataFrame = {
-      val bodyDf = RuleCompiler.compileBody(r.body, resolver)
+      val bodyDf = RuleCompiler.compileBody(r.body, resolver, hnswFrame)
       r.head.args.collect { case rk: Rank => rk } match {
         case Seq(rank) => return deriveRankRule(r, rank, bodyDf)
         case Seq() => ()
@@ -529,13 +767,11 @@ final class Engine(val catalog: Catalog) {
     }
 
     /** Semi-naive evaluation of one recursive component (handles mutual
-      * recursion). Aggregates inside a recursive SCC are rejected (the
-      * reference's recursive min/max semiring is future work). */
+      * recursion). min/max aggregate heads route to the value-iteration
+      * evaluator; other aggregates inside a recursive SCC are rejected. */
     private def evalRecursiveScc(scc: Set[String], sccRules: Seq[Rule]): Unit = {
-      sccRules.foreach { r =>
-        require(!r.head.args.exists(_.isInstanceOf[Agg]),
-          s"aggregates in recursive rules are not supported (${r.head.rel})")
-      }
+      val aggRules = sccRules.filter(_.head.args.exists(_.isInstanceOf[Agg]))
+      if (aggRules.nonEmpty) return evalRecursiveAggScc(scc, sccRules, aggRules)
       // base = non-recursive rules (+ EDB facts under the same name).
       // A relation may legitimately have NO base (mutual recursion seeds
       // it through the cycle) — it simply starts absent/empty; its schema
@@ -612,6 +848,95 @@ final class Engine(val catalog: Catalog) {
         memo(rel) = acc.get(rel).map(_.df).getOrElse(
           emptyFrame(byHead(rel).head.head.args.length)) // never derived
       }
+    }
+
+    /** Recursive rules with a min/max aggregate head — the semantics the
+      * reference's MinDiff/MaxDiff semiring types are built for
+      * (shortest/widest path; `src/semiring_types.rs:175-300` documents
+      * the intent without wiring it into execution). Realized as VALUE
+      * ITERATION: every clause contributes candidate (keys, value) rows,
+      * the relation's state is the per-key min/max, and each iteration
+      * feeds back only rows whose value IMPROVED — semi-naive over the
+      * min-semiring. A cyclic graph converges (a candidate through the
+      * cycle is never better than the existing label) where plain
+      * recursion with `D+1` would diverge. */
+    private def evalRecursiveAggScc(scc: Set[String], sccRules: Seq[Rule],
+                                    aggRules: Seq[Rule]): Unit = {
+      require(scc.size == 1,
+        s"recursive aggregation over mutually recursive relations is not supported ($scc)")
+      val rel = scc.head
+      val specs = aggRules.map { r =>
+        val idxs = r.head.args.zipWithIndex.collect { case (Agg(f, _), i) => (f, i) }
+        require(idxs.size == 1,
+          s"recursive aggregation supports exactly one aggregate per head ($rel)")
+        idxs.head
+      }
+      require(specs.distinct.size == 1,
+        s"recursive aggregate clauses of $rel must agree on function and position")
+      val (func, aggIdx) = specs.head
+      require(func == "min" || func == "max",
+        s"only min/max aggregates can appear in recursive rules, got $func ($rel)")
+      val arity = sccRules.head.head.args.length
+      // strip the Agg wrapper: under per-key min/max reduction a `min<t>`
+      // head derives the same fixpoint as a plain `t` head
+      val rules = sccRules.map(r => r.copy(head = r.head.copy(args = r.head.args.map {
+        case Agg(_, t) => t
+        case t => t
+      })))
+      val cols = (0 until arity).map(i => s"c$i")
+      val keys = cols.indices.filterNot(_ == aggIdx).map(cols)
+      def reduce(df: DataFrame): DataFrame = {
+        val f = if (func == "min") min(col(cols(aggIdx))) else max(col(cols(aggIdx)))
+        val g = if (keys.isEmpty) df.groupBy() else df.groupBy(keys.map(col): _*)
+        g.agg(f.as(cols(aggIdx))).select(cols.map(col): _*)
+      }
+      val recRules = rules.filter(_.body.exists {
+        case Pos(a) => a.rel == rel
+        case _ => false
+      })
+      val baseRules = rules.filterNot(recRules.contains)
+      val parts = baseWithOverlay(rel).map(b => b.toDF(cols: _*)).toSeq ++
+        baseRules.map(deriveRule(_).toDF(cols: _*))
+      if (parts.isEmpty) { memo(rel) = emptyFrame(arity); return }
+      var acc = Fixpoint.materialize(reduce(parts.reduce(_ union _)))
+      var delta = acc
+      val better: (Column, Column) => Column =
+        if (func == "min") (n, o) => n < o else (n, o) => n > o
+      var iter = 0
+      while (delta.count > 0 && iter < 10000) {
+        iter += 1
+        val contribs = recRules.flatMap { r =>
+          val recIdx = r.body.zipWithIndex.collect {
+            case (Pos(a), i) if a.rel == rel => i
+          }
+          // one evaluation per recursive occurrence: that occurrence sees
+          // the delta, siblings see the full accumulator (acc already
+          // absorbed delta, so delta×delta combinations are covered)
+          recIdx.map { dIdx =>
+            var occ = -1
+            val resolver: RuleCompiler.Resolver = (nm, ar) =>
+              if (nm == rel) { occ += 1; if (recIdx(occ) == dIdx) delta.df else acc.df }
+              else resolve(nm, ar)
+            deriveRule(r, resolver).toDF(cols: _*)
+          }
+        }
+        if (contribs.isEmpty) { memo(rel) = acc.df; return }
+        // materialize before the join-vs-acc: cand embeds acc's exprIds
+        // when a rule has several recursive occurrences
+        val cand = Fixpoint.materialize(reduce(contribs.reduce(_ union _)))
+        val keyCond = keys.map(k => col(s"__n.$k") <=> col(s"__o.$k"))
+          .reduceOption(_ && _).getOrElse(lit(true))
+        val vN = col(s"__n.${cols(aggIdx)}")
+        val vO = col(s"__o.${cols(aggIdx)}")
+        val improved = cand.df.alias("__n")
+          .join(acc.df.alias("__o"), keyCond, "left_outer")
+          .where(vO.isNull || better(vN, vO))
+          .select(cols.map(c => col(s"__n.$c")): _*)
+        delta = Fixpoint.materialize(improved)
+        if (delta.count > 0)
+          acc = Fixpoint.materialize(reduce(acc.df.union(delta.df)))
+      }
+      memo(rel) = acc.df
     }
   }
 }

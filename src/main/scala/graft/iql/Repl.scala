@@ -14,10 +14,16 @@ object Repl {
 }
 
 final class Session(val spark: SparkSession,
-                    val loadBasePath: String = ".") {
+                    val loadBasePath: String = ".",
+                    sharedKgs: mutable.LinkedHashMap[String, Catalog] = null) {
   import Repl._
 
-  private val kgs = mutable.LinkedHashMap("default" -> new Catalog(spark))
+  /** KG map — injectable so a server can share persistent catalogs across
+    * connections while each connection keeps its own session overlay
+    * (reference: sessions share the storage engine, `src/session.rs`). */
+  private val kgs =
+    if (sharedKgs != null) sharedKgs
+    else mutable.LinkedHashMap("default" -> new Catalog(spark))
   private val engines = mutable.HashMap.empty[String, Engine]
   private var currentKg = "default"
 
@@ -144,7 +150,20 @@ final class Session(val spark: SparkSession,
         Text(Seq(s"exported $rel to $path"))
 
       case Seq(".index", "list") =>
-        Text(catalog.indexes.keys.map { case (r, c) => s"$r($c)" }.toSeq)
+        Text(catalog.indexMeta.map { case (n, (r, _, c)) => s"$n: $r($c)" }.toSeq)
+      // named form (reference `.index create <name> on <rel>(<col>)`,
+      // `src/statement/meta.rs:47`); id column defaults to the first
+      // column, override with a trailing id-column token
+      case Seq(".index", "create", name, "on", relCol, rest @ _*) if relCol.contains("(") =>
+        val m = "(\\w+)\\((\\w+)\\)".r.findFirstMatchIn(relCol).getOrElse(
+          throw new IllegalArgumentException(s".index create: expected <rel>(<col>), got $relCol"))
+        val (rel, vecCol) = (m.group(1), m.group(2))
+        val idCol = rest.headOption.getOrElse(
+          catalog.relation(rel).map(_.columns.head).getOrElse(
+            throw new IllegalArgumentException(s"unknown relation $rel")))
+        val metric = rest.lift(1).getOrElse("cosine")
+        catalog.createIndex(rel, idCol, vecCol, metric, name = name)
+        Text(Seq(s"index $name created on $rel($vecCol)"))
       case Seq(".index", "create", rel, idCol, vecCol) =>
         catalog.createIndex(rel, idCol, vecCol)
         Text(Seq(s"index created on $rel($vecCol)"))
@@ -153,7 +172,12 @@ final class Session(val spark: SparkSession,
         Text(Seq(s"index created on $rel($vecCol) metric=$metric"))
       case Seq(".index", "drop", rel, vecCol) =>
         catalog.indexes.remove((rel, vecCol))
+        catalog.indexMeta.filterInPlace { case (_, (r, _, c)) => (r, c) != (rel, vecCol) }
         Text(Seq(s"index dropped on $rel($vecCol)"))
+      case Seq(".index", "drop", name) =>
+        catalog.indexMeta.remove(name).foreach { case (r, _, c) =>
+          catalog.indexes.remove((r, c)) }
+        Text(Seq(s"index $name dropped"))
       case Seq(".index", "stats", rel, vecCol) =>
         val idx = catalog.indexes.getOrElse((rel, vecCol),
           throw new IllegalArgumentException(s"no index on $rel($vecCol)"))

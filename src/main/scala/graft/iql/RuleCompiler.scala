@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 import Ast._
-import graft.functions.{TemporalFunctions => TempF, VectorFunctions => VF}
+import graft.functions.{LshFunctions => LF, TemporalFunctions => TempF, VectorFunctions => VF}
 
 /** Compiles one rule body (a conjunction of atoms, negated atoms, and
   * comparison/binding predicates) into a DataFrame whose columns are the
@@ -31,24 +31,50 @@ object RuleCompiler {
   private val BoolBuiltins = Set("within_last", "time_before", "time_after",
     "time_between", "intervals_overlap", "interval_contains", "point_in_interval")
 
+  /** Special body predicates that aren't relation scans or filters: the
+    * engine supplies a frame-producing callback (reference
+    * `BodyPredicate::HnswNearest`, `src/ast/mod.rs:964-982`). The
+    * callback sees the body frame built so far (None when the special
+    * atom is the only positive) so a query VARIABLE can be resolved
+    * against already-bound columns. */
+  type SpecialAtoms = (Atom, Option[DataFrame]) => DataFrame
+  private val SpecialNames = Set("hnsw_nearest")
+
   /** Compile a body; returns a frame with one column per variable. */
-  def compileBody(body0: Seq[BodyElem], resolve: Resolver): DataFrame = {
+  def compileBody(body0: Seq[BodyElem], resolve: Resolver,
+                  special: SpecialAtoms = null): DataFrame = {
     val body = body0.map {
       case Pos(Atom(n, args)) if BoolBuiltins(n.toLowerCase) =>
         Cmp("=", Func(n, args), Const(true))
       case other => other
     }
-    val positives = body.collect { case Pos(a) => a }
-    require(positives.nonEmpty, "rule body needs at least one positive atom (range restriction)")
+    val (specials, positives) = body.collect { case Pos(a) => a }
+      .partition(a => SpecialNames(a.rel.toLowerCase))
+    require(positives.nonEmpty || specials.nonEmpty,
+      "rule body needs at least one positive atom (range restriction)")
+    specials.headOption.foreach { a =>
+      require(special != null, s"${a.rel} is not supported in this context")
+    }
 
     // 1. positive atoms: join left-to-right on shared variables.
     //    (The reference reorders joins by a max-spanning-tree heuristic,
     //    `src/join_planning/mod.rs`; we rely on Catalyst/AQE instead.)
-    var cur: DataFrame = atomFrame(positives.head, resolve)
-    positives.tail.foreach { a =>
+    //    Special predicates (index probes) join AFTER the plain scans so
+    //    their query variables are already bound.
+    var cur: DataFrame = null
+    positives.headOption.foreach { h => cur = atomFrame(h, resolve) }
+    positives.drop(1).foreach { a =>
       val af = atomFrame(a, resolve)
       val shared = cur.columns.intersect(af.columns).toSeq
       cur = if (shared.nonEmpty) cur.join(af, shared) else cur.crossJoin(af)
+    }
+    specials.foreach { a =>
+      val af = special(a, Option(cur))
+      if (cur == null) cur = af
+      else {
+        val shared = cur.columns.intersect(af.columns).toSeq
+        cur = if (shared.nonEmpty) cur.join(af, shared) else cur.crossJoin(af)
+      }
     }
 
     // 2. comparisons and computed bindings, in body order: `V = expr`
@@ -180,6 +206,13 @@ object RuleCompiler {
     }
   }
 
+  private lazy val lshBucketUdf =
+    udf((v: Seq[Float], t: Long, n: Long) => LF.RefLsh.bucket(v, t, n.toInt))
+  private lazy val lshProbesUdf =
+    udf((b: Long, n: Long, np: Long) => LF.RefLsh.probes(b, n.toInt, np.toInt))
+  private lazy val lshMultiProbeUdf =
+    udf((v: Seq[Float], t: Long, n: Long, np: Long) => LF.RefLsh.multiProbe(v, t, n.toInt, np.toInt))
+
   /** Builtin scalar function registry (reference BuiltinFunc inventory,
     * `src/ast/mod.rs:58-197`; vector ops `src/vector_ops.rs`; temporal
     * `src/temporal_ops.rs`). All compile to native Column expressions. */
@@ -228,6 +261,19 @@ object RuleCompiler {
     case ("point_in_interval", Seq(t0, s, e)) => TempF.pointInInterval(t0, s, e)
     // vector
     case ("euclidean", Seq(x, y)) => VF.euclidean(x, y)
+    // LSH — reference-EXACT bucket values (SipHash-1-3-derived
+    // hyperplanes, `src/vector_ops.rs:891-927`; the reference's own
+    // snapshot corpus asserts concrete bucket ids, 31_lsh). Row-wise
+    // UDFs with a per-JVM hyperplane cache — the same shape as the
+    // reference's native row loop + LRU plane cache; dialect surface
+    // only, the distributed dedup/ANN operators use the codegen'd
+    // static-dim family in LshFunctions.
+    case ("lsh_bucket", Seq(v, t, n)) =>
+      lshBucketUdf(v, t.cast("long"), n.cast("long"))
+    case ("lsh_probes", Seq(b, n, np)) =>
+      lshProbesUdf(b.cast("long"), n.cast("long"), np.cast("long"))
+    case ("lsh_multi_probe", Seq(v, t, n, np)) =>
+      lshMultiProbeUdf(v, t.cast("long"), n.cast("long"), np.cast("long"))
     case ("cosine", Seq(x, y)) => VF.cosineDistance(x, y)
     case ("dot", Seq(x, y)) => VF.dot(x, y)
     case ("manhattan", Seq(x, y)) => VF.manhattan(x, y)

@@ -1,0 +1,290 @@
+package graft.server
+
+import java.io.{BufferedOutputStream, DataInputStream, DataOutputStream, InputStream}
+import java.net.{InetSocketAddress, ServerSocket, Socket}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.security.MessageDigest
+import java.util.Base64
+import java.util.concurrent.atomic.AtomicLong
+
+import scala.collection.mutable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.iql.{Catalog, Repl, Session}
+
+/** Wire-protocol server: HTTP REST + WebSocket on one port, mirroring the
+  * reference's production surface (`src/protocol/` — "HTTP Endpoints:
+  * /health, /metrics, /ws (all data operations); Wire Format: JSON",
+  * `src/protocol/mod.rs:10-19`; message schema `rest/handlers/ws.rs`).
+  *
+  * Implementation is raw-socket on the JDK only (the build has no HTTP
+  * framework): a tiny HTTP/1.1 parser routes GET/POST requests, and a
+  * `Connection: Upgrade` request on /ws runs the RFC 6455 handshake +
+  * frame codec. One OS thread per connection; each WebSocket connection
+  * gets its own [[Session]] view over SHARED knowledge-graph catalogs, so
+  * session rules/facts are connection-scoped while persistent state is
+  * global — the reference's session model (`src/session.rs`).
+  *
+  * Spark-side: this server is a driver-process front door. Query
+  * execution fans out to the cluster exactly as library calls do; the
+  * protocol layer only collects final results (reference returns full
+  * result sets per query message the same way).
+  *
+  * Messages (client → server): `{"type":"query","query":"?edge(X,Y)"}`,
+  * `{"type":"insert_facts","relation":"r","tuples":[[1,2]]}`,
+  * `{"type":"retract_facts",...}`, `{"type":"add_rule","rule":"..."}`,
+  * `{"type":"ping"}`. Server → client: `result` / `ack` / `error` /
+  * `pong`, matching the reference's tags.
+  */
+final class WireServer(spark: SparkSession, port: Int = 0) {
+
+  private val kgs = mutable.LinkedHashMap("default" -> new Catalog(spark))
+  private val serverSocket = new ServerSocket()
+  serverSocket.setReuseAddress(true)
+  serverSocket.bind(new InetSocketAddress(port))
+  @volatile private var running = true
+  private val startedAtMs = System.currentTimeMillis()
+  private val queriesServed = new AtomicLong(0)
+  /** REST /query statements execute in one shared session (stateless
+    * clients), WS connections each get their own. */
+  private val restSession = newSession()
+
+  def actualPort: Int = serverSocket.getLocalPort
+
+  private def newSession(): Session = new Session(spark, sharedKgs = kgs)
+
+  private val acceptThread = new Thread(() => {
+    while (running) {
+      try {
+        val sock = serverSocket.accept()
+        val t = new Thread(() => handle(sock))
+        t.setDaemon(true)
+        t.start()
+      } catch {
+        case _: Throwable if !running => ()
+        case e: Throwable => System.err.println(s"[wire] accept: ${e.getMessage}")
+      }
+    }
+  })
+  acceptThread.setDaemon(true)
+  acceptThread.start()
+
+  def stop(): Unit = {
+    running = false
+    serverSocket.close()
+  }
+
+  // ------------------------------------------------------------- HTTP
+
+  private def handle(sock: Socket): Unit = {
+    try {
+      val in = new DataInputStream(sock.getInputStream)
+      val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+      val requestLine = readLine(in)
+      if (requestLine == null) return
+      val parts = requestLine.split(" ")
+      if (parts.length < 2) return
+      val (method, rawPath) = (parts(0), parts(1))
+      val headers = mutable.LinkedHashMap.empty[String, String]
+      var line = readLine(in)
+      while (line != null && line.nonEmpty) {
+        val i = line.indexOf(':')
+        if (i > 0) headers(line.substring(0, i).trim.toLowerCase) = line.substring(i + 1).trim
+        line = readLine(in)
+      }
+      val path = rawPath.stripPrefix("/v1") match { case "" => "/"; case p => p }
+      val upgrade = headers.get("upgrade").exists(_.equalsIgnoreCase("websocket"))
+      if (upgrade && (path == "/ws" || path.startsWith("/sessions/"))) {
+        webSocket(headers, in, out)
+      } else {
+        val body =
+          if (method == "POST") {
+            val n = headers.get("content-length").map(_.toInt).getOrElse(0)
+            val buf = new Array[Byte](n)
+            in.readFully(buf)
+            new String(buf, UTF_8)
+          } else ""
+        val (status, json) = route(method, path, body)
+        val bytes = json.getBytes(UTF_8)
+        out.write((s"HTTP/1.1 $status\r\nContent-Type: application/json\r\n" +
+          s"Content-Length: ${bytes.length}\r\nConnection: close\r\n\r\n").getBytes(UTF_8))
+        out.write(bytes)
+        out.flush()
+      }
+    } catch {
+      case _: Throwable => ()
+    } finally {
+      try sock.close() catch { case _: Throwable => () }
+    }
+  }
+
+  private def readLine(in: InputStream): String = {
+    val sb = new StringBuilder
+    var c = in.read()
+    if (c < 0) return null
+    while (c >= 0 && c != '\n') {
+      if (c != '\r') sb.append(c.toChar)
+      c = in.read()
+    }
+    sb.toString
+  }
+
+  private def route(method: String, path: String, body: String): (String, String) =
+    (method, path) match {
+      case ("GET", "/health") | ("GET", "/live") | ("GET", "/ready") =>
+        ("200 OK", Json.render(Map("status" -> "healthy")))
+      case ("GET", "/metrics") =>
+        val cat = kgs("default")
+        ("200 OK", Json.render(Map(
+          "uptime_ms" -> (System.currentTimeMillis() - startedAtMs),
+          "queries_served" -> queriesServed.get(),
+          "knowledge_graphs" -> kgs.keys.toSeq,
+          "relations" -> cat.relationNames,
+          "rules" -> cat.rules.length,
+          "indexes" -> cat.indexMeta.keys.toSeq)))
+      case ("POST", "/query") =>
+        val msg = Json.parse(body).asInstanceOf[Map[String, Any]]
+        restSession.synchronized {
+          ("200 OK", Json.render(dispatch(restSession, msg)))
+        }
+      case _ =>
+        ("404 Not Found", Json.render(Map("type" -> "error", "message" -> s"no route $method $path")))
+    }
+
+  // -------------------------------------------------------- WebSocket
+
+  private val WsGuid = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
+
+  private def webSocket(headers: mutable.Map[String, String],
+                        in: DataInputStream, out: DataOutputStream): Unit = {
+    val key = headers.getOrElse("sec-websocket-key",
+      throw new IllegalArgumentException("missing Sec-WebSocket-Key"))
+    val accept = Base64.getEncoder.encodeToString(
+      MessageDigest.getInstance("SHA-1").digest((key + WsGuid).getBytes(UTF_8)))
+    out.write(("HTTP/1.1 101 Switching Protocols\r\nUpgrade: websocket\r\n" +
+      s"Connection: Upgrade\r\nSec-WebSocket-Accept: $accept\r\n\r\n").getBytes(UTF_8))
+    out.flush()
+    val session = newSession()
+    var open = true
+    while (open) {
+      readFrame(in) match {
+        case None => open = false
+        case Some((0x8, _)) => // close
+          writeFrame(out, 0x8, Array.emptyByteArray)
+          open = false
+        case Some((0x9, payload)) => writeFrame(out, 0xA, payload) // ping→pong
+        case Some((0xA, _)) => () // unsolicited pong
+        case Some((op, payload)) if op == 0x1 || op == 0x2 =>
+          val response =
+            try {
+              val msg = Json.parse(new String(payload, UTF_8)).asInstanceOf[Map[String, Any]]
+              dispatch(session, msg)
+            } catch {
+              case e: Exception =>
+                Map("type" -> "error", "message" -> String.valueOf(e.getMessage))
+            }
+          writeFrame(out, 0x1, Json.render(response).getBytes(UTF_8))
+        case Some(_) => () // ignore continuation/unknown
+      }
+    }
+  }
+
+  /** One frame: (opcode, unmasked payload); None on EOF. */
+  private def readFrame(in: DataInputStream): Option[(Int, Array[Byte])] = {
+    val b0 = in.read()
+    if (b0 < 0) return None
+    val opcode = b0 & 0x0F
+    val b1 = in.read()
+    if (b1 < 0) return None
+    val masked = (b1 & 0x80) != 0
+    var len: Long = b1 & 0x7F
+    if (len == 126) len = in.readUnsignedShort().toLong
+    else if (len == 127) len = in.readLong()
+    require(len <= 16L * 1024 * 1024, "frame exceeds 16 MB limit") // reference MAX_MESSAGE_SIZE
+    val mask = if (masked) { val m = new Array[Byte](4); in.readFully(m); m } else null
+    val payload = new Array[Byte](len.toInt)
+    in.readFully(payload)
+    if (masked) {
+      var i = 0
+      while (i < payload.length) { payload(i) = (payload(i) ^ mask(i % 4)).toByte; i += 1 }
+    }
+    Some((opcode, payload))
+  }
+
+  private def writeFrame(out: DataOutputStream, opcode: Int, payload: Array[Byte]): Unit = {
+    out.write(0x80 | opcode)
+    if (payload.length < 126) out.write(payload.length)
+    else if (payload.length < 65536) { out.write(126); out.writeShort(payload.length) }
+    else { out.write(127); out.writeLong(payload.length.toLong) }
+    out.write(payload)
+    out.flush()
+  }
+
+  // --------------------------------------------------------- messages
+
+  private def dispatch(session: Session, msg: Map[String, Any]): Map[String, Any] =
+    try {
+      msg.getOrElse("type", "") match {
+        case "ping" => Map("type" -> "pong")
+        case "query" =>
+          val src = msg("query").toString
+          val t0 = System.nanoTime()
+          val results = session.execute(src)
+          queriesServed.incrementAndGet()
+          results.lastOption match {
+            case Some(Repl.Table(df)) => resultMessage(df, t0)
+            case Some(Repl.Text(lines)) =>
+              Map("type" -> "ack", "message" -> lines.mkString("\n"))
+            case None => Map("type" -> "ack", "message" -> "ok")
+          }
+        case "insert_facts" =>
+          val rel = msg("relation").toString
+          val tuples = jsonTuples(msg("tuples"))
+          session.engine.addSessionFacts(rel, tuples)
+          Map("type" -> "ack",
+            "message" -> s"Inserted ${tuples.length} fact(s) into '$rel'")
+        case "retract_facts" =>
+          val rel = msg("relation").toString
+          val tuples = jsonTuples(msg("tuples"))
+          val n = session.engine.retractSessionFacts(rel, tuples)
+          Map("type" -> "ack", "message" -> s"Retracted $n fact(s) from '$rel'")
+        case "add_rule" =>
+          val rule = msg("rule").toString
+          session.execute(rule)
+          Map("type" -> "ack", "message" -> "Rule added")
+        case other =>
+          Map("type" -> "error", "message" -> s"unknown message type '$other'")
+      }
+    } catch {
+      case e: Exception =>
+        Map("type" -> "error", "message" -> String.valueOf(e.getMessage))
+    }
+
+  private def jsonTuples(v: Any): Seq[Seq[Any]] =
+    v.asInstanceOf[Seq[Any]].map(_.asInstanceOf[Seq[Any]].map {
+      case xs: Seq[_] => xs.map { // nested array = vector value (f32)
+        case d: Double => d.toFloat
+        case l: Long => l.toFloat
+        case o => o.toString.toFloat
+      }
+      case x => x
+    })
+
+  private def resultMessage(df: DataFrame, t0: Long): Map[String, Any] = {
+    val rows = df.collect().map(_.toSeq.map(cell)).toSeq
+    Map(
+      "type" -> "result",
+      "columns" -> df.columns.toSeq,
+      "rows" -> rows,
+      "row_count" -> rows.length,
+      "execution_time_ms" -> ((System.nanoTime() - t0) / 1000000L))
+  }
+
+  private def cell(v: Any): Any = v match {
+    case s: Seq[_] => s
+    case arr: Array[_] => arr.toSeq
+    case ts: java.sql.Timestamp => ts.getTime
+    case d: java.sql.Date => d.getTime
+    case other => other
+  }
+}

@@ -68,12 +68,56 @@ class HnswSpec extends SparkSpec {
     s.catalog.register("emb", vs.toDF("vec_id", "embedding"))
     s.execute(".index create emb vec_id embedding")
     val lines = s.execute(".index list").head.asInstanceOf[graft.iql.Repl.Text].lines
-    assert(lines == Seq("emb(embedding)"))
+    assert(lines == Seq("emb_embedding: emb(embedding)"))
     val probe = s.catalog.hnswSearch("emb", "embedding", vs.head._2.toArray, 5)
     assert(probe.count() == 5)
     assert(probe.head().getLong(0) == 0L) // nearest to itself
     s.execute(".index drop emb embedding")
     assertThrows[IllegalArgumentException](
       s.catalog.hnswSearch("emb", "embedding", vs.head._2.toArray, 5))
+  }
+
+  test("hnsw_nearest body predicate with literal and variable queries") {
+    import spark.implicits._
+    val s = new graft.iql.Session(spark)
+    val vs = mkVecs(50, 4).map { case (id, v) => (id, v.toSeq) }
+    s.catalog.register("emb", vs.toDF("vec_id", "embedding"))
+    s.execute(".index create idx on emb(embedding) vec_id")
+    // literal query: hnsw_nearest as the only body predicate
+    val q0 = vs.head._2.mkString("[", ", ", "]")
+    val r1 = s.execute(s"""?hnsw_nearest("idx", $q0, 5, Id, D)""")
+      .head.asInstanceOf[graft.iql.Repl.Table].df
+    assert(r1.count() == 5)
+    assert(rows(r1).map(_.head).contains(0L)) // nearest to itself
+    // variable query inside a rule: probe per bound vector
+    s.execute("+probe[(0), (3)]")
+    s.execute("+nn(P, Id, D) <- probe(P), emb(P, V), hnsw_nearest(\"idx\", V, 3, Id, D)")
+    val r2 = s.execute("?nn(P, Id, D)").head.asInstanceOf[graft.iql.Repl.Table].df
+    assert(r2.count() == 6) // 2 probes × k=3
+    val byP = r2.collect().groupBy(_.getLong(0))
+    assert(byP(0L).map(_.getLong(1)).contains(0L))
+    assert(byP(3L).map(_.getLong(1)).contains(3L))
+  }
+
+  test("lsh_bucket / lsh_probes IQL builtins are deterministic and bucket near-dups together") {
+    import spark.implicits._
+    val s = new graft.iql.Session(spark)
+    val base = Array.tabulate(16)(i => math.sin(i * 1.3).toFloat)
+    val near = base.clone(); near(0) = near(0) + 1e-4f
+    s.catalog.register("emb",
+      Seq((1L, base.toSeq), (2L, near.toSeq)).toDF("vec_id", "embedding"))
+    val r = s.execute(
+      """?emb(Id, V), B = lsh_bucket(V, 0, 8), P = lsh_probes(B, 8, 3)""")
+      .head.asInstanceOf[graft.iql.Repl.Table].df
+    val got = r.collect().map(x => (x.getLong(0), x.getLong(2), x.getSeq[Float](3))).toSeq
+    val b1 = got.find(_._1 == 1L).get._2
+    val b2 = got.find(_._1 == 2L).get._2
+    assert(b1 == b2) // near-identical vectors share the bucket
+    assert(got.head._3.length == 3 && got.head._3.head == b1.toFloat)
+    // deterministic across re-evaluation
+    val again = s.execute("""?emb(Id, V), B = lsh_bucket(V, 0, 8)""")
+      .head.asInstanceOf[graft.iql.Repl.Table].df
+    assert(again.collect().map(x => (x.getLong(0), x.getLong(2))).toSet ==
+      got.map(x => (x._1, x._2)).toSet)
   }
 }

@@ -278,6 +278,99 @@ class EngineSpec extends SparkSpec {
         |""".stripMargin) == Set(Seq(4.0), Seq(null)))
   }
 
+  test("recursive min aggregate: shortest path converges on a cyclic graph") {
+    assert(query(
+      """+edge[(1,2),(2,3),(3,1),(2,4)]
+        |+source[(1, 0)]
+        |+sp(X, D) <- source(X, D)
+        |+sp(Y, min<D + 1>) <- sp(X, D), edge(X, Y)
+        |?sp(X, D)
+        |""".stripMargin) ==
+      Set(Seq(1L, 0L), Seq(2L, 1L), Seq(3L, 2L), Seq(4L, 2L)))
+  }
+
+  test("recursive min aggregate: weighted shortest path picks the cheaper route") {
+    assert(query(
+      """+wedge[(1,2,10),(1,3,1),(3,2,1),(2,4,1)]
+        |+sp(1, 0)
+        |+sp(Y, min<D + W>) <- sp(X, D), wedge(X, Y, W)
+        |?sp(X, D)
+        |""".stripMargin) ==
+      Set(Seq(1L, 0L), Seq(3L, 1L), Seq(2L, 2L), Seq(4L, 3L)))
+  }
+
+  test("recursive max aggregate: longest path on a DAG") {
+    assert(query(
+      """+edge[(1,2),(2,3),(1,3)]
+        |+lp[(1, 0)]
+        |+lp(Y, max<D + 1>) <- lp(X, D), edge(X, Y)
+        |?lp(X, D)
+        |""".stripMargin) ==
+      Set(Seq(1L, 0L), Seq(2L, 1L), Seq(3L, 2L)))
+  }
+
+  test("incremental maintenance: inserts extend a cached recursive closure") {
+    val e = new Engine(new Catalog(spark))
+    e.run(
+      """+edge[(1,2),(2,3)]
+        |+reach(X, Y) <- edge(X, Y)
+        |+reach(X, Z) <- reach(X, Y), edge(Y, Z)
+        |""".stripMargin)
+    assert(rows(e.run("?reach(X, Y)").last).size == 3) // materializes + caches
+    e.run("+edge[(3,4)]") // monotone change
+    val after = rows(e.run("?reach(X, Y)").last)
+    assert(after == Set(Seq(1L,2L), Seq(1L,3L), Seq(1L,4L),
+      Seq(2L,3L), Seq(2L,4L), Seq(3L,4L)))
+    assert(e.maintainedCount >= 1, "second query should delta-extend, not recompute")
+  }
+
+  test("incremental maintenance: non-recursive join view and unrelated inserts") {
+    val e = new Engine(new Catalog(spark))
+    e.run(
+      """+person[("a", 1), ("b", 2)]
+        |+score[(1, 10)]
+        |+ps(N, S) <- person(N, I), score(I, S)
+        |""".stripMargin)
+    assert(rows(e.run("?ps(N, S)").last) == Set(Seq("a", 10L)))
+    // unrelated relation: cache stays valid, no recompute
+    e.run("+other[(99)]")
+    assert(rows(e.run("?ps(N, S)").last) == Set(Seq("a", 10L)))
+    val c1 = e.maintainedCount
+    assert(c1 >= 1)
+    // insert into each side of the join
+    e.run("+score[(2, 20)]")
+    assert(rows(e.run("?ps(N, S)").last) == Set(Seq("a", 10L), Seq("b", 20L)))
+    e.run("""+person[("c", 1)]""")
+    assert(rows(e.run("?ps(N, S)").last) ==
+      Set(Seq("a", 10L), Seq("b", 20L), Seq("c", 10L)))
+    assert(e.maintainedCount > c1)
+  }
+
+  test("incremental maintenance: deletes fall back to recomputation correctly") {
+    val e = new Engine(new Catalog(spark))
+    e.run(
+      """+edge[(1,2),(2,3),(3,4)]
+        |+reach(X, Y) <- edge(X, Y)
+        |+reach(X, Z) <- reach(X, Y), edge(Y, Z)
+        |""".stripMargin)
+    assert(rows(e.run("?reach(X, Y)").last).size == 6)
+    e.run("-edge(2, 3)") // retraction: not monotone
+    assert(rows(e.run("?reach(X, Y)").last) ==
+      Set(Seq(1L,2L), Seq(3L,4L))) // full recompute, correct result
+  }
+
+  test("incremental maintenance: negation in the tree forces recompute but stays correct") {
+    val e = new Engine(new Catalog(spark))
+    e.run(
+      """+p[(1),(2),(3)]
+        |+banned[(2)]
+        |+ok(X) <- p(X), !banned(X)
+        |""".stripMargin)
+    assert(rows(e.run("?ok(X)").last) == Set(Seq(1L), Seq(3L)))
+    e.run("+banned[(3)]") // insert into a NEGATED dep shrinks the view
+    assert(rows(e.run("?ok(X)").last) == Set(Seq(1L)))
+  }
+
   test("session facts validate against declared schemas") {
     val e = new Engine(new Catalog(spark))
     e.run("+t0(a: int)\n+t0[(1)]")

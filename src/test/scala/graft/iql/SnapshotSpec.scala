@@ -29,7 +29,7 @@ class SnapshotSpec extends SparkSpec {
     "01_knowledge_graph", "04_session", "17_rule_commands",
     "24_rel_schemas", "28_docs_coverage", "40_load_command", "20_applications",
     "12_errors", "33_meta", "36_explain_trace", "39_meta_complete",
-    "50_landing_page", "80_sip")
+    "50_landing_page", "80_sip", "13_performance", "31_lsh")
 
   /** Excluded files, each with its reason. Two classes: the reference's
     * recorded output is itself a failure (it returns "No results" for
@@ -54,8 +54,6 @@ class SnapshotSpec extends SparkSpec {
       "reference returns No results (wall-clock temporal predicates)",
     "29_temporal/20_point_in_interval.iql" ->
       "reference returns No results for its own interval data",
-    "16_vectors/10_lsh_bucket.iql" ->
-      "LSH bucket ids depend on the reference's private hyperplane seeds",
     "11_types/11_booleans.iql" ->
       "reference parses bare true/false in atom patterns as variables (matches every row)",
     "11_types/42_int64_boundaries.iql" ->

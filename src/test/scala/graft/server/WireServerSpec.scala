@@ -1,0 +1,142 @@
+package graft.server
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse, WebSocket}
+import java.time.Duration
+import java.util.concurrent.{CompletionStage, LinkedBlockingQueue, TimeUnit}
+
+import graft.SparkSpec
+
+class WireServerSpec extends SparkSpec {
+
+  private def obj(s: String) = Json.parse(s).asInstanceOf[Map[String, Any]]
+
+  test("json codec round-trips the wire shapes") {
+    val v = Map("type" -> "result", "rows" -> Seq(Seq(1L, "a\nb", 2.5, null, true)),
+      "n" -> 3L)
+    assert(Json.parse(Json.render(v)) ==
+      Map("type" -> "result", "rows" -> Vector(Vector(1L, "a\nb", 2.5, null, true)),
+        "n" -> 3L))
+    assert(Json.parse("""{"a": [1, -2.5e2], "b": "A"}""") ==
+      Map("a" -> Vector(1L, -250.0), "b" -> "A"))
+  }
+
+  test("REST surface: health, metrics, and POST /query") {
+    val server = new WireServer(spark)
+    try {
+      val http = HttpClient.newHttpClient()
+      val base = s"http://127.0.0.1:${server.actualPort}"
+      def get(path: String): String =
+        http.send(HttpRequest.newBuilder(URI.create(base + path)).GET().build(),
+          HttpResponse.BodyHandlers.ofString()).body()
+      def post(path: String, body: String): String =
+        http.send(HttpRequest.newBuilder(URI.create(base + path))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString()).body()
+
+      assert(obj(get("/health")) == Map("status" -> "healthy"))
+      assert(obj(get("/v1/ready")) == Map("status" -> "healthy"))
+
+      val ack = obj(post("/query", Json.render(Map(
+        "type" -> "query", "query" -> "+edge[(1,2),(2,3)]"))))
+      assert(ack("type") == "ack")
+      val res = obj(post("/query", Json.render(Map(
+        "type" -> "query", "query" -> "?edge(X, Y)"))))
+      assert(res("type") == "result")
+      assert(res("row_count") == 2L)
+      assert(res("columns") == Vector("X", "Y"))
+      assert(res("rows").asInstanceOf[Vector[Any]].toSet ==
+        Set(Vector(1L, 2L), Vector(2L, 3L)))
+
+      val metrics = obj(get("/metrics"))
+      assert(metrics("relations").asInstanceOf[Vector[Any]].contains("edge"))
+      assert(metrics("queries_served").asInstanceOf[Long] >= 2L)
+    } finally server.stop()
+  }
+
+  test("WebSocket: query, session-scoped facts, rules, ping") {
+    val server = new WireServer(spark)
+    try {
+      val incoming = new LinkedBlockingQueue[String]()
+      val listener = new WebSocket.Listener {
+        private val buf = new StringBuilder
+        override def onText(ws: WebSocket, data: CharSequence,
+                            last: Boolean): CompletionStage[_] = {
+          buf.append(data)
+          if (last) { incoming.put(buf.toString); buf.clear() }
+          ws.request(1)
+          null
+        }
+      }
+      val ws = HttpClient.newHttpClient().newWebSocketBuilder()
+        .connectTimeout(Duration.ofSeconds(10))
+        .buildAsync(URI.create(s"ws://127.0.0.1:${server.actualPort}/ws"), listener)
+        .join()
+      def send(msg: Map[String, Any]): Map[String, Any] = {
+        ws.sendText(Json.render(msg), true).join()
+        obj(incoming.poll(60, TimeUnit.SECONDS))
+      }
+
+      assert(send(Map("type" -> "ping")) == Map("type" -> "pong"))
+      // persistent facts via query message
+      assert(send(Map("type" -> "query", "query" -> "+edge[(1,2),(2,3)]"))("type") == "ack")
+      // session-scoped ephemeral facts + rule
+      assert(send(Map("type" -> "insert_facts", "relation" -> "edge",
+        "tuples" -> Seq(Seq(3L, 4L))))("type") == "ack")
+      assert(send(Map("type" -> "add_rule",
+        "rule" -> "path(X, Y) <- edge(X, Y)"))("type") == "ack")
+      val res = send(Map("type" -> "query", "query" -> "?path(X, Y)"))
+      assert(res("type") == "result")
+      assert(res("rows").asInstanceOf[Vector[Any]].toSet ==
+        Set(Vector(1L, 2L), Vector(2L, 3L), Vector(3L, 4L)))
+      // retract the ephemeral fact
+      assert(send(Map("type" -> "retract_facts", "relation" -> "edge",
+        "tuples" -> Seq(Seq(3L, 4L))))("message").toString.startsWith("Retracted 1"))
+      val res2 = send(Map("type" -> "query", "query" -> "?path(X, Y)"))
+      assert(res2("row_count") == 2L)
+      // malformed message → error, connection stays usable
+      ws.sendText("""{"type":"query","query":"?edge(("}""", true).join()
+      val err = obj(incoming.poll(60, TimeUnit.SECONDS))
+      assert(err("type") == "error")
+      assert(send(Map("type" -> "ping")) == Map("type" -> "pong"))
+      ws.sendClose(WebSocket.NORMAL_CLOSURE, "done").join()
+    } finally server.stop()
+  }
+
+  test("session state is per-connection; persistent state is shared") {
+    val server = new WireServer(spark)
+    try {
+      val http = HttpClient.newHttpClient()
+      def connect(q: LinkedBlockingQueue[String]): WebSocket =
+        http.newWebSocketBuilder().buildAsync(
+          URI.create(s"ws://127.0.0.1:${server.actualPort}/ws"),
+          new WebSocket.Listener {
+            private val buf = new StringBuilder
+            override def onText(ws: WebSocket, data: CharSequence,
+                                last: Boolean): CompletionStage[_] = {
+              buf.append(data)
+              if (last) { q.put(buf.toString); buf.clear() }
+              ws.request(1)
+              null
+            }
+          }).join()
+      val (q1, q2) = (new LinkedBlockingQueue[String](), new LinkedBlockingQueue[String]())
+      val (ws1, ws2) = (connect(q1), connect(q2))
+      def send(ws: WebSocket, q: LinkedBlockingQueue[String], msg: Map[String, Any]) = {
+        ws.sendText(Json.render(msg), true).join()
+        obj(q.poll(60, TimeUnit.SECONDS))
+      }
+      send(ws1, q1, Map("type" -> "query", "query" -> "+shared[(1)]"))
+      send(ws1, q1, Map("type" -> "insert_facts", "relation" -> "shared",
+        "tuples" -> Seq(Seq(99L))))
+      // connection 1 sees persistent + its ephemeral fact
+      assert(send(ws1, q1, Map("type" -> "query",
+        "query" -> "?shared(X)"))("row_count") == 2L)
+      // connection 2 sees only the persistent fact
+      assert(send(ws2, q2, Map("type" -> "query",
+        "query" -> "?shared(X)"))("row_count") == 1L)
+      ws1.sendClose(WebSocket.NORMAL_CLOSURE, "").join()
+      ws2.sendClose(WebSocket.NORMAL_CLOSURE, "").join()
+    } finally server.stop()
+  }
+}
