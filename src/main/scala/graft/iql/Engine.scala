@@ -163,7 +163,7 @@ final class Engine(val catalog: Catalog) {
   }
   /** Observability: how many resolves were served by incremental
     * maintenance instead of recomputation (tests assert on this). */
-  private[iql] var maintainedCount: Long = 0L
+  private[graft] var maintainedCount: Long = 0L
 
   /** Execute a whole program; returns the result of each `?` query in
     * order. Rules defined in the program (session or persistent) are
@@ -515,7 +515,7 @@ final class Engine(val catalog: Catalog) {
         Fixpoint.antiNullSafe(cand.df, cached,
           hintBroadcast = cand.count <= Fixpoint.BroadcastRows))
       var acc = Fixpoint.materialize(cached.union(delta.df))
-      if (isRecursive) {
+      if (isRecursive) Fixpoint.withLoopConf(catalog.spark) {
         val recRules = sccRules.filter(_.body.exists {
           case Pos(a) => a.rel == name
           case _ => false
@@ -523,6 +523,7 @@ final class Engine(val catalog: Catalog) {
         var iter = 0
         while (delta.count > 0 && iter < 10000) {
           iter += 1
+          Fixpoint.sizeShuffle(catalog.spark, delta.count)
           val stepContribs = recRules.flatMap { r =>
             val recIdx = r.body.zipWithIndex.collect {
               case (Pos(a), i) if a.rel == name => i
@@ -790,9 +791,14 @@ final class Engine(val catalog: Catalog) {
         }
       }
       val recRules = sccRules.filter(_.body.exists { case Pos(a) => scc(a.rel); case _ => false })
+      // loop hygiene shared with Fixpoint: AQE's per-stage re-planning
+      // only adds latency on the loop's small known-shape jobs, and the
+      // shuffle width tracks the frontier size each iteration
+      Fixpoint.withLoopConf(catalog.spark) {
       var iter = 0
       while (delta.nonEmpty && iter < 10000) {
         iter += 1
+        Fixpoint.sizeShuffle(catalog.spark, delta.valuesIterator.map(_.count).sum)
         val nextDelta = mutable.HashMap.empty[String, Fixpoint.Mat]
         scc.foreach { rel =>
           val contributions = recRules.filter(_.head.rel == rel).flatMap { r =>
@@ -844,6 +850,7 @@ final class Engine(val catalog: Catalog) {
         }
         delta = nextDelta
       }
+      } // withLoopConf
       scc.foreach { rel =>
         memo(rel) = acc.get(rel).map(_.df).getOrElse(
           emptyFrame(byHead(rel).head.head.args.length)) // never derived
@@ -899,12 +906,18 @@ final class Engine(val catalog: Catalog) {
         baseRules.map(deriveRule(_).toDF(cols: _*))
       if (parts.isEmpty) { memo(rel) = emptyFrame(arity); return }
       var acc = Fixpoint.materialize(reduce(parts.reduce(_ union _)))
+      localAggFastPath(rel, recRules, acc, func, aggIdx).foreach { df =>
+        memo(rel) = df
+        return
+      }
       var delta = acc
       val better: (Column, Column) => Column =
         if (func == "min") (n, o) => n < o else (n, o) => n > o
+      Fixpoint.withLoopConf(catalog.spark) {
       var iter = 0
       while (delta.count > 0 && iter < 10000) {
         iter += 1
+        Fixpoint.sizeShuffle(catalog.spark, delta.count)
         val contribs = recRules.flatMap { r =>
           val recIdx = r.body.zipWithIndex.collect {
             case (Pos(a), i) if a.rel == rel => i
@@ -936,7 +949,179 @@ final class Engine(val catalog: Catalog) {
         if (delta.count > 0)
           acc = Fixpoint.materialize(reduce(acc.df.union(delta.df)))
       }
+      } // withLoopConf
       memo(rel) = acc.df
+    }
+
+    /** Driver-local fast path for small min/max-aggregate recursion —
+      * generalized Bellman-Ford. A distributed value iteration costs
+      * ~3 Spark jobs × graph-diameter iterations (seconds on a warm
+      * local cluster for a 25-node graph); the reference solves the same
+      * instance in-process in milliseconds. When the seeds and every
+      * non-recursive body relation fit on the driver (≤
+      * [[Fixpoint.LocalEdgeRows]] rows) and each recursive rule is the
+      * common 2-atom shape `rel(..V..) <- rel(vars), other(vars/consts)`
+      * with numeric values, relax edges in a HashMap loop and
+      * parallelize the result back. Falls through (None) otherwise. */
+    private def localAggFastPath(rel: String, recRules: Seq[Rule],
+        seeds: Fixpoint.Mat, func: String, aggIdx: Int): Option[DataFrame] = {
+      import org.apache.spark.sql.types._
+      if (seeds.count > Fixpoint.LocalEdgeRows) return None
+      def exprOk(t: Term): Boolean = t match {
+        case _: Var | _: Const => true
+        case Arith(_, l, r) => exprOk(l) && exprOk(r)
+        case _ => false
+      }
+      // shape-check every recursive rule
+      val shapes = recRules.map { r =>
+        val poss = r.body.collect { case Pos(a) => a }
+        if (r.body.length != poss.length || poss.length != 2) return None
+        val (recA, othA) =
+          if (poss(0).rel == rel && poss(1).rel != rel) (poss(0), poss(1))
+          else if (poss(1).rel == rel && poss(0).rel != rel) (poss(1), poss(0))
+          else return None
+        if (!recA.args.forall(_.isInstanceOf[Var]) ||
+          recA.args.distinct.length != recA.args.length) return None
+        if (!othA.args.forall(a => a.isInstanceOf[Var] || a.isInstanceOf[Const]))
+          return None
+        val headOk = r.head.args.zipWithIndex.forall { case (t, i) =>
+          if (i == aggIdx) exprOk(t) else t.isInstanceOf[Var]
+        }
+        if (!headOk) return None
+        (r, recA, othA)
+      }
+      seeds.df.schema.fields(aggIdx).dataType match {
+        case _: NumericType => ()
+        case _ => return None
+      }
+      def norm(v: Any): Any = v match {
+        case i: Int => i.toLong
+        case f: Float => f.toDouble
+        case other => other
+      }
+      // collect the non-recursive side of each rule
+      val otherRows: Seq[Array[Seq[Any]]] = shapes.map { case (_, _, oth) =>
+        val m = Fixpoint.materialize(resolve(oth.rel, oth.args.length))
+        if (m.count > Fixpoint.LocalEdgeRows) return None
+        m.df.collect().map(_.toSeq.map(norm))
+      }
+      def toD(v: Any): Double = v match {
+        case l: Long => l.toDouble
+        case d: Double => d
+        case other => other.toString.toDouble
+      }
+      val betterV: (Any, Any) => Boolean =
+        if (func == "min") (n, o) => toD(n) < toD(o) else (n, o) => toD(n) > toD(o)
+      def evalT(t: Term, env: collection.Map[String, Any]): Any = t match {
+        case Var(n) => env.getOrElse(n, null)
+        case Const(v) => norm(v)
+        case Arith(op, l, r) =>
+          val (a, b) = (evalT(l, env), evalT(r, env))
+          if (a == null || b == null) null
+          else op match {
+            case "/" => val bd = toD(b); if (bd == 0.0) null else toD(a) / bd
+            case "%" => (a, b) match {
+              case (_, y: Long) if y == 0L => null
+              case (_, y: Double) if y == 0.0 => null
+              case (x: Long, y: Long) => x % y
+              case _ => toD(a) % toD(b)
+            }
+            case _ => (a, b) match {
+              case (x: Long, y: Long) => op match {
+                case "+" => x + y; case "-" => x - y; case "*" => x * y
+                case _ => return null
+              }
+              case _ =>
+                val (x, y) = (toD(a), toD(b))
+                op match {
+                  case "+" => x + y; case "-" => x - y; case "*" => x * y
+                  case _ => return null
+                }
+            }
+          }
+        case _ => null
+      }
+      // Bellman-Ford over (group-keys → best value)
+      val arity = seeds.df.columns.length
+      val keyIdxs = (0 until arity).filterNot(_ == aggIdx)
+      val dist = mutable.HashMap.empty[Seq[Any], Any]
+      var frontier = mutable.HashSet.empty[Seq[Any]]
+      seeds.df.collect().foreach { row =>
+        val vs = row.toSeq.map(norm)
+        val k = keyIdxs.map(vs)
+        val v = vs(aggIdx)
+        if (v == null) () // null seed values can never win a min/max
+        else if (!v.isInstanceOf[Long] && !v.isInstanceOf[Double]) return None
+        else if (!dist.contains(k) || betterV(v, dist(k))) {
+          dist(k) = v; frontier += k
+        }
+      }
+      var rounds = 0
+      while (frontier.nonEmpty && rounds < 100000) {
+        rounds += 1
+        val next = mutable.HashSet.empty[Seq[Any]]
+        shapes.zip(otherRows).foreach { case ((r, recA, othA), rows) =>
+          val groupTerms = r.head.args.zipWithIndex.collect {
+            case (v: Var, i) if i != aggIdx => v
+          }
+          val valueTerm = r.head.args(aggIdx)
+          frontier.foreach { k =>
+            val tupleVals = {
+              val arr = new Array[Any](arity)
+              keyIdxs.zip(k).foreach { case (i, v) => arr(i) = v }
+              arr(aggIdx) = dist(k)
+              arr
+            }
+            val env0 = mutable.HashMap.empty[String, Any]
+            recA.args.zipWithIndex.foreach { case (Var(n), i) => env0(n) = tupleVals(i)
+              case _ => () }
+            rows.foreach { orow =>
+              var ok = true
+              val env = env0.clone()
+              othA.args.zipWithIndex.foreach {
+                case (Const(c), i) => if (norm(c) != orow(i)) ok = false
+                case (Var(n), i) =>
+                  env.get(n) match {
+                    case Some(b) => if (b != orow(i)) ok = false
+                    case None => env(n) = orow(i)
+                  }
+                case _ => ok = false
+              }
+              if (ok) {
+                val hk = groupTerms.map(g => env.getOrElse(g.name, null))
+                val hv = evalT(valueTerm, env)
+                if (hv != null && !hk.contains(null) &&
+                  (!dist.contains(hk) || betterV(hv, dist(hk)))) {
+                  dist(hk) = hv
+                  next += hk
+                }
+              }
+            }
+          }
+        }
+        frontier = next
+      }
+      if (rounds >= 100000)
+        throw new IllegalStateException(s"recursive aggregate $rel did not converge")
+      // values may have been promoted to Double by / — pick the schema
+      val allLong = dist.valuesIterator.forall(_.isInstanceOf[Long])
+      val outSchema = StructType(seeds.df.schema.fields.zipWithIndex.map {
+        case (f, i) =>
+          if (i == aggIdx) f.copy(dataType = if (allLong) LongType else DoubleType)
+          else f.copy(dataType = f.dataType match {
+            case IntegerType => LongType
+            case FloatType => DoubleType
+            case dt => dt
+          })
+      })
+      val out = dist.iterator.map { case (k, v) =>
+        val arr = new Array[Any](arity)
+        keyIdxs.zip(k).foreach { case (i, kv) => arr(i) = kv }
+        arr(aggIdx) = if (allLong) v else toD(v)
+        org.apache.spark.sql.Row.fromSeq(arr.toSeq)
+      }.toSeq
+      Some(catalog.spark.createDataFrame(
+        catalog.spark.sparkContext.parallelize(out, 4), outSchema))
     }
   }
 }

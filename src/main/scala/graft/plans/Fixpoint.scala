@@ -234,7 +234,7 @@ object Fixpoint {
 
   /** Scale shuffle partitions to the frontier size: tiny iterations get 1
     * partition (one task per stage), large ones keep the session default. */
-  private def sizeShuffle(spark: SparkSession, rows: Long): Unit = {
+  private[graft] def sizeShuffle(spark: SparkSession, rows: Long): Unit = {
     val sessionDefault = spark.conf.get("spark.sql.shuffle.partitions.loopDefault",
       spark.conf.get("spark.sql.shuffle.partitions", "32")).toInt
     val p = math.max(1L, math.min(sessionDefault.toLong, rows / 50000L)).toInt
@@ -247,7 +247,7 @@ object Fixpoint {
     * sizes WE know exactly (driver-side counts); AQE's per-stage
     * re-planning only adds latency (the reference pays none of this — its
     * loop is one dataflow, `src/code_generator/mod.rs:314-423`). */
-  private def withLoopConf[T](spark: SparkSession)(body: => T): T = {
+  private[graft] def withLoopConf[T](spark: SparkSession)(body: => T): T = {
     val aqeKey = "spark.sql.adaptive.enabled"
     val shufKey = "spark.sql.shuffle.partitions"
     val prevAqe = spark.conf.get(aqeKey, "true")

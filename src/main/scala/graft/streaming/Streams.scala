@@ -55,6 +55,28 @@ object Streams {
     * exponentially-decayed activity score per user — the kind of
     * incrementally-maintained derived state the reference keeps in DD
     * arrangements. */
+  /** Feed a STREAMING DataFrame into an IQL catalog relation: each
+    * micro-batch appends its rows via [[graft.iql.Catalog.appendDf]]
+    * (set semantics, one change-log entry per batch), so persistent
+    * rules over the relation are INCREMENTALLY MAINTAINED as the stream
+    * advances — the Spark realization of the reference's "every insert
+    * is a `(data, time, +1)` update into derived views" model
+    * (`src/incremental.rs`): Structured Streaming supplies the change
+    * stream, `Engine.tryMaintain` does the delta propagation, and a
+    * re-query between batches touches only the new tuples' derivations.
+    * Returns the started query; caller owns its lifecycle. */
+  def iqlSink(stream: DataFrame, catalog: graft.iql.Catalog, relation: String,
+              checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // foreachBatch runs on the driver; the catalog append is a
+        // metadata operation over the batch's (already distributed) frame
+        catalog.appendDf(relation, batch.localCheckpoint(true))
+      }
+      .start()
+
   final case class Event(userId: Long, tsMs: Long, value: Double)
   final case class UserState(count: Long, score: Double, lastTsMs: Long)
 

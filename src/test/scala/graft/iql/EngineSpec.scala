@@ -299,6 +299,18 @@ class EngineSpec extends SparkSpec {
       Set(Seq(1L, 0L), Seq(3L, 1L), Seq(2L, 2L), Seq(4L, 3L)))
   }
 
+  test("recursive min aggregate: distributed path (shape the local solver rejects)") {
+    // the computed binding in the body falls outside the 2-atom local
+    // fast-path shape, so this exercises the Spark value-iteration loop
+    assert(query(
+      """+wedge[(1,2,10),(1,3,1),(3,2,1),(2,4,1)]
+        |+sp(1, 0)
+        |+sp(Y, min<D2>) <- sp(X, D), wedge(X, Y, W), D2 = D + W
+        |?sp(X, D)
+        |""".stripMargin) ==
+      Set(Seq(1L, 0L), Seq(3L, 1L), Seq(2L, 2L), Seq(4L, 3L)))
+  }
+
   test("recursive max aggregate: longest path on a DAG") {
     assert(query(
       """+edge[(1,2),(2,3),(1,3)]

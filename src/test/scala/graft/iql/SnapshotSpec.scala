@@ -29,7 +29,7 @@ class SnapshotSpec extends SparkSpec {
     "01_knowledge_graph", "04_session", "17_rule_commands",
     "24_rel_schemas", "28_docs_coverage", "40_load_command", "20_applications",
     "12_errors", "33_meta", "36_explain_trace", "39_meta_complete",
-    "50_landing_page", "80_sip", "13_performance", "31_lsh")
+    "50_landing_page", "80_sip", "13_performance", "31_lsh", "41_timing_breakdown")
 
   /** Excluded files, each with its reason. Two classes: the reference's
     * recorded output is itself a failure (it returns "No results" for

@@ -64,6 +64,33 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming edges feed an IQL relation; recursive rules stay maintained per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val cat = new graft.iql.Catalog(spark)
+    val engine = new graft.iql.Engine(cat)
+    engine.run(
+      """+sedge[]
+        |+sreach(X, Y) <- sedge(X, Y)
+        |+sreach(X, Z) <- sreach(X, Y), sedge(Y, Z)
+        |""".stripMargin)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_iql").toString
+    val q = Streams.iqlSink(input.toDF().toDF("src", "dst"), cat, "sedge", ckpt)
+    try {
+      input.addData((1L, 2L), (2L, 3L))
+      q.processAllAvailable()
+      assert(rows(engine.run("?sreach(X, Y)").last) ==
+        Set(Seq(1L, 2L), Seq(1L, 3L), Seq(2L, 3L)))
+      input.addData((3L, 4L)) // next micro-batch: closure extends incrementally
+      q.processAllAvailable()
+      assert(rows(engine.run("?sreach(X, Y)").last) ==
+        Set(Seq(1L, 2L), Seq(1L, 3L), Seq(1L, 4L),
+          Seq(2L, 3L), Seq(2L, 4L), Seq(3L, 4L)))
+      assert(engine.maintainedCount >= 1,
+        "batch-2 re-query should be served by incremental maintenance")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps decayed per-user activity") {
     implicit val sqlCtx = spark.sqlContext
     import Streams._
