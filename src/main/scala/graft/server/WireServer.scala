@@ -36,7 +36,14 @@ import graft.iql.{Catalog, Repl, Session}
   * `{"type":"ping"}`. Server → client: `result` / `ack` / `error` /
   * `pong`, matching the reference's tags.
   */
-final class WireServer(spark: SparkSession, port: Int = 0) {
+final class WireServer(spark: SparkSession, port: Int = 0,
+                       streamingThresholdBytes: Int = 1024 * 1024) {
+
+  /** Results whose single-message JSON exceeds [[streamingThresholdBytes]]
+    * stream as `result_start` / `result_chunk`×N / `result_end` over the
+    * WebSocket, ≤500 rows per chunk (reference STREAMING_THRESHOLD /
+    * STREAMING_CHUNK_ROWS, `rest/handlers/ws.rs:47-53`). */
+  private val ChunkRows = 500
 
   private val kgs = mutable.LinkedHashMap("default" -> new Catalog(spark))
   private val serverSocket = new ServerSocket()
@@ -175,15 +182,15 @@ final class WireServer(spark: SparkSession, port: Int = 0) {
         case Some((0x9, payload)) => writeFrame(out, 0xA, payload) // ping→pong
         case Some((0xA, _)) => () // unsolicited pong
         case Some((op, payload)) if op == 0x1 || op == 0x2 =>
-          val response =
+          val responses =
             try {
               val msg = Json.parse(new String(payload, UTF_8)).asInstanceOf[Map[String, Any]]
-              dispatch(session, msg)
+              dispatchAll(session, msg)
             } catch {
               case e: Exception =>
-                Map("type" -> "error", "message" -> String.valueOf(e.getMessage))
+                Seq(Map("type" -> "error", "message" -> String.valueOf(e.getMessage)))
             }
-          writeFrame(out, 0x1, Json.render(response).getBytes(UTF_8))
+          responses.foreach(r => writeFrame(out, 0x1, Json.render(r).getBytes(UTF_8)))
         case Some(_) => () // ignore continuation/unknown
       }
     }
@@ -222,42 +229,66 @@ final class WireServer(spark: SparkSession, port: Int = 0) {
 
   // --------------------------------------------------------- messages
 
+  /** Single-message dispatch (REST surface — no streaming). */
   private def dispatch(session: Session, msg: Map[String, Any]): Map[String, Any] =
+    dispatchAll(session, msg, chunked = false).head
+
+  private def dispatchAll(session: Session, msg: Map[String, Any],
+                          chunked: Boolean = true): Seq[Map[String, Any]] =
     try {
       msg.getOrElse("type", "") match {
-        case "ping" => Map("type" -> "pong")
+        case "ping" => Seq(Map("type" -> "pong"))
         case "query" =>
           val src = msg("query").toString
           val t0 = System.nanoTime()
           val results = session.execute(src)
           queriesServed.incrementAndGet()
           results.lastOption match {
-            case Some(Repl.Table(df)) => resultMessage(df, t0)
+            case Some(Repl.Table(df)) =>
+              val single = resultMessage(df, t0)
+              if (!chunked || Json.render(single).length <= streamingThresholdBytes)
+                Seq(single)
+              else {
+                val rows = single("rows").asInstanceOf[Seq[Any]]
+                val chunks = rows.grouped(ChunkRows).toSeq
+                Map("type" -> "result_start",
+                  "columns" -> single("columns"),
+                  "total_count" -> rows.length.toLong,
+                  "truncated" -> false,
+                  "execution_time_ms" -> single("execution_time_ms")) +:
+                  chunks.zipWithIndex.map { case (c, i) =>
+                    Map("type" -> "result_chunk", "rows" -> c,
+                      "chunk_index" -> i.toLong)
+                  } :+
+                  Map("type" -> "result_end",
+                    "row_count" -> rows.length.toLong,
+                    "chunk_count" -> chunks.length.toLong)
+              }
             case Some(Repl.Text(lines)) =>
-              Map("type" -> "ack", "message" -> lines.mkString("\n"))
-            case None => Map("type" -> "ack", "message" -> "ok")
+              Seq(Map("type" -> "ack", "message" -> lines.mkString("\n")))
+            case None => Seq(Map("type" -> "ack", "message" -> "ok"))
           }
         case "insert_facts" =>
           val rel = msg("relation").toString
           val tuples = jsonTuples(msg("tuples"))
           session.engine.addSessionFacts(rel, tuples)
-          Map("type" -> "ack",
-            "message" -> s"Inserted ${tuples.length} fact(s) into '$rel'")
+          Seq(Map("type" -> "ack",
+            "message" -> s"Inserted ${tuples.length} fact(s) into '$rel'"))
         case "retract_facts" =>
           val rel = msg("relation").toString
           val tuples = jsonTuples(msg("tuples"))
           val n = session.engine.retractSessionFacts(rel, tuples)
-          Map("type" -> "ack", "message" -> s"Retracted $n fact(s) from '$rel'")
+          Seq(Map("type" -> "ack", "message" -> s"Retracted $n fact(s) from '$rel'"))
         case "add_rule" =>
           val rule = msg("rule").toString
           session.execute(rule)
-          Map("type" -> "ack", "message" -> "Rule added")
+          Seq(Map("type" -> "ack", "message" -> "Rule added"))
         case other =>
-          Map("type" -> "error", "message" -> s"unknown message type '$other'")
+          Seq(Map("type" -> "error", "message" -> s"unknown message type '$other'"))
       }
     } catch {
       case e: Exception =>
-        Map("type" -> "error", "message" -> String.valueOf(e.getMessage))
+        Seq(Map("type" -> "error", "message" -> String.valueOf(e.getMessage)))
     }
 
   private def jsonTuples(v: Any): Seq[Seq[Any]] =

@@ -103,6 +103,46 @@ class WireServerSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("large results stream as result_start / result_chunk / result_end") {
+    val server = new WireServer(spark, streamingThresholdBytes = 256)
+    try {
+      val incoming = new LinkedBlockingQueue[String]()
+      val ws = HttpClient.newHttpClient().newWebSocketBuilder()
+        .buildAsync(URI.create(s"ws://127.0.0.1:${server.actualPort}/ws"),
+          new WebSocket.Listener {
+            private val buf = new StringBuilder
+            override def onText(w: WebSocket, data: CharSequence,
+                                last: Boolean): CompletionStage[_] = {
+              buf.append(data)
+              if (last) { incoming.put(buf.toString); buf.clear() }
+              w.request(1)
+              null
+            }
+          }).join()
+      def recv(): Map[String, Any] = obj(incoming.poll(60, TimeUnit.SECONDS))
+      val bigInsert = "+big[" + (1 to 600).map(i => s"($i)").mkString(",") + "]"
+      ws.sendText(Json.render(Map("type" -> "query", "query" -> bigInsert)), true).join()
+      assert(recv()("type") == "ack")
+      ws.sendText("""{"type":"query","query":"?big(X)"}""", true).join()
+      val start = recv()
+      assert(start("type") == "result_start")
+      assert(start("total_count") == 600L)
+      assert(start("columns") == Vector("X"))
+      val chunks = Seq.newBuilder[Map[String, Any]]
+      var end: Map[String, Any] = null
+      while (end == null) {
+        val m = recv()
+        if (m("type") == "result_chunk") chunks += m else end = m
+      }
+      val cs = chunks.result()
+      assert(end("type") == "result_end")
+      assert(end("row_count") == 600L && end("chunk_count") == 2L)
+      assert(cs.map(_("rows").asInstanceOf[Vector[Any]].size).sum == 600)
+      assert(cs.map(_("chunk_index")) == cs.indices.map(_.toLong))
+      ws.sendClose(WebSocket.NORMAL_CLOSURE, "").join()
+    } finally server.stop()
+  }
+
   test("session state is per-connection; persistent state is shared") {
     val server = new WireServer(spark)
     try {
