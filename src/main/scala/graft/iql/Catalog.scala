@@ -36,9 +36,17 @@ final class Catalog(val spark: SparkSession) {
     * marks a rule-set change that invalidates everything. Bounded. */
   final case class Change(version: Long, rel: String, delta: DataFrame)
   val changeLog = mutable.ArrayBuffer.empty[Change]
+  /** Change listeners (rel, operation): the wire server broadcasts
+    * `persistent_update` notifications from here (reference: sessions
+    * get pushed `{"type":"notification","event":"persistent_update"}`
+    * on every persistent change, `rest/handlers/ws.rs:161-170`).
+    * Listener failures never break the mutation. */
+  val changeListeners = mutable.ArrayBuffer.empty[(String, String) => Unit]
   private def logChange(rel: String, delta: DataFrame): Unit = {
     changeLog += Change(version, rel, delta)
     if (changeLog.length > 64) changeLog.remove(0, changeLog.length - 64)
+    val op = if (rel == "*") "rule_change" else if (delta != null) "insert" else "update"
+    changeListeners.foreach(l => try l(rel, op) catch { case _: Throwable => () })
   }
   /** Declared schemas: rel → (fieldName, iql type). Validation is
     * all-or-nothing per insert batch (reference `src/schema/mod.rs:1-8`)

@@ -46,6 +46,34 @@ final class WireServer(spark: SparkSession, port: Int = 0,
   private val ChunkRows = 500
 
   private val kgs = mutable.LinkedHashMap("default" -> new Catalog(spark))
+  /** Open WebSocket connections: (outputStream, per-connection write
+    * lock). Mutation listeners broadcast notifications here, so writes
+    * from the mutating thread interleave safely with reply frames. */
+  private val wsConnections =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(DataOutputStream, Object)]()
+  private val notifySeq = new AtomicLong(0)
+  // push `persistent_update` notifications for every KG known at start
+  // (KGs created later over the wire attach in Session.meta via the
+  // shared map — their catalogs are constructed there and currently
+  // don't auto-register; the default KG covers the wire surface)
+  kgs.foreach { case (kgName, cat) =>
+    cat.changeListeners += { (rel, op) =>
+      val note = Json.render(Map(
+        "type" -> "notification", "event" -> "persistent_update",
+        "knowledge_graph" -> kgName, "relation" -> rel,
+        "operation" -> op, "seq" -> notifySeq.incrementAndGet()))
+      broadcast(note)
+    }
+  }
+
+  private def broadcast(json: String): Unit = {
+    val it = wsConnections.iterator()
+    while (it.hasNext) {
+      val (out, lock) = it.next()
+      try lock.synchronized { writeFrame(out, 0x1, json.getBytes(UTF_8)) }
+      catch { case _: Throwable => it.remove() } // dead connection
+    }
+  }
   private val serverSocket = new ServerSocket()
   serverSocket.setReuseAddress(true)
   serverSocket.bind(new InetSocketAddress(port))
@@ -172,28 +200,35 @@ final class WireServer(spark: SparkSession, port: Int = 0,
       s"Connection: Upgrade\r\nSec-WebSocket-Accept: $accept\r\n\r\n").getBytes(UTF_8))
     out.flush()
     val session = newSession()
-    var open = true
-    while (open) {
-      readFrame(in) match {
-        case None => open = false
-        case Some((0x8, _)) => // close
-          writeFrame(out, 0x8, Array.emptyByteArray)
-          open = false
-        case Some((0x9, payload)) => writeFrame(out, 0xA, payload) // ping→pong
-        case Some((0xA, _)) => () // unsolicited pong
-        case Some((op, payload)) if op == 0x1 || op == 0x2 =>
-          val responses =
-            try {
-              val msg = Json.parse(new String(payload, UTF_8)).asInstanceOf[Map[String, Any]]
-              dispatchAll(session, msg)
-            } catch {
-              case e: Exception =>
-                Seq(Map("type" -> "error", "message" -> String.valueOf(e.getMessage)))
-            }
-          responses.foreach(r => writeFrame(out, 0x1, Json.render(r).getBytes(UTF_8)))
-        case Some(_) => () // ignore continuation/unknown
+    val writeLock = new Object
+    val conn = (out, writeLock)
+    wsConnections.add(conn)
+    try {
+      var open = true
+      while (open) {
+        readFrame(in) match {
+          case None => open = false
+          case Some((0x8, _)) => // close
+            writeLock.synchronized { writeFrame(out, 0x8, Array.emptyByteArray) }
+            open = false
+          case Some((0x9, payload)) =>
+            writeLock.synchronized { writeFrame(out, 0xA, payload) } // ping→pong
+          case Some((0xA, _)) => () // unsolicited pong
+          case Some((op, payload)) if op == 0x1 || op == 0x2 =>
+            val responses =
+              try {
+                val msg = Json.parse(new String(payload, UTF_8)).asInstanceOf[Map[String, Any]]
+                dispatchAll(session, msg)
+              } catch {
+                case e: Exception =>
+                  Seq(Map("type" -> "error", "message" -> String.valueOf(e.getMessage)))
+              }
+            responses.foreach(r =>
+              writeLock.synchronized { writeFrame(out, 0x1, Json.render(r).getBytes(UTF_8)) })
+          case Some(_) => () // ignore continuation/unknown
+        }
       }
-    }
+    } finally wsConnections.remove(conn)
   }
 
   /** One frame: (opcode, unmasked payload); None on EOF. */

@@ -72,9 +72,14 @@ class WireServerSpec extends SparkSpec {
         .connectTimeout(Duration.ofSeconds(10))
         .buildAsync(URI.create(s"ws://127.0.0.1:${server.actualPort}/ws"), listener)
         .join()
+      def recvNonNotify(): Map[String, Any] = {
+        var m = obj(incoming.poll(60, TimeUnit.SECONDS))
+        while (m("type") == "notification") m = obj(incoming.poll(60, TimeUnit.SECONDS))
+        m
+      }
       def send(msg: Map[String, Any]): Map[String, Any] = {
         ws.sendText(Json.render(msg), true).join()
-        obj(incoming.poll(60, TimeUnit.SECONDS))
+        recvNonNotify()
       }
 
       assert(send(Map("type" -> "ping")) == Map("type" -> "pong"))
@@ -96,7 +101,7 @@ class WireServerSpec extends SparkSpec {
       assert(res2("row_count") == 2L)
       // malformed message → error, connection stays usable
       ws.sendText("""{"type":"query","query":"?edge(("}""", true).join()
-      val err = obj(incoming.poll(60, TimeUnit.SECONDS))
+      val err = recvNonNotify()
       assert(err("type") == "error")
       assert(send(Map("type" -> "ping")) == Map("type" -> "pong"))
       ws.sendClose(WebSocket.NORMAL_CLOSURE, "done").join()
@@ -119,7 +124,11 @@ class WireServerSpec extends SparkSpec {
               null
             }
           }).join()
-      def recv(): Map[String, Any] = obj(incoming.poll(60, TimeUnit.SECONDS))
+      def recv(): Map[String, Any] = {
+        var m = obj(incoming.poll(60, TimeUnit.SECONDS))
+        while (m("type") == "notification") m = obj(incoming.poll(60, TimeUnit.SECONDS))
+        m
+      }
       val bigInsert = "+big[" + (1 to 600).map(i => s"($i)").mkString(",") + "]"
       ws.sendText(Json.render(Map("type" -> "query", "query" -> bigInsert)), true).join()
       assert(recv()("type") == "ack")
@@ -140,6 +149,44 @@ class WireServerSpec extends SparkSpec {
       assert(cs.map(_("rows").asInstanceOf[Vector[Any]].size).sum == 600)
       assert(cs.map(_("chunk_index")) == cs.indices.map(_.toLong))
       ws.sendClose(WebSocket.NORMAL_CLOSURE, "").join()
+    } finally server.stop()
+  }
+
+  test("persistent changes push notifications to every connection") {
+    val server = new WireServer(spark)
+    try {
+      val http = HttpClient.newHttpClient()
+      def connect(q: LinkedBlockingQueue[String]): WebSocket =
+        http.newWebSocketBuilder().buildAsync(
+          URI.create(s"ws://127.0.0.1:${server.actualPort}/ws"),
+          new WebSocket.Listener {
+            private val buf = new StringBuilder
+            override def onText(ws: WebSocket, data: CharSequence,
+                                last: Boolean): CompletionStage[_] = {
+              buf.append(data)
+              if (last) { q.put(buf.toString); buf.clear() }
+              ws.request(1)
+              null
+            }
+          }).join()
+      val (q1, q2) = (new LinkedBlockingQueue[String](), new LinkedBlockingQueue[String]())
+      val (ws1, ws2) = (connect(q1), connect(q2))
+      ws1.sendText("""{"type":"query","query":"+notif_t[(1)]"}""", true).join()
+      def firstNotification(q: LinkedBlockingQueue[String]): Map[String, Any] = {
+        var m = obj(q.poll(60, TimeUnit.SECONDS))
+        while (m("type") != "notification") m = obj(q.poll(60, TimeUnit.SECONDS))
+        m
+      }
+      // BOTH connections get the persistent_update push, not just the writer
+      Seq(q1, q2).foreach { q =>
+        val n = firstNotification(q)
+        assert(n("event") == "persistent_update")
+        assert(n("relation") == "notif_t")
+        assert(n("operation") == "insert")
+        assert(n("knowledge_graph") == "default")
+      }
+      ws1.sendClose(WebSocket.NORMAL_CLOSURE, "").join()
+      ws2.sendClose(WebSocket.NORMAL_CLOSURE, "").join()
     } finally server.stop()
   }
 
@@ -164,7 +211,9 @@ class WireServerSpec extends SparkSpec {
       val (ws1, ws2) = (connect(q1), connect(q2))
       def send(ws: WebSocket, q: LinkedBlockingQueue[String], msg: Map[String, Any]) = {
         ws.sendText(Json.render(msg), true).join()
-        obj(q.poll(60, TimeUnit.SECONDS))
+        var m = obj(q.poll(60, TimeUnit.SECONDS))
+        while (m("type") == "notification") m = obj(q.poll(60, TimeUnit.SECONDS))
+        m
       }
       send(ws1, q1, Map("type" -> "query", "query" -> "+shared[(1)]"))
       send(ws1, q1, Map("type" -> "insert_facts", "relation" -> "shared",
