@@ -51,6 +51,18 @@ object SparkEntry {
       |UNION ALL
       |SELECT n_nationkey AS src, n_nationkey + 5 AS dst FROM nation WHERE n_nationkey + 5 <= 24""".stripMargin
 
+  /** 1000-node / 2000-edge pseudo-random digraph at the reference
+    * BASELINE's benchmark scale (`BENCHMARKS.md:19`), generated from an
+    * arithmetic LCG so the DuckDB oracle reproduces the identical edge
+    * set (hash functions differ across engines; multiply-add doesn't). */
+  private def benchGraph(s: SparkSession): DataFrame =
+    s.range(2000).select(
+      pmod(pmod(col("id") * 48271L, lit(65537L)), lit(1000L)).as("src"),
+      pmod(pmod(col("id") * 69621L + 12345L, lit(65537L)), lit(1000L)).as("dst"))
+  private val benchGraphSql =
+    """SELECT ((i*48271)%65537)%1000 AS src, ((i*69621+12345)%65537)%1000 AS dst
+      |FROM range(2000) t(i)""".stripMargin
+
   /** Sparse undirected chain with 5 components (for connected components). */
   private def ccEdges(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "nation").select(col("n_nationkey").cast("int").as("k"))
@@ -440,6 +452,23 @@ object SparkEntry {
       e.run("?reach(X, Y)").last       // served by incremental maintenance
     }),
 
+    // --- recursion at the reference's benchmark scale: full transitive
+    //     closure of a 1000-node / 2000-edge pseudo-random digraph — the
+    //     BASELINE config at BENCHMARKS.md:19 (reference: 2.40 s for the
+    //     closure; this graph's closure is exactly 1M pairs, the output
+    //     scale of their 2000n/4K benchmark at BENCHMARKS.md:108). Edges
+    //     come from a MINSTD LCG so DuckDB reproduces them exactly. --
+    "q54_tc_1000" -> ((s, dir) =>
+      Fixpoint.transitiveClosure(benchGraph(s)).toDF("SRC", "DST")),
+
+    // --- bound reachability on the same graph (BASELINE bound query,
+    //     BENCHMARKS.md:19: 3.52 ms) — magic-sets demand restriction ------
+    "q55_bound_reach_1000" -> ((s, dir) => {
+      import s.implicits._
+      Fixpoint.boundReachability(benchGraph(s), Seq(0L).toDF("src"))
+        .select(col("dst").as("DST"))
+    }),
+
     // --- IQL: recursive min aggregate (weighted shortest path — the
     //     MinDiff-semiring semantics, realized as value iteration) --------
     "q52_iql_shortest_path" -> ((s, dir) => {
@@ -717,6 +746,22 @@ object SparkEntry {
          |SELECT src, dst FROM e
          |UNION
          |SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
-         |SELECT src AS X, dst AS Y FROM reach""".stripMargin
+         |SELECT src AS X, dst AS Y FROM reach""".stripMargin,
+
+    "q54_tc_1000" ->
+      s"""WITH RECURSIVE e AS ($benchGraphSql),
+         |reach(src, dst) AS (
+         |SELECT src, dst FROM e
+         |UNION
+         |SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
+         |SELECT src AS SRC, dst AS DST FROM reach""".stripMargin,
+
+    "q55_bound_reach_1000" ->
+      s"""WITH RECURSIVE e AS ($benchGraphSql),
+         |reach(dst) AS (
+         |SELECT dst FROM e WHERE src = 0
+         |UNION
+         |SELECT e.dst FROM reach r JOIN e ON r.dst = e.src)
+         |SELECT dst AS DST FROM reach""".stripMargin
   )
 }

@@ -27,7 +27,9 @@ object PlanCheck {
       val joins = Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
         "BroadcastNestedLoopJoin", "CartesianProduct")
         .map(j => j -> j.r.findAllIn(plan).length).filter(_._2 > 0)
-      val codegen = "WholeStageCodegen".r.findAllIn(plan).length
+      // SimpleMode marks codegen stages as `*(n)` prefixes
+    val codegen = ("WholeStageCodegen".r.findAllIn(plan).length +
+      "\\*\\(\\d+\\)".r.findAllIn(plan).toSeq.distinct.length)
       println(s"== $name")
       pushed.foreach(p => println(s"   $p"))
       reads.foreach(r => println(s"   $r"))
