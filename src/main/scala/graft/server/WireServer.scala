@@ -52,19 +52,26 @@ final class WireServer(spark: SparkSession, port: Int = 0,
   private val wsConnections =
     java.util.concurrent.ConcurrentHashMap.newKeySet[(DataOutputStream, Object)]()
   private val notifySeq = new AtomicLong(0)
-  // push `persistent_update` notifications for every KG known at start
-  // (KGs created later over the wire attach in Session.meta via the
-  // shared map — their catalogs are constructed there and currently
-  // don't auto-register; the default KG covers the wire surface)
-  kgs.foreach { case (kgName, cat) =>
-    cat.changeListeners += { (rel, op) =>
-      val note = Json.render(Map(
-        "type" -> "notification", "event" -> "persistent_update",
-        "knowledge_graph" -> kgName, "relation" -> rel,
-        "operation" -> op, "seq" -> notifySeq.incrementAndGet()))
-      broadcast(note)
+  // push `persistent_update` notifications for every KG; KGs created
+  // later over the wire (`.kg create`) attach on their first message
+  // via ensureListeners()
+  private val hookedCatalogs =
+    java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[Catalog, java.lang.Boolean]())
+  private def ensureListeners(): Unit = kgs.synchronized {
+    kgs.foreach { case (kgName, cat) =>
+      if (hookedCatalogs.add(cat)) {
+        cat.changeListeners += { (rel, op) =>
+          val note = Json.render(Map(
+            "type" -> "notification", "event" -> "persistent_update",
+            "knowledge_graph" -> kgName, "relation" -> rel,
+            "operation" -> op, "seq" -> notifySeq.incrementAndGet()))
+          broadcast(note)
+        }
+      }
     }
   }
+  ensureListeners()
 
   private def broadcast(json: String): Unit = {
     val it = wsConnections.iterator()
@@ -268,9 +275,15 @@ final class WireServer(spark: SparkSession, port: Int = 0,
   private def dispatch(session: Session, msg: Map[String, Any]): Map[String, Any] =
     dispatchAll(session, msg, chunked = false).head
 
+  /** Statement dispatch is serialized across connections: the shared
+    * KG map and per-catalog state are driver-side mutable structures
+    * (the reference serializes through its storage-engine locks the
+    * same way). Query EXECUTION still fans out to all cores — only the
+    * driver-side statement bookkeeping is single-file. */
   private def dispatchAll(session: Session, msg: Map[String, Any],
-                          chunked: Boolean = true): Seq[Map[String, Any]] =
+                          chunked: Boolean = true): Seq[Map[String, Any]] = kgs.synchronized {
     try {
+      ensureListeners() // hook KGs created since the last message
       msg.getOrElse("type", "") match {
         case "ping" => Seq(Map("type" -> "pong"))
         case "query" =>
@@ -325,6 +338,7 @@ final class WireServer(spark: SparkSession, port: Int = 0,
       case e: Exception =>
         Seq(Map("type" -> "error", "message" -> String.valueOf(e.getMessage)))
     }
+  }
 
   private def jsonTuples(v: Any): Seq[Seq[Any]] =
     v.asInstanceOf[Seq[Any]].map(_.asInstanceOf[Seq[Any]].map {
