@@ -469,6 +469,24 @@ object SparkEntry {
         .select(col("dst").as("DST"))
     }),
 
+    // --- IQL: incremental aggregate re-query — materialize group sums,
+    //     insert rows, re-query; the cached per-group aggregates MERGE
+    //     with the delta instead of recomputing (reference BENCHMARKS.md
+    //     :91-93 "re-query dept sums after +N rows") --------------------
+    "q56_iql_incremental_agg" -> ((s, dir) => {
+      val e = iqlEngine(s, dir)
+      e.catalog.register("emp", T(s, dir, "orders").select(
+        col("o_orderkey").as("id"),
+        pmod(col("o_custkey"), lit(100L)).as("dept"),
+        floor(col("o_totalprice")).cast("long").as("sal")))
+      e.run(
+        """+tot(D, sum<S>, count<S>) <- emp(I, D, S)
+          |?tot(D, S, C)
+          |""".stripMargin)
+      e.run("+emp[(900000001, 0, 1000), (900000002, 1, 2000), (900000003, 0, 3000)]")
+      e.run("?tot(D, S, C)").last // merged, not recomputed
+    }),
+
     // --- IQL: recursive min aggregate (weighted shortest path — the
     //     MinDiff-semiring semantics, realized as value iteration) --------
     "q52_iql_shortest_path" -> ((s, dir) => {
@@ -762,6 +780,15 @@ object SparkEntry {
          |SELECT dst FROM e WHERE src = 0
          |UNION
          |SELECT e.dst FROM reach r JOIN e ON r.dst = e.src)
-         |SELECT dst AS DST FROM reach""".stripMargin
+         |SELECT dst AS DST FROM reach""".stripMargin,
+
+    "q56_iql_incremental_agg" ->
+      """WITH emp AS (
+        |SELECT o_orderkey AS id, o_custkey % 100 AS dept,
+        |       CAST(FLOOR(o_totalprice) AS BIGINT) AS sal FROM orders
+        |UNION ALL SELECT 900000001, 0, 1000
+        |UNION ALL SELECT 900000002, 1, 2000
+        |UNION ALL SELECT 900000003, 0, 3000)
+        |SELECT dept AS D, CAST(SUM(sal) AS BIGINT) AS S, COUNT(sal) AS C FROM emp GROUP BY dept""".stripMargin
   )
 }

@@ -458,8 +458,8 @@ final class Engine(val catalog: Catalog) {
       val scc = Stratifier.sccOf(rules).getOrElse(name, Set(name))
       if (scc.size > 1) return None
       val sccRules = byHead(name)
-      if (sccRules.exists(_.head.args.exists(a =>
-        a.isInstanceOf[Agg] || a.isInstanceOf[Rank]))) return None
+      if (sccRules.exists(_.head.args.exists(_.isInstanceOf[Rank]))) return None
+      val aggHead = sccRules.exists(_.head.args.exists(_.isInstanceOf[Agg]))
       // changed rels must be referenced DIRECTLY (not via a derived
       // lower stratum whose delta we don't have), and never negated
       val bodyRels = sccRules.flatMap(_.body.collect { case Pos(a) => a.rel })
@@ -497,6 +497,47 @@ final class Engine(val catalog: Catalog) {
           } else if (nm == name) recFrame
           else resolve(nm, ar)
         deriveRule(r, deltaResolver).toDF(cols: _*)
+      }
+
+      if (aggHead) {
+        // MERGEABLE-AGGREGATE maintenance (reference BENCHMARKS.md:91-93
+        // — "re-query dept sums after +N rows" in single-digit ms): for a
+        // single non-recursive rule whose aggregates are all decomposable
+        // (sum/count/min/max), aggregate ONLY the new body bindings and
+        // merge per group with the cached result. avg/count_distinct are
+        // not insert-mergeable; multiple changed atoms in one rule would
+        // double-count delta×delta bindings — both bail to recompute.
+        if (sccRules.length != 1 || isRecursive || changedRels(name)) return None
+        val r = sccRules.head
+        val aggSpecs = r.head.args.zipWithIndex.collect { case (Agg(f, _), i) => (f, i) }
+        if (!aggSpecs.forall { case (f, _) => Set("sum", "count", "min", "max")(f) })
+          return None
+        val changedOccs = r.body.zipWithIndex.collect {
+          case (Pos(a), i) if changedRels(a.rel) => i
+        }
+        if (changedOccs.length != 1) return None
+        val aggIdxSet = aggSpecs.map(_._2).toSet
+        val deltaAgg = Fixpoint.materialize(deltaDerive(r, changedOccs.head, cached))
+        if (deltaAgg.count == 0) return Some(cached)
+        val o = cached.toDF(cols: _*).withColumn("__op", lit(1)).alias("__o")
+        val n = deltaAgg.df.withColumn("__np", lit(1)).alias("__n")
+        val keyCond = cols.indices.filterNot(aggIdxSet).map(i =>
+          col(s"__o.c$i") <=> col(s"__n.c$i")).reduceOption(_ && _).getOrElse(lit(true))
+        val merged = o.join(n, keyCond, "full_outer").select(cols.indices.map { i =>
+          val oc = col(s"__o.c$i"); val nc = col(s"__n.c$i")
+          val oPresent = col("__op").isNotNull
+          val nPresent = col("__np").isNotNull
+          (if (!aggIdxSet(i)) coalesce(oc, nc)
+           else aggSpecs.find(_._2 == i).get._1 match {
+             case "count" => coalesce(oc, lit(0L)) + coalesce(nc, lit(0L))
+             case "sum" => when(!oPresent, nc).when(!nPresent, oc)
+               .when(oc.isNull && nc.isNull, lit(null))
+               .otherwise(coalesce(oc, lit(0)) + coalesce(nc, lit(0)))
+             case "min" => when(!oPresent, nc).when(!nPresent, oc).otherwise(least(oc, nc))
+             case _ => when(!oPresent, nc).when(!nPresent, oc).otherwise(greatest(oc, nc))
+           }).as(s"c$i")
+        }: _*)
+        return Some(Fixpoint.materialize(merged).df)
       }
 
       val seedContribs = Seq.newBuilder[DataFrame]

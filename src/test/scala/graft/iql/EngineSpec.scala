@@ -358,6 +358,27 @@ class EngineSpec extends SparkSpec {
     assert(e.maintainedCount > c1)
   }
 
+  test("incremental maintenance: sum/count/min/max views merge per-group deltas") {
+    val e = new Engine(new Catalog(spark))
+    e.run(
+      """+emp[(1, "eng", 10), (2, "eng", 20), (3, "ops", 5)]
+        |+tot(D, sum<S>, count<S>, min<S>, max<S>) <- emp(I, D, S)
+        |""".stripMargin)
+    assert(rows(e.run("?tot(D, S, C, Mn, Mx)").last) ==
+      Set(Seq("eng", 30L, 2L, 10L, 20L), Seq("ops", 5L, 1L, 5L, 5L)))
+    e.run("""+emp[(4, "eng", 1), (5, "qa", 7)]""") // existing + brand-new group
+    assert(rows(e.run("?tot(D, S, C, Mn, Mx)").last) ==
+      Set(Seq("eng", 31L, 3L, 1L, 20L), Seq("ops", 5L, 1L, 5L, 5L),
+        Seq("qa", 7L, 1L, 7L, 7L)))
+    assert(e.maintainedCount >= 1, "aggregate view should merge, not recompute")
+    // avg is not insert-mergeable: falls back to recompute, stays correct
+    val e2 = new Engine(new Catalog(spark))
+    e2.run("+v[(1, 2.0), (2, 4.0)]\n+a(avg<X>) <- v(I, X)")
+    assert(rows(e2.run("?a(X)").last) == Set(Seq(3.0)))
+    e2.run("+v[(3, 9.0)]")
+    assert(rows(e2.run("?a(X)").last) == Set(Seq(5.0)))
+  }
+
   test("incremental maintenance: deletes fall back to recomputation correctly") {
     val e = new Engine(new Catalog(spark))
     e.run(
