@@ -203,11 +203,23 @@ object Dedup {
     val candPairs = a.join(b, Seq("table", "bucket"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-    val (vs, nVs) = mat(emb.select(col(idCol).as("id"), col(vecCol).as("v")))
+    // Pre-normalize ONCE per vector so the per-pair verify is a single
+    // dot product (cosine of unit vectors) instead of dot + two norms —
+    // O(docs·dim) normalization replaces O(pairs·dim·3) work. The
+    // localCheckpoint between computing the norm and dividing by it is
+    // load-bearing: without the barrier CollapseProject inlines the norm
+    // aggregate into the transform lambda, which Spark re-evaluates PER
+    // ELEMENT (O(dim²) per row). Zero vectors stay zero → dot 0, the
+    // same result the den==0 guard produced.
+    val pre = emb.select(col(idCol).as("id"), col(vecCol).as("v0"))
+      .withColumn("__nrm", VF.norm(col("v0"))).localCheckpoint(true)
+    val (vs, nVs) = mat(pre.select(col("id"),
+      when(col("__nrm") === 0.0, col("v0").cast("array<double>"))
+        .otherwise(transform(col("v0"), x => x.cast("double") / col("__nrm"))).as("v")))
     candPairs
       .join(maybeBroadcast(vs.select(col("id").as("id_a"), col("v").as("v_a")), nVs), Seq("id_a"))
       .join(maybeBroadcast(vs.select(col("id").as("id_b"), col("v").as("v_b")), nVs), Seq("id_b"))
-      .select(col("id_a"), col("id_b"), VF.cosineSimilarity(col("v_a"), col("v_b")).as("cosine"))
+      .select(col("id_a"), col("id_b"), VF.dot(col("v_a"), col("v_b")).as("cosine"))
       .where(col("cosine") >= minCosine)
   }
 }
