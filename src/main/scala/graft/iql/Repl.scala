@@ -255,6 +255,16 @@ object Storage {
       (decls ++ rules).mkString("\n").getBytes("UTF-8"))
     java.nio.file.Files.write(d.resolve("relations.txt"),
       catalog.relationNames.mkString("\n").getBytes("UTF-8"))
+    // vector indexes: graph serialized beside the data (reference
+    // persists its HNSW next to the relation files, `src/hnsw_index.rs`)
+    val idxLines = catalog.indexMeta.toSeq.flatMap { case (name, (rel, idCol, vecCol)) =>
+      catalog.indexes.get((rel, vecCol)).map { idx =>
+        idx.save(s"$dir/$name.hnsw")
+        s"$name\t$rel\t$idCol\t$vecCol"
+      }
+    }
+    java.nio.file.Files.write(d.resolve("indexes.txt"),
+      idxLines.mkString("\n").getBytes("UTF-8"))
   }
 
   def load(spark: SparkSession, dir: String): Catalog = {
@@ -271,6 +281,15 @@ object Storage {
         case Ast.RuleDef(r) => c.addRule(r.copy(persistent = true))
         case other => throw new IllegalStateException(s"unexpected statement in rules.iql: $other")
       }
+    }
+    val idxFile = java.nio.file.Paths.get(s"$dir/indexes.txt")
+    if (java.nio.file.Files.exists(idxFile)) {
+      new String(java.nio.file.Files.readAllBytes(idxFile)).split("\n")
+        .filter(_.nonEmpty).foreach { line =>
+          val Array(name, rel, idCol, vecCol) = line.split("\t")
+          c.indexes((rel, vecCol)) = graft.index.Hnsw.load(s"$dir/$name.hnsw")
+          c.indexMeta(name) = (rel, idCol, vecCol)
+        }
     }
     c
   }

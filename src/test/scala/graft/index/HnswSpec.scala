@@ -77,6 +77,23 @@ class HnswSpec extends SparkSpec {
       s.catalog.hnswSearch("emb", "embedding", vs.head._2.toArray, 5))
   }
 
+  test("named indexes survive .save/.open with the graph intact") {
+    import spark.implicits._
+    val s = new graft.iql.Session(spark)
+    val vs = mkVecs(40, 4).map { case (id, v) => (id, v.toSeq) }
+    s.catalog.register("emb", vs.toDF("vec_id", "embedding"))
+    s.execute(".index create idx on emb(embedding) vec_id")
+    val dir = java.nio.file.Files.createTempDirectory("graft_kg_idx").toString
+    s.execute(s".save $dir")
+    val s2 = new graft.iql.Session(spark)
+    s2.execute(s".open $dir")
+    val q0 = vs.head._2.mkString("[", ", ", "]")
+    val r = s2.execute(s"""?hnsw_nearest("idx", $q0, 3, Id, D)""")
+      .head.asInstanceOf[graft.iql.Repl.Table].df
+    assert(r.count() == 3)
+    assert(rows(r).map(_.head).contains(0L))
+  }
+
   test("hnsw_nearest body predicate with literal and variable queries") {
     import spark.implicits._
     val s = new graft.iql.Session(spark)
