@@ -379,6 +379,69 @@ class EngineSpec extends SparkSpec {
     assert(rows(e2.run("?a(X)").last) == Set(Seq(5.0)))
   }
 
+  test("incremental maintenance: base relation self-join (two occurrences of the changed rel)") {
+    val e = new Engine(new Catalog(spark))
+    e.run(
+      """+ev[(1, 100), (2, 100)]
+        |+copair(X, Y) <- ev(X, Z), ev(Y, Z), X < Y
+        |""".stripMargin)
+    assert(rows(e.run("?copair(X, Y)").last) == Set(Seq(1L, 2L)))
+    e.run("+ev[(3, 100), (4, 200)]")
+    // pairs needing delta×delta (3 with itself excluded; old×new and new×old)
+    assert(rows(e.run("?copair(X, Y)").last) ==
+      Set(Seq(1L, 2L), Seq(1L, 3L), Seq(2L, 3L)))
+  }
+
+  test("incremental maintenance: insert creating a new cycle extends the closure") {
+    val e = new Engine(new Catalog(spark))
+    e.run(
+      """+edge[(1,2),(2,3)]
+        |+reach(X, Y) <- edge(X, Y)
+        |+reach(X, Z) <- reach(X, Y), edge(Y, Z)
+        |""".stripMargin)
+    assert(rows(e.run("?reach(X, Y)").last).size == 3)
+    e.run("+edge[(3,1)]") // closes the cycle: all 9 pairs become derivable
+    assert(rows(e.run("?reach(X, Y)").last) ==
+      (for (x <- 1L to 3L; y <- 1L to 3L) yield Seq[Any](x, y)).toSet)
+    assert(e.maintainedCount >= 1)
+  }
+
+  test("incremental maintenance: aggregate view with computed group key merges") {
+    val e = new Engine(new Catalog(spark))
+    e.run(
+      """+emp[(1, 2, 10), (2, 3, 20)]
+        |+tot(D2, sum<S>) <- emp(I, D, S), D2 = D * 10
+        |""".stripMargin)
+    assert(rows(e.run("?tot(D2, S)").last) == Set(Seq(20L, 10L), Seq(30L, 20L)))
+    e.run("+emp[(3, 2, 5)]")
+    assert(rows(e.run("?tot(D2, S)").last) == Set(Seq(20L, 15L), Seq(30L, 20L)))
+  }
+
+  test("incremental maintenance: session overlay stays consistent across persistent inserts") {
+    val e = new Engine(new Catalog(spark))
+    e.run(
+      """+edge[(1,2)]
+        |+reach(X, Y) <- edge(X, Y)
+        |+reach(X, Z) <- reach(X, Y), edge(Y, Z)
+        |""".stripMargin)
+    e.run("edge(5, 6)") // ephemeral session fact
+    assert(rows(e.run("?reach(X, Y)").last) == Set(Seq(1L, 2L), Seq(5L, 6L)))
+    e.run("+edge[(2,3)]") // persistent insert with overlay present
+    assert(rows(e.run("?reach(X, Y)").last) ==
+      Set(Seq(1L, 2L), Seq(1L, 3L), Seq(2L, 3L), Seq(5L, 6L)))
+  }
+
+  test("recursive min aggregate: two recursive clauses (forward and backward edges)") {
+    assert(query(
+      """+edge[(1,2),(2,3)]
+        |+sp(1, 0)
+        |+sp(Y, min<D + 1>) <- sp(X, D), edge(X, Y)
+        |+sp(Y, min<D + 2>) <- sp(X, D), edge(Y, X)
+        |?sp(X, D)
+        |""".stripMargin) ==
+      Set(Seq(1L, 0L), Seq(2L, 1L), Seq(3L, 2L)))
+  }
+
   test("incremental maintenance: deletes fall back to recomputation correctly") {
     val e = new Engine(new Catalog(spark))
     e.run(
