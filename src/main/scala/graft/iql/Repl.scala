@@ -157,10 +157,24 @@ final class Session(val spark: SparkSession,
       case Seq(".index", "create", name, "on", relCol, rest @ _*) if relCol.contains("(") =>
         val m = "(\\w+)\\((\\w+)\\)".r.findFirstMatchIn(relCol).getOrElse(
           throw new IllegalArgumentException(s".index create: expected <rel>(<col>), got $relCol"))
-        val (rel, vecCol) = (m.group(1), m.group(2))
-        val idCol = rest.headOption.getOrElse(
-          catalog.relation(rel).map(_.columns.head).getOrElse(
-            throw new IllegalArgumentException(s"unknown relation $rel")))
+        val (rel, vecCol0) = (m.group(1), m.group(2))
+        val df = catalog.relation(rel).getOrElse(
+          throw new IllegalArgumentException(s"unknown relation $rel"))
+        // IQL-created relations have positional columns (c0, c1, ...) the
+        // user never sees — resolve a non-matching vector-column name to
+        // the relation's (single) array column, and a non-matching id
+        // column to the first column
+        val vecCol =
+          if (df.columns.contains(vecCol0)) vecCol0
+          else df.schema.fields.collect {
+            case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] => f.name
+          } match {
+            case Array(only) => only
+            case _ => throw new IllegalArgumentException(
+              s"$rel has no unambiguous vector column named $vecCol0")
+          }
+        val idCol = rest.headOption.filter(df.columns.contains)
+          .getOrElse(df.columns.head)
         val metric = rest.lift(1).getOrElse("cosine")
         catalog.createIndex(rel, idCol, vecCol, metric, name = name)
         Text(Seq(s"index $name created on $rel($vecCol)"))
