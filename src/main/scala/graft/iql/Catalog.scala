@@ -206,7 +206,10 @@ final class Catalog(val spark: SparkSession) {
     rows.map { r =>
       org.apache.spark.sql.Row.fromSeq(r.zip(schema.fields).map {
         case (v: Int, f) if f.dataType == LongType => v.toLong
-        case (v: Long, f) if f.dataType == IntegerType => v.toInt // registered int cols
+        case (v: Long, f) if f.dataType == IntegerType =>
+          require(v >= Int.MinValue && v <= Int.MaxValue,
+            s"value $v overflows the int column ${f.name}")
+          v.toInt // registered int cols
         case (v: Long, f) if f.dataType == DoubleType => v.toDouble
         case (v: Long, f) if f.dataType == FloatType => v.toFloat
         case (v: Int, f) if f.dataType == DoubleType => v.toDouble
@@ -246,9 +249,11 @@ final class Catalog(val spark: SparkSession) {
         val add = spark.createDataFrame(
           spark.sparkContext.parallelize(toRows(rows, df.schema)), df.schema)
         relations(name) = df.union(add).distinct()
-        // delta = rows NOT previously present (lazy plan over the old frame)
-        logChange(name, graft.plans.Fixpoint.antiNullSafe(
-          add.distinct(), df, hintBroadcast = true))
+        // delta = rows NOT previously present (lazy plan over the old
+        // frame). No broadcast hint: the anti-join's build side is the
+        // OLD relation, which can be arbitrarily large — let the planner
+        // pick from its own stats.
+        logChange(name, graft.plans.Fixpoint.antiNullSafe(add.distinct(), df))
     }
   }
 
@@ -261,6 +266,14 @@ final class Catalog(val spark: SparkSession) {
         spark.sparkContext.parallelize(toRows(rows, df.schema)), df.schema)
       relations(name) = graft.plans.Fixpoint.antiNullSafe(df, del, hintBroadcast = true)
     }
+
+  /** Swap a relation's stored frame for its materialized equivalent —
+    * identical content, truncated lineage, no version bump (nothing
+    * changed logically). Streaming appenders call this per batch so the
+    * union/distinct plan depth doesn't grow with batch count; `.compact`
+    * exposes it interactively (reference `.compact` meta command). */
+  def compact(name: String): Unit =
+    relations.get(name).foreach(df => relations(name) = df.localCheckpoint(true))
 
   /** Replace a relation's contents (conditional delete / atomic update). */
   def replace(name: String, df: DataFrame): Unit = {
@@ -284,8 +297,7 @@ final class Catalog(val spark: SparkSession) {
         val cast = df.toDF(base.columns: _*).select(
           base.schema.fields.map(f => org.apache.spark.sql.functions.col(f.name).cast(f.dataType)).toSeq: _*)
         relations(name) = base.union(cast).distinct()
-        logChange(name, graft.plans.Fixpoint.antiNullSafe(
-          cast.distinct(), base, hintBroadcast = true))
+        logChange(name, graft.plans.Fixpoint.antiNullSafe(cast.distinct(), base))
     }
   }
 

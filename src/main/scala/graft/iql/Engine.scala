@@ -552,9 +552,10 @@ final class Engine(val catalog: Catalog) {
       val contribs = seedContribs.result()
       if (contribs.isEmpty) return Some(cached) // no rule touches the delta
       val cand = Fixpoint.materialize(contribs.reduce(_ union _).distinct())
-      var delta = Fixpoint.materialize(
-        Fixpoint.antiNullSafe(cand.df, cached,
-          hintBroadcast = cand.count <= Fixpoint.BroadcastRows))
+      // no broadcast hint: the anti-join's build side is the CACHED
+      // materialization whose size we don't track driver-side — a small
+      // delta must not force a broadcast of a million-pair closure
+      var delta = Fixpoint.materialize(Fixpoint.antiNullSafe(cand.df, cached))
       var acc = Fixpoint.materialize(cached.union(delta.df))
       if (isRecursive) Fixpoint.withLoopConf(catalog.spark) {
         val recRules = sccRules.filter(_.body.exists {
@@ -984,7 +985,10 @@ final class Engine(val catalog: Catalog) {
         val vO = col(s"__o.${cols(aggIdx)}")
         val improved = cand.df.alias("__n")
           .join(acc.df.alias("__o"), keyCond, "left_outer")
-          .where(vO.isNull || better(vN, vO))
+          // null-valued candidates never count as improvements — a null
+          // vO would otherwise re-admit the same (key, null) row every
+          // iteration and the delta never drains
+          .where((vO.isNull && vN.isNotNull) || better(vN, vO))
           .select(cols.map(c => col(s"__n.$c")): _*)
         delta = Fixpoint.materialize(improved)
         if (delta.count > 0)
@@ -1097,9 +1101,13 @@ final class Engine(val catalog: Catalog) {
           dist(k) = v; frontier += k
         }
       }
+      // derived-group count can be quadratic in the inputs (all-pairs
+      // shortest path); past this bound the distributed path must run
+      val MaxLocalGroups = 2000000
       var rounds = 0
       while (frontier.nonEmpty && rounds < 100000) {
         rounds += 1
+        if (dist.size > MaxLocalGroups) return None
         val next = mutable.HashSet.empty[Seq[Any]]
         shapes.zip(otherRows).foreach { case ((r, recA, othA), rows) =>
           val groupTerms = r.head.args.zipWithIndex.collect {

@@ -173,9 +173,15 @@ final class Session(val spark: SparkSession,
             case _ => throw new IllegalArgumentException(
               s"$rel has no unambiguous vector column named $vecCol0")
           }
-        val idCol = rest.headOption.filter(df.columns.contains)
-          .getOrElse(df.columns.head)
-        val metric = rest.lift(1).getOrElse("cosine")
+        // trailing tokens: an id column and/or a metric, in any order
+        val metrics = Set("cosine", "euclidean", "dot")
+        val metric = rest.find(metrics).getOrElse("cosine")
+        val nonMetric = rest.filterNot(metrics)
+        nonMetric.headOption.foreach { t =>
+          require(df.columns.contains(t),
+            s".index create: '$t' is neither a column of $rel nor a metric")
+        }
+        val idCol = nonMetric.headOption.getOrElse(df.columns.head)
         catalog.createIndex(rel, idCol, vecCol, metric, name = name)
         Text(Seq(s"index $name created on $rel($vecCol)"))
       case Seq(".index", "create", rel, idCol, vecCol) =>
@@ -205,9 +211,8 @@ final class Session(val spark: SparkSession,
         rels.foreach(catalog.dropRelation)
         Text(Seq(s"cleared ${rels.length} relation(s) with prefix $prefix"))
       case Seq(".compact") =>
-        // storage compaction is a no-op here: relations live as Spark
-        // plans/parquet, which have no WAL/batch files to consolidate
-        Text(Seq("nothing to compact"))
+        catalog.relationNames.foreach(catalog.compact)
+        Text(Seq(s"compacted ${catalog.relationNames.length} relation(s)"))
 
       case Seq(".status") =>
         Text(Seq(s"kg: $currentKg",

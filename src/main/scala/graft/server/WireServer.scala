@@ -46,11 +46,37 @@ final class WireServer(spark: SparkSession, port: Int = 0,
   private val ChunkRows = 500
 
   private val kgs = mutable.LinkedHashMap("default" -> new Catalog(spark))
-  /** Open WebSocket connections: (outputStream, per-connection write
-    * lock). Mutation listeners broadcast notifications here, so writes
-    * from the mutating thread interleave safely with reply frames. */
+  /** An open WebSocket connection. Replies are written by the reader
+    * thread under `lock`; notifications are enqueued (bounded) and
+    * drained by a dedicated writer thread so a stalled client can never
+    * block a mutating statement — when the queue overflows, the laggard
+    * is disconnected (the reference's backpressure/lag-disconnect
+    * behavior, `rest/handlers/ws.rs:246-247`). */
+  private final class WsConn(val out: DataOutputStream, val lock: Object,
+                             val sock: Socket) {
+    val pending = new java.util.concurrent.LinkedBlockingQueue[String](256)
+    @volatile var closed = false
+    private val writer = new Thread(() => {
+      try {
+        while (!closed) {
+          val msg = pending.take()
+          if (msg.nonEmpty)
+            lock.synchronized { writeFrame(out, 0x1, msg.getBytes(UTF_8)) }
+        }
+      } catch { case _: Throwable => () }
+    })
+    writer.setDaemon(true)
+    writer.start()
+    def push(msg: String): Unit =
+      if (!closed && !pending.offer(msg)) close() // laggard: disconnect
+    def close(): Unit = {
+      closed = true
+      pending.offer("") // wake the writer so it can exit
+      try sock.close() catch { case _: Throwable => () }
+    }
+  }
   private val wsConnections =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(DataOutputStream, Object)]()
+    java.util.concurrent.ConcurrentHashMap.newKeySet[WsConn]()
   private val notifySeq = new AtomicLong(0)
   // push `persistent_update` notifications for every KG; KGs created
   // later over the wire (`.kg create`) attach on their first message
@@ -76,9 +102,9 @@ final class WireServer(spark: SparkSession, port: Int = 0,
   private def broadcast(json: String): Unit = {
     val it = wsConnections.iterator()
     while (it.hasNext) {
-      val (out, lock) = it.next()
-      try lock.synchronized { writeFrame(out, 0x1, json.getBytes(UTF_8)) }
-      catch { case _: Throwable => it.remove() } // dead connection
+      val c = it.next()
+      c.push(json) // non-blocking; overflow disconnects the laggard
+      if (c.closed) it.remove()
     }
   }
   private val serverSocket = new ServerSocket()
@@ -137,7 +163,7 @@ final class WireServer(spark: SparkSession, port: Int = 0,
       val path = rawPath.stripPrefix("/v1") match { case "" => "/"; case p => p }
       val upgrade = headers.get("upgrade").exists(_.equalsIgnoreCase("websocket"))
       if (upgrade && (path == "/ws" || path.startsWith("/sessions/"))) {
-        webSocket(headers, in, out)
+        webSocket(headers, in, out, sock)
       } else {
         val body =
           if (method == "POST") {
@@ -185,9 +211,14 @@ final class WireServer(spark: SparkSession, port: Int = 0,
           "rules" -> cat.rules.length,
           "indexes" -> cat.indexMeta.keys.toSeq)))
       case ("POST", "/query") =>
-        val msg = Json.parse(body).asInstanceOf[Map[String, Any]]
-        restSession.synchronized {
-          ("200 OK", Json.render(dispatch(restSession, msg)))
+        try {
+          val msg = Json.parse(body).asInstanceOf[Map[String, Any]]
+          restSession.synchronized {
+            ("200 OK", Json.render(dispatch(restSession, msg)))
+          }
+        } catch {
+          case e: Exception => ("400 Bad Request", Json.render(
+            Map("type" -> "error", "message" -> String.valueOf(e.getMessage))))
         }
       case _ =>
         ("404 Not Found", Json.render(Map("type" -> "error", "message" -> s"no route $method $path")))
@@ -198,7 +229,8 @@ final class WireServer(spark: SparkSession, port: Int = 0,
   private val WsGuid = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
 
   private def webSocket(headers: mutable.Map[String, String],
-                        in: DataInputStream, out: DataOutputStream): Unit = {
+                        in: DataInputStream, out: DataOutputStream,
+                        sock: Socket): Unit = {
     val key = headers.getOrElse("sec-websocket-key",
       throw new IllegalArgumentException("missing Sec-WebSocket-Key"))
     val accept = Base64.getEncoder.encodeToString(
@@ -208,40 +240,60 @@ final class WireServer(spark: SparkSession, port: Int = 0,
     out.flush()
     val session = newSession()
     val writeLock = new Object
-    val conn = (out, writeLock)
+    val conn = new WsConn(out, writeLock, sock)
     wsConnections.add(conn)
+    // fragmented-message assembly (RFC 6455 §5.4): a data frame with
+    // FIN=0 starts a message, continuation frames (opcode 0) append,
+    // FIN=1 completes; control frames may interleave
+    val fragments = new java.io.ByteArrayOutputStream()
+    var fragmentOp = -1
+    def handleMessage(payload: Array[Byte]): Unit = {
+      val responses =
+        try {
+          val msg = Json.parse(new String(payload, UTF_8)).asInstanceOf[Map[String, Any]]
+          dispatchAll(session, msg)
+        } catch {
+          case e: Exception =>
+            Seq(Map("type" -> "error", "message" -> String.valueOf(e.getMessage)))
+        }
+      responses.foreach(r =>
+        writeLock.synchronized { writeFrame(out, 0x1, Json.render(r).getBytes(UTF_8)) })
+    }
     try {
       var open = true
       while (open) {
         readFrame(in) match {
           case None => open = false
-          case Some((0x8, _)) => // close
+          case Some((_, 0x8, _)) => // close
             writeLock.synchronized { writeFrame(out, 0x8, Array.emptyByteArray) }
             open = false
-          case Some((0x9, payload)) =>
+          case Some((_, 0x9, payload)) =>
             writeLock.synchronized { writeFrame(out, 0xA, payload) } // ping→pong
-          case Some((0xA, _)) => () // unsolicited pong
-          case Some((op, payload)) if op == 0x1 || op == 0x2 =>
-            val responses =
-              try {
-                val msg = Json.parse(new String(payload, UTF_8)).asInstanceOf[Map[String, Any]]
-                dispatchAll(session, msg)
-              } catch {
-                case e: Exception =>
-                  Seq(Map("type" -> "error", "message" -> String.valueOf(e.getMessage)))
-              }
-            responses.foreach(r =>
-              writeLock.synchronized { writeFrame(out, 0x1, Json.render(r).getBytes(UTF_8)) })
-          case Some(_) => () // ignore continuation/unknown
+          case Some((_, 0xA, _)) => () // unsolicited pong
+          case Some((fin, op, payload)) if op == 0x1 || op == 0x2 =>
+            if (fin) handleMessage(payload)
+            else { fragments.reset(); fragments.write(payload); fragmentOp = op }
+          case Some((fin, 0x0, payload)) if fragmentOp >= 0 => // continuation
+            fragments.write(payload)
+            require(fragments.size <= 16 * 1024 * 1024, "message exceeds 16 MB limit")
+            if (fin) {
+              handleMessage(fragments.toByteArray)
+              fragments.reset(); fragmentOp = -1
+            }
+          case Some(_) => () // unknown frame
         }
       }
-    } finally wsConnections.remove(conn)
+    } finally {
+      wsConnections.remove(conn)
+      conn.close()
+    }
   }
 
-  /** One frame: (opcode, unmasked payload); None on EOF. */
-  private def readFrame(in: DataInputStream): Option[(Int, Array[Byte])] = {
+  /** One frame: (fin, opcode, unmasked payload); None on EOF. */
+  private def readFrame(in: DataInputStream): Option[(Boolean, Int, Array[Byte])] = {
     val b0 = in.read()
     if (b0 < 0) return None
+    val fin = (b0 & 0x80) != 0
     val opcode = b0 & 0x0F
     val b1 = in.read()
     if (b1 < 0) return None
@@ -257,7 +309,7 @@ final class WireServer(spark: SparkSession, port: Int = 0,
       var i = 0
       while (i < payload.length) { payload(i) = (payload(i) ^ mask(i % 4)).toByte; i += 1 }
     }
-    Some((opcode, payload))
+    Some((fin, opcode, payload))
   }
 
   private def writeFrame(out: DataOutputStream, opcode: Int, payload: Array[Byte]): Unit = {

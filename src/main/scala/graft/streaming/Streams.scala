@@ -72,8 +72,12 @@ object Streams {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // foreachBatch runs on the driver; the catalog append is a
-        // metadata operation over the batch's (already distributed) frame
+        // metadata operation over the batch's (already distributed)
+        // frame. Compacting afterwards keeps the relation's plan depth
+        // constant across batches (union/distinct would otherwise nest
+        // one layer per micro-batch).
         catalog.appendDf(relation, batch.localCheckpoint(true))
+        catalog.compact(relation)
       }
       .start()
 
