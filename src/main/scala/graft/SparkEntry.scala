@@ -310,9 +310,24 @@ object SparkEntry {
       Similarity.ivfTopK(emb, q, 10, dim = 64)
     }),
 
-    // --- pipeline: embedding near-dup pairs (rows-only) --------------------------------------------
+    // --- pipeline: embedding near-dup pairs (LSH candidates + exact cosine
+    //     verify; oracled against the exact all-pairs SQL — DedupSpec
+    //     asserts 100% recall of the bucketed path at this scale) ----------
     "q36_embedding_dedup" -> ((s, dir) =>
       Dedup.embeddingCosinePairs(T(s, dir, "embeddings"), dim = 64, minCosine = 0.8)),
+
+    // --- pipeline: EXACT all-pairs n-gram Jaccard (oracle baseline for the
+    //     MinHash-candidate q32; capIds keeps the quadratic pair set a
+    //     deterministic bounded subset at larger SFs) ----------------------
+    "q57_ngram_exact" -> ((s, dir) =>
+      Dedup.ngramJaccardAllPairs(T(s, dir, "documents"), shingleN = 2, threshold = 0.3,
+        capIds = 500L)),
+
+    // --- pipeline: EXACT all-pairs embedding cosine (oracle baseline for
+    //     the LSH-bucketed q36; threshold 0.3 yields a non-trivial pair set
+    //     on this corpus where 0.8 near-dups don't exist) ------------------
+    "q58_cosine_exact" -> ((s, dir) =>
+      Dedup.cosineAllPairs(T(s, dir, "embeddings"), minCosine = 0.3, capIds = 500L)),
 
     // --- vector norms (oracle via DuckDB list fns) ---------------------------------------------------
     "q37_vector_norms" -> ((s, dir) =>
@@ -689,6 +704,110 @@ object SparkEntry {
         |CAST(LEN(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
         |  / LEN(regexp_replace(text, '[^A-Za-z]', '', 'g')) END AS upper_ratio
         |FROM documents""".stripMargin,
+
+    // Composite quality score from the SAME feature formulas oracled in
+    // q27, combined with identical double expression trees on both sides.
+    "q28_quality_score" ->
+      """WITH f AS (
+        |SELECT doc_id,
+        |CASE WHEN LEN(TRIM(text)) = 0 THEN 0
+        |ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END AS n_tokens,
+        |CASE WHEN LEN(TRIM(text)) = 0 THEN 0.0 ELSE
+        |CAST(list_sum(list_transform(regexp_split_to_array(TRIM(text), '\s+'), x -> LEN(x))) AS DOUBLE)
+        |  / LEN(regexp_split_to_array(TRIM(text), '\s+')) END AS mean_token_len,
+        |CASE WHEN LEN(TRIM(text)) = 0 THEN 0.0 ELSE
+        |CAST(LEN(list_filter(regexp_split_to_array(TRIM(text), '\s+'),
+        |  t -> list_contains(['the','a','an','and','or','but','of','to','in','on','at','for','with','is','are','was','were','be','it','this','that','as','by','from','not','no','he','she','they','we','you','i'], LOWER(t)))) AS DOUBLE)
+        |  / LEN(regexp_split_to_array(TRIM(text), '\s+')) END AS stopword_ratio,
+        |CASE WHEN LEN(text) = 0 THEN 0.0 ELSE
+        |CAST(LEN(text) - LEN(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / LEN(text) END AS punct_ratio
+        |FROM documents)
+        |SELECT doc_id, ROUND((LEAST(stopword_ratio / 0.2, 1.0) * 0.4 +
+        |(1.0 - LEAST(ABS(mean_token_len - 5.0) / 5.0, 1.0)) * 0.3 +
+        |(1.0 - LEAST(punct_ratio / 0.2, 1.0)) * 0.3) *
+        |CASE WHEN n_tokens >= 5 THEN 1.0 ELSE 0.0 END, 6) AS quality_score
+        |FROM f""".stripMargin,
+
+    // Function-word voting: per-language hit counts, argmax with ties
+    // broken by the LARGER language code (Spark's greatest(struct) order).
+    "q29_lang_id" ->
+      """WITH toks AS (SELECT doc_id,
+        |list_transform(regexp_split_to_array(TRIM(text), '\s+'), t -> LOWER(t)) AS ts FROM documents),
+        |hits AS (
+        |SELECT doc_id, 'en' AS lang, LEN(list_filter(ts, t -> list_contains(['the','and','of','to','in','is','that','it','was','for','with','are','this'], t))) AS h FROM toks
+        |UNION ALL SELECT doc_id, 'de', LEN(list_filter(ts, t -> list_contains(['der','die','das','und','ist','nicht','ein','eine','mit','für','auf','sich'], t))) FROM toks
+        |UNION ALL SELECT doc_id, 'fr', LEN(list_filter(ts, t -> list_contains(['le','la','les','et','est','une','des','dans','pour','que','qui','pas'], t))) FROM toks
+        |UNION ALL SELECT doc_id, 'es', LEN(list_filter(ts, t -> list_contains(['el','la','los','las','y','es','una','en','por','para','con','del'], t))) FROM toks
+        |UNION ALL SELECT doc_id, 'it', LEN(list_filter(ts, t -> list_contains(['il','la','di','che','e','un','una','per','con','del','sono','non'], t))) FROM toks),
+        |best AS (SELECT doc_id, lang, h,
+        |ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h DESC, lang DESC) AS rn FROM hits)
+        |SELECT doc_id, CASE WHEN h = 0 THEN 'und' ELSE lang END AS lang_pred
+        |FROM best WHERE rn = 1""".stripMargin,
+
+    // EXACT all-pairs word-2-gram Jaccard: valid as q32's oracle because
+    // the MinHash candidate stage has 100% recall on this corpus (every
+    // true pair has J ≥ 0.9 — asserted in DedupSpec vs q57's exact op).
+    "q32_ngram_jaccard" ->
+      """WITH toks AS (
+        |SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS t FROM documents
+        |WHERE LEN(TRIM(text)) > 0),
+        |sh AS (
+        |SELECT doc_id, list_distinct(list_transform(generate_series(1, LEN(t)-1),
+        |  i -> t[i] || ' ' || t[i+1])) AS s
+        |FROM toks WHERE LEN(t) >= 2)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |CAST(LEN(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |  (LEN(a.s) + LEN(b.s) - LEN(list_intersect(a.s, b.s))) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE jaccard >= 0.3""".stripMargin,
+
+    // Exact all-pairs cosine ≥ 0.8: proves q36's empty result is CORRECT
+    // on this corpus (max pairwise cosine ≈ 0.51), not a recall miss.
+    "q36_embedding_dedup" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |n AS (SELECT vec_id, e, SQRT(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+        |u AS (SELECT vec_id, CASE WHEN nrm = 0 THEN e ELSE list_transform(e, x -> x / nrm) END AS u FROM n)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |list_sum(list_transform(generate_series(1, LEN(a.u)), i -> a.u[i] * b.u[i])) AS cosine
+        |FROM u a JOIN u b ON a.vec_id < b.vec_id
+        |WHERE cosine >= 0.8""".stripMargin,
+
+    "q57_ngram_exact" ->
+      """WITH toks AS (
+        |SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS t FROM documents
+        |WHERE doc_id < 500 AND LEN(TRIM(text)) > 0),
+        |sh AS (
+        |SELECT doc_id, list_distinct(list_transform(generate_series(1, LEN(t)-1),
+        |  i -> t[i] || ' ' || t[i+1])) AS s
+        |FROM toks WHERE LEN(t) >= 2)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |CAST(LEN(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |  (LEN(a.s) + LEN(b.s) - LEN(list_intersect(a.s, b.s))) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE jaccard >= 0.3""".stripMargin,
+
+    "q58_cosine_exact" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 500),
+        |n AS (SELECT vec_id, e, SQRT(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+        |u AS (SELECT vec_id, CASE WHEN nrm = 0 THEN e ELSE list_transform(e, x -> x / nrm) END AS u FROM n)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |list_sum(list_transform(generate_series(1, LEN(a.u)), i -> a.u[i] * b.u[i])) AS cosine
+        |FROM u a JOIN u b ON a.vec_id < b.vec_id
+        |WHERE cosine >= 0.3""".stripMargin,
+
+    "q43_multimodal_features" ->
+      """SELECT doc_id AS asset_id,
+        |CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        |strlen(text) AS n_bytes
+        |FROM documents""".stripMargin,
+
+    "q44_multimodal_resize" ->
+      """SELECT doc_id AS asset_id,
+        |CAST((doc_id % 64) * 16 + 64 AS INT) AS width,
+        |CAST((doc_id % 48) * 16 + 64 AS INT) AS height,
+        |ROUND(LEAST(CAST(224 AS DOUBLE) / ((doc_id % 64) * 16 + 64),
+        |  CAST(224 AS DOUBLE) / ((doc_id % 48) * 16 + 64)), 6) AS scale
+        |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
 
     "q33_ann_bruteforce" ->
       """SELECT vec_id FROM embeddings

@@ -186,6 +186,55 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** EXACT all-pairs n-gram Jaccard ≥ threshold (id_a < id_b) — the
+    * oracle-checkable baseline the MinHash-candidate variant
+    * ([[ngramJaccardPairs]]) is graded against. Quadratic by construction,
+    * so `capIds` bounds the id domain to a deterministic subset at larger
+    * scale factors. Shingles compare as xxhash64 longs (8 B each; a
+    * 2^-64 collision is noise), same as the candidate path. */
+  def ngramJaccardAllPairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                           shingleN: Int = 2, threshold: Double = 0.3,
+                           capIds: Long = 500L): DataFrame = {
+    val (sh, _) = mat(docs.where(col(idCol) < capIds)
+      .select(col(idCol).as("id"), TF.tokens(col(textCol)).as("toks"))
+      .select(col("id"), array_distinct(
+        transform(TF.wordShinglesOf(col("toks"), shingleN), s => xxhash64(s))).as("sh"))
+      .where(size(col("sh")) > 0))
+    val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        TF.jaccardDistinct(col("sh_a"), col("sh_b"), threshold).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** Unit-length double vectors keyed by id — shared by the LSH-bucketed
+    * and exact all-pairs cosine paths. The localCheckpoint between the
+    * norm and the divide is load-bearing: without the barrier
+    * CollapseProject inlines the norm aggregate into the transform lambda,
+    * which Spark re-evaluates PER ELEMENT (O(dim²) per row). Zero vectors
+    * stay zero → dot 0. */
+  private def unitVectors(emb: DataFrame, idCol: String, vecCol: String): (DataFrame, Long) = {
+    val pre = emb.select(col(idCol).as("id"), col(vecCol).as("v0"))
+      .withColumn("__nrm", VF.norm(col("v0"))).localCheckpoint(true)
+    mat(pre.select(col("id"),
+      when(col("__nrm") === 0.0, col("v0").cast("array<double>"))
+        .otherwise(transform(col("v0"), x => x.cast("double") / col("__nrm"))).as("v")))
+  }
+
+  /** EXACT all-pairs cosine ≥ minCosine (id_a < id_b) — the oracle-checkable
+    * baseline for [[embeddingCosinePairs]]. Quadratic; `capIds` bounds the
+    * id domain at larger scale factors. */
+  def cosineAllPairs(emb: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
+                     minCosine: Double = 0.3, capIds: Long = 1000L): DataFrame = {
+    val (vs, _) = unitVectors(emb.where(col(idCol) < capIds), idCol, vecCol)
+    val a = vs.select(col("id").as("id_a"), col("v").as("v_a"))
+    val b = vs.select(col("id").as("id_b"), col("v").as("v_b"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), VF.dot(col("v_a"), col("v_b")).as("cosine"))
+      .where(col("cosine") >= minCosine)
+  }
+
   /** Embedding near-dup pairs via hyperplane-LSH bucketing + exact cosine
     * verification. Multi-table OR-amplification; candidates join on
     * (table, bucket) so the shuffle carries ids + vectors once. */
@@ -205,17 +254,8 @@ object Dedup {
       .select(col("id_a"), col("id_b")).distinct()
     // Pre-normalize ONCE per vector so the per-pair verify is a single
     // dot product (cosine of unit vectors) instead of dot + two norms —
-    // O(docs·dim) normalization replaces O(pairs·dim·3) work. The
-    // localCheckpoint between computing the norm and dividing by it is
-    // load-bearing: without the barrier CollapseProject inlines the norm
-    // aggregate into the transform lambda, which Spark re-evaluates PER
-    // ELEMENT (O(dim²) per row). Zero vectors stay zero → dot 0, the
-    // same result the den==0 guard produced.
-    val pre = emb.select(col(idCol).as("id"), col(vecCol).as("v0"))
-      .withColumn("__nrm", VF.norm(col("v0"))).localCheckpoint(true)
-    val (vs, nVs) = mat(pre.select(col("id"),
-      when(col("__nrm") === 0.0, col("v0").cast("array<double>"))
-        .otherwise(transform(col("v0"), x => x.cast("double") / col("__nrm"))).as("v")))
+    // O(docs·dim) normalization replaces O(pairs·dim·3) work.
+    val (vs, nVs) = unitVectors(emb, idCol, vecCol)
     candPairs
       .join(maybeBroadcast(vs.select(col("id").as("id_a"), col("v").as("v_a")), nVs), Seq("id_a"))
       .join(maybeBroadcast(vs.select(col("id").as("id_b"), col("v").as("v_b")), nVs), Seq("id_b"))

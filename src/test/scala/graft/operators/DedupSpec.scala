@@ -55,6 +55,40 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  // Recall of the LSH-candidate paths vs their exact all-pairs baselines
+  // on the driver's own sf0.001 corpus: the candidate stage must find
+  // EVERY true pair (this is what licenses the exact-SQL oracles on the
+  // bucketed q32/q36 queries — see SparkEntry).
+  private lazy val sfDocs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+  private lazy val sfEmb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("minhash-candidate ngram jaccard has full recall vs exact all-pairs") {
+    val exact = Dedup.ngramJaccardAllPairs(sfDocs, shingleN = 2, threshold = 0.3, capIds = Long.MaxValue)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val lsh = Dedup.ngramJaccardPairs(sfDocs, shingleN = 2, threshold = 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(exact.nonEmpty, "corpus should contain planted near-dups")
+    assert(lsh == exact, s"LSH candidates missed ${exact.keySet -- lsh.keySet}")
+  }
+
+  test("lsh-bucketed cosine pairs have full recall vs exact all-pairs") {
+    // The corpus has no true near-dup embeddings (max pairwise cosine
+    // ≈ 0.5, the noise floor — which is exactly what q36's oracle checks),
+    // so plant perturbed copies and verify the bucketed path finds every
+    // pair the exact baseline finds at the operator's design threshold.
+    import org.apache.spark.sql.functions._
+    val planted = sfEmb.where(col("vec_id") < 20)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.01f)).as("embedding"))
+    val emb = sfEmb.select(col("vec_id"), col("embedding")).union(planted)
+    val exact = Dedup.cosineAllPairs(emb, minCosine = 0.95, capIds = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingCosinePairs(emb, dim = 64, minCosine = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size == 20, s"expected the 20 planted pairs, got ${exact.size}")
+    assert(lsh == exact, s"LSH buckets missed ${exact -- lsh}")
+  }
+
   test("minhash survivors drop near-dups with larger ids") {
     val s = rows(Dedup.minHashSurvivors(docs, threshold = 0.9).select($"doc_id"))
     assert(s.contains(Seq(1L)) && !s.contains(Seq(2L)))
