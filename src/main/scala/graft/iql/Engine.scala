@@ -540,6 +540,59 @@ final class Engine(val catalog: Catalog) {
         return Some(Fixpoint.materialize(merged).df)
       }
 
+      // Driver-local delta-seeded continuation for the linear-TC shape:
+      // the same semi-naive propagation as the distributed loop below, but
+      // run in-process when the cached closure, the edge relation, and the
+      // delta all fit on the driver — a +2-edge maintenance then costs 3
+      // small collect jobs instead of ~2 Spark jobs per iteration.
+      if (isRecursive) tcEdgeRel(name, sccRules) match {
+        case Some(e1) if changedRels == Set(e1) && baseWithOverlay(name).isEmpty =>
+          val edgeDf = resolve(e1, 2)
+          val local = for {
+            cachedRows <- Fixpoint.collectUpTo(cached, 1000000L)
+            edgeRows <- Fixpoint.collectUpTo(edgeDf, Fixpoint.LocalEdgeRows)
+            deltaRows <- Fixpoint.collectUpTo(deltaOf(e1), Fixpoint.LocalEdgeRows)
+          } yield {
+            val closure = mutable.HashSet.empty[(Any, Any)]
+            cachedRows.foreach(r => closure += ((r.get(0), r.get(1))))
+            val adj = edgeRows.map(r => (r.get(0), r.get(1)))
+              .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+            val pred = mutable.HashMap.empty[Any, mutable.ArrayBuffer[Any]]
+            cachedRows.foreach { r =>
+              pred.getOrElseUpdate(r.get(1), mutable.ArrayBuffer.empty) += r.get(0)
+            }
+            val fresh = mutable.ArrayBuffer.empty[(Any, Any)]
+            val queue = mutable.ArrayDeque.empty[(Any, Any)]
+            def add(p: (Any, Any)): Unit =
+              if (closure.add(p)) { fresh += p; queue.append(p) }
+            deltaRows.foreach { r =>
+              val (u, v) = (r.get(0), r.get(1))
+              add((u, v))
+              pred.getOrElse(u, mutable.ArrayBuffer.empty).foreach(x => add((x, v)))
+            }
+            while (queue.nonEmpty) {
+              val (x, y) = queue.removeHead()
+              adj.getOrElse(y, Array.empty[Any]).foreach(z => add((x, z)))
+            }
+            if (fresh.isEmpty) cached
+            else {
+              val rows = fresh.iterator
+                .map(p => org.apache.spark.sql.Row(p._1, p._2)).toSeq
+              // pair types come from the EDGE relation: a cached EMPTY
+              // closure has NullType columns, which would null out the
+              // parallelized values (corpus 09_recursion/13)
+              val schema = org.apache.spark.sql.types.StructType(Seq(
+                edgeDf.schema.fields(0).copy(name = cached.columns(0), nullable = true),
+                edgeDf.schema.fields(1).copy(name = cached.columns(1), nullable = true)))
+              cached.union(catalog.spark.createDataFrame(
+                catalog.spark.sparkContext.parallelize(rows,
+                  Fixpoint.parallelizeParts(rows.size.toLong)), schema))
+            }
+          }
+          local match { case Some(df) => return Some(df); case None => () }
+        case _ => ()
+      }
+
       val seedContribs = Seq.newBuilder[DataFrame]
       if (changedRels(name)) seedContribs += deltaOf(name).toDF(cols: _*)
       sccRules.foreach { r =>
@@ -551,17 +604,28 @@ final class Engine(val catalog: Catalog) {
       }
       val contribs = seedContribs.result()
       if (contribs.isEmpty) return Some(cached) // no rule touches the delta
-      val cand = Fixpoint.materialize(contribs.reduce(_ union _).distinct())
-      // no broadcast hint: the anti-join's build side is the CACHED
-      // materialization whose size we don't track driver-side — a small
-      // delta must not force a broadcast of a million-pair closure
-      var delta = Fixpoint.materialize(Fixpoint.antiNullSafe(cand.df, cached))
-      var acc = Fixpoint.materialize(cached.union(delta.df))
+      val recRules = sccRules.filter(_.body.exists {
+        case Pos(a) => a.rel == name
+        case _ => false
+      })
+      // A rule with TWO occurrences of `name` joins delta against the
+      // accumulator, so the accumulator needs fresh exprIds (a Mat); with
+      // single occurrences the accumulator is only the anti-join's right
+      // side, where antiNullSafe's string-qualified aliases are already
+      // self-join-safe — keep it a LAZY union of materialized parts and
+      // skip one checkpoint job per iteration (the q53 overhead floor).
+      val multiOcc = recRules.exists(r =>
+        r.body.count { case Pos(a) => a.rel == name; case _ => false } > 1)
+      // no broadcast hint on the seed anti-join: its build side is the
+      // CACHED materialization whose size we don't track driver-side — a
+      // small delta must not force a broadcast of a million-pair closure
+      var delta = Fixpoint.materialize(
+        Fixpoint.antiNullSafe(contribs.reduce(_ union _).distinct(), cached))
+      var parts = List(cached, delta.df)
+      def accDf: DataFrame = parts.reduce(_ union _)
+      var accMat: Fixpoint.Mat = if (multiOcc) Fixpoint.materialize(accDf) else null
+      def accFrame: DataFrame = if (multiOcc) accMat.df else accDf
       if (isRecursive) Fixpoint.withLoopConf(catalog.spark) {
-        val recRules = sccRules.filter(_.body.exists {
-          case Pos(a) => a.rel == name
-          case _ => false
-        })
         var iter = 0
         while (delta.count > 0 && iter < 10000) {
           iter += 1
@@ -575,19 +639,24 @@ final class Engine(val catalog: Catalog) {
               val resolver: RuleCompiler.Resolver = (nm, ar) =>
                 if (nm == name) {
                   occ += 1
-                  if (recIdx(occ) == dIdx) delta.df else acc.df
+                  if (recIdx(occ) == dIdx) delta.df else accFrame
                 } else resolve(nm, ar)
               deriveRule(r, resolver).toDF(cols: _*)
             }
           }
           val next = Fixpoint.materialize(Fixpoint.antiNullSafe(
-            stepContribs.reduce(_ union _).distinct(), acc.df,
-            hintBroadcast = acc.count <= Fixpoint.BroadcastRows))
-          if (next.count > 0) acc = Fixpoint.materialize(acc.df.union(next.df))
+            stepContribs.reduce(_ union _).distinct(), accFrame))
+          if (next.count > 0) {
+            parts = parts :+ next.df
+            if (multiOcc) accMat = Fixpoint.materialize(accMat.df.union(next.df))
+          }
           delta = next
         }
       }
-      Some(acc.df)
+      // compact deep part lists so repeated maintenance rounds don't nest
+      // union plans without bound (the cached frame is the next round's
+      // `cached`)
+      Some(if (!multiOcc && parts.size > 4) Fixpoint.materialize(accDf).df else accFrame)
     }
 
     /** Zero-row frame with `arity` untyped columns (empty placeholders,
@@ -634,11 +703,10 @@ final class Engine(val catalog: Catalog) {
       * dedicated closure (driver-local BFS for small graphs, distributed
       * semi-naive loop at scale). A position-0 demand constant becomes a
       * seeded [[Fixpoint.boundReachability]] — the bound-TC fast path. */
-    private def tcFastPath(scc: Set[String], sccRules: Seq[Rule]): Option[(String, DataFrame)] = {
-      if (scc.size != 1) return None
-      val rel = scc.head
-      if (baseWithOverlay(rel).isDefined) return None // EDB facts mixed in
-      val rs = sccRules
+    /** Matches the 2-rule linear-TC shape `r(X,Y) <- e(X,Y);
+      * r(X,Z) <- r(X,Y), e(Y,Z)` (or left-linear) and returns the edge
+      * relation name. Shared by the fast path and local maintenance. */
+    private def tcEdgeRel(rel: String, rs: Seq[Rule]): Option[String] = {
       if (rs.size != 2) return None
       val (recRules, baseRules) = rs.partition(_.body.exists {
         case Pos(a) => a.rel == rel
@@ -648,14 +716,24 @@ final class Engine(val catalog: Catalog) {
         case (Seq(Rule(Atom(_, Seq(bx: Var, by: Var)), Seq(Pos(Atom(e1, Seq(ex: Var, ey: Var)))), _)),
               Seq(Rule(Atom(_, Seq(hx: Var, hz: Var)), body, _)))
           if bx == ex && by == ey && bx != by =>
-          val rightLinear = body match {
+          val linear = body match {
             case Seq(Pos(Atom(`rel`, Seq(rx: Var, ry: Var))), Pos(Atom(`e1`, Seq(sx: Var, sz: Var))))
               if rx == hx && ry == sx && sz == hz && Set(rx, ry, sz).size == 3 => true
             case Seq(Pos(Atom(`e1`, Seq(sx: Var, sy: Var))), Pos(Atom(`rel`, Seq(rx: Var, rz: Var))))
               if sx == hx && sy == rx && rz == hz && Set(sx, sy, rz).size == 3 => true
             case _ => false
           }
-          if (!rightLinear) return None
+          if (linear && e1 != rel) Some(e1) else None
+        case _ => None
+      }
+    }
+
+    private def tcFastPath(scc: Set[String], sccRules: Seq[Rule]): Option[(String, DataFrame)] = {
+      if (scc.size != 1) return None
+      val rel = scc.head
+      if (baseWithOverlay(rel).isDefined) return None // EDB facts mixed in
+      tcEdgeRel(rel, sccRules) match {
+        case Some(e1) =>
           val e = resolve(e1, 2)
           if (e.columns.length != 2) return None
           val closed = demand.get(rel) match {
@@ -1170,7 +1248,8 @@ final class Engine(val catalog: Catalog) {
         org.apache.spark.sql.Row.fromSeq(arr.toSeq)
       }.toSeq
       Some(catalog.spark.createDataFrame(
-        catalog.spark.sparkContext.parallelize(out, 4), outSchema))
+        catalog.spark.sparkContext.parallelize(out,
+          Fixpoint.parallelizeParts(out.size.toLong)), outSchema))
     }
   }
 }

@@ -59,6 +59,43 @@ object Fixpoint {
   private def maybeBroadcast(m: Mat): DataFrame =
     if (m.count <= BroadcastRows) broadcast(m.df) else m.df
 
+  /** Partition count for re-parallelizing a driver-computed result:
+    * ~8k rows/task keeps serialized task payloads under Spark's 1 MB
+    * task-size warning for (long, long) Rows — a 1M-pair closure ships
+    * as ~120 small tasks, not 4 multi-MB ones. */
+  private[graft] def parallelizeParts(rows: Long): Int =
+    math.max(4L, math.min(256L, rows / 8192L)).toInt
+
+  /** Single-job bounded collect with a plan-keyed cache: returns the rows
+    * when the relation has ≤ cap of them, None otherwise. The cache key is
+    * the canonicalized logical plan, so the bound and full variants of the
+    * same query (q54/q55: both scan the same edge relation) pay ONE
+    * collect between them. Checkpoint-derived plans embed their RDD
+    * identity, so a changed relation can never produce a false hit. */
+  private val collectCache =
+    new java.util.LinkedHashMap[(SparkSession, Any), Array[org.apache.spark.sql.Row]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, Any), Array[org.apache.spark.sql.Row]]): Boolean =
+        size > 8
+    }
+
+  private[graft] def collectUpTo(df: DataFrame, cap: Long): Option[Array[org.apache.spark.sql.Row]] = {
+    val key = (df.sparkSession, df.queryExecution.analyzed.canonicalized: Any)
+    collectCache.synchronized {
+      val hit = collectCache.get(key)
+      if (hit != null) return Some(hit)
+    }
+    val rows = df.limit(cap.toInt + 1).collect()
+    if (rows.length > cap) None
+    else {
+      // don't pin very large results in the cache — re-collecting a rare
+      // million-row closure beats holding 8 × ~100 MB on the driver
+      if (rows.length <= 200000)
+        collectCache.synchronized { collectCache.put(key, rows) }
+      Some(rows)
+    }
+  }
+
   /** left_anti on all columns with null-safe (`<=>`) equality. Plain
     * using-column anti-joins compare with EqualTo, so a tuple containing
     * null (the dialect derives null for x/0 and x%0) never matches the
@@ -78,12 +115,16 @@ object Fixpoint {
     * Right-linear: delta ⋈ edges each iteration; edges are the static
     * side (broadcast when small, shuffle otherwise). */
   def transitiveClosure(edges: DataFrame, maxIter: Int = 0): DataFrame = {
-    val e = materialize(edges.toDF("src", "dst").distinct())
-    if (maxIter <= 0 && e.count <= LocalEdgeRows) {
-      val pairs = e.df.collect().map(r => (r.get(0), r.get(1)))
+    val dedup = edges.toDF("src", "dst")
+    // Local fast path: ONE bounded collect (no checkpoint/count jobs)
+    // decides eligibility and fetches the edges in the same job.
+    if (maxIter <= 0) collectUpTo(dedup.distinct(), LocalEdgeRows).foreach { rows =>
+      val pairs = rows.map(r => (r.get(0), r.get(1)))
       val nodes = pairs.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
-      if (nodes.size <= LocalTcNodes) return localClosure(e, pairs, nodes.toSeq)
+      if (nodes.size <= LocalTcNodes)
+        return localClosure(dedup.sparkSession, dedup.schema, pairs, nodes.toSeq)
     }
+    val e = materialize(dedup.distinct())
     iterateKeyed(e.df, delta => {
       val d = delta.toDF("p_src", "p_dst")
       d.join(maybeBroadcast(e), d("p_dst") === e.df("src"))
@@ -97,11 +138,15 @@ object Fixpoint {
     * fixpoint explores only the demanded subgraph, which is what turns
     * an O(V·E) closure into a BFS from the seeds. */
   def boundReachability(edges: DataFrame, seeds: DataFrame, maxIter: Int = 0): DataFrame = {
-    val e = materialize(edges.toDF("src", "dst").distinct())
+    val dedup = edges.toDF("src", "dst")
     val s = seeds.toDF("src").distinct()
-    if (maxIter <= 0 && e.count <= LocalEdgeRows)
-      return localClosure(e, e.df.collect().map(r => (r.get(0), r.get(1))),
-        s.collect().map(_.get(0)).toSeq)
+    if (maxIter <= 0) collectUpTo(dedup.distinct(), LocalEdgeRows).foreach { rows =>
+      val srcs = collectUpTo(s, LocalEdgeRows).map(_.map(_.get(0)).toSeq)
+        .getOrElse(s.collect().map(_.get(0)).toSeq)
+      return localClosure(dedup.sparkSession, dedup.schema,
+        rows.map(r => (r.get(0), r.get(1))), srcs)
+    }
+    val e = materialize(dedup.distinct())
     val base = s.join(maybeBroadcast(e), "src").select(col("src"), col("dst"))
     iterateKeyed(base, delta => {
       val d = delta.toDF("p_src", "p_dst")
@@ -112,7 +157,8 @@ object Fixpoint {
 
   /** Driver-local reachability: BFS from each source over a HashMap
     * adjacency list; result parallelized back with the edge schema. */
-  private def localClosure(e: Mat, pairs: Array[(Any, Any)], sources: Seq[Any]): DataFrame = {
+  private def localClosure(spark: SparkSession, schema: org.apache.spark.sql.types.StructType,
+                           pairs: Array[(Any, Any)], sources: Seq[Any]): DataFrame = {
     val adj = pairs.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
     val out = Seq.newBuilder[org.apache.spark.sql.Row]
     sources.foreach { src =>
@@ -126,8 +172,9 @@ object Fixpoint {
       }
       seen.foreach(m => out += org.apache.spark.sql.Row(src, m))
     }
-    e.df.sparkSession.createDataFrame(
-      e.df.sparkSession.sparkContext.parallelize(out.result(), 4), e.df.schema)
+    val rows = out.result()
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, parallelizeParts(rows.size.toLong)), schema)
   }
 
   /** Connected components over an undirected edge list: returns
@@ -196,7 +243,7 @@ object Fixpoint {
       und.df.schema.fields(0).copy(name = "id"),
       und.df.schema.fields(0).copy(name = "comp")))
     und.df.sparkSession.createDataFrame(
-      und.df.sparkSession.sparkContext.parallelize(rows, 4), schema)
+      und.df.sparkSession.sparkContext.parallelize(rows, parallelizeParts(rows.size.toLong)), schema)
   }
 
   /** Core semi-naive loop for relations with plain equality-comparable
