@@ -42,6 +42,11 @@ final class Catalog(val spark: SparkSession) {
     * on every persistent change, `rest/handlers/ws.rs:161-170`).
     * Listener failures never break the mutation. */
   val changeListeners = mutable.ArrayBuffer.empty[(String, String) => Unit]
+  /** Snapshot of the change log after version `v` (thread-safe read for
+    * the engine's maintenance path). */
+  def changesSince(v: Long): Seq[Change] = synchronized {
+    changeLog.filter(_.version > v).toSeq
+  }
   private def logChange(rel: String, delta: DataFrame): Unit = {
     changeLog += Change(version, rel, delta)
     if (changeLog.length > 64) changeLog.remove(0, changeLog.length - 64)
@@ -62,26 +67,33 @@ final class Catalog(val spark: SparkSession) {
     * register under `<rel>_<vecCol>`. */
   val indexMeta = mutable.LinkedHashMap.empty[String, (String, String, String)]
 
-  def register(name: String, df: DataFrame): Unit = {
+  def register(name: String, df: DataFrame): Unit = synchronized {
     bump(); logChange(name, null); relations(name) = df
   }
 
   def createIndex(rel: String, idCol: String, vecCol: String,
                   metric: String = "cosine", m: Int = 16, efC: Int = 200,
                   name: String = ""): graft.index.Hnsw = {
-    val df = relations.getOrElse(rel,
-      throw new IllegalArgumentException(s"unknown relation $rel"))
+    // snapshot the frame under the lock; BUILD outside it (the build runs
+    // Spark jobs — holding the catalog lock would wedge other connections)
+    val df = synchronized {
+      relations.getOrElse(rel,
+        throw new IllegalArgumentException(s"unknown relation $rel"))
+    }
     val idx = graft.index.Hnsw.build(df, idCol, vecCol, metric, m, efC)
-    indexes((rel, vecCol)) = idx
-    indexMeta(if (name.nonEmpty) name else s"${rel}_$vecCol") = (rel, idCol, vecCol)
+    synchronized {
+      indexes((rel, vecCol)) = idx
+      indexMeta(if (name.nonEmpty) name else s"${rel}_$vecCol") = (rel, idCol, vecCol)
+    }
     idx
   }
 
   /** Resolve a named index → (hnsw, relation, idCol, vecCol). */
-  def indexByName(name: String): Option[(graft.index.Hnsw, String, String, String)] =
+  def indexByName(name: String): Option[(graft.index.Hnsw, String, String, String)] = synchronized {
     indexMeta.get(name).flatMap { case (rel, idCol, vecCol) =>
       indexes.get((rel, vecCol)).map(idx => (idx, rel, idCol, vecCol))
     }
+  }
 
   /** k-NN probe of an index → DataFrame(id, distance), joinable with the
     * base relation (the HnswScan node, reference `src/ir/mod.rs:361-376`). */
@@ -99,13 +111,13 @@ final class Catalog(val spark: SparkSession) {
 
   /** Named type aliases (`type Email: string`) resolved at declaration. */
   private val typeAliases = mutable.LinkedHashMap.empty[String, String]
-  def addTypeAlias(alias: String, base: String): Unit = {
+  def addTypeAlias(alias: String, base: String): Unit = synchronized {
     val resolved = typeAliases.getOrElse(base, base)
     typeAliases(alias) = resolved
   }
   private def resolveType(t: String): String = typeAliases.getOrElse(t, t)
 
-  def declareSchema(name: String, fields0: Seq[(String, String)]): Unit = {
+  def declareSchema(name: String, fields0: Seq[(String, String)]): Unit = synchronized {
     bump(); logChange(name, null)
     val fields = fields0.map { case (n, t) => (n, resolveType(t)) }
     declared(name) = fields
@@ -115,7 +127,7 @@ final class Catalog(val spark: SparkSession) {
     }
   }
 
-  def declaredSchema(name: String): Option[Seq[(String, String)]] = declared.get(name)
+  def declaredSchema(name: String): Option[Seq[(String, String)]] = synchronized { declared.get(name) }
 
   private def iqlType(t: String): org.apache.spark.sql.types.DataType = t match {
     case "int" => LongType
@@ -152,19 +164,20 @@ final class Catalog(val spark: SparkSession) {
       }
     }
 
-  def relation(name: String): Option[DataFrame] = relations.get(name)
+  def relation(name: String): Option[DataFrame] = synchronized { relations.get(name) }
 
-  def relationNames: Seq[String] = relations.keys.toSeq
+  def relationNames: Seq[String] = synchronized { relations.keys.toSeq }
 
-  def rules: Seq[Ast.Rule] = ruleList.toSeq
+  def rules: Seq[Ast.Rule] = synchronized { ruleList.toSeq }
 
   /** Re-registering an identical rule is a no-op (reference dedups rule
     * submissions); different bodies for the same head accumulate. */
-  def addRule(rule: Ast.Rule): Unit =
+  def addRule(rule: Ast.Rule): Unit = synchronized {
     if (!ruleList.contains(rule)) { bump(); logChange("*", null); ruleList += rule }
+  }
 
   /** Remove the idx-th (1-based) clause of a head's rules. */
-  def removeRuleClause(headRel: String, idx: Int): Boolean = {
+  def removeRuleClause(headRel: String, idx: Int): Boolean = synchronized {
     val clauses = ruleList.zipWithIndex.filter(_._1.head.rel == headRel)
     clauses.lift(idx - 1) match {
       case Some((_, globalIdx)) =>
@@ -173,7 +186,7 @@ final class Catalog(val spark: SparkSession) {
     }
   }
 
-  def dropRelation(name: String): Unit = {
+  def dropRelation(name: String): Unit = synchronized {
     bump(); logChange("*", null) // may also drop rules of that head
     relations.remove(name)
     emptyPlaceholders -= name
@@ -223,10 +236,11 @@ final class Catalog(val spark: SparkSession) {
   /** `+rel[]` declares an empty relation whose arity/schema materialize
     * at first non-empty use (queries against it see an empty frame). */
   private val emptyPlaceholders = mutable.HashSet.empty[String]
-  def isEmptyPlaceholder(name: String): Boolean =
+  def isEmptyPlaceholder(name: String): Boolean = synchronized {
     emptyPlaceholders(name) && !relations.contains(name)
+  }
 
-  def insert(name: String, rows: Seq[Seq[Any]]): Unit = {
+  def insert(name: String, rows: Seq[Seq[Any]]): Unit = synchronized {
     if (rows.isEmpty) {
       if (!relations.contains(name)) { bump(); logChange(name, null); emptyPlaceholders += name }
       return
@@ -259,24 +273,26 @@ final class Catalog(val spark: SparkSession) {
 
   /** Delete exact tuples (set semantics — reference `DeleteOp`).
     * Null-safe match so a tuple containing null is deletable. */
-  def delete(name: String, rows: Seq[Seq[Any]]): Unit =
+  def delete(name: String, rows: Seq[Seq[Any]]): Unit = synchronized {
     relations.get(name).foreach { df =>
       bump(); logChange(name, null)
       val del = spark.createDataFrame(
         spark.sparkContext.parallelize(toRows(rows, df.schema)), df.schema)
       relations(name) = graft.plans.Fixpoint.antiNullSafe(df, del, hintBroadcast = true)
     }
+  }
 
   /** Swap a relation's stored frame for its materialized equivalent —
     * identical content, truncated lineage, no version bump (nothing
     * changed logically). Streaming appenders call this per batch so the
     * union/distinct plan depth doesn't grow with batch count; `.compact`
     * exposes it interactively (reference `.compact` meta command). */
-  def compact(name: String): Unit =
+  def compact(name: String): Unit = synchronized {
     relations.get(name).foreach(df => relations(name) = df.localCheckpoint(true))
+  }
 
   /** Replace a relation's contents (conditional delete / atomic update). */
-  def replace(name: String, df: DataFrame): Unit = {
+  def replace(name: String, df: DataFrame): Unit = synchronized {
     bump(); logChange(name, null); relations(name) = df
   }
 
@@ -284,7 +300,7 @@ final class Catalog(val spark: SparkSession) {
     * Set semantics like [[insert]]: duplicates — within the batch or vs
     * the existing relation — collapse (reference `insert_in_memory`
     * skips duplicate tuples on every insert path). */
-  def appendDf(name: String, df: DataFrame): Unit = {
+  def appendDf(name: String, df: DataFrame): Unit = synchronized {
     bump()
     relations.get(name) match {
       case None =>
@@ -301,7 +317,7 @@ final class Catalog(val spark: SparkSession) {
     }
   }
 
-  def dropRule(headRel: String): Unit = {
+  def dropRule(headRel: String): Unit = synchronized {
     bump(); logChange("*", null)
     val remaining = ruleList.filterNot(_.head.rel == headRel)
     ruleList.clear()

@@ -437,7 +437,7 @@ final class Engine(val catalog: Catalog) {
     private def tryMaintain(name: String): Option[DataFrame] = {
       if (!byHead.contains(name)) return None
       val (v0, cached) = cacheLatest(name).getOrElse(return None)
-      val changes = catalog.changeLog.filter(_.version > v0)
+      val changes = catalog.changesSince(v0)
       // contiguity: one log entry per bump, none trimmed away
       if (changes.map(_.version).toSet != (v0 + 1 to catalog.version).toSet) return None
       if (changes.exists(c => c.rel == "*" || c.delta == null)) return None
@@ -628,6 +628,7 @@ final class Engine(val catalog: Catalog) {
       if (isRecursive) Fixpoint.withLoopConf(catalog.spark) {
         var iter = 0
         while (delta.count > 0 && iter < 10000) {
+          graft.QueryGuard.checkCancelled()
           iter += 1
           Fixpoint.sizeShuffle(catalog.spark, delta.count)
           val stepContribs = recRules.flatMap { r =>
@@ -917,6 +918,7 @@ final class Engine(val catalog: Catalog) {
       Fixpoint.withLoopConf(catalog.spark) {
       var iter = 0
       while (delta.nonEmpty && iter < 10000) {
+        graft.QueryGuard.checkCancelled()
         iter += 1
         Fixpoint.sizeShuffle(catalog.spark, delta.valuesIterator.map(_.count).sum)
         val nextDelta = mutable.HashMap.empty[String, Fixpoint.Mat]
@@ -1036,6 +1038,7 @@ final class Engine(val catalog: Catalog) {
       Fixpoint.withLoopConf(catalog.spark) {
       var iter = 0
       while (delta.count > 0 && iter < 10000) {
+        graft.QueryGuard.checkCancelled()
         iter += 1
         Fixpoint.sizeShuffle(catalog.spark, delta.count)
         val contribs = recRules.flatMap { r =>
@@ -1184,6 +1187,7 @@ final class Engine(val catalog: Catalog) {
       val MaxLocalGroups = 2000000
       var rounds = 0
       while (frontier.nonEmpty && rounds < 100000) {
+        graft.QueryGuard.checkCancelled()
         rounds += 1
         if (dist.size > MaxLocalGroups) return None
         val next = mutable.HashSet.empty[Seq[Any]]

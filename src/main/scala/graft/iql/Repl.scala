@@ -27,7 +27,7 @@ final class Session(val spark: SparkSession,
   private val engines = mutable.HashMap.empty[String, Engine]
   private var currentKg = "default"
 
-  def catalog: Catalog = kgs(currentKg)
+  def catalog: Catalog = kgs.synchronized { kgs(currentKg) }
   def engine: Engine = engines.getOrElseUpdate(currentKg, new Engine(catalog))
 
   /** Execute one input: a meta command (`.`-prefixed) or an IQL program. */
@@ -61,20 +61,23 @@ final class Session(val spark: SparkSession,
     }
     val parts = cmd.split("\\s+").toSeq
     parts match {
+      // KG-map operations synchronize on the (possibly shared) map — a
+      // wire server hands the same map to every connection
       case Seq(".kg") | Seq(".kg", "show") => Text(Seq(currentKg))
-      case Seq(".kg", "list") => Text(kgs.keys.toSeq)
-      case Seq(".kg", "create", name) =>
+      case Seq(".kg", "list") => kgs.synchronized { Text(kgs.keys.toSeq) }
+      case Seq(".kg", "create", name) => kgs.synchronized {
         require(!kgs.contains(name), s"knowledge graph $name already exists")
         kgs(name) = new Catalog(spark); Text(Seq(s"created $name"))
+      }
       case Seq(".kg", "use", name) =>
-        require(kgs.contains(name), s"unknown knowledge graph $name")
+        require(kgs.synchronized { kgs.contains(name) }, s"unknown knowledge graph $name")
         // KG switch clears the session overlay (reference prints
         // "(Cleared N session rule(s), M session fact(s))")
         engines.get(currentKg).foreach(_.clearSession())
         currentKg = name; Text(Seq(s"using $name"))
       case Seq(".kg", "drop", name) =>
         require(name != "default", "cannot drop the default knowledge graph")
-        kgs.remove(name); engines.remove(name)
+        kgs.synchronized { kgs.remove(name) }; engines.remove(name)
         if (currentKg == name) currentKg = "default"
         Text(Seq(s"dropped $name"))
 
@@ -136,7 +139,7 @@ final class Session(val spark: SparkSession,
       case Seq(".save", dir) => Storage.save(catalog, dir); Text(Seq(s"saved to $dir"))
       case Seq(".open", dir) =>
         val c = Storage.load(spark, dir)
-        kgs(currentKg) = c
+        kgs.synchronized { kgs(currentKg) = c }
         engines.remove(currentKg) // engine was bound to the replaced catalog
         Text(Seq(s"opened $dir (${c.relationNames.length} relations, ${c.rules.length} rules)"))
 

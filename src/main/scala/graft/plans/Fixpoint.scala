@@ -195,6 +195,7 @@ object Fixpoint {
       var changed = true
       var i = 0
       while (changed && (maxIter <= 0 || i < maxIter)) {
+        graft.QueryGuard.checkCancelled()
         i += 1
         sizeShuffle(edges.sparkSession, labels.count + und.count)
         val prop = maybeBroadcast(und).join(labels.df, und.df("b") === labels.df("id"))
@@ -265,6 +266,7 @@ object Fixpoint {
       val cap = if (maxIter > 0) maxIter else 100000
       var i = 0
       while (delta.count > 0 && i < cap) {
+        graft.QueryGuard.checkCancelled()
         i += 1
         if (deltas.size >= 6) deltas = List(materialize(accDf))
         sizeShuffle(spark, delta.count)

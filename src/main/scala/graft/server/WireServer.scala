@@ -37,7 +37,9 @@ import graft.iql.{Catalog, Repl, Session}
   * `pong`, matching the reference's tags.
   */
 final class WireServer(spark: SparkSession, port: Int = 0,
-                       streamingThresholdBytes: Int = 1024 * 1024) {
+                       streamingThresholdBytes: Int = 1024 * 1024,
+                       queryTimeoutMs: Long = 30000L,
+                       maxResultRows: Long = 0L) {
 
   /** Results whose single-message JSON exceeds [[streamingThresholdBytes]]
     * stream as `result_start` / `result_chunk`×N / `result_end` over the
@@ -327,25 +329,46 @@ final class WireServer(spark: SparkSession, port: Int = 0,
   private def dispatch(session: Session, msg: Map[String, Any]): Map[String, Any] =
     dispatchAll(session, msg, chunked = false).head
 
-  /** Statement dispatch is serialized across connections: the shared
-    * KG map and per-catalog state are driver-side mutable structures
-    * (the reference serializes through its storage-engine locks the
-    * same way). Query EXECUTION still fans out to all cores — only the
-    * driver-side statement bookkeeping is single-file. */
+  /** Statement dispatch runs CONCURRENTLY across connections: queries are
+    * snapshot reads over immutable DataFrames, and the shared driver-side
+    * structures (KG map, per-catalog state) take their own fine-grained
+    * locks ([[Catalog]] methods are synchronized; the KG map synchronizes
+    * on itself) — so one slow query never wedges other clients. Each
+    * query runs under a [[graft.QueryGuard]] job-group with the server
+    * timeout (reference `query_timeout_ms`, default 30 s) unless the
+    * message overrides it with `timeout_ms`; results truncate at
+    * `max_result_rows` with a `truncated` flag (reference
+    * `src/config.rs:241-243`, 0 = unlimited). */
   private def dispatchAll(session: Session, msg: Map[String, Any],
-                          chunked: Boolean = true): Seq[Map[String, Any]] = kgs.synchronized {
+                          chunked: Boolean = true): Seq[Map[String, Any]] = {
+    def msgLong(key: String, dflt: Long): Long = msg.get(key) match {
+      case Some(v: Long) => v
+      case Some(v: Double) => v.toLong
+      case Some(v) => try v.toString.toLong catch { case _: Throwable => dflt }
+      case None => dflt
+    }
     try {
       ensureListeners() // hook KGs created since the last message
       msg.getOrElse("type", "") match {
         case "ping" => Seq(Map("type" -> "pong"))
         case "query" =>
           val src = msg("query").toString
+          val timeoutMs = msgLong("timeout_ms", queryTimeoutMs)
+          val maxRows = msgLong("max_result_rows", maxResultRows)
           val t0 = System.nanoTime()
-          val results = session.execute(src)
+          val results = graft.QueryGuard.withTimeout(spark, timeoutMs, src) {
+            val rs = session.execute(src)
+            // force the collect INSIDE the guard so result materialization
+            // is governed by the same timeout as the query jobs
+            rs.lastOption match {
+              case Some(Repl.Table(df)) => Left(resultMessage(df, t0, maxRows))
+              case Some(Repl.Text(lines)) => Right(Some(lines))
+              case None => Right(None)
+            }
+          }
           queriesServed.incrementAndGet()
-          results.lastOption match {
-            case Some(Repl.Table(df)) =>
-              val single = resultMessage(df, t0)
+          results match {
+            case Left(single) =>
               if (!chunked || Json.render(single).length <= streamingThresholdBytes)
                 Seq(single)
               else {
@@ -354,7 +377,7 @@ final class WireServer(spark: SparkSession, port: Int = 0,
                 Map("type" -> "result_start",
                   "columns" -> single("columns"),
                   "total_count" -> rows.length.toLong,
-                  "truncated" -> false,
+                  "truncated" -> single("truncated"),
                   "execution_time_ms" -> single("execution_time_ms")) +:
                   chunks.zipWithIndex.map { case (c, i) =>
                     Map("type" -> "result_chunk", "rows" -> c,
@@ -364,9 +387,9 @@ final class WireServer(spark: SparkSession, port: Int = 0,
                     "row_count" -> rows.length.toLong,
                     "chunk_count" -> chunks.length.toLong)
               }
-            case Some(Repl.Text(lines)) =>
+            case Right(Some(lines)) =>
               Seq(Map("type" -> "ack", "message" -> lines.mkString("\n")))
-            case None => Seq(Map("type" -> "ack", "message" -> "ok"))
+            case Right(None) => Seq(Map("type" -> "ack", "message" -> "ok"))
           }
         case "insert_facts" =>
           val rel = msg("relation").toString
@@ -402,13 +425,19 @@ final class WireServer(spark: SparkSession, port: Int = 0,
       case x => x
     })
 
-  private def resultMessage(df: DataFrame, t0: Long): Map[String, Any] = {
-    val rows = df.collect().map(_.toSeq.map(cell)).toSeq
+  private def resultMessage(df: DataFrame, t0: Long, maxRows: Long): Map[String, Any] = {
+    val collected =
+      if (maxRows > 0) df.limit(math.min(maxRows, Int.MaxValue - 1L).toInt + 1).collect()
+      else df.collect()
+    val truncated = maxRows > 0 && collected.length > maxRows
+    val rows = (if (truncated) collected.take(maxRows.toInt) else collected)
+      .map(_.toSeq.map(cell)).toSeq
     Map(
       "type" -> "result",
       "columns" -> df.columns.toSeq,
       "rows" -> rows,
       "row_count" -> rows.length,
+      "truncated" -> truncated,
       "execution_time_ms" -> ((System.nanoTime() - t0) / 1000000L))
   }
 

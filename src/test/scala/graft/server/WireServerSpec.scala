@@ -228,4 +228,103 @@ class WireServerSpec extends SparkSpec {
       ws2.sendClose(WebSocket.NORMAL_CLOSURE, "").join()
     } finally server.stop()
   }
+
+  private def wsConnect(server: WireServer,
+                        q: LinkedBlockingQueue[String]): WebSocket =
+    HttpClient.newHttpClient().newWebSocketBuilder().buildAsync(
+      URI.create(s"ws://127.0.0.1:${server.actualPort}/ws"),
+      new WebSocket.Listener {
+        private val buf = new StringBuilder
+        override def onText(ws: WebSocket, data: CharSequence,
+                            last: Boolean): CompletionStage[_] = {
+          buf.append(data)
+          if (last) { q.put(buf.toString); buf.clear() }
+          ws.request(1)
+          null
+        }
+      }).join()
+
+  private def wsSend(ws: WebSocket, q: LinkedBlockingQueue[String],
+                     msg: Map[String, Any], timeoutSec: Long = 120): Map[String, Any] = {
+    ws.sendText(Json.render(msg), true).join()
+    var m = obj(q.poll(timeoutSec, TimeUnit.SECONDS))
+    while (m("type") == "notification") m = obj(q.poll(timeoutSec, TimeUnit.SECONDS))
+    m
+  }
+
+  // a query whose semi-naive loop derives ONE new tuple per iteration for
+  // a million iterations — diverges for any practical purpose, and every
+  // iteration runs Spark jobs (so both the job-group kill and the
+  // cooperative flag get exercised)
+  private val divergingProgram =
+    """+crawl[(0)]
+      |+crawl(N) <- crawl(M), N = M + 1, N < 1000000
+      |?crawl(N)
+      |""".stripMargin
+
+  test("query timeout cancels a diverging recursive query; server keeps serving") {
+    val server = new WireServer(spark)
+    try {
+      val q = new LinkedBlockingQueue[String]()
+      val ws = wsConnect(server, q)
+      val t0 = System.nanoTime()
+      val err = wsSend(ws, q, Map("type" -> "query", "query" -> divergingProgram,
+        "timeout_ms" -> 1500L))
+      val elapsedMs = (System.nanoTime() - t0) / 1000000L
+      assert(err("type") == "error", s"expected error, got $err")
+      assert(err("message").toString.toLowerCase.contains("timeout"))
+      assert(elapsedMs < 30000L, s"cancellation took ${elapsedMs} ms")
+      // the connection (and server) must keep answering afterwards
+      val ok = wsSend(ws, q, Map("type" -> "query", "query" -> "?crawl(N)"))
+      assert(ok("type") == "result" || ok("type") == "error") // served, not wedged
+      assert(wsSend(ws, q, Map("type" -> "ping"))("type") == "pong")
+      ws.sendClose(WebSocket.NORMAL_CLOSURE, "").join()
+    } finally server.stop()
+  }
+
+  test("a slow query on one connection does not block another") {
+    val server = new WireServer(spark)
+    try {
+      val (qSlow, qFast) = (new LinkedBlockingQueue[String](), new LinkedBlockingQueue[String]())
+      val (wsSlow, wsFast) = (wsConnect(server, qSlow), wsConnect(server, qFast))
+      // fire the slow query (bounded by its timeout) WITHOUT waiting
+      wsSlow.sendText(Json.render(Map("type" -> "query",
+        "query" -> divergingProgram, "timeout_ms" -> 8000L)), true).join()
+      Thread.sleep(500) // let the slow query enter its fixpoint loop
+      val t0 = System.nanoTime()
+      val fast = wsSend(wsFast, qFast,
+        Map("type" -> "query", "query" -> "+quick[(1),(2)]\n?quick(X)"))
+      val fastMs = (System.nanoTime() - t0) / 1000000L
+      assert(fast("type") == "result" && fast("row_count") == 2L)
+      // only broadcast notifications may have arrived on the slow
+      // connection so far — its query result must still be pending
+      assert(qSlow.toArray.forall(m => obj(m.toString)("type") == "notification"),
+        "slow query finished before the fast one was answered — not a concurrency proof")
+      assert(fastMs < 6000L, s"fast query waited ${fastMs} ms behind the slow one")
+      // drain the slow query's timeout error
+      var slow = obj(qSlow.poll(60, TimeUnit.SECONDS))
+      while (slow("type") == "notification") slow = obj(qSlow.poll(60, TimeUnit.SECONDS))
+      assert(slow("type") == "error")
+      wsSlow.sendClose(WebSocket.NORMAL_CLOSURE, "").join()
+      wsFast.sendClose(WebSocket.NORMAL_CLOSURE, "").join()
+    } finally server.stop()
+  }
+
+  test("max_result_rows truncates and flags the result") {
+    val server = new WireServer(spark)
+    try {
+      val q = new LinkedBlockingQueue[String]()
+      val ws = wsConnect(server, q)
+      val capsInsert = "+caps[" + (1 to 25).map(i => s"($i)").mkString(",") + "]"
+      wsSend(ws, q, Map("type" -> "query", "query" -> capsInsert))
+      val res = wsSend(ws, q, Map("type" -> "query", "query" -> "?caps(X)",
+        "max_result_rows" -> 10L))
+      assert(res("type") == "result")
+      assert(res("row_count") == 10L)
+      assert(res("truncated") == true)
+      val full = wsSend(ws, q, Map("type" -> "query", "query" -> "?caps(X)"))
+      assert(full("row_count") == 25L && full("truncated") == false)
+      ws.sendClose(WebSocket.NORMAL_CLOSURE, "").join()
+    } finally server.stop()
+  }
 }
