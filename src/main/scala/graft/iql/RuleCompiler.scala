@@ -56,17 +56,31 @@ object RuleCompiler {
       require(special != null, s"${a.rel} is not supported in this context")
     }
 
-    // 1. positive atoms: join left-to-right on shared variables.
-    //    (The reference reorders joins by a max-spanning-tree heuristic,
-    //    `src/join_planning/mod.rs`; we rely on Catalyst/AQE instead.)
-    //    Special predicates (index probes) join AFTER the plain scans so
-    //    their query variables are already bound.
+    // 1. positive atoms: greedy connected-atom ordering — always join the
+    //    remaining atom that shares the MOST variables with what's bound
+    //    (the reference's max-spanning-tree heuristic over shared
+    //    variables, `src/join_planning/mod.rs:1-70`; Catalyst can't fix a
+    //    bad order itself: in-memory frames carry no stats to reorder by).
+    //    An adversarial order like `a(X), c(Z), b(X,Z)` therefore joins
+    //    a⋈b then ⋈c instead of building the a×c cartesian product first.
+    //    Ties (and the start atom) keep body order. Special predicates
+    //    (index probes) join AFTER the plain scans so their query
+    //    variables are already bound.
     var cur: DataFrame = null
-    positives.headOption.foreach { h => cur = atomFrame(h, resolve) }
-    positives.drop(1).foreach { a =>
-      val af = atomFrame(a, resolve)
-      val shared = cur.columns.intersect(af.columns).toSeq
-      cur = if (shared.nonEmpty) cur.join(af, shared) else cur.crossJoin(af)
+    if (positives.nonEmpty) {
+      val remaining = scala.collection.mutable.ArrayBuffer.from(
+        positives.map(a => atomFrame(a, resolve)))
+      cur = remaining.remove(0)
+      while (remaining.nonEmpty) {
+        val bound = cur.columns.toSet
+        // maxBy keeps the FIRST maximum → stable body order among ties;
+        // when nothing connects, index 0 preserves the old behavior
+        // (cross product of genuinely disconnected subgoals)
+        val idx = remaining.indices.maxBy(i => remaining(i).columns.count(bound))
+        val af = remaining.remove(idx)
+        val shared = cur.columns.intersect(af.columns).toSeq
+        cur = if (shared.nonEmpty) cur.join(af, shared) else cur.crossJoin(af)
+      }
     }
     specials.foreach { a =>
       val af = special(a, Option(cur))

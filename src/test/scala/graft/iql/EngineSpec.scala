@@ -473,4 +473,26 @@ class EngineSpec extends SparkSpec {
     e.run("t0(\"oops\")") // ephemeral session fact with a type violation
     assertThrows[IllegalArgumentException](e.run("?t0(X)"))
   }
+
+  test("join order heuristic avoids cartesian products in adversarial bodies") {
+    val e = new Engine(new Catalog(spark))
+    e.run("+a[(1),(2),(3)]\n+c[(10),(20)]\n+b[(1,10),(2,20),(3,10)]")
+    // a(X), c(Z), b(X,Z): left-to-right would cross a×c before b connects
+    val df = e.run("j(X, Z) <- a(X), c(Z), b(X, Z)\n?j(X, Z)").last
+    val plan = df.queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val cartesians = plan.collect {
+      case j: Join if j.condition.isEmpty && j.joinType.sql == "INNER" => j
+    }
+    assert(cartesians.isEmpty, s"plan builds a cartesian product:\n$plan")
+    assert(rows(df) == Set(Seq(1L, 10L), Seq(2L, 20L), Seq(3L, 10L)))
+    // 4-atom chain written inside-out still connects pairwise
+    e.run("+d[(10,7),(20,9)]")
+    val df2 = e.run("k(X, W) <- d(Z, W), a(X), b(X, Z)\n?k(X, W)").last
+    val cart2 = df2.queryExecution.optimizedPlan.collect {
+      case j: Join if j.condition.isEmpty && j.joinType.sql == "INNER" => j
+    }
+    assert(cart2.isEmpty)
+    assert(rows(df2) == Set(Seq(1L, 7L), Seq(2L, 9L), Seq(3L, 7L)))
+  }
 }
