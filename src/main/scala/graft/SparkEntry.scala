@@ -502,6 +502,24 @@ object SparkEntry {
       e.run("?tot(D, S, C)").last // merged, not recomputed
     }),
 
+    // --- IQL: retraction maintenance — materialize a recursive closure,
+    //     DELETE edges, re-query; affected-source maintenance rebuilds
+    //     only the reach sets that could have used a deleted edge instead
+    //     of recomputing the fixpoint (reference BENCHMARKS.md:69-71 —
+    //     incremental retraction through recursive views, 602 ms vs
+    //     10.5 s recompute; `src/derived_relations.rs:1-60`) -----------
+    "q59_iql_retraction" -> ((s, dir) => {
+      val e = iqlEngine(s, dir)
+      e.catalog.register("edge", graphEdges(s, dir))
+      e.run(
+        """+reach(X, Y) <- edge(X, Y)
+          |+reach(X, Z) <- reach(X, Y), edge(Y, Z)
+          |?reach(X, Y)
+          |""".stripMargin)
+      e.run("-edge[(0, 1), (10, 15)]") // retraction
+      e.run("?reach(X, Y)").last       // served by delete maintenance
+    }),
+
     // --- IQL: recursive min aggregate (weighted shortest path — the
     //     MinDiff-semiring semantics, realized as value iteration) --------
     "q52_iql_shortest_path" -> ((s, dir) => {
@@ -900,6 +918,16 @@ object SparkEntry {
          |UNION
          |SELECT e.dst FROM reach r JOIN e ON r.dst = e.src)
          |SELECT dst AS DST FROM reach""".stripMargin,
+
+    "q59_iql_retraction" ->
+      s"""WITH RECURSIVE e AS (
+         |SELECT src, dst FROM ($graphEdgesSql) t
+         |WHERE NOT (src = 0 AND dst = 1) AND NOT (src = 10 AND dst = 15)),
+         |reach(src, dst) AS (
+         |SELECT src, dst FROM e
+         |UNION
+         |SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
+         |SELECT src AS X, dst AS Y FROM reach""".stripMargin,
 
     "q56_iql_incremental_agg" ->
       """WITH emp AS (

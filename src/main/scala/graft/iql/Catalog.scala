@@ -34,7 +34,11 @@ final class Catalog(val spark: SparkSession) {
     * instead of recomputing). One entry PER version bump; `delta` is
     * non-null only for pure inserts (monotone changes), `rel == "*"`
     * marks a rule-set change that invalidates everything. Bounded. */
-  final case class Change(version: Long, rel: String, delta: DataFrame)
+  /** `delta` = inserted rows (non-null only for pure inserts); `removed`
+    * = deleted rows (non-null only for exact-tuple deletes, and only the
+    * tuples that were actually present). Both null = opaque change. */
+  final case class Change(version: Long, rel: String, delta: DataFrame,
+                          removed: DataFrame = null)
   val changeLog = mutable.ArrayBuffer.empty[Change]
   /** Change listeners (rel, operation): the wire server broadcasts
     * `persistent_update` notifications from here (reference: sessions
@@ -47,10 +51,14 @@ final class Catalog(val spark: SparkSession) {
   def changesSince(v: Long): Seq[Change] = synchronized {
     changeLog.filter(_.version > v).toSeq
   }
-  private def logChange(rel: String, delta: DataFrame): Unit = {
-    changeLog += Change(version, rel, delta)
+  private def logChange(rel: String, delta: DataFrame,
+                        removed: DataFrame = null): Unit = {
+    changeLog += Change(version, rel, delta, removed)
     if (changeLog.length > 64) changeLog.remove(0, changeLog.length - 64)
-    val op = if (rel == "*") "rule_change" else if (delta != null) "insert" else "update"
+    val op = if (rel == "*") "rule_change"
+      else if (delta != null) "insert"
+      else if (removed != null) "delete"
+      else "update"
     changeListeners.foreach(l => try l(rel, op) catch { case _: Throwable => () })
   }
   /** Declared schemas: rel → (fieldName, iql type). Validation is
@@ -275,9 +283,14 @@ final class Catalog(val spark: SparkSession) {
     * Null-safe match so a tuple containing null is deletable. */
   def delete(name: String, rows: Seq[Seq[Any]]): Unit = synchronized {
     relations.get(name).foreach { df =>
-      bump(); logChange(name, null)
+      bump()
       val del = spark.createDataFrame(
         spark.sparkContext.parallelize(toRows(rows, df.schema)), df.schema)
+      // removed delta = the requested tuples (deduped). A tuple that was
+      // not actually present only over-approximates the affected set in
+      // the engine's retraction maintenance — still correct, and cheaper
+      // than an existence semi-join per delete.
+      logChange(name, null, del.distinct())
       relations(name) = graft.plans.Fixpoint.antiNullSafe(df, del, hintBroadcast = true)
     }
   }

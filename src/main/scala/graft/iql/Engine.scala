@@ -440,7 +440,12 @@ final class Engine(val catalog: Catalog) {
       val changes = catalog.changesSince(v0)
       // contiguity: one log entry per bump, none trimmed away
       if (changes.map(_.version).toSet != (v0 + 1 to catalog.version).toSet) return None
-      if (changes.exists(c => c.rel == "*" || c.delta == null)) return None
+      // every change must carry a delta: inserts (delta) or exact-tuple
+      // deletes (removed); opaque changes (rule edits, conditional
+      // deletes, replaces) invalidate
+      if (changes.exists(c => c.rel == "*" || (c.delta == null && c.removed == null)))
+        return None
+      val hasRemovals = changes.exists(_.removed != null)
       val changedRels = changes.map(_.rel).toSet
       if (changedRels.exists(byHead.contains)) return None // derived rel changed
 
@@ -472,8 +477,12 @@ final class Engine(val catalog: Catalog) {
 
       val arity = cached.columns.length
       val cols = (0 until arity).map(i => s"c$i")
-      val deltaOf: Map[String, DataFrame] = changedRels.map { r =>
-        r -> changes.filter(_.rel == r).map(_.delta).reduce(_ union _).distinct()
+      // insert deltas per relation (rels with only removals are absent —
+      // all general paths below bail when removals exist; only the local
+      // TC path handles them)
+      val deltaOf: Map[String, DataFrame] = changedRels.flatMap { r =>
+        val ds = changes.filter(c => c.rel == r && c.delta != null).map(_.delta)
+        if (ds.isEmpty) None else Some(r -> ds.reduce(_ union _).distinct())
       }.toMap
       val isRecursive = sccRules.exists(_.body.exists {
         case Pos(a) => a.rel == name
@@ -507,7 +516,8 @@ final class Engine(val catalog: Catalog) {
         // merge per group with the cached result. avg/count_distinct are
         // not insert-mergeable; multiple changed atoms in one rule would
         // double-count delta×delta bindings — both bail to recompute.
-        if (sccRules.length != 1 || isRecursive || changedRels(name)) return None
+        if (sccRules.length != 1 || isRecursive || changedRels(name) || hasRemovals)
+          return None
         val r = sccRules.head
         val aggSpecs = r.head.args.zipWithIndex.collect { case (Agg(f, _), i) => (f, i) }
         if (!aggSpecs.forall { case (f, _) => Set("sum", "count", "min", "max")(f) })
@@ -540,58 +550,100 @@ final class Engine(val catalog: Catalog) {
         return Some(Fixpoint.materialize(merged).df)
       }
 
-      // Driver-local delta-seeded continuation for the linear-TC shape:
-      // the same semi-naive propagation as the distributed loop below, but
-      // run in-process when the cached closure, the edge relation, and the
-      // delta all fit on the driver — a +2-edge maintenance then costs 3
-      // small collect jobs instead of ~2 Spark jobs per iteration.
+      // Driver-local maintenance for the linear-TC shape, run in-process
+      // when the cached closure, the edge relation, and the change deltas
+      // all fit on the driver. Inserts use delta-seeded semi-naive
+      // propagation (same continuation as the distributed loop below);
+      // deletes use affected-source recomputation (DRed without the
+      // over-delete/re-derive round trips: a pair (x,y) can only change
+      // if x reached some changed edge's tail u in the OLD closure —
+      // (x,u) ∈ C or x = u — so unaffected sources keep their pairs and
+      // affected sources re-BFS over the post-change edges). Reference:
+      // incremental retraction through recursive views,
+      // `src/derived_relations.rs:1-60`, BENCHMARKS.md:69-71.
       if (isRecursive) tcEdgeRel(name, sccRules) match {
         case Some(e1) if changedRels == Set(e1) && baseWithOverlay(name).isEmpty =>
           val edgeDf = resolve(e1, 2)
+          val insFrames = changes.filter(c => c.rel == e1 && c.delta != null).map(_.delta)
+          val remFrames = changes.filter(c => c.rel == e1 && c.removed != null).map(_.removed)
+          def collectAll(fs: Seq[DataFrame]): Option[Array[org.apache.spark.sql.Row]] =
+            fs.foldLeft(Option(Array.empty[org.apache.spark.sql.Row])) { (acc, f) =>
+              acc.flatMap(a => Fixpoint.collectUpTo(f, Fixpoint.LocalEdgeRows).map(a ++ _))
+            }
           val local = for {
             cachedRows <- Fixpoint.collectUpTo(cached, 1000000L)
             edgeRows <- Fixpoint.collectUpTo(edgeDf, Fixpoint.LocalEdgeRows)
-            deltaRows <- Fixpoint.collectUpTo(deltaOf(e1), Fixpoint.LocalEdgeRows)
+            insRows <- collectAll(insFrames)
+            remRows <- collectAll(remFrames)
           } yield {
-            val closure = mutable.HashSet.empty[(Any, Any)]
-            cachedRows.foreach(r => closure += ((r.get(0), r.get(1))))
+            // pair types come from the EDGE relation: a cached EMPTY
+            // closure has NullType columns, which would null out the
+            // parallelized values (corpus 09_recursion/13)
+            val schema = org.apache.spark.sql.types.StructType(Seq(
+              edgeDf.schema.fields(0).copy(name = cached.columns(0), nullable = true),
+              edgeDf.schema.fields(1).copy(name = cached.columns(1), nullable = true)))
+            def pairsDf(rows: Seq[org.apache.spark.sql.Row]): DataFrame =
+              catalog.spark.createDataFrame(
+                catalog.spark.sparkContext.parallelize(rows,
+                  Fixpoint.parallelizeParts(rows.size.toLong)), schema)
             val adj = edgeRows.map(r => (r.get(0), r.get(1)))
               .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
-            val pred = mutable.HashMap.empty[Any, mutable.ArrayBuffer[Any]]
-            cachedRows.foreach { r =>
-              pred.getOrElseUpdate(r.get(1), mutable.ArrayBuffer.empty) += r.get(0)
-            }
-            val fresh = mutable.ArrayBuffer.empty[(Any, Any)]
-            val queue = mutable.ArrayDeque.empty[(Any, Any)]
-            def add(p: (Any, Any)): Unit =
-              if (closure.add(p)) { fresh += p; queue.append(p) }
-            deltaRows.foreach { r =>
-              val (u, v) = (r.get(0), r.get(1))
-              add((u, v))
-              pred.getOrElse(u, mutable.ArrayBuffer.empty).foreach(x => add((x, v)))
-            }
-            while (queue.nonEmpty) {
-              val (x, y) = queue.removeHead()
-              adj.getOrElse(y, Array.empty[Any]).foreach(z => add((x, z)))
-            }
-            if (fresh.isEmpty) cached
-            else {
-              val rows = fresh.iterator
-                .map(p => org.apache.spark.sql.Row(p._1, p._2)).toSeq
-              // pair types come from the EDGE relation: a cached EMPTY
-              // closure has NullType columns, which would null out the
-              // parallelized values (corpus 09_recursion/13)
-              val schema = org.apache.spark.sql.types.StructType(Seq(
-                edgeDf.schema.fields(0).copy(name = cached.columns(0), nullable = true),
-                edgeDf.schema.fields(1).copy(name = cached.columns(1), nullable = true)))
-              cached.union(catalog.spark.createDataFrame(
-                catalog.spark.sparkContext.parallelize(rows,
-                  Fixpoint.parallelizeParts(rows.size.toLong)), schema))
+            if (remRows.isEmpty) {
+              // INSERT-ONLY: seed with paths through the new edges, then
+              // propagate forward over the (post-change) edge set
+              val closure = mutable.HashSet.empty[(Any, Any)]
+              cachedRows.foreach(r => closure += ((r.get(0), r.get(1))))
+              val pred = mutable.HashMap.empty[Any, mutable.ArrayBuffer[Any]]
+              cachedRows.foreach { r =>
+                pred.getOrElseUpdate(r.get(1), mutable.ArrayBuffer.empty) += r.get(0)
+              }
+              val fresh = mutable.ArrayBuffer.empty[(Any, Any)]
+              val queue = mutable.ArrayDeque.empty[(Any, Any)]
+              def add(p: (Any, Any)): Unit =
+                if (closure.add(p)) { fresh += p; queue.append(p) }
+              insRows.foreach { r =>
+                val (u, v) = (r.get(0), r.get(1))
+                add((u, v))
+                pred.getOrElse(u, mutable.ArrayBuffer.empty).foreach(x => add((x, v)))
+              }
+              while (queue.nonEmpty) {
+                val (x, y) = queue.removeHead()
+                adj.getOrElse(y, Array.empty[Any]).foreach(z => add((x, z)))
+              }
+              if (fresh.isEmpty) cached
+              else cached.union(pairsDf(fresh.iterator
+                .map(p => org.apache.spark.sql.Row(p._1, p._2)).toSeq))
+            } else {
+              // DELETES (possibly mixed with inserts): recompute the
+              // reach sets of affected sources only
+              val changedTails = (insRows.iterator ++ remRows.iterator)
+                .map(_.get(0)).toSet
+              val affected = mutable.HashSet.empty[Any] ++= changedTails
+              cachedRows.foreach { r =>
+                if (changedTails(r.get(1))) affected += r.get(0)
+              }
+              val out = mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+              cachedRows.foreach(r => if (!affected(r.get(0))) out += r)
+              affected.foreach { src =>
+                val seen = mutable.HashSet.empty[Any]
+                val queue = mutable.ArrayDeque[Any](src)
+                while (queue.nonEmpty) {
+                  val n = queue.removeHead()
+                  adj.getOrElse(n, Array.empty[Any]).foreach { m =>
+                    if (seen.add(m)) queue.append(m)
+                  }
+                }
+                seen.foreach(m => out += org.apache.spark.sql.Row(src, m))
+              }
+              pairsDf(out.toSeq)
             }
           }
           local match { case Some(df) => return Some(df); case None => () }
         case _ => ()
       }
+      // past the TC fast path, only pure-insert changes are maintainable —
+      // a delete against any other view shape falls back to recompute
+      if (hasRemovals) return None
 
       val seedContribs = Seq.newBuilder[DataFrame]
       if (changedRels(name)) seedContribs += deltaOf(name).toDF(cols: _*)

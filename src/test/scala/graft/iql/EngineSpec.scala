@@ -474,6 +474,40 @@ class EngineSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](e.run("?t0(X)"))
   }
 
+  test("retraction maintenance extends cached closures on edge deletes") {
+    val e = new Engine(new Catalog(spark))
+    e.run("+edge[(1,2),(2,3),(3,4),(10,11)]")
+    e.run("+reach(X, Y) <- edge(X, Y)\n+reach(X, Z) <- reach(X, Y), edge(Y, Z)")
+    assert(rows(e.run("?reach(X, Y)").last).size == 7)
+    val before = e.maintainedCount
+    e.run("-edge[(2, 3)]")
+    assert(rows(e.run("?reach(X, Y)").last) ==
+      Set(Seq(1L, 2L), Seq(3L, 4L), Seq(10L, 11L)))
+    assert(e.maintainedCount == before + 1, "delete was recomputed, not maintained")
+    // mixed delete + insert in one maintenance window
+    e.run("-edge[(3, 4)]")
+    e.run("+edge[(2, 10)]")
+    assert(rows(e.run("?reach(X, Y)").last) ==
+      Set(Seq(1L, 2L), Seq(2L, 10L), Seq(1L, 10L), Seq(10L, 11L),
+        Seq(2L, 11L), Seq(1L, 11L)))
+    assert(e.maintainedCount == before + 2)
+    // deleting a tuple that was never present maintains to the same result
+    e.run("-edge[(7, 8)]")
+    assert(rows(e.run("?reach(X, Y)").last).size == 6)
+  }
+
+  test("deletes on non-TC views fall back to recomputation, correctly") {
+    val e = new Engine(new Catalog(spark))
+    e.run("+p[(1,10),(2,20),(3,30)]")
+    e.run("+q[(1),(2)]")
+    e.run("+v(X, Y) <- p(X, Y), q(X)")
+    assert(rows(e.run("?v(X, Y)").last) == Set(Seq(1L, 10L), Seq(2L, 20L)))
+    val before = e.maintainedCount
+    e.run("-q[(1)]")
+    assert(rows(e.run("?v(X, Y)").last) == Set(Seq(2L, 20L)))
+    assert(e.maintainedCount == before, "non-TC delete should recompute")
+  }
+
   test("join order heuristic avoids cartesian products in adversarial bodies") {
     val e = new Engine(new Catalog(spark))
     e.run("+a[(1),(2),(3)]\n+c[(10),(20)]\n+b[(1,10),(2,20),(3,10)]")
