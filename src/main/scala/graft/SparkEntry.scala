@@ -520,6 +520,27 @@ object SparkEntry {
       e.run("?reach(X, Y)").last       // served by delete maintenance
     }),
 
+    // --- IQL: magic-sets bound query — same-generation over a binary
+    //     tree of the nation keys; the binding does NOT pass through
+    //     (head X flows into up, not into sg's first argument), so the
+    //     full adornment rewrite (not the pass-through demand filter)
+    //     restricts the fixpoint to the demanded subtree (reference
+    //     `src/magic_sets/mod.rs:1-60`) ---------------------------------
+    "q60_iql_magic_sg" -> ((s, dir) => {
+      val e = iqlEngine(s, dir)
+      val n = T(s, dir, "nation").select(col("n_nationkey").cast("long").as("k"))
+      e.catalog.register("person", n.select(col("k")))
+      val up = n.where(col("k") >= 1)
+        .select(col("k").as("c"), floor((col("k") - 1) / 2).cast("long").as("p"))
+      e.catalog.register("up", up)
+      e.catalog.register("down", up.select(col("p"), col("c")))
+      e.run(
+        """sg(X, X) <- person(X)
+          |sg(X, Y) <- up(X, Z1), sg(Z1, Z2), down(Z2, Y)
+          |?- sg(1, Y)
+          |""".stripMargin).last
+    }),
+
     // --- IQL: recursive min aggregate (weighted shortest path — the
     //     MinDiff-semiring semantics, realized as value iteration) --------
     "q52_iql_shortest_path" -> ((s, dir) => {
@@ -928,6 +949,18 @@ object SparkEntry {
          |UNION
          |SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
          |SELECT src AS X, dst AS Y FROM reach""".stripMargin,
+
+    "q60_iql_magic_sg" ->
+      """WITH RECURSIVE up AS (
+        |SELECT CAST(n_nationkey AS BIGINT) AS c,
+        |       CAST(FLOOR((n_nationkey - 1) / 2.0) AS BIGINT) AS p
+        |FROM nation WHERE n_nationkey >= 1),
+        |person AS (SELECT CAST(n_nationkey AS BIGINT) AS x FROM nation),
+        |sg(x, y) AS (
+        |SELECT x, x FROM person
+        |UNION
+        |SELECT u.c, d.c FROM up u JOIN sg ON u.p = sg.x JOIN up d ON d.p = sg.y)
+        |SELECT y AS Y FROM sg WHERE x = 1""".stripMargin,
 
     "q56_iql_incremental_agg" ->
       """WITH emp AS (

@@ -243,9 +243,28 @@ final class Engine(val catalog: Catalog) {
 
   // ------------------------------------------------------------ queries
 
+  /** Observability: how many queries ran through the full magic-sets
+    * rewrite, and the demand-restricted frame of the last one (tests
+    * assert the restriction actually shrinks the fixpoint). */
+  private[graft] var magicRewrites: Long = 0L
+  private[graft] var lastMagicFrame: Option[DataFrame] = None
+
   def evalQuery(q: Query): DataFrame = {
     val rules = currentRules
-    val idb = new IdbEvaluator(rules, demandFor(q, rules))
+    val demand = demandFor(q, rules)
+    val (idb, magicTarget) =
+      if (demand.nonEmpty) (new IdbEvaluator(rules, demand), None)
+      else magicRewrite(q, rules) match {
+        case Some((newRules, seedRel, seedDf, rel)) =>
+          magicRewrites += 1
+          // caching disabled: the adorned rule set is specific to this
+          // query's seed — its materializations must not leak into the
+          // shared (rel, version) cache
+          (new IdbEvaluator(newRules, Map.empty,
+            extraBase = Map(seedRel -> seedDf), cachingEnabled = false),
+            Some(rel))
+        case None => (new IdbEvaluator(rules, demand), None)
+      }
     // arity-mismatch fallback: `?data(X, Y)` against an arity-3 relation
     // returns the FULL stored tuples (reference behavior — its error
     // corpus records col0..colN tables, not an error)
@@ -255,6 +274,8 @@ final class Engine(val catalog: Catalog) {
         return resolved.toDF(resolved.columns.indices.map(i => s"col$i"): _*)
     }
     var df = RuleCompiler.compileBody(q.body, idb.resolve, hnswFrame)
+    lastMagicFrame = magicTarget.map(r =>
+      idb.resolve(r, q.body.collectFirst { case Pos(a) => a.args.length }.getOrElse(0)))
     // shorthand queries keep the goal atom's full arity (constants too)
     // plus any vars BOUND by extra body elements (`?emb(Id, V), Q = f(V)`
     // returns Id, V, Q — reference shorthand result shape). A special-
@@ -316,6 +337,95 @@ final class Engine(val catalog: Catalog) {
         }
       case _ => Map.empty
     }
+  }
+
+  /** Full magic-sets rewrite for bound queries whose binding does NOT
+    * pass through unchanged (reference adorned rules + seed relations,
+    * `src/magic_sets/mod.rs:1-60`): `?r(c, Y)` over a single-predicate
+    * recursive component rewrites r's rules to demand-guarded versions
+    * plus magic rules derived by left-to-right sideways information
+    * passing, seeded from the constant. The classic same-generation
+    * query — `sg(X,Y) <- up(X,Z1), sg(Z1,Z2), down(Z2,Y)` with
+    * `?sg(1,Y)` — then explores only the demanded subtree instead of
+    * computing the full fixpoint.
+    *
+    * Returns (rewritten rules, magic relation name, seed frame, rel).
+    * Bails (None) whenever the standard transformation could be unsound
+    * or unsafe here: mutual recursion across predicates, EDB facts mixed
+    * into the head, aggregate/rank heads, a bound-position term that the
+    * left-to-right prefix cannot bind. Magic-rule bodies keep only the
+    * guard and the PRECEDING POSITIVE atoms — dropping filters/negation
+    * only enlarges the demanded set, never shrinks it (sound). */
+  private def magicRewrite(q: Query, rules: Seq[Rule])
+      : Option[(Seq[Rule], String, DataFrame, String)] = q.body match {
+    case Seq(Pos(Atom(rel, args))) =>
+      val scc = Stratifier.sccOf(rules).getOrElse(rel, Set(rel))
+      if (scc != Set(rel)) return None
+      val relRules = rules.filter(_.head.rel == rel)
+      val recursive = relRules.exists(_.body.exists {
+        case Pos(a) => a.rel == rel
+        case _ => false
+      })
+      if (!recursive || relRules.isEmpty) return None
+      if (baseWithOverlay(rel).isDefined) return None // EDB facts mixed in
+      if (relRules.exists(_.head.args.exists(t =>
+        t.isInstanceOf[Agg] || t.isInstanceOf[Rank]))) return None
+      val (bound, seedVal) = args.zipWithIndex.collectFirst {
+        case (Const(v), i) => (i, v)
+      }.getOrElse(return None)
+      val magicName = s"__magic_$rel"
+      if (rules.exists(r => r.head.rel == magicName)) return None
+      val magicRules = mutable.ArrayBuffer.empty[Rule]
+      val adorned = mutable.ArrayBuffer.empty[Rule]
+      relRules.foreach { r =>
+        val hv = r.head.args.lift(bound) match {
+          case Some(t @ (_: Var | _: Const)) => t
+          case _ => return None
+        }
+        val guard = Pos(Atom(magicName, Seq(hv)))
+        adorned += r.copy(body = guard +: r.body)
+        var boundVars: Set[String] = hv match {
+          case Var(n) => Set(n)
+          case _ => Set.empty
+        }
+        r.body.zipWithIndex.foreach {
+          case (Pos(a), k) if a.rel == rel =>
+            val b = a.args.lift(bound) match {
+              case Some(t @ (_: Var | _: Const)) => t
+              case _ => return None
+            }
+            b match {
+              case Var(n) if !boundVars.contains(n) => return None // SIP gap
+              case _ => ()
+            }
+            // prefix: the positive atoms before this occurrence —
+            // including earlier `rel` occurrences (they resolve to the
+            // ADORNED rel; magic ↔ rel mutual recursion is handled by
+            // the general SCC fixpoint)
+            val prefix = r.body.take(k).collect { case p: Pos => p }
+            magicRules += Rule(Atom(magicName, Seq(b)), guard +: prefix,
+              persistent = false)
+            boundVars ++= a.args.collect { case Var(n) => n }
+          case (Pos(a), _) =>
+            boundVars ++= a.args.collect { case Var(n) => n }
+          case _ => ()
+        }
+      }
+      if (magicRules.isEmpty) return None
+      import org.apache.spark.sql.types._
+      val dt: DataType = seedVal match {
+        case _: Long | _: Int => LongType
+        case _: Double => DoubleType
+        case _: Boolean => BooleanType
+        case _ => StringType
+      }
+      val seedDf = catalog.spark.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row(seedVal)),
+        StructType(Seq(StructField("c0", dt, nullable = true))))
+      val rewritten = rules.filterNot(_.head.rel == rel) ++
+        adorned ++ magicRules.distinct
+      Some((rewritten, magicName, seedDf, rel))
+    case _ => None
   }
 
   // ------------------------------------------------------------ deletes
@@ -381,10 +491,17 @@ final class Engine(val catalog: Catalog) {
   /** Evaluates derived relations on demand, respecting stratification;
     * memoizes per query. `demand`: rel → (boundPos, boundConst) filters
     * pushed into every derivation of that relation (see [[demandFor]]). */
-  private final class IdbEvaluator(rules: Seq[Rule], demand: Map[String, (Int, Any)]) {
+  private final class IdbEvaluator(rules: Seq[Rule], demand: Map[String, (Int, Any)],
+                                   extraBase: Map[String, DataFrame] = Map.empty,
+                                   cachingEnabled: Boolean = true) {
     private val byHead: Map[String, Seq[Rule]] = rules.groupBy(_.head.rel)
     private val memo = mutable.HashMap.empty[String, DataFrame]
     private val inProgress = mutable.HashSet.empty[String]
+
+    /** Base facts for a relation: evaluator-injected frames (magic-set
+      * seeds) take precedence over catalog + session overlay. */
+    private def baseOf(name: String): Option[DataFrame] =
+      extraBase.get(name).orElse(baseWithOverlay(name))
 
     val resolve: RuleCompiler.Resolver = (name: String, arity: Int) => {
       memo.getOrElse(name, {
@@ -392,13 +509,13 @@ final class Engine(val catalog: Catalog) {
           // unknown relation = empty (Datalog convention, matches the
           // reference: querying a dropped/never-defined relation yields
           // "No results", not an error)
-          baseWithOverlay(name).getOrElse(emptyFrame(arity))
-        } else if (demand.isEmpty && cacheGet(name).isDefined) {
+          baseOf(name).getOrElse(emptyFrame(arity))
+        } else if (demand.isEmpty && cachingEnabled && cacheGet(name).isDefined) {
           val df = cacheGet(name).get
           memo(name) = df
           df
         } else {
-          (if (demand.isEmpty) tryMaintain(name) else None) match {
+          (if (demand.isEmpty && cachingEnabled) tryMaintain(name) else None) match {
             case Some(df) =>
               maintainedCount += 1
               memo(name) = df
@@ -408,7 +525,7 @@ final class Engine(val catalog: Catalog) {
               require(!inProgress(name),
                 s"internal: unplanned recursive resolve of $name")
               evalComponent(name)
-              if (demand.isEmpty) memo.get(name).foreach(cachePut(name, _))
+              if (demand.isEmpty && cachingEnabled) memo.get(name).foreach(cachePut(name, _))
               memo(name)
           }
         }
@@ -562,7 +679,7 @@ final class Engine(val catalog: Catalog) {
       // incremental retraction through recursive views,
       // `src/derived_relations.rs:1-60`, BENCHMARKS.md:69-71.
       if (isRecursive) tcEdgeRel(name, sccRules) match {
-        case Some(e1) if changedRels == Set(e1) && baseWithOverlay(name).isEmpty =>
+        case Some(e1) if changedRels == Set(e1) && baseOf(name).isEmpty =>
           val edgeDf = resolve(e1, 2)
           val insFrames = changes.filter(c => c.rel == e1 && c.delta != null).map(_.delta)
           val remFrames = changes.filter(c => c.rel == e1 && c.removed != null).map(_.removed)
@@ -784,7 +901,7 @@ final class Engine(val catalog: Catalog) {
     private def tcFastPath(scc: Set[String], sccRules: Seq[Rule]): Option[(String, DataFrame)] = {
       if (scc.size != 1) return None
       val rel = scc.head
-      if (baseWithOverlay(rel).isDefined) return None // EDB facts mixed in
+      if (baseOf(rel).isDefined) return None // EDB facts mixed in
       tcEdgeRel(rel, sccRules) match {
         case Some(e1) =>
           val e = resolve(e1, 2)
@@ -820,7 +937,7 @@ final class Engine(val catalog: Catalog) {
       * name also exists as an EDB relation. */
     private def oneShot(rel: String, rs: Seq[Rule]): DataFrame = {
       val derived = rs.map(r => deriveRule(r))
-      val all = baseWithOverlay(rel) match {
+      val all = baseOf(rel) match {
         case Some(base) => base +: derived.map(_.toDF(base.columns: _*))
         case None => derived
       }
@@ -955,7 +1072,7 @@ final class Engine(val catalog: Catalog) {
       scc.foreach { rel =>
         val baseRules = byHead.getOrElse(rel, Seq.empty)
           .filterNot(_.body.exists { case Pos(a) => scc(a.rel); case _ => false })
-        val parts = baseWithOverlay(rel).map(b =>
+        val parts = baseOf(rel).map(b =>
           b.toDF(b.columns.indices.map(i => s"c$i"): _*)).toSeq ++
           baseRules.map(deriveRule(_))
         if (parts.nonEmpty) {
@@ -1076,7 +1193,7 @@ final class Engine(val catalog: Catalog) {
         case _ => false
       })
       val baseRules = rules.filterNot(recRules.contains)
-      val parts = baseWithOverlay(rel).map(b => b.toDF(cols: _*)).toSeq ++
+      val parts = baseOf(rel).map(b => b.toDF(cols: _*)).toSeq ++
         baseRules.map(deriveRule(_).toDF(cols: _*))
       if (parts.isEmpty) { memo(rel) = emptyFrame(arity); return }
       var acc = Fixpoint.materialize(reduce(parts.reduce(_ union _)))

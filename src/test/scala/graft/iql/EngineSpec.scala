@@ -508,6 +508,35 @@ class EngineSpec extends SparkSpec {
     assert(e.maintainedCount == before, "non-TC delete should recompute")
   }
 
+  test("magic sets restrict non-pass-through bound queries (same generation)") {
+    val e = new Engine(new Catalog(spark))
+    // binary-heap tree over 0..30: up(child, parent), down = inverse
+    val ups = (1 to 30).map(n => s"($n, ${(n - 1) / 2})").mkString(",")
+    val downs = (1 to 30).map(n => s"(${(n - 1) / 2}, $n)").mkString(",")
+    val persons = (0 to 30).map(n => s"($n)").mkString(",")
+    e.run(s"+up[$ups]\n+down[$downs]\n+person[$persons]")
+    e.run(
+      """+sg(X, X) <- person(X)
+        |+sg(X, Y) <- up(X, Z1), sg(Z1, Z2), down(Z2, Y)
+        |""".stripMargin)
+    // full fixpoint: all same-generation pairs (for reference size)
+    val full = rows(e.run("?sg(X, Y)").last)
+    val fullOf1 = full.filter(_.head == 1L)
+    assert(e.magicRewrites == 0L) // unbound query: no rewrite
+    // bound, non-pass-through: head X flows into up, not into sg's pos 0
+    val restricted = rows(e.run("?sg(1, Y)").last)
+    assert(e.magicRewrites == 1L, "bound sg query did not take the magic rewrite")
+    assert(restricted.map(_.last).toSet == fullOf1.map(_.last).toSet)
+    assert(restricted.map(_.last).toSet == Set(1L, 2L)) // 1's generation
+    // the demanded fixpoint is much smaller than the full sg relation
+    val restrictedRows = e.lastMagicFrame.get.count()
+    assert(restrictedRows < full.size / 4,
+      s"demand restriction did not shrink the fixpoint: $restrictedRows vs ${full.size}")
+    // deeper node: generation of 13 (depth 3: nodes 7..14)
+    val deep = rows(e.run("?sg(13, Y)").last)
+    assert(deep.map(_.last).toSet == full.filter(_.head == 13L).map(_.last).toSet)
+  }
+
   test("join order heuristic avoids cartesian products in adversarial bodies") {
     val e = new Engine(new Catalog(spark))
     e.run("+a[(1),(2),(3)]\n+c[(10),(20)]\n+b[(1,10),(2,20),(3,10)]")
