@@ -30,11 +30,64 @@ final class Session(val spark: SparkSession,
   def catalog: Catalog = kgs.synchronized { kgs(currentKg) }
   def engine: Engine = engines.getOrElseUpdate(currentKg, new Engine(catalog))
 
+  /** WAL-lite durability (reference `src/storage/persist/wal.rs:14-21`
+    * SEMANTICS, not format: mutations since the last snapshot replay on
+    * open): once the session is bound to a storage directory (`.open` /
+    * `.save`), every IQL program that changed the catalog appends to
+    * `<dir>/wal.iql`; `.open` replays the log after loading the
+    * snapshot, `.save` truncates it (the snapshot now holds the state). */
+  private var walDir: Option[String] = None
+  private def walFile(dir: String) = new java.io.File(dir, "wal.iql")
+  private def walAppend(program: String): Unit = walDir.foreach { dir =>
+    val w = new java.io.FileWriter(walFile(dir), true)
+    try {
+      // one line per entry: escape backslashes and newlines
+      w.write(program.replace("\\", "\\\\").replace("\n", "\\n"))
+      w.write("\n")
+      w.flush()
+    } finally w.close()
+  }
+  private def walReplay(dir: String): Int = {
+    val f = walFile(dir)
+    if (!f.isFile) return 0
+    val src = scala.io.Source.fromFile(f, "UTF-8")
+    val entries = try src.getLines().toList finally src.close()
+    var n = 0
+    // left-to-right unescape (a naive replace chain corrupts "\\n")
+    def unescape(s: String): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < s.length) {
+        if (s.charAt(i) == '\\' && i + 1 < s.length) {
+          s.charAt(i + 1) match {
+            case 'n' => sb.append('\n'); i += 2
+            case '\\' => sb.append('\\'); i += 2
+            case _ => sb.append(s.charAt(i)); i += 1
+          }
+        } else { sb.append(s.charAt(i)); i += 1 }
+      }
+      sb.toString
+    }
+    entries.foreach { line =>
+      val program = unescape(line)
+      try { engine.run(program); n += 1 }
+      catch { case e: Throwable =>
+        System.err.println(s"[wal] replay failed for entry: ${e.getMessage}")
+      }
+    }
+    n
+  }
+
   /** Execute one input: a meta command (`.`-prefixed) or an IQL program. */
   def execute(input: String): Seq[Result] = {
     val trimmed = input.trim
     if (trimmed.startsWith(".")) Seq(meta(trimmed))
-    else engine.run(trimmed).map(Table)
+    else {
+      val v0 = catalog.version
+      val out = engine.run(trimmed).map(Table)
+      if (walDir.isDefined && catalog.version != v0) walAppend(trimmed)
+      out
+    }
   }
 
   private def meta(cmd: String): Result = {
@@ -136,12 +189,20 @@ final class Session(val spark: SparkSession,
           case _ => throw new IllegalArgumentException(".rule edit needs a rule definition")
         }
 
-      case Seq(".save", dir) => Storage.save(catalog, dir); Text(Seq(s"saved to $dir"))
+      case Seq(".save", dir) =>
+        Storage.save(catalog, dir)
+        walFile(dir).delete() // snapshot now holds the state
+        walDir = Some(dir)
+        Text(Seq(s"saved to $dir"))
       case Seq(".open", dir) =>
         val c = Storage.load(spark, dir)
         kgs.synchronized { kgs(currentKg) = c }
         engines.remove(currentKg) // engine was bound to the replaced catalog
-        Text(Seq(s"opened $dir (${c.relationNames.length} relations, ${c.rules.length} rules)"))
+        val replayed = walReplay(dir) // recover un-saved mutations
+        walDir = Some(dir)
+        Text(Seq(s"opened $dir (${c.relationNames.length} relations, " +
+          s"${c.rules.length} rules)") ++
+          (if (replayed > 0) Seq(s"recovered $replayed WAL entr${if (replayed == 1) "y" else "ies"}") else Seq.empty))
 
       case Seq(".import", "csv", path, rel) =>
         catalog.register(rel, graft.sources.Tables.loadCsv(spark, path))

@@ -100,4 +100,44 @@ class ReplSpec extends SparkSpec {
     val s = new Session(spark)
     assertThrows[IllegalArgumentException](s.execute(".bogus"))
   }
+
+  test("WAL recovers un-saved mutations after a crash") {
+    val dir = Files.createTempDirectory("graft_wal").toString
+    val s1 = new Session(spark)
+    s1.execute("+acct[(1, 100), (2, 200)]")
+    s1.execute(s".save $dir")
+    // post-snapshot mutations: logged to the WAL, never .save'd
+    s1.execute("+acct[(3, 300)]")
+    s1.execute("-acct[(1, 100)]")
+    s1.execute("+vip(I) <- acct(I, B), B >= 200")
+    // s1 "crashes" here (no .save)
+
+    val s2 = new Session(spark)
+    val opened = s2.execute(s".open $dir")
+    assert(opened.exists {
+      case Repl.Text(lines) => lines.exists(_.contains("recovered 3 WAL"))
+      case _ => false
+    })
+    assert(rows(table(s2.execute("?acct(I, B)").head)) ==
+      Set(Seq(2L, 200L), Seq(3L, 300L)))
+    assert(rows(table(s2.execute("?vip(I)").head)) == Set(Seq(2L), Seq(3L)))
+
+    // .save truncates the WAL: a fresh open replays nothing
+    s2.execute(s".save $dir")
+    val s3 = new Session(spark)
+    val opened3 = s3.execute(s".open $dir")
+    assert(!opened3.exists {
+      case Repl.Text(lines) => lines.exists(_.contains("recovered"))
+      case _ => false
+    })
+    assert(rows(table(s3.execute("?acct(I, B)").head)) ==
+      Set(Seq(2L, 200L), Seq(3L, 300L)))
+
+    // multi-line programs (embedded newlines) survive the line framing
+    s3.execute("+multi(X) <-\n  acct(X, B),\n  B > 250")
+    assert(rows(table(s3.execute("?multi(X)").head)) == Set(Seq(3L)))
+    val s4 = new Session(spark)
+    s4.execute(s".open $dir")
+    assert(rows(table(s4.execute("?multi(X)").head)) == Set(Seq(3L)))
+  }
 }
