@@ -36,6 +36,9 @@ final class Hnsw(val dim: Int, val metric: String = "cosine",
   private var entryPoint: Int = -1
   private var maxLevel: Int = -1
   private val deleted = mutable.HashSet.empty[Int]
+  /** id → node index (O(1) removal; re-inserted ids point at the newest
+    * node, so removing after a re-insert tombstones the live one). */
+  private val idToIdx = mutable.HashMap.empty[Long, Int]
 
   def size: Int = ids.length - deleted.size
 
@@ -102,7 +105,7 @@ final class Hnsw(val dim: Int, val metric: String = "cosine",
     val v = prep(v0)
     val idx = ids.length
     val lvl = levelFor(id)
-    ids += id; vecs += v; levels += lvl
+    ids += id; vecs += v; levels += lvl; idToIdx(id) = idx
     neighbors += Array.fill(lvl + 1)(mutable.ArrayBuffer.empty[Int])
     if (entryPoint < 0) { entryPoint = idx; maxLevel = lvl; return }
 
@@ -189,8 +192,10 @@ final class Hnsw(val dim: Int, val metric: String = "cosine",
   /** Tombstone delete (reference `hnsw_index.rs:33-36`); graph edges stay
     * as navigation waypoints until a rebuild. */
   def remove(id: Long): Boolean = synchronized {
-    val idx = ids.indexOf(id)
-    if (idx < 0) false else { deleted += idx; true }
+    idToIdx.get(id) match {
+      case Some(idx) => deleted.add(idx)
+      case None => false
+    }
   }
 
   def stats: Map[String, Any] = Map(

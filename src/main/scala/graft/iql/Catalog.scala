@@ -244,6 +244,22 @@ final class Catalog(val spark: SparkSession) {
   /** `+rel[]` declares an empty relation whose arity/schema materialize
     * at first non-empty use (queries against it see an empty frame). */
   private val emptyPlaceholders = mutable.HashSet.empty[String]
+
+  /** Per-relation append depth since the last compaction: each insert/
+    * append layers union().distinct() onto the stored plan, so a
+    * long-lived REPL doing thousands of single-fact inserts would build
+    * a thousand-deep plan. Every [[CompactEvery]] appends the frame is
+    * swapped for its localCheckpoint (identical content, flat lineage —
+    * same as the streaming appender's per-batch compaction). */
+  private val appendDepth = mutable.HashMap.empty[String, Int]
+  private val CompactEvery = 16
+  private def maybeCompact(name: String): Unit = {
+    val d = appendDepth.getOrElse(name, 0) + 1
+    if (d >= CompactEvery) {
+      relations.get(name).foreach(df => relations(name) = df.localCheckpoint(true))
+      appendDepth(name) = 0
+    } else appendDepth(name) = d
+  }
   def isEmptyPlaceholder(name: String): Boolean = synchronized {
     emptyPlaceholders(name) && !relations.contains(name)
   }
@@ -276,6 +292,7 @@ final class Catalog(val spark: SparkSession) {
         // OLD relation, which can be arbitrarily large — let the planner
         // pick from its own stats.
         logChange(name, graft.plans.Fixpoint.antiNullSafe(add.distinct(), df))
+        maybeCompact(name)
     }
   }
 
@@ -327,6 +344,7 @@ final class Catalog(val spark: SparkSession) {
           base.schema.fields.map(f => org.apache.spark.sql.functions.col(f.name).cast(f.dataType)).toSeq: _*)
         relations(name) = base.union(cast).distinct()
         logChange(name, graft.plans.Fixpoint.antiNullSafe(cast.distinct(), base))
+        maybeCompact(name)
     }
   }
 

@@ -129,7 +129,15 @@ final class Engine(val catalog: Catalog) {
           s"hnsw_nearest: query variable $qv is unbound in the rule body")
         val qSchema = org.apache.spark.sql.types.StructType(
           curDf.select(qv).schema.fields.head +: schema.fields)
-        val rows = curDf.select(qv).distinct().collect().flatMap { r =>
+        // driver-side probe fan-out is bounded: beyond this, route the
+        // bulk case through the distributed knn join
+        // (graft.operators.Similarity) instead of a driver loop
+        val MaxProbeQueries = 100000
+        val qRows = curDf.select(qv).distinct().limit(MaxProbeQueries + 1).collect()
+        require(qRows.length <= MaxProbeQueries,
+          s"hnsw_nearest: more than $MaxProbeQueries distinct query vectors — " +
+            "use the distributed similarity join (Similarity.knnJoin) for bulk probes")
+        val rows = qRows.flatMap { r =>
           val q = r.getSeq[Float](0)
           probeRows(q.toArray).map { case (id, d) =>
             org.apache.spark.sql.Row(q, id, d) }

@@ -14,12 +14,19 @@ object Provenance {
   sealed trait Proof {
     def render(indent: Int = 0): Seq[String]
     protected def pad(n: Int): String = "  " * n
+    /** Wire-serializable form (reference `QueryResult.proof_trees`,
+      * `src/protocol/wire.rs:323-325`, node shape
+      * `src/provenance/proof_tree.rs:394-404`): nested maps the JSON
+      * codec renders directly. */
+    def json: Map[String, Any]
   }
 
   /** Tuple present as a base (EDB) fact. */
   final case class FactLeaf(rel: String, values: Seq[Any]) extends Proof {
     def render(indent: Int): Seq[String] =
       Seq(s"${pad(indent)}fact ${rel}(${values.mkString(", ")})")
+    def json: Map[String, Any] = Map(
+      "kind" -> "fact", "relation" -> rel, "values" -> values)
   }
 
   /** Tuple derived by a rule from child proofs. */
@@ -28,11 +35,15 @@ object Provenance {
     def render(indent: Int): Seq[String] =
       s"${pad(indent)}${rel}(${values.mkString(", ")}) <= ${Printer.rule(rule)}" +:
         children.flatMap(_.render(indent + 1))
+    def json: Map[String, Any] = Map(
+      "kind" -> "rule", "relation" -> rel, "values" -> values,
+      "rule" -> Printer.rule(rule), "children" -> children.map(_.json))
   }
 
   /** A satisfied negation / comparison inside a proof. */
   final case class SideCondition(desc: String) extends Proof {
     def render(indent: Int): Seq[String] = Seq(s"${pad(indent)}check: $desc")
+    def json: Map[String, Any] = Map("kind" -> "check", "description" -> desc)
   }
 
   /** Explain why `rel(values...)` holds. None = it doesn't. */

@@ -11,6 +11,13 @@ object Repl {
   sealed trait Result
   final case class Text(lines: Seq[String]) extends Result
   final case class Table(df: DataFrame) extends Result
+
+  /** Parse a ground atom like `reach(1, 3)` (shared by the REPL's
+    * `.why`/`.why_not` and the wire server's proof-tree responses). */
+  private[graft] def parseGroundAtom(src: String): Ast.Atom = {
+    val p = new Parser.P(Parser.tokenize(src))
+    Parser.parseAtom(p)
+  }
 }
 
 final class Session(val spark: SparkSession,
@@ -315,10 +322,7 @@ final class Session(val spark: SparkSession,
     }
   }
 
-  private def parseGroundAtom(src: String): Ast.Atom = {
-    val p = new Parser.P(Parser.tokenize(src))
-    Parser.parseAtom(p)
-  }
+  private def parseGroundAtom(src: String): Ast.Atom = Repl.parseGroundAtom(src)
 }
 
 /** Parquet + IQL-source persistence of one knowledge graph (reference:

@@ -50,10 +50,17 @@ object Fixpoint {
     * never trip Spark's ambiguous-column detection. */
   final case class Mat(df: DataFrame, count: Long)
 
+  /** The per-loop isolated session (set inside [[withLoopConf]]):
+    * materialized loop frames bind to it so the loop's conf (AQE off,
+    * frontier-sized shuffle partitions) applies to THEIR jobs only —
+    * concurrent queries on the shared session are unaffected. */
+  private val loopSession = new ThreadLocal[SparkSession]()
+
   def materialize(df: DataFrame): Mat = {
     val ck = df.localCheckpoint(true)
     val rdd = ck.rdd
-    Mat(ck.sparkSession.createDataFrame(rdd, ck.schema), rdd.count())
+    val sess = Option(loopSession.get).getOrElse(ck.sparkSession)
+    Mat(sess.createDataFrame(rdd, ck.schema), rdd.count())
   }
 
   private def maybeBroadcast(m: Mat): DataFrame =
@@ -282,8 +289,11 @@ object Fixpoint {
     }
 
   /** Scale shuffle partitions to the frontier size: tiny iterations get 1
-    * partition (one task per stage), large ones keep the session default. */
-  private[graft] def sizeShuffle(spark: SparkSession, rows: Long): Unit = {
+    * partition (one task per stage), large ones keep the session default.
+    * Applies to the thread's ISOLATED loop session when one is active —
+    * never to the shared session a concurrent query might be planning on. */
+  private[graft] def sizeShuffle(spark0: SparkSession, rows: Long): Unit = {
+    val spark = Option(loopSession.get).getOrElse(spark0)
     val sessionDefault = spark.conf.get("spark.sql.shuffle.partitions.loopDefault",
       spark.conf.get("spark.sql.shuffle.partitions", "32")).toInt
     val p = math.max(1L, math.min(sessionDefault.toLong, rows / 50000L)).toInt
@@ -291,21 +301,22 @@ object Fixpoint {
     spark.conf.set("spark.sql.shuffle.partitions", p.toString)
   }
 
-  /** Runs `body` with AQE disabled and shuffle partitions restored after:
-    * inside a fixpoint loop every job is a small known-shape plan whose
-    * sizes WE know exactly (driver-side counts); AQE's per-stage
-    * re-planning only adds latency (the reference pays none of this — its
-    * loop is one dataflow, `src/code_generator/mod.rs:314-423`). */
+  /** Runs `body` with the loop conf (AQE off — inside a fixpoint loop
+    * every job is a small known-shape plan whose sizes WE know exactly
+    * from driver-side counts, so AQE's per-stage re-planning only adds
+    * latency; the reference pays none of this, its loop is one dataflow,
+    * `src/code_generator/mod.rs:314-423`) applied to an ISOLATED
+    * `newSession()` that loop-materialized frames bind to. The shared
+    * session's conf is never touched, so two concurrent fixpoints — or a
+    * fixpoint and a plain query — can't interleave each other's shuffle
+    * widths. Nested loops reuse the outer loop's session. */
   private[graft] def withLoopConf[T](spark: SparkSession)(body: => T): T = {
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val shufKey = "spark.sql.shuffle.partitions"
-    val prevAqe = spark.conf.get(aqeKey, "true")
-    val prevShuf = spark.conf.get(shufKey, "32")
-    spark.conf.set(aqeKey, "false")
-    try body finally {
-      spark.conf.set(aqeKey, prevAqe)
-      spark.conf.set(shufKey, prevShuf)
-      spark.conf.unset("spark.sql.shuffle.partitions.loopDefault")
-    }
+    if (loopSession.get != null) return body // nested: keep outer session
+    val loop = spark.newSession()
+    loop.conf.set("spark.sql.adaptive.enabled", "false")
+    loop.conf.set("spark.sql.shuffle.partitions",
+      spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    loopSession.set(loop)
+    try body finally loopSession.remove()
   }
 }

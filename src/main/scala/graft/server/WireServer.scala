@@ -351,6 +351,24 @@ final class WireServer(spark: SparkSession, port: Int = 0,
       ensureListeners() // hook KGs created since the last message
       msg.getOrElse("type", "") match {
         case "ping" => Seq(Map("type" -> "pong"))
+        // `.why <atom>` over the wire returns structured proof trees in
+        // the result (reference `QueryResult.proof_trees`,
+        // `src/protocol/wire.rs:323-325`), not just rendered text
+        case "query" if msg("query").toString.trim.startsWith(".why ") =>
+          val t0 = System.nanoTime()
+          val atom = graft.iql.Repl.parseGroundAtom(
+            msg("query").toString.trim.stripPrefix(".why ").trim)
+          val proof = graft.iql.Provenance.why(session.engine, atom)
+          queriesServed.incrementAndGet()
+          Seq(Map(
+            "type" -> "result",
+            "columns" -> Seq.empty[String],
+            "rows" -> Seq.empty[Any],
+            "row_count" -> 0L,
+            "truncated" -> false,
+            "derivable" -> proof.isDefined,
+            "proof_trees" -> proof.map(p => Seq(p.json)).getOrElse(Seq.empty),
+            "execution_time_ms" -> ((System.nanoTime() - t0) / 1000000L)))
         case "query" =>
           val src = msg("query").toString
           val timeoutMs = msgLong("timeout_ms", queryTimeoutMs)

@@ -310,6 +310,31 @@ class WireServerSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("proof trees round-trip over the wire for .why queries") {
+    val server = new WireServer(spark)
+    try {
+      val q = new LinkedBlockingQueue[String]()
+      val ws = wsConnect(server, q)
+      wsSend(ws, q, Map("type" -> "query",
+        "query" -> "+pedge[(1,2),(2,3)]\n+preach(X, Y) <- pedge(X, Y)\n+preach(X, Z) <- preach(X, Y), pedge(Y, Z)"))
+      val res = wsSend(ws, q, Map("type" -> "query", "query" -> ".why preach(1, 3)"))
+      assert(res("type") == "result" && res("derivable") == true)
+      val trees = res("proof_trees").asInstanceOf[Vector[Any]]
+      assert(trees.length == 1)
+      val root = trees.head.asInstanceOf[Map[String, Any]]
+      assert(root("kind") == "rule" && root("relation") == "preach")
+      assert(root("values") == Vector(1L, 3L))
+      val kinds = root("children").asInstanceOf[Vector[Any]]
+        .map(_.asInstanceOf[Map[String, Any]]("kind")).toSet
+      assert(kinds.nonEmpty) // child derivations present
+      // underivable atom: empty proof_trees, derivable=false
+      val no = wsSend(ws, q, Map("type" -> "query", "query" -> ".why preach(3, 1)"))
+      assert(no("derivable") == false &&
+        no("proof_trees").asInstanceOf[Vector[Any]].isEmpty)
+      ws.sendClose(WebSocket.NORMAL_CLOSURE, "").join()
+    } finally server.stop()
+  }
+
   test("max_result_rows truncates and flags the result") {
     val server = new WireServer(spark)
     try {
