@@ -256,6 +256,9 @@ final class Engine(val catalog: Catalog) {
     * assert the restriction actually shrinks the fixpoint). */
   private[graft] var magicRewrites: Long = 0L
   private[graft] var lastMagicFrame: Option[DataFrame] = None
+  /** How many rule derivations reused an already-computed shared body
+    * (subplan sharing; tests assert CSE actually fires). */
+  private[graft] var sharedBodyHits: Long = 0L
 
   def evalQuery(q: Query): DataFrame = {
     val rules = currentRules
@@ -510,6 +513,60 @@ final class Engine(val catalog: Catalog) {
       * seeds) take precedence over catalog + session overlay. */
     private def baseOf(name: String): Option[DataFrame] =
       extraBase.get(name).orElse(baseWithOverlay(name))
+
+    // ------------------------------------------------- subplan sharing
+    // (reference `src/subplan_sharing/mod.rs`: canonicalize variable
+    // names → structural identity → shared views computed once). Rule
+    // bodies that are identical up to variable renaming compile and
+    // localCheckpoint ONCE per query; each consuming rule scans the
+    // shared frame with its own variable names. Only bodies appearing
+    // in ≥2 rules pay the checkpoint; single-use bodies compile lazily
+    // exactly as before.
+
+    /** Canonical body (vars renamed v0,v1,… in appearance order) plus
+      * the canonical→original name map. */
+    private def canonicalBody(body: Seq[BodyElem]): (Seq[BodyElem], Map[String, String]) = {
+      val names = mutable.LinkedHashMap.empty[String, String]
+      def cv(t: Term): Term = t match {
+        case Var(n) => Var(names.getOrElseUpdate(n, s"v${names.size}"))
+        case Arith(op, l, r) => Arith(op, cv(l), cv(r))
+        case Func(f, as) => Func(f, as.map(cv))
+        case other => other
+      }
+      val canon = body.map {
+        case Pos(Atom(rel, as)) => Pos(Atom(rel, as.map(cv)))
+        case Neg(Atom(rel, as)) => Neg(Atom(rel, as.map(cv)))
+        case Cmp(op, l, r) => Cmp(op, cv(l), cv(r))
+      }
+      (canon, names.map { case (orig, c) => c -> orig }.toMap)
+    }
+
+    private val sharedBodyCounts: Map[Seq[BodyElem], Int] =
+      rules.map(r => canonicalBody(r.body)._1)
+        .groupBy(identity).view.mapValues(_.size).toMap
+    private val sharedBodies = mutable.HashMap.empty[Seq[BodyElem], DataFrame]
+
+    /** Body frame for a rule under the DEFAULT resolver, shared across
+      * rules with the same canonical body. Special atoms (index probes)
+      * never share — their callback closes over per-rule state. */
+    private def bodyFrame(body: Seq[BodyElem]): DataFrame = {
+      val hasSpecial = body.exists {
+        case Pos(a) => a.rel.toLowerCase == "hnsw_nearest"
+        case _ => false
+      }
+      val (canon, toOrig) = canonicalBody(body)
+      if (hasSpecial || sharedBodyCounts.getOrElse(canon, 0) < 2)
+        return RuleCompiler.compileBody(body, resolve, hnswFrame)
+      val shared = sharedBodies.get(canon) match {
+        case Some(df) => sharedBodyHits += 1; df
+        case None =>
+          val df = Fixpoint.materialize(
+            RuleCompiler.compileBody(canon, resolve, hnswFrame)).df
+          sharedBodies(canon) = df
+          df
+      }
+      shared.select(shared.columns.map(c => col(c).as(toOrig.getOrElse(c, c))).toSeq: _*)
+    }
 
     val resolve: RuleCompiler.Resolver = (name: String, arity: Int) => {
       memo.getOrElse(name, {
@@ -964,7 +1021,11 @@ final class Engine(val catalog: Catalog) {
     /** One rule → positional frame (c0..cn), demand filter applied.
       * A [[Rank]] head term expands to (outs ++ order) columns. */
     private def deriveRule(r: Rule, resolver: RuleCompiler.Resolver = resolve): DataFrame = {
-      val bodyDf = RuleCompiler.compileBody(r.body, resolver, hnswFrame)
+      // custom resolvers (delta rules, fixpoint steps) bind different
+      // frames per call — only default-resolver derivations share bodies
+      val bodyDf =
+        if (resolver eq resolve) bodyFrame(r.body)
+        else RuleCompiler.compileBody(r.body, resolver, hnswFrame)
       r.head.args.collect { case rk: Rank => rk } match {
         case Seq(rank) => return deriveRankRule(r, rank, bodyDf)
         case Seq() => ()

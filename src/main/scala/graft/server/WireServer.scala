@@ -39,7 +39,68 @@ import graft.iql.{Catalog, Repl, Session}
 final class WireServer(spark: SparkSession, port: Int = 0,
                        streamingThresholdBytes: Int = 1024 * 1024,
                        queryTimeoutMs: Long = 30000L,
-                       maxResultRows: Long = 0L) {
+                       maxResultRows: Long = 0L,
+                       authEnabled: Boolean = false) {
+
+  // ------------------------------------------------------------- auth
+  // (reference `src/auth.rs`: random 64-hex API keys stored as SHA-256
+  // hashes, admin/editor/viewer roles; global role gates system-level
+  // operations and persistent writes, viewers keep session-scoped
+  // state and queries). Off by default — opt in via `authEnabled`.
+
+  private val apiKeys = new java.util.concurrent.ConcurrentHashMap[String, String]() // sha256 → role
+  private def sha256(s: String): String =
+    MessageDigest.getInstance("SHA-256").digest(s.getBytes(UTF_8))
+      .map(b => f"$b%02x").mkString
+  private val rng = new java.security.SecureRandom()
+  private def generateKey(role: String): String = {
+    val bytes = new Array[Byte](32)
+    rng.nextBytes(bytes)
+    val key = bytes.map(b => f"$b%02x").mkString
+    apiKeys.put(sha256(key), role)
+    key
+  }
+  /** The bootstrap admin key (present only when auth is enabled). */
+  val adminKey: Option[String] = if (authEnabled) Some(generateKey("admin")) else None
+
+  /** Resolve the caller's role from `Authorization: Bearer <key>` or an
+    * `api_key` query parameter; None = unauthorized. */
+  private def roleFor(headers: mutable.Map[String, String], rawPath: String): Option[String] = {
+    if (!authEnabled) return Some("admin")
+    val bearer = headers.get("authorization")
+      .filter(_.toLowerCase.startsWith("bearer "))
+      .map(_.substring(7).trim)
+    val qp = rawPath.split('?').lift(1).flatMap(_.split('&').collectFirst {
+      case kv if kv.startsWith("api_key=") => kv.stripPrefix("api_key=")
+    })
+    bearer.orElse(qp).flatMap(k => Option(apiKeys.get(sha256(k))))
+  }
+
+  /** Statement-level gating for non-admin roles: viewers keep queries
+    * and session-scoped state; editors additionally write persistent
+    * data; key management stays admin-only (enforced at the routes). */
+  private def authorizeQuery(role: String, src: String): Option[String] = {
+    if (role == "admin" || role == "editor") return None
+    val t = src.trim
+    if (t.startsWith(".")) {
+      val writes = Seq(".save", ".open", ".load", ".import", ".compact",
+        ".index create", ".index drop", ".kg create", ".kg drop",
+        ".rule add", ".rule edit", ".rule rm")
+      if (writes.exists(t.startsWith)) Some(s"role '$role' may not run '$t'")
+      else None
+    } else {
+      import graft.iql.Ast._
+      val stmts = try graft.iql.Parser.parseProgram(t).statements
+        catch { case _: Throwable => return None } // let the engine error
+      val blocked = stmts.exists {
+        case _: Query | _: SessionFact => false
+        case RuleDef(r) => r.persistent
+        case _ => true
+      }
+      if (blocked) Some(s"role '$role' may not modify persistent state")
+      else None
+    }
+  }
 
   /** Results whose single-message JSON exceeds [[streamingThresholdBytes]]
     * stream as `result_start` / `result_chunk`×N / `result_end` over the
@@ -162,10 +223,22 @@ final class WireServer(spark: SparkSession, port: Int = 0,
         if (i > 0) headers(line.substring(0, i).trim.toLowerCase) = line.substring(i + 1).trim
         line = readLine(in)
       }
-      val path = rawPath.stripPrefix("/v1") match { case "" => "/"; case p => p }
+      val path = rawPath.split('?').head.stripPrefix("/v1") match { case "" => "/"; case p => p }
       val upgrade = headers.get("upgrade").exists(_.equalsIgnoreCase("websocket"))
+      // health probes stay unauthenticated (reference liveness endpoints)
+      val openPaths = Set("/health", "/live", "/ready")
+      val role = roleFor(headers, rawPath)
+      if (role.isEmpty && !openPaths(path)) {
+        val body = Json.render(Map("type" -> "error", "message" -> "unauthorized"))
+          .getBytes(UTF_8)
+        out.write((s"HTTP/1.1 401 Unauthorized\r\nContent-Type: application/json\r\n" +
+          s"Content-Length: ${body.length}\r\nConnection: close\r\n\r\n").getBytes(UTF_8))
+        out.write(body)
+        out.flush()
+        return
+      }
       if (upgrade && (path == "/ws" || path.startsWith("/sessions/"))) {
-        webSocket(headers, in, out, sock)
+        webSocket(headers, in, out, sock, role.getOrElse("admin"))
       } else {
         val body =
           if (method == "POST") {
@@ -174,7 +247,7 @@ final class WireServer(spark: SparkSession, port: Int = 0,
             in.readFully(buf)
             new String(buf, UTF_8)
           } else ""
-        val (status, json) = route(method, path, body)
+        val (status, json) = route(method, path, body, role.getOrElse("admin"))
         val bytes = json.getBytes(UTF_8)
         out.write((s"HTTP/1.1 $status\r\nContent-Type: application/json\r\n" +
           s"Content-Length: ${bytes.length}\r\nConnection: close\r\n\r\n").getBytes(UTF_8))
@@ -199,10 +272,47 @@ final class WireServer(spark: SparkSession, port: Int = 0,
     sb.toString
   }
 
-  private def route(method: String, path: String, body: String): (String, String) =
+  private def route(method: String, path: String, body: String,
+                    role: String = "admin"): (String, String) =
     (method, path) match {
       case ("GET", "/health") | ("GET", "/live") | ("GET", "/ready") =>
         ("200 OK", Json.render(Map("status" -> "healthy")))
+      // key management (reference ApiKeyCreate/List/Revoke — admin-only)
+      case ("POST", "/auth/keys") if role != "admin" =>
+        ("403 Forbidden", Json.render(Map("type" -> "error",
+          "message" -> "api key management requires the admin role")))
+      case ("POST", "/auth/keys") =>
+        val msg = try Json.parse(body).asInstanceOf[Map[String, Any]]
+          catch { case _: Throwable => Map.empty[String, Any] }
+        val keyRole = msg.getOrElse("role", "viewer").toString
+        if (!Set("admin", "editor", "viewer")(keyRole))
+          ("400 Bad Request", Json.render(Map("type" -> "error",
+            "message" -> s"unknown role '$keyRole'")))
+        else ("200 OK", Json.render(Map("type" -> "api_key",
+          "key" -> generateKey(keyRole), "role" -> keyRole)))
+      case ("GET", "/auth/keys") if role != "admin" =>
+        ("403 Forbidden", Json.render(Map("type" -> "error",
+          "message" -> "api key management requires the admin role")))
+      case ("GET", "/auth/keys") =>
+        import scala.jdk.CollectionConverters._
+        ("200 OK", Json.render(Map("type" -> "api_keys",
+          "keys" -> apiKeys.asScala.toSeq.sortBy(_._1).map { case (h, r) =>
+            Map("key_hash" -> h, "role" -> r)
+          })))
+      case ("POST", "/auth/revoke") if role != "admin" =>
+        ("403 Forbidden", Json.render(Map("type" -> "error",
+          "message" -> "api key management requires the admin role")))
+      case ("POST", "/auth/revoke") =>
+        val msg = try Json.parse(body).asInstanceOf[Map[String, Any]]
+          catch { case _: Throwable => Map.empty[String, Any] }
+        val hash = msg.get("key_hash").map(_.toString)
+          .orElse(msg.get("key").map(k => sha256(k.toString)))
+        hash.flatMap(h => Option(apiKeys.remove(h))) match {
+          case Some(r) => ("200 OK", Json.render(Map("type" -> "ack",
+            "message" -> s"revoked $r key")))
+          case None => ("404 Not Found", Json.render(Map("type" -> "error",
+            "message" -> "unknown key")))
+        }
       case ("GET", "/metrics") =>
         val cat = kgs("default")
         ("200 OK", Json.render(Map(
@@ -216,7 +326,7 @@ final class WireServer(spark: SparkSession, port: Int = 0,
         try {
           val msg = Json.parse(body).asInstanceOf[Map[String, Any]]
           restSession.synchronized {
-            ("200 OK", Json.render(dispatch(restSession, msg)))
+            ("200 OK", Json.render(dispatch(restSession, msg, role)))
           }
         } catch {
           case e: Exception => ("400 Bad Request", Json.render(
@@ -232,7 +342,7 @@ final class WireServer(spark: SparkSession, port: Int = 0,
 
   private def webSocket(headers: mutable.Map[String, String],
                         in: DataInputStream, out: DataOutputStream,
-                        sock: Socket): Unit = {
+                        sock: Socket, role: String = "admin"): Unit = {
     val key = headers.getOrElse("sec-websocket-key",
       throw new IllegalArgumentException("missing Sec-WebSocket-Key"))
     val accept = Base64.getEncoder.encodeToString(
@@ -253,7 +363,7 @@ final class WireServer(spark: SparkSession, port: Int = 0,
       val responses =
         try {
           val msg = Json.parse(new String(payload, UTF_8)).asInstanceOf[Map[String, Any]]
-          dispatchAll(session, msg)
+          dispatchAll(session, msg, role = role)
         } catch {
           case e: Exception =>
             Seq(Map("type" -> "error", "message" -> String.valueOf(e.getMessage)))
@@ -326,8 +436,9 @@ final class WireServer(spark: SparkSession, port: Int = 0,
   // --------------------------------------------------------- messages
 
   /** Single-message dispatch (REST surface — no streaming). */
-  private def dispatch(session: Session, msg: Map[String, Any]): Map[String, Any] =
-    dispatchAll(session, msg, chunked = false).head
+  private def dispatch(session: Session, msg: Map[String, Any],
+                       role: String = "admin"): Map[String, Any] =
+    dispatchAll(session, msg, chunked = false, role = role).head
 
   /** Statement dispatch runs CONCURRENTLY across connections: queries are
     * snapshot reads over immutable DataFrames, and the shared driver-side
@@ -340,7 +451,16 @@ final class WireServer(spark: SparkSession, port: Int = 0,
     * `max_result_rows` with a `truncated` flag (reference
     * `src/config.rs:241-243`, 0 = unlimited). */
   private def dispatchAll(session: Session, msg: Map[String, Any],
-                          chunked: Boolean = true): Seq[Map[String, Any]] = {
+                          chunked: Boolean = true,
+                          role: String = "admin"): Seq[Map[String, Any]] = {
+    // role gating for statements that can touch persistent state
+    msg.getOrElse("type", "") match {
+      case "query" | "add_rule" =>
+        val src = msg.getOrElse("query", msg.getOrElse("rule", "")).toString
+        authorizeQuery(role, src).foreach(denied =>
+          return Seq(Map("type" -> "error", "message" -> denied)))
+      case _ => () // ping / session-scoped fact ops are role-free
+    }
     def msgLong(key: String, dflt: Long): Long = msg.get(key) match {
       case Some(v: Long) => v
       case Some(v: Double) => v.toLong

@@ -81,6 +81,38 @@ object Streams {
       }
       .start()
 
+  /** Compile an IQL rule DIRECTLY over streaming sources: the rule body
+    * (joins on shared variables, computed bindings, filters) becomes a
+    * streaming plan via the same [[graft.iql.RuleCompiler]] the batch
+    * engine uses — DataFrame ops are source-agnostic, so `readStream`
+    * relations work wherever Structured Streaming supports the shape
+    * (stream⋈static joins, per-row compute/filter; stream⋈stream needs
+    * watermarks on both sides; recursion and negation are batch-only —
+    * use [[iqlSink]] + persistent rules for those).
+    *
+    * `ruleSrc` is one IQL rule, e.g.
+    * `alert(Id, V) <- events(Id, V), V > 100.0`; `relations` maps body
+    * relation names to (streaming or static) DataFrames. Returns the
+    * head-projected streaming DataFrame, ready for `writeStream`. */
+  def ruleStream(ruleSrc: String, relations: Map[String, DataFrame]): DataFrame = {
+    import graft.iql.{Ast, Parser, RuleCompiler}
+    val stmts = Parser.parseProgram(ruleSrc).statements
+    val rule = stmts.collectFirst { case Ast.RuleDef(r) => r }.getOrElse(
+      throw new IllegalArgumentException(s"not a rule: $ruleSrc"))
+    require(!rule.body.exists { case Ast.Neg(_) => true; case _ => false },
+      "streaming rules cannot use negation (unbounded state) — use iqlSink + persistent rules")
+    require(rule.head.args.forall(a => !a.isInstanceOf[Ast.Agg]),
+      "aggregate heads: use windowedCounts/incrementalAgg with a watermark instead")
+    val resolver: RuleCompiler.Resolver = (name, _) =>
+      relations.getOrElse(name,
+        throw new IllegalArgumentException(s"unknown relation $name in streaming rule"))
+    val body = RuleCompiler.compileBody(rule.body, resolver)
+    body.select(rule.head.args.zipWithIndex.map {
+      case (Ast.Var(v), _) => col(v)
+      case (t, i) => RuleCompiler.term(t, body).as(s"c$i")
+    }: _*)
+  }
+
   final case class Event(userId: Long, tsMs: Long, value: Double)
   final case class UserState(count: Long, score: Double, lastTsMs: Long)
 

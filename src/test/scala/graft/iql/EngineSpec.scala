@@ -537,6 +537,24 @@ class EngineSpec extends SparkSpec {
     assert(deep.map(_.last).toSet == full.filter(_.head == 13L).map(_.last).toSet)
   }
 
+  test("subplan sharing: identical bodies (mod renaming) compile once") {
+    val e = new Engine(new Catalog(spark))
+    e.run("+a[(1,10),(2,20),(3,30)]\n+b[(10,100),(20,200)]")
+    // two rules over the SAME join, different variable names + heads
+    e.run(
+      """p(X, Z) <- a(X, Y), b(Y, Z)
+        |q(W, U) <- a(U, V), b(V, W)
+        |""".stripMargin)
+    val res = rows(e.run("?- p(X, Z), q(W, U)").last)
+    assert(res.nonEmpty)
+    assert(e.sharedBodyHits >= 1L, "identical rule bodies were compiled twice")
+    // correctness: p = {(1,100),(2,200)}, q = flipped
+    val p = rows(e.run("?p(X, Z)").last)
+    assert(p == Set(Seq(1L, 100L), Seq(2L, 200L)))
+    val q = rows(e.run("?q(W, U)").last)
+    assert(q == Set(Seq(100L, 1L), Seq(200L, 2L)))
+  }
+
   test("join order heuristic avoids cartesian products in adversarial bodies") {
     val e = new Engine(new Catalog(spark))
     e.run("+a[(1),(2),(3)]\n+c[(10),(20)]\n+b[(1,10),(2,20),(3,10)]")

@@ -335,6 +335,72 @@ class WireServerSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("api-key auth: roles gate persistent writes and key management") {
+    val server = new WireServer(spark, authEnabled = true)
+    try {
+      val admin = server.adminKey.get
+      val http = HttpClient.newHttpClient()
+      val base = s"http://127.0.0.1:${server.actualPort}"
+      def post(path: String, body: String, key: Option[String]): (Int, String) = {
+        val b = HttpRequest.newBuilder(URI.create(base + path))
+          .POST(HttpRequest.BodyPublishers.ofString(body))
+        key.foreach(k => b.header("Authorization", s"Bearer $k"))
+        val r = http.send(b.build(), HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), r.body())
+      }
+      def get(path: String, key: Option[String]): (Int, String) = {
+        val b = HttpRequest.newBuilder(URI.create(base + path)).GET()
+        key.foreach(k => b.header("Authorization", s"Bearer $k"))
+        val r = http.send(b.build(), HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), r.body())
+      }
+      // health stays open; everything else needs a key
+      assert(get("/health", None)._1 == 200)
+      assert(get("/metrics", None)._1 == 401)
+      assert(post("/query", Json.render(Map("type" -> "query", "query" -> "?x(A)")),
+        Some("bogus"))._1 == 401)
+      // admin: create editor + viewer keys
+      val editor = obj(post("/auth/keys",
+        Json.render(Map("role" -> "editor")), Some(admin))._2)("key").toString
+      val viewer = obj(post("/auth/keys",
+        Json.render(Map("role" -> "viewer")), Some(admin))._2)("key").toString
+      // editor can write persistent data; viewer cannot
+      assert(obj(post("/query", Json.render(Map("type" -> "query",
+        "query" -> "+authrel[(1),(2)]")), Some(editor))._2)("type") == "ack")
+      val denied = obj(post("/query", Json.render(Map("type" -> "query",
+        "query" -> "+authrel[(3)]")), Some(viewer))._2)
+      assert(denied("type") == "error" &&
+        denied("message").toString.contains("viewer"))
+      // viewer can query
+      assert(obj(post("/query", Json.render(Map("type" -> "query",
+        "query" -> "?authrel(X)")), Some(viewer))._2)("row_count") == 2L)
+      // key management is admin-only
+      assert(post("/auth/keys", Json.render(Map("role" -> "viewer")),
+        Some(editor))._1 == 403)
+      // revoke the viewer key: it stops working
+      assert(post("/auth/revoke", Json.render(Map("key" -> viewer)),
+        Some(admin))._1 == 200)
+      assert(post("/query", Json.render(Map("type" -> "query",
+        "query" -> "?authrel(X)")), Some(viewer))._1 == 401)
+      // WS upgrade honors api_key query param; viewer keeps session facts
+      val q = new LinkedBlockingQueue[String]()
+      val ws = HttpClient.newHttpClient().newWebSocketBuilder().buildAsync(
+        URI.create(s"ws://127.0.0.1:${server.actualPort}/ws?api_key=$editor"),
+        new WebSocket.Listener {
+          private val buf = new StringBuilder
+          override def onText(w: WebSocket, data: CharSequence,
+                              last: Boolean): CompletionStage[_] = {
+            buf.append(data)
+            if (last) { q.put(buf.toString); buf.clear() }
+            w.request(1)
+            null
+          }
+        }).join()
+      assert(wsSend(ws, q, Map("type" -> "query", "query" -> "?authrel(X)"))("row_count") == 2L)
+      ws.sendClose(WebSocket.NORMAL_CLOSURE, "").join()
+    } finally server.stop()
+  }
+
   test("max_result_rows truncates and flags the result") {
     val server = new WireServer(spark)
     try {

@@ -91,6 +91,34 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("IQL rules compile directly over streaming sources") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Double)]
+    val dims = Seq((1L, "alpha"), (2L, "beta")).toDF("id", "name")
+    // stream⋈static join + computed binding + filter, all from IQL
+    val out = Streams.ruleStream(
+      "alert(Id, Nm, Scaled) <- events(Id, V), dim(Id, Nm), Scaled = V * 2.0, V > 5.0",
+      Map("events" -> input.toDF().toDF("Id", "V"), "dim" -> dims))
+    val q = out.writeStream.format("memory").queryName("iql_alerts")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, 10.0), (1L, 1.0), (2L, 6.0), (3L, 100.0))
+      q.processAllAvailable()
+      val rows = spark.table("iql_alerts").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      assert(rows == Set((1L, "alpha", 20.0), (2L, "beta", 12.0)))
+      input.addData((2L, 7.5)) // incremental: only the new row flows
+      q.processAllAvailable()
+      assert(spark.table("iql_alerts").count() == 3)
+    } finally q.stop()
+    // negation is rejected with a pointer at the supported path
+    val err = intercept[IllegalArgumentException] {
+      Streams.ruleStream("bad(X) <- events(X, V), !dim(X, _)",
+        Map("events" -> input.toDF().toDF("X", "V"), "dim" -> dims))
+    }
+    assert(err.getMessage.contains("negation"))
+  }
+
   test("mapGroupsWithState keeps decayed per-user activity") {
     implicit val sqlCtx = spark.sqlContext
     import Streams._
