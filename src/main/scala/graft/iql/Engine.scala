@@ -1136,7 +1136,38 @@ final class Engine(val catalog: Catalog) {
       // A relation may legitimately have NO base (mutual recursion seeds
       // it through the cycle) — it simply starts absent/empty; its schema
       // materializes the first time a rule derives tuples for it.
-      val acc = mutable.HashMap.empty[String, Fixpoint.Mat]
+      // Accumulator per relation. Relations that some rule joins against
+      // itself TWICE need a fresh-exprId materialized accumulator (the
+      // delta ⋈ acc self-join would otherwise see duplicate exprIds);
+      // everything else keeps a LAZY union of the materialized deltas —
+      // antiNullSafe's string-qualified aliases are self-join-safe (the
+      // same shape iterateKeyed uses) and each iteration saves one
+      // checkpoint job per relation.
+      val multiOccRels: Set[String] = scc.filter(rel => sccRules.exists(r =>
+        r.body.count { case Pos(a) => a.rel == rel; case _ => false } > 1))
+      val accParts = mutable.HashMap.empty[String, List[DataFrame]]
+      val accCount = mutable.HashMap.empty[String, Long]
+      val accMat = mutable.HashMap.empty[String, Fixpoint.Mat] // multiOcc rels only
+      def accDf(rel: String): Option[DataFrame] =
+        if (multiOccRels(rel)) accMat.get(rel).map(_.df)
+        else accParts.get(rel).map(_.reduce(_ union _))
+      def accCnt(rel: String): Long =
+        if (multiOccRels(rel)) accMat.get(rel).map(_.count).getOrElse(0L)
+        else accCount.getOrElse(rel, 0L)
+      def accAdd(rel: String, m: Fixpoint.Mat): Unit = {
+        // compact deep part lists (same policy as iterateKeyed) so the
+        // anti-join doesn't scan O(iterations) union stages
+        val parts0 = accParts.getOrElse(rel, Nil)
+        val parts = if (parts0.size >= 6)
+          List(Fixpoint.materialize(parts0.reduce(_ union _)).df)
+        else parts0
+        accParts(rel) = parts :+ m.df
+        accCount(rel) = accCount.getOrElse(rel, 0L) + m.count
+        if (multiOccRels(rel)) accMat(rel) = accMat.get(rel) match {
+          case Some(a) => Fixpoint.materialize(a.df.union(m.df))
+          case None => m
+        }
+      }
       var delta = mutable.HashMap.empty[String, Fixpoint.Mat]
       scc.foreach { rel =>
         val baseRules = byHead.getOrElse(rel, Seq.empty)
@@ -1146,7 +1177,7 @@ final class Engine(val catalog: Catalog) {
           baseRules.map(deriveRule(_))
         if (parts.nonEmpty) {
           val m = Fixpoint.materialize(parts.reduce(_ union _).distinct())
-          if (m.count > 0) { acc(rel) = m; delta(rel) = m }
+          if (m.count > 0) { accAdd(rel, m); delta(rel) = m }
         }
       }
       val recRules = sccRules.filter(_.body.exists { case Pos(a) => scc(a.rel); case _ => false })
@@ -1169,12 +1200,11 @@ final class Engine(val catalog: Catalog) {
             val recBodyIdx = r.body.zipWithIndex.collect {
               case (Pos(a), idx) if scc(a.rel) => idx
             }
-            val bodyAtomRel = r.body.collect { case Pos(a) => a }.map(_.rel)
             recBodyIdx.flatMap { dIdx =>
               val dRel = r.body(dIdx) match { case Pos(a) => a.rel; case _ => "" }
               val othersOk = recBodyIdx.filter(_ != dIdx).forall { oi =>
                 val orel = r.body(oi) match { case Pos(a) => a.rel; case _ => "" }
-                acc.contains(orel)
+                accDf(orel).isDefined
               }
               if (!delta.contains(dRel) || !othersOk) None
               else {
@@ -1183,7 +1213,7 @@ final class Engine(val catalog: Catalog) {
                   if (scc(nm)) {
                     occ += 1
                     val bodyIdx = recBodyIdx(occ)
-                    if (bodyIdx == dIdx) delta(nm).df else acc(nm).df
+                    if (bodyIdx == dIdx) delta(nm).df else accDf(nm).get
                   } else resolve(nm, ar)
                 Some(deriveRule(r, resolver))
               }
@@ -1191,19 +1221,16 @@ final class Engine(val catalog: Catalog) {
           }
           if (contributions.nonEmpty) {
             val cand = contributions.reduce(_ union _).distinct()
-            val next = acc.get(rel) match {
+            val next = accDf(rel) match {
               case Some(a) => Fixpoint.materialize(
                 // null-safe: a derived null tuple (x/0 → null) must match
                 // the accumulator or the delta never drains
-                Fixpoint.antiNullSafe(cand, a.df,
-                  hintBroadcast = a.count <= Fixpoint.BroadcastRows))
+                Fixpoint.antiNullSafe(cand, a,
+                  hintBroadcast = accCnt(rel) <= Fixpoint.BroadcastRows))
               case None => Fixpoint.materialize(cand)
             }
             if (next.count > 0) {
-              acc(rel) = acc.get(rel) match {
-                case Some(a) => Fixpoint.materialize(a.df.union(next.df))
-                case None => next
-              }
+              accAdd(rel, next)
               nextDelta(rel) = next
             }
           }
@@ -1212,7 +1239,7 @@ final class Engine(val catalog: Catalog) {
       }
       } // withLoopConf
       scc.foreach { rel =>
-        memo(rel) = acc.get(rel).map(_.df).getOrElse(
+        memo(rel) = accDf(rel).getOrElse(
           emptyFrame(byHead(rel).head.head.args.length)) // never derived
       }
     }
