@@ -19,7 +19,12 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // repartition (not coalesce): coalesce(1) over a driver-parallelized
+      // result folds every slice into ONE task whose closure carries all
+      // the rows (25 MB task warning on q54's 1M-pair closure); a shuffle
+      // ships them as many small map outputs instead. Row order is
+      // irrelevant — the driver's compare sorts rows before hashing.
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -1154,20 +1154,20 @@ final class Engine(val catalog: Catalog) {
       def accCnt(rel: String): Long =
         if (multiOccRels(rel)) accMat.get(rel).map(_.count).getOrElse(0L)
         else accCount.getOrElse(rel, 0L)
-      def accAdd(rel: String, m: Fixpoint.Mat): Unit = {
-        // compact deep part lists (same policy as iterateKeyed) so the
-        // anti-join doesn't scan O(iterations) union stages
-        val parts0 = accParts.getOrElse(rel, Nil)
-        val parts = if (parts0.size >= 6)
-          List(Fixpoint.materialize(parts0.reduce(_ union _)).df)
-        else parts0
-        accParts(rel) = parts :+ m.df
-        accCount(rel) = accCount.getOrElse(rel, 0L) + m.count
+      def accAdd(rel: String, m: Fixpoint.Mat): Unit =
         if (multiOccRels(rel)) accMat(rel) = accMat.get(rel) match {
           case Some(a) => Fixpoint.materialize(a.df.union(m.df))
           case None => m
+        } else {
+          // compact deep part lists (same policy as iterateKeyed) so the
+          // anti-join doesn't scan O(iterations) union stages
+          val parts0 = accParts.getOrElse(rel, Nil)
+          val parts = if (parts0.size >= 6)
+            List(Fixpoint.materialize(parts0.reduce(_ union _)).df)
+          else parts0
+          accParts(rel) = parts :+ m.df
+          accCount(rel) = accCount.getOrElse(rel, 0L) + m.count
         }
-      }
       var delta = mutable.HashMap.empty[String, Fixpoint.Mat]
       scc.foreach { rel =>
         val baseRules = byHead.getOrElse(rel, Seq.empty)
