@@ -1129,9 +1129,68 @@ final class Engine(val catalog: Catalog) {
     /** Semi-naive evaluation of one recursive component (handles mutual
       * recursion). min/max aggregate heads route to the value-iteration
       * evaluator; other aggregates inside a recursive SCC are rejected. */
+    /** Driver-local fast path for small pure-positional recursive SCCs
+      * (see [[LocalEval]]): derive the base parts normally, collect them
+      * (bounded) together with the non-SCC body relations, solve the
+      * fixpoint in-memory, parallelize the results back. Returns None —
+      * and the distributed loop runs — whenever the rule shapes, input
+      * sizes, value types, or a demand restriction rule it out. */
+    private def localSccFastPath(scc: Set[String],
+        sccRules: Seq[Rule]): Option[Map[String, DataFrame]] = {
+      if (LocalEval.disabled || demand.nonEmpty) return None
+      val recRules = sccRules.filter(_.body.exists {
+        case Pos(a) => scc(a.rel)
+        case _ => false
+      })
+      if (!LocalEval.shapeOk(scc, recRules)) return None
+      if (sccRules.exists(_.head.args.exists(_.isInstanceOf[Rank]))) return None
+      val arities = mutable.HashMap.empty[String, Int]
+      scc.foreach(rel => arities(rel) = byHead(rel).head.head.args.length)
+      // base rows per SCC relation: EDB/overlay facts + non-recursive rules
+      val baseRows = mutable.HashMap.empty[String, Array[org.apache.spark.sql.Row]]
+      scc.foreach { rel =>
+        val baseRules = byHead.getOrElse(rel, Seq.empty)
+          .filterNot(_.body.exists { case Pos(a) => scc(a.rel); case _ => false })
+        val parts = baseOf(rel).map(b =>
+          b.toDF(b.columns.indices.map(i => s"c$i"): _*)).toSeq ++
+          baseRules.map(deriveRule(_))
+        if (parts.nonEmpty) {
+          if (parts.exists(_.columns.length != arities(rel))) return None
+          Fixpoint.collectUpTo(parts.reduce(_ union _).distinct(),
+              Fixpoint.LocalEdgeRows) match {
+            case Some(rows) => baseRows(rel) = rows
+            case None => return None // too big for the driver
+          }
+        }
+      }
+      // collected non-SCC relations referenced by recursive-rule bodies
+      val nonScc = mutable.HashMap.empty[String, Array[org.apache.spark.sql.Row]]
+      recRules.flatMap(_.body).foreach {
+        case Pos(a) if !scc(a.rel) && !nonScc.contains(a.rel) =>
+          val df = resolve(a.rel, a.args.length)
+          arities(a.rel) = df.columns.length
+          Fixpoint.collectUpTo(df, Fixpoint.LocalEdgeRows) match {
+            case Some(rows) => nonScc(a.rel) = rows
+            case None => return None
+          }
+        case _ => ()
+      }
+      LocalEval.run(catalog.spark, scc, recRules, arities.toMap,
+        baseRows.toMap, nonScc.toMap)
+    }
+
     private def evalRecursiveScc(scc: Set[String], sccRules: Seq[Rule]): Unit = {
       val aggRules = sccRules.filter(_.head.args.exists(_.isInstanceOf[Agg]))
       if (aggRules.nonEmpty) return evalRecursiveAggScc(scc, sccRules, aggRules)
+      localSccFastPath(scc, sccRules) match {
+        case Some(out) =>
+          scc.foreach { rel =>
+            memo(rel) = out.getOrElse(rel,
+              emptyFrame(byHead(rel).head.head.args.length))
+          }
+          return
+        case None => ()
+      }
       // base = non-recursive rules (+ EDB facts under the same name).
       // A relation may legitimately have NO base (mutual recursion seeds
       // it through the cycle) — it simply starts absent/empty; its schema

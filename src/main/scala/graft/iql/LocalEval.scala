@@ -1,0 +1,346 @@
+package graft.iql
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import scala.collection.immutable.ArraySeq
+import scala.collection.mutable
+
+import Ast._
+
+/** Driver-local semi-naive evaluation for recursive SCCs whose rules are
+  * PURE POSITIONAL conjunctive Datalog — `Pos`-only bodies with
+  * Var/Const/Wildcard args and Var/Const heads — over small inputs.
+  *
+  * The reference evaluates every fixpoint in-process
+  * (`src/code_generator/mod.rs:1033-1250`); on Spark the distributed
+  * semi-naive loop pays 2-4 jobs PER ITERATION (~0.1-0.5 s each), three
+  * orders of magnitude more than computing a small fixpoint on the
+  * driver. This is the general-rule sibling of `Fixpoint`'s specialized
+  * local closure paths: same gating idea (collect bounded inputs, solve
+  * in-memory, parallelize the result back), but for arbitrary rule
+  * shapes — mutual recursion, non-linear rules, magic-rewritten
+  * programs — instead of just linear TC.
+  *
+  * Correctness contract: the local evaluator replicates the distributed
+  * path's semantics EXACTLY or bails (returns None / throws Bail → the
+  * caller falls back to the distributed loop):
+  *  - atom constants, within-atom repeated variables, and shared-variable
+  *    joins use Spark `EqualTo` semantics: null never matches anything
+  *    (x/0-derived null tuples project through but never join);
+  *  - NaN equals NaN and -0.0 is normalized to 0.0 (Spark join/distinct
+  *    semantics for doubles);
+  *  - set semantics via hash-set dedup (matches `distinct`/null-safe
+  *    anti-join accumulation);
+  *  - anything that would require Spark's implicit casts — a column
+  *    mixing value kinds, or a join across long- and double-typed
+  *    columns — bails rather than approximating them.
+  *
+  * Because the rule shapes carry no arithmetic or functions, evaluation
+  * cannot invent new values: the Herbrand universe is finite and the
+  * fixpoint ALWAYS terminates (no iteration cap needed — only the
+  * derived-size budget, which bounds memory).
+  */
+object LocalEval {
+
+  /** Test hook: force the distributed path (FixpointSpec-style pinning). */
+  private[graft] var disabled = false
+
+  /** Total derived-tuple budget across the SCC; past it the distributed
+    * loop must run (matches the spirit of `Fixpoint.LocalTcNodes`'s
+    * output bound — local results must fit comfortably on the driver). */
+  private[graft] val MaxDerived = 2000000L
+
+  private final class Bail extends RuntimeException(null, null, false, false)
+  private def bail(): Nothing = throw new Bail
+
+  // value kinds (per store column); NULL means "no non-null value seen yet"
+  private final val KNull = 0
+  private final val KLong = 1
+  private final val KDouble = 2
+  private final val KString = 3
+  private final val KBool = 4
+
+  private def kindOf(v: Any): Int = v match {
+    case null => KNull
+    case _: Long => KLong
+    case _: Double => KDouble
+    case _: String => KString
+    case _: Boolean => KBool
+    case _ => bail() // vectors, timestamps, … — distributed path handles
+  }
+
+  /** Normalize collected/constant values to the widened kinds the
+    * distributed path's unions settle on (Int→Long, Float→Double), and
+    * -0.0→0.0 so hash-set dedup matches Spark's normalized comparison. */
+  private def norm(v: Any): Any = v match {
+    case i: Int => i.toLong
+    case s: Short => s.toLong
+    case b: Byte => b.toLong
+    case f: Float => val d = f.toDouble; if (d == 0.0) 0.0 else d
+    case d: Double => if (d == 0.0) 0.0 else d
+    case _: Long | _: String | _: Boolean | null => v
+    case _ => bail()
+  }
+
+  /** Static shape gate for the RECURSIVE rules of the SCC (base rules are
+    * derived by the normal compiler and only their rows are collected). */
+  def shapeOk(scc: Set[String], recRules: Seq[Rule]): Boolean = {
+    def argOk(t: Term): Boolean = t match {
+      case _: Var | _: Const => true
+      case Wildcard => true
+      case _ => false
+    }
+    recRules.nonEmpty && recRules.forall { r =>
+      val posVars = r.body.collect { case Pos(a) =>
+        a.args.collect { case Var(n) => n } }.flatten.toSet
+      r.body.forall {
+        case Pos(a) =>
+          !RuleCompiler.BoolBuiltins(a.rel.toLowerCase) &&
+          !RuleCompiler.SpecialNames(a.rel.toLowerCase) &&
+          a.args.forall(argOk)
+        case _ => false
+      } && r.head.args.forall {
+        case Var(n) => posVars(n)
+        case _: Const => true
+        case _ => false
+      }
+    }
+  }
+
+  /** One relation's tuples + per-column kind lattice + lazy hash indexes
+    * (maintained incrementally so deep recursions never rebuild). */
+  private final class Store(val arity: Int) {
+    val kinds = new Array[Int](arity)
+    val tuples = mutable.ArrayBuffer.empty[ArraySeq[Any]]
+    val set = mutable.HashSet.empty[ArraySeq[Any]]
+    private val indexes =
+      mutable.HashMap.empty[List[Int], mutable.HashMap[List[Any], mutable.ArrayBuffer[ArraySeq[Any]]]]
+
+    def size: Int = tuples.size
+
+    def add(t: ArraySeq[Any]): Boolean = {
+      if (!set.add(t)) return false
+      var i = 0
+      while (i < arity) {
+        val k = kindOf(t(i))
+        if (k != KNull) {
+          if (kinds(i) == KNull) kinds(i) = k
+          else if (kinds(i) != k) bail() // mixed-kind column → Spark casts
+        }
+        i += 1
+      }
+      tuples += t
+      indexes.foreach { case (mask, ix) =>
+        val key = mask.map(t(_))
+        ix.getOrElseUpdate(key, mutable.ArrayBuffer.empty) += t
+      }
+      true
+    }
+
+    /** Rows whose `mask` positions equal `key` exactly. A null in the key
+      * matches nothing (EqualTo); a kind mismatch vs the column bails
+      * (Spark would implicitly cast). */
+    def lookup(mask: List[Int], key: List[Any]): Iterator[ArraySeq[Any]] = {
+      if (mask.isEmpty) return tuples.iterator
+      var k = key
+      var m = mask
+      while (m.nonEmpty) {
+        val v = k.head
+        if (v == null) return Iterator.empty
+        val vk = kindOf(v)
+        val ck = kinds(m.head)
+        if (ck == KNull) return Iterator.empty // column is all-null
+        if (vk != ck) bail()
+        k = k.tail; m = m.tail
+      }
+      val ix = indexes.getOrElseUpdate(mask, {
+        val built = mutable.HashMap.empty[List[Any], mutable.ArrayBuffer[ArraySeq[Any]]]
+        tuples.foreach { t =>
+          built.getOrElseUpdate(mask.map(t(_)), mutable.ArrayBuffer.empty) += t
+        }
+        built
+      })
+      ix.get(key).map(_.iterator).getOrElse(Iterator.empty)
+    }
+  }
+
+  /** One recursive-rule evaluation plan for a designated delta occurrence:
+    * the delta atom is enumerated first, the remaining atoms join in
+    * greedy most-bound-first order with statically-known bound masks
+    * (same heuristic as `RuleCompiler.compileBody`). */
+  private final case class AtomStep(atom: Atom, rel: String, isScc: Boolean, mask: List[Int])
+  private final case class OccPlan(rule: Rule, deltaAtom: Atom, deltaRel: String,
+                                   steps: List[AtomStep])
+
+  private def planOcc(r: Rule, dIdx: Int, scc: Set[String]): OccPlan = {
+    val pos = r.body.zipWithIndex.collect { case (Pos(a), i) => (a, i) }
+    val deltaAtom = pos.find(_._2 == dIdx).get._1
+    var bound = deltaAtom.args.collect { case Var(n) => n }.toSet
+    val remaining = mutable.ArrayBuffer.from(pos.filterNot(_._2 == dIdx))
+    val steps = mutable.ListBuffer.empty[AtomStep]
+    while (remaining.nonEmpty) {
+      val idx = remaining.indices.maxBy { i =>
+        remaining(i)._1.args.count {
+          case Var(n) => bound(n)
+          case _: Const => true
+          case _ => false
+        }
+      }
+      val (a, _) = remaining.remove(idx)
+      val seenInAtom = mutable.HashSet.empty[String]
+      val mask = a.args.zipWithIndex.collect {
+        case (_: Const, i) => i
+        case (Var(n), i) if bound(n) && seenInAtom.add(n) => i
+      }.toList
+      steps += AtomStep(a, a.rel, scc(a.rel), mask)
+      bound ++= a.args.collect { case Var(n) => n }
+    }
+    OccPlan(r, deltaAtom, deltaAtom.rel, steps.toList)
+  }
+
+  /** Run the local fixpoint. `baseRows`: initial tuples per SCC relation
+    * (already set-deduped by the caller); `nonScc`: collected rows of the
+    * non-SCC relations referenced by recursive-rule bodies; `arities`:
+    * per-relation arity for every SCC and non-SCC relation involved.
+    * Returns a frame per SCC relation, or None when a
+    * semantics-preserving local run is impossible. */
+  def run(spark: SparkSession, scc: Set[String], recRules: Seq[Rule],
+          arities: Map[String, Int],
+          baseRows: Map[String, Array[Row]],
+          nonScc: Map[String, Array[Row]]): Option[Map[String, DataFrame]] =
+    try {
+      val acc = scc.map(r => r -> new Store(arities(r))).toMap
+      val ext = nonScc.map { case (r, rows) =>
+        val s = new Store(arities.getOrElse(r, bail()))
+        rows.foreach(row => s.add(ArraySeq.unsafeWrapArray(
+          Array.tabulate(s.arity)(i => norm(row.get(i))))))
+        r -> s
+      }
+      // recursive-rule arity guard: every body atom must match its store
+      val plans: Seq[OccPlan] = recRules.flatMap { r =>
+        r.body.zipWithIndex.collect { case (Pos(a), i) if scc(a.rel) => i }
+          .map(planOcc(r, _, scc))
+      }
+      plans.foreach { p =>
+        (p.deltaAtom :: p.steps.map(_.atom)).foreach { a =>
+          val st = acc.getOrElse(a.rel, ext.getOrElse(a.rel, bail()))
+          if (st.arity != a.args.length) bail()
+        }
+        if (p.rule.head.args.length != arities(p.rule.head.rel)) bail()
+      }
+
+      var delta: Map[String, IndexedSeq[ArraySeq[Any]]] = baseRows.map { case (rel, rows) =>
+        val st = acc(rel)
+        val added = rows.flatMap { row =>
+          val t = ArraySeq.unsafeWrapArray(Array.tabulate(st.arity)(i => norm(row.get(i))))
+          if (st.add(t)) Some(t) else None
+        }
+        rel -> added.toIndexedSeq
+      }.filter(_._2.nonEmpty)
+
+      while (delta.nonEmpty) {
+        graft.QueryGuard.checkCancelled()
+        val pend = mutable.HashMap.empty[String, mutable.LinkedHashSet[ArraySeq[Any]]]
+        plans.foreach { p =>
+          delta.get(p.deltaRel).foreach { dRows =>
+            val headRel = p.rule.head.rel
+            val out = pend.getOrElseUpdate(headRel, mutable.LinkedHashSet.empty)
+            dRows.foreach { t =>
+              tryBind(p.deltaAtom.args, t, Map.empty).foreach { env0 =>
+                enumerate(p.steps, env0, acc, ext) { env =>
+                  val tup = ArraySeq.unsafeWrapArray(p.rule.head.args.map {
+                    case Var(n) => env(n)
+                    case Const(c) => norm(c)
+                    case _ => bail()
+                  }.toArray[Any])
+                  if (!acc(headRel).set.contains(tup)) out += tup
+                }
+              }
+            }
+          }
+        }
+        delta = pend.iterator.map { case (rel, tuples) =>
+          val st = acc(rel)
+          rel -> tuples.iterator.filter(st.add).toIndexedSeq
+        }.filter(_._2.nonEmpty).toMap
+        if (acc.valuesIterator.map(_.size.toLong).sum > MaxDerived) bail()
+      }
+
+      Some(acc.map { case (rel, st) =>
+        rel -> toFrame(spark, st)
+      })
+    } catch { case _: Bail => None }
+
+  /** Enumerate all bindings of the remaining atoms (depth-first with hash
+    * lookups on the statically-bound positions). */
+  private def enumerate(steps: List[AtomStep], env: Map[String, Any],
+                        acc: Map[String, Store], ext: Map[String, Store])(
+                        emit: Map[String, Any] => Unit): Unit = steps match {
+    case Nil => emit(env)
+    case step :: rest =>
+      val store = if (step.isScc) acc(step.rel) else ext(step.rel)
+      val key = step.mask.map(i => step.atom.args(i) match {
+        case Const(c) => norm(c)
+        case Var(n) => env(n)
+        case _ => bail()
+      })
+      val it = store.lookup(step.mask, key)
+      while (it.hasNext) {
+        tryBind(step.atom.args, it.next(), env).foreach(enumerate(rest, _, acc, ext)(emit))
+      }
+  }
+
+  /** Unify an atom's args against a tuple under `env`. EqualTo semantics:
+    * null never matches a constant or an already-bound variable (either
+    * side); fresh variables DO bind null (projection lets it through). */
+  private def tryBind(args: Seq[Term], t: ArraySeq[Any],
+                      env0: Map[String, Any]): Option[Map[String, Any]] = {
+    var env = env0
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case Wildcard => ()
+        case Const(c) =>
+          val v = t(i)
+          if (v == null || !valEq(norm(c), v)) return None
+        case Var(n) =>
+          val v = t(i)
+          env.get(n) match {
+            case Some(b) => if (b == null || v == null || !valEq(b, v)) return None
+            case None => env = env.updated(n, v)
+          }
+        case _ => bail()
+      }
+      i += 1
+    }
+    Some(env)
+  }
+
+  /** Non-null value equality. Kinds are already store-consistent (mixed
+    * kinds bail at insert/lookup), so this is same-kind comparison; NaN
+    * equals NaN and -0.0 was normalized away, matching Spark. */
+  private def valEq(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: Double, y: Double) => x == y || (x.isNaN && y.isNaN)
+    case (x: Long, y: Double) => x.toDouble == y
+    case (x: Double, y: Long) => x == y.toDouble
+    case _ => a == b
+  }
+
+  private def toFrame(spark: SparkSession, st: Store): DataFrame = {
+    val fields = (0 until st.arity).map { i =>
+      val dt = st.kinds(i) match {
+        case KLong => LongType
+        case KDouble => DoubleType
+        case KString => StringType
+        case KBool => BooleanType
+        case _ => NullType
+      }
+      StructField(s"c$i", dt, nullable = true)
+    }
+    val rows = st.tuples.map(t => Row.fromSeq(t)).toSeq
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows,
+        graft.plans.Fixpoint.parallelizeParts(rows.size.toLong)),
+      StructType(fields))
+  }
+}

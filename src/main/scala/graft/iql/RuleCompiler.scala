@@ -28,7 +28,7 @@ object RuleCompiler {
   /** Builtin boolean functions that may appear in ATOM position in a body
     * (`recent(Id) <- events(Id, Ts), within_last(Ts, Now, D)`) — they are
     * filters, not relation scans (reference BodyPredicate builtins). */
-  private val BoolBuiltins = Set("within_last", "time_before", "time_after",
+  private[iql] val BoolBuiltins = Set("within_last", "time_before", "time_after",
     "time_between", "intervals_overlap", "interval_contains", "point_in_interval")
 
   /** Special body predicates that aren't relation scans or filters: the
@@ -38,7 +38,7 @@ object RuleCompiler {
     * atom is the only positive) so a query VARIABLE can be resolved
     * against already-bound columns. */
   type SpecialAtoms = (Atom, Option[DataFrame]) => DataFrame
-  private val SpecialNames = Set("hnsw_nearest")
+  private[iql] val SpecialNames = Set("hnsw_nearest")
 
   /** Compile a body; returns a frame with one column per variable. */
   def compileBody(body0: Seq[BodyElem], resolve: Resolver,

@@ -576,4 +576,62 @@ class EngineSpec extends SparkSpec {
     assert(cart2.isEmpty)
     assert(rows(df2) == Set(Seq(1L, 7L), Seq(2L, 9L), Seq(3L, 7L)))
   }
+
+  /** Run `src` twice — once with the driver-local SCC evaluator, once
+    * with it pinned off (distributed loop) — and require identical rows. */
+  private def localVsDistributed(src: String): Set[Seq[Any]] = {
+    val local = query(src)
+    LocalEval.disabled = true
+    val dist = try query(src) finally LocalEval.disabled = false
+    assert(local == dist, "local SCC fast path diverges from distributed loop")
+    local
+  }
+
+  test("local SCC fast path: mutual recursion with consts and wildcards") {
+    val r = localVsDistributed(
+      """+edge[(0,1),(1,2),(2,3),(3,4),(4,5),(5,6)]
+        |+label[(0,"start"),(3,"mid")]
+        |even(0, L) <- label(0, L)
+        |odd(Y, L) <- even(X, L), edge(X, Y)
+        |even(Y, L) <- odd(X, L), edge(X, Y)
+        |evens(X) <- even(X, _)
+        |?evens(X)
+        |""".stripMargin)
+    assert(r == Set(Seq(0L), Seq(2L), Seq(4L), Seq(6L)))
+  }
+
+  test("local SCC fast path: non-linear recursion (path joins path)") {
+    val r = localVsDistributed(
+      """+e[(1,2),(2,3),(3,4),(4,1)]
+        |path(X, Y) <- e(X, Y)
+        |path(X, Z) <- path(X, Y), path(Y, Z)
+        |?path(1, Y)
+        |""".stripMargin)
+    assert(r.map(_.last) == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("local SCC fast path: same-generation via magic rewrite") {
+    val e = new Engine(new Catalog(spark))
+    val ups = (1 to 14).map(n => s"($n, ${(n - 1) / 2})").mkString(",")
+    val downs = (1 to 14).map(n => s"(${(n - 1) / 2}, $n)").mkString(",")
+    val persons = (0 to 14).map(n => s"($n)").mkString(",")
+    e.run(s"+up[$ups]\n+down[$downs]\n+person[$persons]")
+    e.run("+sg(X, X) <- person(X)\n+sg(X, Y) <- up(X, Z1), sg(Z1, Z2), down(Z2, Y)")
+    val local = rows(e.run("?sg(5, Y)").last)
+    LocalEval.disabled = true
+    val dist = try rows(e.run("?sg(5, Y)").last) finally LocalEval.disabled = false
+    assert(local == dist)
+    assert(local.map(_.last) == Set(3L, 4L, 5L, 6L)) // 5's generation (depth 2)
+  }
+
+  test("local SCC fast path bails to distributed on arithmetic rules") {
+    // D+1 in the head is outside the local shape gate — must still work
+    assert(query(
+      """+e[(1,2),(2,3)]
+        |d(X, Y, 1) <- e(X, Y)
+        |d(X, Z, N + 1) <- d(X, Y, N), e(Y, Z), N < 3
+        |?d(X, Y, N)
+        |""".stripMargin) ==
+      Set(Seq(1L, 2L, 1L), Seq(2L, 3L, 1L), Seq(1L, 3L, 2L)))
+  }
 }
