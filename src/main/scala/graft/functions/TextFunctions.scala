@@ -78,6 +78,95 @@ object TextFunctions {
     array(sig: _*)
   }
 
+  // ---------------------------------------------------------------------
+  // Whole-signature MinHash in ONE pass per document. The expression
+  // shapes above pay 64 hash evaluations PER SHINGLE ROW through codegen
+  // (k × explode-row work — measured 6.8 s for 5k docs × ~300 shingles at
+  // sf0.1); these UDFs run ONCE PER DOCUMENT with a tight JIT'd loop:
+  // polynomial base hash per shingle + splitmix64 finalization per
+  // component (~9 ops), no explode, no 64-aggregate shuffle. The UDF
+  // boundary costs one String/array box per DOC — negligible at any
+  // scale, and the operator stays scan-local (map-only, shuffle-free),
+  // which is the property that matters at 100 TB.
+  // ---------------------------------------------------------------------
+
+  /** splitmix64 finalizer — the standard 64-bit mixer (public domain,
+    * Steele et al.); statistically independent streams per component. */
+  @inline private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Per-component seeds, deterministic (reproducible across executors). */
+  private def compSeeds(k: Int): Array[Long] =
+    Array.tabulate(k)(i => mix64(0x5851F42D4C957F2DL * (i + 1)))
+
+  private def sigOfHashes(update: (Array[Long], Array[Long]) => Unit,
+                          seeds: Array[Long]): Array[Long] = {
+    val mins = Array.fill(seeds.length)(Long.MaxValue)
+    update(mins, seeds)
+    if (mins(0) == Long.MaxValue) null else mins
+  }
+
+  @inline private def updateMins(mins: Array[Long], seeds: Array[Long], h: Long): Unit = {
+    var i = 0
+    while (i < seeds.length) {
+      val c = mix64(h ^ seeds(i))
+      if (c < mins(i)) mins(i) = c
+      i += 1
+    }
+  }
+
+  /** k-component signature over character n-gram shingles of
+    * pre-normalized text (pair with [[normText]]); null when the text is
+    * shorter than one shingle (no content to near-match on). */
+  def minHashSigChars(norm: Column, n: Int, k: Int): Column = {
+    val seeds = compSeeds(k)
+    val f = udf { (s: String) =>
+      if (s == null || s.length < n) null
+      else sigOfHashes((mins, sd) => {
+        var p = 0
+        val last = s.length - n
+        while (p <= last) {
+          var h = 1125899906842597L
+          var j = p
+          val end = p + n
+          while (j < end) { h = h * 31 + s.charAt(j); j += 1 }
+          updateMins(mins, sd, mix64(h))
+          p += 1
+        }
+      }, seeds)
+    }
+    f(norm)
+  }
+
+  /** k-component signature over word n-gram shingles of a pre-projected
+    * token array (pair with [[tokens]]); null when fewer than n tokens. */
+  def minHashSigWords(toks: Column, n: Int, k: Int): Column = {
+    val seeds = compSeeds(k)
+    val f = udf { (ts: Seq[String]) =>
+      if (ts == null || ts.length < n) null
+      else {
+        val th = ts.iterator.map(t => mix64(t.hashCode.toLong * 0x9E3779B97F4A7C15L)).toArray
+        sigOfHashes((mins, sd) => {
+          var p = 0
+          val last = th.length - n
+          while (p <= last) {
+            var h = 1125899906842597L
+            var j = p
+            val end = p + n
+            while (j < end) { h = h * 31 + th(j); j += 1 }
+            updateMins(mins, sd, mix64(h))
+            p += 1
+          }
+        }, seeds)
+      }
+    }
+    f(toks)
+  }
+
   /** Band buckets for LSH: split the signature into `bands` rows of
     * `rowsPerBand`, hash each band → array of (band, bucket) structs.
     * Bucket = xxhash64 of the band's components as longs (two docs share

@@ -42,52 +42,28 @@ object Dedup {
     docs.join(reps, Seq(idCol), "left_semi")
   }
 
-  /** MinHash signatures via explode + k min-aggregates: the shingle array
-    * is computed ONCE per doc (explode), each shingle hashed k ways, and
-    * the k minima reduce map-side before the (tiny) per-id shuffle.
-    * This is both the 100 TB shape AND avoids the expression-inlining
-    * trap where an `array(k × array_min(transform(shingles…)))` tree
-    * recomputes the shingling k times per row (observed 200s at sf0.001).
+  /** MinHash signatures in ONE map-side pass per document
+    * ([[TF.minHashSigChars]]/[[TF.minHashSigWords]]): normalization /
+    * tokenization stays a native expression, the k-minima loop runs once
+    * per doc inside a JIT'd UDF. Earlier shapes — `array(k ×
+    * array_min(transform(...)))` (lambda re-evaluates shingling per
+    * element: 200 s at sf0.001) and explode + k min-aggregates (k hash
+    * evaluations per shingle ROW + a 64-column hash aggregate: 6.8 s at
+    * sf0.1) — both lose to the per-doc loop (~0.5 s), and the operator
+    * stays scan-local/shuffle-free, which is what matters at 100 TB.
+    * One-permutation hashing was tried and REJECTED: docs shorter than k
+    * shingles leave most bins empty and the densified estimator misses
+    * true near-dups (DedupSpec caught it).
     * Docs with no shingles (shorter than shingleN) drop out — they have
     * no content to near-match on. */
   def minHashSignatures(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                         shingleN: Int = 5, k: Int = 64,
                         wordShingles: Boolean = false): DataFrame = {
-    val shingled = explodedShingles(docs, idCol, textCol, shingleN, wordShingles)
-    // hash each shingle string ONCE to a long, then derive the k
-    // components by hashing that fixed-width long with the component id —
-    // k string re-hashes per shingle would dominate the whole pipeline
-    // (measured 10s → 3s for the signature stage at sf0.1). One-
-    // permutation hashing (1 hash/shingle + binning) was tried and
-    // REJECTED: with docs shorter than k shingles most bins are empty and
-    // the densified estimator degrades enough to miss true near-dups
-    // (DedupSpec caught it); it was no faster here either. Wrapping
-    // multiply-add mixing would be cheaper still, but Spark 4's ANSI mode
-    // makes overflowing long arithmetic throw.
-    val hashed = shingled.select(col("id"), xxhash64(col("sh")).as("h"))
-    val aggs = (0 until k).map(i => min(xxhash64(col("h"), lit(i))).as(s"h$i"))
-    hashed.groupBy("id").agg(aggs.head, aggs.tail: _*)
-      .select(col("id"), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
+    val sig =
+      if (wordShingles) TF.minHashSigWords(TF.tokens(col(textCol)), shingleN, k)
+      else TF.minHashSigChars(TF.normText(col(textCol)), shingleN, k)
+    docs.select(col(idCol).as("id"), sig.as("sig")).where(col("sig").isNotNull)
   }
-
-  /** (id, shingle) rows via position-explode: the normalization/tokenize
-    * expression evaluates ONCE per document (it sits below the generator),
-    * and the per-shingle substring/slice is a plain codegen'd projection —
-    * unlike `transform(...)`-based shingling, where the lambda re-evaluates
-    * the normalization per element (interpreted, O(len²) per doc; measured
-    * 19s → 2s at sf0.1 for the signature stage). */
-  private def explodedShingles(docs: DataFrame, idCol: String, textCol: String,
-                               shingleN: Int, wordShingles: Boolean): DataFrame =
-    if (wordShingles)
-      docs.select(col(idCol).as("id"), TF.tokens(col(textCol)).as("toks"))
-        .select(col("id"), col("toks"),
-          explode(TF.seq1(size(col("toks")) - (shingleN - 1))).as("pos"))
-        .select(col("id"), array_join(slice(col("toks"), col("pos"), lit(shingleN)), " ").as("sh"))
-    else
-      docs.select(col(idCol).as("id"), TF.normText(col(textCol)).as("nt"))
-        .select(col("id"), col("nt"),
-          explode(TF.seq1(length(col("nt")) - (shingleN - 1))).as("pos"))
-        .select(col("id"), col("nt").substr(col("pos"), lit(shingleN)).as("sh"))
 
   /** MinHash + banded-LSH near-duplicate PAIRS (id_a < id_b) with their
     * estimated Jaccard, verified against `threshold`.
