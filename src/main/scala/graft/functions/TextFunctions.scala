@@ -203,12 +203,10 @@ object TextFunctions {
   }
 
   /** Estimated Jaccard from two MinHash signatures (fraction of agreeing
-    * components). size(filter(zip_with(bool))) instead of a doubles fold:
-    * boolean element churn is ~30% cheaper than Double boxing through the
-    * interpreted higher-order aggregate (measured on 77k pairs × k=64). */
+    * components) — codegen'd exact-equality count over the shared prefix
+    * ([[VectorKernels.eqCount]]; long components compare as longs). */
   def minHashJaccardEstimate(sigA: Column, sigB: Column): Column =
-    size(filter(zip_with(sigA, sigB, (x, y) => x === y), p => p)).cast("double") /
-      size(sigA).cast("double")
+    VectorKernels.eqCount(sigA, sigB) / size(sigA).cast("double")
 
   // ---------------------------------------------------------------------
   // SimHash: 64-bit fingerprint; bit j of the fingerprint is the sign of

@@ -23,13 +23,14 @@ object VectorFunctions {
 
   @inline private def d(c: Column): Column = c.cast("double")
 
-  /** Sum of element-wise products; 0.0 for empty vectors. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => d(x) * d(y)), lit(0.0), (acc, x) => acc + x)
+  /** Sum of element-wise products; 0.0 for empty vectors. Codegen'd
+    * kernel ([[VectorKernels]]) — same semantics as the HOF form
+    * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` without the interpreted
+    * per-element lambda cost. */
+  def dot(a: Column, b: Column): Column = VectorKernels.dot(a, b)
 
-  /** L2 norm. */
-  def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + d(x) * d(x)))
+  /** L2 norm (codegen'd Σx² kernel). */
+  def norm(a: Column): Column = sqrt(VectorKernels.normSq(a))
 
   /** Cosine similarity in [-1, 1]; null-safe via division (0-norm → null). */
   def cosineSimilarity(a: Column, b: Column): Column = {
@@ -45,14 +46,13 @@ object VectorFunctions {
     when(den === 0.0, lit(0.0)).otherwise(lit(1.0) - dot(a, b) / den)
   }
 
-  /** Euclidean (L2) distance. */
+  /** Euclidean (L2) distance (codegen'd Σ(x−y)² kernel). */
   def euclidean(a: Column, b: Column): Column =
-    sqrt(aggregate(zip_with(a, b, (x, y) => (d(x) - d(y)) * (d(x) - d(y))),
-      lit(0.0), (acc, x) => acc + x))
+    sqrt(VectorKernels.sqDiffSum(a, b))
 
-  /** Manhattan (L1) distance. */
+  /** Manhattan (L1) distance (codegen'd Σ|x−y| kernel). */
   def manhattan(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => abs(d(x) - d(y))), lit(0.0), (acc, x) => acc + x)
+    VectorKernels.absDiffSum(a, b)
 
   /** Hamming distance between two int64 bit patterns (reference
     * `vector_ops.rs:232` operates on i64, not on vectors). */
