@@ -178,16 +178,17 @@ object TextFunctions {
       struct(lit(b).as("band"), xxhash64(comps :+ lit(b): _*).as("bucket"))
     }: _*)
 
-  /** Jaccard of two ALREADY-DISTINCT arrays with a size-ratio
-    * short-circuit: |A∩B| ≤ min(|A|,|B|), so J ≥ t is impossible when
-    * min(|A|,|B|) < t·max(|A|,|B|) — those pairs skip the intersect
-    * entirely (CaseWhen branches evaluate lazily per row). The intersect
-    * subexpression appears twice but whole-stage codegen's subexpression
-    * elimination evaluates it once. */
+  /** Jaccard of two ALREADY-DISTINCT, SORTED-ASCENDING arrays with a
+    * size-ratio short-circuit: |A∩B| ≤ min(|A|,|B|), so J ≥ t is
+    * impossible when min(|A|,|B|) < t·max(|A|,|B|) — those pairs skip the
+    * intersection entirely (CaseWhen branches evaluate lazily per row).
+    * The intersection is a codegen'd merge scan
+    * ([[VectorKernels.sortedInterCount]]) — zero per-pair allocation vs
+    * `array_intersect`'s hash set; producers sort once per document. */
   def jaccardDistinct(a: Column, b: Column, minJ: Double): Column = {
     val sa = size(a).cast("double")
     val sb = size(b).cast("double")
-    val inter = size(array_intersect(a, b)).cast("double")
+    val inter = VectorKernels.sortedInterCount(a, b)
     when(greatest(sa, sb) === 0.0, lit(0.0))
       .when(least(sa, sb) < greatest(sa, sb) * lit(minJ), lit(0.0))
       .otherwise(inter / (sa + sb - inter))

@@ -79,7 +79,10 @@ object VectorKernels {
   }
 
   /** Binary Σ-over-elements kernel; `op`: "dot" | "sqdiff" | "absdiff" |
-    * "eqcount". */
+    * "eqcount" | "intercount" (sorted-ascending set-intersection size —
+    * duplicate-safe merge scan, zero per-row allocation vs
+    * `array_intersect`'s hash set; inputs MUST be sorted, a null element
+    * yields null). */
   final case class VecFold(left: Expression, right: Expression, op: String)
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
@@ -109,6 +112,31 @@ object VectorKernels {
             if (integral) readLong(lt, x, i) == readLong(rt, y, i)
             else readElem(lt, x, i) == readElem(rt, y, i))) c += 1.0
           i += 1
+        }
+        c
+      } else if (op == "intercount") {
+        val m = y.numElements()
+        var (i, j) = (0, 0)
+        var c = 0.0
+        val integral = isIntegral(lt) && isIntegral(rt)
+        while (i < n && j < m) {
+          if (x.isNullAt(i) || y.isNullAt(j)) return null
+          val cmp =
+            if (integral) java.lang.Long.compare(readLong(lt, x, i), readLong(rt, y, j))
+            else java.lang.Double.compare(readElem(lt, x, i), readElem(rt, y, j))
+          if (cmp < 0) i += 1
+          else if (cmp > 0) j += 1
+          else { // equal: count once, skip the whole run on both sides
+            c += 1.0
+            val v = if (integral) readLong(lt, x, i) else readElem(lt, x, i)
+            if (integral) {
+              while (i < n && !x.isNullAt(i) && readLong(lt, x, i) == v.asInstanceOf[Long]) i += 1
+              while (j < m && !y.isNullAt(j) && readLong(rt, y, j) == v.asInstanceOf[Long]) j += 1
+            } else {
+              while (i < n && !x.isNullAt(i) && readElem(lt, x, i) == v.asInstanceOf[Double]) i += 1
+              while (j < m && !y.isNullAt(j) && readElem(rt, y, j) == v.asInstanceOf[Double]) j += 1
+            }
+          }
         }
         c
       } else {
@@ -149,6 +177,33 @@ object VectorKernels {
              |  if (!$x.isNullAt($i) && !$y.isNullAt($i) && $cmp) $acc += 1.0;
              |}
              |${ev.value} = $acc;
+           """.stripMargin
+        }
+        else if (op == "intercount") {
+          val integral = isIntegral(lt) && isIntegral(rt)
+          val jt = if (integral) "long" else "double"
+          val (gx, gy) =
+            if (integral) (getLongElem(lt, x, i), getLongElem(rt, y, "__j"))
+            else (getElem(lt, x, i), getElem(rt, y, "__j"))
+          val m = ctx.freshName("m")
+          s"""
+             |int $n = $x.numElements();
+             |int $m = $y.numElements();
+             |int $i = 0; int __j = 0;
+             |double $acc = 0.0;
+             |while ($i < $n && __j < $m) {
+             |  if ($x.isNullAt($i) || $y.isNullAt(__j)) { ${ev.isNull} = true; break; }
+             |  $jt $xv = $gx;
+             |  $jt $yv = $gy;
+             |  if ($xv < $yv) { $i++; }
+             |  else if ($xv > $yv) { __j++; }
+             |  else {
+             |    $acc += 1.0;
+             |    while ($i < $n && !$x.isNullAt($i) && $gx == $xv) $i++;
+             |    while (__j < $m && !$y.isNullAt(__j) && $gy == $xv) __j++;
+             |  }
+             |}
+             |if (!${ev.isNull}) ${ev.value} = $acc;
            """.stripMargin
         }
         else {
@@ -240,6 +295,9 @@ object VectorKernels {
   def eqCount(a: Column, b: Column): Column =
     ExpressionUtils.column(VecFold(ExpressionUtils.expression(a),
       ExpressionUtils.expression(b), "eqcount"))
+  def sortedInterCount(a: Column, b: Column): Column =
+    ExpressionUtils.column(VecFold(ExpressionUtils.expression(a),
+      ExpressionUtils.expression(b), "intercount"))
   def normSq(a: Column): Column =
     ExpressionUtils.column(VecNormSq(ExpressionUtils.expression(a)))
 }

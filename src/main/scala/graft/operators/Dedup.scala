@@ -152,8 +152,8 @@ object Dedup {
     // hashes and shuffling the corpus.
     val (sh, nSh) = mat(docs.join(maybeBroadcast(candIds, nCand * 2), Seq(idCol), "left_semi")
       .select(col(idCol).as("id"), TF.tokens(col(textCol)).as("toks"))
-      .select(col("id"), array_distinct(
-        transform(TF.wordShinglesOf(col("toks"), shingleN), s => xxhash64(s))).as("sh")))
+      .select(col("id"), sort_array(array_distinct(
+        transform(TF.wordShinglesOf(col("toks"), shingleN), s => xxhash64(s)))).as("sh")))
     cand
       .join(maybeBroadcast(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), nSh), Seq("id_a"))
       .join(maybeBroadcast(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), nSh), Seq("id_b"))
@@ -173,8 +173,8 @@ object Dedup {
                            capIds: Long = 500L): DataFrame = {
     val (sh, _) = mat(docs.where(col(idCol) < capIds)
       .select(col(idCol).as("id"), TF.tokens(col(textCol)).as("toks"))
-      .select(col("id"), array_distinct(
-        transform(TF.wordShinglesOf(col("toks"), shingleN), s => xxhash64(s))).as("sh"))
+      .select(col("id"), sort_array(array_distinct(
+        transform(TF.wordShinglesOf(col("toks"), shingleN), s => xxhash64(s)))).as("sh"))
       .where(size(col("sh")) > 0))
     val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))

@@ -115,4 +115,48 @@ class FunctionsSpec extends SparkSpec {
     assert(r(0).getDouble(0) == 1.0)
     assert(r(1).getDouble(0) == 0.5)
   }
+
+  test("vector kernels match HOF semantics on edge cases") {
+    import org.apache.spark.sql.functions.{aggregate, lit, zip_with}
+    // codegen'd kernels vs the reference HOF composition, incl. the null
+    // contract: mismatched lengths -> null, empty -> 0.0
+    val df = Seq(
+      (Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f)),
+      (Seq.empty[Float], Seq.empty[Float])).toDF("a", "b")
+    val k = df.select(VectorKernels.dot($"a", $"b"),
+      VectorKernels.normSq($"a"),
+      VectorKernels.sqDiffSum($"a", $"b"),
+      VectorKernels.absDiffSum($"a", $"b")).collect()
+    val h = df.select(
+      aggregate(zip_with($"a", $"b", (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)).collect()
+    assert(k(0).getDouble(0) == 32.0 && k(0).getDouble(0) == h(0).getDouble(0))
+    assert(k(0).getDouble(1) == 14.0)
+    assert(k(0).getDouble(2) == 27.0)
+    assert(k(0).getDouble(3) == 9.0)
+    assert(k(1).toSeq == Seq(0.0, 0.0, 0.0, 0.0))
+    // length mismatch -> null (zip_with pads with null and the sum absorbs it)
+    val mm = Seq((Seq(1.0f, 2.0f), Seq(1.0f))).toDF("a", "b")
+      .select(VectorKernels.dot($"a", $"b")).collect()
+    assert(mm(0).isNullAt(0))
+    // int8 arrays go through the same kernels
+    val i8 = Seq((Seq(1.toByte, 2.toByte), Seq(3.toByte, 4.toByte))).toDF("a", "b")
+      .select(VectorKernels.dot($"a", $"b")).collect()
+    assert(i8(0).getDouble(0) == 11.0)
+  }
+
+  test("sorted intersection count is exact and duplicate-safe") {
+    val df = Seq(
+      (Seq(1L, 3L, 5L, 7L), Seq(3L, 4L, 5L, 9L)),          // {3,5}
+      (Seq(1L, 1L, 2L, 2L), Seq(1L, 2L, 2L, 3L)),          // dup runs: {1,2}
+      (Seq.empty[Long], Seq(1L, 2L)),                       // empty -> 0
+      (Seq(Long.MaxValue - 1, Long.MaxValue), Seq(Long.MaxValue))) // exact longs
+      .toDF("a", "b")
+    val r = df.select(VectorKernels.sortedInterCount($"a", $"b")).collect()
+    assert(r.map(_.getDouble(0)).toSeq == Seq(2.0, 2.0, 0.0, 1.0))
+    // agrees with array_intersect on distinct sorted inputs
+    val x = df.select(org.apache.spark.sql.functions.size(
+      org.apache.spark.sql.functions.array_intersect($"a", $"b"))).collect()
+    assert(r(0).getDouble(0) == x(0).getInt(0).toDouble)
+  }
 }
