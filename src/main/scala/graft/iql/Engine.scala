@@ -1164,15 +1164,21 @@ final class Engine(val catalog: Catalog) {
         }
       }
       // collected non-SCC relations referenced by recursive-rule bodies
+      // (positive scans and stratified-negation checks alike)
       val nonScc = mutable.HashMap.empty[String, Array[org.apache.spark.sql.Row]]
+      def collectRel(a: Ast.Atom): Option[Unit] = {
+        val df = resolve(a.rel, a.args.length)
+        arities(a.rel) = df.columns.length
+        Fixpoint.collectUpTo(df, Fixpoint.LocalEdgeRows) match {
+          case Some(rows) => nonScc(a.rel) = rows; Some(())
+          case None => None
+        }
+      }
       recRules.flatMap(_.body).foreach {
         case Pos(a) if !scc(a.rel) && !nonScc.contains(a.rel) =>
-          val df = resolve(a.rel, a.args.length)
-          arities(a.rel) = df.columns.length
-          Fixpoint.collectUpTo(df, Fixpoint.LocalEdgeRows) match {
-            case Some(rows) => nonScc(a.rel) = rows
-            case None => return None
-          }
+          if (collectRel(a).isEmpty) return None
+        case Neg(a) if !nonScc.contains(a.rel) =>
+          if (collectRel(a).isEmpty) return None
         case _ => ()
       }
       LocalEval.run(catalog.spark, scc, recRules, arities.toMap,

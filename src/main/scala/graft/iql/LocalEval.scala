@@ -83,28 +83,154 @@ object LocalEval {
   }
 
   /** Static shape gate for the RECURSIVE rules of the SCC (base rules are
-    * derived by the normal compiler and only their rows are collected). */
+    * derived by the normal compiler and only their rows are collected).
+    * Allowed: positive atoms (Var/Const/Wildcard args), negated non-SCC
+    * atoms, comparison/binding predicates and head terms over
+    * Var/Const/Arith expressions — exactly the surface whose runtime
+    * semantics [[cmpVal]]/[[evalTerm]] replicate. Anything else (builtin
+    * functions, ranking/aggregate heads, unbound expression vars) bails
+    * to the distributed compiler, which either handles it or raises the
+    * proper error. */
   def shapeOk(scc: Set[String], recRules: Seq[Rule]): Boolean = {
     def argOk(t: Term): Boolean = t match {
       case _: Var | _: Const => true
       case Wildcard => true
       case _ => false
     }
+    def exprOk(t: Term, bound: Set[String]): Boolean = t match {
+      case Var(n) => bound(n)
+      case _: Const => true
+      case Arith(_, l, r) => exprOk(l, bound) && exprOk(r, bound)
+      case _ => false
+    }
     recRules.nonEmpty && recRules.forall { r =>
-      val posVars = r.body.collect { case Pos(a) =>
-        a.args.collect { case Var(n) => n } }.flatten.toSet
-      r.body.forall {
+      val atomsOk = r.body.forall {
         case Pos(a) =>
           !RuleCompiler.BoolBuiltins(a.rel.toLowerCase) &&
           !RuleCompiler.SpecialNames(a.rel.toLowerCase) &&
           a.args.forall(argOk)
-        case _ => false
-      } && r.head.args.forall {
-        case Var(n) => posVars(n)
-        case _: Const => true
-        case _ => false
+        case Neg(a) => !scc(a.rel) && a.args.forall(argOk)
+        case _: Cmp => true
+      }
+      // simulate RuleCompiler's in-order binding: positive-atom vars are
+      // bound, then `V = expr` / `expr = V` with V unbound binds V
+      var bound = r.body.collect { case Pos(a) =>
+        a.args.collect { case Var(n) => n } }.flatten.toSet
+      val cmpsOk = atomsOk && r.body.forall {
+        case Cmp("=", Var(v), rhs) if !bound(v) =>
+          val ok = exprOk(rhs, bound); bound += v; ok
+        case Cmp("=", lhs, Var(v)) if !bound(v) =>
+          val ok = exprOk(lhs, bound); bound += v; ok
+        case Cmp(_, l, rr) => exprOk(l, bound) && exprOk(rr, bound)
+        case _ => true
+      }
+      cmpsOk && r.head.args.forall(exprOk(_, bound))
+    }
+  }
+
+  /** Arithmetic with the dialect's exact semantics
+    * (`RuleCompiler.arith`): null-propagating; `/` is ALWAYS double with
+    * /0 → null; `%` by 0 → null, long%long stays long; `+ - *` keep long
+    * when both sides are long (ANSI overflow bails — the distributed
+    * path raises Spark's proper overflow error), promote to double
+    * otherwise. */
+  private def evalTerm(t: Term, env: collection.Map[String, Any]): Any = t match {
+    case Var(n) => env(n)
+    case Const(c) => norm(c)
+    case Arith(op, lt, rt) =>
+      val a = evalTerm(lt, env)
+      val b = evalTerm(rt, env)
+      if (a == null || b == null) return null
+      def toD(v: Any): Double = v match {
+        case l: Long => l.toDouble
+        case d: Double => d
+        case _ => bail()
+      }
+      op match {
+        case "/" =>
+          val bd = toD(b)
+          if (bd == 0.0) null else toD(a) / bd
+        case "%" => (a, b) match {
+          case (_, y: Long) if y == 0L => null
+          case (_, y: Double) if y == 0.0 => null
+          case (x: Long, y: Long) => x % y
+          case _ => toD(a) % toD(b)
+        }
+        case _ => (a, b) match {
+          case (x: Long, y: Long) =>
+            try op match {
+              case "+" => Math.addExact(x, y)
+              case "-" => Math.subtractExact(x, y)
+              case "*" => Math.multiplyExact(x, y)
+              case _ => bail()
+            } catch { case _: ArithmeticException => bail() }
+          case _ =>
+            val (x, y) = (toD(a), toD(b))
+            op match {
+              case "+" => x + y
+              case "-" => x - y
+              case "*" => x * y
+              case _ => bail()
+            }
+        }
+      }
+    case _ => bail()
+  }
+
+  /** Comparison with the dialect's exact semantics
+    * (`RuleCompiler.cmpTyped`): `=`/`!=` are null-safe, and use the
+    * reference's 1e-10 tolerance when either side is a double; ordered
+    * comparisons are SQL-style (null operand → not selected). Cross-kind
+    * comparisons (string vs number) would go through Spark's implicit
+    * casts — bail. Non-ASCII string ordering differs between UTF-8 bytes
+    * (Spark) and UTF-16 chars (Java) — bail there too. */
+  private def cmpVal(op: String, a: Any, b: Any): Boolean = {
+    val isD = a.isInstanceOf[Double] || b.isInstanceOf[Double]
+    if (op == "=" || op == "!=") {
+      val eq =
+        if (a == null && b == null) true
+        else if (a == null || b == null) false
+        else if (isD) {
+          val (x, y) = (numD(a), numD(b))
+          math.abs(x - y) < 1e-10
+        } else (a, b) match {
+          case (x: Long, y: Long) => x == y
+          case (x: String, y: String) => x == y
+          case (x: Boolean, y: Boolean) => x == y
+          case _ => bail()
+        }
+      if (op == "=") eq else !eq
+    } else {
+      if (a == null || b == null) return false
+      val c = (a, b) match {
+        case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+        case (x: String, y: String) =>
+          if (!isAscii(x) || !isAscii(y)) bail()
+          x.compareTo(y)
+        case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
+        case _ if isD => java.lang.Double.compare(numD(a), numD(b))
+        case _ => bail()
+      }
+      op match {
+        case "<" => c < 0
+        case "<=" => c <= 0
+        case ">" => c > 0
+        case ">=" => c >= 0
+        case _ => bail()
       }
     }
+  }
+
+  private def numD(v: Any): Double = v match {
+    case l: Long => l.toDouble
+    case d: Double => d
+    case _ => bail()
+  }
+
+  private def isAscii(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) { if (s.charAt(i) >= 128) return false; i += 1 }
+    true
   }
 
   /** One relation's tuples + per-column kind lattice + lazy hash indexes
@@ -165,12 +291,18 @@ object LocalEval {
   }
 
   /** One recursive-rule evaluation plan for a designated delta occurrence:
-    * the delta atom is enumerated first, the remaining atoms join in
-    * greedy most-bound-first order with statically-known bound masks
-    * (same heuristic as `RuleCompiler.compileBody`). */
+    * the delta atom is enumerated first, the remaining positive atoms
+    * join in greedy most-bound-first order with statically-known bound
+    * masks (same heuristic as `RuleCompiler.compileBody`); comparison /
+    * binding predicates then apply in body order and stratified negation
+    * checks last — compileBody's exact phase order. */
   private final case class AtomStep(atom: Atom, rel: String, isScc: Boolean, mask: List[Int])
+  private sealed trait PostStep
+  private final case class BindStep(v: String, expr: Term) extends PostStep
+  private final case class FilterStep(op: String, l: Term, r: Term) extends PostStep
+  private final case class NegStep(atom: Atom) extends PostStep
   private final case class OccPlan(rule: Rule, deltaAtom: Atom, deltaRel: String,
-                                   steps: List[AtomStep])
+                                   steps: List[AtomStep], post: List[PostStep])
 
   private def planOcc(r: Rule, dIdx: Int, scc: Set[String]): OccPlan = {
     val pos = r.body.zipWithIndex.collect { case (Pos(a), i) => (a, i) }
@@ -195,7 +327,58 @@ object LocalEval {
       steps += AtomStep(a, a.rel, scc(a.rel), mask)
       bound ++= a.args.collect { case Var(n) => n }
     }
-    OccPlan(r, deltaAtom, deltaAtom.rel, steps.toList)
+    // binds/filters in body order (bind-vs-filter decided with the same
+    // incremental bound set compileBody uses), then negations
+    var cmpBound = pos.flatMap(_._1.args.collect { case Var(n) => n }).toSet
+    val post = mutable.ListBuffer.empty[PostStep]
+    r.body.foreach {
+      case Cmp("=", Var(v), rhs) if !cmpBound(v) =>
+        post += BindStep(v, rhs); cmpBound += v
+      case Cmp("=", lhs, Var(v)) if !cmpBound(v) =>
+        post += BindStep(v, lhs); cmpBound += v
+      case Cmp(op, l, rr) => post += FilterStep(op, l, rr)
+      case _ => ()
+    }
+    r.body.foreach {
+      case Neg(a) => post += NegStep(a)
+      case _ => ()
+    }
+    OccPlan(r, deltaAtom, deltaAtom.rel, steps.toList, post.toList)
+  }
+
+  /** Apply post steps to a completed positive-atom binding. */
+  private def applyPost(post: List[PostStep], env0: Map[String, Any],
+                        ext: Map[String, Store]): Option[Map[String, Any]] = {
+    var env = env0
+    var ps = post
+    while (ps.nonEmpty) {
+      ps.head match {
+        case BindStep(v, expr) => env = env.updated(v, evalTerm(expr, env))
+        case FilterStep(op, l, r) =>
+          if (!cmpVal(op, evalTerm(l, env), evalTerm(r, env))) return None
+        case NegStep(a) =>
+          // left_anti on the shared (bound) vars: reject when ANY negated
+          // row unifies (unbound vars are existential; a null binding
+          // never matches — EqualTo join semantics)
+          val st = ext(a.rel)
+          val seenInAtom = mutable.HashSet.empty[String]
+          val mask = a.args.zipWithIndex.collect {
+            case (_: Const, i) => i
+            case (Var(n), i) if env.contains(n) && seenInAtom.add(n) => i
+          }.toList
+          val key = mask.map(i => a.args(i) match {
+            case Const(c) => norm(c)
+            case Var(n) => env(n)
+            case _ => bail()
+          })
+          val it = st.lookup(mask, key)
+          while (it.hasNext) {
+            if (tryBind(a.args, it.next(), env).isDefined) return None
+          }
+      }
+      ps = ps.tail
+    }
+    Some(env)
   }
 
   /** Run the local fixpoint. `baseRows`: initial tuples per SCC relation
@@ -222,7 +405,8 @@ object LocalEval {
           .map(planOcc(r, _, scc))
       }
       plans.foreach { p =>
-        (p.deltaAtom :: p.steps.map(_.atom)).foreach { a =>
+        val negAtoms = p.post.collect { case NegStep(a) => a }
+        (p.deltaAtom :: p.steps.map(_.atom) ::: negAtoms).foreach { a =>
           val st = acc.getOrElse(a.rel, ext.getOrElse(a.rel, bail()))
           if (st.arity != a.args.length) bail()
         }
@@ -247,13 +431,14 @@ object LocalEval {
             val out = pend.getOrElseUpdate(headRel, mutable.LinkedHashSet.empty)
             dRows.foreach { t =>
               tryBind(p.deltaAtom.args, t, Map.empty).foreach { env0 =>
-                enumerate(p.steps, env0, acc, ext) { env =>
-                  val tup = ArraySeq.unsafeWrapArray(p.rule.head.args.map {
-                    case Var(n) => env(n)
-                    case Const(c) => norm(c)
-                    case _ => bail()
-                  }.toArray[Any])
-                  if (!acc(headRel).set.contains(tup)) out += tup
+                enumerate(p.steps, env0, acc, ext) { envPos =>
+                  applyPost(p.post, envPos, ext).foreach { env =>
+                    // norm: head arithmetic can produce -0.0, which
+                    // Spark's distinct folds into 0.0
+                    val tup = ArraySeq.unsafeWrapArray(
+                      p.rule.head.args.map(a => norm(evalTerm(a, env))).toArray[Any])
+                    if (!acc(headRel).set.contains(tup)) out += tup
+                  }
                 }
               }
             }

@@ -624,14 +624,38 @@ class EngineSpec extends SparkSpec {
     assert(local.map(_.last) == Set(3L, 4L, 5L, 6L)) // 5's generation (depth 2)
   }
 
-  test("local SCC fast path bails to distributed on arithmetic rules") {
-    // D+1 in the head is outside the local shape gate — must still work
-    assert(query(
-      """+e[(1,2),(2,3)]
+  test("local SCC fast path: arithmetic heads, guards, and bindings") {
+    // depth counter with guard — compileBody semantics: D+1 head arith,
+    // N < 3 filter, M = N * 10 binding
+    val r = localVsDistributed(
+      """+e[(1,2),(2,3),(3,4),(4,5)]
         |d(X, Y, 1) <- e(X, Y)
-        |d(X, Z, N + 1) <- d(X, Y, N), e(Y, Z), N < 3
+        |d(X, Z, M) <- d(X, Y, N), e(Y, Z), N < 3, M = N + 1
         |?d(X, Y, N)
-        |""".stripMargin) ==
-      Set(Seq(1L, 2L, 1L), Seq(2L, 3L, 1L), Seq(1L, 3L, 2L)))
+        |""".stripMargin)
+    assert(r.contains(Seq(1L, 4L, 3L)) && !r.exists(_.last == 4L))
+  }
+
+  test("local SCC fast path: division and float equality in guards") {
+    val r = localVsDistributed(
+      """+e[(1,2),(2,4),(4,8)]
+        |p(X, Y, R) <- e(X, Y), R = Y / X
+        |p(X, Z, R2) <- p(X, Y, R), e(Y, Z), R < 100, R2 = R * 2.0
+        |?p(X, Z, R)
+        |""".stripMargin)
+    assert(r == Set(Seq(1L, 2L, 2.0), Seq(2L, 4L, 2.0), Seq(4L, 8L, 2.0),
+      Seq(1L, 4L, 4.0), Seq(1L, 8L, 8.0), Seq(2L, 8L, 4.0)))
+  }
+
+  test("local SCC fast path: stratified negation inside recursive rules") {
+    val r = localVsDistributed(
+      """+e[(1,2),(2,3),(3,4),(4,5)]
+        |+blocked[(3)]
+        |r(1, 1) <- e(1, _)
+        |r(X, Z) <- r(X, Y), e(Y, Z), !blocked(Z)
+        |?r(X, Y)
+        |""".stripMargin)
+    // path stops at 3: 1 -> 2, never 3; 4/5 unreachable
+    assert(r == Set(Seq(1L, 1L), Seq(1L, 2L)))
   }
 }
