@@ -711,6 +711,72 @@ final class Engine(val catalog: Catalog) {
         val aggIdxSet = aggSpecs.map(_._2).toSet
         val deltaAgg = Fixpoint.materialize(deltaDerive(r, changedOccs.head, cached))
         if (deltaAgg.count == 0) return Some(cached)
+        // driver-local merge when both sides fit: one collect each, a
+        // hash merge, and a parallelize — instead of a full_outer join +
+        // checkpoint (the reference merges cached group states in-process,
+        // BENCHMARKS.md:91-93; this is its Spark analogue for the
+        // overwhelmingly common small-group-count case)
+        object MergeBail extends scala.util.control.ControlThrowable
+        def numLt(a: Any, b: Any): Boolean = (a, b) match {
+          case (x: Long, y: Long) => x < y
+          case (x: Int, y: Int) => x < y
+          case (x: Number, y: Number) => x.doubleValue < y.doubleValue
+          case (x: String, y: String) =>
+            // Spark least/greatest order strings by UTF-8 bytes; Java by
+            // UTF-16 chars — equivalent only for ASCII
+            if (x.exists(_ >= 128) || y.exists(_ >= 128)) throw MergeBail
+            x.compareTo(y) < 0
+          case (x: Boolean, y: Boolean) => !x && y
+          case _ => throw MergeBail
+        }
+        val localMerged = try for {
+          oldRows <- Fixpoint.collectUpTo(cached.toDF(cols: _*), Fixpoint.LocalEdgeRows)
+          newRows <- Fixpoint.collectUpTo(deltaAgg.df, Fixpoint.LocalEdgeRows)
+        } yield {
+          val keyIdx = cols.indices.filterNot(aggIdxSet)
+          def key(row: org.apache.spark.sql.Row): Seq[Any] = keyIdx.map { i =>
+            row.get(i) match { // <=> folds -0.0 into 0.0 and NaN equal
+              case d: Double if d == 0.0 => 0.0
+              case v => v
+            }
+          }
+          val m = mutable.LinkedHashMap.empty[Seq[Any], Array[Any]]
+          oldRows.foreach(r => m(key(r)) = Array.tabulate(cols.length)(r.get))
+          def addNum(a: Any, b: Any): Any = (a, b) match {
+            case (x: Long, y: Long) => x + y
+            case (x: Int, y: Int) => x + y
+            case (x: Double, y: Double) => x + y
+            case _ => throw MergeBail
+          }
+          newRows.foreach { r =>
+            m.get(key(r)) match {
+              case None => m(key(r)) = Array.tabulate(cols.length)(r.get)
+              case Some(acc) => aggSpecs.foreach { case (f, i) =>
+                val (ov, nv) = (acc(i), r.get(i))
+                acc(i) = f match {
+                  case "count" => addNum(if (ov == null) 0L else ov, if (nv == null) 0L else nv)
+                  case "sum" =>
+                    if (ov == null && nv == null) null
+                    else if (ov == null) nv else if (nv == null) ov else addNum(ov, nv)
+                  case "min" => // least/greatest skip nulls
+                    if (ov == null) nv else if (nv == null) ov
+                    else if (numLt(nv, ov)) nv else ov
+                  case _ =>
+                    if (ov == null) nv else if (nv == null) ov
+                    else if (numLt(ov, nv)) nv else ov
+                }
+              }
+            }
+          }
+          val schema = org.apache.spark.sql.types.StructType(
+            cached.toDF(cols: _*).schema.fields.map(_.copy(nullable = true)))
+          val out = m.valuesIterator
+            .map(a => org.apache.spark.sql.Row.fromSeq(a.toSeq)).toSeq
+          catalog.spark.createDataFrame(
+            catalog.spark.sparkContext.parallelize(out,
+              Fixpoint.parallelizeParts(out.size.toLong)), schema)
+        } catch { case MergeBail => None }
+        localMerged.foreach(df => return Some(df))
         val o = cached.toDF(cols: _*).withColumn("__op", lit(1)).alias("__o")
         val n = deltaAgg.df.withColumn("__np", lit(1)).alias("__n")
         val keyCond = cols.indices.filterNot(aggIdxSet).map(i =>
