@@ -283,6 +283,79 @@ object VectorKernels {
       copy(child = newChild)
   }
 
+  /** Unit-normalized copy of a numeric array as array<double>; a zero
+    * vector stays zero. One pass computes the norm, a second divides —
+    * inside a single codegen'd expression, so no checkpoint barrier is
+    * needed to stop CollapseProject from inlining the norm into a
+    * per-element lambda (the O(dim²) trap the HOF form has). A null
+    * element nulls the whole result (the HOF form yields an all-null
+    * array; both are dropped by any downstream distance filter). */
+  final case class VecUnit(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "vec_unit"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (elemOk(child.dataType)) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs a numeric array input, got ${child.dataType}")
+
+    private def et = child.dataType.asInstanceOf[ArrayType].elementType
+
+    override def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      val out = new Array[Double](n)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        if (x.isNullAt(i)) return null
+        val v = readElem(et, x, i)
+        out(i) = v
+        acc += v * v
+        i += 1
+      }
+      val nrm = math.sqrt(acc)
+      if (nrm != 0.0) {
+        i = 0
+        while (i < n) { out(i) /= nrm; i += 1 }
+      }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, x => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val acc = ctx.freshName("acc")
+        val out = ctx.freshName("out")
+        val nrm = ctx.freshName("nrm")
+        s"""
+           |int $n = $x.numElements();
+           |double[] $out = new double[$n];
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  if ($x.isNullAt($i)) { ${ev.isNull} = true; break; }
+           |  double __v = ${getElem(et, x, i)};
+           |  $out[$i] = __v;
+           |  $acc += __v * __v;
+           |}
+           |if (!${ev.isNull}) {
+           |  double $nrm = java.lang.Math.sqrt($acc);
+           |  if ($nrm != 0.0) for (int $i = 0; $i < $n; $i++) $out[$i] /= $nrm;
+           |  ${ev.value} =
+           |    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+           |}
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def unit(a: Column): Column =
+    ExpressionUtils.column(VecUnit(ExpressionUtils.expression(a)))
+
   def dot(a: Column, b: Column): Column =
     ExpressionUtils.column(VecFold(ExpressionUtils.expression(a),
       ExpressionUtils.expression(b), "dot"))

@@ -185,18 +185,14 @@ object Dedup {
   }
 
   /** Unit-length double vectors keyed by id — shared by the LSH-bucketed
-    * and exact all-pairs cosine paths. The localCheckpoint between the
-    * norm and the divide is load-bearing: without the barrier
-    * CollapseProject inlines the norm aggregate into the transform lambda,
-    * which Spark re-evaluates PER ELEMENT (O(dim²) per row). Zero vectors
-    * stay zero → dot 0. */
-  private def unitVectors(emb: DataFrame, idCol: String, vecCol: String): (DataFrame, Long) = {
-    val pre = emb.select(col(idCol).as("id"), col(vecCol).as("v0"))
-      .withColumn("__nrm", VF.norm(col("v0"))).localCheckpoint(true)
-    mat(pre.select(col("id"),
-      when(col("__nrm") === 0.0, col("v0").cast("array<double>"))
-        .otherwise(transform(col("v0"), x => x.cast("double") / col("__nrm"))).as("v")))
-  }
+    * and exact all-pairs cosine paths. Single codegen'd normalize
+    * expression ([[graft.functions.VectorKernels.VecUnit]]) — norm and
+    * divide in one pass, so no checkpoint barrier is needed against
+    * CollapseProject's per-element lambda inlining. Zero vectors stay
+    * zero → dot 0. */
+  private def unitVectors(emb: DataFrame, idCol: String, vecCol: String): (DataFrame, Long) =
+    mat(emb.select(col(idCol).as("id"),
+      graft.functions.VectorKernels.unit(col(vecCol)).as("v")))
 
   /** EXACT all-pairs cosine ≥ minCosine (id_a < id_b) — the oracle-checkable
     * baseline for [[embeddingCosinePairs]]. Quadratic; `capIds` bounds the
