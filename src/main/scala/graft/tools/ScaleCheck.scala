@@ -7,10 +7,12 @@ import graft.operators.Dedup
 /** Scale-up probe: times MinHash near-dup pairs on 1× and 10× document
   * volumes (ids offset per copy, so every doc gains 9 exact copies —
   * duplicate CLIQUES whose pair count grows quadratically; the worst
-  * case for candidate volume). Measured at sf0.1 on local[32]:
-  *   1×  (5k docs):    887 pairs in 4.5 s
-  *   10× (50k docs): 313,700 pairs in 80 s
-  * → 354× more output pairs for 17.6× more wall time: the pipeline is
+  * case for candidate volume). Measured at sf0.1 on local[32] with the
+  * one-pass signature UDF + codegen'd agreement kernel:
+  *   1×  (5k docs):     1,718 pairs in 2.2 s
+  *   10× (50k docs):  396,800 pairs in 3.5 s
+  * (round-2 explode/aggregate pipeline: 4.5 s / 80 s on the same data)
+  * → 231× more output pairs for 1.6× more wall time: the pipeline is
   * OUTPUT-SENSITIVE (cost tracks docs + emitted pairs, not docs²),
   * which is the scaling property that matters at 100 TB — shuffle and
   * signature costs amortize while the candidate join only pays for
