@@ -263,6 +263,10 @@ class WireServerSpec extends SparkSpec {
       |""".stripMargin
 
   test("query timeout cancels a diverging recursive query; server keeps serving") {
+    // pin the distributed loop: THIS test proves the Spark job-group
+    // kill; the driver-local evaluator (which would otherwise solve the
+    // bounded program quickly) has its own cancellation test below
+    graft.iql.LocalEval.disabled = true
     val server = new WireServer(spark)
     try {
       val q = new LinkedBlockingQueue[String]()
@@ -279,10 +283,36 @@ class WireServerSpec extends SparkSpec {
       assert(ok("type") == "result" || ok("type") == "error") // served, not wedged
       assert(wsSend(ws, q, Map("type" -> "ping"))("type") == "pong")
       ws.sendClose(WebSocket.NORMAL_CLOSURE, "").join()
+    } finally {
+      server.stop()
+      graft.iql.LocalEval.disabled = false
+    }
+  }
+
+  test("query timeout cancels a driver-local fixpoint too") {
+    // truly unbounded counter recursion: the local evaluator's round loop
+    // must poll the cooperative cancel flag and surface the timeout
+    val server = new WireServer(spark)
+    try {
+      val q = new LinkedBlockingQueue[String]()
+      val ws = wsConnect(server, q)
+      val t0 = System.nanoTime()
+      val err = wsSend(ws, q, Map("type" -> "query",
+        "query" -> "+tick[(0)]\n+tick(N) <- tick(M), N = M + 1\n?tick(N)",
+        "timeout_ms" -> 1200L))
+      val elapsedMs = (System.nanoTime() - t0) / 1000000L
+      assert(err("type") == "error", s"expected error, got $err")
+      assert(err("message").toString.toLowerCase.contains("timeout"))
+      assert(elapsedMs < 30000L, s"local cancellation took ${elapsedMs} ms")
+      assert(wsSend(ws, q, Map("type" -> "ping"))("type") == "pong")
+      ws.sendClose(WebSocket.NORMAL_CLOSURE, "").join()
     } finally server.stop()
   }
 
   test("a slow query on one connection does not block another") {
+    // distributed loop again: the slow side must still be mid-flight when
+    // the fast query answers
+    graft.iql.LocalEval.disabled = true
     val server = new WireServer(spark)
     try {
       val (qSlow, qFast) = (new LinkedBlockingQueue[String](), new LinkedBlockingQueue[String]())
@@ -307,7 +337,10 @@ class WireServerSpec extends SparkSpec {
       assert(slow("type") == "error")
       wsSlow.sendClose(WebSocket.NORMAL_CLOSURE, "").join()
       wsFast.sendClose(WebSocket.NORMAL_CLOSURE, "").join()
-    } finally server.stop()
+    } finally {
+      server.stop()
+      graft.iql.LocalEval.disabled = false
+    }
   }
 
   test("proof trees round-trip over the wire for .why queries") {
