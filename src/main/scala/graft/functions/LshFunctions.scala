@@ -30,9 +30,9 @@ object LshFunctions {
   }
 
   private def projSign(v: Column, plane: Array[Double]): Column = {
-    val planeCol = typedLit(plane.toSeq)
-    val dp = aggregate(zip_with(v, planeCol, (x, y) => x.cast("double") * y),
-      lit(0.0), (acc, x) => acc + x)
+    // codegen'd dot kernel — identical math/null contract to the HOF
+    // form, without nPlanes × nTables interpreted lambdas per row
+    val dp = VectorKernels.dot(v, typedLit(plane.toSeq))
     when(dp > 0.0, lit(1)).otherwise(lit(0))
   }
 
