@@ -310,6 +310,21 @@ object SparkEntry {
       Similarity.ivfTopK(emb, q, 10, dim = 64)
     }),
 
+    // --- pipeline: TRAINED IVF (k-means coarse quantizer), probing ALL
+    //     cells — the candidate set is then the whole table, so the
+    //     result must EQUAL brute-force top-k: a hard oracle on the
+    //     train/assign/probe machinery (smaller nprobe is the recall/
+    //     cost knob; the 100 TB layout writes partitionBy(cell)) --------
+    "q61_ann_ivf_trained" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val cent = ivfCentroidCache.getOrElseUpdate(dir,
+        Similarity.kmeansCentroids(emb, k = 16, iters = 3))
+      val q = emb.where(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0)
+      Similarity.ivfTopKTrained(emb, q, 10, cent, nprobe = cent.length)
+        .select(col("vec_id"))
+    }),
+
     // --- pipeline: embedding near-dup pairs (LSH candidates + exact cosine
     //     verify; oracled against the exact all-pairs SQL — DedupSpec
     //     asserts 100% recall of the bucketed path at this scale) ----------
@@ -554,6 +569,9 @@ object SparkEntry {
           |""".stripMargin).last
     })
   )
+
+  private val ivfCentroidCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
 
   private val hnswCache =
     scala.collection.concurrent.TrieMap.empty[String, graft.index.Hnsw]
@@ -849,6 +867,13 @@ object SparkEntry {
         |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
 
     "q33_ann_bruteforce" ->
+      """SELECT vec_id FROM embeddings
+        |ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC,
+        |vec_id ASC LIMIT 10""".stripMargin,
+
+    // all-cells trained-IVF probe == brute force, same oracle
+    "q61_ann_ivf_trained" ->
       """SELECT vec_id FROM embeddings
         |ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
         |(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC,

@@ -94,6 +94,79 @@ object Similarity {
     bruteForceTopK(bucketed, query, k, idCol, vecCol)
   }
 
+  /** Deterministic k-means centroids for IVF (Lloyd iterations over the
+    * data — the real "train the coarse quantizer" step; the seeded-
+    * Gaussian [[ivfCell]] is the train-free fallback). Init = the k rows
+    * with the smallest `xxhash64(id, seed)` (a deterministic pseudo-
+    * random sample, reproducible across runs and executors); each
+    * iteration assigns every vector to its best centroid with the
+    * codegen'd dot kernel and recomputes element-wise means via
+    * posexplode + groupBy(cell, pos) — ONE aggregation job per
+    * iteration, shuffling (cell, pos, sum) triples, never the vectors.
+    * Centroids (k × dim doubles) live on the driver — broadcast scale. */
+  def kmeansCentroids(emb: DataFrame, k: Int, iters: Int = 5,
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      seed: Long = 0x5EEDL): Array[Array[Double]] = {
+    val init = emb
+      .select(col(idCol), col(vecCol))
+      .withColumn("__h", xxhash64(col(idCol), lit(seed)))
+      .orderBy(col("__h"), col(idCol)).limit(k)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    var cent = init
+    var it = 0
+    while (it < iters) {
+      val assigned = emb.select(
+        bestCell(col(vecCol), cent).as("cell"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x")))
+      val means = assigned.groupBy("cell", "pos").agg(avg(col("x")).as("m"))
+        .collect()
+      val next = cent.map(_.clone())
+      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      cent = next
+      it += 1
+    }
+    cent
+  }
+
+  /** Best (max-dot) centroid index for a vector — k codegen'd dot
+    * kernels + greatest; ties break to the LOWEST cell index. */
+  private def bestCell(v: Column, centroids: Array[Array[Double]]): Column = {
+    import graft.functions.{VectorKernels => VK}
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      // negate the index so equal scores pick the smallest i via greatest
+      struct(VK.dot(v, typedLit(c.toSeq)).as("score"), lit(-i).as("negCell"))
+    }
+    -greatest(scored: _*).getField("negCell")
+  }
+
+  /** IVF with TRAINED centroids: restrict the exact search to the
+    * query's `nprobe` best cells. With `nprobe = centroids.length` the
+    * candidate set is the whole table and the result EQUALS
+    * [[bruteForceTopK]] — the oracle anchor for the assignment + probe
+    * machinery; smaller nprobe trades recall for a proportional scan
+    * cut. At 100 TB the table is written `partitionBy("cell")`
+    * ([[ivfAssign]]) so probing reads only matching partitions. */
+  def ivfTopKTrained(emb: DataFrame, query: Seq[Float], k: Int,
+                     centroids: Array[Array[Double]], nprobe: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    def dotQ(c: Array[Double]): Double =
+      query.zip(c).map { case (x, y) => x.toDouble * y }.sum
+    val probeCells = centroids.zipWithIndex
+      .sortBy { case (c, i) => (-dotQ(c), i) }.take(nprobe).map(_._2)
+    val probed =
+      if (probeCells.length == centroids.length) emb
+      else emb.where(bestCell(col(vecCol), centroids).isin(probeCells: _*))
+    bruteForceTopK(probed, query, k, idCol, vecCol)
+  }
+
+  /** Cell assignment column for writing an IVF-partitioned layout:
+    * `ivfAssign(emb, cent).write.partitionBy("cell").parquet(path)` —
+    * probes then prune partitions at scan time. */
+  def ivfAssign(emb: DataFrame, centroids: Array[Array[Double]],
+                vecCol: String = "embedding"): DataFrame =
+    emb.withColumn("cell", bestCell(col(vecCol), centroids))
+
   /** All rows within a cosine-distance radius of the query (the
     * reference's `within_radius` ranking aggregate, `src/ir/mod.rs:40-47`). */
   def withinRadius(emb: DataFrame, query: Seq[Float], maxDist: Double,
