@@ -344,6 +344,14 @@ object SparkEntry {
     "q58_cosine_exact" -> ((s, dir) =>
       Dedup.cosineAllPairs(T(s, dir, "embeddings"), minCosine = 0.3, capIds = 500L)),
 
+    // --- pipeline: PII scrubbing (email/IP/phone redaction + counts) ----
+    "q62_pii_scrub" -> ((s, dir) =>
+      TextAnalysis.piiScrub(T(s, dir, "documents"))),
+
+    // --- pipeline: fixed-window character chunking with overlap ---------
+    "q63_chunking" -> ((s, dir) =>
+      TextAnalysis.chunk(T(s, dir, "documents"), size = 200, overlap = 50)),
+
     // --- vector norms (oracle via DuckDB list fns) ---------------------------------------------------
     "q37_vector_norms" -> ((s, dir) =>
       T(s, dir, "embeddings").select(col("vec_id"),
@@ -865,6 +873,25 @@ object SparkEntry {
         |ROUND(LEAST(CAST(224 AS DOUBLE) / ((doc_id % 64) * 16 + 64),
         |  CAST(224 AS DOUBLE) / ((doc_id % 48) * 16 + 64)), 6) AS scale
         |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
+
+    "q62_pii_scrub" ->
+      """SELECT doc_id,
+        |regexp_replace(regexp_replace(regexp_replace(text,
+        |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |  '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g'),
+        |  '\b\d{7,15}\b', '[PHONE]', 'g') AS scrubbed,
+        |LEN(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |LEN(regexp_extract_all(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ips
+        |FROM documents""".stripMargin,
+
+    "q63_chunking" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE LEN(text) > 0),
+        |c AS (SELECT doc_id, text,
+        |  UNNEST(generate_series(0,
+        |    GREATEST(CAST(CEIL((LEN(text) - 50) / 150.0) AS INT) - 1, 0))) AS chunk_id
+        |  FROM d)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |SUBSTR(text, chunk_id * 150 + 1, 200) AS chunk FROM c""".stripMargin,
 
     "q33_ann_bruteforce" ->
       """SELECT vec_id FROM embeddings

@@ -53,6 +53,40 @@ object TextAnalysis {
       .select(col("id").as(idCol), coalesce(col("simhash"), lit(0L)).as("simhash"))
   }
 
+  /** PII scrubbing: email / IPv4 / long-digit-run (phone-ish) redaction
+    * with per-class match counts — the standard pre-training privacy
+    * pass. Pure per-row regexp work (scan-local, shuffle-free at any
+    * scale); patterns stay in the RE2-compatible subset so the same
+    * regexes run in the DuckDB oracle. */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val Ipv4Re = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+  private val PhoneRe = "\\b\\d{7,15}\\b"
+
+  def piiScrub(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      regexp_replace(regexp_replace(regexp_replace(col(textCol),
+        EmailRe, "[EMAIL]"), Ipv4Re, "[IP]"), PhoneRe, "[PHONE]").as("scrubbed"),
+      regexp_count(col(textCol), lit(EmailRe)).as("n_emails"),
+      regexp_count(col(textCol), lit(Ipv4Re)).as("n_ips"))
+
+  /** Fixed-size character chunking with overlap (context-window prep):
+    * one row per chunk, `chunk_id` 0-based, stride = size − overlap.
+    * Position-explode keeps the substring codegen'd (one pass per doc,
+    * no interpreted lambdas); empty docs yield no chunks. */
+  def chunk(docs: DataFrame, size: Int, overlap: Int,
+            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(size > overlap && overlap >= 0, s"need size > overlap >= 0")
+    val stride = size - overlap
+    docs.select(col(idCol), col(textCol))
+      .where(length(col(textCol)) > 0)
+      .select(col(idCol), col(textCol),
+        explode(sequence(lit(0),
+          greatest(ceil((length(col(textCol)) - lit(overlap)).cast("double") / stride)
+            .cast("int") - 1, lit(0)))).as("chunk_id"))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        col(textCol).substr(col("chunk_id") * stride + 1, lit(size)).as("chunk"))
+  }
+
   /** 64-bit content fingerprints: SimHash + rolling-hash min-shingle,
     * both computed via explode/groupBy single passes. */
   def fingerprints(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

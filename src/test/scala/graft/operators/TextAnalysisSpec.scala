@@ -1,0 +1,36 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pii scrub redacts emails, ips, and long digit runs with counts") {
+    val docs = Seq(
+      (1L, "contact bob@example.com or 10.0.0.1 now"),
+      (2L, "call 5551234567 twice: 5551234567"),
+      (3L, "clean text, short 123 stays")).toDF("doc_id", "text")
+    val r = rows(TextAnalysis.piiScrub(docs))
+    assert(r.contains(Seq(1L, "contact [EMAIL] or [IP] now", 1, 1)))
+    assert(r.contains(Seq(2L, "call [PHONE] twice: [PHONE]", 0, 0)))
+    assert(r.contains(Seq(3L, "clean text, short 123 stays", 0, 0)))
+  }
+
+  test("chunking covers the document with the configured stride") {
+    val docs = Seq((1L, "a" * 450), (2L, "b" * 10), (3L, "")).toDF("doc_id", "text")
+    val r = TextAnalysis.chunk(docs, size = 200, overlap = 50)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2)))
+    // doc 1: stride 150 → chunks at 0,150,300 (ceil((450-50)/150)=3)
+    val d1 = r.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(_._2).toSeq == Seq(0L, 1L, 2L))
+    assert(d1(0)._3.length == 200 && d1(2)._3.length == 150)
+    // overlap: chunk 1 starts at 150 < 200 = end of chunk 0
+    // doc 2 shorter than one stride → single chunk, full text
+    assert(r.filter(_._1 == 2L).toSeq == Seq((2L, 0L, "b" * 10)))
+    // empty doc → no chunks
+    assert(!r.exists(_._1 == 3L))
+    // reassembly: concatenating chunk starts covers every position
+    assert(d1.map(_._3).mkString.length == 200 + 200 + 150)
+  }
+}
