@@ -1,0 +1,68 @@
+package graft.iql
+
+import graft.SparkSpec
+import scala.util.Random
+
+/** Differential fuzz: random small stratified Datalog programs run
+  * through BOTH the driver-local SCC evaluator and the distributed
+  * semi-naive loop; results must be identical. Programs stay in the
+  * terminating fragment (no arithmetic value creation in recursive
+  * heads), but exercise the rest of the local surface: multi-rule
+  * recursion, constants, wildcards, repeated variables, comparison
+  * guards, and stratified negation. Seed is fixed — failures reproduce. */
+class LocalEvalFuzzSpec extends SparkSpec {
+
+  private def randomProgram(rng: Random): String = {
+    val nNodes = 4 + rng.nextInt(5)
+    val nEdges = 4 + rng.nextInt(8)
+    val edges = Seq.fill(nEdges)(
+      s"(${rng.nextInt(nNodes)}, ${rng.nextInt(nNodes)})").distinct.mkString(",")
+    val blocked = Seq.fill(1 + rng.nextInt(2))(s"(${rng.nextInt(nNodes)})")
+      .distinct.mkString(",")
+    val sb = new StringBuilder
+    sb.append(s"+e[$edges]\n+blk[$blocked]\n")
+    // base rule
+    rng.nextInt(3) match {
+      case 0 => sb.append("r(X, Y) <- e(X, Y)\n")
+      case 1 => sb.append("r(X, X) <- e(X, _)\n")
+      case 2 => sb.append(s"r(X, Y) <- e(X, Y), X != Y\n")
+    }
+    // recursive rule(s)
+    rng.nextInt(4) match {
+      case 0 => sb.append("r(X, Z) <- r(X, Y), e(Y, Z)\n")
+      case 1 => sb.append("r(X, Z) <- r(X, Y), r(Y, Z)\n")
+      case 2 =>
+        sb.append("r(X, Z) <- r(X, Y), e(Y, Z), !blk(Z)\n")
+      case 3 =>
+        sb.append("r(X, Z) <- e(X, Y), r(Y, Z)\n")
+        sb.append(s"r(X, Z) <- r(X, Y), e(Y, Z), Y < ${1 + rng.nextInt(nNodes)}\n")
+    }
+    // occasionally a second head with a constant or mutual recursion
+    if (rng.nextBoolean()) {
+      sb.append("s(X) <- r(X, _)\n")
+      sb.append(s"?s(X)\n")
+    } else if (rng.nextBoolean()) {
+      sb.append(s"?r(X, Y)\n")
+    } else {
+      sb.append(s"?- r(X, Y), X = ${rng.nextInt(nNodes)}\n")
+    }
+    sb.toString
+  }
+
+  test("local and distributed SCC evaluation agree on random programs") {
+    val rng = new Random(20260812L)
+    (1 to 14).foreach { i =>
+      val src = randomProgram(rng)
+      val local =
+        try Right(rows(new Engine(new Catalog(spark)).run(src).last))
+        catch { case ex: Exception => Left(ex.getClass.getName) }
+      LocalEval.disabled = true
+      val dist =
+        try Right(rows(new Engine(new Catalog(spark)).run(src).last))
+        catch { case ex: Exception => Left(ex.getClass.getName) }
+        finally LocalEval.disabled = false
+      assert(local == dist,
+        s"case $i diverged:\n$src\nlocal=$local\ndistributed=$dist")
+    }
+  }
+}
