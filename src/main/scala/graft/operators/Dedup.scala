@@ -216,9 +216,12 @@ object Dedup {
     // Bucket join carries only ids; vectors join back after pair-distinct
     // so each candidate pair computes cosine exactly once and the bucket
     // shuffle payload is (table, bucket, id), not the embeddings.
-    val bucketed = emb.select(col(idCol).as("id"),
+    // Materialized ONCE: both join sides read the checkpoint instead of
+    // re-evaluating the multi-probe projection (same single-signature-
+    // pass shape as minHashPairs).
+    val (bucketed, _) = mat(emb.select(col(idCol).as("id"),
       explode(LF.lshMultiProbe(col(vecCol), dim, nTables, nPlanes)).as("tb"))
-      .select(col("id"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+      .select(col("id"), col("tb.table").as("table"), col("tb.bucket").as("bucket")))
     val a = bucketed.select(col("table"), col("bucket"), col("id").as("id_a"))
     val b = bucketed.select(col("table"), col("bucket"), col("id").as("id_b"))
     val candPairs = a.join(b, Seq("table", "bucket"))
