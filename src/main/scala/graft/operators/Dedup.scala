@@ -81,9 +81,10 @@ object Dedup {
     // Bucket join carries ONLY (band, bucket, id) — signatures join back
     // after the pair-distinct, so the Jaccard estimate is computed once
     // per candidate pair, not once per shared bucket (up to `bands`×).
-    val banded = sigs
+    // Materialized once so both self-join sides read the checkpoint.
+    val (banded, _) = mat(sigs
       .select(col("id"), explode(TF.minHashBands(col("sig"), bands, rowsPerBand)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket")))
     val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
     val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
     val candPairs = a.join(b, Seq("band", "bucket"))
