@@ -119,6 +119,12 @@ object TextFunctions {
     }
   }
 
+  // FNV-1a 64 constants — the xor-then-multiply structure avoids the
+  // base-31 polynomial's systematic 2-char collisions (31·d1 = −d2, e.g.
+  // "b!" vs "a@"), which would inflate MinHash estimates
+  private final val FnvBasis = 0xCBF29CE484222325L
+  private final val FnvPrime = 0x100000001B3L
+
   /** k-component signature over character n-gram shingles of
     * pre-normalized text (pair with [[normText]]); null when the text is
     * shorter than one shingle (no content to near-match on). */
@@ -130,10 +136,10 @@ object TextFunctions {
         var p = 0
         val last = s.length - n
         while (p <= last) {
-          var h = 1125899906842597L
+          var h = FnvBasis
           var j = p
           val end = p + n
-          while (j < end) { h = h * 31 + s.charAt(j); j += 1 }
+          while (j < end) { h = (h ^ s.charAt(j)) * FnvPrime; j += 1 }
           updateMins(mins, sd, mix64(h))
           p += 1
         }
@@ -154,10 +160,10 @@ object TextFunctions {
           var p = 0
           val last = th.length - n
           while (p <= last) {
-            var h = 1125899906842597L
+            var h = FnvBasis
             var j = p
             val end = p + n
-            while (j < end) { h = h * 31 + th(j); j += 1 }
+            while (j < end) { h = (h ^ th(j)) * FnvPrime; j += 1 }
             updateMins(mins, sd, mix64(h))
             p += 1
           }

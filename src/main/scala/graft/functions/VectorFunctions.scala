@@ -67,11 +67,11 @@ object VectorFunctions {
   def vecScale(a: Column, s: Column): Column =
     transform(a, x => (d(x) * s.cast("double")).cast("float"))
 
-  /** Unit-normalize; zero vector stays zero. */
-  def normalize(a: Column): Column = {
-    val n = norm(a)
-    when(n === 0.0, a).otherwise(transform(a, x => (d(x) / n).cast("float")))
-  }
+  /** Unit-normalize to float elements; zero vector stays zero (values
+    * float-cast — the old `when(n===0, a)` branch coerced to
+    * array<float> too). Codegen'd single pass; the HOF form re-evaluated
+    * the norm aggregate per element (O(dim²) interpreted). */
+  def normalize(a: Column): Column = VectorKernels.unitF(a)
 
   /** Vector dimensionality. */
   def vecDim(a: Column): Column = size(a).cast("long")

@@ -115,6 +115,11 @@ object VectorKernels {
         }
         c
       } else if (op == "intercount") {
+        // all comparisons (ordering AND run-skip) go through
+        // Long.compare / Double.compare so NaN terminates (compare-equal
+        // run-skip advances past it; `==` would spin forever) and
+        // -0.0 vs 0.0 behaves identically in interpreted and generated
+        // code (compare-distinct in both)
         val m = y.numElements()
         var (i, j) = (0, 0)
         var c = 0.0
@@ -128,13 +133,16 @@ object VectorKernels {
           else if (cmp > 0) j += 1
           else { // equal: count once, skip the whole run on both sides
             c += 1.0
-            val v = if (integral) readLong(lt, x, i) else readElem(lt, x, i)
             if (integral) {
-              while (i < n && !x.isNullAt(i) && readLong(lt, x, i) == v.asInstanceOf[Long]) i += 1
-              while (j < m && !y.isNullAt(j) && readLong(rt, y, j) == v.asInstanceOf[Long]) j += 1
+              val v = readLong(lt, x, i)
+              while (i < n && !x.isNullAt(i) && readLong(lt, x, i) == v) i += 1
+              while (j < m && !y.isNullAt(j) && readLong(rt, y, j) == v) j += 1
             } else {
-              while (i < n && !x.isNullAt(i) && readElem(lt, x, i) == v.asInstanceOf[Double]) i += 1
-              while (j < m && !y.isNullAt(j) && readElem(rt, y, j) == v.asInstanceOf[Double]) j += 1
+              val v = readElem(lt, x, i)
+              while (i < n && !x.isNullAt(i) &&
+                java.lang.Double.compare(readElem(lt, x, i), v) == 0) i += 1
+              while (j < m && !y.isNullAt(j) &&
+                java.lang.Double.compare(readElem(rt, y, j), v) == 0) j += 1
             }
           }
         }
@@ -180,36 +188,43 @@ object VectorKernels {
            """.stripMargin
         }
         else if (op == "intercount") {
+          // mirror of nullSafeEval: compare-based ordering and run-skip
+          // (NaN-terminating, -0.0-consistent across eval modes)
           val integral = isIntegral(lt) && isIntegral(rt)
           val jt = if (integral) "long" else "double"
+          val cmpFn = if (integral) "java.lang.Long.compare" else "java.lang.Double.compare"
+          val j = ctx.freshName("j")
+          val cv = ctx.freshName("cmp")
           val (gx, gy) =
-            if (integral) (getLongElem(lt, x, i), getLongElem(rt, y, "__j"))
-            else (getElem(lt, x, i), getElem(rt, y, "__j"))
+            if (integral) (getLongElem(lt, x, i), getLongElem(rt, y, j))
+            else (getElem(lt, x, i), getElem(rt, y, j))
           val m = ctx.freshName("m")
           s"""
              |int $n = $x.numElements();
              |int $m = $y.numElements();
-             |int $i = 0; int __j = 0;
+             |int $i = 0; int $j = 0;
              |double $acc = 0.0;
-             |while ($i < $n && __j < $m) {
-             |  if ($x.isNullAt($i) || $y.isNullAt(__j)) { ${ev.isNull} = true; break; }
+             |while ($i < $n && $j < $m) {
+             |  if ($x.isNullAt($i) || $y.isNullAt($j)) { ${ev.isNull} = true; break; }
              |  $jt $xv = $gx;
              |  $jt $yv = $gy;
-             |  if ($xv < $yv) { $i++; }
-             |  else if ($xv > $yv) { __j++; }
+             |  int $cv = $cmpFn($xv, $yv);
+             |  if ($cv < 0) { $i++; }
+             |  else if ($cv > 0) { $j++; }
              |  else {
              |    $acc += 1.0;
-             |    while ($i < $n && !$x.isNullAt($i) && $gx == $xv) $i++;
-             |    while (__j < $m && !$y.isNullAt(__j) && $gy == $xv) __j++;
+             |    while ($i < $n && !$x.isNullAt($i) && $cmpFn($gx, $xv) == 0) $i++;
+             |    while ($j < $m && !$y.isNullAt($j) && $cmpFn($gy, $xv) == 0) $j++;
              |  }
              |}
              |if (!${ev.isNull}) ${ev.value} = $acc;
            """.stripMargin
         }
         else {
+          val dv = ctx.freshName("d")
           val body = op match {
             case "dot" => s"$acc += $xv * $yv;"
-            case "sqdiff" => s"double __d = $xv - $yv; $acc += __d * __d;"
+            case "sqdiff" => s"double $dv = $xv - $yv; $acc += $dv * $dv;"
             case "absdiff" => s"$acc += java.lang.Math.abs($xv - $yv);"
           }
           s"""
@@ -267,13 +282,14 @@ object VectorKernels {
         val i = ctx.freshName("i")
         val n = ctx.freshName("n")
         val acc = ctx.freshName("acc")
+        val v = ctx.freshName("v")
         s"""
            |int $n = $x.numElements();
            |double $acc = 0.0;
            |for (int $i = 0; $i < $n; $i++) {
            |  if ($x.isNullAt($i)) { ${ev.isNull} = true; break; }
-           |  double __v = ${getElem(et, x, i)};
-           |  $acc += __v * __v;
+           |  double $v = ${getElem(et, x, i)};
+           |  $acc += $v * $v;
            |}
            |if (!${ev.isNull}) ${ev.value} = $acc;
          """.stripMargin
@@ -283,15 +299,19 @@ object VectorKernels {
       copy(child = newChild)
   }
 
-  /** Unit-normalized copy of a numeric array as array<double>; a zero
-    * vector stays zero. One pass computes the norm, a second divides —
-    * inside a single codegen'd expression, so no checkpoint barrier is
-    * needed to stop CollapseProject from inlining the norm into a
-    * per-element lambda (the O(dim²) trap the HOF form has). A null
-    * element nulls the whole result (the HOF form yields an all-null
-    * array; both are dropped by any downstream distance filter). */
-  final case class VecUnit(child: Expression) extends UnaryExpression {
-    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  /** Unit-normalized copy of a numeric array as array<double> (or
+    * array<float> with `asFloat`, for the dialect's f32 `normalize`
+    * builtin); a zero vector stays zero. One pass computes the norm, a
+    * second divides — inside a single codegen'd expression, so no
+    * checkpoint barrier is needed to stop CollapseProject from inlining
+    * the norm into a per-element lambda (the O(dim²) trap the HOF form
+    * has). A null element nulls the whole result (the HOF form yields an
+    * all-null array; both are dropped by any downstream distance
+    * filter). */
+  final case class VecUnit(child: Expression, asFloat: Boolean = false)
+      extends UnaryExpression {
+    override def dataType: DataType =
+      ArrayType(if (asFloat) FloatType else DoubleType, containsNull = false)
     override def nullable: Boolean = true
     override def prettyName: String = "vec_unit"
 
@@ -320,7 +340,13 @@ object VectorKernels {
         i = 0
         while (i < n) { out(i) /= nrm; i += 1 }
       }
-      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+      if (asFloat) {
+        val fo = new Array[Float](n)
+        i = 0
+        while (i < n) { fo(i) = out(i).toFloat; i += 1 }
+        org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(fo)
+      } else
+        org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
     }
 
     override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -330,21 +356,29 @@ object VectorKernels {
         val acc = ctx.freshName("acc")
         val out = ctx.freshName("out")
         val nrm = ctx.freshName("nrm")
+        val v = ctx.freshName("v")
         s"""
            |int $n = $x.numElements();
            |double[] $out = new double[$n];
            |double $acc = 0.0;
            |for (int $i = 0; $i < $n; $i++) {
            |  if ($x.isNullAt($i)) { ${ev.isNull} = true; break; }
-           |  double __v = ${getElem(et, x, i)};
-           |  $out[$i] = __v;
-           |  $acc += __v * __v;
+           |  double $v = ${getElem(et, x, i)};
+           |  $out[$i] = $v;
+           |  $acc += $v * $v;
            |}
            |if (!${ev.isNull}) {
            |  double $nrm = java.lang.Math.sqrt($acc);
            |  if ($nrm != 0.0) for (int $i = 0; $i < $n; $i++) $out[$i] /= $nrm;
-           |  ${ev.value} =
-           |    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+           |  ${if (asFloat) {
+                val fo = ctx.freshName("fo")
+                s"""float[] $fo = new float[$n];
+                   |  for (int $i = 0; $i < $n; $i++) $fo[$i] = (float) $out[$i];
+                   |  ${ev.value} =
+                   |    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($fo);""".stripMargin
+              } else
+                s"""${ev.value} =
+                   |    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);""".stripMargin}
            |}
          """.stripMargin
       })
@@ -355,6 +389,8 @@ object VectorKernels {
 
   def unit(a: Column): Column =
     ExpressionUtils.column(VecUnit(ExpressionUtils.expression(a)))
+  def unitF(a: Column): Column =
+    ExpressionUtils.column(VecUnit(ExpressionUtils.expression(a), asFloat = true))
 
   def dot(a: Column, b: Column): Column =
     ExpressionUtils.column(VecFold(ExpressionUtils.expression(a),

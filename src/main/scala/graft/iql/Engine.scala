@@ -720,7 +720,11 @@ final class Engine(val catalog: Catalog) {
         def numLt(a: Any, b: Any): Boolean = (a, b) match {
           case (x: Long, y: Long) => x < y
           case (x: Int, y: Int) => x < y
-          case (x: Number, y: Number) => x.doubleValue < y.doubleValue
+          case (x: Number, y: Number) =>
+            // Double.compare orders NaN largest and -0.0 < 0.0 — Spark's
+            // least/greatest ordering for doubles (plain < would let a
+            // cached NaN min survive forever)
+            java.lang.Double.compare(x.doubleValue, y.doubleValue) < 0
           case (x: String, y: String) =>
             // Spark least/greatest order strings by UTF-8 bytes; Java by
             // UTF-16 chars — equivalent only for ASCII

@@ -35,10 +35,14 @@ import Ast._
   *    mixing value kinds, or a join across long- and double-typed
   *    columns — bails rather than approximating them.
   *
-  * Because the rule shapes carry no arithmetic or functions, evaluation
-  * cannot invent new values: the Herbrand universe is finite and the
-  * fixpoint ALWAYS terminates (no iteration cap needed — only the
-  * derived-size budget, which bounds memory).
+  * Termination: arithmetic-free programs cannot invent values (finite
+  * Herbrand universe), but Arith bindings/heads CAN — `tick(N+1)` style
+  * counters run unboundedly. The derived-size budget (`MaxDerived`,
+  * checked between rounds AND mid-round every ~8k emissions alongside
+  * the cooperative cancel flag) is therefore LOAD-BEARING: it is what
+  * bounds driver memory and guarantees the loop yields to the
+  * distributed path (which Spark's job-group cancel can kill) or to the
+  * query timeout. Do not remove it.
   */
 object LocalEval {
 
@@ -106,12 +110,21 @@ object LocalEval {
       case _ => false
     }
     recRules.nonEmpty && recRules.forall { r =>
+      val posVars = r.body.collect { case Pos(a) =>
+        a.args.collect { case Var(n) => n } }.flatten.toSet
       val atomsOk = r.body.forall {
         case Pos(a) =>
           !RuleCompiler.BoolBuiltins(a.rel.toLowerCase) &&
           !RuleCompiler.SpecialNames(a.rel.toLowerCase) &&
           a.args.forall(argOk)
-        case Neg(a) => !scc(a.rel) && a.args.forall(argOk)
+        case Neg(a) =>
+          // compileBody REQUIRES a negated atom to share a variable with
+          // the positive body (or carry no variables at all) — programs
+          // violating that must reach the distributed compiler's
+          // range-restriction error, not evaluate existentially here
+          val negVars = a.args.collect { case Var(n) => n }
+          !scc(a.rel) && a.args.forall(argOk) &&
+            (negVars.isEmpty || negVars.exists(posVars))
         case _: Cmp => true
       }
       // simulate RuleCompiler's in-order binding: positive-atom vars are
@@ -424,9 +437,15 @@ object LocalEval {
         rel -> added.toIndexedSeq
       }.filter(_._2.nonEmpty)
 
+      val accTotal = () => acc.valuesIterator.map(_.size.toLong).sum
       while (delta.nonEmpty) {
         graft.QueryGuard.checkCancelled()
         val pend = mutable.HashMap.empty[String, mutable.LinkedHashSet[ArraySeq[Any]]]
+        // mid-round guard: a single round of a high-fanout join can emit
+        // unboundedly — poll cancellation and the derived-size budget
+        // every few thousand emissions, not just between rounds
+        var emitted = 0L
+        var pendTotal = 0L
         plans.foreach { p =>
           delta.get(p.deltaRel).foreach { dRows =>
             val headRel = p.rule.head.rel
@@ -434,12 +453,18 @@ object LocalEval {
             dRows.foreach { t =>
               tryBind(p.deltaAtom.args, t, Map.empty).foreach { env0 =>
                 enumerate(p.steps, env0, acc, ext) { envPos =>
+                  emitted += 1
+                  if ((emitted & 0x1FFF) == 0L) {
+                    graft.QueryGuard.checkCancelled()
+                    if (accTotal() + pendTotal > MaxDerived) bail()
+                  }
                   applyPost(p.post, envPos, ext).foreach { env =>
                     // norm: head arithmetic can produce -0.0, which
                     // Spark's distinct folds into 0.0
                     val tup = ArraySeq.unsafeWrapArray(
                       p.rule.head.args.map(a => norm(evalTerm(a, env))).toArray[Any])
-                    if (!acc(headRel).set.contains(tup)) out += tup
+                    if (!acc(headRel).set.contains(tup) && out.add(tup))
+                      pendTotal += 1
                   }
                 }
               }
@@ -450,7 +475,7 @@ object LocalEval {
           val st = acc(rel)
           rel -> tuples.iterator.filter(st.add).toIndexedSeq
         }.filter(_._2.nonEmpty).toMap
-        if (acc.valuesIterator.map(_.size.toLong).sum > MaxDerived) bail()
+        if (accTotal() > MaxDerived) bail()
       }
 
       Some(acc.map { case (rel, st) =>

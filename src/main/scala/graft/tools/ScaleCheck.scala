@@ -8,11 +8,11 @@ import graft.operators.Dedup
   * volumes (ids offset per copy, so every doc gains 9 exact copies —
   * duplicate CLIQUES whose pair count grows quadratically; the worst
   * case for candidate volume). Measured at sf0.1 on local[32] with the
-  * one-pass signature UDF + codegen'd agreement kernel:
-  *   1×  (5k docs):     1,718 pairs in 2.2 s
-  *   10× (50k docs):  396,800 pairs in 3.5 s
+  * one-pass FNV-1a signature UDF + codegen'd agreement kernel:
+  *   1×  (5k docs):     2,740 pairs in 2.0 s
+  *   10× (50k docs):  499,000 pairs in 5.0 s
   * (round-2 explode/aggregate pipeline: 4.5 s / 80 s on the same data)
-  * → 231× more output pairs for 1.6× more wall time: the pipeline is
+  * → 182× more output pairs for 2.5× more wall time: the pipeline is
   * OUTPUT-SENSITIVE (cost tracks docs + emitted pairs, not docs²),
   * which is the scaling property that matters at 100 TB — shuffle and
   * signature costs amortize while the candidate join only pays for

@@ -41,10 +41,15 @@ class SimilaritySpec extends SparkSpec {
       .select(col("vec_id"))).map(_.head)
     val recall = ivf.count(bf).toDouble / bf.size
     assert(recall >= 0.5, s"nprobe=3/8 recall $recall") // coarse but useful
-    // the probed subset is a strict fraction of the table
-    val probedRows = Similarity.ivfAssign(emb, cent)
-      .where(col("cell").isin(0, 1, 2, 3, 4, 5, 6, 7)).count()
-    assert(probedRows == emb.count())
+    // pruning is real: the 3 probed cells hold strictly fewer rows than
+    // the table (and at least the k candidates returned)
+    val assigned = Similarity.ivfAssign(emb, cent).localCheckpoint(true)
+    val perCell = assigned.groupBy("cell").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val probedRows = perCell.toSeq.sortBy(_._1).map(_._2)
+    assert(perCell.values.sum == emb.count())
+    val top3 = perCell.values.toSeq.sorted.takeRight(3).sum
+    assert(top3 < emb.count(), s"no pruning: cell sizes $probedRows")
   }
 
   test("partitionBy(cell) layout round-trips and prunes") {
