@@ -647,6 +647,24 @@ class EngineSpec extends SparkSpec {
       Seq(1L, 4L, 4.0), Seq(1L, 8L, 8.0), Seq(2L, 8L, 4.0)))
   }
 
+  test("unshared-variable negation errors identically through both paths") {
+    // compileBody rejects a negated atom sharing no variable with the
+    // positive body; the local path must bail so the SAME error surfaces
+    val src =
+      """+e[(1,2),(2,3)]
+        |+q[(9)]
+        |r(X, Y) <- e(X, Y)
+        |r(X, Z) <- r(X, Y), e(Y, Z), !q(W)
+        |?r(X, Y)
+        |""".stripMargin
+    val localErr = intercept[Exception](query(src)).getMessage
+    LocalEval.disabled = true
+    val distErr = try intercept[Exception](query(src)).getMessage
+      finally LocalEval.disabled = false
+    assert(localErr == distErr)
+    assert(localErr.contains("shares no variables"))
+  }
+
   test("local SCC fast path: stratified negation inside recursive rules") {
     val r = localVsDistributed(
       """+e[(1,2),(2,3),(3,4),(4,5)]
