@@ -344,6 +344,17 @@ object SparkEntry {
     "q58_cosine_exact" -> ((s, dir) =>
       Dedup.cosineAllPairs(T(s, dir, "embeddings"), minCosine = 0.3, capIds = 500L)),
 
+    // --- pipeline: bulk k-NN JOIN — exact top-3 neighbours for EVERY
+    //     query row (broadcast queries + per-group window), the
+    //     batch-ANN shape large pipelines run nightly ------------------
+    "q64_knn_join" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.knnJoin(emb, queries, k = 3)
+        .select(col("q_id"), col("vec_id"))
+    }),
+
     // --- pipeline: PII scrubbing (email/IP/phone redaction + counts) ----
     "q62_pii_scrub" -> ((s, dir) =>
       TextAnalysis.piiScrub(T(s, dir, "documents"))),
@@ -873,6 +884,17 @@ object SparkEntry {
         |ROUND(LEAST(CAST(224 AS DOUBLE) / ((doc_id % 64) * 16 + 64),
         |  CAST(224 AS DOUBLE) / ((doc_id % 48) * 16 + 64)), 6) AS scale
         |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
+
+    "q64_knn_join" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT q.q_id, e.vec_id,
+        |  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS cos
+        |  FROM embeddings e CROSS JOIN q),
+        |r AS (SELECT q_id, vec_id,
+        |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rn
+        |  FROM s)
+        |SELECT q_id, vec_id FROM r WHERE rn <= 3""".stripMargin,
 
     "q62_pii_scrub" ->
       """SELECT doc_id,
