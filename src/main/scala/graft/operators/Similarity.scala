@@ -72,26 +72,24 @@ object Similarity {
   }
 
   /** LSH-bucketed approximate top-k against one query: candidates =
-    * rows sharing any of the query's multi-probe buckets in any table,
-    * then exact cosine on candidates only. */
+    * rows whose bucket in ANY table falls in that table's multi-probe
+    * set (home + Hamming-1 flips). A pure OR-of-filters over the scan —
+    * no explode, no distinct, one codegen'd pass; identical candidate
+    * set to the explode + (table,bucket)-join formulation it replaces. */
   def lshTopK(emb: DataFrame, query: Seq[Float], k: Int, dim: Int,
               nTables: Int = 4, nPlanes: Int = 12,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     // Query buckets computed driver-side (same deterministic planes).
-    val qBuckets: Seq[(Int, Int)] = (0 until nTables).flatMap { t =>
+    val cond = (0 until nTables).map { t =>
       val planes = LF.hyperplanes(dim, nPlanes, t)
       val home = planes.zipWithIndex.map { case (p, i) =>
         val dp = query.zip(p).map { case (x, y) => x.toDouble * y }.sum
         if (dp > 0) 1 << i else 0
       }.sum
-      (home +: (0 until nPlanes).map(i => home ^ (1 << i))).map(bkt => (t, bkt))
-    }
-    val qb = typedLit(qBuckets.map { case (t, bkt) => t.toLong * 0x100000000L + bkt })
-    val bucketed = emb.select(col(idCol), col(vecCol),
-      explode(LF.lshMultiProbe(col(vecCol), dim, nTables, nPlanes)).as("tb"))
-      .where(array_contains(qb, col("tb.table").cast("long") * 0x100000000L + col("tb.bucket")))
-      .select(col(idCol), col(vecCol)).distinct()
-    bruteForceTopK(bucketed, query, k, idCol, vecCol)
+      val probes = home +: (0 until nPlanes).map(i => home ^ (1 << i))
+      LF.lshBucket(col(vecCol), dim, t, nPlanes).isin(probes: _*)
+    }.reduce(_ || _)
+    bruteForceTopK(emb.where(cond), query, k, idCol, vecCol)
   }
 
   /** Deterministic k-means centroids for IVF (Lloyd iterations over the
