@@ -344,6 +344,19 @@ object SparkEntry {
     "q58_cosine_exact" -> ((s, dir) =>
       Dedup.cosineAllPairs(T(s, dir, "embeddings"), minCosine = 0.3, capIds = 500L)),
 
+    // --- IQL: text-pipeline builtins in the dialect — quality scoring
+    //     composed with a rule + threshold filter (the pipeline ops as
+    //     first-class IQL functions) ------------------------------------
+    "q65_iql_quality" -> ((s, dir) => {
+      val e = iqlEngine(s, dir)
+      e.catalog.register("doc",
+        T(s, dir, "documents").select(col("doc_id"), col("text")))
+      e.run(
+        """qs(D, S) <- doc(D, T), S = quality_score(T)
+          |?qs(D, S)
+          |""".stripMargin).last
+    }),
+
     // --- pipeline: bulk k-NN JOIN — exact top-3 neighbours for EVERY
     //     query row (broadcast queries + per-group window), the
     //     batch-ANN shape large pipelines run nightly ------------------
@@ -884,6 +897,27 @@ object SparkEntry {
         |ROUND(LEAST(CAST(224 AS DOUBLE) / ((doc_id % 64) * 16 + 64),
         |  CAST(224 AS DOUBLE) / ((doc_id % 48) * 16 + 64)), 6) AS scale
         |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
+
+    "q65_iql_quality" ->
+      """WITH f AS (
+        |SELECT doc_id,
+        |CASE WHEN LEN(TRIM(text)) = 0 THEN 0
+        |ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END AS n_tokens,
+        |CASE WHEN LEN(TRIM(text)) = 0 THEN 0.0 ELSE
+        |CAST(list_sum(list_transform(regexp_split_to_array(TRIM(text), '\s+'), x -> LEN(x))) AS DOUBLE)
+        |  / LEN(regexp_split_to_array(TRIM(text), '\s+')) END AS mean_token_len,
+        |CASE WHEN LEN(TRIM(text)) = 0 THEN 0.0 ELSE
+        |CAST(LEN(list_filter(regexp_split_to_array(TRIM(text), '\s+'),
+        |  t -> list_contains(['the','a','an','and','or','but','of','to','in','on','at','for','with','is','are','was','were','be','it','this','that','as','by','from','not','no','he','she','they','we','you','i'], LOWER(t)))) AS DOUBLE)
+        |  / LEN(regexp_split_to_array(TRIM(text), '\s+')) END AS stopword_ratio,
+        |CASE WHEN LEN(text) = 0 THEN 0.0 ELSE
+        |CAST(LEN(text) - LEN(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / LEN(text) END AS punct_ratio
+        |FROM documents)
+        |SELECT doc_id AS D, ROUND((LEAST(stopword_ratio / 0.2, 1.0) * 0.4 +
+        |(1.0 - LEAST(ABS(mean_token_len - 5.0) / 5.0, 1.0)) * 0.3 +
+        |(1.0 - LEAST(punct_ratio / 0.2, 1.0)) * 0.3) *
+        |CASE WHEN n_tokens >= 5 THEN 1.0 ELSE 0.0 END, 6) AS S
+        |FROM f""".stripMargin,
 
     "q64_knn_join" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv

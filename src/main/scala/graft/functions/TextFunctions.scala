@@ -242,6 +242,19 @@ object TextFunctions {
       xxhash64(lower(trim(text))))
 
   // ---------------------------------------------------------------------
+  // PII patterns (RE2-compatible subset — same regexes run in DuckDB)
+  // ---------------------------------------------------------------------
+
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val Ipv4Re = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+  private[graft] val PhoneRe = "\\b\\d{7,15}\\b"
+
+  /** Email → [EMAIL], IPv4 → [IP], 7-15-digit runs → [PHONE]. */
+  def piiScrubText(text: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(text,
+      EmailRe, "[EMAIL]"), Ipv4Re, "[IP]"), PhoneRe, "[PHONE]")
+
+  // ---------------------------------------------------------------------
   // Quality features
   // ---------------------------------------------------------------------
 

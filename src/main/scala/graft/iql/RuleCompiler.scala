@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 import Ast._
-import graft.functions.{LshFunctions => LF, TemporalFunctions => TempF, VectorFunctions => VF}
+import graft.functions.{LshFunctions => LF, TemporalFunctions => TempF,
+  TextFunctions => TxtF, VectorFunctions => VF}
 
 /** Compiles one rule body (a conjunction of atoms, negated atoms, and
   * comparison/binding predicates) into a DataFrame whose columns are the
@@ -306,6 +307,19 @@ object RuleCompiler {
     case ("cosine_int8", Seq(x, y)) => VF.cosineDistance(x, y)
     case ("dot_int8", Seq(x, y)) => VF.dot(x, y)
     case ("manhattan_int8", Seq(x, y)) => VF.manhattan(x, y)
+    // text-pipeline builtins (beyond the reference surface — graft's
+    // training-data operators exposed to the dialect, so quality
+    // filtering / language routing / PII scrubbing compose with rules)
+    case ("token_count", Seq(x)) => TxtF.tokenCount(x)
+    case ("regex_token_count", Seq(x)) => TxtF.regexTokenCount(x)
+    case ("quality_score", Seq(x)) => TxtF.qualityScore(x)
+    case ("lang_id", Seq(x)) => TxtF.langId(x)
+    case ("stopword_ratio", Seq(x)) => TxtF.stopwordRatio(x)
+    case ("punct_ratio", Seq(x)) => TxtF.punctRatio(x)
+    case ("upper_ratio", Seq(x)) => TxtF.upperRatio(x)
+    case ("mean_token_length", Seq(x)) => TxtF.meanTokenLength(x)
+    case ("doc_fingerprint", Seq(x)) => TxtF.docFingerprint(x)
+    case ("pii_scrub", Seq(x)) => TxtF.piiScrubText(x)
     case _ => throw new IllegalArgumentException(
       s"unknown builtin $name/${a.size}")
   }

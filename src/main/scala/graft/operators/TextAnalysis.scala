@@ -58,16 +58,11 @@ object TextAnalysis {
     * pass. Pure per-row regexp work (scan-local, shuffle-free at any
     * scale); patterns stay in the RE2-compatible subset so the same
     * regexes run in the DuckDB oracle. */
-  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val Ipv4Re = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
-  private val PhoneRe = "\\b\\d{7,15}\\b"
-
   def piiScrub(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.select(col(idCol),
-      regexp_replace(regexp_replace(regexp_replace(col(textCol),
-        EmailRe, "[EMAIL]"), Ipv4Re, "[IP]"), PhoneRe, "[PHONE]").as("scrubbed"),
-      regexp_count(col(textCol), lit(EmailRe)).as("n_emails"),
-      regexp_count(col(textCol), lit(Ipv4Re)).as("n_ips"))
+      TF.piiScrubText(col(textCol)).as("scrubbed"),
+      regexp_count(col(textCol), lit(TF.EmailRe)).as("n_emails"),
+      regexp_count(col(textCol), lit(TF.Ipv4Re)).as("n_ips"))
 
   /** Fixed-size character chunking with overlap (context-window prep):
     * one row per chunk, `chunk_id` 0-based, stride = size − overlap.

@@ -647,6 +647,22 @@ class EngineSpec extends SparkSpec {
       Seq(1L, 4L, 4.0), Seq(1L, 8L, 8.0), Seq(2L, 8L, 4.0)))
   }
 
+  test("text-pipeline builtins compose with rules in the dialect") {
+    assert(query(
+      """+doc[(1, "the cat sat on the mat with a hat"), (2, "xyzzy plugh")]
+        |+langs(D, L) <- doc(D, T), L = lang_id(T)
+        |+counts(D, N) <- doc(D, T), N = token_count(T)
+        |?- langs(D, L), counts(D, N)
+        |""".stripMargin) ==
+      Set(Seq(1L, "en", 9L), Seq(2L, "und", 2L)))
+    assert(query(
+      """+msg[(1, "mail bob@x.io or ping 10.0.0.7")]
+        |+clean(D, S) <- msg(D, T), S = pii_scrub(T)
+        |?clean(D, S)
+        |""".stripMargin) ==
+      Set(Seq(1L, "mail [EMAIL] or ping [IP]")))
+  }
+
   test("unshared-variable negation errors identically through both paths") {
     // compileBody rejects a negated atom sharing no variable with the
     // positive body; the local path must bail so the SAME error surfaces
