@@ -155,7 +155,16 @@ object TextFunctions {
     val f = udf { (ts: Seq[String]) =>
       if (ts == null || ts.length < n) null
       else {
-        val th = ts.iterator.map(t => mix64(t.hashCode.toLong * 0x9E3779B97F4A7C15L)).toArray
+        // 64-bit FNV-1a over chars (same loop as the char-shingle path):
+        // String.hashCode is 32-bit, and at ~1M-token vocabularies its
+        // birthday collisions conflate distinct tokens across ALL k
+        // components at once, biasing Jaccard estimates upward
+        val th = ts.iterator.map { t =>
+          var h = FnvBasis
+          var j = 0
+          while (j < t.length) { h = (h ^ t.charAt(j)) * FnvPrime; j += 1 }
+          mix64(h)
+        }.toArray
         sigOfHashes((mins, sd) => {
           var p = 0
           val last = th.length - n

@@ -738,10 +738,25 @@ final class Engine(val catalog: Catalog) {
           newRows <- Fixpoint.collectUpTo(deltaAgg.df, Fixpoint.LocalEdgeRows)
         } yield {
           val keyIdx = cols.indices.filterNot(aggIdxSet)
+          // One shared boxed NaN: Seq[Any] equality goes through
+          // BoxesRunTime.equals, whose reference-equality short-circuit
+          // makes the shared instance equal (and hash-consistent) to
+          // itself — so NaN group keys merge like the distributed
+          // full_outer <=> join does. A freshly boxed NaN never equals
+          // another and would silently split the group into two rows.
+          val canonNaN: java.lang.Double = java.lang.Double.valueOf(Double.NaN)
           def key(row: org.apache.spark.sql.Row): Seq[Any] = keyIdx.map { i =>
             row.get(i) match { // <=> folds -0.0 into 0.0 and NaN equal
+              case d: Double if d.isNaN => canonNaN
               case d: Double if d == 0.0 => 0.0
-              case v => v
+              case f: Float if f.isNaN => canonNaN
+              case f: Float if f == 0.0f => 0.0f
+              case v @ (null | _: Int | _: Long | _: Double | _: Float |
+                        _: String | _: Boolean | _: java.lang.Short |
+                        _: java.lang.Byte) => v
+              case _ => throw MergeBail // Array[Byte] & friends: value
+              // equality is reference equality here but <=> distributed —
+              // a local merge would mis-split groups
             }
           }
           val m = mutable.LinkedHashMap.empty[Seq[Any], Array[Any]]

@@ -75,17 +75,27 @@ object LocalEval {
     case _ => bail() // vectors, timestamps, … — distributed path handles
   }
 
+  /** One shared boxed NaN: `ArraySeq[Any]` equality goes through
+    * `BoxesRunTime.equals`, whose reference-equality short-circuit makes
+    * the shared instance compare (and hash) equal to itself — so set/pend
+    * dedup agrees with [[valEq]]'s NaN=NaN, matching Spark's normalized
+    * comparison. A freshly boxed NaN would never dedup and churn every
+    * round until MaxDerived. */
+  private val CanonNaN: java.lang.Double = java.lang.Double.valueOf(Double.NaN)
+
   /** Normalize collected/constant values to the widened kinds the
-    * distributed path's unions settle on (Int→Long, Float→Double), and
-    * -0.0→0.0 so hash-set dedup matches Spark's normalized comparison. */
+    * distributed path's unions settle on (Int→Long), and -0.0→0.0 /
+    * NaN→[[CanonNaN]] so hash-set dedup matches Spark's normalized
+    * comparison. Float scalars bail: `RuleCompiler.cmpTyped` applies the
+    * 1e-10 tolerance only to static DoubleType, so a Float-sourced column
+    * compares exactly distributed but would compare tolerantly here. */
   private def norm(v: Any): Any = v match {
     case i: Int => i.toLong
     case s: Short => s.toLong
     case b: Byte => b.toLong
-    case f: Float => val d = f.toDouble; if (d == 0.0) 0.0 else d
-    case d: Double => if (d == 0.0) 0.0 else d
+    case d: Double => if (d == 0.0) 0.0 else if (d.isNaN) CanonNaN else d
     case _: Long | _: String | _: Boolean | null => v
-    case _ => bail()
+    case _ => bail() // Float scalars, vectors, timestamps, … — distributed path handles
   }
 
   /** Static shape gate for the RECURSIVE rules of the SCC (base rules are

@@ -127,13 +127,19 @@ object Similarity {
     cent
   }
 
-  /** Best (max-dot) centroid index for a vector — k codegen'd dot
-    * kernels + greatest; ties break to the LOWEST cell index. */
+  /** Nearest (min squared-Euclidean) centroid index for a vector.
+    * argmin ‖v−c‖² = argmax (v·c − ‖c‖²/2), so each centroid costs one
+    * codegen'd dot kernel plus a precomputed constant — a valid Lloyd's
+    * assignment step on unnormalized embeddings (raw dot would let
+    * large-norm centroids absorb everything and need not converge).
+    * Ties break to the LOWEST cell index. */
   private def bestCell(v: Column, centroids: Array[Array[Double]]): Column = {
     import graft.functions.{VectorKernels => VK}
     val scored = centroids.zipWithIndex.map { case (c, i) =>
+      val halfSqNorm = c.map(x => x * x).sum / 2.0
       // negate the index so equal scores pick the smallest i via greatest
-      struct(VK.dot(v, typedLit(c.toSeq)).as("score"), lit(-i).as("negCell"))
+      struct((VK.dot(v, typedLit(c.toSeq)) - lit(halfSqNorm)).as("score"),
+        lit(-i).as("negCell"))
     }
     -greatest(scored: _*).getField("negCell")
   }
@@ -148,10 +154,12 @@ object Similarity {
   def ivfTopKTrained(emb: DataFrame, query: Seq[Float], k: Int,
                      centroids: Array[Array[Double]], nprobe: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    def dotQ(c: Array[Double]): Double =
-      query.zip(c).map { case (x, y) => x.toDouble * y }.sum
+    // same metric as bestCell: min ‖q−c‖² = max (q·c − ‖c‖²/2)
+    def cellScore(c: Array[Double]): Double =
+      query.zip(c).map { case (x, y) => x.toDouble * y }.sum -
+        c.map(x => x * x).sum / 2.0
     val probeCells = centroids.zipWithIndex
-      .sortBy { case (c, i) => (-dotQ(c), i) }.take(nprobe).map(_._2)
+      .sortBy { case (c, i) => (-cellScore(c), i) }.take(nprobe).map(_._2)
     val probed =
       if (probeCells.length == centroids.length) emb
       else emb.where(bestCell(col(vecCol), centroids).isin(probeCells: _*))

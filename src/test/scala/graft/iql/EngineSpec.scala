@@ -379,6 +379,23 @@ class EngineSpec extends SparkSpec {
     assert(rows(e2.run("?a(X)").last) == Set(Seq(5.0)))
   }
 
+  test("incremental maintenance: NaN group keys merge as one group") {
+    // Spark's groupBy (and the full_outer <=> fallback) treat NaN keys
+    // as one group; the driver-local merge must too, or a NaN-keyed
+    // group silently splits into two result rows.
+    val cat = new Catalog(spark)
+    val e = new Engine(cat)
+    import spark.implicits._
+    cat.register("v", Seq((Double.NaN, 10.0), (1.0, 5.0)).toDF("c0", "c1"))
+    e.run("+tot(K, sum<X>) <- v(K, X)")
+    assert(rows(e.run("?tot(K, S)").last).size == 2)
+    cat.appendDf("v", Seq((Double.NaN, 7.0)).toDF("c0", "c1"))
+    val out = rows(e.run("?tot(K, S)").last)
+    assert(e.maintainedCount >= 1, "insert-only delta should merge, not recompute")
+    assert(out.size == 2, s"NaN group split: $out")
+    assert(out.collect { case Seq(k: Double, s: Double) if k.isNaN => s } == Set(17.0))
+  }
+
   test("incremental maintenance: base relation self-join (two occurrences of the changed rel)") {
     val e = new Engine(new Catalog(spark))
     e.run(

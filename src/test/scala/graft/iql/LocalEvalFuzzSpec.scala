@@ -49,6 +49,33 @@ class LocalEvalFuzzSpec extends SparkSpec {
     sb.toString
   }
 
+  test("NaN tuples dedup locally (canonical NaN) and match the distributed loop") {
+    // 1.0e308 + 1.0e308 = inf; inf - inf = NaN. The cycle rederives the
+    // same NaN tuple every round: without canonical-NaN dedup the local
+    // evaluator churns to MaxDerived instead of converging in 3 rounds.
+    val src =
+      """+num[(1.0e308)]
+        |+e[(1,2),(2,3),(3,1)]
+        |r(1, W) <- num(X), Z = X + X, W = Z - Z
+        |r(Y, W) <- r(X, W), e(X, Y)
+        |?r(X, W)
+        |""".stripMargin
+    def nn(rs: Set[Seq[Any]]): Set[Seq[Any]] = rs.map(_.map {
+      case d: Double if d.isNaN => "NaN"
+      case v => v
+    })
+    val t0 = System.nanoTime
+    val local = nn(rows(new Engine(new Catalog(spark)).run(src).last))
+    val localSec = (System.nanoTime - t0) / 1e9
+    LocalEval.disabled = true
+    val dist =
+      try nn(rows(new Engine(new Catalog(spark)).run(src).last))
+      finally LocalEval.disabled = false
+    assert(local == dist)
+    assert(local == Set(Seq(1L, "NaN"), Seq(2L, "NaN"), Seq(3L, "NaN")))
+    assert(localSec < 30.0, s"NaN tuples churned instead of deduping ($localSec s)")
+  }
+
   test("local and distributed SCC evaluation agree on random programs") {
     val rng = new Random(20260812L)
     (1 to 14).foreach { i =>
