@@ -163,11 +163,17 @@ object Fixpoint {
   }
 
   /** Driver-local reachability: BFS from each source over a HashMap
-    * adjacency list; result parallelized back with the edge schema. */
+    * adjacency list. The handoff back to Spark is GROUPED — one
+    * `(src, array<dst>)` row per source, exploded distributed — so a
+    * 1000-node / 1M-pair closure ships ~1,000 small rows instead of
+    * 1M individually-allocated, individually-serialized `Row`s (the
+    * dominant cost of the old shape: driver allocation + task
+    * serialization both shrink ~1000×). */
   private def localClosure(spark: SparkSession, schema: org.apache.spark.sql.types.StructType,
                            pairs: Array[(Any, Any)], sources: Seq[Any]): DataFrame = {
     val adj = pairs.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
-    val out = Seq.newBuilder[org.apache.spark.sql.Row]
+    var totalPairs = 0L
+    val grouped = Seq.newBuilder[org.apache.spark.sql.Row]
     sources.foreach { src =>
       val seen = scala.collection.mutable.HashSet.empty[Any]
       val queue = scala.collection.mutable.ArrayDeque[Any](src)
@@ -177,11 +183,35 @@ object Fixpoint {
           if (seen.add(m)) queue.append(m)
         }
       }
-      seen.foreach(m => out += org.apache.spark.sql.Row(src, m))
+      if (seen.nonEmpty) {
+        totalPairs += seen.size
+        grouped += org.apache.spark.sql.Row(src, seen.toSeq)
+      }
     }
-    val rows = out.result()
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, parallelizeParts(rows.size.toLong)), schema)
+    explodeGrouped(spark, schema, grouped.result(), totalPairs)
+  }
+
+  /** Parallelize `(key, array<value>)` rows and explode distributed into
+    * the two-column `schema` (`valueFirst` puts the exploded value in
+    * column 0, for outputs like (member, comp)). Partition count is
+    * sized by the EXPLODED pair count (~8k pairs/task) so the fan-out
+    * work spreads across the cluster even though only a few grouped
+    * rows ship per task. */
+  private def explodeGrouped(spark: SparkSession, schema: org.apache.spark.sql.types.StructType,
+                             grouped: Seq[org.apache.spark.sql.Row], totalPairs: Long,
+                             valueFirst: Boolean = false): DataFrame = {
+    val (kf, vf) =
+      if (valueFirst) (schema.fields(1), schema.fields(0))
+      else (schema.fields(0), schema.fields(1))
+    val gSchema = org.apache.spark.sql.types.StructType(Seq(
+      kf.copy(name = "__k"),
+      org.apache.spark.sql.types.StructField("__vs",
+        org.apache.spark.sql.types.ArrayType(vf.dataType, vf.nullable), nullable = false)))
+    val nParts = math.max(1, math.min(grouped.size, parallelizeParts(totalPairs)))
+    val g = spark.createDataFrame(spark.sparkContext.parallelize(grouped, nParts), gSchema)
+    val kCol = col("__k").as(kf.name)
+    val vCol = explode(col("__vs")).as(vf.name)
+    if (valueFirst) g.select(vCol, kCol) else g.select(kCol, vCol)
   }
 
   /** Connected components over an undirected edge list: returns
@@ -243,15 +273,18 @@ object Fixpoint {
       }
     }
     val byRoot = parent.keys.toSeq.groupBy(find)
-    val rows = byRoot.values.flatMap { members =>
+    var total = 0L
+    val grouped = byRoot.values.map { members =>
       val comp = members.min(ord)
-      members.map(m => org.apache.spark.sql.Row(m, comp))
+      total += members.size
+      org.apache.spark.sql.Row(comp, members)
     }.toSeq
     val schema = org.apache.spark.sql.types.StructType(Seq(
       und.df.schema.fields(0).copy(name = "id"),
       und.df.schema.fields(0).copy(name = "comp")))
-    und.df.sparkSession.createDataFrame(
-      und.df.sparkSession.sparkContext.parallelize(rows, parallelizeParts(rows.size.toLong)), schema)
+    // grouped handoff: one (comp, array<member>) row per component,
+    // exploded distributed (see localClosure)
+    explodeGrouped(und.df.sparkSession, schema, grouped, total, valueFirst = true)
   }
 
   /** Core semi-naive loop for relations with plain equality-comparable
