@@ -36,9 +36,15 @@ final class Catalog(val spark: SparkSession) {
     * marks a rule-set change that invalidates everything. Bounded. */
   /** `delta` = inserted rows (non-null only for pure inserts); `removed`
     * = deleted rows (non-null only for exact-tuple deletes, and only the
-    * tuples that were actually present). Both null = opaque change. */
+    * tuples that were actually present). Both null = opaque change.
+    * `rawDelta`, when non-null, is a cheap LOCAL over-approximation of
+    * `delta` (the literal inserted batch, NOT anti-joined against the
+    * old relation — may contain tuples that were already present).
+    * Consumers whose propagation dedups anyway (the TC closure path)
+    * read it to avoid executing the exact delta's anti-join plan; exact
+    * consumers (aggregate merge) must keep using `delta`. */
   final case class Change(version: Long, rel: String, delta: DataFrame,
-                          removed: DataFrame = null)
+                          removed: DataFrame = null, rawDelta: DataFrame = null)
   val changeLog = mutable.ArrayBuffer.empty[Change]
   /** Change listeners (rel, operation): the wire server broadcasts
     * `persistent_update` notifications from here (reference: sessions
@@ -52,8 +58,9 @@ final class Catalog(val spark: SparkSession) {
     changeLog.filter(_.version > v).toSeq
   }
   private def logChange(rel: String, delta: DataFrame,
-                        removed: DataFrame = null): Unit = {
-    changeLog += Change(version, rel, delta, removed)
+                        removed: DataFrame = null,
+                        rawDelta: DataFrame = null): Unit = {
+    changeLog += Change(version, rel, delta, removed, rawDelta)
     if (changeLog.length > 64) changeLog.remove(0, changeLog.length - 64)
     val op = if (rel == "*") "rule_change"
       else if (delta != null) "insert"
@@ -284,14 +291,18 @@ final class Catalog(val spark: SparkSession) {
       case Some(df) =>
         require(rows.forall(_.length == df.schema.length),
           s"arity mismatch inserting into $name: expected ${df.schema.length}")
+        // LocalRelation (no RDD): collects of the raw batch are
+        // driver-side, and the anti-join below streams it without a scan
         val add = spark.createDataFrame(
-          spark.sparkContext.parallelize(toRows(rows, df.schema)), df.schema)
+          java.util.Arrays.asList(toRows(rows, df.schema): _*), df.schema)
         relations(name) = df.union(add).distinct()
         // delta = rows NOT previously present (lazy plan over the old
         // frame). No broadcast hint: the anti-join's build side is the
         // OLD relation, which can be arbitrarily large — let the planner
-        // pick from its own stats.
-        logChange(name, graft.plans.Fixpoint.antiNullSafe(add.distinct(), df))
+        // pick from its own stats. rawDelta = the literal batch itself,
+        // for consumers that tolerate the over-approximation.
+        logChange(name, graft.plans.Fixpoint.antiNullSafe(add.distinct(), df),
+          rawDelta = add)
         maybeCompact(name)
     }
   }

@@ -831,7 +831,11 @@ final class Engine(val catalog: Catalog) {
       if (isRecursive) tcEdgeRel(name, sccRules) match {
         case Some(e1) if changedRels == Set(e1) && baseOf(name).isEmpty =>
           val edgeDf = resolve(e1, 2)
-          val insFrames = changes.filter(c => c.rel == e1 && c.delta != null).map(_.delta)
+          // prefer the raw literal batch over the exact anti-joined delta:
+          // already-present tuples only re-derive pairs the closure set
+          // filters, and the raw frame collects driver-side (no job)
+          val insFrames = changes.filter(c => c.rel == e1 && c.delta != null)
+            .map(c => if (c.rawDelta != null) c.rawDelta else c.delta)
           val remFrames = changes.filter(c => c.rel == e1 && c.removed != null).map(_.removed)
           def collectAll(fs: Seq[DataFrame]): Option[Array[org.apache.spark.sql.Row]] =
             fs.foldLeft(Option(Array.empty[org.apache.spark.sql.Row])) { (acc, f) =>
@@ -839,9 +843,18 @@ final class Engine(val catalog: Catalog) {
             }
           val local = for {
             cachedRows <- Fixpoint.collectUpTo(cached, 1000000L)
-            edgeRows <- Fixpoint.collectUpTo(edgeDf, Fixpoint.LocalEdgeRows)
             insRows <- collectAll(insFrames)
             remRows <- collectAll(remFrames)
+            // the post-change EDGE relation is only needed for deletes
+            // (affected sources re-BFS over real edges). Insert-only
+            // maintenance works from the closure alone: the old closure
+            // is transitively closed, so BFS over (old-closure
+            // successors ∪ new edges) reaches exactly the new
+            // reachability — skipping the edge collect skips executing
+            // the post-insert union+distinct plan (its AQE stages were
+            // most of the re-query's jobs)
+            edgeRows <- if (remRows.isEmpty) Some(Array.empty[org.apache.spark.sql.Row])
+                        else Fixpoint.collectUpTo(edgeDf, Fixpoint.LocalEdgeRows)
           } yield {
             // pair types come from the EDGE relation: a cached EMPTY
             // closure has NullType columns, which would null out the
@@ -853,44 +866,67 @@ final class Engine(val catalog: Catalog) {
               catalog.spark.createDataFrame(
                 catalog.spark.sparkContext.parallelize(rows,
                   Fixpoint.parallelizeParts(rows.size.toLong)), schema)
-            val adj = edgeRows.map(r => (r.get(0), r.get(1)))
-              .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+            // normalize float zeros/NaN so raw driver-side literals
+            // (rawDelta) and Spark-normalized cached values agree in the
+            // hash sets below (Spark folds -0.0 into 0.0 and treats NaN
+            // equal in grouping; a fresh-boxed NaN would never dedup)
+            val canonNaN: java.lang.Double = java.lang.Double.valueOf(Double.NaN)
+            val canonNaNF: java.lang.Float = java.lang.Float.valueOf(Float.NaN)
+            def nv(v: Any): Any = v match {
+              case d: Double if d.isNaN => canonNaN
+              case d: Double if d == 0.0 => 0.0
+              case f: Float if f.isNaN => canonNaNF
+              case f: Float if f == 0.0f => 0.0f
+              case other => other
+            }
             if (remRows.isEmpty) {
               // INSERT-ONLY: seed with paths through the new edges, then
-              // propagate forward over the (post-change) edge set
+              // propagate forward over old-closure successors (one hop
+              // covers any all-old-edge segment — the closure is
+              // transitively closed) plus the new edges themselves
               val closure = mutable.HashSet.empty[(Any, Any)]
-              cachedRows.foreach(r => closure += ((r.get(0), r.get(1))))
               val pred = mutable.HashMap.empty[Any, mutable.ArrayBuffer[Any]]
+              val succ = mutable.HashMap.empty[Any, mutable.ArrayBuffer[Any]]
               cachedRows.foreach { r =>
-                pred.getOrElseUpdate(r.get(1), mutable.ArrayBuffer.empty) += r.get(0)
+                val (a, b) = (nv(r.get(0)), nv(r.get(1)))
+                closure += ((a, b))
+                pred.getOrElseUpdate(b, mutable.ArrayBuffer.empty) += a
+                succ.getOrElseUpdate(a, mutable.ArrayBuffer.empty) += b
+              }
+              val insAdj = mutable.HashMap.empty[Any, mutable.ArrayBuffer[Any]]
+              insRows.foreach { r =>
+                insAdj.getOrElseUpdate(nv(r.get(0)), mutable.ArrayBuffer.empty) += nv(r.get(1))
               }
               val fresh = mutable.ArrayBuffer.empty[(Any, Any)]
               val queue = mutable.ArrayDeque.empty[(Any, Any)]
               def add(p: (Any, Any)): Unit =
                 if (closure.add(p)) { fresh += p; queue.append(p) }
               insRows.foreach { r =>
-                val (u, v) = (r.get(0), r.get(1))
+                val (u, v) = (nv(r.get(0)), nv(r.get(1)))
                 add((u, v))
                 pred.getOrElse(u, mutable.ArrayBuffer.empty).foreach(x => add((x, v)))
               }
               while (queue.nonEmpty) {
                 val (x, y) = queue.removeHead()
-                adj.getOrElse(y, Array.empty[Any]).foreach(z => add((x, z)))
+                succ.getOrElse(y, mutable.ArrayBuffer.empty).foreach(z => add((x, z)))
+                insAdj.getOrElse(y, mutable.ArrayBuffer.empty).foreach(z => add((x, z)))
               }
               if (fresh.isEmpty) cached
               else cached.union(pairsDf(fresh.iterator
                 .map(p => org.apache.spark.sql.Row(p._1, p._2)).toSeq))
             } else {
+              val adj = edgeRows.map(r => (nv(r.get(0)), nv(r.get(1))))
+                .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
               // DELETES (possibly mixed with inserts): recompute the
               // reach sets of affected sources only
               val changedTails = (insRows.iterator ++ remRows.iterator)
-                .map(_.get(0)).toSet
+                .map(r => nv(r.get(0))).toSet
               val affected = mutable.HashSet.empty[Any] ++= changedTails
               cachedRows.foreach { r =>
-                if (changedTails(r.get(1))) affected += r.get(0)
+                if (changedTails(nv(r.get(1)))) affected += nv(r.get(0))
               }
               val out = mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
-              cachedRows.foreach(r => if (!affected(r.get(0))) out += r)
+              cachedRows.foreach(r => if (!affected(nv(r.get(0)))) out += r)
               affected.foreach { src =>
                 val seen = mutable.HashSet.empty[Any]
                 val queue = mutable.ArrayDeque[Any](src)
