@@ -508,6 +508,11 @@ final class Engine(val catalog: Catalog) {
     private val byHead: Map[String, Seq[Rule]] = rules.groupBy(_.head.rel)
     private val memo = mutable.HashMap.empty[String, DataFrame]
     private val inProgress = mutable.HashSet.empty[String]
+    /** Rows of relations this evaluator solved via [[localSccFastPath]]
+      * (same lifetime/coherence as [[memo]]): a later local SCC that
+      * scans such a relation reads the rows straight back instead of
+      * collecting the parallelized frame. */
+    private val localRowMemo = mutable.HashMap.empty[String, Array[org.apache.spark.sql.Row]]
 
     /** Base facts for a relation: evaluator-injected frames (magic-set
       * seeds) take precedence over catalog + session overlay. */
@@ -1267,14 +1272,43 @@ final class Engine(val catalog: Catalog) {
       if (sccRules.exists(_.head.args.exists(_.isInstanceOf[Rank]))) return None
       val arities = mutable.HashMap.empty[String, Int]
       scc.foreach(rel => arities(rel) = byHead(rel).head.head.args.length)
-      // base rows per SCC relation: EDB/overlay facts + non-recursive rules
+      // collected non-SCC relations referenced by recursive- or local
+      // base-rule bodies (positive scans and stratified-negation checks
+      // alike). Relations this evaluator itself solved locally serve
+      // their rows from localRowMemo — no parallelize→collect round trip
+      // between SCCs (the magic-sets seed/adorned split hits this).
+      val nonScc = mutable.HashMap.empty[String, Array[org.apache.spark.sql.Row]]
+      def collectRel(a: Ast.Atom): Option[Unit] = {
+        val df = resolve(a.rel, a.args.length)
+        arities(a.rel) = df.columns.length
+        (localRowMemo.get(a.rel) match {
+          case some @ Some(_) => some
+          case None => Fixpoint.collectUpTo(df, Fixpoint.LocalEdgeRows)
+        }) match {
+          case Some(rows) => nonScc(a.rel) = rows; Some(())
+          case None => None
+        }
+      }
+      // base rows per SCC relation: EDB/overlay facts + non-recursive
+      // rules. Rules within LocalEval's shape whose body relations all
+      // fit on the driver are evaluated IN-PROCESS (no distributed
+      // derive + collect per rule); the rest derive distributed.
       val baseRows = mutable.HashMap.empty[String, Array[org.apache.spark.sql.Row]]
+      val localBase = Seq.newBuilder[Rule]
       scc.foreach { rel =>
         val baseRules = byHead.getOrElse(rel, Seq.empty)
           .filterNot(_.body.exists { case Pos(a) => scc(a.rel); case _ => false })
+        val (candLocal, dist0) = baseRules.partition(LocalEval.baseRuleOk(scc, _))
+        val dist = mutable.ArrayBuffer.from(dist0)
+        candLocal.foreach { r =>
+          val bodyAtoms = r.body.collect { case Pos(a) => a; case Neg(a) => a }
+          val ok = r.head.args.length == arities(rel) &&
+            bodyAtoms.forall(a => nonScc.contains(a.rel) || collectRel(a).isDefined)
+          if (ok) localBase += r else dist += r
+        }
         val parts = baseOf(rel).map(b =>
           b.toDF(b.columns.indices.map(i => s"c$i"): _*)).toSeq ++
-          baseRules.map(deriveRule(_))
+          dist.map(deriveRule(_))
         if (parts.nonEmpty) {
           if (parts.exists(_.columns.length != arities(rel))) return None
           Fixpoint.collectUpTo(parts.reduce(_ union _).distinct(),
@@ -1284,17 +1318,6 @@ final class Engine(val catalog: Catalog) {
           }
         }
       }
-      // collected non-SCC relations referenced by recursive-rule bodies
-      // (positive scans and stratified-negation checks alike)
-      val nonScc = mutable.HashMap.empty[String, Array[org.apache.spark.sql.Row]]
-      def collectRel(a: Ast.Atom): Option[Unit] = {
-        val df = resolve(a.rel, a.args.length)
-        arities(a.rel) = df.columns.length
-        Fixpoint.collectUpTo(df, Fixpoint.LocalEdgeRows) match {
-          case Some(rows) => nonScc(a.rel) = rows; Some(())
-          case None => None
-        }
-      }
       recRules.flatMap(_.body).foreach {
         case Pos(a) if !scc(a.rel) && !nonScc.contains(a.rel) =>
           if (collectRel(a).isEmpty) return None
@@ -1302,8 +1325,11 @@ final class Engine(val catalog: Catalog) {
           if (collectRel(a).isEmpty) return None
         case _ => ()
       }
-      LocalEval.run(catalog.spark, scc, recRules, arities.toMap,
-        baseRows.toMap, nonScc.toMap)
+      val rowsOut = mutable.HashMap.empty[String, Array[org.apache.spark.sql.Row]]
+      val out = LocalEval.run(catalog.spark, scc, recRules, arities.toMap,
+        baseRows.toMap, nonScc.toMap, localBase.result(), rowsOut)
+      if (out.isDefined) localRowMemo ++= rowsOut
+      out
     }
 
     private def evalRecursiveScc(scc: Set[String], sccRules: Seq[Rule]): Unit = {

@@ -107,7 +107,16 @@ object LocalEval {
     * functions, ranking/aggregate heads, unbound expression vars) bails
     * to the distributed compiler, which either handles it or raises the
     * proper error. */
-  def shapeOk(scc: Set[String], recRules: Seq[Rule]): Boolean = {
+  def shapeOk(scc: Set[String], recRules: Seq[Rule]): Boolean =
+    recRules.nonEmpty && recRules.forall(ruleOk(scc, _))
+
+  /** [[ruleOk]] plus a driving requirement: base (non-recursive) rules
+    * are evaluated in-process by enumerating their FIRST positive atom,
+    * so one must exist. */
+  def baseRuleOk(scc: Set[String], r: Rule): Boolean =
+    r.body.exists(_.isInstanceOf[Pos]) && ruleOk(scc, r)
+
+  private def ruleOk(scc: Set[String], r: Rule): Boolean = {
     def argOk(t: Term): Boolean = t match {
       case _: Var | _: Const => true
       case Wildcard => true
@@ -119,7 +128,7 @@ object LocalEval {
       case Arith(_, l, r) => exprOk(l, bound) && exprOk(r, bound)
       case _ => false
     }
-    recRules.nonEmpty && recRules.forall { r =>
+    locally {
       val posVars = r.body.collect { case Pos(a) =>
         a.args.collect { case Var(n) => n } }.flatten.toSet
       val atomsOk = r.body.forall {
@@ -415,7 +424,9 @@ object LocalEval {
   def run(spark: SparkSession, scc: Set[String], recRules: Seq[Rule],
           arities: Map[String, Int],
           baseRows: Map[String, Array[Row]],
-          nonScc: Map[String, Array[Row]]): Option[Map[String, DataFrame]] =
+          nonScc: Map[String, Array[Row]],
+          baseRules: Seq[Rule] = Seq.empty,
+          rowsOut: mutable.Map[String, Array[Row]] = null): Option[Map[String, DataFrame]] =
     try {
       val acc = scc.map(r => r -> new Store(arities(r))).toMap
       val ext = nonScc.map { case (r, rows) =>
@@ -424,12 +435,20 @@ object LocalEval {
           Array.tabulate(s.arity)(i => norm(row.get(i))))))
         r -> s
       }
-      // recursive-rule arity guard: every body atom must match its store
+      // rule arity guard: every body atom must match its store
       val plans: Seq[OccPlan] = recRules.flatMap { r =>
         r.body.zipWithIndex.collect { case (Pos(a), i) if scc(a.rel) => i }
           .map(planOcc(r, _, scc))
       }
-      plans.foreach { p =>
+      // base (non-recursive) rules run in-process too, driven once from
+      // their first positive atom's collected store — [[baseRuleOk]]
+      // gates the shape, the caller collects the body relations
+      val basePlans: Seq[OccPlan] = baseRules.map { r =>
+        val firstPos = r.body.zipWithIndex
+          .collectFirst { case (Pos(_), i) => i }.getOrElse(bail())
+        planOcc(r, firstPos, scc)
+      }
+      (plans ++ basePlans).foreach { p =>
         val negAtoms = p.post.collect { case NegStep(a) => a }
         (p.deltaAtom :: p.steps.map(_.atom) ::: negAtoms).foreach { a =>
           val st = acc.getOrElse(a.rel, ext.getOrElse(a.rel, bail()))
@@ -438,14 +457,37 @@ object LocalEval {
         if (p.rule.head.args.length != arities(p.rule.head.rel)) bail()
       }
 
-      var delta: Map[String, IndexedSeq[ArraySeq[Any]]] = baseRows.map { case (rel, rows) =>
+      val seeded = mutable.HashMap.empty[String, mutable.ArrayBuffer[ArraySeq[Any]]]
+      def seed(rel: String, t: ArraySeq[Any]): Unit =
+        if (acc(rel).add(t)) seeded.getOrElseUpdate(rel, mutable.ArrayBuffer.empty) += t
+      baseRows.foreach { case (rel, rows) =>
         val st = acc(rel)
-        val added = rows.flatMap { row =>
-          val t = ArraySeq.unsafeWrapArray(Array.tabulate(st.arity)(i => norm(row.get(i))))
-          if (st.add(t)) Some(t) else None
+        rows.foreach { row =>
+          seed(rel, ArraySeq.unsafeWrapArray(Array.tabulate(st.arity)(i => norm(row.get(i)))))
         }
-        rel -> added.toIndexedSeq
-      }.filter(_._2.nonEmpty)
+      }
+      var baseEmitted = 0L
+      basePlans.foreach { p =>
+        ext.get(p.deltaRel).foreach { st =>
+          val headRel = p.rule.head.rel
+          st.tuples.foreach { t =>
+            tryBind(p.deltaAtom.args, t, Map.empty).foreach { env0 =>
+              enumerate(p.steps, env0, acc, ext) { envPos =>
+                baseEmitted += 1
+                if ((baseEmitted & 0x1FFF) == 0L) graft.QueryGuard.checkCancelled()
+                applyPost(p.post, envPos, ext).foreach { env =>
+                  seed(headRel, ArraySeq.unsafeWrapArray(
+                    p.rule.head.args.map(a => norm(evalTerm(a, env))).toArray[Any]))
+                }
+              }
+            }
+          }
+        }
+        if (acc.valuesIterator.map(_.size.toLong).sum > MaxDerived) bail()
+      }
+      var delta: Map[String, IndexedSeq[ArraySeq[Any]]] =
+        seeded.iterator.map { case (rel, ts) => rel -> ts.toIndexedSeq }
+          .filter(_._2.nonEmpty).toMap
 
       val accTotal = () => acc.valuesIterator.map(_.size.toLong).sum
       while (delta.nonEmpty) {
@@ -489,7 +531,9 @@ object LocalEval {
       }
 
       Some(acc.map { case (rel, st) =>
-        rel -> toFrame(spark, st)
+        val rows = st.tuples.map(t => Row.fromSeq(t)).toArray
+        if (rowsOut != null) rowsOut(rel) = rows
+        rel -> toFrame(spark, st, rows)
       })
     } catch { case _: Bail => None }
 
@@ -548,7 +592,7 @@ object LocalEval {
     case _ => a == b
   }
 
-  private def toFrame(spark: SparkSession, st: Store): DataFrame = {
+  private def toFrame(spark: SparkSession, st: Store, rows: Array[Row]): DataFrame = {
     val fields = (0 until st.arity).map { i =>
       val dt = st.kinds(i) match {
         case KLong => LongType
@@ -559,10 +603,9 @@ object LocalEval {
       }
       StructField(s"c$i", dt, nullable = true)
     }
-    val rows = st.tuples.map(t => Row.fromSeq(t)).toSeq
     spark.createDataFrame(
-      spark.sparkContext.parallelize(rows,
-        graft.plans.Fixpoint.parallelizeParts(rows.size.toLong)),
+      spark.sparkContext.parallelize(rows.toSeq,
+        graft.plans.Fixpoint.parallelizeParts(rows.length.toLong)),
       StructType(fields))
   }
 }
