@@ -294,12 +294,16 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb, q, 10).select(col("vec_id"))
     }),
 
-    // --- pipeline: LSH-bucketed approximate ANN (rows-only; recall in specs) ----------------------
+    // --- pipeline: LSH approximate ANN over the partitionBy(bucket)
+    //     layout — the probe filters on the STORED bucket column, so the
+    //     scan prunes to (nPlanes+1)/2^nPlanes of the partitions instead
+    //     of evaluating hyperplane dots over every row (rows-only;
+    //     recall + pruning asserted in SimilaritySpec, exact twin q66) --
     "q34_ann_lsh" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       val q = emb.where(col("vec_id") === 0).select(col("embedding"))
         .head().getSeq[Float](0)
-      Similarity.lshTopK(emb, q, 10, dim = 64)
+      Similarity.lshTopKBucketed(lshLayout(s, dir), q, 10, dim = 64)
     }),
 
     // --- pipeline: IVF approximate ANN (rows-only; recall in specs) -------------------------------
@@ -322,6 +326,28 @@ object SparkEntry {
       val q = emb.where(col("vec_id") === 0).select(col("embedding"))
         .head().getSeq[Float](0)
       Similarity.ivfTopKTrained(emb, q, 10, cent, nprobe = cent.length)
+        .select(col("vec_id"))
+    }),
+
+    // --- pipeline: LSH bucketed layout probed with EVERY bucket — reads
+    //     all partitions through the same stored-bucket path q34 prunes,
+    //     so the result must EQUAL brute-force top-k: a hard oracle on
+    //     the assign/write/probe machinery (q34's exact twin) ------------
+    "q66_ann_lsh_allprobes" -> ((s, dir) => {
+      val q = T(s, dir, "embeddings").where(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      Similarity.lshTopKBucketed(lshLayout(s, dir), q, 10, dim = 64,
+        allProbes = true).select(col("vec_id"))
+    }),
+
+    // --- pipeline: seeded IVF probed with ALL cells — the per-row cell
+    //     assignment still executes (isin over every cell id), so the
+    //     result must EQUAL brute-force top-k: q35's exact twin ----------
+    "q67_ann_ivf_allprobes" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0)
+      Similarity.ivfTopK(emb, q, 10, dim = 64, nCells = 16, nprobe = 16)
         .select(col("vec_id"))
     }),
 
@@ -604,6 +630,25 @@ object SparkEntry {
 
   private val ivfCentroidCache =
     scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
+
+  /** LSH-partitioned embedding layout per sf dir (the write-once "index
+    * build" analogous to the reference's index creation): embeddings with
+    * a stored bucket column, written `partitionBy("bucket")` so probes
+    * prune partitions at scan time. */
+  private val lshLayoutCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def lshLayout(s: SparkSession, dir: String): DataFrame = {
+    val path = lshLayoutCache.getOrElseUpdate(dir, {
+      val out = java.nio.file.Files.createTempDirectory("graft_lsh_").toString
+      // repartition by bucket first: each task writes whole partition
+      // dirs — one file per bucket instead of (tasks x buckets) shards
+      Similarity.lshAssign(T(s, dir, "embeddings"), dim = 64)
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(out)
+      out
+    })
+    s.read.parquet(path)
+  }
 
   private val hnswCache =
     scala.collection.concurrent.TrieMap.empty[String, graft.index.Hnsw]
@@ -957,6 +1002,20 @@ object SparkEntry {
 
     // all-cells trained-IVF probe == brute force, same oracle
     "q61_ann_ivf_trained" ->
+      """SELECT vec_id FROM embeddings
+        |ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC,
+        |vec_id ASC LIMIT 10""".stripMargin,
+
+    // all-buckets LSH probe of the partitioned layout == brute force
+    "q66_ann_lsh_allprobes" ->
+      """SELECT vec_id FROM embeddings
+        |ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC,
+        |vec_id ASC LIMIT 10""".stripMargin,
+
+    // all-cells seeded-IVF probe == brute force
+    "q67_ann_ivf_allprobes" ->
       """SELECT vec_id FROM embeddings
         |ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
         |(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC,

@@ -81,15 +81,71 @@ object Similarity {
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     // Query buckets computed driver-side (same deterministic planes).
     val cond = (0 until nTables).map { t =>
-      val planes = LF.hyperplanes(dim, nPlanes, t)
-      val home = planes.zipWithIndex.map { case (p, i) =>
-        val dp = query.zip(p).map { case (x, y) => x.toDouble * y }.sum
-        if (dp > 0) 1 << i else 0
-      }.sum
-      val probes = home +: (0 until nPlanes).map(i => home ^ (1 << i))
+      val probes: Seq[Any] = queryProbes(query, dim, t, nPlanes)
       LF.lshBucket(col(vecCol), dim, t, nPlanes).isin(probes: _*)
     }.reduce(_ || _)
     bruteForceTopK(emb.where(cond), query, k, idCol, vecCol)
+  }
+
+  /** [[lshTopK]] with EVERY bucket of every table in the probe set: the
+    * candidate set is then the whole table and the result must EQUAL
+    * [[bruteForceTopK]] — an oracle on the bucket computation itself
+    * (each row's bucket must land in [0, 2^nPlanes); the per-row
+    * expressions still run, unlike simply dropping the filter). */
+  def lshTopKAllProbes(emb: DataFrame, query: Seq[Float], k: Int, dim: Int,
+                       nTables: Int = 4, nPlanes: Int = 12,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val all: Seq[Any] = 0 until (1 << nPlanes)
+    val cond = (0 until nTables).map { t =>
+      LF.lshBucket(col(vecCol), dim, t, nPlanes).isin(all: _*)
+    }.reduce(_ || _)
+    bruteForceTopK(emb.where(cond), query, k, idCol, vecCol)
+  }
+
+  /** Probe buckets of `query` in `table` out to Hamming distance
+    * `radius` (home + all ≤radius-bit flips), computed driver-side with
+    * the same deterministic planes. */
+  private def queryProbes(query: Seq[Float], dim: Int, table: Int,
+                          nPlanes: Int, radius: Int = 1): Seq[Int] = {
+    val planes = LF.hyperplanes(dim, nPlanes, table)
+    val home = planes.zipWithIndex.map { case (p, i) =>
+      val dp = query.zip(p).map { case (x, y) => x.toDouble * y }.sum
+      if (dp > 0) 1 << i else 0
+    }.sum
+    val out = scala.collection.mutable.LinkedHashSet(home)
+    (1 to radius).foreach { _ =>
+      out.toSeq.foreach(b => (0 until nPlanes).foreach(i => out += (b ^ (1 << i))))
+    }
+    out.toSeq
+  }
+
+  /** Bucket-assignment column for writing an LSH-partitioned layout
+    * (mirror of [[ivfAssign]]):
+    * `lshAssign(emb, dim).write.partitionBy("bucket").parquet(path)`.
+    * One table: at write time a row can live in only one partition;
+    * recall comes from multi-probing (Hamming radius), not from
+    * OR-amplification across tables. */
+  def lshAssign(emb: DataFrame, dim: Int, nPlanes: Int = 6,
+                table: Int = 0, vecCol: String = "embedding"): DataFrame =
+    emb.withColumn("bucket", LF.lshBucket(col(vecCol), dim, table, nPlanes))
+
+  /** Probe of an [[lshAssign]]-partitioned layout: filters on the STORED
+    * bucket column, so a `partitionBy("bucket")` parquet layout prunes to
+    * the probe buckets at scan time — the scan reads
+    * ~(nPlanes+1)/2^nPlanes of the table instead of evaluating
+    * hyperplane dots over every row (the round-3 filter-scan shape did
+    * MORE per-row work than brute force; this does none for unprobed
+    * rows, and `allProbes=true` turns the same code path into an exact
+    * scan for oracle anchoring). */
+  def lshTopKBucketed(layout: DataFrame, query: Seq[Float], k: Int, dim: Int,
+                      nPlanes: Int = 6, table: Int = 0, radius: Int = 2,
+                      allProbes: Boolean = false,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val probes: Seq[Any] =
+      if (allProbes) 0 until (1 << nPlanes)
+      else queryProbes(query, dim, table, nPlanes, radius)
+    bruteForceTopK(layout.where(col("bucket").isin(probes: _*)),
+      query, k, idCol, vecCol)
   }
 
   /** Deterministic k-means centroids for IVF (Lloyd iterations over the

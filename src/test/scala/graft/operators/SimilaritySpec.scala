@@ -52,6 +52,63 @@ class SimilaritySpec extends SparkSpec {
     assert(top3 < emb.count(), s"no pruning: cell sizes $probedRows")
   }
 
+  test("lsh all-probes variants equal brute force exactly") {
+    val bf = rows(Similarity.bruteForceTopK(emb, query, 10).select(col("vec_id")))
+    val orFilter = rows(Similarity.lshTopKAllProbes(emb, query, 10, dim = 64)
+      .select(col("vec_id")))
+    assert(orFilter == bf)
+    val dir = java.nio.file.Files.createTempDirectory("lsh_layout").toString
+    Similarity.lshAssign(emb, dim = 64).write.mode("overwrite")
+      .partitionBy("bucket").parquet(dir)
+    val layout = spark.read.parquet(dir)
+    val bucketed = rows(Similarity.lshTopKBucketed(layout, query, 10, dim = 64,
+      allProbes = true).select(col("vec_id")))
+    assert(bucketed == bf)
+  }
+
+  test("bucketed lsh probe prunes the scan and keeps recall") {
+    val dir = java.nio.file.Files.createTempDirectory("lsh_probe").toString
+    Similarity.lshAssign(emb, dim = 64).write.mode("overwrite")
+      .partitionBy("bucket").parquet(dir)
+    val layout = spark.read.parquet(dir)
+    val probe = Similarity.lshTopKBucketed(layout, query, 10, dim = 64)
+    // partition pruning is real: the probe's executed scan reads a
+    // strict subset of the layout's files (bucket is a partition column,
+    // so the isin filter prunes at file-listing time — the 100 TB
+    // design point)
+    probe.collect()
+    def scanFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      def leaves(p: SparkPlan): Seq[SparkPlan] = p.collectLeaves().flatMap {
+        case a: AdaptiveSparkPlanExec => leaves(a.executedPlan)
+        case l => Seq(l)
+      }
+      leaves(df.queryExecution.executedPlan)
+        .collect { case f: FileSourceScanExec => f.metrics("numFiles").value }.sum
+    }
+    val allFiles = layout.inputFiles.length.toLong
+    val probedFiles = scanFiles(probe)
+    assert(probedFiles > 0 && probedFiles < allFiles,
+      s"no pruning: probe reads $probedFiles of $allFiles files")
+    // and the probed rows are a fraction of the table
+    val total = emb.count()
+    val probedRows = Similarity.lshTopKBucketed(layout, query, 100000, dim = 64).count()
+    assert(probedRows < total, s"probe scanned every row ($probedRows)")
+    // recall vs brute force: the test embeddings are near-uniform, so
+    // the honest bound is LOCALITY LIFT — the probe must recover MORE
+    // of the true top-10 than a random subset of the same size would
+    // (recall > probed fraction), plus a floor. Exact correctness of
+    // the machinery is anchored by the all-probes oracle (q66).
+    val bf = rows(Similarity.bruteForceTopK(emb, query, 10).select(col("vec_id")))
+      .map(_.head)
+    val got = rows(probe.select(col("vec_id"))).map(_.head)
+    val recall = got.count(bf).toDouble / bf.size
+    val fraction = probedRows.toDouble / total
+    assert(recall >= 0.3 && recall > fraction,
+      s"bucketed-probe recall $recall at probed fraction $fraction")
+  }
+
   test("partitionBy(cell) layout round-trips and prunes") {
     val cent = Similarity.kmeansCentroids(emb, k = 4, iters = 1)
     val dir = java.nio.file.Files.createTempDirectory("ivf_layout").toString
