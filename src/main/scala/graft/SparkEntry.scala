@@ -340,6 +340,27 @@ object SparkEntry {
         allProbes = true).select(col("vec_id"))
     }),
 
+    // --- IQL: retraction through a MULTI-RULE non-recursive view — a
+    //     conditional delete logs its exact removed tuples, and the
+    //     re-query is served by DRed maintenance (over-delete the
+    //     derivations through removed tuples, re-derive survivors with
+    //     the head pushed into the body as a guard) instead of
+    //     recomputing; EngineSpec asserts the maintenance counter -------
+    "q68_iql_dred_delete" -> ((s, dir) => {
+      val e = iqlEngine(s, dir)
+      e.catalog.register("nat", T(s, dir, "nation").select(
+        col("n_nationkey").cast("long"), col("n_name"), col("n_regionkey").cast("long")))
+      e.catalog.register("reg", T(s, dir, "region").select(
+        col("r_regionkey").cast("long"), col("r_name")))
+      e.run(
+        """+big(N, R) <- nat(NK, N, RK), reg(RK, R)
+          |+big(N, "extra") <- nat(NK, N, RK), NK > 20
+          |?big(N, R)
+          |""".stripMargin)
+      e.run("-nat(NK, N, RK) <- nat(NK, N, RK), RK = 2") // conditional delete
+      e.run("?big(N, R)").last                           // DRed-maintained
+    }),
+
     // --- pipeline: seeded IVF probed with ALL cells — the per-row cell
     //     assignment still executes (isin over every cell id), so the
     //     result must EQUAL brute-force top-k: q35's exact twin ----------
@@ -1013,6 +1034,14 @@ object SparkEntry {
         |ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
         |(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC,
         |vec_id ASC LIMIT 10""".stripMargin,
+
+    // post-delete state of the multi-rule view (the DRed-maintained result)
+    "q68_iql_dred_delete" ->
+      """SELECT n_name AS N, r_name AS R FROM nation
+        |JOIN region ON n_regionkey = r_regionkey WHERE n_regionkey <> 2
+        |UNION
+        |SELECT n_name AS N, 'extra' AS R FROM nation
+        |WHERE n_nationkey > 20 AND n_regionkey <> 2""".stripMargin,
 
     // all-cells seeded-IVF probe == brute force
     "q67_ann_ivf_allprobes" ->

@@ -332,9 +332,12 @@ final class Catalog(val spark: SparkSession) {
     relations.get(name).foreach(df => relations(name) = df.localCheckpoint(true))
   }
 
-  /** Replace a relation's contents (conditional delete / atomic update). */
-  def replace(name: String, df: DataFrame): Unit = synchronized {
-    bump(); logChange(name, null); relations(name) = df
+  /** Replace a relation's contents (conditional delete / atomic update).
+    * `removed`, when non-null, records the exact tuples the replacement
+    * drops (and nothing else) — the change is then a maintainable
+    * delete instead of an opaque invalidation. */
+  def replace(name: String, df: DataFrame, removed: DataFrame = null): Unit = synchronized {
+    bump(); logChange(name, null, removed); relations(name) = df
   }
 
   /** Append a derived frame (positional; cast to the relation's schema).

@@ -469,7 +469,12 @@ final class Engine(val catalog: Catalog) {
         s"delete pattern arg $i must be var or const, got $other")
     }
     val matching = full.select(cols: _*).distinct()
-    catalog.replace(atom.rel, rel.join(matching, rel.columns.toSeq, "left_anti"))
+    // removed = the matching tuples actually present — logged so the
+    // conditional delete is a maintainable exact-tuple retraction, not
+    // an opaque invalidation (reference: every delete feeds derived
+    // relations as a (data, time, -1) update, src/derived_relations.rs)
+    val removed = rel.join(matching, rel.columns.toSeq, "left_semi")
+    catalog.replace(atom.rel, rel.join(matching, rel.columns.toSeq, "left_anti"), removed)
   }
 
   /** Atomic update `-old(args), +new(args) <- body`: both the deletion
@@ -949,8 +954,77 @@ final class Engine(val catalog: Catalog) {
           local match { case Some(df) => return Some(df); case None => () }
         case _ => ()
       }
-      // past the TC fast path, only pure-insert changes are maintainable —
-      // a delete against any other view shape falls back to recompute
+      // DRed-style delete propagation for NON-recursive views (reference
+      // retracts through derived relations incrementally,
+      // `src/derived_relations.rs:1-60`): over-delete = every derivation
+      // that ran through a removed tuple (one occurrence bound to the
+      // removed rows, other changed rels at their PRE-delete state =
+      // current ∪ removed, since deletes are exact-tuple); then re-derive
+      // the over-deleted head tuples at the NEW state with the head
+      // unification pushed INTO the rule body as a guard atom — the
+      // rederivation only explores bindings for the (small) over-deleted
+      // set, never the full base. Cost ~ |delta|-bound joins, vs a full
+      // recomputation's scan of every base relation. Recursive views
+      // past the TC shape, mixed insert+delete batches, non-Var heads
+      // and views with own EDB facts still fall back to recompute.
+      if (hasRemovals && !isRecursive && changes.forall(_.delta == null) &&
+          sccRules.forall(_.head.args.forall(a =>
+            a.isInstanceOf[Var] || a.isInstanceOf[Const])) &&
+          baseOf(name).isEmpty) {
+        val removedOf: Map[String, DataFrame] = changedRels.flatMap { r =>
+          val ds = changes.filter(c => c.rel == r && c.removed != null).map(_.removed)
+          if (ds.isEmpty) None else Some(r -> ds.reduce(_ union _).distinct())
+        }.toMap
+        if (removedOf.keySet == changedRels) {
+          def oldFrame(nm: String, ar: Int): DataFrame = {
+            val cur = resolve(nm, ar)
+            removedOf.get(nm) match {
+              case Some(rm) => cur.union(rm.toDF(cur.columns.toSeq: _*)).distinct()
+              case None => cur
+            }
+          }
+          def removedDerive(r: Rule, dIdx: Int): DataFrame = {
+            val targetRel = r.body(dIdx) match { case Pos(a) => a.rel; case _ => "" }
+            var occ = -1
+            val resolver: RuleCompiler.Resolver = (nm, ar) =>
+              if (nm == targetRel) {
+                occ += 1
+                val bodyIdx = r.body.zipWithIndex.collect {
+                  case (Pos(a), i) if a.rel == targetRel => i
+                }.apply(occ)
+                if (bodyIdx == dIdx) removedOf(nm)
+                else oldFrame(nm, ar)
+              } else if (changedRels(nm)) oldFrame(nm, ar)
+              else resolve(nm, ar)
+            deriveRule(r, resolver).toDF(cols: _*)
+          }
+          val over = Seq.newBuilder[DataFrame]
+          sccRules.foreach { r =>
+            r.body.zipWithIndex.foreach {
+              case (Pos(a), i) if changedRels(a.rel) => over += removedDerive(r, i)
+              case _ => ()
+            }
+          }
+          val overParts = over.result()
+          if (overParts.isEmpty) return Some(cached) // untouched rules only
+          val overDelete = Fixpoint.materialize(
+            overParts.reduce(_ union _).distinct())
+          if (overDelete.count == 0) return Some(cached)
+          val guardRel = "__dred_guard"
+          val survived = sccRules.map { r =>
+            val guarded = r.copy(body = Pos(Atom(guardRel, r.head.args)) +: r.body)
+            val resolver: RuleCompiler.Resolver = (nm, ar) =>
+              if (nm == guardRel) overDelete.df else resolve(nm, ar)
+            deriveRule(guarded, resolver).toDF(cols: _*)
+          }.reduce(_ union _).distinct()
+          // survived ⊆ overDelete and the anti removes all of overDelete,
+          // so the two sides are disjoint — no extra distinct
+          return Some(Fixpoint.materialize(
+            Fixpoint.antiNullSafe(cached, overDelete.df).union(survived)).df)
+        }
+      }
+      // past the DRed and TC fast paths, only pure-insert changes are
+      // maintainable — any other delete falls back to recompute
       if (hasRemovals) return None
 
       val seedContribs = Seq.newBuilder[DataFrame]

@@ -379,6 +379,45 @@ class EngineSpec extends SparkSpec {
     assert(rows(e2.run("?a(X)").last) == Set(Seq(5.0)))
   }
 
+  test("retraction maintenance: DRed on a multi-rule non-recursive view") {
+    val e = new Engine(new Catalog(spark))
+    e.run(
+      """+em[(1, "eng", 10), (2, "eng", 20), (3, "ops", 5), (4, "qa", 7)]
+        |+dep[("eng", "bldgA"), ("ops", "bldgB"), ("qa", "bldgA")]
+        |+loc(I, B) <- em(I, D, _), dep(D, B)
+        |+loc(I, "remote") <- em(I, _, S), S > 15
+        |""".stripMargin)
+    assert(rows(e.run("?loc(I, B)").last) ==
+      Set(Seq(1L, "bldgA"), Seq(2L, "bldgA"), Seq(3L, "bldgB"), Seq(4L, "bldgA"),
+        Seq(2L, "remote")))
+    val before = e.maintainedCount
+    e.run("""-em(3, "ops", 5)""")
+    assert(rows(e.run("?loc(I, B)").last) ==
+      Set(Seq(1L, "bldgA"), Seq(2L, "bldgA"), Seq(4L, "bldgA"), Seq(2L, "remote")))
+    assert(e.maintainedCount == before + 1, "delete was recomputed, not DRed-maintained")
+    // a delete whose derivations survive via ANOTHER tuple: dropping
+    // ("qa","bldgA") loses loc(4,"bldgA") but 1 and 2 keep bldgA via eng
+    e.run("""-dep("qa", "bldgA")""")
+    assert(rows(e.run("?loc(I, B)").last) ==
+      Set(Seq(1L, "bldgA"), Seq(2L, "bldgA"), Seq(2L, "remote")))
+    assert(e.maintainedCount == before + 2)
+  }
+
+  test("retraction maintenance: conditional delete logs exact tuples and maintains") {
+    val e = new Engine(new Catalog(spark))
+    e.run(
+      """+sal[(1, 10), (2, 20), (3, 30)]
+        |+band[(10, "low"), (20, "mid"), (30, "high")]
+        |+v(I, B) <- sal(I, S), band(S, B)
+        |""".stripMargin)
+    assert(rows(e.run("?v(I, B)").last).size == 3)
+    val before = e.maintainedCount
+    e.run("-sal(I, S) <- sal(I, S), S > 15") // conditional delete
+    assert(rows(e.run("?v(I, B)").last) == Set(Seq(1L, "low")))
+    assert(e.maintainedCount == before + 1,
+      "conditional delete should log removed tuples and DRed-maintain")
+  }
+
   test("incremental maintenance: NaN group keys merge as one group") {
     // Spark's groupBy (and the full_outer <=> fallback) treat NaN keys
     // as one group; the driver-local merge must too, or a NaN-keyed
@@ -513,7 +552,7 @@ class EngineSpec extends SparkSpec {
     assert(rows(e.run("?reach(X, Y)").last).size == 6)
   }
 
-  test("deletes on non-TC views fall back to recomputation, correctly") {
+  test("deletes on non-TC views are DRed-maintained (round 4; previously recomputed)") {
     val e = new Engine(new Catalog(spark))
     e.run("+p[(1,10),(2,20),(3,30)]")
     e.run("+q[(1),(2)]")
@@ -522,7 +561,11 @@ class EngineSpec extends SparkSpec {
     val before = e.maintainedCount
     e.run("-q[(1)]")
     assert(rows(e.run("?v(X, Y)").last) == Set(Seq(2L, 20L)))
-    assert(e.maintainedCount == before, "non-TC delete should recompute")
+    assert(e.maintainedCount == before + 1, "non-recursive delete should DRed-maintain")
+    // mixed insert+delete in one batch still falls back to recompute
+    e.run("-q[(2)]\n+q[(3)]")
+    assert(rows(e.run("?v(X, Y)").last) == Set(Seq(3L, 30L)))
+    assert(e.maintainedCount == before + 1, "mixed batch should recompute")
   }
 
   test("magic sets restrict non-pass-through bound queries (same generation)") {
