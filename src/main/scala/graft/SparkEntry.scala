@@ -361,6 +361,20 @@ object SparkEntry {
       e.run("?big(N, R)").last                           // DRed-maintained
     }),
 
+    // --- pipeline: int8-quantized ANN — embeddings stored as BYTE
+    //     arrays (reference VectorInt8, 4x fewer scan bytes at 100 TB),
+    //     cosine computed by the byte-consuming codegen kernels; the
+    //     oracle replicates the symmetric quantization in DuckDB, so
+    //     this exactly checks the whole int8 scoring path --------------
+    "q69_ann_int8" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val qv = emb.where(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0)
+      val stored = Similarity.quantizeInt8(emb).select(col("vec_id"), col("q_emb"))
+      Similarity.bruteForceTopKInt8(stored, Similarity.quantizeQueryInt8(qv), 10)
+        .select(col("vec_id"))
+    }),
+
     // --- pipeline: seeded IVF probed with ALL cells — the per-row cell
     //     assignment still executes (isin over every cell id), so the
     //     result must EQUAL brute-force top-k: q35's exact twin ----------
@@ -1042,6 +1056,22 @@ object SparkEntry {
         |UNION
         |SELECT n_name AS N, 'extra' AS R FROM nation
         |WHERE n_nationkey > 20 AND n_regionkey <> 2""".stripMargin,
+
+    // int8 ANN: DuckDB replicates the symmetric quantization, then ranks
+    // by cosine over the SAME integer vectors — bit-identical arithmetic
+    "q69_ann_int8" ->
+      """WITH s AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |    list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)), 'max') AS m
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT vec_id,
+        |    list_transform(e, x -> round(x / (CASE WHEN m = 0 THEN 1.0 ELSE m / 127.0 END))) AS qv
+        |  FROM s
+        |)
+        |SELECT a.vec_id FROM q a
+        |ORDER BY list_cosine_similarity(a.qv, (SELECT qv FROM q WHERE vec_id = 0)) DESC,
+        |a.vec_id ASC LIMIT 10""".stripMargin,
 
     // all-cells seeded-IVF probe == brute force
     "q67_ann_ivf_allprobes" ->

@@ -32,6 +32,38 @@ object Similarity {
       .limit(k)
   }
 
+  /** Symmetric per-vector int8 quantization of the embedding column —
+    * the stored BYTE layout (reference `VectorInt8`, 75% memory savings,
+    * `src/value/mod.rs:57-61`). At 100 TB this is 4× fewer scan bytes;
+    * cosine over symmetrically-quantized vectors approximates the float
+    * cosine because the per-vector scale cancels in the normalization. */
+  def quantizeInt8(emb: DataFrame, vecCol: String = "embedding",
+                   outCol: String = "q_emb"): DataFrame =
+    emb.withColumn(outCol, VF.quantizeSymmetric(col(vecCol)))
+
+  /** Exact top-k by cosine over BYTE-typed quantized vectors: the scan
+    * reads int8 arrays (4× fewer bytes than float), the codegen'd
+    * kernels consume ByteType elements directly — no widening cast in
+    * the stored column or the plan. Query must be pre-quantized with
+    * the same scheme ([[quantizeQueryInt8]]). */
+  def bruteForceTopKInt8(embQ: DataFrame, queryQ: Seq[Byte], k: Int,
+                         idCol: String = "vec_id", vecCol: String = "q_emb"): DataFrame = {
+    val q = typedLit(queryQ)
+    embQ.select(col(idCol), VF.cosineSimilarity(col(vecCol), q).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Driver-side symmetric int8 quantization of a query vector — the
+    * exact arithmetic [[graft.functions.VectorFunctions.quantizeSymmetric]]
+    * applies per row (HALF_UP ties like Spark's and DuckDB's `round`). */
+  def quantizeQueryInt8(query: Seq[Float]): Seq[Byte] = {
+    val maxAbs = if (query.isEmpty) 0.0 else query.iterator.map(x => math.abs(x.toDouble)).max
+    val scale = if (maxAbs == 0.0) 1.0 else maxAbs / 127.0
+    query.map(x => BigDecimal(x.toDouble / scale)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toByte)
+  }
+
   /** Exact top-k neighbours for EVERY row of `queries` against `emb`
     * (k-NN join) — broadcast the smaller query side, window top-k. */
   def knnJoin(emb: DataFrame, queries: DataFrame, k: Int,

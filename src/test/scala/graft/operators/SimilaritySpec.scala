@@ -109,6 +109,45 @@ class SimilaritySpec extends SparkSpec {
       s"bucketed-probe recall $recall at probed fraction $fraction")
   }
 
+  test("int8 quantized storage is byte-typed end-to-end") {
+    import org.apache.spark.sql.types._
+    val stored = Similarity.quantizeInt8(emb).select(col("vec_id"), col("q_emb"))
+    // the stored column is array<tinyint> — 1 byte per element, the
+    // reference's VectorInt8 width (src/value/mod.rs:57-61)
+    assert(stored.schema("q_emb").dataType == ArrayType(ByteType, containsNull = false) ||
+      stored.schema("q_emb").dataType.asInstanceOf[ArrayType].elementType == ByteType)
+    // parquet round-trip keeps the byte element type
+    val dir = java.nio.file.Files.createTempDirectory("int8_store").toString
+    stored.write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    assert(back.schema("q_emb").dataType.asInstanceOf[ArrayType].elementType == ByteType)
+    // scoring consumes the byte column directly (no cast in the plan)
+    val qv = Similarity.quantizeQueryInt8(query)
+    val top = Similarity.bruteForceTopKInt8(back, qv, 10)
+    assert(top.count() == 10)
+    assert(!top.queryExecution.executedPlan.toString.contains("cast(q_emb"),
+      "byte column was widened before the kernel")
+    // int8 top-k approximates the float top-k (rounding-only error)
+    val bf = rows(Similarity.bruteForceTopK(emb, query, 10).select(col("vec_id"))).map(_.head)
+    val got = rows(top.select(col("vec_id"))).map(_.head)
+    assert(got.count(bf) >= 7, s"int8 recall ${got.count(bf)}/10")
+  }
+
+  test("quantized vectors stay byte-typed through the IQL dialect") {
+    import org.apache.spark.sql.types._
+    val e = new graft.iql.Engine(new graft.iql.Catalog(spark))
+    e.run(
+      """+embedding[(1, [1.0, 0.5, -0.5, -1.0]), (2, [2.0, -2.0, 1.0, -1.0])]
+        |+qv(Id, Q) <- embedding(Id, V), Q = quantize_symmetric(V)
+        |""".stripMargin)
+    val out = e.run("?qv(Id, Q)").last
+    assert(out.schema("Q").dataType.asInstanceOf[ArrayType].elementType == ByteType,
+      s"dialect-quantized column is ${out.schema("Q").dataType}, not byte")
+    // and the int8 distance builtins consume it without widening
+    val d = e.run("?qv(Id, Q), D = dot_int8(Q, Q)").last
+    assert(d.count() == 2)
+  }
+
   test("partitionBy(cell) layout round-trips and prunes") {
     val cent = Similarity.kmeansCentroids(emb, k = 4, iters = 1)
     val dir = java.nio.file.Files.createTempDirectory("ivf_layout").toString
