@@ -379,6 +379,28 @@ class EngineSpec extends SparkSpec {
     assert(rows(e2.run("?a(X)").last) == Set(Seq(5.0)))
   }
 
+  test("matCache stays bounded across many change/re-query rounds") {
+    // a long-lived session that mutates and re-queries repeatedly must
+    // keep at most ONE materialization per relation (the newest seed
+    // dominates) — older versions would pin localCheckpoint RDDs forever
+    val e = new Engine(new Catalog(spark))
+    e.run(
+      """+edge[(1,2),(2,3)]
+        |+reach(X, Y) <- edge(X, Y)
+        |+reach(X, Z) <- reach(X, Y), edge(Y, Z)
+        |+deg(X, count<Y>) <- edge(X, Y)
+        |""".stripMargin)
+    (1 to 8).foreach { i =>
+      e.run(s"+edge[(${i + 10}, ${i + 11})]")
+      e.run("?reach(X, Y)")
+      e.run("?deg(X, C)")
+    }
+    val perRel = e.matCache.keys.groupBy(_._1).map { case (r, ks) => r -> ks.size }
+    assert(perRel.values.forall(_ == 1),
+      s"matCache holds multiple versions per relation: $perRel")
+    assert(e.matCache.size <= 2, s"matCache size ${e.matCache.size}")
+  }
+
   test("retraction maintenance: DRed on a multi-rule non-recursive view") {
     val e = new Engine(new Catalog(spark))
     e.run(
