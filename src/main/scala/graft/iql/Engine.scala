@@ -719,8 +719,12 @@ final class Engine(val catalog: Catalog) {
         }
         if (changedOccs.length != 1) return None
         val aggIdxSet = aggSpecs.map(_._2).toSet
-        val deltaAgg = Fixpoint.materialize(deltaDerive(r, changedOccs.head, cached))
-        if (deltaAgg.count == 0) return Some(cached)
+        // the delta aggregation stays LAZY: the local-merge collect below
+        // is its only execution in the common path (its emptiness check
+        // rides along) — materializing first would add a checkpoint +
+        // count job per re-query. Only the distributed fallback
+        // materializes it (the full_outer join reads it twice).
+        val deltaAggDf = deltaDerive(r, changedOccs.head, cached)
         // driver-local merge when both sides fit: one collect each, a
         // hash merge, and a parallelize — instead of a full_outer join +
         // checkpoint (the reference merges cached group states in-process,
@@ -744,9 +748,11 @@ final class Engine(val catalog: Catalog) {
           case _ => throw MergeBail
         }
         val localMerged = try for {
-          oldRows <- Fixpoint.collectUpTo(cached.toDF(cols: _*), Fixpoint.LocalEdgeRows)
-          newRows <- Fixpoint.collectUpTo(deltaAgg.df, Fixpoint.LocalEdgeRows)
-        } yield {
+          newRows <- Fixpoint.collectUpTo(deltaAggDf, Fixpoint.LocalEdgeRows)
+          oldRows <-
+            if (newRows.isEmpty) Some(Array.empty[org.apache.spark.sql.Row])
+            else Fixpoint.collectUpTo(cached.toDF(cols: _*), Fixpoint.LocalEdgeRows)
+        } yield if (newRows.isEmpty) cached else {
           val keyIdx = cols.indices.filterNot(aggIdxSet)
           // One shared boxed NaN: Seq[Any] equality goes through
           // BoxesRunTime.equals, whose reference-equality short-circuit
@@ -806,6 +812,8 @@ final class Engine(val catalog: Catalog) {
               Fixpoint.parallelizeParts(out.size.toLong)), schema)
         } catch { case MergeBail => None }
         localMerged.foreach(df => return Some(df))
+        val deltaAgg = Fixpoint.materialize(deltaAggDf)
+        if (deltaAgg.count == 0) return Some(cached)
         val o = cached.toDF(cols: _*).withColumn("__op", lit(1)).alias("__o")
         val n = deltaAgg.df.withColumn("__np", lit(1)).alias("__n")
         val keyCond = cols.indices.filterNot(aggIdxSet).map(i =>
