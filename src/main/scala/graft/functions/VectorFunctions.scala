@@ -89,12 +89,11 @@ object VectorFunctions {
   def quantizeLinear(v: Column, scale: Column, zeroPoint: Column): Column =
     transform(v, x => clampI8(round(d(x) / scale.cast("double")) + zeroPoint.cast("double")).cast("tinyint"))
 
-  /** Symmetric int8 quantization with scale = maxAbs / 127. */
-  def quantizeSymmetric(v: Column): Column = {
-    val maxAbs = aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(d(x))))
-    val scale = when(maxAbs === 0.0, lit(1.0)).otherwise(maxAbs / 127.0)
-    transform(v, x => clampI8(round(d(x) / scale)).cast("tinyint"))
-  }
+  /** Symmetric int8 quantization with scale = maxAbs / 127 — one
+    * codegen'd two-pass kernel, not the interpreted aggregate+transform
+    * HOF pair (same values: [[VectorKernels.roundClampI8]] replicates
+    * Spark's `round`). */
+  def quantizeSymmetric(v: Column): Column = VectorKernels.quantizeSym(v)
 
   /** Scale used by [[quantizeSymmetric]]; needed to dequantize. */
   def symmetricScale(v: Column): Column = {
@@ -105,14 +104,7 @@ object VectorFunctions {
   /** Per-vector min/max affine quantization to int8 (reference
     * `quantize_linear(v)`: q = round((x-min)/(max-min)*255) - 128; an
     * all-equal vector quantizes to zeros). */
-  def quantizeLinearAuto(v: Column): Column = {
-    val mn = aggregate(v, lit(Double.MaxValue), (acc, x) => least(acc, d(x)))
-    val mx = aggregate(v, lit(Double.MinValue), (acc, x) => greatest(acc, d(x)))
-    val range = mx - mn
-    when(range === 0.0, transform(v, _ => lit(0).cast("tinyint")))
-      .otherwise(transform(v,
-        x => clampI8(round((d(x) - mn) / range * 255.0) - 128.0).cast("tinyint")))
-  }
+  def quantizeLinearAuto(v: Column): Column = VectorKernels.quantizeLinAuto(v)
 
   /** Reference `dequantize(q)`: int8 → float cast (scale 1.0). */
   def dequantizeCast(q: Column): Column = transform(q, x => d(x).cast("float"))

@@ -387,6 +387,128 @@ object VectorKernels {
       copy(child = newChild)
   }
 
+  /** Int8 quantization of a numeric array in ONE codegen'd expression
+    * (two passes over the element buffer: the vector statistic, then the
+    * per-element map) — replaces the interpreted `aggregate`+`transform`
+    * HOF pair. `mode`: "sym" = symmetric (scale maxAbs/127, reference
+    * `quantize_symmetric`), "linauto" = per-vector affine min/max
+    * (reference `quantize_linear(v)`). Rounding replicates Spark's
+    * `round` (BigDecimal HALF_UP over the shortest decimal repr) so
+    * results are bit-identical to the HOF form it replaces. A null
+    * element nulls the whole result (VecUnit's contract). */
+  final case class VecQuantize(child: Expression, mode: String)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = s"vec_quant_$mode"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (elemOk(child.dataType)) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs a numeric array input, got ${child.dataType}")
+
+    private def et = child.dataType.asInstanceOf[ArrayType].elementType
+
+    override def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      val vals = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        if (x.isNullAt(i)) return null
+        vals(i) = readElem(et, x, i)
+        i += 1
+      }
+      val out = new Array[Byte](n)
+      if (mode == "sym") {
+        var maxAbs = 0.0
+        i = 0
+        while (i < n) { val v = math.abs(vals(i)); if (v > maxAbs) maxAbs = v; i += 1 }
+        val scale = if (maxAbs == 0.0) 1.0 else maxAbs / 127.0
+        i = 0
+        while (i < n) { out(i) = VectorKernels.roundClampI8(vals(i) / scale); i += 1 }
+      } else {
+        var mn = Double.MaxValue
+        var mx = Double.MinValue
+        i = 0
+        while (i < n) { val v = vals(i); if (v < mn) mn = v; if (v > mx) mx = v; i += 1 }
+        val range = mx - mn
+        i = 0
+        while (i < n) {
+          out(i) = if (range == 0.0) 0.toByte
+            else VectorKernels.roundClampI8((vals(i) - mn) / range * 255.0 - 128.0)
+          i += 1
+        }
+      }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, x => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val vals = ctx.freshName("vals")
+        val out = ctx.freshName("out")
+        val k = "graft.functions.VectorKernels"
+        val stat = if (mode == "sym") {
+          val maxAbs = ctx.freshName("maxAbs")
+          val scale = ctx.freshName("scale")
+          s"""double $maxAbs = 0.0;
+             |  for (int $i = 0; $i < $n; $i++) {
+             |    double __v = java.lang.Math.abs($vals[$i]);
+             |    if (__v > $maxAbs) $maxAbs = __v;
+             |  }
+             |  double $scale = $maxAbs == 0.0 ? 1.0 : $maxAbs / 127.0;
+             |  for (int $i = 0; $i < $n; $i++)
+             |    $out[$i] = $k.roundClampI8($vals[$i] / $scale);""".stripMargin
+        } else {
+          val mn = ctx.freshName("mn")
+          val mx = ctx.freshName("mx")
+          val rg = ctx.freshName("rg")
+          s"""double $mn = Double.MAX_VALUE; double $mx = -Double.MAX_VALUE;
+             |  for (int $i = 0; $i < $n; $i++) {
+             |    if ($vals[$i] < $mn) $mn = $vals[$i];
+             |    if ($vals[$i] > $mx) $mx = $vals[$i];
+             |  }
+             |  double $rg = $mx - $mn;
+             |  for (int $i = 0; $i < $n; $i++)
+             |    $out[$i] = $rg == 0.0 ? (byte) 0
+             |      : $k.roundClampI8(($vals[$i] - $mn) / $rg * 255.0 - 128.0);""".stripMargin
+        }
+        s"""
+           |int $n = $x.numElements();
+           |double[] $vals = new double[$n];
+           |byte[] $out = new byte[$n];
+           |for (int $i = 0; $i < $n; $i++) {
+           |  if ($x.isNullAt($i)) { ${ev.isNull} = true; break; }
+           |  $vals[$i] = ${getElem(et, x, i)};
+           |}
+           |if (!${ev.isNull}) {
+           |  $stat
+           |  ${ev.value} =
+           |    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+           |}
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Spark-`round`-exact HALF_UP on the shortest decimal repr, clamped
+    * to int8 — called from both the interpreted and generated paths. */
+  def roundClampI8(v: Double): Byte = {
+    val r = new java.math.BigDecimal(java.lang.Double.toString(v))
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+    val c = if (r < -128.0) -128.0 else if (r > 127.0) 127.0 else r
+    c.toByte
+  }
+
+  def quantizeSym(a: Column): Column =
+    ExpressionUtils.column(VecQuantize(ExpressionUtils.expression(a), "sym"))
+  def quantizeLinAuto(a: Column): Column =
+    ExpressionUtils.column(VecQuantize(ExpressionUtils.expression(a), "linauto"))
+
   def unit(a: Column): Column =
     ExpressionUtils.column(VecUnit(ExpressionUtils.expression(a)))
   def unitF(a: Column): Column =
