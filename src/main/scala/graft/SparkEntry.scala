@@ -361,6 +361,23 @@ object SparkEntry {
       e.run("?big(N, R)").last                           // DRed-maintained
     }),
 
+    // --- pipeline: REAL image decode — one solid-color 24-bit BMP per
+    //     document (pure-JVM encoder), decoded back by the byte-level
+    //     BMP parser per partition; dims come from the HEADER and the
+    //     channel means from actual pixel reads, so the oracle's
+    //     closed-form prediction checks the whole encode->decode path --
+    "q70_multimodal_bmp" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Multimodal.decodeBmpStats(Multimodal.syntheticBmpAssets(docs))
+    }),
+
+    // --- pipeline: REAL audio decode — PCM-16 WAV per document,
+    //     chunk-scanning RIFF parser, mean amplitude from sample reads --
+    "q71_multimodal_wav" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Multimodal.decodeWavStats(Multimodal.syntheticWavAssets(docs))
+    }),
+
     // --- pipeline: int8-quantized ANN — embeddings stored as BYTE
     //     arrays (reference VectorInt8, 4x fewer scan bytes at 100 TB),
     //     cosine computed by the byte-consuming codegen kernels; the
@@ -1056,6 +1073,23 @@ object SparkEntry {
         |UNION
         |SELECT n_name AS N, 'extra' AS R FROM nation
         |WHERE n_nationkey > 20 AND n_regionkey <> 2""".stripMargin,
+
+    // decoded BMP stats predicted in closed form from the generation params
+    "q70_multimodal_bmp" ->
+      """SELECT doc_id AS asset_id,
+        |CAST((doc_id % 16) + 1 AS INT) AS width,
+        |CAST((doc_id % 8) + 1 AS INT) AS height,
+        |CAST(doc_id % 256 AS DOUBLE) / 255.0 AS mean_r,
+        |CAST((doc_id * 7) % 256 AS DOUBLE) / 255.0 AS mean_g,
+        |CAST((doc_id * 13) % 256 AS DOUBLE) / 255.0 AS mean_b
+        |FROM documents""".stripMargin,
+
+    // decoded WAV stats predicted in closed form
+    "q71_multimodal_wav" ->
+      """SELECT doc_id AS asset_id, CAST(16000 AS INT) AS sample_rate,
+        |CAST(((doc_id % 50) + 1) * 100 AS INT) AS n_samples,
+        |CAST((doc_id % 30000) - 15000 AS DOUBLE) / 32768.0 AS mean_amp
+        |FROM documents""".stripMargin,
 
     // int8 ANN: DuckDB replicates the symmetric quantization, then ranks
     // by cosine over the SAME integer vectors — bit-identical arithmetic

@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Pure-JVM codec round-trips: 24-bit BMP (incl. row padding for widths
+  * not divisible by 4) and PCM-16 WAV (incl. chunk scanning past extra
+  * RIFF chunks). The Spark-side decode pipelines are oracle-checked by
+  * q70/q71; these pin the byte-level parsers. */
+class MultimodalSpec extends SparkSpec {
+
+  test("bmp24 encode/decode round-trips dims and channel sums") {
+    // width 3 → row stride 12 with 3 padding bytes: a decoder that
+    // misreads padding as pixels gets the sums wrong
+    for ((w, h) <- Seq((1, 1), (3, 2), (4, 4), (5, 3), (16, 8))) {
+      val (r, g, b) = (200, 100, 50)
+      val bytes = Multimodal.encodeBmp24(w, h, r, g, b)
+      val (dw, dh, sr, sg, sb) = Multimodal.decodeBmp24(bytes)
+      assert((dw, dh) == (w, h))
+      val n = w.toLong * h
+      assert((sr, sg, sb) == (n * r, n * g, n * b), s"at ${(w, h)}")
+    }
+  }
+
+  test("bmp decoder rejects non-BMP and compressed payloads") {
+    intercept[IllegalArgumentException](Multimodal.decodeBmp24("nope".getBytes))
+    val ok = Multimodal.encodeBmp24(2, 2, 1, 2, 3)
+    ok(30) = 1 // compression = BI_RLE8
+    intercept[IllegalArgumentException](Multimodal.decodeBmp24(ok))
+  }
+
+  test("wav pcm16 encode/decode round-trips rate, count and sum") {
+    val samples = Array[Short](100, -200, 300, -400, 500)
+    val bytes = Multimodal.encodeWavPcm16(22050, samples)
+    val (rate, n, sum) = Multimodal.decodeWavPcm16(bytes)
+    assert(rate == 22050 && n == 5 && sum == 300L)
+  }
+
+  test("wav decoder scans past extra RIFF chunks") {
+    val base = Multimodal.encodeWavPcm16(16000, Array[Short](7, 7, 7))
+    // splice a LIST chunk between fmt and data
+    val fmtEnd = 12 + 8 + 16
+    val list = java.nio.ByteBuffer.allocate(12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    list.put("LIST".getBytes).putInt(4).put("INFO".getBytes)
+    val spliced = base.take(fmtEnd) ++ list.array() ++ base.drop(fmtEnd)
+    // fix the RIFF size field
+    val buf = java.nio.ByteBuffer.wrap(spliced).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(4, spliced.length - 8)
+    val (rate, n, sum) = Multimodal.decodeWavPcm16(spliced)
+    assert(rate == 16000 && n == 3 && sum == 21L)
+  }
+
+  test("spark decode pipelines agree with the closed-form prediction") {
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val bmp = Multimodal.decodeBmpStats(Multimodal.syntheticBmpAssets(docs)).collect()
+    bmp.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == (id % 16).toInt + 1 && r.getInt(2) == (id % 8).toInt + 1)
+      assert(r.getDouble(3) == (id % 256).toDouble / 255.0)
+    }
+    val wav = Multimodal.decodeWavStats(Multimodal.syntheticWavAssets(docs)).collect()
+    wav.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(2) == ((id % 50).toInt + 1) * 100)
+      assert(r.getDouble(3) == ((id % 30000) - 15000).toDouble / 32768.0)
+    }
+  }
+}
