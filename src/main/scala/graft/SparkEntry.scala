@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
 import graft.plans.Fixpoint
-import graft.operators.{Dedup, Similarity, TextAnalysis, Multimodal}
+import graft.operators.{Dedup, Similarity, TextAnalysis, Multimodal, Sampling}
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF, TemporalFunctions => TempF}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -360,6 +360,41 @@ object SparkEntry {
       e.run("-nat(NK, N, RK) <- nat(NK, N, RK), RK = 2") // conditional delete
       e.run("?big(N, R)").last                           // DRed-maintained
     }),
+
+    // --- pipeline: benchmark decontamination — docs sharing any word
+    //     3-gram with the "test set" (doc_id % 20 == 0) are removed;
+    //     shingles travel as xxhash64 longs, benchmark side broadcast --
+    "q72_decontaminate" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Dedup.decontaminate(docs, docs.where(pmod(col("doc_id"), lit(20L)) === 0))
+        .select(col("doc_id"))
+    }),
+
+    // --- pipeline: deterministic stratified sampling (domain mixing) —
+    //     LCG keep-decision per row, rates per token-count band; pure
+    //     arithmetic, so reproducible AND exactly oracle-checkable ------
+    "q73_stratified_sample" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val band = when(graft.functions.TextFunctions.tokenCount(col("text")) < 25, lit("short"))
+        .when(graft.functions.TextFunctions.tokenCount(col("text")) < 35, lit("mid"))
+        .otherwise(lit("long"))
+      Sampling.stratifiedSample(docs, "doc_id", band,
+        Seq("short" -> (1, 2), "mid" -> (3, 10), "long" -> (1, 10)))
+        .select(col("doc_id"))
+    }),
+
+    // --- pipeline: deterministic epoch shuffle — a reproducible global
+    //     permutation (ONE total-order sort by LCG hash, not rand()) ----
+    "q74_epoch_shuffle" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Sampling.epochShuffle(docs, "doc_id", epoch = 3L)
+        .select(col("doc_id"), col("pos"))
+    }),
+
+    // --- pipeline: intra-document repetition stats (boilerplate
+    //     detection) — token/distinct counts, max token frequency -------
+    "q75_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(T(s, dir, "documents"))),
 
     // --- pipeline: REAL image decode — one solid-color 24-bit BMP per
     //     document (pure-JVM encoder), decoded back by the byte-level
@@ -1073,6 +1108,58 @@ object SparkEntry {
         |UNION
         |SELECT n_name AS N, 'extra' AS R FROM nation
         |WHERE n_nationkey > 20 AND n_regionkey <> 2""".stripMargin,
+
+    // decontamination: word 3-gram overlap with the doc_id%20 benchmark set
+    "q72_decontaminate" ->
+      """WITH toks AS (
+        |SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS t FROM documents
+        |WHERE LEN(TRIM(text)) > 0),
+        |sh AS (
+        |SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, LEN(t)-2),
+        |  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS g
+        |FROM toks WHERE LEN(t) >= 3),
+        |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 20 = 0),
+        |bad AS (SELECT DISTINCT s.doc_id FROM sh s JOIN bench b ON s.g = b.g)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
+
+    // stratified sample: LCG keep-decision, rates per token-count band
+    "q73_stratified_sample" ->
+      """WITH tc AS (
+        |SELECT doc_id,
+        |CASE WHEN LEN(TRIM(text)) = 0 THEN 0
+        |ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END AS n,
+        |(doc_id * 48978 + 7) % 65537 AS h
+        |FROM documents)
+        |SELECT doc_id FROM tc WHERE
+        |(n < 25 AND h % 2 < 1) OR
+        |(n >= 25 AND n < 35 AND h % 10 < 3) OR
+        |(n >= 35 AND h % 10 < 1)""".stripMargin,
+
+    // deterministic epoch shuffle: permutation position by LCG hash
+    "q74_epoch_shuffle" ->
+      """SELECT doc_id,
+        |CAST(ROW_NUMBER() OVER (ORDER BY (doc_id * 48574 + 3) % 65537, doc_id) AS INT) AS pos
+        |FROM documents""".stripMargin,
+
+    // intra-doc repetition stats
+    "q75_repetition" ->
+      """WITH toks AS (
+        |SELECT doc_id,
+        |CASE WHEN LEN(TRIM(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |ELSE regexp_split_to_array(TRIM(text), '\s+') END AS t
+        |FROM documents),
+        |f AS (
+        |SELECT doc_id, MAX(c) AS mf FROM (
+        |  SELECT doc_id, w, COUNT(*) AS c
+        |  FROM (SELECT doc_id, unnest(t) AS w FROM toks) GROUP BY doc_id, w)
+        |GROUP BY doc_id)
+        |SELECT t.doc_id, LEN(t.t) AS n_tokens,
+        |LEN(list_distinct(t.t)) AS n_distinct,
+        |COALESCE(f.mf, 0) AS max_tok_freq,
+        |CASE WHEN LEN(t.t) = 0 THEN 0.0
+        |ELSE 1.0 - CAST(LEN(list_distinct(t.t)) AS DOUBLE) / LEN(t.t) END AS rep_ratio
+        |FROM toks t LEFT JOIN f ON t.doc_id = f.doc_id""".stripMargin,
 
     // decoded BMP stats predicted in closed form from the generation params
     "q70_multimodal_bmp" ->

@@ -185,6 +185,29 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Benchmark DECONTAMINATION: drop every document sharing ANY word
+    * n-gram with the benchmark (test-set) corpus — the standard overlap
+    * filter before training. Scale shape: shingles travel as xxhash64
+    * LONGS (8 bytes, never strings), the benchmark shingle set is tiny
+    * relative to the corpus so the anti-join's build side broadcasts;
+    * the corpus side is one scan + explode, no corpus-vs-corpus
+    * shuffle. (Same hash-collision stance as [[ngramJaccardAllPairs]]:
+    * a collision could only over-remove, at ~2⁻⁶⁴ per pair.) */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame,
+                    shingleN: Int = 3,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    def shingles(df: DataFrame, out: String) = df
+      .select(col(idCol).as(out),
+        explode(array_distinct(transform(
+          TF.wordShinglesOf(TF.tokens(col(textCol)), shingleN),
+          s => xxhash64(s)))).as("sh"))
+    val bench = shingles(benchmark, "bid").select(col("sh")).distinct()
+    val contaminated = shingles(docs, idCol)
+      .join(broadcast(bench), Seq("sh"))
+      .select(col(idCol)).distinct()
+    docs.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Unit-length double vectors keyed by id — shared by the LSH-bucketed
     * and exact all-pairs cosine paths. Single codegen'd normalize
     * expression ([[graft.functions.VectorKernels.VecUnit]]) — norm and

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and shuffling for training-data pipelines.
+  *
+  * Everything here is REPRODUCIBLE and map-only where possible: sampling
+  * decisions are pure arithmetic over the row id (a multiplicative LCG,
+  * not `rand()`), so a re-run, a retried task, or a different cluster
+  * produces the identical sample — the property training pipelines need
+  * for data lineage, and the reason these are exactly oracle-checkable
+  * in DuckDB (`rand()`-based sampling is not). The LCG constants are
+  * MINSTD (48271 mod 65537), the same generator the bench graph uses.
+  */
+object Sampling {
+
+  /** LCG position of an id: `(id * mult(salt) + salt) mod 65537`, a
+    * fixed pseudo-random value in [0, 65537) that any engine reproduces
+    * with plain integer arithmetic. The salt feeds the MULTIPLIER, not
+    * just an additive offset: an additive-only salt merely rotates the
+    * residue ring, which leaves orderings unchanged and keeps
+    * `mod den` membership identical whenever the shift divides den
+    * (caught by SamplingSpec). 65537 is prime, so every nonzero
+    * multiplier is a bijection of the ring. */
+  def lcgMult(salt: Long): Long = {
+    val m = Math.floorMod(48271L + salt * 101L, 65537L)
+    if (m == 0L) 48271L else m
+  }
+  def lcgPos(id: Column, salt: Long): Column =
+    pmod(id * lit(lcgMult(salt)) + lit(salt), lit(65537L))
+
+  /** Keep ~`num`/`den` of rows, decided per row from the id alone —
+    * no shuffle, no state, identical across runs and engines. */
+  def deterministicSample(df: DataFrame, idCol: String,
+                          num: Int, den: Int, salt: Long = 7L): DataFrame =
+    df.where(pmod(lcgPos(col(idCol), salt), lit(den.toLong)) < num)
+
+  /** Per-stratum sampling rates (domain mixing / quality-band
+    * reweighting): `fractions` maps each value of `stratumCol` to a
+    * (num, den) keep-rate; strata not listed are dropped. Still
+    * map-only — the stratum column is an ordinary expression, so this
+    * composes with any derived stratum (language, quality band, …). */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: Column,
+                       fractions: Seq[(Any, (Int, Int))],
+                       salt: Long = 7L): DataFrame = {
+    val keep = fractions.foldLeft(lit(false)) { case (acc, (v, (num, den))) =>
+      acc || (stratumCol === lit(v) &&
+        pmod(lcgPos(col(idCol), salt), lit(den.toLong)) < num)
+    }
+    df.where(keep)
+  }
+
+  /** Deterministic epoch shuffle: a global pseudo-random permutation of
+    * the corpus, different per `epoch`, reproducible everywhere. At
+    * scale this is ONE total-order sort by (hash, id) — the legitimate
+    * way to get stable global shuffling (`orderBy(rand())` is neither
+    * reproducible nor retry-safe). Returns the input plus a dense
+    * 1-based `pos` column. */
+  def epochShuffle(df: DataFrame, idCol: String, epoch: Long): DataFrame =
+    df.withColumn("pos", row_number().over(
+      Window.orderBy(lcgPos(col(idCol), epoch), col(idCol))))
+}

@@ -24,6 +24,39 @@ object TextAnalysis {
       TF.punctRatio(col(textCol)).as("punct_ratio"),
       TF.upperRatio(col(textCol)).as("upper_ratio"))
 
+  /** Intra-document repetition statistics — the "repeated boilerplate"
+    * quality signal (n-gram-level repetition filters in web-corpus
+    * cleaning): token count, distinct-token count, the most frequent
+    * token's count, and the repetition ratio 1 − distinct/total. All
+    * per-row work over the token array — no explode, no shuffle. The
+    * max-frequency pass is a one-pass JIT'd UDF with a per-doc hash map
+    * (the HOF form would run an interpreted lambda per element — the
+    * measured 2-20× trap VectorKernels exists to avoid). */
+  def repetitionStats(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val toks = TF.tokens(col(textCol))
+    val maxFreqUdf = udf { (ts: Seq[String]) =>
+      if (ts == null || ts.isEmpty) 0L
+      else {
+        val m = new java.util.HashMap[String, Long]()
+        var best = 0L
+        ts.foreach { t =>
+          val c = m.merge(t, 1L, (a, b) => a + b)
+          if (c > best) best = c
+        }
+        best
+      }
+    }
+    val maxFreq = maxFreqUdf(toks)
+    docs.select(col(idCol),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct"),
+      maxFreq.as("max_tok_freq"),
+      when(size(toks) === 0, lit(0.0)).otherwise(
+        lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
+        .as("rep_ratio"))
+  }
+
   /** Composite quality score per document (heuristic; no SQL oracle). */
   def qualityScores(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.select(col(idCol), TF.qualityScore(col(textCol)).as("quality_score"))
