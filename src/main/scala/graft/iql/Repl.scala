@@ -34,6 +34,9 @@ final class Session(val spark: SparkSession,
   private val engines = mutable.HashMap.empty[String, Engine]
   private var currentKg = "default"
 
+  /** The session's active knowledge graph (per-KG ACL checks key on it). */
+  def kg: String = currentKg
+
   def catalog: Catalog = kgs.synchronized { kgs(currentKg) }
   def engine: Engine = engines.getOrElseUpdate(currentKg, new Engine(catalog))
 

@@ -49,6 +49,10 @@ final class WireServer(spark: SparkSession, port: Int = 0,
   // state and queries). Off by default — opt in via `authEnabled`.
 
   private val apiKeys = new java.util.concurrent.ConcurrentHashMap[String, String]() // sha256 → role
+  /** User store + per-user keys + per-KG ACLs (round 4; reference
+    * `src/auth.rs` user CRUD / `kg_acls`). Bare [[apiKeys]] service keys
+    * coexist: they carry a global role and skip per-KG ACLs. */
+  val auth = new Auth
   private def sha256(s: String): String =
     MessageDigest.getInstance("SHA-256").digest(s.getBytes(UTF_8))
       .map(b => f"$b%02x").mkString
@@ -63,17 +67,23 @@ final class WireServer(spark: SparkSession, port: Int = 0,
   /** The bootstrap admin key (present only when auth is enabled). */
   val adminKey: Option[String] = if (authEnabled) Some(generateKey("admin")) else None
 
-  /** Resolve the caller's role from `Authorization: Bearer <key>` or an
-    * `api_key` query parameter; None = unauthorized. */
-  private def roleFor(headers: mutable.Map[String, String], rawPath: String): Option[String] = {
-    if (!authEnabled) return Some("admin")
+  /** Resolve the caller's identity from `Authorization: Bearer <key>`
+    * or an `api_key` query parameter; None = unauthorized. Service keys
+    * resolve to an anonymous identity with their role; user-bound keys
+    * resolve to (user, the user's current role). */
+  private def identFor(headers: mutable.Map[String, String],
+                       rawPath: String): Option[Auth.Identity] = {
+    if (!authEnabled) return Some(Auth.Identity(None, "admin"))
     val bearer = headers.get("authorization")
       .filter(_.toLowerCase.startsWith("bearer "))
       .map(_.substring(7).trim)
     val qp = rawPath.split('?').lift(1).flatMap(_.split('&').collectFirst {
       case kv if kv.startsWith("api_key=") => kv.stripPrefix("api_key=")
     })
-    bearer.orElse(qp).flatMap(k => Option(apiKeys.get(sha256(k))))
+    bearer.orElse(qp).flatMap { k =>
+      Option(apiKeys.get(sha256(k))).map(r => Auth.Identity(None, r))
+        .orElse(auth.identify(k))
+    }
   }
 
   /** Statement-level gating for non-admin roles: viewers keep queries
@@ -227,8 +237,8 @@ final class WireServer(spark: SparkSession, port: Int = 0,
       val upgrade = headers.get("upgrade").exists(_.equalsIgnoreCase("websocket"))
       // health probes stay unauthenticated (reference liveness endpoints)
       val openPaths = Set("/health", "/live", "/ready")
-      val role = roleFor(headers, rawPath)
-      if (role.isEmpty && !openPaths(path)) {
+      val ident = identFor(headers, rawPath)
+      if (ident.isEmpty && !openPaths(path)) {
         val body = Json.render(Map("type" -> "error", "message" -> "unauthorized"))
           .getBytes(UTF_8)
         out.write((s"HTTP/1.1 401 Unauthorized\r\nContent-Type: application/json\r\n" +
@@ -238,7 +248,7 @@ final class WireServer(spark: SparkSession, port: Int = 0,
         return
       }
       if (upgrade && (path == "/ws" || path.startsWith("/sessions/"))) {
-        webSocket(headers, in, out, sock, role.getOrElse("admin"))
+        webSocket(headers, in, out, sock, ident.getOrElse(Auth.Identity(None, "admin")))
       } else {
         val body =
           if (method == "POST") {
@@ -247,7 +257,8 @@ final class WireServer(spark: SparkSession, port: Int = 0,
             in.readFully(buf)
             new String(buf, UTF_8)
           } else ""
-        val (status, json) = route(method, path, body, role.getOrElse("admin"))
+        val (status, json) = route(method, path, body,
+          ident.getOrElse(Auth.Identity(None, "admin")))
         val bytes = json.getBytes(UTF_8)
         out.write((s"HTTP/1.1 $status\r\nContent-Type: application/json\r\n" +
           s"Content-Length: ${bytes.length}\r\nConnection: close\r\n\r\n").getBytes(UTF_8))
@@ -273,7 +284,8 @@ final class WireServer(spark: SparkSession, port: Int = 0,
   }
 
   private def route(method: String, path: String, body: String,
-                    role: String = "admin"): (String, String) =
+                    ident: Auth.Identity = Auth.Identity(None, "admin")): (String, String) = {
+    val role = ident.role
     (method, path) match {
       case ("GET", "/health") | ("GET", "/live") | ("GET", "/ready") =>
         ("200 OK", Json.render(Map("status" -> "healthy")))
@@ -326,7 +338,7 @@ final class WireServer(spark: SparkSession, port: Int = 0,
         try {
           val msg = Json.parse(body).asInstanceOf[Map[String, Any]]
           restSession.synchronized {
-            ("200 OK", Json.render(dispatch(restSession, msg, role)))
+            ("200 OK", Json.render(dispatch(restSession, msg, ident)))
           }
         } catch {
           case e: Exception => ("400 Bad Request", Json.render(
@@ -335,6 +347,104 @@ final class WireServer(spark: SparkSession, port: Int = 0,
       case _ =>
         ("404 Not Found", Json.render(Map("type" -> "error", "message" -> s"no route $method $path")))
     }
+  }
+
+  // ---------------------------------------------- user / ACL commands
+
+  /** Server-level management commands (reference `MetaCommand::User*` /
+    * `ApiKey*` / `KgAcl*`, `src/statement/meta.rs:76-109`): handled
+    * before the engine ever sees the statement. Returns None when `src`
+    * is not a management command. User/key management is admin-only;
+    * `.kg acl grant|revoke` additionally allows the KG's owner
+    * (reference: Owner may manage ACLs, `auth.rs:185`). */
+  private def adminCommand(src: String,
+                           ident: Auth.Identity): Option[Map[String, Any]] = {
+    val words = src.split("\\s+").toSeq
+    def ack(m: String) = Some(Map[String, Any]("type" -> "ack", "message" -> m))
+    def err(m: String) = Some(Map[String, Any]("type" -> "error", "message" -> m))
+    def adminOnly(body: => Option[Map[String, Any]]): Option[Map[String, Any]] =
+      if (ident.role != "admin") err("requires the admin role") else body
+    def fromEither(e: Either[String, Unit], ok: String) =
+      e.fold(err, _ => ack(ok))
+    words match {
+      case Seq(".user", "list") => adminOnly {
+        Some(Map[String, Any]("type" -> "users",
+          "users" -> auth.listUsers.map { case (n, r) =>
+            Map("username" -> n, "role" -> r) }))
+      }
+      case Seq(".user", "create", u, pw, role) => adminOnly {
+        fromEither(auth.createUser(u, pw, role), s"User '$u' created ($role)")
+      }
+      case Seq(".user", "drop", u) => adminOnly {
+        fromEither(auth.dropUser(u), s"User '$u' dropped")
+      }
+      case Seq(".user", "password", u, pw) => adminOnly {
+        fromEither(auth.setPassword(u, pw), s"Password updated for '$u'")
+      }
+      case Seq(".user", "role", u, role) => adminOnly {
+        fromEither(auth.setRole(u, role), s"Role of '$u' set to $role")
+      }
+      case Seq(".apikey", "create", label) => adminOnly {
+        auth.createKey(label, ident.user, ident.role)
+          .fold(err, k => Some(Map[String, Any]("type" -> "api_key",
+            "key" -> k, "label" -> label)))
+      }
+      case Seq(".apikey", "create", label, "for", u) => adminOnly {
+        auth.createKey(label, Some(u), "viewer")
+          .fold(err, k => Some(Map[String, Any]("type" -> "api_key",
+            "key" -> k, "label" -> label, "username" -> u)))
+      }
+      case Seq(".apikey", "list") => adminOnly {
+        Some(Map[String, Any]("type" -> "api_keys",
+          "keys" -> auth.listKeys.map { case (label, role, user) =>
+            Map("label" -> label, "role" -> role, "username" -> user) }))
+      }
+      case Seq(".apikey", "revoke", label) => adminOnly {
+        if (auth.revokeKey(label)) ack(s"Key '$label' revoked")
+        else err(s"Unknown key label '$label'")
+      }
+      case Seq(".kg", "acl", "list", kg) =>
+        Some(Map[String, Any]("type" -> "kg_acls", "kg" -> kg,
+          "acls" -> auth.aclsFor(kg).map { case (u, r) =>
+            Map("username" -> u, "role" -> r) }))
+      case Seq(".kg", "acl", "grant", kg, u, role) =>
+        if (ident.role != "admin" && !auth.kgRoleFor(kg, ident).contains("owner"))
+          err("granting requires admin or the KG's owner")
+        else fromEither(auth.grant(kg, u, role), s"Granted $role on '$kg' to '$u'")
+      case Seq(".kg", "acl", "revoke", kg, u) =>
+        if (ident.role != "admin" && !auth.kgRoleFor(kg, ident).contains("owner"))
+          err("revoking requires admin or the KG's owner")
+        else if (auth.revoke(kg, u)) ack(s"Revoked '$u' on '$kg'")
+        else err(s"No ACL entry for '$u' on '$kg'")
+      case _ => None
+    }
+  }
+
+  /** Per-KG authorization for USER identities (service keys and admins
+    * skip it — reference `create_session_with_auth`,
+    * `protocol/handler.rs:945-961`): `.kg use <name>` requires an ACL
+    * entry; statements on the current KG are gated by the KG role
+    * (viewer = read-only, editor = no drop; owner = everything —
+    * `authorize_kg_operation`, `auth.rs:183-210`). */
+  private def kgAuthorize(session: Session, src: String,
+                          ident: Auth.Identity): Option[String] = {
+    if (ident.user.isEmpty || ident.role == "admin") return None
+    val words = src.split("\\s+").toSeq
+    words match {
+      case Seq(".kg", "use", name) =>
+        if (auth.kgRoleFor(name, ident).isEmpty)
+          Some(s"Access denied to knowledge graph '$name'")
+        else None
+      case _ =>
+        auth.kgRoleFor(session.kg, ident) match {
+          case None => Some(s"Access denied to knowledge graph '${session.kg}'")
+          case Some("viewer") => authorizeQuery("viewer", src)
+          case Some("editor") if words.take(2) == Seq(".kg", "drop") =>
+            Some("dropping a knowledge graph requires its owner")
+          case _ => None
+        }
+    }
+  }
 
   // -------------------------------------------------------- WebSocket
 
@@ -342,7 +452,8 @@ final class WireServer(spark: SparkSession, port: Int = 0,
 
   private def webSocket(headers: mutable.Map[String, String],
                         in: DataInputStream, out: DataOutputStream,
-                        sock: Socket, role: String = "admin"): Unit = {
+                        sock: Socket,
+                        ident: Auth.Identity = Auth.Identity(None, "admin")): Unit = {
     val key = headers.getOrElse("sec-websocket-key",
       throw new IllegalArgumentException("missing Sec-WebSocket-Key"))
     val accept = Base64.getEncoder.encodeToString(
@@ -363,7 +474,7 @@ final class WireServer(spark: SparkSession, port: Int = 0,
       val responses =
         try {
           val msg = Json.parse(new String(payload, UTF_8)).asInstanceOf[Map[String, Any]]
-          dispatchAll(session, msg, role = role)
+          dispatchAll(session, msg, ident = ident)
         } catch {
           case e: Exception =>
             Seq(Map("type" -> "error", "message" -> String.valueOf(e.getMessage)))
@@ -437,8 +548,8 @@ final class WireServer(spark: SparkSession, port: Int = 0,
 
   /** Single-message dispatch (REST surface — no streaming). */
   private def dispatch(session: Session, msg: Map[String, Any],
-                       role: String = "admin"): Map[String, Any] =
-    dispatchAll(session, msg, chunked = false, role = role).head
+                       ident: Auth.Identity = Auth.Identity(None, "admin")): Map[String, Any] =
+    dispatchAll(session, msg, chunked = false, ident = ident).head
 
   /** Statement dispatch runs CONCURRENTLY across connections: queries are
     * snapshot reads over immutable DataFrames, and the shared driver-side
@@ -452,13 +563,23 @@ final class WireServer(spark: SparkSession, port: Int = 0,
     * `src/config.rs:241-243`, 0 = unlimited). */
   private def dispatchAll(session: Session, msg: Map[String, Any],
                           chunked: Boolean = true,
-                          role: String = "admin"): Seq[Map[String, Any]] = {
+                          ident: Auth.Identity = Auth.Identity(None, "admin")): Seq[Map[String, Any]] = {
+    val role = ident.role
     // role gating for statements that can touch persistent state
     msg.getOrElse("type", "") match {
       case "query" | "add_rule" =>
         val src = msg.getOrElse("query", msg.getOrElse("rule", "")).toString
-        authorizeQuery(role, src).foreach(denied =>
-          return Seq(Map("type" -> "error", "message" -> denied)))
+        // server-level management commands (.user / .apikey / .kg acl)
+        // never reach the engine
+        adminCommand(src.trim, ident).foreach(resp => return Seq(resp))
+        // service keys (no user) gate on the GLOBAL role; user
+        // identities gate on their per-KG role — the reference's
+        // separation, where a global viewer who owns a KG can fully
+        // manage it (`auth.rs:337-345`)
+        val denied =
+          if (ident.user.isEmpty) authorizeQuery(role, src)
+          else kgAuthorize(session, src.trim, ident)
+        denied.foreach(d => return Seq(Map("type" -> "error", "message" -> d)))
       case _ => () // ping / session-scoped fact ops are role-free
     }
     def msgLong(key: String, dflt: Long): Long = msg.get(key) match {

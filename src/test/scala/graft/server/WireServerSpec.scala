@@ -368,6 +368,58 @@ class WireServerSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("per-user ACLs: user CRUD, per-KG roles, owner override, key revocation") {
+    val server = new WireServer(spark, authEnabled = true)
+    try {
+      val admin = server.adminKey.get
+      val http = HttpClient.newHttpClient()
+      val base = s"http://127.0.0.1:${server.actualPort}"
+      def q(src: String, key: String): Map[String, Any] = {
+        val b = HttpRequest.newBuilder(URI.create(base + "/query"))
+          .POST(HttpRequest.BodyPublishers.ofString(
+            Json.render(Map("type" -> "query", "query" -> src))))
+          .header("Authorization", s"Bearer $key")
+        obj(http.send(b.build(), HttpResponse.BodyHandlers.ofString()).body())
+      }
+      // admin creates users and a per-user key
+      assert(q(".user create ana pw1 viewer", admin)("type") == "ack")
+      assert(q(".user create bo pw2 editor", admin)("type") == "ack")
+      val anaKey = q(".apikey create ana-key for ana", admin)("key").toString
+      // password check works and tracks updates
+      assert(server.auth.verifyPassword("ana", "pw1").exists(_.role == "viewer"))
+      assert(server.auth.verifyPassword("ana", "nope").isEmpty)
+      assert(q(".user password ana pw9", admin)("type") == "ack")
+      assert(server.auth.verifyPassword("ana", "pw9").isDefined)
+      // user management is admin-only
+      assert(q(".user create eve pw viewer", anaKey)("type") == "error")
+      // ana has NO ACL on default → denied even for reads (reference:
+      // non-admin users need an explicit kg grant)
+      assert(q("?whatever(X)", anaKey)("type") == "error")
+      // grant viewer on default → reads work, writes still denied
+      assert(q(".kg acl grant default ana viewer", admin)("type") == "ack")
+      q("+aclrel[(1),(2)]", admin)
+      assert(q("?aclrel(X)", anaKey)("row_count") == 2L)
+      assert(q("+aclrel[(3)]", anaKey)("type") == "error")
+      // OWNER OVERRIDE: ana (global viewer) owns kg 'anas' → full control
+      assert(q(".kg create anas", admin)("type") == "ack")
+      assert(q(".kg acl grant anas ana owner", admin)("type") == "ack")
+      assert(q(".kg use anas", anaKey)("type") == "ack")
+      assert(q("+mine[(7)]", anaKey)("type") == "ack",
+        "KG owner with global viewer role must write to their KG")
+      // and the owner may grant on their KG
+      assert(q(".kg acl grant anas bo viewer", anaKey)("type") == "ack")
+      assert(q(".kg acl list anas", anaKey)("acls")
+        .asInstanceOf[Seq[Map[String, Any]]].map(_("username")) == Seq("ana", "bo"))
+      // role change applies to existing keys immediately
+      assert(q(".user role ana editor", admin)("type") == "ack")
+      assert(server.auth.identify(anaKey).exists(_.role == "editor"))
+      // dropping the user kills the key and the ACLs
+      assert(q(".user drop ana", admin)("type") == "ack")
+      assert(q("?aclrel(X)", anaKey)("message") == "unauthorized")
+      assert(server.auth.aclsFor("anas").map(_._1) == Seq("bo"))
+    } finally server.stop()
+  }
+
   test("api-key auth: roles gate persistent writes and key management") {
     val server = new WireServer(spark, authEnabled = true)
     try {
