@@ -81,10 +81,14 @@ object Dedup {
     // Bucket join carries ONLY (band, bucket, id) — signatures join back
     // after the pair-distinct, so the Jaccard estimate is computed once
     // per candidate pair, not once per shared bucket (up to `bands`×).
-    // Materialized once so both self-join sides read the checkpoint.
-    val (banded, _) = mat(sigs
+    // NOT materialized: both self-join sides re-derive the explode from
+    // the CHECKPOINTED sigs (cheap banding arithmetic; the expensive
+    // signature UDF ran once into the checkpoint) — saves one
+    // checkpoint job per call, and the checkpoint boundary already
+    // gives the self-join fresh exprIds.
+    val banded = sigs
       .select(col("id"), explode(TF.minHashBands(col("sig"), bands, rowsPerBand)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket")))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
     val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
     val candPairs = a.join(b, Seq("band", "bucket"))
