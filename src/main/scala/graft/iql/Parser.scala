@@ -254,7 +254,11 @@ object Parser {
           Update(atom, ins, parseBody(p))
         } else if (p.acceptSym("<-")) DeleteWhere(atom, parseBody(p))
         else if (atom.args.forall(_.isInstanceOf[Const])) {
-          DeleteFacts(name, Seq(atom.args.map { case Const(v) => v; case _ => ??? }))
+          DeleteFacts(name, Seq(atom.args.map {
+            case Const(v) => v
+            case other => throw new IllegalStateException( // unreachable: guarded by forall above
+              s"non-constant $other in all-const delete")
+          }))
         } else DeleteWhere(atom, Seq(Pos(atom))) // pattern delete: -rel(Id, "a", V)
       case _ => DropRelation(name)
     }
