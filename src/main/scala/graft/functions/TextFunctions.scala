@@ -159,12 +159,17 @@ object TextFunctions {
         // String.hashCode is 32-bit, and at ~1M-token vocabularies its
         // birthday collisions conflate distinct tokens across ALL k
         // components at once, biasing Jaccard estimates upward
-        val th = ts.iterator.map { t =>
+        val m = ts.length
+        val th = new Array[Long](m)
+        var i = 0
+        while (i < m) {
+          val t = ts(i)
           var h = FnvBasis
           var j = 0
           while (j < t.length) { h = (h ^ t.charAt(j)) * FnvPrime; j += 1 }
-          mix64(h)
-        }.toArray
+          th(i) = mix64(h)
+          i += 1
+        }
         sigOfHashes((mins, sd) => {
           var p = 0
           val last = th.length - n
