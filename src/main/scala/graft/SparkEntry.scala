@@ -361,6 +361,27 @@ object SparkEntry {
       e.run("?big(N, R)").last                           // DRed-maintained
     }),
 
+    // --- IQL: retraction through a RECURSIVE multi-rule view — DRed's
+    //     over-delete cascades through the closure's own derivations to
+    //     fixpoint, then survivors re-derive iteratively: (5,10) keeps
+    //     its e2 derivation, and everything reachable only through
+    //     (0,1) retracts; EngineSpec asserts the maintenance counter ----
+    "q76_iql_dred_recursive" -> ((s, dir) => {
+      val e = iqlEngine(s, dir)
+      val n = T(s, dir, "nation").select(col("n_nationkey").cast("int").as("k"))
+      e.catalog.register("e1", graphEdges(s, dir))
+      e.catalog.register("e2",
+        n.where(col("k") + 5 <= 24).select(col("k").as("src"), (col("k") + 5).as("dst")))
+      e.run(
+        """+r(X, Y) <- e1(X, Y)
+          |+r(X, Y) <- e2(X, Y)
+          |+r(X, Z) <- r(X, Y), r(Y, Z)
+          |?r(X, Y)
+          |""".stripMargin)
+      e.run("-e1[(0, 1), (5, 10)]") // (5,10) survives via e2; (0,1) is gone
+      e.run("?r(X, Y)").last        // served by recursive DRed
+    }),
+
     // --- pipeline: benchmark decontamination — docs sharing any word
     //     3-gram with the "test set" (doc_id % 20 == 0) are removed;
     //     shingles travel as xxhash64 longs, benchmark side broadcast --
@@ -1108,6 +1129,21 @@ object SparkEntry {
         |UNION
         |SELECT n_name AS N, 'extra' AS R FROM nation
         |WHERE n_nationkey > 20 AND n_regionkey <> 2""".stripMargin,
+
+    // recursive DRed: closure of (e1 \ deleted) ∪ e2 — SQL recursive CTEs
+    // are linear-only, so the oracle uses the equivalent linear step
+    "q76_iql_dred_recursive" ->
+      s"""WITH RECURSIVE base AS (
+         |SELECT src, dst FROM ($graphEdgesSql) t
+         |WHERE NOT (src = 0 AND dst = 1) AND NOT (src = 5 AND dst = 10)
+         |UNION
+         |SELECT n_nationkey AS src, n_nationkey + 5 AS dst FROM nation
+         |WHERE n_nationkey + 5 <= 24),
+         |r(src, dst) AS (
+         |SELECT src, dst FROM base
+         |UNION
+         |SELECT a.src, b.dst FROM r a JOIN base b ON a.dst = b.src)
+         |SELECT src AS X, dst AS Y FROM r""".stripMargin,
 
     // decontamination: word 3-gram overlap with the doc_id%20 benchmark set
     "q72_decontaminate" ->

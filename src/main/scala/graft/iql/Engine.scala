@@ -962,20 +962,25 @@ final class Engine(val catalog: Catalog) {
           local match { case Some(df) => return Some(df); case None => () }
         case _ => ()
       }
-      // DRed-style delete propagation for NON-recursive views (reference
+      // DRed-style delete propagation (the classic over-delete/re-derive
+      // algorithm for view maintenance under deletions; reference
       // retracts through derived relations incrementally,
       // `src/derived_relations.rs:1-60`): over-delete = every derivation
       // that ran through a removed tuple (one occurrence bound to the
       // removed rows, other changed rels at their PRE-delete state =
-      // current ∪ removed, since deletes are exact-tuple); then re-derive
-      // the over-deleted head tuples at the NEW state with the head
-      // unification pushed INTO the rule body as a guard atom — the
-      // rederivation only explores bindings for the (small) over-deleted
-      // set, never the full base. Cost ~ |delta|-bound joins, vs a full
-      // recomputation's scan of every base relation. Recursive views
-      // past the TC shape, mixed insert+delete batches, non-Var heads
+      // current ∪ removed, since deletes are exact-tuple). For RECURSIVE
+      // views the over-deletion then propagates through the view's own
+      // body occurrences to fixpoint — a deleted pair invalidates pairs
+      // derived from it. Re-derivation runs at the NEW state with the
+      // head unification pushed INTO the rule body as a guard atom, so
+      // it only explores bindings for the (small) over-deleted set,
+      // never the full base; recursive views iterate with the view bound
+      // to kept ∪ survivors until no new survivor appears (alternative
+      // derivations may themselves run through survivors). Cost ~
+      // |delete-cone|-bound joins, vs a full recomputation's scan of
+      // every base relation. Mixed insert+delete batches, non-Var heads
       // and views with own EDB facts still fall back to recompute.
-      if (hasRemovals && !isRecursive && changes.forall(_.delta == null) &&
+      if (hasRemovals && changes.forall(_.delta == null) &&
           sccRules.forall(_.head.args.forall(a =>
             a.isInstanceOf[Var] || a.isInstanceOf[Const])) &&
           baseOf(name).isEmpty) {
@@ -991,7 +996,11 @@ final class Engine(val catalog: Catalog) {
               case None => cur
             }
           }
-          def removedDerive(r: Rule, dIdx: Int): DataFrame = {
+          // derivations of `r` with body occurrence `dIdx` (of relation
+          // `targetRel`) bound to `bound`; every other frame at the OLD
+          // state: view occurrences = cached, changed rels = current ∪
+          // removed (over-deletion is computed entirely in the old DB)
+          def overDerive(r: Rule, dIdx: Int, bound: DataFrame): DataFrame = {
             val targetRel = r.body(dIdx) match { case Pos(a) => a.rel; case _ => "" }
             var occ = -1
             val resolver: RuleCompiler.Resolver = (nm, ar) =>
@@ -1000,35 +1009,91 @@ final class Engine(val catalog: Catalog) {
                 val bodyIdx = r.body.zipWithIndex.collect {
                   case (Pos(a), i) if a.rel == targetRel => i
                 }.apply(occ)
-                if (bodyIdx == dIdx) removedOf(nm)
+                if (bodyIdx == dIdx) bound
+                else if (nm == name) cached
                 else oldFrame(nm, ar)
-              } else if (changedRels(nm)) oldFrame(nm, ar)
+              } else if (nm == name) cached
+              else if (changedRels(nm)) oldFrame(nm, ar)
               else resolve(nm, ar)
             deriveRule(r, resolver).toDF(cols: _*)
           }
-          val over = Seq.newBuilder[DataFrame]
+          val over0 = Seq.newBuilder[DataFrame]
           sccRules.foreach { r =>
             r.body.zipWithIndex.foreach {
-              case (Pos(a), i) if changedRels(a.rel) => over += removedDerive(r, i)
+              case (Pos(a), i) if changedRels(a.rel) =>
+                over0 += overDerive(r, i, removedOf(a.rel))
               case _ => ()
             }
           }
-          val overParts = over.result()
+          val overParts = over0.result()
           if (overParts.isEmpty) return Some(cached) // untouched rules only
-          val overDelete = Fixpoint.materialize(
+          var overDelete = Fixpoint.materialize(
             overParts.reduce(_ union _).distinct())
           if (overDelete.count == 0) return Some(cached)
+          // over-delete cascade: derivations through already-over-deleted
+          // view tuples (semi-naive — one view occurrence bound to the
+          // frontier, others at the old view). Bounded by |cached|.
+          if (isRecursive) {
+            val viewOccs = sccRules.map(r => r -> r.body.zipWithIndex.collect {
+              case (Pos(a), i) if a.rel == name => i
+            }).filter(_._2.nonEmpty)
+            Fixpoint.withLoopConf(catalog.spark) {
+              var frontier = overDelete
+              var iter = 0
+              while (frontier.count > 0 && iter < 10000) {
+                graft.QueryGuard.checkCancelled()
+                iter += 1
+                Fixpoint.sizeShuffle(catalog.spark, frontier.count)
+                val step = viewOccs.flatMap { case (r, occs) =>
+                  occs.map(i => overDerive(r, i, frontier.df))
+                }.reduce(_ union _).distinct()
+                frontier = Fixpoint.materialize(
+                  Fixpoint.antiNullSafe(step, overDelete.df))
+                if (frontier.count > 0)
+                  overDelete = Fixpoint.materialize(
+                    overDelete.df.union(frontier.df))
+              }
+            }
+          }
           val guardRel = "__dred_guard"
-          val survived = sccRules.map { r =>
-            val guarded = r.copy(body = Pos(Atom(guardRel, r.head.args)) +: r.body)
-            val resolver: RuleCompiler.Resolver = (nm, ar) =>
-              if (nm == guardRel) overDelete.df else resolve(nm, ar)
-            deriveRule(guarded, resolver).toDF(cols: _*)
-          }.reduce(_ union _).distinct()
-          // survived ⊆ overDelete and the anti removes all of overDelete,
-          // so the two sides are disjoint — no extra distinct
-          return Some(Fixpoint.materialize(
-            Fixpoint.antiNullSafe(cached, overDelete.df).union(survived)).df)
+          // survived ⊆ overDelete (the guard restricts heads to it);
+          // non-guard, non-view rels resolve at the NEW state
+          def rederive(viewFrame: DataFrame, guard: DataFrame): DataFrame =
+            sccRules.map { r =>
+              val guarded = r.copy(body = Pos(Atom(guardRel, r.head.args)) +: r.body)
+              val resolver: RuleCompiler.Resolver = (nm, ar) =>
+                if (nm == guardRel) guard
+                else if (nm == name) viewFrame
+                else resolve(nm, ar)
+              deriveRule(guarded, resolver).toDF(cols: _*)
+            }.reduce(_ union _).distinct()
+          val kept = Fixpoint.materialize(
+            Fixpoint.antiNullSafe(cached, overDelete.df))
+          if (!isRecursive) {
+            // survived and kept are disjoint (survived ⊆ overDelete, the
+            // anti removed all of overDelete) — no extra distinct
+            return Some(Fixpoint.materialize(
+              kept.df.union(rederive(cached, overDelete.df))).df)
+          }
+          var surv = Fixpoint.materialize(rederive(kept.df, overDelete.df))
+          Fixpoint.withLoopConf(catalog.spark) {
+            var iter = 0
+            var grew = surv.count > 0
+            while (grew && iter < 10000) {
+              graft.QueryGuard.checkCancelled()
+              iter += 1
+              // a new survivor can only enable derivations THROUGH the
+              // view: re-derive the not-yet-survived remainder with the
+              // view at kept ∪ survivors
+              val remaining = Fixpoint.antiNullSafe(overDelete.df, surv.df)
+              val step = rederive(kept.df.union(surv.df), remaining)
+              val fresh = Fixpoint.materialize(
+                Fixpoint.antiNullSafe(step, surv.df))
+              grew = fresh.count > 0
+              if (grew) surv = Fixpoint.materialize(surv.df.union(fresh.df))
+            }
+          }
+          return Some(Fixpoint.materialize(kept.df.union(surv.df)).df)
         }
       }
       // past the DRed and TC fast paths, only pure-insert changes are

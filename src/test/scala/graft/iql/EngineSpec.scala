@@ -590,6 +590,44 @@ class EngineSpec extends SparkSpec {
     assert(e.maintainedCount == before + 1, "mixed batch should recompute")
   }
 
+  test("retraction maintenance: DRed through a RECURSIVE view (non-linear TC)") {
+    val e = new Engine(new Catalog(spark))
+    e.run(
+      """+edge[(1,2),(2,3),(3,4),(1,3)]
+        |+tc(X, Y) <- edge(X, Y)
+        |+tc(X, Z) <- tc(X, Y), tc(Y, Z)
+        |""".stripMargin)
+    assert(rows(e.run("?tc(X, Y)").last) ==
+      Set(Seq(1L, 2L), Seq(2L, 3L), Seq(3L, 4L), Seq(1L, 3L), Seq(1L, 4L), Seq(2L, 4L)))
+    val before = e.maintainedCount
+    // the over-delete cone of edge(2,3) is {(2,3),(2,4),(1,3),(1,4)};
+    // (1,3) survives re-derivation via the direct edge and (1,4) via the
+    // re-derived (1,3) — the survivor FIXPOINT, not a single pass
+    e.run("-edge[(2, 3)]")
+    assert(rows(e.run("?tc(X, Y)").last) ==
+      Set(Seq(1L, 2L), Seq(3L, 4L), Seq(1L, 3L), Seq(1L, 4L)))
+    assert(e.maintainedCount == before + 1, "recursive delete should DRed-maintain")
+  }
+
+  test("retraction maintenance: recursive DRed keeps tuples with alternative derivations") {
+    val e = new Engine(new Catalog(spark))
+    e.run(
+      """+e1[(1,2)]
+        |+e2[(1,2),(2,3)]
+        |+r(X, Y) <- e1(X, Y)
+        |+r(X, Y) <- e2(X, Y)
+        |+r(X, Z) <- r(X, Y), r(Y, Z)
+        |""".stripMargin)
+    assert(rows(e.run("?r(X, Y)").last) == Set(Seq(1L, 2L), Seq(2L, 3L), Seq(1L, 3L)))
+    val before = e.maintainedCount
+    e.run("-e1[(1, 2)]") // r(1,2) survives via its e2 derivation
+    assert(rows(e.run("?r(X, Y)").last) == Set(Seq(1L, 2L), Seq(2L, 3L), Seq(1L, 3L)))
+    assert(e.maintainedCount == before + 1, "alternative-derivation delete should maintain")
+    e.run("-e2[(1, 2)]") // last support gone: (1,2) and (1,3) both retract
+    assert(rows(e.run("?r(X, Y)").last) == Set(Seq(2L, 3L)))
+    assert(e.maintainedCount == before + 2)
+  }
+
   test("magic sets restrict non-pass-through bound queries (same generation)") {
     val e = new Engine(new Catalog(spark))
     // binary-heap tree over 0..30: up(child, parent), down = inverse
