@@ -1495,13 +1495,44 @@ final class Engine(val catalog: Catalog) {
       // A relation may legitimately have NO base (mutual recursion seeds
       // it through the cycle) — it simply starts absent/empty; its schema
       // materializes the first time a rule derives tuples for it.
-      // Accumulator per relation. Relations that some rule joins against
-      // itself TWICE need a fresh-exprId materialized accumulator (the
-      // delta ⋈ acc self-join would otherwise see duplicate exprIds);
-      // everything else keeps a LAZY union of the materialized deltas —
-      // antiNullSafe's string-qualified aliases are self-join-safe (the
-      // same shape iterateKeyed uses) and each iteration saves one
-      // checkpoint job per relation.
+      val seeds = mutable.HashMap.empty[String, Fixpoint.Mat]
+      scc.foreach { rel =>
+        val baseRules = byHead.getOrElse(rel, Seq.empty)
+          .filterNot(_.body.exists { case Pos(a) => scc(a.rel); case _ => false })
+        val parts = baseOf(rel).map(b =>
+          b.toDF(b.columns.indices.map(i => s"c$i"): _*)).toSeq ++
+          baseRules.map(deriveRule(_))
+        if (parts.nonEmpty) {
+          val m = Fixpoint.materialize(parts.reduce(_ union _).distinct())
+          if (m.count > 0) seeds(rel) = m
+        }
+      }
+      val out = runSccLoop(scc, sccRules, seeds.toMap, seeds.toMap)
+      scc.foreach { rel =>
+        memo(rel) = out.getOrElse(rel,
+          emptyFrame(byHead(rel).head.head.args.length)) // never derived
+      }
+    }
+
+    /** The distributed semi-naive loop over an SCC, from the given
+      * starting state. Full evaluation passes acc = delta = base seeds;
+      * insert maintenance passes acc = cached ∪ fresh and delta = fresh
+      * (the continuation explores only derivations through new tuples).
+      * `accInit` entries are (frame, row count); a `Long.MaxValue/2`-style
+      * sentinel count is allowed — it only disables the broadcast hint.
+      * Returns the final accumulator frame per relation (absent = never
+      * derived).
+      *
+      * Accumulator per relation. Relations that some rule joins against
+      * itself TWICE need a fresh-exprId materialized accumulator (the
+      * delta ⋈ acc self-join would otherwise see duplicate exprIds);
+      * everything else keeps a LAZY union of the materialized deltas —
+      * antiNullSafe's string-qualified aliases are self-join-safe (the
+      * same shape iterateKeyed uses) and each iteration saves one
+      * checkpoint job per relation. */
+    private def runSccLoop(scc: Set[String], sccRules: Seq[Rule],
+                           accInit: Map[String, Fixpoint.Mat],
+                           deltaInit: Map[String, Fixpoint.Mat]): Map[String, DataFrame] = {
       val multiOccRels: Set[String] = scc.filter(rel => sccRules.exists(r =>
         r.body.count { case Pos(a) => a.rel == rel; case _ => false } > 1))
       val accParts = mutable.HashMap.empty[String, List[DataFrame]]
@@ -1527,18 +1558,8 @@ final class Engine(val catalog: Catalog) {
           accParts(rel) = parts :+ m.df
           accCount(rel) = accCount.getOrElse(rel, 0L) + m.count
         }
-      var delta = mutable.HashMap.empty[String, Fixpoint.Mat]
-      scc.foreach { rel =>
-        val baseRules = byHead.getOrElse(rel, Seq.empty)
-          .filterNot(_.body.exists { case Pos(a) => scc(a.rel); case _ => false })
-        val parts = baseOf(rel).map(b =>
-          b.toDF(b.columns.indices.map(i => s"c$i"): _*)).toSeq ++
-          baseRules.map(deriveRule(_))
-        if (parts.nonEmpty) {
-          val m = Fixpoint.materialize(parts.reduce(_ union _).distinct())
-          if (m.count > 0) { accAdd(rel, m); delta(rel) = m }
-        }
-      }
+      accInit.foreach { case (rel, m) => accAdd(rel, m) }
+      var delta = mutable.HashMap.empty[String, Fixpoint.Mat] ++= deltaInit
       val recRules = sccRules.filter(_.body.exists { case Pos(a) => scc(a.rel); case _ => false })
       // loop hygiene shared with Fixpoint: AQE's per-stage re-planning
       // only adds latency on the loop's small known-shape jobs, and the
@@ -1597,10 +1618,7 @@ final class Engine(val catalog: Catalog) {
         delta = nextDelta
       }
       } // withLoopConf
-      scc.foreach { rel =>
-        memo(rel) = accDf(rel).getOrElse(
-          emptyFrame(byHead(rel).head.head.args.length)) // never derived
-      }
+      scc.iterator.flatMap(rel => accDf(rel).map(rel -> _)).toMap
     }
 
     /** Recursive rules with a min/max aggregate head — the semantics the
