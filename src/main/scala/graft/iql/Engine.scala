@@ -600,7 +600,13 @@ final class Engine(val catalog: Catalog) {
               require(!inProgress(name),
                 s"internal: unplanned recursive resolve of $name")
               evalComponent(name)
-              if (demand.isEmpty && cachingEnabled) memo.get(name).foreach(cachePut(name, _))
+              if (demand.isEmpty && cachingEnabled) {
+                // cache every member the component evaluation finished —
+                // joint maintenance of a mutual-recursion SCC needs all
+                // of them cached at one version
+                val sccDone = Stratifier.sccOf(rules).getOrElse(name, Set(name))
+                sccDone.foreach(r => memo.get(r).foreach(cachePut(r, _)))
+              }
               memo(name)
           }
         }
@@ -653,8 +659,18 @@ final class Engine(val catalog: Catalog) {
       val deps = depsOf(name) + name
       if ((deps & changedRels).isEmpty) return Some(cached) // untouched: still valid
       val scc = Stratifier.sccOf(rules).getOrElse(name, Set(name))
-      if (scc.size > 1) return None
-      val sccRules = byHead(name)
+      // mutual recursion is maintained SCC-jointly, so every member's
+      // cache must exist at the SAME version — mixed-version snapshots
+      // are not a fixpoint of any one database state
+      val sccCached: Map[String, DataFrame] =
+        if (scc.size == 1) Map(name -> cached)
+        else {
+          val m = scc.iterator.map(r => r -> cacheLatest(r)).toMap
+          if (m.values.exists(o => o.isEmpty || o.get._1 != v0)) return None
+          m.map { case (r, o) => r -> o.get._2 }
+        }
+      val sccRules = if (scc.size == 1) byHead(name)
+                     else rules.filter(r => scc(r.head.rel))
       if (sccRules.exists(_.head.args.exists(_.isInstanceOf[Rank]))) return None
       val aggHead = sccRules.exists(_.head.args.exists(_.isInstanceOf[Agg]))
       // changed rels must be referenced DIRECTLY (not via a derived
@@ -669,6 +685,8 @@ final class Engine(val catalog: Catalog) {
 
       val arity = cached.columns.length
       val cols = (0 until arity).map(i => s"c$i")
+      def colsOf(rel: String): Seq[String] =
+        (0 until sccCached(rel).columns.length).map(i => s"c$i")
       // insert deltas per relation (rels with only removals are absent —
       // all general paths below bail when removals exist; only the local
       // TC path handles them)
@@ -676,14 +694,16 @@ final class Engine(val catalog: Catalog) {
         val ds = changes.filter(c => c.rel == r && c.delta != null).map(_.delta)
         if (ds.isEmpty) None else Some(r -> ds.reduce(_ union _).distinct())
       }.toMap
-      val isRecursive = sccRules.exists(_.body.exists {
+      val isRecursive = scc.size > 1 || sccRules.exists(_.body.exists {
         case Pos(a) => a.rel == name
         case _ => false
       })
 
       /** Derivations with occurrence `dIdx` of `r`'s body bound to the
-        * delta of its relation; `name` occurrences bound to `recFrame`. */
-      def deltaDerive(r: Rule, dIdx: Int, recFrame: DataFrame): DataFrame = {
+        * delta of its relation; SCC-member occurrences bound to
+        * `recFrames(member)` (absent → normal resolve). */
+      def deltaDerive(r: Rule, dIdx: Int,
+                      recFrames: String => Option[DataFrame]): DataFrame = {
         val targetRel = r.body(dIdx) match { case Pos(a) => a.rel; case _ => "" }
         var occ = -1
         val deltaResolver: RuleCompiler.Resolver = (nm, ar) =>
@@ -693,11 +713,9 @@ final class Engine(val catalog: Catalog) {
               case (Pos(a), i) if a.rel == targetRel => i
             }.apply(occ)
             if (bodyIdx == dIdx) deltaOf(nm)
-            else if (nm == name) recFrame
-            else resolve(nm, ar)
-          } else if (nm == name) recFrame
-          else resolve(nm, ar)
-        deriveRule(r, deltaResolver).toDF(cols: _*)
+            else recFrames(nm).getOrElse(resolve(nm, ar))
+          } else recFrames(nm).getOrElse(resolve(nm, ar))
+        deriveRule(r, deltaResolver).toDF(colsOf(r.head.rel): _*)
       }
 
       if (aggHead) {
@@ -724,7 +742,8 @@ final class Engine(val catalog: Catalog) {
         // rides along) — materializing first would add a checkpoint +
         // count job per re-query. Only the distributed fallback
         // materializes it (the full_outer join reads it twice).
-        val deltaAggDf = deltaDerive(r, changedOccs.head, cached)
+        val deltaAggDf = deltaDerive(r, changedOccs.head,
+          m => if (m == name) Some(cached) else None)
         // driver-local merge when both sides fit: one collect each, a
         // hash merge, and a parallelize — instead of a full_outer join +
         // checkpoint (the reference merges cached group states in-process,
@@ -846,7 +865,7 @@ final class Engine(val catalog: Catalog) {
       // affected sources re-BFS over the post-change edges). Reference:
       // incremental retraction through recursive views,
       // `src/derived_relations.rs:1-60`, BENCHMARKS.md:69-71.
-      if (isRecursive) tcEdgeRel(name, sccRules) match {
+      if (isRecursive && scc.size == 1) tcEdgeRel(name, sccRules) match {
         case Some(e1) if changedRels == Set(e1) && baseOf(name).isEmpty =>
           val edgeDf = resolve(e1, 2)
           // prefer the raw literal batch over the exact anti-joined delta:
@@ -980,7 +999,7 @@ final class Engine(val catalog: Catalog) {
       // |delete-cone|-bound joins, vs a full recomputation's scan of
       // every base relation. Mixed insert+delete batches, non-Var heads
       // and views with own EDB facts still fall back to recompute.
-      if (hasRemovals && changes.forall(_.delta == null) &&
+      if (hasRemovals && scc.size == 1 && changes.forall(_.delta == null) &&
           sccRules.forall(_.head.args.forall(a =>
             a.isInstanceOf[Var] || a.isInstanceOf[Const])) &&
           baseOf(name).isEmpty) {
@@ -1100,12 +1119,50 @@ final class Engine(val catalog: Catalog) {
       // maintainable — any other delete falls back to recompute
       if (hasRemovals) return None
 
+      // mutual recursion: SCC-joint insert continuation — seed each
+      // member with its delta-bound derivations (SCC occurrences at the
+      // cached fixpoint), then CONTINUE the distributed semi-naive loop
+      // with accumulators starting at cached ∪ fresh. Every member's
+      // result is memoized and cached, so one maintenance run serves
+      // re-queries of any of them.
+      if (scc.size > 1) {
+        val seeds = mutable.HashMap.empty[String, Fixpoint.Mat]
+        scc.foreach { rel =>
+          val contribs = byHead.getOrElse(rel, Seq.empty).flatMap { r =>
+            r.body.zipWithIndex.collect {
+              case (Pos(a), i) if changedRels(a.rel) =>
+                deltaDerive(r, i, m => sccCached.get(m))
+            }
+          }
+          if (contribs.nonEmpty) {
+            val m = Fixpoint.materialize(Fixpoint.antiNullSafe(
+              contribs.reduce(_ union _).distinct(), sccCached(rel)))
+            if (m.count > 0) seeds(rel) = m
+          }
+        }
+        if (seeds.isEmpty) return Some(cached) // no rule touches the delta
+        // the sentinel count only suppresses broadcast hints (cached
+        // materialization sizes aren't tracked driver-side)
+        val accInit = scc.iterator.map { rel =>
+          val df = seeds.get(rel) match {
+            case Some(f) => sccCached(rel).union(f.df)
+            case None => sccCached(rel)
+          }
+          rel -> Fixpoint.Mat(df, Fixpoint.BroadcastRows + 1)
+        }.toMap
+        val out = runSccLoop(scc, sccRules, accInit, seeds.toMap)
+        scc.filter(_ != name).foreach { rel =>
+          out.get(rel).foreach { df => memo(rel) = df; cachePut(rel, df) }
+        }
+        return out.get(name).orElse(Some(cached))
+      }
+
       val seedContribs = Seq.newBuilder[DataFrame]
       if (changedRels(name)) seedContribs += deltaOf(name).toDF(cols: _*)
       sccRules.foreach { r =>
         r.body.zipWithIndex.foreach {
           case (Pos(a), i) if changedRels(a.rel) =>
-            seedContribs += deltaDerive(r, i, cached)
+            seedContribs += deltaDerive(r, i, m => if (m == name) Some(cached) else None)
           case _ => ()
         }
       }

@@ -609,6 +609,27 @@ class EngineSpec extends SparkSpec {
     assert(e.maintainedCount == before + 1, "recursive delete should DRed-maintain")
   }
 
+  test("incremental maintenance: mutual recursion continues from cached fixpoints") {
+    val e = new Engine(new Catalog(spark))
+    e.run(
+      """+edge[(1,2),(2,3)]
+        |+odd(X, Y) <- edge(X, Y)
+        |+odd(X, Z) <- even(X, Y), edge(Y, Z)
+        |+even(X, Z) <- odd(X, Y), edge(Y, Z)
+        |""".stripMargin)
+    assert(rows(e.run("?odd(X, Y)").last) == Set(Seq(1L, 2L), Seq(2L, 3L)))
+    assert(rows(e.run("?even(X, Y)").last) == Set(Seq(1L, 3L)))
+    val before = e.maintainedCount
+    e.run("+edge[(3, 4)]")
+    assert(rows(e.run("?odd(X, Y)").last) ==
+      Set(Seq(1L, 2L), Seq(2L, 3L), Seq(3L, 4L), Seq(1L, 4L)))
+    assert(e.maintainedCount == before + 1,
+      "mutual-recursion insert should continue, not recompute")
+    // the joint run cached the sibling too: even's re-query maintains
+    // (or cache-hits) without another full evaluation
+    assert(rows(e.run("?even(X, Y)").last) == Set(Seq(1L, 3L), Seq(2L, 4L)))
+  }
+
   test("retraction maintenance: recursive DRed keeps tuples with alternative derivations") {
     val e = new Engine(new Catalog(spark))
     e.run(
