@@ -999,10 +999,10 @@ final class Engine(val catalog: Catalog) {
       // |delete-cone|-bound joins, vs a full recomputation's scan of
       // every base relation. Mixed insert+delete batches, non-Var heads
       // and views with own EDB facts still fall back to recompute.
-      if (hasRemovals && scc.size == 1 && changes.forall(_.delta == null) &&
+      if (hasRemovals && changes.forall(_.delta == null) &&
           sccRules.forall(_.head.args.forall(a =>
             a.isInstanceOf[Var] || a.isInstanceOf[Const])) &&
-          baseOf(name).isEmpty) {
+          scc.forall(m => baseOf(m).isEmpty)) {
         val removedOf: Map[String, DataFrame] = changedRels.flatMap { r =>
           val ds = changes.filter(c => c.rel == r && c.removed != null).map(_.removed)
           if (ds.isEmpty) None else Some(r -> ds.reduce(_ union _).distinct())
@@ -1015,6 +1015,21 @@ final class Engine(val catalog: Catalog) {
               case None => cur
             }
           }
+          // Driver-local DRed: both phases expressed as synthetic
+          // pure-positional programs over collected inputs and run
+          // in-process by LocalEval — a handful of bounded collects and
+          // one parallelize instead of 10-20 fixpoint jobs. Covers
+          // mutual recursion too (LocalEval solves multi-member SCCs).
+          // Bails (→ distributed DRed below, or recompute) when inputs
+          // exceed the collect caps or a rule shape is outside
+          // LocalEval's contract.
+          localDRed(scc, sccRules, sccCached, changedRels, removedOf, name) match {
+            case Some(df) => return Some(df)
+            case None => ()
+          }
+          // the distributed phases below maintain a single relation;
+          // large mutual-recursion retractions recompute
+          if (scc.size > 1) return None
           // derivations of `r` with body occurrence `dIdx` (of relation
           // `targetRel`) bound to `bound`; every other frame at the OLD
           // state: view occurrences = cached, changed rels = current ∪
@@ -1222,6 +1237,172 @@ final class Engine(val catalog: Catalog) {
       // union plans without bound (the cached frame is the next round's
       // `cached`)
       Some(if (!multiOcc && parts.size > 4) Fixpoint.materialize(accDf).df else accFrame)
+    }
+
+    /** Driver-local DRed (see the call site in [[tryMaintain]]): each
+      * phase becomes a synthetic pure-positional Datalog program
+      * evaluated in-process by [[LocalEval]].
+      *
+      * Phase 1 (over-delete): seed rules bind one changed-rel occurrence
+      * to `__dr_rm_c` (the removed tuples) with every other frame at the
+      * OLD state (`__dr_old_c` = current ∪ removed, `__dr_ca_m` = cached
+      * view); cascade rules bind one view occurrence to the del relation
+      * itself, making the over-delete cone one recursive fixpoint.
+      *
+      * Phase 2 (re-derive): each original rule, guarded by its head
+      * pushed into the body as a `__dr_del_m` atom, re-derives at the
+      * NEW state with view occurrences at `__dr_v2_m` = kept ∪ survivors
+      * (`__dr_kp_m` base + `__dr_sv_m` recursive) — the survivor
+      * fixpoint, mutual recursion included.
+      *
+      * Returns the maintained frame for `name` (memoizing + caching all
+      * other members) or None to fall back to the distributed phases. */
+    private def localDRed(scc: Set[String], sccRules: Seq[Rule],
+        sccCached: Map[String, DataFrame], changedRels: Set[String],
+        removedOf: Map[String, DataFrame], name: String): Option[DataFrame] = {
+      if (LocalEval.disabled) return None
+      import org.apache.spark.sql.Row
+      import scala.collection.immutable.ArraySeq
+      val members = scc.toSeq
+      def dn(m: String) = "__dr_del_" + m
+      def can(m: String) = "__dr_ca_" + m
+      def rmn(c: String) = "__dr_rm_" + c
+      def oldn(c: String) = "__dr_old_" + c
+      def kpn(m: String) = "__dr_kp_" + m
+      def svn(m: String) = "__dr_sv_" + m
+      def v2n(m: String) = "__dr_v2_" + m
+
+      // synthetic programs FIRST: shape-gate before paying any collect
+      def mapOld(e: BodyElem): BodyElem = e match {
+        case Pos(a) if scc(a.rel) => Pos(a.copy(rel = can(a.rel)))
+        case Pos(a) if changedRels(a.rel) => Pos(a.copy(rel = oldn(a.rel)))
+        case other => other
+      }
+      val seedRules = sccRules.flatMap { r =>
+        r.body.zipWithIndex.collect {
+          case (Pos(a), i) if changedRels(a.rel) =>
+            r.copy(head = Atom(dn(r.head.rel), r.head.args),
+              body = r.body.zipWithIndex.map {
+                case (Pos(b), `i`) => Pos(b.copy(rel = rmn(b.rel)))
+                case (e, _) => mapOld(e)
+              })
+        }
+      }
+      if (seedRules.isEmpty) return None
+      val cascadeRules = sccRules.flatMap { r =>
+        r.body.zipWithIndex.collect {
+          case (Pos(a), j) if scc(a.rel) =>
+            r.copy(head = Atom(dn(r.head.rel), r.head.args),
+              body = r.body.zipWithIndex.map {
+                case (Pos(b), `j`) => Pos(b.copy(rel = dn(b.rel)))
+                case (e, _) => mapOld(e)
+              })
+        }
+      }
+      val delScc = members.map(dn).toSet
+      if (!seedRules.forall(LocalEval.baseRuleOk(delScc, _))) return None
+      if (cascadeRules.nonEmpty && !LocalEval.shapeOk(delScc, cascadeRules)) return None
+
+      val sccVars = members.map(m => m ->
+        (0 until sccCached(m).columns.length).map(i => Var(s"__dx$i"))).toMap
+      val v2Base = members.map(m =>
+        Rule(Atom(v2n(m), sccVars(m)), Seq(Pos(Atom(kpn(m), sccVars(m))))))
+      val v2Rec = members.map(m =>
+        Rule(Atom(v2n(m), sccVars(m)), Seq(Pos(Atom(svn(m), sccVars(m))))))
+      val svAll = sccRules.map { r =>
+        r.copy(head = Atom(svn(r.head.rel), r.head.args),
+          body = Pos(Atom(dn(r.head.rel), r.head.args)) +: r.body.map {
+            case Pos(a) if scc(a.rel) => Pos(a.copy(rel = v2n(a.rel)))
+            case other => other // changed rels re-derive at the NEW state
+          })
+      }
+      val scc2: Set[String] = members.flatMap(m => Seq(svn(m), v2n(m))).toSet
+      val (svRec, svBase) = svAll.partition(_.body.exists {
+        case Pos(a) => scc2(a.rel); case _ => false
+      })
+      if (!(v2Base ++ svBase).forall(LocalEval.baseRuleOk(scc2, _))) return None
+      if (!LocalEval.shapeOk(scc2, v2Rec ++ svRec)) return None
+
+      object LB extends scala.util.control.ControlThrowable
+      def need[A](o: Option[A]): A = o.getOrElse(throw LB)
+      try {
+        val arities = mutable.HashMap.empty[String, Int]
+        val stores = mutable.HashMap.empty[String, Array[Row]]
+        members.foreach { m =>
+          val ar = sccCached(m).columns.length
+          Seq(dn(m), can(m), kpn(m), svn(m), v2n(m)).foreach(arities(_) = ar)
+          stores(can(m)) = need(Fixpoint.collectUpTo(sccCached(m), 1000000L))
+        }
+        changedRels.foreach { c =>
+          val ar = removedOf(c).columns.length
+          Seq(rmn(c), oldn(c), c).foreach(arities(_) = ar)
+          val rm = need(Fixpoint.collectUpTo(removedOf(c), Fixpoint.LocalEdgeRows))
+          val cur = need(Fixpoint.collectUpTo(resolve(c, ar), Fixpoint.LocalEdgeRows))
+          stores(rmn(c)) = rm; stores(oldn(c)) = cur ++ rm; stores(c) = cur
+        }
+        sccRules.flatMap(_.body.collect {
+          case Pos(a) if !scc(a.rel) && !changedRels(a.rel) => (a.rel, a.args.length)
+          case Neg(a) if !scc(a.rel) && !changedRels(a.rel) => (a.rel, a.args.length)
+        }).distinct.foreach { case (b, ar) =>
+          arities(b) = ar
+          stores(b) = need(Fixpoint.collectUpTo(resolve(b, ar), Fixpoint.LocalEdgeRows))
+        }
+
+        val out1 = mutable.HashMap.empty[String, Array[Row]]
+        need(LocalEval.run(catalog.spark, delScc, cascadeRules, arities.toMap,
+          Map.empty, stores.toMap, seedRules, out1))
+        val delRows = members.map(m => m -> out1.getOrElse(dn(m), Array.empty[Row])).toMap
+        if (delRows.values.forall(_.isEmpty)) {
+          // nothing over-deleted: every cache stays valid as-is
+          scc.filter(_ != name).foreach { r =>
+            memo(r) = sccCached(r); cachePut(r, sccCached(r))
+          }
+          return Some(sccCached(name))
+        }
+
+        // kept = cached \ del, keyed with LocalEval-compatible
+        // normalization (Int widened, NaN canonicalized, -0.0 folded) so
+        // raw cached rows and normalized del rows compare consistently
+        val myNaN: java.lang.Double = java.lang.Double.valueOf(Double.NaN)
+        def keyf(row: Row, n: Int): ArraySeq[Any] = ArraySeq.unsafeWrapArray(
+          Array.tabulate[Any](n) { i =>
+            row.get(i) match {
+              case x: Int => x.toLong
+              case d: Double if d.isNaN => myNaN
+              case d: Double if d == 0.0 => 0.0
+              case _: Float => throw LB
+              case v => v
+            }
+          })
+        val keptRows = members.map { m =>
+          val n = sccCached(m).columns.length
+          val del = delRows(m).iterator.map(keyf(_, n)).toSet
+          m -> stores(can(m)).filter(r => !del(keyf(r, n)))
+        }.toMap
+
+        members.foreach { m =>
+          stores(dn(m)) = delRows(m)
+          stores(kpn(m)) = keptRows(m)
+        }
+        val out2 = mutable.HashMap.empty[String, Array[Row]]
+        need(LocalEval.run(catalog.spark, scc2, v2Rec ++ svRec, arities.toMap,
+          Map.empty, stores.toMap, v2Base ++ svBase, out2))
+
+        val result = members.map { m =>
+          val schema = org.apache.spark.sql.types.StructType(
+            sccCached(m).schema.fields.map(_.copy(nullable = true)))
+          def re(row: Row): Row = Row.fromSeq(
+            schema.fields.indices.map(i => coerce(row.get(i), schema.fields(i).dataType)))
+          // kept and survivors are disjoint (survivors ⊆ del = cached \ kept)
+          val rows = (keptRows(m).iterator.map(re) ++
+            out2.getOrElse(svn(m), Array.empty[Row]).iterator.map(re)).toIndexedSeq
+          m -> catalog.spark.createDataFrame(
+            catalog.spark.sparkContext.parallelize(rows,
+              Fixpoint.parallelizeParts(rows.length.toLong)), schema)
+        }.toMap
+        scc.filter(_ != name).foreach { r => memo(r) = result(r); cachePut(r, result(r)) }
+        Some(result(name))
+      } catch { case LB => None }
     }
 
     /** Zero-row frame with `arity` untyped columns (empty placeholders,

@@ -609,6 +609,44 @@ class EngineSpec extends SparkSpec {
     assert(e.maintainedCount == before + 1, "recursive delete should DRed-maintain")
   }
 
+  test("retraction maintenance: mutual recursion DRed-maintains deletes (local path)") {
+    val e = new Engine(new Catalog(spark))
+    e.run(
+      """+edge[(1,2),(2,3),(3,4)]
+        |+odd(X, Y) <- edge(X, Y)
+        |+odd(X, Z) <- even(X, Y), edge(Y, Z)
+        |+even(X, Z) <- odd(X, Y), edge(Y, Z)
+        |""".stripMargin)
+    assert(rows(e.run("?odd(X, Y)").last) ==
+      Set(Seq(1L, 2L), Seq(2L, 3L), Seq(3L, 4L), Seq(1L, 4L)))
+    assert(rows(e.run("?even(X, Y)").last) == Set(Seq(1L, 3L), Seq(2L, 4L)))
+    val before = e.maintainedCount
+    e.run("-edge[(2, 3)]") // kills odd(2,3), even(1,3), odd(1,4)
+    assert(rows(e.run("?odd(X, Y)").last) == Set(Seq(1L, 2L), Seq(3L, 4L)))
+    assert(e.maintainedCount == before + 1,
+      "mutual-recursion delete should DRed-maintain")
+    assert(rows(e.run("?even(X, Y)").last) == Set.empty[Seq[Any]])
+  }
+
+  test("retraction maintenance: recursive DRed distributed path (local solver pinned off)") {
+    val e = new Engine(new Catalog(spark))
+    e.run(
+      """+edge[(1,2),(2,3),(3,4),(1,3)]
+        |+tc(X, Y) <- edge(X, Y)
+        |+tc(X, Z) <- tc(X, Y), tc(Y, Z)
+        |""".stripMargin)
+    assert(rows(e.run("?tc(X, Y)").last).size == 6)
+    val before = e.maintainedCount
+    LocalEval.disabled = true
+    try {
+      e.run("-edge[(2, 3)]")
+      assert(rows(e.run("?tc(X, Y)").last) ==
+        Set(Seq(1L, 2L), Seq(3L, 4L), Seq(1L, 3L), Seq(1L, 4L)))
+    } finally LocalEval.disabled = false
+    assert(e.maintainedCount == before + 1,
+      "distributed recursive DRed should maintain when the local path is off")
+  }
+
   test("incremental maintenance: mutual recursion continues from cached fixpoints") {
     val e = new Engine(new Catalog(spark))
     e.run(
