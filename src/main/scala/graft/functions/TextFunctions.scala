@@ -61,6 +61,18 @@ object TextFunctions {
   def wordShingles(text: Column, n: Int): Column =
     wordShinglesOf(tokens(text), n)
 
+  /** xxhash64 of each word n-gram WITHOUT materializing the shingle
+    * string: each shingle hashes its n token strings directly (multi-arg
+    * xxhash64 is length-aware per field, so ("ab","c") ≠ ("a","bc")).
+    * Callers treat shingles as opaque 64-bit values, so this replaces
+    * hash(array_join(slice(...))) — skipping the per-shingle slice +
+    * join allocations and one full extra pass over every character.
+    * `toks` must be a BOUND column (project [[tokens]] first): HOF
+    * lambdas re-evaluate captured expressions per element. */
+  def wordShingleHashes(toks: Column, n: Int): Column =
+    transform(seq1(size(toks) - lit(n - 1)),
+      i => xxhash64((0 until n).map(k => element_at(toks, i + lit(k))): _*))
+
   // ---------------------------------------------------------------------
   // MinHash: k independent hash functions realized as xxhash64(shingle, k)
   // (seeding via an extra literal column mixes k into the hash). The

@@ -158,7 +158,7 @@ object Dedup {
     val (sh, nSh) = mat(docs.join(maybeBroadcast(candIds, nCand * 2), Seq(idCol), "left_semi")
       .select(col(idCol).as("id"), TF.tokens(col(textCol)).as("toks"))
       .select(col("id"), sort_array(array_distinct(
-        transform(TF.wordShinglesOf(col("toks"), shingleN), s => xxhash64(s)))).as("sh")))
+        TF.wordShingleHashes(col("toks"), shingleN))).as("sh")))
     cand
       .join(maybeBroadcast(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), nSh), Seq("id_a"))
       .join(maybeBroadcast(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), nSh), Seq("id_b"))
@@ -179,7 +179,7 @@ object Dedup {
     val (sh, _) = mat(docs.where(col(idCol) < capIds)
       .select(col(idCol).as("id"), TF.tokens(col(textCol)).as("toks"))
       .select(col("id"), sort_array(array_distinct(
-        transform(TF.wordShinglesOf(col("toks"), shingleN), s => xxhash64(s)))).as("sh"))
+        TF.wordShingleHashes(col("toks"), shingleN))).as("sh"))
       .where(size(col("sh")) > 0))
     val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
@@ -200,11 +200,13 @@ object Dedup {
   def decontaminate(docs: DataFrame, benchmark: DataFrame,
                     shingleN: Int = 3,
                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // project tokens BEFORE shingling: a tokens() expression captured
+    // inside the shingle lambda would re-run the regexp split once per
+    // shingle element — O(len²) per document
     def shingles(df: DataFrame, out: String) = df
-      .select(col(idCol).as(out),
-        explode(array_distinct(transform(
-          TF.wordShinglesOf(TF.tokens(col(textCol)), shingleN),
-          s => xxhash64(s)))).as("sh"))
+      .select(col(idCol).as(out), TF.tokens(col(textCol)).as("__toks"))
+      .select(col(out),
+        explode(array_distinct(TF.wordShingleHashes(col("__toks"), shingleN))).as("sh"))
     val bench = shingles(benchmark, "bid").select(col("sh")).distinct()
     val contaminated = shingles(docs, idCol)
       .join(broadcast(bench), Seq("sh"))
