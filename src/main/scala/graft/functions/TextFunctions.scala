@@ -38,16 +38,14 @@ object TextFunctions {
 
   /** Character n-gram shingles of the whitespace-normalized text.
     *
-    * NOTE (scale): inside the `transform` lambda the `norm` expression is
-    * re-evaluated PER ELEMENT (higher-order functions are interpreted, no
-    * subexpression caching) — O(len²) per document. Fine for small/ad-hoc
-    * use; bulk pipelines should use the row-exploded shape
-    * ([[graft.operators.Dedup.minHashSignatures]]) where normalization
-    * runs once per row and the substring is codegen'd. */
-  def charShingles(text: Column, n: Int): Column = {
-    val norm = normText(text)
-    transform(seq1(length(norm) - lit(n - 1)), i => norm.substr(i, lit(n)))
-  }
+    * The normalized text is bound through a single-element `array` +
+    * outer `transform`, so the inner lambda captures a LAMBDA VARIABLE
+    * (evaluated once) rather than the normText expression — HOF lambdas
+    * re-evaluate captured expressions per element, which would make this
+    * O(len²) in regexp passes per document. */
+  def charShingles(text: Column, n: Int): Column =
+    flatten(transform(array(normText(text)), nm =>
+      transform(seq1(length(nm) - lit(n - 1)), i => nm.substr(i, lit(n)))))
 
   /** Word n-gram shingles over a PRE-PROJECTED token-array column (the
     * lambda then only references an attribute — no per-element re-split). */
