@@ -719,6 +719,62 @@ final class Engine(val catalog: Catalog) {
       }
 
       if (aggHead) {
+        // RECURSIVE min/max views (shortest-path style): inserts are
+        // monotone in the min/max semiring — every cached label is still
+        // achievable after adding facts and bounded by the new optimum,
+        // so value iteration converges continuing from cached merged
+        // with the delta-seeded improvements. Deletes can strictly
+        // worsen labels → recompute.
+        if (isRecursive) {
+          if (hasRemovals || scc.size > 1 || changedRels(name)) return None
+          val specs = sccRules.map { r =>
+            val idxs = r.head.args.zipWithIndex.collect { case (Agg(f, _), i) => (f, i) }
+            if (idxs.size != 1) return None
+            idxs.head
+          }
+          if (specs.distinct.size != 1) return None
+          val (func, aggIdx) = specs.head
+          if (func != "min" && func != "max") return None
+          val stripped = sccRules.map(r => r.copy(head = r.head.copy(args = r.head.args.map {
+            case Agg(_, t) => t
+            case t => t
+          })))
+          val recRules2 = stripped.filter(_.body.exists {
+            case Pos(a) => a.rel == name
+            case _ => false
+          })
+          val contribs = stripped.flatMap { r =>
+            r.body.zipWithIndex.collect {
+              case (Pos(a), i) if changedRels(a.rel) =>
+                deltaDerive(r, i, m => if (m == name) Some(cached) else None)
+            }
+          }
+          if (contribs.isEmpty) return Some(cached)
+          val keys2 = cols.indices.filterNot(_ == aggIdx).map(cols)
+          def reduce2(df: DataFrame): DataFrame = {
+            val f = if (func == "min") min(col(cols(aggIdx))) else max(col(cols(aggIdx)))
+            val g = if (keys2.isEmpty) df.groupBy() else df.groupBy(keys2.map(col): _*)
+            g.agg(f.as(cols(aggIdx))).select(cols.map(col): _*)
+          }
+          val better: (Column, Column) => Column =
+            if (func == "min") (n, o) => n < o else (n, o) => n > o
+          val cand = Fixpoint.materialize(reduce2(contribs.reduce(_ union _)))
+          val keyCond = keys2.map(k => col(s"__n.$k") <=> col(s"__o.$k"))
+            .reduceOption(_ && _).getOrElse(lit(true))
+          val vN = col(s"__n.${cols(aggIdx)}")
+          val vO = col(s"__o.${cols(aggIdx)}")
+          val improved = Fixpoint.materialize(cand.df.alias("__n")
+            .join(cached.alias("__o"), keyCond, "left_outer")
+            .where((vO.isNull && vN.isNotNull) || better(vN, vO))
+            .select(cols.map(c => col(s"__n.$c")): _*))
+          if (improved.count == 0) return Some(cached) // no label moved
+          val merged = Fixpoint.materialize(reduce2(cached.union(improved.df)))
+          localAggFastPath(name, recRules2, merged, func, aggIdx) match {
+            case Some(df) => return Some(df)
+            case None =>
+              return Some(runAggLoop(name, recRules2, cols, func, aggIdx, merged, improved))
+          }
+        }
         // MERGEABLE-AGGREGATE maintenance (reference BENCHMARKS.md:91-93
         // — "re-query dept sums after +N rows" in single-digit ms): for a
         // single non-recursive rule whose aggregates are all decomposable
@@ -1912,7 +1968,27 @@ final class Engine(val catalog: Catalog) {
         memo(rel) = df
         return
       }
-      var delta = acc
+      memo(rel) = runAggLoop(rel, recRules, cols, func, aggIdx, acc, acc)
+    }
+
+    /** The distributed value-iteration loop for recursive min/max
+      * aggregates, from the given starting state. Full evaluation passes
+      * acc = delta = the reduced base candidates; insert maintenance
+      * passes acc = cached merged with improved seeds and delta = just
+      * the improvements (cached labels stay admissible under inserts —
+      * value iteration converges from any achievable over-approximation).
+      * `recRules` must already be Agg-stripped. */
+    private def runAggLoop(rel: String, recRules: Seq[Rule], cols: Seq[String],
+        func: String, aggIdx: Int,
+        acc0: Fixpoint.Mat, delta0: Fixpoint.Mat): DataFrame = {
+      val keys = cols.indices.filterNot(_ == aggIdx).map(cols)
+      def reduce(df: DataFrame): DataFrame = {
+        val f = if (func == "min") min(col(cols(aggIdx))) else max(col(cols(aggIdx)))
+        val g = if (keys.isEmpty) df.groupBy() else df.groupBy(keys.map(col): _*)
+        g.agg(f.as(cols(aggIdx))).select(cols.map(col): _*)
+      }
+      var acc = acc0
+      var delta = delta0
       val better: (Column, Column) => Column =
         if (func == "min") (n, o) => n < o else (n, o) => n > o
       Fixpoint.withLoopConf(catalog.spark) {
@@ -1936,7 +2012,7 @@ final class Engine(val catalog: Catalog) {
             deriveRule(r, resolver).toDF(cols: _*)
           }
         }
-        if (contribs.isEmpty) { memo(rel) = acc.df; return }
+        if (contribs.isEmpty) return acc.df
         // materialize before the join-vs-acc: cand embeds acc's exprIds
         // when a rule has several recursive occurrences
         val cand = Fixpoint.materialize(reduce(contribs.reduce(_ union _)))
@@ -1956,7 +2032,7 @@ final class Engine(val catalog: Catalog) {
           acc = Fixpoint.materialize(reduce(acc.df.union(delta.df)))
       }
       } // withLoopConf
-      memo(rel) = acc.df
+      acc.df
     }
 
     /** Driver-local fast path for small min/max-aggregate recursion —

@@ -609,6 +609,29 @@ class EngineSpec extends SparkSpec {
     assert(e.maintainedCount == before + 1, "recursive delete should DRed-maintain")
   }
 
+  test("incremental maintenance: recursive min aggregate continues on edge inserts") {
+    val e = new Engine(new Catalog(spark))
+    e.run(
+      """+edge[(1,2),(2,3)]
+        |+sp(1, 0)
+        |+sp(Y, min<D + 1>) <- sp(X, D), edge(X, Y)
+        |""".stripMargin)
+    assert(rows(e.run("?sp(X, D)").last) == Set(Seq(1L, 0L), Seq(2L, 1L), Seq(3L, 2L)))
+    val before = e.maintainedCount
+    e.run("+edge[(1, 3)]") // shortcut: 3's label improves 2 -> 1
+    assert(rows(e.run("?sp(X, D)").last) == Set(Seq(1L, 0L), Seq(2L, 1L), Seq(3L, 1L)))
+    assert(e.maintainedCount == before + 1,
+      "min-agg insert should continue value iteration, not recompute")
+    e.run("+edge[(3, 4)]") // reaches a NEW key through the improved label
+    assert(rows(e.run("?sp(X, D)").last) ==
+      Set(Seq(1L, 0L), Seq(2L, 1L), Seq(3L, 1L), Seq(4L, 2L)))
+    assert(e.maintainedCount == before + 2)
+    // deletes can worsen labels — falls back to recompute, stays correct
+    e.run("-edge[(1, 3)]")
+    assert(rows(e.run("?sp(X, D)").last) ==
+      Set(Seq(1L, 0L), Seq(2L, 1L), Seq(3L, 2L), Seq(4L, 3L)))
+  }
+
   test("retraction maintenance: mutual recursion DRed-maintains deletes (local path)") {
     val e = new Engine(new Catalog(spark))
     e.run(
