@@ -382,6 +382,25 @@ object SparkEntry {
       e.run("?r(X, Y)").last        // served by recursive DRed
     }),
 
+    // --- IQL: retraction through MUTUAL recursion — odd/even-length
+    //     reachability is a 2-relation SCC; the first query caches BOTH
+    //     members at one version, and the deletes are then maintained
+    //     SCC-jointly by DRed (over-delete cascades across odd and even
+    //     alike). The oracle encodes the mutual pair as one
+    //     parity-tracking recursive CTE ---------------------------------
+    "q77_iql_mutual_dred" -> ((s, dir) => {
+      val e = iqlEngine(s, dir)
+      e.catalog.register("medge", graphEdges(s, dir))
+      e.run(
+        """+modd(X, Y) <- medge(X, Y)
+          |+modd(X, Z) <- meven(X, Y), medge(Y, Z)
+          |+meven(X, Z) <- modd(X, Y), medge(Y, Z)
+          |?modd(X, Y)
+          |""".stripMargin)
+      e.run("-medge[(0, 1), (10, 15)]")
+      e.run("?modd(X, Y)").last // served by mutual-recursion DRed
+    }),
+
     // --- pipeline: benchmark decontamination — docs sharing any word
     //     3-gram with the "test set" (doc_id % 20 == 0) are removed;
     //     shingles travel as xxhash64 longs, benchmark side broadcast --
@@ -1129,6 +1148,19 @@ object SparkEntry {
         |UNION
         |SELECT n_name AS N, 'extra' AS R FROM nation
         |WHERE n_nationkey > 20 AND n_regionkey <> 2""".stripMargin,
+
+    // mutual recursion: odd-length reachability after deletes; SQL has no
+    // mutual recursive CTEs, so the odd/even pair is encoded as ONE
+    // walk CTE carrying path parity
+    "q77_iql_mutual_dred" ->
+      s"""WITH RECURSIVE base AS (
+         |SELECT src, dst FROM ($graphEdgesSql) t
+         |WHERE NOT (src = 0 AND dst = 1) AND NOT (src = 10 AND dst = 15)),
+         |walk(src, dst, odd) AS (
+         |SELECT src, dst, TRUE FROM base
+         |UNION
+         |SELECT w.src, b.dst, NOT w.odd FROM walk w JOIN base b ON w.dst = b.src)
+         |SELECT DISTINCT src AS X, dst AS Y FROM walk WHERE odd""".stripMargin,
 
     // recursive DRed: closure of (e1 \ deleted) ∪ e2 — SQL recursive CTEs
     // are linear-only, so the oracle uses the equivalent linear step
