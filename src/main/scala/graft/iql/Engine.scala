@@ -1083,13 +1083,10 @@ final class Engine(val catalog: Catalog) {
             case Some(df) => return Some(df)
             case None => ()
           }
-          // the distributed phases below maintain a single relation;
-          // large mutual-recursion retractions recompute
-          if (scc.size > 1) return None
           // derivations of `r` with body occurrence `dIdx` (of relation
           // `targetRel`) bound to `bound`; every other frame at the OLD
-          // state: view occurrences = cached, changed rels = current ∪
-          // removed (over-deletion is computed entirely in the old DB)
+          // state: SCC members = their cached views, changed rels =
+          // current ∪ removed (over-deletion runs entirely in the old DB)
           def overDerive(r: Rule, dIdx: Int, bound: DataFrame): DataFrame = {
             val targetRel = r.body(dIdx) match { case Pos(a) => a.rel; case _ => "" }
             var occ = -1
@@ -1100,90 +1097,148 @@ final class Engine(val catalog: Catalog) {
                   case (Pos(a), i) if a.rel == targetRel => i
                 }.apply(occ)
                 if (bodyIdx == dIdx) bound
-                else if (nm == name) cached
+                else if (scc(nm)) sccCached(nm)
                 else oldFrame(nm, ar)
-              } else if (nm == name) cached
+              } else if (scc(nm)) sccCached(nm)
               else if (changedRels(nm)) oldFrame(nm, ar)
               else resolve(nm, ar)
-            deriveRule(r, resolver).toDF(cols: _*)
+            deriveRule(r, resolver).toDF(colsOf(r.head.rel): _*)
           }
-          val over0 = Seq.newBuilder[DataFrame]
+          def matByMember(parts: mutable.HashMap[String, List[DataFrame]],
+                          anti: String => Option[DataFrame]): mutable.HashMap[String, Fixpoint.Mat] = {
+            val out = mutable.HashMap.empty[String, Fixpoint.Mat]
+            parts.foreach { case (m, ps) =>
+              val step = ps.reduce(_ union _).distinct()
+              val mat = Fixpoint.materialize(anti(m) match {
+                case Some(acc) => Fixpoint.antiNullSafe(step, acc)
+                case None => step
+              })
+              if (mat.count > 0) out(m) = mat
+            }
+            out
+          }
+          val over0 = mutable.HashMap.empty[String, List[DataFrame]]
           sccRules.foreach { r =>
             r.body.zipWithIndex.foreach {
               case (Pos(a), i) if changedRels(a.rel) =>
-                over0 += overDerive(r, i, removedOf(a.rel))
+                over0(r.head.rel) =
+                  overDerive(r, i, removedOf(a.rel)) :: over0.getOrElse(r.head.rel, Nil)
               case _ => ()
             }
           }
-          val overParts = over0.result()
-          if (overParts.isEmpty) return Some(cached) // untouched rules only
-          var overDelete = Fixpoint.materialize(
-            overParts.reduce(_ union _).distinct())
-          if (overDelete.count == 0) return Some(cached)
+          if (over0.isEmpty) return Some(cached) // untouched rules only
+          // per-member over-delete sets; frontier drives the cascade
+          val overDelete = matByMember(over0, _ => None)
+          if (overDelete.isEmpty) return Some(cached)
           // over-delete cascade: derivations through already-over-deleted
-          // view tuples (semi-naive — one view occurrence bound to the
-          // frontier, others at the old view). Bounded by |cached|.
+          // view tuples (semi-naive — one SCC-member occurrence bound to
+          // that member's frontier, others at the old views). Bounded by
+          // the cached sizes.
           if (isRecursive) {
             val viewOccs = sccRules.map(r => r -> r.body.zipWithIndex.collect {
-              case (Pos(a), i) if a.rel == name => i
+              case (Pos(a), i) if scc(a.rel) => i
             }).filter(_._2.nonEmpty)
             Fixpoint.withLoopConf(catalog.spark) {
-              var frontier = overDelete
+              var frontier = overDelete.clone()
               var iter = 0
-              while (frontier.count > 0 && iter < 10000) {
+              while (frontier.nonEmpty && iter < 10000) {
                 graft.QueryGuard.checkCancelled()
                 iter += 1
-                Fixpoint.sizeShuffle(catalog.spark, frontier.count)
-                val step = viewOccs.flatMap { case (r, occs) =>
-                  occs.map(i => overDerive(r, i, frontier.df))
-                }.reduce(_ union _).distinct()
-                frontier = Fixpoint.materialize(
-                  Fixpoint.antiNullSafe(step, overDelete.df))
-                if (frontier.count > 0)
-                  overDelete = Fixpoint.materialize(
-                    overDelete.df.union(frontier.df))
+                Fixpoint.sizeShuffle(catalog.spark,
+                  frontier.valuesIterator.map(_.count).sum)
+                val stepParts = mutable.HashMap.empty[String, List[DataFrame]]
+                viewOccs.foreach { case (r, occs) =>
+                  occs.foreach { i =>
+                    val orel = r.body(i) match { case Pos(a) => a.rel; case _ => "" }
+                    frontier.get(orel).foreach { f =>
+                      stepParts(r.head.rel) =
+                        overDerive(r, i, f.df) :: stepParts.getOrElse(r.head.rel, Nil)
+                    }
+                  }
+                }
+                val next = matByMember(stepParts, m => overDelete.get(m).map(_.df))
+                next.foreach { case (m, fresh) =>
+                  overDelete(m) = overDelete.get(m) match {
+                    case Some(od) => Fixpoint.materialize(od.df.union(fresh.df))
+                    case None => fresh
+                  }
+                }
+                frontier = next
               }
             }
           }
           val guardRel = "__dred_guard"
-          // survived ⊆ overDelete (the guard restricts heads to it);
-          // non-guard, non-view rels resolve at the NEW state
-          def rederive(viewFrame: DataFrame, guard: DataFrame): DataFrame =
-            sccRules.map { r =>
-              val guarded = r.copy(body = Pos(Atom(guardRel, r.head.args)) +: r.body)
-              val resolver: RuleCompiler.Resolver = (nm, ar) =>
-                if (nm == guardRel) guard
-                else if (nm == name) viewFrame
-                else resolve(nm, ar)
-              deriveRule(guarded, resolver).toDF(cols: _*)
-            }.reduce(_ union _).distinct()
-          val kept = Fixpoint.materialize(
-            Fixpoint.antiNullSafe(cached, overDelete.df))
-          if (!isRecursive) {
-            // survived and kept are disjoint (survived ⊆ overDelete, the
-            // anti removed all of overDelete) — no extra distinct
-            return Some(Fixpoint.materialize(
-              kept.df.union(rederive(cached, overDelete.df))).df)
+          // survivors ⊆ over-delete (each member's guard restricts heads
+          // to its not-yet-survived remainder); non-guard, non-SCC rels
+          // resolve at the NEW state
+          def rederive(views: String => DataFrame,
+                       guardOf: String => Option[DataFrame]): mutable.HashMap[String, List[DataFrame]] = {
+            val parts = mutable.HashMap.empty[String, List[DataFrame]]
+            sccRules.foreach { r =>
+              guardOf(r.head.rel).foreach { g =>
+                val guarded = r.copy(body = Pos(Atom(guardRel, r.head.args)) +: r.body)
+                val resolver: RuleCompiler.Resolver = (nm, ar) =>
+                  if (nm == guardRel) g
+                  else if (scc(nm)) views(nm)
+                  else resolve(nm, ar)
+                parts(r.head.rel) =
+                  deriveRule(guarded, resolver).toDF(colsOf(r.head.rel): _*) ::
+                    parts.getOrElse(r.head.rel, Nil)
+              }
+            }
+            parts
           }
-          var surv = Fixpoint.materialize(rederive(kept.df, overDelete.df))
+          val kept: Map[String, DataFrame] = scc.iterator.map { m =>
+            m -> (overDelete.get(m) match {
+              case Some(od) =>
+                Fixpoint.materialize(Fixpoint.antiNullSafe(sccCached(m), od.df)).df
+              case None => sccCached(m)
+            })
+          }.toMap
+          val surv = mutable.HashMap.empty[String, Fixpoint.Mat]
+          def viewNow(m: String): DataFrame = surv.get(m) match {
+            case Some(s) => kept(m).union(s.df)
+            case None => kept(m)
+          }
+          // non-recursive views converge in one pass (no SCC atom can
+          // feed a second-round derivation); recursive ones iterate until
+          // no member gains a survivor
           Fixpoint.withLoopConf(catalog.spark) {
+            var grew = true
             var iter = 0
-            var grew = surv.count > 0
             while (grew && iter < 10000) {
               graft.QueryGuard.checkCancelled()
               iter += 1
-              // a new survivor can only enable derivations THROUGH the
-              // view: re-derive the not-yet-survived remainder with the
-              // view at kept ∪ survivors
-              val remaining = Fixpoint.antiNullSafe(overDelete.df, surv.df)
-              val step = rederive(kept.df.union(surv.df), remaining)
-              val fresh = Fixpoint.materialize(
-                Fixpoint.antiNullSafe(step, surv.df))
-              grew = fresh.count > 0
-              if (grew) surv = Fixpoint.materialize(surv.df.union(fresh.df))
+              grew = false
+              val stepParts = rederive(viewNow, m => overDelete.get(m).map { od =>
+                surv.get(m) match {
+                  case Some(s) => Fixpoint.antiNullSafe(od.df, s.df)
+                  case None => od.df
+                }
+              })
+              val fresh = matByMember(stepParts, m => surv.get(m).map(_.df))
+              fresh.foreach { case (m, f) =>
+                grew = true
+                surv(m) = surv.get(m) match {
+                  case Some(s) => Fixpoint.materialize(s.df.union(f.df))
+                  case None => f
+                }
+              }
+              if (!isRecursive) grew = false
             }
           }
-          return Some(Fixpoint.materialize(kept.df.union(surv.df)).df)
+          // kept and survivors are disjoint (survivors ⊆ over-delete,
+          // the anti removed all of it) — no extra distinct
+          val resultOf: Map[String, DataFrame] = scc.iterator.map { m =>
+            m -> (surv.get(m) match {
+              case Some(s) => Fixpoint.materialize(kept(m).union(s.df)).df
+              case None => kept(m)
+            })
+          }.toMap
+          scc.filter(_ != name).foreach { r =>
+            memo(r) = resultOf(r); cachePut(r, resultOf(r))
+          }
+          return Some(resultOf(name))
         }
       }
       // past the DRed and TC fast paths, only pure-insert changes are

@@ -670,6 +670,27 @@ class EngineSpec extends SparkSpec {
       "distributed recursive DRed should maintain when the local path is off")
   }
 
+  test("retraction maintenance: mutual recursion distributed DRed (local solver pinned off)") {
+    val e = new Engine(new Catalog(spark))
+    e.run(
+      """+edge[(1,2),(2,3),(3,4)]
+        |+odd(X, Y) <- edge(X, Y)
+        |+odd(X, Z) <- even(X, Y), edge(Y, Z)
+        |+even(X, Z) <- odd(X, Y), edge(Y, Z)
+        |""".stripMargin)
+    assert(rows(e.run("?odd(X, Y)").last).size == 4)
+    assert(rows(e.run("?even(X, Y)").last).size == 2)
+    val before = e.maintainedCount
+    LocalEval.disabled = true
+    try {
+      e.run("-edge[(2, 3)]")
+      assert(rows(e.run("?odd(X, Y)").last) == Set(Seq(1L, 2L), Seq(3L, 4L)))
+      assert(rows(e.run("?even(X, Y)").last) == Set.empty[Seq[Any]])
+    } finally LocalEval.disabled = false
+    assert(e.maintainedCount >= before + 1,
+      "distributed mutual-recursion DRed should maintain when the local path is off")
+  }
+
   test("incremental maintenance: mutual recursion continues from cached fixpoints") {
     val e = new Engine(new Catalog(spark))
     e.run(
