@@ -436,6 +436,14 @@ object SparkEntry {
     "q75_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionStats(T(s, dir, "documents"))),
 
+    // --- pipeline: sequence packing (concatenate-then-chunk training
+    //     context assembly) — one prefix-sum window assigns each doc its
+    //     2048-token bin and offset; deterministic and exactly
+    //     SQL-replicable, unlike stateful first-fit ---------------------
+    "q78_seq_packing" -> ((s, dir) =>
+      Sampling.packSequences(T(s, dir, "documents"), capacity = 2048)
+        .select(col("doc_id"), col("bin"), col("bin_off"))),
+
     // --- pipeline: REAL image decode — one solid-color 24-bit BMP per
     //     document (pure-JVM encoder), decoded back by the byte-level
     //     BMP parser per partition; dims come from the HEADER and the
@@ -947,6 +955,17 @@ object SparkEntry {
         |ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END AS n_tokens,
         |LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_regex_tokens
         |FROM documents""".stripMargin,
+
+    // sequence packing: prefix-sum token offsets cut every 2048 tokens
+    "q78_seq_packing" ->
+      """WITH t AS (
+        |SELECT doc_id, CASE WHEN LEN(TRIM(text)) = 0 THEN 0
+        |ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END AS tok
+        |FROM documents),
+        |c AS (SELECT doc_id, SUM(tok) OVER (ORDER BY doc_id
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok AS s FROM t)
+        |SELECT doc_id, CAST(FLOOR(s / 2048.0) AS BIGINT) AS bin,
+        |CAST(s % 2048 AS BIGINT) AS bin_off FROM c""".stripMargin,
 
     "q27_quality_features" ->
       """SELECT doc_id, LEN(text) AS n_chars,

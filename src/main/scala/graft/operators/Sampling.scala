@@ -61,4 +61,31 @@ object Sampling {
   def epochShuffle(df: DataFrame, idCol: String, epoch: Long): DataFrame =
     df.withColumn("pos", row_number().over(
       Window.orderBy(lcgPos(col(idCol), epoch), col(idCol))))
+
+  /** Sequence packing for training-context assembly
+    * (concatenate-then-chunk): documents concatenate in `idCol` order
+    * and the stream is cut every `capacity` tokens; each document gets
+    * the bin holding its first token (`bin`) and its offset within that
+    * bin (`bin_off`). One running prefix sum over a window — the
+    * deterministic, retry-safe formulation (true first-fit bin state is
+    * inherently sequential and neither).
+    *
+    * Scale note: a global ORDER BY window funnels through one partition
+    * at the sort boundary; pass `shardCol` to pack independently within
+    * shards (`Window.partitionBy(shard)`) — the planner then runs one
+    * window per shard partition, which is the shape a 100 TB corpus
+    * needs (bins are per-shard, as training shards are in practice). */
+  def packSequences(df: DataFrame, capacity: Long, idCol: String = "doc_id",
+                    tokenCount: Column = null,
+                    shardCol: Column = null): DataFrame = {
+    val toks = Option(tokenCount)
+      .getOrElse(graft.functions.TextFunctions.tokenCount(col("text")))
+    val w0 = Option(shardCol).map(Window.partitionBy(_)).getOrElse(Window.partitionBy())
+    val w = w0.orderBy(col(idCol)).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__toks", toks)
+      .withColumn("__start", sum(col("__toks")).over(w) - col("__toks"))
+      .withColumn("bin", floor(col("__start") / lit(capacity)))
+      .withColumn("bin_off", col("__start") % lit(capacity))
+      .drop("__toks", "__start")
+  }
 }

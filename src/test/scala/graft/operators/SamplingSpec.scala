@@ -55,4 +55,20 @@ class SamplingSpec extends SparkSpec {
     // benchmark docs themselves are removed (they share their own shingles)
     assert(surviving.join(bench, Seq("doc_id"), "left_semi").count() == 0)
   }
+
+  test("sequence packing assigns prefix-sum bins and per-shard packing resets offsets") {
+    import spark.implicits._
+    // tokens: 3, 4, 2, 5 → starts 0, 3, 7, 9 → capacity 5: bins 0,0,1,1
+    val docs = Seq(
+      (1L, "a b c", "s1"), (2L, "d e f g", "s1"),
+      (3L, "h i", "s1"), (4L, "j k l m n", "s1")).toDF("doc_id", "text", "source")
+    val packed = Sampling.packSequences(docs, capacity = 5)
+      .select("doc_id", "bin", "bin_off").as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(packed.toSeq == Seq((1L, 0L, 0L), (2L, 0L, 3L), (3L, 1L, 2L), (4L, 1L, 4L)))
+    // sharded: each shard packs independently from offset 0
+    val sharded = Seq((1L, "a b c", "s1"), (2L, "d e", "s2")).toDF("doc_id", "text", "source")
+    val out = Sampling.packSequences(sharded, capacity = 5, shardCol = col("source"))
+      .select("doc_id", "bin", "bin_off").as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 0L, 0L), (2L, 0L, 0L)))
+  }
 }
