@@ -637,6 +637,21 @@ object SparkEntry {
     //     per scale dir and is reused across probes, like the reference's
     //     persistent per-relation index (its 7.36 ms benchmark number is
     //     search-only too). ------------------------------------------------
+    // --- ANN: SHARDED HNSW — per-shard graphs built executor-side
+    //     inside mapPartitions, shipped as serialized binary rows, every
+    //     shard probed and merged (TakeOrdered k). The distributed path
+    //     the driver-held q51 index can't scale to; rows-only here, but
+    //     SimilaritySpec pins determinism and recall >= 0.9 against the
+    //     exact q33 twin --------------------------------------------------
+    "q79_hnsw_sharded" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0)
+      Similarity.hnswShardedTopK(
+        Similarity.hnswShardedIndex(emb, nShards = 4), q, 10, efSearch = 128)
+        .select(col("vec_id"))
+    }),
+
     "q51_hnsw_topk" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       val q = emb.where(col("vec_id") === 0).select(col("embedding"))

@@ -21,6 +21,63 @@ import graft.functions.{LshFunctions => LF, VectorFunctions => VF}
   */
 object Similarity {
 
+  /** Sharded HNSW build — the distributed path for graph-ANN (the
+    * driver-held [[graft.index.Hnsw]] mirrors the reference's
+    * single-node index and tops out at driver memory): vectors
+    * hash-partition by id into `nShards`, each shard builds its own
+    * graph EXECUTOR-SIDE inside `mapPartitions`, and what comes back is
+    * one serialized-index binary row per shard — a frame that persists
+    * to parquet like any other table, so at 100 TB the indexes live in
+    * storage and the driver never holds a vector. */
+  def hnswShardedIndex(emb: DataFrame, nShards: Int, idCol: String = "vec_id",
+                       vecCol: String = "embedding", metric: String = "cosine",
+                       m: Int = 16, efConstruction: Int = 200): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb.select(col(idCol).cast("long"), col(vecCol))
+      .repartition(nShards, col(idCol))
+      .mapPartitions { it =>
+        val rows = it.toArray
+        if (rows.isEmpty) Iterator.empty
+        else {
+          // insertion order must not depend on task scheduling: HNSW
+          // graphs are insertion-order sensitive, and a deterministic
+          // build is what makes the probe reproducible run to run
+          val sorted = rows.sortBy(_.getLong(0))
+          val dim = sorted.head.getSeq[Float](1).length
+          val idx = new graft.index.Hnsw(dim, metric, m, efConstruction)
+          sorted.foreach(r => idx.insert(r.getLong(0), r.getSeq[Float](1).toArray))
+          val bos = new java.io.ByteArrayOutputStream()
+          val oos = new java.io.ObjectOutputStream(bos)
+          try oos.writeObject(idx) finally oos.close()
+          Iterator.single(bos.toByteArray)
+        }
+      }.toDF("index_bytes")
+  }
+
+  /** Probe every shard of a [[hnswShardedIndex]] frame and merge the
+    * per-shard top-k into the global top-k (`orderBy(dist).limit(k)` is
+    * TakeOrderedAndProject — only k rows per shard ever move). Recall
+    * matches the single-index HNSW at the same efSearch since every
+    * shard is searched; wall-clock is the slowest shard, not the sum. */
+  def hnswShardedTopK(index: DataFrame, q: Seq[Float], k: Int,
+                      efSearch: Int = 64): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val qArr = q.toArray
+    index.select(col("index_bytes")).as[Array[Byte]]
+      .mapPartitions { it =>
+        it.flatMap { bytes =>
+          val ois = new java.io.ObjectInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val idx = try ois.readObject().asInstanceOf[graft.index.Hnsw]
+                    finally ois.close()
+          idx.search(qArr, k, efSearch).iterator
+        }
+      }.toDF("vec_id", "dist")
+      .orderBy(col("dist").asc, col("vec_id").asc).limit(k)
+  }
+
   /** Exact top-k by cosine similarity against one query vector.
     * `orderBy(...).limit(k)` compiles to TakeOrderedAndProject: per-
     * partition heaps then a driver merge — no full sort, no shuffle. */

@@ -25,6 +25,24 @@ class SimilaritySpec extends SparkSpec {
     assert(!c1.zip(c0).forall { case (a, b) => a.sameElements(b) })
   }
 
+  test("sharded HNSW: executor-built shards probe with high recall, deterministically") {
+    val idx = Similarity.hnswShardedIndex(emb, nShards = 4).localCheckpoint(true)
+    assert(idx.count() == 4, "one serialized index row per non-empty shard")
+    val got = rows(Similarity.hnswShardedTopK(idx, query, 10, efSearch = 128)
+      .select(col("vec_id")))
+    val again = rows(Similarity.hnswShardedTopK(idx, query, 10, efSearch = 128)
+      .select(col("vec_id")))
+    assert(got == again, "sharded probe not deterministic")
+    val bf = rows(Similarity.bruteForceTopK(emb, query, 10).select(col("vec_id")))
+    val recall = got.intersect(bf).size / 10.0
+    assert(recall >= 0.9, s"sharded HNSW recall $recall vs brute force")
+    // rebuilding yields the same shards (insertion order pinned per shard)
+    val got2 = rows(Similarity.hnswShardedTopK(
+      Similarity.hnswShardedIndex(emb, nShards = 4), query, 10, efSearch = 128)
+      .select(col("vec_id")))
+    assert(got2 == got, "rebuild changed the probe result")
+  }
+
   test("all-cells trained-IVF probe equals brute force exactly") {
     val cent = Similarity.kmeansCentroids(emb, k = 8, iters = 2)
     val bf = rows(Similarity.bruteForceTopK(emb, query, 10).select(col("vec_id")))
