@@ -492,6 +492,16 @@ object SparkEntry {
     "q36_embedding_dedup" -> ((s, dir) =>
       Dedup.embeddingCosinePairs(T(s, dir, "embeddings"), dim = 64, minCosine = 0.8)),
 
+    // --- pipeline: cluster dedup — connected components over the exact
+    //     near-dup pair graph, keep the min-id representative per
+    //     cluster (pairwise right-side dropping deletes chain members
+    //     whose own representative was already deleted) ------------------
+    "q80_cluster_dedup" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardAllPairs(docs, shingleN = 2, threshold = 0.3)
+      Dedup.clusterSurvivors(docs, pairs).select(col("doc_id"))
+    }),
+
     // --- pipeline: EXACT all-pairs n-gram Jaccard (oracle baseline for the
     //     MinHash-candidate q32; capIds keeps the quadratic pair set a
     //     deterministic bounded subset at larger SFs) ----------------------
@@ -1066,6 +1076,31 @@ object SparkEntry {
         |list_sum(list_transform(generate_series(1, LEN(a.u)), i -> a.u[i] * b.u[i])) AS cosine
         |FROM u a JOIN u b ON a.vec_id < b.vec_id
         |WHERE cosine >= 0.8""".stripMargin,
+
+    // cluster dedup: exact pairs → undirected reachability → min-label
+    // component → drop non-representatives
+    "q80_cluster_dedup" ->
+      """WITH RECURSIVE toks AS (
+        |SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS t FROM documents
+        |WHERE doc_id < 500 AND LEN(TRIM(text)) > 0),
+        |sh AS (
+        |SELECT doc_id, list_distinct(list_transform(generate_series(1, LEN(t)-1),
+        |  i -> t[i] || ' ' || t[i+1])) AS s
+        |FROM toks WHERE LEN(t) >= 2),
+        |pairs AS (
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE CAST(LEN(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |  (LEN(a.s) + LEN(b.s) - LEN(list_intersect(a.s, b.s))) >= 0.3),
+        |und AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |SELECT a, a FROM und
+        |UNION
+        |SELECT re.id, u.b FROM reach re JOIN und u ON re.r = u.a),
+        |comp AS (SELECT id, MIN(r) AS c FROM reach GROUP BY id)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> c)""".stripMargin,
 
     "q57_ngram_exact" ->
       """WITH toks AS (

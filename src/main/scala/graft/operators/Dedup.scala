@@ -167,6 +167,22 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Cluster-dedup survivors: near-dup PAIRS induce an undirected graph;
+    * connected components pick ONE representative (the min id) per
+    * cluster — the policy corpus dedup actually wants. Dropping the
+    * right-hand side of every pair instead (the naive policy) deletes
+    * chain members whose own representative was itself deleted and keeps
+    * both endpoints of any pair the threshold barely missed, so cluster
+    * membership — not pair membership — must decide. Pair discovery
+    * stays bucketed upstream; the component step shuffles ids only. */
+  def clusterSurvivors(docs: DataFrame, pairs: DataFrame,
+                       idCol: String = "doc_id"): DataFrame = {
+    val cc = graft.plans.Fixpoint.connectedComponents(
+      pairs.select(col("id_a"), col("id_b")))
+    val drop = cc.where(col("id") =!= col("comp")).select(col("id").as(idCol))
+    docs.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** EXACT all-pairs n-gram Jaccard ≥ threshold (id_a < id_b) — the
     * oracle-checkable baseline the MinHash-candidate variant
     * ([[ngramJaccardPairs]]) is graded against. Quadratic by construction,

@@ -93,4 +93,13 @@ class DedupSpec extends SparkSpec {
     val s = rows(Dedup.minHashSurvivors(docs, threshold = 0.9).select($"doc_id"))
     assert(s.contains(Seq(1L)) && !s.contains(Seq(2L)))
   }
+
+  test("cluster survivors keep exactly one representative per pair-graph component") {
+    val d = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")
+    // chain 1-2-3 (2,3 similar to neighbors but 1!~3) + pair 10-11 + isolated 20
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val kept = rows(Dedup.clusterSurvivors(d, pairs).select($"doc_id"))
+    assert(kept == Set(Seq(1L), Seq(10L), Seq(20L)),
+      s"expected one representative per component plus isolated docs, got $kept")
+  }
 }
