@@ -59,10 +59,17 @@ object Dedup {
   def minHashSignatures(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                         shingleN: Int = 5, k: Int = 64,
                         wordShingles: Boolean = false): DataFrame = {
+    // spread before the signature pass: a small table often arrives as
+    // 1-2 parquet splits, which would serialize the (dominant) per-doc
+    // k-minima loop onto as many cores. At real scale the input already
+    // has >= cores partitions and this is a no-op.
+    val cores = docs.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (docs.rdd.getNumPartitions < cores) docs.repartition(cores) else docs
     val sig =
       if (wordShingles) TF.minHashSigWords(TF.tokens(col(textCol)), shingleN, k)
       else TF.minHashSigChars(TF.normText(col(textCol)), shingleN, k)
-    docs.select(col(idCol).as("id"), sig.as("sig")).where(col("sig").isNotNull)
+    spread.select(col(idCol).as("id"), sig.as("sig")).where(col("sig").isNotNull)
   }
 
   /** MinHash + banded-LSH near-duplicate PAIRS (id_a < id_b) with their
