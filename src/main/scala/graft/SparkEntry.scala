@@ -444,6 +444,13 @@ object SparkEntry {
       Sampling.packSequences(T(s, dir, "documents"), capacity = 2048)
         .select(col("doc_id"), col("bin"), col("bin_off"))),
 
+    // --- pipeline: assembled training examples — each 2048-token bin's
+    //     documents concatenate in id order into one example row; the
+    //     one shuffle that moves text is the output materialization ----
+    "q81_packed_examples" -> ((s, dir) =>
+      Sampling.packedExamples(T(s, dir, "documents"), capacity = 2048)
+        .select(col("bin"), col("example_text"), col("n_docs"), col("n_tokens"))),
+
     // --- pipeline: REAL image decode — one solid-color 24-bit BMP per
     //     document (pure-JVM encoder), decoded back by the byte-level
     //     BMP parser per partition; dims come from the HEADER and the
@@ -980,6 +987,19 @@ object SparkEntry {
         |ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END AS n_tokens,
         |LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_regex_tokens
         |FROM documents""".stripMargin,
+
+    // packed examples: per-bin ordered concatenation + doc/token totals
+    "q81_packed_examples" ->
+      """WITH t AS (
+        |SELECT doc_id, text, CASE WHEN LEN(TRIM(text)) = 0 THEN 0
+        |ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END AS tok
+        |FROM documents),
+        |c AS (SELECT doc_id, text, tok, SUM(tok) OVER (ORDER BY doc_id
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok AS s FROM t)
+        |SELECT CAST(FLOOR(s / 2048.0) AS BIGINT) AS bin,
+        |string_agg(text, chr(10) ORDER BY doc_id) AS example_text,
+        |COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS n_tokens
+        |FROM c GROUP BY 1""".stripMargin,
 
     // sequence packing: prefix-sum token offsets cut every 2048 tokens
     "q78_seq_packing" ->

@@ -88,4 +88,25 @@ object Sampling {
       .withColumn("bin_off", col("__start") % lit(capacity))
       .drop("__toks", "__start")
   }
+
+  /** Assembled training examples from [[packSequences]]: each bin's
+    * documents concatenate (in `idCol` order, `sep`-joined) into one
+    * example row with its document count and token total. This is the
+    * step that actually moves text — one shuffle keyed by bin, which is
+    * the unavoidable output materialization of packing; everything
+    * upstream shuffled ids and counts only. */
+  def packedExamples(df: DataFrame, capacity: Long, idCol: String = "doc_id",
+                     textCol: String = "text", sep: String = "\n",
+                     shardCol: Column = null): DataFrame = {
+    val packed = packSequences(df, capacity, idCol, shardCol = shardCol)
+    packed.groupBy(col("bin"))
+      .agg(
+        // array_sort on (id, text) structs orders by id first — the
+        // deterministic assembly order regardless of shuffle arrival
+        array_join(transform(
+          array_sort(collect_list(struct(col(idCol), col(textCol)))),
+          s => s.getField(textCol)), sep).as("example_text"),
+        count(lit(1)).as("n_docs"),
+        sum(graft.functions.TextFunctions.tokenCount(col(textCol))).as("n_tokens"))
+  }
 }

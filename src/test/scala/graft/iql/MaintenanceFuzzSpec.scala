@@ -57,4 +57,30 @@ class MaintenanceFuzzSpec extends SparkSpec {
       }
     }
   }
+
+  test("min-agg value-iteration continuation equals fresh recomputation on random graphs") {
+    val rng = new Random(20260814L)
+    (1 to 8).foreach { i =>
+      val nNodes = 4 + rng.nextInt(5)
+      val edgeSet = Seq.fill(6 + rng.nextInt(8))(
+        (rng.nextInt(nNodes), rng.nextInt(nNodes), 1 + rng.nextInt(9))).distinct
+      val edges = edgeSet.map { case (a, b, w) => s"($a, $b, $w)" }.mkString(",")
+      val src = rng.nextInt(nNodes)
+      val prog = s"+e[$edges]\n+sp($src, 0)\n" +
+        "+sp(Y, min<D + W>) <- sp(X, D), e(X, Y, W)\n"
+      val ins = Seq.fill(1 + rng.nextInt(2))(
+        s"(${rng.nextInt(nNodes)}, ${rng.nextInt(nNodes)}, ${1 + rng.nextInt(9)})")
+        .mkString(",")
+      val e1 = new Engine(new Catalog(spark))
+      e1.run(prog)
+      e1.run("?sp(X, D)") // cache the labels
+      e1.run(s"+e[$ins]")
+      val maintained = rows(e1.run("?sp(X, D)").last)
+      val e2 = new Engine(new Catalog(spark))
+      e2.run(prog)
+      e2.run(s"+e[$ins]")
+      assert(maintained == rows(e2.run("?sp(X, D)").last),
+        s"case $i diverged after +e[$ins]:\n$prog")
+    }
+  }
 }
