@@ -671,7 +671,7 @@ final class Engine(val catalog: Catalog) {
         }
       val sccRules = if (scc.size == 1) byHead(name)
                      else rules.filter(r => scc(r.head.rel))
-      if (sccRules.exists(_.head.args.exists(_.isInstanceOf[Rank]))) return None
+      val rankHead = sccRules.exists(_.head.args.exists(_.isInstanceOf[Rank]))
       val aggHead = sccRules.exists(_.head.args.exists(_.isInstanceOf[Agg]))
       // changed rels must be referenced DIRECTLY (not via a derived
       // lower stratum whose delta we don't have), and never negated
@@ -716,6 +716,58 @@ final class Engine(val catalog: Catalog) {
             else recFrames(nm).getOrElse(resolve(nm, ar))
           } else recFrames(nm).getOrElse(resolve(nm, ar))
         deriveRule(r, deltaResolver).toDF(colsOf(r.head.rel): _*)
+      }
+
+      if (rankHead) {
+        // RANKING-view maintenance: under pure inserts a top-k window
+        // only ADMITS rows — an evicted row can never re-enter — so the
+        // exact new result is the rank re-applied over cached ∪ (rank
+        // over the delta bindings alone): every true top-k row is the
+        // k-best of one of the two sides. within_radius is a plain
+        // filter, where the union alone is already exact. Deletes and
+        // recursion invalidate (an evicted row may need to return);
+        // multiple changed occurrences would double-count delta×delta
+        // bindings (rank heads keep duplicates — no distinct to fold
+        // them), so those recompute too.
+        if (hasRemovals || isRecursive || sccRules.size != 1 || changedRels(name))
+          return None
+        val r = sccRules.head
+        val rank = r.head.args.collectFirst { case rk: Rank => rk }.get
+        val changedOccs = r.body.zipWithIndex.collect {
+          case (Pos(a), i) if changedRels(a.rel) => i
+        }
+        if (changedOccs.isEmpty) return Some(cached)
+        if (changedOccs.size > 1) return None
+        val deltaRanked = deltaDerive(r, changedOccs.head,
+          m => if (m == name) Some(cached) else None)
+        val merged = cached.union(deltaRanked)
+        // output positions: head args expand Rank to outs ++ order
+        var idx = 0
+        var orderIdx = -1
+        val groupIdx = Seq.newBuilder[Int]
+        val outIdx = Seq.newBuilder[Int]
+        r.head.args.foreach {
+          case rk: Rank =>
+            rk.outs.foreach { _ => outIdx += idx; idx += 1 }
+            orderIdx = idx; idx += 1
+          case _ => groupIdx += idx; idx += 1
+        }
+        val ord0 = col(cols(orderIdx))
+        val ord = if (rank.desc) ord0.desc else ord0.asc
+        val tiebreak = outIdx.result().map(i => col(cols(i)).asc)
+        val groups = groupIdx.result().map(i => col(cols(i)))
+        import org.apache.spark.sql.expressions.Window
+        val reRanked = rank.func match {
+          case "top_k" | "top_k_threshold" =>
+            // both sides already satisfy any threshold — only the k-bound
+            // needs re-establishing over the merged candidates
+            val w = (if (groups.nonEmpty) Window.partitionBy(groups: _*)
+                     else Window.partitionBy()).orderBy(ord +: tiebreak: _*)
+            merged.withColumn("__rn", row_number().over(w))
+              .filter(col("__rn") <= rank.params(0).toLong).drop("__rn")
+          case _ => merged // within_radius: filter semantics, union is exact
+        }
+        return Some(Fixpoint.materialize(reRanked).df)
       }
 
       if (aggHead) {

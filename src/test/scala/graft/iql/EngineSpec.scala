@@ -609,6 +609,27 @@ class EngineSpec extends SparkSpec {
     assert(e.maintainedCount == before + 1, "recursive delete should DRed-maintain")
   }
 
+  test("incremental maintenance: ranking view merges inserts (evicted rows cannot return)") {
+    val e = new Engine(new Catalog(spark))
+    e.run(
+      """+emp[("eng","a",10),("eng","b",30),("ops","d",5)]
+        |+best(D, top_k<2, N, S:desc>) <- emp(D, N, S)
+        |""".stripMargin)
+    assert(rows(e.run("?best(D, N, S)").last) ==
+      Set(Seq("eng", "b", 30L), Seq("eng", "a", 10L), Seq("ops", "d", 5L)))
+    val before = e.maintainedCount
+    e.run("""+emp[("eng","c",20),("ops","e",7)]""") // c evicts a in eng
+    assert(rows(e.run("?best(D, N, S)").last) ==
+      Set(Seq("eng", "b", 30L), Seq("eng", "c", 20L),
+        Seq("ops", "e", 7L), Seq("ops", "d", 5L)))
+    assert(e.maintainedCount == before + 1, "rank insert should merge, not recompute")
+    e.run("""-emp[("eng","b",30)]""") // delete: recompute — the evicted row returns
+    assert(rows(e.run("?best(D, N, S)").last) ==
+      Set(Seq("eng", "c", 20L), Seq("eng", "a", 10L),
+        Seq("ops", "e", 7L), Seq("ops", "d", 5L)))
+    assert(e.maintainedCount == before + 1, "rank delete must not be rank-merged")
+  }
+
   test("incremental maintenance: recursive min aggregate continues on edge inserts") {
     val e = new Engine(new Catalog(spark))
     e.run(
