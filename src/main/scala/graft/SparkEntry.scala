@@ -447,9 +447,12 @@ object SparkEntry {
     // --- pipeline: assembled training examples — each 2048-token bin's
     //     documents concatenate in id order into one example row; the
     //     one shuffle that moves text is the output materialization ----
+    // sharded: bins restart per `source`, so examples key on (shard, bin)
     "q81_packed_examples" -> ((s, dir) =>
-      Sampling.packedExamples(T(s, dir, "documents"), capacity = 2048)
-        .select(col("bin"), col("example_text"), col("n_docs"), col("n_tokens"))),
+      Sampling.packedExamples(T(s, dir, "documents"), capacity = 2048,
+          shardCol = col("source"))
+        .select(col("shard"), col("bin"), col("example_text"),
+          col("n_docs"), col("n_tokens"))),
 
     // --- pipeline: REAL image decode — one solid-color 24-bit BMP per
     //     document (pure-JVM encoder), decoded back by the byte-level
@@ -991,15 +994,15 @@ object SparkEntry {
     // packed examples: per-bin ordered concatenation + doc/token totals
     "q81_packed_examples" ->
       """WITH t AS (
-        |SELECT doc_id, text, CASE WHEN LEN(TRIM(text)) = 0 THEN 0
+        |SELECT doc_id, text, source AS shard, CASE WHEN LEN(TRIM(text)) = 0 THEN 0
         |ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END AS tok
         |FROM documents),
-        |c AS (SELECT doc_id, text, tok, SUM(tok) OVER (ORDER BY doc_id
-        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok AS s FROM t)
-        |SELECT CAST(FLOOR(s / 2048.0) AS BIGINT) AS bin,
+        |c AS (SELECT doc_id, text, shard, tok, SUM(tok) OVER (PARTITION BY shard
+        |ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok AS s FROM t)
+        |SELECT shard, CAST(FLOOR(s / 2048.0) AS BIGINT) AS bin,
         |string_agg(text, chr(10) ORDER BY doc_id) AS example_text,
         |COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS n_tokens
-        |FROM c GROUP BY 1""".stripMargin,
+        |FROM c GROUP BY 1, 2""".stripMargin,
 
     // sequence packing: prefix-sum token offsets cut every 2048 tokens
     "q78_seq_packing" ->
@@ -1280,23 +1283,24 @@ object SparkEntry {
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
 
-    // stratified sample: LCG keep-decision, rates per token-count band
+    // stratified sample: splitmix64 keep-decision (Sampling.posOracleSql
+    // emits the HUGEINT-mod-2^64 replication), rates per token-count band
     "q73_stratified_sample" ->
-      """WITH tc AS (
+      s"""WITH tc AS (
         |SELECT doc_id,
         |CASE WHEN LEN(TRIM(text)) = 0 THEN 0
-        |ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END AS n,
-        |(doc_id * 48978 + 7) % 65537 AS h
+        |ELSE LEN(regexp_split_to_array(TRIM(text), '\\s+')) END AS n,
+        |${Sampling.posOracleSql("doc_id", 7L)} AS h
         |FROM documents)
         |SELECT doc_id FROM tc WHERE
         |(n < 25 AND h % 2 < 1) OR
         |(n >= 25 AND n < 35 AND h % 10 < 3) OR
         |(n >= 35 AND h % 10 < 1)""".stripMargin,
 
-    // deterministic epoch shuffle: permutation position by LCG hash
+    // deterministic epoch shuffle: permutation position by splitmix64 hash
     "q74_epoch_shuffle" ->
-      """SELECT doc_id,
-        |CAST(ROW_NUMBER() OVER (ORDER BY (doc_id * 48574 + 3) % 65537, doc_id) AS INT) AS pos
+      s"""SELECT doc_id,
+        |CAST(ROW_NUMBER() OVER (ORDER BY ${Sampling.posOracleSql("doc_id", 3L)}, doc_id) AS INT) AS pos
         |FROM documents""".stripMargin,
 
     // intra-doc repetition stats

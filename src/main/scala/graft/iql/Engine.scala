@@ -1524,13 +1524,17 @@ final class Engine(val catalog: Catalog) {
         }
 
         // kept = cached \ del, keyed with LocalEval-compatible
-        // normalization (Int widened, NaN canonicalized, -0.0 folded) so
-        // raw cached rows and normalized del rows compare consistently
+        // normalization (Int/Short/Byte widened — mirroring
+        // LocalEval.norm exactly, or del rows normalized to Long would
+        // never match raw narrow-typed cached rows and deleted tuples
+        // would silently survive — NaN canonicalized, -0.0 folded)
         val myNaN: java.lang.Double = java.lang.Double.valueOf(Double.NaN)
         def keyf(row: Row, n: Int): ArraySeq[Any] = ArraySeq.unsafeWrapArray(
           Array.tabulate[Any](n) { i =>
             row.get(i) match {
               case x: Int => x.toLong
+              case x: Short => x.toLong
+              case x: Byte => x.toLong
               case d: Double if d.isNaN => myNaN
               case d: Double if d == 0.0 => 0.0
               case _: Float => throw LB

@@ -1,35 +1,101 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftglue.ColumnGlue
+import org.apache.spark.sql.types._
 
 /** Deterministic sampling and shuffling for training-data pipelines.
   *
   * Everything here is REPRODUCIBLE and map-only where possible: sampling
-  * decisions are pure arithmetic over the row id (a multiplicative LCG,
-  * not `rand()`), so a re-run, a retried task, or a different cluster
-  * produces the identical sample — the property training pipelines need
-  * for data lineage, and the reason these are exactly oracle-checkable
-  * in DuckDB (`rand()`-based sampling is not). The LCG constants are
-  * MINSTD (48271 mod 65537), the same generator the bench graph uses.
+  * decisions are pure arithmetic over the row id (a splitmix64-style
+  * hash, not `rand()`), so a re-run, a retried task, or a different
+  * cluster produces the identical sample — the property training
+  * pipelines need for data lineage, and the reason these are exactly
+  * oracle-checkable in DuckDB (`rand()`-based sampling is not).
+  *
+  * The hash mixes the FULL 64-bit id (three xorshift-multiply rounds),
+  * so no residue ring correlates distinct ids — the earlier 16-bit
+  * MINSTD ring (`mod 65537`) made ids differing by 65537 sample and
+  * sort in perfect lock-step on any corpus past 65k docs. The returned
+  * position is the hash's top 31 bits: non-negative in Spark's signed
+  * longs and identical to the DuckDB oracle's `HUGEINT mod 2^64`
+  * replication (see [[Sampling.posOracleSql]]) without any
+  * signed/unsigned gymnastics.
   */
 object Sampling {
 
-  /** LCG position of an id: `(id * mult(salt) + salt) mod 65537`, a
-    * fixed pseudo-random value in [0, 65537) that any engine reproduces
-    * with plain integer arithmetic. The salt feeds the MULTIPLIER, not
-    * just an additive offset: an additive-only salt merely rotates the
-    * residue ring, which leaves orderings unchanged and keeps
-    * `mod den` membership identical whenever the shift divides den
-    * (caught by SamplingSpec). 65537 is prime, so every nonzero
-    * multiplier is a bijection of the ring. */
-  def lcgMult(salt: Long): Long = {
-    val m = Math.floorMod(48271L + salt * 101L, 65537L)
-    if (m == 0L) 48271L else m
+  // splitmix64 constants (Steele/Lea/Flood, public domain), as signed longs
+  private val Phi  = 0x9E3779B97F4A7C15L // golden-ratio increment
+  private val Mix1 = 0xBF58476D1CE4E5B9L
+  private val Mix2 = 0x94D049BB133111EBL
+
+  /** Reference implementation of the per-id position: splitmix64 over
+    * `id + (salt+1)·φ`, top 31 bits. The salt perturbs the SEED before
+    * full mixing, so distinct salts give independent orderings (an
+    * additive-only salt on an unmixed value merely rotates orderings —
+    * caught by SamplingSpec). */
+  def posOf(id: Long, salt: Long): Long = {
+    var z = id + Phi * (salt + 1L)
+    z = (z ^ (z >>> 30)) * Mix1
+    z = (z ^ (z >>> 27)) * Mix2
+    (z ^ (z >>> 31)) >>> 33
   }
+
+  /** [[posOf]] as a codegen'd Catalyst expression. Column-algebra
+    * `*`/`+` can't express it: Spark 4 runs ANSI mode by default, where
+    * long overflow throws — splitmix needs wrapping arithmetic, which
+    * plain Java gives regardless of ANSI. */
+  final case class SplitmixPos(child: Expression, salt: Long)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "splitmix_pos"
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs an integral id, got $other")
+    }
+    override def nullSafeEval(v: Any): Any = posOf(v match {
+      case l: Long => l
+      case i: Int => i.toLong
+      case s: Short => s.toLong
+      case b: Byte => b.toLong
+    }, salt)
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val z = ctx.freshName("z")
+        s"""long $z = (long)($c) + ${Phi * (salt + 1L)}L;
+           |$z = ($z ^ ($z >>> 30)) * ${Mix1}L;
+           |$z = ($z ^ ($z >>> 27)) * ${Mix2}L;
+           |${ev.value} = ($z ^ ($z >>> 31)) >>> 33;""".stripMargin
+      })
+    override protected def withNewChildInternal(newChild: Expression): SplitmixPos =
+      copy(child = newChild)
+  }
+
+  /** Pseudo-random position of an id in [0, 2³¹), reproducible with
+    * plain integer arithmetic in any engine. */
   def lcgPos(id: Column, salt: Long): Column =
-    pmod(id * lit(lcgMult(salt)) + lit(salt), lit(65537L))
+    ColumnGlue.column(SplitmixPos(ColumnGlue.expression(id), salt))
+
+  /** DuckDB replication of [[lcgPos]] over SQL expression `idExpr`:
+    * HUGEINT arithmetic mod 2^64, with each 64×64 multiply split at 32
+    * bits so no intermediate exceeds INT128. Oracle SQL builders use
+    * this so the two sides can never drift. */
+  def posOracleSql(idExpr: String, salt: Long): String = {
+    val two64 = "18446744073709551616"
+    def mulmod(a: String, b: String): String =
+      s"(((($a) >> 32) * $b) % $two64 * 4294967296 + (($a) % 4294967296) * $b) % $two64"
+    def u(v: Long): String = java.lang.Long.toUnsignedString(v)
+    val x0 = s"((CAST($idExpr AS HUGEINT) + ${u(Phi * (salt + 1L))}) % $two64)"
+    val z1 = s"(${mulmod(s"xor($x0, $x0 >> 30)", u(Mix1))})"
+    val z2 = s"(${mulmod(s"xor($z1, $z1 >> 27)", u(Mix2))})"
+    s"CAST(xor($z2, $z2 >> 31) >> 33 AS BIGINT)"
+  }
 
   /** Keep ~`num`/`den` of rows, decided per row from the id alone —
     * no shuffle, no state, identical across runs and engines. */
@@ -94,12 +160,21 @@ object Sampling {
     * example row with its document count and token total. This is the
     * step that actually moves text — one shuffle keyed by bin, which is
     * the unavoidable output materialization of packing; everything
-    * upstream shuffled ids and counts only. */
+    * upstream shuffled ids and counts only.
+    *
+    * With `shardCol`, bins restart per shard (that is packSequences'
+    * contract), so the example key is (shard, bin) — grouping by bin
+    * alone would concatenate bin N of EVERY shard into one bogus
+    * example. The shard lands in the output as a `shard` column. */
   def packedExamples(df: DataFrame, capacity: Long, idCol: String = "doc_id",
                      textCol: String = "text", sep: String = "\n",
                      shardCol: Column = null): DataFrame = {
     val packed = packSequences(df, capacity, idCol, shardCol = shardCol)
-    packed.groupBy(col("bin"))
+    val (keyed, keys) = Option(shardCol) match {
+      case Some(sc) => (packed.withColumn("shard", sc), Seq(col("shard"), col("bin")))
+      case None => (packed, Seq(col("bin")))
+    }
+    keyed.groupBy(keys: _*)
       .agg(
         // array_sort on (id, text) structs orders by id first — the
         // deterministic assembly order regardless of shuffle arrival

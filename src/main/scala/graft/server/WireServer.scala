@@ -90,7 +90,14 @@ final class WireServer(spark: SparkSession, port: Int = 0,
     * and session-scoped state; editors additionally write persistent
     * data; key management stays admin-only (enforced at the routes). */
   private def authorizeQuery(role: String, src: String): Option[String] = {
-    if (role == "admin" || role == "editor") return None
+    if (role == "admin") return None
+    // `.kg drop` requires the target KG's owner; service keys hold no
+    // per-user grants, so only admin keys may drop (the reference's
+    // global check defers KgDrop to the per-KG Owner check, which a
+    // userless identity cannot pass — `auth.rs:387`).
+    if (src.trim.startsWith(".kg drop"))
+      return Some("dropping a knowledge graph requires its owner")
+    if (role == "editor") return None
     val t = src.trim
     if (t.startsWith(".")) {
       val writes = Seq(".save", ".open", ".load", ".import", ".compact",
@@ -404,7 +411,15 @@ final class WireServer(spark: SparkSession, port: Int = 0,
         else err(s"Unknown key label '$label'")
       }
       case Seq(".kg", "acl", "list", kg) =>
-        Some(Map[String, Any]("type" -> "kg_acls", "kg" -> kg,
+        // listing is gated on the TARGET KG: admins always; users need
+        // any grant on that KG (reference denies identities with no
+        // role on the target, `protocol/handler.rs:4343-4366`, and any
+        // KG role may list, `auth.rs:239,308`). Non-admin service keys
+        // hold no per-KG grants → denied.
+        if (ident.role != "admin" &&
+            (ident.user.isEmpty || auth.kgRoleFor(kg, ident).isEmpty))
+          err(s"Access denied to knowledge graph '$kg'")
+        else Some(Map[String, Any]("type" -> "kg_acls", "kg" -> kg,
           "acls" -> auth.aclsFor(kg).map { case (u, r) =>
             Map("username" -> u, "role" -> r) }))
       case Seq(".kg", "acl", "grant", kg, u, role) =>
@@ -435,12 +450,28 @@ final class WireServer(spark: SparkSession, port: Int = 0,
         if (auth.kgRoleFor(name, ident).isEmpty)
           Some(s"Access denied to knowledge graph '$name'")
         else None
+      // `.kg drop <name>` authorizes against the TARGET KG, not the
+      // session's current one (the reference resolves the target from
+      // the statement itself, `protocol/handler.rs:4329-4366`): no
+      // grant → access denied; any grant below owner → denied.
+      case Seq(".kg", "drop", name) =>
+        auth.kgRoleFor(name, ident) match {
+          case None => Some(s"Access denied to knowledge graph '$name'")
+          case Some("owner") => None
+          case Some(_) => Some("dropping a knowledge graph requires its owner")
+        }
+      // `.kg create` targets no existing KG, so only the GLOBAL role
+      // gates it: viewers cannot create (reference `auth.rs:378-384`).
+      case Seq(".kg", "create", _) =>
+        if (ident.role == "viewer") Some("viewers cannot create knowledge graphs")
+        else None
+      // `.kg list` / `.kg show` are global reads, no target KG
+      // (reference `protocol/handler.rs:4346-4353`).
+      case Seq(".kg") | Seq(".kg", "show") | Seq(".kg", "list") => None
       case _ =>
         auth.kgRoleFor(session.kg, ident) match {
           case None => Some(s"Access denied to knowledge graph '${session.kg}'")
           case Some("viewer") => authorizeQuery("viewer", src)
-          case Some("editor") if words.take(2) == Seq(".kg", "drop") =>
-            Some("dropping a knowledge graph requires its owner")
           case _ => None
         }
     }

@@ -42,6 +42,36 @@ class SamplingSpec extends SparkSpec {
     assert(m1 != m2, "epoch has no effect")
   }
 
+  test("position hash matches the reference scalar and breaks the 65537 ring") {
+    import spark.implicits._
+    // column expression ≡ posOf (the DuckDB oracle replicates posOf via
+    // Sampling.posOracleSql, so this pins all three implementations)
+    val ids = Seq(0L, 1L, 7L, 65537L, 65538L, 1234567890123L, -5L)
+    val got = ids.toDF("id").select(Sampling.lcgPos(col("id"), 7L))
+      .as[Long].collect().toSeq
+    assert(got == ids.map(Sampling.posOf(_, 7L)), "column/scalar drift")
+    assert(got.forall(p => p >= 0 && p < (1L << 31)), "position out of range")
+    // the old 16-bit MINSTD ring gave ids differing by 65537 IDENTICAL
+    // positions (perfectly correlated sampling); full-width mixing must not
+    val pairs = (0L until 1000L).map(i => (Sampling.posOf(i, 7L), Sampling.posOf(i + 65537L, 7L)))
+    assert(pairs.count { case (a, b) => a == b } == 0, "65537-ring correlation survives")
+    // and a 64-bit corpus has no observed collisions at this scale
+    assert((0L until 10000L).map(Sampling.posOf(_, 3L)).distinct.size > 9950)
+  }
+
+  test("packed examples key on (shard, bin) so bins never merge across shards") {
+    import spark.implicits._
+    // two shards, each with two docs in bin 0: grouping by bin alone
+    // would concatenate all four texts into one example
+    val docs = Seq(
+      (1L, "a b", "s1"), (2L, "c", "s1"),
+      (3L, "d e", "s2"), (4L, "f", "s2")).toDF("doc_id", "text", "source")
+    val out = Sampling.packedExamples(docs, capacity = 5, shardCol = col("source"))
+      .select("shard", "bin", "example_text", "n_docs")
+      .as[(String, Long, String, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq == Seq(("s1", 0L, "a b\nc", 2L), ("s2", 0L, "d e\nf", 2L)))
+  }
+
   test("decontaminate removes exactly the docs sharing a benchmark shingle") {
     val bench = docs.where(col("doc_id") < 5)
     val surviving = Dedup.decontaminate(docs, bench)

@@ -410,6 +410,22 @@ class WireServerSpec extends SparkSpec {
       assert(q(".kg acl grant anas bo viewer", anaKey)("type") == "ack")
       assert(q(".kg acl list anas", anaKey)("acls")
         .asInstanceOf[Seq[Map[String, Any]]].map(_("username")) == Seq("ana", "bo"))
+      // `.kg drop <name>` authorizes against the TARGET KG: bo (no
+      // grant on 'default', owner of nothing) cannot drop it — even
+      // after `.kg use anas` where bo holds viewer
+      val boKey = q(".apikey create bo-key for bo", admin)("key").toString
+      assert(q(".kg drop default", boKey)("type") == "error")
+      assert(q(".kg use anas", boKey)("type") == "ack")
+      assert(q(".kg drop default", boKey)("type") == "error",
+        "a grant on the session KG must not authorize dropping another KG")
+      assert(q(".kg drop anas", boKey)("type") == "error", "viewer may not drop")
+      // acl listing needs a grant on the TARGET KG: bo has none on default
+      assert(q(".kg acl list default", boKey)("type") == "error")
+      // the owner may drop their own KG (throwaway, so 'anas' survives
+      // for the assertions below)
+      assert(q(".kg create tmpkg", admin)("type") == "ack")
+      assert(q(".kg acl grant tmpkg ana owner", admin)("type") == "ack")
+      assert(q(".kg drop tmpkg", anaKey)("type") == "ack")
       // role change applies to existing keys immediately
       assert(q(".user role ana editor", admin)("type") == "ack")
       assert(server.auth.identify(anaKey).exists(_.role == "editor"))
