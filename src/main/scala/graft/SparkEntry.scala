@@ -401,6 +401,24 @@ object SparkEntry {
       e.run("?modd(X, Y)").last // served by mutual-recursion DRed
     }),
 
+    // --- IQL: MIXED batch through a recursive view — an atomic update
+    //     (`-old,+new <- body`) retargets every edge out of node 0 in
+    //     ONE transactional batch; maintenance sequences the DRed
+    //     delete phase against the mid state (inserts backed out) and
+    //     then the insert continuation replays the new edge (EngineSpec
+    //     asserts the maintenance counter for this shape) --------------
+    "q82_iql_mixed_update" -> ((s, dir) => {
+      val e = iqlEngine(s, dir)
+      e.catalog.register("uedge", graphEdges(s, dir))
+      e.run(
+        """+ur(X, Y) <- uedge(X, Y)
+          |+ur(X, Z) <- ur(X, Y), ur(Y, Z)
+          |?ur(X, Y)
+          |""".stripMargin)
+      e.run("-uedge(0, Y), +uedge(0, 24) <- uedge(0, Y)")
+      e.run("?ur(X, Y)").last // two-phase maintained, not recomputed
+    }),
+
     // --- pipeline: benchmark decontamination — docs sharing any word
     //     3-gram with the "test set" (doc_id % 20 == 0) are removed;
     //     shingles travel as xxhash64 longs, benchmark side broadcast --
@@ -1263,6 +1281,18 @@ object SparkEntry {
          |UNION
          |SELECT n_nationkey AS src, n_nationkey + 5 AS dst FROM nation
          |WHERE n_nationkey + 5 <= 24),
+         |r(src, dst) AS (
+         |SELECT src, dst FROM base
+         |UNION
+         |SELECT a.src, b.dst FROM r a JOIN base b ON a.dst = b.src)
+         |SELECT src AS X, dst AS Y FROM r""".stripMargin,
+
+    // mixed-batch atomic update: closure of the retargeted edge set
+    "q82_iql_mixed_update" ->
+      s"""WITH RECURSIVE base AS (
+         |SELECT src, dst FROM ($graphEdgesSql) t WHERE src <> 0
+         |UNION
+         |SELECT 0 AS src, 24 AS dst),
          |r(src, dst) AS (
          |SELECT src, dst FROM base
          |UNION

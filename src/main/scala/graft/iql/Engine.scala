@@ -496,9 +496,13 @@ final class Engine(val catalog: Catalog) {
     val insDf = bindings.select(ins.args.zipWithIndex.map {
       case (t, i) => RuleCompiler.term(t, bindings).as(s"c$i")
     }: _*).distinct()
-    val newDel = delRel.join(bindings.select(delCols: _*).distinct(),
-      delRel.columns.toSeq, "left_anti")
-    catalog.replace(del.rel, newDel)
+    val delMatch = bindings.select(delCols: _*).distinct()
+    val newDel = delRel.join(delMatch, delRel.columns.toSeq, "left_anti")
+    // removed = matching tuples actually present, logged exactly (like
+    // deleteWhere) so the update is a maintainable delete+insert batch
+    // for downstream views, not an opaque invalidation
+    val removedRows = delRel.join(delMatch, delRel.columns.toSeq, "left_semi")
+    catalog.replace(del.rel, newDel, removedRows)
     catalog.appendDf(ins.rel, insDf)
   }
 
@@ -717,6 +721,9 @@ final class Engine(val catalog: Catalog) {
           } else recFrames(nm).getOrElse(resolve(nm, ar))
         deriveRule(r, deltaResolver).toDF(colsOf(r.head.rel): _*)
       }
+      def insertPhase(viewsNow: Map[String, DataFrame]): Option[DataFrame] =
+        insertPhaseOf(name, scc, sccRules, changedRels, deltaOf, deltaDerive,
+          isRecursive, viewsNow)
 
       if (rankHead) {
         // RANKING-view maintenance: under pure inserts a top-k window
@@ -1105,23 +1112,45 @@ final class Engine(val catalog: Catalog) {
       // to kept ∪ survivors until no new survivor appears (alternative
       // derivations may themselves run through survivors). Cost ~
       // |delete-cone|-bound joins, vs a full recomputation's scan of
-      // every base relation. Mixed insert+delete batches, non-Var heads
-      // and views with own EDB facts still fall back to recompute.
-      if (hasRemovals && changes.forall(_.delta == null) &&
-          sccRules.forall(_.head.args.forall(a =>
+      // every base relation. MIXED insert+delete batches sequence the
+      // two maintained phases: the delete phase (below) runs against
+      // the MID state — the current database with this batch's inserts
+      // backed out, exact because insert deltas are logged disjoint
+      // from the pre-state (`Catalog.appendDf` anti-joins) — and the
+      // insert continuation then replays the deltas from the mid views.
+      // This is what makes atomic updates (`-old,+new <- body`)
+      // maintainable instead of a recompute. Non-Var heads and views
+      // with own EDB facts still fall back to recompute.
+      if (hasRemovals && sccRules.forall(_.head.args.forall(a =>
             a.isInstanceOf[Var] || a.isInstanceOf[Const])) &&
           scc.forall(m => baseOf(m).isEmpty)) {
         val removedOf: Map[String, DataFrame] = changedRels.flatMap { r =>
           val ds = changes.filter(c => c.rel == r && c.removed != null).map(_.removed)
           if (ds.isEmpty) None else Some(r -> ds.reduce(_ union _).distinct())
         }.toMap
-        if (removedOf.keySet == changedRels) {
-          def oldFrame(nm: String, ar: Int): DataFrame = {
+        if (removedOf.nonEmpty) {
+          def midFrame(nm: String, ar: Int): DataFrame = {
             val cur = resolve(nm, ar)
+            deltaOf.get(nm) match {
+              case Some(d) => Fixpoint.antiNullSafe(cur, d.toDF(cur.columns.toSeq: _*))
+              case None => cur
+            }
+          }
+          def oldFrame(nm: String, ar: Int): DataFrame = {
+            val cur = midFrame(nm, ar)
             removedOf.get(nm) match {
               case Some(rm) => cur.union(rm.toDF(cur.columns.toSeq: _*)).distinct()
               case None => cur
             }
+          }
+          // After the delete phase lands the per-member mid views:
+          // pure-delete batches cache and return them; mixed batches
+          // continue into the insert phase seeded from them.
+          def afterDelete(vs: Map[String, DataFrame]): Option[DataFrame] = {
+            if (deltaOf.isEmpty) {
+              scc.filter(_ != name).foreach { r => memo(r) = vs(r); cachePut(r, vs(r)) }
+              Some(vs(name))
+            } else insertPhase(vs)
           }
           // Driver-local DRed: both phases expressed as synthetic
           // pure-positional programs over collected inputs and run
@@ -1131,8 +1160,9 @@ final class Engine(val catalog: Catalog) {
           // Bails (→ distributed DRed below, or recompute) when inputs
           // exceed the collect caps or a rule shape is outside
           // LocalEval's contract.
-          localDRed(scc, sccRules, sccCached, changedRels, removedOf, name) match {
-            case Some(df) => return Some(df)
+          localDRed(scc, sccRules, sccCached, changedRels, removedOf, name,
+              midFrame) match {
+            case Some(vs) => return afterDelete(vs)
             case None => ()
           }
           // derivations of `r` with body occurrence `dIdx` (of relation
@@ -1172,16 +1202,16 @@ final class Engine(val catalog: Catalog) {
           val over0 = mutable.HashMap.empty[String, List[DataFrame]]
           sccRules.foreach { r =>
             r.body.zipWithIndex.foreach {
-              case (Pos(a), i) if changedRels(a.rel) =>
+              case (Pos(a), i) if removedOf.contains(a.rel) =>
                 over0(r.head.rel) =
                   overDerive(r, i, removedOf(a.rel)) :: over0.getOrElse(r.head.rel, Nil)
               case _ => ()
             }
           }
-          if (over0.isEmpty) return Some(cached) // untouched rules only
+          if (over0.isEmpty) return afterDelete(sccCached) // no rule sees a removal
           // per-member over-delete sets; frontier drives the cascade
           val overDelete = matByMember(over0, _ => None)
-          if (overDelete.isEmpty) return Some(cached)
+          if (overDelete.isEmpty) return afterDelete(sccCached)
           // over-delete cascade: derivations through already-over-deleted
           // view tuples (semi-naive — one SCC-member occurrence bound to
           // that member's frontier, others at the old views). Bounded by
@@ -1232,6 +1262,9 @@ final class Engine(val catalog: Catalog) {
                 val resolver: RuleCompiler.Resolver = (nm, ar) =>
                   if (nm == guardRel) g
                   else if (scc(nm)) views(nm)
+                  // re-derivation runs at the POST-DELETE state: mid,
+                  // not current (for pure deletes they coincide)
+                  else if (changedRels(nm)) midFrame(nm, ar)
                   else resolve(nm, ar)
                 parts(r.head.rel) =
                   deriveRule(guarded, resolver).toDF(colsOf(r.head.rel): _*) ::
@@ -1287,50 +1320,68 @@ final class Engine(val catalog: Catalog) {
               case None => kept(m)
             })
           }.toMap
-          scc.filter(_ != name).foreach { r =>
-            memo(r) = resultOf(r); cachePut(r, resultOf(r))
-          }
-          return Some(resultOf(name))
+          return afterDelete(resultOf)
         }
       }
-      // past the DRed and TC fast paths, only pure-insert changes are
-      // maintainable — any other delete falls back to recompute
+      // past the DRed and TC fast paths, only pure-insert changes reach
+      // the continuation directly; mixed batches re-enter it via
+      // afterDelete with the delete phase's mid views as `viewsNow`
       if (hasRemovals) return None
+      insertPhase(sccCached)
+    }
 
-      // mutual recursion: SCC-joint insert continuation — seed each
-      // member with its delta-bound derivations (SCC occurrences at the
-      // cached fixpoint), then CONTINUE the distributed semi-naive loop
-      // with accumulators starting at cached ∪ fresh. Every member's
-      // result is memoized and cached, so one maintenance run serves
-      // re-queries of any of them.
+    /** Insert continuation: CONTINUE the semi-naive evaluation from the
+      * per-member views `viewsNow` (the cached fixpoint for pure-insert
+      * batches; the delete phase's mid views for mixed batches), seeded
+      * with the delta-bound derivations. Every member's result is
+      * memoized and cached, so one maintenance run serves re-queries of
+      * any SCC member. Shares the enclosing [[tryMaintain]] invocation's
+      * gates — callers have already vetted shapes and deltas. */
+    private def insertPhaseOf(name: String, scc: Set[String], sccRules: Seq[Rule],
+        changedRels: Set[String], deltaOf: Map[String, DataFrame],
+        deltaDerive: (Rule, Int, String => Option[DataFrame]) => DataFrame,
+        isRecursive: Boolean,
+        viewsNow: Map[String, DataFrame]): Option[DataFrame] = {
+      val cached = viewsNow(name)
+      val arity = cached.columns.length
+      val cols = (0 until arity).map(i => s"c$i")
+      // mutual recursion: SCC-joint continuation — seed each member with
+      // its delta-bound derivations (SCC occurrences at `viewsNow`),
+      // accumulators starting at viewsNow ∪ fresh.
       if (scc.size > 1) {
         val seeds = mutable.HashMap.empty[String, Fixpoint.Mat]
         scc.foreach { rel =>
           val contribs = byHead.getOrElse(rel, Seq.empty).flatMap { r =>
             r.body.zipWithIndex.collect {
               case (Pos(a), i) if changedRels(a.rel) =>
-                deltaDerive(r, i, m => sccCached.get(m))
+                deltaDerive(r, i, m => viewsNow.get(m))
             }
           }
           if (contribs.nonEmpty) {
             val m = Fixpoint.materialize(Fixpoint.antiNullSafe(
-              contribs.reduce(_ union _).distinct(), sccCached(rel)))
+              contribs.reduce(_ union _).distinct(), viewsNow(rel)))
             if (m.count > 0) seeds(rel) = m
           }
         }
-        if (seeds.isEmpty) return Some(cached) // no rule touches the delta
+        if (seeds.isEmpty) { // no rule touches the delta
+          scc.filter(_ != name).foreach { rel =>
+            memo(rel) = viewsNow(rel); cachePut(rel, viewsNow(rel))
+          }
+          return Some(cached)
+        }
         // the sentinel count only suppresses broadcast hints (cached
         // materialization sizes aren't tracked driver-side)
         val accInit = scc.iterator.map { rel =>
           val df = seeds.get(rel) match {
-            case Some(f) => sccCached(rel).union(f.df)
-            case None => sccCached(rel)
+            case Some(f) => viewsNow(rel).union(f.df)
+            case None => viewsNow(rel)
           }
           rel -> Fixpoint.Mat(df, Fixpoint.BroadcastRows + 1)
         }.toMap
         val out = runSccLoop(scc, sccRules, accInit, seeds.toMap)
         scc.filter(_ != name).foreach { rel =>
-          out.get(rel).foreach { df => memo(rel) = df; cachePut(rel, df) }
+          val df = out.getOrElse(rel, viewsNow(rel))
+          memo(rel) = df; cachePut(rel, df)
         }
         return out.get(name).orElse(Some(cached))
       }
@@ -1340,7 +1391,7 @@ final class Engine(val catalog: Catalog) {
       sccRules.foreach { r =>
         r.body.zipWithIndex.foreach {
           case (Pos(a), i) if changedRels(a.rel) =>
-            seedContribs += deltaDerive(r, i, m => if (m == name) Some(cached) else None)
+            seedContribs += deltaDerive(r, i, m => viewsNow.get(m))
           case _ => ()
         }
       }
@@ -1418,11 +1469,17 @@ final class Engine(val catalog: Catalog) {
       * (`__dr_kp_m` base + `__dr_sv_m` recursive) — the survivor
       * fixpoint, mutual recursion included.
       *
-      * Returns the maintained frame for `name` (memoizing + caching all
-      * other members) or None to fall back to the distributed phases. */
+      * `curOf` resolves a changed rel's POST-DELETE state: for a pure
+      * delete batch that is the current state; for a mixed batch the
+      * caller passes the mid-state (current ∖ insert-delta), so the
+      * delete phase never sees rows the later insert phase owns.
+      *
+      * Returns every member's maintained frame (the caller caches) or
+      * None to fall back to the distributed phases. */
     private def localDRed(scc: Set[String], sccRules: Seq[Rule],
         sccCached: Map[String, DataFrame], changedRels: Set[String],
-        removedOf: Map[String, DataFrame], name: String): Option[DataFrame] = {
+        removedOf: Map[String, DataFrame], name: String,
+        curOf: (String, Int) => DataFrame): Option[Map[String, DataFrame]] = {
       if (LocalEval.disabled) return None
       import org.apache.spark.sql.Row
       import scala.collection.immutable.ArraySeq
@@ -1496,11 +1553,20 @@ final class Engine(val catalog: Catalog) {
           Seq(dn(m), can(m), kpn(m), svn(m), v2n(m)).foreach(arities(_) = ar)
           stores(can(m)) = need(Fixpoint.collectUpTo(sccCached(m), 1000000L))
         }
-        changedRels.foreach { c =>
-          val ar = removedOf(c).columns.length
+        // changed-rel arities come from their body occurrences (an
+        // insert-only rel has no removedOf entry to read one from);
+        // unreferenced changed rels can't affect this SCC — skip them
+        val changedArity = sccRules.flatMap(_.body.collect {
+          case Pos(a) if changedRels(a.rel) => (a.rel, a.args.length)
+          case Neg(a) if changedRels(a.rel) => (a.rel, a.args.length)
+        }).toMap
+        changedArity.foreach { case (c, ar) =>
           Seq(rmn(c), oldn(c), c).foreach(arities(_) = ar)
-          val rm = need(Fixpoint.collectUpTo(removedOf(c), Fixpoint.LocalEdgeRows))
-          val cur = need(Fixpoint.collectUpTo(resolve(c, ar), Fixpoint.LocalEdgeRows))
+          val rm = removedOf.get(c) match {
+            case Some(df) => need(Fixpoint.collectUpTo(df, Fixpoint.LocalEdgeRows))
+            case None => Array.empty[Row]
+          }
+          val cur = need(Fixpoint.collectUpTo(curOf(c, ar), Fixpoint.LocalEdgeRows))
           stores(rmn(c)) = rm; stores(oldn(c)) = cur ++ rm; stores(c) = cur
         }
         sccRules.flatMap(_.body.collect {
@@ -1515,13 +1581,8 @@ final class Engine(val catalog: Catalog) {
         need(LocalEval.run(catalog.spark, delScc, cascadeRules, arities.toMap,
           Map.empty, stores.toMap, seedRules, out1))
         val delRows = members.map(m => m -> out1.getOrElse(dn(m), Array.empty[Row])).toMap
-        if (delRows.values.forall(_.isEmpty)) {
-          // nothing over-deleted: every cache stays valid as-is
-          scc.filter(_ != name).foreach { r =>
-            memo(r) = sccCached(r); cachePut(r, sccCached(r))
-          }
-          return Some(sccCached(name))
-        }
+        // nothing over-deleted: every cached view stays valid as-is
+        if (delRows.values.forall(_.isEmpty)) return Some(sccCached)
 
         // kept = cached \ del, keyed with LocalEval-compatible
         // normalization (Int/Short/Byte widened — mirroring
@@ -1567,8 +1628,7 @@ final class Engine(val catalog: Catalog) {
             catalog.spark.sparkContext.parallelize(rows,
               Fixpoint.parallelizeParts(rows.length.toLong)), schema)
         }.toMap
-        scc.filter(_ != name).foreach { r => memo(r) = result(r); cachePut(r, result(r)) }
-        Some(result(name))
+        Some(result)
       } catch { case LB => None }
     }
 

@@ -440,6 +440,80 @@ class EngineSpec extends SparkSpec {
       "conditional delete should log removed tuples and DRed-maintain")
   }
 
+  test("mixed insert+delete batch maintains a non-recursive view") {
+    val e = new Engine(new Catalog(spark))
+    e.run(
+      """+sal[(1, 10), (2, 20), (3, 30)]
+        |+band[(10, "low"), (20, "mid"), (30, "high")]
+        |+v(I, B) <- sal(I, S), band(S, B)
+        |""".stripMargin)
+    assert(rows(e.run("?v(I, B)").last).size == 3)
+    val before = e.maintainedCount
+    // one batch between re-queries: delete phase must run against the
+    // MID state (inserts backed out), then the insert phase replays
+    e.run("-sal[(2, 20)]")
+    e.run("+sal[(4, 10)]")
+    assert(rows(e.run("?v(I, B)").last) ==
+      Set(Seq(1L, "low"), Seq(3L, "high"), Seq(4L, "low")))
+    assert(e.maintainedCount == before + 1, "mixed batch recomputed, not maintained")
+  }
+
+  test("atomic update (-old,+new <- body) is a maintainable mixed batch") {
+    val e = new Engine(new Catalog(spark))
+    e.run(
+      """+acct[(1, 100), (2, 250), (3, 40)]
+        |+flag(I) <- acct(I, B), B > 200
+        |""".stripMargin)
+    assert(rows(e.run("?flag(I)").last) == Set(Seq(2L)))
+    val before = e.maintainedCount
+    // halve every balance over 200: removed rows + inserted rows are
+    // logged exactly, so the dependent view maintains instead of
+    // recomputing (reference: Statement::Update is one transactional
+    // replace feeding derived relations differentially)
+    e.run("-acct(I, B), +acct(I, B / 2) <- acct(I, B), B > 200")
+    assert(rows(e.run("?acct(I, B)").last) ==
+      Set(Seq(1L, 100L), Seq(2L, 125L), Seq(3L, 40L)))
+    assert(rows(e.run("?flag(I)").last) == Set.empty[Seq[Any]])
+    assert(e.maintainedCount == before + 1, "atomic update invalidated the view")
+  }
+
+  test("mixed batch maintains a non-linear recursive view") {
+    val e = new Engine(new Catalog(spark))
+    e.run(
+      """+e[(1, 2), (2, 3), (3, 4)]
+        |+p(X, Y) <- e(X, Y)
+        |+p(X, Z) <- p(X, Y), p(Y, Z)
+        |""".stripMargin)
+    assert(rows(e.run("?p(X, Y)").last).size == 6)
+    val before = e.maintainedCount
+    e.run("-e[(2, 3)]")
+    e.run("+e[(2, 4)]")
+    // edges (1,2),(3,4),(2,4): the over-delete cone loses 23/13/24/14,
+    // the insert continuation re-admits 24 and derives 14 through it
+    assert(rows(e.run("?p(X, Y)").last) ==
+      Set(Seq(1L, 2L), Seq(3L, 4L), Seq(2L, 4L), Seq(1L, 4L)))
+    assert(e.maintainedCount == before + 1, "mixed recursive batch recomputed")
+  }
+
+  test("mixed batch maintains through the distributed path (local solver pinned off)") {
+    val e = new Engine(new Catalog(spark))
+    e.run(
+      """+e[(1, 2), (2, 3), (3, 4)]
+        |+p(X, Y) <- e(X, Y)
+        |+p(X, Z) <- p(X, Y), p(Y, Z)
+        |""".stripMargin)
+    assert(rows(e.run("?p(X, Y)").last).size == 6)
+    val before = e.maintainedCount
+    LocalEval.disabled = true
+    try {
+      e.run("-e[(2, 3)]")
+      e.run("+e[(2, 4)]")
+      assert(rows(e.run("?p(X, Y)").last) ==
+        Set(Seq(1L, 2L), Seq(3L, 4L), Seq(2L, 4L), Seq(1L, 4L)))
+      assert(e.maintainedCount == before + 1, "distributed mixed batch recomputed")
+    } finally LocalEval.disabled = false
+  }
+
   test("incremental maintenance: NaN group keys merge as one group") {
     // Spark's groupBy (and the full_outer <=> fallback) treat NaN keys
     // as one group; the driver-local merge must too, or a NaN-keyed
@@ -584,10 +658,11 @@ class EngineSpec extends SparkSpec {
     e.run("-q[(1)]")
     assert(rows(e.run("?v(X, Y)").last) == Set(Seq(2L, 20L)))
     assert(e.maintainedCount == before + 1, "non-recursive delete should DRed-maintain")
-    // mixed insert+delete in one batch still falls back to recompute
+    // mixed insert+delete in one batch maintains too (round 5: delete
+    // phase against the mid state, then the insert continuation)
     e.run("-q[(2)]\n+q[(3)]")
     assert(rows(e.run("?v(X, Y)").last) == Set(Seq(3L, 30L)))
-    assert(e.maintainedCount == before + 1, "mixed batch should recompute")
+    assert(e.maintainedCount == before + 2, "mixed batch should maintain")
   }
 
   test("retraction maintenance: DRed through a RECURSIVE view (non-linear TC)") {

@@ -37,18 +37,26 @@ class MaintenanceFuzzSpec extends SparkSpec {
         else None
       val prog = s"+e[$edges]\n$rules"
 
+      // mixed=true applies delete AND insert in ONE batch between
+      // re-queries — the two-phase (DRed mid-state + insert
+      // continuation) path; mixed=false re-queries between them,
+      // exercising each phase separately
+      val mixed = ins.isDefined && rng.nextBoolean()
+
       val e1 = new Engine(new Catalog(spark))
       e1.run(prog)
       e1.run(s"?$qrel(X, Y)") // cache the pre-mutation fixpoint
       e1.run(s"-e[$dels]")
+      if (mixed) ins.foreach(t => e1.run(s"+e[$t]"))
       val afterDel = rows(e1.run(s"?$qrel(X, Y)").last)
       val e2 = new Engine(new Catalog(spark))
       e2.run(prog)
       e2.run(s"-e[$dels]")
+      if (mixed) ins.foreach(t => e2.run(s"+e[$t]"))
       assert(afterDel == rows(e2.run(s"?$qrel(X, Y)").last),
-        s"case $i diverged after -e[$dels]:\n$prog")
+        s"case $i diverged after -e[$dels] (mixed=$mixed):\n$prog")
 
-      ins.foreach { t =>
+      if (!mixed) ins.foreach { t =>
         e1.run(s"+e[$t]")
         val afterIns = rows(e1.run(s"?$qrel(X, Y)").last)
         e2.run(s"+e[$t]")
