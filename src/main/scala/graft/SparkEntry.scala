@@ -278,7 +278,8 @@ object SparkEntry {
     "q30_minhash_pairs" -> ((s, dir) =>
       Dedup.minHashPairs(T(s, dir, "documents"), threshold = 0.35)),
 
-    // --- pipeline: SimHash + rolling-hash fingerprints (rows-only) ------------------------------
+    // --- pipeline: SimHash + rolling-hash fingerprints (FNV+splitmix
+    //     hash family — exact-oracled in DuckDB since round 5) ----------
     "q31_fingerprints" -> ((s, dir) =>
       TextAnalysis.fingerprints(T(s, dir, "documents"))),
 
@@ -1142,6 +1143,14 @@ object SparkEntry {
         |comp AS (SELECT id, MIN(r) AS c FROM reach GROUP BY id)
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> c)""".stripMargin,
+
+    // minhash near-dup pairs: the full signature pipeline replicated in
+    // HUGEINT arithmetic (previously rows-only; see minHashOracleSql)
+    "q30_minhash_pairs" -> Dedup.minHashOracleSql(threshold = 0.35),
+
+    // SimHash + rolling fingerprints: FNV+splitmix string hash replicated
+    // in HUGEINT arithmetic (previously rows-only)
+    "q31_fingerprints" -> TextAnalysis.fingerprintOracleSql(),
 
     "q57_ngram_exact" ->
       """WITH toks AS (

@@ -1,7 +1,13 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftglue.ColumnGlue
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Text-analysis primitives for large-scale training-data pipelines:
   * tokenization, shingling, MinHash signatures, SimHash fingerprints,
@@ -109,8 +115,10 @@ object TextFunctions {
     z ^ (z >>> 31)
   }
 
-  /** Per-component seeds, deterministic (reproducible across executors). */
-  private def compSeeds(k: Int): Array[Long] =
+  /** Per-component seeds, deterministic (reproducible across executors;
+    * `private[graft]` so [[graft.operators.Dedup.minHashOracleSql]] can
+    * embed the same constants in the DuckDB replication). */
+  private[graft] def compSeeds(k: Int): Array[Long] =
     Array.tabulate(k)(i => mix64(0x5851F42D4C957F2DL * (i + 1)))
 
   private def sigOfHashes(update: (Array[Long], Array[Long]) => Unit,
@@ -134,6 +142,50 @@ object TextFunctions {
   // "b!" vs "a@"), which would inflate MinHash estimates
   private final val FnvBasis = 0xCBF29CE484222325L
   private final val FnvPrime = 0x100000001B3L
+
+  /** FNV-1a 64 over the string's UTF-8 bytes + splitmix64 finalizer, as
+    * a codegen'd Catalyst expression. This is the fingerprint family's
+    * string hash: unlike xxhash64 it is replicable in the DuckDB oracle
+    * with plain HUGEINT arithmetic (and for ASCII text, bytes ≡
+    * codepoints, which the SQL replication iterates over). Same hash
+    * family as the MinHash signature UDFs' per-shingle hash. */
+  final case class FnvMix64Expr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "fnv_mix64"
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case _: StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs a string input, got $other")
+    }
+    override def nullSafeEval(v: Any): Any = {
+      val bytes = v.asInstanceOf[UTF8String].getBytes
+      var h = FnvBasis
+      var i = 0
+      while (i < bytes.length) { h = (h ^ (bytes(i) & 0xFF)) * FnvPrime; i += 1 }
+      mix64(h)
+    }
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val b = ctx.freshName("b")
+        val i = ctx.freshName("i")
+        val z = ctx.freshName("z")
+        s"""byte[] $b = ($c).getBytes();
+           |long $z = ${FnvBasis}L;
+           |for (int $i = 0; $i < $b.length; $i++) {
+           |  $z = ($z ^ ($b[$i] & 0xFF)) * ${FnvPrime}L;
+           |}
+           |$z = $z + ${0x9E3779B97F4A7C15L}L;
+           |$z = ($z ^ ($z >>> 30)) * ${0xBF58476D1CE4E5B9L}L;
+           |$z = ($z ^ ($z >>> 27)) * ${0x94D049BB133111EBL}L;
+           |${ev.value} = $z ^ ($z >>> 31);""".stripMargin
+      })
+    override protected def withNewChildInternal(newChild: Expression): FnvMix64Expr =
+      copy(child = newChild)
+  }
+
+  /** [[FnvMix64Expr]] as a Column function. */
+  def fnvMix64(s: Column): Column =
+    ColumnGlue.column(FnvMix64Expr(ColumnGlue.expression(s)))
 
   /** k-component signature over character n-gram shingles of
     * pre-normalized text (pair with [[normText]]); null when the text is
@@ -262,8 +314,8 @@ object TextFunctions {
   /** Rolling-hash document fingerprint: min of the shingle hashes
     * (winnowing-style representative), stable under whitespace changes. */
   def docFingerprint(text: Column, n: Int = 8): Column =
-    coalesce(array_min(transform(charShingles(text, n), s => xxhash64(s))),
-      xxhash64(lower(trim(text))))
+    coalesce(array_min(transform(charShingles(text, n), s => fnvMix64(s))),
+      fnvMix64(lower(trim(text))))
 
   // ---------------------------------------------------------------------
   // PII patterns (RE2-compatible subset — same regexes run in DuckDB)

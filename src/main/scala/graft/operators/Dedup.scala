@@ -290,4 +290,67 @@ object Dedup {
       .select(col("id_a"), col("id_b"), VF.dot(col("v_a"), col("v_b")).as("cosine"))
       .where(col("cosine") >= minCosine)
   }
+
+  /** DuckDB replication of [[minHashPairs]] (char-shingle form) — the
+    * exact-oracle SQL for the hash-seeded near-dup pipeline.
+    *
+    * The signature math is replicated bit-for-bit in HUGEINT-mod-2^64
+    * arithmetic (64×64 multiplies split at 32 bits; the final component
+    * values convert back to SIGNED BIGINT before MIN, matching the
+    * JVM's signed-long minima): FNV-1a 64 per shingle → splitmix64
+    * finalizer → per-component `mix64(h ^ seed_i)` minima, with the
+    * seeds embedded from [[graft.functions.TextFunctions.compSeeds]].
+    * Distinct shingles are hashed ONCE globally, then minima fold back
+    * per doc — same results, ~25× less HUGEINT lambda work.
+    *
+    * Candidates: the Spark side buckets by `xxhash64(band slice)`;
+    * bucket equality ≡ slice equality up to xxhash64 collisions (none
+    * at any tested scale, and a colliding pair would also need its
+    * estimate over threshold to differ), so the oracle joins on the
+    * band's component LIST directly — no xxhash64 in SQL needed. */
+  def minHashOracleSql(shingleN: Int = 5, k: Int = 64, bands: Int = 16,
+                       threshold: Double = 0.5): String = {
+    val two64 = "18446744073709551616"
+    def mm(a: String, b: String): String =
+      s"(((($a) >> 32) * $b) % $two64 * 4294967296 + (($a) % 4294967296) * $b) % $two64"
+    def u(v: Long): String = java.lang.Long.toUnsignedString(v)
+    val seedVals = graft.functions.TextFunctions.compSeeds(k).zipWithIndex
+      .map { case (s, i) => s"($i, ${u(s)}::HUGEINT)" }.mkString(", ")
+    val rpb = k / bands
+    s"""WITH nrm AS (
+       |  SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
+       |  FROM documents),
+       |cp AS (
+       |  SELECT doc_id, list_transform(generate_series(1, length(t)), i -> unicode(t[i])) AS c
+       |  FROM nrm WHERE length(t) >= $shingleN),
+       |ds AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(c) - ${shingleN - 1}),
+       |    p -> array_to_string(c[p:p+${shingleN - 1}], ',')))) AS key
+       |  FROM cp),
+       |uk AS (SELECT DISTINCT key FROM ds),
+       |uf AS (SELECT key, list_reduce(list_prepend(${u(0xCBF29CE484222325L)}::HUGEINT,
+       |         list_transform(string_split(key, ','), x -> CAST(x AS HUGEINT))),
+       |         (h, ch) -> ${mm("xor(h, ch)", "1099511628211")}) AS h0 FROM uk),
+       |mx1 AS (SELECT key, (h0 + ${u(0x9E3779B97F4A7C15L)}) % $two64 AS z FROM uf),
+       |mx2 AS (SELECT key, ${mm("xor(z, z >> 30)", u(0xBF58476D1CE4E5B9L))} AS z FROM mx1),
+       |mx3 AS (SELECT key, ${mm("xor(z, z >> 27)", u(0x94D049BB133111EBL))} AS z FROM mx2),
+       |shh AS (SELECT key, xor(z, z >> 31) AS hm FROM mx3),
+       |cx0 AS (SELECT key, i, (xor(hm, s) + ${u(0x9E3779B97F4A7C15L)}) % $two64 AS z
+       |        FROM shh CROSS JOIN (VALUES $seedVals) seeds(i, s)),
+       |cx1 AS (SELECT key, i, ${mm("xor(z, z >> 30)", u(0xBF58476D1CE4E5B9L))} AS z FROM cx0),
+       |cx2 AS (SELECT key, i, ${mm("xor(z, z >> 27)", u(0x94D049BB133111EBL))} AS z FROM cx1),
+       |cv AS (SELECT key, i, CAST(CASE WHEN xor(z, z >> 31) >= 9223372036854775808
+       |         THEN xor(z, z >> 31) - $two64 ELSE xor(z, z >> 31) END AS BIGINT) AS v
+       |       FROM cx2),
+       |sg AS (SELECT d.doc_id, c.i, MIN(c.v) AS v
+       |       FROM ds d JOIN cv c USING (key) GROUP BY d.doc_id, c.i),
+       |bnd AS (SELECT doc_id, i // $rpb AS band, list(v ORDER BY i) AS key FROM sg GROUP BY doc_id, band),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM bnd a JOIN bnd b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |est AS (SELECT c.id_a, c.id_b,
+       |        CAST(SUM(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) AS DOUBLE) / $k AS jaccard_est
+       |        FROM cand c JOIN sg sa ON sa.doc_id = c.id_a JOIN sg sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+       |        GROUP BY c.id_a, c.id_b)
+       |SELECT id_a, id_b, jaccard_est FROM est WHERE jaccard_est >= $threshold""".stripMargin
+  }
 }

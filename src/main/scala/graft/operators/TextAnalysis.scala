@@ -73,7 +73,7 @@ object TextAnalysis {
   def simHashes(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val toks = docs
       .select(col(idCol).as("id"), explode(array_distinct(TF.tokens(col(textCol)))).as("t"))
-      .select(col("id"), xxhash64(col("t")).as("h"))
+      .select(col("id"), TF.fnvMix64(col("t")).as("h"))
     val votes = (0 until 64).map { j =>
       sum(when(col("h").bitwiseAND(lit(1L << j)) =!= 0L, 1).otherwise(-1)).as(s"v$j")
     }
@@ -121,12 +121,68 @@ object TextAnalysis {
     val sim = simHashes(docs, idCol, textCol)
     val fp = docs.select(col(idCol).as("id"), TF.normText(col(textCol)).as("nt"))
       .select(col("id"), col("nt"), explode(TF.seq1(length(col("nt")) - 7)).as("pos"))
-      .select(col("id"), xxhash64(col("nt").substr(col("pos"), lit(8))).as("h"))
+      .select(col("id"), TF.fnvMix64(col("nt").substr(col("pos"), lit(8))).as("h"))
       .groupBy("id").agg(min(col("h")).as("fingerprint"))
     docs.select(col(idCol), TF.normText(col(textCol)).as("__nt"))
       .join(sim, Seq(idCol), "left")
       .join(fp.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .select(col(idCol), col("simhash"),
-        coalesce(col("fingerprint"), xxhash64(col("__nt"))).as("fingerprint"))
+        coalesce(col("fingerprint"), TF.fnvMix64(col("__nt"))).as("fingerprint"))
+  }
+
+  /** DuckDB replication of [[fingerprints]] — exact-oracle SQL for the
+    * SimHash + rolling-fingerprint pair. The string hash is
+    * [[TF.fnvMix64]] (FNV-1a 64 + splitmix64), replicated with HUGEINT
+    * mod-2^64 arithmetic over codepoints (≡ UTF-8 bytes on the ASCII
+    * corpus); SimHash votes explode 64 bit positions per token, the
+    * rolling fingerprint takes the SIGNED min over 8-char windows —
+    * distinct tokens/windows hash once globally, then join back. */
+  def fingerprintOracleSql(): String = {
+    val two64 = "18446744073709551616"
+    def mm(a: String, b: String): String =
+      s"(((($a) >> 32) * $b) % $two64 * 4294967296 + (($a) % 4294967296) * $b) % $two64"
+    def u(v: Long): String = java.lang.Long.toUnsignedString(v)
+    // per-key FNV-1a fold over codepoints + splitmix64, as staged CTEs
+    def foldMix(src: String, out: String): String =
+      s"""${out}_f AS (SELECT k, list_reduce(list_prepend(${u(0xCBF29CE484222325L)}::HUGEINT,
+         |  list_transform(generate_series(1, length(k)), i -> CAST(unicode(k[i]) AS HUGEINT))),
+         |  (h, ch) -> ${mm("xor(h, ch)", "1099511628211")}) AS h0 FROM $src),
+         |${out}_1 AS (SELECT k, (h0 + ${u(0x9E3779B97F4A7C15L)}) % $two64 AS z FROM ${out}_f),
+         |${out}_2 AS (SELECT k, ${mm("xor(z, z >> 30)", u(0xBF58476D1CE4E5B9L))} AS z FROM ${out}_1),
+         |${out}_3 AS (SELECT k, ${mm("xor(z, z >> 27)", u(0x94D049BB133111EBL))} AS z FROM ${out}_2),
+         |$out AS (SELECT k, xor(z, z >> 31) AS hm FROM ${out}_3)""".stripMargin
+    def toSigned(e: String): String =
+      s"CAST(CASE WHEN $e >= 9223372036854775808 THEN $e - $two64 ELSE $e END AS BIGINT)"
+    val pow2 = (0 until 64).map(j => s"($j, ${java.lang.Long.toUnsignedString(1L << j)}::HUGEINT)")
+      .mkString(", ")
+    s"""WITH doc AS (SELECT doc_id, text FROM documents),
+       |tok AS (SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS t
+       |        FROM doc WHERE length(trim(text)) > 0),
+       |ut AS (SELECT DISTINCT t AS k FROM tok),
+       |${foldMix("ut", "uth")},
+       |votes AS (SELECT tk.doc_id, j.j,
+       |          SUM(CASE WHEN (u.hm >> j.j) % 2 = 1 THEN 1 ELSE -1 END) AS v
+       |          FROM tok tk JOIN uth u ON tk.t = u.k
+       |          CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) j
+       |          GROUP BY tk.doc_id, j.j),
+       |simu AS (SELECT v.doc_id, SUM(CASE WHEN v.v > 0 THEN p.p ELSE 0::HUGEINT END) AS s
+       |         FROM votes v JOIN (VALUES $pow2) p(j, p) ON v.j = p.j GROUP BY v.doc_id),
+       |sim AS (SELECT doc_id, ${toSigned("s")} AS simhash FROM simu),
+       |nrm AS (SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS nt FROM doc),
+       |win AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, length(nt) - 7),
+       |        p -> nt[p:p+7]))) AS k FROM nrm WHERE length(nt) >= 8),
+       |uw AS (SELECT DISTINCT k FROM win),
+       |${foldMix("uw", "uwh")},
+       |fpw AS (SELECT w.doc_id, MIN(${toSigned("u.hm")}) AS fp
+       |        FROM win w JOIN uwh u ON w.k = u.k GROUP BY w.doc_id),
+       |short AS (SELECT doc_id, nt AS k FROM nrm WHERE length(nt) < 8),
+       |us AS (SELECT DISTINCT k FROM short),
+       |${foldMix("us", "ush")},
+       |fps AS (SELECT s.doc_id, ${toSigned("u.hm")} AS fp
+       |        FROM short s JOIN ush u ON s.k = u.k)
+       |SELECT d.doc_id, COALESCE(s.simhash, 0) AS simhash, COALESCE(w.fp, x.fp) AS fingerprint
+       |FROM doc d LEFT JOIN sim s ON d.doc_id = s.doc_id
+       |LEFT JOIN fpw w ON d.doc_id = w.doc_id
+       |LEFT JOIN fps x ON d.doc_id = x.doc_id""".stripMargin
   }
 }
