@@ -473,6 +473,20 @@ object SparkEntry {
         .select(col("shard"), col("bin"), col("example_text"),
           col("n_docs"), col("n_tokens"))),
 
+    // --- pipeline: token-budget selection — keep the best-quality docs
+    //     while the running token total fits a 10k budget (quality
+    //     ranking + prefix-sum window; the post-scoring mixing step) ----
+    "q83_token_budget" -> ((s, dir) =>
+      Sampling.selectByBudget(T(s, dir, "documents"), budget = 10000L,
+          score = graft.functions.TextFunctions.qualityScore(col("text")))
+        .select(col("doc_id"), col("cum_tokens"))),
+
+    // --- pipeline: top-k TF-IDF terms per document — keyword extraction
+    //     for corpus analysis; ranked by the 6-dp-rounded score so the
+    //     oracle reproduces the exact selection -------------------------
+    "q84_tfidf_terms" -> ((s, dir) =>
+      TextAnalysis.tfIdfTopTerms(T(s, dir, "documents"), k = 5)),
+
     // --- pipeline: REAL image decode — one solid-color 24-bit BMP per
     //     document (pure-JVM encoder), decoded back by the byte-level
     //     BMP parser per partition; dims come from the HEADER and the
@@ -1022,6 +1036,47 @@ object SparkEntry {
         |string_agg(text, chr(10) ORDER BY doc_id) AS example_text,
         |COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS n_tokens
         |FROM c GROUP BY 1, 2""".stripMargin,
+
+    // token-budget selection: q28's quality score ranks, prefix sum gates
+    "q83_token_budget" ->
+      """WITH f AS (
+        |SELECT doc_id,
+        |CASE WHEN LEN(TRIM(text)) = 0 THEN 0
+        |ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END AS n_tokens,
+        |CASE WHEN LEN(TRIM(text)) = 0 THEN 0.0 ELSE
+        |CAST(list_sum(list_transform(regexp_split_to_array(TRIM(text), '\s+'), x -> LEN(x))) AS DOUBLE)
+        |  / LEN(regexp_split_to_array(TRIM(text), '\s+')) END AS mean_token_len,
+        |CASE WHEN LEN(TRIM(text)) = 0 THEN 0.0 ELSE
+        |CAST(LEN(list_filter(regexp_split_to_array(TRIM(text), '\s+'),
+        |  t -> list_contains(['the','a','an','and','or','but','of','to','in','on','at','for','with','is','are','was','were','be','it','this','that','as','by','from','not','no','he','she','they','we','you','i'], LOWER(t)))) AS DOUBLE)
+        |  / LEN(regexp_split_to_array(TRIM(text), '\s+')) END AS stopword_ratio,
+        |CASE WHEN LEN(text) = 0 THEN 0.0 ELSE
+        |CAST(LEN(text) - LEN(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / LEN(text) END AS punct_ratio
+        |FROM documents),
+        |q AS (SELECT doc_id, n_tokens, ROUND((LEAST(stopword_ratio / 0.2, 1.0) * 0.4 +
+        |(1.0 - LEAST(ABS(mean_token_len - 5.0) / 5.0, 1.0)) * 0.3 +
+        |(1.0 - LEAST(punct_ratio / 0.2, 1.0)) * 0.3) *
+        |CASE WHEN n_tokens >= 5 THEN 1.0 ELSE 0.0 END, 6) AS score
+        |FROM f),
+        |r AS (SELECT doc_id, CAST(SUM(n_tokens) OVER (ORDER BY score DESC, doc_id
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens FROM q)
+        |SELECT doc_id, cum_tokens FROM r WHERE cum_tokens <= 10000""".stripMargin,
+
+    // top-k TF-IDF terms: tf * ln(N/df), 6-dp-rounded before ranking
+    "q84_tfidf_terms" ->
+      """WITH tok AS (
+        |SELECT doc_id, unnest(regexp_split_to_array(TRIM(text), '\s+')) AS term
+        |FROM documents WHERE LEN(TRIM(text)) > 0),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+        |dfr AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+        |sc AS (SELECT t.doc_id, t.term, t.tf,
+        |ROUND(t.tf * ln(CAST(n.n AS DOUBLE) / d.df), 6) AS tfidf
+        |FROM tf t JOIN dfr d ON t.term = d.term CROSS JOIN n),
+        |rk AS (SELECT doc_id, term, tf, tfidf,
+        |ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank FROM sc)
+        |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, tfidf, CAST(rank AS INT) AS rank
+        |FROM rk WHERE rank <= 5""".stripMargin,
 
     // sequence packing: prefix-sum token offsets cut every 2048 tokens
     "q78_seq_packing" ->

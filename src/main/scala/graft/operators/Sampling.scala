@@ -128,6 +128,30 @@ object Sampling {
     df.withColumn("pos", row_number().over(
       Window.orderBy(lcgPos(col(idCol), epoch), col(idCol))))
 
+  /** Token-budget selection: rank the corpus by `score` (descending,
+    * id tiebreak) and keep documents while the running token total
+    * stays within `budget` — "take the best docs until the training
+    * budget is full", the standard data-mixing step after quality
+    * scoring. Adds `cum_tokens` (the running total INCLUDING the row).
+    *
+    * One total-order sort + prefix-sum window; pass `shardCol` for an
+    * independent budget per shard (the per-shard window shape a 100 TB
+    * corpus wants, exactly like [[packSequences]]). Deterministic given
+    * a deterministic score — with [[graft.functions.TextFunctions
+    * .qualityScore]] (rounded, IEEE-exact ops) the DuckDB oracle
+    * reproduces the identical selection. */
+  def selectByBudget(df: DataFrame, budget: Long, score: Column,
+                     idCol: String = "doc_id", tokenCount: Column = null,
+                     shardCol: Column = null): DataFrame = {
+    val toks = Option(tokenCount)
+      .getOrElse(graft.functions.TextFunctions.tokenCount(col("text")))
+    val w0 = Option(shardCol).map(Window.partitionBy(_)).getOrElse(Window.partitionBy())
+    val w = w0.orderBy(score.desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_tokens", sum(toks).over(w))
+      .where(col("cum_tokens") <= budget)
+  }
+
   /** Sequence packing for training-context assembly
     * (concatenate-then-chunk): documents concatenate in `idCol` order
     * and the stream is cut every `capacity` tokens; each document gets

@@ -115,6 +115,32 @@ object TextAnalysis {
         col(textCol).substr(col("chunk_id") * stride + 1, lit(size)).as("chunk"))
   }
 
+  /** Top-k TF-IDF terms per document: tf = in-doc term count, idf =
+    * ln(N / docfreq), ranked per doc by the 6-dp-ROUNDED score (term
+    * tiebreak) — rounding before ranking makes the order robust to the
+    * 1-ulp `ln` differences between engines, so the DuckDB oracle
+    * reproduces the selection exactly.
+    *
+    * Scale shape: tokens explode map-side; (doc, term) counts partial-
+    * aggregate before the shuffle; the docfreq table (vocabulary-sized)
+    * broadcasts back; the final top-k is one per-doc window. No row
+    * ever carries more than (id, term, counts). */
+  def tfIdfTopTerms(docs: DataFrame, k: Int = 5,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col(idCol), explode(TF.tokens(col(textCol))).as("term"))
+    val tf = tok.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(countDistinct(col(idCol)).as("__n"))
+    tf.join(broadcast(docFreq), Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf") * log(col("__n").cast("double") / col("df")), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("term"))))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("tfidf"), col("rank"))
+  }
+
   /** 64-bit content fingerprints: SimHash + rolling-hash min-shingle,
     * both computed via explode/groupBy single passes. */
   def fingerprints(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

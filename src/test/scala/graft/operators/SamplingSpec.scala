@@ -72,6 +72,22 @@ class SamplingSpec extends SparkSpec {
     assert(out.toSeq == Seq(("s1", 0L, "a b\nc", 2L), ("s2", 0L, "d e\nf", 2L)))
   }
 
+  test("token-budget selection keeps the best-scored prefix within budget") {
+    import spark.implicits._
+    // scores: doc 3 best, then 1, then 2; tokens 3 each → budget 7 keeps 3,1
+    val docs = Seq((1L, "b b b", 2.0), (2L, "c c c", 1.0), (3L, "a a a", 3.0))
+      .toDF("doc_id", "text", "s")
+    val kept = Sampling.selectByBudget(docs, budget = 7L, score = col("s"))
+      .select("doc_id", "cum_tokens").as[(Long, Long)].collect().toMap
+    assert(kept == Map(3L -> 3L, 1L -> 6L))
+    // ties break by id: equal scores keep the smaller ids first
+    val tied = Seq((5L, "x x", 1.0), (4L, "y y", 1.0), (6L, "z z", 1.0))
+      .toDF("doc_id", "text", "s")
+    val keptTied = Sampling.selectByBudget(tied, budget = 4L, score = col("s"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptTied == Set(4L, 5L))
+  }
+
   test("decontaminate removes exactly the docs sharing a benchmark shingle") {
     val bench = docs.where(col("doc_id") < 5)
     val surviving = Dedup.decontaminate(docs, bench)

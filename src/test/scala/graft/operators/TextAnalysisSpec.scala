@@ -33,4 +33,20 @@ class TextAnalysisSpec extends SparkSpec {
     // reassembly: concatenating chunk starts covers every position
     assert(d1.map(_._3).mkString.length == 200 + 200 + 150)
   }
+
+  test("tf-idf ranks distinctive terms above corpus-wide ones") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // "the" appears in every doc (idf = ln(1) = 0); each doc's unique
+    // term must outrank it despite lower tf
+    val docs = Seq(
+      (1L, "the the the apple"), (2L, "the banana"), (3L, "the cherry")).toDF("doc_id", "text")
+    val top = TextAnalysis.tfIdfTopTerms(docs, k = 1)
+      .select(col("doc_id"), col("term")).as[(Long, String)].collect().toMap
+    assert(top == Map(1L -> "apple", 2L -> "banana", 3L -> "cherry"))
+    // k bounds the per-doc output and ranks are 1-based dense
+    val k2 = TextAnalysis.tfIdfTopTerms(docs, k = 2)
+      .select(col("doc_id"), col("rank")).as[(Long, Int)].collect()
+    assert(k2.groupBy(_._1).forall { case (_, rs) => rs.map(_._2).sorted.toSeq == Seq(1, 2) })
+  }
 }
