@@ -1143,6 +1143,19 @@ final class Engine(val catalog: Catalog) {
               case None => cur
             }
           }
+          // Mixed batches on small recursive SCCs: the fresh in-process
+          // fixpoint at the new state is cheaper than the DRed phases
+          // plus the insert continuation — try it before either.
+          if (deltaOf.nonEmpty && isRecursive) localSccFastPath(scc, sccRules) match {
+            case Some(out) =>
+              def of(rel: String): DataFrame =
+                out.getOrElse(rel, emptyFrame(byHead(rel).head.head.args.length))
+              scc.filter(_ != name).foreach { rel =>
+                memo(rel) = of(rel); cachePut(rel, of(rel))
+              }
+              return Some(of(name))
+            case None => ()
+          }
           // After the delete phase lands the per-member mid views:
           // pure-delete batches cache and return them; mixed batches
           // continue into the insert phase seeded from them.
@@ -1345,6 +1358,23 @@ final class Engine(val catalog: Catalog) {
       val cached = viewsNow(name)
       val arity = cached.columns.length
       val cols = (0 until arity).map(i => s"c$i")
+      // Small recursive SCCs: solve the NEW fixpoint in-process instead
+      // of paying 10+ driver-coordinated jobs for the distributed
+      // continuation — same bounded-collect gates (and distributed
+      // fallback) as full evaluation, and the fresh local fixpoint at
+      // the new state IS the maintained result. Non-recursive views
+      // skip this: their distributed continuation is already 1-2 jobs,
+      // cheaper than collecting a possibly-large base to the driver.
+      if (isRecursive) localSccFastPath(scc, sccRules) match {
+        case Some(out) =>
+          def of(rel: String): DataFrame =
+            out.getOrElse(rel, emptyFrame(byHead(rel).head.head.args.length))
+          scc.filter(_ != name).foreach { rel =>
+            memo(rel) = of(rel); cachePut(rel, of(rel))
+          }
+          return Some(of(name))
+        case None => ()
+      }
       // mutual recursion: SCC-joint continuation — seed each member with
       // its delta-bound derivations (SCC occurrences at `viewsNow`),
       // accumulators starting at viewsNow ∪ fresh.
