@@ -48,5 +48,10 @@ class TextAnalysisSpec extends SparkSpec {
     val k2 = TextAnalysis.tfIdfTopTerms(docs, k = 2)
       .select(col("doc_id"), col("rank")).as[(Long, Int)].collect()
     assert(k2.groupBy(_._1).forall { case (_, rs) => rs.map(_._2).sorted.toSeq == Seq(1, 2) })
+    // plan shape: the vocabulary-sized docfreq table broadcasts back —
+    // no shuffle join keyed on terms anywhere in the plan
+    val plan = TextAnalysis.tfIdfTopTerms(docs).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "docfreq join should broadcast")
+    assert(!plan.contains("SortMergeJoin"), "no term-keyed shuffle join expected")
   }
 }
