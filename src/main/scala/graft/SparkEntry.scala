@@ -828,6 +828,24 @@ object SparkEntry {
           |+sp(Y, min<D + W>) <- sp(X, D), wedge(X, Y, W)
           |?sp(X, D)
           |""".stripMargin).last
+    }),
+
+    // --- IQL: DECREMENTAL shortest path — edge deletes maintain the
+    //     cached label view by the suspect-cascade restart: labels with
+    //     a tight chain through a removed edge re-derive, everything
+    //     else provably keeps its exact value (EngineSpec asserts the
+    //     maintenance counter for this shape) ---------------------------
+    "q85_iql_decremental_sp" -> ((s, dir) => {
+      val e = iqlEngine(s, dir)
+      e.catalog.register("dwedge", graphEdges(s, dir).select(col("src"), col("dst"),
+        (pmod(col("src") * 7, lit(5)) + 1).as("w")))
+      e.run(
+        """+dsp[(0, 0)]
+          |+dsp(Y, min<D + W>) <- dsp(X, D), dwedge(X, Y, W)
+          |?dsp(X, D)
+          |""".stripMargin)
+      e.run("-dwedge[(0, 1, 1), (5, 10, 1)]")
+      e.run("?dsp(X, D)").last
     })
   )
 
@@ -1511,6 +1529,16 @@ object SparkEntry {
 
     "q52_iql_shortest_path" ->
       s"""WITH RECURSIVE e AS (SELECT src, dst, (src * 7) % 5 + 1 AS w FROM ($graphEdgesSql)),
+         |paths(n, d) AS (
+         |SELECT 0, 0
+         |UNION
+         |SELECT e.dst, p.d + e.w FROM paths p JOIN e ON p.n = e.src)
+         |SELECT n AS X, MIN(d) AS D FROM paths GROUP BY n""".stripMargin,
+
+    // decremental shortest path: labels over the graph minus two edges
+    "q85_iql_decremental_sp" ->
+      s"""WITH RECURSIVE e AS (SELECT src, dst, (src * 7) % 5 + 1 AS w FROM ($graphEdgesSql) t
+         |WHERE NOT (src = 0 AND dst = 1) AND NOT (src = 5 AND dst = 10)),
          |paths(n, d) AS (
          |SELECT 0, 0
          |UNION

@@ -785,7 +785,7 @@ final class Engine(val catalog: Catalog) {
         // with the delta-seeded improvements. Deletes can strictly
         // worsen labels → recompute.
         if (isRecursive) {
-          if (hasRemovals || scc.size > 1 || changedRels(name)) return None
+          if (scc.size > 1 || changedRels(name)) return None
           val specs = sccRules.map { r =>
             val idxs = r.head.args.zipWithIndex.collect { case (Agg(f, _), i) => (f, i) }
             if (idxs.size != 1) return None
@@ -802,6 +802,212 @@ final class Engine(val catalog: Catalog) {
             case Pos(a) => a.rel == name
             case _ => false
           })
+          val keys2 = cols.indices.filterNot(_ == aggIdx).map(cols)
+          def reduce2(df: DataFrame): DataFrame = {
+            val f = if (func == "min") min(col(cols(aggIdx))) else max(col(cols(aggIdx)))
+            val g = if (keys2.isEmpty) df.groupBy() else df.groupBy(keys2.map(col): _*)
+            g.agg(f.as(cols(aggIdx))).select(cols.map(col): _*)
+          }
+
+          // DELETE maintenance (decremental shortest/longest path —
+          // Ramalingam/Reps-style affected-region restart): labels whose
+          // every support may run through a removed tuple are SUSPECTS;
+          // the rest provably keep their exact value, and value
+          // iteration restarted from kept ∪ re-derived base labels
+          // converges to the new fixpoint exploring only the affected
+          // region. Soundness needs tight-derivation chains to be
+          // acyclic, which holds when every recursive step STRICTLY
+          // moves the label away from the base (`label + step` with
+          // step > 0): a label then never tightly supports itself.
+          // Gated shapes bail to recompute.
+          if (hasRemovals) {
+            if (deltaOf.nonEmpty) return None // mixed agg batches recompute
+            val removedOf: Map[String, DataFrame] = changedRels.flatMap { rl =>
+              val ds = changes.filter(c => c.rel == rl && c.removed != null).map(_.removed)
+              if (ds.isEmpty) None else Some(rl -> ds.reduce(_ union _).distinct())
+            }.toMap
+            if (removedOf.keySet != changedRels) return None
+            val baseRules2 = stripped.filterNot(recRules2.contains)
+            // base-rule support through removed tuples would need its own
+            // seed pass — rare (base = source facts), recompute instead
+            if (baseRules2.exists(_.body.exists {
+              case Pos(a) => changedRels(a.rel)
+              case Neg(a) => changedRels(a.rel)
+              case _ => false
+            })) return None
+            def toDbl(v: Any): Option[Double] = v match {
+              case i: Int => Some(i.toDouble)
+              case l: Long => Some(l.toDouble)
+              case f: Float => Some(f.toDouble)
+              case d: Double => Some(d)
+              case _ => None
+            }
+            // strict-progress gate per recursive rule: 2-atom body,
+            // agg term = labelVar + step, step a positive const or an
+            // other-atom column whose MINIMUM over the new state is > 0
+            // (one small aggregate — cheap next to a full recompute)
+            recRules2.foreach { r =>
+              val poss = r.body.collect { case Pos(a) => a }
+              if (r.body.length != poss.length || poss.length != 2) return None
+              val (recA, othA) =
+                if (poss(0).rel == name && poss(1).rel != name) (poss(0), poss(1))
+                else if (poss(1).rel == name && poss(0).rel != name) (poss(1), poss(0))
+                else return None
+              val dVar = recA.args(aggIdx) match {
+                case v: Var => v
+                case _ => return None
+              }
+              val step = r.head.args(aggIdx) match {
+                case Arith("+", Var(d), s) if d == dVar.name => s
+                case Arith("+", s, Var(d)) if d == dVar.name => s
+                case _ => return None
+              }
+              val stepPositive = step match {
+                case Const(c) => toDbl(c).exists(_ > 0)
+                case Var(w) =>
+                  othA.args.indexWhere {
+                    case Var(n) => n == w
+                    case _ => false
+                  } match {
+                    case -1 => false
+                    case j =>
+                      val e = resolve(othA.rel, othA.args.length)
+                      val mn = e.agg(min(col(e.columns(j)))).head.get(0)
+                      mn != null && toDbl(mn).exists(_ > 0)
+                  }
+                case _ => false
+              }
+              if (!stepPositive) return None
+            }
+            // Driver-local cascade: when the cached view, every rule's
+            // other-side relation, the removed tuples, and the base
+            // labels all fit on the driver, the suspect cascade AND the
+            // restarted value iteration run in one in-process pass —
+            // the distributed cascade below pays several Spark jobs per
+            // iteration for the same answer (the reference serves these
+            // deletes in milliseconds).
+            def localDecremental(): Option[DataFrame] = {
+              val shapes = aggShapes(name, recRules2, aggIdx).getOrElse(return None)
+              val arity = cols.length
+              val keyIdxs = (0 until arity).filterNot(_ == aggIdx)
+              def collectNorm(df: DataFrame): Option[Array[Seq[Any]]] =
+                Fixpoint.collectUpTo(df, Fixpoint.LocalEdgeRows)
+                  .map(_.map(_.toSeq.map(aggNorm)))
+              val cachedRows = collectNorm(cached.toDF(cols: _*)).getOrElse(return None)
+              // null/NaN labels break in-memory structural equality (the
+              // distributed tight-join compares with <=>) — let it run
+              if (cachedRows.exists(_.exists(v => v == null ||
+                (v.isInstanceOf[Double] && v.asInstanceOf[Double].isNaN)))) return None
+              val othRows: Seq[Array[Seq[Any]]] = shapes.map { case (_, _, oth) =>
+                collectNorm(resolve(oth.rel, oth.args.length)).getOrElse(return None)
+              }
+              val removedRows: Map[String, Array[Seq[Any]]] = removedOf.map {
+                case (rl, df) => rl -> collectNorm(df).getOrElse(return None)
+              }
+              val cachedSet = cachedRows.to(mutable.HashSet)
+              // suspect seeds: tight support THROUGH a removed tuple
+              val suspects = mutable.HashSet.empty[Seq[Any]]
+              shapes.foreach { case sh @ (_, _, othA) =>
+                removedRows.get(othA.rel).foreach { rm =>
+                  aggDerive(sh, rm, cachedRows, aggIdx).foreach { t =>
+                    if (cachedSet.contains(t)) suspects += t
+                  }
+                }
+              }
+              if (suspects.isEmpty) return Some(cached) // nothing was tight
+              // cascade: tight support FROM a suspect over current tuples
+              var frontier: Iterable[Seq[Any]] = suspects.toSeq
+              while (frontier.nonEmpty) {
+                graft.QueryGuard.checkCancelled()
+                val next = mutable.HashSet.empty[Seq[Any]]
+                shapes.zip(othRows).foreach { case (sh, rows) =>
+                  aggDerive(sh, rows, frontier, aggIdx).foreach { t =>
+                    if (cachedSet.contains(t) && !suspects.contains(t)) {
+                      suspects += t; next += t
+                    }
+                  }
+                }
+                frontier = next
+              }
+              // kept labels are provably exact; restart value iteration
+              // from kept ∪ re-derived base labels
+              val baseParts = baseRules2.map(deriveRule(_).toDF(cols: _*)) ++
+                baseOf(name).map(_.toDF(cols: _*)).toSeq
+              val baseRows = baseParts.flatMap(df => collectNorm(df).getOrElse(return None))
+              val betterV = aggBetter(func)
+              val dist = mutable.HashMap.empty[Seq[Any], Any]
+              val startFrontier = mutable.HashSet.empty[Seq[Any]]
+              (cachedRows.iterator.filterNot(suspects.contains) ++ baseRows.iterator)
+                .foreach { t =>
+                  val k = keyIdxs.map(t)
+                  val v = t(aggIdx)
+                  if (v == null || k.contains(null)) ()
+                  else if (!v.isInstanceOf[Long] && !v.isInstanceOf[Double]) return None
+                  else if (!dist.contains(k) || betterV(v, dist(k))) {
+                    dist(k) = v; startFrontier += k
+                  }
+                }
+              if (!aggRelax(shapes, othRows, aggIdx, arity, betterV, dist, startFrontier))
+                return None
+              Some(aggResultDf(dist, cached.toDF(cols: _*).schema, aggIdx))
+            }
+            localDecremental() match {
+              case Some(df) => return Some(df)
+              case None => ()
+            }
+            // cached rows structurally equal to a derived candidate =
+            // labels with that tight support
+            def tight(derived: DataFrame): DataFrame =
+              cached.alias("__c").join(derived.alias("__d"),
+                cols.map(c => col(s"__c.$c") <=> col(s"__d.$c")).reduce(_ && _),
+                "left_semi")
+            // seeds: tight support THROUGH a removed tuple (sp at cached)
+            val seedParts = recRules2.flatMap { r =>
+              r.body.collect { case Pos(a) if removedOf.contains(a.rel) => a.rel }
+                .map { rmRel =>
+                  val resolver: RuleCompiler.Resolver = (nm, ar) =>
+                    if (nm == name) cached
+                    else if (nm == rmRel) removedOf(nm)
+                    else resolve(nm, ar)
+                  deriveRule(r, resolver).toDF(cols: _*)
+                }
+            }
+            if (seedParts.isEmpty) return Some(cached) // no rule sees a removal
+            var suspects = Fixpoint.materialize(
+              tight(seedParts.reduce(_ union _).distinct()))
+            if (suspects.count == 0) return Some(cached) // nothing was tight
+            // cascade: tight support FROM a suspect over remaining tuples
+            var frontier = suspects
+            Fixpoint.withLoopConf(catalog.spark) {
+              var iter = 0
+              while (frontier.count > 0 && iter < 10000) {
+                graft.QueryGuard.checkCancelled()
+                iter += 1
+                Fixpoint.sizeShuffle(catalog.spark, frontier.count)
+                val parts = recRules2.map { r =>
+                  val resolver: RuleCompiler.Resolver = (nm, ar) =>
+                    if (nm == name) frontier.df else resolve(nm, ar)
+                  deriveRule(r, resolver).toDF(cols: _*)
+                }
+                val next = Fixpoint.materialize(Fixpoint.antiNullSafe(
+                  tight(parts.reduce(_ union _).distinct()), suspects.df))
+                if (next.count > 0)
+                  suspects = Fixpoint.materialize(suspects.df.union(next.df))
+                frontier = next
+              }
+            }
+            val kept = Fixpoint.antiNullSafe(cached, suspects.df)
+            val baseParts = baseRules2.map(deriveRule(_).toDF(cols: _*)) ++
+              baseOf(name).map(_.toDF(cols: _*)).toSeq
+            val start = Fixpoint.materialize(reduce2(
+              (baseParts :+ kept).reduce(_ union _)))
+            localAggFastPath(name, recRules2, start, func, aggIdx) match {
+              case Some(df) => return Some(df)
+              case None =>
+                return Some(runAggLoop(name, recRules2, cols, func, aggIdx, start, start))
+            }
+          }
+
           val contribs = stripped.flatMap { r =>
             r.body.zipWithIndex.collect {
               case (Pos(a), i) if changedRels(a.rel) =>
@@ -809,12 +1015,6 @@ final class Engine(val catalog: Catalog) {
             }
           }
           if (contribs.isEmpty) return Some(cached)
-          val keys2 = cols.indices.filterNot(_ == aggIdx).map(cols)
-          def reduce2(df: DataFrame): DataFrame = {
-            val f = if (func == "min") min(col(cols(aggIdx))) else max(col(cols(aggIdx)))
-            val g = if (keys2.isEmpty) df.groupBy() else df.groupBy(keys2.map(col): _*)
-            g.agg(f.as(cols(aggIdx))).select(cols.map(col): _*)
-          }
           val better: (Column, Column) => Column =
             if (func == "min") (n, o) => n < o else (n, o) => n > o
           val cand = Fixpoint.materialize(reduce2(contribs.reduce(_ union _)))
@@ -2250,12 +2450,97 @@ final class Engine(val catalog: Catalog) {
         seeds: Fixpoint.Mat, func: String, aggIdx: Int): Option[DataFrame] = {
       import org.apache.spark.sql.types._
       if (seeds.count > Fixpoint.LocalEdgeRows) return None
+      val shapes = aggShapes(rel, recRules, aggIdx).getOrElse(return None)
+      seeds.df.schema.fields(aggIdx).dataType match {
+        case _: NumericType => ()
+        case _ => return None
+      }
+      // collect the non-recursive side of each rule
+      val otherRows: Seq[Array[Seq[Any]]] = shapes.map { case (_, _, oth) =>
+        val m = Fixpoint.materialize(resolve(oth.rel, oth.args.length))
+        if (m.count > Fixpoint.LocalEdgeRows) return None
+        m.df.collect().map(_.toSeq.map(aggNorm))
+      }
+      val betterV = aggBetter(func)
+      // Bellman-Ford over (group-keys → best value)
+      val arity = seeds.df.columns.length
+      val keyIdxs = (0 until arity).filterNot(_ == aggIdx)
+      val dist = mutable.HashMap.empty[Seq[Any], Any]
+      val frontier = mutable.HashSet.empty[Seq[Any]]
+      seeds.df.collect().foreach { row =>
+        val vs = row.toSeq.map(aggNorm)
+        val k = keyIdxs.map(vs)
+        val v = vs(aggIdx)
+        if (v == null) () // null seed values can never win a min/max
+        else if (!v.isInstanceOf[Long] && !v.isInstanceOf[Double]) return None
+        else if (!dist.contains(k) || betterV(v, dist(k))) {
+          dist(k) = v; frontier += k
+        }
+      }
+      if (!aggRelax(shapes, otherRows, aggIdx, arity, betterV, dist, frontier))
+        return None
+      Some(aggResultDf(dist, seeds.df.schema, aggIdx))
+    }
+
+    /** Normalization for the in-memory aggregate solvers: Spark rows
+      * carry Int/Float where the solvers compare Long/Double. */
+    private def aggNorm(v: Any): Any = v match {
+      case i: Int => i.toLong
+      case f: Float => f.toDouble
+      case other => other
+    }
+
+    private def aggToD(v: Any): Double = v match {
+      case l: Long => l.toDouble
+      case d: Double => d
+      case other => other.toString.toDouble
+    }
+
+    private def aggBetter(func: String): (Any, Any) => Boolean =
+      if (func == "min") (n, o) => aggToD(n) < aggToD(o)
+      else (n, o) => aggToD(n) > aggToD(o)
+
+    private def aggEvalT(t: Term, env: collection.Map[String, Any]): Any = t match {
+      case Var(n) => env.getOrElse(n, null)
+      case Const(v) => aggNorm(v)
+      case Arith(op, l, r) =>
+        val (a, b) = (aggEvalT(l, env), aggEvalT(r, env))
+        if (a == null || b == null) null
+        else op match {
+          case "/" => val bd = aggToD(b); if (bd == 0.0) null else aggToD(a) / bd
+          case "%" => (a, b) match {
+            case (_, y: Long) if y == 0L => null
+            case (_, y: Double) if y == 0.0 => null
+            case (x: Long, y: Long) => x % y
+            case _ => aggToD(a) % aggToD(b)
+          }
+          case _ => (a, b) match {
+            case (x: Long, y: Long) => op match {
+              case "+" => x + y; case "-" => x - y; case "*" => x * y
+              case _ => return null
+            }
+            case _ =>
+              val (x, y) = (aggToD(a), aggToD(b))
+              op match {
+                case "+" => x + y; case "-" => x - y; case "*" => x * y
+                case _ => return null
+              }
+          }
+        }
+      case _ => null
+    }
+
+    /** Shape gate shared by [[localAggFastPath]] and the driver-local
+      * decremental cascade: every recursive rule is the 2-atom
+      * `rel(distinct vars), other(vars/consts)` with a var-only head
+      * apart from an arithmetic aggregate term. */
+    private def aggShapes(rel: String, recRules: Seq[Rule], aggIdx: Int)
+        : Option[Seq[(Rule, Atom, Atom)]] = {
       def exprOk(t: Term): Boolean = t match {
         case _: Var | _: Const => true
         case Arith(_, l, r) => exprOk(l) && exprOk(r)
         case _ => false
       }
-      // shape-check every recursive rule
       val shapes = recRules.map { r =>
         val poss = r.body.collect { case Pos(a) => a }
         if (r.body.length != poss.length || poss.length != 2) return None
@@ -2273,127 +2558,106 @@ final class Engine(val catalog: Catalog) {
         if (!headOk) return None
         (r, recA, othA)
       }
-      seeds.df.schema.fields(aggIdx).dataType match {
-        case _: NumericType => ()
-        case _ => return None
-      }
-      def norm(v: Any): Any = v match {
-        case i: Int => i.toLong
-        case f: Float => f.toDouble
-        case other => other
-      }
-      // collect the non-recursive side of each rule
-      val otherRows: Seq[Array[Seq[Any]]] = shapes.map { case (_, _, oth) =>
-        val m = Fixpoint.materialize(resolve(oth.rel, oth.args.length))
-        if (m.count > Fixpoint.LocalEdgeRows) return None
-        m.df.collect().map(_.toSeq.map(norm))
-      }
-      def toD(v: Any): Double = v match {
-        case l: Long => l.toDouble
-        case d: Double => d
-        case other => other.toString.toDouble
-      }
-      val betterV: (Any, Any) => Boolean =
-        if (func == "min") (n, o) => toD(n) < toD(o) else (n, o) => toD(n) > toD(o)
-      def evalT(t: Term, env: collection.Map[String, Any]): Any = t match {
-        case Var(n) => env.getOrElse(n, null)
-        case Const(v) => norm(v)
-        case Arith(op, l, r) =>
-          val (a, b) = (evalT(l, env), evalT(r, env))
-          if (a == null || b == null) null
-          else op match {
-            case "/" => val bd = toD(b); if (bd == 0.0) null else toD(a) / bd
-            case "%" => (a, b) match {
-              case (_, y: Long) if y == 0L => null
-              case (_, y: Double) if y == 0.0 => null
-              case (x: Long, y: Long) => x % y
-              case _ => toD(a) % toD(b)
-            }
-            case _ => (a, b) match {
-              case (x: Long, y: Long) => op match {
-                case "+" => x + y; case "-" => x - y; case "*" => x * y
-                case _ => return null
+      Some(shapes)
+    }
+
+    /** One derivation step of a 2-atom shape: bind the recursive atom to
+      * each full-arity tuple, match the other atom against othRows, emit
+      * the full head tuple. Tuples with a null key or value derive
+      * nothing, mirroring the distributed join's null-key drops. */
+    private def aggDerive(shape: (Rule, Atom, Atom), othRows: Array[Seq[Any]],
+        recTuples: Iterable[Seq[Any]], aggIdx: Int): Iterator[Seq[Any]] = {
+      val (r, recA, othA) = shape
+      val arity = r.head.args.length
+      recTuples.iterator.flatMap { t =>
+        val env0 = mutable.HashMap.empty[String, Any]
+        recA.args.zipWithIndex.foreach {
+          case (Var(n), i) => env0(n) = t(i)
+          case _ => ()
+        }
+        othRows.iterator.flatMap { orow =>
+          var ok = true
+          val env = env0.clone()
+          othA.args.zipWithIndex.foreach {
+            case (Const(c), i) => if (aggNorm(c) != orow(i)) ok = false
+            case (Var(n), i) =>
+              env.get(n) match {
+                case Some(b) => if (b != orow(i)) ok = false
+                case None => env(n) = orow(i)
               }
-              case _ =>
-                val (x, y) = (toD(a), toD(b))
-                op match {
-                  case "+" => x + y; case "-" => x - y; case "*" => x * y
-                  case _ => return null
-                }
-            }
+            case _ => ok = false
           }
-        case _ => null
-      }
-      // Bellman-Ford over (group-keys → best value)
-      val arity = seeds.df.columns.length
-      val keyIdxs = (0 until arity).filterNot(_ == aggIdx)
-      val dist = mutable.HashMap.empty[Seq[Any], Any]
-      var frontier = mutable.HashSet.empty[Seq[Any]]
-      seeds.df.collect().foreach { row =>
-        val vs = row.toSeq.map(norm)
-        val k = keyIdxs.map(vs)
-        val v = vs(aggIdx)
-        if (v == null) () // null seed values can never win a min/max
-        else if (!v.isInstanceOf[Long] && !v.isInstanceOf[Double]) return None
-        else if (!dist.contains(k) || betterV(v, dist(k))) {
-          dist(k) = v; frontier += k
+          if (!ok) None
+          else {
+            val out = new Array[Any](arity)
+            var good = true
+            r.head.args.zipWithIndex.foreach { case (term, i) =>
+              val v =
+                if (i == aggIdx) aggEvalT(term, env)
+                else term match {
+                  case Var(n) => env.getOrElse(n, null)
+                  case _ => null
+                }
+              if (v == null) good = false
+              out(i) = v
+            }
+            if (good) Some(out.toSeq) else None
+          }
         }
       }
+    }
+
+    /** In-place value-iteration relaxation over (group key → best
+      * value). Returns false past the local group bound (the caller
+      * falls back to the distributed loop). */
+    private def aggRelax(shapes: Seq[(Rule, Atom, Atom)],
+        otherRows: Seq[Array[Seq[Any]]], aggIdx: Int, arity: Int,
+        betterV: (Any, Any) => Boolean,
+        dist: mutable.HashMap[Seq[Any], Any],
+        frontier0: mutable.HashSet[Seq[Any]]): Boolean = {
+      val keyIdxs = (0 until arity).filterNot(_ == aggIdx)
       // derived-group count can be quadratic in the inputs (all-pairs
       // shortest path); past this bound the distributed path must run
       val MaxLocalGroups = 2000000
+      var frontier: collection.Set[Seq[Any]] = frontier0
       var rounds = 0
       while (frontier.nonEmpty && rounds < 100000) {
         graft.QueryGuard.checkCancelled()
         rounds += 1
-        if (dist.size > MaxLocalGroups) return None
+        if (dist.size > MaxLocalGroups) return false
         val next = mutable.HashSet.empty[Seq[Any]]
-        shapes.zip(otherRows).foreach { case ((r, recA, othA), rows) =>
-          val groupTerms = r.head.args.zipWithIndex.collect {
-            case (v: Var, i) if i != aggIdx => v
-          }
-          val valueTerm = r.head.args(aggIdx)
-          frontier.foreach { k =>
-            val tupleVals = {
-              val arr = new Array[Any](arity)
-              keyIdxs.zip(k).foreach { case (i, v) => arr(i) = v }
-              arr(aggIdx) = dist(k)
-              arr
-            }
-            val env0 = mutable.HashMap.empty[String, Any]
-            recA.args.zipWithIndex.foreach { case (Var(n), i) => env0(n) = tupleVals(i)
-              case _ => () }
-            rows.foreach { orow =>
-              var ok = true
-              val env = env0.clone()
-              othA.args.zipWithIndex.foreach {
-                case (Const(c), i) => if (norm(c) != orow(i)) ok = false
-                case (Var(n), i) =>
-                  env.get(n) match {
-                    case Some(b) => if (b != orow(i)) ok = false
-                    case None => env(n) = orow(i)
-                  }
-                case _ => ok = false
-              }
-              if (ok) {
-                val hk = groupTerms.map(g => env.getOrElse(g.name, null))
-                val hv = evalT(valueTerm, env)
-                if (hv != null && !hk.contains(null) &&
-                  (!dist.contains(hk) || betterV(hv, dist(hk)))) {
-                  dist(hk) = hv
-                  next += hk
-                }
-              }
+        shapes.zip(otherRows).foreach { case (shape, rows) =>
+          val recTuples = frontier.iterator.map { k =>
+            val arr = new Array[Any](arity)
+            keyIdxs.zip(k).foreach { case (i, v) => arr(i) = v }
+            arr(aggIdx) = dist(k)
+            arr.toSeq
+          }.toSeq
+          aggDerive(shape, rows, recTuples, aggIdx).foreach { tup =>
+            val hk = keyIdxs.map(tup)
+            val hv = tup(aggIdx)
+            if (!dist.contains(hk) || betterV(hv, dist(hk))) {
+              dist(hk) = hv
+              next += hk
             }
           }
         }
         frontier = next
       }
       if (rounds >= 100000)
-        throw new IllegalStateException(s"recursive aggregate $rel did not converge")
-      // values may have been promoted to Double by / — pick the schema
+        throw new IllegalStateException("recursive aggregate did not converge")
+      true
+    }
+
+    /** Parallelize a solved (group key → best value) map back to a
+      * frame; values may have been promoted to Double by `/`. */
+    private def aggResultDf(dist: mutable.HashMap[Seq[Any], Any],
+        seedSchema: org.apache.spark.sql.types.StructType, aggIdx: Int): DataFrame = {
+      import org.apache.spark.sql.types._
+      val arity = seedSchema.fields.length
+      val keyIdxs = (0 until arity).filterNot(_ == aggIdx)
       val allLong = dist.valuesIterator.forall(_.isInstanceOf[Long])
-      val outSchema = StructType(seeds.df.schema.fields.zipWithIndex.map {
+      val outSchema = StructType(seedSchema.fields.zipWithIndex.map {
         case (f, i) =>
           if (i == aggIdx) f.copy(dataType = if (allLong) LongType else DoubleType)
           else f.copy(dataType = f.dataType match {
@@ -2405,12 +2669,12 @@ final class Engine(val catalog: Catalog) {
       val out = dist.iterator.map { case (k, v) =>
         val arr = new Array[Any](arity)
         keyIdxs.zip(k).foreach { case (i, kv) => arr(i) = kv }
-        arr(aggIdx) = if (allLong) v else toD(v)
+        arr(aggIdx) = if (allLong) v else aggToD(v)
         org.apache.spark.sql.Row.fromSeq(arr.toSeq)
       }.toSeq
-      Some(catalog.spark.createDataFrame(
+      catalog.spark.createDataFrame(
         catalog.spark.sparkContext.parallelize(out,
-          Fixpoint.parallelizeParts(out.size.toLong)), outSchema))
+          Fixpoint.parallelizeParts(out.size.toLong)), outSchema)
     }
   }
 }

@@ -514,6 +514,35 @@ class EngineSpec extends SparkSpec {
     } finally LocalEval.disabled = false
   }
 
+  test("decremental shortest path: edge deletes maintain via suspect restart") {
+    val e = new Engine(new Catalog(spark))
+    e.run(
+      """+we[(1, 2, 1), (2, 3, 1), (1, 3, 5), (3, 4, 1)]
+        |+sp(1, 0)
+        |+sp(Y, min<D + W>) <- sp(X, D), we(X, Y, W)
+        |""".stripMargin)
+    assert(rows(e.run("?sp(X, D)").last) ==
+      Set(Seq(1L, 0L), Seq(2L, 1L), Seq(3L, 2L), Seq(4L, 3L)))
+    val before = e.maintainedCount
+    // dropping the tight 2→3 edge reroutes 3 (and its dependent 4)
+    // through the direct 5-weight edge; 1 and 2 keep their labels
+    e.run("-we[(2, 3, 1)]")
+    assert(rows(e.run("?sp(X, D)").last) ==
+      Set(Seq(1L, 0L), Seq(2L, 1L), Seq(3L, 5L), Seq(4L, 6L)))
+    assert(e.maintainedCount == before + 1, "edge delete recomputed, not maintained")
+    // deleting the only remaining path to 3 drops 3 and 4 entirely
+    e.run("-we[(1, 3, 5)]")
+    assert(rows(e.run("?sp(X, D)").last) == Set(Seq(1L, 0L), Seq(2L, 1L)))
+    assert(e.maintainedCount == before + 2)
+    // a delete that touches no tight support changes nothing
+    e.run("+we[(1, 2, 9)]") // slack alternative
+    e.run("?sp(X, D)")
+    val c2 = e.maintainedCount
+    e.run("-we[(1, 2, 9)]")
+    assert(rows(e.run("?sp(X, D)").last) == Set(Seq(1L, 0L), Seq(2L, 1L)))
+    assert(e.maintainedCount == c2 + 1, "slack-edge delete should maintain trivially")
+  }
+
   test("incremental maintenance: NaN group keys merge as one group") {
     // Spark's groupBy (and the full_outer <=> fallback) treat NaN keys
     // as one group; the driver-local merge must too, or a NaN-keyed

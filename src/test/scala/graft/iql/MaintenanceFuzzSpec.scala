@@ -89,6 +89,15 @@ class MaintenanceFuzzSpec extends SparkSpec {
       e2.run(s"+e[$ins]")
       assert(maintained == rows(e2.run("?sp(X, D)").last),
         s"case $i diverged after +e[$ins]:\n$prog")
+
+      // decremental: delete 1-2 edges (suspect-cascade restart path)
+      val dels = Seq.fill(1 + rng.nextInt(2))(edgeSet(rng.nextInt(edgeSet.size)))
+        .distinct.map { case (a, b, w) => s"($a, $b, $w)" }.mkString(",")
+      e1.run(s"-e[$dels]")
+      val afterDel = rows(e1.run("?sp(X, D)").last)
+      e2.run(s"-e[$dels]")
+      assert(afterDel == rows(e2.run("?sp(X, D)").last),
+        s"case $i diverged after -e[$dels]:\n$prog")
     }
   }
 }
