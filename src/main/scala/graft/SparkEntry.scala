@@ -846,7 +846,18 @@ object SparkEntry {
           |""".stripMargin)
       e.run("-dwedge[(0, 1, 1), (5, 10, 1)]")
       e.run("?dsp(X, D)").last
-    })
+    }),
+
+    // --- pipeline: cross-document boilerplate coverage — 5-token
+    //     shingles occurring in ≥2 distinct docs are template/near-dup
+    //     content; per-doc coverage ratio ------------------------------
+    "q86_boilerplate" -> ((s, dir) =>
+      TextAnalysis.boilerplate(T(s, dir, "documents"), n = 5, minDf = 2)),
+
+    // --- pipeline: corpus-trained unigram-LM scoring — mean ln p(t)
+    //     per document, the perplexity-style quality signal -------------
+    "q87_unigram_lm" -> ((s, dir) =>
+      TextAnalysis.unigramLogProb(T(s, dir, "documents")))
   )
 
   private val ivfCentroidCache =
@@ -1544,6 +1555,34 @@ object SparkEntry {
          |UNION
          |SELECT e.dst, p.d + e.w FROM paths p JOIN e ON p.n = e.src)
          |SELECT n AS X, MIN(d) AS D FROM paths GROUP BY n""".stripMargin,
+
+    // boilerplate coverage: df counts over STRING shingles — identical
+    // to the Spark side's hash-shingle counts (collision-free at scale)
+    "q86_boilerplate" ->
+      """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts
+        |            FROM documents WHERE length(trim(text)) > 0),
+        |sh AS (SELECT doc_id,
+        |       unnest(list_transform(generate_series(1, len(ts) - 4),
+        |              p -> list_aggr(ts[p:p+4], 'string_agg', ' '))) AS s
+        |       FROM tok),
+        |df AS (SELECT s, count(DISTINCT doc_id) AS df FROM sh GROUP BY s),
+        |per AS (SELECT sh.doc_id, count(*) AS n_sh,
+        |        sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS n_b
+        |        FROM sh JOIN df USING (s) GROUP BY sh.doc_id)
+        |SELECT d.doc_id, COALESCE(per.n_sh, 0)::BIGINT AS n_shingles,
+        |       COALESCE(per.n_b, 0)::BIGINT AS n_boiler,
+        |       CASE WHEN COALESCE(per.n_sh, 0) = 0 THEN 0.0
+        |            ELSE round(per.n_b / per.n_sh::DOUBLE, 6) END AS boiler_ratio
+        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin,
+
+    "q87_unigram_lm" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        |             FROM documents WHERE length(trim(text)) > 0),
+        |cnt AS (SELECT t, count(*)::DOUBLE AS c FROM tok GROUP BY t),
+        |tot AS (SELECT sum(c) AS tt FROM cnt)
+        |SELECT tok.doc_id, count(*) AS n_tokens, round(avg(ln(cnt.c / tot.tt)), 6) AS logprob
+        |FROM tok JOIN cnt ON tok.t = cnt.t CROSS JOIN tot
+        |GROUP BY tok.doc_id""".stripMargin,
 
     "q53_iql_incremental" ->
       s"""WITH RECURSIVE e AS ($graphEdgesSql

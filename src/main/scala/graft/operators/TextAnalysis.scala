@@ -141,6 +141,60 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tf"), col("tfidf"), col("rank"))
   }
 
+  /** Cross-document boilerplate coverage (template/near-dup content
+    * detection, the n-gram analogue of CCNet-style repeated-line
+    * removal): a token n-gram shingle occurring in at least `minDf`
+    * distinct documents is boilerplate; per document report total
+    * shingle positions, boilerplate positions, and the coverage ratio.
+    *
+    * Scale shape: positions explode to (id, 8-byte shingle hash) — the
+    * shuffle never carries text; docfreq partial-aggregates map-side;
+    * the boilerplate set (≤ vocabulary-sized) broadcasts back. The
+    * ratio is hash-value-independent, so the DuckDB oracle computes the
+    * same counts over string shingles. */
+  def boilerplate(docs: DataFrame, n: Int = 5, minDf: Int = 2,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("id"),
+        explode(TF.wordShingleHashes(TF.tokens(col(textCol)), n)).as("h"))
+    val boiler = sh.groupBy("h").agg(countDistinct(col("id")).as("df"))
+      .where(col("df") >= minDf).select(col("h"), lit(1L).as("__b"))
+    val per = sh.join(broadcast(boiler), Seq("h"), "left")
+      .groupBy("id").agg(
+        count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__b"), lit(0L))).as("n_boiler"))
+    docs.select(col(idCol).as("id")).join(per, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        when(coalesce(col("n_shingles"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(round(col("n_boiler").cast("double") / col("n_shingles"), 6))
+          .as("boiler_ratio"))
+  }
+
+  /** Corpus-trained unigram-LM document scoring (the CCNet/Gopher
+    * perplexity-style quality signal, with the LM trained on the corpus
+    * itself): p(t) = count(t) / total tokens, score = mean over the
+    * document's token positions of ln p(t) — higher (less negative) =
+    * more typical text. Rounded to 6 dp so the DuckDB oracle's `ln`
+    * and summation order reproduce the value exactly.
+    *
+    * Scale shape: one explode to (id, token); the count table is
+    * vocabulary-sized and broadcasts back; per-doc mean is one
+    * partial-aggregated shuffle on id. Documents with no tokens are
+    * dropped (no positions to average). */
+  def unigramLogProb(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col(idCol), explode(TF.tokens(col(textCol))).as("t"))
+    val cnt = tok.groupBy("t").agg(count(lit(1)).cast("double").as("c"))
+    val tot = cnt.agg(sum(col("c")).as("__tt"))
+    tok.join(broadcast(cnt), Seq("t"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_tokens"),
+        round(avg(log(col("c") / col("__tt"))), 6).as("logprob"))
+  }
+
   /** 64-bit content fingerprints: SimHash + rolling-hash min-shingle,
     * both computed via explode/groupBy single passes. */
   def fingerprints(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

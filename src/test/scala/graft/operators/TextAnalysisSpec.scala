@@ -54,4 +54,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), "docfreq join should broadcast")
     assert(!plan.contains("SortMergeJoin"), "no term-keyed shuffle join expected")
   }
+
+  test("boilerplate flags shingles shared across documents") {
+    val shared = "alpha beta gamma delta epsilon" // one 5-shingle, in 2 docs
+    val docs = Seq(
+      (1L, shared + " zeta"),        // 2 shingles, 1 boilerplate
+      (2L, shared),                  // 1 shingle, boilerplate
+      (3L, "unique words only here now and then"), // 3 shingles, none shared
+      (4L, "too short"),             // < 5 tokens → 0 shingles
+      (5L, "")).toDF("doc_id", "text")
+    val r = rows(TextAnalysis.boilerplate(docs, n = 5, minDf = 2))
+    assert(r.contains(Seq(1L, 2L, 1L, 0.5)))
+    assert(r.contains(Seq(2L, 1L, 1L, 1.0)))
+    assert(r.contains(Seq(3L, 3L, 0L, 0.0)))
+    assert(r.contains(Seq(4L, 0L, 0L, 0.0)))
+    assert(r.contains(Seq(5L, 0L, 0L, 0.0)))
+    // the docfreq join-back must broadcast, never shuffle the positions
+    val plan = TextAnalysis.boilerplate(docs).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "boilerplate set should broadcast")
+  }
+
+  test("unigram LM scores typical docs above rare-token docs") {
+    val docs = Seq(
+      (1L, "the the the the"),   // most frequent token → highest logprob
+      (2L, "the the rare1 rare2"),
+      (3L, "")).toDF("doc_id", "text")
+    val r = TextAnalysis.unigramLogProb(docs)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    // p(the)=6/8, p(rare)=1/8; doc1 = ln(0.75), doc2 = (2 ln .75 + 2 ln .125)/4
+    val d1 = math.log(6.0 / 8)
+    val d2 = (2 * math.log(6.0 / 8) + 2 * math.log(1.0 / 8)) / 4
+    assert(r(1L)._1 == 4L && math.abs(r(1L)._2 - d1) < 1e-5)
+    assert(r(2L)._1 == 4L && math.abs(r(2L)._2 - d2) < 1e-5)
+    assert(!r.contains(3L), "empty docs have no positions to average")
+    assert(r(1L)._2 > r(2L)._2)
+  }
 }
