@@ -809,29 +809,32 @@ final class Engine(val catalog: Catalog) {
             g.agg(f.as(cols(aggIdx))).select(cols.map(col): _*)
           }
 
-          // DELETE maintenance (decremental shortest/longest path —
-          // Ramalingam/Reps-style affected-region restart): labels whose
-          // every support may run through a removed tuple are SUSPECTS;
-          // the rest provably keep their exact value, and value
-          // iteration restarted from kept ∪ re-derived base labels
-          // converges to the new fixpoint exploring only the affected
-          // region. Soundness needs tight-derivation chains to be
-          // acyclic, which holds when every recursive step STRICTLY
-          // moves the label away from the base (`label + step` with
-          // step > 0): a label then never tightly supports itself.
-          // Gated shapes bail to recompute.
+          // DELETE (and mixed) maintenance — decremental shortest/
+          // longest path, Ramalingam/Reps-style affected-region restart:
+          // labels whose tight derivation may run through a removed
+          // tuple are SUSPECTS; the rest provably keep their exact
+          // value, and value iteration restarted from kept ∪ re-derived
+          // base labels over the NEW state converges to the new
+          // fixpoint exploring only the affected region. Inserts ride
+          // along for free: the restart relaxes over the post-batch
+          // state, and kept labels are achievable there (an upper
+          // bound), which with strictly positive steps pins the unique
+          // fixpoint. Soundness of "kept" needs tight-derivation chains
+          // to be acyclic, which holds when every recursive step
+          // STRICTLY moves the label away from the base (`label + step`
+          // with step > 0). Gated shapes bail to recompute.
           if (hasRemovals) {
-            if (deltaOf.nonEmpty) return None // mixed agg batches recompute
             val removedOf: Map[String, DataFrame] = changedRels.flatMap { rl =>
               val ds = changes.filter(c => c.rel == rl && c.removed != null).map(_.removed)
               if (ds.isEmpty) None else Some(rl -> ds.reduce(_ union _).distinct())
             }.toMap
-            if (removedOf.keySet != changedRels) return None
             val baseRules2 = stripped.filterNot(recRules2.contains)
-            // base-rule support through removed tuples would need its own
-            // seed pass — rare (base = source facts), recompute instead
+            // base-rule support through a removed tuple would need its
+            // own seed pass — rare (base = source facts), recompute
+            // instead. Insert-only changes are fine: the restart
+            // re-derives base labels over the new state.
             if (baseRules2.exists(_.body.exists {
-              case Pos(a) => changedRels(a.rel)
+              case Pos(a) => removedOf.contains(a.rel)
               case Neg(a) => changedRels(a.rel)
               case _ => false
             })) return None
@@ -914,7 +917,9 @@ final class Engine(val catalog: Catalog) {
                   }
                 }
               }
-              if (suspects.isEmpty) return Some(cached) // nothing was tight
+              // no tight support lost and nothing inserted → unchanged;
+              // with inserts the restart below still has to relax them in
+              if (suspects.isEmpty && deltaOf.isEmpty) return Some(cached)
               // cascade: tight support FROM a suspect over current tuples
               var frontier: Iterable[Seq[Any]] = suspects.toSeq
               while (frontier.nonEmpty) {
@@ -972,10 +977,13 @@ final class Engine(val catalog: Catalog) {
                   deriveRule(r, resolver).toDF(cols: _*)
                 }
             }
-            if (seedParts.isEmpty) return Some(cached) // no rule sees a removal
+            if (seedParts.isEmpty && deltaOf.isEmpty)
+              return Some(cached) // no rule sees a removal, no inserts
             var suspects = Fixpoint.materialize(
-              tight(seedParts.reduce(_ union _).distinct()))
-            if (suspects.count == 0) return Some(cached) // nothing was tight
+              if (seedParts.isEmpty) cached.limit(0)
+              else tight(seedParts.reduce(_ union _).distinct()))
+            if (suspects.count == 0 && deltaOf.isEmpty)
+              return Some(cached) // nothing was tight
             // cascade: tight support FROM a suspect over remaining tuples
             var frontier = suspects
             Fixpoint.withLoopConf(catalog.spark) {

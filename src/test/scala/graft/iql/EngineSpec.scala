@@ -543,6 +543,33 @@ class EngineSpec extends SparkSpec {
     assert(e.maintainedCount == c2 + 1, "slack-edge delete should maintain trivially")
   }
 
+  test("mixed delete+insert batch maintains min-agg views in one restart") {
+    val e = new Engine(new Catalog(spark))
+    e.run(
+      """+me[(1, 2, 1), (2, 3, 1), (3, 4, 1)]
+        |+msp(1, 0)
+        |+msp(Y, min<D + W>) <- msp(X, D), me(X, Y, W)
+        |""".stripMargin)
+    assert(rows(e.run("?msp(X, D)").last) ==
+      Set(Seq(1L, 0L), Seq(2L, 1L), Seq(3L, 2L), Seq(4L, 3L)))
+    val before = e.maintainedCount
+    // one batch: drop the tight 2→3 edge AND insert a direct 1→3 edge —
+    // 3 reroutes through the new edge, 4 follows
+    e.run("-me[(2, 3, 1)]")
+    e.run("+me[(1, 3, 4)]")
+    assert(rows(e.run("?msp(X, D)").last) ==
+      Set(Seq(1L, 0L), Seq(2L, 1L), Seq(3L, 4L), Seq(4L, 5L)))
+    assert(e.maintainedCount == before + 1, "mixed batch recomputed, not maintained")
+    // delete drops 3 (and cascades 4) while the batch's insert gives 4
+    // a BETTER label than it ever had — the restart must both prune the
+    // unreachable key and relax the improvement
+    e.run("-me[(1, 3, 4)]")
+    e.run("+me[(1, 2, 1), (1, 4, 1)]")
+    assert(rows(e.run("?msp(X, D)").last) ==
+      Set(Seq(1L, 0L), Seq(2L, 1L), Seq(4L, 1L)))
+    assert(e.maintainedCount == before + 2)
+  }
+
   test("incremental maintenance: NaN group keys merge as one group") {
     // Spark's groupBy (and the full_outer <=> fallback) treat NaN keys
     // as one group; the driver-local merge must too, or a NaN-keyed

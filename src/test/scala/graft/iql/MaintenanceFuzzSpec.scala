@@ -98,6 +98,21 @@ class MaintenanceFuzzSpec extends SparkSpec {
       e2.run(s"-e[$dels]")
       assert(afterDel == rows(e2.run("?sp(X, D)").last),
         s"case $i diverged after -e[$dels]:\n$prog")
+
+      // mixed: delete AND insert in one batch before the re-query —
+      // suspects from the deletes, insert improvements relaxed in by
+      // the same restart
+      val mdel = edgeSet(rng.nextInt(edgeSet.size)) match {
+        case (a, b, w) => s"($a, $b, $w)"
+      }
+      val mins = s"(${rng.nextInt(nNodes)}, ${rng.nextInt(nNodes)}, ${1 + rng.nextInt(9)})"
+      e1.run(s"-e[$mdel]")
+      e1.run(s"+e[$mins]")
+      val afterMixed = rows(e1.run("?sp(X, D)").last)
+      e2.run(s"-e[$mdel]")
+      e2.run(s"+e[$mins]")
+      assert(afterMixed == rows(e2.run("?sp(X, D)").last),
+        s"case $i diverged after mixed -e[$mdel] +e[$mins]:\n$prog")
     }
   }
 }
