@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
 import graft.plans.Fixpoint
-import graft.operators.{Dedup, Similarity, TextAnalysis, Multimodal, Sampling}
+import graft.operators.{Dedup, EventOps, Similarity, TextAnalysis, Multimodal, Sampling}
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF, TemporalFunctions => TempF}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -857,7 +857,50 @@ object SparkEntry {
     // --- pipeline: corpus-trained unigram-LM scoring — mean ln p(t)
     //     per document, the perplexity-style quality signal -------------
     "q87_unigram_lm" -> ((s, dir) =>
-      TextAnalysis.unigramLogProb(T(s, dir, "documents")))
+      TextAnalysis.unigramLogProb(T(s, dir, "documents"))),
+
+    // --- events: as-of join — each view event picks up the user's most
+    //     recent preceding purchase (union + running last_value; one
+    //     shuffle on user_id, no range theta join) ----------------------
+    "q88_asof_join" -> ((s, dir) => {
+      // epoch-µs on both sides: DuckDB TIMESTAMP is µs-precision, so
+      // its epoch_ns() is really µs·1000 — µs is the shared resolution
+      val ev = T(s, dir, "events")
+        .withColumn("ts_us", expr("ts_ns DIV 1000"))
+      EventOps.asOfJoin(
+        ev.where(col("event_type") === "view")
+          .select(col("event_id"), col("user_id"), col("ts_us")),
+        ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts_us"),
+            col("event_id").as("purchase_id"), col("value")),
+        keyCol = "user_id", timeCol = "ts_us",
+        rightVals = Seq("purchase_id", "value"))
+    }),
+
+    // --- events: interval join — purchases within 24h after each view,
+    //     binned at the window width so the equi-join on (user, bin)
+    //     replaces a per-user cross product ---------------------------
+    "q89_range_join" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+        .withColumn("ts_us", expr("ts_ns DIV 1000"))
+      EventOps.rangeCountJoin(
+        ev.where(col("event_type") === "view")
+          .select(col("event_id"), col("user_id"), col("ts_us")),
+        ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts_us")),
+        keyCol = "user_id", timeCol = "ts_us",
+        windowSpan = 86400000000L, leftId = "event_id")
+    }),
+
+    // --- events: gap sessionization — 30-minute inactivity closes a
+    //     session; one keyed window + one aggregation -------------------
+    "q90_sessionize" -> ((s, dir) =>
+      EventOps.sessionize(
+        T(s, dir, "events")
+          .withColumn("ts_us", expr("ts_ns DIV 1000"))
+          .select(col("event_id"), col("user_id"), col("ts_us")),
+        keyCol = "user_id", timeCol = "ts_us", idCol = "event_id",
+        gapSpan = 1800000000L))
   )
 
   private val ivfCentroidCache =
@@ -1583,6 +1626,50 @@ object SparkEntry {
         |SELECT tok.doc_id, count(*) AS n_tokens, round(avg(ln(cnt.c / tot.tt)), 6) AS logprob
         |FROM tok JOIN cnt ON tok.t = cnt.t CROSS JOIN tot
         |GROUP BY tok.doc_id""".stripMargin,
+
+    // as-of join replicated as join + row_number (no ASOF JOIN syntax —
+    // the windowed spelling is unambiguous under equal-time ties, of
+    // which this data has none per (user_id, ts))
+    "q88_asof_join" ->
+      """WITH v AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |           FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id, epoch_us(ts) AS ts_us,
+        |             event_id AS purchase_id, value
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT event_id, user_id, ts_us, asof_purchase_id, asof_value
+        |FROM (SELECT v.event_id, v.user_id, v.ts_us,
+        |             p.purchase_id AS asof_purchase_id,
+        |             p.value AS asof_value,
+        |             row_number() OVER (PARTITION BY v.event_id
+        |                                ORDER BY p.ts_us DESC) AS rn
+        |      FROM v JOIN p ON p.user_id = v.user_id
+        |                   AND p.ts_us <= v.ts_us)
+        |WHERE rn = 1""".stripMargin,
+
+    "q89_range_join" ->
+      """WITH v AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |           FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id, epoch_us(ts) AS ts_us
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT v.event_id, count(p.ts_us) AS n_in_window
+        |FROM v LEFT JOIN p ON p.user_id = v.user_id
+        |   AND p.ts_us > v.ts_us AND p.ts_us <= v.ts_us + 86400000000
+        |GROUP BY v.event_id""".stripMargin,
+
+    "q90_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events),
+        |g AS (SELECT user_id, event_id, t,
+        |      CASE WHEN lag(t) OVER w IS NULL
+        |             OR t - lag(t) OVER w > 1800000000
+        |           THEN 1 ELSE 0 END AS is_new
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        |s AS (SELECT user_id, t,
+        |      sum(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |      FROM g)
+        |SELECT user_id, CAST(sess AS BIGINT) AS session_idx,
+        |       count(*) AS n_events, min(t) AS start_t, max(t) AS end_t
+        |FROM s GROUP BY 1, 2""".stripMargin,
 
     "q53_iql_incremental" ->
       s"""WITH RECURSIVE e AS ($graphEdgesSql
