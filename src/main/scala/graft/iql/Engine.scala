@@ -1995,13 +1995,17 @@ final class Engine(val catalog: Catalog) {
     }
 
     /** One rule → positional frame (c0..cn), demand filter applied.
-      * A [[Rank]] head term expands to (outs ++ order) columns. */
-    private def deriveRule(r: Rule, resolver: RuleCompiler.Resolver = resolve): DataFrame = {
+      * A [[Rank]] head term expands to (outs ++ order) columns.
+      * `restrict` filters the compiled BODY before any head projection
+      * or aggregation — affected-group maintenance uses it to semi-join
+      * the body down to the groups it must recompute. */
+    private def deriveRule(r: Rule, resolver: RuleCompiler.Resolver = resolve,
+                           restrict: DataFrame => DataFrame = identity): DataFrame = {
       // custom resolvers (delta rules, fixpoint steps) bind different
       // frames per call — only default-resolver derivations share bodies
-      val bodyDf =
+      val bodyDf = restrict(
         if (resolver eq resolve) bodyFrame(r.body)
-        else RuleCompiler.compileBody(r.body, resolver, hnswFrame)
+        else RuleCompiler.compileBody(r.body, resolver, hnswFrame))
       r.head.args.collect { case rk: Rank => rk } match {
         case Seq(rank) => return deriveRankRule(r, rank, bodyDf)
         case Seq() => ()
