@@ -691,13 +691,51 @@ final class Engine(val catalog: Catalog) {
       val cols = (0 until arity).map(i => s"c$i")
       def colsOf(rel: String): Seq[String] =
         (0 until sccCached(rel).columns.length).map(i => s"c$i")
-      // insert deltas per relation (rels with only removals are absent —
-      // all general paths below bail when removals exist; only the local
-      // TC path handles them)
-      val deltaOf: Map[String, DataFrame] = changedRels.flatMap { r =>
-        val ds = changes.filter(c => c.rel == r && c.delta != null).map(_.delta)
-        if (ds.isEmpty) None else Some(r -> ds.reduce(_ union _).distinct())
-      }.toMap
+      // Insert deltas / removed tuples per relation, NETTED in version
+      // order (rels with only removals are absent from deltaOf). Unioning
+      // the raw per-version frames is wrong for a batch that inserts then
+      // deletes the same tuple: the insert continuation would resurrect
+      // rows a later change removed, and mid/old-state reconstruction
+      // would describe database states that never existed. Fold the log:
+      //  - a removal cancels same-batch inserts of the same tuple
+      //    EXACTLY (an insert delta is disjoint from the state right
+      //    before it — `Catalog.insert` anti-joins — so insert-then-
+      //    delete is a no-op pair);
+      //  - a removal of a tuple NOT inserted earlier in the batch is
+      //    kept even when a later change re-inserts it. Removals may
+      //    over-approximate anyway (`Catalog.delete` logs the requested
+      //    tuples, present or not), and consumers tolerate rem/ins
+      //    over-approximation in PAIRS: DRed over-deletes then
+      //    re-derives at the new state, and the insert phase's extra
+      //    derivations dedup into the view.
+      // All plan-only (lazy) — a batch without mixing folds to the same
+      // union-distinct as before, no extra jobs.
+      val (deltaOf, removedOf): (Map[String, DataFrame], Map[String, DataFrame]) = {
+        val ins = mutable.HashMap.empty[String, DataFrame]
+        val rem = mutable.HashMap.empty[String, DataFrame]
+        changes.sortBy(_.version).foreach { c =>
+          if (c.removed != null) { // removals first: updates are -old,+new
+            val m = c.removed.distinct()
+            val fresh = ins.get(c.rel) match {
+              case Some(i) => Fixpoint.antiNullSafe(m, i)
+              case None => m
+            }
+            rem(c.rel) = rem.get(c.rel) match {
+              case Some(r0) => r0.union(fresh.toDF(r0.columns.toSeq: _*)).distinct()
+              case None => fresh
+            }
+            ins.get(c.rel).foreach(i => ins(c.rel) = Fixpoint.antiNullSafe(i, m))
+          }
+          if (c.delta != null) {
+            val d = c.delta.distinct()
+            ins(c.rel) = ins.get(c.rel) match {
+              case Some(i) => i.union(d.toDF(i.columns.toSeq: _*)).distinct()
+              case None => d
+            }
+          }
+        }
+        (ins.toMap, rem.toMap)
+      }
       val isRecursive = scc.size > 1 || sccRules.exists(_.body.exists {
         case Pos(a) => a.rel == name
         case _ => false
@@ -824,10 +862,6 @@ final class Engine(val catalog: Catalog) {
           // STRICTLY moves the label away from the base (`label + step`
           // with step > 0). Gated shapes bail to recompute.
           if (hasRemovals) {
-            val removedOf: Map[String, DataFrame] = changedRels.flatMap { rl =>
-              val ds = changes.filter(c => c.rel == rl && c.removed != null).map(_.removed)
-              if (ds.isEmpty) None else Some(rl -> ds.reduce(_ union _).distinct())
-            }.toMap
             val baseRules2 = stripped.filterNot(recRules2.contains)
             // base-rule support through a removed tuple would need its
             // own seed pass — rare (base = source facts), recompute
@@ -1332,10 +1366,6 @@ final class Engine(val catalog: Catalog) {
       if (hasRemovals && sccRules.forall(_.head.args.forall(a =>
             a.isInstanceOf[Var] || a.isInstanceOf[Const])) &&
           scc.forall(m => baseOf(m).isEmpty)) {
-        val removedOf: Map[String, DataFrame] = changedRels.flatMap { r =>
-          val ds = changes.filter(c => c.rel == r && c.removed != null).map(_.removed)
-          if (ds.isEmpty) None else Some(r -> ds.reduce(_ union _).distinct())
-        }.toMap
         if (removedOf.nonEmpty) {
           def midFrame(nm: String, ar: Int): DataFrame = {
             val cur = resolve(nm, ar)
@@ -1591,7 +1621,11 @@ final class Engine(val catalog: Catalog) {
         scc.foreach { rel =>
           val contribs = byHead.getOrElse(rel, Seq.empty).flatMap { r =>
             r.body.zipWithIndex.collect {
-              case (Pos(a), i) if changedRels(a.rel) =>
+              // deltaOf membership, not changedRels: a mixed batch can
+              // touch a body rel with removals ONLY — its insert delta
+              // is empty, so the occurrence contributes no seed (and
+              // deltaOf(nm) inside deltaDerive would throw)
+              case (Pos(a), i) if deltaOf.contains(a.rel) =>
                 deltaDerive(r, i, m => viewsNow.get(m))
             }
           }
@@ -1625,10 +1659,11 @@ final class Engine(val catalog: Catalog) {
       }
 
       val seedContribs = Seq.newBuilder[DataFrame]
-      if (changedRels(name)) seedContribs += deltaOf(name).toDF(cols: _*)
+      if (deltaOf.contains(name)) seedContribs += deltaOf(name).toDF(cols: _*)
       sccRules.foreach { r =>
         r.body.zipWithIndex.foreach {
-          case (Pos(a), i) if changedRels(a.rel) =>
+          // deltaOf membership, not changedRels — see the SCC seed loop
+          case (Pos(a), i) if deltaOf.contains(a.rel) =>
             seedContribs += deltaDerive(r, i, m => viewsNow.get(m))
           case _ => ()
         }

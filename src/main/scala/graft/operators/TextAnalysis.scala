@@ -206,7 +206,10 @@ object TextAnalysis {
     docs.select(col(idCol), TF.normText(col(textCol)).as("__nt"))
       .join(sim, Seq(idCol), "left")
       .join(fp.withColumnRenamed("id", idCol), Seq(idCol), "left")
-      .select(col(idCol), col("simhash"),
+      // simhash coalesces to 0 for token-less (whitespace-only) docs —
+      // the oracle SQL emits COALESCE(simhash, 0), and both engines
+      // must agree on docs with no votes at all
+      .select(col(idCol), coalesce(col("simhash"), lit(0L)).as("simhash"),
         coalesce(col("fingerprint"), TF.fnvMix64(col("__nt"))).as("fingerprint"))
   }
 

@@ -91,19 +91,26 @@ final class WireServer(spark: SparkSession, port: Int = 0,
     * data; key management stays admin-only (enforced at the routes). */
   private def authorizeQuery(role: String, src: String): Option[String] = {
     if (role == "admin") return None
+    val t = src.trim
+    // Token-wise prefix match, NOT a literal string prefix: the
+    // executing parser (Repl.meta, kgAuthorize) tokenizes on \s+, so a
+    // gate comparing raw text would let `.kg  drop x` (double space /
+    // tab) through while the engine still executes it as a drop.
+    val words = t.split("\\s+").toSeq
+    def cmd(prefix: String*): Boolean = words.take(prefix.length) == prefix
     // `.kg drop` requires the target KG's owner; service keys hold no
     // per-user grants, so only admin keys may drop (the reference's
     // global check defers KgDrop to the per-KG Owner check, which a
     // userless identity cannot pass — `auth.rs:387`).
-    if (src.trim.startsWith(".kg drop"))
+    if (cmd(".kg", "drop"))
       return Some("dropping a knowledge graph requires its owner")
     if (role == "editor") return None
-    val t = src.trim
     if (t.startsWith(".")) {
-      val writes = Seq(".save", ".open", ".load", ".import", ".compact",
-        ".index create", ".index drop", ".kg create", ".kg drop",
-        ".rule add", ".rule edit", ".rule rm")
-      if (writes.exists(t.startsWith)) Some(s"role '$role' may not run '$t'")
+      val writes = Seq(Seq(".save"), Seq(".open"), Seq(".load"),
+        Seq(".import"), Seq(".compact"), Seq(".index", "create"),
+        Seq(".index", "drop"), Seq(".kg", "create"), Seq(".kg", "drop"),
+        Seq(".rule", "add"), Seq(".rule", "edit"), Seq(".rule", "rm"))
+      if (writes.exists(w => cmd(w: _*))) Some(s"role '$role' may not run '$t'")
       else None
     } else {
       import graft.iql.Ast._

@@ -40,21 +40,28 @@ class MaintenanceFuzzSpec extends SparkSpec {
       // mixed=true applies delete AND insert in ONE batch between
       // re-queries — the two-phase (DRed mid-state + insert
       // continuation) path; mixed=false re-queries between them,
-      // exercising each phase separately
+      // exercising each phase separately. Mixed batches randomize the
+      // ORDER (delete-then-insert vs insert-then-delete), and the
+      // latter sometimes deletes the just-inserted tuple — a net no-op
+      // pair that replaying raw per-version deltas got wrong
+      // (round-5 ADVICE: the continuation resurrected removed rows)
       val mixed = ins.isDefined && rng.nextBoolean()
+      val insFirst = mixed && rng.nextBoolean()
+      val delsM = if (insFirst && rng.nextBoolean()) s"$dels,${ins.get}" else dels
+      def mutate(e: Engine): Unit =
+        if (insFirst) { ins.foreach(t => e.run(s"+e[$t]")); e.run(s"-e[$delsM]") }
+        else { e.run(s"-e[$delsM]"); if (mixed) ins.foreach(t => e.run(s"+e[$t]")) }
 
       val e1 = new Engine(new Catalog(spark))
       e1.run(prog)
       e1.run(s"?$qrel(X, Y)") // cache the pre-mutation fixpoint
-      e1.run(s"-e[$dels]")
-      if (mixed) ins.foreach(t => e1.run(s"+e[$t]"))
+      mutate(e1)
       val afterDel = rows(e1.run(s"?$qrel(X, Y)").last)
       val e2 = new Engine(new Catalog(spark))
       e2.run(prog)
-      e2.run(s"-e[$dels]")
-      if (mixed) ins.foreach(t => e2.run(s"+e[$t]"))
+      mutate(e2)
       assert(afterDel == rows(e2.run(s"?$qrel(X, Y)").last),
-        s"case $i diverged after -e[$dels] (mixed=$mixed):\n$prog")
+        s"case $i diverged after -e[$delsM] (mixed=$mixed, insFirst=$insFirst):\n$prog")
 
       if (!mixed) ins.foreach { t =>
         e1.run(s"+e[$t]")
@@ -64,6 +71,34 @@ class MaintenanceFuzzSpec extends SparkSpec {
           s"case $i diverged after -e[$dels] then +e[$t]:\n$prog")
       }
     }
+  }
+
+  test("insert-then-delete of the same tuple in one batch is a net no-op") {
+    // round-5 ADVICE repro: '+r[(2)]' then '-r[(2)]' between re-queries
+    // left the maintained view containing 2 — the insert continuation
+    // replayed the raw delta after the delete phase. Netting in version
+    // order makes the pair vanish.
+    val e = new Engine(new Catalog(spark))
+    e.run("+r[(1)]\n+v(X) <- r(X)\n")
+    assert(rows(e.run("?v(X)").last) == Set(Seq(1)))
+    e.run("+r[(2)]")
+    e.run("-r[(2)]")
+    assert(rows(e.run("?v(X)").last) == Set(Seq(1)))
+    // delete-then-reinsert of a pre-existing tuple: net no-op too
+    e.run("-r[(1)]")
+    e.run("+r[(1)]")
+    assert(rows(e.run("?v(X)").last) == Set(Seq(1)))
+    // and ins→del→ins leaves a net insert
+    e.run("+r[(3)]"); e.run("-r[(3)]"); e.run("+r[(3)]")
+    assert(rows(e.run("?v(X)").last) == Set(Seq(1), Seq(3)))
+
+    // same pairs through the recursive (non-linear, DRed) path
+    val er = new Engine(new Catalog(spark))
+    er.run("+e[(1,2),(2,3)]\n+r(X, Y) <- e(X, Y)\n+r(X, Z) <- r(X, Y), r(Y, Z)\n")
+    val closure = rows(er.run("?r(X, Y)").last)
+    er.run("+e[(3,4)]")
+    er.run("-e[(3,4)]")
+    assert(rows(er.run("?r(X, Y)").last) == closure)
   }
 
   test("min-agg value-iteration continuation equals fresh recomputation on random graphs") {

@@ -34,6 +34,15 @@ class TextAnalysisSpec extends SparkSpec {
     assert(d1.map(_._3).mkString.length == 200 + 200 + 150)
   }
 
+  test("fingerprints give token-less docs simhash 0, matching the oracle's COALESCE") {
+    val docs = Seq((1L, "hello world"), (2L, "   "), (3L, "")).toDF("doc_id", "text")
+    val r = TextAnalysis.fingerprints(docs)
+      .collect().map(x => x.getLong(0) -> (x.get(1), x.get(2))).toMap
+    assert(r(2L)._1 == 0L && r(3L)._1 == 0L, "whitespace-only docs must simhash to 0")
+    assert(r.values.forall(_._2 != null), "every doc gets a fingerprint")
+    assert(r(1L)._1 != 0L)
+  }
+
   test("tf-idf ranks distinctive terms above corpus-wide ones") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -475,6 +475,16 @@ class WireServerSpec extends SparkSpec {
       // viewer can query
       assert(obj(post("/query", Json.render(Map("type" -> "query",
         "query" -> "?authrel(X)")), Some(viewer))._2)("row_count") == 2L)
+      // `.kg drop` is owner-gated for service keys REGARDLESS of token
+      // spacing: the executing parser splits on \s+, so the gate must
+      // too (a literal-prefix match let `.kg  drop` through)
+      Seq(".kg drop default", ".kg  drop default", ".kg\tdrop default")
+        .foreach { src =>
+          val d = obj(post("/query", Json.render(Map("type" -> "query",
+            "query" -> src)), Some(editor))._2)
+          assert(d("type") == "error" &&
+            d("message").toString.contains("owner"), s"editor ran '$src'")
+        }
       // key management is admin-only
       assert(post("/auth/keys", Json.render(Map("role" -> "viewer")),
         Some(editor))._1 == 403)
