@@ -1466,7 +1466,7 @@ object SparkEntry {
     // deterministic epoch shuffle: permutation position by splitmix64 hash
     "q74_epoch_shuffle" ->
       s"""SELECT doc_id,
-        |CAST(ROW_NUMBER() OVER (ORDER BY ${Sampling.posOracleSql("doc_id", 3L)}, doc_id) AS INT) AS pos
+        |CAST(ROW_NUMBER() OVER (ORDER BY ${Sampling.posOracleSql("doc_id", 3L)}, doc_id) AS BIGINT) AS pos
         |FROM documents""".stripMargin,
 
     // intra-doc repetition stats

@@ -118,15 +118,64 @@ object Sampling {
     df.where(keep)
   }
 
+  /** Global running sum of `value` in `sortKeys` order WITHOUT a
+    * single-partition window: an unpartitioned `Window.orderBy(...)`
+    * funnels the entire input through one task (Spark's own
+    * `WindowExec: No Partition Defined` warning), which at corpus scale
+    * does not complete. Here the total order comes from a
+    * range-partitioned sort (scales across executors), and the prefix
+    * sum decomposes into (a) one small job collecting per-partition
+    * totals — the partitions' shuffle files are computed once and the
+    * second pass reuses them (same RDD lineage → skipped stages) — and
+    * (b) a per-partition running sum seeded with the scanLeft of those
+    * totals. mapPartitions is justified here (SURVEY §4 last resort):
+    * a running total is inherently sequential per partition, and the
+    * hot loop is a long add per row.
+    *
+    * Appends `outCol` (LongType, running total INCLUDING the row; null
+    * `value` adds 0). Row order of the result is the global sort order. */
+  private def globalRunningSum(df: DataFrame, sortKeys: Seq[Column],
+                               value: Column, outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.withColumn("__rv", value.cast(LongType))
+      .repartitionByRange(sortKeys: _*)
+      .sortWithinPartitions(sortKeys: _*)
+    val rdd = sorted.rdd // ONE RDD: both jobs below share its shuffle
+    val vIdx = sorted.columns.length - 1
+    val partTotals = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var s = 0L
+      it.foreach { r => if (!r.isNullAt(vIdx)) s += r.getLong(vIdx) }
+      Iterator.single(pid -> s)
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partTotals.scanLeft(0L)(_ + _) // exclusive prefix per partition
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var acc = offsets(pid)
+      it.map { r =>
+        if (!r.isNullAt(vIdx)) acc += r.getLong(vIdx)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ acc)
+      }
+    }
+    spark.createDataFrame(out,
+        StructType(sorted.schema.fields :+ StructField(outCol, LongType, nullable = false)))
+      .drop("__rv")
+  }
+
   /** Deterministic epoch shuffle: a global pseudo-random permutation of
     * the corpus, different per `epoch`, reproducible everywhere. At
-    * scale this is ONE total-order sort by (hash, id) — the legitimate
-    * way to get stable global shuffling (`orderBy(rand())` is neither
-    * reproducible nor retry-safe). Returns the input plus a dense
-    * 1-based `pos` column. */
+    * scale this is ONE range-partitioned total-order sort by (hash, id)
+    * — the legitimate way to get stable global shuffling
+    * (`orderBy(rand())` is neither reproducible nor retry-safe) — plus
+    * [[globalRunningSum]]'s two-pass dense numbering, so no partition
+    * ever holds more than its share of the corpus. Returns the input
+    * plus a dense 1-based `pos` column. Positions are independent of
+    * where the range boundaries land: any range partitioning of a total
+    * order followed by per-partition sort and sequential numbering
+    * yields the identical global permutation. */
   def epochShuffle(df: DataFrame, idCol: String, epoch: Long): DataFrame =
-    df.withColumn("pos", row_number().over(
-      Window.orderBy(lcgPos(col(idCol), epoch), col(idCol))))
+    // hash materialized as a column: computed once per row at shuffle
+    // write, not re-evaluated again by the partitioner and the sort
+    globalRunningSum(df.withColumn("__h", lcgPos(col(idCol), epoch)),
+      Seq(col("__h").asc, col(idCol).asc), lit(1L), "pos").drop("__h")
 
   /** Token-budget selection: rank the corpus by `score` (descending,
     * id tiebreak) and keep documents while the running token total
@@ -145,11 +194,25 @@ object Sampling {
                      shardCol: Column = null): DataFrame = {
     val toks = Option(tokenCount)
       .getOrElse(graft.functions.TextFunctions.tokenCount(col("text")))
-    val w0 = Option(shardCol).map(Window.partitionBy(_)).getOrElse(Window.partitionBy())
-    val w = w0.orderBy(score.desc, col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("cum_tokens", sum(toks).over(w))
-      .where(col("cum_tokens") <= budget)
+    Option(shardCol) match {
+      case Some(sc) =>
+        // per-shard budget: a PARTITIONED window — one window task per
+        // shard partition, the shape a sharded corpus wants
+        val w = Window.partitionBy(sc).orderBy(score.desc, col(idCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        df.withColumn("cum_tokens", sum(toks).over(w))
+          .where(col("cum_tokens") <= budget)
+      case None =>
+        // global budget: two-pass range-sorted prefix sum — never a
+        // single-partition window (see [[globalRunningSum]]). The score
+        // (often regex-heavy quality features) is materialized as a
+        // column so it evaluates once per row, not per sort comparison
+        // site.
+        globalRunningSum(df.withColumn("__score", score),
+            Seq(col("__score").desc, col(idCol).asc), toks, "cum_tokens")
+          .drop("__score")
+          .where(col("cum_tokens") <= budget)
+    }
   }
 
   /** Sequence packing for training-context assembly
@@ -160,23 +223,31 @@ object Sampling {
     * deterministic, retry-safe formulation (true first-fit bin state is
     * inherently sequential and neither).
     *
-    * Scale note: a global ORDER BY window funnels through one partition
-    * at the sort boundary; pass `shardCol` to pack independently within
-    * shards (`Window.partitionBy(shard)`) — the planner then runs one
-    * window per shard partition, which is the shape a 100 TB corpus
-    * needs (bins are per-shard, as training shards are in practice). */
+    * Scale note: pass `shardCol` to pack independently within shards
+    * (`Window.partitionBy(shard)`) — one window per shard partition,
+    * the shape a 100 TB corpus wants (bins are per-shard, as training
+    * shards are in practice). The global default uses
+    * [[globalRunningSum]]'s two-pass range-sorted prefix sum, never a
+    * single-partition window. */
   def packSequences(df: DataFrame, capacity: Long, idCol: String = "doc_id",
                     tokenCount: Column = null,
                     shardCol: Column = null): DataFrame = {
     val toks = Option(tokenCount)
       .getOrElse(graft.functions.TextFunctions.tokenCount(col("text")))
-    val w0 = Option(shardCol).map(Window.partitionBy(_)).getOrElse(Window.partitionBy())
-    val w = w0.orderBy(col(idCol)).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("__toks", toks)
-      .withColumn("__start", sum(col("__toks")).over(w) - col("__toks"))
+    val cum = Option(shardCol) match {
+      case Some(sc) =>
+        val w = Window.partitionBy(sc).orderBy(col(idCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        df.withColumn("__toks", toks).withColumn("__cum", sum(col("__toks")).over(w))
+      case None =>
+        globalRunningSum(df.withColumn("__toks", toks),
+          Seq(col(idCol).asc), col("__toks"), "__cum")
+    }
+    cum
+      .withColumn("__start", col("__cum") - col("__toks"))
       .withColumn("bin", floor(col("__start") / lit(capacity)))
       .withColumn("bin_off", col("__start") % lit(capacity))
-      .drop("__toks", "__start")
+      .drop("__toks", "__cum", "__start")
   }
 
   /** Assembled training examples from [[packSequences]]: each bin's

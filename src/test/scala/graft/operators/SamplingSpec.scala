@@ -34,12 +34,22 @@ class SamplingSpec extends SparkSpec {
   test("epoch shuffle is a permutation that changes with the epoch") {
     val e1 = Sampling.epochShuffle(docs, "doc_id", 1L).select("doc_id", "pos")
     val n = docs.count()
-    val ps = rows(e1.select(col("pos"))).map(_.head.asInstanceOf[Int])
-    assert(ps == (1 to n.toInt).map(i => i).toSet.map((x: Int) => x), "pos not a dense permutation")
+    val ps = rows(e1.select(col("pos"))).map(_.head.asInstanceOf[Long])
+    assert(ps == (1L to n).toSet, "pos not a dense permutation")
     val m1 = rows(e1).map(r => r.head -> r.last).toMap
     val m2 = rows(Sampling.epochShuffle(docs, "doc_id", 2L).select("doc_id", "pos"))
       .map(r => r.head -> r.last).toMap
     assert(m1 != m2, "epoch has no effect")
+    // the permutation is EXACTLY row_number over (posOf(id, epoch), id) —
+    // pins the two-pass range-sorted numbering (per-partition offsets
+    // included) to the reference scalar, on a many-partition input
+    val ids = rows(docs.select(col("doc_id"))).map(_.head.asInstanceOf[Long]).toSeq
+    val expected = ids.sortBy(id => (Sampling.posOf(id, 1L), id))
+      .zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+    val manyParts = rows(Sampling.epochShuffle(docs.repartition(7), "doc_id", 1L)
+      .select("doc_id", "pos")).map(r => r.head -> r.last).toMap
+    assert(m1 == expected.map { case (k, v) => (k: Any) -> (v: Any) })
+    assert(manyParts == m1, "partitioning must not change the permutation")
   }
 
   test("position hash matches the reference scalar and breaks the 65537 ring") {
