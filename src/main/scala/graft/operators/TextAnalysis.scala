@@ -122,9 +122,13 @@ object TextAnalysis {
     * reproduces the selection exactly.
     *
     * Scale shape: tokens explode map-side; (doc, term) counts partial-
-    * aggregate before the shuffle; the docfreq table (vocabulary-sized)
-    * broadcasts back; the final top-k is one per-doc window. No row
-    * ever carries more than (id, term, counts). */
+    * aggregate before the shuffle; the docfreq table joins back on
+    * `term` with NO forced broadcast — the vocabulary of a web corpus
+    * is 10⁸-10⁹ rows, far past driver/broadcast limits, and a `broadcast`
+    * hint cannot be overridden by AQE. While it fits, AQE broadcasts it
+    * on its own; past that it shuffle-joins on the key `docFreq` is
+    * already partitioned by (its groupBy). The final top-k is one
+    * per-doc window. No row ever carries more than (id, term, counts). */
   def tfIdfTopTerms(docs: DataFrame, k: Int = 5,
                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -132,7 +136,7 @@ object TextAnalysis {
     val tf = tok.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(countDistinct(col(idCol)).as("__n"))
-    tf.join(broadcast(docFreq), Seq("term"))
+    tf.join(docFreq, Seq("term"))
       .crossJoin(broadcast(n))
       .withColumn("tfidf", round(col("tf") * log(col("__n").cast("double") / col("df")), 6))
       .withColumn("rank", row_number().over(
@@ -149,9 +153,10 @@ object TextAnalysis {
     *
     * Scale shape: positions explode to (id, 8-byte shingle hash) — the
     * shuffle never carries text; docfreq partial-aggregates map-side;
-    * the boilerplate set (≤ vocabulary-sized) broadcasts back. The
-    * ratio is hash-value-independent, so the DuckDB oracle computes the
-    * same counts over string shingles. */
+    * the boilerplate set (≤ vocabulary-sized) joins back on the hash
+    * with no forced broadcast (AQE broadcasts while it fits; see
+    * [[tfIdfTopTerms]]). The ratio is hash-value-independent, so the
+    * DuckDB oracle computes the same counts over string shingles. */
   def boilerplate(docs: DataFrame, n: Int = 5, minDf: Int = 2,
                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val sh = docs
@@ -159,7 +164,7 @@ object TextAnalysis {
         explode(TF.wordShingleHashes(TF.tokens(col(textCol)), n)).as("h"))
     val boiler = sh.groupBy("h").agg(countDistinct(col("id")).as("df"))
       .where(col("df") >= minDf).select(col("h"), lit(1L).as("__b"))
-    val per = sh.join(broadcast(boiler), Seq("h"), "left")
+    val per = sh.join(boiler, Seq("h"), "left")
       .groupBy("id").agg(
         count(lit(1)).as("n_shingles"),
         sum(coalesce(col("__b"), lit(0L))).as("n_boiler"))
@@ -179,16 +184,17 @@ object TextAnalysis {
     * more typical text. Rounded to 6 dp so the DuckDB oracle's `ln`
     * and summation order reproduce the value exactly.
     *
-    * Scale shape: one explode to (id, token); the count table is
-    * vocabulary-sized and broadcasts back; per-doc mean is one
-    * partial-aggregated shuffle on id. Documents with no tokens are
+    * Scale shape: one explode to (id, token); the vocabulary-sized
+    * count table joins back on the token with no forced broadcast (AQE
+    * broadcasts while it fits; see [[tfIdfTopTerms]]); per-doc mean is
+    * one partial-aggregated shuffle on id. Documents with no tokens are
     * dropped (no positions to average). */
   def unigramLogProb(docs: DataFrame, idCol: String = "doc_id",
                      textCol: String = "text"): DataFrame = {
     val tok = docs.select(col(idCol), explode(TF.tokens(col(textCol))).as("t"))
     val cnt = tok.groupBy("t").agg(count(lit(1)).cast("double").as("c"))
     val tot = cnt.agg(sum(col("c")).as("__tt"))
-    tok.join(broadcast(cnt), Seq("t"))
+    tok.join(cnt, Seq("t"))
       .crossJoin(broadcast(tot))
       .groupBy(col(idCol)).agg(
         count(lit(1)).as("n_tokens"),
