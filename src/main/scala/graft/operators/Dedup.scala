@@ -30,6 +30,44 @@ object Dedup {
   private def maybeBroadcast(df: DataFrame, n: Long, limit: Long = 2000000L): DataFrame =
     if (n <= limit) broadcast(df) else df
 
+  /** Bounded memo of materialized MinHash signature tables, keyed by the
+    * input plan + signature params. A dedup pipeline computes signatures
+    * once and probes them from several operators (banded pairs, exact-
+    * verify candidates, cluster dedup over those pairs) — the per-doc
+    * k-minima UDF pass dominates each call, and recomputing it per
+    * operator wastes exactly that work; the signature table is an index
+    * artifact, like the stored LSH/IVF layouts on the ANN side. Hits
+    * verify with `sameResult` on the canonicalized plan (the hash alone
+    * could collide); the context hashCode keys out frames from a
+    * restarted SparkContext (a checkpointed RDD dies with its context).
+    * LRU-bounded; evicted checkpoints are reclaimed by the
+    * ContextCleaner once unreferenced. */
+  private val SigCacheMax = 8
+  private val sigCache =
+    new java.util.LinkedHashMap[(Int, Int, String, String, Int, Int, Boolean),
+      (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame, Long)](16, 0.75f, true)
+  private def cachedSignatures(docs: DataFrame, idCol: String, textCol: String,
+                               shingleN: Int, k: Int,
+                               wordShingles: Boolean): (DataFrame, Long) = {
+    val plan = docs.queryExecution.analyzed
+    val key = (docs.sparkSession.sparkContext.hashCode(), plan.semanticHash(),
+      idCol, textCol, shingleN, k, wordShingles)
+    sigCache.synchronized(Option(sigCache.get(key))).filter(_._1.sameResult(plan)) match {
+      case Some((_, df, n)) => (df, n)
+      case None =>
+        // materialize OUTSIDE the lock (it runs Spark jobs); a racing
+        // duplicate build is benign — last write wins
+        val (df, n) = mat(minHashSignatures(docs, idCol, textCol, shingleN, k, wordShingles))
+        sigCache.synchronized {
+          sigCache.put(key, (plan, df, n))
+          while (sigCache.size > SigCacheMax) {
+            val it = sigCache.entrySet().iterator(); it.next(); it.remove()
+          }
+        }
+        (df, n)
+    }
+  }
+
   /** Exact dedup: one representative (min id) per distinct text.
     * groupBy(md5) = map-side partial agg + 16-byte shuffle keys. */
   def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
@@ -83,8 +121,10 @@ object Dedup {
                    threshold: Double = 0.5,
                    wordShingles: Boolean = false): DataFrame = {
     val rowsPerBand = k / bands
-    // one signature pass feeds the banding AND both pair-join sides
-    val (sigs, nSigs) = mat(minHashSignatures(docs, idCol, textCol, shingleN, k, wordShingles))
+    // one signature pass feeds the banding AND both pair-join sides —
+    // and repeat calls over the same input + params reuse the
+    // materialized table (see [[cachedSignatures]])
+    val (sigs, nSigs) = cachedSignatures(docs, idCol, textCol, shingleN, k, wordShingles)
     // Bucket join carries ONLY (band, bucket, id) — signatures join back
     // after the pair-distinct, so the Jaccard estimate is computed once
     // per candidate pair, not once per shared bucket (up to `bands`×).
