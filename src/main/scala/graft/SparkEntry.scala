@@ -725,6 +725,38 @@ object SparkEntry {
       cat.hnswSearch("embeddings", "embedding", q, 10, efSearch = 128)
     }),
 
+    // --- ANN: HNSW probed with efSearch = index size — best-first search
+    //     then visits every reachable node, so the result must EQUAL
+    //     brute-force top-k: a hard oracle on the build/search machinery
+    //     itself (q51's exact twin, the analogue of q66/q61 for the
+    //     LSH/IVF layouts; smaller efSearch is the recall/cost knob) -----
+    "q91_hnsw_allprobes" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0).toArray
+      val idx = hnswCache.getOrElseUpdate(dir,
+        graft.index.Hnsw.build(emb, "vec_id", "embedding"))
+      val cat = new graft.iql.Catalog(s)
+      cat.register("embeddings", emb)
+      cat.indexes(("embeddings", "embedding")) = idx
+      cat.hnswSearch("embeddings", "embedding", q, 10, efSearch = idx.size)
+        .select(col("id").as("vec_id"))
+    }),
+
+    // --- ANN: SHARDED HNSW probed with efSearch = corpus size — each
+    //     shard's search is exhaustive and the shard merge keeps the
+    //     true global top-k, so the result must EQUAL brute-force:
+    //     q79's exact twin through the executor-built binary-row path ---
+    "q92_hnsw_sharded_allprobes" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0)
+      val n = emb.count().toInt
+      Similarity.hnswShardedTopK(
+        Similarity.hnswShardedIndex(emb, nShards = 4), q, 10, efSearch = n)
+        .select(col("vec_id"))
+    }),
+
     // --- IQL: computed bindings + string/math builtins ---------------------
     "q50_iql_compute" -> ((s, dir) => {
       val e = iqlEngine(s, dir, "part")
@@ -1406,6 +1438,20 @@ object SparkEntry {
 
     // all-buckets LSH probe of the partitioned layout == brute force
     "q66_ann_lsh_allprobes" ->
+      """SELECT vec_id FROM embeddings
+        |ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC,
+        |vec_id ASC LIMIT 10""".stripMargin,
+
+    // HNSW probed at efSearch = index size == brute force (q51's twin)
+    "q91_hnsw_allprobes" ->
+      """SELECT vec_id FROM embeddings
+        |ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC,
+        |vec_id ASC LIMIT 10""".stripMargin,
+
+    // sharded HNSW, every shard searched exhaustively == brute force
+    "q92_hnsw_sharded_allprobes" ->
       """SELECT vec_id FROM embeddings
         |ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
         |(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC,
