@@ -216,12 +216,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))),
 
     // --- temporal: ms-epoch window filter (reference temporal_ops domain).
-    //     Filters on the RAW nanos column so the range predicate reaches
-    //     the parquet scan (ms bounds × 1e6 are exact — ns floor to ms). --
+    //     Filters on the NATIVE timestamp column so the range predicate
+    //     reaches the parquet scan as PushedFilters (with timestamp[us]
+    //     storage; under nanos-as-long storage ts is computed and the
+    //     filter evaluates post-scan but stays exact). Bounds are the ms
+    //     window widened to the storage µs resolution: epoch_ms(ts) <= X
+    //     ⟺ µs < (X+1)·1000. ---------------------------------------------
     "q19_temporal_filter" -> ((s, dir) =>
       T(s, dir, "events")
-        .where(col("ts_ns") >= lit(1704844800000L * 1000000L) &&
-               col("ts_ns") <= lit(1705449600000L * 1000000L + 999999L))
+        .where(col("ts") >= expr(s"timestamp_micros(${1704844800000L * 1000L}L)") &&
+               col("ts") < expr(s"timestamp_micros(${1705449600001L * 1000L}L)"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), min(col("value")).as("min_v"), max(col("value")).as("max_v"))),
 
