@@ -30,20 +30,27 @@ object Bench {
     // per-plan codegen/JIT + one measured; raise via env for more samples.
     val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "2").toInt
     val only = args.toSet // optional query-name filter for local iteration
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val timed = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only(n) }
       .map { case (name, fn) =>
       val samples = (1 to repeat).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
-          case e: Throwable =>
-            // loud, not silent: a failed query must not masquerade as fast
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).count(); true } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+              false
+          }
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
-      name -> samples.min
+      // a query with zero successful samples must not contribute a timing
+      // — its fail-fast latency would masquerade as the suite's fastest
+      // result (round-6 q88-q90 lesson). It goes in `failed` instead.
+      val good = samples.collect { case (t, true) => t }
+      name -> (if (good.nonEmpty) Some(good.min) else None)
     }
+    val results = timed.collect { case (n, Some(t)) => n -> t }
+    val failed = timed.collect { case (n, None) => n }
     val total = results.map(_._2).sum
     // The harness that collects this output keeps only the LAST ~2000
     // characters of stdout, so the machine-readable line must stay short:
@@ -57,14 +64,17 @@ object Bench {
     }.mkString("{", ",", "}")
     val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failedShort = failed.map(n => "\"" + n.takeWhile(_ != '_') + "\"")
+      .mkString("[", ",", "]")
+    val failedFull = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"failed":$failedFull,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_FULL.json"),
       (full + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json: $e") }
     println(
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$shortQs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$shortQs,"failed":$failedShort,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
