@@ -16,6 +16,21 @@ import graft.plans.Fixpoint
   */
 final class Engine(val catalog: Catalog) {
 
+  /** First-k rows per group under a total sort order (reference
+    * `src/code_generator/mod.rs:2462-2560` heap-based top-k). Grouped:
+    * row_number over a keyed window — per-partition heaps after the
+    * group shuffle. Ungrouped: orderBy+limit, which Spark executes as
+    * TakeOrderedAndProject (per-partition heaps + driver merge) — never
+    * a `Window.partitionBy()` global window, which would funnel the
+    * whole relation through one partition. */
+  private def topKRows(df: DataFrame, groups: Seq[Column], sortCols: Seq[Column], k: Long): DataFrame =
+    if (groups.nonEmpty) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(groups: _*).orderBy(sortCols: _*)
+      df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= k).drop("__rn")
+    } else df.orderBy(sortCols: _*).limit(math.min(k, Int.MaxValue.toLong).toInt)
+
   /** Session rules: per-engine overlay, invisible to other engines on the
     * same catalog, surviving across [[run]] calls until [[clearSession]]
     * (reference `src/session.rs`). */
@@ -801,15 +816,11 @@ final class Engine(val catalog: Catalog) {
         val ord = if (rank.desc) ord0.desc else ord0.asc
         val tiebreak = outIdx.result().map(i => col(cols(i)).asc)
         val groups = groupIdx.result().map(i => col(cols(i)))
-        import org.apache.spark.sql.expressions.Window
         val reRanked = rank.func match {
           case "top_k" | "top_k_threshold" =>
             // both sides already satisfy any threshold — only the k-bound
             // needs re-establishing over the merged candidates
-            val w = (if (groups.nonEmpty) Window.partitionBy(groups: _*)
-                     else Window.partitionBy()).orderBy(ord +: tiebreak: _*)
-            merged.withColumn("__rn", row_number().over(w))
-              .filter(col("__rn") <= rank.params(0).toLong).drop("__rn")
+            topKRows(merged, groups, ord +: tiebreak, rank.params(0).toLong)
           case _ => merged // within_radius: filter semantics, union is exact
         }
         return Some(Fixpoint.materialize(reRanked).df)
@@ -2078,13 +2089,11 @@ final class Engine(val catalog: Catalog) {
       }
     }
 
-    /** Ranking aggregates → window functions (reference
-      * `src/code_generator/mod.rs:2462-2560` heap-based top-k; here:
-      * `row_number().over(Window.partitionBy(groups).orderBy(...)) <= k`,
-      * which Spark executes with per-partition heaps after a group
-      * shuffle — the same algorithmic shape, distributed). */
+    /** Ranking aggregates (reference `src/code_generator/mod.rs:2462-2560`
+      * heap-based top-k) → [[topKRows]]: keyed window when grouped,
+      * TakeOrderedAndProject when ungrouped — the same per-partition-heap
+      * algorithmic shape, distributed. */
     private def deriveRankRule(r: Rule, rank: Rank, bodyDf: DataFrame): DataFrame = {
-      import org.apache.spark.sql.expressions.Window
       val groupTerms = r.head.args.filterNot(_.isInstanceOf[Rank])
       val groupCols = groupTerms.map(t => RuleCompiler.term(t, bodyDf))
       val ord = if (rank.desc) col(rank.orderVar.name).desc else col(rank.orderVar.name).asc
@@ -2092,18 +2101,11 @@ final class Engine(val catalog: Catalog) {
       val tiebreak = rank.outs.map(o => col(o.name).asc)
       val filtered = rank.func match {
         case "top_k" =>
-          val w = (if (groupCols.nonEmpty) Window.partitionBy(groupCols: _*) else Window.partitionBy())
-            .orderBy(ord +: tiebreak: _*)
-          bodyDf.withColumn("__rn", row_number().over(w))
-            .filter(col("__rn") <= rank.params(0).toLong).drop("__rn")
+          topKRows(bodyDf, groupCols, ord +: tiebreak, rank.params(0).toLong)
         case "top_k_threshold" =>
           val thresholdOk = if (rank.desc) col(rank.orderVar.name) >= lit(rank.params(1))
                             else col(rank.orderVar.name) <= lit(rank.params(1))
-          val w = (if (groupCols.nonEmpty) Window.partitionBy(groupCols: _*) else Window.partitionBy())
-            .orderBy(ord +: tiebreak: _*)
-          bodyDf.filter(thresholdOk)
-            .withColumn("__rn", row_number().over(w))
-            .filter(col("__rn") <= rank.params(0).toLong).drop("__rn")
+          topKRows(bodyDf.filter(thresholdOk), groupCols, ord +: tiebreak, rank.params(0).toLong)
         case "within_radius" =>
           bodyDf.filter(col(rank.orderVar.name) <= lit(rank.params(0)))
         case other => throw new IllegalArgumentException(s"unknown ranking aggregate $other")

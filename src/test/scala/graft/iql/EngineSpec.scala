@@ -216,6 +216,17 @@ class EngineSpec extends SparkSpec {
         |""".stripMargin) == Set(Seq("eng", "b", 30L)))
   }
 
+  test("ungrouped top_k compiles to TakeOrderedAndProject, not a global window") {
+    val e = engine
+    e.run("""+pt[("a", 1.0), ("b", 3.0), ("c", 0.5)]""")
+    val df = e.run("""+near(top_k<2, N, D:asc>) <- pt(N, D)
+                     |?near(N, D)""".stripMargin).last
+    assert(rows(df) == Set(Seq("c", 0.5), Seq("a", 1.0)))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Window"), plan) // no single-partition global window
+  }
+
   test("within_radius keeps all rows under the bound") {
     assert(query(
       """+pt[("a", 1.0), ("b", 3.0), ("c", 0.5)]
