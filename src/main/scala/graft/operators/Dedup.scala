@@ -27,6 +27,16 @@ object Dedup {
     val ck = df.localCheckpoint(true)
     (ck, ck.rdd.count())
   }
+
+  /** The internally-persisted RDD behind a localCheckpoint'ed frame —
+    * lets the sigCache unpersist evicted tables immediately instead of
+    * waiting for GC + ContextCleaner (a 4.6 GiB driver heap collects
+    * rarely, so dead checkpoint blocks otherwise pile up for the whole
+    * session). */
+  private def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.logical.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
   private def maybeBroadcast(df: DataFrame, n: Long, limit: Long = 2000000L): DataFrame =
     if (n <= limit) broadcast(df) else df
 
@@ -40,8 +50,10 @@ object Dedup {
     * verify with `sameResult` on the canonicalized plan (the hash alone
     * could collide); the context hashCode keys out frames from a
     * restarted SparkContext (a checkpointed RDD dies with its context).
-    * LRU-bounded; evicted checkpoints are reclaimed by the
-    * ContextCleaner once unreferenced. */
+    * LRU-bounded; evicted tables are unpersisted on the spot — safe
+    * under sequential use because an operator always builds (or re-hits)
+    * its own table in the same call that probes it, so an entry evicted
+    * by a LATER build has no in-flight reader. */
   private val SigCacheMax = 8
   private val sigCache =
     new java.util.LinkedHashMap[(Int, Int, String, String, Int, Int, Boolean),
@@ -61,7 +73,10 @@ object Dedup {
         sigCache.synchronized {
           sigCache.put(key, (plan, df, n))
           while (sigCache.size > SigCacheMax) {
-            val it = sigCache.entrySet().iterator(); it.next(); it.remove()
+            val it = sigCache.entrySet().iterator()
+            val evicted = it.next().getValue._2
+            it.remove()
+            checkpointRdd(evicted).foreach(_.unpersist(false))
           }
         }
         (df, n)

@@ -47,8 +47,19 @@ object Fixpoint {
   /** A materialized loop relation: plan-identity-barriered frame + its
     * exact row count. The barrier (rebuild from the checkpointed RDD)
     * gives fresh exprIds so iteration-over-the-same-relation self-joins
-    * never trip Spark's ambiguous-column detection. */
-  final case class Mat(df: DataFrame, count: Long)
+    * never trip Spark's ambiguous-column detection.
+    *
+    * `ownedCheckpoint` is the internally-persisted RDD holding the
+    * block-manager blocks. Loops [[unpersist]] a Mat the moment a newer
+    * materialization replaces it — waiting for GC + ContextCleaner lets
+    * hundreds of dead checkpoints pile up across a long session (each
+    * materialize COPIES its input, so a superseded Mat is never a
+    * dependency of a later one). Only unpersist Mats the loop itself
+    * created and no longer returns. */
+  final case class Mat(df: DataFrame, count: Long,
+                       ownedCheckpoint: Option[org.apache.spark.rdd.RDD[_]] = None) {
+    def unpersist(): Unit = ownedCheckpoint.foreach(_.unpersist(false))
+  }
 
   /** The per-loop isolated session (set inside [[withLoopConf]]):
     * materialized loop frames bind to it so the loop's conf (AQE off,
@@ -60,7 +71,12 @@ object Fixpoint {
     val ck = df.localCheckpoint(true)
     val rdd = ck.rdd
     val sess = Option(loopSession.get).getOrElse(ck.sparkSession)
-    Mat(sess.createDataFrame(rdd, ck.schema), rdd.count())
+    // the persisted RDD lives inside the checkpoint frame's LogicalRDD —
+    // capture it so the owner can unpersist deterministically
+    val internal = ck.queryExecution.logical.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+    Mat(sess.createDataFrame(rdd, ck.schema), rdd.count(), internal)
   }
 
   private def maybeBroadcast(m: Mat): DataFrame =
@@ -132,11 +148,15 @@ object Fixpoint {
         return localClosure(dedup.sparkSession, dedup.schema, pairs, nodes.toSeq)
     }
     val e = materialize(dedup.distinct())
-    iterateKeyed(e.df, delta => {
+    val out = iterateKeyed(e.df, delta => {
       val d = delta.toDF("p_src", "p_dst")
       d.join(maybeBroadcast(e), d("p_dst") === e.df("src"))
         .select(d("p_src").as("src"), e.df("dst").as("dst"))
     }, maxIter)
+    // the loop's deltas are self-contained snapshots; the static edge
+    // side is dead once the loop has converged
+    e.unpersist()
+    out
   }
 
   /** Reachable (src, dst) pairs from the given seed nodes only — the
@@ -155,11 +175,13 @@ object Fixpoint {
     }
     val e = materialize(dedup.distinct())
     val base = s.join(maybeBroadcast(e), "src").select(col("src"), col("dst"))
-    iterateKeyed(base, delta => {
+    val out = iterateKeyed(base, delta => {
       val d = delta.toDF("p_src", "p_dst")
       d.join(maybeBroadcast(e), d("p_dst") === e.df("src"))
         .select(d("p_src").as("src"), e.df("dst").as("dst"))
     }, maxIter)
+    e.unpersist()
+    out
   }
 
   /** Driver-local reachability: BFS from each source over a HashMap
@@ -220,7 +242,11 @@ object Fixpoint {
     withLoopConf(edges.sparkSession) {
       val sym = edges.toDF("a", "b")
       val und = materialize(sym.union(sym.select(col("b"), col("a"))).distinct())
-      if (maxIter <= 0 && und.count <= LocalEdgeRows) return localComponents(und)
+      if (maxIter <= 0 && und.count <= LocalEdgeRows) {
+        val out = localComponents(und) // collects und; result doesn't reference it
+        und.unpersist()
+        return out
+      }
       // Labels only ever decrease; convergence iff the (overflow-safe
       // decimal) sum of labels is unchanged — one cheap scan of the
       // cached RDD per iteration instead of a self-join.
@@ -242,8 +268,10 @@ object Fixpoint {
         val nextSum = labelSum(next.df)
         changed = nextSum.compareTo(prevSum) != 0
         prevSum = nextSum
+        labels.unpersist() // superseded: `next` copied what it needed
         labels = next
       }
+      und.unpersist()
       labels.df
     }
 
@@ -305,16 +333,27 @@ object Fixpoint {
       // step function must terminate with an error, not spin forever
       val cap = if (maxIter > 0) maxIter else 100000
       var i = 0
+      // a compacted-away delta still backs `delta` for one more step;
+      // it is unpersisted when `delta` is replaced, the rest immediately
+      var pendingDead: List[Mat] = Nil
       while (delta.count > 0 && i < cap) {
         graft.QueryGuard.checkCancelled()
         i += 1
-        if (deltas.size >= 6) deltas = List(materialize(accDf))
+        if (deltas.size >= 6) {
+          val old = deltas
+          deltas = List(materialize(accDf))
+          old.filterNot(_ eq delta).foreach(_.unpersist())
+          pendingDead = old.filter(_ eq delta)
+        }
         sizeShuffle(spark, delta.count)
         val candidates = step(delta.df).toDF(cols: _*).distinct()
         val next = materialize(antiNullSafe(candidates, accDf, accCount <= BroadcastRows))
         if (next.count > 0) deltas = deltas :+ next
+        pendingDead.foreach(_.unpersist()); pendingDead = Nil
         delta = next
       }
+      // empty terminal checkpoint — unless it IS the (empty) base backing accDf
+      if (delta.count == 0 && !deltas.exists(_ eq delta)) delta.unpersist()
       if (i >= cap && delta.count > 0)
         throw new IllegalStateException(
           s"fixpoint did not converge within $cap iterations")
