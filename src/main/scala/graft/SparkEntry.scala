@@ -944,7 +944,29 @@ object SparkEntry {
           .withColumn("ts_us", expr("ts_ns DIV 1000"))
           .select(col("event_id"), col("user_id"), col("ts_us")),
         keyCol = "user_id", timeCol = "ts_us", idCol = "event_id",
-        gapSpan = 1800000000L))
+        gapSpan = 1800000000L)),
+
+    // --- IQL: dirty-group maintenance — a grouped avg/count_distinct
+    //     view (neither is per-group MERGEABLE) materialized, then a
+    //     mixed delete+insert batch; only the touched groups are
+    //     re-aggregated, every other cached row is kept verbatim
+    //     (reference maintains these through DD arrangements,
+    //     `src/derived_relations.rs:1-60`). sal is integral so the IEEE
+    //     avg is exact (sums < 2^53) and engine-independent ------------
+    "q93_iql_dirty_group_avg" -> ((s, dir) => {
+      val e = iqlEngine(s, dir)
+      e.catalog.register("aemp", T(s, dir, "orders").select(
+        col("o_orderkey").as("id"),
+        pmod(col("o_custkey"), lit(100L)).as("dept"),
+        floor(col("o_totalprice")).cast("long").as("sal")))
+      e.run(
+        """+aemp[(900000001, 0, 1000), (900000002, 1, 2000), (900000003, 7, 7777)]
+          |+avgm(D, avg<S>, count_distinct<S>) <- aemp(I, D, S)
+          |?avgm(D, A, C)
+          |""".stripMargin)
+      e.run("-aemp(900000003, 7, 7777)\n+aemp[(900000004, 0, 4000)]")
+      e.run("?avgm(D, A, C)").last // dirty-group maintained, not recomputed
+    })
   )
 
   private val ivfCentroidCache =
@@ -1799,6 +1821,17 @@ object SparkEntry {
         |UNION ALL SELECT 900000001, 0, 1000
         |UNION ALL SELECT 900000002, 1, 2000
         |UNION ALL SELECT 900000003, 0, 3000)
-        |SELECT dept AS D, CAST(SUM(sal) AS BIGINT) AS S, COUNT(sal) AS C FROM emp GROUP BY dept""".stripMargin
+        |SELECT dept AS D, CAST(SUM(sal) AS BIGINT) AS S, COUNT(sal) AS C FROM emp GROUP BY dept""".stripMargin,
+
+    // 900000003 is inserted then deleted before the re-query — absent
+    "q93_iql_dirty_group_avg" ->
+      """WITH aemp AS (
+        |SELECT o_orderkey AS id, o_custkey % 100 AS dept,
+        |       CAST(FLOOR(o_totalprice) AS BIGINT) AS sal FROM orders
+        |UNION ALL SELECT 900000001, 0, 1000
+        |UNION ALL SELECT 900000002, 1, 2000
+        |UNION ALL SELECT 900000004, 0, 4000)
+        |SELECT dept AS D, AVG(sal) AS A, COUNT(DISTINCT sal) AS C
+        |FROM aemp GROUP BY dept""".stripMargin
   )
 }

@@ -1093,18 +1093,92 @@ final class Engine(val catalog: Catalog) {
         // (sum/count/min/max), aggregate ONLY the new body bindings and
         // merge per group with the cached result. avg/count_distinct are
         // not insert-mergeable; multiple changed atoms in one rule would
-        // double-count delta×delta bindings — both bail to recompute.
-        if (sccRules.length != 1 || isRecursive || changedRels(name) || hasRemovals)
+        // double-count delta×delta bindings — both fall through to
+        // DIRTY-GROUP maintenance (below) instead of full recompute.
+        if (sccRules.length != 1 || isRecursive || changedRels(name))
           return None
         val r = sccRules.head
         val aggSpecs = r.head.args.zipWithIndex.collect { case (Agg(f, _), i) => (f, i) }
-        if (!aggSpecs.forall { case (f, _) => Set("sum", "count", "min", "max")(f) })
-          return None
         val changedOccs = r.body.zipWithIndex.collect {
           case (Pos(a), i) if changedRels(a.rel) => i
         }
-        if (changedOccs.length != 1) return None
         val aggIdxSet = aggSpecs.map(_._2).toSet
+
+        /** DIRTY-GROUP maintenance — the general aggregate fallback
+          * (avg / count_distinct, removals, several changed occurrences):
+          * every binding that appeared or vanished involves a changed
+          * tuple at some body occurrence, so only the group keys those
+          * bindings touch can change. Compute that key set from the
+          * deltas (siblings bound at an over-approximated old ∪ new
+          * state — a superset of dirty keys is merely extra recompute),
+          * re-aggregate the body for JUST those groups (the literal key
+          * filter pushes below the aggregation into the body scans), and
+          * keep every other cached row verbatim. The reference maintains
+          * per-group aggregate state in its DD arrangements
+          * (`src/derived_relations.rs:1-60`); Spark holds no such state,
+          * so exact per-dirty-group recomputation is the idiomatic
+          * equivalent. */
+        def dirtyGroupMaintain(): Option[DataFrame] = {
+          val keyIdx = cols.indices.filterNot(aggIdxSet)
+          if (keyIdx.isEmpty) return None // global agg: every row is "dirty"
+          val occs = r.body.zipWithIndex.collect {
+            case (Pos(a), i) if deltaOf.contains(a.rel) || removedOf.contains(a.rel) =>
+              (a.rel, i)
+          }
+          if (occs.isEmpty) return Some(cached) // body never sees the change
+          // old ∪ new sibling frames: a vanished binding through TWO
+          // removed tuples still surfaces its key when either occurrence
+          // is bound to its removal and the sibling covers the old state
+          val oldNew: RuleCompiler.Resolver = (nm, ar) => {
+            val cur = resolve(nm, ar)
+            removedOf.get(nm) match {
+              case Some(rm) => cur.union(rm.toDF(cur.columns.toSeq: _*)).distinct()
+              case None => cur
+            }
+          }
+          val keyCols = keyIdx.map(i => col(cols(i)))
+          val keyFrames = occs.flatMap { case (rel, i) =>
+            (deltaOf.get(rel).toSeq ++ removedOf.get(rel).toSeq).map { changeDf =>
+              var occ = -1
+              val resolver: RuleCompiler.Resolver = (nm, ar) =>
+                if (nm == rel) {
+                  occ += 1
+                  val bodyIdx = r.body.zipWithIndex.collect {
+                    case (Pos(a), j) if a.rel == rel => j
+                  }.apply(occ)
+                  if (bodyIdx == i) changeDf else oldNew(nm, ar)
+                } else oldNew(nm, ar)
+              deriveRule(r, resolver).toDF(cols: _*).select(keyCols: _*)
+            }
+          }
+          val dirty = Fixpoint.collectUpTo(
+            keyFrames.reduce(_ union _).distinct(), 64L).getOrElse(return None)
+          if (dirty.isEmpty) return Some(cached)
+          // null/NaN/non-primitive keys: a literal <=> predicate can't
+          // reproduce the grouping semantics — recompute
+          if (dirty.exists(_.toSeq.exists(v => v == null ||
+            (v match {
+              case d: Double => d.isNaN
+              case f: Float => f.isNaN
+              case _: Number | _: String | _: Boolean => false
+              case _ => true
+            })))) return None
+          def dirtyPred: Column = dirty.map { row =>
+            keyIdx.indices.map { j =>
+              col(cols(keyIdx(j))) <=> lit(row.get(j))
+            }.reduce(_ && _)
+          }.reduce(_ || _)
+          val clean = cached.toDF(cols: _*).where(!dirtyPred)
+          val dirtyNew = deriveRule(r).toDF(cols: _*).where(dirtyPred)
+          // materialize: the clean side filters the PREVIOUS cached frame —
+          // left lazy, repeated maintenance rounds would nest filters
+          // without bound
+          Some(Fixpoint.materialize(clean.union(dirtyNew)).df)
+        }
+
+        if (hasRemovals || changedOccs.length != 1 ||
+            !aggSpecs.forall { case (f, _) => Set("sum", "count", "min", "max")(f) })
+          return dirtyGroupMaintain()
         // the delta aggregation stays LAZY: the local-merge collect below
         // is its only execution in the common path (its emptiness check
         // rides along) — materializing first would add a checkpoint +
@@ -1699,6 +1773,10 @@ final class Engine(val catalog: Catalog) {
       var delta = Fixpoint.materialize(
         Fixpoint.antiNullSafe(contribs.reduce(_ union _).distinct(), cached))
       var parts = List(cached, delta.df)
+      // every Mat this continuation creates; which survive depends on the
+      // return path below (the rest are unpersisted, not left to the
+      // ContextCleaner)
+      var owned = List(delta)
       def accDf: DataFrame = parts.reduce(_ union _)
       var accMat: Fixpoint.Mat = if (multiOcc) Fixpoint.materialize(accDf) else null
       def accFrame: DataFrame = if (multiOcc) accMat.df else accDf
@@ -1724,9 +1802,14 @@ final class Engine(val catalog: Catalog) {
           }
           val next = Fixpoint.materialize(Fixpoint.antiNullSafe(
             stepContribs.reduce(_ union _).distinct(), accFrame))
+          owned ::= next
           if (next.count > 0) {
             parts = parts :+ next.df
-            if (multiOcc) accMat = Fixpoint.materialize(accMat.df.union(next.df))
+            if (multiOcc) {
+              val old = accMat
+              accMat = Fixpoint.materialize(accMat.df.union(next.df))
+              old.unpersist() // copied into the new accumulator
+            }
           }
           delta = next
         }
@@ -1734,7 +1817,20 @@ final class Engine(val catalog: Catalog) {
       // compact deep part lists so repeated maintenance rounds don't nest
       // union plans without bound (the cached frame is the next round's
       // `cached`)
-      Some(if (!multiOcc && parts.size > 4) Fixpoint.materialize(accDf).df else accFrame)
+      if (multiOcc) {
+        // the returned frame is accMat alone — every delta Mat is dead
+        owned.foreach(_.unpersist())
+        Some(accFrame)
+      } else if (parts.size > 4) {
+        val out = Fixpoint.materialize(accDf)
+        owned.foreach(_.unpersist()) // copied into the compacted frame
+        Some(out.df)
+      } else {
+        // accDf references the delta frames in `parts`; only Mats that
+        // never entered parts (empty terminal delta) are dead
+        owned.filterNot(m => parts.exists(_ eq m.df)).foreach(_.unpersist())
+        Some(accDf)
+      }
     }
 
     /** Driver-local DRed (see the call site in [[tryMaintain]]): each
@@ -2439,6 +2535,10 @@ final class Engine(val catalog: Catalog) {
       }
       var acc = acc0
       var delta = delta0
+      // superseded loop materializations are unpersisted immediately —
+      // but never the caller-owned inputs (they may be cached upstream)
+      def drop(m: Fixpoint.Mat): Unit =
+        if ((m ne acc0) && (m ne delta0)) m.unpersist()
       val better: (Column, Column) => Column =
         if (func == "min") (n, o) => n < o else (n, o) => n > o
       Fixpoint.withLoopConf(catalog.spark) {
@@ -2477,10 +2577,17 @@ final class Engine(val catalog: Catalog) {
           // iteration and the delta never drains
           .where((vO.isNull && vN.isNotNull) || better(vN, vO))
           .select(cols.map(c => col(s"__n.$c")): _*)
-        delta = Fixpoint.materialize(improved)
-        if (delta.count > 0)
-          acc = Fixpoint.materialize(reduce(acc.df.union(delta.df)))
+        val newDelta = Fixpoint.materialize(improved)
+        cand.unpersist() // copied into newDelta via `improved`
+        drop(delta)
+        delta = newDelta
+        if (delta.count > 0) {
+          val newAcc = Fixpoint.materialize(reduce(acc.df.union(delta.df)))
+          drop(acc)
+          acc = newAcc
+        }
       }
+      drop(delta) // empty terminal delta
       } // withLoopConf
       acc.df
     }

@@ -382,12 +382,39 @@ class EngineSpec extends SparkSpec {
       Set(Seq("eng", 31L, 3L, 1L, 20L), Seq("ops", 5L, 1L, 5L, 5L),
         Seq("qa", 7L, 1L, 7L, 7L)))
     assert(e.maintainedCount >= 1, "aggregate view should merge, not recompute")
-    // avg is not insert-mergeable: falls back to recompute, stays correct
+    // GLOBAL avg has no group keys to dirty-partition: falls back to
+    // recompute, stays correct
     val e2 = new Engine(new Catalog(spark))
     e2.run("+v[(1, 2.0), (2, 4.0)]\n+a(avg<X>) <- v(I, X)")
     assert(rows(e2.run("?a(X)").last) == Set(Seq(3.0)))
     e2.run("+v[(3, 9.0)]")
     assert(rows(e2.run("?a(X)").last) == Set(Seq(5.0)))
+  }
+
+  test("dirty-group maintenance: grouped avg view survives a mixed batch incrementally") {
+    val e = new Engine(new Catalog(spark))
+    e.run(
+      """+emp[(1, "eng", 10.0), (2, "eng", 20.0), (3, "ops", 5.0), (4, "qa", 8.0)]
+        |+m(D, avg<S>, count_distinct<S>) <- emp(I, D, S)
+        |""".stripMargin)
+    assert(rows(e.run("?m(D, A, C)").last) ==
+      Set(Seq("eng", 15.0, 2L), Seq("ops", 5.0, 1L), Seq("qa", 8.0, 1L)))
+    val before = e.maintainedCount
+    // mixed batch: insert into an existing group, a brand-new group, and
+    // delete from another — only eng/ops/new are dirty; qa is untouched
+    e.run(
+      """-emp(3, "ops", 5.0)
+        |+emp[(5, "eng", 40.0), (6, "new", 7.0), (7, "eng", 40.0)]
+        |""".stripMargin)
+    assert(rows(e.run("?m(D, A, C)").last) ==
+      Set(Seq("eng", 27.5, 3L), Seq("qa", 8.0, 1L), Seq("new", 7.0, 1L)))
+    assert(e.maintainedCount == before + 1,
+      "grouped avg/count_distinct should dirty-group-maintain, not recompute")
+    // second round: delete-only batch over the maintained result
+    e.run("""-emp(5, "eng", 40.0)""")
+    assert(rows(e.run("?m(D, A, C)").last) ==
+      Set(Seq("eng", 23.333333333333332, 3L), Seq("qa", 8.0, 1L), Seq("new", 7.0, 1L)))
+    assert(e.maintainedCount == before + 2)
   }
 
   test("matCache stays bounded across many change/re-query rounds") {
