@@ -1044,16 +1044,24 @@ final class Engine(val catalog: Catalog) {
                 }
                 val next = Fixpoint.materialize(Fixpoint.antiNullSafe(
                   tight(parts.reduce(_ union _).distinct()), suspects.df))
-                if (next.count > 0)
+                if (next.count > 0) {
+                  val old = suspects
                   suspects = Fixpoint.materialize(suspects.df.union(next.df))
+                  if (old ne frontier) old.unpersist() // folded into the union
+                }
+                if ((frontier ne suspects) && (frontier ne next))
+                  frontier.unpersist() // consumed by this step's derivations
                 frontier = next
               }
+              // empty terminal frontier (never merged into suspects)
+              if (frontier ne suspects) frontier.unpersist()
             }
             val kept = Fixpoint.antiNullSafe(cached, suspects.df)
             val baseParts = baseRules2.map(deriveRule(_).toDF(cols: _*)) ++
               baseOf(name).map(_.toDF(cols: _*)).toSeq
             val start = Fixpoint.materialize(reduce2(
               (baseParts :+ kept).reduce(_ union _)))
+            suspects.unpersist() // `kept` is folded into `start`
             localAggFastPath(name, recRules2, start, func, aggIdx) match {
               case Some(df) => return Some(df)
               case None =>
@@ -1577,9 +1585,17 @@ final class Engine(val catalog: Catalog) {
                 val next = matByMember(stepParts, m => overDelete.get(m).map(_.df))
                 next.foreach { case (m, fresh) =>
                   overDelete(m) = overDelete.get(m) match {
-                    case Some(od) => Fixpoint.materialize(od.df.union(fresh.df))
+                    case Some(od) =>
+                      val merged = Fixpoint.materialize(od.df.union(fresh.df))
+                      od.unpersist() // copied into the merge; derivations done
+                      merged
                     case None => fresh
                   }
+                }
+                // prior frontier fully consumed (next is materialized);
+                // free any member no longer serving as an accumulator
+                frontier.valuesIterator.foreach { f =>
+                  if (!overDelete.valuesIterator.exists(_ eq f)) f.unpersist()
                 }
                 frontier = next
               }
@@ -1609,10 +1625,13 @@ final class Engine(val catalog: Catalog) {
             }
             parts
           }
+          val keptMats = mutable.HashMap.empty[String, Fixpoint.Mat]
           val kept: Map[String, DataFrame] = scc.iterator.map { m =>
             m -> (overDelete.get(m) match {
               case Some(od) =>
-                Fixpoint.materialize(Fixpoint.antiNullSafe(sccCached(m), od.df)).df
+                val km = Fixpoint.materialize(Fixpoint.antiNullSafe(sccCached(m), od.df))
+                keptMats(m) = km
+                km.df
               case None => sccCached(m)
             })
           }.toMap
@@ -1641,7 +1660,10 @@ final class Engine(val catalog: Catalog) {
               fresh.foreach { case (m, f) =>
                 grew = true
                 surv(m) = surv.get(m) match {
-                  case Some(s) => Fixpoint.materialize(s.df.union(f.df))
+                  case Some(s) =>
+                    val merged = Fixpoint.materialize(s.df.union(f.df))
+                    s.unpersist(); f.unpersist() // both copied into merged
+                    merged
                   case None => f
                 }
               }
@@ -1656,6 +1678,12 @@ final class Engine(val catalog: Catalog) {
               case None => kept(m)
             })
           }.toMap
+          // over-delete sets and survivor accumulators are folded into
+          // resultOf; kept frames survive only for members WITHOUT
+          // survivors (there resultOf IS the kept frame)
+          overDelete.valuesIterator.foreach(_.unpersist())
+          surv.keysIterator.foreach(m => keptMats.get(m).foreach(_.unpersist()))
+          surv.valuesIterator.foreach(_.unpersist())
           return afterDelete(resultOf)
         }
       }
@@ -2375,27 +2403,39 @@ final class Engine(val catalog: Catalog) {
                            deltaInit: Map[String, Fixpoint.Mat]): Map[String, DataFrame] = {
       val multiOccRels: Set[String] = scc.filter(rel => sccRules.exists(r =>
         r.body.count { case Pos(a) => a.rel == rel; case _ => false } > 1))
-      val accParts = mutable.HashMap.empty[String, List[DataFrame]]
+      val accParts = mutable.HashMap.empty[String, List[Fixpoint.Mat]]
       val accCount = mutable.HashMap.empty[String, Long]
       val accMat = mutable.HashMap.empty[String, Fixpoint.Mat] // multiOcc rels only
+      // superseded materializations, unpersisted at iteration boundaries
+      // once nothing live (delta / accumulator / caller-owned input)
+      // still references them — same hygiene as iterateKeyed, deferred
+      // because a compacted-away part may still be this iteration's delta
+      val callerOwned: List[Fixpoint.Mat] = (accInit.valuesIterator ++
+        deltaInit.valuesIterator).toList
+      var retired: List[Fixpoint.Mat] = Nil
+      def retire(m: Fixpoint.Mat): Unit =
+        if (!callerOwned.exists(_ eq m)) retired ::= m
       def accDf(rel: String): Option[DataFrame] =
         if (multiOccRels(rel)) accMat.get(rel).map(_.df)
-        else accParts.get(rel).map(_.reduce(_ union _))
+        else accParts.get(rel).map(_.map(_.df).reduce(_ union _))
       def accCnt(rel: String): Long =
         if (multiOccRels(rel)) accMat.get(rel).map(_.count).getOrElse(0L)
         else accCount.getOrElse(rel, 0L)
       def accAdd(rel: String, m: Fixpoint.Mat): Unit =
         if (multiOccRels(rel)) accMat(rel) = accMat.get(rel) match {
-          case Some(a) => Fixpoint.materialize(a.df.union(m.df))
+          case Some(a) => val merged = Fixpoint.materialize(a.df.union(m.df))
+            retire(a); merged
           case None => m
         } else {
           // compact deep part lists (same policy as iterateKeyed) so the
           // anti-join doesn't scan O(iterations) union stages
           val parts0 = accParts.getOrElse(rel, Nil)
-          val parts = if (parts0.size >= 6)
-            List(Fixpoint.materialize(parts0.reduce(_ union _)).df)
-          else parts0
-          accParts(rel) = parts :+ m.df
+          val parts = if (parts0.size >= 6) {
+            val compacted = Fixpoint.materialize(parts0.map(_.df).reduce(_ union _))
+            parts0.foreach(retire)
+            List(compacted)
+          } else parts0
+          accParts(rel) = parts :+ m
           accCount(rel) = accCount.getOrElse(rel, 0L) + m.count
         }
       accInit.foreach { case (rel, m) => accAdd(rel, m) }
@@ -2452,10 +2492,19 @@ final class Engine(val catalog: Catalog) {
             if (next.count > 0) {
               accAdd(rel, next)
               nextDelta(rel) = next
-            }
+            } else retire(next) // empty: never enters delta or acc
           }
         }
+        delta.valuesIterator.foreach(retire) // consumed this iteration
         delta = nextDelta
+        // free retirees nothing live references anymore (a retired part
+        // can still be the delta just installed, or still sit in accParts
+        // until a later compaction)
+        val live = (delta.valuesIterator ++ accMat.valuesIterator ++
+          accParts.valuesIterator.flatten).toList
+        val (dead, keep) = retired.partition(m => !live.exists(_ eq m))
+        dead.foreach(_.unpersist())
+        retired = keep
       }
       } // withLoopConf
       scc.iterator.flatMap(rel => accDf(rel).map(rel -> _)).toMap
