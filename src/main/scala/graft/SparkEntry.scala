@@ -301,22 +301,28 @@ object SparkEntry {
 
     // --- pipeline: LSH approximate ANN over the partitionBy(bucket)
     //     layout — the probe filters on the STORED bucket column, so the
-    //     scan prunes to (nPlanes+1)/2^nPlanes of the partitions instead
-    //     of evaluating hyperplane dots over every row (rows-only;
-    //     recall + pruning asserted in SimilaritySpec, exact twin q66) --
+    //     scan prunes to the probe partitions instead of evaluating
+    //     hyperplane dots over every row. The seeded planes are
+    //     deterministic constants, so the DuckDB oracle replays the
+    //     bucket + Hamming≤2 probe math on literal planes — exact-hash
+    //     checked, plus the all-probes twin q66 ------------------------
     "q34_ann_lsh" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       val q = emb.where(col("vec_id") === 0).select(col("embedding"))
         .head().getSeq[Float](0)
       Similarity.lshTopKBucketed(lshLayout(s, dir), q, 10, dim = 64)
+        .select(col("vec_id"))
     }),
 
-    // --- pipeline: IVF approximate ANN (rows-only; recall in specs) -------------------------------
+    // --- pipeline: IVF approximate ANN (seeded centroids are constants:
+    //     oracle replays cell argmax + 4-probe selection on literals;
+    //     all-probes twin q67, trained variant q61) --------------------
     "q35_ann_ivf" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       val q = emb.where(col("vec_id") === 0).select(col("embedding"))
         .head().getSeq[Float](0)
       Similarity.ivfTopK(emb, q, 10, dim = 64)
+        .select(col("vec_id"))
     }),
 
     // --- pipeline: TRAINED IVF (k-means coarse quantizer), probing ALL
@@ -1023,6 +1029,55 @@ object SparkEntry {
   // DuckDB oracle SQL — must match the Spark result on columns AND values.
   // =====================================================================
 
+  /** The seeded LSH planes / IVF centroids are deterministic constants
+    * (java.util.Random Gaussians from fixed seeds), so the approximate-
+    * ANN oracles EMBED them as literals and replay bucket/cell assignment
+    * and probe selection in SQL — both engines accumulate the dot
+    * products sequentially in doubles, so the signs/argmaxes agree
+    * bit-for-bit. Double.toString round-trips exactly through SQL
+    * literal parsing. */
+  private def vecLit(a: Array[Double]): String =
+    a.mkString("[", ", ", "]")
+
+  private lazy val q34OracleSql: String = {
+    val planes = graft.functions.LshFunctions.hyperplanes(dim = 64, nPlanes = 6, table = 0)
+    val bucketExpr = planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_inner_product(v, ${vecLit(p)}) > 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString("\n + ")
+    // radius-2 multi-probe = all buckets within Hamming distance 2 of home
+    val hamming = (0 until 6).map(b => s"((xor(b.bucket, h.hb) >> $b) & 1)").mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e),
+       |h AS (SELECT bucket AS hb, v AS hv FROM b WHERE vec_id = 0)
+       |SELECT b.vec_id FROM b, h
+       |WHERE $hamming <= 2
+       |ORDER BY list_cosine_similarity(b.v, h.hv) DESC, b.vec_id ASC LIMIT 10""".stripMargin
+  }
+
+  private lazy val q35OracleSql: String = {
+    val cents = graft.functions.LshFunctions.hyperplanes(
+      dim = 64, nPlanes = 16, table = 0, seed = 0xCE11L)
+    val centVals = cents.zipWithIndex.map { case (c, i) => s"($i, ${vecLit(c)})" }
+      .mkString(",\n")
+    // assignment tie → larger cell (Spark greatest over (score, cell)
+    // structs); probe-selection tie → smaller cell (stable sortBy)
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cents(cell, cv) AS (VALUES $centVals),
+       |scored AS (SELECT e.vec_id, e.v, cents.cell,
+       |  row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY list_inner_product(e.v, CAST(cents.cv AS DOUBLE[])) DESC,
+       |             cents.cell DESC) AS rn
+       |  FROM e, cents),
+       |a AS (SELECT vec_id, v, cell FROM scored WHERE rn = 1),
+       |h AS (SELECT v AS hv FROM e WHERE vec_id = 0),
+       |pc AS (SELECT cents.cell FROM cents, h
+       |  ORDER BY list_inner_product(h.hv, CAST(cents.cv AS DOUBLE[])) DESC,
+       |           cents.cell ASC LIMIT 4)
+       |SELECT a.vec_id FROM a, h
+       |WHERE a.cell IN (SELECT cell FROM pc)
+       |ORDER BY list_cosine_similarity(a.v, h.hv) DESC, a.vec_id ASC LIMIT 10""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q01_filter_project" ->
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity > 45",
@@ -1454,6 +1509,9 @@ object SparkEntry {
         |ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
         |(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC,
         |vec_id ASC LIMIT 10""".stripMargin,
+
+    "q34_ann_lsh" -> q34OracleSql,
+    "q35_ann_ivf" -> q35OracleSql,
 
     // all-cells trained-IVF probe == brute force, same oracle
     "q61_ann_ivf_trained" ->
