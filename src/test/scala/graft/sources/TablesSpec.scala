@@ -59,6 +59,25 @@ class TablesSpec extends SparkSpec {
     assert(ev.count() > 0L)
   }
 
+  test("operator-critical column types hold on the driver's real testdata") {
+    // the round-6 break was a silent testdata schema drift; pin the
+    // column types the operator families assume so the NEXT drift fails
+    // here with a named column instead of deep inside an operator
+    val real = "/root/testdata/sf0.001"
+    assume(Files.exists(java.nio.file.Paths.get(s"$real/embeddings.parquet")))
+    val emb = Tables.load(spark, real, "embeddings")
+    assert(emb.schema("vec_id").dataType == LongType)
+    assert(emb.schema("embedding").dataType.isInstanceOf[ArrayType])
+    assert(emb.schema("embedding").dataType.asInstanceOf[ArrayType]
+      .elementType == FloatType, "ANN kernels assume float32 embeddings")
+    val docs = Tables.load(spark, real, "documents")
+    assert(docs.schema("doc_id").dataType == LongType)
+    assert(docs.schema("text").dataType == StringType)
+    val li = Tables.load(spark, real, "lineitem")
+    assert(li.schema("l_quantity").dataType == DoubleType ||
+      li.schema("l_quantity").dataType.typeName.startsWith("decimal"))
+  }
+
   test("non-events tables pass through untouched") {
     val dir = Files.createTempDirectory("graft_tables_spec_").toString
     import spark.implicits._
