@@ -778,18 +778,90 @@ final class Engine(val catalog: Catalog) {
         insertPhaseOf(name, scc, sccRules, changedRels, deltaOf, deltaDerive,
           isRecursive, viewsNow)
 
+      /** DIRTY-GROUP maintenance — the general grouped-head fallback
+        * (avg / count_distinct, ranked views under deletes, removals,
+        * several changed occurrences): every binding that appeared or
+        * vanished involves a changed tuple at some body occurrence, so
+        * only the group keys those bindings touch can change. Compute
+        * that key set from the deltas (siblings bound at an
+        * over-approximated old ∪ new state — a superset of dirty keys is
+        * merely extra recompute), re-derive the rule for JUST those
+        * groups (the literal key filter pushes below the aggregation /
+        * rank window into the body scans), and keep every other cached
+        * row verbatim. The reference maintains per-group state in its DD
+        * arrangements (`src/derived_relations.rs:1-60`); Spark holds no
+        * such state, so exact per-dirty-group recomputation is the
+        * idiomatic equivalent. `keyIdx` = output positions of the group
+        * keys (non-aggregate / non-rank head terms). */
+      def dirtyGroupMaintain(r: Rule, keyIdx: Seq[Int]): Option[DataFrame] = {
+        if (keyIdx.isEmpty) return None // global head: every row is "dirty"
+        val occs = r.body.zipWithIndex.collect {
+          case (Pos(a), i) if deltaOf.contains(a.rel) || removedOf.contains(a.rel) =>
+            (a.rel, i)
+        }
+        if (occs.isEmpty) return Some(cached) // body never sees the change
+        // old ∪ new sibling frames: a vanished binding through TWO
+        // removed tuples still surfaces its key when either occurrence
+        // is bound to its removal and the sibling covers the old state
+        val oldNew: RuleCompiler.Resolver = (nm, ar) => {
+          val cur = resolve(nm, ar)
+          removedOf.get(nm) match {
+            case Some(rm) => cur.union(rm.toDF(cur.columns.toSeq: _*)).distinct()
+            case None => cur
+          }
+        }
+        val keyCols = keyIdx.map(i => col(cols(i)))
+        val keyFrames = occs.flatMap { case (rel, i) =>
+          (deltaOf.get(rel).toSeq ++ removedOf.get(rel).toSeq).map { changeDf =>
+            var occ = -1
+            val resolver: RuleCompiler.Resolver = (nm, ar) =>
+              if (nm == rel) {
+                occ += 1
+                val bodyIdx = r.body.zipWithIndex.collect {
+                  case (Pos(a), j) if a.rel == rel => j
+                }.apply(occ)
+                if (bodyIdx == i) changeDf else oldNew(nm, ar)
+              } else oldNew(nm, ar)
+            deriveRule(r, resolver).toDF(cols: _*).select(keyCols: _*)
+          }
+        }
+        val dirty = Fixpoint.collectUpTo(
+          keyFrames.reduce(_ union _).distinct(), 64L).getOrElse(return None)
+        if (dirty.isEmpty) return Some(cached)
+        // null/NaN/non-primitive keys: a literal <=> predicate can't
+        // reproduce the grouping semantics — recompute
+        if (dirty.exists(_.toSeq.exists(v => v == null ||
+          (v match {
+            case d: Double => d.isNaN
+            case f: Float => f.isNaN
+            case _: Number | _: String | _: Boolean => false
+            case _ => true
+          })))) return None
+        def dirtyPred: Column = dirty.map { row =>
+          keyIdx.indices.map { j =>
+            col(cols(keyIdx(j))) <=> lit(row.get(j))
+          }.reduce(_ && _)
+        }.reduce(_ || _)
+        val clean = cached.toDF(cols: _*).where(!dirtyPred)
+        val dirtyNew = deriveRule(r).toDF(cols: _*).where(dirtyPred)
+        // materialize: the clean side filters the PREVIOUS cached frame —
+        // left lazy, repeated maintenance rounds would nest filters
+        // without bound
+        Some(Fixpoint.materialize(clean.union(dirtyNew)).df)
+      }
+
       if (rankHead) {
         // RANKING-view maintenance: under pure inserts a top-k window
         // only ADMITS rows — an evicted row can never re-enter — so the
         // exact new result is the rank re-applied over cached ∪ (rank
         // over the delta bindings alone): every true top-k row is the
         // k-best of one of the two sides. within_radius is a plain
-        // filter, where the union alone is already exact. Deletes and
-        // recursion invalidate (an evicted row may need to return);
-        // multiple changed occurrences would double-count delta×delta
-        // bindings (rank heads keep duplicates — no distinct to fold
-        // them), so those recompute too.
-        if (hasRemovals || isRecursive || sccRules.size != 1 || changedRels(name))
+        // filter, where the union alone is already exact. Deletes (an
+        // evicted row may need to return) and multiple changed
+        // occurrences (delta×delta double-counting — rank heads keep
+        // duplicates, no distinct to fold them) go through per-group
+        // dirty recomputation instead; recursion recomputes.
+        if (isRecursive || sccRules.size != 1 || changedRels(name))
           return None
         val r = sccRules.head
         val rank = r.head.args.collectFirst { case rk: Rank => rk }.get
@@ -797,7 +869,17 @@ final class Engine(val catalog: Catalog) {
           case (Pos(a), i) if changedRels(a.rel) => i
         }
         if (changedOccs.isEmpty) return Some(cached)
-        if (changedOccs.size > 1) return None
+        if (hasRemovals || changedOccs.size > 1) {
+          // expanded output positions of the group terms (Rank widens to
+          // outs ++ order in the output row)
+          var idx2 = 0
+          val groupIdx2 = Seq.newBuilder[Int]
+          r.head.args.foreach {
+            case rk: Rank => idx2 += rk.outs.length + 1
+            case _ => groupIdx2 += idx2; idx2 += 1
+          }
+          return dirtyGroupMaintain(r, groupIdx2.result())
+        }
         val deltaRanked = deltaDerive(r, changedOccs.head,
           m => if (m == name) Some(cached) else None)
         val merged = cached.union(deltaRanked)
@@ -1112,81 +1194,9 @@ final class Engine(val catalog: Catalog) {
         }
         val aggIdxSet = aggSpecs.map(_._2).toSet
 
-        /** DIRTY-GROUP maintenance — the general aggregate fallback
-          * (avg / count_distinct, removals, several changed occurrences):
-          * every binding that appeared or vanished involves a changed
-          * tuple at some body occurrence, so only the group keys those
-          * bindings touch can change. Compute that key set from the
-          * deltas (siblings bound at an over-approximated old ∪ new
-          * state — a superset of dirty keys is merely extra recompute),
-          * re-aggregate the body for JUST those groups (the literal key
-          * filter pushes below the aggregation into the body scans), and
-          * keep every other cached row verbatim. The reference maintains
-          * per-group aggregate state in its DD arrangements
-          * (`src/derived_relations.rs:1-60`); Spark holds no such state,
-          * so exact per-dirty-group recomputation is the idiomatic
-          * equivalent. */
-        def dirtyGroupMaintain(): Option[DataFrame] = {
-          val keyIdx = cols.indices.filterNot(aggIdxSet)
-          if (keyIdx.isEmpty) return None // global agg: every row is "dirty"
-          val occs = r.body.zipWithIndex.collect {
-            case (Pos(a), i) if deltaOf.contains(a.rel) || removedOf.contains(a.rel) =>
-              (a.rel, i)
-          }
-          if (occs.isEmpty) return Some(cached) // body never sees the change
-          // old ∪ new sibling frames: a vanished binding through TWO
-          // removed tuples still surfaces its key when either occurrence
-          // is bound to its removal and the sibling covers the old state
-          val oldNew: RuleCompiler.Resolver = (nm, ar) => {
-            val cur = resolve(nm, ar)
-            removedOf.get(nm) match {
-              case Some(rm) => cur.union(rm.toDF(cur.columns.toSeq: _*)).distinct()
-              case None => cur
-            }
-          }
-          val keyCols = keyIdx.map(i => col(cols(i)))
-          val keyFrames = occs.flatMap { case (rel, i) =>
-            (deltaOf.get(rel).toSeq ++ removedOf.get(rel).toSeq).map { changeDf =>
-              var occ = -1
-              val resolver: RuleCompiler.Resolver = (nm, ar) =>
-                if (nm == rel) {
-                  occ += 1
-                  val bodyIdx = r.body.zipWithIndex.collect {
-                    case (Pos(a), j) if a.rel == rel => j
-                  }.apply(occ)
-                  if (bodyIdx == i) changeDf else oldNew(nm, ar)
-                } else oldNew(nm, ar)
-              deriveRule(r, resolver).toDF(cols: _*).select(keyCols: _*)
-            }
-          }
-          val dirty = Fixpoint.collectUpTo(
-            keyFrames.reduce(_ union _).distinct(), 64L).getOrElse(return None)
-          if (dirty.isEmpty) return Some(cached)
-          // null/NaN/non-primitive keys: a literal <=> predicate can't
-          // reproduce the grouping semantics — recompute
-          if (dirty.exists(_.toSeq.exists(v => v == null ||
-            (v match {
-              case d: Double => d.isNaN
-              case f: Float => f.isNaN
-              case _: Number | _: String | _: Boolean => false
-              case _ => true
-            })))) return None
-          def dirtyPred: Column = dirty.map { row =>
-            keyIdx.indices.map { j =>
-              col(cols(keyIdx(j))) <=> lit(row.get(j))
-            }.reduce(_ && _)
-          }.reduce(_ || _)
-          val clean = cached.toDF(cols: _*).where(!dirtyPred)
-          val dirtyNew = deriveRule(r).toDF(cols: _*).where(dirtyPred)
-          // materialize: the clean side filters the PREVIOUS cached frame —
-          // left lazy, repeated maintenance rounds would nest filters
-          // without bound
-          Some(Fixpoint.materialize(clean.union(dirtyNew)).df)
-        }
-
         if (hasRemovals || changedOccs.length != 1 ||
             !aggSpecs.forall { case (f, _) => Set("sum", "count", "min", "max")(f) })
-          return dirtyGroupMaintain()
+          return dirtyGroupMaintain(r, cols.indices.filterNot(aggIdxSet))
         // the delta aggregation stays LAZY: the local-merge collect below
         // is its only execution in the common path (its emptiness check
         // rides along) — materializing first would add a checkpoint +

@@ -391,6 +391,27 @@ class EngineSpec extends SparkSpec {
     assert(rows(e2.run("?a(X)").last) == Set(Seq(5.0)))
   }
 
+  test("dirty-group maintenance: ranked view delete lets an evicted row return") {
+    val e = new Engine(new Catalog(spark))
+    e.run(
+      """+emp[("eng","a",10),("eng","b",30),("eng","c",20),("ops","d",5),("ops","e",7)]
+        |+best(D, top_k<2, N, S:desc>) <- emp(D, N, S)
+        |""".stripMargin)
+    assert(rows(e.run("?best(D, N, S)").last) == Set(
+      Seq("eng", "b", 30L), Seq("eng", "c", 20L),
+      Seq("ops", "e", 7L), Seq("ops", "d", 5L)))
+    val before = e.maintainedCount
+    // deleting eng's top row must bring previously-evicted "a" back into
+    // the eng top-2 — exactly what the insert-only merge cannot do —
+    // while ops is untouched and served from the cached rows
+    e.run("""-emp("eng", "b", 30)""")
+    assert(rows(e.run("?best(D, N, S)").last) == Set(
+      Seq("eng", "c", 20L), Seq("eng", "a", 10L),
+      Seq("ops", "e", 7L), Seq("ops", "d", 5L)))
+    assert(e.maintainedCount == before + 1,
+      "ranked-view delete should dirty-group-maintain, not recompute")
+  }
+
   test("dirty-group maintenance: grouped avg view survives a mixed batch incrementally") {
     val e = new Engine(new Catalog(spark))
     e.run(
@@ -792,11 +813,13 @@ class EngineSpec extends SparkSpec {
       Set(Seq("eng", "b", 30L), Seq("eng", "c", 20L),
         Seq("ops", "e", 7L), Seq("ops", "d", 5L)))
     assert(e.maintainedCount == before + 1, "rank insert should merge, not recompute")
-    e.run("""-emp[("eng","b",30)]""") // delete: recompute — the evicted row returns
+    e.run("""-emp[("eng","b",30)]""") // delete: the evicted row returns —
+    // served by DIRTY-GROUP per-group recomputation (never the insert
+    // merge, which cannot resurrect evicted rows)
     assert(rows(e.run("?best(D, N, S)").last) ==
       Set(Seq("eng", "c", 20L), Seq("eng", "a", 10L),
         Seq("ops", "e", 7L), Seq("ops", "d", 5L)))
-    assert(e.maintainedCount == before + 1, "rank delete must not be rank-merged")
+    assert(e.maintainedCount == before + 2, "rank delete should dirty-group-maintain")
   }
 
   test("incremental maintenance: recursive min aggregate continues on edge inserts") {
