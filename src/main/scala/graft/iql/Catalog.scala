@@ -151,7 +151,7 @@ final class Catalog(val spark: SparkSession) {
     case "bool" => BooleanType
     case "timestamp" => LongType // ms since epoch (reference Value::Timestamp)
     case v if v.startsWith("vector") => ArrayType(FloatType, containsNull = false)
-    case "any" => StringType
+    case "any" => AnyValue.schema // dynamically-typed: tag-major struct, cross-type order
     case other => throw new IllegalArgumentException(s"unknown schema type $other")
   }
 
@@ -216,16 +216,28 @@ final class Catalog(val spark: SparkSession) {
     val arity = rows.head.length
     StructType((0 until arity).map { i =>
       val vals = rows.map(_(i))
-      val dt =
-        if (vals.exists(_.isInstanceOf[Double]))
-          DoubleType // int/float mixed column promotes to float
-        else vals.collectFirst {
-          case _: Long => LongType
-          case _: Int => LongType
-          case _: Boolean => BooleanType
-          case _: String => StringType
-          case _: Seq[_] => ArrayType(FloatType, containsNull = false) // vector literal
-        }.getOrElse(StringType)
+      // incompatible kinds in one position (e.g. int + string) → the
+      // relation column is dynamically typed with the reference's
+      // cross-type total order (AnyValue); numeric int/float mixing
+      // still promotes to double (arithmetic-friendly, corpus behavior)
+      val kinds = vals.map {
+        case _: Long | _: Int => "i"
+        case _: Double => "d"
+        case _: Boolean => "b"
+        case _: String => "s"
+        case _: Seq[_] => "v"
+        case null => "n"
+        case other => throw new IllegalArgumentException(s"unsupported literal $other")
+      }.toSet - "n"
+      val dt = kinds.toList.sorted match {
+        case Nil => StringType
+        case List("i") => LongType
+        case List("d") | List("d", "i") => DoubleType
+        case List("b") => BooleanType
+        case List("s") => StringType
+        case List("v") => ArrayType(FloatType, containsNull = false)
+        case _ => AnyValue.schema
+      }
       StructField(s"c$i", dt, nullable = true)
     })
   }
@@ -233,6 +245,7 @@ final class Catalog(val spark: SparkSession) {
   private def toRows(rows: Seq[Seq[Any]], schema: StructType): Seq[org.apache.spark.sql.Row] =
     rows.map { r =>
       org.apache.spark.sql.Row.fromSeq(r.zip(schema.fields).map {
+        case (v, f) if AnyValue.isAny(f.dataType) => AnyValue.encode(v)
         case (v: Int, f) if f.dataType == LongType => v.toLong
         case (v: Long, f) if f.dataType == IntegerType =>
           require(v >= Int.MinValue && v <= Int.MaxValue,
@@ -288,9 +301,10 @@ final class Catalog(val spark: SparkSession) {
           spark.sparkContext.parallelize(toRows(rows, schema)), schema).distinct()
         relations(name) = df
         logChange(name, df) // whole relation is new = the insert delta
-      case Some(df) =>
-        require(rows.forall(_.length == df.schema.length),
-          s"arity mismatch inserting into $name: expected ${df.schema.length}")
+      case Some(df0) =>
+        require(rows.forall(_.length == df0.schema.length),
+          s"arity mismatch inserting into $name: expected ${df0.schema.length}")
+        val df = widenFor(name, df0, rows)
         // LocalRelation (no RDD): collects of the raw batch are
         // driver-side, and the anti-join below streams it without a scan
         val add = spark.createDataFrame(
@@ -304,6 +318,64 @@ final class Catalog(val spark: SparkSession) {
         logChange(name, graft.plans.Fixpoint.antiNullSafe(add.distinct(), df),
           rawDelta = add)
         maybeCompact(name)
+    }
+  }
+
+  /** Inferred relations accept later inserts of a DIFFERENT type in a
+    * column (the reference's inferred schemas are dynamically typed —
+    * `.rel describe` prints `any` for them): the stored column widens.
+    * int→float widens numerically (same promotion first-batch inference
+    * applies); any other conflict widens to the AnyValue cross-type
+    * encoding. Declared schemas stay strict ([[validate]] ran first, so
+    * a declared relation never reaches a non-fitting kind here). A widen
+    * is a schema change → opaque invalidation (dependent views
+    * recompute; the change-log's typed deltas no longer align). */
+  private def widenFor(name: String, df: DataFrame, rows: Seq[Seq[Any]]): DataFrame = {
+    def kind(v: Any): String = v match {
+      case _: Long | _: Int => "i"
+      case _: Double => "d"
+      case _: Boolean => "b"
+      case _: String => "s"
+      case _: Seq[_] => "v"
+      case null => "n"
+      case other => throw new IllegalArgumentException(s"unsupported literal $other")
+    }
+    def fits(dt: DataType, k: String): Boolean = dt match {
+      case a if AnyValue.isAny(a) => true
+      case ByteType | ShortType | IntegerType | LongType => k == "i"
+      case FloatType | DoubleType => k == "i" || k == "d"
+      case BooleanType => k == "b"
+      case StringType => k == "s"
+      case ArrayType(_, _) => k == "v"
+      // registered external tables can carry types the IQL literal
+      // surface can't write (timestamp, date, binary, …): keep the
+      // legacy permissive insert path rather than widening
+      case _ => true
+    }
+    def intLike(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    val fields = df.schema.fields
+    val target: Array[DataType] = fields.zipWithIndex.map { case (f, i) =>
+      val ks = rows.map(r => kind(r(i))).toSet - "n"
+      if (ks.forall(k => fits(f.dataType, k))) null
+      else if (intLike(f.dataType) && ks.subsetOf(Set("i", "d"))) DoubleType
+      else AnyValue.schema
+    }
+    if (target.forall(_ == null)) df
+    else {
+      import org.apache.spark.sql.functions.col
+      val out = df.select(fields.zipWithIndex.map { case (f, i) =>
+        target(i) match {
+          case null => col(f.name)
+          case DoubleType => col(f.name).cast(DoubleType).as(f.name)
+          case _ => AnyValue.encodeCol(col(f.name), f.dataType).as(f.name)
+        }
+      }.toSeq: _*)
+      relations(name) = out
+      logChange("*", null)
+      out
     }
   }
 

@@ -2262,18 +2262,22 @@ final class Engine(val catalog: Catalog) {
       case "count_distinct" => countDistinct(RuleCompiler.term(arg, frame))
       case "sum" =>
         // reference coercion: sum over non-numeric values yields 0
-        // (`src/value/mod.rs:353-379`)
+        // (`src/value/mod.rs:353-379`); a dynamically-typed column sums
+        // each value's to_i64 (`src/code_generator/mod.rs:2660-2669`)
         val c = RuleCompiler.term(arg, frame)
-        val numeric = try {
-          frame.select(c).schema.head.dataType match {
-            case _: org.apache.spark.sql.types.NumericType => true
-            case _ => false
-          }
-        } catch { case _: Throwable => true }
-        if (numeric) sum(c) else coalesce(sum(lit(0L)), lit(0L))
+        val dt = try Some(frame.select(c).schema.head.dataType)
+          catch { case _: Throwable => None }
+        if (dt.exists(AnyValue.isAny)) sum(AnyValue.asLong(c))
+        else if (dt.forall(_.isInstanceOf[org.apache.spark.sql.types.NumericType])) sum(c)
+        else coalesce(sum(lit(0L)), lit(0L))
       case "min" => min(RuleCompiler.term(arg, frame))
       case "max" => max(RuleCompiler.term(arg, frame))
-      case "avg" => avg(RuleCompiler.term(arg, frame))
+      case "avg" =>
+        // dynamic column: avg of to_f64 (`src/code_generator/mod.rs:2689-2701`)
+        val c = RuleCompiler.term(arg, frame)
+        val isAny = try AnyValue.isAny(frame.select(c).schema.head.dataType)
+          catch { case _: Throwable => false }
+        if (isAny) avg(AnyValue.asDouble(c)) else avg(c)
       case _ => throw new IllegalArgumentException(s"unknown aggregate $f")
     }
 

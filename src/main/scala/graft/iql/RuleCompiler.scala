@@ -80,7 +80,10 @@ object RuleCompiler {
         val idx = remaining.indices.maxBy(i => remaining(i).columns.count(bound))
         val af = remaining.remove(idx)
         val shared = cur.columns.intersect(af.columns).toSeq
-        cur = if (shared.nonEmpty) cur.join(af, shared) else cur.crossJoin(af)
+        cur = if (shared.nonEmpty) {
+          val (lf, rf) = alignShared(cur, af, shared)
+          lf.join(rf, shared)
+        } else cur.crossJoin(af)
       }
     }
     specials.foreach { a =>
@@ -113,10 +116,29 @@ object RuleCompiler {
         val shared = cur.columns.intersect(af.columns).toSeq
         require(shared.nonEmpty || af.columns.isEmpty,
           s"negated atom !${a.rel} shares no variables with the positive body")
-        cur = cur.join(af, shared, "left_anti")
+        val (lf, rf) = alignShared(cur, af, shared)
+        cur = lf.join(rf, shared, "left_anti")
       case _ => ()
     }
     cur
+  }
+
+  /** Dynamic-type join harmonization: a shared column that is AnyValue-
+    * encoded on one side wraps the other side's statically typed column,
+    * so the reference's `Value` equality applies when a mixed-type
+    * relation joins a typed one (an int fact matches an int key; a
+    * string never matches a numeric key). No-op when types agree. */
+  private def alignShared(l: DataFrame, r: DataFrame,
+                          shared: Seq[String]): (DataFrame, DataFrame) = {
+    var lf = l; var rf = r
+    shared.foreach { c =>
+      val lt = lf.schema(c).dataType; val rt = rf.schema(c).dataType
+      if (AnyValue.isAny(lt) && !AnyValue.isAny(rt))
+        rf = rf.withColumn(c, AnyValue.encodeCol(col(c), rt))
+      else if (AnyValue.isAny(rt) && !AnyValue.isAny(lt))
+        lf = lf.withColumn(c, AnyValue.encodeCol(col(c), lt))
+    }
+    (lf, rf)
   }
 
   /** One atom → frame keyed by its variable names. Constants filter,
@@ -128,6 +150,8 @@ object RuleCompiler {
     var out = df
     val seen = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     a.args.zipWithIndex.foreach {
+      case (Const(v), i) if AnyValue.isAny(df.schema(i).dataType) =>
+        out = out.filter(col(df.columns(i)) === AnyValue.litOf(v))
       case (Const(sq: Seq[_]), i) =>
         out = out.filter(col(df.columns(i)) === term(Const(sq), out))
       case (Const(v), i) => out = out.filter(col(df.columns(i)) === lit(v))
@@ -148,9 +172,25 @@ object RuleCompiler {
   /** Like [[cmp]], but float (in)equality uses the reference's 1e-10
     * tolerance (`src/code_generator/mod.rs:88-95`). */
   def cmpTyped(op: String, l: Column, r: Column, frame: DataFrame): Column = {
+    def dtOf(c: Column): Option[org.apache.spark.sql.types.DataType] =
+      try Some(frame.select(c).schema.head.dataType)
+      catch { case _: Throwable => None }
+    // a dynamically-typed side lifts the other side into the AnyValue
+    // encoding: <, <=, >, >= then follow the reference's cross-type
+    // total order (struct field order IS that order), equality is
+    // same-tag + same-payload. Float tolerance does not apply (the
+    // reference's tolerant eq lives in its static-float codegen path).
+    val lDt = dtOf(l); val rDt = dtOf(r)
+    val lAny = lDt.exists(AnyValue.isAny); val rAny = rDt.exists(AnyValue.isAny)
+    if (lAny || rAny) {
+      val le = if (lAny) l else AnyValue.encodeCol(l, lDt.getOrElse(
+        org.apache.spark.sql.types.StringType))
+      val re = if (rAny) r else AnyValue.encodeCol(r, rDt.getOrElse(
+        org.apache.spark.sql.types.StringType))
+      return cmp(op, le, re)
+    }
     def isDouble(c: Column): Boolean =
-      try frame.select(c).schema.head.dataType == org.apache.spark.sql.types.DoubleType
-      catch { case _: Throwable => false }
+      dtOf(c).contains(org.apache.spark.sql.types.DoubleType)
     // = / != are NULL-SAFE (reference: null != 0 is true, null = null true)
     if ((op == "=" || op == "!=") && (isDouble(l) || isDouble(r))) {
       val eq = when(l.isNull && r.isNull, lit(true))

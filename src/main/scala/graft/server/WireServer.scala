@@ -739,6 +739,10 @@ final class WireServer(spark: SparkSession, port: Int = 0,
   }
 
   private def cell(v: Any): Any = v match {
+    // dynamically-typed (AnyValue) cells decode to the plain value —
+    // the wire shows 5 / "x" / true, never the tagged struct encoding
+    case r: org.apache.spark.sql.Row if graft.iql.AnyValue.isAnyRow(r) =>
+      cell(graft.iql.AnyValue.decode(r))
     case s: Seq[_] => s
     case arr: Array[_] => arr.toSeq
     case ts: java.sql.Timestamp => ts.getTime

@@ -1,0 +1,152 @@
+package graft.iql
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+/** Cross-type `Value` total order over dynamically-typed columns —
+  * reference `src/value/mod.rs:493-547`: same-type compares naturally;
+  * across types the order is categorical (`Null < Bool < Int < Float <
+  * String < Vector`), so Int64(100) < Float64(0.5). Exercised through
+  * declared `any` columns, mixed-type inferred columns, and
+  * widen-on-conflict inserts. */
+class AnyValueSpec extends SparkSpec {
+
+  private def engine = new Engine(new Catalog(spark))
+
+  private def decoded(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq.map {
+      case r: Row if AnyValue.isAnyRow(r) => AnyValue.decode(r)
+      case other => other
+    })
+
+  test("declared any column sorts in the reference cross-type order") {
+    val e = engine
+    e.run(
+      """+m(id: int, x: any)
+        |+m[(1, "zeta"), (2, 3.5), (3, 100), (4, true), (5, [1.0, 2.0]), (6, 0.5)]
+        |""".stripMargin)
+    val out = decoded(e.run("?m(Id, X:asc)").last).map(_(1))
+    // Bool < Int < Float (categorically: int 100 below float 0.5) < String < Vector
+    assert(out.take(4) == Seq(true, 100L, 0.5, 3.5))
+    assert(out(4) == "zeta")
+    assert(out(5).asInstanceOf[Seq[Float]] == Seq(1.0f, 2.0f))
+  }
+
+  test("min/max over a mixed column follow the cross-type order") {
+    val e = engine
+    e.run(
+      """+m(id: int, x: any)
+        |+m[(1, "a"), (2, 7.5), (3, 100), (4, [0.5])]
+        |+lo(min<X>) <- m(_, X)
+        |+hi(max<X>) <- m(_, X)
+        |""".stripMargin)
+    assert(decoded(e.run("?lo(V)").last) == Seq(Seq(100L))) // int slot lowest present
+    val hi = decoded(e.run("?hi(V)").last).head.head
+    assert(hi.asInstanceOf[Seq[Float]] == Seq(0.5f)) // vector slot highest
+  }
+
+  test("vector order: length first, then unsigned IEEE bits") {
+    val e = engine
+    e.run(
+      """+m(x: any)
+        |+m[([9.0, 9.0]), ([1.0, 2.0, 3.0]), ([-1.0]), ([1.0])]
+        |""".stripMargin)
+    val out = decoded(e.run("?m(X:asc)").last).map(_.head.asInstanceOf[Seq[Float]])
+    // len 1 before len 2 before len 3; within len 1, unsigned bit order
+    // puts the negative float ABOVE the positive (sign bit set = larger
+    // u32) — reference src/value/mod.rs:500-514
+    assert(out == Seq(Seq(1.0f), Seq(-1.0f), Seq(9.0f, 9.0f), Seq(1.0f, 2.0f, 3.0f)))
+  }
+
+  test("equality and range filters against any columns") {
+    val e = engine
+    e.run(
+      """+m(id: int, x: any)
+        |+m[(1, 5), (2, "5"), (3, 5.0), (4, 2)]
+        |""".stripMargin)
+    // literal 5 matches only the int-tagged 5 — not "5", not 5.0
+    assert(decoded(e.run("?m(Id, 5)").last).map(_.head) == Seq(1L))
+    // X > 4 under the cross-type order: ints above 4, ALL floats, the string
+    val gt = decoded(e.run("?m(Id:asc, X), X > 4").last).map(_.head)
+    assert(gt == Seq(1L, 2L, 3L))
+  }
+
+  test("mixed-type first batch infers a dynamic column") {
+    val e = engine
+    e.run("""+m[(1, "x"), (2, 9)]""")
+    val out = decoded(e.run("?m(Id, X:asc)").last)
+    assert(out == Seq(Seq(2L, 9L), Seq(1L, "x"))) // int slot < string slot
+  }
+
+  test("widen-on-conflict: later insert of a new type re-encodes the column") {
+    val e = engine
+    e.run("+m[(1, 10), (2, 20)]") // inferred int column
+    e.run("""+m[(3, "s")]""") // widen → AnyValue
+    val out = decoded(e.run("?m(Id, X:asc)").last)
+    assert(out == Seq(Seq(1L, 10L), Seq(2L, 20L), Seq(3L, "s")))
+    // int→float conflict widens numerically instead (inference parity)
+    val e2 = engine
+    e2.run("+n[(1, 10)]")
+    e2.run("+n[(2, 2.5)]")
+    assert(rows(e2.run("?n(Id, X), X > 3.0").last) == Set(Seq(1L, 10.0)))
+  }
+
+  test("joins harmonize a dynamic column with a typed one") {
+    val e = engine
+    e.run(
+      """+m(x: any)
+        |+m[(1), ("k"), (2.0)]
+        |+t[(1), (2)]
+        |+both(X) <- m(X), t(X)
+        |""".stripMargin)
+    // int 1 matches; float 2.0 does NOT match int 2 (distinct Value types)
+    assert(decoded(e.run("?both(X)").last) == Seq(Seq(1L)))
+  }
+
+  test("negation joins harmonize dynamic columns") {
+    val e = engine
+    e.run(
+      """+m(x: any)
+        |+m[(1), ("k")]
+        |+t[(1), (2)]
+        |+only(X) <- m(X), !t(X)
+        |""".stripMargin)
+    assert(decoded(e.run("?only(X)").last) == Seq(Seq("k")))
+  }
+
+  test("sum/avg over dynamic columns use to_i64/to_f64 coercion") {
+    val e = engine
+    e.run(
+      """+m(id: int, x: any)
+        |+m[(1, 3), (2, 2.7), (3, "skip"), (4, true)]
+        |+s(sum<X>) <- m(_, X)
+        |+a(avg<X>) <- m(_, X)
+        |+c(count_distinct<X>) <- m(_, X)
+        |""".stripMargin)
+    // to_i64: 3 + 2 + 0 + 1 (reference src/code_generator/mod.rs:2660-2669)
+    assert(rows(e.run("?s(V)").last) == Set(Seq(6L)))
+    // to_f64: (3 + 2.7 + 0 + 1) / 4
+    val avg = rows(e.run("?a(V)").last).head.head.asInstanceOf[Double]
+    assert(math.abs(avg - 6.7 / 4) < 1e-9)
+    assert(rows(e.run("?c(V)").last) == Set(Seq(4L)))
+  }
+
+  test("delete exact tuples from a dynamic column") {
+    val e = engine
+    e.run(
+      """+m(x: any)
+        |+m[(1), ("k"), (2.5)]
+        |""".stripMargin)
+    e.run("""-m("k")""")
+    assert(decoded(e.run("?m(X:asc)").last) == Seq(Seq(1L), Seq(2.5)))
+  }
+
+  test("duplicate dynamic facts collapse (set semantics)") {
+    val e = engine
+    e.run(
+      """+m(x: any)
+        |+m[("a"), ("a"), (1), (1)]
+        |""".stripMargin)
+    assert(decoded(e.run("?m(X)").last).size == 2)
+  }
+}
