@@ -28,7 +28,15 @@ object Main {
           case Repl.Table(df) =>
             val rows = df.limit(1000).collect()
             println(df.columns.mkString("(", ", ", ")"))
-            rows.foreach(r => println(r.toSeq.mkString("(", ", ", ")")))
+            rows.foreach { r =>
+              val cells = r.toSeq.map {
+                // dynamic (AnyValue) cells print their plain value
+                case ar: org.apache.spark.sql.Row if graft.iql.AnyValue.isAnyRow(ar) =>
+                  graft.iql.AnyValue.decode(ar)
+                case other => other
+              }
+              println(cells.mkString("(", ", ", ")"))
+            }
             println(s"${rows.length} row(s)")
         } catch {
           case e: Exception => println(s"error: ${e.getMessage}")

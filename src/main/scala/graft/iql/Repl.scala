@@ -155,13 +155,9 @@ final class Session(val spark: SparkSession,
       case Seq(".rel") | Seq(".rel", "list") => Text(catalog.relationNames)
       case Seq(".rule") => Text(engine.currentRules.map(Printer.rule))
       case Seq(".rel", name) if !Set("list", "describe", "drop")(name) =>
-        val df = catalog.relation(name).getOrElse(
-          throw new IllegalArgumentException(s"unknown relation $name"))
-        Text(df.schema.fields.map(f => s"${f.name}: ${f.dataType.simpleString}").toSeq)
+        Text(describeRel(name))
       case Seq(".rel", "describe", name) =>
-        val df = catalog.relation(name).getOrElse(
-          throw new IllegalArgumentException(s"unknown relation $name"))
-        Text(df.schema.fields.map(f => s"${f.name}: ${f.dataType.simpleString}").toSeq)
+        Text(describeRel(name))
       case Seq(".rel", "drop", name) =>
         catalog.dropRelation(name); Text(Seq(s"dropped $name"))
 
@@ -326,6 +322,18 @@ final class Session(val spark: SparkSession,
   }
 
   private def parseGroundAtom(src: String): Ast.Atom = Repl.parseGroundAtom(src)
+
+  /** Schema display: dynamically-typed (AnyValue) columns print as `any`
+    * (the reference shows `any` for dynamic columns, never an encoding
+    * detail); static columns print their Spark type. */
+  private def describeRel(name: String): Seq[String] = {
+    val df = catalog.relation(name).getOrElse(
+      throw new IllegalArgumentException(s"unknown relation $name"))
+    df.schema.fields.map { f =>
+      val t = if (AnyValue.isAny(f.dataType)) "any" else f.dataType.simpleString
+      s"${f.name}: $t"
+    }.toSeq
+  }
 }
 
 /** Parquet + IQL-source persistence of one knowledge graph (reference:

@@ -141,6 +141,15 @@ class AnyValueSpec extends SparkSpec {
     assert(decoded(e.run("?m(X:asc)").last) == Seq(Seq(1L), Seq(2.5)))
   }
 
+  test(".rel describe prints any for dynamic columns") {
+    val s = new Session(spark)
+    s.execute("+m(id: int, x: any)")
+    val lines = s.execute(".rel describe m").collect {
+      case Repl.Text(ls) => ls
+    }.flatten
+    assert(lines == Seq("id: bigint", "x: any"))
+  }
+
   test("duplicate dynamic facts collapse (set semantics)") {
     val e = engine
     e.run(
