@@ -972,7 +972,11 @@ object SparkEntry {
           |""".stripMargin)
       e.run("-aemp(900000003, 7, 7777)\n+aemp[(900000004, 0, 4000)]")
       e.run("?avgm(D, A, C)").last // dirty-group maintained, not recomputed
-    })
+    }),
+
+    // --- pipeline: corpus length distribution (exact discrete quantiles) ---------------------
+    "q94_corpus_quantiles" -> ((s, dir) =>
+      TextAnalysis.lengthDistribution(T(s, dir, "documents")))
   )
 
   private val ivfCentroidCache =
@@ -1890,6 +1894,21 @@ object SparkEntry {
         |UNION ALL SELECT 900000002, 1, 2000
         |UNION ALL SELECT 900000004, 0, 4000)
         |SELECT dept AS D, AVG(sal) AS A, COUNT(DISTINCT sal) AS C
-        |FROM aemp GROUP BY dept""".stripMargin
+        |FROM aemp GROUP BY dept""".stripMargin,
+
+    // discrete quantiles pick actual data values, so DuckDB's
+    // quantile_disc and SQL-standard percentile_disc agree exactly
+    // (both: smallest value with cumulative distribution >= q)
+    "q94_corpus_quantiles" ->
+      """WITH t AS (
+        |SELECT lang, CASE WHEN LEN(TRIM(text)) = 0 THEN 0
+        |ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END AS tok
+        |FROM documents)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |CAST(SUM(tok) AS BIGINT) AS total_tokens,
+        |quantile_disc(tok, 0.5) AS p50_tokens,
+        |quantile_disc(tok, 0.9) AS p90_tokens,
+        |quantile_disc(tok, 0.99) AS p99_tokens
+        |FROM t GROUP BY lang""".stripMargin
   )
 }

@@ -14,6 +14,27 @@ object TextAnalysis {
       TF.tokenCount(col(textCol)).as("n_tokens"),
       TF.regexTokenCount(col(textCol)).as("n_regex_tokens"))
 
+  /** Per-group token-count distribution (corpus curation: length
+    * quantiles set the filtering thresholds; totals size the training
+    * mix). Discrete quantiles (`percentile_disc`) pick an ACTUAL data
+    * value — engine-exact and oracle-able, unlike interpolated or
+    * sketched percentiles. Spark's exact percentile keeps a value→count
+    * map per group; token counts are bounded-cardinality, so the state
+    * stays small and partial-aggregates map-side at any corpus size. */
+  def lengthDistribution(docs: DataFrame, groupCol: String = "lang",
+                         textCol: String = "text"): DataFrame =
+    docs.select(col(groupCol), TF.tokenCount(col(textCol)).as("tok"))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("tok")).as("total_tokens"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY tok)")
+          .cast("long").as("p50_tokens"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY tok)")
+          .cast("long").as("p90_tokens"),
+        expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY tok)")
+          .cast("long").as("p99_tokens"))
+
   /** Quality features + composite score per document. */
   def qualityFeatures(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.select(col(idCol),

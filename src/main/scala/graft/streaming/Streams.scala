@@ -51,6 +51,25 @@ object Streams {
       .withWatermark(tsCol, watermark)
       .dropDuplicates("content_hash")
 
+  /** Stream-stream equi-join with an event-time interval bound (the
+    * attribution/enrichment join a live training-data pipeline runs
+    * between two feeds, e.g. documents ⋈ late-arriving annotations).
+    * Both sides carry watermarks and the predicate bounds right-side
+    * event time relative to the left, so Spark evicts buffered rows the
+    * moment they can no longer match — join state stays bounded at any
+    * stream volume. (An unbounded stream-stream join would buffer both
+    * sides forever; this is the scale-safe shape.) */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, rightTs: String,
+                   within: String = "10 minutes",
+                   watermark: String = "20 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.alias("l").join(r.alias("r"),
+      expr(s"l.$key = r.$key AND r.$rightTs >= l.$leftTs AND " +
+        s"r.$rightTs <= l.$leftTs + interval $within"))
+  }
+
   /** Custom keyed state via mapGroupsWithState: running event count +
     * exponentially-decayed activity score per user — the kind of
     * incrementally-maintained derived state the reference keeps in DD

@@ -150,6 +150,19 @@ class AnyValueSpec extends SparkSpec {
     assert(lines == Seq("id: bigint", "x: any"))
   }
 
+  test("recursion over dynamic columns (mixed-type node ids)") {
+    val e = engine
+    e.run(
+      """+edge(a: any, b: any)
+        |+edge[(1, "x"), ("x", 2.5), (2.5, true)]
+        |+reach(X, Y) <- edge(X, Y)
+        |+reach(X, Z) <- reach(X, Y), edge(Y, Z)
+        |""".stripMargin)
+    val out = decoded(e.run("?reach(X, Y)").last)
+    assert(out.size == 6) // 3 edges + (1,2.5) (1,true) ("x",true)
+    assert(out.contains(Seq(1L, true)))
+  }
+
   test("duplicate dynamic facts collapse (set semantics)") {
     val e = engine
     e.run(

@@ -83,6 +83,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), "boilerplate set should broadcast")
   }
 
+  test("length distribution: exact discrete quantiles per group") {
+    val docs = (1 to 10).map(i => (i.toLong, ("w " * i).trim, "en")) ++
+      Seq((11L, "a b c", "de"))
+    val df = docs.toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.lengthDistribution(df)
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5))).toMap
+    // en: tok = 1..10 → p50 = smallest v with cume_dist >= .5 = 5;
+    // p90 = 9; p99 = 10; total = 55
+    assert(r("en") == ((10L, 55L, 5L, 9L, 10L)))
+    assert(r("de") == ((1L, 3L, 3L, 3L, 3L)))
+  }
+
   test("unigram LM scores typical docs above rare-token docs") {
     val docs = Seq(
       (1L, "the the the the"),   // most frequent token → highest logprob

@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import java.sql.Timestamp
 
 class StreamsSpec extends SparkSpec {
@@ -117,6 +118,27 @@ class StreamsSpec extends SparkSpec {
         Map("events" -> input.toDF().toDF("X", "V"), "dim" -> dims))
     }
     assert(err.getMessage.contains("negation"))
+  }
+
+  test("stream-stream interval join matches within the time bound only") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val imps = MemoryStream[(Timestamp, Long)]
+    val joined = Streams.intervalJoin(
+      imps.toDF().toDF("its", "k"), clicks.toDF().toDF("cts", "k"),
+      key = "k", leftTs = "its", rightTs = "cts", within = "10 minutes")
+      .select(col("l.k").as("k"), col("its"), col("cts"))
+    val q = joined.writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").start()
+    try {
+      def t(min: Int) = new Timestamp(3600000L + min * 60000L)
+      imps.addData((t(0), 1L), (t(0), 2L))
+      // k=1 click inside the 10-minute bound; k=2 click outside it
+      clicks.addData((t(5), 1L), (t(30), 2L), (t(5), 3L))
+      q.processAllAvailable()
+      val got = spark.table("ssjoin").collect().map(_.getLong(0)).toSet
+      assert(got == Set(1L)) // k=2 out of window, k=3 has no impression
+    } finally q.stop()
   }
 
   test("mapGroupsWithState keeps decayed per-user activity") {
