@@ -21,7 +21,8 @@ object Main {
     val in = new java.io.BufferedReader(new java.io.InputStreamReader(System.in))
     print("iql> "); Console.flush()
     var line = in.readLine()
-    while (line != null && line.trim != ".quit") {
+    // .exit is the reference CLI's alias for .quit (`src/main.rs:50`)
+    while (line != null && line.trim != ".quit" && line.trim != ".exit") {
       if (line.trim.nonEmpty) {
         try session.execute(line).foreach {
           case Repl.Text(lines) => lines.foreach(println)

@@ -37,6 +37,17 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q94 quantiles partial-aggregate map-side and prune the scan") {
+    assume(new java.io.File(s"$sf/documents.parquet").exists)
+    val plan = planOf("q94_corpus_quantiles")
+    // map-side combine before the exchange: percentile state (a bounded
+    // value→count map) must partial-aggregate, or every raw token count
+    // crosses the shuffle at corpus scale
+    assert(plan.contains("partial_percentile_disc"), plan)
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(plan).map(_.group(1))
+    assert(read.exists(_.split(",").length <= 2), s"unpruned scan: $read")
+  }
+
   test("q33 brute-force ANN is a TakeOrderedAndProject, not a global sort") {
     assume(new java.io.File(s"$sf/embeddings.parquet").exists)
     val plan = planOf("q33_ann_bruteforce")
