@@ -976,7 +976,15 @@ object SparkEntry {
 
     // --- pipeline: corpus length distribution (exact discrete quantiles) ---------------------
     "q94_corpus_quantiles" -> ((s, dir) =>
-      TextAnalysis.lengthDistribution(T(s, dir, "documents")))
+      TextAnalysis.lengthDistribution(T(s, dir, "documents"))),
+
+    // --- pipeline: per-language vocabulary size — exact (oracle) and HLL-
+    //     sketched (the 100 TB path: fixed-size mergeable state instead of
+    //     shuffling every token into a distinct) ---------------------------
+    "q95_vocab_exact" -> ((s, dir) =>
+      TextAnalysis.vocabulary(T(s, dir, "documents"))),
+    "q96_vocab_sketch" -> ((s, dir) =>
+      TextAnalysis.vocabularyApprox(T(s, dir, "documents")))
   )
 
   private val ivfCentroidCache =
@@ -1909,6 +1917,14 @@ object SparkEntry {
         |quantile_disc(tok, 0.5) AS p50_tokens,
         |quantile_disc(tok, 0.9) AS p90_tokens,
         |quantile_disc(tok, 0.99) AS p99_tokens
-        |FROM t GROUP BY lang""".stripMargin
+        |FROM t GROUP BY lang""".stripMargin,
+
+    // q96 (HLL-sketched) is rows-only: sketch estimates are
+    // implementation-specific; q95 is its exact anchor
+    "q95_vocab_exact" ->
+      """WITH t AS (
+        |SELECT lang, unnest(regexp_split_to_array(TRIM(text), '\s+')) AS tok
+        |FROM documents WHERE LEN(TRIM(text)) > 0)
+        |SELECT lang, COUNT(DISTINCT tok) AS n_vocab FROM t GROUP BY lang""".stripMargin
   )
 }

@@ -35,6 +35,26 @@ object TextAnalysis {
         expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY tok)")
           .cast("long").as("p99_tokens"))
 
+  /** Per-group vocabulary size — exact form: explode tokens and
+    * COUNT(DISTINCT). Oracle-able, but the distinct shuffles every
+    * token occurrence once; use [[vocabularyApprox]] at corpus scale. */
+  def vocabulary(docs: DataFrame, groupCol: String = "lang",
+                 textCol: String = "text"): DataFrame =
+    docs.select(col(groupCol), explode(TF.tokens(col(textCol))).as("tok"))
+      .groupBy(col(groupCol))
+      .agg(countDistinct(col("tok")).as("n_vocab"))
+
+  /** Sketched vocabulary size: one HyperLogLog++ sketch per group —
+    * fixed-size state, map-side mergeable, one tiny row per group over
+    * the shuffle. At 100 TB distinct-counting is sketch work, not a
+    * token shuffle; rsd 0.01 ≈ 1% relative error. Anchored by the
+    * exact [[vocabulary]] twin in the oracle suite. */
+  def vocabularyApprox(docs: DataFrame, groupCol: String = "lang",
+                       textCol: String = "text", rsd: Double = 0.01): DataFrame =
+    docs.select(col(groupCol), explode(TF.tokens(col(textCol))).as("tok"))
+      .groupBy(col(groupCol))
+      .agg(approx_count_distinct(col("tok"), rsd).as("n_vocab"))
+
   /** Quality features + composite score per document. */
   def qualityFeatures(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.select(col(idCol),

@@ -96,6 +96,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r("de") == ((1L, 3L, 3L, 3L, 3L)))
   }
 
+  test("vocabulary: exact distinct tokens per group; sketch tracks exact") {
+    val docs = Seq(
+      (1L, "a b c a", "en"), (2L, "c d", "en"), (3L, "x y", "de"),
+      (4L, "", "de")).toDF("doc_id", "text", "lang")
+    val exact = TextAnalysis.vocabulary(docs)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact == Map("en" -> 4L, "de" -> 2L)) // {a b c d}, {x y}
+    val approx = TextAnalysis.vocabularyApprox(docs)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // tiny cardinalities: HLL++ with rsd .01 is exact in practice
+    assert(approx == exact)
+  }
+
   test("unigram LM scores typical docs above rare-token docs") {
     val docs = Seq(
       (1L, "the the the the"),   // most frequent token → highest logprob
