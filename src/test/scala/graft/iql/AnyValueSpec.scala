@@ -163,6 +163,47 @@ class AnyValueSpec extends SparkSpec {
     assert(out.contains(Seq(1L, true)))
   }
 
+  test("fuzz: engine sort equals the reference comparator on random mixed values") {
+    val rnd = new scala.util.Random(42)
+    def randVal(): Any = rnd.nextInt(5) match {
+      case 0 => rnd.nextBoolean()
+      case 1 => rnd.nextInt(200).toLong - 100L
+      case 2 => (rnd.nextInt(800) - 400) / 4.0
+      case 3 => rnd.alphanumeric.take(rnd.nextInt(5)).mkString
+      case _ => Seq.fill(rnd.nextInt(3) + 1)((rnd.nextFloat() - 0.5f) * 10f)
+    }
+    // direct Scala transcription of the reference Ord (src/value/mod.rs:493-547)
+    def tagOf(v: Any): Int = v match {
+      case _: Boolean => 1; case _: Long => 2; case _: Double => 3
+      case _: String => 4; case _: Seq[_] => 5
+    }
+    def cmp(a: Any, b: Any): Int = {
+      val (ta, tb) = (tagOf(a), tagOf(b))
+      if (ta != tb) ta - tb
+      else (a, b) match {
+        case (x: Boolean, y: Boolean) => x.compareTo(y)
+        case (x: Long, y: Long) => x.compareTo(y)
+        case (x: Double, y: Double) => x.compareTo(y)
+        case (x: String, y: String) => x.compareTo(y)
+        case (x: Seq[_], y: Seq[_]) =>
+          if (x.length != y.length) x.length - y.length
+          else x.zip(y).map { case (f: Float, g: Float) =>
+            java.lang.Integer.compareUnsigned(
+              java.lang.Float.floatToIntBits(f), java.lang.Float.floatToIntBits(g))
+          }.find(_ != 0).getOrElse(0)
+      }
+    }
+    val vals = Seq.fill(60)(randVal())
+    val e = engine
+    e.catalog.insert("fz", vals.zipWithIndex.map { case (v, i) => Seq(i.toLong, v) })
+    val got = decoded(e.run("?fz(I, X:asc)").last).map(_(1))
+    val want = vals.sorted(Ordering.fromLessThan[Any]((a, b) => cmp(a, b) < 0))
+    assert(got.length == want.length)
+    got.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+      assert(cmp(g, w) == 0, s"position $i: engine=$g reference=$w")
+    }
+  }
+
   test("duplicate dynamic facts collapse (set semantics)") {
     val e = engine
     e.run(

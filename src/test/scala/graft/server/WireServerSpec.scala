@@ -54,6 +54,26 @@ class WireServerSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("dynamically-typed cells decode to plain JSON values on the wire") {
+    val server = new WireServer(spark)
+    try {
+      val http = HttpClient.newHttpClient()
+      val base = s"http://127.0.0.1:${server.actualPort}"
+      def post(body: String): String =
+        http.send(HttpRequest.newBuilder(URI.create(base + "/query"))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString()).body()
+      post(Json.render(Map("type" -> "query",
+        "query" -> "+anyrel(x: any)\n+anyrel[(1), (\"s\"), (2.5), (true)]")))
+      val res = obj(post(Json.render(Map(
+        "type" -> "query", "query" -> "?anyrel(X:asc)"))))
+      assert(res("type") == "result")
+      val cells = res("rows").asInstanceOf[Seq[Seq[Any]]].map(_.head)
+      // cross-type order on the wire, as plain JSON scalars
+      assert(cells == Seq(true, 1L, 2.5, "s"))
+    } finally server.stop()
+  }
+
   test("WebSocket: query, session-scoped facts, rules, ping") {
     val server = new WireServer(spark)
     try {
