@@ -158,8 +158,18 @@ object AnyValue {
         mk(when(c.isNull, lit(TagNull)).otherwise(lit(TagVector)),
           nullAs(BooleanType), nullAs(LongType), nullAs(DoubleType),
           nullAs(StringType), size(fc).cast(IntegerType), bitsUdf(fc), fc)
-      case other => throw new IllegalArgumentException(
-        s"cannot coerce a $other column to an any column")
+      // registered external tables can carry Spark types the IQL value
+      // surface doesn't have. Timestamps/dates collapse into the int tag
+      // as ms-since-epoch (the reference's Timestamp IS an i64-ms value,
+      // and the catalog's own `timestamp` columns are LongType ms, so a
+      // declared-timestamp fact and a parquet TimestampType cell agree);
+      // anything else degrades to its string form rather than failing
+      // the whole query plan.
+      case TimestampType | TimestampNTZType =>
+        tagged(TagInt, i = unix_millis(c.cast(TimestampType)))
+      case DateType =>
+        tagged(TagInt, i = unix_millis(c.cast(TimestampType)))
+      case _ => tagged(TagString, s = c.cast(StringType))
     }
   }
 

@@ -220,15 +220,7 @@ final class Catalog(val spark: SparkSession) {
       // relation column is dynamically typed with the reference's
       // cross-type total order (AnyValue); numeric int/float mixing
       // still promotes to double (arithmetic-friendly, corpus behavior)
-      val kinds = vals.map {
-        case _: Long | _: Int => "i"
-        case _: Double => "d"
-        case _: Boolean => "b"
-        case _: String => "s"
-        case _: Seq[_] => "v"
-        case null => "n"
-        case other => throw new IllegalArgumentException(s"unsupported literal $other")
-      }.toSet - "n"
+      val kinds = vals.map(kindOf).toSet - "n"
       val dt = kinds.toList.sorted match {
         case Nil => StringType
         case List("i") => LongType
@@ -321,6 +313,19 @@ final class Catalog(val spark: SparkSession) {
     }
   }
 
+  /** One classification of IQL literal values into type kinds — used by
+    * BOTH first-batch inference and later-batch widening, which must
+    * agree or stored and expected column types drift silently. */
+  private def kindOf(v: Any): String = v match {
+    case _: Long | _: Int => "i"
+    case _: Double => "d"
+    case _: Boolean => "b"
+    case _: String => "s"
+    case _: Seq[_] => "v"
+    case null => "n"
+    case other => throw new IllegalArgumentException(s"unsupported literal $other")
+  }
+
   /** Inferred relations accept later inserts of a DIFFERENT type in a
     * column (the reference's inferred schemas are dynamically typed —
     * `.rel describe` prints `any` for them): the stored column widens.
@@ -331,15 +336,6 @@ final class Catalog(val spark: SparkSession) {
     * is a schema change → opaque invalidation (dependent views
     * recompute; the change-log's typed deltas no longer align). */
   private def widenFor(name: String, df: DataFrame, rows: Seq[Seq[Any]]): DataFrame = {
-    def kind(v: Any): String = v match {
-      case _: Long | _: Int => "i"
-      case _: Double => "d"
-      case _: Boolean => "b"
-      case _: String => "s"
-      case _: Seq[_] => "v"
-      case null => "n"
-      case other => throw new IllegalArgumentException(s"unsupported literal $other")
-    }
     def fits(dt: DataType, k: String): Boolean = dt match {
       case a if AnyValue.isAny(a) => true
       case ByteType | ShortType | IntegerType | LongType => k == "i"
@@ -358,7 +354,7 @@ final class Catalog(val spark: SparkSession) {
     }
     val fields = df.schema.fields
     val target: Array[DataType] = fields.zipWithIndex.map { case (f, i) =>
-      val ks = rows.map(r => kind(r(i))).toSet - "n"
+      val ks = rows.map(r => kindOf(r(i))).toSet - "n"
       if (ks.forall(k => fits(f.dataType, k))) null
       else if (intLike(f.dataType) && ks.subsetOf(Set("i", "d"))) DoubleType
       else AnyValue.schema

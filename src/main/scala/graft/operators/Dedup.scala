@@ -28,15 +28,6 @@ object Dedup {
     (ck, ck.rdd.count())
   }
 
-  /** The internally-persisted RDD behind a localCheckpoint'ed frame —
-    * lets the sigCache unpersist evicted tables immediately instead of
-    * waiting for GC + ContextCleaner (a 4.6 GiB driver heap collects
-    * rarely, so dead checkpoint blocks otherwise pile up for the whole
-    * session). */
-  private def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
-    df.queryExecution.logical.collectFirst {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-    }
   private def maybeBroadcast(df: DataFrame, n: Long, limit: Long = 2000000L): DataFrame =
     if (n <= limit) broadcast(df) else df
 
@@ -50,11 +41,28 @@ object Dedup {
     * verify with `sameResult` on the canonicalized plan (the hash alone
     * could collide); the context hashCode keys out frames from a
     * restarted SparkContext (a checkpointed RDD dies with its context).
-    * LRU-bounded; evicted tables are unpersisted on the spot — safe
-    * under sequential use because an operator always builds (or re-hits)
-    * its own table in the same call that probes it, so an entry evicted
-    * by a LATER build has no in-flight reader. */
+    * LRU-bounded. Evicted tables are NOT unpersisted on the spot: a
+    * concurrent wire-server query may still hold a lazy plan over the
+    * evicted checkpoint (whose lineage is truncated — unpersisting it
+    * under a running reader fails that query with a lost-block error,
+    * not a recompute). They go to a grace-period graveyard drained on
+    * later builds: old enough to outlive any plausible in-flight
+    * reader, bounded so churn can't pile blocks up for the session. */
   private val SigCacheMax = 8
+  private val GraveyardGraceNanos = 10L * 60 * 1000 * 1000 * 1000 // 10 min
+  private val GraveyardMax = 32
+  private val graveyard =
+    scala.collection.mutable.ArrayBuffer.empty[(Long, org.apache.spark.rdd.RDD[_])]
+  private def buryAndDrain(evicted: Option[org.apache.spark.rdd.RDD[_]]): Unit = {
+    val now = System.nanoTime()
+    evicted.foreach(r => graveyard += ((now, r)))
+    val (old, fresh) = graveyard.partition { case (t, _) =>
+      now - t > GraveyardGraceNanos }
+    val overflow = math.max(0, fresh.length - GraveyardMax)
+    (old ++ fresh.take(overflow)).foreach(_._2.unpersist(false))
+    graveyard.clear()
+    graveyard ++= fresh.drop(overflow)
+  }
   private val sigCache =
     new java.util.LinkedHashMap[(Int, Int, String, String, Int, Int, Boolean),
       (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame, Long)](16, 0.75f, true)
@@ -76,8 +84,9 @@ object Dedup {
             val it = sigCache.entrySet().iterator()
             val evicted = it.next().getValue._2
             it.remove()
-            checkpointRdd(evicted).foreach(_.unpersist(false))
+            buryAndDrain(graft.plans.Fixpoint.checkpointRddOf(evicted))
           }
+          buryAndDrain(None) // age out prior evictions even without new ones
         }
         (df, n)
     }

@@ -67,16 +67,21 @@ object Fixpoint {
     * concurrent queries on the shared session are unaffected. */
   private val loopSession = new ThreadLocal[SparkSession]()
 
+  /** The persisted RDD behind a localCheckpoint'ed frame (it lives
+    * inside the checkpoint's LogicalRDD) — owners capture it to
+    * unpersist deterministically instead of waiting for GC +
+    * ContextCleaner. One shared Spark-internal pattern match; the
+    * dedup signature cache uses it too. */
+  private[graft] def checkpointRddOf(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.logical.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+
   def materialize(df: DataFrame): Mat = {
     val ck = df.localCheckpoint(true)
     val rdd = ck.rdd
     val sess = Option(loopSession.get).getOrElse(ck.sparkSession)
-    // the persisted RDD lives inside the checkpoint frame's LogicalRDD —
-    // capture it so the owner can unpersist deterministically
-    val internal = ck.queryExecution.logical.collectFirst {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-    }
-    Mat(sess.createDataFrame(rdd, ck.schema), rdd.count(), internal)
+    Mat(sess.createDataFrame(rdd, ck.schema), rdd.count(), checkpointRddOf(ck))
   }
 
   private def maybeBroadcast(m: Mat): DataFrame =

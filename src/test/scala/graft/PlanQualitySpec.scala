@@ -26,10 +26,12 @@ class PlanQualitySpec extends SparkSpec {
     assume(new java.io.File(s"$sf/events.parquet").exists)
     val plan = planOf("q19_temporal_filter")
     // under nanos-as-long storage ts is computed and this can't push; the
-    // current testdata is timestamp[us], where pushdown must hold
-    val native = sources.Tables.load(spark, sf, "events")
-      .queryExecution.analyzed.schema.fieldNames.contains("ts_ns")
-    assume(native)
+    // current testdata is timestamp[us], where pushdown must hold. The
+    // loader exposes ts/ts_ns under BOTH storage types, so detection must
+    // look at the RAW parquet schema (nanos generations read ts as long).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawTs = spark.read.parquet(s"$sf/events.parquet").schema("ts").dataType
+    assume(rawTs != org.apache.spark.sql.types.LongType)
     if (plan.contains("PushedFilters")) {
       val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(plan).mkString
       assert(pushed.contains("GreaterThanOrEqual(ts") || pushed.contains("LessThan(ts"),

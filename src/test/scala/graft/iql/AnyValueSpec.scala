@@ -163,6 +163,18 @@ class AnyValueSpec extends SparkSpec {
     assert(out.contains(Seq(1L, true)))
   }
 
+  test("any columns harmonize with registered timestamp columns as ms-epoch ints") {
+    val e = engine
+    e.catalog.register("evt", spark.sql(
+      "SELECT timestamp_millis(1000) AS t UNION ALL SELECT timestamp_millis(2000)"))
+    e.run(
+      """+m(x: any)
+        |+m[(1000), ("x")]
+        |+hit(X) <- m(X), evt(X)
+        |""".stripMargin)
+    assert(decoded(e.run("?hit(X)").last) == Seq(Seq(1000L)))
+  }
+
   test("fuzz: engine sort equals the reference comparator on random mixed values") {
     val rnd = new scala.util.Random(42)
     def randVal(): Any = rnd.nextInt(5) match {
