@@ -762,16 +762,8 @@ final class Engine(val catalog: Catalog) {
       def deltaDerive(r: Rule, dIdx: Int,
                       recFrames: String => Option[DataFrame]): DataFrame = {
         val targetRel = r.body(dIdx) match { case Pos(a) => a.rel; case _ => "" }
-        var occ = -1
-        val deltaResolver: RuleCompiler.Resolver = (nm, ar) =>
-          if (nm == targetRel) {
-            occ += 1
-            val bodyIdx = r.body.zipWithIndex.collect {
-              case (Pos(a), i) if a.rel == targetRel => i
-            }.apply(occ)
-            if (bodyIdx == dIdx) deltaOf(nm)
-            else recFrames(nm).getOrElse(resolve(nm, ar))
-          } else recFrames(nm).getOrElse(resolve(nm, ar))
+        val deltaResolver = RuleCompiler.bindOccurrence(r, dIdx, deltaOf(targetRel),
+          (nm, ar) => recFrames(nm).getOrElse(resolve(nm, ar)))
         deriveRule(r, deltaResolver).toDF(colsOf(r.head.rel): _*)
       }
       def insertPhase(viewsNow: Map[String, DataFrame]): Option[DataFrame] =
@@ -813,15 +805,7 @@ final class Engine(val catalog: Catalog) {
         val keyCols = keyIdx.map(i => col(cols(i)))
         val keyFrames = occs.flatMap { case (rel, i) =>
           (deltaOf.get(rel).toSeq ++ removedOf.get(rel).toSeq).map { changeDf =>
-            var occ = -1
-            val resolver: RuleCompiler.Resolver = (nm, ar) =>
-              if (nm == rel) {
-                occ += 1
-                val bodyIdx = r.body.zipWithIndex.collect {
-                  case (Pos(a), j) if a.rel == rel => j
-                }.apply(occ)
-                if (bodyIdx == i) changeDf else oldNew(nm, ar)
-              } else oldNew(nm, ar)
+            val resolver = RuleCompiler.bindOccurrence(r, i, changeDf, oldNew)
             deriveRule(r, resolver).toDF(cols: _*).select(keyCols: _*)
           }
         }
@@ -1525,19 +1509,14 @@ final class Engine(val catalog: Catalog) {
           // current ∪ removed (over-deletion runs entirely in the old DB)
           def overDerive(r: Rule, dIdx: Int, bound: DataFrame): DataFrame = {
             val targetRel = r.body(dIdx) match { case Pos(a) => a.rel; case _ => "" }
-            var occ = -1
-            val resolver: RuleCompiler.Resolver = (nm, ar) =>
-              if (nm == targetRel) {
-                occ += 1
-                val bodyIdx = r.body.zipWithIndex.collect {
-                  case (Pos(a), i) if a.rel == targetRel => i
-                }.apply(occ)
-                if (bodyIdx == dIdx) bound
-                else if (scc(nm)) sccCached(nm)
-                else oldFrame(nm, ar)
-              } else if (scc(nm)) sccCached(nm)
-              else if (changedRels(nm)) oldFrame(nm, ar)
-              else resolve(nm, ar)
+            // non-bound occurrences of targetRel take the oldFrame branch
+            // whether or not changedRels flags it (it always does in
+            // practice — overDerive only runs for changed relations)
+            val resolver = RuleCompiler.bindOccurrence(r, dIdx, bound,
+              (nm, ar) =>
+                if (scc(nm)) sccCached(nm)
+                else if (nm == targetRel || changedRels(nm)) oldFrame(nm, ar)
+                else resolve(nm, ar))
             deriveRule(r, resolver).toDF(colsOf(r.head.rel): _*)
           }
           def matByMember(parts: mutable.HashMap[String, List[DataFrame]],
@@ -1829,12 +1808,8 @@ final class Engine(val catalog: Catalog) {
               case (Pos(a), i) if a.rel == name => i
             }
             recIdx.map { dIdx =>
-              var occ = -1
-              val resolver: RuleCompiler.Resolver = (nm, ar) =>
-                if (nm == name) {
-                  occ += 1
-                  if (recIdx(occ) == dIdx) delta.df else accFrame
-                } else resolve(nm, ar)
+              val resolver = RuleCompiler.bindOccurrence(r, dIdx, delta.df,
+                (nm, ar) => if (nm == name) accFrame else resolve(nm, ar))
               deriveRule(r, resolver).toDF(cols: _*)
             }
           }
@@ -2618,10 +2593,8 @@ final class Engine(val catalog: Catalog) {
           // the delta, siblings see the full accumulator (acc already
           // absorbed delta, so delta×delta combinations are covered)
           recIdx.map { dIdx =>
-            var occ = -1
-            val resolver: RuleCompiler.Resolver = (nm, ar) =>
-              if (nm == rel) { occ += 1; if (recIdx(occ) == dIdx) delta.df else acc.df }
-              else resolve(nm, ar)
+            val resolver = RuleCompiler.bindOccurrence(r, dIdx, delta.df,
+              (nm, ar) => if (nm == rel) acc.df else resolve(nm, ar))
             deriveRule(r, resolver).toDF(cols: _*)
           }
         }

@@ -26,6 +26,27 @@ object RuleCompiler {
     * width) to its DataFrame. */
   type Resolver = (String, Int) => DataFrame
 
+  /** Resolver binding body element `dIdx` (a positive atom) to `bound`
+    * and everything else to `fallback`. Relies on the [[compileBody]]
+    * invariant that positive atoms resolve IN BODY ORDER: the n-th
+    * resolve call for the target's relation is its n-th body
+    * occurrence. Every delta / over-deletion / aggregate-loop
+    * derivation shares this decorator, so that invariant — and the
+    * safety argument for occurrence counting — lives in one place. */
+  def bindOccurrence(r: Rule, dIdx: Int, bound: => DataFrame,
+                     fallback: (String, Int) => DataFrame): Resolver = {
+    val target = r.body(dIdx) match { case Pos(a) => a.rel; case _ => "" }
+    val occIdx = r.body.zipWithIndex.collect {
+      case (Pos(a), i) if a.rel == target => i
+    }
+    var occ = -1
+    (nm, ar) =>
+      if (nm == target) {
+        occ += 1
+        if (occIdx(occ) == dIdx) bound else fallback(nm, ar)
+      } else fallback(nm, ar)
+  }
+
   /** Builtin boolean functions that may appear in ATOM position in a body
     * (`recent(Id) <- events(Id, Ts), within_last(Ts, Now, D)`) — they are
     * filters, not relation scans (reference BodyPredicate builtins). */
