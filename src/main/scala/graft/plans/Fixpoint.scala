@@ -43,6 +43,14 @@ object Fixpoint {
   val LocalEdgeRows: Long = 200000L
   /** Node ceiling for local FULL transitive closure (output is O(V²)). */
   val LocalTcNodes: Long = 4000L
+  /** Connected components gets a HIGHER local cap than the fixpoint fast
+    * paths: union-find memory is linear in the COLLECTED edges (no
+    * transitive-output blowup like TC), so 2M undirected edge rows
+    * (~tens of MB on the driver) solve in well under a second where the
+    * distributed min-label loop pays several seconds of per-iteration
+    * fixed cost. Beyond the cap the distributed loop's costs amortize
+    * over real data volume — that is the 100 TB path. */
+  val LocalComponentRows: Long = 2000000L
 
   /** A materialized loop relation: plan-identity-barriered frame + its
     * exact row count. The barrier (rebuild from the checkpointed RDD)
@@ -247,7 +255,7 @@ object Fixpoint {
     withLoopConf(edges.sparkSession) {
       val sym = edges.toDF("a", "b")
       val und = materialize(sym.union(sym.select(col("b"), col("a"))).distinct())
-      if (maxIter <= 0 && und.count <= LocalEdgeRows) {
+      if (maxIter <= 0 && und.count <= LocalComponentRows) {
         val out = localComponents(und) // collects und; result doesn't reference it
         und.unpersist()
         return out

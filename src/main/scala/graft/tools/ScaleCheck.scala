@@ -39,6 +39,31 @@ object ScaleCheck {
       println("pairs=" + Dedup.minHashPairs(docs, threshold = 0.35).count()))
     time("minhash 10x (50k docs)")(
       println("pairs=" + Dedup.minHashPairs(docs10, threshold = 0.35).count()))
+    // cluster dedup at 10×: 499k pairs → ~1M undirected edges, under
+    // the CC-specific local cap (union-find memory is input-linear, no
+    // TC-style output blowup), so components solve on the driver; the
+    // measured time is dominated by re-executing the lazy pair plan
+    // (~3.7 s each for the two consumers). Forcing the old 200k cap
+    // here cost 24 s in the distributed min-label loop — per-iteration
+    // fixed costs that only amortize at real data volume.
+    time("cluster dedup 10x") {
+      val pairs = Dedup.minHashPairs(docs10, threshold = 0.35)
+        .select(col("id_a"), col("id_b"))
+      println("survivors=" + Dedup.clusterSurvivors(docs10, pairs).count())
+    }
+    // round-7 corpus stats at 10×: per-group percentile state is a
+    // bounded value→count map, so cost should track rows, not groups²
+    val docsLang = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+    val docsLang10 = (0 until 10).map(i => docsLang.select(
+      (col("doc_id") + lit(i * 1000000L)).as("doc_id"), col("text"), col("lang")))
+      .reduce(_ union _).repartition(32).localCheckpoint(true)
+    graft.operators.TextAnalysis.lengthDistribution(docsLang).count() // warm
+    time("quantiles 1x")(
+      graft.operators.TextAnalysis.lengthDistribution(docsLang).count())
+    time("quantiles 10x")(
+      graft.operators.TextAnalysis.lengthDistribution(docsLang10).count())
+    time("vocab sketch 10x")(
+      graft.operators.TextAnalysis.vocabularyApprox(docsLang10).count())
     spark.stop()
   }
 }
