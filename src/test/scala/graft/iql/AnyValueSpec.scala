@@ -141,6 +141,20 @@ class AnyValueSpec extends SparkSpec {
     assert(decoded(e.run("?m(X:asc)").last) == Seq(Seq(1L), Seq(2.5)))
   }
 
+  test("dynamic columns round-trip through .save/.open") {
+    val s1 = new Session(spark)
+    s1.execute("+m(x: any)")
+    s1.execute("""+m[(1), ("k"), (2.5), (true)]""")
+    val dir = java.nio.file.Files.createTempDirectory("graft_any_save").toString
+    s1.execute(s".save $dir")
+    val s2 = new Session(spark)
+    s2.execute(s".open $dir")
+    val out = s2.execute("?m(X:asc)").collectFirst {
+      case Repl.Table(df) => decoded(df).map(_.head)
+    }.get
+    assert(out == Seq(true, 1L, 2.5, "k"))
+  }
+
   test(".rel describe prints any for dynamic columns") {
     val s = new Session(spark)
     s.execute("+m(id: int, x: any)")
