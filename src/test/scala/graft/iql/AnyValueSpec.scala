@@ -141,6 +141,23 @@ class AnyValueSpec extends SparkSpec {
     assert(decoded(e.run("?m(X:asc)").last) == Seq(Seq(1L), Seq(2.5)))
   }
 
+  test("aggregate views over dynamic columns maintain incrementally") {
+    val e = engine
+    e.run(
+      """+m(id: int, x: any)
+        |+m[(1, 5), (2, "q")]
+        |+mx(max<X>) <- m(_, X)
+        |""".stripMargin)
+    assert(decoded(e.run("?mx(V)").last) == Seq(Seq("q"))) // string above int
+    e.run("""+m[(3, 9)]""") // monotone insert below current max
+    assert(decoded(e.run("?mx(V)").last) == Seq(Seq("q")))
+    e.run("""+m[(4, [1.0])]""") // vector: new cross-type max
+    assert(decoded(e.run("?mx(V)").last).head.head
+      .asInstanceOf[Seq[Float]] == Seq(1.0f))
+    assert(e.maintainedCount >= 1,
+      "mergeable max over a dynamic column should merge, not recompute")
+  }
+
   test("dynamic columns round-trip through .save/.open") {
     val s1 = new Session(spark)
     s1.execute("+m(x: any)")
