@@ -260,30 +260,45 @@ object Fixpoint {
         und.unpersist()
         return out
       }
-      // Labels only ever decrease; convergence iff the (overflow-safe
-      // decimal) sum of labels is unchanged — one cheap scan of the
-      // cached RDD per iteration instead of a self-join.
-      def labelSum(df: DataFrame): java.math.BigDecimal =
-        df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
+      // SEMI-NAIVE min-label propagation: labels only ever decrease, and
+      // any further improvement chain must pass through a node whose
+      // label decreased LAST round — so only the frontier (just-improved
+      // labels) joins the edges each iteration, instead of every label
+      // re-propagating over every edge every round. Late rounds ship the
+      // few still-moving labels; convergence = empty frontier (no
+      // separate label-sum scan needed).
       var labels = materialize(und.df.select(col("a").as("id")).distinct()
         .withColumn("comp", col("id")))
-      var prevSum = labelSum(labels.df)
-      var changed = true
+      var frontier = labels // round 1 propagates everything (the base case)
+      var frontierIsLabels = true
       var i = 0
-      while (changed && (maxIter <= 0 || i < maxIter)) {
+      var done = false
+      while (!done && (maxIter <= 0 || i < maxIter)) {
         graft.QueryGuard.checkCancelled()
         i += 1
-        sizeShuffle(edges.sparkSession, labels.count + und.count)
-        val prop = maybeBroadcast(und).join(labels.df, und.df("b") === labels.df("id"))
-          .select(und.df("a").as("id"), col("comp"))
-        val next = materialize(labels.df.select(col("id"), col("comp")).union(prop)
-          .groupBy("id").agg(min("comp").as("comp")))
-        val nextSum = labelSum(next.df)
-        changed = nextSum.compareTo(prevSum) != 0
-        prevSum = nextSum
-        labels.unpersist() // superseded: `next` copied what it needed
-        labels = next
+        sizeShuffle(edges.sparkSession, frontier.count + und.count)
+        val f = frontier.df.select(col("id").as("fid"), col("comp").as("fcomp"))
+        val cand = materialize(
+          maybeBroadcast(und).join(f, und.df("b") === col("fid"))
+            .groupBy(und.df("a")).agg(min(col("fcomp")).as("cand"))
+            .select(und.df("a").as("id"), col("cand")))
+        val improved = materialize(cand.df.join(labels.df, Seq("id"))
+          .where(col("cand") < col("comp"))
+          .select(col("id"), col("cand").as("comp")))
+        cand.unpersist()
+        if (improved.count == 0) { improved.unpersist(); done = true }
+        else {
+          val upd = materialize(labels.df
+            .join(improved.df.select(col("id"), col("comp").as("ncomp")), Seq("id"), "left")
+            .select(col("id"), coalesce(col("ncomp"), col("comp")).as("comp")))
+          if (!frontierIsLabels) frontier.unpersist()
+          labels.unpersist()
+          labels = upd
+          frontier = improved
+          frontierIsLabels = false
+        }
       }
+      if (!frontierIsLabels) frontier.unpersist()
       und.unpersist()
       labels.df
     }

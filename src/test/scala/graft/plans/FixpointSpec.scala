@@ -47,6 +47,15 @@ class FixpointSpec extends SparkSpec {
     assert(rows(Fixpoint.connectedComponents(e, maxIter = 50)) == exp)
   }
 
+  test("connected components: semi-naive distributed loop matches union-find on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(400)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .toDF("a", "b")
+    val local = rows(Fixpoint.connectedComponents(edges))
+    val dist = rows(Fixpoint.connectedComponents(edges, maxIter = 100))
+    assert(local == dist && local.nonEmpty)
+  }
+
   test("larger random graph: local and distributed closures agree") {
     val rnd = new scala.util.Random(7)
     val edges = Seq.fill(120)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
