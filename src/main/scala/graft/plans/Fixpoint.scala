@@ -278,14 +278,13 @@ object Fixpoint {
         i += 1
         sizeShuffle(edges.sparkSession, frontier.count + und.count)
         val f = frontier.df.select(col("id").as("fid"), col("comp").as("fcomp"))
-        val cand = materialize(
-          maybeBroadcast(und).join(f, und.df("b") === col("fid"))
-            .groupBy(und.df("a")).agg(min(col("fcomp")).as("cand"))
-            .select(und.df("a").as("id"), col("cand")))
-        val improved = materialize(cand.df.join(labels.df, Seq("id"))
+        // cand is consumed exactly once (by `improved`) — no barrier
+        val cand = maybeBroadcast(und).join(f, und.df("b") === col("fid"))
+          .groupBy(und.df("a")).agg(min(col("fcomp")).as("cand"))
+          .select(und.df("a").as("id"), col("cand"))
+        val improved = materialize(cand.join(labels.df, Seq("id"))
           .where(col("cand") < col("comp"))
           .select(col("id"), col("cand").as("comp")))
-        cand.unpersist()
         if (improved.count == 0) { improved.unpersist(); done = true }
         else {
           val upd = materialize(labels.df
