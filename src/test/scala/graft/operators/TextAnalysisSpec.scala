@@ -109,6 +109,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(approx == exact)
   }
 
+  test("vocabulary sketch stays within tolerance of exact on the corpus") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/documents.parquet").exists)
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+    val exact = TextAnalysis.vocabulary(docs)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = TextAnalysis.vocabularyApprox(docs)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (lang, n) =>
+      val err = math.abs(approx(lang) - n).toDouble / math.max(1L, n)
+      assert(err <= 0.05, s"$lang: exact=$n approx=${approx(lang)} err=$err")
+    }
+  }
+
   test("unigram LM scores typical docs above rare-token docs") {
     val docs = Seq(
       (1L, "the the the the"),   // most frequent token → highest logprob
