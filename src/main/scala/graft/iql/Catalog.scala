@@ -422,8 +422,17 @@ final class Catalog(val spark: SparkSession) {
       case Some(base) =>
         require(base.columns.length == df.columns.length,
           s"arity mismatch appending to $name")
-        val cast = df.toDF(base.columns: _*).select(
-          base.schema.fields.map(f => org.apache.spark.sql.functions.col(f.name).cast(f.dataType)).toSeq: _*)
+        val renamed = df.toDF(base.columns: _*)
+        val cast = renamed.select(
+          base.schema.fields.map { f =>
+            val c = org.apache.spark.sql.functions.col(f.name)
+            val src = renamed.schema(f.name).dataType
+            // appending a statically-typed frame into a dynamic column
+            // encodes rather than casts (a struct cast would fail)
+            if (AnyValue.isAny(f.dataType) && !AnyValue.isAny(src))
+              AnyValue.encodeCol(c, src).as(f.name)
+            else c.cast(f.dataType)
+          }.toSeq: _*)
         relations(name) = base.union(cast).distinct()
         logChange(name, graft.plans.Fixpoint.antiNullSafe(cast.distinct(), base))
         maybeCompact(name)

@@ -158,6 +158,15 @@ class AnyValueSpec extends SparkSpec {
       "mergeable max over a dynamic column should merge, not recompute")
   }
 
+  test("appendDf encodes typed frames into dynamic columns") {
+    import spark.implicits._
+    val e = engine
+    e.run("""+m(x: any)
+            |+m[("seed")]""".stripMargin)
+    e.catalog.appendDf("m", Seq(7L, 9L).toDF("x"))
+    assert(decoded(e.run("?m(X:asc)").last).map(_.head) == Seq(7L, 9L, "seed"))
+  }
+
   test("dynamic columns round-trip through .save/.open") {
     val s1 = new Session(spark)
     s1.execute("+m(x: any)")
