@@ -150,8 +150,10 @@ object AnyValue {
     dt match {
       case dt2 if isAny(dt2) => c
       case BooleanType => tagged(TagBool, b = c)
-      case IntegerType | LongType => tagged(TagInt, i = c.cast(LongType))
-      case FloatType | DoubleType => tagged(TagFloat, d = c.cast(DoubleType))
+      case ByteType | ShortType | IntegerType | LongType =>
+        tagged(TagInt, i = c.cast(LongType))
+      case FloatType | DoubleType | _: DecimalType =>
+        tagged(TagFloat, d = c.cast(DoubleType))
       case StringType => tagged(TagString, s = c)
       case ArrayType(et, _) if et == FloatType || et == DoubleType =>
         val fc = if (et == FloatType) c else c.cast(ArrayType(FloatType))
@@ -164,11 +166,18 @@ object AnyValue {
       // and the catalog's own `timestamp` columns are LongType ms, so a
       // declared-timestamp fact and a parquet TimestampType cell agree);
       // anything else degrades to its string form rather than failing
-      // the whole query plan.
-      case TimestampType | TimestampNTZType =>
-        tagged(TagInt, i = unix_millis(c.cast(TimestampType)))
+      // the whole query plan. DATE and NTZ anchor to UTC explicitly —
+      // a session-timezone-dependent encoding would make the same stored
+      // cell compare differently across sessions.
+      case TimestampType => tagged(TagInt, i = unix_millis(c))
+      case TimestampNTZType =>
+        // NTZ wall time read as a UTC instant, independent of session TZ:
+        // cast renders the wall time as an instant in the session zone,
+        // to_utc_timestamp re-anchors that same wall time to UTC
+        tagged(TagInt, i = unix_millis(
+          to_utc_timestamp(c.cast(TimestampType), expr("current_timezone()"))))
       case DateType =>
-        tagged(TagInt, i = unix_millis(c.cast(TimestampType)))
+        tagged(TagInt, i = unix_date(c).cast(LongType) * lit(86400000L))
       case _ => tagged(TagString, s = c.cast(StringType))
     }
   }

@@ -43,7 +43,12 @@ object RuleCompiler {
     (nm, ar) =>
       if (nm == target) {
         occ += 1
-        if (occIdx(occ) == dIdx) bound else fallback(nm, ar)
+        // resolves past the positive occurrences are the target inside
+        // NEGATED atoms (compileBody resolves negations after all
+        // positives) — those always take the fallback, never the bound
+        // delta
+        if (occ < occIdx.length && occIdx(occ) == dIdx) bound
+        else fallback(nm, ar)
       } else fallback(nm, ar)
   }
 

@@ -50,18 +50,33 @@ object Dedup {
     * reader, bounded so churn can't pile blocks up for the session. */
   private val SigCacheMax = 8
   private val GraveyardGraceNanos = 10L * 60 * 1000 * 1000 * 1000 // 10 min
+  private val GraveyardMinGraceNanos = 60L * 1000 * 1000 * 1000 // 1 min floor
   private val GraveyardMax = 32
   private val graveyard =
     scala.collection.mutable.ArrayBuffer.empty[(Long, org.apache.spark.rdd.RDD[_])]
   private def buryAndDrain(evicted: Option[org.apache.spark.rdd.RDD[_]]): Unit = {
     val now = System.nanoTime()
     evicted.foreach(r => graveyard += ((now, r)))
-    val (old, fresh) = graveyard.partition { case (t, _) =>
+    // full grace expired → always reclaim; over the cap → reclaim the
+    // oldest, but NEVER below the 1-minute floor (the overflow trim must
+    // not re-open the race it exists to close — pathological churn keeps
+    // a few extra blocks for at most a minute instead). An RDD whose
+    // context has stopped is dropped without an unpersist call — the
+    // block manager died with the context, and the call would throw.
+    def reclaim(entry: (Long, org.apache.spark.rdd.RDD[_])): Unit =
+      try { if (!entry._2.sparkContext.isStopped) entry._2.unpersist(false) }
+      catch { case _: Throwable => () }
+    val (expired, fresh) = graveyard.partition { case (t, _) =>
       now - t > GraveyardGraceNanos }
-    val overflow = math.max(0, fresh.length - GraveyardMax)
-    (old ++ fresh.take(overflow)).foreach(_._2.unpersist(false))
+    expired.foreach(reclaim)
+    val overflowCount = math.max(0, fresh.length - GraveyardMax)
+    val (overflowEntries, rest) = fresh.splitAt(overflowCount) // oldest first
+    val (trim, kept) = overflowEntries.partition { case (t, _) =>
+      now - t > GraveyardMinGraceNanos }
+    trim.foreach(reclaim)
     graveyard.clear()
-    graveyard ++= fresh.drop(overflow)
+    graveyard ++= kept
+    graveyard ++= rest
   }
   private val sigCache =
     new java.util.LinkedHashMap[(Int, Int, String, String, Int, Int, Boolean),

@@ -45,12 +45,14 @@ object Fixpoint {
   val LocalTcNodes: Long = 4000L
   /** Connected components gets a HIGHER local cap than the fixpoint fast
     * paths: union-find memory is linear in the COLLECTED edges (no
-    * transitive-output blowup like TC), so 2M undirected edge rows
-    * (~tens of MB on the driver) solve in well under a second where the
-    * distributed min-label loop pays several seconds of per-iteration
-    * fixed cost. Beyond the cap the distributed loop's costs amortize
+    * transitive-output blowup like TC). At the cap the honest driver
+    * footprint is boxed Rows + the parent map + per-component grouping —
+    * a few hundred MB peak for 1M long-id rows, more for string ids —
+    * acceptable transiently on the target driver, where the distributed
+    * min-label loop would pay several seconds of per-iteration fixed
+    * cost instead. Beyond the cap the distributed loop's costs amortize
     * over real data volume — that is the 100 TB path. */
-  val LocalComponentRows: Long = 2000000L
+  val LocalComponentRows: Long = 1000000L
 
   /** A materialized loop relation: plan-identity-barriered frame + its
     * exact row count. The barrier (rebuild from the checkpointed RDD)

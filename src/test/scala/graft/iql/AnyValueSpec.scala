@@ -215,6 +215,24 @@ class AnyValueSpec extends SparkSpec {
     assert(decoded(e.run("?hit(X)").last) == Seq(Seq(1000L)))
   }
 
+  test("any columns harmonize with smallint and decimal registered columns") {
+    val e = engine
+    e.catalog.register("st", spark.sql(
+      "SELECT CAST(5 AS SMALLINT) AS v UNION ALL SELECT CAST(9 AS SMALLINT)"))
+    e.catalog.register("dc", spark.sql(
+      "SELECT CAST(2.5 AS DECIMAL(5,2)) AS v UNION ALL SELECT CAST(7.0 AS DECIMAL(5,2))"))
+    e.run(
+      """+m(x: any)
+        |+m[(5), (2.5), ("never")]
+        |+hs(X) <- m(X), st(X)
+        |+hd(X) <- m(X), dc(X)
+        |""".stripMargin)
+    // smallint 5 lands in the int slot, decimal 2.5 in the float slot —
+    // NOT the string slot (which would silently match nothing)
+    assert(decoded(e.run("?hs(X)").last) == Seq(Seq(5L)))
+    assert(decoded(e.run("?hd(X)").last) == Seq(Seq(2.5)))
+  }
+
   test("fuzz: engine sort equals the reference comparator on random mixed values") {
     val rnd = new scala.util.Random(42)
     def randVal(): Any = rnd.nextInt(5) match {
