@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
 import graft.plans.Fixpoint
-import graft.operators.{Dedup, EventOps, Similarity, TextAnalysis, Multimodal, Sampling}
+import graft.operators.{Bpe, Dedup, EventOps, Similarity, TextAnalysis, Multimodal, Sampling}
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF, TemporalFunctions => TempF}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -984,8 +984,44 @@ object SparkEntry {
     "q95_vocab_exact" -> ((s, dir) =>
       TextAnalysis.vocabulary(T(s, dir, "documents"))),
     "q96_vocab_sketch" -> ((s, dir) =>
-      TextAnalysis.vocabularyApprox(T(s, dir, "documents")))
+      TextAnalysis.vocabularyApprox(T(s, dir, "documents"))),
+
+    // --- pipeline: source-weighted mixing with upsampling — weight
+    //     num/den emits ⌊num/den⌋ copies plus a deterministic
+    //     fractional band; rep = 0-based epoch index. Map-only
+    //     (CASE + explode(sequence)), exactly replicated in DuckDB
+    //     via the splitmix position --------------------------------
+    "q97_source_mix" -> ((s, dir) =>
+      Sampling.mixWeights(
+        T(s, dir, "documents").select(col("doc_id"), col("source")),
+        "doc_id", col("source"),
+        Seq("src0" -> ((5, 2)), "src1" -> ((3, 1)),
+            "src2" -> ((1, 3)), "src3" -> ((1, 1))),
+        salt = 11L)),
+
+    // --- pipeline: trained BPE tokenizer. q98/q100 run the real
+    //     50-merge table (rows-only: the merge loop is iterative and
+    //     not SQL-expressible); q99/q101 are their EXACT-oracle twins
+    //     at numMerges=1, where the argmax pair and its left-to-right
+    //     non-overlapping application are both SQL-computable --------
+    "q98_bpe_merges" -> ((s, dir) => Bpe.mergesDf(s, bpeMerges(s, dir))),
+    "q99_bpe_first_merge" -> ((s, dir) =>
+      Bpe.mergesDf(s, bpeMerges(s, dir).take(1))),
+    "q100_bpe_encode" -> ((s, dir) =>
+      Bpe.tokenCounts(T(s, dir, "documents"), bpeMerges(s, dir))),
+    "q101_bpe_encode_one" -> ((s, dir) =>
+      Bpe.tokenCounts(T(s, dir, "documents"), bpeMerges(s, dir).take(1)))
   )
+
+  /** Trained BPE merge table per sf dir (training is deterministic, so
+    * the cache is pure memoization — same pattern as the IVF centroid
+    * cache). 50 merges ≈ half-fused on the synthetic corpus's 31-word
+    * vocabulary; the cap on collected vocabulary is the scale gate. */
+  private val bpeMergeCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Bpe.Merge]]
+  private def bpeMerges(s: SparkSession, dir: String): Seq[Bpe.Merge] =
+    bpeMergeCache.getOrElseUpdate(dir,
+      Bpe.train(T(s, dir, "documents"), numMerges = 50))
 
   private val ivfCentroidCache =
     scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
@@ -1925,6 +1961,60 @@ object SparkEntry {
       """WITH t AS (
         |SELECT lang, unnest(regexp_split_to_array(TRIM(text), '\s+')) AS tok
         |FROM documents WHERE LEN(TRIM(text)) > 0)
-        |SELECT lang, COUNT(DISTINCT tok) AS n_vocab FROM t GROUP BY lang""".stripMargin
+        |SELECT lang, COUNT(DISTINCT tok) AS n_vocab FROM t GROUP BY lang""".stripMargin,
+
+    // weights: src0 5/2 (2 copies + half get a 3rd), src1 3/1,
+    // src2 1/3, src3 1/1, all other sources dropped — mirrors the
+    // Seq passed to Sampling.mixWeights in q97 exactly
+    "q97_source_mix" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |  ${Sampling.posOracleSql("doc_id", 11L)} AS pos FROM documents),
+         |c AS (SELECT doc_id, source, CASE source
+         |  WHEN 'src0' THEN 2 + CASE WHEN pos % 2 < 1 THEN 1 ELSE 0 END
+         |  WHEN 'src1' THEN 3
+         |  WHEN 'src2' THEN CASE WHEN pos % 3 < 1 THEN 1 ELSE 0 END
+         |  WHEN 'src3' THEN 1
+         |  ELSE 0 END AS copies FROM d)
+         |SELECT doc_id, source,
+         |  unnest(generate_series(0, copies - 1)) AS rep
+         |FROM c WHERE copies > 0""".stripMargin,
+
+    // q98 (50 learned merges) is rows-only — the merge loop is
+    // iterative state over the whole vocabulary, not SQL-expressible;
+    // q99 is its exact anchor: the FIRST merge is the argmax adjacent
+    // char pair (overlapping count weighted by word frequency,
+    // lexicographic tiebreak), computable in one SQL aggregation
+    "q99_bpe_first_merge" ->
+      """WITH tok AS (
+        |SELECT unnest(regexp_split_to_array(TRIM(text), '\s+')) AS word
+        |FROM documents WHERE LEN(TRIM(text)) > 0),
+        |v AS (SELECT word, COUNT(*) AS freq FROM tok GROUP BY word),
+        |p AS (SELECT substring(word, i, 1) AS l, substring(word, i + 1, 1) AS r,
+        |      SUM(freq) AS cnt
+        |      FROM v, unnest(generate_series(1, length(word) - 1)) AS t(i)
+        |      GROUP BY 1, 2)
+        |SELECT CAST(0 AS BIGINT) AS rank, l AS lhs, r AS rhs
+        |FROM p ORDER BY cnt DESC, l, r LIMIT 1""".stripMargin,
+
+    // q100 (encode under 50 merges) is rows-only; q101 is its exact
+    // anchor: with ONE merge, tokens(word) = length − non-overlapping
+    // occurrences of the pair, and a single-pass string replace counts
+    // those occurrences with identical left-to-right semantics
+    "q101_bpe_encode_one" ->
+      """WITH d AS (SELECT doc_id, CASE WHEN LEN(TRIM(text)) = 0
+        |  THEN []::VARCHAR[] ELSE regexp_split_to_array(TRIM(text), '\s+')
+        |  END AS ws FROM documents),
+        |tok AS (SELECT doc_id, unnest(ws) AS word FROM d),
+        |v AS (SELECT word, COUNT(*) AS freq FROM tok GROUP BY word),
+        |p AS (SELECT substring(word, i, 1) AS l, substring(word, i + 1, 1) AS r,
+        |      SUM(freq) AS cnt
+        |      FROM v, unnest(generate_series(1, length(word) - 1)) AS t(i)
+        |      GROUP BY 1, 2),
+        |best AS (SELECT l || r AS pair FROM p ORDER BY cnt DESC, l, r LIMIT 1),
+        |enc AS (SELECT t.doc_id, SUM(length(t.word) -
+        |        (length(t.word) - length(replace(t.word, b.pair, ''))) // 2) AS n
+        |        FROM tok t CROSS JOIN best b GROUP BY t.doc_id)
+        |SELECT d.doc_id, COALESCE(CAST(enc.n AS BIGINT), 0) AS n_bpe_tokens
+        |FROM d LEFT JOIN enc ON d.doc_id = enc.doc_id""".stripMargin
   )
 }

@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => TF}
+
+/** Trained byte-pair-encoding tokenizer over a corpus (Sennrich et al.
+  * 2016, the subword-nmt algorithm): learn `numMerges` merges from
+  * word frequencies, then encode documents with the learned table.
+  * Symbols start as single characters (no end-of-word marker), words
+  * never merge across whitespace — the pre-tokenization is exactly
+  * [[TF.tokens]], so the trained tokenizer shares the corpus's token
+  * stream with every other text operator here.
+  *
+  * Scale shape (100 TB): training reduces the corpus to a WORD
+  * FREQUENCY table (one partial-aggregated shuffle), truncates it to
+  * the `maxWords` most frequent words via `orderBy.limit`
+  * (TakeOrderedAndProject — per-partition heaps, no global sort), and
+  * runs the merge loop on the driver over that bounded table — the
+  * standard practice (tokenizers train on a vocabulary sample, not the
+  * raw stream). Optionally pre-sample documents deterministically
+  * ([[Sampling.deterministicSample]]) before counting. Encoding is
+  * map-only: the merge table ships as a broadcast, each task encodes
+  * its rows with a per-row word memo — no shuffle at any corpus size.
+  */
+object Bpe {
+
+  /** One learned merge: adjacent symbols `lhs`+`rhs` fuse, in rank order. */
+  final case class Merge(rank: Int, lhs: String, rhs: String)
+
+  /** Replace every adjacent (lhs, rhs) pair, scanning left to right
+    * without overlap — the application order the original BPE uses
+    * (and the semantics of a single-pass string `replace`, which is
+    * what the DuckDB oracle twin leans on). */
+  private[operators] def mergeAll(syms: Array[String], lhs: String, rhs: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == lhs && syms(i + 1) == rhs) {
+        out += (lhs + rhs); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Driver-side merge loop over a word-frequency table. Pair counts
+    * are overlapping (a word `aaa` counts (a,a) twice) and weighted by
+    * word frequency; ties break to the lexicographically smallest
+    * (lhs, rhs) so training is fully deterministic. Stops early when
+    * no pair is left (every word fused to one symbol). */
+  def trainOnVocab(vocab: Seq[(String, Long)], numMerges: Int): Seq[Merge] = {
+    var words: Array[(Array[String], Long)] =
+      vocab.iterator.map { case (w, f) => (w.map(_.toString).toArray, f) }.toArray
+    val merges = Seq.newBuilder[Merge]
+    var rank = 0
+    var done = false
+    while (rank < numMerges && !done) {
+      val counts = new java.util.HashMap[(String, String), Long]()
+      words.foreach { case (syms, f) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          counts.merge((syms(i), syms(i + 1)), f, (a, b) => a + b)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        var best: ((String, String), Long) = null
+        counts.forEach { (p, c) =>
+          if (best == null || c > best._2 ||
+            (c == best._2 && (p._1 < best._1._1 ||
+              (p._1 == best._1._1 && p._2 < best._1._2)))) best = (p, c)
+        }
+        val (lhs, rhs) = best._1
+        merges += Merge(rank, lhs, rhs)
+        words = words.map { case (syms, f) => (mergeAll(syms, lhs, rhs), f) }
+        rank += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** Train on a corpus: token stream → word counts → top-`maxWords`
+    * vocabulary (deterministic truncation: count desc, word asc) →
+    * driver merge loop. */
+  def train(docs: DataFrame, numMerges: Int, maxWords: Int = 100000,
+            textCol: String = "text"): Seq[Merge] = {
+    val vocab = docs
+      .select(explode(TF.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w"))
+      .limit(maxWords)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .toSeq
+    trainOnVocab(vocab, numMerges)
+  }
+
+  /** The learned merge table as a frame (rank, lhs, rhs). */
+  def mergesDf(spark: SparkSession, merges: Seq[Merge]): DataFrame = {
+    import spark.implicits._
+    merges.toDF("rank", "lhs", "rhs").select(
+      col("rank").cast("long").as("rank"), col("lhs"), col("rhs"))
+  }
+
+  /** Encode one word: repeatedly fuse the present pair with the LOWEST
+    * rank (all its occurrences, left to right) until none of the
+    * adjacent pairs is in the table — the canonical BPE inference
+    * loop, which reproduces the training-time segmentation for any
+    * word the training corpus contained. */
+  def encodeWord(word: String, ranks: Map[(String, String), Int]): Array[String] = {
+    var syms = word.map(_.toString).toArray
+    var go = syms.length > 1
+    while (go) {
+      var bestRank = Int.MaxValue
+      var bi = -1
+      var i = 0
+      while (i + 1 < syms.length) {
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bi = i }
+        i += 1
+      }
+      if (bi < 0) go = false
+      else syms = mergeAll(syms, syms(bi), syms(bi + 1))
+    }
+    syms
+  }
+
+  /** Per-document BPE token counts under a trained merge table:
+    * (idCol, n_bpe_tokens). Map-only — merges broadcast once, each
+    * row's words encode against a per-row memo (documents repeat
+    * words heavily; each distinct word encodes once per row). */
+  def tokenCounts(docs: DataFrame, merges: Seq[Merge],
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val ranks: Map[(String, String), Int] =
+      merges.map(m => (m.lhs, m.rhs) -> m.rank).toMap
+    val bc = docs.sparkSession.sparkContext.broadcast(ranks)
+    val countUdf = udf { (ws: Seq[String]) =>
+      if (ws == null) 0L
+      else {
+        val tbl = bc.value
+        val memo = new java.util.HashMap[String, Integer]()
+        var n = 0L
+        ws.foreach { w =>
+          n += memo.computeIfAbsent(w, w2 => encodeWord(w2, tbl).length).toLong
+        }
+        n
+      }
+    }
+    docs.select(col(idCol), countUdf(TF.tokens(col(textCol))).as("n_bpe_tokens"))
+  }
+}

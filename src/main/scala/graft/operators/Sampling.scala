@@ -118,6 +118,38 @@ object Sampling {
     df.where(keep)
   }
 
+  /** Source-weighted corpus mixing WITH upsampling — the "data mixture"
+    * step of a training pipeline (e.g. weight a curated source 3×, a
+    * crawl 0.25×): each row whose `stratumCol` has weight `num/den`
+    * is emitted `⌊num/den⌋` times, plus once more when its hash
+    * position falls in the fractional band (`pos mod den < num mod
+    * den`). Strata not listed are dropped. Copies carry `repCol`
+    * (0-based epoch index) so a downstream [[epochShuffle]] keyed on
+    * (id, rep) decorrelates repeats across the training order.
+    *
+    * Deterministic (same mixture every run/engine — the fractional
+    * band reuses [[lcgPos]], so the DuckDB oracle reproduces the exact
+    * row multiset) and map-only: the weight table is a literal CASE
+    * expression, the copies come from one `explode(sequence)` — no
+    * shuffle, no state, linear at any corpus size. */
+  def mixWeights(df: DataFrame, idCol: String, stratumCol: Column,
+                 weights: Seq[(Any, (Int, Int))], salt: Long = 7L,
+                 repCol: String = "rep"): DataFrame = {
+    require(weights.forall { case (_, (num, den)) => den > 0 && num >= 0 },
+      "weights need den > 0, num >= 0")
+    val copies = weights.foldLeft(lit(0L)) { case (acc, (v, (num, den))) =>
+      when(stratumCol === lit(v),
+        lit((num / den).toLong) +
+          when(pmod(lcgPos(col(idCol), salt), lit(den.toLong)) < lit((num % den).toLong),
+            lit(1L)).otherwise(lit(0L)))
+        .otherwise(acc)
+    }
+    df.withColumn("__copies", copies)
+      .where(col("__copies") > 0L)
+      .withColumn(repCol, explode(sequence(lit(0L), col("__copies") - 1L)))
+      .drop("__copies")
+  }
+
   /** Global running sum of `value` in `sortKeys` order WITHOUT a
     * single-partition window: an unpartitioned `Window.orderBy(...)`
     * funnels the entire input through one task (Spark's own

@@ -31,6 +31,40 @@ class SamplingSpec extends SparkSpec {
     assert(kept.count() == docs.where(pmod(col("doc_id"), lit(2L)) === 0).count())
   }
 
+  test("weighted mixing emits floor copies plus the deterministic fractional band") {
+    val mixed = Sampling.mixWeights(
+      docs.select(col("doc_id"), col("source")), "doc_id", col("source"),
+      Seq("src0" -> ((5, 2)), "src1" -> ((3, 1)), "src2" -> ((1, 3))),
+      salt = 11L)
+    val got = mixed.collect()
+      .groupBy(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source")))
+      .map { case (k, rs) => k -> rs.map(_.getAs[Long]("rep")).sorted.toSeq }
+    // unlisted sources are dropped entirely
+    assert(got.keys.forall { case (_, s) => Set("src0", "src1", "src2")(s) })
+    val bySource = docs.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("source")).toMap
+    got.foreach { case ((id, src), reps) =>
+      val expected = src match {
+        case "src0" => 2L + (if (Sampling.posOf(id, 11L) % 2 < 1) 1L else 0L)
+        case "src1" => 3L
+        case "src2" => if (Sampling.posOf(id, 11L) % 3 < 1) 1L else 0L
+      }
+      assert(reps == (0L until expected), s"doc $id in $src got $reps")
+    }
+    // every src1 doc appears (weight 3 has no fractional drop), and the
+    // fractional sources actually split (some kept, some not at 1/3)
+    val src1Ids = bySource.collect { case (id, "src1") => id }.toSet
+    assert(got.keys.collect { case (id, "src1") => id }.toSet == src1Ids)
+    val src2Ids = bySource.collect { case (id, "src2") => id }.toSet
+    val src2Kept = got.keys.collect { case (id, "src2") => id }.toSet
+    assert(src2Kept.nonEmpty && src2Kept.size < src2Ids.size)
+    // reproducible: the same call yields the identical row multiset
+    assert(rows(mixed) == rows(Sampling.mixWeights(
+      docs.select(col("doc_id"), col("source")), "doc_id", col("source"),
+      Seq("src0" -> ((5, 2)), "src1" -> ((3, 1)), "src2" -> ((1, 3))),
+      salt = 11L)))
+  }
+
   test("epoch shuffle is a permutation that changes with the epoch") {
     val e1 = Sampling.epochShuffle(docs, "doc_id", 1L).select("doc_id", "pos")
     val n = docs.count()
