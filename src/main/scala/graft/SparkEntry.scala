@@ -1010,7 +1010,13 @@ object SparkEntry {
     "q100_bpe_encode" -> ((s, dir) =>
       Bpe.tokenCounts(T(s, dir, "documents"), bpeMerges(s, dir))),
     "q101_bpe_encode_one" -> ((s, dir) =>
-      Bpe.tokenCounts(T(s, dir, "documents"), bpeMerges(s, dir).take(1)))
+      Bpe.tokenCounts(T(s, dir, "documents"), bpeMerges(s, dir).take(1))),
+
+    // --- pipeline: random-projection dimensionality reduction (JL) —
+    //     64-dim embeddings → 8 seeded-Gaussian projections, map-only,
+    //     planes baked into the plan as literals -----------------------
+    "q102_random_projection" -> ((s, dir) =>
+      Similarity.randomProject(T(s, dir, "embeddings"), dim = 64, k = 8))
   )
 
   /** Trained BPE merge table per sf dir (training is deterministic, so
@@ -2015,6 +2021,19 @@ object SparkEntry {
         |        (length(t.word) - length(replace(t.word, b.pair, ''))) // 2) AS n
         |        FROM tok t CROSS JOIN best b GROUP BY t.doc_id)
         |SELECT d.doc_id, COALESCE(CAST(enc.n AS BIGINT), 0) AS n_bpe_tokens
-        |FROM d LEFT JOIN enc ON d.doc_id = enc.doc_id""".stripMargin
+        |FROM d LEFT JOIN enc ON d.doc_id = enc.doc_id""".stripMargin,
+
+    // the same seeded hyperplanes bake into both engines as literals;
+    // both sides sum sequentially in double and round to 6 dp
+    "q102_random_projection" -> {
+      val planes = graft.functions.LshFunctions.hyperplanes(dim = 64, nPlanes = 8, table = 0)
+      val cols = planes.zipWithIndex.map { case (p, j) =>
+        s"round(list_inner_product(v, ${vecLit(p)}), 6) AS d$j"
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         |SELECT vec_id,
+         |$cols
+         |FROM e""".stripMargin
+    }
   )
 }

@@ -121,6 +121,28 @@ object Similarity {
       .setScale(0, BigDecimal.RoundingMode.HALF_UP).toByte)
   }
 
+  /** Random-projection dimensionality reduction (Johnson-Lindenstrauss):
+    * project each embedding onto `k` deterministic seeded Gaussian
+    * hyperplanes ([[LF.hyperplanes]] — the family LSH bucketing already
+    * uses), one output column `d0..d{k-1}` per target dimension. The
+    * standard pre-pass before clustering / LSH / near-dup over very
+    * high-dimensional embeddings: distances are preserved within
+    * 1±ε while scan bytes shrink dim/k ×.
+    *
+    * Map-only: the k×dim plane matrix is a driver-side literal baked
+    * into the plan (k·dim ≤ a few thousand doubles at any realistic
+    * setting), each projection one codegen'd [[VF.dot]] — no shuffle,
+    * no UDF. Values round to 6 dp so the sequential double sums agree
+    * bit-for-bit with the DuckDB oracle's `list_inner_product`. */
+  def randomProject(emb: DataFrame, dim: Int, k: Int, table: Int = 0,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val planes = LF.hyperplanes(dim, k, table)
+    val vd = col(vecCol).cast("array<double>")
+    emb.select(col(idCol) +: planes.zipWithIndex.map { case (p, j) =>
+      round(VF.dot(vd, typedLit(p.toSeq)), 6).as(s"d$j")
+    }: _*)
+  }
+
   /** Exact top-k neighbours for EVERY row of `queries` against `emb`
     * (k-NN join) — broadcast the smaller query side, window top-k. */
   def knnJoin(emb: DataFrame, queries: DataFrame, k: Int,

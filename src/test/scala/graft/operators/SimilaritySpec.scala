@@ -127,6 +127,49 @@ class SimilaritySpec extends SparkSpec {
       s"bucketed-probe recall $recall at probed fraction $fraction")
   }
 
+  test("random projection matches the driver-side plane dot products") {
+    import graft.functions.{LshFunctions => LF}
+    val proj = Similarity.randomProject(emb, dim = 64, k = 8)
+    assert(proj.columns.toSeq == ("vec_id" +: (0 until 8).map(i => s"d$i")))
+    val planes = LF.hyperplanes(dim = 64, nPlanes = 8, table = 0)
+    val vecs = emb.collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding")).toMap
+    val got = proj.collect()
+    assert(got.length == vecs.size)
+    got.take(50).foreach { r =>
+      val v = vecs(r.getAs[Long]("vec_id"))
+      (0 until 8).foreach { j =>
+        var s = 0.0
+        var i = 0
+        while (i < v.length) { s += v(i).toDouble * planes(j)(i); i += 1 }
+        val want = BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(r.getAs[Double](s"d$j") == want, s"vec ${r.get(0)} dim $j")
+      }
+    }
+    // JL sanity: projected squared distances correlate with the originals
+    // (deterministic seed, so this is a fixed, reproducible check). The
+    // distortion shrinks ~1/√k, so the property check uses k=32 — the
+    // k=8 slice above only pins the arithmetic
+    val ids = vecs.keys.toSeq.sorted.take(20)
+    val pm = Similarity.randomProject(emb, dim = 64, k = 32).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (0 until 32).map(j => r.getAs[Double](s"d$j")).toArray).toMap
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // E[‖P(u−v)‖²] = k·‖u−v‖² for unit-variance Gaussian planes: the
+    // per-pair distortion ratio must concentrate around 1
+    val ratios = for { a <- ids; b <- ids if a < b } yield {
+      val va = vecs(a).map(_.toDouble).toArray
+      val vb = vecs(b).map(_.toDouble).toArray
+      d2(pm(a), pm(b)) / (32.0 * d2(va, vb))
+    }
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.7 && mean < 1.4, s"JL mean distortion off: $mean")
+    assert(ratios.min > 0.25 && ratios.max < 3.0,
+      s"JL pairwise distortion out of range: ${ratios.min} .. ${ratios.max}")
+  }
+
   test("int8 quantized storage is byte-typed end-to-end") {
     import org.apache.spark.sql.types._
     val stored = Similarity.quantizeInt8(emb).select(col("vec_id"), col("q_emb"))
