@@ -1016,8 +1016,53 @@ object SparkEntry {
     //     64-dim embeddings → 8 seeded-Gaussian projections, map-only,
     //     planes baked into the plan as literals -----------------------
     "q102_random_projection" -> ((s, dir) =>
-      Similarity.randomProject(T(s, dir, "embeddings"), dim = 64, k = 8))
+      Similarity.randomProject(T(s, dir, "embeddings"), dim = 64, k = 8)),
+
+    // --- pipeline: product quantization. q103 is the real path
+    //     (per-subspace trained k-means codebooks, rows-only — ADC over
+    //     trained codebooks is approximate by construction); q104/q105
+    //     are its exact-oracle twins with SEEDED codebooks, where the
+    //     encode argmax and the ADC lookup-sum replicate in SQL with
+    //     bit-identical double chains --------------------------------
+    "q103_ann_pq" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val cb = pqCodebooks(s, dir)
+      val q = emb.where(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0)
+      Similarity.pqTopKReranked(emb, Similarity.pqEncode(emb, cb), q, cb,
+        k = 10, shortlist = 100).select(col("vec_id"))
+    }),
+    // re-rank with shortlist ≥ N == exact Euclidean top-k regardless of
+    // codebooks — the hard oracle anchor for the trained semi-join +
+    // re-rank path (the q66/q67/q91 pattern)
+    "q106_pq_rerank_all" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val cb = pqCodebooks(s, dir)
+      val q = emb.where(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0)
+      Similarity.pqTopKReranked(emb, Similarity.pqEncode(emb, cb), q, cb,
+        k = 10, shortlist = 1000000).select(col("vec_id"))
+    }),
+    "q104_pq_codes" -> ((s, dir) =>
+      Similarity.pqEncode(T(s, dir, "embeddings"),
+        Similarity.pqSeededCodebooks(dim = 64, m = 8, k = 16))),
+    "q105_pq_adc_seeded" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val cb = Similarity.pqSeededCodebooks(dim = 64, m = 8, k = 16)
+      val q = emb.where(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0)
+      Similarity.pqAdcTopK(Similarity.pqEncode(emb, cb), q, cb, 10)
+        .select(col("vec_id"))
+    })
   )
+
+  /** Trained PQ codebooks per sf dir (8 subspace k-means loops — an
+    * index build, so [[warmFixtures]] fills this untimed). */
+  private val pqCodebookCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Array[Double]]]]
+  private def pqCodebooks(s: SparkSession, dir: String): Array[Array[Array[Double]]] =
+    pqCodebookCache.getOrElseUpdate(dir,
+      Similarity.pqTrainedCodebooks(T(s, dir, "embeddings"), dim = 64, m = 8, k = 16))
 
   /** Trained BPE merge table per sf dir (training is deterministic, so
     * the cache is pure memoization — same pattern as the IVF centroid
@@ -1067,6 +1112,7 @@ object SparkEntry {
       Similarity.kmeansCentroids(T(s, dir, "embeddings"), k = 16, iters = 3))
     hnswCache.getOrElseUpdate(dir,
       graft.index.Hnsw.build(T(s, dir, "embeddings"), "vec_id", "embedding"))
+    pqCodebooks(s, dir)
     ()
   }
 
@@ -1130,6 +1176,62 @@ object SparkEntry {
        |SELECT a.vec_id FROM a, h
        |WHERE a.cell IN (SELECT cell FROM pc)
        |ORDER BY list_cosine_similarity(a.v, h.hv) DESC, a.vec_id ASC LIMIT 10""".stripMargin
+  }
+
+  /** The seeded-PQ codebooks as a SQL VALUES list (j, c, centroid,
+    * ‖centroid‖²/2) — the same literals [[Similarity.pqSeededCodebooks]]
+    * bakes into the Spark plan, so neither side can drift. */
+  private lazy val pqCbValues: String = {
+    val cbs = Similarity.pqSeededCodebooks(dim = 64, m = 8, k = 16)
+    (for { j <- 0 until 8; c <- 0 until 16 } yield {
+      val cv = cbs(j)(c)
+      val half = cv.map(x => x * x).sum / 2.0
+      s"($j, $c, ${vecLit(cv)}, $half)"
+    }).mkString(",\n")
+  }
+
+  private lazy val q104OracleSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cb(j, c, cv, half) AS (VALUES $pqCbValues),
+       |scored AS (SELECT e.vec_id, cb.j, cb.c,
+       |  list_inner_product(e.v[cb.j*8+1 : cb.j*8+8], CAST(cb.cv AS DOUBLE[])) - cb.half AS score
+       |  FROM e, cb),
+       |best AS (SELECT vec_id, j, c,
+       |  row_number() OVER (PARTITION BY vec_id, j ORDER BY score DESC, c ASC) AS rn
+       |  FROM scored),
+       |codes AS (SELECT vec_id, j, c FROM best WHERE rn = 1)
+       |SELECT vec_id,
+       |${(0 until 8).map(j => s"  MAX(CASE WHEN j = $j THEN c END) AS c$j")
+           .mkString(",\n")}
+       |FROM codes GROUP BY vec_id""".stripMargin
+
+  private lazy val q105OracleSql: String = {
+    // lut term order mirrors Similarity.pqLut exactly: diff², summed in
+    // component order, then the per-subspace adds left-associated
+    val lutSum = (1 to 8).map(i =>
+      s"(q.v[cb.j*8+$i] - cb.cv[$i]) * (q.v[cb.j*8+$i] - cb.cv[$i])")
+      .mkString("(", " + ", ")")
+    val adc = (0 until 8).map(j => s"l$j.val").mkString("(", " + ", ")")
+    val joins = (0 until 8).map(j =>
+      s"JOIN lut l$j ON l$j.j = $j AND l$j.c = w.c$j").mkString("\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cb(j, c, cv, half) AS (VALUES $pqCbValues),
+       |q AS (SELECT v FROM e WHERE vec_id = 0),
+       |lut AS (SELECT cb.j, cb.c, $lutSum AS val FROM cb, q),
+       |scored AS (SELECT e.vec_id, cb.j, cb.c,
+       |  list_inner_product(e.v[cb.j*8+1 : cb.j*8+8], CAST(cb.cv AS DOUBLE[])) - cb.half AS score
+       |  FROM e, cb),
+       |best AS (SELECT vec_id, j, c,
+       |  row_number() OVER (PARTITION BY vec_id, j ORDER BY score DESC, c ASC) AS rn
+       |  FROM scored),
+       |codes AS (SELECT vec_id, j, c FROM best WHERE rn = 1),
+       |w AS (SELECT vec_id,
+       |${(0 until 8).map(j => s"  MAX(CASE WHEN j = $j THEN c END) AS c$j")
+           .mkString(",\n")}
+       |FROM codes GROUP BY vec_id)
+       |SELECT w.vec_id FROM w
+       |$joins
+       |ORDER BY $adc ASC, w.vec_id ASC LIMIT 10""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -2022,6 +2124,19 @@ object SparkEntry {
         |        FROM tok t CROSS JOIN best b GROUP BY t.doc_id)
         |SELECT d.doc_id, COALESCE(CAST(enc.n AS BIGINT), 0) AS n_bpe_tokens
         |FROM d LEFT JOIN enc ON d.doc_id = enc.doc_id""".stripMargin,
+
+    // q103 (trained-codebook PQ) is rows-only: ADC over trained
+    // codebooks is approximate by construction; q104/q105 exact-anchor
+    // the same encode + LUT-sum machinery with seeded codebooks
+    "q104_pq_codes" -> q104OracleSql,
+    "q105_pq_adc_seeded" -> q105OracleSql,
+
+    // PQ re-rank with an all-rows shortlist == exact Euclidean top-10
+    "q106_pq_rerank_all" ->
+      """SELECT vec_id FROM embeddings
+        |ORDER BY list_distance(CAST(embedding AS DOUBLE[]),
+        |(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) ASC,
+        |vec_id ASC LIMIT 10""".stripMargin,
 
     // the same seeded hyperplanes bake into both engines as literals;
     // both sides sum sequentially in double and round to 6 dp

@@ -340,6 +340,111 @@ object Similarity {
                 vecCol: String = "embedding"): DataFrame =
     emb.withColumn("cell", bestCell(col(vecCol), centroids))
 
+  // ---------------------------------------------------------------------
+  // Product quantization (PQ / ADC): codes = per-subspace nearest
+  // codebook centroid; search = one table-lookup sum per row against a
+  // query-specific lookup table. At 100 TB the scan reads m bytes per
+  // vector instead of dim floats (32× at dim=64, m=8) and the LUT sum
+  // is codegen'd arithmetic — the memory-bound ANN path IVF/HNSW
+  // can't give when even the float vectors don't fit.
+  // ---------------------------------------------------------------------
+
+  /** Seeded PQ codebooks — `m` subspaces × `k` centroids of `dim/m`
+    * components from the deterministic hyperplane family. Untrained
+    * (data-independent, so the DuckDB oracle bakes the identical
+    * literals); [[pqTrainedCodebooks]] is the quality path. */
+  def pqSeededCodebooks(dim: Int, m: Int, k: Int,
+                        seed: Long = 0x90DEL): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    Array.tabulate(m)(j => LF.hyperplanes(dim / m, k, table = j, seed = seed))
+  }
+
+  /** Trained PQ codebooks: an independent k-means per subspace over the
+    * sliced vectors (the [[kmeansCentroids]] loop — k·(dim/m) driver
+    * state per subspace, assignment/means distributed). */
+  def pqTrainedCodebooks(emb: DataFrame, dim: Int, m: Int, k: Int,
+                         iters: Int = 3, idCol: String = "vec_id",
+                         vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val d = dim / m
+    Array.tabulate(m) { j =>
+      kmeansCentroids(
+        emb.select(col(idCol), slice(col(vecCol), j * d + 1, d).as(vecCol)),
+        k, iters, idCol, vecCol)
+    }
+  }
+
+  /** PQ encoding: one `c{j}` column per subspace holding the index of
+    * the nearest centroid (min squared-Euclidean via the same
+    * dot − ‖c‖²/2 identity as [[bestCell]]; ties → lowest index).
+    * Map-only, all codegen'd kernels. */
+  def pqEncode(emb: DataFrame, codebooks: Array[Array[Array[Double]]],
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val m = codebooks.length
+    val d = codebooks(0)(0).length
+    val vd = col(vecCol).cast("array<double>")
+    emb.select(col(idCol) +: (0 until m).map { j =>
+      bestCell(slice(vd, j * d + 1, d), codebooks(j)).as(s"c$j")
+    }: _*)
+  }
+
+  /** The query's ADC lookup table: lut(j)(c) = ‖q_j − codebook(j)(c)‖²,
+    * summed in component order (the DuckDB oracle mirrors the exact
+    * double chain). */
+  def pqLut(query: Seq[Float], codebooks: Array[Array[Array[Double]]]): Array[Array[Double]] = {
+    val d = codebooks(0)(0).length
+    codebooks.zipWithIndex.map { case (cb, j) =>
+      cb.map { c =>
+        var s = 0.0
+        var i = 0
+        while (i < d) {
+          val diff = query(j * d + i).toDouble - c(i)
+          s += diff * diff
+          i += 1
+        }
+        s
+      }
+    }
+  }
+
+  /** Asymmetric-distance top-k over PQ codes: distance = Σ_j
+    * lut(j)(c_j), the LUT baked into the plan as literals — per row m
+    * array lookups and adds, then `orderBy.limit`
+    * (TakeOrderedAndProject: per-partition heaps, no global sort).
+    * `codes` is [[pqEncode]] output (or the stored code table — at
+    * scale the float vectors never rescan). */
+  def pqAdcTopK(codes: DataFrame, query: Seq[Float],
+                codebooks: Array[Array[Array[Double]]], k: Int,
+                idCol: String = "vec_id"): DataFrame = {
+    val lut = pqLut(query, codebooks)
+    val dist = lut.zipWithIndex.map { case (l, j) =>
+      element_at(typedLit(l.toSeq), col(s"c$j") + 1)
+    }.reduce(_ + _)
+    codes.select(col(idCol), dist.as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** PQ search as production pipelines run it: ADC shortlist, then
+    * exact re-rank of the shortlist only. The code scan does the heavy
+    * lifting (m bytes/vector); the float vectors are touched for
+    * `shortlist` rows via a semi-join — at 100 TB that join is the
+    * only thing reading the full-precision store, and it reads
+    * `shortlist / N` of it. With `shortlist ≥ N` the result EQUALS
+    * exact Euclidean top-k (the oracle anchor for the re-rank path). */
+  def pqTopKReranked(emb: DataFrame, codes: DataFrame, query: Seq[Float],
+                     codebooks: Array[Array[Array[Double]]], k: Int,
+                     shortlist: Int, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val cand = pqAdcTopK(codes, query, codebooks, shortlist, idCol)
+      .select(col(idCol))
+    val q = typedLit(query)
+    emb.join(cand, Seq(idCol), "left_semi")
+      .select(col(idCol), VF.euclidean(col(vecCol), q).as("dist"))
+      .orderBy(col("dist").asc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** All rows within a cosine-distance radius of the query (the
     * reference's `within_radius` ranking aggregate, `src/ir/mod.rs:40-47`). */
   def withinRadius(emb: DataFrame, query: Seq[Float], maxDist: Double,

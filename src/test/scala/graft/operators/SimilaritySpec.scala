@@ -170,6 +170,78 @@ class SimilaritySpec extends SparkSpec {
       s"JL pairwise distortion out of range: ${ratios.min} .. ${ratios.max}")
   }
 
+  test("PQ: codes are nearest subspace centroids, ADC matches driver recomputation") {
+    val cb = Similarity.pqSeededCodebooks(dim = 64, m = 8, k = 16)
+    val codes = Similarity.pqEncode(emb, cb).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (0 until 8).map(j => r.getAs[Int](s"c$j")).toArray).toMap
+    val vecs = emb.collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray).toMap
+    // every code is the argmin-‖v_j − c‖² centroid (ties → lowest index)
+    codes.take(50).foreach { case (id, cs) =>
+      val v = vecs(id)
+      (0 until 8).foreach { j =>
+        val sub = v.slice(j * 8, j * 8 + 8)
+        val d2s = cb(j).map(c => sub.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum)
+        assert(d2s(cs(j)) == d2s.min, s"vec $id subspace $j code ${cs(j)}")
+      }
+    }
+    // ADC distance = Σ_j lut(j)(code_j), bit-for-bit
+    val q = vecs(0L).map(_.toFloat).toSeq
+    val lut = Similarity.pqLut(q, cb)
+    val top = Similarity.pqAdcTopK(
+      Similarity.pqEncode(emb, cb), q, cb, k = 10).collect()
+    top.foreach { r =>
+      val cs = codes(r.getAs[Long]("vec_id"))
+      val want = (0 until 8).map(j => lut(j)(cs(j))).reduce(_ + _)
+      assert(r.getAs[Double]("adc_dist") == want)
+    }
+    // and the top-10 is the global ADC minimum set
+    val all = codes.map { case (id, cs) =>
+      id -> (0 until 8).map(j => lut(j)(cs(j))).reduce(_ + _)
+    }.toSeq.sortBy { case (id, d) => (d, id) }.take(10).map(_._1)
+    assert(top.map(_.getAs[Long]("vec_id")).toSeq == all)
+  }
+
+  test("PQ: trained codebooks beat seeded on quantization error and keep recall") {
+    val seeded = Similarity.pqSeededCodebooks(dim = 64, m = 8, k = 16)
+    val trained = Similarity.pqTrainedCodebooks(emb, dim = 64, m = 8, k = 16)
+    val vecs = emb.collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+    def mse(cb: Array[Array[Array[Double]]]): Double = vecs.map { v =>
+      (0 until 8).map { j =>
+        val sub = v.slice(j * 8, j * 8 + 8)
+        cb(j).map(c => sub.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum).min
+      }.sum
+    }.sum / vecs.length
+    assert(mse(trained) < mse(seeded),
+      s"training did not reduce quantization error: ${mse(trained)} vs ${mse(seeded)}")
+    // production shape: ADC shortlist + exact re-rank. The shortlist
+    // must catch most of the exact top-10 (32-bit codes on near-uniform
+    // synthetic data are too coarse for raw ADC@10 — that's what the
+    // re-rank exists for)
+    val q = emb.where(col("vec_id") === 7).select(col("embedding"))
+      .head().getSeq[Float](0)
+    val codes = Similarity.pqEncode(emb, trained)
+    val shortlist = Similarity.pqAdcTopK(codes, q, trained, 100)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val qd = q.map(_.toDouble).toArray
+    val exactAll = emb.collect().map { r =>
+      val v = r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray
+      r.getAs[Long]("vec_id") -> v.zip(qd).map { case (x, y) => (x - y) * (x - y) }.sum
+    }
+    val exact10 = exactAll.sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSet
+    val recall = (shortlist & exact10).size / 10.0
+    assert(recall >= 0.6, s"ADC shortlist@100 recall too low: $recall")
+    // and the re-ranked shortlist@N equals exact brute force — the
+    // hard anchor for the semi-join + re-rank machinery
+    val n = exactAll.length
+    val reranked = Similarity.pqTopKReranked(emb, codes, q, trained, 10, shortlist = n)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(reranked == exactAll.sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSeq)
+  }
+
   test("int8 quantized storage is byte-typed end-to-end") {
     import org.apache.spark.sql.types._
     val stored = Similarity.quantizeInt8(emb).select(col("vec_id"), col("q_emb"))
