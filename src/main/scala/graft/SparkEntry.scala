@@ -1032,6 +1032,14 @@ object SparkEntry {
       Similarity.pqTopKReranked(emb, Similarity.pqEncode(emb, cb), q, cb,
         k = 10, shortlist = 100).select(col("vec_id"))
     }),
+    // --- graph: fixed-iteration PageRank on the BASELINE digraph —
+    //     power iteration with value-sorted sequential sums (exactSum),
+    //     so every double op has a defined operand order and the
+    //     floating-point fixpoint hash-matches DuckDB bit-for-bit -----
+    "q107_pagerank" -> ((s, dir) =>
+      graft.operators.GraphOps.pageRank(benchGraph(s), iters = 5,
+        exactSum = true)),
+
     // re-rank with shortlist ≥ N == exact Euclidean top-k regardless of
     // codebooks — the hard oracle anchor for the trained semi-join +
     // re-rank path (the q66/q67/q91 pattern)
@@ -1188,6 +1196,44 @@ object SparkEntry {
       val half = cv.map(x => x * x).sum / 2.0
       s"($j, $c, ${vecLit(cv)}, $half)"
     }).mkString(",\n")
+  }
+
+  /** A double as a SQL literal DuckDB parses as DOUBLE (not DECIMAL):
+    * Scala's shortest-repr toString round-trips; the e0 suffix forces
+    * the double parse path for plain decimals. */
+  private def dLit(d: Double): String = {
+    val s = d.toString
+    if (s.contains("E") || s.contains("e")) s else s + "e0"
+  }
+
+  private lazy val q107OracleSql: String = {
+    // the BASELINE digraph's node count, from the same LCG that
+    // generates the edges — so the 1/N literals here are the exact
+    // doubles the Spark loop computes from its runtime distinct count
+    val n = (0 until 2000).flatMap { i =>
+      Seq((i.toLong * 48271 % 65537) % 1000, ((i.toLong * 69621 + 12345) % 65537) % 1000)
+    }.distinct.size
+    val damping = 0.85
+    // value-sorted sequential fold == Spark's aggregate(sort_array(
+    // collect_list)) — bit-identical double chains, no rounding needed
+    val steps = (1 to 5).map { k =>
+      s"""pr$k AS (SELECT nd.node,
+         |  ${dLit((1.0 - damping) / n)} + ${dLit(damping)} * COALESCE(cs.s, 0.0e0) AS pr
+         |  FROM nd LEFT JOIN (
+         |    SELECT e.dst AS node,
+         |      list_reduce(list_prepend(0.0e0, list_sort(list(p.pr / od.odeg))),
+         |                  (a, b) -> a + b) AS s
+         |    FROM e JOIN pr${k - 1} p ON e.src = p.node
+         |    JOIN od ON od.src = e.src
+         |    GROUP BY e.dst) cs ON cs.node = nd.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS ($benchGraphSql),
+       |nd AS (SELECT DISTINCT node FROM
+       |  (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e) t),
+       |od AS (SELECT src, COUNT(*) AS odeg FROM e GROUP BY src),
+       |pr0 AS (SELECT node, ${dLit(1.0 / n)} AS pr FROM nd),
+       |$steps
+       |SELECT node, pr FROM pr5""".stripMargin
   }
 
   private lazy val q104OracleSql: String =
@@ -2130,6 +2176,7 @@ object SparkEntry {
     // the same encode + LUT-sum machinery with seeded codebooks
     "q104_pq_codes" -> q104OracleSql,
     "q105_pq_adc_seeded" -> q105OracleSql,
+    "q107_pagerank" -> q107OracleSql,
 
     // PQ re-rank with an all-rows shortlist == exact Euclidean top-10
     "q106_pq_rerank_all" ->

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.plans.Fixpoint
+
+/** Iterative numeric graph algorithms over an edge frame — the
+  * power-iteration family (PageRank here; the boolean/min-plus
+  * fixpoints live in [[Fixpoint]] and the IQL recursive-aggregate
+  * semiring evaluator).
+  */
+object GraphOps {
+
+  /** Fixed-iteration PageRank: PR₀ = 1/N;
+    * PRₜ₊₁(v) = (1−d)/N + d·Σ_{(u,v)∈E} PRₜ(u)/outdeg(u).
+    * Parallel (duplicate) edges contribute once each; dangling-node
+    * mass is dropped (the simplified variant — ranks then sum to < 1,
+    * identically on every engine).
+    *
+    * DETERMINISTIC by construction — two sum modes, one knob:
+    *   - default (`exactSum = false`, the 100 TB shape): the per-node Σ
+    *     goes through DECIMAL(38,30) — order-independent and
+    *     partial-aggregated, so reruns and repartitionings cannot move
+    *     the result, with per-double state however hot the node.
+    *   - `exactSum = true` (the oracle shape): the per-node Σ is a
+    *     SEQUENTIAL fold over the VALUE-SORTED contribution list. Every
+    *     double op then has a defined operand order, so an independent
+    *     engine (the DuckDB oracle's `list_reduce(list_sort(...))`)
+    *     reproduces the fixpoint bit-for-bit with no rounding anywhere.
+    *     (Rounding cannot save the decimal mode across engines: clean
+    *     decimal inputs land exactly on round-half boundaries where
+    *     shortest-string and exact-binary rounding disagree.) State per
+    *     node is its in-degree, so this mode is for anchors and
+    *     moderate graphs, not power-law hubs.
+    *
+    * Scale shape: each iteration is one join edges⋈ranks on `src` (both
+    * sides hash-partitioned on the same key — AQE reuses the exchange)
+    * + one aggregated shuffle on `dst`. Iterations are
+    * [[Fixpoint.materialize]]d so the plan stays flat (no 5-deep
+    * lineage recompiled per action), and each superseded rank table
+    * unpersists as soon as the next exists. */
+  def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
+               srcCol: String = "src", dstCol: String = "dst",
+               exactSum: Boolean = false): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val nodesM = Fixpoint.materialize(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct())
+    val nodes = nodesM.df
+    val n = nodesM.count
+    val od = e.groupBy("src").agg(count(lit(1)).as("odeg"))
+    val base = lit((1.0 - damping) / n)
+    var pr = Fixpoint.materialize(nodes.withColumn("pr", lit(1.0 / n)))
+    var it = 0
+    while (it < iters) {
+      val grouped = e
+        .join(pr.df.withColumnRenamed("node", "src"), Seq("src"))
+        .join(od, Seq("src"))
+        .select(col("dst").as("node"), (col("pr") / col("odeg")).as("c"))
+        .groupBy("node")
+      val contrib =
+        if (exactSum)
+          grouped.agg(aggregate(sort_array(collect_list(col("c"))),
+            lit(0.0), (acc, x) => acc + x).as("s"))
+        else
+          grouped.agg(sum(col("c").cast("decimal(38,30)")).cast("double").as("s"))
+      val prNext = base + lit(damping) * coalesce(col("s"), lit(0.0))
+      val next = Fixpoint.materialize(
+        nodes.join(contrib, Seq("node"), "left")
+          // the decimal mode pins each iteration to a 10-dp grid so
+          // reruns hash identically; the exact mode needs no rounding —
+          // every double op already has a defined operand order
+          .select(col("node"),
+            (if (exactSum) prNext else round(prNext, 10)).as("pr")))
+      pr.unpersist()
+      pr = next
+      it += 1
+    }
+    val out = pr.df
+    nodesM.unpersist()
+    out
+  }
+}
