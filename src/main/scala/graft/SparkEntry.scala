@@ -1032,6 +1032,12 @@ object SparkEntry {
       Similarity.pqTopKReranked(emb, Similarity.pqEncode(emb, cb), q, cb,
         k = 10, shortlist = 100).select(col("vec_id"))
     }),
+    // --- pipeline: mean pooling — per-label element-wise embedding
+    //     mean (class centroids / chunk pooling), tall (label, pos,
+    //     mean) output, decimal sums + 6-dp round for engine parity ---
+    "q108_mean_pool" -> ((s, dir) =>
+      Similarity.meanPool(T(s, dir, "embeddings"))),
+
     // --- graph: fixed-iteration PageRank on the BASELINE digraph —
     //     power iteration with value-sorted sequential sums (exactSum),
     //     so every double op has a defined operand order and the
@@ -2177,6 +2183,16 @@ object SparkEntry {
     "q104_pq_codes" -> q104OracleSql,
     "q105_pq_adc_seeded" -> q105OracleSql,
     "q107_pagerank" -> q107OracleSql,
+
+    // decimal Σ (order-independent) + 6-dp round: the one-shot mean
+    // cannot hit grid boundaries the way an iterated fixpoint can
+    "q108_mean_pool" ->
+      """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |t AS (SELECT label, i - 1 AS pos, v[i] AS x
+        |      FROM e, unnest(generate_series(1, len(v))) u(i))
+        |SELECT label, pos,
+        |  ROUND(CAST(SUM(CAST(x AS DECIMAL(38,30))) AS DOUBLE) / COUNT(*), 6) AS mean
+        |FROM t GROUP BY label, pos""".stripMargin,
 
     // PQ re-rank with an all-rows shortlist == exact Euclidean top-10
     "q106_pq_rerank_all" ->

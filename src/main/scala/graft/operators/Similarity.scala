@@ -445,6 +445,22 @@ object Similarity {
       .limit(k)
   }
 
+  /** Element-wise mean of the embedding column per group — mean pooling
+    * (chunk→embed→pool, per-class centroids, source prototypes). Tall
+    * output (group, pos, mean): one explode + one partial-aggregated
+    * shuffle keyed (group, pos) — the k-means mean-step shape, linear
+    * at any corpus size. The Σ goes through DECIMAL(38,30)
+    * (order-independent) and the mean rounds to 6 dp, which pins the
+    * one-shot result across engines (no iteration feeds the rounded
+    * grid back in, so grid-boundary ties cannot accumulate). */
+  def meanPool(emb: DataFrame, groupCol: String = "label",
+               vecCol: String = "embedding"): DataFrame =
+    emb.select(col(groupCol),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x")))
+      .groupBy(col(groupCol), col("pos"))
+      .agg(round(sum(col("x").cast("decimal(38,30)")).cast("double") / count(lit(1)), 6)
+        .as("mean"))
+
   /** All rows within a cosine-distance radius of the query (the
     * reference's `within_radius` ranking aggregate, `src/ir/mod.rs:40-47`). */
   def withinRadius(emb: DataFrame, query: Seq[Float], maxDist: Double,

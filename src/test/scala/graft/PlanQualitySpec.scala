@@ -55,4 +55,21 @@ class PlanQualitySpec extends SparkSpec {
     val plan = planOf("q33_ann_bruteforce")
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("map-only pipeline ops stay shuffle-free: mix, BPE encode, projection, PQ codes") {
+    assume(new java.io.File(s"$sf/documents.parquet").exists)
+    // each of these is per-row work — an Exchange in the plan means a
+    // refactor introduced a shuffle that linear 100 TB scans can't pay
+    Seq("q97_source_mix", "q100_bpe_encode", "q102_random_projection",
+        "q104_pq_codes").foreach { q =>
+      val plan = planOf(q)
+      assert(!plan.contains("Exchange"), s"$q gained a shuffle:\n$plan")
+    }
+  }
+
+  test("PQ ADC top-k is a TakeOrderedAndProject over the code scan") {
+    assume(new java.io.File(s"$sf/embeddings.parquet").exists)
+    val plan = planOf("q105_pq_adc_seeded")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }

@@ -242,6 +242,19 @@ class SimilaritySpec extends SparkSpec {
     assert(reranked == exactAll.sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSeq)
   }
 
+  test("mean pooling averages each component per group") {
+    import spark.implicits._
+    val df = Seq((1, Seq(1.0f, 2.0f)), (1, Seq(3.0f, 4.0f)), (2, Seq(5.0f, 6.0f)))
+      .toDF("label", "embedding")
+    val got = Similarity.meanPool(df).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got == Map((1, 0) -> 2.0, (1, 1) -> 3.0, (2, 0) -> 5.0, (2, 1) -> 6.0))
+    // full-table shape: one row per (label, dim)
+    val n = Similarity.meanPool(emb).count()
+    val labels = emb.select(countDistinct(col("label"))).head().getLong(0)
+    assert(n == labels * 64)
+  }
+
   test("int8 quantized storage is byte-typed end-to-end") {
     import org.apache.spark.sql.types._
     val stored = Similarity.quantizeInt8(emb).select(col("vec_id"), col("q_emb"))
