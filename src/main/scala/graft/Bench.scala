@@ -69,10 +69,12 @@ object Bench {
     val failedFull = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"failed":$failedFull,"sf":"$sfDir"}"""
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_FULL.json"),
-      (full + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json: $e") }
+    // a filtered local run must not clobber the full-suite snapshot
+    if (only.isEmpty)
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_FULL.json"),
+        (full + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json: $e") }
     println(
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$shortQs,"failed":$failedShort,"sf":"$sfDir"}""")
     spark.stop()

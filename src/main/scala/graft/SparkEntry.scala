@@ -1032,6 +1032,14 @@ object SparkEntry {
       Similarity.pqTopKReranked(emb, Similarity.pqEncode(emb, cb), q, cb,
         k = 10, shortlist = 100).select(col("vec_id"))
     }),
+    // --- pipeline: probability-proportional-to-size sampling — keep
+    //     P = min(1, n_chars/5000): the token-uniform corpus sample;
+    //     exact integer decision, map-only ----------------------------
+    "q109_pps_sample" -> ((s, dir) =>
+      Sampling.ppsSample(
+        T(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id", col("n_chars"), num = 1, den = 5000, salt = 19L)),
+
     // --- pipeline: mean pooling — per-label element-wise embedding
     //     mean (class centroids / chunk pooling), tall (label, pos,
     //     mean) output, decimal sums + 6-dp round for engine parity ---
@@ -2183,6 +2191,13 @@ object SparkEntry {
     "q104_pq_codes" -> q104OracleSql,
     "q105_pq_adc_seeded" -> q105OracleSql,
     "q107_pagerank" -> q107OracleSql,
+
+    // keep iff pos·den < n_chars·num·2³¹ — pure integer arithmetic,
+    // bit-for-bit across engines
+    "q109_pps_sample" ->
+      s"""SELECT doc_id, n_chars FROM documents
+         |WHERE ${Sampling.posOracleSql("doc_id", 19L)} * 5000
+         |      < n_chars * 1 * 2147483648""".stripMargin,
 
     // decimal Σ (order-independent) + 6-dp round: the one-shot mean
     // cannot hit grid boundaries the way an iterated fixpoint can

@@ -4,6 +4,11 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.plans.Fixpoint
 
+private[operators] final case class RankBarrier(
+    df: DataFrame, owned: Option[org.apache.spark.rdd.RDD[_]]) {
+  def unpersist(): Unit = owned.foreach(_.unpersist(false))
+}
+
 /** Iterative numeric graph algorithms over an edge frame — the
   * power-iteration family (PageRank here; the boolean/min-plus
   * fixpoints live in [[Fixpoint]] and the IQL recursive-aggregate
@@ -35,28 +40,44 @@ object GraphOps {
     *
     * Scale shape: each iteration is one join edges⋈ranks on `src` (both
     * sides hash-partitioned on the same key — AQE reuses the exchange)
-    * + one aggregated shuffle on `dst`. Iterations are
-    * [[Fixpoint.materialize]]d so the plan stays flat (no 5-deep
-    * lineage recompiled per action), and each superseded rank table
-    * unpersists as soon as the next exists. */
+    * + one aggregated shuffle on `dst`. Each iteration ends at an eager
+    * checkpoint barrier so the plan stays flat (no 5-deep lineage
+    * recompiled per action), and each superseded rank table unpersists
+    * as soon as the next exists. */
   def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
                srcCol: String = "src", dstCol: String = "dst",
                exactSum: Boolean = false): DataFrame = {
+    // one eager checkpoint per iteration, re-wrapped with FRESH
+    // attribute ids (createDataFrame) so nodes⋈contrib never becomes a
+    // same-exprId self-join; no count job — nothing here needs the size
+    def barrier(df: DataFrame): RankBarrier = {
+      val ck = df.localCheckpoint(true)
+      RankBarrier(
+        ck.sparkSession.createDataFrame(ck.rdd, ck.schema),
+        Fixpoint.checkpointRddOf(ck))
+    }
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
-    val nodesM = Fixpoint.materialize(
+    val nodesM = barrier(
       e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node"))).distinct())
     val nodes = nodesM.df
-    val n = nodesM.count
-    val od = e.groupBy("src").agg(count(lit(1)).as("odeg"))
+    val n = nodes.count()
+    // (src, dst, odeg) is static across iterations — join it once
+    // behind the barrier instead of re-shuffling the outdeg aggregate
+    // every round. Measured: count-gated broadcasts of the rank side
+    // LOSE here (3.5 s vs 2.4 s at 1000 nodes) — per-iteration
+    // broadcast build jobs cost more than the small sort-merges they
+    // replace, and at big-graph scale the rank table must shuffle-join
+    // anyway
+    val eod = barrier(e.join(
+      e.groupBy("src").agg(count(lit(1)).as("odeg")), Seq("src")))
     val base = lit((1.0 - damping) / n)
-    var pr = Fixpoint.materialize(nodes.withColumn("pr", lit(1.0 / n)))
+    var pr = barrier(nodes.withColumn("pr", lit(1.0 / n)))
     var it = 0
     while (it < iters) {
-      val grouped = e
+      val grouped = eod.df
         .join(pr.df.withColumnRenamed("node", "src"), Seq("src"))
-        .join(od, Seq("src"))
         .select(col("dst").as("node"), (col("pr") / col("odeg")).as("c"))
         .groupBy("node")
       val contrib =
@@ -66,7 +87,7 @@ object GraphOps {
         else
           grouped.agg(sum(col("c").cast("decimal(38,30)")).cast("double").as("s"))
       val prNext = base + lit(damping) * coalesce(col("s"), lit(0.0))
-      val next = Fixpoint.materialize(
+      val next = barrier(
         nodes.join(contrib, Seq("node"), "left")
           // the decimal mode pins each iteration to a 10-dp grid so
           // reruns hash identically; the exact mode needs no rounding —
@@ -78,6 +99,7 @@ object GraphOps {
       it += 1
     }
     val out = pr.df
+    eod.unpersist()
     nodesM.unpersist()
     out
   }

@@ -118,6 +118,23 @@ object Sampling {
     df.where(keep)
   }
 
+  /** Probability-proportional-to-size sampling: row i is kept with
+    * P = min(1, wᵢ·num/den) — the inclusion rule that makes a corpus
+    * sample uniform over TOKENS rather than documents (weight = token
+    * or char count), or over any other per-row mass. The decision is
+    * `pos(id)·den < w·num·2³¹` in exact integer arithmetic — no
+    * doubles anywhere, so the DuckDB oracle replicates it exactly and
+    * a rerun/retry keeps the identical rows. Map-only. Rows with
+    * w·num/den ≥ 1 are always kept (the min(1,·) cap falls out of the
+    * comparison). Caller keeps w·num < 2³² (ANSI overflow guards the
+    * rest). */
+  def ppsSample(df: DataFrame, idCol: String, weight: Column,
+                num: Int, den: Int, salt: Long = 7L): DataFrame = {
+    require(num > 0 && den > 0, "need num > 0, den > 0")
+    df.where(lcgPos(col(idCol), salt) * lit(den.toLong) <
+      weight.cast("long") * lit(num.toLong) * lit(1L << 31))
+  }
+
   /** Source-weighted corpus mixing WITH upsampling — the "data mixture"
     * step of a training pipeline (e.g. weight a curated source 3×, a
     * crawl 0.25×): each row whose `stratumCol` has weight `num/den`

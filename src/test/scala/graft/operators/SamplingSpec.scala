@@ -31,6 +31,25 @@ class SamplingSpec extends SparkSpec {
     assert(kept.count() == docs.where(pmod(col("doc_id"), lit(2L)) === 0).count())
   }
 
+  test("pps sampling keeps exactly the rows whose hash clears the weight threshold") {
+    val kept = rows(Sampling.ppsSample(docs, "doc_id", col("n_chars"), 1, 5000, salt = 19L)
+      .select(col("doc_id"))).map(_.head.asInstanceOf[Long])
+    val all = docs.select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expect = all.filter { case (id, w) =>
+      Sampling.posOf(id, 19L) * 5000L < w * (1L << 31)
+    }.map(_._1).toSet
+    assert(kept == expect)
+    assert(kept.nonEmpty && kept.size < all.length, s"degenerate sample ${kept.size}/${all.length}")
+    // inclusion is proportional to weight: the long half of the corpus
+    // must be sampled at a strictly higher rate than the short half
+    val sorted = all.sortBy(_._2).map(_._1)
+    val (short, long) = sorted.splitAt(sorted.length / 2)
+    def rate(ids: Seq[Long]) = ids.count(kept).toDouble / ids.length
+    assert(rate(long) > rate(short),
+      s"long-doc rate ${rate(long)} not above short-doc rate ${rate(short)}")
+  }
+
   test("weighted mixing emits floor copies plus the deterministic fractional band") {
     val mixed = Sampling.mixWeights(
       docs.select(col("doc_id"), col("source")), "doc_id", col("source"),
