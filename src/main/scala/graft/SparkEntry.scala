@@ -1040,6 +1040,23 @@ object SparkEntry {
         T(s, dir, "documents").select(col("doc_id"), col("n_chars")),
         "doc_id", col("n_chars"), num = 1, den = 5000, salt = 19L)),
 
+    // --- pipeline: the composed curation job — stats filter → exact
+    //     dedup (min-id survivor per content hash) → length-
+    //     proportional sample → sequence packing. Every stage is
+    //     deterministic and SQL-replicable, so the END-TO-END pipeline
+    //     has one exact oracle: what a user's real curation run looks
+    //     like, checked as one unit ---------------------------------
+    "q110_curation_pipeline" -> ((s, dir) => {
+      val filtered = T(s, dir, "documents")
+        .withColumn("tok", TF.tokenCount(col("text")))
+        .where(col("tok") >= 30 && col("n_chars") <= 4000)
+      val surv = Dedup.exactSurvivors(filtered)
+      val sampled = Sampling.ppsSample(surv, "doc_id", col("tok"),
+        num = 1, den = 200, salt = 23L)
+      Sampling.packSequences(sampled, 2048, tokenCount = col("tok"))
+        .select(col("doc_id"), col("tok"), col("bin"), col("bin_off"))
+    }),
+
     // --- pipeline: mean pooling — per-label element-wise embedding
     //     mean (class centroids / chunk pooling), tall (label, pos,
     //     mean) output, decimal sums + 6-dp round for engine parity ---
@@ -2198,6 +2215,28 @@ object SparkEntry {
       s"""SELECT doc_id, n_chars FROM documents
          |WHERE ${Sampling.posOracleSql("doc_id", 19L)} * 5000
          |      < n_chars * 1 * 2147483648""".stripMargin,
+
+    // the composed pipeline replicates stage by stage: token-count
+    // filter, min-id survivor per md5, integer PPS threshold, running-
+    // sum packing — one chained-CTE oracle for the whole job
+    "q110_curation_pipeline" ->
+      s"""WITH t AS (SELECT doc_id, n_chars, text,
+         |  CASE WHEN LEN(TRIM(text)) = 0 THEN 0
+         |  ELSE LEN(regexp_split_to_array(TRIM(text), '\\s+')) END AS tok
+         |  FROM documents),
+         |f AS (SELECT * FROM t WHERE tok >= 30 AND n_chars <= 4000),
+         |s AS (SELECT f.* FROM f JOIN
+         |  (SELECT md5(text) AS h, MIN(doc_id) AS k FROM f GROUP BY 1) r
+         |  ON f.doc_id = r.k),
+         |p AS (SELECT doc_id, tok FROM s
+         |  WHERE ${Sampling.posOracleSql("doc_id", 23L)} * 200
+         |        < tok * 1 * 2147483648),
+         |c AS (SELECT doc_id, tok,
+         |  SUM(tok) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok AS st
+         |  FROM p)
+         |SELECT doc_id, tok, CAST(FLOOR(st / 2048.0) AS BIGINT) AS bin,
+         |  CAST(st % 2048 AS BIGINT) AS bin_off FROM c""".stripMargin,
 
     // decimal Σ (order-independent) + 6-dp round: the one-shot mean
     // cannot hit grid boundaries the way an iterated fixpoint can
