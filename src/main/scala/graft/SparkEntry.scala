@@ -1040,6 +1040,19 @@ object SparkEntry {
         T(s, dir, "documents").select(col("doc_id"), col("n_chars")),
         "doc_id", col("n_chars"), num = 1, den = 5000, salt = 19L)),
 
+    // --- pipeline: SemDeDup — semantic near-dup pairs scoped to
+    //     trained k-means clusters (q111, rows-only: cluster scoping is
+    //     the approximation); q112 runs the identical machinery with
+    //     ONE centroid, where it must equal exact all-pairs cosine ----
+    "q111_semdedup" -> ((s, dir) =>
+      Dedup.semanticPairs(T(s, dir, "embeddings"),
+        ivfCentroidCache.getOrElseUpdate(dir,
+          Similarity.kmeansCentroids(T(s, dir, "embeddings"), k = 16, iters = 3)),
+        minCosine = 0.3, capIds = 500L)),
+    "q112_semdedup_one_cluster" -> ((s, dir) =>
+      Dedup.semanticPairs(T(s, dir, "embeddings"),
+        Array(Array.fill(64)(0.0)), minCosine = 0.3, capIds = 500L)),
+
     // --- pipeline: the composed curation job — stats filter → exact
     //     dedup (min-id survivor per content hash) → length-
     //     proportional sample → sequence packing. Every stage is
@@ -2215,6 +2228,17 @@ object SparkEntry {
       s"""SELECT doc_id, n_chars FROM documents
          |WHERE ${Sampling.posOracleSql("doc_id", 19L)} * 5000
          |      < n_chars * 1 * 2147483648""".stripMargin,
+
+    // q111 (trained clusters) is rows-only; q112 is its exact anchor:
+    // one centroid ⇒ one cluster ⇒ the pair set IS all-pairs cosine
+    "q112_semdedup_one_cluster" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 500),
+        |n AS (SELECT vec_id, e, SQRT(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+        |u AS (SELECT vec_id, CASE WHEN nrm = 0 THEN e ELSE list_transform(e, x -> x / nrm) END AS u FROM n)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |list_sum(list_transform(generate_series(1, LEN(a.u)), i -> a.u[i] * b.u[i])) AS cosine
+        |FROM u a JOIN u b ON a.vec_id < b.vec_id
+        |WHERE cosine >= 0.3""".stripMargin,
 
     // the composed pipeline replicates stage by stage: token-count
     // filter, min-id survivor per md5, integer PPS threshold, running-

@@ -339,6 +339,32 @@ object Dedup {
       .where(col("cosine") >= minCosine)
   }
 
+  /** SemDeDup-style semantic near-dup pairs (cluster-scoped semantic
+    * dedup, Abbas et al. 2023): both vectors of a pair must share a
+    * k-means cluster, so the quadratic verify runs per cluster instead
+    * of per corpus — the paper's trade of cross-cluster near-dups for
+    * an O(Σ|cluster|²) candidate count. With a SINGLE centroid every
+    * row shares cell 0 and the result EQUALS [[cosineAllPairs]] — the
+    * exact-oracle anchor for the whole assignment + pair machinery.
+    * Shuffle payload is (cell, id, unit vector) once per side; feed
+    * the pairs to [[clusterSurvivors]] for one representative per
+    * duplicate component. */
+  def semanticPairs(emb: DataFrame, centroids: Array[Array[Double]],
+                    minCosine: Double, idCol: String = "vec_id",
+                    vecCol: String = "embedding",
+                    capIds: Long = Long.MaxValue): DataFrame = {
+    val capped = emb.where(col(idCol) < capIds)
+    val cells = Similarity.ivfAssign(capped, centroids)
+      .select(col(idCol).as("id"), col("cell"))
+    val (vs, _) = unitVectors(capped, idCol, vecCol)
+    val withCell = vs.join(cells, Seq("id"))
+    val a = withCell.select(col("cell"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = withCell.select(col("cell"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("cell")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), VF.dot(col("v_a"), col("v_b")).as("cosine"))
+      .where(col("cosine") >= minCosine)
+  }
+
   /** Embedding near-dup pairs via hyperplane-LSH bucketing + exact cosine
     * verification. Multi-table OR-amplification; candidates join on
     * (table, bucket) so the shuffle carries ids + vectors once. */

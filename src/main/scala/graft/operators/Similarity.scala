@@ -302,6 +302,7 @@ object Similarity {
     * Ties break to the LOWEST cell index. */
   private def bestCell(v: Column, centroids: Array[Array[Double]]): Column = {
     import graft.functions.{VectorKernels => VK}
+    if (centroids.length == 1) return lit(0) // greatest() needs >1 args
     val scored = centroids.zipWithIndex.map { case (c, i) =>
       val halfSqNorm = c.map(x => x * x).sum / 2.0
       // negate the index so equal scores pick the smallest i via greatest

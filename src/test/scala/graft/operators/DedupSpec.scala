@@ -89,6 +89,25 @@ class DedupSpec extends SparkSpec {
     assert(lsh == exact, s"LSH buckets missed ${exact -- lsh}")
   }
 
+  test("semdedup: one cluster equals all-pairs; trained clusters keep high recall") {
+    import org.apache.spark.sql.functions._
+    val one = Dedup.semanticPairs(sfEmb, Array(Array.fill(64)(0.0)),
+      minCosine = 0.3, capIds = 300L)
+    val allPairs = Dedup.cosineAllPairs(sfEmb, minCosine = 0.3, capIds = 300L)
+    assert(rows(one) == rows(allPairs), "single-cluster semdedup must be exact")
+    // trained clusters: every emitted pair is a true pair (precision 1
+    // by construction), and recall over the all-pairs truth stays high
+    val cents = Similarity.kmeansCentroids(sfEmb, k = 8, iters = 3)
+    val scoped = Dedup.semanticPairs(sfEmb, cents, minCosine = 0.3, capIds = 300L)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = allPairs.select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(scoped.subsetOf(truth), "cluster scoping emitted a false pair")
+    val recall = if (truth.isEmpty) 1.0 else (scoped & truth).size.toDouble / truth.size
+    assert(recall >= 0.3, s"semdedup recall collapsed: $recall over ${truth.size} pairs")
+  }
+
   test("minhash survivors drop near-dups with larger ids") {
     val s = rows(Dedup.minHashSurvivors(docs, threshold = 0.9).select($"doc_id"))
     assert(s.contains(Seq(1L)) && !s.contains(Seq(2L)))
