@@ -1040,6 +1040,21 @@ object SparkEntry {
         T(s, dir, "documents").select(col("doc_id"), col("n_chars")),
         "doc_id", col("n_chars"), num = 1, den = 5000, salt = 19L)),
 
+    // --- scale: skew-mitigation twins — the salted plans must equal
+    //     their unsalted counterparts row-for-row; the salt exists only
+    //     to spread hot keys across reducers --------------------------
+    "q113_salted_join" -> ((s, dir) =>
+      graft.operators.Skew.saltedJoin(
+        T(s, dir, "orders").select(col("o_orderkey"),
+          col("o_custkey").as("custkey"), col("o_totalprice")),
+        T(s, dir, "customer").select(col("c_custkey").as("custkey"),
+          col("c_name")),
+        key = "custkey", salts = 8)),
+    "q114_salted_agg" -> ((s, dir) =>
+      graft.operators.Skew.saltedSumCount(
+        T(s, dir, "lineitem"), Seq("l_returnflag"),
+        col("l_extendedprice"), salts = 16)),
+
     // --- pipeline: SemDeDup — semantic near-dup pairs scoped to
     //     trained k-means clusters (q111, rows-only: cluster scoping is
     //     the approximation); q112 runs the identical machinery with
@@ -2228,6 +2243,16 @@ object SparkEntry {
       s"""SELECT doc_id, n_chars FROM documents
          |WHERE ${Sampling.posOracleSql("doc_id", 19L)} * 5000
          |      < n_chars * 1 * 2147483648""".stripMargin,
+
+    // the salted plans must produce EXACTLY the unsalted results — the
+    // oracles are the plain join / plain aggregate
+    "q113_salted_join" ->
+      """SELECT o_orderkey, o_custkey AS custkey, o_totalprice, c_name
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "q114_salted_agg" ->
+      """SELECT l_returnflag,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum,
+        |COUNT(*) AS cnt FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     // q111 (trained clusters) is rows-only; q112 is its exact anchor:
     // one centroid ⇒ one cluster ⇒ the pair set IS all-pairs cosine
