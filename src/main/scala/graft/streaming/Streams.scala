@@ -51,6 +51,30 @@ object Streams {
       .withWatermark(tsCol, watermark)
       .dropDuplicates("content_hash")
 
+  /** Streaming decontamination: drop stream documents sharing any word
+    * `shingleN`-gram with the benchmark corpus (the live-ingest form of
+    * [[graft.operators.Dedup.decontaminate]]). The benchmark's shingle
+    * hashes collect ONCE to the driver — benchmarks are small by
+    * construction — and ship as a literal set, so the stream side is a
+    * stateless per-row filter: no streaming join, no watermark, no
+    * state store, works in any output mode. (A benchmark too large to
+    * collect belongs in a foreachBatch batch-decontaminate instead.)
+    * Tokens project before the shingle expression — a tokens() captured
+    * inside the shingle lambda would re-split per element, O(len²). */
+  def decontaminateStream(docs: DataFrame, benchmark: DataFrame,
+                          shingleN: Int = 3, textCol: String = "text"): DataFrame = {
+    import graft.functions.{TextFunctions => TF}
+    val benchHashes = benchmark
+      .select(explode(array_distinct(
+        TF.wordShingleHashes(TF.tokens(col(textCol)), shingleN))).as("sh"))
+      .distinct().collect().map(_.getLong(0)).toSeq.sorted
+    docs.withColumn("__toks", TF.tokens(col(textCol)))
+      .where(!arrays_overlap(
+        TF.wordShingleHashes(col("__toks"), shingleN),
+        typedLit(benchHashes)))
+      .drop("__toks")
+  }
+
   /** Stream-stream equi-join with an event-time interval bound (the
     * attribution/enrichment join a live training-data pipeline runs
     * between two feeds, e.g. documents ⋈ late-arriving annotations).

@@ -65,6 +65,27 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming decontamination drops docs sharing a benchmark shingle, statelessly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val bench = Seq("the quick brown fox jumps").toDF("text")
+    val input = MemoryStream[(Long, String)]
+    val out = Streams.decontaminateStream(
+      input.toDF().toDF("doc_id", "text"), bench)
+    val q = out.writeStream.format("memory").queryName("sdecon")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "totally clean document here"),
+        (2L, "contains the quick brown fox inside"), // shares a 3-gram
+        (3L, "quick brown dog sleeps all day"))      // no shared 3-gram
+      q.processAllAvailable()
+      val kept = spark.table("sdecon").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 3L), s"kept $kept")
+    } finally q.stop()
+  }
+
   test("streaming edges feed an IQL relation; recursive rules stay maintained per batch") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Long)]
