@@ -103,6 +103,16 @@ object Bpe {
       col("rank").cast("long").as("rank"), col("lhs"), col("rhs"))
   }
 
+  /** Persist a trained merge table as parquet (the tokenizer artifact a
+    * pipeline trains once and ships to every job that encodes). */
+  def saveMerges(spark: SparkSession, merges: Seq[Merge], path: String): Unit =
+    mergesDf(spark, merges).write.mode("overwrite").parquet(path)
+
+  /** Load a merge table, restoring rank order. */
+  def loadMerges(spark: SparkSession, path: String): Seq[Merge] =
+    spark.read.parquet(path).orderBy("rank").collect()
+      .map(r => Merge(r.getLong(0).toInt, r.getString(1), r.getString(2))).toSeq
+
   /** Encode one word: repeatedly fuse the present pair with the LOWEST
     * rank (all its occurrences, left to right) until none of the
     * adjacent pairs is in the table — the canonical BPE inference

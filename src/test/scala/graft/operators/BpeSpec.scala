@@ -119,6 +119,19 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("merge tables round-trip through parquet") {
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val trained = Bpe.train(docs, 12)
+    val dir = java.nio.file.Files.createTempDirectory("bpe").toString + "/merges"
+    Bpe.saveMerges(spark, trained, dir)
+    val loaded = Bpe.loadMerges(spark, dir)
+    assert(loaded == trained)
+    // the reloaded table encodes identically
+    val a = Bpe.tokenCounts(docs, trained).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Bpe.tokenCounts(docs, loaded).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
   test("corpus training is deterministic and encode runs distributed") {
     val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val a = Bpe.train(docs, 10)
