@@ -1040,6 +1040,11 @@ object SparkEntry {
         T(s, dir, "documents").select(col("doc_id"), col("n_chars")),
         "doc_id", col("n_chars"), num = 1, den = 5000, salt = 19L)),
 
+    // --- pipeline: per-language heavy hitters — top-20 tokens by
+    //     frequency (stopword discovery / frequency tables) -----------
+    "q115_top_terms" -> ((s, dir) =>
+      TextAnalysis.topTerms(T(s, dir, "documents"), k = 20)),
+
     // --- scale: skew-mitigation twins — the salted plans must equal
     //     their unsalted counterparts row-for-row; the salt exists only
     //     to spread hot keys across reducers --------------------------
@@ -2243,6 +2248,15 @@ object SparkEntry {
       s"""SELECT doc_id, n_chars FROM documents
          |WHERE ${Sampling.posOracleSql("doc_id", 19L)} * 5000
          |      < n_chars * 1 * 2147483648""".stripMargin,
+
+    "q115_top_terms" ->
+      """WITH t AS (SELECT lang, unnest(regexp_split_to_array(TRIM(text), '\s+')) AS tok
+        |FROM documents WHERE LEN(TRIM(text)) > 0),
+        |c AS (SELECT lang, tok, COUNT(*) AS n FROM t GROUP BY lang, tok),
+        |r AS (SELECT lang, tok, n,
+        |  CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS INT) AS rank
+        |  FROM c)
+        |SELECT lang, tok, n, rank FROM r WHERE rank <= 20""".stripMargin,
 
     // the salted plans must produce EXACTLY the unsalted results — the
     // oracles are the plain join / plain aggregate

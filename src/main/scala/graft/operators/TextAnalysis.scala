@@ -55,6 +55,23 @@ object TextAnalysis {
       .groupBy(col(groupCol))
       .agg(approx_count_distinct(col("tok"), rsd).as("n_vocab"))
 
+  /** Per-group top-k most frequent tokens (heavy hitters — stopword
+    * discovery, boilerplate vocabulary, per-language frequency tables).
+    * Explode partial-aggregates map-side into (group, token) counts;
+    * the top-k per group is a WindowGroupLimit (per-partition ranking
+    * cut before the final sort), never a global materialization.
+    * Ties break lexicographically so the cut is deterministic. */
+  def topTerms(docs: DataFrame, k: Int = 20, groupCol: String = "lang",
+               textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs.select(col(groupCol), explode(TF.tokens(col(textCol))).as("tok"))
+      .groupBy(col(groupCol), col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(groupCol)).orderBy(col("n").desc, col("tok"))))
+      .where(col("rank") <= k)
+  }
+
   /** Quality features + composite score per document. */
   def qualityFeatures(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.select(col(idCol),
