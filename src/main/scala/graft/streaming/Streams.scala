@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.GroupState
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming realizations of the reference's incremental
   * semantics (reference: DD-based incremental view maintenance,
@@ -73,6 +73,64 @@ object Streams {
         TF.wordShingleHashes(col("__toks"), shingleN),
         typedLit(benchHashes)))
       .drop("__toks")
+  }
+
+  /** Streaming NEAR-duplicate candidates: banded MinHash over the live
+    * feed with per-bucket keyed state (the streaming analogue of
+    * [[graft.operators.Dedup.minHashPairs]]'s candidate stage). Each
+    * document's signature computes map-side (the same one-pass UDF as
+    * batch), explodes to (band, bucket) keys, and
+    * `flatMapGroupsWithState` keeps the ids seen per bucket — a new
+    * arrival emits a candidate pair against every remembered member,
+    * ACROSS micro-batches. State per bucket caps at `maxPerBucket`
+    * (newest kept) and evicts on a processing-time TTL when `ttl` is
+    * set, so state stays bounded on an unbounded feed. (`ttl = None`
+    * disables eviction — needed under `processAllAvailable`-style
+    * tests, where the continuous empty timeout batches would never let
+    * the query go idle.) Pairs may repeat across bands; consumers
+    * dedup (exactly like the batch candidate stage before
+    * verification). */
+  def streamingNearDupCandidates(docs: DataFrame, shingleN: Int = 5,
+                                 k: Int = 64, bands: Int = 16,
+                                 maxPerBucket: Int = 64,
+                                 ttl: Option[String] = Some("1 hour"),
+                                 idCol: String = "doc_id",
+                                 textCol: String = "text"): Dataset[(Long, Long)] = {
+    import graft.functions.{TextFunctions => TF}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rowsPerBand = k / bands
+    val banded = docs
+      .select(col(idCol).cast("long").as("id"),
+        TF.minHashSigChars(TF.normText(col(textCol)), shingleN, k).as("sig"))
+      .where(col("sig").isNotNull)
+      .select(col("id"),
+        explode(TF.minHashBands(col("sig"), bands, rowsPerBand)).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"), col("id"))
+      .as[(Int, Long, Long)]
+    val timeout =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    banded
+      .groupByKey { case (band, bucket, _) => (band, bucket) }
+      .flatMapGroupsWithState[List[Long], (Long, Long)](
+        OutputMode.Append, timeout) {
+        case (_, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val seen = state.getOption.getOrElse(Nil)
+            val fresh = rows.map(_._3).toSeq.distinct.filterNot(seen.contains)
+            val out = Seq.newBuilder[(Long, Long)]
+            var acc = seen
+            fresh.foreach { n =>
+              acc.foreach(s => out += (if (s < n) (s, n) else (n, s)))
+              acc = n :: acc
+            }
+            state.update(acc.take(maxPerBucket))
+            ttl.foreach(state.setTimeoutDuration)
+            out.result().iterator
+          }
+      }
   }
 
   /** Stream-stream equi-join with an event-time interval bound (the

@@ -86,6 +86,33 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup candidates pair a doc with state from EARLIER batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog while seventeen " +
+      "astronauts carefully measure gravitational anomalies across the " +
+      "frozen tundra of a distant moon base station"
+    val near = base.replace("seventeen", "nineteen")
+    val other = "completely unrelated content about cooking pasta with " +
+      "tomatoes garlic olive oil and a generous handful of fresh basil " +
+      "leaves simmered slowly in a cast iron pan"
+    val input = MemoryStream[(Long, String)]
+    val cands = Streams.streamingNearDupCandidates(
+      input.toDF().toDF("doc_id", "text"), ttl = None)
+    val q = cands.toDF("id_a", "id_b").writeStream.format("memory")
+      .queryName("sneardup").outputMode("append").start()
+    try {
+      input.addData((1L, base))
+      q.processAllAvailable()
+      assert(spark.table("sneardup").count() == 0)
+      input.addData((2L, near), (3L, other)) // 2 pairs with 1 across batches
+      q.processAllAvailable()
+      val pairs = spark.table("sneardup").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((1L, 2L)), s"got $pairs")
+    } finally q.stop()
+  }
+
   test("streaming edges feed an IQL relation; recursive rules stay maintained per batch") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Long)]
