@@ -86,6 +86,37 @@ final class Catalog(val spark: SparkSession) {
     bump(); logChange(name, null); relations(name) = df
   }
 
+  /** ANALYZE-style relation statistics (reference `src/statistics.rs`:
+    * per-relation row counts + per-column distinct estimates drive
+    * selectivity). Explicit artifacts like the reference's — computed
+    * on demand, marked with the catalog version they measured, and kept
+    * (possibly stale) until re-analyzed; the join-order heuristic
+    * treats a stale count as better than no count. */
+  final case class RelStats(rows: Long, cols: Seq[(String, Long)], version: Long)
+  private val relStats = mutable.LinkedHashMap.empty[String, RelStats]
+
+  /** Compute + store stats for `name`: exact row count, approximate
+    * (HLL) per-column distinct — one aggregation pass, mergeable
+    * sketch state, no column ever shuffles its values. */
+  def analyze(name: String): RelStats = {
+    import org.apache.spark.sql.functions.{approx_count_distinct, col, count, lit}
+    val (df, v) = synchronized {
+      (relations.getOrElse(name,
+        throw new IllegalArgumentException(s"unknown relation $name")), version)
+    }
+    val aggs = count(lit(1)).as("__rows") +:
+      df.columns.toSeq.map(c => approx_count_distinct(col(c)).as(s"__ndv_$c"))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val st = RelStats(row.getLong(0),
+      df.columns.toSeq.zipWithIndex.map { case (c, i) => c -> row.getLong(i + 1) }, v)
+    synchronized { relStats(name) = st }
+    st
+  }
+
+  def stats(name: String): Option[RelStats] = synchronized(relStats.get(name))
+  /** Analyzed row count (stale allowed) — the join-order signal. */
+  def statRows(name: String): Option[Long] = stats(name).map(_.rows)
+
   def createIndex(rel: String, idCol: String, vecCol: String,
                   metric: String = "cosine", m: Int = 16, efC: Int = 200,
                   name: String = ""): graft.index.Hnsw = {

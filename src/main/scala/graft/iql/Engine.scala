@@ -299,7 +299,7 @@ final class Engine(val catalog: Catalog) {
       if (resolved.columns.length != g.args.length)
         return resolved.toDF(resolved.columns.indices.map(i => s"col$i"): _*)
     }
-    var df = RuleCompiler.compileBody(q.body, idb.resolve, hnswFrame)
+    var df = RuleCompiler.compileBody(q.body, idb.resolve, hnswFrame, catalog.statRows)
     lastMagicFrame = magicTarget.map(r =>
       idb.resolve(r, q.body.collectFirst { case Pos(a) => a.args.length }.getOrElse(0)))
     // shorthand queries keep the goal atom's full arity (constants too)
@@ -585,12 +585,12 @@ final class Engine(val catalog: Catalog) {
       }
       val (canon, toOrig) = canonicalBody(body)
       if (hasSpecial || sharedBodyCounts.getOrElse(canon, 0) < 2)
-        return RuleCompiler.compileBody(body, resolve, hnswFrame)
+        return RuleCompiler.compileBody(body, resolve, hnswFrame, catalog.statRows)
       val shared = sharedBodies.get(canon) match {
         case Some(df) => sharedBodyHits += 1; df
         case None =>
           val df = Fixpoint.materialize(
-            RuleCompiler.compileBody(canon, resolve, hnswFrame)).df
+            RuleCompiler.compileBody(canon, resolve, hnswFrame, catalog.statRows)).df
           sharedBodies(canon) = df
           df
       }
@@ -2160,7 +2160,7 @@ final class Engine(val catalog: Catalog) {
       // frames per call — only default-resolver derivations share bodies
       val bodyDf = restrict(
         if (resolver eq resolve) bodyFrame(r.body)
-        else RuleCompiler.compileBody(r.body, resolver, hnswFrame))
+        else RuleCompiler.compileBody(r.body, resolver, hnswFrame, catalog.statRows))
       r.head.args.collect { case rk: Rank => rk } match {
         case Seq(rank) => return deriveRankRule(r, rank, bodyDf)
         case Seq() => ()

@@ -219,6 +219,18 @@ final class Session(val spark: SparkSession,
         graft.sources.Tables.saveCsv(df, path)
         Text(Seq(s"exported $rel to $path"))
 
+      // ANALYZE (reference src/statistics.rs): exact rows + approximate
+      // per-column distinct counts, stored for the join-order heuristic
+      case Seq(".analyze", rel) =>
+        val st = catalog.analyze(rel)
+        Text(s"$rel: ${st.rows} rows (v${st.version})" +:
+          st.cols.map { case (c, ndv) => s"  $c: ~$ndv distinct" })
+      case Seq(".analyze") =>
+        Text(catalog.relationNames.map { r =>
+          val st = catalog.analyze(r)
+          s"$r: ${st.rows} rows, ${st.cols.length} cols"
+        })
+
       case Seq(".index", "list") =>
         Text(catalog.indexMeta.map { case (n, (r, _, c)) => s"$n: $r($c)" }.toSeq)
       // named form (reference `.index create <name> on <rel>(<col>)`,

@@ -69,7 +69,8 @@ object RuleCompiler {
 
   /** Compile a body; returns a frame with one column per variable. */
   def compileBody(body0: Seq[BodyElem], resolve: Resolver,
-                  special: SpecialAtoms = null): DataFrame = {
+                  special: SpecialAtoms = null,
+                  relRows: String => Option[Long] = _ => None): DataFrame = {
     val body = body0.map {
       case Pos(Atom(n, args)) if BoolBuiltins(n.toLowerCase) =>
         Cmp("=", Func(n, args), Const(true))
@@ -90,21 +91,29 @@ object RuleCompiler {
     //    bad order itself: in-memory frames carry no stats to reorder by).
     //    An adversarial order like `a(X), c(Z), b(X,Z)` therefore joins
     //    a⋈b then ⋈c instead of building the a×c cartesian product first.
-    //    Ties (and the start atom) keep body order. Special predicates
-    //    (index probes) join AFTER the plain scans so their query
-    //    variables are already bound.
+    //    When the catalog has ANALYZE stats (`relRows` — reference
+    //    `src/statistics.rs`), the START atom is the smallest analyzed
+    //    relation and equal-connectivity ties break toward smaller
+    //    relations; without stats, ties (and the start atom) keep body
+    //    order exactly as before (unanalyzed rows = ∞). Special
+    //    predicates (index probes) join AFTER the plain scans so their
+    //    query variables are already bound.
     var cur: DataFrame = null
     if (positives.nonEmpty) {
       val remaining = scala.collection.mutable.ArrayBuffer.from(
-        positives.map(a => atomFrame(a, resolve)))
-      cur = remaining.remove(0)
+        positives.map(a => (a.rel, atomFrame(a, resolve))))
+      def rowsOf(rel: String): Long = relRows(rel).getOrElse(Long.MaxValue)
+      val start = remaining.indices.minBy(i => (rowsOf(remaining(i)._1), i))
+      cur = remaining.remove(start)._2
       while (remaining.nonEmpty) {
         val bound = cur.columns.toSet
-        // maxBy keeps the FIRST maximum → stable body order among ties;
-        // when nothing connects, index 0 preserves the old behavior
-        // (cross product of genuinely disconnected subgoals)
-        val idx = remaining.indices.maxBy(i => remaining(i).columns.count(bound))
-        val af = remaining.remove(idx)
+        // minBy keeps the FIRST minimum → stable body order among full
+        // ties; when nothing connects, the smallest/first remains (cross
+        // product of genuinely disconnected subgoals)
+        val idx = remaining.indices.minBy { i =>
+          (-remaining(i)._2.columns.count(bound), rowsOf(remaining(i)._1), i)
+        }
+        val af = remaining.remove(idx)._2
         val shared = cur.columns.intersect(af.columns).toSeq
         cur = if (shared.nonEmpty) {
           val (lf, rf) = alignShared(cur, af, shared)

@@ -31,6 +31,18 @@ class ReplSpec extends SparkSpec {
     assert(text(s.execute(".rule list").head).isEmpty)
   }
 
+  test("analyze reports rows and distincts and feeds the catalog stats") {
+    val s = new Session(spark)
+    s.execute("+emp[(1, 10), (2, 10), (3, 20)]")
+    val lines = text(s.execute(".analyze emp").head)
+    assert(lines.head.startsWith("emp: 3 rows"), lines)
+    assert(lines.exists(l => l.contains("c0") && l.contains("~3 distinct")), lines)
+    assert(lines.exists(l => l.contains("c1") && l.contains("~2 distinct")), lines)
+    assert(s.catalog.statRows("emp").contains(3L))
+    val all = text(s.execute(".analyze").head)
+    assert(all == Seq("emp: 3 rows, 2 cols"), all)
+  }
+
   test("load script file") {
     val s = new Session(spark)
     val f = Files.createTempFile("graft", ".iql")
