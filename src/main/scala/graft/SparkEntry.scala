@@ -1040,6 +1040,12 @@ object SparkEntry {
         T(s, dir, "documents").select(col("doc_id"), col("n_chars")),
         "doc_id", col("n_chars"), num = 1, den = 5000, salt = 19L)),
 
+    // --- pipeline: sketched length quantiles — fixed-size GK state per
+    //     group (the 100 TB path; q94 is its exact anchor). rows-only:
+    //     sketch outputs are implementation-specific -------------------
+    "q116_quantile_sketch" -> ((s, dir) =>
+      TextAnalysis.lengthDistributionApprox(T(s, dir, "documents"))),
+
     // --- pipeline: per-language heavy hitters — top-20 tokens by
     //     frequency (stopword discovery / frequency tables) -----------
     "q115_top_terms" -> ((s, dir) =>

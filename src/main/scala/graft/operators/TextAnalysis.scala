@@ -35,6 +35,25 @@ object TextAnalysis {
         expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY tok)")
           .cast("long").as("p99_tokens"))
 
+  /** Sketched length distribution — the 100 TB twin of
+    * [[lengthDistribution]]: one bounded-memory quantile sketch per
+    * group (Spark's approx_percentile, a Greenwald-Khanna variant)
+    * instead of the exact value→count map. `accuracy` bounds the rank
+    * error at 1/accuracy; state stays fixed-size however long the
+    * documents get. Anchored by the exact q94 twin in the oracle
+    * suite. */
+  def lengthDistributionApprox(docs: DataFrame, groupCol: String = "lang",
+                               textCol: String = "text",
+                               accuracy: Int = 10000): DataFrame =
+    docs.select(col(groupCol), TF.tokenCount(col(textCol)).as("tok"))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("tok")).as("total_tokens"),
+        expr(s"approx_percentile(tok, 0.5, $accuracy)").as("p50_tokens"),
+        expr(s"approx_percentile(tok, 0.9, $accuracy)").as("p90_tokens"),
+        expr(s"approx_percentile(tok, 0.99, $accuracy)").as("p99_tokens"))
+
   /** Per-group vocabulary size — exact form: explode tokens and
     * COUNT(DISTINCT). Oracle-able, but the distinct shuffles every
     * token occurrence once; use [[vocabularyApprox]] at corpus scale. */

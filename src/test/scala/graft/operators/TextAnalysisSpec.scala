@@ -6,6 +6,19 @@ import org.apache.spark.sql.functions._
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("sketched length quantiles match exact at small n (rank error < 1)") {
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.get(3).toString.toDouble, r.get(4).toString.toDouble,
+        r.get(5).toString.toDouble)).toMap
+    val exact = m(TextAnalysis.lengthDistribution(docs))
+    val approx = m(TextAnalysis.lengthDistributionApprox(docs))
+    // at n ≤ 500 and accuracy 10000 the GK rank error is below one rank:
+    // every sketch answer must be the exact discrete quantile
+    assert(approx == exact, s"sketch drifted:\n$approx\nvs\n$exact")
+  }
+
   test("pii scrub redacts emails, ips, and long digit runs with counts") {
     val docs = Seq(
       (1L, "contact bob@example.com or 10.0.0.1 now"),
