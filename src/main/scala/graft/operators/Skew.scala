@@ -33,9 +33,10 @@ object Skew {
   /** Two-phase salted sum/count: partial-aggregate on (keys, salt) —
     * the hot key's rows split across `salts` reducers — then merge the
     * per-salt partials on the keys alone (a `salts`-row-per-key
-    * shuffle, trivially balanced). The inner sums run in
-    * DECIMAL(18,2)-style exact arithmetic via the caller's cast, so
-    * the two-phase result is IDENTICAL to the direct aggregation
+    * shuffle, trivially balanced). The inner sums run in exact
+    * DECIMAL(18,2) arithmetic (values round to 2 dp on entry, like the
+    * suite's other money-typed sums), so the two-phase result is
+    * IDENTICAL to the direct aggregation under the same cast,
     * regardless of how the salt split the rows. */
   def saltedSumCount(df: DataFrame, keys: Seq[String], value: Column,
                      salts: Int, sumCol: String = "sum",
