@@ -1011,6 +1011,13 @@ object SparkEntry {
       Bpe.tokenCounts(T(s, dir, "documents"), bpeMerges(s, dir))),
     "q101_bpe_encode_one" -> ((s, dir) =>
       Bpe.tokenCounts(T(s, dir, "documents"), bpeMerges(s, dir).take(1))),
+    // tokenizer→packer composition: pack by the one-merge BPE counts
+    // (exact end-to-end oracle: the q101 chain feeds q78's running sum)
+    "q117_bpe_packing" -> ((s, dir) =>
+      Sampling.packSequences(
+        Bpe.tokenCounts(T(s, dir, "documents"), bpeMerges(s, dir).take(1)),
+        capacity = 4096, tokenCount = col("n_bpe_tokens"))
+        .select(col("doc_id"), col("n_bpe_tokens"), col("bin"), col("bin_off"))),
 
     // --- pipeline: random-projection dimensionality reduction (JL) —
     //     64-dim embeddings → 8 seeded-Gaussian projections, map-only,
@@ -1305,6 +1312,23 @@ object SparkEntry {
        |$steps
        |SELECT node, pr FROM pr5""".stripMargin
   }
+
+  private lazy val q101OracleSql: String =
+    """WITH d AS (SELECT doc_id, CASE WHEN LEN(TRIM(text)) = 0
+      |  THEN []::VARCHAR[] ELSE regexp_split_to_array(TRIM(text), '\s+')
+      |  END AS ws FROM documents),
+      |tok AS (SELECT doc_id, unnest(ws) AS word FROM d),
+      |v AS (SELECT word, COUNT(*) AS freq FROM tok GROUP BY word),
+      |p AS (SELECT substring(word, i, 1) AS l, substring(word, i + 1, 1) AS r,
+      |      SUM(freq) AS cnt
+      |      FROM v, unnest(generate_series(1, length(word) - 1)) AS t(i)
+      |      GROUP BY 1, 2),
+      |best AS (SELECT l || r AS pair FROM p ORDER BY cnt DESC, l, r LIMIT 1),
+      |enc AS (SELECT t.doc_id, SUM(length(t.word) -
+      |        (length(t.word) - length(replace(t.word, b.pair, ''))) // 2) AS n
+      |        FROM tok t CROSS JOIN best b GROUP BY t.doc_id)
+      |SELECT d.doc_id, COALESCE(CAST(enc.n AS BIGINT), 0) AS n_bpe_tokens
+      |FROM d LEFT JOIN enc ON d.doc_id = enc.doc_id""".stripMargin
 
   private lazy val q104OracleSql: String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -2224,22 +2248,20 @@ object SparkEntry {
     // anchor: with ONE merge, tokens(word) = length − non-overlapping
     // occurrences of the pair, and a single-pass string replace counts
     // those occurrences with identical left-to-right semantics
-    "q101_bpe_encode_one" ->
-      """WITH d AS (SELECT doc_id, CASE WHEN LEN(TRIM(text)) = 0
-        |  THEN []::VARCHAR[] ELSE regexp_split_to_array(TRIM(text), '\s+')
-        |  END AS ws FROM documents),
-        |tok AS (SELECT doc_id, unnest(ws) AS word FROM d),
-        |v AS (SELECT word, COUNT(*) AS freq FROM tok GROUP BY word),
-        |p AS (SELECT substring(word, i, 1) AS l, substring(word, i + 1, 1) AS r,
-        |      SUM(freq) AS cnt
-        |      FROM v, unnest(generate_series(1, length(word) - 1)) AS t(i)
-        |      GROUP BY 1, 2),
-        |best AS (SELECT l || r AS pair FROM p ORDER BY cnt DESC, l, r LIMIT 1),
-        |enc AS (SELECT t.doc_id, SUM(length(t.word) -
-        |        (length(t.word) - length(replace(t.word, b.pair, ''))) // 2) AS n
-        |        FROM tok t CROSS JOIN best b GROUP BY t.doc_id)
-        |SELECT d.doc_id, COALESCE(CAST(enc.n AS BIGINT), 0) AS n_bpe_tokens
-        |FROM d LEFT JOIN enc ON d.doc_id = enc.doc_id""".stripMargin,
+    "q101_bpe_encode_one" -> q101OracleSql,
+
+    // pack by the same one-merge BPE counts: the q101 chain feeds the
+    // q78 running-sum packing — a composed tokenizer→packer pipeline,
+    // exact end to end
+    "q117_bpe_packing" ->
+      s"""WITH base AS ($q101OracleSql),
+         |c AS (SELECT doc_id, n_bpe_tokens,
+         |  SUM(n_bpe_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_bpe_tokens AS st
+         |  FROM base)
+         |SELECT doc_id, n_bpe_tokens,
+         |  CAST(FLOOR(st / 4096.0) AS BIGINT) AS bin,
+         |  CAST(st % 4096 AS BIGINT) AS bin_off FROM c""".stripMargin,
 
     // q103 (trained-codebook PQ) is rows-only: ADC over trained
     // codebooks is approximate by construction; q104/q105 exact-anchor

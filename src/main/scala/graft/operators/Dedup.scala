@@ -365,6 +365,16 @@ object Dedup {
       .where(col("cosine") >= minCosine)
   }
 
+  /** SemDeDup survivors: one representative (the component's min id)
+    * per semantic-duplicate group — [[semanticPairs]] piped through the
+    * connected-components [[clusterSurvivors]]. */
+  def semanticSurvivors(emb: DataFrame, centroids: Array[Array[Double]],
+                        minCosine: Double, idCol: String = "vec_id",
+                        vecCol: String = "embedding",
+                        capIds: Long = Long.MaxValue): DataFrame =
+    clusterSurvivors(emb.where(col(idCol) < capIds),
+      semanticPairs(emb, centroids, minCosine, idCol, vecCol, capIds), idCol)
+
   /** Embedding near-dup pairs via hyperplane-LSH bucketing + exact cosine
     * verification. Multi-table OR-amplification; candidates join on
     * (table, bucket) so the shuffle carries ids + vectors once. */

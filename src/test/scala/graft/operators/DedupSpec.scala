@@ -106,6 +106,12 @@ class DedupSpec extends SparkSpec {
     assert(scoped.subsetOf(truth), "cluster scoping emitted a false pair")
     val recall = if (truth.isEmpty) 1.0 else (scoped & truth).size.toDouble / truth.size
     assert(recall >= 0.3, s"semdedup recall collapsed: $recall over ${truth.size} pairs")
+    // survivors = one representative per duplicate component
+    val surv = Dedup.semanticSurvivors(sfEmb, Array(Array.fill(64)(0.0)),
+      minCosine = 0.3, capIds = 300L)
+    val expected = Dedup.clusterSurvivors(
+      sfEmb.where(col("vec_id") < 300), allPairs, "vec_id")
+    assert(rows(surv.select(col("vec_id"))) == rows(expected.select(col("vec_id"))))
   }
 
   test("minhash survivors drop near-dups with larger ids") {
