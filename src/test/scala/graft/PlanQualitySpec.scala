@@ -72,4 +72,18 @@ class PlanQualitySpec extends SparkSpec {
     val plan = planOf("q105_pq_adc_seeded")
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("pps sampling is a pure scan filter; heavy hitters rank via WindowGroupLimit") {
+    assume(new java.io.File(s"$sf/documents.parquet").exists)
+    assert(!planOf("q109_pps_sample").contains("Exchange"),
+      "pps sample gained a shuffle")
+    val hh = planOf("q115_top_terms")
+    assert(hh.contains("WindowGroupLimit"), hh)
+  }
+
+  test("sketched quantiles partial-aggregate map-side") {
+    assume(new java.io.File(s"$sf/documents.parquet").exists)
+    val plan = planOf("q116_quantile_sketch")
+    assert(plan.contains("partial_approx_percentile"), plan)
+  }
 }
