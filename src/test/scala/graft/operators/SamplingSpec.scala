@@ -31,6 +31,41 @@ class SamplingSpec extends SparkSpec {
     assert(kept.count() == docs.where(pmod(col("doc_id"), lit(2L)) === 0).count())
   }
 
+  test("sampling family fuzz: Spark decisions equal the reference scalar at random params") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    val base = (0L until 400L).map(i => (i, 1L + (i * 31 % 97))).toDF("id", "w")
+    val rows0 = (0L until 400L).map(i => i -> (1L + (i * 31 % 97))).toMap
+    (1 to 8).foreach { _ =>
+      val salt = rnd.nextLong()
+      val (num, den) = (1 + rnd.nextInt(9), 1 + rnd.nextInt(9))
+      // deterministicSample ≡ posOf(id) % den < num
+      val ks = Sampling.deterministicSample(base, "id", num, den, salt)
+        .select("id").as[Long].collect().toSet
+      assert(ks == rows0.keySet.filter(id =>
+        Sampling.posOf(id, salt) % den < num), s"detSample salt=$salt $num/$den")
+      // ppsSample ≡ posOf(id)·den < w·num·2³¹ (num bounded so w·num < 2³²)
+      val ps = Sampling.ppsSample(base, "id", col("w"), num, den * 50, salt)
+        .select("id").as[Long].collect().toSet
+      assert(ps == rows0.keySet.filter(id =>
+        Sampling.posOf(id, salt) * (den * 50L) < rows0(id) * num * (1L << 31)),
+        s"pps salt=$salt $num/${den * 50}")
+      // mixWeights ≡ num/den copies with the posOf fractional band
+      val mx = Sampling.mixWeights(base, "id", pmod(col("id"), lit(3L)),
+        Seq(0L -> ((num, den)), 1L -> ((den, num))), salt)
+        .groupBy("id").count().as[(Long, Long)].collect().toMap
+      rows0.keySet.foreach { id =>
+        val (n, d) = (id % 3) match {
+          case 0 => (num.toLong, den.toLong)
+          case 1 => (den.toLong, num.toLong)
+          case _ => (0L, 1L)
+        }
+        val want = n / d + (if (Sampling.posOf(id, salt) % d < n % d) 1L else 0L)
+        assert(mx.getOrElse(id, 0L) == want, s"mix id=$id salt=$salt $n/$d")
+      }
+    }
+  }
+
   test("pps sampling keeps exactly the rows whose hash clears the weight threshold") {
     val kept = rows(Sampling.ppsSample(docs, "doc_id", col("n_chars"), 1, 5000, salt = 19L)
       .select(col("doc_id"))).map(_.head.asInstanceOf[Long])
