@@ -136,6 +136,25 @@ object Bpe {
     syms
   }
 
+  /** Per-document BPE subword pieces, in order — the actual tokenizer
+    * output a downstream embedding/packing stage consumes. Same map-only
+    * broadcast shape as [[tokenCounts]]. */
+  def tokenize(docs: DataFrame, merges: Seq[Merge],
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val ranks: Map[(String, String), Int] =
+      merges.map(m => (m.lhs, m.rhs) -> m.rank).toMap
+    val bc = docs.sparkSession.sparkContext.broadcast(ranks)
+    val tokUdf = udf { (ws: Seq[String]) =>
+      if (ws == null) Seq.empty[String]
+      else {
+        val tbl = bc.value
+        val memo = new java.util.HashMap[String, Array[String]]()
+        ws.flatMap(w => memo.computeIfAbsent(w, encodeWord(_, tbl)))
+      }
+    }
+    docs.select(col(idCol), tokUdf(TF.tokens(col(textCol))).as("bpe_tokens"))
+  }
+
   /** Per-document BPE token counts under a trained merge table:
     * (idCol, n_bpe_tokens). Map-only — merges broadcast once, each
     * row's words encode against a per-row memo (documents repeat

@@ -119,6 +119,24 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("tokenize emits the pieces whose concatenation restores the words") {
+    import spark.implicits._
+    val docs = Seq((1L, "abc ab a"), (2L, "")).toDF("doc_id", "text")
+    val ms = Bpe.trainOnVocab(Seq("abc" -> 3L, "ab" -> 2L, "a" -> 1L), 2)
+    val toks = Bpe.tokenize(docs, ms).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(toks(2L).isEmpty)
+    // pieces concatenate back to the whitespace-stripped text
+    assert(toks(1L).mkString == "abcaba")
+    // piece count matches tokenCounts under the same table
+    val counts = Bpe.tokenCounts(docs, ms).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(toks.map { case (k, v) => k -> v.length.toLong } == counts)
+    // and each piece is a greedy encodeWord segment
+    val ranks = ms.map(m => (m.lhs, m.rhs) -> m.rank).toMap
+    assert(toks(1L) == Seq("abc", "ab", "a").flatMap(Bpe.encodeWord(_, ranks)))
+  }
+
   test("merge tables round-trip through parquet") {
     val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val trained = Bpe.train(docs, 12)
