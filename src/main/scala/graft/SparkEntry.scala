@@ -767,6 +767,26 @@ object SparkEntry {
         .select(col("vec_id"))
     }),
 
+    // --- ANN: MAINTAINED HNSW — mutate the indexed relation through the
+    //     catalog (+2 copies of the query vector, -1 of them), then probe
+    //     exhaustively: the result must equal brute force over the POST-
+    //     mutation relation, proving Catalog.insert/delete keep the index
+    //     live (reference src/index_manager.rs:84-126 — no manual rebuild).
+    //     Mutations are set-semantics idempotent, so the cached fixture
+    //     re-runs stably; tombstoned 999998 must NOT appear -------------
+    "q118_hnsw_maintained" -> ((s, dir) => {
+      val cat = hnswMaintCatalog(s, dir)
+      val q = T(s, dir, "embeddings").where(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      cat.insert("embeddings",
+        Seq(Seq(999998L, q, 0), Seq(999999L, q, 0)))
+      cat.delete("embeddings", Seq(Seq(999998L, q, 0)))
+      val idx = cat.indexByName("emb_idx").get._1
+      cat.hnswSearch("embeddings", "embedding", q.toArray, 10,
+          efSearch = idx.size + 16)
+        .select(col("id").as("vec_id"))
+    }),
+
     // --- IQL: computed bindings + string/math builtins ---------------------
     "q50_iql_compute" -> ((s, dir) => {
       val e = iqlEngine(s, dir, "part")
@@ -1184,6 +1204,20 @@ object SparkEntry {
   private val hnswCache =
     scala.collection.concurrent.TrieMap.empty[String, graft.index.Hnsw]
 
+  /** Catalog with a MAINTAINED index (`.index create` path: indexes +
+    * indexMeta both registered, so Catalog.insert/delete update the graph
+    * in place — reference `src/index_manager.rs:84-126`). Own index build,
+    * never the shared [[hnswCache]] graph: q118 mutates it. */
+  private val hnswMaintCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.iql.Catalog]
+  private def hnswMaintCatalog(s: SparkSession, dir: String): graft.iql.Catalog =
+    hnswMaintCache.getOrElseUpdate(dir, {
+      val cat = new graft.iql.Catalog(s)
+      cat.register("embeddings", T(s, dir, "embeddings"))
+      cat.createIndex("embeddings", "vec_id", "embedding", name = "emb_idx")
+      cat
+    })
+
   /** One-time per-dir index artifacts — the LSH `partitionBy(bucket)`
     * layout, IVF centroids, the driver HNSW graph — built OUTSIDE query
     * timing. Index construction is a fixture, like the reference's
@@ -1197,7 +1231,9 @@ object SparkEntry {
       Similarity.kmeansCentroids(T(s, dir, "embeddings"), k = 16, iters = 3))
     hnswCache.getOrElseUpdate(dir,
       graft.index.Hnsw.build(T(s, dir, "embeddings"), "vec_id", "embedding"))
+    hnswMaintCatalog(s, dir)
     pqCodebooks(s, dir)
+    bpeMerges(s, dir) // tokenizer training is an index build, untimed
     ()
   }
 
@@ -1835,6 +1871,19 @@ object SparkEntry {
       """SELECT vec_id FROM embeddings
         |ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
         |(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC,
+        |vec_id ASC LIMIT 10""".stripMargin,
+
+    // maintained HNSW == brute force over the POST-mutation relation:
+    // +999998,+999999 (copies of the query vector), then -999998 —
+    // 999999 must rank with vec_id 0, tombstoned 999998 must be absent
+    "q118_hnsw_maintained" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id = 0),
+        |base AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |  UNION ALL
+        |  SELECT 999999 AS vec_id, e FROM q)
+        |SELECT vec_id FROM base
+        |ORDER BY list_cosine_similarity(e, (SELECT e FROM q)) DESC,
         |vec_id ASC LIMIT 10""".stripMargin,
 
     // post-delete state of the multi-rule view (the DRed-maintained result)

@@ -198,9 +198,44 @@ final class Hnsw(val dim: Int, val metric: String = "cosine",
     }
   }
 
+  /** Insert-or-update for catalog-driven maintenance (reference
+    * `src/index_manager.rs:84-126` updates indexes when the base relation
+    * changes). Same id + same vector → no-op (relation inserts are set
+    * semantics, so re-inserting a present tuple must not duplicate the
+    * node); same id + different vector → tombstone the old node, insert
+    * the new one. */
+  def upsert(id: Long, v0: Array[Float]): Unit = synchronized {
+    val v = prep(v0)
+    idToIdx.get(id).filterNot(deleted) match {
+      case Some(old) if java.util.Arrays.equals(vecs(old), v) => ()
+      case other =>
+        other.foreach(deleted.add)
+        insert(id, v0)
+    }
+  }
+
+  /** Tombstone `id` only when its live stored vector equals `v0` — an
+    * exact-tuple delete whose id matches but whose vector does not must
+    * leave the index untouched (the relation kept its tuple). */
+  def removeMatching(id: Long, v0: Array[Float]): Boolean = synchronized {
+    val v = prep(v0)
+    idToIdx.get(id).filterNot(deleted) match {
+      case Some(idx) if java.util.Arrays.equals(vecs(idx), v) =>
+        deleted.add(idx); true
+      case _ => false
+    }
+  }
+
+  /** Fraction of nodes tombstoned — past a threshold the catalog
+    * auto-rebuilds (tombstones degrade recall: search draws efSearch
+    * candidates BEFORE filtering them). */
+  def tombstoneRatio: Double =
+    if (ids.isEmpty) 0.0 else deleted.size.toDouble / ids.length
+
   def stats: Map[String, Any] = Map(
     "size" -> size, "dim" -> dim, "metric" -> metric, "m" -> m,
-    "maxLevel" -> maxLevel, "tombstones" -> deleted.size)
+    "maxLevel" -> maxLevel, "tombstones" -> deleted.size,
+    "tombstoneRatio" -> tombstoneRatio)
 
   def save(path: String): Unit = {
     val oos = new java.io.ObjectOutputStream(
@@ -219,14 +254,25 @@ object Hnsw {
   /** Build from a DataFrame's (id, vector) columns — collected to the
     * driver like the reference's index build (`src/index_manager.rs`). */
   def build(df: org.apache.spark.sql.DataFrame, idCol: String, vecCol: String,
-            metric: String = "cosine", m: Int = 16, efConstruction: Int = 200): Hnsw = {
+            metric: String = "cosine", m: Int = 16, efConstruction: Int = 200): Hnsw =
+    buildOpt(df, idCol, vecCol, metric, m, efConstruction).getOrElse(
+      throw new IllegalArgumentException(
+        "cannot build an HNSW index over an empty relation"))
+
+  /** [[build]] that yields None on an empty frame — the auto-rebuild path
+    * after deletes may legitimately see an emptied relation. */
+  def buildOpt(df: org.apache.spark.sql.DataFrame, idCol: String, vecCol: String,
+               metric: String = "cosine", m: Int = 16,
+               efConstruction: Int = 200): Option[Hnsw] = {
     val rows = df.select(idCol, vecCol).collect()
-    require(rows.nonEmpty, "cannot build an HNSW index over an empty relation")
-    val dim = rows.head.getSeq[Float](1).length
-    val idx = new Hnsw(dim, metric, m, efConstruction)
-    rows.foreach { r =>
-      idx.insert(r.getLong(0), r.getSeq[Float](1).toArray)
+    if (rows.isEmpty) None
+    else {
+      val dim = rows.head.getSeq[Float](1).length
+      val idx = new Hnsw(dim, metric, m, efConstruction)
+      rows.foreach { r =>
+        idx.insert(r.getLong(0), r.getSeq[Float](1).toArray)
+      }
+      Some(idx)
     }
-    idx
   }
 }

@@ -84,6 +84,7 @@ final class Catalog(val spark: SparkSession) {
 
   def register(name: String, df: DataFrame): Unit = synchronized {
     bump(); logChange(name, null); relations(name) = df
+    rebuildIndexesFor(name) // re-registering an indexed relation = opaque change
   }
 
   /** ANALYZE-style relation statistics (reference `src/statistics.rs`:
@@ -138,6 +139,151 @@ final class Catalog(val spark: SparkSession) {
   def indexByName(name: String): Option[(graft.index.Hnsw, String, String, String)] = synchronized {
     indexMeta.get(name).flatMap { case (rel, idCol, vecCol) =>
       indexes.get((rel, vecCol)).map(idx => (idx, rel, idCol, vecCol))
+    }
+  }
+
+  // ─── index maintenance on mutation ────────────────────────────────────
+  // Reference: indexes track their base relation — `src/index_manager.rs:
+  // 84-126` updates/rebuilds on relation change, invalidation flows through
+  // `src/incremental.rs:77-80`, tombstone machinery `src/hnsw_index.rs:
+  // 33-36`. Our per-row upserts/tombstones are driver-local (no Spark job
+  // on the mutation path); a FULL rebuild — triggered by an opaque
+  // replacement or a tombstone ratio past [[RebuildTombstoneRatio]] — runs
+  // one collect of the indexed columns, synchronously like the reference's
+  // rebuild (amortized: ratio-gated, so O(n) work per O(n) deletes).
+
+  private val RebuildTombstoneRatio = 0.25
+  /** appendDf batches larger than this trigger a rebuild instead of a
+    * per-row collect+upsert (the batch is a derived frame — collecting an
+    * unbounded one onto the driver is the thing we never do). */
+  private val MaintainBatchCap = 100000L
+
+  /** Live indexes on `rel` as (idCol, vecCol, index). */
+  private def liveIndexesOn(rel: String): Seq[(String, String, graft.index.Hnsw)] =
+    indexMeta.values.toSeq.collect {
+      case (r, idCol, vecCol) if r == rel && indexes.contains((r, vecCol)) =>
+        (idCol, vecCol, indexes((r, vecCol)))
+    }.distinct
+
+  /** Extract (id, vector) from a positional literal row; None when the
+    * row can't feed the index (non-numeric id, non-vector value). */
+  private def idVecOf(row: Seq[Any], idPos: Int, vecPos: Int): Option[(Long, Array[Float])] = {
+    val id = row(idPos) match {
+      case i: Int => i.toLong
+      case l: Long => l
+      case _ => return None
+    }
+    row(vecPos) match {
+      case s: Seq[_] =>
+        val arr = new Array[Float](s.length)
+        var i = 0
+        s.foreach { x =>
+          arr(i) = x match {
+            case f: Float => f
+            case d: Double => d.toFloat
+            case l: Long => l.toFloat
+            case n: Int => n.toFloat
+            case _ => return None
+          }
+          i += 1
+        }
+        Some((id, arr))
+      case _ => None
+    }
+  }
+
+  private def positionsFor(schema: StructType, idCol: String,
+                           vecCol: String): Option[(Int, Int)] =
+    (scala.util.Try(schema.fieldIndex(idCol)).toOption,
+      scala.util.Try(schema.fieldIndex(vecCol)).toOption) match {
+      case (Some(i), Some(v)) => Some((i, v))
+      case _ => None
+    }
+
+  private def maintainIndexesOnInsert(name: String, rows: Seq[Seq[Any]],
+                                      schema: StructType): Unit =
+    liveIndexesOn(name).foreach { case (idCol, vecCol, idx) =>
+      positionsFor(schema, idCol, vecCol).foreach { case (ip, vp) =>
+        rows.foreach { r =>
+          idVecOf(r, ip, vp).foreach { case (id, v) =>
+            if (v.length == idx.dim) idx.upsert(id, v)
+          }
+        }
+      }
+    }
+
+  /** Exact-tuple delete: tombstone only ids whose stored vector matches
+    * the deleted tuple's (an id-matches-but-vector-differs request left
+    * the relation unchanged, so it must leave the index unchanged too).
+    * Caveat shared with the change log's `removed` over-approximation:
+    * a request matching on (id, vector) but differing in OTHER columns
+    * over-tombstones; the ratio-gated rebuild restores such entries. */
+  private def maintainIndexesOnDelete(name: String, rows: Seq[Seq[Any]],
+                                      schema: StructType): Unit =
+    liveIndexesOn(name).foreach { case (idCol, vecCol, idx) =>
+      positionsFor(schema, idCol, vecCol).foreach { case (ip, vp) =>
+        rows.foreach { r =>
+          idVecOf(r, ip, vp).foreach { case (id, v) =>
+            if (v.length == idx.dim) idx.removeMatching(id, v)
+          }
+        }
+      }
+      if (idx.tombstoneRatio > RebuildTombstoneRatio)
+        rebuildIndex(name, idCol, vecCol)
+    }
+
+  /** Rebuild one index from the relation's CURRENT frame (same params);
+    * an emptied relation yields a fresh empty index of the same shape. */
+  private def rebuildIndex(rel: String, idCol: String, vecCol: String): Unit =
+    relations.get(rel).foreach { df =>
+      indexes.get((rel, vecCol)).foreach { old =>
+        indexes((rel, vecCol)) =
+          graft.index.Hnsw.buildOpt(df, idCol, vecCol, old.metric, old.m,
+              old.efConstruction)
+            .getOrElse(new graft.index.Hnsw(old.dim, old.metric, old.m,
+              old.efConstruction))
+      }
+    }
+
+  /** Opaque content change (replace / register of an indexed relation):
+    * rebuild every index on it. */
+  private def rebuildIndexesFor(rel: String): Unit =
+    liveIndexesOn(rel).foreach { case (idCol, vecCol, _) =>
+      rebuildIndex(rel, idCol, vecCol)
+    }
+
+  /** Derived-frame append: collect the (small, already-deduped) batch up
+    * to a cap and upsert per row; an over-cap batch falls back to a full
+    * rebuild rather than an unbounded driver collect. */
+  private def maintainIndexesOnAppend(name: String, batch: DataFrame): Unit = {
+    val live = liveIndexesOn(name)
+    if (live.isEmpty) return
+    graft.plans.Fixpoint.collectUpTo(batch, MaintainBatchCap) match {
+      case Some(rows) =>
+        live.foreach { case (idCol, vecCol, idx) =>
+          positionsFor(batch.schema, idCol, vecCol).foreach { case (ip, vp) =>
+            rows.foreach { r =>
+              (r.get(ip), r.get(vp)) match {
+                case (idRaw, vec: scala.collection.Seq[_]) =>
+                  val id = idRaw match {
+                    case i: Int => i.toLong
+                    case l: Long => l
+                    case _ => -1L
+                  }
+                  if (idRaw.isInstanceOf[Int] || idRaw.isInstanceOf[Long]) {
+                    val arr = vec.map {
+                      case f: Float => f
+                      case d: Double => d.toFloat
+                      case n: Number => n.floatValue()
+                    }.toArray
+                    if (arr.length == idx.dim) idx.upsert(id, arr)
+                  }
+                case _ => ()
+              }
+            }
+          }
+        }
+      case None => rebuildIndexesFor(name)
     }
   }
 
@@ -235,6 +381,8 @@ final class Catalog(val spark: SparkSession) {
   def dropRelation(name: String): Unit = synchronized {
     bump(); logChange("*", null) // may also drop rules of that head
     relations.remove(name)
+    indexes.filterInPlace { case ((r, _), _) => r != name }
+    indexMeta.filterInPlace { case (_, (r, _, _)) => r != name }
     emptyPlaceholders -= name
     val remaining = ruleList.filterNot(_.head.rel == name)
     ruleList.clear()
@@ -340,6 +488,7 @@ final class Catalog(val spark: SparkSession) {
         // for consumers that tolerate the over-approximation.
         logChange(name, graft.plans.Fixpoint.antiNullSafe(add.distinct(), df),
           rawDelta = add)
+        maintainIndexesOnInsert(name, rows, df.schema)
         maybeCompact(name)
     }
   }
@@ -419,6 +568,7 @@ final class Catalog(val spark: SparkSession) {
       // than an existence semi-join per delete.
       logChange(name, null, del.distinct())
       relations(name) = graft.plans.Fixpoint.antiNullSafe(df, del, hintBroadcast = true)
+      maintainIndexesOnDelete(name, rows, df.schema)
     }
   }
 
@@ -437,6 +587,7 @@ final class Catalog(val spark: SparkSession) {
     * delete instead of an opaque invalidation. */
   def replace(name: String, df: DataFrame, removed: DataFrame = null): Unit = synchronized {
     bump(); logChange(name, null, removed); relations(name) = df
+    rebuildIndexesFor(name)
   }
 
   /** Append a derived frame (positional; cast to the relation's schema).
@@ -466,6 +617,7 @@ final class Catalog(val spark: SparkSession) {
           }.toSeq: _*)
         relations(name) = base.union(cast).distinct()
         logChange(name, graft.plans.Fixpoint.antiNullSafe(cast.distinct(), base))
+        maintainIndexesOnAppend(name, cast.distinct())
         maybeCompact(name)
     }
   }

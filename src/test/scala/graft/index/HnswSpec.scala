@@ -116,6 +116,59 @@ class HnswSpec extends SparkSpec {
     assert(byP(3L).map(_.getLong(1)).contains(3L))
   }
 
+  test("catalog insert/delete maintain the index: no manual rebuild needed") {
+    import spark.implicits._
+    val s = new graft.iql.Session(spark)
+    val vs = mkVecs(50, 4).map { case (id, v) => (id, v.toSeq) }
+    s.catalog.register("emb", vs.toDF("vec_id", "embedding"))
+    s.execute(".index create idx on emb(embedding) vec_id")
+    val qLit = vs(3)._2.mkString("[", ", ", "]")
+    // insert an exact copy of vs(3)'s vector under a fresh id: the probe
+    // must surface it immediately (reference src/index_manager.rs:84-126)
+    s.execute(s"+emb(1000, $qLit)")
+    val r1 = s.execute(s"""?hnsw_nearest("idx", $qLit, 2, Id, D)""")
+      .head.asInstanceOf[graft.iql.Repl.Table].df
+    assert(rows(r1).map(_.head).toSet == Set(3L, 1000L))
+    // delete it: tombstoned immediately, absent from the next probe
+    s.execute(s"-emb(1000, $qLit)")
+    val r2 = s.execute(s"""?hnsw_nearest("idx", $qLit, 3, Id, D)""")
+      .head.asInstanceOf[graft.iql.Repl.Table].df
+    val ids2 = rows(r2).map(_.head).toSet
+    assert(!ids2.contains(1000L) && ids2.contains(3L))
+  }
+
+  test("delete with a non-matching vector leaves the index untouched") {
+    import spark.implicits._
+    val s = new graft.iql.Session(spark)
+    val vs = mkVecs(30, 4).map { case (id, v) => (id, v.toSeq) }
+    s.catalog.register("emb", vs.toDF("vec_id", "embedding"))
+    s.execute(".index create idx on emb(embedding) vec_id")
+    // the requested tuple (id 3, OTHER vector) is not in the relation, so
+    // the relation keeps (3, v3) — and the index must keep serving id 3
+    s.catalog.delete("emb", Seq(Seq(3L, vs(7)._2)))
+    val qLit = vs(3)._2.mkString("[", ", ", "]")
+    val r = s.execute(s"""?hnsw_nearest("idx", $qLit, 1, Id, D)""")
+      .head.asInstanceOf[graft.iql.Repl.Table].df
+    assert(rows(r).map(_.head) == Set(3L))
+  }
+
+  test("tombstone ratio past threshold auto-rebuilds the graph") {
+    import spark.implicits._
+    val s = new graft.iql.Session(spark)
+    val vs = mkVecs(40, 4).map { case (id, v) => (id, v.toSeq) }
+    s.catalog.register("emb", vs.toDF("vec_id", "embedding"))
+    s.execute(".index create idx on emb(embedding) vec_id")
+    // delete 15/40 exact tuples in one batch → ratio 0.375 > 0.25 →
+    // the catalog rebuilds from the post-delete relation
+    s.catalog.delete("emb", vs.take(15).map { case (id, v) => Seq(id, v) })
+    val idx = s.catalog.indexByName("idx").get._1
+    assert(idx.stats("tombstones") == 0, "rebuild should clear tombstones")
+    assert(idx.size == 25)
+    assert(idx.stats.contains("tombstoneRatio")) // surfaced in .index stats
+    val r = idx.search(vs(20)._2.toArray, 5).map(_._1)
+    assert(r.contains(20L) && r.forall(_ >= 15L))
+  }
+
   test("lsh_bucket / lsh_probes IQL builtins are deterministic and bucket near-dups together") {
     import spark.implicits._
     val s = new graft.iql.Session(spark)
