@@ -48,9 +48,24 @@ object Bpe {
     * word frequency; ties break to the lexicographically smallest
     * (lhs, rhs) so training is fully deterministic. Stops early when
     * no pair is left (every word fused to one symbol). */
+  /** Seed symbols = Unicode CODE POINTS, not UTF-16 code units: a
+    * non-BMP character (emoji, rare CJK) is one symbol, never a pair of
+    * lone surrogate halves — matching byte/char-level BPE conventions
+    * and the code-point semantics of the SQL oracles' substring/length. */
+  private def codePointSyms(word: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](word.length)
+    var i = 0
+    while (i < word.length) {
+      val n = Character.charCount(word.codePointAt(i))
+      out += word.substring(i, i + n)
+      i += n
+    }
+    out.toArray
+  }
+
   def trainOnVocab(vocab: Seq[(String, Long)], numMerges: Int): Seq[Merge] = {
     var words: Array[(Array[String], Long)] =
-      vocab.iterator.map { case (w, f) => (w.map(_.toString).toArray, f) }.toArray
+      vocab.iterator.map { case (w, f) => (codePointSyms(w), f) }.toArray
     val merges = Seq.newBuilder[Merge]
     var rank = 0
     var done = false
@@ -119,7 +134,7 @@ object Bpe {
     * loop, which reproduces the training-time segmentation for any
     * word the training corpus contained. */
   def encodeWord(word: String, ranks: Map[(String, String), Int]): Array[String] = {
-    var syms = word.map(_.toString).toArray
+    var syms = codePointSyms(word)
     var go = syms.length > 1
     while (go) {
       var bestRank = Int.MaxValue

@@ -352,15 +352,47 @@ object Dedup {
   def semanticPairs(emb: DataFrame, centroids: Array[Array[Double]],
                     minCosine: Double, idCol: String = "vec_id",
                     vecCol: String = "embedding",
-                    capIds: Long = Long.MaxValue): DataFrame = {
+                    capIds: Long = Long.MaxValue,
+                    hotCellThreshold: Long = 1L << 17,
+                    hotCellBlocks: Int = 8): DataFrame = {
     val capped = emb.where(col(idCol) < capIds)
-    val cells = Similarity.ivfAssign(capped, centroids)
-      .select(col(idCol).as("id"), col("cell"))
+    // materialized once: the (id, cell) assignment feeds BOTH the census
+    // and the pair join — without the checkpoint the census would re-scan
+    // the embeddings a third time
+    val (cells, _) = mat(Similarity.ivfAssign(capped, centroids)
+      .select(col(idCol).as("id"), col("cell")))
     val (vs, _) = unitVectors(capped, idCol, vecCol)
     val withCell = vs.join(cells, Seq("id"))
-    val a = withCell.select(col("cell"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = withCell.select(col("cell"), col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("cell")).where(col("id_a") < col("id_b"))
+    // Hot-cell guard: `cell` is the only join key, so one degenerate cell
+    // (duplicate-heavy corpora collapse a near-identical mass into a
+    // single cell — exactly the corpora SemDeDup exists for) would put
+    // its entire O(n²) pair count on ONE reducer. Census the cells (k
+    // rows — broadcastable by construction) and route oversize ones
+    // through a blocked self-join: each row gets a content-derived block
+    // in [0, B); side A replicates across (block_a, *), side B across
+    // (*, block_b); a pair meets exactly once at (cell, block_a, block_b)
+    // so the hot cell's pairs spread over B² reducer keys at a B×
+    // replication cost — paid only by hot cells. The default threshold
+    // keeps ordinary corpora entirely on the plain path.
+    val sizes = cells.groupBy("cell").agg(count(lit(1)).as("__n"))
+    val tagged = withCell.join(broadcast(sizes), Seq("cell"))
+    val cold = tagged.where(col("__n") <= hotCellThreshold)
+    val hot = tagged.where(col("__n") > hotCellThreshold)
+    val coldPairs = cold
+      .select(col("cell"), col("id").as("id_a"), col("v").as("v_a"))
+      .join(cold.select(col("cell"), col("id").as("id_b"), col("v").as("v_b")),
+        Seq("cell"))
+    val blk = pmod(xxhash64(col("id")), lit(hotCellBlocks)).cast("int")
+    val allBlocks = array((0 until hotCellBlocks).map(lit): _*)
+    val hotPairs = hot
+      .select(col("cell"), blk.as("__p"), explode(allBlocks).as("__q"),
+        col("id").as("id_a"), col("v").as("v_a"))
+      .join(hot.select(col("cell"), explode(allBlocks).as("__p"),
+          blk.as("__q"), col("id").as("id_b"), col("v").as("v_b")),
+        Seq("cell", "__p", "__q"))
+    coldPairs.select(col("id_a"), col("v_a"), col("id_b"), col("v_b"))
+      .unionByName(hotPairs.select(col("id_a"), col("v_a"), col("id_b"), col("v_b")))
+      .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), VF.dot(col("v_a"), col("v_b")).as("cosine"))
       .where(col("cosine") >= minCosine)
   }

@@ -20,11 +20,20 @@ object Skew {
     * reaches the output), the small side replicates `salts`×, and the
     * join key becomes (key, salt) — a hot key's rows land on `salts`
     * reducers instead of one. Costs a `salts`× blowup of the SMALL
-    * side, so salts stays tens, not thousands. */
+    * side, so salts stays tens, not thousands.
+    *
+    * The salt derives from row CONTENT (xxhash64 over all columns), not
+    * `monotonically_increasing_id`: a partition-layout-dependent salt
+    * would make correctness under shuffle-fetch failure lean on Spark's
+    * indeterminate-stage rollback and make reruns lay out differently
+    * for no benefit; a content hash is retry-safe by construction.
+    * (Exact-duplicate rows share a salt — they'd co-locate under any
+    * keying, the spread target is the hot KEY's distinct rows.) */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  salts: Int): DataFrame = {
     require(salts > 0, "need salts > 0")
-    val b = big.withColumn("__salt", pmod(monotonically_increasing_id(), lit(salts.toLong)))
+    val b = big.withColumn("__salt",
+      pmod(xxhash64(big.columns.map(col).toSeq: _*), lit(salts.toLong)))
     val s = small.withColumn("__salt",
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
     b.join(s, Seq(key, "__salt")).drop("__salt")
@@ -43,7 +52,9 @@ object Skew {
                      cntCol: String = "cnt"): DataFrame = {
     require(salts > 0, "need salts > 0")
     val keyCols = keys.map(col)
-    df.withColumn("__salt", pmod(monotonically_increasing_id(), lit(salts.toLong)))
+    // content-derived salt for the same retry-safety as [[saltedJoin]]
+    df.withColumn("__salt",
+      pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(salts.toLong)))
       .groupBy(keyCols :+ col("__salt"): _*)
       .agg(sum(value.cast("decimal(18,2)")).as("__ps"), count(lit(1)).as("__pc"))
       .groupBy(keyCols: _*)

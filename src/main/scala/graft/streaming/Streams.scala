@@ -68,10 +68,13 @@ object Streams {
       .select(explode(array_distinct(
         TF.wordShingleHashes(TF.tokens(col(textCol)), shingleN))).as("sh"))
       .distinct().collect().map(_.getLong(0)).toSeq.sorted
+    // coalesce: tokens(null-text) is null → arrays_overlap is null → a
+    // bare WHERE would silently DROP null-text docs; the batch twin
+    // (Dedup.decontaminate, explode + left_anti) keeps them, so must we
     docs.withColumn("__toks", TF.tokens(col(textCol)))
-      .where(!arrays_overlap(
+      .where(!coalesce(arrays_overlap(
         TF.wordShingleHashes(col("__toks"), shingleN),
-        typedLit(benchHashes)))
+        typedLit(benchHashes)), lit(false)))
       .drop("__toks")
   }
 

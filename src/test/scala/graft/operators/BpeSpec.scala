@@ -63,6 +63,18 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("non-BMP characters are single symbols (code points, not UTF-16 units)") {
+    // "😀" is one code point stored as a surrogate pair (2 chars)
+    assert(Bpe.encodeWord("a😀b", Map.empty).toSeq ==
+      Seq("a", "😀", "b"))
+    // training over an emoji vocab fuses whole code points — never halves
+    val merges = Bpe.trainOnVocab(Seq("😀😀" -> 5L), 1)
+    assert(merges == Seq(Bpe.Merge(0, "😀", "😀")))
+    val enc = Bpe.encodeWord("😀😀",
+      Map(("😀", "😀") -> 0))
+    assert(enc.toSeq == Seq("😀😀"))
+  }
+
   test("training fuses the classic example in frequency order") {
     // "aaab"×10, "aab"×5: (a,a) counts 25 (overlapping within aaab),
     // (a,b) 15 → first merge aa; then (aa,ab)? pairs: aaab→[aa,ab]

@@ -114,6 +114,25 @@ class DedupSpec extends SparkSpec {
     assert(rows(surv.select(col("vec_id"))) == rows(expected.select(col("vec_id"))))
   }
 
+  test("semdedup hot-cell guard: blocked join equals the plain path on a degenerate cell") {
+    import org.apache.spark.sql.functions._
+    // every vector lands in ONE cell (single centroid) — the adversarial
+    // shape: threshold 0 forces the whole cell through the blocked join
+    val guarded = Dedup.semanticPairs(sfEmb, Array(Array.fill(64)(0.0)),
+      minCosine = 0.3, capIds = 300L, hotCellThreshold = 0L, hotCellBlocks = 4)
+    val plain = Dedup.cosineAllPairs(sfEmb, minCosine = 0.3, capIds = 300L)
+    assert(rows(guarded) == rows(plain),
+      "blocked hot-cell path must emit exactly the plain path's pairs")
+    // mixed routing: trained clusters with a mid threshold sends some
+    // cells hot and some cold — still identical to the all-cold default
+    val cents = Similarity.kmeansCentroids(sfEmb, k = 8, iters = 3)
+    val mixed = Dedup.semanticPairs(sfEmb, cents, minCosine = 0.3,
+      capIds = 300L, hotCellThreshold = 40L, hotCellBlocks = 4)
+    val default = Dedup.semanticPairs(sfEmb, cents, minCosine = 0.3, capIds = 300L)
+    assert(rows(mixed) == rows(default),
+      "hot/cold routing must not change the emitted pair set")
+  }
+
   test("minhash survivors drop near-dups with larger ids") {
     val s = rows(Dedup.minHashSurvivors(docs, threshold = 0.9).select($"doc_id"))
     assert(s.contains(Seq(1L)) && !s.contains(Seq(2L)))

@@ -78,11 +78,13 @@ class StreamsSpec extends SparkSpec {
       input.addData(
         (1L, "totally clean document here"),
         (2L, "contains the quick brown fox inside"), // shares a 3-gram
-        (3L, "quick brown dog sleeps all day"))      // no shared 3-gram
+        (3L, "quick brown dog sleeps all day"),      // no shared 3-gram
+        (4L, null.asInstanceOf[String]))             // null text: KEPT,
+      // like the batch twin (explode + left_anti keeps null-text docs)
       q.processAllAvailable()
       val kept = spark.table("sdecon").select("doc_id")
         .collect().map(_.getLong(0)).toSet
-      assert(kept == Set(1L, 3L), s"kept $kept")
+      assert(kept == Set(1L, 3L, 4L), s"kept $kept")
     } finally q.stop()
   }
 
