@@ -1137,6 +1137,17 @@ object SparkEntry {
       graft.operators.GraphOps.pageRank(benchGraph(s), iters = 5,
         exactSum = true)),
 
+    // --- graph: PageRank in the PRODUCTION sum mode — decimal partial
+    //     aggregation (order-independent, no per-node in-degree state),
+    //     the 100 TB shape q107's exactSum anchor deliberately does not
+    //     measure. Rows-only: Spark's double→decimal cast goes through
+    //     shortest-repr, DuckDB's through the binary expansion, so an
+    //     iterated fixpoint can't hash-match cross-engine; q107 anchors
+    //     the identical join⋈agg algebra bit-exactly, and GraphOpsSpec
+    //     pins the two modes within 1e-9 of each other ------------------
+    "q119_pagerank_decimal" -> ((s, dir) =>
+      graft.operators.GraphOps.pageRank(benchGraph(s), iters = 5)),
+
     // re-rank with shortlist ≥ N == exact Euclidean top-k regardless of
     // codebooks — the hard oracle anchor for the trained semi-join +
     // re-rank path (the q66/q67/q91 pattern)
