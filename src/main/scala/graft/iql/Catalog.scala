@@ -252,6 +252,45 @@ final class Catalog(val spark: SparkSession) {
       rebuildIndex(rel, idCol, vecCol)
     }
 
+  /** Derived-frame delete: collect the retracted tuples up to a cap and
+    * tombstone on (id, vector) match; over-cap falls back to a rebuild
+    * from the (post-delete) relation. */
+  private def maintainIndexesOnDeleteFrame(name: String, del: DataFrame): Unit = {
+    val live = liveIndexesOn(name)
+    if (live.isEmpty) return
+    graft.plans.Fixpoint.collectUpTo(del, MaintainBatchCap) match {
+      case Some(rows) =>
+        live.foreach { case (idCol, vecCol, idx) =>
+          positionsFor(del.schema, idCol, vecCol).foreach { case (ip, vp) =>
+            rows.foreach { r =>
+              frameIdVec(r, ip, vp, idx.dim).foreach { case (id, v) =>
+                idx.removeMatching(id, v)
+              }
+            }
+          }
+          if (idx.tombstoneRatio > RebuildTombstoneRatio)
+            rebuildIndex(name, idCol, vecCol)
+        }
+      case None => rebuildIndexesFor(name)
+    }
+  }
+
+  /** (id, vector) from a collected frame row, if it fits the index. */
+  private def frameIdVec(r: org.apache.spark.sql.Row, ip: Int, vp: Int,
+                         dim: Int): Option[(Long, Array[Float])] =
+    (r.get(ip), r.get(vp)) match {
+      case (idRaw, vec: scala.collection.Seq[_])
+        if idRaw.isInstanceOf[Int] || idRaw.isInstanceOf[Long] =>
+        val id = idRaw match { case i: Int => i.toLong; case l: Long => l }
+        val arr = vec.map {
+          case f: Float => f
+          case d: Double => d.toFloat
+          case n: Number => n.floatValue()
+        }.toArray
+        if (arr.length == dim) Some((id, arr)) else None
+      case _ => None
+    }
+
   /** Derived-frame append: collect the (small, already-deduped) batch up
     * to a cap and upsert per row; an over-cap batch falls back to a full
     * rebuild rather than an unbounded driver collect. */
@@ -263,22 +302,8 @@ final class Catalog(val spark: SparkSession) {
         live.foreach { case (idCol, vecCol, idx) =>
           positionsFor(batch.schema, idCol, vecCol).foreach { case (ip, vp) =>
             rows.foreach { r =>
-              (r.get(ip), r.get(vp)) match {
-                case (idRaw, vec: scala.collection.Seq[_]) =>
-                  val id = idRaw match {
-                    case i: Int => i.toLong
-                    case l: Long => l
-                    case _ => -1L
-                  }
-                  if (idRaw.isInstanceOf[Int] || idRaw.isInstanceOf[Long]) {
-                    val arr = vec.map {
-                      case f: Float => f
-                      case d: Double => d.toFloat
-                      case n: Number => n.floatValue()
-                    }.toArray
-                    if (arr.length == idx.dim) idx.upsert(id, arr)
-                  }
-                case _ => ()
+              frameIdVec(r, ip, vp, idx.dim).foreach { case (id, v) =>
+                idx.upsert(id, v)
               }
             }
           }
@@ -569,6 +594,34 @@ final class Catalog(val spark: SparkSession) {
       logChange(name, null, del.distinct())
       relations(name) = graft.plans.Fixpoint.antiNullSafe(df, del, hintBroadcast = true)
       maintainIndexesOnDelete(name, rows, df.schema)
+    }
+  }
+
+  /** Delete the tuples of a derived FRAME (positional; cast to the
+    * relation's schema) — the streaming retraction path
+    * ([[graft.streaming.Streams.iqlSinkWithRetractions]]): same
+    * change-log shape as [[delete]] (`removed` = the requested tuples,
+    * deduped), so downstream DRed maintenance prunes exactly as for a
+    * batch delete. No driver collect on the data path; only index
+    * maintenance samples the frame (cap-gated, rebuild fallback). */
+  def deleteDf(name: String, df: DataFrame): Unit = synchronized {
+    relations.get(name).foreach { base =>
+      require(base.columns.length == df.columns.length,
+        s"arity mismatch deleting from $name")
+      bump()
+      import org.apache.spark.sql.functions.col
+      val renamed = df.toDF(base.columns: _*)
+      val cast = renamed.select(
+        base.schema.fields.map { f =>
+          val c = col(f.name)
+          val src = renamed.schema(f.name).dataType
+          if (AnyValue.isAny(f.dataType) && !AnyValue.isAny(src))
+            AnyValue.encodeCol(c, src).as(f.name)
+          else c.cast(f.dataType)
+        }.toSeq: _*)
+      logChange(name, null, cast.distinct())
+      relations(name) = graft.plans.Fixpoint.antiNullSafe(base, cast, hintBroadcast = true)
+      maintainIndexesOnDeleteFrame(name, cast)
     }
   }
 

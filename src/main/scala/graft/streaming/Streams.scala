@@ -185,6 +185,33 @@ object Streams {
       }
       .start()
 
+  /** Retraction-aware [[iqlSink]]: the stream's `diffCol` carries the
+    * reference's update-stream sign (`(tuple, time, diff)` with negative
+    * diffs for retractions — `src/incremental.rs:34-44`). Per micro-batch,
+    * `diff >= 0` rows append (monotone delta propagation) and `diff < 0`
+    * rows retract through [[graft.iql.Catalog.deleteDf]] — the SAME
+    * change-log shape batch deletes produce, so materialized recursive
+    * views downstream prune retracted derivations via the engine's DRed
+    * path on the next re-query. Time collapses to batch granularity:
+    * within one batch inserts apply before deletes, so a same-batch
+    * insert+retract of a tuple nets to absent, matching diff summation. */
+  def iqlSinkWithRetractions(stream: DataFrame, catalog: graft.iql.Catalog,
+                             relation: String, checkpointDir: String,
+                             diffCol: String = "diff")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.localCheckpoint(true)
+        val ins = b.where(col(diffCol) >= 0).drop(diffCol)
+        val del = b.where(col(diffCol) < 0).drop(diffCol)
+        if (!ins.isEmpty) catalog.appendDf(relation, ins)
+        if (!del.isEmpty) catalog.deleteDf(relation, del)
+        catalog.compact(relation)
+      }
+      .start()
+
   /** Compile an IQL rule DIRECTLY over streaming sources: the rule body
     * (joins on shared variables, computed bindings, filters) becomes a
     * streaming plan via the same [[graft.iql.RuleCompiler]] the batch

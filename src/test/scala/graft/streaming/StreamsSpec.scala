@@ -142,6 +142,45 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming retraction prunes closure-derived tuples (diamond shape)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Int)] // (src, dst, diff)
+    val cat = new graft.iql.Catalog(spark)
+    val engine = new graft.iql.Engine(cat)
+    engine.run(
+      """+redge[]
+        |+rreach(X, Y) <- redge(X, Y)
+        |+rreach(X, Z) <- rreach(X, Y), redge(Y, Z)
+        |""".stripMargin)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_retr").toString
+    val q = Streams.iqlSinkWithRetractions(
+      input.toDF().toDF("src", "dst", "diff"), cat, "redge", ckpt)
+    try {
+      // diamond 1→{2,3}→4: reach(1,4) is DOUBLY supported
+      input.addData((1L, 2L, 1), (1L, 3L, 1), (2L, 4L, 1), (3L, 4L, 1))
+      q.processAllAvailable()
+      assert(rows(engine.run("?rreach(X, Y)").last) ==
+        Set(Seq(1L, 2L), Seq(1L, 3L), Seq(1L, 4L), Seq(2L, 4L), Seq(3L, 4L)))
+      // batch 2 retracts ONE arm: reach(1,4) must SURVIVE via the other
+      // (the over-deletion DRed must re-derive, reference BENCHMARKS.md
+      // diamond-retraction shape)
+      input.addData((2L, 4L, -1))
+      q.processAllAvailable()
+      assert(rows(engine.run("?rreach(X, Y)").last) ==
+        Set(Seq(1L, 2L), Seq(1L, 3L), Seq(1L, 4L), Seq(3L, 4L)))
+      // batch 3 retracts the second arm: the derived tuple dies
+      input.addData((3L, 4L, -1))
+      q.processAllAvailable()
+      assert(rows(engine.run("?rreach(X, Y)").last) ==
+        Set(Seq(1L, 2L), Seq(1L, 3L)))
+      // same-batch insert+retract nets to absent (diff summation)
+      input.addData((7L, 8L, 1), (7L, 8L, -1))
+      q.processAllAvailable()
+      assert(rows(engine.run("?rreach(X, Y)").last) ==
+        Set(Seq(1L, 2L), Seq(1L, 3L)))
+    } finally q.stop()
+  }
+
   test("IQL rules compile directly over streaming sources") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Double)]
