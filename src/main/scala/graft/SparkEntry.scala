@@ -439,6 +439,31 @@ object SparkEntry {
         .select(col("doc_id"))
     }),
 
+    // --- pipeline: contamination REPORT — per-doc benchmark 3-gram
+    //     overlap counts + fraction (the measuring form of q72;
+    //     pipelines publish contamination rates before dropping).
+    //     Integer counts + one double division = engine-exact ----------
+    "q120_contamination_score" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Dedup.contaminationScore(docs,
+        docs.where(pmod(col("doc_id"), lit(20L)) === 0))
+    }),
+
+    // --- pipeline: per-source document cap (the per-domain cap before
+    //     mixing) — admits the `cap` smallest splitmix positions per
+    //     source, deterministic and exactly oracle-checkable; plan is
+    //     one source-key shuffle + WindowGroupLimit ---------------------
+    "q121_source_cap" -> ((s, dir) =>
+      Sampling.perSourceCap(T(s, dir, "documents"), "doc_id", col("source"),
+        cap = 15).select(col("doc_id"), col("source"))),
+
+    // --- pipeline: prototypicality — cosine of each embedding to its
+    //     label's mean centroid (the SemDeDup/SSL-prototypes ranking
+    //     signal). Centroids via the q108 mean-pool machinery (decimal
+    //     sums, 6-dp pin); scores are sequential-fold dots — bit-exact --
+    "q122_prototypicality" -> ((s, dir) =>
+      Similarity.prototypicality(T(s, dir, "embeddings"))),
+
     // --- pipeline: deterministic stratified sampling (domain mixing) —
     //     LCG keep-decision per row, rates per token-count band; pure
     //     arithmetic, so reproducible AND exactly oracle-checkable ------
@@ -1958,6 +1983,53 @@ object SparkEntry {
         |bad AS (SELECT DISTINCT s.doc_id FROM sh s JOIN bench b ON s.g = b.g)
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
+
+    // contamination report: string shingles stand in for the xxhash64
+    // longs (membership/count-identical modulo ~2⁻⁶⁴ collisions, the
+    // q72 stance); counts integer-exact, fraction one double division
+    "q120_contamination_score" ->
+      """WITH toks AS (
+        |SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS t FROM documents
+        |WHERE LEN(TRIM(text)) > 0),
+        |sh AS (
+        |SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, LEN(t)-2),
+        |  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS g
+        |FROM toks WHERE LEN(t) >= 3),
+        |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 20 = 0),
+        |agg AS (SELECT s.doc_id, COUNT(*) AS n_shingles, COUNT(b.g) AS n_contaminated
+        |        FROM sh s LEFT JOIN bench b ON s.g = b.g GROUP BY s.doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(a.n_shingles, 0) AS n_shingles,
+        |  COALESCE(a.n_contaminated, 0) AS n_contaminated,
+        |  CASE WHEN a.n_shingles IS NULL THEN 0.0
+        |       ELSE CAST(a.n_contaminated AS DOUBLE) / a.n_shingles END AS contamination
+        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin,
+
+    // per-source cap: smallest splitmix positions win, ties by id
+    "q121_source_cap" ->
+      s"""SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, ROW_NUMBER() OVER (
+        |    PARTITION BY source
+        |    ORDER BY ${Sampling.posOracleSql("doc_id", 7L)}, doc_id) AS rn
+        |  FROM documents) WHERE rn <= 15""".stripMargin,
+
+    // prototypicality: centroid = q108's decimal-summed 6-dp means
+    // (bit-equal doubles cross-engine), then sequential-fold cosine
+    "q122_prototypicality" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |t AS (SELECT label, i - 1 AS pos, v[i] AS x
+        |      FROM e, unnest(generate_series(1, len(v))) u(i)),
+        |m AS (SELECT label, pos,
+        |      ROUND(CAST(SUM(CAST(x AS DECIMAL(38,30))) AS DOUBLE) / COUNT(*), 6) AS mean
+        |      FROM t GROUP BY label, pos),
+        |c AS (SELECT label, list(mean ORDER BY pos) AS cent FROM m GROUP BY label)
+        |SELECT e.vec_id, e.label,
+        |  CASE WHEN sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(c.cent, c.cent)) = 0
+        |       THEN 0.0
+        |       ELSE list_inner_product(e.v, c.cent) /
+        |            (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(c.cent, c.cent)))
+        |  END AS proto_score
+        |FROM e JOIN c ON e.label = c.label""".stripMargin,
 
     // stratified sample: splitmix64 keep-decision (Sampling.posOracleSql
     // emits the HUGEINT-mod-2^64 replication), rates per token-count band

@@ -316,6 +316,37 @@ object Dedup {
     docs.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Per-document contamination REPORT — the measuring form of
+    * [[decontaminate]] (pipelines publish benchmark-overlap rates before
+    * deciding what to drop): for each doc, its distinct word-`shingleN`-
+    * gram count, how many of those appear in the benchmark, and the
+    * contaminated fraction. The benchmark's distinct shingle hashes
+    * broadcast (benchmarks are small by construction); the doc side is
+    * one scan + explode, the shuffle carries (id, 8-byte hash). Counts
+    * are integer-exact; the fraction is a single double division, so an
+    * independent engine reproduces it bit-for-bit. Docs with fewer than
+    * `shingleN` tokens report 0 shingles, fraction 0. Same
+    * hash-collision stance as [[decontaminate]] (~2⁻⁶⁴ per pair). */
+  def contaminationScore(docs: DataFrame, benchmark: DataFrame,
+                         shingleN: Int = 3, idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    def shingles(df: DataFrame) = df
+      .select(col(idCol), TF.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), explode_outer(
+        array_distinct(TF.wordShingleHashes(col("__toks"), shingleN))).as("sh"))
+    val bench = shingles(benchmark).select(col("sh")).distinct()
+      .withColumn("__hit", lit(1))
+    shingles(docs)
+      .join(broadcast(bench), Seq("sh"), "left")
+      .groupBy(col(idCol))
+      .agg(count(col("sh")).as("n_shingles"),
+        count(col("__hit")).as("n_contaminated"))
+      .select(col(idCol), col("n_shingles"), col("n_contaminated"),
+        when(col("n_shingles") === 0, lit(0.0))
+          .otherwise(col("n_contaminated").cast("double") / col("n_shingles"))
+          .as("contamination"))
+  }
+
   /** Unit-length double vectors keyed by id — shared by the LSH-bucketed
     * and exact all-pairs cosine paths. Single codegen'd normalize
     * expression ([[graft.functions.VectorKernels.VecUnit]]) — norm and

@@ -103,6 +103,24 @@ object Sampling {
                           num: Int, den: Int, salt: Long = 7L): DataFrame =
     df.where(pmod(lcgPos(col(idCol), salt), lit(den.toLong)) < num)
 
+  /** Per-source document cap (the per-domain cap crawl pipelines apply
+    * before mixing, so no single domain dominates the corpus): keep at
+    * most `cap` docs per value of `sourceCol`, chosen DETERMINISTICALLY —
+    * the cap admits the docs with the smallest splitmix position (ties
+    * by id), so reruns, retries, and independent engines agree on the
+    * exact kept set, not just its size. Plan shape at scale: one
+    * shuffle on the source key and a WindowGroupLimit (rank ≤ cap cuts
+    * inside the sort — no full per-group sort materializes, per-task
+    * state is `cap` rows however hot the domain). */
+  def perSourceCap(df: DataFrame, idCol: String, sourceCol: Column,
+                   cap: Int, salt: Long = 7L): DataFrame = {
+    require(cap > 0, "need cap > 0")
+    val w = Window.partitionBy(sourceCol)
+      .orderBy(lcgPos(col(idCol), salt), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= cap).drop("__rn")
+  }
+
   /** Per-stratum sampling rates (domain mixing / quality-band
     * reweighting): `fractions` maps each value of `stratumCol` to a
     * (num, den) keep-rate; strata not listed are dropped. Still

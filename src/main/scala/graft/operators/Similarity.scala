@@ -462,6 +462,36 @@ object Similarity {
       .agg(round(sum(col("x").cast("decimal(38,30)")).cast("double") / count(lit(1)), 6)
         .as("mean"))
 
+  /** Prototypicality: cosine similarity of each vector to its GROUP's
+    * mean centroid — the cluster-quality signal semantic-dedup pipelines
+    * rank by (SemDeDup and SSL-prototypes order cluster members by
+    * distance-to-centroid to pick what to keep). Centroids are
+    * [[meanPool]]'s decimal-summed, 6-dp-pinned means (engine-exact),
+    * pivoted to arrays on the driver — groups × dim doubles, k-means-
+    * sized state independent of corpus size — and broadcast back; the
+    * per-row score is two sequential-fold dots + sqrt + one division,
+    * every double op with a defined operand order, so an independent
+    * engine reproduces the score bit-for-bit. Map-only after the
+    * centroid build. */
+  def prototypicality(emb: DataFrame, groupCol: String = "label",
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, StructField, StructType}
+    val spark = emb.sparkSession
+    val tall = meanPool(emb, groupCol, vecCol).collect()
+    val centRows = tall.groupBy(_.get(0)).toSeq.map { case (g, rs) =>
+      org.apache.spark.sql.Row(g, rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+    }
+    val cents = spark.createDataFrame(
+      java.util.Arrays.asList(centRows: _*),
+      StructType(Seq(StructField(groupCol, emb.schema(groupCol).dataType),
+        StructField("__cent", ArrayType(DoubleType)))))
+    emb.join(broadcast(cents), Seq(groupCol))
+      .select(col(idCol), col(groupCol),
+        VF.cosineSimilarity(col(vecCol).cast("array<double>"), col("__cent"))
+          .as("proto_score"))
+  }
+
   /** All rows within a cosine-distance radius of the query (the
     * reference's `within_radius` ranking aggregate, `src/ir/mod.rs:40-47`). */
   def withinRadius(emb: DataFrame, query: Seq[Float], maxDist: Double,

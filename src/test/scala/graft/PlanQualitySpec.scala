@@ -79,6 +79,24 @@ class PlanQualitySpec extends SparkSpec {
       "pps sample gained a shuffle")
     val hh = planOf("q115_top_terms")
     assert(hh.contains("WindowGroupLimit"), hh)
+    // per-source cap: rank ≤ cap must cut inside the sort (cap rows of
+    // per-task state however hot the domain), not via a full window
+    val cap = planOf("q121_source_cap")
+    assert(cap.contains("WindowGroupLimit"), cap)
+  }
+
+  test("semdedup hot-cell guard spreads a degenerate cell over blocked join keys") {
+    assume(new java.io.File(s"$sf/embeddings.parquet").exists)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    // single centroid = every row in ONE cell; threshold 0 forces the
+    // blocked path, whose pair join must key on (cell, __p, __q) — B²
+    // reducer keys — never on cell alone (one reducer, O(n²) pairs)
+    val plan = graft.operators.Dedup.semanticPairs(emb,
+        Array(Array.fill(64)(0.0)), minCosine = 0.3,
+        hotCellThreshold = 0L, hotCellBlocks = 4)
+      .queryExecution.explainString(SimpleMode)
+    assert("hashpartitioning\\([^)]*__p[^)]*__q".r.findFirstIn(plan).isDefined,
+      s"blocked join keys missing from:\n$plan")
   }
 
   test("sketched quantiles partial-aggregate map-side") {

@@ -133,6 +133,18 @@ class DedupSpec extends SparkSpec {
       "hot/cold routing must not change the emitted pair set")
   }
 
+  test("contamination score: exact overlap fractions, empty docs score zero") {
+    val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val got = Dedup.contaminationScore(docs, bench).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // doc 1: 10 distinct 3-grams, 3 of them inside the benchmark span
+    assert(got(1L)._1 == 10 && got(1L)._2 == 3 && got(1L)._3 == 0.3)
+    assert(got(2L) == got(1L)) // identical text, identical report
+    assert(got(4L)._2 == 0 && got(4L)._3 == 0.0) // disjoint content
+    assert(got(5L) == ((0L, 0L, 0.0))) // empty text: 0 shingles, score 0
+    assert(got.size == 5, "every doc must appear in the report")
+  }
+
   test("minhash survivors drop near-dups with larger ids") {
     val s = rows(Dedup.minHashSurvivors(docs, threshold = 0.9).select($"doc_id"))
     assert(s.contains(Seq(1L)) && !s.contains(Seq(2L)))

@@ -23,6 +23,29 @@ class SamplingSpec extends SparkSpec {
     assert(other != a, "salt has no effect")
   }
 
+  test("per-source cap keeps at most cap docs per source, deterministically") {
+    val capped = Sampling.perSourceCap(docs, "doc_id", col("source"), cap = 5)
+    val bySource = capped.groupBy("source").count().collect()
+    assert(bySource.forall(_.getLong(1) <= 5), "a source exceeded the cap")
+    assert(capped.count() < docs.count(), "cap never cut")
+    // deterministic: identical kept set across runs and repartitionings
+    val a = rows(capped.select(col("doc_id")))
+    val b = rows(Sampling.perSourceCap(docs.repartition(7), "doc_id",
+      col("source"), cap = 5).select(col("doc_id")))
+    assert(a == b, "kept set depends on layout")
+    // the cap admits the smallest splitmix positions within each source
+    val posOf = docs.select(col("doc_id"), col("source"),
+      Sampling.lcgPos(col("doc_id"), 7L).as("p")).collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getLong(2)))).toMap
+    val keptIds = a.map(_.head.asInstanceOf[Long]).toSet
+    posOf.groupBy(_._2._1).foreach { case (_, members) =>
+      val expect = members.toSeq.sortBy { case (id, (_, p)) => (p, id) }
+        .take(5).map(_._1).toSet
+      val got = members.keySet.intersect(keptIds)
+      assert(got == expect, s"cap admitted $got, expected $expect")
+    }
+  }
+
   test("stratified sample respects per-stratum rates") {
     val stratum = pmod(col("doc_id"), lit(2L))
     val kept = Sampling.stratifiedSample(docs, "doc_id", stratum,

@@ -255,6 +255,27 @@ class SimilaritySpec extends SparkSpec {
     assert(n == labels * 64)
   }
 
+  test("prototypicality ranks centroid-aligned vectors above outliers") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f), 0),
+      (2L, Seq(0.9f, 0.1f, 0.0f), 0),
+      (3L, Seq(-1.0f, 0.0f, 0.0f), 0), // group-0 outlier
+      (4L, Seq(0.0f, 1.0f, 0.0f), 1),
+      (5L, Seq(0.0f, 1.0f, 0.0f), 1)   // group 1 IS its centroid
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.prototypicality(df).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got.size == 5, "every vector must score")
+    assert(got(4L) > 0.999 && got(5L) > 0.999)
+    assert(got(3L) < got(1L) && got(3L) < got(2L), s"outlier not lowest: $got")
+    assert(got.values.forall(v => v >= -1.0 && v <= 1.0))
+    // deterministic across layouts (the oracle-exactness contract)
+    val again = Similarity.prototypicality(df.repartition(4)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(again == got)
+  }
+
   test("int8 quantized storage is byte-typed end-to-end") {
     import org.apache.spark.sql.types._
     val stored = Similarity.quantizeInt8(emb).select(col("vec_id"), col("q_emb"))
