@@ -640,7 +640,11 @@ final class Catalog(val spark: SparkSession) {
     * delete instead of an opaque invalidation. */
   def replace(name: String, df: DataFrame, removed: DataFrame = null): Unit = synchronized {
     bump(); logChange(name, null, removed); relations(name) = df
-    rebuildIndexesFor(name)
+    // a replace that DECLARES its removals (conditional delete, the
+    // delete half of an atomic update) maintains indexes incrementally
+    // like deleteDf; an opaque replacement rebuilds
+    if (removed != null) maintainIndexesOnDeleteFrame(name, removed)
+    else rebuildIndexesFor(name)
   }
 
   /** Append a derived frame (positional; cast to the relation's schema).

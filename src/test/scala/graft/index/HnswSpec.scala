@@ -152,6 +152,24 @@ class HnswSpec extends SparkSpec {
     assert(rows(r).map(_.head) == Set(3L))
   }
 
+  test("conditional delete (replace with declared removals) maintains the index") {
+    import spark.implicits._
+    val s = new graft.iql.Session(spark)
+    val vs = mkVecs(30, 4).map { case (id, v) => (id, v.toSeq) }
+    s.catalog.register("emb", vs.toDF("vec_id", "embedding"))
+    s.execute(".index create idx on emb(embedding) vec_id")
+    // -emb(Id, V) <- cond goes through Catalog.replace with an exact
+    // removed frame — the incremental tombstone path, not a rebuild
+    s.execute("-emb(Id, V) <- emb(Id, V), Id >= 25")
+    val idx = s.catalog.indexByName("idx").get._1
+    assert(idx.size == 25, s"size ${idx.size}")
+    (25L until 30L).foreach { id =>
+      val q = vs(id.toInt)._2.toArray
+      assert(!idx.search(q, 3).map(_._1).contains(id),
+        s"deleted id $id still served")
+    }
+  }
+
   test("tombstone ratio past threshold auto-rebuilds the graph") {
     import spark.implicits._
     val s = new graft.iql.Session(spark)
