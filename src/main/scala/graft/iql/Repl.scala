@@ -284,9 +284,22 @@ final class Session(val spark: SparkSession,
         val idx = catalog.indexes.getOrElse((rel, vecCol),
           throw new IllegalArgumentException(s"no index on $rel($vecCol)"))
         Text(idx.stats.map { case (k, v) => s"$k: $v" }.toSeq.sorted)
+      // named form (indexes are primarily addressed by name, like
+      // hnsw_nearest("<name>", ...)); surfaces the tombstone ratio the
+      // auto-rebuild threshold watches
+      case Seq(".index", "stats", name) =>
+        val (idx, _, _, _) = catalog.indexByName(name).getOrElse(
+          throw new IllegalArgumentException(s"no index named $name"))
+        Text(idx.stats.map { case (k, v) => s"$k: $v" }.toSeq.sorted)
       case Seq(".index", "rebuild", rel, idCol, vecCol) =>
         catalog.createIndex(rel, idCol, vecCol)
         Text(Seq(s"index rebuilt on $rel($vecCol)"))
+      case Seq(".index", "rebuild", name) =>
+        val (old, rel, idCol, vecCol) = catalog.indexByName(name).getOrElse(
+          throw new IllegalArgumentException(s"no index named $name"))
+        catalog.createIndex(rel, idCol, vecCol, old.metric, old.m,
+          old.efConstruction, name = name)
+        Text(Seq(s"index $name rebuilt on $rel($vecCol)"))
 
       case Seq(".clear", "prefix", prefix) =>
         val rels = catalog.relationNames.filter(_.startsWith(prefix))

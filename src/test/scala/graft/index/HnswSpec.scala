@@ -135,6 +135,12 @@ class HnswSpec extends SparkSpec {
       .head.asInstanceOf[graft.iql.Repl.Table].df
     val ids2 = rows(r2).map(_.head).toSet
     assert(!ids2.contains(1000L) && ids2.contains(3L))
+    // named .index stats surfaces the tombstone ratio the auto-rebuild
+    // threshold watches
+    val stats = s.execute(".index stats idx").head
+      .asInstanceOf[graft.iql.Repl.Text].lines
+    assert(stats.exists(_.startsWith("tombstones: 1")), stats.mkString("; "))
+    assert(stats.exists(_.startsWith("tombstoneRatio:")), stats.mkString("; "))
   }
 
   test("delete with a non-matching vector leaves the index untouched") {
@@ -185,6 +191,10 @@ class HnswSpec extends SparkSpec {
     assert(idx.stats.contains("tombstoneRatio")) // surfaced in .index stats
     val r = idx.search(vs(20)._2.toArray, 5).map(_._1)
     assert(r.contains(20L) && r.forall(_ >= 15L))
+    // named manual rebuild keeps the registration and the params
+    s.execute(".index rebuild idx")
+    val idx2 = s.catalog.indexByName("idx").get._1
+    assert(idx2.size == 25 && idx2.m == idx.m)
   }
 
   test("lsh_bucket / lsh_probes IQL builtins are deterministic and bucket near-dups together") {
