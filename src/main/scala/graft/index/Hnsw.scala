@@ -40,7 +40,7 @@ final class Hnsw(val dim: Int, val metric: String = "cosine",
     * node, so removing after a re-insert tombstones the live one). */
   private val idToIdx = mutable.HashMap.empty[Long, Int]
 
-  def size: Int = ids.length - deleted.size
+  def size: Int = synchronized { ids.length - deleted.size }
 
   /** Distance (lower = closer) under the configured metric. */
   def distance(a: Array[Float], b: Array[Float]): Double = {
@@ -177,8 +177,14 @@ final class Hnsw(val dim: Int, val metric: String = "cosine",
     res.toSeq.sortBy(_._1)
   }
 
-  /** k nearest (id, distance) pairs; efSearch ≥ k controls recall. */
-  def search(q0: Array[Float], k: Int, efSearch: Int = 64): Seq[(Long, Double)] = {
+  /** k nearest (id, distance) pairs; efSearch ≥ k controls recall.
+    * Synchronized with the mutation path: catalog maintenance now
+    * inserts/tombstones concurrently with wire-server probes, and an
+    * unlocked read of the adjacency buffers during an insert could see
+    * torn state. Probes are sub-ms and driver-local, so one lock
+    * suffices; a read-write lock is the upgrade path if parallel probe
+    * throughput ever matters. */
+  def search(q0: Array[Float], k: Int, efSearch: Int = 64): Seq[(Long, Double)] = synchronized {
     if (entryPoint < 0) return Seq.empty
     val q = prep(q0)
     var ep = entryPoint
@@ -229,15 +235,16 @@ final class Hnsw(val dim: Int, val metric: String = "cosine",
   /** Fraction of nodes tombstoned — past a threshold the catalog
     * auto-rebuilds (tombstones degrade recall: search draws efSearch
     * candidates BEFORE filtering them). */
-  def tombstoneRatio: Double =
+  def tombstoneRatio: Double = synchronized {
     if (ids.isEmpty) 0.0 else deleted.size.toDouble / ids.length
+  }
 
-  def stats: Map[String, Any] = Map(
+  def stats: Map[String, Any] = synchronized { Map(
     "size" -> size, "dim" -> dim, "metric" -> metric, "m" -> m,
     "maxLevel" -> maxLevel, "tombstones" -> deleted.size,
-    "tombstoneRatio" -> tombstoneRatio)
+    "tombstoneRatio" -> tombstoneRatio) }
 
-  def save(path: String): Unit = {
+  def save(path: String): Unit = synchronized {
     val oos = new java.io.ObjectOutputStream(
       new java.io.BufferedOutputStream(new java.io.FileOutputStream(path)))
     try oos.writeObject(this) finally oos.close()

@@ -116,6 +116,28 @@ class HnswSpec extends SparkSpec {
     assert(byP(3L).map(_.getLong(1)).contains(3L))
   }
 
+  test("concurrent probes and mutations don't tear the graph") {
+    val idx = new Hnsw(8)
+    val all = mkVecs(400, 8)
+    all.take(200).foreach { case (id, v) => idx.insert(id, v) }
+    val errs = new java.util.concurrent.atomic.AtomicInteger
+    val writer = new Thread(() => all.drop(200).foreach { case (id, v) =>
+      try idx.upsert(id, v)
+      catch { case _: Throwable => errs.incrementAndGet() }
+    })
+    val readers = (1 to 4).map(_ => new Thread(() => {
+      val q = Array.fill(8)(0.2f)
+      (1 to 200).foreach { _ =>
+        try { val r = idx.search(q, 5, efSearch = 32); require(r.lengthIs <= 5) }
+        catch { case _: Throwable => errs.incrementAndGet() }
+      }
+    }))
+    (writer +: readers).foreach(_.start())
+    (writer +: readers).foreach(_.join())
+    assert(errs.get == 0, s"${errs.get} torn operations")
+    assert(idx.size == 400)
+  }
+
   test("catalog insert/delete maintain the index: no manual rebuild needed") {
     import spark.implicits._
     val s = new graft.iql.Session(spark)
