@@ -204,7 +204,9 @@ object Streams {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val b = batch.localCheckpoint(true)
-        val ins = b.where(col(diffCol) >= 0).drop(diffCol)
+        // null diff = un-annotated row = insert (a bare WHERE >= 0 would
+        // silently drop it from BOTH halves)
+        val ins = b.where(coalesce(col(diffCol) >= 0, lit(true))).drop(diffCol)
         val del = b.where(col(diffCol) < 0).drop(diffCol)
         if (!ins.isEmpty) catalog.appendDf(relation, ins)
         if (!del.isEmpty) catalog.deleteDf(relation, del)
