@@ -127,7 +127,17 @@ final class Catalog(val spark: SparkSession) {
       relations.getOrElse(rel,
         throw new IllegalArgumentException(s"unknown relation $rel"))
     }
-    val idx = graft.index.Hnsw.build(df, idCol, vecCol, metric, m, efC)
+    val idx = graft.index.Hnsw.buildOpt(df, idCol, vecCol, metric, m, efC)
+      .getOrElse {
+        // empty relation: a declared vector[dim] fixes the dimension and
+        // mutation-path maintenance fills the graph as rows arrive
+        val dim = declaredSchema(rel)
+          .flatMap(_.collectFirst { case (n, t) if n == vecCol => t })
+          .flatMap(t => "vector\\[(\\d+)\\]".r.findFirstMatchIn(t).map(_.group(1).toInt))
+          .getOrElse(throw new IllegalArgumentException(
+            s"cannot index empty $rel($vecCol) without a declared vector[dim] schema"))
+        new graft.index.Hnsw(dim, metric, m, efC)
+      }
     synchronized {
       indexes((rel, vecCol)) = idx
       indexMeta(if (name.nonEmpty) name else s"${rel}_$vecCol") = (rel, idCol, vecCol)

@@ -165,6 +165,22 @@ class HnswSpec extends SparkSpec {
     assert(stats.exists(_.startsWith("tombstoneRatio:")), stats.mkString("; "))
   }
 
+  test("index on an EMPTY declared relation fills through maintenance") {
+    val s = new graft.iql.Session(spark)
+    s.execute("+vecs(id: int, v: vector[4])")
+    // declared vector[4] fixes the dim; no data needed at create time
+    s.execute(".index create idx on vecs(v) id")
+    s.execute("+vecs(1, [1.0, 0.0, 0.0, 0.0])")
+    s.execute("+vecs(2, [0.0, 1.0, 0.0, 0.0])")
+    val r = s.execute("""?hnsw_nearest("idx", [1.0, 0.0, 0.0, 0.0], 1, Id, D)""")
+      .head.asInstanceOf[graft.iql.Repl.Table].df
+    assert(rows(r).map(_.head) == Set(1L))
+    // an empty UNDECLARED relation still refuses (dim unknowable)
+    s.execute("+raw[]")
+    assertThrows[IllegalArgumentException](
+      s.execute(".index create r2 on raw(v) id"))
+  }
+
   test("delete with a non-matching vector leaves the index untouched") {
     import spark.implicits._
     val s = new graft.iql.Session(spark)
