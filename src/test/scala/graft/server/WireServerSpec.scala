@@ -128,6 +128,53 @@ class WireServerSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("indexes stay live across wire-driven mutations") {
+    val server = new WireServer(spark)
+    try {
+      val incoming = new LinkedBlockingQueue[String]()
+      val listener = new WebSocket.Listener {
+        private val buf = new StringBuilder
+        override def onText(ws: WebSocket, data: CharSequence,
+                            last: Boolean): CompletionStage[_] = {
+          buf.append(data)
+          if (last) { incoming.put(buf.toString); buf.clear() }
+          ws.request(1)
+          null
+        }
+      }
+      val ws = HttpClient.newHttpClient().newWebSocketBuilder()
+        .connectTimeout(Duration.ofSeconds(10))
+        .buildAsync(URI.create(s"ws://127.0.0.1:${server.actualPort}/ws"), listener)
+        .join()
+      def recvNonNotify(): Map[String, Any] = {
+        var m = obj(incoming.poll(60, TimeUnit.SECONDS))
+        while (m("type") == "notification") m = obj(incoming.poll(60, TimeUnit.SECONDS))
+        m
+      }
+      def send(msg: Map[String, Any]): Map[String, Any] = {
+        ws.sendText(Json.render(msg), true).join()
+        recvNonNotify()
+      }
+      def q(s: String): Map[String, Any] = send(Map("type" -> "query", "query" -> s))
+
+      assert(q("+wv(id: int, v: vector[4])")("type") == "ack")
+      assert(q(".index create widx on wv(v) id")("type") == "ack")
+      assert(q("+wv(1, [1.0, 0.0, 0.0, 0.0])")("type") == "ack")
+      assert(q("+wv(2, [0.0, 1.0, 0.0, 0.0])")("type") == "ack")
+      // the probe must see both wire-inserted rows — no manual rebuild
+      val r1 = q("""?hnsw_nearest("widx", [1.0, 0.0, 0.0, 0.0], 1, Id, D)""")
+      assert(r1("type") == "result")
+      assert(r1("rows").asInstanceOf[Vector[Any]].head
+        .asInstanceOf[Vector[Any]].head == 1L)
+      // persistent delete tombstones: nearest to [1,0,0,0] becomes id 2
+      assert(q("-wv(1, [1.0, 0.0, 0.0, 0.0])")("type") == "ack")
+      val r2 = q("""?hnsw_nearest("widx", [1.0, 0.0, 0.0, 0.0], 1, Id, D)""")
+      assert(r2("rows").asInstanceOf[Vector[Any]].head
+        .asInstanceOf[Vector[Any]].head == 2L)
+      ws.sendClose(WebSocket.NORMAL_CLOSURE, "done").join()
+    } finally server.stop()
+  }
+
   test("large results stream as result_start / result_chunk / result_end") {
     val server = new WireServer(spark, streamingThresholdBytes = 256)
     try {
