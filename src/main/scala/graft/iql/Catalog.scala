@@ -285,19 +285,29 @@ final class Catalog(val spark: SparkSession) {
     }
   }
 
-  /** (id, vector) from a collected frame row, if it fits the index. */
+  /** (id, vector) from a collected frame row, if it fits the index —
+    * None (never a throw) on null/odd elements, so one malformed row in
+    * a batch can't fail the whole mutation. */
   private def frameIdVec(r: org.apache.spark.sql.Row, ip: Int, vp: Int,
                          dim: Int): Option[(Long, Array[Float])] =
     (r.get(ip), r.get(vp)) match {
       case (idRaw, vec: scala.collection.Seq[_])
         if idRaw.isInstanceOf[Int] || idRaw.isInstanceOf[Long] =>
         val id = idRaw match { case i: Int => i.toLong; case l: Long => l }
-        val arr = vec.map {
-          case f: Float => f
-          case d: Double => d.toFloat
-          case n: Number => n.floatValue()
-        }.toArray
-        if (arr.length == dim) Some((id, arr)) else None
+        if (vec.length != dim) return None
+        val arr = new Array[Float](vec.length)
+        var i = 0
+        val it = vec.iterator
+        while (it.hasNext) {
+          it.next() match {
+            case f: Float => arr(i) = f
+            case d: Double => arr(i) = d.toFloat
+            case n: Number => arr(i) = n.floatValue()
+            case _ => return None
+          }
+          i += 1
+        }
+        Some((id, arr))
       case _ => None
     }
 
