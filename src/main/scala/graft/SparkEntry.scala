@@ -464,6 +464,22 @@ object SparkEntry {
     "q122_prototypicality" -> ((s, dir) =>
       Similarity.prototypicality(T(s, dir, "embeddings"))),
 
+    // --- pipeline: COMPOSED curation #2 — contamination-filter (score
+    //     ≤ 0.2 against the doc_id%20 benchmark) then per-source cap
+    //     (10 smallest splitmix positions per source WITHIN the
+    //     filtered set); every stage deterministic, the whole chain one
+    //     exact chained-CTE oracle (the q110 pattern for round-8 ops) --
+    "q123_curation_contamination_cap" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val scored = Dedup.contaminationScore(docs,
+        docs.where(pmod(col("doc_id"), lit(20L)) === 0))
+      val clean = docs.join(
+        scored.where(col("contamination") <= 0.2).select(col("doc_id")),
+        Seq("doc_id"))
+      Sampling.perSourceCap(clean, "doc_id", col("source"), cap = 10)
+        .select(col("doc_id"), col("source"))
+    }),
+
     // --- pipeline: deterministic stratified sampling (domain mixing) —
     //     LCG keep-decision per row, rates per token-count band; pure
     //     arithmetic, so reproducible AND exactly oracle-checkable ------
@@ -2030,6 +2046,29 @@ object SparkEntry {
         |            (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(c.cent, c.cent)))
         |  END AS proto_score
         |FROM e JOIN c ON e.label = c.label""".stripMargin,
+
+    // composed curation #2: q120's contamination agg → keep score ≤ 0.2
+    // → q121's per-source cap ranked WITHIN the filtered set
+    "q123_curation_contamination_cap" ->
+      s"""WITH toks AS (
+        |SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS t FROM documents
+        |WHERE LEN(TRIM(text)) > 0),
+        |sh AS (
+        |SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, LEN(t)-2),
+        |  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS g
+        |FROM toks WHERE LEN(t) >= 3),
+        |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 20 = 0),
+        |agg AS (SELECT s.doc_id, COUNT(*) AS n, COUNT(b.g) AS nc
+        |        FROM sh s LEFT JOIN bench b ON s.g = b.g GROUP BY s.doc_id),
+        |clean AS (SELECT d.doc_id, d.source FROM documents d LEFT JOIN agg a
+        |          ON d.doc_id = a.doc_id
+        |          WHERE (CASE WHEN a.n IS NULL THEN 0.0
+        |                 ELSE CAST(a.nc AS DOUBLE) / a.n END) <= 0.2)
+        |SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, ROW_NUMBER() OVER (
+        |    PARTITION BY source
+        |    ORDER BY ${Sampling.posOracleSql("doc_id", 7L)}, doc_id) AS rn
+        |  FROM clean) WHERE rn <= 10""".stripMargin,
 
     // stratified sample: splitmix64 keep-decision (Sampling.posOracleSql
     // emits the HUGEINT-mod-2^64 replication), rates per token-count band
