@@ -235,6 +235,42 @@ class HnswSpec extends SparkSpec {
     assert(idx2.size == 25 && idx2.m == idx.m)
   }
 
+  test("fuzz: maintained index equals brute force after random mutation sequences") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def vec() = Seq.fill(4)(rnd.nextGaussian().toFloat)
+    val s = new graft.iql.Session(spark)
+    val init = (0L until 30L).map(id => (id, vec()))
+    s.catalog.register("fz", init.toDF("id", "v"))
+    s.execute(".index create fidx on fz(v) id")
+    val live = scala.collection.mutable.Map(init: _*)
+    var nextId = 30L
+    (1 to 40).foreach { _ =>
+      if (rnd.nextDouble() < 0.6 || live.isEmpty) {
+        val v = vec()
+        s.catalog.insert("fz", Seq(Seq(nextId, v)))
+        live(nextId) = v
+        nextId += 1
+      } else {
+        val id = live.keys.toSeq(rnd.nextInt(live.size))
+        s.catalog.delete("fz", Seq(Seq(id, live(id))))
+        live -= id
+      }
+    }
+    // the interleaving crosses the 0.25 tombstone ratio at some point,
+    // so this also exercises the mid-sequence auto-rebuild
+    val idx = s.catalog.indexByName("fidx").get._1
+    assert(idx.size == live.size, s"index ${idx.size} vs relation ${live.size}")
+    (1 to 5).foreach { _ =>
+      val q = vec().toArray
+      val got = idx.search(q, 5, efSearch = idx.size + 16).map(_._1).toSet
+      val expect = live.toSeq
+        .map { case (id, v) => (id, idx.distance(q, v.toArray)) }
+        .sortBy { case (id, d) => (d, id) }.take(5).map(_._1).toSet
+      assert(got == expect, s"maintained=$got brute=$expect")
+    }
+  }
+
   test("lsh_bucket / lsh_probes IQL builtins are deterministic and bucket near-dups together") {
     import spark.implicits._
     val s = new graft.iql.Session(spark)
