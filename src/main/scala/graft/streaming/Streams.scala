@@ -194,7 +194,10 @@ object Streams {
     * views downstream prune retracted derivations via the engine's DRed
     * path on the next re-query. Time collapses to batch granularity:
     * within one batch inserts apply before deletes, so a same-batch
-    * insert+retract of a tuple nets to absent, matching diff summation. */
+    * insert+retract of a tuple nets to absent, matching diff summation.
+    * foreachBatch is at-least-once under failure; a replayed batch is
+    * harmless because both halves are idempotent under set semantics
+    * (re-append dedups, re-delete anti-joins nothing). */
   def iqlSinkWithRetractions(stream: DataFrame, catalog: graft.iql.Catalog,
                              relation: String, checkpointDir: String,
                              diffCol: String = "diff")

@@ -85,6 +85,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(cap.contains("WindowGroupLimit"), cap)
   }
 
+  test("contamination report broadcasts the benchmark side") {
+    assume(new java.io.File(s"$sf/documents.parquet").exists)
+    val plan = planOf("q120_contamination_score")
+    // the benchmark's distinct shingle set must ship broadcast — a
+    // shuffle join here would re-shuffle the full corpus's shingles
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("semdedup hot-cell guard spreads a degenerate cell over blocked join keys") {
     assume(new java.io.File(s"$sf/embeddings.parquet").exists)
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
