@@ -970,6 +970,11 @@ object SparkEntry {
     "q87_unigram_lm" -> ((s, dir) =>
       TextAnalysis.unigramLogProb(T(s, dir, "documents"))),
 
+    // --- pipeline: corpus-trained BIGRAM-LM scoring (add-one smoothed)
+    //     — word-order-sensitive perplexity gate, q87's next order up --
+    "q124_bigram_lm" -> ((s, dir) =>
+      TextAnalysis.bigramLogProb(T(s, dir, "documents"))),
+
     // --- events: as-of join — each view event picks up the user's most
     //     recent preceding purchase (union + running last_value; one
     //     shuffle on user_id, no range theta join) ----------------------
@@ -2247,6 +2252,22 @@ object SparkEntry {
         |SELECT tok.doc_id, count(*) AS n_tokens, round(avg(ln(cnt.c / tot.tt)), 6) AS logprob
         |FROM tok JOIN cnt ON tok.t = cnt.t CROSS JOIN tot
         |GROUP BY tok.doc_id""".stripMargin,
+
+    // bigram LM: add-one smoothing over raw unigram context counts,
+    // same ln + coarse-final-round stance as q87
+    "q124_bigram_lm" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |              FROM documents WHERE length(trim(text)) > 0),
+        |pr AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        |       FROM toks, unnest(generate_series(1, len(t)-1)) u(i)),
+        |uni AS (SELECT w1, count(*) AS c1
+        |        FROM (SELECT unnest(t) AS w1 FROM toks) GROUP BY w1),
+        |v AS (SELECT count(*) AS vv FROM uni),
+        |big AS (SELECT w1, w2, count(*) AS c12 FROM pr GROUP BY w1, w2)
+        |SELECT pr.doc_id, count(*) AS n_bigrams,
+        |  round(avg(ln((big.c12 + 1)::DOUBLE / (uni.c1 + v.vv)::DOUBLE)), 6) AS avg_logprob
+        |FROM pr JOIN big USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
+        |GROUP BY pr.doc_id""".stripMargin,
 
     // as-of join replicated as join + row_number (no ASOF JOIN syntax —
     // the windowed spelling is unambiguous under equal-time ties, of

@@ -278,6 +278,41 @@ object TextAnalysis {
         round(avg(log(col("c") / col("__tt"))), 6).as("logprob"))
   }
 
+  /** Corpus-trained BIGRAM-LM document scoring with add-one smoothing —
+    * the CCNet-style perplexity gate one order up from
+    * [[unigramLogProb]]: word-ORDER sensitivity, so scrambled or
+    * boilerplate-repetitive text scores differently from fluent text
+    * even at identical unigram frequencies. P(w₂|w₁) =
+    * (c(w₁w₂)+1)/(c(w₁)+V) with c(w₁) the raw unigram count and V the
+    * vocabulary size; score = mean over the document's adjacent pairs
+    * of ln P. Rounded to 6 dp (the q87 stance: both engines' `ln` and
+    * their summation orders agree under the coarse final round).
+    *
+    * Scale shape: one explode to (id, w₁, w₂); the observed-bigram and
+    * unigram count tables join back on their keys (vocabulary-sized —
+    * AQE broadcasts while they fit); the per-doc mean is one
+    * partial-aggregated shuffle on id. Docs with <2 tokens drop (no
+    * pairs to average). */
+  def bigramLogProb(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol), TF.tokens(col(textCol)).as("__toks"))
+    val pairCol = transform(TF.seq1(size(col("__toks")) - 1), i =>
+      struct(element_at(col("__toks"), i).as("w1"),
+        element_at(col("__toks"), i + 1).as("w2")))
+    val pr = toks.select(col(idCol), explode(pairCol).as("p"))
+      .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val uni = toks.select(explode(col("__toks")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = uni.count() // V: one exact job over the count table
+    val big = pr.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    pr.join(big, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_bigrams"),
+        round(avg(log((col("c12") + 1).cast("double") /
+          (col("c1") + lit(vocab)).cast("double"))), 6).as("avg_logprob"))
+  }
+
   /** 64-bit content fingerprints: SimHash + rolling-hash min-shingle,
     * both computed via explode/groupBy single passes. */
   def fingerprints(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

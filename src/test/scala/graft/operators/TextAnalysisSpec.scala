@@ -152,4 +152,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!r.contains(3L), "empty docs have no positions to average")
     assert(r(1L)._2 > r(2L)._2)
   }
+
+  test("bigram LM is word-order sensitive; short docs drop") {
+    // two fluent docs establish "big data" / "data works" as the common
+    // transitions; doc 3 uses the SAME unigrams in scrambled order
+    val docs = Seq(
+      (1L, "big data works big data works"),
+      (2L, "big data works"),
+      (3L, "data big works"), // same unigram profile as doc 2
+      (4L, "solo"),           // one token: no pairs → dropped
+      (5L, "")).toDF("doc_id", "text")
+    val r = TextAnalysis.bigramLogProb(docs)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    assert(r(2L)._1 == 2L) // two adjacent pairs
+    assert(r(2L)._2 > r(3L)._2,
+      s"scrambled word order must score lower: ${r(2L)} vs ${r(3L)}")
+    assert(!r.contains(4L) && !r.contains(5L))
+    // hand-check: c(big data)=c(data works)=3, c(big)=c(data)=4, V=4 →
+    // both of doc 2's pairs are ln((3+1)/(4+4)) = ln 0.5
+    val expect2 = math.log(0.5)
+    assert(math.abs(r(2L)._2 - expect2) < 1e-5, s"${r(2L)._2} vs $expect2")
+    // doc 3's scrambled pairs are both (1+1)/(4+4) → ln 0.25
+    assert(math.abs(r(3L)._2 - math.log(0.25)) < 1e-5)
+  }
 }
