@@ -17,6 +17,12 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // eager unpersist of locally-checkpointed RDDs (deliberate — the
+    // round-6 suite-interference fix) makes Spark WARN once per barrier;
+    // hundreds of those flood the output tail the driver parses the JSON
+    // line from (round 7's BENCH json was unparseable for exactly this)
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
     try SparkEntry.queries("q03_join_basic")(spark, sfDir).count()
     catch { case _: Throwable => () }
     // index builds (LSH layout write, IVF centroids, HNSW graph) are
@@ -75,8 +81,11 @@ object Bench {
         java.nio.file.Paths.get("BENCH_FULL.json"),
         (full + "\n").getBytes("UTF-8"))
       catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json: $e") }
+    // stop BEFORE printing: the machine-readable line must be the LAST
+    // thing in the output window — shutdown logging after it could push
+    // it out of the driver's bounded tail
+    try spark.stop() catch { case _: Throwable => () }
     println(
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$shortQs,"failed":$failedShort,"sf":"$sfDir"}""")
-    spark.stop()
   }
 }
