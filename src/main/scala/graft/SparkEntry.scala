@@ -975,6 +975,15 @@ object SparkEntry {
     "q124_bigram_lm" -> ((s, dir) =>
       TextAnalysis.bigramLogProb(T(s, dir, "documents"))),
 
+    // --- pipeline: token-distribution DRIFT between corpus slices
+    //     (en vs rest): smoothed KL both ways + Jensen-Shannon — the
+    //     snapshot-monitoring op; one vocab join, one global sum -------
+    "q125_distribution_drift" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      TextAnalysis.distributionDrift(
+        docs.where(col("lang") === "en"), docs.where(col("lang") =!= "en"))
+    }),
+
     // --- events: as-of join — each view event picks up the user's most
     //     recent preceding purchase (union + running last_value; one
     //     shuffle on user_id, no range theta join) ----------------------
@@ -2268,6 +2277,29 @@ object SparkEntry {
         |  round(avg(ln((big.c12 + 1)::DOUBLE / (uni.c1 + v.vv)::DOUBLE)), 6) AS avg_logprob
         |FROM pr JOIN big USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
         |GROUP BY pr.doc_id""".stripMargin,
+
+    // distribution drift: smoothed distributions over the union vocab,
+    // per-row arithmetic identical, unordered sums under the 6-dp round
+    "q125_distribution_drift" ->
+      """WITH ta AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        |            FROM documents WHERE lang = 'en' AND length(trim(text)) > 0),
+        |tb AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        |       FROM documents WHERE lang <> 'en' AND length(trim(text)) > 0),
+        |ca AS (SELECT t, count(*) AS ca FROM ta GROUP BY t),
+        |cb AS (SELECT t, count(*) AS cb FROM tb GROUP BY t),
+        |j AS (SELECT COALESCE(ca.ca, 0) AS ca, COALESCE(cb.cb, 0) AS cb
+        |      FROM ca FULL OUTER JOIN cb ON ca.t = cb.t),
+        |tot AS (SELECT sum(ca) AS na, sum(cb) AS nb, count(*) AS v FROM j),
+        |p AS (SELECT (ca + 1)::DOUBLE / (tot.na + tot.v)::DOUBLE AS pa,
+        |             (cb + 1)::DOUBLE / (tot.nb + tot.v)::DOUBLE AS pb,
+        |             tot.v AS v
+        |      FROM j CROSS JOIN tot)
+        |SELECT MAX(v) AS n_vocab,
+        |  round(sum(pa * ln(pa / pb)), 6) AS kl_ab,
+        |  round(sum(pb * ln(pb / pa)), 6) AS kl_ba,
+        |  round(sum(pa * ln(pa / ((pa + pb) / 2)) / 2 +
+        |            pb * ln(pb / ((pa + pb) / 2)) / 2), 6) AS js
+        |FROM p""".stripMargin,
 
     // as-of join replicated as join + row_number (no ASOF JOIN syntax —
     // the windowed spelling is unambiguous under equal-time ties, of

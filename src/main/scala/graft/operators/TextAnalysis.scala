@@ -313,6 +313,40 @@ object TextAnalysis {
           (col("c1") + lit(vocab)).cast("double"))), 6).as("avg_logprob"))
   }
 
+  /** Token-distribution drift between two corpus slices — the dataset
+    * monitoring op (did this snapshot's language/source mix move? is a
+    * new crawl statistically like the old one?): add-one-smoothed
+    * unigram distributions over the UNION vocabulary, reported as both
+    * KL divergences and the symmetric Jensen-Shannon divergence, one
+    * output row. pₐ(t) = (cₐ(t)+1)/(Nₐ+V) so q(t)=0 never divides;
+    * JS = ½KL(p‖m)+½KL(q‖m), m=½(p+q) — bounded by ln 2.
+    *
+    * Scale shape: each side is one token-count aggregation
+    * (vocabulary-sized result), a full-outer join on the token, and a
+    * global partial-aggregated sum — no per-document state. 6-dp final
+    * round (the q87 stance) makes the unordered double sums
+    * engine-exact. */
+  def distributionDrift(a: DataFrame, b: DataFrame,
+                        textCol: String = "text"): DataFrame = {
+    def counts(df: DataFrame, out: String) =
+      df.select(explode(TF.tokens(col(textCol))).as("t"))
+        .groupBy("t").agg(count(lit(1)).as(out))
+    val joined = counts(a, "ca").join(counts(b, "cb"), Seq("t"), "full_outer")
+      .select(col("t"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val tot = joined.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+      count(lit(1)).as("v")).head()
+    val (na, nb, v) = (tot.getLong(0), tot.getLong(1), tot.getLong(2))
+    val pa = (col("ca") + 1).cast("double") / lit((na + v).toDouble)
+    val pb = (col("cb") + 1).cast("double") / lit((nb + v).toDouble)
+    val m = (pa + pb) / 2
+    joined.agg(
+      lit(v).as("n_vocab"),
+      round(sum(pa * log(pa / pb)), 6).as("kl_ab"),
+      round(sum(pb * log(pb / pa)), 6).as("kl_ba"),
+      round(sum(pa * log(pa / m) / 2 + pb * log(pb / m) / 2), 6).as("js"))
+  }
+
   /** 64-bit content fingerprints: SimHash + rolling-hash min-shingle,
     * both computed via explode/groupBy single passes. */
   def fingerprints(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

@@ -153,6 +153,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(1L)._2 > r(2L)._2)
   }
 
+  test("distribution drift: zero for identical slices, larger for disjoint vocab, JS <= ln 2") {
+    val a = Seq((1L, "alpha beta gamma alpha"), (2L, "beta gamma")).toDF("doc_id", "text")
+    val same = TextAnalysis.distributionDrift(a, a).head()
+    assert(same.getDouble(1) == 0.0 && same.getDouble(2) == 0.0 && same.getDouble(3) == 0.0)
+    val b = Seq((3L, "delta epsilon zeta delta"), (4L, "epsilon zeta")).toDF("doc_id", "text")
+    val diff = TextAnalysis.distributionDrift(a, b).head()
+    assert(diff.getLong(0) == 6L) // union vocabulary
+    assert(diff.getDouble(1) > 0.1 && diff.getDouble(2) > 0.1)
+    assert(diff.getDouble(3) > same.getDouble(3) &&
+      diff.getDouble(3) <= math.log(2.0) + 1e-9)
+  }
+
   test("bigram LM is word-order sensitive; short docs drop") {
     // two fluent docs establish "big data" / "data works" as the common
     // transitions; doc 3 uses the SAME unigrams in scrambled order
