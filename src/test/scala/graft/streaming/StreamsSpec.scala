@@ -181,6 +181,32 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("map-only pipeline ops run on streams unchanged: deterministic sample + quality gate") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String)]
+    // the SAME operators batch pipelines use — no streaming variants
+    // needed, because their plans are stateless per-row expressions
+    val sampled = graft.operators.Sampling.deterministicSample(
+      input.toDF().toDF("doc_id", "text"), "doc_id", 1, 2)
+    val out = sampled.withColumn("n_tokens",
+      graft.functions.TextFunctions.tokenCount(col("text")))
+    val q = out.writeStream.format("memory").queryName("smaponly")
+      .outputMode("append").start()
+    try {
+      input.addData((0L until 40L).map(i => (i, s"tok$i words here")): _*)
+      q.processAllAvailable()
+      val rows = spark.table("smaponly").collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toMap
+      // identical keep-set as the batch operator on the same ids
+      val batchKept = graft.operators.Sampling.deterministicSample(
+        (0L until 40L).map(i => (i, "x")).toDF("doc_id", "text"), "doc_id", 1, 2)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      assert(rows.keySet == batchKept, "stream and batch keep-sets differ")
+      assert(rows.values.forall(_ == 3L))
+    } finally q.stop()
+  }
+
   test("IQL rules compile directly over streaming sources") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Double)]
