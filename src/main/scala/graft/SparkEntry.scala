@@ -984,6 +984,17 @@ object SparkEntry {
         docs.where(col("lang") === "en"), docs.where(col("lang") =!= "en"))
     }),
 
+    // --- pipeline: WINNOWING fingerprints (MOSS scheme) — sliding-
+    //     window-min of k-gram hashes: passage-level overlap signal
+    //     global MinHash can't give; map-only per-row expressions ------
+    "q126_winnow" -> ((s, dir) =>
+      TextAnalysis.winnow(T(s, dir, "documents"))),
+
+    // --- pipeline: winnow-overlap pairs — docs sharing >= 2 selected
+    //     fingerprints with the shared count; (fp, id) shuffle only ----
+    "q127_winnow_pairs" -> ((s, dir) =>
+      TextAnalysis.winnowPairs(T(s, dir, "documents"))),
+
     // --- events: as-of join — each view event picks up the user's most
     //     recent preceding purchase (union + running last_value; one
     //     shuffle on user_id, no range theta join) ----------------------
@@ -2300,6 +2311,11 @@ object SparkEntry {
         |  round(sum(pa * ln(pa / ((pa + pb) / 2)) / 2 +
         |            pb * ln(pb / ((pa + pb) / 2)) / 2), 6) AS js
         |FROM p""".stripMargin,
+
+    // winnowing: k-gram FNV+splitmix hashes (HUGEINT replication),
+    // sliding-window signed MIN, distinct per doc
+    "q126_winnow" -> TextAnalysis.winnowOracleSql(),
+    "q127_winnow_pairs" -> TextAnalysis.winnowPairsOracleSql(),
 
     // as-of join replicated as join + row_number (no ASOF JOIN syntax —
     // the windowed spelling is unambiguous under equal-time ties, of

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions => TF}
 
@@ -347,6 +348,68 @@ object TextAnalysis {
       round(sum(pa * log(pa / m) / 2 + pb * log(pb / m) / 2), 6).as("js"))
   }
 
+  /** Winnowing fingerprint sets (Schleimer, Wilkerson & Aiken 2003 —
+    * the MOSS scheme): hash every `k`-char gram of the normalized text,
+    * keep the MINIMUM hash of every `w`-length window of consecutive
+    * gram positions, emit the distinct kept values as (id, fp) rows.
+    * Guarantee: any shared substring of length ≥ w+k−1 chars yields at
+    * least one shared fingerprint — PASSAGE-level overlap detection,
+    * which global MinHash similarity cannot give (a long doc sharing
+    * one paragraph has near-zero Jaccard but nonzero winnow overlap).
+    * Tie positions don't matter: the fingerprint IS the min VALUE, so
+    * a plain sliding `array_min` equals the canonical selection.
+    * Map-only per-row expressions (gram-hash transform + sliding min);
+    * docs shorter than `k` normalized chars emit nothing. */
+  def winnow(docs: DataFrame, k: Int = 8, w: Int = 4,
+             idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // explode-then-hash (NOT a transform lambda): the k-gram hash is a
+    // top-level projection over the exploded positions, so fnvMix64
+    // stays inside whole-stage codegen — a HOF lambda would evaluate it
+    // interpreted per element (~2× on the suite corpus). The sliding
+    // min is a bounded-frame window: one shuffle on the doc id, w-row
+    // frames, no unbounded state. Window count is avoided — the last
+    // window START is computable from the text length directly.
+    val pos = docs.select(col(idCol), TF.normText(col(textCol)).as("__nt"))
+      .where(length(col("__nt")) >= k)
+      .select(col(idCol),
+        (length(col("__nt")) - lit(k + w - 2)).as("__lim"),
+        col("__nt"),
+        explode(TF.seq1(length(col("__nt")) - (k - 1))).as("pos"))
+      .select(col(idCol), col("__lim"), col("pos"),
+        TF.fnvMix64(col("__nt").substr(col("pos"), lit(k))).as("h"))
+    val win = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    pos.select(col(idCol), col("__lim"), col("pos"),
+        min(col("h")).over(win).as("fp"))
+      .where(col("pos") <= col("__lim"))
+      .select(col(idCol), col("fp")).distinct()
+  }
+
+  /** Winnow-overlap candidate pairs: documents sharing ≥ `minShared`
+    * selected fingerprints, with the shared count — the passage-overlap
+    * report. Fingerprints present in more than `maxDf` documents are
+    * BOILERPLATE and excluded before pairing (MOSS does the same with
+    * its most-common fingerprints) — that is also the hot-key guard: a
+    * fingerprint shared by d docs contributes d² candidate pairs, so
+    * without the cap one ubiquitous substring puts a quadratic blowup
+    * on a single reducer. With it, candidate volume is ≤ maxDf·Σdf.
+    * The fingerprint table computes once (checkpoint) and self-joins on
+    * `fp`, so the shuffle carries (fp, id) pairs only. */
+  def winnowPairs(docs: DataFrame, k: Int = 8, w: Int = 4,
+                  minShared: Long = 2L, maxDf: Long = 20L,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val f = winnow(docs, k, w, idCol, textCol).localCheckpoint(true)
+    val rareFp = f.groupBy("fp").agg(count(lit(1)).as("__df"))
+      .where(col("__df") <= maxDf).select(col("fp"))
+    val rare = f.join(rareFp, Seq("fp"))
+    rare.select(col(idCol).as("id_a"), col("fp"))
+      .join(rare.select(col(idCol).as("id_b"), col("fp")), Seq("fp"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+  }
+
   /** 64-bit content fingerprints: SimHash + rolling-hash min-shingle,
     * both computed via explode/groupBy single passes. */
   def fingerprints(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -372,22 +435,58 @@ object TextAnalysis {
     * corpus); SimHash votes explode 64 bit positions per token, the
     * rolling fingerprint takes the SIGNED min over 8-char windows —
     * distinct tokens/windows hash once globally, then join back. */
+  // ── HUGEINT-mod-2^64 replication of TF.fnvMix64 for oracle SQL
+  //    builders (shared by the fingerprint and winnowing oracles) ──────
+  private val Two64 = "18446744073709551616"
+  private def mmSql(a: String, b: String): String =
+    s"(((($a) >> 32) * $b) % $Two64 * 4294967296 + (($a) % 4294967296) * $b) % $Two64"
+  private def uSql(v: Long): String = java.lang.Long.toUnsignedString(v)
+  /** Per-key FNV-1a fold over codepoints + splitmix64, as staged CTEs. */
+  private def foldMixSql(src: String, out: String): String =
+    s"""${out}_f AS (SELECT k, list_reduce(list_prepend(${uSql(0xCBF29CE484222325L)}::HUGEINT,
+       |  list_transform(generate_series(1, length(k)), i -> CAST(unicode(k[i]) AS HUGEINT))),
+       |  (h, ch) -> ${mmSql("xor(h, ch)", "1099511628211")}) AS h0 FROM $src),
+       |${out}_1 AS (SELECT k, (h0 + ${uSql(0x9E3779B97F4A7C15L)}) % $Two64 AS z FROM ${out}_f),
+       |${out}_2 AS (SELECT k, ${mmSql("xor(z, z >> 30)", uSql(0xBF58476D1CE4E5B9L))} AS z FROM ${out}_1),
+       |${out}_3 AS (SELECT k, ${mmSql("xor(z, z >> 27)", uSql(0x94D049BB133111EBL))} AS z FROM ${out}_2),
+       |$out AS (SELECT k, xor(z, z >> 31) AS hm FROM ${out}_3)""".stripMargin
+  private def toSignedSql(e: String): String =
+    s"CAST(CASE WHEN $e >= 9223372036854775808 THEN $e - $Two64 ELSE $e END AS BIGINT)"
+
+  /** DuckDB replication of [[winnow]]: k-gram FNV+splitmix hashes per
+    * position, sliding-window MIN over the signed values, distinct. */
+  def winnowOracleSql(k: Int = 8, w: Int = 4): String =
+    s"""WITH nrm AS (SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS nt
+       |             FROM documents),
+       |pos AS (SELECT doc_id, i, nt[i : i + ${k - 1}] AS k
+       |        FROM nrm, unnest(generate_series(1, length(nt) - ${k - 1})) u(i)
+       |        WHERE length(nt) >= $k),
+       |ug AS (SELECT DISTINCT k FROM pos),
+       |${foldMixSql("ug", "ugh")},
+       |hs AS (SELECT p.doc_id, p.i, ${toSignedSql("u.hm")} AS h
+       |       FROM pos p JOIN ugh u ON p.k = u.k),
+       |wmin AS (SELECT doc_id, i,
+       |         MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+       |                      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS m,
+       |         COUNT(*) OVER (PARTITION BY doc_id) AS n FROM hs)
+       |SELECT DISTINCT doc_id, m AS fp FROM wmin WHERE i <= n - ${w - 1}""".stripMargin
+
+  /** DuckDB replication of [[winnowPairs]] (incl. the df cap). */
+  def winnowPairsOracleSql(k: Int = 8, w: Int = 4, minShared: Long = 2L,
+                           maxDf: Long = 20L): String =
+    s"""SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+       |FROM (${winnowOracleSql(k, w)}) a
+       |JOIN (${winnowOracleSql(k, w)}) b USING (fp)
+       |WHERE a.doc_id < b.doc_id AND fp IN (
+       |  SELECT fp FROM (${winnowOracleSql(k, w)})
+       |  GROUP BY fp HAVING count(*) <= $maxDf)
+       |GROUP BY 1, 2 HAVING count(*) >= $minShared""".stripMargin
+
   def fingerprintOracleSql(): String = {
-    val two64 = "18446744073709551616"
-    def mm(a: String, b: String): String =
-      s"(((($a) >> 32) * $b) % $two64 * 4294967296 + (($a) % 4294967296) * $b) % $two64"
-    def u(v: Long): String = java.lang.Long.toUnsignedString(v)
-    // per-key FNV-1a fold over codepoints + splitmix64, as staged CTEs
-    def foldMix(src: String, out: String): String =
-      s"""${out}_f AS (SELECT k, list_reduce(list_prepend(${u(0xCBF29CE484222325L)}::HUGEINT,
-         |  list_transform(generate_series(1, length(k)), i -> CAST(unicode(k[i]) AS HUGEINT))),
-         |  (h, ch) -> ${mm("xor(h, ch)", "1099511628211")}) AS h0 FROM $src),
-         |${out}_1 AS (SELECT k, (h0 + ${u(0x9E3779B97F4A7C15L)}) % $two64 AS z FROM ${out}_f),
-         |${out}_2 AS (SELECT k, ${mm("xor(z, z >> 30)", u(0xBF58476D1CE4E5B9L))} AS z FROM ${out}_1),
-         |${out}_3 AS (SELECT k, ${mm("xor(z, z >> 27)", u(0x94D049BB133111EBL))} AS z FROM ${out}_2),
-         |$out AS (SELECT k, xor(z, z >> 31) AS hm FROM ${out}_3)""".stripMargin
-    def toSigned(e: String): String =
-      s"CAST(CASE WHEN $e >= 9223372036854775808 THEN $e - $two64 ELSE $e END AS BIGINT)"
+    def mm(a: String, b: String): String = mmSql(a, b)
+    def u(v: Long): String = uSql(v)
+    def foldMix(src: String, out: String): String = foldMixSql(src, out)
+    def toSigned(e: String): String = toSignedSql(e)
     val pow2 = (0 until 64).map(j => s"($j, ${java.lang.Long.toUnsignedString(1L << j)}::HUGEINT)")
       .mkString(", ")
     s"""WITH doc AS (SELECT doc_id, text FROM documents),

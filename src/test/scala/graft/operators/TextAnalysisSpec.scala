@@ -165,6 +165,29 @@ class TextAnalysisSpec extends SparkSpec {
       diff.getDouble(3) <= math.log(2.0) + 1e-9)
   }
 
+  test("winnowing: shared passage => shared fingerprint; boilerplate df cap excludes ubiquitous grams") {
+    val passage = "unique shared passage fragment zq"
+    val docs = Seq(
+      (1L, s"first document body $passage tail one"),
+      (2L, s"totally different opening here $passage other ending"),
+      (3L, "nothing in common with the others xyzzy"),
+      (4L, "tiny")).toDF("doc_id", "text")
+    val fp = TextAnalysis.winnow(docs, k = 8, w = 4)
+    val byDoc = fp.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // the >= w+k-1 = 11-char shared passage guarantees a shared selection
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty, "shared passage missed")
+    assert((byDoc(1L) & byDoc(3L)).isEmpty, "false sharing with disjoint doc")
+    assert(!byDoc.contains(4L), "docs shorter than k emit nothing")
+    val pairs = TextAnalysis.winnowPairs(docs, k = 8, w = 4, minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+    // a fingerprint present in MORE than maxDf docs is boilerplate: with
+    // maxDf = 1 every shared fingerprint is excluded and no pair remains
+    assert(TextAnalysis.winnowPairs(docs, k = 8, w = 4, minShared = 1L,
+      maxDf = 1L).count() == 0)
+  }
+
   test("bigram LM is word-order sensitive; short docs drop") {
     // two fluent docs establish "big data" / "data works" as the common
     // transitions; doc 3 uses the SAME unigrams in scrambled order
