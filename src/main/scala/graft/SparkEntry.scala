@@ -984,6 +984,13 @@ object SparkEntry {
         docs.where(col("lang") === "en"), docs.where(col("lang") =!= "en"))
     }),
 
+    // --- pipeline: blocklist screen (the C4 bad-words step) — distinct
+    //     blocked-term count per doc + pass flag; blocklist is a plan
+    //     literal, map-only, no shuffle -------------------------------
+    "q128_blocklist" -> ((s, dir) =>
+      TextAnalysis.blocklistScreen(T(s, dir, "documents"),
+        Seq("slow", "dup", "noise"))),
+
     // --- pipeline: WINNOWING fingerprints (MOSS scheme) — sliding-
     //     window-min of k-gram hashes: passage-level overlap signal
     //     global MinHash can't give; map-only per-row expressions ------
@@ -2316,6 +2323,17 @@ object SparkEntry {
     // sliding-window signed MIN, distinct per doc
     "q126_winnow" -> TextAnalysis.winnowOracleSql(),
     "q127_winnow_pairs" -> TextAnalysis.winnowPairsOracleSql(),
+
+    // blocklist screen: distinct blocked tokens per doc, zero = kept
+    "q128_blocklist" ->
+      """SELECT doc_id,
+        |  CAST(COALESCE(CASE WHEN length(trim(text)) = 0 THEN 0
+        |   ELSE len(list_intersect(list_distinct(regexp_split_to_array(trim(text), '\s+')),
+        |            ['slow', 'dup', 'noise'])) END, 0) AS BIGINT) AS n_blocked,
+        |  COALESCE(CASE WHEN length(trim(text)) = 0 THEN 0
+        |   ELSE len(list_intersect(list_distinct(regexp_split_to_array(trim(text), '\s+')),
+        |            ['slow', 'dup', 'noise'])) END, 0) = 0 AS kept
+        |FROM documents""".stripMargin,
 
     // as-of join replicated as join + row_number (no ASOF JOIN syntax —
     // the windowed spelling is unambiguous under equal-time ties, of

@@ -348,6 +348,21 @@ object TextAnalysis {
       round(sum(pa * log(pa / m) / 2 + pb * log(pb / m) / 2), 6).as("js"))
   }
 
+  /** Blocklist screening (the C4 "bad words" step): per document, how
+    * many DISTINCT blocklist terms its tokens contain and whether it
+    * passes (zero hits). The blocklist ships as a plan literal — it is
+    * a curated list of at most a few thousand terms, so the screen is
+    * one map-only array intersection per row, no join, no shuffle.
+    * Null/empty text trivially passes. */
+  def blocklistScreen(docs: DataFrame, terms: Seq[String],
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+        coalesce(size(array_intersect(
+          array_distinct(TF.tokens(col(textCol))),
+          typedLit(terms.distinct))), lit(0)).cast("long").as("n_blocked"))
+      .withColumn("kept", col("n_blocked") === 0)
+
   /** Winnowing fingerprint sets (Schleimer, Wilkerson & Aiken 2003 —
     * the MOSS scheme): hash every `k`-char gram of the normalized text,
     * keep the MINIMUM hash of every `w`-length window of consecutive

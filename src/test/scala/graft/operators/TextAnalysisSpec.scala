@@ -165,6 +165,19 @@ class TextAnalysisSpec extends SparkSpec {
       diff.getDouble(3) <= math.log(2.0) + 1e-9)
   }
 
+  test("blocklist screen counts distinct blocked terms; null/empty text passes") {
+    val docs = Seq(
+      (1L, "clean words only here"),
+      (2L, "bad bad words and worse stuff"), // 'bad' repeats: counts once
+      (3L, ""),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val r = TextAnalysis.blocklistScreen(docs, Seq("bad", "worse"))
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getBoolean(2))).toMap
+    assert(r(1L) == ((0L, true)))
+    assert(r(2L) == ((2L, false)))
+    assert(r(3L) == ((0L, true)) && r(4L) == ((0L, true)))
+  }
+
   test("winnowing: shared passage => shared fingerprint; boilerplate df cap excludes ubiquitous grams") {
     val passage = "unique shared passage fragment zq"
     val docs = Seq(
