@@ -3,10 +3,11 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftglue.ColumnGlue
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Text-analysis primitives for large-scale training-data pipelines:
@@ -186,6 +187,77 @@ object TextFunctions {
   /** [[FnvMix64Expr]] as a Column function. */
   def fnvMix64(s: Column): Column =
     ColumnGlue.column(FnvMix64Expr(ColumnGlue.expression(s)))
+
+  /** One-pass winnowing kernel: the DISTINCT sliding-window-min
+    * fingerprints of a document's k-codepoint grams, as one
+    * array&lt;long&gt; per row. Semantically identical to
+    * `explode(positions) → fnvMix64(substr(nt, p, k)) → window min →
+    * distinct`, but computed in a single tight byte-level loop — no
+    * per-gram String/UTF8String allocation (the 3M-gram corpus's
+    * dominant cost) and no doc-partition window shuffle. Grams are k
+    * CODE POINTS (Substring semantics) hashed over their UTF-8 bytes
+    * (FnvMix64Expr semantics), so the DuckDB oracle replication is
+    * unchanged. Fewer than w windows → empty array (explode drops the
+    * doc, matching the length guard of the operator form).
+    * CodegenFallback: one eval per DOCUMENT row is off the hot path by
+    * construction. */
+  final case class WinnowFpsExpr(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+    require(k >= 1 && w >= 1, "need k >= 1 and w >= 1")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "winnow_fps"
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case _: StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs a string input, got $other")
+    }
+    override def nullSafeEval(v: Any): Any = {
+      val bytes = v.asInstanceOf[UTF8String].getBytes
+      // code-point start byte offsets (+ end sentinel)
+      val starts = new Array[Int](bytes.length + 1)
+      var n = 0
+      var off = 0
+      while (off < bytes.length) {
+        starts(n) = off
+        n += 1
+        off += UTF8String.numBytesForFirstByte(bytes(off))
+      }
+      starts(n) = bytes.length
+      val nGrams = n - k + 1
+      val nWin = nGrams - w + 1
+      if (nWin <= 0) return new GenericArrayData(Array.empty[Long])
+      val hs = new Array[Long](nGrams)
+      var i = 0
+      while (i < nGrams) {
+        var h = FnvBasis
+        var b = starts(i)
+        val end = starts(i + k)
+        while (b < end) { h = (h ^ (bytes(b) & 0xFF)) * FnvPrime; b += 1 }
+        hs(i) = mix64(h)
+        i += 1
+      }
+      val seen = new java.util.LinkedHashSet[java.lang.Long]()
+      var j = 0
+      while (j < nWin) {
+        var m = hs(j)
+        var t = 1
+        while (t < w) { if (hs(j + t) < m) m = hs(j + t); t += 1 }
+        seen.add(m)
+        j += 1
+      }
+      val out = new Array[Long](seen.size)
+      val it = seen.iterator()
+      var o = 0
+      while (it.hasNext) { out(o) = it.next(); o += 1 }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(newChild: Expression): WinnowFpsExpr =
+      copy(child = newChild)
+  }
+
+  /** [[WinnowFpsExpr]] as a Column function. */
+  def winnowFps(s: Column, k: Int, w: Int): Column =
+    ColumnGlue.column(WinnowFpsExpr(ColumnGlue.expression(s), k, w))
 
   /** k-component signature over character n-gram shingles of
     * pre-normalized text (pair with [[normText]]); null when the text is
