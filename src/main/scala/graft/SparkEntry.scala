@@ -555,6 +555,24 @@ object SparkEntry {
       Multimodal.decodeWavStats(Multimodal.syntheticWavAssets(docs))
     }),
 
+    // --- pipeline: IMAGE PERCEPTUAL HASH (dHash-64) — real BMP decode
+    //     (bottom-up stride, integer luma) → difference hash; the
+    //     closed-form gradient oracle breaks on any decode/orientation/
+    //     luma error. Planted twins differ in ONE pixel → ≤ 1 bit -----
+    "q129_image_dhash" -> ((s, dir) =>
+      Multimodal.imageDHashes(
+        Multimodal.syntheticGradientBmpAssets(T(s, dir, "documents")))),
+
+    // --- pipeline: IMAGE NEAR-DUP pairs — dHash through the shared
+    //     16-bit-slice Hamming machinery (complete for maxHamming ≤ 3);
+    //     finds the planted one-pixel twins AND the id≡id' (mod 256)
+    //     identical-gradient collisions, exactly as the oracle does ----
+    "q130_image_neardup" -> ((s, dir) =>
+      Dedup.hammingPairs64(
+        Multimodal.imageDHashes(
+          Multimodal.syntheticGradientBmpAssets(T(s, dir, "documents"))),
+        "asset_id", "dhash", maxHamming = 2)),
+
     // --- pipeline: int8-quantized ANN — embeddings stored as BYTE
     //     arrays (reference VectorInt8, 4x fewer scan bytes at 100 TB),
     //     cosine computed by the byte-consuming codegen kernels; the
@@ -2323,6 +2341,10 @@ object SparkEntry {
     // sliding-window signed MIN, distinct per doc
     "q126_winnow" -> TextAnalysis.winnowOracleSql(),
     "q127_winnow_pairs" -> TextAnalysis.winnowPairsOracleSql(),
+
+    // image dHash + near-dup pairs: closed-form gradient pixels
+    "q129_image_dhash" -> Multimodal.dHashOracleSql(),
+    "q130_image_neardup" -> Multimodal.dHashPairsOracleSql(),
 
     // blocklist screen: distinct blocked tokens per doc, zero = kept
     "q128_blocklist" ->

@@ -203,9 +203,20 @@ object Dedup {
     * 16-bit fingerprint slices (4 tables ⇒ catches all pairs within
     * Hamming distance 3), verified by exact Hamming ≤ maxHamming. */
   def simHashPairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-                   maxHamming: Int = 3): DataFrame = {
-    val fps = TextAnalysis.simHashes(docs, idCol, textCol)
-      .select(col(idCol).as("id"), col("simhash").as("fp"))
+                   maxHamming: Int = 3): DataFrame =
+    hammingPairs64(TextAnalysis.simHashes(docs, idCol, textCol),
+      idCol, "simhash", maxHamming)
+
+  /** Near-duplicate pairs among arbitrary 64-bit fingerprints by Hamming
+    * distance — shared by SimHash text fingerprints and dHash image
+    * fingerprints: 4 × 16-bit slice buckets generate candidates
+    * (pigeonhole: ≤ 3 differing bits cannot touch all four slices, so
+    * `maxHamming` ≤ 3 is COMPLETE, no missed pair); an exact popcount
+    * verifies. Shuffle carries (slice, 16-bit key, id, hash) — never
+    * payloads. */
+  def hammingPairs64(hashes: DataFrame, idCol: String, hashCol: String,
+                     maxHamming: Int = 3): DataFrame = {
+    val fps = hashes.select(col(idCol).as("id"), col(hashCol).as("fp"))
     val sliced = fps.select(col("id"), col("fp"),
       explode(array((0 until 4).map { s =>
         struct(lit(s).as("slice"), shiftright(col("fp"), s * 16).bitwiseAND(lit(0xFFFFL)).as("key"))

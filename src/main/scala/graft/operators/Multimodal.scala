@@ -279,4 +279,197 @@ object Multimodal {
         lit(targetW).as("target_w"), lit(targetH).as("target_h"),
         round(least(lit(targetW).cast("double") / col("width"),
           lit(targetH).cast("double") / col("height")), 6).as("scale"))
+
+  // ── perceptual image hashing (dHash) ─────────────────────────────────
+
+  /** Gray value for synthetic dHash test images — pure arithmetic over
+    * (image id, x, y) so the 64-bit hash is predictable in CLOSED FORM
+    * by an independent engine. Quadratic residues mod 251, NOT a linear
+    * gradient: dHash sees cell DIFFERENCES, so any shared-slope family
+    * hashes near-identically and every image pairs with every other —
+    * squares decorrelate the bit patterns (expected cross-image Hamming
+    * ≈ 32), leaving the planted one-pixel twins as the only near-dups. */
+  def gradientGray(id: Long, x: Int, y: Int): Int = {
+    val t = id * 131 + x * 9 + y * 83
+    ((t * t) % 251).toInt
+  }
+
+  /** Encode a gray 24-bit BMP from a per-pixel value function. */
+  def encodeBmp24Gray(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    val size = 54 + rowBytes * h
+    val buf = java.nio.ByteBuffer.allocate(size).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(54)
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+    buf.putInt(0).putInt(rowBytes * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    // BMP rows are stored BOTTOM-UP: row y=0 of the image is the LAST
+    // stored row, so the writer iterates image rows in reverse
+    var y = h - 1
+    while (y >= 0) {
+      var x = 0
+      while (x < w) {
+        val v = f(x, y) & 0xFF
+        buf.put(v.toByte).put(v.toByte).put(v.toByte)
+        x += 1
+      }
+      var p = w * 3
+      while (p < rowBytes) { buf.put(0.toByte); p += 1 }
+      y -= 1
+    }
+    buf.array()
+  }
+
+  /** Synthetic gradient-BMP assets for perceptual dedup: one 9×8 gray
+    * gradient image per document, plus — every `plantEvery` ids — a
+    * NEAR-DUPLICATE twin (id + 1000000) differing only in pixel (0,0),
+    * which can flip at most ONE dHash bit. All pixel values are closed-
+    * form arithmetic, so decoded hashes are exactly oracle-checkable. */
+  def syntheticGradientBmpAssets(docs: DataFrame, plantEvery: Long = 10L): DataFrame = {
+    val spark = docs.sparkSession
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val rdd = docs.select("doc_id").rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val base = Row(id, encodeBmp24Gray(9, 8, (x, y) => gradientGray(id, x, y)))
+        if (id % plantEvery == 0)
+          Seq(base, Row(id + 1000000L, encodeBmp24Gray(9, 8, (x, y) =>
+            if (x == 0 && y == 0) (gradientGray(id, 0, 0) + 1) % 256
+            else gradientGray(id, x, y))))
+        else Seq(base)
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Decode a 24-bit BMP into a TOP-DOWN luma grid (integer luma
+    * (299r+587g+114b)/1000 — equal to the gray value for gray images). */
+  def decodeBmp24Luma(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length >= 54 && buf.get(0) == 'B' && buf.get(1) == 'M', "not a BMP")
+    val pixelOffset = buf.getInt(10)
+    val w = buf.getInt(18)
+    val h = buf.getInt(22)
+    require(buf.getShort(28) == 24 && buf.getInt(30) == 0, "unsupported BMP")
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    val out = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val base = pixelOffset + (h - 1 - y) * rowBytes // stored bottom-up
+      var x = 0
+      while (x < w) {
+        val b = bytes(base + x * 3) & 0xFF
+        val g = bytes(base + x * 3 + 1) & 0xFF
+        val r = bytes(base + x * 3 + 2) & 0xFF
+        out(y * w + x) = (299 * r + 587 * g + 114 * b) / 1000
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, out)
+  }
+
+  /** dHash-64 of a luma grid: box-pool to a 9×8 grid (integer floor
+    * mean — identity for 9×8 inputs), then bit y·8+x is set when
+    * cell(x+1, y) > cell(x, y). The standard difference hash: robust to
+    * uniform brightness shifts, 64 bits, Hamming distance = perceptual
+    * distance. */
+  def dHash64(w: Int, h: Int, luma: Array[Int]): Long = {
+    val grid =
+      if (w == 9 && h == 8) luma
+      else {
+        val g = new Array[Int](72)
+        var gy = 0
+        while (gy < 8) {
+          val y0 = gy * h / 8; val y1 = math.max(y0 + 1, (gy + 1) * h / 8)
+          var gx = 0
+          while (gx < 9) {
+            val x0 = gx * w / 9; val x1 = math.max(x0 + 1, (gx + 1) * w / 9)
+            var s = 0L; var c = 0
+            var yy = y0
+            while (yy < y1) {
+              var xx = x0
+              while (xx < x1) { s += luma(yy * w + xx); c += 1; xx += 1 }
+              yy += 1
+            }
+            g(gy * 9 + gx) = (s / c).toInt
+            gx += 1
+          }
+          gy += 1
+        }
+        g
+      }
+    var hash = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (grid(y * 9 + x + 1) > grid(y * 9 + x)) hash |= (1L << (y * 8 + x))
+        x += 1
+      }
+      y += 1
+    }
+    hash
+  }
+
+  /** DuckDB closed-form replication of dHash over the synthetic
+    * gradient assets: pixel values are arithmetic over (id, x, y), so
+    * the comparison bits and the 64-bit value (HUGEINT power sum →
+    * signed) are computable with no byte-level decode. An exact oracle
+    * over the REAL decode path — wrong stride, orientation, or luma
+    * math on the Spark side breaks the hash match. */
+  def dHashOracleSql(plantEvery: Long = 10L): String = {
+    val pow2 = (0 until 64).map(j =>
+      s"($j, ${java.lang.Long.toUnsignedString(1L << j)}::HUGEINT)").mkString(", ")
+    val two64 = "18446744073709551616"
+    def toSigned(e: String) =
+      s"CAST(CASE WHEN $e >= 9223372036854775808 THEN $e - $two64 ELSE $e END AS BIGINT)"
+    s"""WITH ids AS (
+       |  SELECT doc_id AS aid, doc_id AS src, FALSE AS tweak FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, doc_id, TRUE FROM documents WHERE doc_id % $plantEvery = 0),
+       |g AS (SELECT xx.x, yy.y FROM (SELECT unnest(generate_series(0, 8)) AS x) xx,
+       |      (SELECT unnest(generate_series(0, 7)) AS y) yy),
+       |px AS (SELECT i.aid, g.x, g.y,
+       |  CASE WHEN i.tweak AND g.x = 0 AND g.y = 0
+       |       THEN (((i.src * 131) * (i.src * 131)) % 251 + 1) % 256
+       |       ELSE ((i.src * 131 + g.x * 9 + g.y * 83) *
+       |             (i.src * 131 + g.x * 9 + g.y * 83)) % 251
+       |  END AS v
+       |  FROM ids i CROSS JOIN g),
+       |bits AS (SELECT a.aid, (a.y * 8 + a.x) AS bit
+       |  FROM px a JOIN px b ON b.aid = a.aid AND b.y = a.y AND b.x = a.x + 1
+       |  WHERE a.x < 8 AND b.v > a.v),
+       |hs AS (SELECT i.aid, COALESCE(SUM(p.p), 0::HUGEINT) AS h
+       |  FROM ids i LEFT JOIN bits t ON i.aid = t.aid
+       |  LEFT JOIN (VALUES $pow2) p(j, p) ON t.bit = p.j
+       |  GROUP BY i.aid)
+       |SELECT aid AS asset_id, ${toSigned("h")} AS dhash FROM hs""".stripMargin
+  }
+
+  /** DuckDB replication of dHash near-dup pairs (exact popcount). */
+  def dHashPairsOracleSql(plantEvery: Long = 10L, maxHamming: Int = 2): String =
+    s"""SELECT a.asset_id AS id_a, b.asset_id AS id_b,
+       |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+       |FROM (${dHashOracleSql(plantEvery)}) a JOIN (${dHashOracleSql(plantEvery)}) b
+       |  ON a.asset_id < b.asset_id
+       |WHERE bit_count(xor(a.dhash, b.dhash)) <= $maxHamming""".stripMargin
+
+  /** Per-asset perceptual hashes: decode + dHash per partition, output
+    * (asset_id, dhash) — the image-dedup signature table. Feed to
+    * [[Dedup.hammingPairs64]] for near-duplicate pairs. */
+  def imageDHashes(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("dhash", LongType, nullable = false)))
+    val rdd = assets.select("asset_id", "payload").rdd.mapPartitions { it =>
+      it.map { r =>
+        val (w, h, luma) = decodeBmp24Luma(r.getAs[Array[Byte]]("payload"))
+        Row(r.getLong(0), dHash64(w, h, luma))
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
 }

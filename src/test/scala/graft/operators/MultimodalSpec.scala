@@ -65,4 +65,40 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getDouble(3) == ((id % 30000) - 15000).toDouble / 32768.0)
     }
   }
+
+  test("dHash: encode->decode->hash matches direct pixels; one-pixel twin within 1 bit") {
+    // luma grid read back from the BMP equals the generator exactly
+    // (bottom-up stride + integer luma both verified by this)
+    val bytes = Multimodal.encodeBmp24Gray(9, 8, (x, y) => Multimodal.gradientGray(42L, x, y))
+    val (w, h, luma) = Multimodal.decodeBmp24Luma(bytes)
+    assert(w == 9 && h == 8)
+    for (y <- 0 until 8; x <- 0 until 9)
+      assert(luma(y * 9 + x) == Multimodal.gradientGray(42L, x, y), s"pixel ($x,$y)")
+    // a twin differing in pixel (0,0) is within Hamming 1 — never more
+    val base = Multimodal.dHash64(9, 8, luma)
+    val twin = Multimodal.encodeBmp24Gray(9, 8, (x, y) =>
+      if (x == 0 && y == 0) (Multimodal.gradientGray(42L, 0, 0) + 1) % 256
+      else Multimodal.gradientGray(42L, x, y))
+    val (_, _, tl) = Multimodal.decodeBmp24Luma(twin)
+    assert(java.lang.Long.bitCount(base ^ Multimodal.dHash64(9, 8, tl)) <= 1)
+    // box pooling: a 2x-upscaled image pools back to the same hash
+    val big = Multimodal.encodeBmp24Gray(18, 16, (x, y) =>
+      Multimodal.gradientGray(42L, x / 2, y / 2))
+    val (bw, bh, bl) = Multimodal.decodeBmp24Luma(big)
+    assert(Multimodal.dHash64(bw, bh, bl) == base, "pooled hash drifted")
+    // unrelated images are FAR apart (the discriminative property)
+    val other = Multimodal.encodeBmp24Gray(9, 8, (x, y) => Multimodal.gradientGray(43L, x, y))
+    val (_, _, ol) = Multimodal.decodeBmp24Luma(other)
+    assert(java.lang.Long.bitCount(base ^ Multimodal.dHash64(9, 8, ol)) > 8)
+  }
+
+  test("image near-dup pairs find exactly the planted one-pixel twins at Hamming <= 1") {
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val hashes = Multimodal.imageDHashes(Multimodal.syntheticGradientBmpAssets(docs))
+    val pairs = Dedup.hammingPairs64(hashes, "asset_id", "dhash", maxHamming = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = docs.select("doc_id").collect().map(_.getLong(0))
+      .filter(_ % 10 == 0).map(id => (id, id + 1000000L)).toSet
+    assert(planted.subsetOf(pairs), s"missed ${planted -- pairs}")
+  }
 }
