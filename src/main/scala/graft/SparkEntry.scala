@@ -563,6 +563,21 @@ object SparkEntry {
       Multimodal.imageDHashes(
         Multimodal.syntheticGradientBmpAssets(T(s, dir, "documents")))),
 
+    // --- pipeline: AUDIO ENVELOPE HASH — real RIFF/PCM16 decode →
+    //     65-window energy envelope → 64-bit difference hash; the
+    //     closed-form oracle breaks on any chunk-parse/window error ----
+    "q131_audio_envhash" -> ((s, dir) =>
+      Multimodal.audioEnvHashes(
+        Multimodal.syntheticEnvWavAssets(T(s, dir, "documents")))),
+
+    // --- pipeline: AUDIO NEAR-DUP pairs — envelope hashes through the
+    //     same slice-bucket Hamming machinery as text/image -----------
+    "q132_audio_neardup" -> ((s, dir) =>
+      Dedup.hammingPairs64(
+        Multimodal.audioEnvHashes(
+          Multimodal.syntheticEnvWavAssets(T(s, dir, "documents"))),
+        "asset_id", "ahash", maxHamming = 2)),
+
     // --- pipeline: IMAGE NEAR-DUP pairs — dHash through the shared
     //     16-bit-slice Hamming machinery (complete for maxHamming ≤ 3);
     //     finds the planted one-pixel twins AND the id≡id' (mod 256)
@@ -2345,6 +2360,15 @@ object SparkEntry {
     // image dHash + near-dup pairs: closed-form gradient pixels
     "q129_image_dhash" -> Multimodal.dHashOracleSql(),
     "q130_image_neardup" -> Multimodal.dHashPairsOracleSql(),
+
+    // audio envelope hash + near-dup pairs: closed-form window energies
+    "q131_audio_envhash" -> Multimodal.audioEnvOracleSql(),
+    "q132_audio_neardup" ->
+      s"""SELECT a.asset_id AS id_a, b.asset_id AS id_b,
+        |  CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+        |FROM (${Multimodal.audioEnvOracleSql()}) a
+        |JOIN (${Multimodal.audioEnvOracleSql()}) b ON a.asset_id < b.asset_id
+        |WHERE bit_count(xor(a.ahash, b.ahash)) <= 2""".stripMargin,
 
     // blocklist screen: distinct blocked tokens per doc, zero = kept
     "q128_blocklist" ->

@@ -183,6 +183,151 @@ object Multimodal {
     (sampleRate, nSamples, sum)
   }
 
+  /** PCM16 samples of a WAV payload (chunk-scanning, like
+    * [[decodeWavPcm16]] but retaining the waveform for fingerprints). */
+  def decodeWavSamples(bytes: Array[Byte]): Array[Short] = {
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length >= 44 && new String(bytes, 0, 4) == "RIFF" &&
+      new String(bytes, 8, 4) == "WAVE", "not a WAV")
+    var pos = 12
+    var out: Array[Short] = Array.empty
+    while (pos + 8 <= bytes.length) {
+      val id = new String(bytes, pos, 4)
+      val len = buf.getInt(pos + 4)
+      id match {
+        case "fmt " =>
+          require(buf.getShort(pos + 8) == 1 && buf.getShort(pos + 22) == 16,
+            "unsupported WAV: not PCM16")
+        case "data" =>
+          val n = len / 2
+          out = new Array[Short](n)
+          var i = 0
+          while (i < n) { out(i) = buf.getShort(pos + 8 + i * 2); i += 1 }
+        case _ => ()
+      }
+      pos += 8 + len + (len & 1)
+    }
+    out
+  }
+
+  /** Energy-envelope audio fingerprint — the dHash idea applied to PCM:
+    * split the waveform into 65 equal windows, take the integer mean
+    * |amplitude| of each, set bit i when env(i+1) > env(i). Robust to
+    * gain-preserving edits the way dHash is robust to brightness; 64
+    * bits, Hamming = perceptual distance, pairs through
+    * [[graft.operators.Dedup.hammingPairs64]]. Fewer than 65 samples →
+    * hash 0 (no envelope to compare). */
+  def audioEnvHash64(samples: Array[Short]): Long = {
+    val nw = 65
+    val n = samples.length
+    if (n < nw) return 0L
+    val env = new Array[Long](nw)
+    var i = 0
+    while (i < nw) {
+      val s0 = i * n / nw
+      val s1 = (i + 1) * n / nw
+      var s = 0L
+      var j = s0
+      while (j < s1) { s += math.abs(samples(j).toInt); j += 1 }
+      env(i) = s / (s1 - s0)
+      i += 1
+    }
+    var hash = 0L
+    i = 0
+    while (i < 64) {
+      if (env(i + 1) > env(i)) hash |= (1L << i)
+      i += 1
+    }
+    hash
+  }
+
+  /** Per-asset audio fingerprints: (asset_id, ahash). */
+  def audioEnvHashes(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("ahash", LongType, nullable = false)))
+    val rdd = assets.select("asset_id", "payload").rdd.mapPartitions { it =>
+      it.map { r =>
+        Row(r.getLong(0),
+          audioEnvHash64(decodeWavSamples(r.getAs[Array[Byte]]("payload"))))
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Per-window amplitude for synthetic envelope-hash WAVs — quadratic
+    * residues again (see [[gradientGray]]): decorrelated envelopes, so
+    * only the planted twins are near-dups. */
+  def envAmp(id: Long, w: Int): Int = {
+    val t = id * 113 + w * 29
+    ((t * t) % 241).toInt * 100
+  }
+
+  /** Synthetic envelope WAVs: 65 windows × m samples of constant
+    * amplitude [[envAmp]] (windows align with the decoder's i·n/65
+    * bounds exactly, so the integer window means are closed-form);
+    * every `plantEvery` ids a twin (id+1000000) raises window 0 by 100
+    * — at most ONE envelope bit flips. */
+  /** One synthetic envelope WAV (see [[syntheticEnvWavAssets]]). */
+  def envWavBytes(id: Long, tweak: Boolean): Array[Byte] = {
+    val m = (id % 4).toInt + 2 // samples per window: 2..5
+    val samples = new Array[Short](65 * m)
+    var w = 0
+    while (w < 65) {
+      val a = (if (tweak && w == 0) envAmp(id, 0) + 100 else envAmp(id, w)).toShort
+      var j = 0
+      while (j < m) { samples(w * m + j) = a; j += 1 }
+      w += 1
+    }
+    encodeWavPcm16(16000, samples)
+  }
+
+  def syntheticEnvWavAssets(docs: DataFrame, plantEvery: Long = 10L): DataFrame = {
+    val spark = docs.sparkSession
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val rdd = docs.select("doc_id").rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val base = Row(id, envWavBytes(id, tweak = false))
+        if (id % plantEvery == 0)
+          Seq(base, Row(id + 1000000L, envWavBytes(id, tweak = true)))
+        else Seq(base)
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** DuckDB closed-form replication of the envelope hash over the
+    * synthetic WAVs (same pattern as [[dHashOracleSql]]). */
+  def audioEnvOracleSql(plantEvery: Long = 10L): String = {
+    val pow2 = (0 until 64).map(j =>
+      s"($j, ${java.lang.Long.toUnsignedString(1L << j)}::HUGEINT)").mkString(", ")
+    val two64 = "18446744073709551616"
+    def toSigned(e: String) =
+      s"CAST(CASE WHEN $e >= 9223372036854775808 THEN $e - $two64 ELSE $e END AS BIGINT)"
+    s"""WITH ids AS (
+       |  SELECT doc_id AS aid, doc_id AS src, FALSE AS tweak FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, doc_id, TRUE FROM documents WHERE doc_id % $plantEvery = 0),
+       |env AS (SELECT i.aid, w.w,
+       |  CASE WHEN i.tweak AND w.w = 0
+       |       THEN ((i.src * 113) * (i.src * 113)) % 241 * 100 + 100
+       |       ELSE ((i.src * 113 + w.w * 29) * (i.src * 113 + w.w * 29)) % 241 * 100
+       |  END AS e
+       |  FROM ids i CROSS JOIN (SELECT unnest(generate_series(0, 64)) AS w) w),
+       |bits AS (SELECT a.aid, a.w AS bit
+       |  FROM env a JOIN env b ON b.aid = a.aid AND b.w = a.w + 1
+       |  WHERE a.w < 64 AND b.e > a.e),
+       |hs AS (SELECT i.aid, COALESCE(SUM(p.p), 0::HUGEINT) AS h
+       |  FROM ids i LEFT JOIN bits t ON i.aid = t.aid
+       |  LEFT JOIN (VALUES $pow2) p(j, p) ON t.bit = p.j
+       |  GROUP BY i.aid)
+       |SELECT aid AS asset_id, ${toSigned("h")} AS ahash FROM hs""".stripMargin
+  }
+
   /** Synthetic REAL-BMP asset table: one solid-color BMP per document,
     * dimensions and color pure arithmetic over doc_id — so an oracle
     * can predict the decoded stats in closed form. */

@@ -92,6 +92,21 @@ class MultimodalSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(base ^ Multimodal.dHash64(9, 8, ol)) > 8)
   }
 
+  test("audio envelope hash: decode matches generator; planted twin within 1 bit") {
+    val bytes = Multimodal.envWavBytes(42L, tweak = false)
+    val samples = Multimodal.decodeWavSamples(bytes)
+    assert(samples.length == 65 * ((42 % 4) + 2))
+    val base = Multimodal.audioEnvHash64(samples)
+    val twin = Multimodal.audioEnvHash64(
+      Multimodal.decodeWavSamples(Multimodal.envWavBytes(42L, tweak = true)))
+    assert(java.lang.Long.bitCount(base ^ twin) <= 1)
+    // unrelated audio is far apart; sub-envelope clips hash to 0
+    val other = Multimodal.audioEnvHash64(
+      Multimodal.decodeWavSamples(Multimodal.envWavBytes(43L, tweak = false)))
+    assert(java.lang.Long.bitCount(base ^ other) > 8)
+    assert(Multimodal.audioEnvHash64(Array.fill(10)(5.toShort)) == 0L)
+  }
+
   test("image near-dup pairs find exactly the planted one-pixel twins at Hamming <= 1") {
     val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val hashes = Multimodal.imageDHashes(Multimodal.syntheticGradientBmpAssets(docs))
