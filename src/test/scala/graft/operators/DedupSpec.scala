@@ -133,6 +133,28 @@ class DedupSpec extends SparkSpec {
       "hot/cold routing must not change the emitted pair set")
   }
 
+  test("hammingPairs64 is complete vs brute force for maxHamming <= 3") {
+    val rnd = new scala.util.Random(11)
+    // random hashes + planted near-pairs at Hamming 1..3
+    val base = (0L until 40L).map(i => (i, rnd.nextLong()))
+    val planted = base.take(10).zipWithIndex.map { case ((id, h), i) =>
+      val flips = 1 + i % 3
+      var h2 = h
+      (0 until flips).foreach(b => h2 ^= (1L << (b * 7 + i)))
+      (id + 100L, h2)
+    }
+    val all = base ++ planted
+    val df = all.toDF("id", "h")
+    val got = Dedup.hammingPairs64(df, "id", "h", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val brute = (for {
+      (a, ha) <- all; (b, hb) <- all if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b) -> d.toLong).toMap
+    assert(got == brute, s"operator=${got.size} brute=${brute.size}")
+    assert(brute.size >= 10, "planted pairs missing from the fixture")
+  }
+
   test("contamination score: exact overlap fractions, empty docs score zero") {
     val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
     val got = Dedup.contaminationScore(docs, bench).collect()
