@@ -563,6 +563,18 @@ object SparkEntry {
       Multimodal.imageDHashes(
         Multimodal.syntheticGradientBmpAssets(T(s, dir, "documents")))),
 
+    // --- pipeline: INCREMENTAL new-vs-base near-dup — which incoming
+    //     docs (id%5==0) duplicate the existing snapshot (id%5!=0)?
+    //     Base signatures come from the persistable signature table;
+    //     candidates are CROSS-corpus only (the ingestion shape) -------
+    "q133_incremental_neardup" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Dedup.minHashPairsAgainst(
+        docs.where(pmod(col("doc_id"), lit(5L)) === 0),
+        Dedup.minHashSignatures(docs.where(pmod(col("doc_id"), lit(5L)) =!= 0)),
+        threshold = 0.35)
+    }),
+
     // --- pipeline: AUDIO ENVELOPE HASH — real RIFF/PCM16 decode →
     //     65-window energy envelope → 64-bit difference hash; the
     //     closed-form oracle breaks on any chunk-parse/window error ----
@@ -2360,6 +2372,11 @@ object SparkEntry {
     // image dHash + near-dup pairs: closed-form gradient pixels
     "q129_image_dhash" -> Multimodal.dHashOracleSql(),
     "q130_image_neardup" -> Multimodal.dHashPairsOracleSql(),
+
+    // incremental near-dup: same signature arithmetic as q30, candidates
+    // restricted to (new, base) cross pairs
+    "q133_incremental_neardup" -> Dedup.minHashAgainstOracleSql(
+      "a.doc_id % 5 = 0", "b.doc_id % 5 <> 0", threshold = 0.35),
 
     // audio envelope hash + near-dup pairs: closed-form window energies
     "q131_audio_envhash" -> Multimodal.audioEnvOracleSql(),

@@ -188,6 +188,40 @@ object Dedup {
       .where(col("jaccard_est") >= threshold)
   }
 
+  /** Incremental NEW-vs-BASE near-duplicate pairs — the snapshot
+    * ingestion shape: which incoming documents near-duplicate the
+    * EXISTING corpus? `baseSigs` is a signature table from
+    * [[minHashSignatures]] (persist it as parquet once per snapshot;
+    * each ingest then signs ONLY its batch — the base text is never
+    * re-read, and base×base pairs — adjudicated when the snapshot was
+    * built — never generate). Candidates come from the cross-corpus
+    * banded join on (band, bucket); the Jaccard estimate verifies per
+    * candidate. Signature params (shingleN, k, bands) must match the
+    * stored table's. Output (new_id, base_id, jaccard_est). */
+  def minHashPairsAgainst(newDocs: DataFrame, baseSigs: DataFrame,
+                          idCol: String = "doc_id", textCol: String = "text",
+                          shingleN: Int = 5, k: Int = 64, bands: Int = 16,
+                          threshold: Double = 0.5,
+                          wordShingles: Boolean = false): DataFrame = {
+    val rowsPerBand = k / bands
+    val (newSigs, nNew) = cachedSignatures(newDocs, idCol, textCol, shingleN, k, wordShingles)
+    val (bSigs, nBase) = mat(baseSigs.toDF("id", "sig"))
+    def banded(sigs: DataFrame) = sigs
+      .select(col("id"), explode(TF.minHashBands(col("sig"), bands, rowsPerBand)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val candPairs = banded(newSigs)
+      .select(col("band"), col("bucket"), col("id").as("new_id"))
+      .join(banded(bSigs).select(col("band"), col("bucket"), col("id").as("base_id")),
+        Seq("band", "bucket"))
+      .select(col("new_id"), col("base_id")).distinct()
+    candPairs
+      .join(maybeBroadcast(newSigs.select(col("id").as("new_id"), col("sig").as("sig_a")), nNew), Seq("new_id"))
+      .join(maybeBroadcast(bSigs.select(col("id").as("base_id"), col("sig").as("sig_b")), nBase), Seq("base_id"))
+      .select(col("new_id"), col("base_id"),
+        TF.minHashJaccardEstimate(col("sig_a"), col("sig_b")).as("jaccard_est"))
+      .where(col("jaccard_est") >= threshold)
+  }
+
   /** MinHash dedup survivors: connected-components-lite — drop any doc that
     * has a near-dup with a smaller id (correct for pair-dedup; full CC runs
     * in the fixpoint engine if transitive grouping is needed). */
@@ -497,8 +531,9 @@ object Dedup {
     * at any tested scale, and a colliding pair would also need its
     * estimate over threshold to differ), so the oracle joins on the
     * band's component LIST directly — no xxhash64 in SQL needed. */
-  def minHashOracleSql(shingleN: Int = 5, k: Int = 64, bands: Int = 16,
-                       threshold: Double = 0.5): String = {
+  /** Shared CTE prefix (normalize → shingle → FNV+splitmix per-seed
+    * minima → banded signature rows) for the MinHash oracle builders. */
+  private def minHashSigCtes(shingleN: Int, k: Int, bands: Int): String = {
     val two64 = "18446744073709551616"
     def mm(a: String, b: String): String =
       s"(((($a) >> 32) * $b) % $two64 * 4294967296 + (($a) % 4294967296) * $b) % $two64"
@@ -533,7 +568,12 @@ object Dedup {
        |       FROM cx2),
        |sg AS (SELECT d.doc_id, c.i, MIN(c.v) AS v
        |       FROM ds d JOIN cv c USING (key) GROUP BY d.doc_id, c.i),
-       |bnd AS (SELECT doc_id, i // $rpb AS band, list(v ORDER BY i) AS key FROM sg GROUP BY doc_id, band),
+       |bnd AS (SELECT doc_id, i // $rpb AS band, list(v ORDER BY i) AS key FROM sg GROUP BY doc_id, band)""".stripMargin
+  }
+
+  def minHashOracleSql(shingleN: Int = 5, k: Int = 64, bands: Int = 16,
+                       threshold: Double = 0.5): String =
+    s"""${minHashSigCtes(shingleN, k, bands)},
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |         FROM bnd a JOIN bnd b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
        |est AS (SELECT c.id_a, c.id_b,
@@ -541,5 +581,21 @@ object Dedup {
        |        FROM cand c JOIN sg sa ON sa.doc_id = c.id_a JOIN sg sb ON sb.doc_id = c.id_b AND sb.i = sa.i
        |        GROUP BY c.id_a, c.id_b)
        |SELECT id_a, id_b, jaccard_est FROM est WHERE jaccard_est >= $threshold""".stripMargin
-  }
+
+  /** DuckDB replication of [[minHashPairsAgainst]]: identical signature
+    * arithmetic, candidates restricted to (new, base) cross pairs via
+    * the two doc_id predicates (SQL fragments over `a.doc_id` /
+    * `b.doc_id`). */
+  def minHashAgainstOracleSql(newPred: String, basePred: String,
+                              shingleN: Int = 5, k: Int = 64, bands: Int = 16,
+                              threshold: Double = 0.5): String =
+    s"""${minHashSigCtes(shingleN, k, bands)},
+       |cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS base_id
+       |         FROM bnd a JOIN bnd b ON a.band = b.band AND a.key = b.key
+       |         WHERE ($newPred) AND ($basePred)),
+       |est AS (SELECT c.new_id, c.base_id,
+       |        CAST(SUM(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) AS DOUBLE) / $k AS jaccard_est
+       |        FROM cand c JOIN sg sa ON sa.doc_id = c.new_id JOIN sg sb ON sb.doc_id = c.base_id AND sb.i = sa.i
+       |        GROUP BY c.new_id, c.base_id)
+       |SELECT new_id, base_id, jaccard_est FROM est WHERE jaccard_est >= $threshold""".stripMargin
 }

@@ -133,6 +133,23 @@ class DedupSpec extends SparkSpec {
       "hot/cold routing must not change the emitted pair set")
   }
 
+  test("incremental new-vs-base pairs equal the full-corpus cross pairs") {
+    import org.apache.spark.sql.functions._
+    val base = sfDocs.where(pmod(col("doc_id"), lit(5L)) =!= 0)
+    val nw = sfDocs.where(pmod(col("doc_id"), lit(5L)) === 0)
+    val against = Dedup.minHashPairsAgainst(nw,
+        Dedup.minHashSignatures(base), threshold = 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.minHashPairs(sfDocs, threshold = 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = full.collect {
+      case (a, b) if a % 5 == 0 && b % 5 != 0 => (a, b)
+      case (a, b) if b % 5 == 0 && a % 5 != 0 => (b, a)
+    }
+    assert(against == expect, s"got ${against.size}, expected ${expect.size}")
+    assert(expect.nonEmpty, "fixture has no cross pairs to check")
+  }
+
   test("hammingPairs64 is complete vs brute force for maxHamming <= 3") {
     val rnd = new scala.util.Random(11)
     // random hashes + planted near-pairs at Hamming 1..3
