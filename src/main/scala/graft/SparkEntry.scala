@@ -439,6 +439,17 @@ object SparkEntry {
         .select(col("doc_id"))
     }),
 
+    // --- pipeline: BLOOM decontamination — the zero-shuffle 100 TB
+    //     form of q72: benchmark shingles fold into a driver-built
+    //     Bloom filter (fpp 1e-12, no false negatives), the corpus is
+    //     ONE map-only scan probing it. Same exact oracle as q72:
+    //     deterministic filter, over-removal odds ~1e-12/shingle ------
+    "q136_decontaminate_bloom" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Dedup.decontaminateBloom(docs, docs.where(pmod(col("doc_id"), lit(20L)) === 0))
+        .select(col("doc_id"))
+    }),
+
     // --- pipeline: contamination REPORT — per-doc benchmark 3-gram
     //     overlap counts + fraction (the measuring form of q72;
     //     pipelines publish contamination rates before dropping).
@@ -574,6 +585,18 @@ object SparkEntry {
         Dedup.minHashSignatures(docs.where(pmod(col("doc_id"), lit(5L)) =!= 0)),
         threshold = 0.35)
     }),
+
+    // --- pipeline: DUPLICATE-SUBSTRING SPANS (Lee et al. 2022 shape) —
+    //     maximal regions covered by char 20-grams shared across >= 2
+    //     docs; hashes shuffle, never text; per-doc islands merge ------
+    "q134_duplicate_spans" -> ((s, dir) =>
+      Dedup.duplicateSpans(T(s, dir, "documents"))),
+
+    // --- pipeline: SEGMENT DEDUP (CCNet line-dedup shape, windowed
+    //     onto this corpus): drop 2-word segments recurring in >= 20
+    //     docs, reassemble survivors in order ------------------------
+    "q135_segment_dedup" -> ((s, dir) =>
+      Dedup.windowDedup(T(s, dir, "documents"))),
 
     // --- pipeline: AUDIO ENVELOPE HASH — real RIFF/PCM16 decode →
     //     65-window energy envelope → 64-bit difference hash; the
@@ -1216,9 +1239,7 @@ object SparkEntry {
     //     the approximation); q112 runs the identical machinery with
     //     ONE centroid, where it must equal exact all-pairs cosine ----
     "q111_semdedup" -> ((s, dir) =>
-      Dedup.semanticPairs(T(s, dir, "embeddings"),
-        ivfCentroidCache.getOrElseUpdate(dir,
-          Similarity.kmeansCentroids(T(s, dir, "embeddings"), k = 16, iters = 3)),
+      Dedup.semanticPairs(T(s, dir, "embeddings"), ivfCentroids(s, dir),
         minCosine = 0.3, capIds = 500L)),
     "q112_semdedup_one_cluster" -> ((s, dir) =>
       Dedup.semanticPairs(T(s, dir, "embeddings"),
@@ -1287,6 +1308,35 @@ object SparkEntry {
         .head().getSeq[Float](0)
       Similarity.pqAdcTopK(Similarity.pqEncode(emb, cb), q, cb, 10)
         .select(col("vec_id"))
+    }),
+
+    // --- pipeline: IVF-PQ — the composed production ANN index (the
+    //     FAISS IVFPQ shape): trained coarse cells prune the scan to
+    //     nprobe/nCells of the code table, ADC scores m bytes/vector,
+    //     floats semi-join for the shortlist only. rows-only: trained
+    //     + probed is approximate by construction; q138 is the exact
+    //     twin with both approximations turned off --------------------
+    "q137_ann_ivfpq" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val cent = ivfCentroids(s, dir)
+      val cb = pqCodebooks(s, dir)
+      val q = emb.where(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0)
+      Similarity.ivfPqTopK(emb, Similarity.ivfPqEncode(emb, cent, cb), q,
+        cent, cb, k = 10, nprobe = 4, shortlist = 100).select(col("vec_id"))
+    }),
+
+    // all cells probed + all-rows shortlist → both approximations
+    // vanish: must EQUAL exact Euclidean top-k (q106's oracle)
+    "q138_ann_ivfpq_allprobes" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val cent = ivfCentroids(s, dir)
+      val cb = pqCodebooks(s, dir)
+      val q = emb.where(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0)
+      Similarity.ivfPqTopK(emb, Similarity.ivfPqEncode(emb, cent, cb), q,
+        cent, cb, k = 10, nprobe = cent.length, shortlist = 1000000)
+        .select(col("vec_id"))
     })
   )
 
@@ -1310,6 +1360,9 @@ object SparkEntry {
 
   private val ivfCentroidCache =
     scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
+  private def ivfCentroids(s: SparkSession, dir: String): Array[Array[Double]] =
+    ivfCentroidCache.getOrElseUpdate(dir,
+      Similarity.kmeansCentroids(T(s, dir, "embeddings"), k = 16, iters = 3))
 
   /** LSH-partitioned embedding layout per sf dir (the write-once "index
     * build" analogous to the reference's index creation): embeddings with
@@ -1356,8 +1409,7 @@ object SparkEntry {
     * when a caller skips it. */
   def warmFixtures(s: SparkSession, dir: String): Unit = {
     lshLayout(s, dir)
-    ivfCentroidCache.getOrElseUpdate(dir,
-      Similarity.kmeansCentroids(T(s, dir, "embeddings"), k = 16, iters = 3))
+    ivfCentroids(s, dir)
     hnswCache.getOrElseUpdate(dir,
       graft.index.Hnsw.build(T(s, dir, "embeddings"), "vec_id", "embedding"))
     hnswMaintCatalog(s, dir)
@@ -2077,6 +2129,22 @@ object SparkEntry {
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
 
+    // Bloom decontamination: deterministic filter with no false
+    // negatives and ~1e-12 over-removal odds per shingle — the exact
+    // q72 SQL is the oracle (see q136's query comment)
+    "q136_decontaminate_bloom" ->
+      """WITH toks AS (
+        |SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS t FROM documents
+        |WHERE LEN(TRIM(text)) > 0),
+        |sh AS (
+        |SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, LEN(t)-2),
+        |  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS g
+        |FROM toks WHERE LEN(t) >= 3),
+        |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 20 = 0),
+        |bad AS (SELECT DISTINCT s.doc_id FROM sh s JOIN bench b ON s.g = b.g)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
+
     // contamination report: string shingles stand in for the xxhash64
     // longs (membership/count-identical modulo ~2⁻⁶⁴ collisions, the
     // q72 stance); counts integer-exact, fraction one double division
@@ -2378,6 +2446,14 @@ object SparkEntry {
     "q133_incremental_neardup" -> Dedup.minHashAgainstOracleSql(
       "a.doc_id % 5 = 0", "b.doc_id % 5 <> 0", threshold = 0.35),
 
+    // duplicate-substring spans: gram doc-frequency over raw substrings
+    // (the Spark-side hash only relabels equal grams), islands merge
+    "q134_duplicate_spans" -> Dedup.duplicateSpansOracleSql(),
+
+    // segment (windowed-line) dedup: same windows, doc-frequency over
+    // segment strings, same reassembly
+    "q135_segment_dedup" -> Dedup.windowDedupOracleSql(),
+
     // audio envelope hash + near-dup pairs: closed-form window energies
     "q131_audio_envhash" -> Multimodal.audioEnvOracleSql(),
     "q132_audio_neardup" ->
@@ -2662,6 +2738,14 @@ object SparkEntry {
 
     // PQ re-rank with an all-rows shortlist == exact Euclidean top-10
     "q106_pq_rerank_all" ->
+      """SELECT vec_id FROM embeddings
+        |ORDER BY list_distance(CAST(embedding AS DOUBLE[]),
+        |(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) ASC,
+        |vec_id ASC LIMIT 10""".stripMargin,
+
+    // IVF-PQ with every cell probed + all-rows shortlist == the same
+    // exact Euclidean top-10 (both approximations turned off)
+    "q138_ann_ivfpq_allprobes" ->
       """SELECT vec_id FROM embeddings
         |ORDER BY list_distance(CAST(embedding AS DOUBLE[]),
         |(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) ASC,

@@ -259,6 +259,60 @@ object TextFunctions {
   def winnowFps(s: Column, k: Int, w: Int): Column =
     ColumnGlue.column(WinnowFpsExpr(ColumnGlue.expression(s), k, w))
 
+  /** One-pass k-gram hash kernel: the FNV+splitmix hash of EVERY
+    * k-codepoint gram, in position order (element i = gram starting at
+    * 1-based codepoint position i+1). The un-winnowed sibling of
+    * [[WinnowFpsExpr]] — duplicate-SPAN detection needs every gram with
+    * its position, not the window minima — sharing its semantics: grams
+    * are k CODE POINTS hashed over their UTF-8 bytes, so gram equality ≡
+    * substring equality (up to 2⁻⁶⁴ hash collisions) and the DuckDB
+    * oracle can compare raw substrings with no hash replication at all.
+    * Shorter than k codepoints → empty array. One eval per document row
+    * (CodegenFallback is off the hot path by construction), no per-gram
+    * String allocation. */
+  final case class KgramHashesExpr(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+    require(k >= 1, "need k >= 1")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "kgram_hashes"
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case _: StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs a string input, got $other")
+    }
+    override def nullSafeEval(v: Any): Any = {
+      val bytes = v.asInstanceOf[UTF8String].getBytes
+      val starts = new Array[Int](bytes.length + 1)
+      var n = 0
+      var off = 0
+      while (off < bytes.length) {
+        starts(n) = off
+        n += 1
+        off += UTF8String.numBytesForFirstByte(bytes(off))
+      }
+      starts(n) = bytes.length
+      val nGrams = n - k + 1
+      if (nGrams <= 0) return new GenericArrayData(Array.empty[Long])
+      val hs = new Array[Long](nGrams)
+      var i = 0
+      while (i < nGrams) {
+        var h = FnvBasis
+        var b = starts(i)
+        val end = starts(i + k)
+        while (b < end) { h = (h ^ (bytes(b) & 0xFF)) * FnvPrime; b += 1 }
+        hs(i) = mix64(h)
+        i += 1
+      }
+      new GenericArrayData(hs)
+    }
+    override protected def withNewChildInternal(newChild: Expression): KgramHashesExpr =
+      copy(child = newChild)
+  }
+
+  /** [[KgramHashesExpr]] as a Column function. */
+  def kgramHashes(s: Column, k: Int): Column =
+    ColumnGlue.column(KgramHashesExpr(ColumnGlue.expression(s), k))
+
   /** k-component signature over character n-gram shingles of
     * pre-normalized text (pair with [[normText]]); null when the text is
     * shorter than one shingle (no content to near-match on). */

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF, LshFunctions => LF}
 
@@ -361,6 +362,43 @@ object Dedup {
     docs.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Bloom-filter decontamination — the ZERO-SHUFFLE form of
+    * [[decontaminate]] for the 100 TB pass: the benchmark's distinct
+    * shingle hashes fold into a driver-built Bloom filter
+    * (`df.stat.bloomFilter` = treeAggregate, no collect of the set
+    * itself), and the corpus side is ONE map-only scan — each document
+    * probes its own shingle hashes against the broadcast filter, so no
+    * corpus-derived explode, distinct, or join ever shuffles.
+    * [[decontaminate]] by contrast shuffles exploded (id, shingle) rows
+    * through a join + distinct + anti-join.
+    *
+    * Correctness: Bloom filters have NO false negatives, so every truly
+    * contaminated document is removed — removal is complete by
+    * construction. A false positive over-removes a clean document with
+    * probability ≈ fpp per probed shingle; at the default fpp = 1e-12
+    * the expected extra removals stay ≪ 1 up to ~10¹¹ corpus shingles,
+    * and the filter itself is deterministic (fixed Murmur3 seeds), so a
+    * given corpus always yields the same result — which is what lets
+    * the exact-decontamination SQL serve as this operator's oracle. */
+  def decontaminateBloom(docs: DataFrame, benchmark: DataFrame,
+                         shingleN: Int = 3, fpp: Double = 1e-12,
+                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val benchHashes = benchmark
+      .select(TF.tokens(col(textCol)).as("__toks"))
+      .select(explode(array_distinct(TF.wordShingleHashes(col("__toks"), shingleN))).as("sh"))
+      .distinct()
+    val n = math.max(1L, benchHashes.count())
+    val bf = benchHashes.stat.bloomFilter("sh", n, fpp)
+    val bcast = docs.sparkSession.sparkContext.broadcast(bf)
+    val anyHit = udf { (hs: Seq[Long]) =>
+      hs != null && hs.exists(bcast.value.mightContainLong) }
+    docs
+      .withColumn("__toks", TF.tokens(col(textCol)))
+      .withColumn("__hit", anyHit(TF.wordShingleHashes(col("__toks"), shingleN)))
+      .where(!col("__hit"))
+      .drop("__toks", "__hit")
+  }
+
   /** Per-document contamination REPORT — the measuring form of
     * [[decontaminate]] (pipelines publish benchmark-overlap rates before
     * deciding what to drop): for each doc, its distinct word-`shingleN`-
@@ -513,6 +551,152 @@ object Dedup {
       .select(col("id_a"), col("id_b"), VF.dot(col("v_a"), col("v_b")).as("cosine"))
       .where(col("cosine") >= minCosine)
   }
+
+  // ─────────────────────────────────────────────────────────────────────
+  // Sub-document dedup: duplicate SPANS (Lee et al. 2022, "Deduplicating
+  // Training Data Makes Language Models Better" — find-then-remove of
+  // repeated substrings) and SEGMENT-level dedup (the CCNet / RefinedWeb
+  // shape: drop lines/paragraphs that recur across many documents).
+  // ─────────────────────────────────────────────────────────────────────
+
+  /** Cross-document duplicate-substring SPANS: maximal regions of each
+    * document covered by character `k`-grams (over the whitespace-
+    * normalized text) that appear in at least `minDocs` DISTINCT
+    * documents — the detection half of substring-level dedup, reported
+    * as (doc_id, span_start, span_end, n_grams) with 1-based INCLUSIVE
+    * codepoint positions into the normalized text.
+    *
+    * Scale shape: a suffix array is a system of its own at 100 TB; the
+    * k-gram formulation keeps it relational. [[TF.kgramHashes]] emits
+    * every gram's 64-bit hash in ONE pass per document (no per-gram
+    * string allocation), so the shuffle carries (hash, id, pos) — never
+    * text. Gram doc-frequency is a partial-aggregated groupBy on the
+    * 8-byte hash; positions of shared grams semi-join back and merge
+    * into maximal spans with a per-document window (bounded by document
+    * length, so the window partition never skews). Gram equality ≡
+    * substring equality up to 2⁻⁶⁴ hash collisions — the same stance as
+    * the shingle pipeline, which is why the DuckDB oracle can compare
+    * raw substrings with no hash replication. */
+  def duplicateSpans(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                     k: Int = 20, minDocs: Int = 2): DataFrame = {
+    val (grams, _) = mat(docs
+      .select(col(idCol).as("id"),
+        posexplode(TF.kgramHashes(TF.normText(col(textCol)), k)).as(Seq("pos0", "h")))
+      .select(col("id"), (col("pos0") + 1).cast("long").as("pos"), col("h")))
+    // grams shared by >= minDocs docs; at 100 TB this table is itself
+    // large — a plain shuffle semi-join, deliberately not broadcast
+    val common = grams.groupBy("h")
+      .agg(count_distinct(col("id")).as("df"))
+      .where(col("df") >= minDocs).select("h")
+    val dup = grams.join(common, Seq("h"), "left_semi")
+    // gaps-and-islands: grams at p1 < p2 chain into one span iff
+    // p2 - p1 <= k (their [p, p+k-1] intervals overlap or touch)
+    val w = Window.partitionBy("id").orderBy("pos")
+    dup
+      .withColumn("__nb",
+        when(coalesce(col("pos") - lag(col("pos"), 1).over(w), lit(Long.MaxValue)) > k, 1)
+          .otherwise(0))
+      .withColumn("__island", sum(col("__nb")).over(w))
+      .groupBy(col("id"), col("__island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(k - 1)).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col("id").as(idCol), col("span_start"), col("span_end"), col("n_grams"))
+  }
+
+  /** DuckDB replication of [[duplicateSpans]] — gram doc-frequency over
+    * the raw substrings (no hash needed: the Spark hash only relabels
+    * equal grams) and the same gaps-and-islands merge. */
+  def duplicateSpansOracleSql(k: Int = 20, minDocs: Int = 2): String =
+    s"""WITH nrm AS (SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS nt
+       |             FROM documents),
+       |pos AS (SELECT doc_id, i, nt[i : i + ${k - 1}] AS g
+       |        FROM nrm, unnest(generate_series(1, length(nt) - ${k - 1})) u(i)
+       |        WHERE length(nt) >= $k),
+       |df AS (SELECT g FROM pos GROUP BY g HAVING count(DISTINCT doc_id) >= $minDocs),
+       |dup AS (SELECT doc_id, i FROM pos JOIN df USING (g)),
+       |brk AS (SELECT doc_id, i,
+       |        CASE WHEN lag(i) OVER w IS NULL OR i - lag(i) OVER w > $k THEN 1 ELSE 0 END AS nb
+       |        FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+       |isl AS (SELECT doc_id, i, SUM(nb) OVER (PARTITION BY doc_id ORDER BY i) AS grp FROM brk)
+       |SELECT doc_id, MIN(i) AS span_start, MAX(i) + ${k - 1} AS span_end, COUNT(*) AS n_grams
+       |FROM isl GROUP BY doc_id, grp""".stripMargin
+
+  /** Segment-level dedup core over (id, pos, seg) rows: drop every
+    * segment whose content recurs in at least `minDocFreq` DISTINCT
+    * documents, reassemble the survivors in position order. Returns
+    * (idCol, clean_text, n_segments, n_dropped); documents whose every
+    * segment dropped keep a row with empty clean_text. Scale shape: the
+    * doc-frequency decision groups on the segment's xxhash64 (8-byte
+    * shuffle keys; equality ≡ content equality up to 2⁻⁶⁴), the
+    * reassembly is one per-document aggregation — segments never join
+    * against each other. */
+  private def dedupSegmentRows(segs: DataFrame, minDocFreq: Int, delim: String,
+                               idCol: String): DataFrame = {
+    val (s, _) = mat(segs.select(col("id"), col("pos"), col("seg"),
+      xxhash64(col("seg")).as("h")))
+    val common = s.groupBy("h").agg(count_distinct(col("id")).as("df"))
+      .where(col("df") >= minDocFreq).select("h")
+    val kept = s.join(common, Seq("h"), "left_anti")
+    val totals = s.groupBy("id").agg(count(lit(1)).as("n_segments"))
+    val keptAgg = kept.groupBy("id").agg(
+      array_join(transform(array_sort(collect_list(struct(col("pos"), col("seg")))),
+        x => x("seg")), delim).as("clean_text"),
+      count(lit(1)).as("n_kept"))
+    totals.join(keptAgg, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_segments"),
+        (col("n_segments") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
+  /** CCNet-style LINE dedup: drop every line occurring in at least
+    * `minDocFreq` distinct documents (boilerplate — headers, footers,
+    * cookie banners — recurs verbatim across a crawl; prose does not),
+    * keeping survivors in order. Documents with no newline pass through
+    * as one segment. */
+  def lineDedup(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                minDocFreq: Int = 2): DataFrame =
+    dedupSegmentRows(
+      docs.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "seg"))),
+      minDocFreq, "\n", idCol)
+
+  /** [[lineDedup]] for corpora without line structure: segments are
+    * consecutive non-overlapping `segWords`-token windows. Documents
+    * shorter than one token drop out (no segments to judge). */
+  def windowDedup(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                  segWords: Int = 2, minDocFreq: Int = 20): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"), TF.tokens(col(textCol)).as("tk"))
+    val segs = toks.select(col("id"),
+      posexplode(transform(
+        TF.seq1(floor((size(col("tk")) + lit(segWords - 1)) / lit(segWords)).cast("int")),
+        i => array_join(slice(col("tk"), (i - lit(1)) * segWords + 1, lit(segWords)), " ")))
+        .as(Seq("pos", "seg")))
+    dedupSegmentRows(segs, minDocFreq, " ", idCol)
+  }
+
+  /** DuckDB replication of [[windowDedup]]: same windows, doc-frequency
+    * over the segment STRINGS (the Spark xxhash64 only relabels equal
+    * segments), same reassembly. */
+  def windowDedupOracleSql(segWords: Int = 2, minDocFreq: Int = 20): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS tk
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |seg AS (
+       |  SELECT doc_id, p AS pos,
+       |         array_to_string(tk[p*$segWords+1 : p*$segWords+$segWords], ' ') AS seg
+       |  FROM (SELECT doc_id, tk,
+       |          unnest(generate_series(0, CAST(ceil(len(tk)/$segWords.0) AS INT) - 1)) AS p
+       |        FROM toks)),
+       |freq AS (SELECT seg FROM seg GROUP BY seg HAVING count(DISTINCT doc_id) >= $minDocFreq),
+       |kept AS (SELECT s.* FROM seg s WHERE s.seg NOT IN (SELECT seg FROM freq)),
+       |tot AS (SELECT doc_id, count(*) AS n_segments FROM seg GROUP BY doc_id),
+       |ka AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS clean_text,
+       |       count(*) AS n_kept FROM kept GROUP BY doc_id)
+       |SELECT t.doc_id, coalesce(ka.clean_text, '') AS clean_text, t.n_segments,
+       |       t.n_segments - coalesce(ka.n_kept, 0) AS n_dropped
+       |FROM tot t LEFT JOIN ka USING (doc_id)""".stripMargin
 
   /** DuckDB replication of [[minHashPairs]] (char-shingle form) — the
     * exact-oracle SQL for the hash-seeded near-dup pipeline.

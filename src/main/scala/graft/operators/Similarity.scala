@@ -322,16 +322,22 @@ object Similarity {
   def ivfTopKTrained(emb: DataFrame, query: Seq[Float], k: Int,
                      centroids: Array[Array[Double]], nprobe: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // same metric as bestCell: min ‖q−c‖² = max (q·c − ‖c‖²/2)
+    val probes = probeCells(query, centroids, nprobe)
+    val probed =
+      if (probes.length == centroids.length) emb
+      else emb.where(bestCell(col(vecCol), centroids).isin(probes: _*))
+    bruteForceTopK(probed, query, k, idCol, vecCol)
+  }
+
+  /** The query's `nprobe` best cells — same metric as [[bestCell]]:
+    * min ‖q−c‖² = max (q·c − ‖c‖²/2); ties to the lowest index. */
+  private def probeCells(query: Seq[Float], centroids: Array[Array[Double]],
+                         nprobe: Int): Array[Int] = {
     def cellScore(c: Array[Double]): Double =
       query.zip(c).map { case (x, y) => x.toDouble * y }.sum -
         c.map(x => x * x).sum / 2.0
-    val probeCells = centroids.zipWithIndex
+    centroids.zipWithIndex
       .sortBy { case (c, i) => (-cellScore(c), i) }.take(nprobe).map(_._2)
-    val probed =
-      if (probeCells.length == centroids.length) emb
-      else emb.where(bestCell(col(vecCol), centroids).isin(probeCells: _*))
-    bruteForceTopK(probed, query, k, idCol, vecCol)
   }
 
   /** Cell assignment column for writing an IVF-partitioned layout:
@@ -438,6 +444,46 @@ object Similarity {
                      shortlist: Int, idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
     val cand = pqAdcTopK(codes, query, codebooks, shortlist, idCol)
+      .select(col(idCol))
+    val q = typedLit(query)
+    emb.join(cand, Seq(idCol), "left_semi")
+      .select(col(idCol), VF.euclidean(col(vecCol), q).as("dist"))
+      .orderBy(col("dist").asc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** IVF-PQ stored layout: (id, cell, c0..c{m−1}) in ONE map-only pass —
+    * the composed index production ANN systems actually ship (FAISS
+    * IVFPQ): coarse cell for partition pruning, PQ codes for the in-cell
+    * scan. Write it `partitionBy("cell")`; at 100 TB a probe then reads
+    * `nprobe/nCells` of the table at m bytes per vector — the float
+    * store is touched only by the re-rank semi-join. */
+  def ivfPqEncode(emb: DataFrame, centroids: Array[Array[Double]],
+                  codebooks: Array[Array[Array[Double]]],
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val m = codebooks.length
+    val d = codebooks(0)(0).length
+    val vd = col(vecCol).cast("array<double>")
+    emb.select(col(idCol) +: bestCell(col(vecCol), centroids).as("cell") +:
+      (0 until m).map(j => bestCell(slice(vd, j * d + 1, d), codebooks(j)).as(s"c$j")): _*)
+  }
+
+  /** IVF-PQ search: restrict the ADC scan to the query's `nprobe` best
+    * cells, then exact re-rank of the `shortlist` ADC winners (semi-join
+    * into the float store). With `nprobe = nCells` AND `shortlist ≥ N`
+    * both approximations vanish and the result EQUALS exact Euclidean
+    * top-k — the oracle anchor; production runs small nprobe + small
+    * shortlist and pays neither a full scan nor a float read. */
+  def ivfPqTopK(emb: DataFrame, codes: DataFrame, query: Seq[Float],
+                centroids: Array[Array[Double]],
+                codebooks: Array[Array[Array[Double]]], k: Int,
+                nprobe: Int, shortlist: Int,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val probes = probeCells(query, centroids, nprobe)
+    val probed =
+      if (probes.length == centroids.length) codes
+      else codes.where(col("cell").isin(probes: _*))
+    val cand = pqAdcTopK(probed.drop("cell"), query, codebooks, shortlist, idCol)
       .select(col(idCol))
     val q = typedLit(query)
     emb.join(cand, Seq(idCol), "left_semi")

@@ -197,4 +197,70 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(Seq(1L), Seq(10L), Seq(20L)),
       s"expected one representative per component plus isolated docs, got $kept")
   }
+
+  test("bloom decontamination equals the exact anti-join form") {
+    val bench = docs.where($"doc_id" === 4L)
+    val exact = rows(Dedup.decontaminate(docs, bench).select($"doc_id"))
+    val bloom = rows(Dedup.decontaminateBloom(docs, bench).select($"doc_id"))
+    assert(bloom == exact, s"bloom=$bloom exact=$exact")
+    // no false negatives ever: every truly contaminated doc is removed
+    assert(!bloom.contains(Seq(4L)))
+  }
+
+  test("line dedup drops recurring boilerplate lines, keeps order, empties all-common docs") {
+    val footer = "subscribe to our newsletter"
+    val d = Seq(
+      (1L, s"unique opening one\n$footer\nunique closing one"),
+      (2L, s"different body two\n$footer"),
+      (3L, s"$footer\nthird doc text here"),
+      (4L, footer),                 // nothing but the boilerplate
+      (5L, "no newline single segment")
+    ).toDF("doc_id", "text")
+    val r = Dedup.lineDedup(d, minDocFreq = 3).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[String]("clean_text"), x.getAs[Long]("n_segments"), x.getAs[Long]("n_dropped"))))
+      .toMap
+    assert(r(1L) == (("unique opening one\nunique closing one", 3L, 1L)))
+    assert(r(2L) == (("different body two", 2L, 1L)))
+    assert(r(3L) == (("third doc text here", 2L, 1L)))
+    assert(r(4L) == (("", 1L, 1L)))   // fully-boilerplate doc survives as a row
+    assert(r(5L) == (("no newline single segment", 1L, 0L)))
+  }
+
+  test("window dedup drops aligned common segments only") {
+    val d = Seq(
+      (1L, "foo bar alpha beta"),
+      (2L, "foo bar gamma delta"),
+      (3L, "foo bar epsilon zeta"),
+      (4L, "eta theta foo bar")     // "foo bar" NOT window-aligned: segments are "eta theta", "foo bar"
+    ).toDF("doc_id", "text")
+    val r = Dedup.windowDedup(d, segWords = 2, minDocFreq = 4).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("clean_text")).toMap
+    // "foo bar" is a window in all four docs → dropped everywhere
+    assert(r == Map(1L -> "alpha beta", 2L -> "gamma delta",
+      3L -> "epsilon zeta", 4L -> "eta theta"))
+    // at minDocFreq above the occurrence count nothing drops
+    val keepAll = Dedup.windowDedup(d, segWords = 2, minDocFreq = 5).collect()
+      .map(x => x.getAs[Long]("n_dropped")).toSet
+    assert(keepAll == Set(0L))
+  }
+
+  test("duplicate spans cover exactly the planted shared substring, merged maximally") {
+    // 30-char shared region planted at different offsets in docs 1 and 2;
+    // doc 3 shares nothing 20 chars long. All lowercase single-space so
+    // normalized positions == raw positions (1-based).
+    val shared = "abcdefghijklmnopqrstuvwxyz0123"          // 30 chars
+    val d = Seq(
+      (1L, s"qqq www $shared eee rrr ttt yyy uuu"),         // shared at pos 9
+      (2L, s"zzz $shared ppp ooo iii kkk jjj hhh lll"),     // shared at pos 5
+      (3L, "totally unrelated content with no long overlap at all here")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(d, k = 20, minDocs = 2).collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("span_start"),
+        x.getAs[Long]("span_end"), x.getAs[Long]("n_grams"))).toSet
+    // the shared region is flanked by spaces in BOTH docs, so grams
+    // covering the leading/trailing space also match: starts P-1..P+11
+    // (13 grams), one merged span [P-1, P+30] per doc
+    assert(spans == Set((1L, 8L, 39L, 13L), (2L, 4L, 35L, 13L)), s"got $spans")
+  }
 }

@@ -51,6 +51,21 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf == bf)
   }
 
+  test("IVF-PQ: all probes + all-rows shortlist equals brute force; pruned probe keeps recall") {
+    val cent = Similarity.kmeansCentroids(emb, k = 8, iters = 2)
+    val cb = Similarity.pqTrainedCodebooks(emb, dim = 64, m = 8, k = 16)
+    val codes = Similarity.ivfPqEncode(emb, cent, cb).localCheckpoint(true)
+    val bf = rows(Similarity.bruteForceTopK(emb, query, 10).select(col("vec_id")))
+    val exactTwin = rows(Similarity.ivfPqTopK(emb, codes, query, cent, cb,
+      k = 10, nprobe = cent.length, shortlist = 1000000).select(col("vec_id")))
+    assert(exactTwin == bf, "all-probes+all-shortlist IVF-PQ must equal exact top-k")
+    val pruned = rows(Similarity.ivfPqTopK(emb, codes, query, cent, cb,
+      k = 10, nprobe = 3, shortlist = 50).select(col("vec_id"))).map(_.head)
+    assert(pruned.size == 10)
+    val recall = pruned.count(bf.map(_.head)).toDouble / 10
+    assert(recall >= 0.5, s"ivfpq nprobe=3 shortlist=50 recall $recall")
+  }
+
   test("partial probe keeps high recall at a fraction of the scan") {
     val cent = Similarity.kmeansCentroids(emb, k = 8, iters = 3)
     val bf = rows(Similarity.bruteForceTopK(emb, query, 10).select(col("vec_id")))
