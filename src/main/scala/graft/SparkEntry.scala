@@ -1052,6 +1052,17 @@ object SparkEntry {
         docs.where(col("lang") === "en"), docs.where(col("lang") =!= "en"))
     }),
 
+    // --- pipeline: DSIR importance selection (Xie et al. 2023) —
+    //     hashed unigram+bigram bucket model of the en slice vs the
+    //     rest; log-likelihood-ratio scores, deterministic top-50.
+    //     B-row count tables collect (B-bounded), λ bakes into the
+    //     plan, scoring is a map-only second scan --------------------
+    "q139_dsir_select" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Sampling.dsirSelect(docs.where(col("lang") =!= "en"),
+        docs.where(col("lang") === "en"), n = 50)
+    }),
+
     // --- pipeline: blocklist screen (the C4 bad-words step) — distinct
     //     blocked-term count per doc + pass flag; blocklist is a plan
     //     literal, map-only, no shuffle -------------------------------
@@ -2445,6 +2456,11 @@ object SparkEntry {
     // restricted to (new, base) cross pairs
     "q133_incremental_neardup" -> Dedup.minHashAgainstOracleSql(
       "a.doc_id % 5 = 0", "b.doc_id % 5 <> 0", threshold = 0.35),
+
+    // DSIR selection: identical FNV+splitmix bucket hashing, smoothed
+    // count ratios from identical integer inputs, decimal sums, 6 dp
+    "q139_dsir_select" -> Sampling.dsirOracleSql(
+      "lang <> 'en'", "lang = 'en'", n = 50),
 
     // duplicate-substring spans: gram doc-frequency over raw substrings
     // (the Spark-side hash only relabels equal grams), islands merge

@@ -346,4 +346,90 @@ object Sampling {
         count(lit(1)).as("n_docs"),
         sum(graft.functions.TextFunctions.tokenCount(col(textCol))).as("n_tokens"))
   }
+
+  /** DSIR-style importance selection (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score each RAW
+    * document by the log-likelihood ratio of its hashed n-gram features
+    * under an add-α-smoothed bag-of-buckets model of the TARGET slice
+    * vs the raw corpus, and keep the top `n` — the cheap distribution-
+    * matching selector. (The paper resamples with Gumbel noise; the
+    * deterministic top-n variant keeps the operator exactly
+    * oracle-checkable — the same trade [[ppsSample]] makes vs `rand()`.)
+    *
+    * Features are unigrams + word bigrams hashed into `buckets` buckets
+    * via [[graft.functions.TextFunctions.fnvMix64]] (SQL-replicable).
+    * The two bucket-count tables are B rows BY CONSTRUCTION, so they
+    * collect to the driver (B-bounded, corpus-size-independent) and the
+    * λ_b = ln p_target(b) − ln p_raw(b) weight vector bakes into the
+    * scoring plan as a literal — scoring is then a MAP-ONLY second scan
+    * of the raw corpus plus one per-doc partial-aggregated sum; no
+    * corpus-sized join anywhere. Per-doc scores sum in DECIMAL(38,30)
+    * (order-independent) and round to 6 dp — the one-shot engine-parity
+    * stance of the mean-pool operator; rounded-grid ties break by id.
+    * Docs with zero features (no tokens) have no likelihood under
+    * either model and drop out. */
+  def dsirSelect(raw: DataFrame, target: DataFrame, n: Int, buckets: Int = 1024,
+                 alpha: Double = 1.0, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    import graft.functions.{TextFunctions => TF}
+    def feats(df: DataFrame) = df
+      .select(col(idCol).as("id"), TF.tokens(col(textCol)).as("t"))
+      .select(col("id"),
+        explode(concat(col("t"), TF.wordShinglesOf(col("t"), 2))).as("f"))
+      .select(col("id"), pmod(TF.fnvMix64(col("f")), lit(buckets.toLong)).as("b"))
+    val rawF = feats(raw).localCheckpoint(true) // counts AND scoring read it
+    def bucketCounts(f: DataFrame): Map[Long, Long] =
+      f.groupBy("b").agg(count(lit(1)).as("c")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ct = bucketCounts(feats(target))
+    val cr = bucketCounts(rawF)
+    val (nT, nR) = (ct.values.sum, cr.values.sum)
+    val lam = Array.tabulate(buckets) { b =>
+      math.log((ct.getOrElse(b.toLong, 0L) + alpha) / (nT + alpha * buckets)) -
+        math.log((cr.getOrElse(b.toLong, 0L) + alpha) / (nR + alpha * buckets))
+    }
+    rawF
+      .select(col("id"), element_at(typedLit(lam.toSeq), col("b").cast("int") + 1).as("lam"))
+      .groupBy("id")
+      .agg(round(sum(col("lam").cast("decimal(38,30)")).cast("double"), 6).as("dsir_score"))
+      .orderBy(col("dsir_score").desc, col("id").asc)
+      .limit(n)
+      .select(col("id").as(idCol), col("dsir_score"))
+  }
+
+  /** DuckDB replication of [[dsirSelect]]: identical FNV+splitmix
+    * bucket hashing (distinct features hash once), the same smoothed
+    * count ratios (integer counts → IEEE double division → ln, both
+    * engines from identical inputs), decimal score sums, 6-dp round.
+    * `rawPred`/`targetPred` are SQL predicates over `documents`
+    * selecting the two slices. */
+  def dsirOracleSql(rawPred: String, targetPred: String, n: Int,
+                    buckets: Int = 1024, alpha: Double = 1.0): String =
+    s"""WITH rdoc AS (SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS t
+       |  FROM documents WHERE ($rawPred) AND LEN(TRIM(text)) > 0),
+       |tdoc AS (SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS t
+       |  FROM documents WHERE ($targetPred) AND LEN(TRIM(text)) > 0),
+       |rf0 AS (SELECT doc_id, unnest(t || list_transform(generate_series(1, LEN(t)-1),
+       |  i -> t[i] || ' ' || t[i+1])) AS k FROM rdoc),
+       |tf0 AS (SELECT doc_id, unnest(t || list_transform(generate_series(1, LEN(t)-1),
+       |  i -> t[i] || ' ' || t[i+1])) AS k FROM tdoc),
+       |uk AS (SELECT DISTINCT k FROM (SELECT k FROM rf0 UNION ALL SELECT k FROM tf0)),
+       |${TextAnalysis.foldMixSql("uk", "ukh")},
+       |hb AS (SELECT k, ((${TextAnalysis.toSignedSql("hm")} % $buckets) + $buckets) % $buckets AS b
+       |       FROM ukh),
+       |rfeat AS (SELECT f.doc_id, h.b FROM rf0 f JOIN hb h USING (k)),
+       |tfeat AS (SELECT f.doc_id, h.b FROM tf0 f JOIN hb h USING (k)),
+       |crt AS (SELECT b, count(*) AS c FROM rfeat GROUP BY b),
+       |ctt AS (SELECT b, count(*) AS c FROM tfeat GROUP BY b),
+       |tots AS (SELECT (SELECT count(*) FROM rfeat) AS nr, (SELECT count(*) FROM tfeat) AS nt),
+       |lam AS (SELECT g.b,
+       |  ln((coalesce(ctt.c, 0) + $alpha) / (tots.nt + $alpha * $buckets)) -
+       |  ln((coalesce(crt.c, 0) + $alpha) / (tots.nr + $alpha * $buckets)) AS lam
+       |  FROM (SELECT unnest(generate_series(0, ${buckets - 1})) AS b) g
+       |  CROSS JOIN tots LEFT JOIN ctt ON g.b = ctt.b LEFT JOIN crt ON g.b = crt.b),
+       |sc AS (SELECT f.doc_id,
+       |  ROUND(CAST(SUM(CAST(l.lam AS DECIMAL(38,30))) AS DOUBLE), 6) AS dsir_score
+       |  FROM rfeat f JOIN lam l USING (b) GROUP BY f.doc_id)
+       |SELECT doc_id, dsir_score FROM sc
+       |ORDER BY dsir_score DESC, doc_id ASC LIMIT $n""".stripMargin
 }

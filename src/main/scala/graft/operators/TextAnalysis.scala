@@ -437,12 +437,12 @@ object TextAnalysis {
     * distinct tokens/windows hash once globally, then join back. */
   // ── HUGEINT-mod-2^64 replication of TF.fnvMix64 for oracle SQL
   //    builders (shared by the fingerprint and winnowing oracles) ──────
-  private val Two64 = "18446744073709551616"
-  private def mmSql(a: String, b: String): String =
+  private[operators] val Two64 = "18446744073709551616"
+  private[operators] def mmSql(a: String, b: String): String =
     s"(((($a) >> 32) * $b) % $Two64 * 4294967296 + (($a) % 4294967296) * $b) % $Two64"
-  private def uSql(v: Long): String = java.lang.Long.toUnsignedString(v)
+  private[operators] def uSql(v: Long): String = java.lang.Long.toUnsignedString(v)
   /** Per-key FNV-1a fold over codepoints + splitmix64, as staged CTEs. */
-  private def foldMixSql(src: String, out: String): String =
+  private[operators] def foldMixSql(src: String, out: String): String =
     s"""${out}_f AS (SELECT k, list_reduce(list_prepend(${uSql(0xCBF29CE484222325L)}::HUGEINT,
        |  list_transform(generate_series(1, length(k)), i -> CAST(unicode(k[i]) AS HUGEINT))),
        |  (h, ch) -> ${mmSql("xor(h, ch)", "1099511628211")}) AS h0 FROM $src),
@@ -450,7 +450,7 @@ object TextAnalysis {
        |${out}_2 AS (SELECT k, ${mmSql("xor(z, z >> 30)", uSql(0xBF58476D1CE4E5B9L))} AS z FROM ${out}_1),
        |${out}_3 AS (SELECT k, ${mmSql("xor(z, z >> 27)", uSql(0x94D049BB133111EBL))} AS z FROM ${out}_2),
        |$out AS (SELECT k, xor(z, z >> 31) AS hm FROM ${out}_3)""".stripMargin
-  private def toSignedSql(e: String): String =
+  private[operators] def toSignedSql(e: String): String =
     s"CAST(CASE WHEN $e >= 9223372036854775808 THEN $e - $Two64 ELSE $e END AS BIGINT)"
 
   /** DuckDB replication of [[winnow]]: k-gram FNV+splitmix hashes per

@@ -193,6 +193,27 @@ class SamplingSpec extends SparkSpec {
     assert(out.toSeq == Seq(("s1", 0L, "a b\nc", 2L), ("s2", 0L, "d e\nf", 2L)))
   }
 
+  test("dsir selection ranks target-like docs first, deterministically") {
+    import spark.implicits._
+    // target talks about cats; raw has 3 cat-like docs among dog docs
+    val target = Seq(
+      (100L, "cat purr whiskers cat nap purr"),
+      (101L, "whiskers cat purr cat")).toDF("doc_id", "text")
+    val raw = (1L to 3L).map(i => (i, "cat purr whiskers nap")) ++
+      (4L to 9L).map(i => (i, "dog bark fetch bone growl"))
+    val rawDf = raw.toDF("doc_id", "text")
+    val top3 = Sampling.dsirSelect(rawDf, target, n = 3).collect()
+      .map(r => r.getAs[Long]("doc_id")).toSet
+    assert(top3 == Set(1L, 2L, 3L), s"expected the cat-like docs, got $top3")
+    // scores of identical docs are identical; rerun is bit-identical
+    val again = Sampling.dsirSelect(rawDf, target, n = 3).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val first = Sampling.dsirSelect(rawDf, target, n = 3).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(again == first)
+    assert(again.map(_._2).size == 1, "identical docs must score identically")
+  }
+
   test("token-budget selection keeps the best-scored prefix within budget") {
     import spark.implicits._
     // scores: doc 3 best, then 1, then 2; tokens 3 each → budget 7 keeps 3,1
