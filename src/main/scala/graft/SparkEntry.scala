@@ -63,6 +63,17 @@ object SparkEntry {
     """SELECT ((i*48271)%65537)%1000 AS src, ((i*69621+12345)%65537)%1000 AS dst
       |FROM range(2000) t(i)""".stripMargin
 
+  /** The bench digraph's LCG folded onto 200 nodes — avg degree ~20, so
+    * it actually contains triangles (1048 of them; the 1000-node graph
+    * has 9 — too thin to exercise a per-node triangle count). */
+  private def denseGraph(s: SparkSession): DataFrame =
+    s.range(2000).select(
+      pmod(pmod(col("id") * 48271L, lit(65537L)), lit(200L)).as("src"),
+      pmod(pmod(col("id") * 69621L + 12345L, lit(65537L)), lit(200L)).as("dst"))
+  private val denseGraphSql =
+    """SELECT ((i*48271)%65537)%200 AS src, ((i*69621+12345)%65537)%200 AS dst
+      |FROM range(2000) t(i)""".stripMargin
+
   /** Sparse undirected chain with 5 components (for connected components). */
   private def ccEdges(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "nation").select(col("n_nationkey").cast("int").as("k"))
@@ -1298,6 +1309,27 @@ object SparkEntry {
     "q119_pagerank_decimal" -> ((s, dir) =>
       graft.operators.GraphOps.pageRank(benchGraph(s), iters = 5)),
 
+    // --- graph: fixed-iteration HITS on the BASELINE digraph — hub/
+    //     authority power iteration with MAX normalization (order-
+    //     independent, no global fold), value-sorted sequential sums:
+    //     the whole fixpoint hash-matches DuckDB bit-for-bit ----------
+    "q140_hits" -> ((s, dir) =>
+      graft.operators.GraphOps.hits(benchGraph(s), iters = 3,
+        exactSum = true)),
+
+    // --- graph: HITS in the PRODUCTION sum mode — decimal partials
+    //     (order-independent, no per-node in-degree state), rows-only
+    //     for the same double→decimal cast reason as q119; q140
+    //     anchors the identical algebra exactly ----------------------
+    "q141_hits_decimal" -> ((s, dir) =>
+      graft.operators.GraphOps.hits(benchGraph(s), iters = 3)),
+
+    // --- graph: per-node TRIANGLE counts via degree orientation
+    //     (wedges bounded by oriented out-degree — the power-law-safe
+    //     shape); the oracle is the naive a<b<c triple join ----------
+    "q142_triangles" -> ((s, dir) =>
+      graft.operators.GraphOps.triangleCounts(denseGraph(s))),
+
     // re-rank with shortlist ≥ N == exact Euclidean top-k regardless of
     // codebooks — the hard oracle anchor for the trained semi-join +
     // re-rank path (the q66/q67/q91 pattern)
@@ -1539,6 +1571,36 @@ object SparkEntry {
        |pr0 AS (SELECT node, ${dLit(1.0 / n)} AS pr FROM nd),
        |$steps
        |SELECT node, pr FROM pr5""".stripMargin
+  }
+
+  /** HITS replication: per-half-step value-sorted sequential folds
+    * (the q107 idiom) + max normalization — max over identical doubles
+    * is order-independent, the division exactly rounded, so 3
+    * iterations replay bit-for-bit with no rounding anywhere. */
+  private lazy val q140OracleSql: String = {
+    val steps = (1 to 3).map { k =>
+      s"""ar$k AS (SELECT nd.node, COALESCE(cs.s, 0.0e0) AS a FROM nd LEFT JOIN (
+         |    SELECT e.dst AS node,
+         |      list_reduce(list_prepend(0.0e0, list_sort(list(p.h))), (x, y) -> x + y) AS s
+         |    FROM e JOIN h${k - 1} p ON e.src = p.node GROUP BY e.dst) cs
+         |  ON cs.node = nd.node),
+         |a$k AS (SELECT node, CASE WHEN mx = 0 THEN 0.0e0 ELSE a / mx END AS a
+         |        FROM ar$k, (SELECT MAX(a) AS mx FROM ar$k)),
+         |hr$k AS (SELECT nd.node, COALESCE(cs.s, 0.0e0) AS h FROM nd LEFT JOIN (
+         |    SELECT e.src AS node,
+         |      list_reduce(list_prepend(0.0e0, list_sort(list(p.a))), (x, y) -> x + y) AS s
+         |    FROM e JOIN a$k p ON e.dst = p.node GROUP BY e.src) cs
+         |  ON cs.node = nd.node),
+         |h$k AS (SELECT node, CASE WHEN mx = 0 THEN 0.0e0 ELSE h / mx END AS h
+         |        FROM hr$k, (SELECT MAX(h) AS mx FROM hr$k))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS ($benchGraphSql),
+       |nd AS (SELECT DISTINCT node FROM
+       |  (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e) t),
+       |h0 AS (SELECT node, 1.0e0 AS h FROM nd),
+       |$steps
+       |SELECT h3.node, h3.h AS hub, a3.a AS authority
+       |FROM h3 JOIN a3 ON h3.node = a3.node""".stripMargin
   }
 
   private lazy val q101OracleSql: String =
@@ -2682,6 +2744,19 @@ object SparkEntry {
     "q104_pq_codes" -> q104OracleSql,
     "q105_pq_adc_seeded" -> q105OracleSql,
     "q107_pagerank" -> q107OracleSql,
+    "q140_hits" -> q140OracleSql,
+
+    // naive a<b<c triple join over canonical undirected edges — every
+    // triangle found once; per-node counts by exploding its 3 vertices
+    "q142_triangles" ->
+      s"""WITH e0 AS ($denseGraphSql),
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |        FROM e0 WHERE src <> dst),
+         |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |        FROM und e1 JOIN und e2 ON e1.a = e2.a AND e1.b < e2.b
+         |        JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+         |n AS (SELECT unnest([x, y, z]) AS node FROM tri)
+         |SELECT node, count(*) AS n_triangles FROM n GROUP BY node""".stripMargin,
 
     // keep iff pos·den < n_chars·num·2³¹ — pure integer arithmetic,
     // bit-for-bit across engines

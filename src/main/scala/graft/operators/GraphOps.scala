@@ -16,6 +16,16 @@ private[operators] final case class RankBarrier(
   */
 object GraphOps {
 
+  /** One eager checkpoint, re-wrapped with FRESH attribute ids
+    * (createDataFrame) so later joins against the same table never
+    * become same-exprId self-joins; no count job. */
+  private def barrier(df: DataFrame): RankBarrier = {
+    val ck = df.localCheckpoint(true)
+    RankBarrier(
+      ck.sparkSession.createDataFrame(ck.rdd, ck.schema),
+      Fixpoint.checkpointRddOf(ck))
+  }
+
   /** Fixed-iteration PageRank: PR₀ = 1/N;
     * PRₜ₊₁(v) = (1−d)/N + d·Σ_{(u,v)∈E} PRₜ(u)/outdeg(u).
     * Parallel (duplicate) edges contribute once each; dangling-node
@@ -47,15 +57,6 @@ object GraphOps {
   def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
                srcCol: String = "src", dstCol: String = "dst",
                exactSum: Boolean = false): DataFrame = {
-    // one eager checkpoint per iteration, re-wrapped with FRESH
-    // attribute ids (createDataFrame) so nodes⋈contrib never becomes a
-    // same-exprId self-join; no count job — nothing here needs the size
-    def barrier(df: DataFrame): RankBarrier = {
-      val ck = df.localCheckpoint(true)
-      RankBarrier(
-        ck.sparkSession.createDataFrame(ck.rdd, ck.schema),
-        Fixpoint.checkpointRddOf(ck))
-    }
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
     val nodesM = barrier(
@@ -101,6 +102,117 @@ object GraphOps {
     val out = pr.df
     eod.unpersist()
     nodesM.unpersist()
+    out
+  }
+
+  /** Fixed-iteration HITS (Kleinberg): authority aₜ(v) = Σ_{(u,v)∈E}
+    * hₜ₋₁(u), hub hₜ(u) = Σ_{(u,v)∈E} aₜ(v), each normalized by its MAX
+    * after every half-step. Max normalization instead of the textbook
+    * L2: the max of identical doubles is order-independent and needs no
+    * global fold — with `exactSum` the whole fixpoint is then
+    * bit-reproducible across engines (value-sorted sequential per-node
+    * sums + one exactly-rounded division; an L2 norm would need a
+    * globally ordered Σx² fold — per-GRAPH driver state). Returns
+    * (node, hub, authority).
+    *
+    * Same two sum modes as [[pageRank]] and the same scale shape: per
+    * iteration, two join+aggregated-shuffle pairs (src then dst), each
+    * behind an eager checkpoint barrier with superseded tables
+    * unpersisted; the max is a tiny broadcast cross join, never a
+    * driver collect. Parallel edges contribute once each; nodes with
+    * no in-edges (resp. out-edges) hold authority (resp. hub) 0. */
+  def hits(edges: DataFrame, iters: Int, srcCol: String = "src",
+           dstCol: String = "dst", exactSum: Boolean = false): DataFrame = {
+    require(iters >= 1, "need iters >= 1")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val nodesM = barrier(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct())
+    val nodes = nodesM.df
+    val eM = barrier(e)
+    val ed = eM.df
+    def summed(contrib: DataFrame, out: String): DataFrame = {
+      val g = contrib.groupBy("node")
+      val s =
+        if (exactSum)
+          g.agg(aggregate(sort_array(collect_list(col("c"))),
+            lit(0.0), (acc, x) => acc + x).as("s"))
+        else
+          g.agg(sum(col("c").cast("decimal(38,30)")).cast("double").as("s"))
+      nodes.join(s, Seq("node"), "left")
+        .select(col("node"), coalesce(col("s"), lit(0.0)).as(out))
+    }
+    def normalized(raw: DataFrame, valCol: String): DataFrame = {
+      val mx = raw.agg(max(col(valCol)).as("mx"))
+      val norm = when(col("mx") === 0.0, lit(0.0))
+        .otherwise(col(valCol) / col("mx"))
+      raw.crossJoin(broadcast(mx))
+        .select(col("node"),
+          (if (exactSum) norm else round(norm, 10)).as(valCol))
+    }
+    var h = barrier(nodes.withColumn("h", lit(1.0)))
+    var a: RankBarrier = null
+    var it = 0
+    while (it < iters) {
+      val aN = barrier(normalized(summed(
+        ed.join(h.df.withColumnRenamed("node", "src"), Seq("src"))
+          .select(col("dst").as("node"), col("h").as("c")), "a"), "a"))
+      if (a != null) a.unpersist()
+      a = aN
+      val hN = barrier(normalized(summed(
+        ed.join(a.df.withColumnRenamed("node", "dst"), Seq("dst"))
+          .select(col("src").as("node"), col("a").as("c")), "h"), "h"))
+      h.unpersist()
+      h = hN
+      it += 1
+    }
+    val out = h.df.join(a.df, Seq("node"))
+      .select(col("node"), col("h").as("hub"), col("a").as("authority"))
+    eM.unpersist()
+    nodesM.unpersist()
+    out
+  }
+
+  /** Per-node triangle counts via DEGREE ORIENTATION — the shape that
+    * survives power-law graphs: orient each undirected edge from its
+    * (degree, node)-smaller endpoint to the larger, enumerate wedges at
+    * each orientation source (pairs of out-neighbors — bounded by the
+    * ORIENTED out-degree, O(√m) on any graph, instead of the raw degree
+    * a hub would contribute), and close them with a semi-join back into
+    * the edge set. The (deg, node) total order makes the orientation
+    * acyclic, so every triangle has exactly one vertex with two
+    * in-triangle out-edges and is counted exactly once. Shuffles carry
+    * only node-id pairs/triples. Self-loops drop; parallel edges count
+    * once. Returns (node, n_triangles), nodes in ≥ 1 triangle. */
+  def triangleCounts(edges: DataFrame, srcCol: String = "src",
+                     dstCol: String = "dst"): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("s"),
+      col(dstCol).cast("long").as("d"))
+    val undM = barrier(e.where(col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("a"),
+        greatest(col("s"), col("d")).as("b")).distinct())
+    val und = undM.df
+    val deg = und.select(explode(array(col("a"), col("b"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    // a < b in canonical edges, so (deg,node) ties orient a → b
+    val orientedM = barrier(und
+      .join(deg.select(col("n").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("deg").as("db")), Seq("b"))
+      .select(when(col("da") <= col("db"), col("a")).otherwise(col("b")).as("u"),
+        when(col("da") <= col("db"), col("b")).otherwise(col("a")).as("v")))
+    val o = orientedM.df
+    val wedges = o.select(col("u"), col("v").as("v1"))
+      .join(o.select(col("u"), col("v").as("v2")), Seq("u"))
+      .where(col("v1") < col("v2"))
+    val tri = wedges.join(
+      und.select(col("a").as("v1"), col("b").as("v2")), Seq("v1", "v2"), "left_semi")
+    val out = tri
+      .select(explode(array(col("u"), col("v1"), col("v2"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+      .localCheckpoint(true) // materialize, then free the input barriers
+    orientedM.unpersist()
+    undM.unpersist()
     out
   }
 }

@@ -47,4 +47,49 @@ class GraphOpsSpec extends SparkSpec {
     // exact mode is itself reproducible (the oracle contract)
     assert(exa == ranks(GraphOps.pageRank(edges.repartition(5), iters = 5, exactSum = true)))
   }
+
+  test("hits separates hubs from authorities and both sum modes agree") {
+    import spark.implicits._
+    // 0,1,2 all point at 8 and 9; 8,9 point nowhere else
+    val bip = (for (h <- 0L to 2L; a <- 8L to 9L) yield (h, a)).toDF("src", "dst")
+    val r = GraphOps.hits(bip, iters = 3, exactSum = true).collect()
+      .map(x => x.getAs[Long]("node") ->
+        ((x.getAs[Double]("hub"), x.getAs[Double]("authority")))).toMap
+    // pure hubs: hub 1, authority 0; pure authorities: the reverse
+    (0L to 2L).foreach { n => assert(r(n) == ((1.0, 0.0)), s"hub $n: ${r(n)}") }
+    (8L to 9L).foreach { n => assert(r(n) == ((0.0, 1.0)), s"auth $n: ${r(n)}") }
+    val edges = (0 until 200).map { i =>
+      ((i.toLong * 48271 % 65537) % 50, ((i.toLong * 69621 + 12345) % 65537) % 50)
+    }.toDF("src", "dst")
+    def hm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(x => x.getAs[Long]("node") ->
+        ((x.getAs[Double]("hub"), x.getAs[Double]("authority")))).toMap
+    val dec = hm(GraphOps.hits(edges, iters = 3))
+    val exa = hm(GraphOps.hits(edges, iters = 3, exactSum = true))
+    assert(dec.keySet == exa.keySet)
+    dec.foreach { case (n, (h, a)) =>
+      assert(math.abs(h - exa(n)._1) < 1e-9 && math.abs(a - exa(n)._2) < 1e-9,
+        s"node $n: ($h,$a) vs ${exa(n)}")
+    }
+    // exact mode reproducible across partitionings (the oracle contract)
+    assert(exa == hm(GraphOps.hits(edges.repartition(5), iters = 3, exactSum = true)))
+  }
+
+  test("triangle counts: K4, orientation-stressing hub, parallel/self edges") {
+    import spark.implicits._
+    def counts(df: org.apache.spark.sql.DataFrame) =
+      GraphOps.triangleCounts(df).collect()
+        .map(r => r.getAs[Long]("node") -> r.getAs[Long]("n_triangles")).toMap
+    // K4: 4 triangles, every node in exactly 3
+    val k4 = (for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b)).toDF("src", "dst")
+    assert(counts(k4) == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    // hub fan: hub 0 connects to 1..6, plus one rim edge (1,2):
+    // exactly one triangle {0,1,2}; self-loops and duplicates ignored
+    val fan = ((1L to 6L).map(h => (0L, h)) ++
+      Seq((1L, 2L), (2L, 1L), (3L, 3L), (0L, 1L))).toDF("src", "dst")
+    assert(counts(fan) == Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
+    // triangle-free graph → empty result
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("src", "dst")
+    assert(counts(path).isEmpty)
+  }
 }
