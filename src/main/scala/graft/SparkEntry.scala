@@ -2702,11 +2702,17 @@ object SparkEntry {
          |  unnest(generate_series(0, copies - 1)) AS rep
          |FROM c WHERE copies > 0""".stripMargin,
 
-    // q98 (50 learned merges) is rows-only — the merge loop is
-    // iterative state over the whole vocabulary, not SQL-expressible;
-    // q99 is its exact anchor: the FIRST merge is the argmax adjacent
-    // char pair (overlapping count weighted by word frequency,
-    // lexicographic tiebreak), computable in one SQL aggregation
+    // q98: the FULL 50-merge training loop replayed as chained
+    // MATERIALIZED CTEs — one (pair-count → argmax → fold-apply)
+    // triple per merge (Bpe.trainOracleSql); q99 stays as the
+    // single-aggregation first-merge anchor
+    "q98_bpe_merges" -> Bpe.trainOracleSql(numMerges = 50),
+
+    // q100: per-doc counts under the same 50-stage replay — the
+    // training segmentation of each vocab word, summed per document
+    // (inference ≡ training-order application, fuzz-pinned in BpeSpec)
+    "q100_bpe_encode" -> Bpe.tokenCountsOracleSql(numMerges = 50),
+
     "q99_bpe_first_merge" ->
       """WITH tok AS (
         |SELECT unnest(regexp_split_to_array(TRIM(text), '\s+')) AS word
@@ -2719,10 +2725,8 @@ object SparkEntry {
         |SELECT CAST(0 AS BIGINT) AS rank, l AS lhs, r AS rhs
         |FROM p ORDER BY cnt DESC, l, r LIMIT 1""".stripMargin,
 
-    // q100 (encode under 50 merges) is rows-only; q101 is its exact
-    // anchor: with ONE merge, tokens(word) = length − non-overlapping
-    // occurrences of the pair, and a single-pass string replace counts
-    // those occurrences with identical left-to-right semantics
+    // q101: the one-merge anchor (replace-based count, identical
+    // left-to-right semantics) — kept alongside q100's full replay
     "q101_bpe_encode_one" -> q101OracleSql,
 
     // pack by the same one-merge BPE counts: the q101 chain feeds the

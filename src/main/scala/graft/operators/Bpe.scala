@@ -193,4 +193,75 @@ object Bpe {
     }
     docs.select(col(idCol), countUdf(TF.tokens(col(textCol))).as("n_bpe_tokens"))
   }
+
+  // ─────────────────────────────────────────────────────────────────────
+  // DuckDB replication of the FULL multi-merge training loop — one
+  // (pair-count → argmax → merge-apply) CTE triple per merge, chained.
+  // Each stage is AS MATERIALIZED: DuckDB would otherwise inline every
+  // seg_{k-1} reference (two per stage) and the plan doubles per merge.
+  // The merge application replays [[mergeAll]]'s left-to-right
+  // non-overlapping scan as a list_reduce fold over the symbol list
+  // with a chr(1)-joined string accumulator: merge the accumulator's
+  // LAST symbol with the current one iff they equal (lhs, rhs) — a
+  // merged symbol can never itself equal lhs (lhs·rhs = lhs needs an
+  // empty rhs), so the fold fuses exactly the pairs the scan does.
+  // Tie-breaks compare VARCHARs in DuckDB's binary UTF-8 order vs the
+  // JVM's UTF-16 — identical on the BMP (the operator's documented
+  // contract). Early exhaustion agrees too: an empty pair table makes
+  // bt_k empty, which empties every later stage and drops ranks ≥ k
+  // from the output, exactly as the driver loop stops.
+  // ─────────────────────────────────────────────────────────────────────
+  private def segSqlPrefix(numMerges: Int, maxWords: Int): String = {
+    val stages = (1 to numMerges).map { k =>
+      s"""pc$k AS MATERIALIZED (SELECT s.syms[i] AS l, s.syms[i+1] AS r, SUM(s.freq) AS c
+         |  FROM seg${k - 1} s, unnest(generate_series(1, len(s.syms)-1)) u(i) GROUP BY 1, 2),
+         |bt$k AS MATERIALIZED (SELECT l, r FROM pc$k ORDER BY c DESC, l, r LIMIT 1),
+         |seg$k AS MATERIALIZED (SELECT s.word, s.freq,
+         |  string_split(list_reduce(list_prepend('', s.syms), (acc, x) ->
+         |    CASE WHEN acc = '' THEN x
+         |         WHEN (CASE WHEN strpos(reverse(acc), chr(1)) > 0
+         |               THEN substr(acc, length(acc) - strpos(reverse(acc), chr(1)) + 2)
+         |               ELSE acc END) = b.l AND x = b.r
+         |         THEN substr(acc, 1, length(acc) -
+         |              length(CASE WHEN strpos(reverse(acc), chr(1)) > 0
+         |                     THEN substr(acc, length(acc) - strpos(reverse(acc), chr(1)) + 2)
+         |                     ELSE acc END)) || b.l || b.r
+         |         ELSE acc || chr(1) || x END), chr(1)) AS syms
+         |  FROM seg${k - 1} s, bt$k b)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH d AS MATERIALIZED (SELECT doc_id, CASE WHEN LEN(TRIM(text)) = 0 THEN []::VARCHAR[]
+       |  ELSE regexp_split_to_array(TRIM(text), '\\s+') END AS ws FROM documents),
+       |tok AS (SELECT unnest(ws) AS word FROM d),
+       |v AS MATERIALIZED (SELECT word, COUNT(*) AS freq FROM tok
+       |  GROUP BY word ORDER BY freq DESC, word LIMIT $maxWords),
+       |seg0 AS MATERIALIZED (SELECT word, freq,
+       |  list_transform(generate_series(1, length(word)), i -> word[i]) AS syms FROM v),
+       |$stages""".stripMargin
+  }
+
+  /** Exact oracle for [[train]]+[[mergesDf]]: the whole learned merge
+    * table, (rank, lhs, rhs). */
+  def trainOracleSql(numMerges: Int, maxWords: Int = 100000): String = {
+    val finals = (1 to numMerges)
+      .map(k => s"SELECT CAST(${k - 1} AS BIGINT) AS rank, l AS lhs, r AS rhs FROM bt$k")
+      .mkString("\nUNION ALL ")
+    s"${segSqlPrefix(numMerges, maxWords)}\n$finals"
+  }
+
+  /** Exact oracle for [[tokenCounts]]: per-doc Σ of the TRAINING
+    * segmentation length of each word. Licensed by the subword-nmt
+    * property that the lowest-rank-first inference loop reproduces the
+    * training-time segmentation for every word the trainer saw — which
+    * is every corpus word whenever the vocabulary is untruncated
+    * (maxWords ≥ distinct words, true at oracle scale; BpeSpec pins the
+    * property itself). */
+  def tokenCountsOracleSql(numMerges: Int, maxWords: Int = 100000): String =
+    s"""${segSqlPrefix(numMerges, maxWords)},
+       |wl AS (SELECT word, len(syms) AS nseg FROM seg$numMerges),
+       |tokd AS (SELECT d.doc_id, unnest(d.ws) AS word FROM d)
+       |SELECT doc.doc_id, CAST(COALESCE(s.n, 0) AS BIGINT) AS n_bpe_tokens
+       |FROM documents doc LEFT JOIN (
+       |  SELECT t.doc_id, SUM(w.nseg) AS n FROM tokd t JOIN wl w USING (word)
+       |  GROUP BY t.doc_id) s
+       |USING (doc_id)""".stripMargin
 }
