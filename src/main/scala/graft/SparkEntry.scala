@@ -1063,6 +1063,16 @@ object SparkEntry {
         docs.where(col("lang") === "en"), docs.where(col("lang") =!= "en"))
     }),
 
+    // --- pipeline: TEMPERATURE mixing (α = 0.5) — upsample each lang
+    //     by √(n_max/n): the multinomial-sampling exponent flattening
+    //     the language mix halfway toward uniform; exactly-rounded √
+    //     factors rationalize to integers, decisions are splitmix
+    //     arithmetic — deterministic and oracle-exact ----------------
+    "q145_temperature_mix" -> ((s, dir) =>
+      Sampling.temperatureMix(
+        T(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", "lang")),
+
     // --- pipeline: DSIR importance selection (Xie et al. 2023) —
     //     hashed unigram+bigram bucket model of the en slice vs the
     //     rest; log-likelihood-ratio scores, deterministic top-50.
@@ -1157,6 +1167,27 @@ object SparkEntry {
       e.run("?avgm(D, A, C)").last // dirty-group maintained, not recomputed
     }),
 
+    // --- IQL: COUNT_DISTINCT DELTA-MERGE — insert-only batches maintain
+    //     the cd view through the auxiliary distinct-pairs table (new
+    //     pairs anti-join it, per-group increments merge by addition)
+    //     instead of per-dirty-group recomputation; two rounds so the
+    //     second rides the carried-forward table -----------------------
+    "q143_iql_cd_merge" -> ((s, dir) => {
+      val e = iqlEngine(s, dir)
+      e.catalog.register("cemp", T(s, dir, "orders").select(
+        col("o_orderkey").as("id"),
+        pmod(col("o_custkey"), lit(100L)).as("dept"),
+        pmod(floor(col("o_totalprice")).cast("long"), lit(500L)).as("sal")))
+      e.run(
+        """+cdm(D, count_distinct<S>, sum<S>, count<S>) <- cemp(I, D, S)
+          |?cdm(D, C, S, N)
+          |""".stripMargin)
+      e.run("+cemp[(900000001, 0, 77), (900000002, 0, 77), (900000003, 1, 78)]")
+      e.run("?cdm(D, C, S, N)")
+      e.run("+cemp[(900000004, 0, 78), (900000005, 200, 1)]")
+      e.run("?cdm(D, C, S, N)").last // cd delta-merged, not recomputed
+    }),
+
     // --- pipeline: corpus length distribution (exact discrete quantiles) ---------------------
     "q94_corpus_quantiles" -> ((s, dir) =>
       TextAnalysis.lengthDistribution(T(s, dir, "documents"))),
@@ -1244,6 +1275,19 @@ object SparkEntry {
     // --- scale: skew-mitigation twins — the salted plans must equal
     //     their unsalted counterparts row-for-row; the salt exists only
     //     to spread hot keys across reducers --------------------------
+    // --- scale: BUCKETED co-located join — both sides written
+    //     bucketBy(8, custkey), so the equi-join runs with ZERO
+    //     shuffle on either side (bucket i joins bucket i locally;
+    //     PlanQualitySpec asserts no Exchange). Same result as the
+    //     plain join — the layout only moves WHERE the work happens --
+    "q144_bucketed_join" -> ((s, dir) => {
+      val (to, tc) = bucketedTables(s, dir)
+      graft.sources.Layouts.bucketed(s, to)
+        .join(graft.sources.Layouts.bucketed(s, tc), Seq("custkey"))
+        .select(col("o_orderkey"), col("custkey"), col("o_totalprice"),
+          col("c_name"))
+    }),
+
     "q113_salted_join" -> ((s, dir) =>
       graft.operators.Skew.saltedJoin(
         T(s, dir, "orders").select(col("o_orderkey"),
@@ -1425,6 +1469,28 @@ object SparkEntry {
     })
     s.read.parquet(path)
   }
+
+  /** Bucketed co-located join layout per sf dir (the second write-once
+    * layout family: [[graft.sources.Layouts]]): orders and customer both
+    * `bucketBy(8, custkey)` — every later equi-join on custkey is then a
+    * ZERO-SHUFFLE sort-merge (PlanQualitySpec asserts no Exchange). */
+  private val bucketedLayoutCache =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  private def bucketedTables(s: SparkSession, dir: String): (String, String) =
+    bucketedLayoutCache.getOrElseUpdate(dir, {
+      val base = java.nio.file.Files.createTempDirectory("graft_bkt_").toString
+      val suffix = math.abs(dir.hashCode).toString
+      val (to, tc) = (s"g_orders_b_$suffix", s"g_customer_b_$suffix")
+      graft.sources.Layouts.writeBucketed(
+        T(s, dir, "orders").select(col("o_orderkey"),
+          col("o_custkey").as("custkey"), col("o_totalprice")),
+        to, "custkey", buckets = 8, path = s"$base/orders")
+      graft.sources.Layouts.writeBucketed(
+        T(s, dir, "customer").select(col("c_custkey").as("custkey"),
+          col("c_name")),
+        tc, "custkey", buckets = 8, path = s"$base/customer")
+      (to, tc)
+    })
 
   private val hnswCache =
     scala.collection.concurrent.TrieMap.empty[String, graft.index.Hnsw]
@@ -2519,6 +2585,10 @@ object SparkEntry {
     "q133_incremental_neardup" -> Dedup.minHashAgainstOracleSql(
       "a.doc_id % 5 = 0", "b.doc_id % 5 <> 0", threshold = 0.35),
 
+    // temperature mix: same counts → same exactly-rounded sqrt factors
+    // → same integer copy decisions
+    "q145_temperature_mix" -> Sampling.temperatureMixOracleSql(),
+
     // DSIR selection: identical FNV+splitmix bucket hashing, smoothed
     // count ratios from identical integer inputs, decimal sums, 6 dp
     "q139_dsir_select" -> Sampling.dsirOracleSql(
@@ -2663,6 +2733,21 @@ object SparkEntry {
         |SELECT dept AS D, AVG(sal) AS A, COUNT(DISTINCT sal) AS C
         |FROM aemp GROUP BY dept""".stripMargin,
 
+    // the cd view after BOTH insert batches — counts must reflect the
+    // delta-merged pairs table, not a stale or double-counted state
+    "q143_iql_cd_merge" ->
+      """WITH cemp AS (
+        |SELECT o_orderkey AS id, o_custkey % 100 AS dept,
+        |       CAST(FLOOR(o_totalprice) AS BIGINT) % 500 AS sal FROM orders
+        |UNION ALL SELECT 900000001, 0, 77
+        |UNION ALL SELECT 900000002, 0, 77
+        |UNION ALL SELECT 900000003, 1, 78
+        |UNION ALL SELECT 900000004, 0, 78
+        |UNION ALL SELECT 900000005, 200, 1)
+        |SELECT dept AS D, COUNT(DISTINCT sal) AS C,
+        |CAST(SUM(sal) AS BIGINT) AS S, COUNT(sal) AS N
+        |FROM cemp GROUP BY dept""".stripMargin,
+
     // discrete quantiles pick actual data values, so DuckDB's
     // quantile_disc and SQL-standard percentile_disc agree exactly
     // (both: smallest value with cumulative distribution >= q)
@@ -2781,6 +2866,12 @@ object SparkEntry {
     // the salted plans must produce EXACTLY the unsalted results — the
     // oracles are the plain join / plain aggregate
     "q113_salted_join" ->
+      """SELECT o_orderkey, o_custkey AS custkey, o_totalprice, c_name
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    // the bucketed layout must change the PLAN, never the result — the
+    // oracle is the plain join
+    "q144_bucketed_join" ->
       """SELECT o_orderkey, o_custkey AS custkey, o_totalprice, c_name
         |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
     "q114_salted_agg" ->

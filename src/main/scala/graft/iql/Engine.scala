@@ -188,6 +188,23 @@ final class Engine(val catalog: Catalog) {
     * maintenance instead of recomputation (tests assert on this). */
   private[graft] var maintainedCount: Long = 0L
 
+  /** Auxiliary per-view COUNT_DISTINCT state: for a maintained view with
+    * a count_distinct head column, the distinct (group-keys, value)
+    * binding pairs at the stored version — what makes count_distinct
+    * maintenance O(delta) (new pairs anti-join this table; per-group
+    * increments merge by addition) instead of per-dirty-group
+    * recomputation. Keyed (view, head column index); seeded lazily from
+    * the pre-change body state on the first maintenance round, carried
+    * forward materialized thereafter. The reference keeps the analogous
+    * per-group multiset in its DD arrangements
+    * (`src/derived_relations.rs:1-60`). Bounded: one entry per
+    * count_distinct column of a maintained view, newest version only. */
+  private val auxPairsCache =
+    mutable.HashMap.empty[(String, Int), (Long, DataFrame)]
+  /** Observability: count_distinct delta-merges served (tests pin the
+    * path, not just the result). */
+  private[graft] var cdMergedCount: Long = 0L
+
   /** Execute a whole program; returns the result of each `?` query in
     * order. Rules defined in the program (session or persistent) are
     * visible to subsequent statements and later runs. */
@@ -1165,10 +1182,12 @@ final class Engine(val catalog: Catalog) {
         // — "re-query dept sums after +N rows" in single-digit ms): for a
         // single non-recursive rule whose aggregates are all decomposable
         // (sum/count/min/max), aggregate ONLY the new body bindings and
-        // merge per group with the cached result. avg/count_distinct are
-        // not insert-mergeable; multiple changed atoms in one rule would
+        // merge per group with the cached result. count_distinct merges
+        // too, against the auxiliary distinct-pairs table (below). avg is
+        // not insert-mergeable (avg·count re-multiplication is float-
+        // lossy vs recompute); multiple changed atoms in one rule would
         // double-count delta×delta bindings — both fall through to
-        // DIRTY-GROUP maintenance (below) instead of full recompute.
+        // DIRTY-GROUP maintenance instead of full recompute.
         if (sccRules.length != 1 || isRecursive || changedRels(name))
           return None
         val r = sccRules.head
@@ -1177,17 +1196,105 @@ final class Engine(val catalog: Catalog) {
           case (Pos(a), i) if changedRels(a.rel) => i
         }
         val aggIdxSet = aggSpecs.map(_._2).toSet
+        val keyIdxAll = cols.indices.filterNot(aggIdxSet)
+        val cdSpecs = r.head.args.zipWithIndex.collect {
+          case (Agg("count_distinct", arg), i) => (arg, i)
+        }
 
         if (hasRemovals || changedOccs.length != 1 ||
-            !aggSpecs.forall { case (f, _) => Set("sum", "count", "min", "max")(f) })
-          return dirtyGroupMaintain(r, cols.indices.filterNot(aggIdxSet))
-        // the delta aggregation stays LAZY: the local-merge collect below
-        // is its only execution in the common path (its emptiness check
-        // rides along) — materializing first would add a checkpoint +
-        // count job per re-query. Only the distributed fallback
-        // materializes it (the full_outer join reads it twice).
-        val deltaAggDf = deltaDerive(r, changedOccs.head,
-          m => if (m == name) Some(cached) else None)
+            !aggSpecs.forall { case (f, _) =>
+              Set("sum", "count", "min", "max")(f) || f == "count_distinct" } ||
+            (cdSpecs.nonEmpty && keyIdxAll.isEmpty))
+          return dirtyGroupMaintain(r, keyIdxAll)
+
+        val deltaAggDf: DataFrame = if (cdSpecs.isEmpty) {
+          // the delta aggregation stays LAZY: the local-merge collect
+          // below is its only execution in the common path (its emptiness
+          // check rides along) — materializing first would add a
+          // checkpoint + count job per re-query. Only the distributed
+          // fallback materializes it (the full_outer join reads it twice).
+          deltaDerive(r, changedOccs.head,
+            m => if (m == name) Some(cached) else None)
+        } else {
+          // COUNT_DISTINCT delta-merge: cd(key) can only GROW under
+          // inserts, by the number of genuinely-new distinct values —
+          // new pairs = the delta bindings' distinct (keys, value) pairs
+          // anti-joined against the auxiliary pairs table at v0. The
+          // per-key increments then merge by ADDITION (count semantics),
+          // riding the same column-wise merge as sum/count below. The
+          // aux table seeds from the pre-change body state on first use
+          // (the one changed rel resolves to current ∖ delta; every
+          // other rel is unchanged) and carries forward O(delta)-updated
+          // afterwards — the reference's arranged per-group multisets,
+          // as a maintained side table.
+          val changedRel = r.body(changedOccs.head) match {
+            case Pos(a) => a.rel
+            case _ => return dirtyGroupMaintain(r, keyIdxAll)
+          }
+          val groupTermIdx = r.head.args.zipWithIndex.collect {
+            case (t, i) if !t.isInstanceOf[Agg] => i
+          }
+          def bindingsOf(resolver: RuleCompiler.Resolver): DataFrame =
+            RuleCompiler.compileBody(r.body, resolver, hnswFrame, catalog.statRows)
+          def pairsOf(b: DataFrame, arg: Term): DataFrame =
+            b.select(groupTermIdx.map(i =>
+                RuleCompiler.term(r.head.args(i), b).as(s"c$i")) :+
+              RuleCompiler.term(arg, b).as("__v"): _*)
+              .where(col("__v").isNotNull) // count_distinct skips nulls
+              .distinct()
+          lazy val oldBindings = bindingsOf { (nm, ar) =>
+            val cur = resolve(nm, ar)
+            if (nm == changedRel)
+              Fixpoint.antiNullSafe(cur, deltaOf(changedRel).toDF(cur.columns.toSeq: _*))
+            else cur
+          }
+          val deltaB = Fixpoint.materialize(bindingsOf(
+            RuleCompiler.bindOccurrence(r, changedOccs.head, deltaOf(changedRel),
+              (nm, ar) => resolve(nm, ar)))).df
+          val keyCols = groupTermIdx.map(i => s"c$i")
+          var acc: DataFrame = {
+            val groups = groupTermIdx.map(i =>
+              RuleCompiler.term(r.head.args(i), deltaB).as(s"c$i"))
+            val nonCd = r.head.args.zipWithIndex.collect {
+              case (Agg(f, arg), i) if f != "count_distinct" =>
+                aggFunc(f, arg, deltaB).as(s"c$i")
+            }
+            val aggsAll = nonCd :+ count(lit(1)).as("__nb")
+            deltaB.groupBy(groups: _*)
+              .agg(aggsAll.head, aggsAll.tail: _*).drop("__nb")
+          }
+          val auxUpdates = Seq.newBuilder[((String, Int), DataFrame)]
+          cdSpecs.foreach { case (arg, i) =>
+            val aux = auxPairsCache.get((name, i)) match {
+              case Some((v, df)) if v == v0 => df
+              case _ => Fixpoint.materialize(pairsOf(oldBindings, arg)).df
+            }
+            val dp = pairsOf(deltaB, arg)
+            val newPairs = Fixpoint.materialize(
+              Fixpoint.antiNullSafe(dp, aux.toDF(dp.columns.toSeq: _*))).df
+            val cnts = newPairs.groupBy(keyCols.map(col): _*)
+              .agg(count(lit(1)).as(s"c$i"))
+            // null-safe left join: null group keys must still pick up
+            // their increment, exactly as the <=> merge below groups them
+            val dj = acc.alias("__l").join(cnts.alias("__r"),
+              keyCols.map(c => col(s"__l.$c") <=> col(s"__r.$c")).reduce(_ && _),
+              "left")
+            acc = dj.select(col("__l.*"),
+              coalesce(col(s"__r.c$i"), lit(0L)).as(s"c$i"))
+            auxUpdates += (((name, i), Fixpoint.materialize(
+              aux.toDF(dp.columns.toSeq: _*).union(newPairs)).df))
+          }
+          val vNow = catalog.version
+          auxUpdates.result().foreach { case (k, df) => auxPairsCache(k) = (vNow, df) }
+          cdMergedCount += 1
+          acc.select(cols.map(col): _*)
+        }
+        // merge functions per column: count_distinct increments add,
+        // exactly like count
+        val mergeSpecs = aggSpecs.map {
+          case ("count_distinct", i) => ("count", i)
+          case x => x
+        }
         // driver-local merge when both sides fit: one collect each, a
         // hash merge, and a parallelize — instead of a full_outer join +
         // checkpoint (the reference merges cached group states in-process,
@@ -1249,7 +1356,7 @@ final class Engine(val catalog: Catalog) {
           newRows.foreach { r =>
             m.get(key(r)) match {
               case None => m(key(r)) = Array.tabulate(cols.length)(r.get)
-              case Some(acc) => aggSpecs.foreach { case (f, i) =>
+              case Some(acc) => mergeSpecs.foreach { case (f, i) =>
                 val (ov, nv) = (acc(i), r.get(i))
                 acc(i) = f match {
                   case "count" => addNum(if (ov == null) 0L else ov, if (nv == null) 0L else nv)
@@ -1286,7 +1393,7 @@ final class Engine(val catalog: Catalog) {
           val oPresent = col("__op").isNotNull
           val nPresent = col("__np").isNotNull
           (if (!aggIdxSet(i)) coalesce(oc, nc)
-           else aggSpecs.find(_._2 == i).get._1 match {
+           else mergeSpecs.find(_._2 == i).get._1 match {
              case "count" => coalesce(oc, lit(0L)) + coalesce(nc, lit(0L))
              case "sum" => when(!oPresent, nc).when(!nPresent, oc)
                .when(oc.isNull && nc.isNull, lit(null))

@@ -347,6 +347,50 @@ object Sampling {
         sum(graft.functions.TextFunctions.tokenCount(col(textCol))).as("n_tokens"))
   }
 
+  /** Temperature-scaled source rebalancing (the multinomial-sampling
+    * exponent of multilingual/multi-source training mixes, α = 0.5):
+    * upsample each stratum by f = √(n_max / n_stratum), flattening the
+    * source distribution halfway toward uniform. The factors
+    * rationalize to num/`scale` on the driver (the per-stratum count
+    * table is strata-bounded), then every per-row copy decision is
+    * [[mixWeights]]'s exact integer arithmetic. √ is EXACTLY rounded
+    * under IEEE-754 and max is order-independent, so an independent
+    * engine recomputing the factors from the same counts lands on the
+    * identical integers — which is what makes this oracle-exact where
+    * a Σ-normalized temperature weight (order-dependent float sum)
+    * would not be. */
+  def temperatureMix(df: DataFrame, idCol: String, stratumCol: String,
+                     scale: Int = 1000, salt: Long = 7L): DataFrame = {
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.get(0), r.getLong(1)))
+    require(counts.nonEmpty, "temperatureMix over an empty frame")
+    val nMax = counts.map(_._2).max
+    val weights: Seq[(Any, (Int, Int))] = counts.toSeq.map { case (v, n) =>
+      v -> ((math.round(math.sqrt(nMax.toDouble / n) * scale).toInt, scale))
+    }
+    mixWeights(df, idCol, col(stratumCol), weights, salt)
+  }
+
+  /** DuckDB replication of [[temperatureMix]] over the documents table:
+    * same counts → same exactly-rounded √ factors → same integer copy
+    * decisions (DuckDB round() is half-away-from-zero, Scala
+    * math.round half-up — identical for positive inputs). */
+  def temperatureMixOracleSql(stratum: String = "lang", scale: Int = 1000,
+                              salt: Long = 7L): String =
+    s"""WITH n AS (SELECT $stratum, COUNT(*) AS n FROM documents GROUP BY $stratum),
+       |mx AS (SELECT MAX(n) AS m FROM n),
+       |w AS (SELECT $stratum,
+       |      CAST(round(sqrt(CAST(m AS DOUBLE) / n) * $scale) AS BIGINT) AS num
+       |      FROM n, mx),
+       |d AS (SELECT doc_id, $stratum, ${posOracleSql("doc_id", salt)} AS pos
+       |      FROM documents),
+       |c AS (SELECT d.doc_id, d.$stratum,
+       |      (w.num // $scale) +
+       |      (CASE WHEN d.pos % $scale < (w.num % $scale) THEN 1 ELSE 0 END) AS copies
+       |      FROM d JOIN w USING ($stratum))
+       |SELECT doc_id, $stratum, unnest(generate_series(0, CAST(copies AS BIGINT) - 1)) AS rep
+       |FROM c WHERE copies > 0""".stripMargin
+
   /** DSIR-style importance selection (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): score each RAW
     * document by the log-likelihood ratio of its hashed n-gram features

@@ -136,6 +136,59 @@ object Streams {
       }
   }
 
+  /** Streaming BOILERPLATE DISCOVERY — the live form of the batch
+    * segment-dedup decision ([[graft.operators.Dedup.lineDedup]]):
+    * segments keyed by content accumulate the DISTINCT documents that
+    * carried them; the moment a segment's document frequency reaches
+    * `minDocFreq` it emits (segment, df) ONCE. Downstream, the emitted
+    * stream IS the common-segment table the batch operators anti-join
+    * against — an ingest pipeline learns its boilerplate as it streams
+    * instead of re-scanning the corpus.
+    *
+    * State per segment is capped by construction: at most `minDocFreq`
+    * doc ids (distinctness only matters up to the threshold), collapsed
+    * to an emitted-tombstone afterwards so a segment never re-emits;
+    * `ttl` evicts segments that stop recurring. */
+  def streamingCommonSegments(docs: DataFrame, minDocFreq: Int,
+                              splitPattern: String = "\n",
+                              ttl: Option[String] = Some("1 hour"),
+                              idCol: String = "doc_id",
+                              textCol: String = "text"): Dataset[(String, Long)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val segs = docs
+      .select(col(idCol).cast("long").as("id"),
+        explode(split(col(textCol), splitPattern)).as("seg"))
+      .as[(Long, String)]
+    val timeout =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    segs
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[(List[Long], Boolean), (String, Long)](
+        OutputMode.Append, timeout) {
+        case (seg, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val (seen, emitted) = state.getOption.getOrElse((Nil, false))
+            val out =
+              if (emitted) Iterator.empty
+              else {
+                val ids = (seen ++ rows.map(_._1)).distinct.take(minDocFreq)
+                if (ids.length >= minDocFreq) {
+                  state.update((Nil, true)) // tombstone: never re-emit
+                  Iterator.single((seg, ids.length.toLong))
+                } else {
+                  state.update((ids, false))
+                  Iterator.empty
+                }
+              }
+            ttl.foreach(state.setTimeoutDuration)
+            out
+          }
+      }
+  }
+
   /** Stream-stream equi-join with an event-time interval bound (the
     * attribution/enrichment join a live training-data pipeline runs
     * between two feeds, e.g. documents ⋈ late-arriving annotations).

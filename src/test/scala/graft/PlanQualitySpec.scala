@@ -112,4 +112,21 @@ class PlanQualitySpec extends SparkSpec {
     val plan = planOf("q116_quantile_sketch")
     assert(plan.contains("partial_approx_percentile"), plan)
   }
+
+  test("bucketed co-located join runs with zero exchanges") {
+    assume(new java.io.File(s"$sf/orders.parquet").exists)
+    // disable broadcast so the join would otherwise be a shuffled
+    // sort-merge — the bucketing metadata must remove both exchanges
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("q144_bucketed_join")(spark, sf)
+      val physical = df.queryExecution.executedPlan.toString
+      assert(!physical.contains("Exchange"),
+        s"bucketed join still shuffles:\n$physical")
+      // and the layout changed only the plan, not the result
+      assert(df.count() ==
+        SparkEntry.queries("q113_salted_join")(spark, sf).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
 }

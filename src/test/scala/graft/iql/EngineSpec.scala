@@ -483,6 +483,46 @@ class EngineSpec extends SparkSpec {
     assert(e.maintainedCount == before + 2)
   }
 
+  test("count_distinct delta-merge: insert batches maintain through the pairs table") {
+    val e = new Engine(new Catalog(spark))
+    e.run(
+      """+emp[(1, "eng", 10.0), (2, "eng", 20.0), (3, "ops", 5.0), (4, "qa", 8.0), (5, "eng", 10.0)]
+        |+cd(D, count_distinct<S>, sum<S>, count<S>) <- emp(I, D, S)
+        |""".stripMargin)
+    assert(rows(e.run("?cd(D, C, S, N)").last) ==
+      Set(Seq("eng", 2L, 40.0, 3L), Seq("ops", 1L, 5.0, 1L), Seq("qa", 1L, 8.0, 1L)))
+    val before = e.maintainedCount
+    val cdBefore = e.cdMergedCount
+    // duplicate value into eng (cd must NOT grow), new value into ops,
+    // brand-new group
+    e.run("""+emp[(6, "eng", 20.0), (7, "ops", 9.0), (8, "new", 1.0)]""")
+    assert(rows(e.run("?cd(D, C, S, N)").last) ==
+      Set(Seq("eng", 2L, 60.0, 4L), Seq("ops", 2L, 14.0, 2L),
+        Seq("qa", 1L, 8.0, 1L), Seq("new", 1L, 1.0, 1L)))
+    assert(e.maintainedCount == before + 1)
+    assert(e.cdMergedCount == cdBefore + 1,
+      "insert-only count_distinct should delta-merge, not dirty-group")
+    // second round rides the carried-forward pairs table
+    e.run("""+emp[(9, "eng", 20.0), (10, "eng", 99.0)]""")
+    assert(rows(e.run("?cd(D, C, S, N)").last) ==
+      Set(Seq("eng", 3L, 179.0, 6L), Seq("ops", 2L, 14.0, 2L),
+        Seq("qa", 1L, 8.0, 1L), Seq("new", 1L, 1.0, 1L)))
+    assert(e.cdMergedCount == cdBefore + 2)
+    // a delete takes dirty-group (cd can shrink), stays correct
+    e.run("""-emp(10, "eng", 99.0)""")
+    assert(rows(e.run("?cd(D, C, S, N)").last) ==
+      Set(Seq("eng", 2L, 80.0, 5L), Seq("ops", 2L, 14.0, 2L),
+        Seq("qa", 1L, 8.0, 1L), Seq("new", 1L, 1.0, 1L)))
+    assert(e.cdMergedCount == cdBefore + 2)
+    // the pairs table is stale after the delete: the next insert must
+    // RESEED from the pre-change state, not trust it
+    e.run("""+emp[(11, "eng", 99.0)]""")
+    assert(rows(e.run("?cd(D, C, S, N)").last) ==
+      Set(Seq("eng", 3L, 179.0, 6L), Seq("ops", 2L, 14.0, 2L),
+        Seq("qa", 1L, 8.0, 1L), Seq("new", 1L, 1.0, 1L)))
+    assert(e.cdMergedCount == cdBefore + 3)
+  }
+
   test("matCache stays bounded across many change/re-query rounds") {
     // a long-lived session that mutates and re-queries repeatedly must
     // keep at most ONE materialization per relation (the newest seed

@@ -150,4 +150,34 @@ class MaintenanceFuzzSpec extends SparkSpec {
         s"case $i diverged after mixed -e[$mdel] +e[$mins]:\n$prog")
     }
   }
+
+  test("count_distinct delta-merge equals fresh recomputation on random insert streams") {
+    val rng = new Random(20260814L)
+    (1 to 8).foreach { c =>
+      val groups = Seq("a", "b", "c", "d")
+      var nextId = 0
+      def batch(n: Int): String = (0 until n).map { _ =>
+        nextId += 1
+        s"""($nextId, "${groups(rng.nextInt(groups.size))}", ${rng.nextInt(5)})"""
+      }.mkString(",")
+      val b0 = batch(6 + rng.nextInt(6))
+      val rule = "+v(G, count_distinct<X>, sum<X>, max<X>) <- t(I, G, X)\n"
+      val e1 = new Engine(new Catalog(spark))
+      e1.run(s"+t[$b0]\n$rule")
+      e1.run("?v(G, C, S, M)")
+      val allBatches = scala.collection.mutable.ArrayBuffer(b0)
+      val cdStart = e1.cdMergedCount
+      (0 until 2 + rng.nextInt(3)).foreach { round =>
+        val b = batch(1 + rng.nextInt(4))
+        allBatches += b
+        e1.run(s"+t[$b]")
+        val maintained = rows(e1.run("?v(G, C, S, M)").last)
+        val e2 = new Engine(new Catalog(spark))
+        e2.run(s"+t[${allBatches.mkString(",")}]\n$rule")
+        assert(maintained == rows(e2.run("?v(G, C, S, M)").last),
+          s"case $c round $round diverged on batches $allBatches")
+      }
+      assert(e1.cdMergedCount > cdStart, s"case $c never took the cd delta-merge path")
+    }
+  }
 }

@@ -193,6 +193,24 @@ class SamplingSpec extends SparkSpec {
     assert(out.toSeq == Seq(("s1", 0L, "a b\nc", 2L), ("s2", 0L, "d e\nf", 2L)))
   }
 
+  test("temperature mix upsamples small strata by the sqrt factor, uniform is identity") {
+    import spark.implicits._
+    // 64 "big" docs, 4 "small" docs → f_small = sqrt(16) = 4 exactly
+    val d = ((0L until 64L).map(i => (i, "big")) ++
+      (100L until 104L).map(i => (i, "small"))).toDF("doc_id", "lang")
+    val m = Sampling.temperatureMix(d, "doc_id", "lang")
+    val perStratum = m.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perStratum("big") == 64L, "max stratum never changes")
+    assert(perStratum("small") == 16L, s"sqrt(16)=4 copies each: $perStratum")
+    // uniform strata → exact identity
+    val u = ((0L until 10L).map(i => (i, "a")) ++ (10L until 20L).map(i => (i, "b")))
+      .toDF("doc_id", "lang")
+    assert(Sampling.temperatureMix(u, "doc_id", "lang").count() == 20L)
+    // deterministic across runs
+    assert(rows(m) == rows(Sampling.temperatureMix(d, "doc_id", "lang")))
+  }
+
   test("dsir selection ranks target-like docs first, deterministically") {
     import spark.implicits._
     // target talks about cats; raw has 3 cat-like docs among dog docs

@@ -115,6 +115,31 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming common segments emit once at the doc-frequency threshold") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val footer = "subscribe to our newsletter"
+    val input = MemoryStream[(Long, String)]
+    val common = Streams.streamingCommonSegments(
+      input.toDF().toDF("doc_id", "text"), minDocFreq = 3, ttl = None)
+    val q = common.toDF("seg", "df").writeStream.format("memory")
+      .queryName("scommon").outputMode("append").start()
+    try {
+      input.addData((1L, s"unique one\n$footer"), (2L, s"$footer\nunique two"))
+      q.processAllAvailable()
+      assert(spark.table("scommon").count() == 0, "df=2 is below the threshold")
+      input.addData((3L, s"unique three\n$footer"))
+      q.processAllAvailable()
+      val hits = spark.table("scommon").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(hits == Set((footer, 3L)), s"got $hits")
+      // a fourth carrier and a REPEAT of doc 3 never re-emit
+      input.addData((4L, footer), (3L, s"unique three\n$footer"))
+      q.processAllAvailable()
+      assert(spark.table("scommon").count() == 1, "segment re-emitted")
+    } finally q.stop()
+  }
+
   test("streaming edges feed an IQL relation; recursive rules stay maintained per batch") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Long)]
