@@ -248,6 +248,53 @@ object SparkEntry {
         sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").as("running_total"))
     }),
 
+    // --- relational: the full WINDOW-FUNCTION suite — row_number /
+    //     rank / ntile / lag / lead under one total order (price desc,
+    //     key) per customer; partition-keyed windows scale out --------
+    "q146_window_suite" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"),
+        row_number().over(w).cast("long").as("rn"),
+        rank().over(w).cast("long").as("rk"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_orderkey"), 1).over(w).as("next_key"))
+    }),
+
+    // --- relational: ROLLUP — the OLAP subtotal lattice (flag,status)
+    //     → (flag) → (); decimal sums for order-independent exactness -
+    "q147_rollup" -> ((s, dir) =>
+      T(s, dir, "lineitem").rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))),
+
+    // --- relational: PIVOT — order status to columns per customer
+    //     bucket (explicit value list keeps the plan static) ----------
+    "q148_pivot" -> ((s, dir) =>
+      T(s, dir, "orders")
+        .withColumn("bucket", pmod(col("o_custkey"), lit(10L)))
+        .groupBy("bucket").pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"))),
+
+    // --- events: FUNNEL — view → purchase conversion, overall and
+    //     within 24h of the user's FIRST view; one aggregated row ----
+    "q149_funnel" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+      val v = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts_ns")).as("first_view"))
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_ns"))
+      val conv = v.join(p, Seq("user_id"))
+        .where(col("ts_ns") >= col("first_view"))
+        .groupBy("user_id")
+        .agg(min(col("ts_ns") - col("first_view")).as("delay"))
+      v.agg(count(lit(1)).as("n_view_users")).crossJoin(
+        conv.agg(count(lit(1)).as("n_converted"),
+          count(when(col("delay") <= 86400L * 1000000000L, 1)).as("n_converted_24h")))
+    }),
+
     // --- recursion: full transitive closure (semi-naive fixpoint) ----------------------
     "q21_transitive_closure" -> ((s, dir) =>
       Fixpoint.transitiveClosure(graphEdges(s, dir))),
@@ -1841,6 +1888,45 @@ object SparkEntry {
         |PARTITION BY o_custkey ORDER BY o_orderkey
         |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
         |FROM orders""".stripMargin,
+
+    // window suite: one total order per customer, both engines apply
+    // the SQL-standard semantics for every function
+    "q146_window_suite" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |CAST(row_number() OVER w AS BIGINT) AS rn,
+        |CAST(rank() OVER w AS BIGINT) AS rk,
+        |CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |lag(o_totalprice, 1) OVER w AS prev_price,
+        |lead(o_orderkey, 1) OVER w AS next_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin,
+
+    // rollup: identical subtotal lattice incl. the NULL indicator rows
+    "q147_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    // pivot: filtered aggregates reproduce the explicit value columns
+    "q148_pivot" ->
+      """SELECT o_custkey % 10 AS bucket,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS "O",
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS "F",
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS "P"
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    // funnel: DuckDB TIMESTAMP is µs so epoch_ns(ts) = stored µs·1000,
+    // exactly the loader's ts_ns under micros storage
+    "q149_funnel" ->
+      """WITH v AS (SELECT user_id, MIN(epoch_ns(ts)) AS first_view
+        |           FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(epoch_ns(e.ts) - v.first_view) AS delay
+        |      FROM events e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) >= v.first_view
+        |      GROUP BY e.user_id)
+        |SELECT (SELECT COUNT(*) FROM v) AS n_view_users,
+        |       (SELECT COUNT(*) FROM c) AS n_converted,
+        |       (SELECT COUNT(*) FROM c WHERE delay <= 86400000000000) AS n_converted_24h""".stripMargin,
 
     "q21_transitive_closure" ->
       s"""WITH RECURSIVE e AS ($graphEdgesSql),

@@ -78,6 +78,20 @@ object TextFunctions {
     transform(seq1(size(toks) - lit(n - 1)),
       i => xxhash64((0 until n).map(k => element_at(toks, i + lit(k))): _*))
 
+  /** [[wordShingleHashes]] straight from the text column, safe to
+    * consume as an ARRAY (no explode): the token array binds through a
+    * single-element `array` + outer `transform`, so the inner lambda
+    * captures a LAMBDA VARIABLE — evaluated once per row. Without this
+    * ([[charShingles]]'s trick), CollapseProject inlines the projected
+    * tokens() into the lambda and the regexp split re-runs PER SHINGLE:
+    * O(len²) per document — measured 8.6 s vs 0.5 s on the sf0.1 corpus
+    * for the Bloom-decontamination probe. (Explode consumers don't need
+    * this: the Generate boundary keeps the projection.) */
+  def wordShingleHashesOfText(text: Column, n: Int): Column =
+    flatten(transform(array(tokens(text)), tk =>
+      transform(seq1(size(tk) - lit(n - 1)),
+        i => xxhash64((0 until n).map(k => element_at(tk, i + lit(k))): _*))))
+
   // ---------------------------------------------------------------------
   // MinHash: k independent hash functions realized as xxhash64(shingle, k)
   // (seeding via an extra literal column mixes k into the hash). The

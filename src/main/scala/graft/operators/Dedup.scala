@@ -392,11 +392,14 @@ object Dedup {
     val bcast = docs.sparkSession.sparkContext.broadcast(bf)
     val anyHit = udf { (hs: Seq[Long]) =>
       hs != null && hs.exists(bcast.value.mightContainLong) }
+    // wordShingleHashesOfText, NOT project-toks + wordShingleHashes: an
+    // array consumed without a Generate boundary gets its projected
+    // tokens() inlined into the lambda (O(len²) re-splits — 8.6 s vs
+    // 0.5 s at sf0.1); the array-bound form evaluates tokens once
     docs
-      .withColumn("__toks", TF.tokens(col(textCol)))
-      .withColumn("__hit", anyHit(TF.wordShingleHashes(col("__toks"), shingleN)))
+      .withColumn("__hit", anyHit(TF.wordShingleHashesOfText(col(textCol), shingleN)))
       .where(!col("__hit"))
-      .drop("__toks", "__hit")
+      .drop("__hit")
   }
 
   /** Per-document contamination REPORT — the measuring form of
@@ -584,10 +587,17 @@ object Dedup {
         posexplode(TF.kgramHashes(TF.normText(col(textCol)), k)).as(Seq("pos0", "h")))
       .select(col("id"), (col("pos0") + 1).cast("long").as("pos"), col("h")))
     // grams shared by >= minDocs docs; at 100 TB this table is itself
-    // large — a plain shuffle semi-join, deliberately not broadcast
-    val common = grams.groupBy("h")
-      .agg(count_distinct(col("id")).as("df"))
-      .where(col("df") >= minDocs).select("h")
+    // large — a plain shuffle semi-join, deliberately not broadcast.
+    // minDocs = 2 (the substring-dedup default) avoids the distinct
+    // expansion entirely: >= 2 distinct ids ⟺ min(id) < max(id), and
+    // min/max partial-aggregate map-side — measured ~2× on the agg.
+    val common =
+      if (minDocs == 2)
+        grams.groupBy("h").agg(min(col("id")).as("__a"), max(col("id")).as("__b"))
+          .where(col("__a") < col("__b")).select("h")
+      else
+        grams.groupBy("h").agg(count_distinct(col("id")).as("df"))
+          .where(col("df") >= minDocs).select("h")
     val dup = grams.join(common, Seq("h"), "left_semi")
     // gaps-and-islands: grams at p1 < p2 chain into one span iff
     // p2 - p1 <= k (their [p, p+k-1] intervals overlap or touch)
