@@ -549,6 +549,24 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
     }),
 
+    // --- pipeline: composed curation #3 — SUB-DOCUMENT dedup gate
+    //     feeding TEMPERATURE rebalancing: drop every doc whose
+    //     duplicate-span coverage exceeds 30% of its normalized text,
+    //     then sqrt-upsample the survivors' language mix. Both stages
+    //     exact → ONE chained oracle checks the whole job ------------
+    "q150_curation_span_mix" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val cover = Dedup.duplicateSpans(docs)
+        .groupBy("doc_id")
+        .agg(sum(col("span_end") - col("span_start") + 1).as("dup_chars"))
+      val keep = docs
+        .join(cover, Seq("doc_id"), "left")
+        .where(coalesce(col("dup_chars"), lit(0L)) * 10 <=
+          length(TF.normText(col("text"))) * 3)
+        .select(col("doc_id"), col("lang"))
+      Sampling.temperatureMix(keep, "doc_id", "lang")
+    }),
+
     // --- pipeline: deterministic stratified sampling (domain mixing) —
     //     LCG keep-decision per row, rates per token-count band; pure
     //     arithmetic, so reproducible AND exactly oracle-checkable ------
@@ -2674,6 +2692,29 @@ object SparkEntry {
     // temperature mix: same counts → same exactly-rounded sqrt factors
     // → same integer copy decisions
     "q145_temperature_mix" -> Sampling.temperatureMixOracleSql(),
+
+    // composed curation #3: span-coverage gate (exact spans CTE) into
+    // temperature mixing (factors recomputed over the SURVIVORS) — the
+    // whole chained job as one oracle
+    "q150_curation_span_mix" ->
+      s"""WITH spans AS (${Dedup.duplicateSpansOracleSql()}),
+         |cover AS (SELECT doc_id, SUM(span_end - span_start + 1) AS dup_chars
+         |          FROM spans GROUP BY doc_id),
+         |keep AS (SELECT d.doc_id, d.lang
+         |         FROM documents d LEFT JOIN cover c USING (doc_id)
+         |         WHERE COALESCE(c.dup_chars, 0) * 10 <=
+         |               length(lower(regexp_replace(trim(d.text), '\\s+', ' ', 'g'))) * 3),
+         |nn AS (SELECT lang, COUNT(*) AS n FROM keep GROUP BY lang),
+         |mx AS (SELECT MAX(n) AS m FROM nn),
+         |w AS (SELECT lang, CAST(round(sqrt(CAST(m AS DOUBLE) / n) * 1000) AS BIGINT) AS num
+         |      FROM nn, mx),
+         |d2 AS (SELECT k.doc_id, k.lang, ${Sampling.posOracleSql("k.doc_id", 7L)} AS pos
+         |       FROM keep k),
+         |c2 AS (SELECT d2.doc_id, d2.lang,
+         |       (w.num // 1000) + (CASE WHEN d2.pos % 1000 < (w.num % 1000) THEN 1 ELSE 0 END) AS copies
+         |       FROM d2 JOIN w USING (lang))
+         |SELECT doc_id, lang, unnest(generate_series(0, CAST(copies AS BIGINT) - 1)) AS rep
+         |FROM c2 WHERE copies > 0""".stripMargin,
 
     // DSIR selection: identical FNV+splitmix bucket hashing, smoothed
     // count ratios from identical integer inputs, decimal sums, 6 dp
