@@ -1167,6 +1167,30 @@ object SparkEntry {
     "q127_winnow_pairs" -> ((s, dir) =>
       TextAnalysis.winnowPairs(T(s, dir, "documents"))),
 
+    // --- events: SLIDING event-time window — per event, the same
+    //     user's activity over the trailing hour (range frame on the
+    //     exact ns epoch; partition-keyed, scales out) ----------------
+    "q151_sliding_window" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts_ns"))
+        .rangeBetween(-3600L * 1000000000L, 0)
+      T(s, dir, "events").select(col("event_id"), col("user_id"), col("ts_ns"),
+        count(lit(1)).over(w).as("events_1h"),
+        sum(col("value").cast("decimal(18,6)")).over(w).cast("double").as("value_1h"))
+    }),
+
+    // --- events: RETENTION cohorts — users bucketed by first-activity
+    //     week, counted per week offset; integer week arithmetic on
+    //     the ns epoch so both engines bucket identically -------------
+    "q152_retention" -> ((s, dir) => {
+      val weekNs = 604800L * 1000000000L
+      val ev = T(s, dir, "events")
+        .select(col("user_id"), expr(s"ts_ns DIV $weekNs").as("wk"))
+      val first = ev.groupBy("user_id").agg(min(col("wk")).as("cohort"))
+      ev.join(first, Seq("user_id"))
+        .groupBy(col("cohort"), (col("wk") - col("cohort")).as("week_offset"))
+        .agg(count_distinct(col("user_id")).as("n_active"))
+    }),
+
     // --- events: as-of join — each view event picks up the user's most
     //     recent preceding purchase (union + running last_value; one
     //     shuffle on user_id, no range theta join) ----------------------
@@ -1932,6 +1956,24 @@ object SparkEntry {
         |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS "F",
         |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS "P"
         |FROM orders GROUP BY 1""".stripMargin,
+
+    // sliding window: identical range frame over the shared ns epoch
+    "q151_sliding_window" ->
+      """SELECT event_id, user_id, epoch_ns(ts) AS ts_ns,
+        |COUNT(*) OVER w AS events_1h,
+        |CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS value_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)
+        |RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // retention: integer week buckets from the ns epoch
+    "q152_retention" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 604800000000000 AS wk FROM events),
+        |f AS (SELECT user_id, MIN(wk) AS cohort FROM e GROUP BY user_id)
+        |SELECT f.cohort, e.wk - f.cohort AS week_offset,
+        |COUNT(DISTINCT e.user_id) AS n_active
+        |FROM e JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
 
     // funnel: DuckDB TIMESTAMP is µs so epoch_ns(ts) = stored µs·1000,
     // exactly the loader's ts_ns under micros storage
