@@ -151,23 +151,31 @@ object GraphOps {
         .select(col("node"),
           (if (exactSum) norm else round(norm, 10)).as(valCol))
     }
-    var h = barrier(nodes.withColumn("h", lit(1.0)))
-    var a: RankBarrier = null
+    // the RAW sums materialize (they cost a join + aggregated shuffle);
+    // normalization stays LAZY over the checkpoint — normalized(df)
+    // reads df twice (main side + the 1-row max), which is two cheap
+    // checkpoint scans instead of two join+agg re-evaluations
+    var hRaw: RankBarrier = null
+    var aRaw: RankBarrier = null
+    var hNorm: DataFrame = nodes.withColumn("h", lit(1.0))
+    var aNorm: DataFrame = null
     var it = 0
     while (it < iters) {
-      val aN = barrier(normalized(summed(
-        ed.join(h.df.withColumnRenamed("node", "src"), Seq("src"))
-          .select(col("dst").as("node"), col("h").as("c")), "a"), "a"))
-      if (a != null) a.unpersist()
-      a = aN
-      val hN = barrier(normalized(summed(
-        ed.join(a.df.withColumnRenamed("node", "dst"), Seq("dst"))
-          .select(col("src").as("node"), col("a").as("c")), "h"), "h"))
-      h.unpersist()
-      h = hN
+      val aM = barrier(summed(
+        ed.join(hNorm.withColumnRenamed("node", "src"), Seq("src"))
+          .select(col("dst").as("node"), col("h").as("c")), "a"))
+      if (aRaw != null) aRaw.unpersist()
+      aRaw = aM
+      aNorm = normalized(aRaw.df, "a")
+      val hM = barrier(summed(
+        ed.join(aNorm.withColumnRenamed("node", "dst"), Seq("dst"))
+          .select(col("src").as("node"), col("a").as("c")), "h"))
+      if (hRaw != null) hRaw.unpersist()
+      hRaw = hM
+      hNorm = normalized(hRaw.df, "h")
       it += 1
     }
-    val out = h.df.join(a.df, Seq("node"))
+    val out = hNorm.join(aNorm, Seq("node"))
       .select(col("node"), col("h").as("hub"), col("a").as("authority"))
     eM.unpersist()
     nodesM.unpersist()
