@@ -1167,6 +1167,19 @@ object SparkEntry {
     "q127_winnow_pairs" -> ((s, dir) =>
       TextAnalysis.winnowPairs(T(s, dir, "documents"))),
 
+    // --- relational: grouped Pearson CORRELATION — decimal power sums
+    //     + one closing double chain on a 10-dp grid ------------------
+    "q153_grouped_corr" -> ((s, dir) =>
+      graft.operators.Stats.groupedCorr(T(s, dir, "orders"),
+        "o_orderpriority", col("o_totalprice"), pmod(col("o_custkey"), lit(100L)))),
+
+    // --- events: value HISTOGRAM per event type (width-10 buckets) —
+    //     integer bucket counts, map-side partial agg -----------------
+    "q154_histogram" -> ((s, dir) =>
+      T(s, dir, "events")
+        .groupBy(col("event_type"), floor(col("value") / 10).as("bucket"))
+        .agg(count(lit(1)).as("n"))),
+
     // --- events: SLIDING event-time window — per event, the same
     //     user's activity over the trailing hour (range frame on the
     //     exact ns epoch; partition-keyed, scales out) ----------------
@@ -1956,6 +1969,15 @@ object SparkEntry {
         |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS "F",
         |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS "P"
         |FROM orders GROUP BY 1""".stripMargin,
+
+    // grouped correlation: identical decimal sums, identical double chain
+    "q153_grouped_corr" -> graft.operators.Stats.groupedCorrOracleSql(
+      "orders", "o_orderpriority", "o_totalprice", "o_custkey % 100"),
+
+    // histogram: FLOOR is exact on doubles, counts are integers
+    "q154_histogram" ->
+      """SELECT event_type, CAST(FLOOR(value / 10) AS BIGINT) AS bucket,
+        |COUNT(*) AS n FROM events GROUP BY 1, 2""".stripMargin,
 
     // sliding window: identical range frame over the shared ns epoch
     "q151_sliding_window" ->
