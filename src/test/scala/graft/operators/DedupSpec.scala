@@ -245,6 +245,72 @@ class DedupSpec extends SparkSpec {
     assert(keepAll == Set(0L))
   }
 
+  test("duplicate spans match brute force on random corpora, both df branches") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val words = Seq("alpha", "beta", "gamma", "delta", "eps")
+    (1 to 5).foreach { case_ =>
+      val k = 6 + rnd.nextInt(6)
+      val minDocs = 2 + rnd.nextInt(2) // exercises BOTH the min/max and count_distinct branches
+      val docs = (1L to (6 + rnd.nextInt(5)).toLong).map { id =>
+        (id, Seq.fill(3 + rnd.nextInt(10))(words(rnd.nextInt(words.size))).mkString(" "))
+      }
+      // brute force: normalized text, gram df over substrings, islands
+      val norm = docs.map { case (id, t) =>
+        id -> t.trim.replaceAll("\\s+", " ").toLowerCase }
+      val df = scala.collection.mutable.HashMap.empty[String, Set[Long]]
+      norm.foreach { case (id, t) =>
+        (0 to t.length - k).foreach { p =>
+          val g = t.substring(p, p + k)
+          df(g) = df.getOrElse(g, Set.empty) + id
+        }
+      }
+      val expected = norm.flatMap { case (id, t) =>
+        val starts = (0 to t.length - k).filter(p => df(t.substring(p, p + k)).size >= minDocs)
+        // merge: starts chain while gap <= k
+        val spans = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+        var i = 0
+        while (i < starts.length) {
+          var j = i
+          while (j + 1 < starts.length && starts(j + 1) - starts(j) <= k) j += 1
+          spans += ((id, starts(i) + 1L, starts(j) + k.toLong, (j - i + 1).toLong))
+          i = j + 1
+        }
+        spans
+      }.toSet
+      val got = Dedup.duplicateSpans(docs.toDF("doc_id", "text"), k = k, minDocs = minDocs)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == expected, s"case $case_ k=$k minDocs=$minDocs: $got vs $expected")
+    }
+  }
+
+  test("window dedup matches brute force on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val words = Seq("aa", "bb", "cc")
+    (1 to 5).foreach { case_ =>
+      val segW = 1 + rnd.nextInt(3)
+      val mdf = 2 + rnd.nextInt(2)
+      val docs = (1L to (5 + rnd.nextInt(5)).toLong).map { id =>
+        (id, Seq.fill(1 + rnd.nextInt(8))(words(rnd.nextInt(words.size))).mkString(" "))
+      }
+      val segsOf = (t: String) => t.trim.split("\\s+").toSeq
+        .grouped(segW).map(_.mkString(" ")).toSeq
+      val segDf = scala.collection.mutable.HashMap.empty[String, Set[Long]]
+      docs.foreach { case (id, t) =>
+        segsOf(t).foreach(s => segDf(s) = segDf.getOrElse(s, Set.empty) + id) }
+      val expected = docs.map { case (id, t) =>
+        val segs = segsOf(t)
+        val kept = segs.filter(s => segDf(s).size < mdf)
+        (id, kept.mkString(" "), segs.length.toLong, (segs.length - kept.length).toLong)
+      }.toSet
+      val got = Dedup.windowDedup(docs.toDF("doc_id", "text"),
+          segWords = segW, minDocFreq = mdf)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == expected, s"case $case_ segW=$segW mdf=$mdf")
+    }
+  }
+
   test("duplicate spans cover exactly the planted shared substring, merged maximally") {
     // 30-char shared region planted at different offsets in docs 1 and 2;
     // doc 3 shares nothing 20 chars long. All lowercase single-space so
