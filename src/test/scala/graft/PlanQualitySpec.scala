@@ -113,6 +113,28 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("partial_approx_percentile"), plan)
   }
 
+  test("new analytics stay scale-shaped: keyed windows, partial aggs, no cartesian") {
+    assume(new java.io.File(s"$sf/orders.parquet").exists)
+    // q146/q151: every window is PARTITION-keyed — an unpartitioned
+    // window funnels the corpus through one task
+    Seq("q146_window_suite", "q151_sliding_window").foreach { q =>
+      val physical = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(physical.contains("Window"), s"$q lost its window operator")
+      assert("windowspecdefinition\\(\\s*(o_totalprice|epoch|ts_ns)".r
+        .findFirstIn(physical).isEmpty, s"$q window has no partition keys")
+    }
+    // q147/q153/q154: aggregates partial-aggregate map-side
+    Seq("q147_rollup", "q153_grouped_corr", "q154_histogram").foreach { q =>
+      val plan = planOf(q)
+      assert(plan.contains("partial_"), s"$q has no map-side partial agg:\n$plan")
+    }
+    // q134: the gram df decision at minDocs=2 must be min/max (no
+    // distinct expansion) and the islands window keyed per doc
+    val spans = planOf("q134_duplicate_spans")
+    assert(!spans.contains("count(distinct"), s"q134 re-grew the distinct expansion")
+  }
+
   test("bucketed co-located join runs with zero exchanges") {
     assume(new java.io.File(s"$sf/orders.parquet").exists)
     // disable broadcast so the join would otherwise be a shuffled
