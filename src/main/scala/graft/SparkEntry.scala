@@ -1167,6 +1167,34 @@ object SparkEntry {
     "q127_winnow_pairs" -> ((s, dir) =>
       TextAnalysis.winnowPairs(T(s, dir, "documents"))),
 
+    // --- pipeline: SPAN REMOVAL — the apply half of substring dedup
+    //     (Lee et al. 2022): cut the q134 duplicate spans out of each
+    //     doc and reassemble; spans aggregate per doc BEFORE touching
+    //     text, the rewrite is one map-side fold ----------------------
+    "q155_span_removal" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Dedup.removeSpans(docs, Dedup.duplicateSpans(docs))
+    }),
+
+    // --- pipeline: EXACT set-similarity self-join via PREFIX FILTERING
+    //     (PPJoin family) — every token-Jaccard ≥ 0.5 pair with zero
+    //     approximation; rarest-first prefixes bound candidates where
+    //     LSH would trade recall; integer-exact threshold -------------
+    "q156_setsim_join" -> ((s, dir) =>
+      Dedup.setSimilarityJoin(T(s, dir, "documents"), num = 1, den = 2)),
+
+    // --- pipeline: GOPHER repetition filters — top-{2,3,4}-gram char
+    //     fraction + duplicated-5-gram char COVERAGE (islands merge,
+    //     overlaps counted once); everything partitions by document ----
+    "q157_gopher_repetition" -> ((s, dir) =>
+      TextAnalysis.gopherRepetition(T(s, dir, "documents"))),
+
+    // --- graph: K-CORE decomposition — synchronous peel rounds on the
+    //     dense digraph's undirected simple form; id-only shuffles,
+    //     fixpoint pinned by spec (round 8 ≡ round 9) ------------------
+    "q158_kcore" -> ((s, dir) =>
+      graft.operators.GraphOps.kCore(denseGraph(s), k = 19, rounds = 8)),
+
     // --- relational: grouped Pearson CORRELATION — decimal power sums
     //     + one closing double chain on a 10-dp grid ------------------
     "q153_grouped_corr" -> ((s, dir) =>
@@ -1969,6 +1997,21 @@ object SparkEntry {
         |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS "F",
         |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS "P"
         |FROM orders GROUP BY 1""".stripMargin,
+
+    // span removal: span CTEs verbatim, complement intervals, ordered
+    // reassembly — substring equality needs no hash replication
+    "q155_span_removal" -> Dedup.removeSpansOracleSql(),
+
+    // exact set-similarity join: the operator is exact, so brute-force
+    // all-pairs token Jaccard must equal the prefix-filtered plan
+    "q156_setsim_join" -> Dedup.setSimilarityOracleSql(num = 1, den = 2),
+
+    // gopher repetition: gram strings stand in for gram hashes, same
+    // offsets cumsum, same top tie-break, same island merge, 6-dp
+    "q157_gopher_repetition" -> TextAnalysis.gopherOracleSql(),
+
+    // k-core: the same synchronous peel unrolled as chained CTEs
+    "q158_kcore" -> graft.operators.GraphOps.kCoreOracleSql(denseGraphSql, k = 19, rounds = 8),
 
     // grouped correlation: identical decimal sums, identical double chain
     "q153_grouped_corr" -> graft.operators.Stats.groupedCorrOracleSql(

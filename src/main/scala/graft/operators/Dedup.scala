@@ -337,6 +337,78 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** EXACT token-set similarity self-join via PREFIX FILTERING
+    * (Chaudhuri et al. 2006 SSJoin / Xiao et al. 2008 PPJoin): every
+    * pair of documents whose distinct-token Jaccard is ≥ num/den — no
+    * approximation, unlike the MinHash candidate paths. Each set's
+    * tokens sort by (global doc-frequency ASC, token hash) — rarest
+    * first — and only the (L − ⌈t·L⌉ + 1)-prefix enters the candidate
+    * join: the prefix-filter lemma guarantees any qualifying pair
+    * shares a prefix token, and because a set's prefix holds its RAREST
+    * tokens, candidate groups are bounded by each rare token's own df
+    * (a stopword can never be a prefix key for a large set).
+    *
+    * 100 TB shape: the df table and the prefix join shuffle (8-byte
+    * token hash, id) pairs only; full sorted-hash arrays semi-join in
+    * for the candidate pairs alone, verified by the zero-allocation
+    * merge-scan kernel. Threshold decisions are integer-exact
+    * (inter·den ≥ union·num). Token equality rides xxhash64 as
+    * everywhere in this module (collisions ~2⁻⁶⁴). */
+  def setSimilarityJoin(docs: DataFrame, num: Int = 1, den: Int = 2,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(num > 0 && den > 0 && num <= den, "threshold must be in (0, 1]")
+    def floorDivC(x: Column, d: Int): Column =
+      ((x - pmod(x, lit(d.toLong))) / d).cast("long")
+    val (tk, _) = mat(docs
+      .select(col(idCol).as("id"), array_distinct(TF.tokens(col(textCol))).as("tk"))
+      .where(size(col("tk")) > 0)
+      .select(col("id"), transform(col("tk"), t => xxhash64(t)).as("th")))
+    val toks = tk.select(col("id"), explode(col("th")).as("h"))
+    val dfTab = toks.groupBy("h").agg(count(lit(1)).as("df"))
+    // ceil(num·L/den) via exact integer floor-div; prefix = rarest-first
+    // rank ≤ L − ceil + 1. row_number partitions by doc — no skew, the
+    // frame is one document's tokens.
+    val w = Window.partitionBy("id").orderBy(col("df"), col("h"))
+    val prefix = toks.join(dfTab, Seq("h"))
+      .withColumn("rn", row_number().over(w))
+      .join(tk.select(col("id"), size(col("th")).cast("long").as("len")), Seq("id"))
+      .where(col("rn") <=
+        col("len") - floorDivC(col("len") * num + (den - 1), den) + 1)
+      .select(col("h"), col("id"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    val (sets, nSets) = mat(tk.select(col("id"), sort_array(col("th")).as("sh")))
+    cand
+      .join(maybeBroadcast(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), nSets),
+        Seq("id_a"))
+      .join(maybeBroadcast(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), nSets),
+        Seq("id_b"))
+      .withColumn("inter",
+        graft.functions.VectorKernels.sortedInterCount(col("sh_a"), col("sh_b")).cast("long"))
+      .withColumn("uni",
+        size(col("sh_a")).cast("long") + size(col("sh_b")).cast("long") - col("inter"))
+      .where(col("inter") * den >= col("uni") * num)
+      .select(col("id_a"), col("id_b"),
+        round(col("inter").cast("double") / col("uni").cast("double"), 6).as("jaccard"))
+  }
+
+  /** DuckDB replication of [[setSimilarityJoin]]: brute-force all-pairs
+    * distinct-token Jaccard with the same integer-exact threshold — the
+    * operator is EXACT, so the quadratic oracle must equal the
+    * prefix-filtered plan row for row. */
+  def setSimilarityOracleSql(num: Int = 1, den: Int = 2): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         list_distinct(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')) AS tk
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |             len(list_intersect(a.tk, b.tk)) AS i,
+       |             len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk)) AS u
+       |      FROM toks a JOIN toks b ON a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, round(CAST(i AS DOUBLE) / u, 6) AS jaccard
+       |FROM p WHERE i * $den >= u * $num""".stripMargin
+
   /** Benchmark DECONTAMINATION: drop every document sharing ANY word
     * n-gram with the benchmark (test-set) corpus — the standard overlap
     * filter before training. Scale shape: shingles travel as xxhash64
@@ -631,6 +703,72 @@ object Dedup {
        |isl AS (SELECT doc_id, i, SUM(nb) OVER (PARTITION BY doc_id ORDER BY i) AS grp FROM brk)
        |SELECT doc_id, MIN(i) AS span_start, MAX(i) + ${k - 1} AS span_end, COUNT(*) AS n_grams
        |FROM isl GROUP BY doc_id, grp""".stripMargin
+
+  /** The APPLY half of substring-level dedup (Lee et al. 2022: find the
+    * shared spans, then cut them out): removes `spans` regions —
+    * (idCol, span_start, span_end), 1-based inclusive codepoint
+    * positions into the whitespace-normalized text, disjoint and
+    * non-touching per document, exactly what [[duplicateSpans]] emits —
+    * from each document and reassembles the remainder in order. Returns
+    * (idCol, clean_text, n_spans, n_removed); documents without spans
+    * pass through with their normalized text intact.
+    *
+    * Scale shape: span boundaries aggregate per document FIRST (spans
+    * are tiny — a handful of longs per doc), then ONE equi-join against
+    * the documents keyed by id; the rewrite itself is a map-side fold
+    * over the per-doc span array (each kept piece is one substring), so
+    * document text crosses the wire at most once and is never exploded
+    * per span. */
+  def removeSpans(docs: DataFrame, spans: DataFrame,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sp = spans.groupBy(col(idCol).as("id"))
+      .agg(array_sort(collect_list(struct(
+        col("span_start").cast("long").as("a"),
+        col("span_end").cast("long").as("b")))).as("sp"))
+    val pieces = aggregate(
+      col("sp"),
+      struct(lit("").as("t"), lit(0L).as("p")),
+      (acc, x) => struct(
+        concat(acc("t"),
+          substring(col("nt"), (acc("p") + 1).cast("int"),
+            greatest(x("a") - acc("p") - 1, lit(0L)).cast("int"))).as("t"),
+        x("b").as("p")),
+      acc => concat(acc("t"),
+        substring(col("nt"), (acc("p") + 1).cast("int"), length(col("nt")))))
+    docs.select(col(idCol).as("id"), TF.normText(col(textCol)).as("nt"))
+      .join(sp, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        when(col("sp").isNull, col("nt")).otherwise(pieces).as("clean_text"),
+        coalesce(size(col("sp")), lit(0)).cast("long").as("n_spans"),
+        coalesce(aggregate(col("sp"), lit(0L),
+          (acc, x) => acc + x("b") - x("a") + 1L), lit(0L)).as("n_removed"))
+  }
+
+  /** DuckDB replication of [[duplicateSpans]] composed with
+    * [[removeSpans]]: the span CTEs verbatim, complement intervals via
+    * the same lag window, ordered reassembly. */
+  def removeSpansOracleSql(k: Int = 20, minDocs: Int = 2): String =
+    s"""WITH spans AS (${duplicateSpansOracleSql(k, minDocs)}),
+       |n2 AS (SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS nt
+       |       FROM documents),
+       |pieces AS (SELECT doc_id, coalesce(lag(span_end) OVER w, 0) + 1 AS a,
+       |                  span_start - 1 AS b
+       |           FROM spans WINDOW w AS (PARTITION BY doc_id ORDER BY span_start)),
+       |tails AS (SELECT doc_id, MAX(span_end) + 1 AS a FROM spans GROUP BY doc_id),
+       |kept AS (SELECT doc_id, a, b FROM pieces
+       |         UNION ALL
+       |         SELECT t.doc_id, t.a, length(n.nt) AS b
+       |         FROM tails t JOIN n2 n USING (doc_id)),
+       |txt AS (SELECT k.doc_id,
+       |               string_agg(CASE WHEN k.b >= k.a THEN n.nt[k.a : k.b] ELSE '' END,
+       |                          '' ORDER BY k.a) AS clean_text
+       |        FROM kept k JOIN n2 n USING (doc_id) GROUP BY k.doc_id),
+       |st AS (SELECT doc_id, COUNT(*) AS n_spans,
+       |              CAST(SUM(span_end - span_start + 1) AS BIGINT) AS n_removed
+       |       FROM spans GROUP BY doc_id)
+       |SELECT n.doc_id, coalesce(t.clean_text, n.nt) AS clean_text,
+       |       coalesce(st.n_spans, 0) AS n_spans, coalesce(st.n_removed, 0) AS n_removed
+       |FROM n2 n LEFT JOIN txt t USING (doc_id) LEFT JOIN st USING (doc_id)""".stripMargin
 
   /** Segment-level dedup core over (id, pos, seg) rows: drop every
     * segment whose content recurs in at least `minDocFreq` DISTINCT

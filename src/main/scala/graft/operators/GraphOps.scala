@@ -223,4 +223,69 @@ object GraphOps {
     undM.unpersist()
     out
   }
+
+  /** k-CORE membership via synchronous peeling (Matula–Beck / the
+    * BSP-style distributed form): `rounds` rounds of "drop every node
+    * whose degree in the CURRENT subgraph is < k" over the undirected
+    * simple graph, then report survivors whose final degree still
+    * clears k with that degree. Each round is a pure function of the
+    * previous edge set, so a fixed-round replay is deterministic and
+    * exactly reproducible by a chained-CTE oracle; when a round removes
+    * nothing the peel has converged and the output IS the k-core
+    * (callers pin convergence by checking rounds vs rounds+1).
+    *
+    * Scale shape: per round one partial-aggregated degree count plus
+    * two id-keyed semi-joins — shuffles carry node ids only, and each
+    * round ends at an eager checkpoint barrier (flat plans, superseded
+    * edge sets unpersist immediately). Peel rounds needed in practice
+    * are O(log n) for real graphs; a 1000-executor run does the same
+    * rounds with bigger shuffles. */
+  def kCore(edges: DataFrame, k: Int, rounds: Int,
+            srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("s"),
+      col(dstCol).cast("long").as("d"))
+    var cur = barrier(e.where(col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("a"),
+        greatest(col("s"), col("d")).as("b")).distinct())
+    var r = 0
+    while (r < rounds) {
+      val deg = cur.df.select(explode(array(col("a"), col("b"))).as("n"))
+        .groupBy("n").agg(count(lit(1)).as("deg"))
+      val keep = deg.where(col("deg") >= k)
+      val next = barrier(cur.df
+        .join(keep.select(col("n").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("n").as("b")), Seq("b"), "left_semi"))
+      cur.unpersist()
+      cur = next
+      r += 1
+    }
+    val out = cur.df.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+      .where(col("degree") >= k)
+      .localCheckpoint(true)
+    cur.unpersist()
+    out
+  }
+
+  /** DuckDB replication of [[kCore]]: the same peel unrolled as chained
+    * CTEs over `baseSql`'s (src, dst) rows. */
+  def kCoreOracleSql(baseSql: String, k: Int, rounds: Int): String = {
+    // MATERIALIZED: each round references the previous edge set three
+    // times — inlined CTEs would re-expand the whole chain 3^rounds ways
+    val peels = (0 until rounds).map { r =>
+      s"""k$r AS MATERIALIZED (SELECT n FROM
+         |  (SELECT n, count(*) AS deg FROM
+         |    (SELECT a AS n FROM e$r UNION ALL SELECT b AS n FROM e$r) GROUP BY n)
+         |  WHERE deg >= $k),
+         |e${r + 1} AS MATERIALIZED (SELECT e.a, e.b FROM e$r e
+         |  JOIN k$r ka ON e.a = ka.n JOIN k$r kb ON e.b = kb.n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH raw AS ($baseSql),
+       |e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |       FROM raw WHERE src <> dst),
+       |$peels
+       |SELECT node, count(*) AS degree FROM
+       |  (SELECT a AS node FROM e$rounds UNION ALL SELECT b AS node FROM e$rounds)
+       |GROUP BY node HAVING count(*) >= $k""".stripMargin
+  }
 }

@@ -135,6 +135,131 @@ object TextAnalysis {
         .as("rep_ratio"))
   }
 
+  /** Gopher-style repetition filters (Rae et al. 2021 §A1.1): per doc,
+    * the fraction of characters inside the single most frequent word
+    * n-gram (n ∈ `topNs`; occurrences × gram length / text length) and
+    * the fraction of characters COVERED by word `dupN`-grams that recur
+    * within the document (overlapping occurrences counted once — a
+    * per-doc gaps-and-islands merge over gram intervals). These are the
+    * standard repeated-boilerplate gates one level above
+    * [[repetitionStats]]' token ratios.
+    *
+    * Scale shape: everything partitions by document — position explode,
+    * per-doc window cumsum for character offsets, per-(doc, gram)
+    * counts, per-doc island merge; no cross-document shuffle at all.
+    * Grams group as multi-arg xxhash64 over the token hashes (8-byte
+    * keys, never gram strings; equality ≡ gram equality up to 2⁻⁶⁴),
+    * and the top-gram tie-break is (count DESC, first occurrence ASC) —
+    * position-based, so the oracle needs no hash replication. */
+  def gopherRepetition(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                       topNs: Seq[Int] = Seq(2, 3, 4), dupN: Int = 5): DataFrame = {
+    val base = docs.select(col(idCol).as("id"), TF.normText(col(textCol)).as("nt"))
+      .select(col("id"), length(col("nt")).cast("long").as("total"),
+        TF.tokens(col("nt")).as("tk"))
+    val wOrd = Window.partitionBy("id").orderBy("p")
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    // 1-based char offset of each token inside nt (tokens join by one
+    // space in the normalized text): start_p = Σ_{j<p}(len_j + 1) + 1
+    val tpos = base.select(col("id"), col("total"),
+        posexplode(col("tk")).as(Seq("p", "tok")))
+      .withColumn("th", xxhash64(col("tok")))
+      .withColumn("start",
+        coalesce(sum(length(col("tok")).cast("long") + 1L).over(wPrev), lit(0L)) + 1L)
+      .withColumn("tend", col("start") + length(col("tok")) - 1L)
+    def gramsOf(n: Int): DataFrame = {
+      val parts = (0 until n).map(i =>
+        if (i == 0) col("th") else lead(col("th"), i).over(wOrd))
+      tpos
+        .withColumn("gh", xxhash64(parts: _*))
+        .withColumn("gend", if (n == 1) col("tend") else lead(col("tend"), n - 1).over(wOrd))
+        .where(col("gend").isNotNull)
+        .select(col("id"), col("total"), col("start"), col("gend"), col("gh"))
+    }
+    def topFrac(n: Int): DataFrame = {
+      val counts = gramsOf(n).groupBy("id", "gh")
+        .agg(count(lit(1)).as("cnt"), min(col("start")).as("ms"),
+          min(col("gend") - col("start") + 1L).as("glen"), min(col("total")).as("tt"))
+      val wTop = Window.partitionBy("id")
+        .orderBy(col("cnt").desc, col("ms").asc)
+      counts.withColumn("rn", row_number().over(wTop)).where(col("rn") === 1)
+        .select(col("id"),
+          round((col("cnt") * col("glen")).cast("double") / col("tt").cast("double"), 6)
+            .as(s"top${n}_frac"))
+    }
+    val wCnt = Window.partitionBy("id", "gh")
+    val wIsl = Window.partitionBy("id").orderBy("start")
+    val dup = gramsOf(dupN)
+      .withColumn("cnt", count(lit(1)).over(wCnt))
+      .where(col("cnt") >= 2)
+      .withColumn("pmax", max(col("gend")).over(wIsl.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("nb", when(col("pmax").isNull || col("start") > col("pmax") + 1L, 1)
+        .otherwise(0))
+      .withColumn("grp", sum(col("nb")).over(wIsl))
+      .groupBy(col("id"), col("grp"))
+      .agg((max(col("gend")) - min(col("start")) + 1L).as("cov"), min(col("total")).as("tt"))
+      .groupBy("id")
+      .agg(round(sum(col("cov")).cast("double") / min(col("tt")).cast("double"), 6)
+        .as(s"dup${dupN}_cover"))
+    val out = topNs.map(topFrac).foldLeft(base.select(col("id"))) {
+      (acc, f) => acc.join(f, Seq("id"), "left")
+    }.join(dup, Seq("id"), "left")
+    val fracCols = topNs.map(n => coalesce(col(s"top${n}_frac"), lit(0.0)).as(s"top${n}_frac")) :+
+      coalesce(col(s"dup${dupN}_cover"), lit(0.0)).as(s"dup${dupN}_cover")
+    out.select(col("id").as(idCol) +: fracCols: _*)
+  }
+
+  /** DuckDB replication of [[gopherRepetition]]: gram strings in place
+    * of gram hashes (grouping by string ≡ grouping by hash), the same
+    * char-offset cumsum, the same (count DESC, first-start ASC) top
+    * pick, the same island merge, the same single-division 6-dp
+    * rounding. */
+  def gopherOracleSql(topNs: Seq[Int] = Seq(2, 3, 4), dupN: Int = 5): String = {
+    def gramCte(n: Int, name: String): String =
+      s"""$name AS (SELECT doc_id, total, start,
+         |  start + length(array_to_string(tk[p : p + ${n - 1}], ' ')) - 1 AS gend,
+         |  array_to_string(tk[p : p + ${n - 1}], ' ') AS g
+         |  FROM tp WHERE p + ${n - 1} <= ntk)""".stripMargin
+    val topCtes = topNs.map { n =>
+      s"""${gramCte(n, s"g$n")},
+         |c$n AS (SELECT doc_id, count(*) AS cnt, min(start) AS ms,
+         |        min(gend - start + 1) AS glen, min(total) AS tt
+         |        FROM g$n GROUP BY doc_id, g),
+         |t$n AS (SELECT doc_id,
+         |        round(CAST(cnt * glen AS DOUBLE) / CAST(tt AS DOUBLE), 6) AS top${n}_frac
+         |        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |              ORDER BY cnt DESC, ms ASC) AS rn FROM c$n) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val topJoins = topNs.map(n => s"LEFT JOIN t$n USING (doc_id)").mkString(" ")
+    val topSel = topNs.map(n => s"coalesce(top${n}_frac, 0.0) AS top${n}_frac").mkString(", ")
+    s"""WITH nrm AS (SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS nt
+       |             FROM documents),
+       |b AS (SELECT doc_id, length(nt) AS total,
+       |      CASE WHEN length(nt) = 0 THEN [] ELSE string_split(nt, ' ') END AS tk
+       |      FROM nrm),
+       |tp AS (SELECT doc_id, total, tk, len(tk) AS ntk, p,
+       |       CAST(p + coalesce(SUM(length(tk[p])) OVER (PARTITION BY doc_id ORDER BY p
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+       |       FROM b, unnest(generate_series(1, len(tk))) u(p)),
+       |$topCtes,
+       |${gramCte(dupN, "gd")},
+       |dd AS (SELECT doc_id, total, start, gend,
+       |       COUNT(*) OVER (PARTITION BY doc_id, g) AS cnt FROM gd),
+       |di AS (SELECT doc_id, total, start, gend,
+       |       MAX(gend) OVER (PARTITION BY doc_id ORDER BY start
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+       |       FROM dd WHERE cnt >= 2),
+       |dg AS (SELECT doc_id, total, start, gend,
+       |       SUM(CASE WHEN pmax IS NULL OR start > pmax + 1 THEN 1 ELSE 0 END)
+       |         OVER (PARTITION BY doc_id ORDER BY start) AS grp FROM di),
+       |dc AS (SELECT doc_id, grp, MAX(gend) - MIN(start) + 1 AS cov, MIN(total) AS tt
+       |       FROM dg GROUP BY doc_id, grp),
+       |dv AS (SELECT doc_id,
+       |       round(CAST(SUM(cov) AS DOUBLE) / CAST(MIN(tt) AS DOUBLE), 6) AS dup${dupN}_cover
+       |       FROM dc GROUP BY doc_id)
+       |SELECT b.doc_id, $topSel, coalesce(dup${dupN}_cover, 0.0) AS dup${dupN}_cover
+       |FROM b $topJoins LEFT JOIN dv USING (doc_id)""".stripMargin
+  }
+
   /** Composite quality score per document (heuristic; no SQL oracle). */
   def qualityScores(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.select(col(idCol), TF.qualityScore(col(textCol)).as("quality_score"))
