@@ -1190,10 +1190,12 @@ object SparkEntry {
       TextAnalysis.gopherRepetition(T(s, dir, "documents"))),
 
     // --- graph: K-CORE decomposition — synchronous peel rounds on the
-    //     dense digraph's undirected simple form; id-only shuffles,
-    //     fixpoint pinned by spec (round 8 ≡ round 9) ------------------
+    //     dense digraph's undirected simple form; id-only shuffles.
+    //     k=17 keeps a PROPER non-empty core (199 of 200 nodes survive,
+    //     one peels) so the query exercises the peel loop — k≥18 empties
+    //     the core and the differential test would pass vacuously -------
     "q158_kcore" -> ((s, dir) =>
-      graft.operators.GraphOps.kCore(denseGraph(s), k = 19, rounds = 8)),
+      graft.operators.GraphOps.kCore(denseGraph(s), k = 17, rounds = 8)),
 
     // --- relational: grouped Pearson CORRELATION — decimal power sums
     //     + one closing double chain on a 10-dp grid ------------------
@@ -2011,7 +2013,7 @@ object SparkEntry {
     "q157_gopher_repetition" -> TextAnalysis.gopherOracleSql(),
 
     // k-core: the same synchronous peel unrolled as chained CTEs
-    "q158_kcore" -> graft.operators.GraphOps.kCoreOracleSql(denseGraphSql, k = 19, rounds = 8),
+    "q158_kcore" -> graft.operators.GraphOps.kCoreOracleSql(denseGraphSql, k = 17, rounds = 8),
 
     // grouped correlation: identical decimal sums, identical double chain
     "q153_grouped_corr" -> graft.operators.Stats.groupedCorrOracleSql(

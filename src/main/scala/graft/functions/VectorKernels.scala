@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftglue.{ColumnGlue => ExpressionUtils}
@@ -526,6 +526,114 @@ object VectorKernels {
   def eqCount(a: Column, b: Column): Column =
     ExpressionUtils.column(VecFold(ExpressionUtils.expression(a),
       ExpressionUtils.expression(b), "eqcount"))
+  /** Canonical-generator verify kernel for the EXACT set-similarity
+    * self-join ([[graft.operators.Dedup.setSimilarityJoin]]). Inputs:
+    * two documents' token-RANK arrays (ascending, distinct, long — ranks
+    * assigned by global (df, hash) order, so each array's first
+    * `pl = len − ⌈num·len/den⌉ + 1` elements ARE its rarest-first
+    * prefix), plus the rank `r` the prefix join matched this row on.
+    * Returns the exact intersection size IFF `r` is the pair's FIRST
+    * shared prefix rank, else −1.
+    *
+    * This is what replaces the pair-dedup shuffle: a candidate pair is
+    * generated once per shared prefix token (up to prefix-length times),
+    * and the kernel elects exactly ONE of those rows — the one matched
+    * on the smallest shared prefix rank — as the pair's sole
+    * representative, deciding it locally from the two arrays in the same
+    * merge scan that verifies the overlap. Every other row short-
+    * circuits at its first shared-prefix match (≤ prefix-length steps)
+    * and returns −1, so a `WHERE ≥ 0` dedups with ZERO shuffle.
+    * Measured at sf0.1: the groupBy-pair dedup this replaces was 79 s of
+    * the operator's 90 — the 105M candidate rows never leave the map
+    * side now. */
+  final case class SetSimCanonInter(first: Expression, second: Expression,
+                                    third: Expression, num: Int, den: Int)
+      extends TernaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def prettyName: String = "setsim_canon_inter"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      (first.dataType, second.dataType, third.dataType) match {
+        case (ArrayType(LongType, _), ArrayType(LongType, _), LongType) =>
+          TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs (array<long>, array<long>, long), got $other")
+      }
+
+    private def prefLen(n: Int): Int =
+      n - (((n.toLong * num + den - 1) / den).toInt) + 1
+
+    override def nullSafeEval(a: Any, b: Any, c: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val r = c.asInstanceOf[Long]
+      val n = x.numElements(); val m = y.numElements()
+      val plA = prefLen(n); val plB = prefLen(m)
+      var i = 0; var j = 0
+      var cnt = 0L
+      var found = false
+      while (i < n && j < m) {
+        // past either prefix without a shared prefix rank → no match can
+        // set `found` anymore; this row cannot be canonical
+        if (!found && (i >= plA || j >= plB)) return -1L
+        val xv = x.getLong(i); val yv = y.getLong(j)
+        if (xv < yv) i += 1
+        else if (yv < xv) j += 1
+        else {
+          if (!found && i < plA && j < plB) {
+            found = true
+            if (xv != r) return -1L
+          }
+          cnt += 1L; i += 1; j += 1
+        }
+      }
+      if (found) cnt else -1L
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (x, y, r) => {
+        val n = ctx.freshName("n"); val m = ctx.freshName("m")
+        val plA = ctx.freshName("plA"); val plB = ctx.freshName("plB")
+        val i = ctx.freshName("i"); val j = ctx.freshName("j")
+        val cnt = ctx.freshName("cnt")
+        val found = ctx.freshName("found"); val skip = ctx.freshName("skip")
+        val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+        s"""
+           |int $n = $x.numElements();
+           |int $m = $y.numElements();
+           |int $plA = $n - (int)(((long)$n * $num + ${den - 1}) / $den) + 1;
+           |int $plB = $m - (int)(((long)$m * $num + ${den - 1}) / $den) + 1;
+           |int $i = 0; int $j = 0;
+           |long $cnt = 0L;
+           |boolean $found = false; boolean $skip = false;
+           |while ($i < $n && $j < $m) {
+           |  if (!$found && ($i >= $plA || $j >= $plB)) { $skip = true; break; }
+           |  long $xv = $x.getLong($i);
+           |  long $yv = $y.getLong($j);
+           |  if ($xv < $yv) { $i++; }
+           |  else if ($yv < $xv) { $j++; }
+           |  else {
+           |    if (!$found && $i < $plA && $j < $plB) {
+           |      $found = true;
+           |      if ($xv != $r) { $skip = true; break; }
+           |    }
+           |    $cnt++; $i++; $j++;
+           |  }
+           |}
+           |${ev.value} = ($skip || !$found) ? -1L : $cnt;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+      copy(first = newFirst, second = newSecond, third = newThird)
+  }
+
+  def setSimCanonInter(ra: Column, rb: Column, r: Column, num: Int, den: Int): Column =
+    ExpressionUtils.column(SetSimCanonInter(ExpressionUtils.expression(ra),
+      ExpressionUtils.expression(rb), ExpressionUtils.expression(r), num, den))
+
   def sortedInterCount(a: Column, b: Column): Column =
     ExpressionUtils.column(VecFold(ExpressionUtils.expression(a),
       ExpressionUtils.expression(b), "intercount"))

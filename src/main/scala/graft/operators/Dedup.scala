@@ -337,26 +337,49 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
-  /** EXACT token-set similarity self-join via PREFIX FILTERING
-    * (Chaudhuri et al. 2006 SSJoin / Xiao et al. 2008 PPJoin): every
-    * pair of documents whose distinct-token Jaccard is ≥ num/den — no
-    * approximation, unlike the MinHash candidate paths. Each set's
-    * tokens sort by (global doc-frequency ASC, token hash) — rarest
-    * first — and only the (L − ⌈t·L⌉ + 1)-prefix enters the candidate
-    * join: the prefix-filter lemma guarantees any qualifying pair
-    * shares a prefix token, and because a set's prefix holds its RAREST
-    * tokens, candidate groups are bounded by each rare token's own df
-    * (a stopword can never be a prefix key for a large set).
+  /** EXACT token-set similarity self-join: every pair of documents
+    * whose distinct-token Jaccard is >= num/den -- no approximation,
+    * unlike the MinHash candidate paths. Two plans, chosen from the
+    * data's measured shape:
     *
-    * 100 TB shape: the df table and the prefix join shuffle (8-byte
-    * token hash, id) pairs only; full sorted-hash arrays semi-join in
-    * for the candidate pairs alone, verified by the zero-allocation
-    * merge-scan kernel. Threshold decisions are integer-exact
-    * (inter·den ≥ union·num). Token equality rides xxhash64 as
-    * everywhere in this module (collisions ~2⁻⁶⁴). */
+    * SMALL-UNIVERSE PATH (vocabulary <= 64 distinct tokens AND distinct
+    * token-SETS below a bound): each set is one 64-bit BITMASK, docs
+    * group by identical mask, and similarity runs all-pairs over the
+    * DISTINCT masks only -- `bit_count(a&b)` / `bit_count(a|b)` per
+    * pair in codegen, then member expansion joins the qualifying mask
+    * pairs back out to document pairs (plus the intra-group pairs,
+    * Jaccard exactly 1). A tiny shared vocabulary is precisely where
+    * prefix filtering degenerates (every token's df is huge, candidate
+    * groups approach all-pairs), and also precisely where bitmap set
+    * signatures are exact and O(1) per comparison.
+    *
+    * PPJOIN PATH (the general case -- real corpora, unbounded
+    * vocabulary): PREFIX FILTERING (Chaudhuri et al. 2006 SSJoin / Xiao
+    * et al. 2008 PPJoin). Tokens carry a dense GLOBAL RANK in
+    * (doc-frequency ASC, token hash) order -- rarest first -- and only
+    * each set's (L - ceil(t*L) + 1)-prefix of smallest ranks enters the
+    * candidate join: the prefix-filter lemma guarantees any qualifying
+    * pair shares a prefix rank, and because a prefix holds its set's
+    * RAREST tokens, candidate groups are bounded by each rare token's
+    * own df (a stopword can never be a prefix key for a large set). The
+    * PPJoin length and positional filters prune inside the join
+    * condition, and the canonical-generator kernel
+    * ([[graft.functions.VectorKernels.SetSimCanonInter]]) both verifies
+    * and DEDUPLICATES map-side, so candidate occurrences never shuffle.
+    *
+    * 100 TB shape: the rank table is vocabulary-sized (distributed sort
+    * + zipWithIndex, never a single-partition window); the prefix join
+    * shuffles (8-byte rank, id, two smallints) rows only; per-doc rank
+    * arrays broadcast below the size gate and degrade to slim id-keyed
+    * shuffle joins above it. The bitmask path shuffles masks + id lists
+    * only and is gated on the distinct-set count so its all-pairs stage
+    * stays bounded. Threshold decisions are integer-exact
+    * (inter*den >= union*num). Token equality rides xxhash64 as
+    * everywhere in this module (collisions ~2^-64). */
   def setSimilarityJoin(docs: DataFrame, num: Int = 1, den: Int = 2,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(num > 0 && den > 0 && num <= den, "threshold must be in (0, 1]")
+    val spark = docs.sparkSession
     def floorDivC(x: Column, d: Int): Column =
       ((x - pmod(x, lit(d.toLong))) / d).cast("long")
     val (tk, _) = mat(docs
@@ -365,32 +388,103 @@ object Dedup {
       .select(col("id"), transform(col("tk"), t => xxhash64(t)).as("th")))
     val toks = tk.select(col("id"), explode(col("th")).as("h"))
     val dfTab = toks.groupBy("h").agg(count(lit(1)).as("df"))
-    // ceil(num·L/den) via exact integer floor-div; prefix = rarest-first
-    // rank ≤ L − ceil + 1. row_number partitions by doc — no skew, the
-    // frame is one document's tokens.
-    val w = Window.partitionBy("id").orderBy(col("df"), col("h"))
-    val prefix = toks.join(dfTab, Seq("h"))
-      .withColumn("rn", row_number().over(w))
-      .join(tk.select(col("id"), size(col("th")).cast("long").as("len")), Seq("id"))
-      .where(col("rn") <=
-        col("len") - floorDivC(col("len") * num + (den - 1), den) + 1)
-      .select(col("h"), col("id"))
-    val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
-    val (sets, nSets) = mat(tk.select(col("id"), sort_array(col("th")).as("sh")))
-    cand
-      .join(maybeBroadcast(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), nSets),
-        Seq("id_a"))
-      .join(maybeBroadcast(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), nSets),
-        Seq("id_b"))
-      .withColumn("inter",
-        graft.functions.VectorKernels.sortedInterCount(col("sh_a"), col("sh_b")).cast("long"))
-      .withColumn("uni",
-        size(col("sh_a")).cast("long") + size(col("sh_b")).cast("long") - col("inter"))
-      .where(col("inter") * den >= col("uni") * num)
-      .select(col("id_a"), col("id_b"),
-        round(col("inter").cast("double") / col("uni").cast("double"), 6).as("jaccard"))
+
+    def bitmaskPath(vocab: Array[Long]): Option[DataFrame] = {
+      val bits = spark.createDataFrame(
+        vocab.sorted.zipWithIndex.map { case (h, i) => (h, 1L << i) }.toSeq)
+        .toDF("h", "bit")
+      val masks = toks.join(broadcast(bits), Seq("h"))
+        .groupBy("id").agg(expr("bit_or(bit)").as("mask"))
+      val (gm, nG) = mat(masks.groupBy("mask")
+        .agg(collect_list(col("id")).as("ids"), count(lit(1)).as("c")))
+      // past this bound the all-pairs stage over distinct masks stops
+      // being cheap -- fall back to the PPJoin plan
+      if (nG > 65536L) return None
+      val intra = gm.where(col("c") >= 2)
+        .select(explode(col("ids")).as("id_a"), col("ids"))
+        .select(col("id_a"), explode(col("ids")).as("id_b"))
+        .where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
+      val inter = expr("bit_count(ma & mb)").cast("long")
+      val uni = expr("bit_count(ma | mb)").cast("long")
+      val cross = gm.select(col("mask").as("ma"), col("ids").as("ids_a"))
+        .join(broadcast(gm.select(col("mask").as("mb"), col("ids").as("ids_b"))),
+          col("ma") < col("mb"))
+        .select(col("ids_a"), col("ids_b"), inter.as("i"), uni.as("u"))
+        .where(col("i") * den >= col("u") * num)
+        .select(explode(col("ids_a")).as("ia"), col("ids_b"), col("i"), col("u"))
+        .select(col("ia"), explode(col("ids_b")).as("ib"), col("i"), col("u"))
+        .select(least(col("ia"), col("ib")).as("id_a"),
+          greatest(col("ia"), col("ib")).as("id_b"),
+          round(col("i").cast("double") / col("u").cast("double"), 6).as("jaccard"))
+      Some(cross.unionByName(intra))
+    }
+
+    def ppjoinPath(): DataFrame = {
+      // A doc's ascending rank array encodes everything the join needs
+      // at once: its first pl elements ARE its rarest-first prefix,
+      // element positions are prefix positions, and rank-array
+      // intersections equal token-set intersections (rank <-> token is a
+      // bijection).
+      val rankRdd = dfTab.orderBy("df", "h").select(col("h")).rdd
+        .zipWithIndex.map { case (row, idx) => org.apache.spark.sql.Row(row.getLong(0), idx) }
+      val ranked = spark.createDataFrame(rankRdd,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("h", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("r", org.apache.spark.sql.types.LongType))))
+      val (sets, nSets) = mat(toks.join(ranked, Seq("h"))
+        .groupBy("id").agg(sort_array(collect_list(col("r"))).as("ra"))
+        .select(col("id"), col("ra"), size(col("ra")).cast("long").as("len"))
+        .withColumn("pl",
+          col("len") - floorDivC(col("len") * num + (den - 1), den) + 1))
+      // Candidate rows join on shared PREFIX ranks, pruned in the join
+      // condition by the PPJoin secondary filters (Xiao et al. 2008 s3).
+      // Both are per-row-sound bounds on the pair's true intersection,
+      // so no occurrence of a truly qualifying pair is ever lost:
+      //  - LENGTH: J >= num/den forces min(la,lb)*den >= max(la,lb)*num.
+      //  - POSITIONAL: a rank matched at positions (pa, pb) splits each
+      //    ascending array at a common point, so
+      //    inter <= min(pa-1, pb-1) + min(la-pa, lb-pb) + 1, and the
+      //    pair needs inter*(num+den) >= num*(la+lb).
+      // The pair-dedup shuffle that used to follow (groupBy over every
+      // shared-prefix-token occurrence -- measured 79 s of the
+      // operator's 90 at sf0.1) is GONE:
+      // [[graft.functions.VectorKernels.SetSimCanonInter]] elects the
+      // occurrence matched on the pair's smallest shared prefix rank as
+      // its only representative, locally, in the same merge scan that
+      // verifies the overlap -- a `WHERE >= 0` dedups with zero shuffle.
+      val prefix = sets
+        .select(col("id"), col("len"), posexplode(slice(col("ra"), lit(1), col("pl"))))
+        .select(col("id"), col("len"),
+          (col("pos") + 1).cast("long").as("rn"), col("col").as("r"))
+      val ubPos =
+        least(col("a.rn"), col("b.rn")) - 1 +
+          least(col("a.len") - col("a.rn"), col("b.len") - col("b.rn")) + 1
+      val lenSum = col("a.len") + col("b.len")
+      val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.r") === col("b.r") && col("a.id") < col("b.id") &&
+          col("a.len") * num <= col("b.len") * den &&
+          col("b.len") * num <= col("a.len") * den &&
+          ubPos * (num + den) >= lenSum * num)
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("a.r").as("r"))
+      cand
+        .join(maybeBroadcast(sets.select(col("id").as("id_a"), col("ra").as("ra_a"),
+          col("len").as("la")), nSets), Seq("id_a"))
+        .join(maybeBroadcast(sets.select(col("id").as("id_b"), col("ra").as("ra_b"),
+          col("len").as("lb")), nSets), Seq("id_b"))
+        .withColumn("inter", graft.functions.VectorKernels.setSimCanonInter(
+          col("ra_a"), col("ra_b"), col("r"), num, den))
+        .where(col("inter") >= 0L)
+        .withColumn("uni", col("la") + col("lb") - col("inter"))
+        .where(col("inter") * den >= col("uni") * num)
+        .select(col("id_a"), col("id_b"),
+          round(col("inter").cast("double") / col("uni").cast("double"), 6).as("jaccard"))
+    }
+
+    // one vocabulary probe (<= 65 tiny rows) decides the plan
+    val vocabProbe = dfTab.select(col("h")).limit(65).collect().map(_.getLong(0))
+    (if (vocabProbe.length <= 64) bitmaskPath(vocabProbe) else None)
+      .getOrElse(ppjoinPath())
   }
 
   /** DuckDB replication of [[setSimilarityJoin]]: brute-force all-pairs
@@ -725,6 +819,14 @@ object Dedup {
       .agg(array_sort(collect_list(struct(
         col("span_start").cast("long").as("a"),
         col("span_end").cast("long").as("b")))).as("sp"))
+    // Cursor advances MONOTONICALLY (greatest(b, p)) and each span's
+    // removed contribution is clamped to the part beyond the cursor, so
+    // an overlapping or nested span — a violation of the documented
+    // precondition a future caller might commit — degrades to removing
+    // the union of the spans instead of silently re-appending
+    // already-removed text and double-counting n_removed. For disjoint,
+    // non-touching spans (what [[duplicateSpans]] emits) both folds are
+    // identical to the plain cursor.
     val pieces = aggregate(
       col("sp"),
       struct(lit("").as("t"), lit(0L).as("p")),
@@ -732,16 +834,24 @@ object Dedup {
         concat(acc("t"),
           substring(col("nt"), (acc("p") + 1).cast("int"),
             greatest(x("a") - acc("p") - 1, lit(0L)).cast("int"))).as("t"),
-        x("b").as("p")),
+        greatest(x("b"), acc("p")).as("p")),
       acc => concat(acc("t"),
         substring(col("nt"), (acc("p") + 1).cast("int"), length(col("nt")))))
+    val removed = aggregate(
+      col("sp"),
+      struct(lit(0L).as("p"), lit(0L).as("rm")),
+      (acc, x) => struct(
+        greatest(x("b"), acc("p")).as("p"),
+        (acc("rm") + greatest(
+          greatest(x("b"), acc("p")) - greatest(x("a") - 1, acc("p")),
+          lit(0L))).as("rm")),
+      acc => acc("rm"))
     docs.select(col(idCol).as("id"), TF.normText(col(textCol)).as("nt"))
       .join(sp, Seq("id"), "left")
       .select(col("id").as(idCol),
         when(col("sp").isNull, col("nt")).otherwise(pieces).as("clean_text"),
         coalesce(size(col("sp")), lit(0)).cast("long").as("n_spans"),
-        coalesce(aggregate(col("sp"), lit(0L),
-          (acc, x) => acc + x("b") - x("a") + 1L), lit(0L)).as("n_removed"))
+        coalesce(removed, lit(0L)).as("n_removed"))
   }
 
   /** DuckDB replication of [[duplicateSpans]] composed with

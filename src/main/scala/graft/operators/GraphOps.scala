@@ -143,18 +143,25 @@ object GraphOps {
       nodes.join(s, Seq("node"), "left")
         .select(col("node"), coalesce(col("s"), lit(0.0)).as(out))
     }
+    // The max is COLLECTED as a scalar from the just-materialized barrier
+    // (one aggregated scan of the checkpoint — a single number, fine at
+    // any graph size) and applied as a literal: normalization then costs
+    // zero extra jobs at each consumer. The earlier broadcast-crossJoin
+    // form re-ran a broadcast-build job (checkpoint scan + agg) at EVERY
+    // consumer of the normalized frame — next half-step join AND final
+    // output — doubling the per-iteration job count for pure fixed
+    // overhead. Division by the collected literal is the identical double
+    // op, so both sum modes (and the bit-exact oracle) are unchanged.
     def normalized(raw: DataFrame, valCol: String): DataFrame = {
-      val mx = raw.agg(max(col(valCol)).as("mx"))
-      val norm = when(col("mx") === 0.0, lit(0.0))
-        .otherwise(col(valCol) / col("mx"))
-      raw.crossJoin(broadcast(mx))
-        .select(col("node"),
-          (if (exactSum) norm else round(norm, 10)).as(valCol))
+      val mx = raw.agg(max(col(valCol))).collect()(0)
+      val mxV = if (mx.isNullAt(0)) 0.0 else mx.getDouble(0)
+      val norm = if (mxV == 0.0) lit(0.0) else col(valCol) / lit(mxV)
+      raw.select(col("node"),
+        (if (exactSum) norm else round(norm, 10)).as(valCol))
     }
     // the RAW sums materialize (they cost a join + aggregated shuffle);
-    // normalization stays LAZY over the checkpoint — normalized(df)
-    // reads df twice (main side + the 1-row max), which is two cheap
-    // checkpoint scans instead of two join+agg re-evaluations
+    // normalization stays LAZY over the checkpoint — one cheap 1-row max
+    // scan per half-step, then literal arithmetic at every consumer
     var hRaw: RankBarrier = null
     var aRaw: RankBarrier = null
     var hNorm: DataFrame = nodes.withColumn("h", lit(1.0))
@@ -247,17 +254,25 @@ object GraphOps {
     var cur = barrier(e.where(col("s") =!= col("d"))
       .select(least(col("s"), col("d")).as("a"),
         greatest(col("s"), col("d")).as("b")).distinct())
+    // peeling only removes edges, so an unchanged count means the peel
+    // has CONVERGED — every further round is a no-op, and skipping them
+    // keeps the output identical to the fixed-round unrolled oracle while
+    // dropping the per-round barrier + two semi-join jobs. The count is a
+    // cheap scan of the just-materialized checkpoint.
+    var curCount = cur.df.count()
     var r = 0
-    while (r < rounds) {
+    while (r < rounds && curCount > 0) {
       val deg = cur.df.select(explode(array(col("a"), col("b"))).as("n"))
         .groupBy("n").agg(count(lit(1)).as("deg"))
       val keep = deg.where(col("deg") >= k)
       val next = barrier(cur.df
         .join(keep.select(col("n").as("a")), Seq("a"), "left_semi")
         .join(keep.select(col("n").as("b")), Seq("b"), "left_semi"))
+      val nextCount = next.df.count()
       cur.unpersist()
       cur = next
-      r += 1
+      r = if (nextCount == curCount) rounds else r + 1
+      curCount = nextCount
     }
     val out = cur.df.select(explode(array(col("a"), col("b"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("degree"))

@@ -329,4 +329,41 @@ class DedupSpec extends SparkSpec {
     // (13 grams), one merged span [P-1, P+30] per doc
     assert(spans == Set((1L, 8L, 39L, 13L), (2L, 4L, 35L, 13L)), s"got $spans")
   }
+
+  test("set-similarity join matches brute force on both plan paths and thresholds") {
+    val rnd = new scala.util.Random(42)
+    def corpus(vocab: IndexedSeq[String], nDocs: Int, minLen: Int, maxLen: Int) =
+      (1 to nDocs).map { i =>
+        val len = minLen + rnd.nextInt(maxLen - minLen + 1)
+        (i.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+    def brute(cs: Seq[(Long, String)], num: Int, den: Int): Set[(Long, Long, Double)] = {
+      val sets = cs.map { case (id, t) => id -> t.trim.split("\\s+").toSet }
+        .filter(_._2.nonEmpty)
+      (for {
+        (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+        inter = (sa & sb).size.toLong
+        uni = sa.size + sb.size - inter
+        if inter * den >= uni * num
+      } yield (ia, ib,
+        BigDecimal(inter.toDouble / uni).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      ).toSet
+    }
+    def run(cs: Seq[(Long, String)], num: Int, den: Int): Set[(Long, Long, Double)] =
+      Dedup.setSimilarityJoin(cs.toDF("doc_id", "text"), num, den).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // SMALL universe (40 tokens -> bitmask plan), incl. exact-dup groups
+    val small = corpus((0 until 40).map(i => s"w$i"), 60, 5, 12) ++
+      Seq((900L, "w1 w2 w3 w4"), (901L, "w1 w2 w3 w4"), (902L, "w1 w2 w3 w4"))
+    assert(run(small, 1, 2) == brute(small, 1, 2))
+    assert(run(small, 2, 3) == brute(small, 2, 3))
+    // LARGE universe (120 tokens -> PPJoin canonical-kernel plan)
+    val large = corpus((0 until 120).map(i => s"v$i"), 80, 8, 20) ++
+      Seq((900L, "v1 v2 v3 v4 v5"), (901L, "v1 v2 v3 v4 v5"))
+    assert(run(large, 1, 2) == brute(large, 1, 2))
+    assert(run(large, 3, 4) == brute(large, 3, 4))
+    // degenerate: empty text drops; singleton corpus yields nothing
+    assert(run(Seq((1L, "a b"), (2L, "   ")), 1, 2).isEmpty)
+  }
+
 }

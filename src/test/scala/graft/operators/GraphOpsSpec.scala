@@ -92,4 +92,29 @@ class GraphOpsSpec extends SparkSpec {
     val path = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("src", "dst")
     assert(counts(path).isEmpty)
   }
+
+  test("k-core peels pendants, keeps the core, and early-exits at the fixpoint") {
+    import spark.implicits._
+    def core(df: org.apache.spark.sql.DataFrame, k: Int, rounds: Int) =
+      GraphOps.kCore(df, k, rounds).collect()
+        .map(r => r.getAs[Long]("node") -> r.getAs[Long]("degree")).toMap
+    // K4 with a pendant chain 3-4-5: the 3-core is exactly the K4
+    val k4chain = ((for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b)) ++
+      Seq((3L, 4L), (4L, 5L))).toDF("src", "dst")
+    assert(core(k4chain, 3, 10) == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    // chain + triangle: 2-core = the triangle; the chain needs TWO peel
+    // rounds to disappear (endpoints first, then the stranded middle),
+    // so rounds=1 differs while converged rounds (3 vs 50) agree — 50
+    // must early-exit rather than run 50 barriers (wall-clock bound below)
+    val mixed = (Seq((0L, 1L), (1L, 2L), (2L, 3L)) ++
+      Seq((5L, 6L), (6L, 7L), (7L, 5L))).toDF("src", "dst")
+    val expected = Map(5L -> 2L, 6L -> 2L, 7L -> 2L)
+    assert(core(mixed, 2, 3) == expected)
+    val t0 = System.nanoTime()
+    assert(core(mixed, 2, 50) == expected)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 20.0, s"50-round call took $secs s — early exit not engaged")
+    // k above the max core → empty
+    assert(core(mixed, 3, 10).isEmpty)
+  }
 }
