@@ -36,7 +36,15 @@ object Bench {
     // per-plan codegen/JIT + one measured; raise via env for more samples.
     val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "2").toInt
     val only = args.toSet // optional query-name filter for local iteration
-    val timed = SparkEntry.queries.toSeq.sortBy(_._1)
+    // NUMERIC query order, not lexicographic: "q100" < "q15" as strings,
+    // so string order ran the heavy round-8+ queries (q1xx iterative
+    // graph/dedup suites) BEFORE the cheap q15-q23 micros and their GC/
+    // block-manager churn inflated those numbers up to 3× over their
+    // isolated values (round-8 adjudication). Numbered ascending, the
+    // light early catalog runs on a quiet JVM and the heavy tail
+    // accumulates at the end, where it can only disturb itself.
+    def qNum(name: String): Int = name.drop(1).takeWhile(_.isDigit).toInt
+    val timed = SparkEntry.queries.toSeq.sortBy { case (n, _) => (qNum(n), n) }
       .filter { case (n, _) => only.isEmpty || only(n) }
       .map { case (name, fn) =>
       val samples = (1 to repeat).map { _ =>
@@ -53,6 +61,9 @@ object Bench {
       // — its fail-fast latency would masquerade as the suite's fastest
       // result (round-6 q88-q90 lesson). It goes in `failed` instead.
       val good = samples.collect { case (t, true) => t }
+      // settle after a heavy query: reclaim its garbage on our own time
+      // instead of mid-measurement of the NEXT query
+      if (good.exists(_ > 1.0)) System.gc()
       name -> (if (good.nonEmpty) Some(good.min) else None)
     }
     val results = timed.collect { case (n, Some(t)) => n -> t }

@@ -74,6 +74,26 @@ object SparkEntry {
     """SELECT ((i*48271)%65537)%200 AS src, ((i*69621+12345)%65537)%200 AS dst
       |FROM range(2000) t(i)""".stripMargin
 
+  /** Deterministic synthetic crawl-page shell around a text column: real
+    * chrome (head/script/style/comment, an all-anchor nav, a footer
+    * with an entity) so [[graft.operators.TextAnalysis.extractHtmlText]]
+    * must strip markup AND apply the link-density rule, while the body
+    * text must survive byte-for-byte. */
+  private val HtmlPrefix =
+    "<html><head><title>T</title><script>var x = 1 < 2;</script>" +
+      "<style>.m { color: red; }</style></head><body>" +
+      "<nav><a href=\"/\">Home</a> <a href=\"/about\">About us</a> " +
+      "<a href=\"/contact\">Contact</a></nav><!-- layout --><div class=\"main\">"
+  private val HtmlSuffix =
+    "</div><footer><a href=\"/privacy\">Privacy</a> &amp; " +
+      "<a href=\"/terms\">Terms</a></footer></body></html>"
+  private def htmlWrap(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(lit(HtmlPrefix), coalesce(text, lit("")), lit(HtmlSuffix))
+  private def sqlQuote(s: String): String = s.replace("'", "''")
+  private val htmlWrapSql =
+    s"SELECT doc_id, '${sqlQuote(HtmlPrefix)}' || coalesce(text, '') || " +
+      s"'${sqlQuote(HtmlSuffix)}' AS html FROM documents"
+
   /** Sparse undirected chain with 5 components (for connected components). */
   private def ccEdges(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "nation").select(col("n_nationkey").cast("int").as("k"))
@@ -1197,6 +1217,51 @@ object SparkEntry {
     "q158_kcore" -> ((s, dir) =>
       graft.operators.GraphOps.kCore(denseGraph(s), k = 17, rounds = 8)),
 
+    // --- pipeline: HTML TEXT EXTRACTION — documents wrapped in a
+    //     synthetic crawl page (head/script/nav/footer chrome around the
+    //     body) so the operator must strip markup AND drop the all-link
+    //     nav/footer blocks by link density while keeping body prose
+    //     byte-for-byte; map-only, the scan is the operator ------------
+    "q159_html_extract" -> ((s, dir) =>
+      TextAnalysis.extractHtmlText(
+        T(s, dir, "documents").select(col("doc_id"), htmlWrap(col("text")).as("html")))),
+
+    // --- pipeline: SIGNATURE-TABLE UPKEEP — the two-round incremental
+    //     ingest: batch A probes the base snapshot, appendSignatures
+    //     folds A's signatures in (idempotent, dedup-keyed), batch B
+    //     probes base+A; successive ingests compose -------------------
+    "q162_signature_upkeep" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      def third(r: Long) = docs.where(pmod(col("doc_id"), lit(3L)) === r)
+      val base = Dedup.minHashSignatures(third(0))
+      val afterA = Dedup.appendSignatures(base, third(1))
+      Dedup.minHashPairsAgainst(third(1), base, threshold = 0.35)
+        .withColumn("round", lit(1L))
+        .unionByName(
+          Dedup.minHashPairsAgainst(third(2), afterA, threshold = 0.35)
+            .withColumn("round", lit(2L)))
+    }),
+
+    // --- pipeline: 5-GRAM LM with STUPID BACKOFF (KenLM shape) — model
+    //     trains on even doc_ids, scores odd, so unseen grams exist and
+    //     the backoff chain genuinely fires; ln δ baked as one shared
+    //     double literal (no cross-engine pow) ------------------------
+    "q161_ngram_lm" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      TextAnalysis.ngramLogProb(
+        docs.where(pmod(col("doc_id"), lit(2L)) === 0),
+        docs.where(pmod(col("doc_id"), lit(2L)) === 1))
+    }),
+
+    // --- pipeline: TRAINED QUALITY CLASSIFIER — discriminative linear
+    //     scorer over hashed n-gram features (GPT-3/LLaMA-style "looks
+    //     like the reference corpus" filter), 4 full-batch GD steps on
+    //     the driver over B-bounded gradient aggregates, algebraic
+    //     sigmoid so both engines replay the training bit-for-bit ------
+    "q160_quality_classifier" -> ((s, dir) =>
+      TextAnalysis.qualityClassifierScores(
+        T(s, dir, "documents"), col("lang") === "en")),
+
     // --- relational: grouped Pearson CORRELATION — decimal power sums
     //     + one closing double chain on a 10-dp grid ------------------
     "q153_grouped_corr" -> ((s, dir) =>
@@ -2014,6 +2079,22 @@ object SparkEntry {
 
     // k-core: the same synchronous peel unrolled as chained CTEs
     "q158_kcore" -> graft.operators.GraphOps.kCoreOracleSql(denseGraphSql, k = 17, rounds = 8),
+
+    // HTML extraction: identical regex chain over the same synthetic page
+    "q159_html_extract" -> TextAnalysis.extractHtmlOracleSql(htmlWrapSql),
+
+    // 5-gram backoff LM: identical gram tables + longest-match selection
+    "q161_ngram_lm" -> TextAnalysis.ngramLogProbOracleSql(
+      "doc_id % 2 = 0", "doc_id % 2 = 1"),
+
+    // signature upkeep: both ingest rounds in one oracle — round 2's
+    // base IS what appendSignatures must have produced
+    "q162_signature_upkeep" -> Dedup.signatureUpkeepOracleSql(),
+
+    // quality classifier: the oracle RETRAINS from scratch — identical
+    // hashing, decimal sums, algebraic sigmoid, weight updates — so the
+    // whole gradient loop is checked, not just the scoring pass
+    "q160_quality_classifier" -> TextAnalysis.qualityClassifierOracleSql("lang = 'en'"),
 
     // grouped correlation: identical decimal sums, identical double chain
     "q153_grouped_corr" -> graft.operators.Stats.groupedCorrOracleSql(

@@ -223,6 +223,32 @@ object Dedup {
       .where(col("jaccard_est") >= threshold)
   }
 
+  /** Signature-table UPKEEP — the companion write half of
+    * [[minHashPairsAgainst]]'s incremental-dedup protocol: after a batch
+    * is adjudicated against the stored corpus signatures, fold the
+    * batch's own signatures INTO the table so the next ingest sees
+    * base+batch. Idempotent and dedup-keyed: ids already present keep
+    * their STORED signature (re-appending a batch, or a batch that
+    * overlaps the base, adds nothing and never flip-flops a signature),
+    * so successive ingests compose — append(append(base, A), A) ≡
+    * append(base, A), and append(base, A) has exactly the rows of
+    * signing base ∪ A when ids are disjoint. Signature params must
+    * match the stored table's (same contract as the probe side).
+    *
+    * Scale shape: the batch signs map-only (the k-minima pass); the
+    * dedup guard is ONE id-keyed anti-join (8-byte ids + signatures on
+    * the wire, base text never re-read); output unions lazily — persist
+    * it as the next snapshot's signature table. */
+  def appendSignatures(baseSigs: DataFrame, newDocs: DataFrame,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       shingleN: Int = 5, k: Int = 64,
+                       wordShingles: Boolean = false): DataFrame = {
+    val base = baseSigs.toDF("id", "sig")
+    val fresh = minHashSignatures(newDocs, idCol, textCol, shingleN, k, wordShingles)
+      .join(base.select(col("id")), Seq("id"), "left_anti")
+    base.unionByName(fresh)
+  }
+
   /** MinHash dedup survivors: connected-components-lite — drop any doc that
     * has a near-dup with a smaller id (correct for pair-dedup; full CC runs
     * in the fixpoint engine if transitive grouping is needed). */
@@ -1040,4 +1066,31 @@ object Dedup {
        |        FROM cand c JOIN sg sa ON sa.doc_id = c.new_id JOIN sg sb ON sb.doc_id = c.base_id AND sb.i = sa.i
        |        GROUP BY c.new_id, c.base_id)
        |SELECT new_id, base_id, jaccard_est FROM est WHERE jaccard_est >= $threshold""".stripMargin
+
+  /** DuckDB replication of the TWO-ROUND incremental-ingest protocol
+    * ([[minHashPairsAgainst]] + [[appendSignatures]]): round 1 probes
+    * batch A (doc_id%3=1) against the base snapshot (doc_id%3=0);
+    * round 2 probes batch B (doc_id%3=2) against base+A — i.e. against
+    * exactly the signature table [[appendSignatures]] must have
+    * produced. Signatures compute ONCE for all docs (append keeps
+    * stored signatures verbatim, so base+A's table IS the plain
+    * signature table restricted to %3 IN (0,1)). */
+  def signatureUpkeepOracleSql(shingleN: Int = 5, k: Int = 64, bands: Int = 16,
+                               threshold: Double = 0.35): String =
+    s"""${minHashSigCtes(shingleN, k, bands)},
+       |c1 AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS base_id
+       |       FROM bnd a JOIN bnd b ON a.band = b.band AND a.key = b.key
+       |       WHERE a.doc_id % 3 = 1 AND b.doc_id % 3 = 0),
+       |c2 AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS base_id
+       |       FROM bnd a JOIN bnd b ON a.band = b.band AND a.key = b.key
+       |       WHERE a.doc_id % 3 = 2 AND b.doc_id % 3 IN (0, 1)),
+       |cand AS (SELECT new_id, base_id, 1 AS round FROM c1
+       |         UNION ALL SELECT new_id, base_id, 2 FROM c2),
+       |est AS (SELECT c.new_id, c.base_id, c.round,
+       |        CAST(SUM(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) AS DOUBLE) / $k AS jaccard_est
+       |        FROM cand c JOIN sg sa ON sa.doc_id = c.new_id
+       |        JOIN sg sb ON sb.doc_id = c.base_id AND sb.i = sa.i
+       |        GROUP BY 1, 2, 3)
+       |SELECT new_id, base_id, CAST(round AS BIGINT) AS round, jaccard_est
+       |FROM est WHERE jaccard_est >= $threshold""".stripMargin
 }

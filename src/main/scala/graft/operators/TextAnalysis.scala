@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions => TF}
@@ -643,5 +643,379 @@ object TextAnalysis {
        |FROM doc d LEFT JOIN sim s ON d.doc_id = s.doc_id
        |LEFT JOIN fpw w ON d.doc_id = w.doc_id
        |LEFT JOIN fps x ON d.doc_id = x.doc_id""".stripMargin
+  }
+
+  // ════════════════════════════════════════════════════════════════════
+  // HTML / markup text extraction
+  // ════════════════════════════════════════════════════════════════════
+
+  private val HtmlBlockTags =
+    "html|head|title|body|p|div|li|ul|ol|h[1-6]|tr|td|th|table|thead|tbody|" +
+      "br|hr|section|article|aside|main|header|footer|nav|blockquote|pre|form"
+  private val HtmlEntities = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** HTML → text extraction with LINK-DENSITY boilerplate removal — the
+    * first stage of every real web-corpus pipeline (C4 / CCNet /
+    * RefinedWeb start from raw crawl HTML, not pre-extracted text).
+    * Entirely MAP-ONLY, one pass per document:
+    *
+    *  1. `<script>`/`<style>` element bodies and comments drop whole.
+    *  2. Block-level tags (`p div li h1-6 tr nav footer ...`) become
+    *     block boundaries; the document splits into blocks.
+    *  3. Per block: remaining inline tags strip to spaces, basic
+    *     entities unescape (`&amp;` LAST so `&amp;lt;` yields the
+    *     literal `&lt;`), whitespace normalizes.
+    *  4. BOILERPLATE RULE (the jusText/Readability link-density
+    *     heuristic, integer-exact): a block is dropped when its text is
+    *     shorter than `minChars` OR when its anchor-text length exceeds
+    *     `linkNum/linkDen` of its total text (`linkLen·linkDen >
+    *     textLen·linkNum`) — navigation bars, footers, and related-link
+    *     rails are nearly-all-anchor-text, body prose is not.
+    *
+    * Returns (idCol, extracted_text = kept blocks joined by newline,
+    * n_kept, n_dropped) where n_dropped counts NON-EMPTY blocks removed
+    * by the rule. All string ops are regex/replace chains replicated
+    * verbatim by [[extractHtmlOracleSql]] — no tokenizer ambiguity.
+    * Null markup behaves as empty. 100 TB shape: zero shuffles, zero
+    * per-doc state beyond the row — the scan IS the operator. */
+  def extractHtmlText(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "html", minChars: Int = 10,
+                      linkNum: Int = 1, linkDen: Int = 2): DataFrame = {
+    require(minChars >= 1 && linkNum >= 0 && linkDen > 0)
+    def unesc(c: Column): Column =
+      HtmlEntities.foldLeft(c) { case (a, (f, t)) => regexp_replace(a, f, t) }
+    def stripTags(c: Column): Column = regexp_replace(c, "<[^>]*>", " ")
+    def norm(c: Column): Column =
+      trim(regexp_replace(unesc(stripTags(c)), "\\s+", " "))
+    val cleaned = regexp_replace(regexp_replace(regexp_replace(
+      coalesce(col(textCol), lit("")),
+      "(?is)<script(>|\\s[^>]*>).*?</script>", " "),
+      "(?is)<style(>|\\s[^>]*>).*?</style>", " "),
+      "(?s)<!--.*?-->", " ")
+    val blocks = split(
+      regexp_replace(cleaned, s"(?is)</?($HtmlBlockTags)(>|\\s[^>]*>)", "\n"), "\n")
+    val scored = transform(blocks, b => struct(
+      norm(b).as("t"),
+      length(norm(concat_ws(" ",
+        regexp_extract_all(b, lit("(?is)<a(>|\\s[^>]*>).*?</a>"), lit(0))))).as("l")))
+    val nonEmpty = filter(scored, s => length(s("t")) > 0)
+    val kept = filter(nonEmpty, s =>
+      length(s("t")) >= minChars && s("l") * linkDen <= length(s("t")) * linkNum)
+    docs.select(col(idCol),
+      array_join(transform(kept, s => s("t")), "\n").as("extracted_text"),
+      size(kept).cast("long").as("n_kept"),
+      (size(nonEmpty) - size(kept)).cast("long").as("n_dropped"))
+  }
+
+  // ════════════════════════════════════════════════════════════════════
+  // n-gram LM scoring with backoff (KenLM-shape, one model order per
+  // level) — the actual CCNet filter signal, n−1 orders past
+  // [[bigramLogProb]]
+  // ════════════════════════════════════════════════════════════════════
+
+  /** n-gram language-model document scoring with STUPID BACKOFF (Brants
+    * et al. 2007 — the web-scale LM the CCNet-style perplexity gate
+    * actually approximates): the model trains on `train` and scores
+    * `score`, so unseen grams genuinely occur and the backoff chain is
+    * exercised (scoring the training corpus would find every gram and
+    * never back off). Per token position i with context order
+    * kmax = min(n, i):
+    *
+    *   S = δ^(kmax−k) · c_k(gram) / c_{k−1}(context)   for the LONGEST
+    *       k ∈ [2, kmax] whose k-gram was seen in training
+    *       (its (k−1)-prefix is then seen too, so the ratio is defined);
+    *   S = δ^(kmax−1) · (c₁(w)+1) / (N+V)              when no k ≥ 2
+    *       gram matched — the add-one-smoothed unigram base case, which
+    *       also keeps OOV words (c₁ = 0) finite.
+    *
+    * Output (idCol, n_scored, avg_logprob): the mean over positions of
+    * ln S, 6-dp rounded (the q87 stance — both engines' ln and their
+    * summation orders agree under the coarse final round). The backoff
+    * penalty enters ADDITIVELY as (kmax−k)·ln δ with ln δ computed ONCE
+    * on the driver and baked into both plans as the same double literal
+    * — `pow` cross-engine parity is never relied on.
+    *
+    * Scale shape: training counts are one grouped aggregation over the
+    * per-position gram explode (n rows per token — the inherent n-gram-LM
+    * blowup; tables are corpus-vocabulary-sized and join back by (order,
+    * gram) key); scoring is one explode + two key joins + two id-keyed
+    * partial-aggregated shuffles. No driver state beyond N and V. */
+  def ngramLogProb(train: DataFrame, score: DataFrame, n: Int = 5,
+                   backoff: Double = 0.4, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    require(n >= 2, "need n >= 2")
+    val lnA = math.log(backoff)
+    def positions(df: DataFrame) = df
+      .select(col(idCol).as("id"), TF.tokens(col(textCol)).as("t"))
+      .where(size(col("t")) > 0)
+      .select(col("id"), col("t"), explode(TF.seq1(size(col("t")))).as("i"))
+      .select(col("id"), col("t"), col("i"),
+        explode(TF.seq1(least(lit(n), col("i")))).as("k"))
+    val cnt = positions(train)
+      .select(col("k"), array_join(slice(col("t"), col("i") - col("k") + 1, col("k")), " ").as("g"))
+      .groupBy("k", "g").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val uni = cnt.where(col("k") === 1)
+      .agg(sum(col("c")), count(lit(1))).collect()(0)
+    val denom1 = uni.getLong(0).toDouble + uni.getLong(1).toDouble // N + V
+    val pos = positions(score)
+      .select(col("id"), col("i"), col("k"), least(lit(n), col("i")).as("kmax"),
+        array_join(slice(col("t"), col("i") - col("k") + 1, col("k")), " ").as("g"),
+        when(col("k") >= 2,
+          array_join(slice(col("t"), col("i") - col("k") + 1, col("k") - 1), " ")).as("ctx"))
+    val j = pos
+      .join(cnt.select(col("k"), col("g"), col("c").as("ck")), Seq("k", "g"), "left")
+      .join(cnt.select((col("k") + 1).as("k"), col("g").as("ctx"), col("c").as("cx")),
+        Seq("k", "ctx"), "left")
+    val sel = j.groupBy("id", "i", "kmax").agg(
+      max(when(col("k") >= 2 && col("ck").isNotNull,
+        struct(col("k"), col("ck"), col("cx")))).as("s"),
+      max(when(col("k") === 1, coalesce(col("ck"), lit(0L)))).as("c1"))
+    val lp = when(col("s").isNotNull,
+      (col("kmax") - col("s.k")).cast("double") * lit(lnA) +
+        log(col("s.ck").cast("double") / col("s.cx").cast("double")))
+      .otherwise(
+        (col("kmax") - 1).cast("double") * lit(lnA) +
+          log((col("c1").cast("double") + 1) / lit(denom1)))
+    sel.select(col("id"), lp.as("lp"))
+      .groupBy("id").agg(
+        count(lit(1)).as("n_scored"),
+        round(avg(col("lp")), 6).as("avg_logprob"))
+      .withColumnRenamed("id", idCol)
+  }
+
+  /** DuckDB replication of [[ngramLogProb]] over two doc_id predicates:
+    * identical gram tables, the same longest-match backoff selection
+    * (struct max), the same ln δ double literal, 6-dp rounded mean. */
+  def ngramLogProbOracleSql(trainPred: String, scorePred: String, n: Int = 5,
+                            backoff: Double = 0.4): String = {
+    val lnA = s"CAST(${math.log(backoff)} AS DOUBLE)"
+    def posCte(pred: String, pre: String): String =
+      s"""${pre}0 AS (SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS t
+         |  FROM documents WHERE ($pred) AND LEN(TRIM(text)) > 0),
+         |${pre}1 AS (SELECT doc_id, t, unnest(generate_series(1, LEN(t))) AS i FROM ${pre}0),
+         |${pre}2 AS (SELECT doc_id, t, i, unnest(generate_series(1, LEAST($n, i))) AS k
+         |  FROM ${pre}1)""".stripMargin
+    s"""WITH ${posCte(trainPred, "tr")},
+       |cnt AS MATERIALIZED (SELECT k, array_to_string(t[i-k+1:i], ' ') AS g, count(*) AS c
+       |  FROM tr2 GROUP BY 1, 2),
+       |tot AS (SELECT CAST(SUM(c) AS DOUBLE) + CAST(COUNT(*) AS DOUBLE) AS d1
+       |  FROM cnt WHERE k = 1),
+       |${posCte(scorePred, "sc")},
+       |pos AS (SELECT doc_id, i, k, LEAST($n, i) AS kmax,
+       |    array_to_string(t[i-k+1:i], ' ') AS g,
+       |    CASE WHEN k >= 2 THEN array_to_string(t[i-k+1:i-1], ' ') END AS ctx
+       |  FROM sc2),
+       |j AS (SELECT p.doc_id, p.i, p.kmax, p.k, c1.c AS ck, c2.c AS cx
+       |  FROM pos p
+       |  LEFT JOIN cnt c1 ON c1.k = p.k AND c1.g = p.g
+       |  LEFT JOIN cnt c2 ON c2.k = p.k - 1 AND c2.g = p.ctx),
+       |sel AS (SELECT doc_id, i, kmax,
+       |    max(CASE WHEN k >= 2 AND ck IS NOT NULL
+       |        THEN {'k': k, 'ck': ck, 'cx': cx} END) AS s,
+       |    max(CASE WHEN k = 1 THEN coalesce(ck, 0) END) AS c1
+       |  FROM j GROUP BY doc_id, i, kmax),
+       |ls AS (SELECT doc_id,
+       |    CASE WHEN s IS NOT NULL
+       |      THEN CAST(kmax - s.k AS DOUBLE) * $lnA
+       |           + ln(CAST(s.ck AS DOUBLE) / CAST(s.cx AS DOUBLE))
+       |      ELSE CAST(kmax - 1 AS DOUBLE) * $lnA
+       |           + ln((CAST(c1 AS DOUBLE) + 1) / tot.d1) END AS lp
+       |  FROM sel, tot)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_scored,
+       |  round(avg(lp), 6) AS avg_logprob
+       |FROM ls GROUP BY doc_id""".stripMargin
+  }
+
+  // ════════════════════════════════════════════════════════════════════
+  // Trained quality classifier (discriminative "looks like the target
+  // corpus" filter)
+  // ════════════════════════════════════════════════════════════════════
+
+  /** TRAINED quality classifier — the GPT-3/LLaMA-style discriminative
+    * filter: a linear scorer over hashed unigram+bigram features (the
+    * same FNV bucketing as DSIR, [[Sampling.dsirSelect]]) trained to
+    * separate a TARGET slice (label 1, `targetPred`) from the rest of
+    * the corpus (label 0), then applied to every document. Unlike
+    * DSIR's generative log-likelihood ratio, the weights come from
+    * `iters` FULL-BATCH fixed-step gradient descent steps on squared
+    * error over a squashed margin — each step one margin scan + one
+    * B-bounded gradient aggregate collected to the driver (the
+    * BPE/k-means driver-loop pattern; B = `buckets` is corpus-size-
+    * independent, so the weight vector always fits the driver and
+    * broadcasts back into the next scan).
+    *
+    * DETERMINISM (the whole point of the formulation): the squash is
+    * the ALGEBRAIC sigmoid σ̃(m) = 0.5 + 0.5·m/(1+|m|) — plain IEEE
+    * +,×,÷,| · | reproduces bit-identically on any engine, where
+    * exp-based logistic would hang cross-engine parity on transcendental
+    * last-ulp agreement. Per-doc margins and per-bucket gradients sum in
+    * DECIMAL(38,30) (order-independent); the weight update
+    * w ← w − lr·(g/N + λ·w) runs in doubles with a fixed expression
+    * shape both engines replay exactly; only the FINAL score rounds
+    * (6 dp). Default λ = 2⁻¹⁰ is exactly representable so the literal
+    * parses to the same double everywhere. Per-doc features are
+    * occurrence counts normalized by the doc's feature total
+    * (invn = 1/(2·len−1)), bounding every margin by max|w|.
+    *
+    * Returns (idCol, quality_score ∈ (0,1)) for every doc with ≥ 1
+    * token; higher = more target-like. Scale shape: feature incidence
+    * checkpoints once; each iteration is two id/bucket-keyed
+    * partial-aggregated shuffles of (8-byte bucket, double) rows; no
+    * corpus-sized driver state ever. */
+  def qualityClassifierScores(docs: DataFrame, targetPred: Column,
+                              buckets: Int = 64, iters: Int = 8,
+                              lr: Double = 4.0, l2: Double = 0.0009765625,
+                              idCol: String = "doc_id",
+                              textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val base = docs
+      .select(col(idCol).as("id"), targetPred.cast("double").as("y"),
+        TF.tokens(col(textCol)).as("t"))
+      .where(size(col("t")) > 0)
+    // Per-doc SPARSE FEATURE VECTORS, built once (two shuffles) and
+    // checkpointed: (bucket, occurrences/total) pairs. Each GD step is
+    // then MAP-ONLY over this table for margins and errors — the only
+    // per-iteration exchange is the B-bounded gradient groupBy. The
+    // margin fold runs over the SORTED (b unique per doc) feature list
+    // in DECIMAL(38,30) — a fixed sequence of exact-to-30-dp additions,
+    // each step re-capped to scale 30, so the fold is deterministic and
+    // within 1e-28 of the oracle's exact decimal SUM (identical doubles
+    // after the cast for any margin above ~1e-12).
+    val fv = base
+      .select(col("id"), col("y"),
+        (lit(1.0) / (size(col("t")).cast("double") * 2 - 1)).as("invn"),
+        explode(concat(col("t"), TF.wordShinglesOf(col("t"), 2))).as("f"))
+      .select(col("id"), col("y"), col("invn"),
+        pmod(TF.fnvMix64(col("f")), lit(buckets.toLong)).as("b"))
+      .groupBy("id", "y", "invn", "b").agg(count(lit(1)).cast("double").as("cnt"))
+      .select(col("id"), col("y"), col("b"), (col("cnt") * col("invn")).as("v"))
+      .groupBy("id", "y").agg(sort_array(collect_list(struct(col("b"), col("v")))).as("fs"))
+      .localCheckpoint(true)
+    val nDocs = fv.count().toDouble
+    def marginOf(ws: Array[Double]): Column = {
+      val wLit = typedLit(ws.toSeq)
+      aggregate(col("fs"), lit(0).cast("decimal(38,30)"),
+        (acc, s) => (acc +
+          (element_at(wLit, s("b").cast("int") + 1) * s("v")).cast("decimal(38,30)"))
+          .cast("decimal(38,30)"))
+        .cast("double")
+    }
+    def sigmoid(m: Column): Column =
+      lit(0.5) + lit(0.5) * m / (lit(1.0) + abs(m))
+    var w: Array[Double] = Array.fill(buckets)(0.0)
+    var it = 0
+    while (it < iters) {
+      // err is projected BELOW the explode: in a single select the
+      // margin fold would land in the post-Generate projection and
+      // re-evaluate once per exploded feature (measured 40x)
+      val g = fv
+        .select((sigmoid(marginOf(w)) - col("y")).as("err"), col("fs"))
+        .select(col("err"), explode(col("fs")).as("s"))
+        .select(col("s.b").as("b"), (col("err") * col("s.v")).as("t"))
+        .groupBy("b")
+        .agg(sum(col("t").cast("decimal(38,30)")).cast("double").as("g"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      w = Array.tabulate(buckets) { b =>
+        w(b) - lr * (g.getOrElse(b.toLong, 0.0) / nDocs + l2 * w(b))
+      }
+      it += 1
+    }
+    fv.select(col("id").as(idCol),
+      round(sigmoid(marginOf(w)), 6).as("quality_score"))
+  }
+
+  /** DuckDB replication of [[qualityClassifierScores]]: the identical
+    * FNV+splitmix bucketing (distinct features hash once), then the
+    * SAME `iters` gradient steps replayed as chained materialized CTEs —
+    * decimal margin/gradient sums, the algebraic sigmoid, the identical
+    * weight-update expression — and the same 6-dp final round. The
+    * oracle retrains from scratch, so it checks the training loop, not
+    * just the scoring pass. */
+  def qualityClassifierOracleSql(targetPred: String, buckets: Int = 64,
+                                 iters: Int = 8, lr: Double = 4.0,
+                                 l2: Double = 0.0009765625): String = {
+    val steps = (1 to iters).map { k =>
+      s"""m$k AS MATERIALIZED (SELECT f.doc_id, f.y,
+         |  CAST(SUM(CAST(w.w * f.v AS DECIMAL(38,30))) AS DOUBLE) AS m
+         |  FROM feat f JOIN w${k - 1} w USING (b) GROUP BY f.doc_id, f.y),
+         |e$k AS MATERIALIZED (SELECT doc_id,
+         |  0.5 + 0.5 * m / (1 + abs(m)) - y AS err FROM m$k),
+         |g$k AS MATERIALIZED (SELECT f.b,
+         |  CAST(SUM(CAST(e.err * f.v AS DECIMAL(38,30))) AS DOUBLE) AS g
+         |  FROM feat f JOIN e$k e USING (doc_id) GROUP BY f.b),
+         |w$k AS MATERIALIZED (SELECT w.b,
+         |  w.w - CAST($lr AS DOUBLE) * (coalesce(g.g, CAST(0 AS DOUBLE)) / (SELECT n FROM nd)
+         |    + CAST($l2 AS DOUBLE) * w.w) AS w
+         |  FROM w${k - 1} w LEFT JOIN g$k g USING (b))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH d AS (SELECT doc_id,
+       |    CAST(CASE WHEN ($targetPred) THEN 1 ELSE 0 END AS DOUBLE) AS y,
+       |    regexp_split_to_array(TRIM(text), '\\s+') AS t
+       |  FROM documents WHERE LEN(TRIM(text)) > 0),
+       |f0 AS (SELECT doc_id, y, CAST(1 AS DOUBLE) / (2 * LEN(t) - 1) AS invn,
+       |    unnest(t || list_transform(generate_series(1, LEN(t) - 1),
+       |      i -> t[i] || ' ' || t[i + 1])) AS k
+       |  FROM d),
+       |uk AS (SELECT DISTINCT k FROM f0),
+       |${foldMixSql("uk", "ukh")},
+       |hb AS (SELECT k, ((${toSignedSql("hm")} % $buckets) + $buckets) % $buckets AS b
+       |  FROM ukh),
+       |feat0 AS (SELECT f.doc_id, f.y, f.invn, h.b
+       |  FROM f0 f JOIN hb h USING (k)),
+       |feat AS MATERIALIZED (SELECT doc_id, y, b, COUNT(*) * invn AS v
+       |  FROM feat0 GROUP BY doc_id, y, b, invn),
+       |nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM feat),
+       |w0 AS (SELECT CAST(unnest(generate_series(0, ${buckets - 1})) AS BIGINT) AS b,
+       |  CAST(0 AS DOUBLE) AS w),
+       |$steps,
+       |ms AS (SELECT f.doc_id,
+       |  CAST(SUM(CAST(w.w * f.v AS DECIMAL(38,30))) AS DOUBLE) AS m
+       |  FROM feat f JOIN w$iters w USING (b) GROUP BY f.doc_id)
+       |SELECT doc_id, round(0.5 + 0.5 * m / (1 + abs(m)), 6) AS quality_score
+       |FROM ms""".stripMargin
+  }
+
+  /** DuckDB replication of [[extractHtmlText]] over `htmlSql` (a query
+    * yielding (doc_id, html)): the identical regex chain — RE2 and
+    * java.util.regex agree on every construct used (inline (?is) flags,
+    * non-greedy spans, character classes) — with list lambdas standing
+    * in for the Spark HOFs. */
+  def extractHtmlOracleSql(htmlSql: String, minChars: Int = 10,
+                           linkNum: Int = 1, linkDen: Int = 2): String = {
+    val un = HtmlEntities.foldLeft("x") { case (a, (f, t)) =>
+      val tq = t.replace("'", "''")
+      s"replace($a, '$f', '$tq')"
+    }
+    def normS(inner: String): String =
+      s"TRIM(regexp_replace(${un.replace("x",
+        s"regexp_replace($inner, '<[^>]*>', ' ', 'g')")}, '\\s+', ' ', 'g'))"
+    s"""WITH src AS ($htmlSql),
+       |c1 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+       |         coalesce(html, ''),
+       |         '(?is)<script(>|\\s[^>]*>).*?</script>', ' ', 'g'),
+       |         '(?is)<style(>|\\s[^>]*>).*?</style>', ' ', 'g'),
+       |         '(?s)<!--.*?-->', ' ', 'g') AS c FROM src),
+       |b AS (SELECT doc_id, string_split(regexp_replace(c,
+       |        '(?is)</?($HtmlBlockTags)(>|\\s[^>]*>)', chr(10), 'g'), chr(10)) AS bs
+       |      FROM c1),
+       |p AS (SELECT doc_id, list_transform(bs, x -> {
+       |        't': ${normS("x")},
+       |        'l': length(${normS(
+                  // coalesce: DuckDB's array_to_string([]) is NULL where
+                  // Spark's concat_ws over an empty array is ''
+                  "coalesce(array_to_string(regexp_extract_all(x, '(?is)<a(>|\\s[^>]*>).*?</a>'), ' '), '')")})
+       |      }) AS ps FROM b),
+       |q AS (SELECT doc_id, list_filter(ps, s -> length(s.t) > 0) AS ne FROM p),
+       |r AS (SELECT doc_id, ne, list_filter(ne, s ->
+       |        length(s.t) >= $minChars AND s.l * $linkDen <= length(s.t) * $linkNum) AS kept
+       |      FROM q)
+       |SELECT doc_id,
+       |  array_to_string(list_transform(kept, s -> s.t), chr(10)) AS extracted_text,
+       |  CAST(len(kept) AS BIGINT) AS n_kept,
+       |  CAST(len(ne) - len(kept) AS BIGINT) AS n_dropped
+       |FROM r""".stripMargin
   }
 }

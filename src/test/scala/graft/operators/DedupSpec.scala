@@ -366,4 +366,25 @@ class DedupSpec extends SparkSpec {
     assert(run(Seq((1L, "a b"), (2L, "   ")), 1, 2).isEmpty)
   }
 
+
+  test("appendSignatures is idempotent, keeps stored signatures, composes to sign(union)") {
+    def sigs(df: org.apache.spark.sql.DataFrame) = Dedup.minHashSignatures(df)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toVector)).toSet
+    val a = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven")).toDF("doc_id", "text")
+    val b = Seq((3L, "red green blue yellow purple orange"),
+      (4L, "north south east west up down")).toDF("doc_id", "text")
+    val base = sigs(a)
+    val once = Dedup.appendSignatures(base, b)
+    // composes: append(base, B) has exactly sign(A union B)'s rows
+    assert(rowsOf(once) == rowsOf(sigs(a.unionByName(b))))
+    // idempotent: re-appending the same batch adds nothing
+    assert(rowsOf(Dedup.appendSignatures(once, b)) == rowsOf(once))
+    // dedup-keyed: an id already stored keeps its STORED signature even
+    // if the batch carries different text under that id
+    val conflicting = Seq((1L, "totally different replacement text")).toDF("doc_id", "text")
+    assert(rowsOf(Dedup.appendSignatures(base, conflicting)) == rowsOf(base))
+  }
+
 }

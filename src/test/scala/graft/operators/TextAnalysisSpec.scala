@@ -223,4 +223,87 @@ class TextAnalysisSpec extends SparkSpec {
     // doc 3's scrambled pairs are both (1+1)/(4+4) → ln 0.25
     assert(math.abs(r(3L)._2 - math.log(0.25)) < 1e-5)
   }
+
+  test("html extraction strips chrome, drops link-dense blocks, keeps body byte-for-byte") {
+    val page =
+      "<html><head><title>My Site</title><script>if (a < b) { x(); }</script>" +
+        "<style>p { margin: 0; }</style></head><body>" +
+        "<nav><a href=\"/\">Home</a> <a href=\"/docs\">Documentation</a> " +
+        "<a href=\"/blog\">Blog</a></nav>" +
+        "<!-- header ends -->" +
+        "<div id=\"content\"><p>The quick brown fox &amp; the lazy dog met at " +
+        "<a href=\"/park\">the park</a> yesterday evening.</p>" +
+        "<p>A second paragraph with enough prose to clear the length bar easily.</p></div>" +
+        "<div class=\"related\"><a href=\"/a\">Related one</a> <a href=\"/b\">Related two</a> " +
+        "<a href=\"/c\">Related three</a></div>" +
+        "<footer><a href=\"/privacy\">Privacy</a> &#39;and&#39; <a href=\"/terms\">Terms</a></footer>" +
+        "</body></html>"
+    val out = TextAnalysis.extractHtmlText(Seq((1L, page)).toDF("doc_id", "html")).collect()(0)
+    val text = out.getAs[String]("extracted_text")
+    assert(text ==
+      "The quick brown fox & the lazy dog met at the park yesterday evening.\n" +
+        "A second paragraph with enough prose to clear the length bar easily.",
+      s"got: $text")
+    // dropped: title (short), nav (all links), related rail (all links),
+    // footer (mostly links) -- script/style/comment vanish pre-blocking
+    assert(out.getAs[Long]("n_kept") == 2L)
+    assert(out.getAs[Long]("n_dropped") == 4L)
+    // plain text with no markup at all passes through normalized
+    val plain = TextAnalysis.extractHtmlText(
+      Seq((1L, "  just   some plain words here  ")).toDF("doc_id", "html")).collect()(0)
+    assert(plain.getAs[String]("extracted_text") == "just some plain words here")
+    // null html behaves as empty
+    val nul = TextAnalysis.extractHtmlText(
+      Seq((1L, null: String)).toDF("doc_id", "html")).collect()(0)
+    assert(nul.getAs[String]("extracted_text") == "" && nul.getAs[Long]("n_kept") == 0L)
+  }
+
+
+  test("trained quality classifier separates target-like from junk docs deterministically") {
+    val clean = Vector("the", "quick", "brown", "fox", "jumps", "over", "lazy", "dog",
+      "and", "runs", "through", "green", "fields", "every", "morning")
+    val junk = Vector("xjq", "zzk", "qqv", "wxp", "kkz", "jjx", "vvq", "ppw",
+      "74a", "b#c", "k9k", "x0x", "m!m", "n2n", "zz9")
+    val rnd = new scala.util.Random(7)
+    def doc(v: Vector[String], n: Int) = Seq.fill(n)(v(rnd.nextInt(v.size))).mkString(" ")
+    val docs = ((1 to 30).map(i => (i.toLong, doc(clean, 12))) ++
+      (31 to 60).map(i => (i.toLong, doc(junk, 12)))).toDF("doc_id", "text")
+    val scores = TextAnalysis.qualityClassifierScores(docs, col("doc_id") <= 30)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val cleanAvg = (1 to 30).map(i => scores(i.toLong)).sum / 30
+    val junkAvg = (31 to 60).map(i => scores(i.toLong)).sum / 30
+    assert(cleanAvg > junkAvg + 0.1,
+      s"no separation: clean avg $cleanAvg vs junk avg $junkAvg")
+    assert(scores.values.forall(s => s >= 0.0 && s <= 1.0))
+    // deterministic across partitionings (the oracle contract)
+    val again = TextAnalysis.qualityClassifierScores(docs.repartition(7), col("doc_id") <= 30)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(again == scores, "repartitioning changed trained scores")
+  }
+
+
+  test("ngram LM backoff scores match hand computation and fire every chain level") {
+    // train "a b c d e": N=5 tokens, V=5; score "a b z c d" walks every
+    // backoff shape: smoothed-unigram base, full k=2 hit, OOV floor,
+    // seen-unigram floor, and a 3-level backoff into a seen bigram
+    val train = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val sc = Seq((2L, "a b z c d")).toDF("doc_id", "text")
+    val r = TextAnalysis.ngramLogProb(train, sc, n = 5).collect()(0)
+    val d = math.log(0.4)
+    val expected = BigDecimal((
+      math.log(2.0 / 10) +                    // "a": kmax=1, c1=1 -> (1+1)/(5+5)
+      0.0 +                                   // "b": "a b" seen, 1/1
+      (2 * d + math.log(1.0 / 10)) +          // "z": OOV, kmax=3
+      (3 * d + math.log(2.0 / 10)) +          // "c": only unigram, kmax=4
+      (3 * d + math.log(1.0 / 1))             // "d": backs off to "c d", kmax=5
+    ) / 5).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Long]("n_scored") == 5L)
+    assert(r.getAs[Double]("avg_logprob") == expected,
+      s"got ${r.getAs[Double]("avg_logprob")}, want $expected")
+    // scoring the training corpus itself never backs off below its max
+    // order and is deterministic across partitionings
+    val self = TextAnalysis.ngramLogProb(train.repartition(3), train, n = 3).collect()(0)
+    assert(self.getAs[Long]("n_scored") == 5L)
+  }
+
 }
