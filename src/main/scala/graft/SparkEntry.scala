@@ -1226,6 +1226,40 @@ object SparkEntry {
       TextAnalysis.extractHtmlText(
         T(s, dir, "documents").select(col("doc_id"), htmlWrap(col("text")).as("html")))),
 
+    // --- pipeline: PCA — top-3 principal components by fixed-iteration
+    //     power iteration + deflation; decimal mean/covariance sums,
+    //     fixed-order driver folds, sqrt-only normalization — the whole
+    //     eigen trace replays bit-for-bit in the oracle ----------------
+    "q164_pca_project" -> ((s, dir) =>
+      Similarity.pcaProjected(
+        T(s, dir, "embeddings").where(col("vec_id") < 500), nComp = 3)),
+
+    // --- pipeline: PCA, PRODUCTION sum mode — plain double partial
+    //     aggs over the FULL table (the 100 TB shape; summation order
+    //     moves results only at ~1e-12), anchored by the exact q164 ----
+    "q165_pca_production" -> ((s, dir) =>
+      Similarity.pcaProjected(T(s, dir, "embeddings"), nComp = 3,
+        exactSums = false)),
+
+    // --- pipeline: IVF LAYOUT UPKEEP — two append rounds (assign to
+    //     stored centroids, no retrain) then an all-cells probe, which
+    //     must EQUAL brute force over every vector: a dropped,
+    //     duplicated, or re-signed row shifts the exact top-k ----------
+    "q163_ivf_upkeep" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      def third(r: Long) = emb.where(pmod(col("vec_id"), lit(3L)) === r)
+      val cent = ivfCentroidCache.getOrElseUpdate(dir,
+        Similarity.kmeansCentroids(emb, k = 16, iters = 3))
+      val base = Similarity.ivfAssign(
+        third(0).select(col("vec_id"), col("embedding")), cent)
+      val layout = Similarity.ivfAppend(
+        Similarity.ivfAppend(base, third(1), cent), third(2), cent)
+      val q = emb.where(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0)
+      Similarity.ivfTopKFromLayout(layout, q, 10, cent, nprobe = cent.length)
+        .select(col("vec_id"))
+    }),
+
     // --- pipeline: SIGNATURE-TABLE UPKEEP — the two-round incremental
     //     ingest: batch A probes the base snapshot, appendSignatures
     //     folds A's signatures in (idempotent, dedup-keyed), batch B
@@ -2090,6 +2124,22 @@ object SparkEntry {
     // signature upkeep: both ingest rounds in one oracle — round 2's
     // base IS what appendSignatures must have produced
     "q162_signature_upkeep" -> Dedup.signatureUpkeepOracleSql(),
+
+    // PCA: the oracle retrains — decimal mean/cov, the same ordered
+    // power-iteration folds per component, same deflation, 6-dp round
+    // (bounded slice: decimal exactness costs ~13x on the d-squared
+    // covariance aggregation, so the oracle pins 500 vectors; q165 runs
+    // the production double mode over the full table, anchored here)
+    "q164_pca_project" -> Similarity.pcaOracleSql(d = 64, nComp = 3,
+      pred = "vec_id < 500"),
+
+    // IVF upkeep: all-cells probe of the appended layout == brute force
+    // over every vector (assignment correctness is pinned by spec)
+    "q163_ivf_upkeep" ->
+      """SELECT vec_id FROM embeddings
+        |ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC,
+        |vec_id ASC LIMIT 10""".stripMargin,
 
     // quality classifier: the oracle RETRAINS from scratch — identical
     // hashing, decimal sums, algebraic sigmoid, weight updates — so the

@@ -347,6 +347,44 @@ object Similarity {
                 vecCol: String = "embedding"): DataFrame =
     emb.withColumn("cell", bestCell(col(vecCol), centroids))
 
+  /** IVF layout UPKEEP — the append half of incremental index
+    * maintenance, completing the set with the catalog's maintained HNSW
+    * and [[Dedup.appendSignatures]]: new vectors assign to their nearest
+    * STORED centroid (no retrain — the production FAISS ingest shape;
+    * retraining is a periodic offline job, not an ingest step) and fold
+    * into the layout. Idempotent and dedup-keyed like the signature
+    * upkeep: ids already present keep their stored row, so re-ingesting
+    * a batch is a no-op and successive ingests compose. Map-only assign
+    * (codegen'd dot kernels against driver centroids) + ONE id-keyed
+    * anti-join. */
+  def ivfAppend(layout: DataFrame, newEmb: DataFrame,
+                centroids: Array[Array[Double]],
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val assigned = ivfAssign(
+      newEmb.select(col(idCol), col(vecCol)), centroids, vecCol)
+      .join(layout.select(col(idCol)), Seq(idCol), "left_anti")
+    layout.select(col(idCol), col(vecCol), col("cell")).unionByName(assigned)
+  }
+
+  /** Probe a STORED IVF layout (the (id, vec, cell) table
+    * [[ivfAssign]]/[[ivfAppend]] maintain): prune to the query's
+    * `nprobe` best cells, exact top-k inside. With `nprobe =
+    * centroids.length` the result EQUALS brute force over the layout's
+    * rows — the oracle anchor for the append machinery (a dropped or
+    * duplicated vector shifts the exact top-k). At scale the layout is
+    * `partitionBy("cell")` parquet and the `isin` prunes partitions at
+    * the scan. */
+  def ivfTopKFromLayout(layout: DataFrame, query: Seq[Float], k: Int,
+                        centroids: Array[Array[Double]], nprobe: Int,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val probes = probeCells(query, centroids, nprobe)
+    val probed =
+      if (probes.length == centroids.length) layout
+      else layout.where(col("cell").isin(probes: _*))
+    bruteForceTopK(probed, query, k, idCol, vecCol)
+  }
+
   // ---------------------------------------------------------------------
   // Product quantization (PQ / ADC): codes = per-subspace nearest
   // codebook centroid; search = one table-lookup sum per row against a
@@ -546,4 +584,203 @@ object Similarity {
     emb.select(col(idCol), VF.cosineDistance(col(vecCol), q).as("dist"))
       .where(col("dist") <= maxDist)
   }
+
+  // ---------------------------------------------------------------------
+  // PCA (power iteration + deflation): the dimensionality-reduction
+  // stage of a production ANN pipeline (OPQ/PCA before PQ; whitening
+  // before SemDeDup-style clustering). Deterministic and EXACTLY
+  // oracle-replayable end to end.
+  // ---------------------------------------------------------------------
+
+  /** A trained PCA model: per-dimension mean, `nComp` unit components,
+    * and their eigenvalue estimates. All driver-resident (d and d×k
+    * doubles — broadcast scale, corpus-size-independent). */
+  final case class PcaModel(mean: Array[Double],
+                            components: Array[Array[Double]],
+                            eigenvalues: Array[Double])
+
+  /** PCA by FIXED-ITERATION POWER ITERATION with deflation — top-`nComp`
+    * principal components of the embedding column.
+    *
+    * Determinism contract (every step cross-engine exact):
+    *  - The data-order-sensitive reductions — the per-dimension mean and
+    *    the d² covariance entries — sum in DECIMAL(38,30)
+    *    (order-independent), cast to double once.
+    *  - Everything after runs on the DRIVER over the d×d matrix in
+    *    plain doubles with a FIXED operation order: matvec rows fold
+    *    j = 1..d from 0.0; norms fold i = 1..d; normalization divides
+    *    by `sqrt` (correctly rounded IEEE — exact on any engine);
+    *    deflation subtracts (λ·vᵢ)·vⱼ elementwise. The DuckDB oracle
+    *    replays the identical folds via `list_reduce(list_prepend(0,
+    *    list_transform(...)))`, so the fixpoint matches bit for bit —
+    *    no eigensolver-parity or transcendental trust anywhere.
+    *  - Start vector is all-ones (fixed), `iters` iterations per
+    *    component, no convergence test — a replayable trace, like the
+    *    fixed-round k-core peel.
+    *
+    * Scale shape: one decimal aggregation for μ (d rows), one for the
+    * covariance (d² rows via a per-row double explode — at 100 TB this
+    * is the standard d²-per-partition outer-product accumulation; d is
+    * model dimension, not data size), then zero further corpus scans
+    * until projection. */
+  def pcaTrain(emb: DataFrame, nComp: Int, iters: Int = 8,
+               vecCol: String = "embedding",
+               exactSums: Boolean = true): PcaModel = {
+    val d = emb.select(size(col(vecCol))).head().getInt(0)
+    val n = emb.where(size(col(vecCol)) === d).count()
+    require(n > 0, "empty embedding table")
+    val vd = col(vecCol).cast("array<double>")
+    val base = emb.where(size(col(vecCol)) === d)
+    // Two sum modes, the PageRank knob: exact (decimal — order-
+    // independent, the oracle shape; ~13× the aggregation cost, so pin
+    // it on a bounded slice) vs production (plain double partial aggs —
+    // the 100 TB shape; nondeterministic only at the ~1e-12 summation-
+    // order level, anchored by the exact twin).
+    def summed(c: Column): Column =
+      if (exactSums) sum(c.cast("decimal(38,30)")).cast("double")
+      else sum(c)
+    val mean = base
+      .select(posexplode(vd).as(Seq("i", "x")))
+      .groupBy("i").agg(summed(col("x")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val mu = Array.tabulate(d)(i => mean(i) / n)
+    val muLit = typedLit(mu.toSeq)
+    val centered = base.select(
+      transform(vd, (x, i) => x - element_at(muLit, i + 1)).as("c"))
+    val covRows = centered
+      .select(posexplode(col("c")).as(Seq("i", "xi")), col("c"))
+      .select(col("i"), col("xi"), posexplode(col("c")).as(Seq("j", "xj")))
+      .groupBy("i", "j")
+      .agg(summed(col("xi") * col("xj")).as("s"))
+      .collect()
+    val cov = Array.ofDim[Double](d, d)
+    covRows.foreach(r => cov(r.getInt(0))(r.getInt(1)) = r.getDouble(2) / n)
+    // driver-side fixed-order power iteration (mirrored by the oracle)
+    def matvec(m: Array[Array[Double]], v: Array[Double]): Array[Double] =
+      Array.tabulate(d) { i =>
+        var s = 0.0; var j = 0
+        while (j < d) { s += m(i)(j) * v(j); j += 1 }
+        s
+      }
+    def norm(v: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < d) { s += v(i) * v(i); i += 1 }
+      math.sqrt(s)
+    }
+    var m = cov
+    val comps = Array.ofDim[Double](nComp, d)
+    val eigs = Array.ofDim[Double](nComp)
+    var c = 0
+    while (c < nComp) {
+      var v = Array.fill(d)(1.0)
+      var t = 0
+      while (t < iters) {
+        val w = matvec(m, v)
+        val nm = norm(w)
+        v = if (nm == 0.0) w else w.map(_ / nm)
+        t += 1
+      }
+      val mv = matvec(m, v)
+      var lam = 0.0
+      var i = 0
+      while (i < d) { lam += v(i) * mv(i); i += 1 }
+      comps(c) = v
+      eigs(c) = lam
+      m = Array.tabulate(d, d)((i, j) => m(i)(j) - lam * v(i) * v(j))
+      c += 1
+    }
+    PcaModel(mu, comps, eigs)
+  }
+
+  /** Project embeddings onto a trained model's components: per row and
+    * component, the fold Σᵢ (xᵢ − μᵢ)·vᵢ in ascending i from 0.0 (the
+    * exact order the oracle replays), rounded to 6 dp. MAP-ONLY — the
+    * model rides the plan as literals. Output (idCol, p1..p`k`). */
+  def pcaProject(emb: DataFrame, model: PcaModel,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val d = model.mean.length
+    val muLit = typedLit(model.mean.toSeq)
+    val vd = col(vecCol).cast("array<double>")
+    val cols = model.components.zipWithIndex.map { case (comp, c) =>
+      val vLit = typedLit(comp.toSeq)
+      round(aggregate(sequence(lit(1), lit(d)), lit(0.0),
+        (acc, i) => acc +
+          (element_at(vd, i) - element_at(muLit, i)) * element_at(vLit, i)),
+        6).as(s"p${c + 1}")
+    }
+    emb.where(size(col(vecCol)) === d)
+      .select(col(idCol) +: cols.toSeq: _*)
+  }
+
+  /** Train + project in one call (the `queries()` entry point). */
+  def pcaProjected(emb: DataFrame, nComp: Int, iters: Int = 8,
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   exactSums: Boolean = true): DataFrame =
+    pcaProject(emb, pcaTrain(emb, nComp, iters, vecCol, exactSums), idCol, vecCol)
+
+  /** DuckDB replication of [[pcaProjected]]: decimal mean/covariance
+    * CTEs, then each power-iteration step as a chained CTE whose
+    * `list_reduce(list_prepend(0, list_transform(...)))` folds run in
+    * the same ascending order as the driver loops, then the same
+    * projection fold, 6-dp rounded. The oracle RETRAINS from scratch —
+    * the whole eigen-decomposition trace is checked. */
+  def pcaOracleSql(d: Int, nComp: Int, iters: Int = 8,
+                   pred: String = "TRUE"): String = {
+    val D = d
+    def fold(terms: String): String =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), $terms), (a, b) -> a + b)"
+    val comps = (1 to nComp).map { c =>
+      val covIn = if (c == 1) "cov" else s"cov${c}"
+      val iterCtes = (1 to iters).map { t =>
+        val vPrev = if (t == 1) s"v${c}_0" else s"v${c}_${t - 1}"
+        s"""w${c}_$t AS (SELECT m.i, ${fold(s"list_transform(generate_series(1, $D), j -> m.carr[j] * v.v[j])")} AS w
+           |  FROM $covIn m, $vPrev v),
+           |v${c}_$t AS (SELECT CASE WHEN nm = 0 THEN wl
+           |    ELSE list_transform(wl, x -> x / nm) END AS v
+           |  FROM (SELECT wl, sqrt(${fold("list_transform(wl, x -> x * x)")}) AS nm
+           |        FROM (SELECT list(w ORDER BY i) AS wl FROM w${c}_$t)))""".stripMargin
+      }.mkString(",\n")
+      val deflate =
+        if (c == nComp) ""
+        else s""",
+           |cov${c + 1} AS MATERIALIZED (SELECT m.i,
+           |  list_transform(generate_series(1, $D),
+           |    j -> m.carr[j] - l.lam * v.v[m.i] * v.v[j]) AS carr
+           |  FROM $covIn m, l$c l, v${c}_$iters v)""".stripMargin
+      s"""v${c}_0 AS (SELECT list_transform(generate_series(1, $D),
+         |  x -> CAST(1 AS DOUBLE)) AS v),
+         |$iterCtes,
+         |mv$c AS (SELECT m.i, ${fold(s"list_transform(generate_series(1, $D), j -> m.carr[j] * v.v[j])")} AS w
+         |  FROM $covIn m, v${c}_$iters v),
+         |l$c AS (SELECT ${fold(s"list_transform(generate_series(1, $D), i -> v.v[i] * t.tl[i])")} AS lam
+         |  FROM v${c}_$iters v, (SELECT list(w ORDER BY i) AS tl FROM mv$c) t)$deflate""".stripMargin
+    }.mkString(",\n")
+    val projCols = (1 to nComp).map { c =>
+      s"""round(${fold(
+        s"list_transform(generate_series(1, $D), i -> (CAST(e.embedding[i] AS DOUBLE) - mu.m[i]) * v$c.v[i])")}, 6) AS p$c"""
+    }.mkString(",\n  ")
+    val projFrom = (1 to nComp).map(c => s"v${c}_$iters v$c").mkString(", ")
+    s"""WITH base AS (SELECT vec_id, embedding FROM embeddings
+       |  WHERE len(embedding) = $D AND ($pred)),
+       |nn AS (SELECT COUNT(*) AS n FROM base),
+       |mu AS (SELECT list(mm ORDER BY i) AS m FROM (
+       |  SELECT i, CAST(SUM(CAST(x AS DECIMAL(38,30))) AS DOUBLE) / nn.n AS mm
+       |  FROM (SELECT unnest(CAST(embedding AS DOUBLE[])) AS x,
+       |               generate_subscripts(embedding, 1) AS i FROM base), nn
+       |  GROUP BY i, nn.n)),
+       |cent AS (SELECT list_transform(generate_series(1, $D),
+       |    i -> CAST(b.embedding[i] AS DOUBLE) - mu.m[i]) AS c
+       |  FROM base b, mu),
+       |cp AS (SELECT ci.i, cj.j, ci.xi * cj.xj AS t FROM (
+       |    SELECT c, unnest(c) AS xi, generate_subscripts(c, 1) AS i FROM cent) ci,
+       |  LATERAL (SELECT unnest(ci.c) AS xj, generate_subscripts(ci.c, 1) AS j) cj),
+       |cov AS MATERIALIZED (SELECT i, list(cc ORDER BY j) AS carr FROM (
+       |  SELECT i, j, CAST(SUM(CAST(t AS DECIMAL(38,30))) AS DOUBLE) / nn.n AS cc
+       |  FROM cp, nn GROUP BY i, j, nn.n) GROUP BY i),
+       |$comps
+       |SELECT e.vec_id,
+       |  $projCols
+       |FROM base e, mu, $projFrom""".stripMargin
+  }
+
 }

@@ -342,4 +342,56 @@ class SimilaritySpec extends SparkSpec {
     val oneCell = back.where(col("cell") === 0)
     assert(oneCell.count() < emb.count())
   }
+
+  test("ivfAppend assigns to nearest stored centroid, is idempotent, and composes") {
+    import spark.implicits._
+    def vec(xs: Float*): Seq[Float] = xs
+    val base = Seq((1L, vec(0f, 0f)), (2L, vec(10f, 10f))).toDF("vec_id", "embedding")
+    val cent = Array(Array(0.0, 0.0), Array(10.0, 10.0))
+    val layout = Similarity.ivfAssign(base, cent)
+    val batch = Seq((3L, vec(0.5f, 0.5f)), (4L, vec(9f, 11f))).toDF("vec_id", "embedding")
+    def cells(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val once = Similarity.ivfAppend(layout, batch, cent)
+    // nearest-centroid assignment: 3 -> cell 0, 4 -> cell 1
+    assert(cells(once) == Map(1L -> 0, 2L -> 1, 3L -> 0, 4L -> 1))
+    // idempotent re-ingest
+    assert(cells(Similarity.ivfAppend(once, batch, cent)) == cells(once))
+    // dedup-keyed: an id already stored keeps its stored row
+    val conflict = Seq((1L, vec(10f, 10f))).toDF("vec_id", "embedding")
+    assert(cells(Similarity.ivfAppend(once, conflict, cent)) == cells(once))
+    // pruned probe over the appended layout: query at the origin with
+    // nprobe=1 sees only cell 0's members
+    val near = Similarity.ivfTopKFromLayout(once, vec(0.1f, 0.1f), 10, cent, nprobe = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(near == Set(1L, 3L))
+  }
+
+
+  test("pca recovers the dominant axis, orders eigenvalues, stays deterministic") {
+    import spark.implicits._
+    // points spread 10x along (1,1,0)/sqrt2 and 1x along (1,-1,0)/sqrt2,
+    // tiny z noise — all deterministic
+    val data = (0 until 80).map { i =>
+      val a = (i % 17 - 8) * 10.0 / 8
+      val b = (i % 7 - 3) * 1.0 / 3
+      val z = (i % 5 - 2) * 0.01
+      (i.toLong, Seq((a + b).toFloat, (a - b).toFloat, z.toFloat))
+    }.toDF("vec_id", "embedding")
+    val m = Similarity.pcaTrain(data, nComp = 2)
+    val v1 = m.components(0)
+    val inv = 1.0 / math.sqrt(2)
+    val cosTo11 = math.abs(v1(0) * inv + v1(1) * inv)
+    assert(cosTo11 > 0.999, s"first component ${v1.toSeq} not along (1,1,0)")
+    assert(m.eigenvalues(0) > m.eigenvalues(1) && m.eigenvalues(1) > 0,
+      s"eigenvalues not ordered: ${m.eigenvalues.toSeq}")
+    val ortho = math.abs(m.components(0).zip(m.components(1)).map { case (x, y) => x * y }.sum)
+    assert(ortho < 1e-6, s"components not orthogonal: $ortho")
+    // projection is deterministic across partitionings
+    def proj(df: org.apache.spark.sql.DataFrame) =
+      Similarity.pcaProjected(df, nComp = 2).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(proj(data) == proj(data.repartition(7)))
+  }
+
 }
