@@ -1226,6 +1226,31 @@ object SparkEntry {
       TextAnalysis.extractHtmlText(
         T(s, dir, "documents").select(col("doc_id"), htmlWrap(col("text")).as("html")))),
 
+    // --- pipeline: CLUSTER DEDUP, BEST-REP POLICY — per near-dup
+    //     component keep the LONGEST member (ties to min id) instead of
+    //     q80's min-id rule; same bucketed pair source, argmax is a
+    //     component-partitioned window --------------------------------
+    "q167_cluster_best_rep" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, shingleN = 2, threshold = 0.3)
+      val rank = TextAnalysis.tokenCounts(docs).select(col("doc_id"), col("n_tokens"))
+      Dedup.clusterSurvivorsBest(docs, pairs, rank).select(col("doc_id"))
+    }),
+
+    // --- pipeline: COMPOSED CURATION #4 — raw crawl page to filtered
+    //     corpus in one chain: HTML extraction (markup + link-density
+    //     boilerplate), then the trained quality classifier RUNS ON THE
+    //     EXTRACTED TEXT (target = even doc_ids), then the score gate;
+    //     one oracle replays extraction AND the training loop ----------
+    "q166_curation_html_quality" -> ((s, dir) => {
+      val extracted = TextAnalysis.extractHtmlText(
+        T(s, dir, "documents").select(col("doc_id"), htmlWrap(col("text")).as("html")))
+      TextAnalysis.qualityClassifierScores(
+        extracted.select(col("doc_id"), col("extracted_text").as("text")),
+        pmod(col("doc_id"), lit(2L)) === 0)
+        .where(col("quality_score") >= 0.5)
+    }),
+
     // --- pipeline: PCA — top-3 principal components by fixed-iteration
     //     power iteration + deflation; decimal mean/covariance sums,
     //     fixed-order driver folds, sqrt-only normalization — the whole
@@ -2124,6 +2149,47 @@ object SparkEntry {
     // signature upkeep: both ingest rounds in one oracle — round 2's
     // base IS what appendSignatures must have produced
     "q162_signature_upkeep" -> Dedup.signatureUpkeepOracleSql(),
+
+    // cluster best-rep: q80's recursive-CTE components + per-component
+    // argmax by (token count DESC, id ASC)
+    "q167_cluster_best_rep" ->
+      """WITH RECURSIVE toks AS (
+        |SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS t FROM documents
+        |WHERE doc_id < 500 AND LEN(TRIM(text)) > 0),
+        |sh AS (
+        |SELECT doc_id, list_distinct(list_transform(generate_series(1, LEN(t)-1),
+        |  i -> t[i] || ' ' || t[i+1])) AS s
+        |FROM toks WHERE LEN(t) >= 2),
+        |pairs AS (
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE CAST(LEN(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |  (LEN(a.s) + LEN(b.s) - LEN(list_intersect(a.s, b.s))) >= 0.3),
+        |und AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |SELECT a, a FROM und
+        |UNION
+        |SELECT re.id, u.b FROM reach re JOIN und u ON re.r = u.a),
+        |comp AS (SELECT id, MIN(r) AS c FROM reach GROUP BY id),
+        |tokc AS (SELECT doc_id, CASE WHEN LEN(TRIM(text)) = 0 THEN 0
+        |  ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END AS tok FROM documents),
+        |m AS (SELECT cm.id, row_number() OVER (PARTITION BY cm.c
+        |  ORDER BY tk.tok DESC, cm.id ASC) AS rn
+        |  FROM comp cm JOIN tokc tk ON cm.id = tk.doc_id)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM m WHERE rn > 1)""".stripMargin,
+
+    // composed curation #4: the extraction chain nests as the
+    // classifier oracle's source subquery — one SQL statement replays
+    // markup stripping, link-density drops, 8 GD steps, and the gate
+    "q166_curation_html_quality" -> {
+      val scored = TextAnalysis.qualityClassifierOracleSql(
+        "doc_id % 2 = 0",
+        docsSql = "SELECT doc_id, extracted_text AS text FROM (" +
+          TextAnalysis.extractHtmlOracleSql(htmlWrapSql) + ")")
+      s"SELECT * FROM ($scored) WHERE quality_score >= 0.5"
+    },
 
     // PCA: the oracle retrains — decimal mean/cov, the same ordered
     // power-iteration folds per component, same deflation, 6-dp round

@@ -341,6 +341,27 @@ object Dedup {
     docs.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Cluster dedup keeping the BEST representative per near-dup
+    * cluster — the policy production curation actually wants one step
+    * past [[clusterSurvivors]]' min-id rule: within each connected
+    * component of the near-dup graph, keep the member maximizing
+    * `rank` (ties to the smaller id; the usual rank is token count —
+    * "keep the longest" — or a quality score). Docs in no pair pass
+    * through untouched. Component discovery shuffles ids only; the
+    * per-component argmax is a WindowGroupLimit over components
+    * (cluster-sized partitions, never corpus-sized). `rank`: (idCol,
+    * value) with one row per candidate doc. */
+  def clusterSurvivorsBest(docs: DataFrame, pairs: DataFrame, rank: DataFrame,
+                           idCol: String = "doc_id"): DataFrame = {
+    val cc = graft.plans.Fixpoint.connectedComponents(
+      pairs.select(col("id_a"), col("id_b")))
+    val ranked = cc.join(rank.toDF("id", "rv"), Seq("id"))
+    val w = Window.partitionBy("comp").orderBy(col("rv").desc, col("id").asc)
+    val drop = ranked.withColumn("rn", row_number().over(w))
+      .where(col("rn") > 1).select(col("id").as(idCol))
+    docs.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** EXACT all-pairs n-gram Jaccard ≥ threshold (id_a < id_b) — the
     * oracle-checkable baseline the MinHash-candidate variant
     * ([[ngramJaccardPairs]]) is graded against. Quadratic by construction,

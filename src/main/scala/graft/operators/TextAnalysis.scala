@@ -936,7 +936,8 @@ object TextAnalysis {
     * just the scoring pass. */
   def qualityClassifierOracleSql(targetPred: String, buckets: Int = 64,
                                  iters: Int = 8, lr: Double = 4.0,
-                                 l2: Double = 0.0009765625): String = {
+                                 l2: Double = 0.0009765625,
+                                 docsSql: String = "SELECT doc_id, text FROM documents"): String = {
     val steps = (1 to iters).map { k =>
       s"""m$k AS MATERIALIZED (SELECT f.doc_id, f.y,
          |  CAST(SUM(CAST(w.w * f.v AS DECIMAL(38,30))) AS DOUBLE) AS m
@@ -954,7 +955,7 @@ object TextAnalysis {
     s"""WITH d AS (SELECT doc_id,
        |    CAST(CASE WHEN ($targetPred) THEN 1 ELSE 0 END AS DOUBLE) AS y,
        |    regexp_split_to_array(TRIM(text), '\\s+') AS t
-       |  FROM documents WHERE LEN(TRIM(text)) > 0),
+       |  FROM ($docsSql) WHERE LEN(TRIM(text)) > 0),
        |f0 AS (SELECT doc_id, y, CAST(1 AS DOUBLE) / (2 * LEN(t) - 1) AS invn,
        |    unnest(t || list_transform(generate_series(1, LEN(t) - 1),
        |      i -> t[i] || ' ' || t[i + 1])) AS k

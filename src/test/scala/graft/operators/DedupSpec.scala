@@ -387,4 +387,15 @@ class DedupSpec extends SparkSpec {
     assert(rowsOf(Dedup.appendSignatures(base, conflicting)) == rowsOf(base))
   }
 
+
+  test("clusterSurvivorsBest keeps the highest-ranked member per component") {
+    val d = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b") // component {1,2,3}
+    val rank = Seq((1L, 5L), (2L, 9L), (3L, 9L), (4L, 1L)).toDF("doc_id", "r")
+    val kept = Dedup.clusterSurvivorsBest(d, pairs, rank)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    // 2 and 3 tie on rank -> min id 2 wins; 4 is in no pair and survives
+    assert(kept == Set(2L, 4L), s"got $kept")
+  }
+
 }
