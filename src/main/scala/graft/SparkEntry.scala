@@ -1259,12 +1259,40 @@ object SparkEntry {
       Similarity.pcaProjected(
         T(s, dir, "embeddings").where(col("vec_id") < 500), nComp = 3)),
 
+    // --- pipeline: PCA WHITENING — per-component unit variance
+    //     (divide by sqrt(eigenvalue)), the normalization embedding
+    //     clustering wants; same exact-trace contract as q164 ----------
+    "q168_pca_whiten" -> ((s, dir) =>
+      Similarity.pcaProjected(
+        T(s, dir, "embeddings").where(col("vec_id") < 500), nComp = 3,
+        whiten = true)),
+
     // --- pipeline: PCA, PRODUCTION sum mode — plain double partial
     //     aggs over the FULL table (the 100 TB shape; summation order
     //     moves results only at ~1e-12), anchored by the exact q164 ----
     "q165_pca_production" -> ((s, dir) =>
       Similarity.pcaProjected(T(s, dir, "embeddings"), nComp = 3,
         exactSums = false)),
+
+    // --- pipeline: HARD-NEGATIVE MINING — for each probe vector, the
+    //     top-3 nearest neighbours with a DIFFERENT label (contrastive-
+    //     training negatives): broadcast probes, one scan, per-probe
+    //     windowed top-k (probe-keyed partitions, never global) --------
+    "q170_hard_negatives" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val probes = emb.where(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+          col("label").as("q_label"))
+      val scored = emb.crossJoin(broadcast(probes))
+        .where(col("label") =!= col("q_label"))
+        .select(col("q_id"), col("vec_id"),
+          graft.functions.VectorFunctions.cosineSimilarity(
+            col("embedding"), col("q_vec")).as("cos"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)
+      scored.withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .select(col("q_id"), col("vec_id").as("neg_id"), col("rnk"))
+    }),
 
     // --- pipeline: IVF LAYOUT UPKEEP — two append rounds (assign to
     //     stored centroids, no retrain) then an all-cells probe, which
@@ -1310,6 +1338,25 @@ object SparkEntry {
       TextAnalysis.ngramLogProb(
         docs.where(pmod(col("doc_id"), lit(2L)) === 0),
         docs.where(pmod(col("doc_id"), lit(2L)) === 1))
+    }),
+
+    // --- pipeline: PERPLEXITY BUCKETS (the CCNet final step) — LM-score
+    //     the held-out slice, then head/middle/tail by percentile_disc
+    //     cutpoints (actual data values — engine-exact) applied
+    //     MAP-ONLY; no global-order window anywhere --------------------
+    "q169_ppl_buckets" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val scored = TextAnalysis.ngramLogProb(
+        docs.where(pmod(col("doc_id"), lit(2L)) === 0),
+        docs.where(pmod(col("doc_id"), lit(2L)) === 1))
+      val cuts = scored.agg(
+        expr("percentile_disc(0.3) WITHIN GROUP (ORDER BY avg_logprob)").as("q1"),
+        expr("percentile_disc(0.7) WITHIN GROUP (ORDER BY avg_logprob)").as("q2"))
+      scored.crossJoin(broadcast(cuts))
+        .select(col("doc_id"), col("avg_logprob"),
+          when(col("avg_logprob") <= col("q1"), lit("tail"))
+            .when(col("avg_logprob") <= col("q2"), lit("middle"))
+            .otherwise(lit("head")).as("ppl_bucket"))
     }),
 
     // --- pipeline: TRAINED QUALITY CLASSIFIER — discriminative linear
@@ -2146,6 +2193,22 @@ object SparkEntry {
     "q161_ngram_lm" -> TextAnalysis.ngramLogProbOracleSql(
       "doc_id % 2 = 0", "doc_id % 2 = 1"),
 
+    // perplexity buckets: q161's scorer + discrete-percentile cutpoints
+    "q169_ppl_buckets" -> {
+      val scored = TextAnalysis.ngramLogProbOracleSql(
+        "doc_id % 2 = 0", "doc_id % 2 = 1")
+      s"""WITH scored AS ($scored),
+         |cuts AS (SELECT
+         |  percentile_disc(0.3) WITHIN GROUP (ORDER BY avg_logprob) AS q1,
+         |  percentile_disc(0.7) WITHIN GROUP (ORDER BY avg_logprob) AS q2
+         |  FROM scored)
+         |SELECT doc_id, avg_logprob,
+         |  CASE WHEN avg_logprob <= q1 THEN 'tail'
+         |       WHEN avg_logprob <= q2 THEN 'middle'
+         |       ELSE 'head' END AS ppl_bucket
+         |FROM scored, cuts""".stripMargin
+    },
+
     // signature upkeep: both ingest rounds in one oracle — round 2's
     // base IS what appendSignatures must have produced
     "q162_signature_upkeep" -> Dedup.signatureUpkeepOracleSql(),
@@ -2198,6 +2261,21 @@ object SparkEntry {
     // the production double mode over the full table, anchored here)
     "q164_pca_project" -> Similarity.pcaOracleSql(d = 64, nComp = 3,
       pred = "vec_id < 500"),
+
+    // PCA whitening: identical trace + in-engine sqrt of identical λ
+    "q168_pca_whiten" -> Similarity.pcaOracleSql(d = 64, nComp = 3,
+      pred = "vec_id < 500", whiten = true),
+
+    // hard negatives: same cosine ordering contract as q33
+    "q170_hard_negatives" ->
+      """SELECT q_id, neg_id, rnk FROM (
+        |SELECT p.vec_id AS q_id, e.vec_id AS neg_id,
+        |row_number() OVER (PARTITION BY p.vec_id
+        |  ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |    CAST(p.embedding AS DOUBLE[])) DESC, e.vec_id ASC) AS rnk
+        |FROM embeddings p JOIN embeddings e ON e.label <> p.label
+        |WHERE p.vec_id < 20)
+        |WHERE rnk <= 3""".stripMargin,
 
     // IVF upkeep: all-cells probe of the appended layout == brute force
     // over every vector (assignment correctness is pinned by spec)

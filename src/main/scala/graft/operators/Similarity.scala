@@ -697,16 +697,24 @@ object Similarity {
     * exact order the oracle replays), rounded to 6 dp. MAP-ONLY — the
     * model rides the plan as literals. Output (idCol, p1..p`k`). */
   def pcaProject(emb: DataFrame, model: PcaModel,
-                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                 idCol: String = "vec_id", vecCol: String = "embedding",
+                 whiten: Boolean = false): DataFrame = {
     val d = model.mean.length
     val muLit = typedLit(model.mean.toSeq)
     val vd = col(vecCol).cast("array<double>")
     val cols = model.components.zipWithIndex.map { case (comp, c) =>
       val vLit = typedLit(comp.toSeq)
-      round(aggregate(sequence(lit(1), lit(d)), lit(0.0),
+      val proj = aggregate(sequence(lit(1), lit(d)), lit(0.0),
         (acc, i) => acc +
-          (element_at(vd, i) - element_at(muLit, i)) * element_at(vLit, i)),
-        6).as(s"p${c + 1}")
+          (element_at(vd, i) - element_at(muLit, i)) * element_at(vLit, i))
+      // whitening divides by sqrt(λ) (unit variance per component —
+      // what SemDeDup-style clustering wants); λ ≤ 0 (numerically dead
+      // direction) passes through unscaled. sqrt is correctly-rounded
+      // IEEE, so the oracle's in-engine sqrt of the identical λ double
+      // yields the identical divisor.
+      val lam = model.eigenvalues(c)
+      val scaled = if (whiten && lam > 0) proj / lit(math.sqrt(lam)) else proj
+      round(scaled, 6).as(s"p${c + 1}")
     }
     emb.where(size(col(vecCol)) === d)
       .select(col(idCol) +: cols.toSeq: _*)
@@ -715,8 +723,9 @@ object Similarity {
   /** Train + project in one call (the `queries()` entry point). */
   def pcaProjected(emb: DataFrame, nComp: Int, iters: Int = 8,
                    idCol: String = "vec_id", vecCol: String = "embedding",
-                   exactSums: Boolean = true): DataFrame =
-    pcaProject(emb, pcaTrain(emb, nComp, iters, vecCol, exactSums), idCol, vecCol)
+                   exactSums: Boolean = true, whiten: Boolean = false): DataFrame =
+    pcaProject(emb, pcaTrain(emb, nComp, iters, vecCol, exactSums),
+      idCol, vecCol, whiten)
 
   /** DuckDB replication of [[pcaProjected]]: decimal mean/covariance
     * CTEs, then each power-iteration step as a chained CTE whose
@@ -725,7 +734,7 @@ object Similarity {
     * projection fold, 6-dp rounded. The oracle RETRAINS from scratch —
     * the whole eigen-decomposition trace is checked. */
   def pcaOracleSql(d: Int, nComp: Int, iters: Int = 8,
-                   pred: String = "TRUE"): String = {
+                   pred: String = "TRUE", whiten: Boolean = false): String = {
     val D = d
     def fold(terms: String): String =
       s"list_reduce(list_prepend(CAST(0 AS DOUBLE), $terms), (a, b) -> a + b)"
@@ -756,10 +765,16 @@ object Similarity {
          |  FROM v${c}_$iters v, (SELECT list(w ORDER BY i) AS tl FROM mv$c) t)$deflate""".stripMargin
     }.mkString(",\n")
     val projCols = (1 to nComp).map { c =>
-      s"""round(${fold(
-        s"list_transform(generate_series(1, $D), i -> (CAST(e.embedding[i] AS DOUBLE) - mu.m[i]) * v$c.v[i])")}, 6) AS p$c"""
+      val raw = fold(
+        s"list_transform(generate_series(1, $D), i -> (CAST(e.embedding[i] AS DOUBLE) - mu.m[i]) * v$c.v[i])")
+      val scaled =
+        if (whiten)
+          s"CASE WHEN l$c.lam > 0 THEN ($raw) / sqrt(l$c.lam) ELSE ($raw) END"
+        else raw
+      s"round($scaled, 6) AS p$c"
     }.mkString(",\n  ")
-    val projFrom = (1 to nComp).map(c => s"v${c}_$iters v$c").mkString(", ")
+    val projFrom = ((1 to nComp).map(c => s"v${c}_$iters v$c") ++
+      (if (whiten) (1 to nComp).map(c => s"l$c") else Nil)).mkString(", ")
     s"""WITH base AS (SELECT vec_id, embedding FROM embeddings
        |  WHERE len(embedding) = $D AND ($pred)),
        |nn AS (SELECT COUNT(*) AS n FROM base),
