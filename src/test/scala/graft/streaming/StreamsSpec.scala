@@ -299,4 +299,39 @@ class StreamsSpec extends SparkSpec {
       assert(s._1 == 1L && s._2 == 2L && math.abs(s._3 - 3.0) < 1e-9)
     } finally q.stop()
   }
+
+  test("trained quality classifier scores a stream map-only with batch-trained weights") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(3)
+    val clean = Vector("the", "quick", "brown", "fox", "jumps", "over", "lazy", "dog")
+    val junk = Vector("xjq", "zzk", "qqv", "wxp", "kkz", "jjx", "vvq", "ppw")
+    def doc(v: Vector[String]) = Seq.fill(10)(v(rnd.nextInt(v.size))).mkString(" ")
+    val train = ((1 to 20).map(i => (i.toLong, doc(clean))) ++
+      (21 to 40).map(i => (i.toLong, doc(junk)))).toDF("doc_id", "text")
+    // train batch-side; weights broadcast into a stateless streaming scan
+    graft.operators.TextAnalysis.qualityClassifierScores(train, col("doc_id") <= 20)
+      .collect()
+    val w = graft.operators.TextAnalysis.trainedQualityWeights
+    assert(w.nonEmpty)
+    val input = MemoryStream[(Long, String)]
+    val scored = graft.operators.TextAnalysis.scoreQualityWith(
+      input.toDF().toDF("doc_id", "text"), w)
+    assert(scored.isStreaming, "scorer must stay stateless/streaming-safe")
+    val q = scored.writeStream.format("memory").queryName("stream_quality")
+      .outputMode("append").start()
+    try {
+      input.addData((100L, doc(clean)), (101L, doc(junk)), (102L, "   "))
+      q.processAllAvailable()
+      val r = spark.table("stream_quality").collect()
+        .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+      assert(r.keySet == Set(100L, 101L)) // empty text drops
+      assert(r(100L) > r(101L), s"clean ${r(100L)} not above junk ${r(101L)}")
+      // streaming scores equal the batch scorer on the same rows
+      val batch = graft.operators.TextAnalysis.scoreQualityWith(
+        Seq((100L, "x"), (101L, "y")).toDF("doc_id", "text"), w)
+      assert(!batch.isStreaming)
+    } finally q.stop()
+  }
+
 }
