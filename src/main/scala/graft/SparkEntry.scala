@@ -1340,6 +1340,19 @@ object SparkEntry {
         docs.where(pmod(col("doc_id"), lit(2L)) === 1))
     }),
 
+    // --- pipeline: SNAPSHOT DIFF — added/removed/changed between two
+    //     corpus versions by 128-bit content hash; one id-keyed
+    //     full-outer join of 16-byte rows, unchanged rows drop ---------
+    "q172_snapshot_diff" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val base = docs.where(col("doc_id") < 400)
+      val next = docs.where(col("doc_id") >= 100)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(7L)) === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")).as("text"))
+      Dedup.snapshotDiff(base, next)
+    }),
+
     // --- pipeline: EXACT FREQUENT TOKENS, Misra-Gries two-pass — a
     //     width-bounded sketch pass finds a PROVEN candidate superset
     //     (no full-vocabulary shuffle), an exact candidate-only count
@@ -2211,6 +2224,21 @@ object SparkEntry {
     // 5-gram backoff LM: identical gram tables + longest-match selection
     "q161_ngram_lm" -> TextAnalysis.ngramLogProbOracleSql(
       "doc_id % 2 = 0", "doc_id % 2 = 1"),
+
+    // snapshot diff: identical md5 on both engines
+    "q172_snapshot_diff" ->
+      """WITH a AS (SELECT doc_id, md5(coalesce(text, '')) AS ha
+        |  FROM documents WHERE doc_id < 400),
+        |b AS (SELECT doc_id,
+        |  md5(coalesce(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END, '')) AS hb
+        |  FROM documents WHERE doc_id >= 100),
+        |j AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+        |  CASE WHEN a.ha IS NULL THEN 'added'
+        |       WHEN b.hb IS NULL THEN 'removed'
+        |       WHEN a.ha <> b.hb THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+        |SELECT doc_id, status FROM j WHERE status <> 'unchanged'""".stripMargin,
 
     // frequent tokens: exact by the two-pass MG argument -> plain HAVING
     "q171_frequent_tokens" -> TextAnalysis.frequentTokensOracleSql(minCount = 200),

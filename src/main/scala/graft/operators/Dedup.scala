@@ -114,6 +114,31 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
 
+  /** Snapshot DIFF — which documents were added, removed, or changed
+    * between two corpus snapshots (dataset versioning: what does this
+    * crawl/ingest actually change?). Pure content comparison: each side
+    * reduces to (id, 128-bit content hash), ONE id-keyed full-outer
+    * join of 16-byte rows decides the status, and unchanged rows drop
+    * so the output is the delta, not the corpus. At 100 TB both sides
+    * scan once and only hashes shuffle. */
+  def snapshotDiff(base: DataFrame, next: DataFrame,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // null text hashes as empty (md5(NULL) is NULL and would misread a
+    // present-but-null row as added/removed; null and '' compare equal
+    // here, which is the right call for a content diff)
+    val a = base.select(col(idCol).as("id"),
+      md5(coalesce(col(textCol), lit(""))).as("ha"))
+    val b = next.select(col(idCol).as("id"),
+      md5(coalesce(col(textCol), lit(""))).as("hb"))
+    a.join(b, Seq("id"), "full_outer")
+      .select(col("id").as(idCol),
+        when(col("ha").isNull, lit("added"))
+          .when(col("hb").isNull, lit("removed"))
+          .when(col("ha") =!= col("hb"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+      .where(col("status") =!= "unchanged")
+  }
+
   /** Exact-dedup survivors: the kept rows themselves. */
   def exactSurvivors(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val reps = exact(docs, idCol, textCol).select(col(idCol))

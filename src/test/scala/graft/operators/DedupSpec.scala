@@ -398,4 +398,16 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(2L, 4L), s"got $kept")
   }
 
+
+  test("snapshotDiff classifies added/removed/changed and treats null as empty") {
+    val base = Seq((1L, "same"), (2L, "old"), (3L, "gone"), (4L, null: String))
+      .toDF("doc_id", "text")
+    val next = Seq((1L, "same"), (2L, "new"), (5L, "fresh"), (4L, ""))
+      .toDF("doc_id", "text")
+    val d = Dedup.snapshotDiff(base, next).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 1 unchanged (absent), 4 null==empty (absent)
+    assert(d == Map(2L -> "changed", 3L -> "removed", 5L -> "added"), s"got $d")
+  }
+
 }

@@ -332,4 +332,52 @@ class TextAnalysisSpec extends SparkSpec {
     assert(re == exact(200))
   }
 
+
+  test("ngram LM differential fuzz vs an independent implementation") {
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 3) {
+      val n = 2 + trial // 3, 4, 5
+      val vocab = (0 until 12).map(i => s"t$i")
+      def doc(len: Int) = Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val train = (1 to 15).map(i => (i.toLong, doc(4 + rnd.nextInt(8))))
+      val score = (100 to 110).map(i => (i.toLong, doc(3 + rnd.nextInt(9))))
+      // independent reference: count maps + per-position longest match
+      val grams = scala.collection.mutable.Map.empty[(Int, Seq[String]), Long]
+      train.foreach { case (_, t) =>
+        val w = t.split(" ").toSeq
+        for (i <- 1 to w.length; k <- 1 to math.min(n, i))
+          grams((k, w.slice(i - k, i))) =
+            grams.getOrElse((k, w.slice(i - k, i)), 0L) + 1L
+      }
+      val nTot = grams.collect { case ((1, _), c) => c }.sum.toDouble
+      val v = grams.keys.count(_._1 == 1).toDouble
+      val lnA = math.log(0.4)
+      val expected = score.map { case (id, t) =>
+        val w = t.split(" ").toSeq
+        val lps = (1 to w.length).map { i =>
+          val kmax = math.min(n, i)
+          val hit = (kmax to 2 by -1).find(k => grams.contains((k, w.slice(i - k, i))))
+          hit match {
+            case Some(k) =>
+              val ck = grams((k, w.slice(i - k, i))).toDouble
+              val cx = grams((k - 1, w.slice(i - k, i - 1))).toDouble
+              (kmax - k) * lnA + math.log(ck / cx)
+            case None =>
+              val c1 = grams.getOrElse((1, w.slice(i - 1, i)), 0L).toDouble
+              (kmax - 1) * lnA + math.log((c1 + 1) / (nTot + v))
+          }
+        }
+        id -> lps.sum / lps.length
+      }.toMap
+      val got = TextAnalysis.ngramLogProb(
+        train.toDF("doc_id", "text"), score.toDF("doc_id", "text"), n)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      assert(got.keySet == expected.keySet, s"n=$n ids differ")
+      got.foreach { case (id, lp) =>
+        assert(math.abs(lp - expected(id)) < 2e-6,
+          s"n=$n doc $id: spark $lp vs reference ${expected(id)}")
+      }
+    }
+  }
+
 }
