@@ -1340,6 +1340,33 @@ object SparkEntry {
         docs.where(pmod(col("doc_id"), lit(2L)) === 1))
     }),
 
+    // --- pipeline: SHARD ASSIGNMENT — the final write stage:
+    //     splitmix shard + stable intra-shard sequence (shuffled order
+    //     an epoch reader wants), reproducible across engines/layouts --
+    "q173_shard_assignment" -> ((s, dir) =>
+      Sampling.shardAssignment(T(s, dir, "documents"), nShards = 8)),
+
+    // --- pipeline: CLASSIFIER CALIBRATION REPORT — mean trained-quality
+    //     score per (lang, source): the bias/drift check run before a
+    //     filter threshold ships; decimal mean over the 6-dp scores ----
+    "q174_quality_calibration" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      // the mean of exact 6-dp scores can land exactly ON a 6-dp
+      // rounding boundary, where double-round mechanics split engines —
+      // so the half-up rounding happens in INTEGER micro-units:
+      // mean6 = floor((2·Σ(score·10⁶) + n) / (2n)), then /10⁶
+      val sMicro = sum(round(col("quality_score") * 1000000, 0).cast("long"))
+      val n = count(lit(1))
+      val num2 = sMicro * 2 + n
+      val den2 = n * 2
+      TextAnalysis.qualityClassifierScores(docs, col("lang") === "en")
+        .join(docs.select(col("doc_id"), col("lang"), col("source")), Seq("doc_id"))
+        .groupBy("lang", "source")
+        .agg(n.as("n_docs"),
+          (((num2 - pmod(num2, den2)) / den2).cast("long").cast("double") / 1000000)
+            .as("mean_score"))
+    }),
+
     // --- pipeline: SNAPSHOT DIFF — added/removed/changed between two
     //     corpus versions by 128-bit content hash; one id-keyed
     //     full-outer join of 16-byte rows, unchanged rows drop ---------
@@ -2224,6 +2251,20 @@ object SparkEntry {
     // 5-gram backoff LM: identical gram tables + longest-match selection
     "q161_ngram_lm" -> TextAnalysis.ngramLogProbOracleSql(
       "doc_id % 2 = 0", "doc_id % 2 = 1"),
+
+    // shard assignment: splitmix replication + windowed sequence
+    "q173_shard_assignment" -> Sampling.shardAssignmentOracleSql(nShards = 8),
+
+    // calibration report: the classifier oracle joined back to metadata
+    "q174_quality_calibration" -> {
+      val scored = TextAnalysis.qualityClassifierOracleSql("lang = 'en'")
+      s"""WITH scored AS ($scored)
+         |SELECT d.lang, d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST((2 * SUM(CAST(round(s.quality_score * 1000000, 0) AS BIGINT))
+         |        + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE) / 1000000 AS mean_score
+         |FROM scored s JOIN documents d USING (doc_id)
+         |GROUP BY d.lang, d.source""".stripMargin
+    },
 
     // snapshot diff: identical md5 on both engines
     "q172_snapshot_diff" ->

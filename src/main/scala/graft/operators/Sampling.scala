@@ -238,6 +238,43 @@ object Sampling {
     * where the range boundaries land: any range partitioning of a total
     * order followed by per-partition sort and sequential numbering
     * yields the identical global permutation. */
+  /** Deterministic SHARD ASSIGNMENT — the final write stage of a
+    * training-data pipeline: every document gets a shard (splitmix hash
+    * of its id — layout- and run-independent, uniform across shards)
+    * and a stable sequence number within the shard (ordered by the
+    * SAME splitmix position then id, so intra-shard order is itself a
+    * shuffled order — the property an epoch reader wants — and a rerun,
+    * a retry, or another engine reproduces the exact shard files).
+    * Returns (idCol, shard, seq, n_tokens); the shard manifest is one
+    * groupBy away and the physical write is
+    * `.write.partitionBy("shard")`. Scale shape: one shard-keyed
+    * shuffle; the per-shard row_number is a shard-partitioned window
+    * (corpus/nShards rows each), never a global sort. */
+  def shardAssignment(docs: DataFrame, nShards: Int, salt: Long = 11L,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(nShards >= 1)
+    val w = Window.partitionBy("shard").orderBy(col("__pos"), col(idCol))
+    docs
+      .select(col(idCol), lcgPos(col(idCol), salt).as("__pos"),
+        graft.functions.TextFunctions.tokenCount(col(textCol)).as("n_tokens"))
+      .withColumn("shard", pmod(col("__pos"), lit(nShards.toLong)))
+      .withColumn("seq", row_number().over(w).cast("long"))
+      .select(col(idCol), col("shard"), col("seq"), col("n_tokens"))
+  }
+
+  /** DuckDB replication of [[shardAssignment]]. */
+  def shardAssignmentOracleSql(nShards: Int, salt: Long = 11L): String =
+    s"""WITH p AS (SELECT doc_id,
+       |    ${posOracleSql("doc_id", salt)} AS pos,
+       |    CASE WHEN LEN(TRIM(text)) = 0 THEN 0
+       |      ELSE LEN(regexp_split_to_array(TRIM(text), '\\s+')) END AS n_tokens
+       |  FROM documents)
+       |SELECT doc_id, pos % $nShards AS shard,
+       |  CAST(row_number() OVER (PARTITION BY pos % $nShards
+       |    ORDER BY pos, doc_id) AS BIGINT) AS seq,
+       |  CAST(n_tokens AS BIGINT) AS n_tokens
+       |FROM p""".stripMargin
+
   def epochShuffle(df: DataFrame, idCol: String, epoch: Long): DataFrame =
     // hash materialized as a column: computed once per row at shuffle
     // write, not re-evaluated again by the partitioner and the sort

@@ -277,4 +277,23 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id", "bin", "bin_off").as[(Long, Long, Long)].collect().sortBy(_._1)
     assert(out.toSeq == Seq((1L, 0L, 0L), (2L, 0L, 0L)))
   }
+
+  test("shard assignment is deterministic, covers all docs, and numbers shards contiguously") {
+    val docs = (1 to 200).map(i => (i.toLong, s"some text for doc $i")).toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sampling.shardAssignment(df, nShards = 4).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val a = run(docs)
+    assert(a.map(_._1).size == 200, "every doc assigned exactly once")
+    // layout independence
+    assert(run(docs.repartition(7)) == a)
+    // per-shard sequence numbers are 1..count with no gaps
+    a.groupBy(_._2).foreach { case (shard, rows) =>
+      val seqs = rows.map(_._3).toSeq.sorted
+      assert(seqs == (1L to rows.size.toLong), s"shard $shard seqs: $seqs")
+    }
+    // splitmix spreads: no shard holds more than half the corpus
+    assert(a.groupBy(_._2).values.map(_.size).max < 100)
+  }
+
 }
