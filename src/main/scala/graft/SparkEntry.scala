@@ -1340,6 +1340,18 @@ object SparkEntry {
         docs.where(pmod(col("doc_id"), lit(2L)) === 1))
     }),
 
+    // --- pipeline: MINHASH EVALUATION REPORT — measured precision/
+    //     recall of the signature-estimate pairs vs exact char-shingle
+    //     Jaccard on a bounded slice (the tuning report for k/bands/
+    //     threshold); coarse k=16 signatures so both FP and FN occur ---
+    "q175_minhash_eval" -> ((s, dir) =>
+      // threshold 0.35 on a dup-heavy slice: the coarse k=16 estimator
+      // over-fires massively (measured precision ~0.008, 818 false
+      // positives) — the genuine "these params are too coarse" finding
+      // this report exists to surface; recall-side arithmetic is pinned
+      // by a DedupSpec corpus with a planted miss
+      Dedup.minHashEvalReport(T(s, dir, "documents"), threshold = 0.35)),
+
     // --- pipeline: SHARD ASSIGNMENT — the final write stage:
     //     splitmix shard + stable intra-shard sequence (shuffled order
     //     an epoch reader wants), reproducible across engines/layouts --
@@ -2251,6 +2263,9 @@ object SparkEntry {
     // 5-gram backoff LM: identical gram tables + longest-match selection
     "q161_ngram_lm" -> TextAnalysis.ngramLogProbOracleSql(
       "doc_id % 2 = 0", "doc_id % 2 = 1"),
+
+    // minhash evaluation: estimate pipeline + exact truth + integer ratios
+    "q175_minhash_eval" -> Dedup.minHashEvalOracleSql(threshold = 0.35),
 
     // shard assignment: splitmix replication + windowed sequence
     "q173_shard_assignment" -> Sampling.shardAssignmentOracleSql(nShards = 8),

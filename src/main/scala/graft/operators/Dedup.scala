@@ -366,6 +366,52 @@ object Dedup {
     docs.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Dedup-pipeline EVALUATION harness — measured precision/recall of
+    * the MinHash ESTIMATE pairs against exact shingle Jaccard on a
+    * bounded id slice ("measure, don't guess": the report you run when
+    * tuning k/bands/threshold before a corpus-scale pass). The estimate
+    * side is [[minHashPairs]] verbatim (threshold applied to the
+    * signature estimate, so both false positives and false negatives
+    * occur); ground truth is exact distinct-char-shingle Jaccard over
+    * the same slice (quadratic — that is why the slice is bounded; at
+    * scale this runs on a sample, which is the methodology anyway).
+    * Output: ONE row (n_est, n_exact, tp, fp, fn, precision, recall)
+    * with the ratios rounded HALF-UP in integer micro-units (a ratio of
+    * small integers lands exactly on rounding boundaries where
+    * double-round mechanics split engines). */
+  def minHashEvalReport(docs: DataFrame, shingleN: Int = 5, k: Int = 16,
+                        bands: Int = 8, threshold: Double = 0.35,
+                        capIds: Long = 300L, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val bounded = docs.where(col(idCol) < capIds)
+    val est = minHashPairs(bounded, idCol, textCol, shingleN, k, bands, threshold)
+      .select(col("id_a"), col("id_b"), lit(1L).as("e"))
+    val (sh, _) = mat(bounded
+      .select(col(idCol).as("id"), sort_array(array_distinct(
+        transform(TF.charShingles(col(textCol), shingleN), s => xxhash64(s)))).as("sh"))
+      .where(size(col("sh")) > 0))
+    val exact = sh.as("a").join(broadcast(sh.as("b")), col("a.id") < col("b.id"))
+      .where(TF.jaccardDistinct(col("a.sh"), col("b.sh"), threshold) >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), lit(1L).as("x"))
+    def ratio(num: Column, den: Column): Column = {
+      val n2 = num * 2000000L + den
+      val d2 = den * 2
+      when(den === 0, lit(0.0)).otherwise(
+        ((n2 - pmod(n2, d2)) / d2).cast("long").cast("double") / 1000000)
+    }
+    est.join(exact, Seq("id_a", "id_b"), "full_outer")
+      .agg(
+        coalesce(sum(coalesce(col("e"), lit(0L))), lit(0L)).as("n_est"),
+        coalesce(sum(coalesce(col("x"), lit(0L))), lit(0L)).as("n_exact"),
+        coalesce(sum(coalesce(col("e"), lit(0L)) * coalesce(col("x"), lit(0L))),
+          lit(0L)).as("tp"))
+      .select(col("n_est"), col("n_exact"), col("tp"),
+        (col("n_est") - col("tp")).as("fp"),
+        (col("n_exact") - col("tp")).as("fn"),
+        ratio(col("tp"), col("n_est")).as("precision"),
+        ratio(col("tp"), col("n_exact")).as("recall"))
+  }
+
   /** Cluster dedup keeping the BEST representative per near-dup
     * cluster — the policy production curation actually wants one step
     * past [[clusterSurvivors]]' min-id rule: within each connected
@@ -1112,6 +1158,36 @@ object Dedup {
        |        FROM cand c JOIN sg sa ON sa.doc_id = c.new_id JOIN sg sb ON sb.doc_id = c.base_id AND sb.i = sa.i
        |        GROUP BY c.new_id, c.base_id)
        |SELECT new_id, base_id, jaccard_est FROM est WHERE jaccard_est >= $threshold""".stripMargin
+
+  /** DuckDB replication of [[minHashEvalReport]]: the q30 signature
+    * pipeline restricted to the slice, exact char-shingle Jaccard as
+    * ground truth, identical integer micro-unit ratio rounding. */
+  def minHashEvalOracleSql(shingleN: Int = 5, k: Int = 16, bands: Int = 8,
+                           threshold: Double = 0.35, capIds: Long = 300L): String =
+    s"""WITH estAll AS (${minHashOracleSql(shingleN, k, bands, threshold)}),
+       |est AS (SELECT id_a, id_b, 1 AS e FROM estAll
+       |        WHERE id_a < $capIds AND id_b < $capIds),
+       |nrm AS (SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS nt
+       |        FROM documents WHERE doc_id < $capIds),
+       |shs AS (SELECT doc_id, list_distinct(list_transform(
+       |          generate_series(1, length(nt) - ${shingleN - 1}),
+       |          i -> nt[i : i + ${shingleN - 1}])) AS s
+       |        FROM nrm WHERE length(nt) >= $shingleN),
+       |ex AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, 1 AS x
+       |       FROM shs a JOIN shs b ON a.doc_id < b.doc_id
+       |       WHERE CAST(LEN(list_intersect(a.s, b.s)) AS DOUBLE) /
+       |         (LEN(a.s) + LEN(b.s) - LEN(list_intersect(a.s, b.s))) >= $threshold),
+       |j AS (SELECT coalesce(est.e, 0) AS e, coalesce(ex.x, 0) AS x
+       |      FROM est FULL OUTER JOIN ex USING (id_a, id_b)),
+       |c AS (SELECT CAST(coalesce(SUM(e), 0) AS BIGINT) AS n_est,
+       |             CAST(coalesce(SUM(x), 0) AS BIGINT) AS n_exact,
+       |             CAST(coalesce(SUM(e * x), 0) AS BIGINT) AS tp FROM j)
+       |SELECT n_est, n_exact, tp, n_est - tp AS fp, n_exact - tp AS fn,
+       |  CASE WHEN n_est = 0 THEN 0.0 ELSE
+       |    CAST((tp * 2000000 + n_est) // (2 * n_est) AS DOUBLE) / 1000000 END AS precision,
+       |  CASE WHEN n_exact = 0 THEN 0.0 ELSE
+       |    CAST((tp * 2000000 + n_exact) // (2 * n_exact) AS DOUBLE) / 1000000 END AS recall
+       |FROM c""".stripMargin
 
   /** DuckDB replication of the TWO-ROUND incremental-ingest protocol
     * ([[minHashPairsAgainst]] + [[appendSignatures]]): round 1 probes

@@ -410,4 +410,34 @@ class DedupSpec extends SparkSpec {
     assert(d == Map(2L -> "changed", 3L -> "removed", 5L -> "added"), s"got $d")
   }
 
+
+  test("minhash eval report counts tp/fp/fn against brute force, including misses") {
+    // docs 1,2 near-identical (true positive at any threshold); 3,4
+    // medium-overlap (the marginal pair estimators flip on); 5 unrelated
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      (3L, "data systems process large corpora with distributed query engines quickly"),
+      (4L, "data systems process large corpora with columnar storage engines quickly"),
+      (5L, "completely unrelated gibberish zzz qqq vvv kkk")
+    ).toDF("doc_id", "text")
+    val r = Dedup.minHashEvalReport(d, shingleN = 5, k = 16, bands = 8,
+      threshold = 0.5, capIds = 100L).collect()(0)
+    val (nEst, nExact, tp, fp, fn) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))
+    // structural identities always hold
+    assert(tp + fp == nEst && tp + fn == nExact)
+    assert(nExact >= 1, "brute force must find the near-identical pair")
+    // ratio arithmetic: recompute the integer micro-rounding
+    def ratio(n: Long, dd: Long): Double =
+      if (dd == 0) 0.0 else ((n * 2000000L + dd) / (2 * dd)).toDouble / 1000000
+    assert(r.getDouble(5) == ratio(tp, nEst) && r.getDouble(6) == ratio(tp, nExact))
+    // a deliberately impossible estimate threshold forces fn > 0: exact
+    // pairs exist but the estimate side is emptied
+    val miss = Dedup.minHashEvalReport(d, shingleN = 5, k = 16, bands = 8,
+      threshold = 1.01, capIds = 100L).collect()(0)
+    assert(miss.getLong(0) == 0L)
+    assert(miss.getLong(4) == 0L || miss.getLong(1) > 0L)
+  }
+
 }

@@ -279,6 +279,7 @@ class SamplingSpec extends SparkSpec {
   }
 
   test("shard assignment is deterministic, covers all docs, and numbers shards contiguously") {
+    import spark.implicits._
     val docs = (1 to 200).map(i => (i.toLong, s"some text for doc $i")).toDF("doc_id", "text")
     def run(df: org.apache.spark.sql.DataFrame) =
       Sampling.shardAssignment(df, nShards = 4).collect()
