@@ -364,6 +364,19 @@ class DedupSpec extends SparkSpec {
     assert(run(large, 3, 4) == brute(large, 3, 4))
     // degenerate: empty text drops; singleton corpus yields nothing
     assert(run(Seq((1L, "a b"), (2L, "   ")), 1, 2).isEmpty)
+    // adversarial: wildly varying lengths (length filter must prune but
+    // never drop a qualifying pair) over a skewed Zipf-ish distribution
+    val skewVocab = (0 until 90).map(i => s"z$i")
+    val skew = (1 to 70).map { i =>
+      val len = if (i % 7 == 0) 40 + rnd.nextInt(20) else 3 + rnd.nextInt(5)
+      // Zipf-ish: low indices far more likely
+      (i.toLong, Seq.fill(len)(skewVocab(
+        math.min(89, (math.abs(rnd.nextGaussian()) * 12).toInt))).mkString(" "))
+    }
+    assert(run(skew, 1, 2) == brute(skew, 1, 2))
+    // threshold 1/1: only identical token SETS qualify
+    val dup = skew ++ Seq((900L, skew(3)._2), (901L, skew(3)._2 + " extraword"))
+    assert(run(dup, 1, 1) == brute(dup, 1, 1))
   }
 
 
