@@ -334,4 +334,26 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+
+  test("html extraction applies to a stream unchanged (map-only, stateless)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val extracted = graft.operators.TextAnalysis.extractHtmlText(
+      input.toDF().toDF("doc_id", "html"))
+    assert(extracted.isStreaming, "extraction must stay stateless")
+    val q = extracted.writeStream.format("memory").queryName("stream_html")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "<html><body><nav><a href=\"/\">Home</a> <a href=\"/a\">About</a></nav>" +
+          "<p>Body prose long enough to keep around here.</p></body></html>"),
+        (2L, "plain text with no markup that passes straight through"))
+      q.processAllAvailable()
+      val r = spark.table("stream_html").collect()
+        .map(x => x.getLong(0) -> x.getString(1)).toMap
+      assert(r(1L) == "Body prose long enough to keep around here.")
+      assert(r(2L) == "plain text with no markup that passes straight through")
+    } finally q.stop()
+  }
+
 }
