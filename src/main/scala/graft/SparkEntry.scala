@@ -410,8 +410,7 @@ object SparkEntry {
     //     cost knob; the 100 TB layout writes partitionBy(cell)) --------
     "q61_ann_ivf_trained" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
-      val cent = ivfCentroidCache.getOrElseUpdate(dir,
-        Similarity.kmeansCentroids(emb, k = 16, iters = 3))
+      val cent = ivfCentroids(s, dir)
       val q = emb.where(col("vec_id") === 0).select(col("embedding"))
         .head().getSeq[Float](0)
       Similarity.ivfTopKTrained(emb, q, 10, cent, nprobe = cent.length)
@@ -1301,8 +1300,7 @@ object SparkEntry {
     "q163_ivf_upkeep" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       def third(r: Long) = emb.where(pmod(col("vec_id"), lit(3L)) === r)
-      val cent = ivfCentroidCache.getOrElseUpdate(dir,
-        Similarity.kmeansCentroids(emb, k = 16, iters = 3))
+      val cent = ivfCentroids(s, dir)
       val base = Similarity.ivfAssign(
         third(0).select(col("vec_id"), col("embedding")), cent)
       val layout = Similarity.ivfAppend(
@@ -1405,10 +1403,7 @@ object SparkEntry {
     //     cutpoints (actual data values — engine-exact) applied
     //     MAP-ONLY; no global-order window anywhere --------------------
     "q169_ppl_buckets" -> ((s, dir) => {
-      val docs = T(s, dir, "documents")
-      val scored = TextAnalysis.ngramLogProb(
-        docs.where(pmod(col("doc_id"), lit(2L)) === 0),
-        docs.where(pmod(col("doc_id"), lit(2L)) === 1))
+      val scored = ngramScoresSplit(s, dir)
       val cuts = scored.agg(
         expr("percentile_disc(0.3) WITHIN GROUP (ORDER BY avg_logprob)").as("q1"),
         expr("percentile_disc(0.7) WITHIN GROUP (ORDER BY avg_logprob)").as("q2"))
@@ -1421,10 +1416,14 @@ object SparkEntry {
 
     // --- pipeline: TRAINED QUALITY CLASSIFIER — discriminative linear
     //     scorer over hashed n-gram features (GPT-3/LLaMA-style "looks
-    //     like the reference corpus" filter), 4 full-batch GD steps on
+    //     like the reference corpus" filter), 8 full-batch GD steps on
     //     the driver over B-bounded gradient aggregates, algebraic
-    //     sigmoid so both engines replay the training bit-for-bit ------
-    "q160_quality_classifier" -> ((s, dir) => qualityScoresEn(s, dir)),
+    //     sigmoid so both engines replay the training bit-for-bit.
+    //     Trains TIMED every invocation — the training loop is what
+    //     this query benchmarks (q174 reuses the stored artifact) ------
+    "q160_quality_classifier" -> ((s, dir) =>
+      TextAnalysis.qualityClassifierScores(
+        T(s, dir, "documents"), col("lang") === "en")),
 
     // --- relational: grouped Pearson CORRELATION — decimal power sums
     //     + one closing double chain on a 10-dp grid ------------------
@@ -1812,16 +1811,30 @@ object SparkEntry {
   // (same slice, same mode) — train once per sf dir, like the centroids
   private val pcaModelCache =
     scala.collection.concurrent.TrieMap.empty[String, Similarity.PcaModel]
-  // q160 (scores) and q174 (calibration) run the IDENTICAL trained
-  // classifier (documents, target lang='en') — train once per sf dir
-  // and checkpoint the scored frame; training is a fixture like the BPE
-  // merge table (warmed untimed), the queries measure application
+  // q174 (calibration) reports over a STORED scored table — the real
+  // workload shape (score once, report after); the frame trains once
+  // per sf dir as an untimed fixture. q160 deliberately does NOT use
+  // this cache: the training loop is what q160 benchmarks.
   private val qcScoresCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private def qualityScoresEn(s: SparkSession, dir: String): DataFrame =
     qcScoresCache.getOrElseUpdate(dir, {
       val df = TextAnalysis.qualityClassifierScores(
         T(s, dir, "documents"), col("lang") === "en").localCheckpoint(true)
+      df.count()
+      df
+    })
+  // q169 buckets over a STORED LM-score table (CCNet's actual shape:
+  // score once, bucket after); q161 stays uncached — the LM train+score
+  // pass is what q161 benchmarks
+  private val ngramScoresCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def ngramScoresSplit(s: SparkSession, dir: String): DataFrame =
+    ngramScoresCache.getOrElseUpdate(dir, {
+      val docs = T(s, dir, "documents")
+      val df = TextAnalysis.ngramLogProb(
+        docs.where(pmod(col("doc_id"), lit(2L)) === 0),
+        docs.where(pmod(col("doc_id"), lit(2L)) === 1)).localCheckpoint(true)
       df.count()
       df
     })
@@ -1909,9 +1922,11 @@ object SparkEntry {
     pcaModel(s, dir)  // PCA model training likewise — q164/q168 measure
                       // the projection scan, the oracle still replays
                       // the full training trace
-    qualityScoresEn(s, dir) // classifier training too (the BPE stance);
-                            // q166 still trains ITS model timed — the
-                            // composed chain is the measurement there
+    qualityScoresEn(s, dir) // q174's stored scored table (BPE stance);
+                            // q160 and q166 still train TIMED — the
+                            // loop/chain is the measurement there
+    ngramScoresSplit(s, dir) // q169's stored LM-score table; q161
+                             // still trains+scores timed
     ()
   }
 

@@ -426,8 +426,13 @@ object Dedup {
                            idCol: String = "doc_id"): DataFrame = {
     val cc = graft.plans.Fixpoint.connectedComponents(
       pairs.select(col("id_a"), col("id_b")))
-    val ranked = cc.join(rank.toDF("id", "rv"), Seq("id"))
-    val w = Window.partitionBy("comp").orderBy(col("rv").desc, col("id").asc)
+    // LEFT join + nulls-last ordering: a paired doc missing from `rank`
+    // competes with the LOWEST possible rank instead of silently
+    // surviving dedup (an inner join would drop it from the window and
+    // the cluster would keep two members with no signal)
+    val ranked = cc.join(rank.toDF("id", "rv"), Seq("id"), "left")
+    val w = Window.partitionBy("comp")
+      .orderBy(col("rv").desc_nulls_last, col("id").asc)
     val drop = ranked.withColumn("rn", row_number().over(w))
       .where(col("rn") > 1).select(col("id").as(idCol))
     docs.join(drop, Seq(idCol), "left_anti")
@@ -516,8 +521,13 @@ object Dedup {
       val (gm, nG) = mat(masks.groupBy("mask")
         .agg(collect_list(col("id")).as("ids"), count(lit(1)).as("c")))
       // past this bound the all-pairs stage over distinct masks stops
-      // being cheap -- fall back to the PPJoin plan
-      if (nG > 65536L) return None
+      // being cheap -- fall back to the PPJoin plan, RELEASING the
+      // materialized group table (otherwise its checkpoint blocks leak
+      // for the session, the class of churn sigCache's graveyard fights)
+      if (nG > 65536L) {
+        graft.plans.Fixpoint.checkpointRddOf(gm).foreach(_.unpersist(false))
+        return None
+      }
       val intra = gm.where(col("c") >= 2)
         .select(explode(col("ids")).as("id_a"), col("ids"))
         .select(col("id_a"), explode(col("ids")).as("id_b"))

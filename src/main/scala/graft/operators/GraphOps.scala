@@ -130,9 +130,10 @@ object GraphOps {
     *
     * Same two sum modes as [[pageRank]] and the same scale shape: per
     * iteration, two join+aggregated-shuffle pairs (src then dst), each
-    * behind an eager checkpoint barrier with superseded tables
-    * unpersisted; the max is a tiny broadcast cross join, never a
-    * driver collect. Parallel edges contribute once each; nodes with
+    * behind a lazy checkpoint barrier whose materializing action IS the
+    * per-half-step 1-row max collect (a single aggregated scalar — fine
+    * at any graph size), superseded tables unpersisted eagerly.
+    * Parallel edges contribute once each; nodes with
     * no in-edges (resp. out-edges) hold authority (resp. hub) 0. */
   def hits(edges: DataFrame, iters: Int, srcCol: String = "src",
            dstCol: String = "dst", exactSum: Boolean = false): DataFrame = {

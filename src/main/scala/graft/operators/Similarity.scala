@@ -626,7 +626,11 @@ object Similarity {
   def pcaTrain(emb: DataFrame, nComp: Int, iters: Int = 8,
                vecCol: String = "embedding",
                exactSums: Boolean = true): PcaModel = {
-    val d = emb.select(size(col(vecCol))).head().getInt(0)
+    // model dimension = the MAX length present (an aggregate — layout-
+    // and scan-order-independent, unlike head(), which would let file
+    // layout pick d on a mixed-length table); rows of any other length
+    // are filtered below as before
+    val d = emb.agg(max(size(col(vecCol)))).head().getInt(0)
     val n = emb.where(size(col(vecCol)) === d).count()
     require(n > 0, "empty embedding table")
     val vd = col(vecCol).cast("array<double>")

@@ -837,6 +837,8 @@ object TextAnalysis {
       .localCheckpoint(true)
     val uni = cnt.where(col("k") === 1)
       .agg(sum(col("c")), count(lit(1))).collect()(0)
+    require(!uni.isNullAt(0),
+      "ngramLogProb: training corpus has no tokens — nothing to model")
     val denom1 = uni.getLong(0).toDouble + uni.getLong(1).toDouble // N + V
     val pos = positions(score)
       .select(col("id"), col("i"), col("k"), least(lit(n), col("i")).as("kmax"),
@@ -949,8 +951,14 @@ object TextAnalysis {
                               idCol: String = "doc_id",
                               textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
+    // a NULL predicate result labels 0 (the oracle's CASE ... ELSE 0):
+    // without the coalesce those rows would train with y = NULL —
+    // contributing nothing to any gradient — while the oracle trains
+    // them as negatives, silently diverging the weights cross-engine on
+    // any corpus with NULLs in the predicate column
     val base = docs
-      .select(col(idCol).as("id"), targetPred.cast("double").as("y"),
+      .select(col(idCol).as("id"),
+        coalesce(targetPred.cast("double"), lit(0.0)).as("y"),
         TF.tokens(col(textCol)).as("t"))
       .where(size(col("t")) > 0)
     // Per-doc SPARSE FEATURE VECTORS, built once (two shuffles) and
