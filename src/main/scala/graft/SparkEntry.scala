@@ -1342,6 +1342,42 @@ object SparkEntry {
     //     recall of the signature-estimate pairs vs exact char-shingle
     //     Jaccard on a bounded slice (the tuning report for k/bands/
     //     threshold); coarse k=16 signatures so both FP and FN occur ---
+    // --- ANN: FILTERED HNSW probe — top-k restricted to a metadata
+    //     predicate (label = 1), traversal exploring THROUGH
+    //     non-matching nodes; production efSearch (rows-only, anchored
+    //     by the exhaustive twin below) ---------------------------------
+    "q176_hnsw_filtered" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0).toArray
+      val idx = hnswCache.getOrElseUpdate(dir,
+        graft.index.Hnsw.build(emb, "vec_id", "embedding"))
+      val ok = emb.where(col("label") === 1).select(col("vec_id"))
+        .collect().map(_.getLong(0)).toSet
+      val spark = s
+      import spark.implicits._
+      idx.searchFiltered(q, 10, efSearch = 64, ok.contains)
+        .map(_._1).toDF("vec_id")
+    }),
+
+    // --- ANN: FILTERED HNSW, EXHAUSTIVE twin — efSearch = index size
+    //     sweeps every reachable node, so the result must EQUAL the
+    //     filtered brute force (exact oracle; the q91/q92 anchor
+    //     argument extended to the filtered traversal) ------------------
+    "q177_hnsw_filtered_exhaustive" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0).toArray
+      val idx = hnswCache.getOrElseUpdate(dir,
+        graft.index.Hnsw.build(emb, "vec_id", "embedding"))
+      val ok = emb.where(col("label") === 1).select(col("vec_id"))
+        .collect().map(_.getLong(0)).toSet
+      val spark = s
+      import spark.implicits._
+      idx.searchFiltered(q, 10, efSearch = idx.size, ok.contains)
+        .map(_._1).toDF("vec_id")
+    }),
+
     "q175_minhash_eval" -> ((s, dir) =>
       // threshold 0.35 on a dup-heavy slice: the coarse k=16 estimator
       // over-fires massively (measured precision ~0.008, 818 false
@@ -2292,6 +2328,13 @@ object SparkEntry {
     // 5-gram backoff LM: identical gram tables + longest-match selection
     "q161_ngram_lm" -> TextAnalysis.ngramLogProbOracleSql(
       "doc_id % 2 = 0", "doc_id % 2 = 1"),
+
+    // filtered-HNSW exhaustive twin == filtered brute force
+    "q177_hnsw_filtered_exhaustive" ->
+      """SELECT vec_id FROM embeddings WHERE label = 1
+        |ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC,
+        |vec_id ASC LIMIT 10""".stripMargin,
 
     // minhash evaluation: estimate pipeline + exact truth + integer ratios
     "q175_minhash_eval" -> Dedup.minHashEvalOracleSql(threshold = 0.35),

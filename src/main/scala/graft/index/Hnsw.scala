@@ -195,6 +195,51 @@ final class Hnsw(val dim: Int, val metric: String = "cosine",
       .take(k).map { case (d, n) => (ids(n), d) }
   }
 
+  /** FILTERED k-NN: top-k among vectors whose id passes `pred` — the
+    * metadata-restricted vector search every production vector store
+    * exposes. Traversal explores the graph THROUGH non-matching nodes
+    * (post-filtering the plain search would starve under selective
+    * predicates: a 1%-selective filter leaves ~0.01·ef admissible rows
+    * in the frontier); only matching, live nodes are ADMITTED to the
+    * result heap, so `efSearch` budgets MATCHING candidates. With
+    * `efSearch` ≥ the index size the layer-0 sweep visits every
+    * reachable node and the result EQUALS the filtered brute force —
+    * the same exhaustive-twin anchor argument the unfiltered probes
+    * use. */
+  def searchFiltered(q0: Array[Float], k: Int, efSearch: Int,
+                     pred: Long => Boolean): Seq[(Long, Double)] = synchronized {
+    if (entryPoint < 0) return Seq.empty
+    val q = prep(q0)
+    var ep = entryPoint
+    var l = maxLevel
+    while (l > 0) { ep = greedyClosest(q, ep, l); l -= 1 }
+    val ef = math.max(efSearch, k)
+    def admissible(n: Int): Boolean = !deleted(n) && pred(ids(n))
+    val visited = mutable.HashSet(ep)
+    val epDist = dist(q, ep)
+    val cand = mutable.PriorityQueue((-epDist, ep))(Ordering.by(_._1))
+    val res = mutable.PriorityQueue.empty[(Double, Int)](Ordering.by(_._1))
+    if (admissible(ep)) res.enqueue((epDist, ep))
+    while (cand.nonEmpty) {
+      val (negD, c) = cand.dequeue()
+      if (res.size >= ef && -negD > res.head._1) cand.clear()
+      else neighbors(c)(0).foreach { n =>
+        if (visited.add(n)) {
+          val d = dist(q, n)
+          if (res.size < ef || d < res.head._1) {
+            cand.enqueue((-d, n))
+            if (admissible(n)) {
+              res.enqueue((d, n))
+              if (res.size > ef) res.dequeue()
+            }
+          }
+        }
+      }
+    }
+    res.toSeq.sortBy { case (d, n) => (d, ids(n)) }
+      .take(k).map { case (d, n) => (ids(n), d) }
+  }
+
   /** Tombstone delete (reference `hnsw_index.rs:33-36`); graph edges stay
     * as navigation waypoints until a rebuild. */
   def remove(id: Long): Boolean = synchronized {

@@ -292,4 +292,36 @@ class HnswSpec extends SparkSpec {
     assert(again.collect().map(x => (x.getLong(0), x.getLong(2))).toSet ==
       got.map(x => (x._1, x._2)).toSet)
   }
+
+  test("filtered search matches filtered brute force and survives selective predicates") {
+    val rnd = new scala.util.Random(5)
+    val dim = 8
+    val vecs = (0L until 60L).map(i => i -> Array.fill(dim)(rnd.nextFloat()))
+    val idx = new Hnsw(dim)
+    vecs.foreach { case (id, v) => idx.insert(id, v) }
+    val q = vecs(3)._2
+    def bruteFiltered(pred: Long => Boolean, k: Int) = vecs
+      .filter { case (id, _) => pred(id) }
+      .map { case (id, v) =>
+        val dot = v.zip(q).map { case (a, b) => a.toDouble * b }.sum
+        val na = math.sqrt(v.map(x => x.toDouble * x).sum)
+        val nb = math.sqrt(q.map(x => x.toDouble * x).sum)
+        id -> (1.0 - dot / (na * nb))
+      }.sortBy { case (id, d) => (d, id) }.take(k).map(_._1)
+    // exhaustive ef: equals brute force under a broad predicate...
+    val even = (id: Long) => id % 2 == 0
+    assert(idx.searchFiltered(q, 5, 60, even).map(_._1) == bruteFiltered(even, 5))
+    // ...and under a HIGHLY selective one (2 of 60 match) the traversal
+    // must route through non-matching nodes to find both
+    val rare = Set(41L, 57L)
+    assert(idx.searchFiltered(q, 5, 60, rare).map(_._1).toSet == rare)
+    // production ef on the selective predicate still finds them (the
+    // frontier is not starved by post-filtering)
+    assert(idx.searchFiltered(q, 5, 16, rare).map(_._1).toSet == rare)
+    // nothing matches -> empty; unfiltered pred == plain search ids
+    assert(idx.searchFiltered(q, 5, 60, _ => false).isEmpty)
+    assert(idx.searchFiltered(q, 5, 60, _ => true).map(_._1) ==
+      bruteFiltered(_ => true, 5))
+  }
+
 }

@@ -380,4 +380,22 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+
+  test("classifier trains null-predicate rows as negatives (the oracle's labeling)") {
+    val docs = Seq(
+      (1L, "en", "clean fluent text with many proper words"),
+      (2L, "en", "more clean fluent text with words"),
+      (3L, null: String, "junk zz qq vv kk xx"),
+      (4L, "fr", "du texte propre en francais avec des mots")
+    ).toDF("doc_id", "lang", "text")
+    // null lang must behave exactly like an explicit non-target label
+    val withNull = TextAnalysis.qualityClassifierScores(docs, col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val explicit = TextAnalysis.qualityClassifierScores(
+      docs.withColumn("lang", coalesce(col("lang"), lit("xx"))), col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(withNull == explicit,
+      s"null-labeled rows trained differently: $withNull vs $explicit")
+  }
+
 }
