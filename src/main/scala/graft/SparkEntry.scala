@@ -1434,6 +1434,14 @@ object SparkEntry {
     "q171_frequent_tokens" -> ((s, dir) =>
       TextAnalysis.frequentTokens(T(s, dir, "documents"), minCount = 200)),
 
+    // --- pipeline: FREQUENT TRIGRAMS (boilerplate PHRASE mining) — the
+    //     same two-pass Misra-Gries machinery, unit = word 3-gram;
+    //     width sized so minCount·width > N at BOTH graded scale
+    //     factors (the sketch path runs, not the fallback) -------------
+    "q178_frequent_trigrams" -> ((s, dir) =>
+      TextAnalysis.frequentTokens(T(s, dir, "documents"), minCount = 5,
+        width = 32768, gramN = 3)),
+
     // --- pipeline: PERPLEXITY BUCKETS (the CCNet final step) — LM-score
     //     the held-out slice, then head/middle/tail by percentile_disc
     //     cutpoints (actual data values — engine-exact) applied
@@ -2370,6 +2378,7 @@ object SparkEntry {
 
     // frequent tokens: exact by the two-pass MG argument -> plain HAVING
     "q171_frequent_tokens" -> TextAnalysis.frequentTokensOracleSql(minCount = 200),
+    "q178_frequent_trigrams" -> TextAnalysis.frequentTokensOracleSql(minCount = 5, gramN = 3),
 
     // perplexity buckets: q161's scorer + discrete-percentile cutpoints
     "q169_ppl_buckets" -> {

@@ -736,11 +736,23 @@ object TextAnalysis {
     * the corpus-sized shuffle of a full vocabulary count never
     * happens. */
   def frequentTokens(docs: DataFrame, minCount: Long, width: Int = 4096,
-                     textCol: String = "text"): DataFrame = {
-    require(minCount >= 1 && width >= 1)
+                     textCol: String = "text", gramN: Int = 1): DataFrame = {
+    require(minCount >= 1 && width >= 1 && gramN >= 1)
     val spark = docs.sparkSession
     import spark.implicits._
-    val toks = docs.select(explode(TF.tokens(col(textCol))).as("t")).as[String]
+    // gramN > 1 mines frequent word n-grams — the boilerplate PHRASE
+    // discovery pass (repeated navigation strings, license headers);
+    // identical two-pass machinery, the unit just widens
+    def gramsOf(df: DataFrame) = {
+      if (gramN == 1) df.select(explode(TF.tokens(col(textCol))).as("t"))
+      // tokens PROJECT first: a tokens() expression captured inside the
+      // shingle lambda re-runs the regexp split once per shingle
+      // element — O(len²) per document (the DSIR lesson; measured 5.8 s
+      // → sub-second for q178 at sf0.1)
+      else df.select(TF.tokens(col(textCol)).as("__t"))
+        .select(explode(TF.wordShinglesOf(col("__t"), gramN)).as("t"))
+    }
+    val toks = gramsOf(docs).as[String]
     val partials = toks.mapPartitions { it =>
       val m = new java.util.HashMap[String, Long]()
       var n = 0L
@@ -766,13 +778,13 @@ object TextAnalysis {
     if (minCount * width.toLong <= n) {
       // guarantee void for these parameters — exact fallback, never a
       // silent miss
-      docs.select(explode(TF.tokens(col(textCol))).as("t"))
+      gramsOf(docs)
         .groupBy("t").agg(count(lit(1)).as("n"))
         .where(col("n") >= minCount)
     } else {
       val cand = partials.collect { case (Some(t), _) => t }.distinct
       val candDf = broadcast(cand.toSeq.toDF("t"))
-      docs.select(explode(TF.tokens(col(textCol))).as("t"))
+      gramsOf(docs)
         .join(candDf, Seq("t"), "left_semi")
         .groupBy("t").agg(count(lit(1)).as("n"))
         .where(col("n") >= minCount)
@@ -781,11 +793,17 @@ object TextAnalysis {
 
   /** DuckDB replication of [[frequentTokens]]: the operator is exact by
     * the two-pass argument, so the oracle is the plain GROUP BY. */
-  def frequentTokensOracleSql(minCount: Long): String =
+  def frequentTokensOracleSql(minCount: Long, gramN: Int = 1): String = {
+    val unit =
+      if (gramN == 1) "unnest(tk)"
+      else s"""unnest(list_transform(generate_series(1, LEN(tk) - ${gramN - 1}),
+         |    i -> array_to_string(tk[i : i + ${gramN - 1}], ' ')))""".stripMargin
     s"""SELECT t, count(*) AS n FROM (
-       |  SELECT unnest(regexp_split_to_array(TRIM(text), '\\s+')) AS t
-       |  FROM documents WHERE length(TRIM(text)) > 0)
+       |  SELECT $unit AS t FROM (
+       |    SELECT regexp_split_to_array(TRIM(text), '\\s+') AS tk
+       |    FROM documents WHERE length(TRIM(text)) > 0))
        |GROUP BY t HAVING count(*) >= $minCount""".stripMargin
+  }
 
   // ════════════════════════════════════════════════════════════════════
   // n-gram LM scoring with backoff (KenLM-shape, one model order per
