@@ -1439,8 +1439,11 @@ object SparkEntry {
     //     width sized so minCount·width > N at BOTH graded scale
     //     factors (the sketch path runs, not the fallback) -------------
     "q178_frequent_trigrams" -> ((s, dir) =>
+      // width: sf0.1 holds 260,704 trigram occurrences, so the sketch
+      // guard needs minCount·width > 260,704 — 5·65,536 = 327,680 keeps
+      // the MG path (not the exact fallback) live at bench scale too
       TextAnalysis.frequentTokens(T(s, dir, "documents"), minCount = 5,
-        width = 32768, gramN = 3)),
+        width = 65536, gramN = 3)),
 
     // --- pipeline: PERPLEXITY BUCKETS (the CCNet final step) — LM-score
     //     the held-out slice, then head/middle/tail by percentile_disc

@@ -153,23 +153,33 @@ final class Hnsw(val dim: Int, val metric: String = "cosine",
     cur
   }
 
-  /** Best-first search of one layer; returns (dist, node) ascending. */
-  private def searchLayer(q: Array[Float], ep: Int, ef: Int, l: Int): Seq[(Double, Int)] = {
+  /** Beam search over one layer; returns (dist, node) ascending.
+    * `admit` gates RESULT membership only
+    * — the frontier always explores through non-admissible nodes, which
+    * is what lets [[searchFiltered]] survive selective predicates; the
+    * default admits everything, reproducing the classic loop exactly
+    * (with admit-all, `res` is seeded and never empty, so every guard
+    * degenerates to the textbook condition). */
+  private def searchLayer(q: Array[Float], ep: Int, ef: Int, l: Int,
+                          admit: Int => Boolean = _ => true): Seq[(Double, Int)] = {
     val visited = mutable.HashSet(ep)
     val epDist = dist(q, ep)
     // candidates: min-heap by dist; results: max-heap (worst first out)
     val cand = mutable.PriorityQueue((-epDist, ep))(Ordering.by(_._1))
-    val res = mutable.PriorityQueue((epDist, ep))(Ordering.by(_._1))
+    val res = mutable.PriorityQueue.empty[(Double, Int)](Ordering.by(_._1))
+    if (admit(ep)) res.enqueue((epDist, ep))
     while (cand.nonEmpty) {
       val (negD, c) = cand.dequeue()
-      if (-negD > res.head._1 && res.size >= ef) cand.clear()
+      if (res.size >= ef && -negD > res.head._1) cand.clear()
       else neighbors(c)(l).foreach { n =>
         if (visited.add(n)) {
           val d = dist(q, n)
           if (res.size < ef || d < res.head._1) {
             cand.enqueue((-d, n))
-            res.enqueue((d, n))
-            if (res.size > ef) res.dequeue()
+            if (admit(n)) {
+              res.enqueue((d, n))
+              if (res.size > ef) res.dequeue()
+            }
           }
         }
       }
@@ -213,30 +223,9 @@ final class Hnsw(val dim: Int, val metric: String = "cosine",
     var ep = entryPoint
     var l = maxLevel
     while (l > 0) { ep = greedyClosest(q, ep, l); l -= 1 }
-    val ef = math.max(efSearch, k)
-    def admissible(n: Int): Boolean = !deleted(n) && pred(ids(n))
-    val visited = mutable.HashSet(ep)
-    val epDist = dist(q, ep)
-    val cand = mutable.PriorityQueue((-epDist, ep))(Ordering.by(_._1))
-    val res = mutable.PriorityQueue.empty[(Double, Int)](Ordering.by(_._1))
-    if (admissible(ep)) res.enqueue((epDist, ep))
-    while (cand.nonEmpty) {
-      val (negD, c) = cand.dequeue()
-      if (res.size >= ef && -negD > res.head._1) cand.clear()
-      else neighbors(c)(0).foreach { n =>
-        if (visited.add(n)) {
-          val d = dist(q, n)
-          if (res.size < ef || d < res.head._1) {
-            cand.enqueue((-d, n))
-            if (admissible(n)) {
-              res.enqueue((d, n))
-              if (res.size > ef) res.dequeue()
-            }
-          }
-        }
-      }
-    }
-    res.toSeq.sortBy { case (d, n) => (d, ids(n)) }
+    searchLayer(q, ep, math.max(efSearch, k), 0,
+      n => !deleted(n) && pred(ids(n)))
+      .sortBy { case (d, n) => (d, ids(n)) }
       .take(k).map { case (d, n) => (ids(n), d) }
   }
 

@@ -626,11 +626,16 @@ object Similarity {
   def pcaTrain(emb: DataFrame, nComp: Int, iters: Int = 8,
                vecCol: String = "embedding",
                exactSums: Boolean = true): PcaModel = {
-    // model dimension = the MAX length present (an aggregate — layout-
-    // and scan-order-independent, unlike head(), which would let file
-    // layout pick d on a mixed-length table); rows of any other length
-    // are filtered below as before
-    val d = emb.agg(max(size(col(vecCol)))).head().getInt(0)
+    // model dimension = the MOST FREQUENT length present (ties to the
+    // smaller) — an aggregate, so layout- and scan-order-independent
+    // (head() would let file layout pick d), and robust to a stray
+    // over-long outlier row (max() would silently train on just the
+    // outliers); rows of any other length are filtered below as before
+    val dRows = emb.select(size(col(vecCol)).as("d")).where(col("d") > 0)
+      .groupBy("d").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("d").asc).head(1)
+    require(dRows.nonEmpty, "empty embedding table")
+    val d = dRows(0).getInt(0)
     val n = emb.where(size(col(vecCol)) === d).count()
     require(n > 0, "empty embedding table")
     val vd = col(vecCol).cast("array<double>")
