@@ -1409,7 +1409,8 @@ object SparkEntry {
         .join(docs.select(col("doc_id"), col("lang"), col("source")), Seq("doc_id"))
         .groupBy("lang", "source")
         .agg(n.as("n_docs"),
-          (((num2 - pmod(num2, den2)) / den2).cast("long").cast("double") / 1000000)
+          // 64-bit IntegralDivide = the oracle's `//`, exact at any n
+          (call_function("div", num2, den2).cast("double") / 1000000)
             .as("mean_score"))
     }),
 

@@ -55,7 +55,12 @@ object Dedup {
   private val GraveyardMax = 32
   private val graveyard =
     scala.collection.mutable.ArrayBuffer.empty[(Long, org.apache.spark.rdd.RDD[_])]
-  private def buryAndDrain(evicted: Option[org.apache.spark.rdd.RDD[_]]): Unit = {
+  // private[graft]: TextAnalysis retires its per-call scratch
+  // checkpoints (gram-count / feature tables) through the same
+  // graveyard; synchronized on the buffer itself because those calls
+  // arrive outside the sigCache lock the original call sites hold
+  private[graft] def buryAndDrain(
+      evicted: Option[org.apache.spark.rdd.RDD[_]]): Unit = graveyard.synchronized {
     val now = System.nanoTime()
     evicted.foreach(r => graveyard += ((now, r)))
     // full grace expired → always reclaim; over the cap → reclaim the
@@ -396,8 +401,11 @@ object Dedup {
     def ratio(num: Column, den: Column): Column = {
       val n2 = num * 2000000L + den
       val d2 = den * 2
+      // true 64-bit integer division (IntegralDivide), matching the
+      // oracle's `//` exactly at ANY count magnitude — a double `/` is
+      // only exact while the numerator stays below 2^53
       when(den === 0, lit(0.0)).otherwise(
-        ((n2 - pmod(n2, d2)) / d2).cast("long").cast("double") / 1000000)
+        call_function("div", n2, d2).cast("double") / 1000000)
     }
     est.join(exact, Seq("id_a", "id_b"), "full_outer")
       .agg(
@@ -521,10 +529,14 @@ object Dedup {
       val (gm, nG) = mat(masks.groupBy("mask")
         .agg(collect_list(col("id")).as("ids"), count(lit(1)).as("c")))
       // past this bound the all-pairs stage over distinct masks stops
-      // being cheap -- fall back to the PPJoin plan, RELEASING the
-      // materialized group table (otherwise its checkpoint blocks leak
-      // for the session, the class of churn sigCache's graveyard fights)
-      if (nG > 65536L) {
+      // being cheap -- the cross stage is a broadcast nested-loop join
+      // over ~nG^2/2 mask pairs, so at 8192 masks it evaluates ~33M
+      // cheap bit_count conditions (sub-second) while 65536 would mean
+      // ~2.1B (a multi-minute cliff the PPJoin plan beats easily).
+      // Fall back to PPJoin, RELEASING the materialized group table
+      // (otherwise its checkpoint blocks leak for the session, the
+      // class of churn sigCache's graveyard fights)
+      if (nG > 8192L) {
         graft.plans.Fixpoint.checkpointRddOf(gm).foreach(_.unpersist(false))
         return None
       }

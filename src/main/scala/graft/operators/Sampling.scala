@@ -227,17 +227,6 @@ object Sampling {
       .drop("__rv")
   }
 
-  /** Deterministic epoch shuffle: a global pseudo-random permutation of
-    * the corpus, different per `epoch`, reproducible everywhere. At
-    * scale this is ONE range-partitioned total-order sort by (hash, id)
-    * — the legitimate way to get stable global shuffling
-    * (`orderBy(rand())` is neither reproducible nor retry-safe) — plus
-    * [[globalRunningSum]]'s two-pass dense numbering, so no partition
-    * ever holds more than its share of the corpus. Returns the input
-    * plus a dense 1-based `pos` column. Positions are independent of
-    * where the range boundaries land: any range partitioning of a total
-    * order followed by per-partition sort and sequential numbering
-    * yields the identical global permutation. */
   /** Deterministic SHARD ASSIGNMENT — the final write stage of a
     * training-data pipeline: every document gets a shard (splitmix hash
     * of its id — layout- and run-independent, uniform across shards)
@@ -275,6 +264,17 @@ object Sampling {
        |  CAST(n_tokens AS BIGINT) AS n_tokens
        |FROM p""".stripMargin
 
+  /** Deterministic epoch shuffle: a global pseudo-random permutation of
+    * the corpus, different per `epoch`, reproducible everywhere. At
+    * scale this is ONE range-partitioned total-order sort by (hash, id)
+    * — the legitimate way to get stable global shuffling
+    * (`orderBy(rand())` is neither reproducible nor retry-safe) — plus
+    * [[globalRunningSum]]'s two-pass dense numbering, so no partition
+    * ever holds more than its share of the corpus. Returns the input
+    * plus a dense 1-based `pos` column. Positions are independent of
+    * where the range boundaries land: any range partitioning of a total
+    * order followed by per-partition sort and sequential numbering
+    * yields the identical global permutation. */
   def epochShuffle(df: DataFrame, idCol: String, epoch: Long): DataFrame =
     // hash materialized as a column: computed once per row at shuffle
     // write, not re-evaluated again by the partitioner and the sort

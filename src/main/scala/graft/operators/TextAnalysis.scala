@@ -9,6 +9,26 @@ import graft.functions.{TextFunctions => TF}
   * no shuffle — the shape that scales linearly to 100 TB. */
 object TextAnalysis {
 
+  /** Per-call SCRATCH checkpoints (the LM gram-count table, the
+    * classifier feature table) retired through [[Dedup.buryAndDrain]]'s
+    * grace-period graveyard when the NEXT call to the same operator
+    * arrives: a bench loop that re-runs q160/q161/q166 all session thus
+    * holds at most ONE live scratch table per operator instead of
+    * accumulating persisted blocks, while a result still lazily held
+    * from the immediately previous call gets the same in-flight-reader
+    * grace window the evicted signature tables do. */
+  private def checkpointRetiring(
+      slot: java.util.concurrent.atomic.AtomicReference[Option[org.apache.spark.rdd.RDD[_]]],
+      df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint(true)
+    Dedup.buryAndDrain(slot.getAndSet(graft.plans.Fixpoint.checkpointRddOf(ck)))
+    ck
+  }
+  private def scratchSlot() =
+    new java.util.concurrent.atomic.AtomicReference[Option[org.apache.spark.rdd.RDD[_]]](None)
+  private val lmScratch = scratchSlot()
+  private val clsScratch = scratchSlot()
+
   /** doc_id + token counts (whitespace and regex/BPE-ish). */
   def tokenCounts(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.select(col(idCol),
@@ -849,10 +869,9 @@ object TextAnalysis {
       .select(col("id"), col("t"), explode(TF.seq1(size(col("t")))).as("i"))
       .select(col("id"), col("t"), col("i"),
         explode(TF.seq1(least(lit(n), col("i")))).as("k"))
-    val cnt = positions(train)
+    val cnt = checkpointRetiring(lmScratch, positions(train)
       .select(col("k"), array_join(slice(col("t"), col("i") - col("k") + 1, col("k")), " ").as("g"))
-      .groupBy("k", "g").agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
+      .groupBy("k", "g").agg(count(lit(1)).as("c")))
     val uni = cnt.where(col("k") === 1)
       .agg(sum(col("c")), count(lit(1))).collect()(0)
     require(!uni.isNullAt(0),
@@ -967,7 +986,21 @@ object TextAnalysis {
                               buckets: Int = 64, iters: Int = 8,
                               lr: Double = 4.0, l2: Double = 0.0009765625,
                               idCol: String = "doc_id",
-                              textCol: String = "text"): DataFrame = {
+                              textCol: String = "text"): DataFrame =
+    qualityClassifierTrain(docs, targetPred, buckets, iters, lr, l2,
+      idCol, textCol)._2
+
+  /** [[qualityClassifierScores]] returning the trained weight vector
+    * TOO — the artifact a streaming scorer or a later batch
+    * ([[scoreQualityWith]]) applies. Returned, not stashed in global
+    * state: interleaved runs over different corpora/scales (sf0.01 and
+    * sf0.1 dirs, concurrent tests) each keep the weights trained on
+    * THEIR corpus instead of racing over a last-write-wins slot. */
+  def qualityClassifierTrain(docs: DataFrame, targetPred: Column,
+                             buckets: Int = 64, iters: Int = 8,
+                             lr: Double = 4.0, l2: Double = 0.0009765625,
+                             idCol: String = "doc_id",
+                             textCol: String = "text"): (Array[Double], DataFrame) = {
     val spark = docs.sparkSession
     // a NULL predicate result labels 0 (the oracle's CASE ... ELSE 0):
     // without the coalesce those rows would train with y = NULL —
@@ -988,7 +1021,7 @@ object TextAnalysis {
     // each step re-capped to scale 30, so the fold is deterministic and
     // within 1e-28 of the oracle's exact decimal SUM (identical doubles
     // after the cast for any margin above ~1e-12).
-    val fv = base
+    val fv = checkpointRetiring(clsScratch, base
       .select(col("id"), col("y"),
         (lit(1.0) / (size(col("t")).cast("double") * 2 - 1)).as("invn"),
         explode(concat(col("t"), TF.wordShinglesOf(col("t"), 2))).as("f"))
@@ -996,8 +1029,7 @@ object TextAnalysis {
         pmod(TF.fnvMix64(col("f")), lit(buckets.toLong)).as("b"))
       .groupBy("id", "y", "invn", "b").agg(count(lit(1)).cast("double").as("cnt"))
       .select(col("id"), col("y"), col("b"), (col("cnt") * col("invn")).as("v"))
-      .groupBy("id", "y").agg(sort_array(collect_list(struct(col("b"), col("v")))).as("fs"))
-      .localCheckpoint(true)
+      .groupBy("id", "y").agg(sort_array(collect_list(struct(col("b"), col("v")))).as("fs")))
     val nDocs = fv.count().toDouble
     def marginOf(ws: Array[Double]): Column = {
       val wLit = typedLit(ws.toSeq)
@@ -1027,16 +1059,9 @@ object TextAnalysis {
       }
       it += 1
     }
-    lastTrainedWeights.set(w)
-    fv.select(col("id").as(idCol),
-      round(sigmoid(marginOf(w)), 6).as("quality_score"))
+    (w, fv.select(col("id").as(idCol),
+      round(sigmoid(marginOf(w)), 6).as("quality_score")))
   }
-
-  // the most recent training run's weight vector — lets callers (tests,
-  // streaming scorers) reuse a trained model without re-running the loop
-  private val lastTrainedWeights =
-    new java.util.concurrent.atomic.AtomicReference[Array[Double]](Array.empty)
-  def trainedQualityWeights: Array[Double] = lastTrainedWeights.get()
 
   /** MAP-ONLY scoring with an already-trained weight vector — the form
     * that applies to a STREAMING DataFrame (stateless per-row work, no

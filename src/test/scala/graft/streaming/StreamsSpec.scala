@@ -310,9 +310,9 @@ class StreamsSpec extends SparkSpec {
     val train = ((1 to 20).map(i => (i.toLong, doc(clean))) ++
       (21 to 40).map(i => (i.toLong, doc(junk)))).toDF("doc_id", "text")
     // train batch-side; weights broadcast into a stateless streaming scan
-    graft.operators.TextAnalysis.qualityClassifierScores(train, col("doc_id") <= 20)
-      .collect()
-    val w = graft.operators.TextAnalysis.trainedQualityWeights
+    val (w, trainScores) = graft.operators.TextAnalysis
+      .qualityClassifierTrain(train, col("doc_id") <= 20)
+    trainScores.collect()
     assert(w.nonEmpty)
     val input = MemoryStream[(Long, String)]
     val scored = graft.operators.TextAnalysis.scoreQualityWith(
