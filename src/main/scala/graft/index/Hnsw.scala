@@ -292,11 +292,20 @@ object Hnsw {
     try ois.readObject().asInstanceOf[Hnsw] finally ois.close()
   }
 
+  /** The documented capacity of the driver-held graph (scaladoc above:
+    * "up to ~10M vectors"). [[build]]/[[buildOpt]] ENFORCE it — past
+    * this the collect itself is the OOM, so the guard must fire before
+    * the driver holds the data, not after. */
+  val DefaultMaxVectors: Long = 10L * 1000 * 1000
+
   /** Build from a DataFrame's (id, vector) columns — collected to the
-    * driver like the reference's index build (`src/index_manager.rs`). */
+    * driver like the reference's index build (`src/index_manager.rs`).
+    * Refuses relations above `maxVectors` (default [[DefaultMaxVectors]])
+    * with an error naming the distributed alternatives. */
   def build(df: org.apache.spark.sql.DataFrame, idCol: String, vecCol: String,
-            metric: String = "cosine", m: Int = 16, efConstruction: Int = 200): Hnsw =
-    buildOpt(df, idCol, vecCol, metric, m, efConstruction).getOrElse(
+            metric: String = "cosine", m: Int = 16, efConstruction: Int = 200,
+            maxVectors: Long = DefaultMaxVectors): Hnsw =
+    buildOpt(df, idCol, vecCol, metric, m, efConstruction, maxVectors).getOrElse(
       throw new IllegalArgumentException(
         "cannot build an HNSW index over an empty relation"))
 
@@ -304,8 +313,23 @@ object Hnsw {
     * after deletes may legitimately see an emptied relation. */
   def buildOpt(df: org.apache.spark.sql.DataFrame, idCol: String, vecCol: String,
                metric: String = "cosine", m: Int = 16,
-               efConstruction: Int = 200): Option[Hnsw] = {
-    val rows = df.select(idCol, vecCol).collect()
+               efConstruction: Int = 200,
+               maxVectors: Long = DefaultMaxVectors): Option[Hnsw] = {
+    require(maxVectors > 0, "maxVectors must be positive")
+    // capped collect: limit(cap+1) bounds driver memory DURING the
+    // fetch (a post-hoc count after an uncapped collect would be the
+    // OOM it exists to prevent); cap+1 rows back == the relation is
+    // over capacity, and fewer means limit returned everything
+    val capProbe = math.min(maxVectors, Int.MaxValue - 2L).toInt + 1
+    val rows = df.select(idCol, vecCol).limit(capProbe).collect()
+    if (rows.length >= capProbe)
+      throw new IllegalArgumentException(
+        s"HNSW index build refused: relation exceeds $maxVectors vectors. " +
+        "The driver-held HNSW graph serves low-latency probes up to ~10M " +
+        "vectors; at this scale use the distributed ANN paths instead " +
+        "(graft.operators.Similarity: IVF annIvf/annIvfPq, LSH annLsh, " +
+        "or knnJoin), or raise maxVectors explicitly if the driver heap " +
+        "is provisioned for it.")
     if (rows.isEmpty) None
     else {
       val dim = rows.head.getSeq[Float](1).length

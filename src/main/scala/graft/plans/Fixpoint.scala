@@ -108,8 +108,10 @@ object Fixpoint {
     * when the relation has ≤ cap of them, None otherwise. The cache key is
     * the canonicalized logical plan, so the bound and full variants of the
     * same query (q54/q55: both scan the same edge relation) pay ONE
-    * collect between them. Checkpoint-derived plans embed their RDD
-    * identity, so a changed relation can never produce a false hit. */
+    * collect between them. Only identity-pinned plans are cacheable
+    * (see [[cacheSafe]]): checkpoint-derived plans embed their RDD, so
+    * a changed relation can never produce a false hit, while file-scan
+    * plans bypass the cache entirely. */
   private val collectCache =
     new java.util.LinkedHashMap[(SparkSession, Any), Array[org.apache.spark.sql.Row]](16, 0.75f, true) {
       override def removeEldestEntry(
@@ -117,9 +119,24 @@ object Fixpoint {
         size > 8
     }
 
+  /** The cache is only sound when the plan's leaves pin their data by
+    * IDENTITY: checkpoint RDDs (all IQL paths) and literal local
+    * relations. A file-source leaf (`spark.read.parquet(path)`) names a
+    * LOCATION — rewriting its files in place between two calls would let
+    * a canonicalized-plan hit serve the old rows — so those plans skip
+    * the cache and simply pay their own collect. */
+  private def cacheSafe(df: DataFrame): Boolean =
+    df.queryExecution.analyzed.collectLeaves().forall {
+      case _: org.apache.spark.sql.execution.LogicalRDD => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.OneRowRelation => true
+      case _ => false
+    }
+
   private[graft] def collectUpTo(df: DataFrame, cap: Long): Option[Array[org.apache.spark.sql.Row]] = {
+    val safe = cacheSafe(df)
     val key = (df.sparkSession, df.queryExecution.analyzed.canonicalized: Any)
-    collectCache.synchronized {
+    if (safe) collectCache.synchronized {
       val hit = collectCache.get(key)
       if (hit != null) return Some(hit)
     }
@@ -128,7 +145,7 @@ object Fixpoint {
     else {
       // don't pin very large results in the cache — re-collecting a rare
       // million-row closure beats holding 8 × ~100 MB on the driver
-      if (rows.length <= 200000)
+      if (safe && rows.length <= 200000)
         collectCache.synchronized { collectCache.put(key, rows) }
       Some(rows)
     }

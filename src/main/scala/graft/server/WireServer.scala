@@ -39,7 +39,13 @@ import graft.iql.{Catalog, Repl, Session}
 final class WireServer(spark: SparkSession, port: Int = 0,
                        streamingThresholdBytes: Int = 1024 * 1024,
                        queryTimeoutMs: Long = 30000L,
-                       maxResultRows: Long = 0L,
+                       // reference Config::default() max_result_rows =
+                       // 100_000 (config.rs:633, and it WARNS on 0):
+                       // a finite default is the driver-OOM guard — the
+                       // collect below is capped BEFORE it happens, and
+                       // uncapped is explicit opt-in (constructor 0 or a
+                       // per-message max_result_rows: 0 override)
+                       maxResultRows: Long = 100000L,
                        authEnabled: Boolean = false) {
 
   // ------------------------------------------------------------- auth
@@ -271,10 +277,15 @@ final class WireServer(spark: SparkSession, port: Int = 0,
             in.readFully(buf)
             new String(buf, UTF_8)
           } else ""
-        val (status, json) = route(method, path, body,
-          ident.getOrElse(Auth.Identity(None, "admin")))
-        val bytes = json.getBytes(UTF_8)
-        out.write((s"HTTP/1.1 $status\r\nContent-Type: application/json\r\n" +
+        // non-JSON GET routes (Prometheus exposition, API specs) carry
+        // their own content type; everything else stays application/json
+        val (status, contentType, payload) = textRoute(method, path).getOrElse {
+          val (st, json) = route(method, path, body,
+            ident.getOrElse(Auth.Identity(None, "admin")))
+          (st, "application/json", json)
+        }
+        val bytes = payload.getBytes(UTF_8)
+        out.write((s"HTTP/1.1 $status\r\nContent-Type: $contentType\r\n" +
           s"Content-Length: ${bytes.length}\r\nConnection: close\r\n\r\n").getBytes(UTF_8))
         out.write(bytes)
         out.flush()
@@ -294,6 +305,65 @@ final class WireServer(spark: SparkSession, port: Int = 0,
       if (c != '\r') sb.append(c.toChar)
       c = in.read()
     }
+    sb.toString
+  }
+
+  /** Routes that serve non-JSON bodies: (status, content-type, body).
+    * Mirrors the reference's ops/spec endpoints
+    * (`src/protocol/rest/mod.rs:239-244`): Prometheus text exposition
+    * plus the OpenAPI/AsyncAPI YAML and the WS protocol page. */
+  private def textRoute(method: String, path: String): Option[(String, String, String)] =
+    (method, path) match {
+      case ("GET", "/metrics/prometheus") =>
+        Some(("200 OK", "text/plain; version=0.0.4; charset=utf-8", prometheusMetrics()))
+      case ("GET", "/api/openapi.yaml") =>
+        Some(("200 OK", "text/yaml; charset=utf-8", ApiSpec.openApiYaml))
+      case ("GET", "/api/asyncapi.yaml") =>
+        Some(("200 OK", "text/yaml; charset=utf-8", ApiSpec.asyncApiYaml))
+      case ("GET", "/api/ws-docs") =>
+        Some(("200 OK", "text/html; charset=utf-8", ApiSpec.wsDocsHtml))
+      case _ => None
+    }
+
+  /** Prometheus text exposition (reference `admin.rs prometheus_metrics`
+    * — same metric family per gauge, our engine prefix). SCRAPE-CHEAP by
+    * construction: counts come from catalog metadata and the last
+    * ANALYZE's stored row counts — a scrape never runs a Spark job, so
+    * a monitoring loop can hit this every few seconds against a server
+    * holding 100 TB relations. */
+  private def prometheusMetrics(): String = {
+    val kgSnap = kgs.synchronized(kgs.toSeq)
+    var relTotal = 0L
+    var viewTotal = 0L
+    var idxTotal = 0L
+    var tuplesKnown = 0L
+    kgSnap.foreach { case (_, cat) =>
+      val rels = cat.relationNames
+      relTotal += rels.length
+      viewTotal += cat.rules.length
+      idxTotal += cat.indexMeta.size
+      rels.foreach(r => cat.statRows(r).foreach(n => tuplesKnown += n))
+    }
+    val uptime = (System.currentTimeMillis() - startedAtMs) / 1000L
+    val sb = new StringBuilder(1024)
+    def metric(name: String, kind: String, help: String, value: Long): Unit = {
+      sb.append(s"# HELP $name $help\n")
+      sb.append(s"# TYPE $name $kind\n")
+      sb.append(s"$name $value\n")
+    }
+    metric("graft_uptime_seconds", "gauge", "Server uptime in seconds.", uptime)
+    metric("graft_queries_total", "counter", "Total queries executed.",
+      queriesServed.get())
+    metric("graft_knowledge_graphs", "gauge", "Number of knowledge graphs.",
+      kgSnap.length.toLong)
+    metric("graft_relations_total", "gauge", "Total base relations.", relTotal)
+    metric("graft_views_total", "gauge", "Total derived views (rules).", viewTotal)
+    metric("graft_indexes_total", "gauge", "Registered vector indexes.", idxTotal)
+    metric("graft_tuples_analyzed_total", "gauge",
+      "Stored tuples across ANALYZEd relations (stale-allowed counts).",
+      tuplesKnown)
+    metric("graft_sessions_total", "gauge", "Active WebSocket sessions.",
+      wsConnections.size.toLong)
     sb.toString
   }
 
@@ -598,7 +668,8 @@ final class WireServer(spark: SparkSession, port: Int = 0,
     * timeout (reference `query_timeout_ms`, default 30 s) unless the
     * message overrides it with `timeout_ms`; results truncate at
     * `max_result_rows` with a `truncated` flag (reference
-    * `src/config.rs:241-243`, 0 = unlimited). */
+    * `src/config.rs:241-243`; default 100k as in `config.rs:633`,
+    * 0 = unlimited is explicit opt-in per message or constructor). */
   private def dispatchAll(session: Session, msg: Map[String, Any],
                           chunked: Boolean = true,
                           ident: Auth.Identity = Auth.Identity(None, "admin")): Seq[Map[String, Any]] = {

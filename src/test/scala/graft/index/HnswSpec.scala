@@ -214,6 +214,21 @@ class HnswSpec extends SparkSpec {
     }
   }
 
+  test("capacity guard refuses an over-cap build, naming the distributed paths") {
+    import spark.implicits._
+    val df = mkVecs(50, 4).map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Hnsw.build(df, "vec_id", "embedding", maxVectors = 49L)
+    }
+    assert(e.getMessage.contains("49 vectors"))
+    assert(e.getMessage.contains("annIvf") && e.getMessage.contains("annLsh"),
+      "error must name the distributed ANN alternatives")
+    // exactly at capacity builds fine, and the guard never truncates
+    val idx = Hnsw.build(df, "vec_id", "embedding", maxVectors = 50L)
+    assert(idx.size == 50)
+  }
+
   test("tombstone ratio past threshold auto-rebuilds the graph") {
     import spark.implicits._
     val s = new graft.iql.Session(spark)

@@ -32,6 +32,27 @@ class FixpointSpec extends SparkSpec {
     assert(rows(Fixpoint.transitiveClosure(cyclic, maxIter = 50)) == exp)
   }
 
+  test("rewritten parquet input is never served from the collect cache") {
+    val dir = java.nio.file.Files.createTempDirectory("fp_stale").toFile
+    val p = new java.io.File(dir, "edges").getAbsolutePath
+    try {
+      chain.write.mode("overwrite").parquet(p)
+      assert(rows(Fixpoint.transitiveClosure(spark.read.parquet(p))) == chainTC)
+      // rewrite the SAME path in place, then closure again directly:
+      // the second result must reflect the new files, not a plan-keyed
+      // cache hit from the first call
+      Seq((7L, 8L), (8L, 9L)).toDF("src", "dst")
+        .write.mode("overwrite").parquet(p)
+      assert(rows(Fixpoint.transitiveClosure(spark.read.parquet(p))) ==
+        Set[Seq[Any]](Seq(7L, 8L), Seq(7L, 9L), Seq(8L, 9L)))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("bound reachability — both paths agree") {
     val seeds = Seq(1L).toDF("src")
     val exp = Set[Seq[Any]](Seq(1L, 2L), Seq(1L, 3L), Seq(1L, 4L))

@@ -74,6 +74,80 @@ class WireServerSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("prometheus exposition and API spec routes") {
+    val server = new WireServer(spark)
+    try {
+      val http = HttpClient.newHttpClient()
+      val base = s"http://127.0.0.1:${server.actualPort}"
+      def get(path: String): HttpResponse[String] =
+        http.send(HttpRequest.newBuilder(URI.create(base + path)).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+      def post(body: String): String =
+        http.send(HttpRequest.newBuilder(URI.create(base + "/query"))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString()).body()
+
+      post(Json.render(Map("type" -> "query", "query" -> "+promrel[(1,2)]")))
+      post(Json.render(Map("type" -> "query", "query" -> "?promrel(X, Y)")))
+      val prom = get("/metrics/prometheus")
+      assert(prom.headers().firstValue("content-type").get.startsWith("text/plain"))
+      val b = prom.body()
+      assert(b.contains("# HELP graft_uptime_seconds"))
+      assert(b.contains("# TYPE graft_uptime_seconds gauge"))
+      assert(b.contains("# TYPE graft_queries_total counter"))
+      // the two statements above were served
+      val served = b.linesIterator.find(_.startsWith("graft_queries_total "))
+        .get.split(' ')(1).toLong
+      assert(served >= 2L)
+      assert(b.contains("graft_knowledge_graphs 1"))
+      assert(b.linesIterator.exists(l => l.startsWith("graft_relations_total ") &&
+        l.split(' ')(1).toLong >= 1L))
+
+      val openapi = get("/api/openapi.yaml")
+      assert(openapi.headers().firstValue("content-type").get.startsWith("text/yaml"))
+      assert(openapi.body().startsWith("openapi:"))
+      assert(openapi.body().contains("/metrics/prometheus"))
+      val asyncapi = get("/v1/api/asyncapi.yaml") // v1 prefix serves too
+      assert(asyncapi.body().startsWith("asyncapi:"))
+      assert(asyncapi.body().contains("result_chunk"))
+      val docs = get("/api/ws-docs")
+      assert(docs.headers().firstValue("content-type").get.startsWith("text/html"))
+      assert(docs.body().contains("result_start"))
+    } finally server.stop()
+  }
+
+  test("default config caps wire results at 100k rows with a truncated flag") {
+    val server = new WireServer(spark) // DEFAULT config — the point of the test
+    try {
+      val http = HttpClient.newHttpClient()
+      val base = s"http://127.0.0.1:${server.actualPort}"
+      def post(body: String): Map[String, Any] =
+        obj(http.send(HttpRequest.newBuilder(URI.create(base + "/query"))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString()).body())
+      val ins = (1 to 400).map(i => s"($i)").mkString(",")
+      post(Json.render(Map("type" -> "query", "query" -> s"+capa[$ins]\n+capb[$ins]")))
+      post(Json.render(Map("type" -> "query",
+        "query" -> "cappair(X, Y) <- capa(X), capb(Y)")))
+      // 400×400 = 160k derivable rows > the 100k reference default cap:
+      // the driver collect is bounded and the client learns it was cut
+      val res = post(Json.render(Map("type" -> "query", "query" -> "?cappair(X, Y)")))
+      assert(res("type") == "result")
+      assert(res("truncated") == true)
+      assert(res("row_count") == 100000L)
+      assert(res("rows").asInstanceOf[Seq[Any]].length == 100000)
+      // per-message override below the default caps tighter...
+      val small = post(Json.render(Map("type" -> "query",
+        "query" -> "?cappair(X, Y)", "max_result_rows" -> 7L)))
+      assert(small("truncated") == true && small("row_count") == 7L)
+      // ...and 0 is the explicit uncapped opt-in (reference semantics)
+      val full = post(Json.render(Map("type" -> "query",
+        "query" -> "?cappair(X, Y)", "max_result_rows" -> 0L)))
+      assert(full("truncated") == false)
+      assert(full("row_count") == 160000L)
+    } finally server.stop()
+  }
+
   test("WebSocket: query, session-scoped facts, rules, ping") {
     val server = new WireServer(spark)
     try {
