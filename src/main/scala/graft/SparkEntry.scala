@@ -1560,6 +1560,34 @@ object SparkEntry {
     //     (reference maintains these through DD arrangements,
     //     `src/derived_relations.rs:1-60`). sal is integral so the IEEE
     //     avg is exact (sums < 2^53) and engine-independent ------------
+    // --- IQL: SUBTRACTABLE-AGGREGATE retraction — sum/count views
+    //     maintain deletes by per-group DECREMENT riding the carried
+    //     support table (reference BENCHMARKS.md:91-93 shape): round 1
+    //     (conditional delete of a whole dept) seeds the table, round 2
+    //     rides it (EngineSpec pins the no-reseed counter), an insert
+    //     round keeps it current, and a final delete round decrements
+    //     again; dead groups vanish from the view -----------------------
+    "q179_iql_agg_decrement" -> ((s, dir) => {
+      val e = iqlEngine(s, dir)
+      e.catalog.register("demp", T(s, dir, "orders").select(
+        col("o_orderkey").as("id"),
+        pmod(col("o_custkey"), lit(50L)).as("dept"),
+        floor(col("o_totalprice")).cast("long").as("sal")))
+      e.run(
+        """+demp[(900000001, 999, 1000), (900000002, 999, 50)]
+          |+dtot(D, sum<S>, count<S>) <- demp(I, D, S)
+          |?dtot(D, S, C)
+          |""".stripMargin)
+      e.run("-demp(I, D, S) <- demp(I, D, S), D = 7") // whole-group death
+      e.run("?dtot(D, S, C)")
+      e.run("-demp[(900000001, 999, 1000), (900000002, 999, 50)]")
+      e.run("?dtot(D, S, C)")
+      e.run("+demp[(900000003, 0, 123)]")
+      e.run("?dtot(D, S, C)")
+      e.run("-demp(I, D, S) <- demp(I, D, S), D = 11")
+      e.run("?dtot(D, S, C)").last // decrement-maintained, never recomputed
+    }),
+
     "q93_iql_dirty_group_avg" -> ((s, dir) => {
       val e = iqlEngine(s, dir)
       e.catalog.register("aemp", T(s, dir, "orders").select(
@@ -3423,6 +3451,17 @@ object SparkEntry {
         |UNION ALL SELECT 900000002, 1, 2000
         |UNION ALL SELECT 900000003, 0, 3000)
         |SELECT dept AS D, CAST(SUM(sal) AS BIGINT) AS S, COUNT(sal) AS C FROM emp GROUP BY dept""".stripMargin,
+
+    // the view after all four maintenance rounds: depts 7 and 11 died
+    // (conditional deletes), the injected 999 group died (exact-tuple
+    // deletes), 900000003 joined dept 0
+    "q179_iql_agg_decrement" ->
+      """WITH demp AS (
+        |SELECT o_orderkey AS id, o_custkey % 50 AS dept,
+        |       CAST(FLOOR(o_totalprice) AS BIGINT) AS sal FROM orders
+        |UNION ALL SELECT 900000003, 0, 123)
+        |SELECT dept AS D, CAST(SUM(sal) AS BIGINT) AS S, COUNT(*) AS C
+        |FROM demp WHERE dept NOT IN (7, 11) GROUP BY dept""".stripMargin,
 
     // 900000003 is inserted then deleted before the re-query — absent
     "q93_iql_dirty_group_avg" ->

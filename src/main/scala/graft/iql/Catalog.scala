@@ -225,9 +225,10 @@ final class Catalog(val spark: SparkSession) {
   /** Exact-tuple delete: tombstone only ids whose stored vector matches
     * the deleted tuple's (an id-matches-but-vector-differs request left
     * the relation unchanged, so it must leave the index unchanged too).
-    * Caveat shared with the change log's `removed` over-approximation:
-    * a request matching on (id, vector) but differing in OTHER columns
-    * over-tombstones; the ratio-gated rebuild restores such entries. */
+    * Caveat (index-side over-approximation; the change log itself stays
+    * exact via the presence semi-join): a request matching on (id,
+    * vector) but differing in OTHER columns over-tombstones; the
+    * ratio-gated rebuild restores such entries. */
   private def maintainIndexesOnDelete(name: String, rows: Seq[Seq[Any]],
                                       schema: StructType): Unit =
     liveIndexesOn(name).foreach { case (idCol, vecCol, idx) =>
@@ -607,11 +608,15 @@ final class Catalog(val spark: SparkSession) {
       bump()
       val del = spark.createDataFrame(
         spark.sparkContext.parallelize(toRows(rows, df.schema)), df.schema)
-      // removed delta = the requested tuples (deduped). A tuple that was
-      // not actually present only over-approximates the affected set in
-      // the engine's retraction maintenance — still correct, and cheaper
-      // than an existence semi-join per delete.
-      logChange(name, null, del.distinct())
+      // removed delta = the requested tuples that were ACTUALLY present
+      // (lazy semi-join against the pre-delete frame — no job at delete
+      // time, evaluated only if maintenance reads the change). Exactness
+      // matters downstream: DRed merely over-deletes less, but the
+      // subtractable-aggregate path DECREMENTS per-group sums/counts by
+      // the vanished bindings, where a phantom removal would corrupt the
+      // view instead of just costing work.
+      logChange(name, null,
+        graft.plans.Fixpoint.semiNullSafe(del.distinct(), df))
       relations(name) = graft.plans.Fixpoint.antiNullSafe(df, del, hintBroadcast = true)
       maintainIndexesOnDelete(name, rows, df.schema)
     }
@@ -620,9 +625,9 @@ final class Catalog(val spark: SparkSession) {
   /** Delete the tuples of a derived FRAME (positional; cast to the
     * relation's schema) — the streaming retraction path
     * ([[graft.streaming.Streams.iqlSinkWithRetractions]]): same
-    * change-log shape as [[delete]] (`removed` = the requested tuples,
-    * deduped), so downstream DRed maintenance prunes exactly as for a
-    * batch delete. No driver collect on the data path; only index
+    * change-log shape as [[delete]] (`removed` = the requested tuples
+    * actually present, deduped), so downstream DRed maintenance prunes
+    * exactly as for a batch delete. No driver collect on the data path; only index
     * maintenance samples the frame (cap-gated, rebuild fallback). */
   def deleteDf(name: String, df: DataFrame): Unit = synchronized {
     relations.get(name).foreach { base =>
@@ -639,7 +644,8 @@ final class Catalog(val spark: SparkSession) {
             AnyValue.encodeCol(c, src).as(f.name)
           else c.cast(f.dataType)
         }.toSeq: _*)
-      logChange(name, null, cast.distinct())
+      logChange(name, null, // exact actual removals — see [[delete]]
+        graft.plans.Fixpoint.semiNullSafe(cast.distinct(), base))
       relations(name) = graft.plans.Fixpoint.antiNullSafe(base, cast, hintBroadcast = true)
       maintainIndexesOnDeleteFrame(name, cast)
     }

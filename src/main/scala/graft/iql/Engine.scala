@@ -205,6 +205,26 @@ final class Engine(val catalog: Catalog) {
     * path, not just the result). */
   private[graft] var cdMergedCount: Long = 0L
 
+  /** Auxiliary per-view SUPPORT state for subtractable-aggregate
+    * maintenance (sum/count under DELETES): per group, the body-binding
+    * count `__n` and, per sum column i, the non-null-value count
+    * `__nn_i` — what a per-group DECREMENT needs that the view itself
+    * doesn't carry (a group whose support hits 0 must VANISH, and a sum
+    * whose last non-null contributor left must go null; neither is
+    * decidable from the cached sum alone). Seeded lazily from the
+    * pre-change body state on the first delete round, then carried
+    * forward O(delta)-updated — like [[auxPairsCache]], the Spark
+    * analogue of the reference's arranged per-group multiset state
+    * (`src/derived_relations.rs:1-60`, BENCHMARKS.md:91-93). Newest
+    * version only. */
+  private val auxSupportCache =
+    mutable.HashMap.empty[String, (Long, DataFrame)]
+  /** Observability: delete rounds served by per-group decrement, and
+    * how many of those had to (re)seed the support table — tests pin a
+    * second delete round riding the carried-forward table. */
+  private[graft] var aggDecrementCount: Long = 0L
+  private[graft] var auxSupportSeeds: Long = 0L
+
   /** Execute a whole program; returns the result of each `?` query in
     * order. Rules defined in the program (session or persistent) are
     * visible to subsequent statements and later runs. */
@@ -668,6 +688,219 @@ final class Engine(val catalog: Catalog) {
       * SCC): the same delta seeding, then the semi-naive loop CONTINUES
       * from the cached fixpoint — inserting 100 edges into a million-pair
       * closure only explores paths through the new edges. */
+    /** Per-group DECREMENT/increment maintenance for sum/count views
+      * (see the call site in [[tryMaintain]]'s aggregate branch).
+      * Returns None when the shape is outside the subtractable contract.
+      *
+      * Exactness rests on three facts: (1) the change log's `removed`
+      * frames contain only tuples actually present ([[Catalog.delete]]
+      * semi-joins against the pre-state), so no phantom decrements; (2)
+      * with a single occurrence of the single changed relation, a body
+      * binding determines the tuple at that occurrence — vanished
+      * derivations are exactly the bindings through removed tuples, new
+      * ones exactly those through inserts, and delete-then-reinsert
+      * pairs cancel exactly; (3) the maintained aggregate columns are
+      * LongType (count, and sum over integer/dynamic args), where
+      * subtraction is exact — double sums bail to dirty-group
+      * recomputation (float a+b−b need not return a).
+      *
+      * Group death (support hits 0 → the row must vanish) and
+      * sum-goes-null (last non-null contributor left) are decided from
+      * the carried [[auxSupportCache]] table. Scale shape: the signed
+      * per-group delta ΔG is bounded-collected (≤1024 dirty groups —
+      * beyond that dirty-group recomputation is the better plan
+      * anyway); the view and support table then update in ONE map-only
+      * pass each (literal key predicate + driver-merged replacement
+      * rows), never a view-sized shuffle join. */
+    private def maintainAggSubtractable(name: String, r: Rule,
+        cols: Seq[String], aggSpecs: Seq[(String, Int)], keyIdx: Seq[Int],
+        changedOccs: Seq[Int], changedRels: Set[String],
+        deltaOf: Map[String, DataFrame], removedOf: Map[String, DataFrame],
+        cached: DataFrame, v0: Long): Option[DataFrame] = {
+      if (changedOccs.length != 1 || keyIdx.isEmpty) return None
+      if (aggSpecs.isEmpty ||
+          !aggSpecs.forall { case (f, _) => f == "sum" || f == "count" }) return None
+      val changedRel = r.body(changedOccs.head) match {
+        case Pos(a) => a.rel
+        case _ => return None
+      }
+      if (changedRels != Set(changedRel)) return None
+      if (r.body.exists { case Neg(a) => a.rel == changedRel; case _ => false })
+        return None
+      val named = cached.toDF(cols: _*)
+      if (aggSpecs.exists { case (_, i) =>
+        named.schema(i).dataType != org.apache.spark.sql.types.LongType }) return None
+      val sumSpecs = aggSpecs.collect { case ("sum", i) => i }
+      val sumArgOf: Map[Int, Term] = r.head.args.zipWithIndex.collect {
+        case (Agg("sum", t), i) => i -> t
+      }.toMap
+      val kLen = keyIdx.length
+      val keyNames = keyIdx.map(i => s"c$i")
+
+      def bindingsOf(bound: DataFrame): DataFrame =
+        RuleCompiler.compileBody(r.body,
+          RuleCompiler.bindOccurrence(r, changedOccs.head, bound,
+            (nm, ar) => resolve(nm, ar)),
+          hnswFrame, catalog.statRows)
+
+      // signed per-binding contributions; aggregated once into ΔG
+      object SubBail extends scala.util.control.ControlThrowable
+      val dG = try {
+        val parts = Seq(removedOf.get(changedRel).map(b => (b, -1L)),
+          deltaOf.get(changedRel).map(b => (b, 1L))).flatten
+        if (parts.isEmpty) return Some(cached)
+        val signedFrames = parts.map { case (b, sgn) =>
+          val bf = bindingsOf(b)
+          val keyExprs = keyIdx.map(i => RuleCompiler.term(r.head.args(i), bf).as(s"c$i"))
+          val contrib = aggSpecs.map { case (f, i) =>
+            if (f == "count") lit(sgn).as(s"__v$i")
+            else {
+              val c0 = RuleCompiler.term(sumArgOf(i), bf)
+              val dt = try Some(bf.select(c0).schema.head.dataType)
+                catch { case _: Throwable => None }
+              val c =
+                if (dt.exists(AnyValue.isAny)) AnyValue.asLong(c0)
+                else if (dt.forall(_.isInstanceOf[org.apache.spark.sql.types.NumericType]))
+                  c0.cast("long")
+                else throw SubBail // non-numeric sum arg: aggFunc's 0-sum
+              (coalesce(c, lit(0L)) * sgn).as(s"__v$i")
+            }
+          }
+          val nnCols = sumSpecs.map { i =>
+            val c0 = RuleCompiler.term(sumArgOf(i), bf)
+            when(c0.isNull, lit(0L)).otherwise(lit(sgn)).as(s"__nn$i")
+          }
+          bf.select(keyExprs ++ contrib ++ Seq(lit(sgn).as("__dn")) ++ nnCols: _*)
+        }
+        signedFrames.reduce(_ unionByName _)
+          .groupBy(keyNames.map(col): _*)
+          .agg(sum(col(s"__v${aggSpecs.head._2}")).as(s"__v${aggSpecs.head._2}"),
+            (aggSpecs.tail.map { case (_, i) => sum(col(s"__v$i")).as(s"__v$i") } ++
+             Seq(sum(col("__dn")).as("__dn")) ++
+             sumSpecs.map(i => sum(col(s"__nn$i")).as(s"__nn$i"))): _*)
+      } catch { case SubBail => return None }
+      // bounded dirty-group set; past the cap dirty-group recomputation
+      // is the better plan anyway
+      val dirty = dG.limit(1025).collect()
+      if (dirty.length > 1024) return None
+      if (dirty.isEmpty) {
+        // nothing changed in this view: keep the support table current
+        auxSupportCache.get(name).foreach { case (v, df) =>
+          if (v == v0) auxSupportCache(name) = (catalog.version, df) }
+        aggDecrementCount += 1
+        return Some(cached)
+      }
+      def keyOk(v: Any): Boolean = v match {
+        case null => false
+        case d: Double => !d.isNaN
+        case f: Float => !f.isNaN
+        case _: Number | _: String | _: Boolean => true
+        case _ => false
+      }
+      if (dirty.exists(row => (0 until kLen).exists(j => !keyOk(row.get(j)))))
+        return None
+      def normKey(v: Any): Any = v match {
+        case d: Double if d == 0.0 => 0.0
+        case f: Float if f == 0.0f => 0.0f
+        case other => other
+      }
+      val vPos = aggSpecs.map(_._2).zipWithIndex.map { case (i, p) => i -> (kLen + p) }.toMap
+      val dnPos = kLen + aggSpecs.length
+      val nnPos = sumSpecs.zipWithIndex.map { case (i, p) => i -> (dnPos + 1 + p) }.toMap
+      val dMap: Map[Seq[Any], org.apache.spark.sql.Row] =
+        dirty.map(row => (0 until kLen).map(j => normKey(row.get(j))).toSeq -> row).toMap
+
+      // support table: carried forward when its version matches, else
+      // seeded from the pre-change body state (one grouped pass)
+      val auxDf = auxSupportCache.get(name) match {
+        case Some((v, df)) if v == v0 => df
+        case _ =>
+          auxSupportSeeds += 1
+          val oldResolver: RuleCompiler.Resolver = (nm, ar) => {
+            val cur = resolve(nm, ar)
+            if (nm == changedRel) {
+              val mid = deltaOf.get(changedRel) match {
+                case Some(d) => Fixpoint.antiNullSafe(cur, d.toDF(cur.columns.toSeq: _*))
+                case None => cur
+              }
+              removedOf.get(changedRel) match {
+                case Some(rm) => mid.union(rm.toDF(cur.columns.toSeq: _*)).distinct()
+                case None => mid
+              }
+            } else cur
+          }
+          val oldB = RuleCompiler.compileBody(r.body, oldResolver, hnswFrame, catalog.statRows)
+          val sKeys = keyIdx.map(i => RuleCompiler.term(r.head.args(i), oldB).as(s"c$i"))
+          val sAggs = count(lit(1)).as("__n") +: sumSpecs.map { i =>
+            count(RuleCompiler.term(sumArgOf(i), oldB)).as(s"__nn$i") }
+          Fixpoint.materialize(oldB.groupBy(sKeys: _*)
+            .agg(sAggs.head, sAggs.tail: _*)).df
+      }
+      val pred = dMap.keysIterator.map { k =>
+        (0 until kLen).map(j => col(keyNames(j)) <=> lit(k(j))).reduce(_ && _)
+      }.reduce(_ || _)
+      val auxDirtyRows = auxDf.where(pred).limit(2050).collect()
+      val cachedDirtyRows = named.where(pred).limit(2050).collect()
+      if (auxDirtyRows.length > 2048 || cachedDirtyRows.length > 2048) return None
+      val auxMap = mutable.HashMap.empty[Seq[Any], (Long, Map[Int, Long])]
+      auxDirtyRows.foreach { row =>
+        val k = (0 until kLen).map(j => normKey(row.get(j))).toSeq
+        auxMap(k) = (row.getLong(kLen), sumSpecs.zipWithIndex.map {
+          case (i, p) => i -> row.getLong(kLen + 1 + p) }.toMap)
+      }
+      val cachedMap = mutable.HashMap.empty[Seq[Any], org.apache.spark.sql.Row]
+      cachedDirtyRows.foreach { row =>
+        cachedMap(keyIdx.map(i => normKey(row.get(i))).toSeq) = row
+      }
+
+      val newViewRows = Seq.newBuilder[org.apache.spark.sql.Row]
+      val newAuxRows = Seq.newBuilder[org.apache.spark.sql.Row]
+      dMap.foreach { case (k, dRow) =>
+        val (n0, nn0) = auxMap.getOrElse(k, (0L, sumSpecs.map(_ -> 0L).toMap))
+        val n1 = n0 + dRow.getLong(dnPos)
+        if (n1 > 0) {
+          val old = cachedMap.get(k)
+          val nn1 = sumSpecs.map(i => i -> (nn0(i) + dRow.getLong(nnPos(i)))).toMap
+          val viewVals = cols.indices.map { i =>
+            val kp = keyIdx.indexOf(i)
+            if (kp >= 0) k(kp)
+            else { // aggregate column
+              val oldV = old.map(_.get(i)).orNull
+              val dV = dRow.getLong(vPos(i))
+              if (sumArgOf.contains(i)) { // sum
+                if (nn1(i) == 0L) null
+                else (if (oldV == null) 0L
+                      else oldV.asInstanceOf[Long]) + dV
+              } else (if (oldV == null) 0L else oldV.asInstanceOf[Long]) + dV
+            }
+          }
+          newViewRows += org.apache.spark.sql.Row.fromSeq(viewVals)
+          newAuxRows += org.apache.spark.sql.Row.fromSeq(
+            k ++ Seq(n1) ++ sumSpecs.map(nn1))
+        }
+        // n1 == 0: the group vanishes from view and support alike
+      }
+      val spark = catalog.spark
+      def literal(rows: Seq[org.apache.spark.sql.Row],
+                  schema: org.apache.spark.sql.types.StructType): DataFrame =
+        spark.createDataFrame(spark.sparkContext.parallelize(rows,
+          Fixpoint.parallelizeParts(rows.size.toLong)), schema)
+      val viewSchema = org.apache.spark.sql.types.StructType(
+        named.schema.fields.map(_.copy(nullable = true)))
+      val auxSchema = org.apache.spark.sql.types.StructType(
+        auxDf.schema.fields.map(_.copy(nullable = true)))
+      val viewOut = Fixpoint.materialize(
+        named.where(!pred).union(literal(newViewRows.result(), viewSchema))).df
+      val auxOut = Fixpoint.materialize(
+        auxDf.where(!pred).union(literal(newAuxRows.result(), auxSchema))).df
+      // the superseded support table's blocks die with the update
+      // (auxOut is checkpoint-independent of auxDf once materialized)
+      Fixpoint.checkpointRddOf(auxDf).foreach(_.unpersist(false))
+      auxSupportCache(name) = (catalog.version, auxOut)
+      aggDecrementCount += 1
+      Some(viewOut)
+    }
+
     private def tryMaintain(name: String): Option[DataFrame] = {
       if (!byHead.contains(name)) return None
       val (v0, cached) = cacheLatest(name).getOrElse(return None)
@@ -1201,7 +1434,25 @@ final class Engine(val catalog: Catalog) {
           case (Agg("count_distinct", arg), i) => (arg, i)
         }
 
-        if (hasRemovals || changedOccs.length != 1 ||
+        // SUBTRACTABLE-AGGREGATE rounds: sum/count are group-wise
+        // subtractable, so deletes maintain by per-group DECREMENT
+        // (reference BENCHMARKS.md:91-93 shape) riding the carried
+        // [[auxSupportCache]] support table instead of dirty-group
+        // recomputation. Insert rounds that find a live support table
+        // route through the same path so the table stays current.
+        if (hasRemovals || auxSupportCache.get(name).exists(_._1 == v0)) {
+          maintainAggSubtractable(name, r, cols, aggSpecs, keyIdxAll,
+            changedOccs, changedRels, deltaOf, removedOf, cached, v0) match {
+            case Some(df) => return Some(df)
+            case None =>
+              // outside the subtractable contract: drop a stale support
+              // table (its version can no longer advance) and fall back
+              auxSupportCache.remove(name).foreach { case (_, df) =>
+                Fixpoint.checkpointRddOf(df).foreach(_.unpersist(false)) }
+              if (hasRemovals) return dirtyGroupMaintain(r, keyIdxAll)
+          }
+        }
+        if (changedOccs.length != 1 ||
             !aggSpecs.forall { case (f, _) =>
               Set("sum", "count", "min", "max")(f) || f == "count_distinct" } ||
             (cdSpecs.nonEmpty && keyIdxAll.isEmpty))

@@ -165,6 +165,18 @@ object Fixpoint {
     l.join(r, cond, "left_anti")
   }
 
+  /** left_semi twin of [[antiNullSafe]]: rows of `left` that DO have a
+    * null-safe match in `right`. Lazy — one hash semi-join when (if)
+    * the consumer executes the plan. */
+  def semiNullSafe(left: DataFrame, right: DataFrame, hintBroadcast: Boolean = false): DataFrame = {
+    val cols = left.columns.toSeq
+    val l = left.alias("__semi_l")
+    val r0 = right.toDF(cols: _*).alias("__semi_r")
+    val r = if (hintBroadcast) broadcast(r0) else r0
+    val cond = cols.map(c => col(s"__semi_l.`$c`") <=> col(s"__semi_r.`$c`")).reduce(_ && _)
+    l.join(r, cond, "left_semi")
+  }
+
   /** Transitive closure of an edge relation with columns (src, dst).
     * `reach(x,y) <- edge(x,y); reach(x,z) <- reach(x,y), edge(y,z)`.
     * Right-linear: delta ⋈ edges each iteration; edges are the static

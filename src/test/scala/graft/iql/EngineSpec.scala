@@ -436,6 +436,69 @@ class EngineSpec extends SparkSpec {
     assert(rows(e2.run("?a(X)").last) == Set(Seq(5.0)))
   }
 
+  test("subtractable aggregates: deletes decrement per group, riding the carried support table") {
+    val e = new Engine(new Catalog(spark))
+    e.run(
+      """+emp[(1, "eng", 10), (2, "eng", 20), (3, "ops", 5), (4, "qa", 7), (5, "qa", 9)]
+        |+tot(D, count<S>, sum<S>) <- emp(I, D, S)
+        |""".stripMargin)
+    assert(rows(e.run("?tot(D, C, S)").last) ==
+      Set(Seq("eng", 2L, 30L), Seq("ops", 1L, 5L), Seq("qa", 2L, 16L)))
+    val (m0, d0, s0) = (e.maintainedCount, e.aggDecrementCount, e.auxSupportSeeds)
+    // round 1: delete kills the whole ops group — the row must VANISH
+    // (support hit 0), which the decrement path decides from the
+    // freshly-seeded support table
+    e.run("""-emp(3, "ops", 5)""")
+    assert(rows(e.run("?tot(D, C, S)").last) ==
+      Set(Seq("eng", 2L, 30L), Seq("qa", 2L, 16L)))
+    assert(e.aggDecrementCount == d0 + 1, "delete should decrement, not dirty-group")
+    assert(e.auxSupportSeeds == s0 + 1)
+    // round 2: second delete RIDES the carried-forward table (no reseed)
+    e.run("""-emp[(4, "qa", 7)]""")
+    assert(rows(e.run("?tot(D, C, S)").last) ==
+      Set(Seq("eng", 2L, 30L), Seq("qa", 1L, 9L)))
+    assert(e.aggDecrementCount == d0 + 2 && e.auxSupportSeeds == s0 + 1,
+      "second delete round must ride the carried support table")
+    // round 3: an insert round keeps the table current (no reseed)...
+    e.run("""+emp[(6, "ops", 11), (7, "eng", 2)]""")
+    assert(rows(e.run("?tot(D, C, S)").last) ==
+      Set(Seq("eng", 3L, 32L), Seq("qa", 1L, 9L), Seq("ops", 1L, 11L)))
+    // ...so round 4's delete still decrements without reseeding
+    e.run("""-emp[(6, "ops", 11), (5, "qa", 9)]""")
+    assert(rows(e.run("?tot(D, C, S)").last) == Set(Seq("eng", 3L, 32L)))
+    assert(e.auxSupportSeeds == s0 + 1, "insert between deletes must not force a reseed")
+    assert(e.maintainedCount == m0 + 4, "every round maintained, none recomputed")
+    // phantom delete (tuple never present) is a no-op, not a decrement
+    e.run("""-emp[(99, "eng", 1000)]""")
+    assert(rows(e.run("?tot(D, C, S)").last) == Set(Seq("eng", 3L, 32L)))
+    // conditional delete (replace logs exact removals) decrements too
+    val d1 = e.aggDecrementCount
+    e.run("-emp(I, D, S) <- emp(I, D, S), S > 15")
+    assert(rows(e.run("?tot(D, C, S)").last) == Set(Seq("eng", 2L, 12L)))
+    assert(e.aggDecrementCount == d1 + 1 && e.auxSupportSeeds == s0 + 1,
+      "conditional delete should decrement on the carried table")
+  }
+
+  test("subtractable aggregates: delete-then-reinsert cancels; null sums go null on last support") {
+    val e = new Engine(new Catalog(spark))
+    e.run(
+      """+m[(1, "a", 10), (2, "a", 20), (3, "b", 7)]
+        |+agg(G, sum<V>, count<V>) <- m(I, G, V)
+        |""".stripMargin)
+    assert(rows(e.run("?agg(G, S, C)").last) ==
+      Set(Seq("a", 30L, 2L), Seq("b", 7L, 1L)))
+    val d0 = e.aggDecrementCount
+    // one batch: delete then re-insert the same tuple + a real delete
+    e.run(
+      """-m(1, "a", 10)
+        |+m[(1, "a", 10)]
+        |-m(2, "a", 20)
+        |""".stripMargin)
+    assert(rows(e.run("?agg(G, S, C)").last) ==
+      Set(Seq("a", 10L, 1L), Seq("b", 7L, 1L)))
+    assert(e.aggDecrementCount == d0 + 1)
+  }
+
   test("dirty-group maintenance: ranked view delete lets an evicted row return") {
     val e = new Engine(new Catalog(spark))
     e.run(
