@@ -470,6 +470,28 @@ object SparkEntry {
       e.run("?r(X, Y)").last        // served by recursive DRed
     }),
 
+    // --- IQL: NEGATION-DEPENDENT incremental maintenance — changes to a
+    //     relation appearing under stratified negation flip sign: the
+    //     +nblk insert KILLS closure rows through the recursion (DRed
+    //     with the negated occurrence flipped positive), the -nblk
+    //     removal REVIVES them (flip-bound seeds feeding the semi-naive
+    //     continuation); both rounds maintain, never recompute
+    //     (EngineSpec pins the counter for these shapes) ----------------
+    "q180_iql_negation_ivm" -> ((s, dir) => {
+      val e = iqlEngine(s, dir)
+      e.catalog.register("nedge", graphEdges(s, dir))
+      e.run(
+        """+nblk[(3), (17)]
+          |+nreach(X, Y) <- nedge(X, Y), !nblk(Y)
+          |+nreach(X, Z) <- nreach(X, Y), nedge(Y, Z), !nblk(Z)
+          |?nreach(X, Y)
+          |""".stripMargin)
+      e.run("+nblk[(5)]") // kill node 5 through the recursion
+      e.run("?nreach(X, Y)")
+      e.run("-nblk[(3)]") // revive node 3 through the recursion
+      e.run("?nreach(X, Y)").last
+    }),
+
     // --- IQL: retraction through MUTUAL recursion — odd/even-length
     //     reachability is a 2-relation SCC; the first query caches BOTH
     //     members at one version, and the deletes are then maintained
@@ -2936,6 +2958,17 @@ object SparkEntry {
 
     // recursive DRed: closure of (e1 \ deleted) ∪ e2 — SQL recursive CTEs
     // are linear-only, so the oracle uses the equivalent linear step
+    // the closure at the FINAL blocked set {17, 5} (3 was revived): the
+    // maintained result must equal evaluating the stratified program
+    // fresh at that state
+    "q180_iql_negation_ivm" ->
+      s"""WITH RECURSIVE nreach(src, dst) AS (
+         |SELECT src, dst FROM ($graphEdgesSql) t WHERE dst NOT IN (17, 5)
+         |UNION
+         |SELECT r.src, e.dst FROM nreach r JOIN ($graphEdgesSql) e
+         |  ON r.dst = e.src WHERE e.dst NOT IN (17, 5))
+         |SELECT src AS X, dst AS Y FROM nreach""".stripMargin,
+
     "q76_iql_dred_recursive" ->
       s"""WITH RECURSIVE base AS (
          |SELECT src, dst FROM ($graphEdgesSql) t

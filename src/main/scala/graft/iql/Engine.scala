@@ -943,10 +943,29 @@ final class Engine(val catalog: Catalog) {
       val rankHead = sccRules.exists(_.head.args.exists(_.isInstanceOf[Rank]))
       val aggHead = sccRules.exists(_.head.args.exists(_.isInstanceOf[Agg]))
       // changed rels must be referenced DIRECTLY (not via a derived
-      // lower stratum whose delta we don't have), and never negated
+      // lower stratum whose delta we don't have)
       val bodyRels = sccRules.flatMap(_.body.collect { case Pos(a) => a.rel })
       val negRels = sccRules.flatMap(_.body.collect { case Neg(a) => a.rel })
-      if (negRels.exists(n => ((depsOf(n) + n) & changedRels).nonEmpty)) return None
+      // NEGATION-DEPENDENT changes flip sign: an insert into a negated
+      // relation KILLS derivations (DRed delete phase, the negated
+      // occurrence flipped positive and bound to the insert delta) and a
+      // removal CREATES them (flip-bound seeds in the insert
+      // continuation) — maintained below when every such relation is a
+      // directly-changed BASE relation appearing ONLY under Neg in this
+      // SCC's rules and the view is a plain Var/Const-head DRed shape.
+      // Outside that (derived negated deps, agg/rank heads, a rel
+      // changed on both sides of the sign) → recompute, as before.
+      val negChanged = negRels.toSet
+        .filter(n => ((depsOf(n) + n) & changedRels).nonEmpty)
+      if (negChanged.nonEmpty) {
+        val handleable = !rankHead && !aggHead &&
+          sccRules.forall(_.head.args.forall(a =>
+            a.isInstanceOf[Var] || a.isInstanceOf[Const])) &&
+          scc.forall(m => baseOf(m).isEmpty) &&
+          negChanged.forall(n => !byHead.contains(n) && changedRels(n) &&
+            !bodyRels.contains(n))
+        if (!handleable) return None
+      }
       if (bodyRels.exists(b => !scc(b) && !changedRels(b) && byHead.contains(b) &&
         (depsOf(b) & changedRels).nonEmpty)) return None
       if (sccRules.exists(_.body.exists { case Pos(a) =>
@@ -1005,6 +1024,10 @@ final class Engine(val catalog: Catalog) {
         case Pos(a) => a.rel == name
         case _ => false
       })
+      // sign-flipped change drivers for negated-only relations: inserts
+      // kill (DRed phase), removals create (insert-phase seeds)
+      val negKills = negChanged.filter(deltaOf.contains)
+      val negCreates = negChanged.filter(removedOf.contains)
 
       /** Derivations with occurrence `dIdx` of `r`'s body bound to the
         * delta of its relation; SCC-member occurrences bound to
@@ -1016,9 +1039,28 @@ final class Engine(val catalog: Catalog) {
           (nm, ar) => recFrames(nm).getOrElse(resolve(nm, ar)))
         deriveRule(r, deltaResolver).toDF(colsOf(r.head.rel): _*)
       }
+      /** CREATE-side seeds for removals from negated-only relations:
+        * each negated occurrence of such a rel, flipped positive, binds
+        * to the tuples removed AND still absent (a delete-then-reinsert
+        * within the batch must not create), with the rest of the body at
+        * the NEW state — the sign-flipped twin of [[deltaDerive]]. */
+      def negSeedsFor(rel: String,
+                      recFrames: String => Option[DataFrame]): Seq[DataFrame] =
+        if (negCreates.isEmpty) Seq.empty
+        else byHead.getOrElse(rel, Seq.empty).flatMap { r =>
+          r.body.zipWithIndex.collect {
+            case (Neg(a), i) if negCreates(a.rel) =>
+              val flipped = r.copy(body = r.body.updated(i, Pos(a)))
+              val bound = Fixpoint.antiNullSafe(removedOf(a.rel),
+                resolve(a.rel, removedOf(a.rel).columns.length))
+              val resolver = RuleCompiler.bindOccurrence(flipped, i, bound,
+                (nm, ar) => recFrames(nm).getOrElse(resolve(nm, ar)))
+              deriveRule(flipped, resolver).toDF(colsOf(r.head.rel): _*)
+          }
+        }
       def insertPhase(viewsNow: Map[String, DataFrame]): Option[DataFrame] =
         insertPhaseOf(name, scc, sccRules, changedRels, deltaOf, deltaDerive,
-          isRecursive, viewsNow)
+          isRecursive, viewsNow, negSeedsFor)
 
       /** DIRTY-GROUP maintenance — the general grouped-head fallback
         * (avg / count_distinct, ranked views under deletes, removals,
@@ -1808,10 +1850,11 @@ final class Engine(val catalog: Catalog) {
       // This is what makes atomic updates (`-old,+new <- body`)
       // maintainable instead of a recompute. Non-Var heads and views
       // with own EDB facts still fall back to recompute.
-      if (hasRemovals && sccRules.forall(_.head.args.forall(a =>
+      if ((hasRemovals || negKills.nonEmpty) &&
+          sccRules.forall(_.head.args.forall(a =>
             a.isInstanceOf[Var] || a.isInstanceOf[Const])) &&
           scc.forall(m => baseOf(m).isEmpty)) {
-        if (removedOf.nonEmpty) {
+        if (removedOf.nonEmpty || negKills.nonEmpty) {
           def midFrame(nm: String, ar: Int): DataFrame = {
             val cur = resolve(nm, ar)
             deltaOf.get(nm) match {
@@ -1821,6 +1864,19 @@ final class Engine(val catalog: Catalog) {
           }
           def oldFrame(nm: String, ar: Int): DataFrame = {
             val cur = midFrame(nm, ar)
+            removedOf.get(nm) match {
+              case Some(rm) => cur.union(rm.toDF(cur.columns.toSeq: _*)).distinct()
+              case None => cur
+            }
+          }
+          // the KILL-phase database state: every kill-change applied
+          // (removals from positive rels → midFrame; inserts into
+          // negated-only rels → already in `current`), every
+          // create-change not yet (positive inserts excluded by
+          // midFrame; negated-rel removals still present). For a
+          // negated-only rel that is current ∪ its removals.
+          def killFrame(nm: String, ar: Int): DataFrame = {
+            val cur = resolve(nm, ar)
             removedOf.get(nm) match {
               case Some(rm) => cur.union(rm.toDF(cur.columns.toSeq: _*)).distinct()
               case None => cur
@@ -1843,7 +1899,7 @@ final class Engine(val catalog: Catalog) {
           // pure-delete batches cache and return them; mixed batches
           // continue into the insert phase seeded from them.
           def afterDelete(vs: Map[String, DataFrame]): Option[DataFrame] = {
-            if (deltaOf.isEmpty) {
+            if (deltaOf.isEmpty && negCreates.isEmpty) {
               scc.filter(_ != name).foreach { r => memo(r) = vs(r); cachePut(r, vs(r)) }
               Some(vs(name))
             } else insertPhase(vs)
@@ -1855,9 +1911,10 @@ final class Engine(val catalog: Catalog) {
           // mutual recursion too (LocalEval solves multi-member SCCs).
           // Bails (→ distributed DRed below, or recompute) when inputs
           // exceed the collect caps or a rule shape is outside
-          // LocalEval's contract.
-          localDRed(scc, sccRules, sccCached, changedRels, removedOf, name,
-              midFrame) match {
+          // LocalEval's contract. Sign-flipped (negation-driven) kills
+          // are outside that pure-positional contract — skip.
+          if (negChanged.isEmpty) localDRed(scc, sccRules, sccCached, changedRels,
+              removedOf, name, midFrame) match {
             case Some(vs) => return afterDelete(vs)
             case None => ()
           }
@@ -1890,16 +1947,31 @@ final class Engine(val catalog: Catalog) {
             }
             out
           }
+          // sign-flipped kill driver: derivations that relied on
+          // ¬n(t) for a tuple t INSERTED into the negated-only rel n —
+          // bind the occurrence FLIPPED POSITIVE to the insert delta,
+          // everything else at the old state (over-deletion runs
+          // entirely in the old DB, exactly as for positive removals)
+          def overDeriveNegFlip(r: Rule, dIdx: Int, bound: DataFrame): DataFrame = {
+            val a = r.body(dIdx) match {
+              case Neg(at) => at
+              case Pos(at) => at // unreachable: callers pass Neg indices
+            }
+            overDerive(r.copy(body = r.body.updated(dIdx, Pos(a))), dIdx, bound)
+          }
           val over0 = mutable.HashMap.empty[String, List[DataFrame]]
           sccRules.foreach { r =>
             r.body.zipWithIndex.foreach {
               case (Pos(a), i) if removedOf.contains(a.rel) =>
                 over0(r.head.rel) =
                   overDerive(r, i, removedOf(a.rel)) :: over0.getOrElse(r.head.rel, Nil)
+              case (Neg(a), i) if negKills(a.rel) =>
+                over0(r.head.rel) =
+                  overDeriveNegFlip(r, i, deltaOf(a.rel)) :: over0.getOrElse(r.head.rel, Nil)
               case _ => ()
             }
           }
-          if (over0.isEmpty) return afterDelete(sccCached) // no rule sees a removal
+          if (over0.isEmpty) return afterDelete(sccCached) // no rule sees a kill
           // per-member over-delete sets; frontier drives the cascade
           val overDelete = matByMember(over0, _ => None)
           if (overDelete.isEmpty) return afterDelete(sccCached)
@@ -1961,8 +2033,12 @@ final class Engine(val catalog: Catalog) {
                 val resolver: RuleCompiler.Resolver = (nm, ar) =>
                   if (nm == guardRel) g
                   else if (scc(nm)) views(nm)
-                  // re-derivation runs at the POST-DELETE state: mid,
-                  // not current (for pure deletes they coincide)
+                  // re-derivation runs at the KILL-phase state: mid for
+                  // positive rels (pure deletes: = current), current ∪
+                  // removals for negated-only rels (their inserts are
+                  // kills, already applied; their removals create and
+                  // belong to the insert phase)
+                  else if (negChanged(nm)) killFrame(nm, ar)
                   else if (changedRels(nm)) midFrame(nm, ar)
                   else resolve(nm, ar)
                 parts(r.head.rel) =
@@ -2036,8 +2112,9 @@ final class Engine(val catalog: Catalog) {
       }
       // past the DRed and TC fast paths, only pure-insert changes reach
       // the continuation directly; mixed batches re-enter it via
-      // afterDelete with the delete phase's mid views as `viewsNow`
-      if (hasRemovals) return None
+      // afterDelete with the delete phase's mid views as `viewsNow`.
+      // Negation-driven kills are deletes in disguise — same guard.
+      if (hasRemovals || negKills.nonEmpty) return None
       insertPhase(sccCached)
     }
 
@@ -2052,7 +2129,9 @@ final class Engine(val catalog: Catalog) {
         changedRels: Set[String], deltaOf: Map[String, DataFrame],
         deltaDerive: (Rule, Int, String => Option[DataFrame]) => DataFrame,
         isRecursive: Boolean,
-        viewsNow: Map[String, DataFrame]): Option[DataFrame] = {
+        viewsNow: Map[String, DataFrame],
+        negSeedsFor: (String, String => Option[DataFrame]) => Seq[DataFrame] =
+          (_, _) => Seq.empty): Option[DataFrame] = {
       val cached = viewsNow(name)
       val arity = cached.columns.length
       val cols = (0 until arity).map(i => s"c$i")
@@ -2088,7 +2167,7 @@ final class Engine(val catalog: Catalog) {
               case (Pos(a), i) if deltaOf.contains(a.rel) =>
                 deltaDerive(r, i, m => viewsNow.get(m))
             }
-          }
+          } ++ negSeedsFor(rel, m => viewsNow.get(m))
           if (contribs.nonEmpty) {
             val m = Fixpoint.materialize(Fixpoint.antiNullSafe(
               contribs.reduce(_ union _).distinct(), viewsNow(rel)))
@@ -2128,6 +2207,7 @@ final class Engine(val catalog: Catalog) {
           case _ => ()
         }
       }
+      seedContribs ++= negSeedsFor(name, m => viewsNow.get(m))
       val contribs = seedContribs.result()
       if (contribs.isEmpty) return Some(cached) // no rule touches the delta
       val recRules = sccRules.filter(_.body.exists {

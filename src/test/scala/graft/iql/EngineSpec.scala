@@ -436,6 +436,69 @@ class EngineSpec extends SparkSpec {
     assert(rows(e2.run("?a(X)").last) == Set(Seq(5.0)))
   }
 
+  test("negation-dependent maintenance: inserts into a negated rel kill, removals create") {
+    val e = new Engine(new Catalog(spark))
+    e.run(
+      """+cand[(1), (2), (3), (4)]
+        |+vip[(3)]
+        |+blocked[(2)]
+        |+ok(X) <- cand(X), !blocked(X)
+        |+ok(X) <- vip(X)
+        |""".stripMargin)
+    assert(rows(e.run("?ok(X)").last) == Set(Seq(1L), Seq(3L), Seq(4L)))
+    val m0 = e.maintainedCount
+    // INSERT into the negated rel = a kill; ok(3) must SURVIVE via its
+    // vip derivation (DRed re-derivation), ok(4) dies outright
+    e.run("+blocked[(3), (4)]")
+    assert(rows(e.run("?ok(X)").last) == Set(Seq(1L), Seq(3L)))
+    assert(e.maintainedCount == m0 + 1, "negated-rel insert should maintain, not recompute")
+    // REMOVAL from the negated rel = a create
+    e.run("-blocked[(2)]")
+    assert(rows(e.run("?ok(X)").last) == Set(Seq(1L), Seq(2L), Seq(3L)))
+    assert(e.maintainedCount == m0 + 2, "negated-rel removal should maintain, not recompute")
+    // MIXED batch across both signs: new candidate, a positive-side
+    // delete, and a negated-side insert in one transaction
+    e.run(
+      """+cand[(5)]
+        |-cand[(1)]
+        |+blocked[(5)]
+        |""".stripMargin)
+    assert(rows(e.run("?ok(X)").last) == Set(Seq(2L), Seq(3L)))
+    assert(e.maintainedCount == m0 + 3, "mixed-sign batch should maintain, not recompute")
+    // delete-then-reinsert of a blocked tuple in ONE batch is a net
+    // no-op: the create side must bind removed ∖ current, not removed
+    e.run("-blocked[(3)]\n+blocked[(3)]")
+    assert(rows(e.run("?ok(X)").last) == Set(Seq(2L), Seq(3L)))
+  }
+
+  test("negation-dependent maintenance through a recursive view") {
+    val e = new Engine(new Catalog(spark))
+    e.run(
+      """+edge[(1, 2), (2, 3), (3, 4)]
+        |+dead[(9)]
+        |+reach(X, Y) <- edge(X, Y), !dead(Y)
+        |+reach(X, Z) <- reach(X, Y), edge(Y, Z), !dead(Z)
+        |""".stripMargin)
+    assert(rows(e.run("?reach(X, Y)").last) == Set(
+      Seq(1L, 2L), Seq(1L, 3L), Seq(1L, 4L),
+      Seq(2L, 3L), Seq(2L, 4L), Seq(3L, 4L)))
+    val m0 = e.maintainedCount
+    // killing node 3 must CASCADE: paths ending at 3 die directly, and
+    // paths THROUGH 3 (1→4, 2→4) die because their only derivations ran
+    // through the over-deleted reach(·,3)
+    e.run("+dead[(3)]")
+    assert(rows(e.run("?reach(X, Y)").last) == Set(Seq(1L, 2L), Seq(3L, 4L)))
+    assert(e.maintainedCount == m0 + 1, "recursive negated kill should maintain")
+    // reviving node 3 must re-derive the closure THROUGH the recursion:
+    // the flip-bound seeds land reach(·,3), and the semi-naive
+    // continuation rebuilds reach(1,4)/reach(2,4) from them
+    e.run("-dead[(3)]")
+    assert(rows(e.run("?reach(X, Y)").last) == Set(
+      Seq(1L, 2L), Seq(1L, 3L), Seq(1L, 4L),
+      Seq(2L, 3L), Seq(2L, 4L), Seq(3L, 4L)))
+    assert(e.maintainedCount == m0 + 2, "recursive negated revive should maintain")
+  }
+
   test("subtractable aggregates: deletes decrement per group, riding the carried support table") {
     val e = new Engine(new Catalog(spark))
     e.run(

@@ -73,6 +73,67 @@ class MaintenanceFuzzSpec extends SparkSpec {
     }
   }
 
+  test("negation-dependent maintenance equals fresh recomputation on random mutation streams") {
+    val rng = new Random(20260817L)
+    (1 to 10).foreach { c =>
+      val nNodes = 4 + rng.nextInt(4)
+      val edgeSet = Seq.fill(5 + rng.nextInt(7))(
+        (rng.nextInt(nNodes), rng.nextInt(nNodes))).distinct
+      val edges = edgeSet.map { case (a, b) => s"($a, $b)" }.mkString(",")
+      val blk0 = Seq.fill(1 + rng.nextInt(2))(rng.nextInt(nNodes)).distinct
+      val rules = rng.nextInt(3) match {
+        case 0 => // non-recursive, two negated occurrences
+          "+q(X, Y) <- e(X, Y), !blk(X), !blk(Y)\n"
+        case 1 => // recursive closure avoiding blocked targets
+          "+q(X, Y) <- e(X, Y), !blk(Y)\n" +
+          "+q(X, Z) <- q(X, Y), e(Y, Z), !blk(Z)\n"
+        case 2 => // alternative positive derivation keeps rows alive
+          "+q(X, Y) <- e(X, Y), !blk(Y)\n+q(X, X) <- e(X, X)\n"
+      }
+      val prog = s"+e[$edges]\n+blk[${blk0.map(b => s"($b)").mkString(",")}]\n$rules"
+      val e1 = new Engine(new Catalog(spark))
+      e1.run(prog)
+      e1.run("?q(X, Y)") // cache the pre-mutation result
+      val m0 = e1.maintainedCount
+      val blkLive = scala.collection.mutable.ArrayBuffer.from(blk0)
+      var rounds = 0
+      (0 until 3).foreach { round =>
+        // mutate the NEGATED relation (sometimes the positive one too,
+        // in the same batch), including phantom blk deletes
+        val stmts = Seq.newBuilder[String]
+        if (blkLive.nonEmpty && rng.nextBoolean()) {
+          val b = blkLive.remove(rng.nextInt(blkLive.size))
+          stmts += s"-blk[($b)]"
+        }
+        if (rng.nextBoolean()) {
+          val b = rng.nextInt(nNodes)
+          if (!blkLive.contains(b)) { blkLive += b; stmts += s"+blk[($b)]" }
+        }
+        if (rng.nextInt(4) == 0) stmts += s"-blk[(${nNodes + 5})]" // phantom
+        if (rng.nextInt(3) == 0)
+          stmts += s"+e[(${rng.nextInt(nNodes)}, ${rng.nextInt(nNodes)})]"
+        val prog2 = stmts.result().mkString("\n")
+        if (prog2.nonEmpty) {
+          rounds += 1
+          e1.run(prog2)
+          val maintained = rows(e1.run("?q(X, Y)").last)
+          val e2 = new Engine(new Catalog(spark))
+          e2.run(prog)
+          // replay every mutation so far into the fresh engine
+          replayLog.foreach(e2.run)
+          e2.run(prog2)
+          replayLog += prog2
+          assert(maintained == rows(e2.run("?q(X, Y)").last),
+            s"case $c round $round diverged after:\n$prog2\nprogram:\n$prog")
+        }
+      }
+      assert(e1.maintainedCount == m0 + rounds,
+        s"case $c: a negation-dependent round recomputed instead of maintaining")
+      replayLog.clear()
+    }
+  }
+  private val replayLog = scala.collection.mutable.ArrayBuffer.empty[String]
+
   test("insert-then-delete of the same tuple in one batch is a net no-op") {
     // round-5 ADVICE repro: '+r[(2)]' then '-r[(2)]' between re-queries
     // left the maintained view containing 2 — the insert continuation
