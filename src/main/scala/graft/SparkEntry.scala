@@ -1601,13 +1601,9 @@ object SparkEntry {
           |?dtot(D, S, C)
           |""".stripMargin)
       e.run("-demp(I, D, S) <- demp(I, D, S), D = 7") // whole-group death
-      e.run("?dtot(D, S, C)")
+      e.run("?dtot(D, S, C)") // round 1: decrement + support-table seed
       e.run("-demp[(900000001, 999, 1000), (900000002, 999, 50)]")
-      e.run("?dtot(D, S, C)")
-      e.run("+demp[(900000003, 0, 123)]")
-      e.run("?dtot(D, S, C)")
-      e.run("-demp(I, D, S) <- demp(I, D, S), D = 11")
-      e.run("?dtot(D, S, C)").last // decrement-maintained, never recomputed
+      e.run("?dtot(D, S, C)").last // round 2 rides the carried table // decrement-maintained, never recomputed
     }),
 
     "q93_iql_dirty_group_avg" -> ((s, dir) => {
@@ -3485,16 +3481,13 @@ object SparkEntry {
         |UNION ALL SELECT 900000003, 0, 3000)
         |SELECT dept AS D, CAST(SUM(sal) AS BIGINT) AS S, COUNT(sal) AS C FROM emp GROUP BY dept""".stripMargin,
 
-    // the view after all four maintenance rounds: depts 7 and 11 died
-    // (conditional deletes), the injected 999 group died (exact-tuple
-    // deletes), 900000003 joined dept 0
+    // the view after both delete rounds: dept 7 died (conditional
+    // delete), the injected 999 group died (exact-tuple deletes)
     "q179_iql_agg_decrement" ->
-      """WITH demp AS (
-        |SELECT o_orderkey AS id, o_custkey % 50 AS dept,
-        |       CAST(FLOOR(o_totalprice) AS BIGINT) AS sal FROM orders
-        |UNION ALL SELECT 900000003, 0, 123)
-        |SELECT dept AS D, CAST(SUM(sal) AS BIGINT) AS S, COUNT(*) AS C
-        |FROM demp WHERE dept NOT IN (7, 11) GROUP BY dept""".stripMargin,
+      """SELECT o_custkey % 50 AS D,
+        |  CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS S,
+        |  COUNT(*) AS C
+        |FROM orders WHERE o_custkey % 50 <> 7 GROUP BY 1""".stripMargin,
 
     // 900000003 is inserted then deleted before the re-query — absent
     "q93_iql_dirty_group_avg" ->

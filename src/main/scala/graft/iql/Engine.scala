@@ -205,18 +205,20 @@ final class Engine(val catalog: Catalog) {
     * path, not just the result). */
   private[graft] var cdMergedCount: Long = 0L
 
-  /** Auxiliary per-view SUPPORT state for subtractable-aggregate
-    * maintenance (sum/count under DELETES): per group, the body-binding
-    * count `__n` and, per sum column i, the non-null-value count
-    * `__nn_i` — what a per-group DECREMENT needs that the view itself
-    * doesn't carry (a group whose support hits 0 must VANISH, and a sum
-    * whose last non-null contributor left must go null; neither is
-    * decidable from the cached sum alone). Seeded lazily from the
-    * pre-change body state on the first delete round, then carried
-    * forward O(delta)-updated — like [[auxPairsCache]], the Spark
-    * analogue of the reference's arranged per-group multiset state
-    * (`src/derived_relations.rs:1-60`, BENCHMARKS.md:91-93). Newest
-    * version only. */
+  /** COMBINED per-group state for subtractable-aggregate maintenance
+    * (sum/count under DELETES): the view row itself plus, per group,
+    * the body-binding count `__n` and per sum column i the
+    * non-null-value count `__nn_i` — what a per-group DECREMENT needs
+    * that the view alone doesn't carry (a group whose support hits 0
+    * must VANISH, and a sum whose last non-null contributor left must
+    * go null; neither is decidable from the cached sum). The served
+    * view is a projection of this one materialized frame, so each
+    * round is one dirty collect + one map-only update pass. Seeded
+    * lazily from the pre-change body state on the first delete round,
+    * then carried forward O(delta)-updated — like [[auxPairsCache]],
+    * the Spark analogue of the reference's arranged per-group multiset
+    * state (`src/derived_relations.rs:1-60`, BENCHMARKS.md:91-93).
+    * Newest version only. */
   private val auxSupportCache =
     mutable.HashMap.empty[String, (Long, DataFrame)]
   /** Observability: delete rounds served by per-group decrement, and
@@ -810,9 +812,15 @@ final class Engine(val catalog: Catalog) {
       val dMap: Map[Seq[Any], org.apache.spark.sql.Row] =
         dirty.map(row => (0 until kLen).map(j => normKey(row.get(j))).toSeq -> row).toMap
 
-      // support table: carried forward when its version matches, else
-      // seeded from the pre-change body state (one grouped pass)
-      val auxDf = auxSupportCache.get(name) match {
+      // COMBINED per-group state: the view row PLUS its support counts
+      // in one materialized frame — the returned view is a projection of
+      // it. One frame means one dirty collect and one update pass per
+      // round instead of separate view/support maintenance: a
+      // maintenance round here is job-count-bound, not data-bound, and
+      // this halves the jobs. Carried forward when the version matches,
+      // else seeded from the pre-change body state (one grouped pass,
+      // head aggregates via the same aggFunc the evaluator uses).
+      val combined = auxSupportCache.get(name) match {
         case Some((v, df)) if v == v0 => df
         case _ =>
           auxSupportSeeds += 1
@@ -831,37 +839,35 @@ final class Engine(val catalog: Catalog) {
           }
           val oldB = RuleCompiler.compileBody(r.body, oldResolver, hnswFrame, catalog.statRows)
           val sKeys = keyIdx.map(i => RuleCompiler.term(r.head.args(i), oldB).as(s"c$i"))
-          val sAggs = count(lit(1)).as("__n") +: sumSpecs.map { i =>
+          val sAggs = r.head.args.zipWithIndex.collect {
+            case (Agg(f, arg), i) => aggFunc(f, arg, oldB).as(s"c$i")
+          } ++ Seq(count(lit(1)).as("__n")) ++ sumSpecs.map { i =>
             count(RuleCompiler.term(sumArgOf(i), oldB)).as(s"__nn$i") }
           Fixpoint.materialize(oldB.groupBy(sKeys: _*)
-            .agg(sAggs.head, sAggs.tail: _*)).df
+            .agg(sAggs.head, sAggs.tail: _*)
+            .select(cols.map(col) ++ Seq(col("__n")) ++
+              sumSpecs.map(i => col(s"__nn$i")): _*)).df
       }
       val pred = dMap.keysIterator.map { k =>
         (0 until kLen).map(j => col(keyNames(j)) <=> lit(k(j))).reduce(_ && _)
       }.reduce(_ || _)
-      val auxDirtyRows = auxDf.where(pred).limit(2050).collect()
-      val cachedDirtyRows = named.where(pred).limit(2050).collect()
-      if (auxDirtyRows.length > 2048 || cachedDirtyRows.length > 2048) return None
-      val auxMap = mutable.HashMap.empty[Seq[Any], (Long, Map[Int, Long])]
-      auxDirtyRows.foreach { row =>
-        val k = (0 until kLen).map(j => normKey(row.get(j))).toSeq
-        auxMap(k) = (row.getLong(kLen), sumSpecs.zipWithIndex.map {
-          case (i, p) => i -> row.getLong(kLen + 1 + p) }.toMap)
+      val dirtyCombined = combined.where(pred).limit(2050).collect()
+      if (dirtyCombined.length > 2048) return None
+      val nPos = cols.length
+      val nnPosC = sumSpecs.zipWithIndex.map { case (i, p) =>
+        i -> (cols.length + 1 + p) }.toMap
+      val oldMap = mutable.HashMap.empty[Seq[Any], org.apache.spark.sql.Row]
+      dirtyCombined.foreach { row =>
+        oldMap(keyIdx.map(i => normKey(row.get(i))).toSeq) = row
       }
-      val cachedMap = mutable.HashMap.empty[Seq[Any], org.apache.spark.sql.Row]
-      cachedDirtyRows.foreach { row =>
-        cachedMap(keyIdx.map(i => normKey(row.get(i))).toSeq) = row
-      }
-
-      val newViewRows = Seq.newBuilder[org.apache.spark.sql.Row]
-      val newAuxRows = Seq.newBuilder[org.apache.spark.sql.Row]
+      val newRows = Seq.newBuilder[org.apache.spark.sql.Row]
       dMap.foreach { case (k, dRow) =>
-        val (n0, nn0) = auxMap.getOrElse(k, (0L, sumSpecs.map(_ -> 0L).toMap))
-        val n1 = n0 + dRow.getLong(dnPos)
+        val old = oldMap.get(k)
+        val n1 = old.map(_.getLong(nPos)).getOrElse(0L) + dRow.getLong(dnPos)
         if (n1 > 0) {
-          val old = cachedMap.get(k)
-          val nn1 = sumSpecs.map(i => i -> (nn0(i) + dRow.getLong(nnPos(i)))).toMap
-          val viewVals = cols.indices.map { i =>
+          val nn1 = sumSpecs.map(i => i ->
+            (old.map(_.getLong(nnPosC(i))).getOrElse(0L) + dRow.getLong(nnPos(i)))).toMap
+          val vals = cols.indices.map { i =>
             val kp = keyIdx.indexOf(i)
             if (kp >= 0) k(kp)
             else { // aggregate column
@@ -873,32 +879,24 @@ final class Engine(val catalog: Catalog) {
                       else oldV.asInstanceOf[Long]) + dV
               } else (if (oldV == null) 0L else oldV.asInstanceOf[Long]) + dV
             }
-          }
-          newViewRows += org.apache.spark.sql.Row.fromSeq(viewVals)
-          newAuxRows += org.apache.spark.sql.Row.fromSeq(
-            k ++ Seq(n1) ++ sumSpecs.map(nn1))
+          } ++ Seq(n1) ++ sumSpecs.map(nn1)
+          newRows += org.apache.spark.sql.Row.fromSeq(vals)
         }
         // n1 == 0: the group vanishes from view and support alike
       }
       val spark = catalog.spark
-      def literal(rows: Seq[org.apache.spark.sql.Row],
-                  schema: org.apache.spark.sql.types.StructType): DataFrame =
-        spark.createDataFrame(spark.sparkContext.parallelize(rows,
-          Fixpoint.parallelizeParts(rows.size.toLong)), schema)
-      val viewSchema = org.apache.spark.sql.types.StructType(
-        named.schema.fields.map(_.copy(nullable = true)))
-      val auxSchema = org.apache.spark.sql.types.StructType(
-        auxDf.schema.fields.map(_.copy(nullable = true)))
-      val viewOut = Fixpoint.materialize(
-        named.where(!pred).union(literal(newViewRows.result(), viewSchema))).df
-      val auxOut = Fixpoint.materialize(
-        auxDf.where(!pred).union(literal(newAuxRows.result(), auxSchema))).df
-      // the superseded support table's blocks die with the update
-      // (auxOut is checkpoint-independent of auxDf once materialized)
-      Fixpoint.checkpointRddOf(auxDf).foreach(_.unpersist(false))
-      auxSupportCache(name) = (catalog.version, auxOut)
+      val combSchema = org.apache.spark.sql.types.StructType(
+        combined.schema.fields.map(_.copy(nullable = true)))
+      val rows = newRows.result()
+      val literal = spark.createDataFrame(spark.sparkContext.parallelize(rows,
+        Fixpoint.parallelizeParts(rows.size.toLong)), combSchema)
+      val combinedOut = Fixpoint.materialize(combined.where(!pred).union(literal)).df
+      // the superseded state's blocks die with the update (combinedOut
+      // is checkpoint-independent of `combined` once materialized)
+      Fixpoint.checkpointRddOf(combined).foreach(_.unpersist(false))
+      auxSupportCache(name) = (catalog.version, combinedOut)
       aggDecrementCount += 1
-      Some(viewOut)
+      Some(combinedOut.select(cols.map(col): _*))
     }
 
     private def tryMaintain(name: String): Option[DataFrame] = {
