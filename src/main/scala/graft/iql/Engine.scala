@@ -1576,7 +1576,16 @@ final class Engine(val catalog: Catalog) {
               aux.toDF(dp.columns.toSeq: _*).union(newPairs)).df))
           }
           val vNow = catalog.version
-          auxUpdates.result().foreach { case (k, df) => auxPairsCache(k) = (vNow, df) }
+          auxUpdates.result().foreach { case (k, df) =>
+            // release the superseded pairs table's checkpoint blocks —
+            // the updated table is materialized independent of it, and
+            // leaving them persisted accumulates for the session under
+            // repeated maintenance (the TextAnalysis scratch leak class)
+            auxPairsCache.put(k, (vNow, df)).foreach { case (_, old) =>
+              if (!(old eq df))
+                Fixpoint.checkpointRddOf(old).foreach(_.unpersist(false))
+            }
+          }
           cdMergedCount += 1
           acc.select(cols.map(col): _*)
         }
