@@ -818,6 +818,33 @@ object SparkEntry {
     // --- pipeline: bulk k-NN JOIN — exact top-3 neighbours for EVERY
     //     query row (broadcast queries + per-group window), the
     //     batch-ANN shape large pipelines run nightly ------------------
+    // --- pipeline: SEMANTIC DECONTAMINATION — the embedding-space twin
+    //     of the q120/q136 text-overlap benchmark filters: corpus
+    //     vectors whose best cosine against the (broadcast) benchmark
+    //     set reaches τ are flagged with their strongest match;
+    //     paraphrased eval leakage that n-gram overlap misses ----------
+    "q182_semantic_decontam" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.semanticDecontamination(
+        emb.where(col("vec_id") >= 25), emb.where(col("vec_id") < 25),
+        tau = 0.3)
+    }),
+
+    // --- pipeline: MARGIN-BASED BITEXT MINING (Artetxe & Schwenk, the
+    //     LASER/CCMatrix parallel-corpus miner) — even-id vectors play
+    //     one language side, odd-id the other; each a-side vector keeps
+    //     its best b candidate under the ratio margin over k-NN lists,
+    //     which defeats hub vectors where raw cosine thresholds fail.
+    //     One cosine pair table feeds candidates AND both denominator
+    //     averages ------------------------------------------------------
+    "q181_bitext_margin" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.marginMining(
+        emb.where(pmod(col("vec_id"), lit(2L)) === 0),
+        emb.where(pmod(col("vec_id"), lit(2L)) === 1),
+        k = 4, tau = 1.0)
+    }),
+
     "q64_knn_join" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       val queries = emb.where(col("vec_id") < 5)
@@ -2850,6 +2877,41 @@ object SparkEntry {
         |(1.0 - LEAST(punct_ratio / 0.2, 1.0)) * 0.3) *
         |CASE WHEN n_tokens >= 5 THEN 1.0 ELSE 0.0 END, 6) AS S
         |FROM f""".stripMargin,
+
+    "q182_semantic_decontam" ->
+      """WITH b AS (SELECT vec_id AS bench_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 25),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id >= 25),
+        |s AS (SELECT c.vec_id, b.bench_id,
+        |  list_cosine_similarity(c.v, b.v) AS cos FROM c CROSS JOIN b),
+        |r AS (SELECT vec_id, bench_id, cos,
+        |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, bench_id ASC) AS rn
+        |  FROM s)
+        |SELECT vec_id, bench_id, ROUND(cos, 6) AS cos6
+        |FROM r WHERE rn = 1 AND cos >= 0.3""".stripMargin,
+
+    "q181_bitext_margin" ->
+      """WITH a AS (SELECT vec_id AS a_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id % 2 = 0),
+        |b AS (SELECT vec_id AS b_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id % 2 = 1),
+        |pairs AS (SELECT a_id, b_id, list_cosine_similarity(a.v, b.v) AS cos
+        |  FROM a CROSS JOIN b),
+        |ranked AS (SELECT *,
+        |  ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id ASC) AS ra,
+        |  ROW_NUMBER() OVER (PARTITION BY b_id ORDER BY cos DESC, a_id ASC) AS rb
+        |  FROM pairs),
+        |da AS (SELECT a_id, AVG(cos) AS da FROM ranked WHERE ra <= 4 GROUP BY a_id),
+        |db AS (SELECT b_id, AVG(cos) AS db FROM ranked WHERE rb <= 4 GROUP BY b_id),
+        |cand AS (SELECT r.a_id, r.b_id, r.cos,
+        |  r.cos / ((da.da + db.db) / 2) AS margin
+        |  FROM ranked r JOIN da USING (a_id) JOIN db USING (b_id) WHERE r.ra <= 4),
+        |best AS (SELECT *,
+        |  ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY margin DESC, b_id ASC) AS rk
+        |  FROM cand)
+        |SELECT a_id, b_id, ROUND(cos, 6) AS cos6, ROUND(margin, 6) AS margin6
+        |FROM best WHERE rk = 1 AND margin >= 1.0""".stripMargin,
 
     "q64_knn_join" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv

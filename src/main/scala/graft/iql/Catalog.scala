@@ -35,16 +35,26 @@ final class Catalog(val spark: SparkSession) {
     * non-null only for pure inserts (monotone changes), `rel == "*"`
     * marks a rule-set change that invalidates everything. Bounded. */
   /** `delta` = inserted rows (non-null only for pure inserts); `removed`
-    * = deleted rows (non-null only for exact-tuple deletes, and only the
-    * tuples that were actually present). Both null = opaque change.
+    * = deleted rows (non-null only for exact-tuple deletes; MAY
+    * over-approximate — a plain delete logs the requested literals,
+    * present or not). Both null = opaque change.
     * `rawDelta`, when non-null, is a cheap LOCAL over-approximation of
     * `delta` (the literal inserted batch, NOT anti-joined against the
     * old relation — may contain tuples that were already present).
     * Consumers whose propagation dedups anyway (the TC closure path)
     * read it to avoid executing the exact delta's anti-join plan; exact
-    * consumers (aggregate merge) must keep using `delta`. */
+    * consumers (aggregate merge) must keep using `delta`.
+    * `removedExact`, when non-null, is the lazy presence-semi-joined
+    * EXACT removal set (only tuples actually present at delete time) —
+    * the one consumer that cannot tolerate phantoms (the subtractable-
+    * aggregate DECREMENT path) reads it, paying the semi-join once per
+    * maintenance round; every over-delete-tolerant consumer (DRed, the
+    * TC local path, old-state reconstruction) keeps the free literal
+    * `removed`. Null means `removed` is already exact (conditional
+    * deletes derive their tuples from the data). */
   final case class Change(version: Long, rel: String, delta: DataFrame,
-                          removed: DataFrame = null, rawDelta: DataFrame = null)
+                          removed: DataFrame = null, rawDelta: DataFrame = null,
+                          removedExact: DataFrame = null)
   val changeLog = mutable.ArrayBuffer.empty[Change]
   /** Change listeners (rel, operation): the wire server broadcasts
     * `persistent_update` notifications from here (reference: sessions
@@ -59,8 +69,9 @@ final class Catalog(val spark: SparkSession) {
   }
   private def logChange(rel: String, delta: DataFrame,
                         removed: DataFrame = null,
-                        rawDelta: DataFrame = null): Unit = {
-    changeLog += Change(version, rel, delta, removed, rawDelta)
+                        rawDelta: DataFrame = null,
+                        removedExact: DataFrame = null): Unit = {
+    changeLog += Change(version, rel, delta, removed, rawDelta, removedExact)
     if (changeLog.length > 64) changeLog.remove(0, changeLog.length - 64)
     val op = if (rel == "*") "rule_change"
       else if (delta != null) "insert"
@@ -608,15 +619,15 @@ final class Catalog(val spark: SparkSession) {
       bump()
       val del = spark.createDataFrame(
         spark.sparkContext.parallelize(toRows(rows, df.schema)), df.schema)
-      // removed delta = the requested tuples that were ACTUALLY present
-      // (lazy semi-join against the pre-delete frame — no job at delete
-      // time, evaluated only if maintenance reads the change). Exactness
-      // matters downstream: DRed merely over-deletes less, but the
-      // subtractable-aggregate path DECREMENTS per-group sums/counts by
-      // the vanished bindings, where a phantom removal would corrupt the
-      // view instead of just costing work.
-      logChange(name, null,
-        graft.plans.Fixpoint.semiNullSafe(del.distinct(), df))
+      // `removed` = the requested tuples (deduped) — free, possibly
+      // over-approximate, what every over-delete-tolerant consumer
+      // evaluates repeatedly. `removedExact` = the lazy presence
+      // semi-join against the pre-delete frame, read ONLY by the
+      // subtractable-aggregate decrement, where a phantom removal would
+      // corrupt the view instead of just costing work.
+      val raw = del.distinct()
+      logChange(name, null, raw,
+        removedExact = graft.plans.Fixpoint.semiNullSafe(raw, df))
       relations(name) = graft.plans.Fixpoint.antiNullSafe(df, del, hintBroadcast = true)
       maintainIndexesOnDelete(name, rows, df.schema)
     }
@@ -625,9 +636,9 @@ final class Catalog(val spark: SparkSession) {
   /** Delete the tuples of a derived FRAME (positional; cast to the
     * relation's schema) — the streaming retraction path
     * ([[graft.streaming.Streams.iqlSinkWithRetractions]]): same
-    * change-log shape as [[delete]] (`removed` = the requested tuples
-    * actually present, deduped), so downstream DRed maintenance prunes
-    * exactly as for a batch delete. No driver collect on the data path; only index
+    * change-log shape as [[delete]] (raw `removed` plus the lazy
+    * `removedExact` presence semi-join), so downstream DRed maintenance
+    * prunes exactly as for a batch delete. No driver collect on the data path; only index
     * maintenance samples the frame (cap-gated, rebuild fallback). */
   def deleteDf(name: String, df: DataFrame): Unit = synchronized {
     relations.get(name).foreach { base =>
@@ -644,8 +655,9 @@ final class Catalog(val spark: SparkSession) {
             AnyValue.encodeCol(c, src).as(f.name)
           else c.cast(f.dataType)
         }.toSeq: _*)
-      logChange(name, null, // exact actual removals — see [[delete]]
-        graft.plans.Fixpoint.semiNullSafe(cast.distinct(), base))
+      val raw = cast.distinct()
+      logChange(name, null, raw, // raw + exact split — see [[delete]]
+        removedExact = graft.plans.Fixpoint.semiNullSafe(raw, base))
       relations(name) = graft.plans.Fixpoint.antiNullSafe(base, cast, hintBroadcast = true)
       maintainIndexesOnDeleteFrame(name, cast)
     }

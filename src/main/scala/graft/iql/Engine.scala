@@ -694,9 +694,10 @@ final class Engine(val catalog: Catalog) {
       * (see the call site in [[tryMaintain]]'s aggregate branch).
       * Returns None when the shape is outside the subtractable contract.
       *
-      * Exactness rests on three facts: (1) the change log's `removed`
-      * frames contain only tuples actually present ([[Catalog.delete]]
-      * semi-joins against the pre-state), so no phantom decrements; (2)
+      * Exactness rests on three facts: (1) `removedOf` here is the
+      * netted EXACT removal map (`Change.removedExact` — the lazy
+      * presence semi-join [[Catalog.delete]] logs beside the free raw
+      * literals), so no phantom decrements; (2)
       * with a single occurrence of the single changed relation, a body
       * binding determines the tuple at that occurrence — vanished
       * derivations are exactly the bindings through removed tuples, new
@@ -992,20 +993,34 @@ final class Engine(val catalog: Catalog) {
       //    derivations dedup into the view.
       // All plan-only (lazy) — a batch without mixing folds to the same
       // union-distinct as before, no extra jobs.
-      val (deltaOf, removedOf): (Map[String, DataFrame], Map[String, DataFrame]) = {
+      // removedExactOf mirrors removedOf's fold over the EXACT removal
+      // frames (`Change.removedExact`, falling back to `removed` when
+      // the change is exact by construction) — consumed only by the
+      // subtractable-aggregate decrement, which pays each change's
+      // presence semi-join once per round instead of phantom-corrupting
+      // the view; every over-delete-tolerant consumer stays on the free
+      // raw literals.
+      val (deltaOf, removedOf, removedExactOf): (Map[String, DataFrame],
+          Map[String, DataFrame], Map[String, DataFrame]) = {
         val ins = mutable.HashMap.empty[String, DataFrame]
         val rem = mutable.HashMap.empty[String, DataFrame]
+        val remX = mutable.HashMap.empty[String, DataFrame]
         changes.sortBy(_.version).foreach { c =>
           if (c.removed != null) { // removals first: updates are -old,+new
             val m = c.removed.distinct()
-            val fresh = ins.get(c.rel) match {
-              case Some(i) => Fixpoint.antiNullSafe(m, i)
-              case None => m
+            val mx = (if (c.removedExact != null) c.removedExact else c.removed).distinct()
+            def netIn(acc: mutable.HashMap[String, DataFrame], v: DataFrame): Unit = {
+              val fresh = ins.get(c.rel) match {
+                case Some(i) => Fixpoint.antiNullSafe(v, i)
+                case None => v
+              }
+              acc(c.rel) = acc.get(c.rel) match {
+                case Some(r0) => r0.union(fresh.toDF(r0.columns.toSeq: _*)).distinct()
+                case None => fresh
+              }
             }
-            rem(c.rel) = rem.get(c.rel) match {
-              case Some(r0) => r0.union(fresh.toDF(r0.columns.toSeq: _*)).distinct()
-              case None => fresh
-            }
+            netIn(rem, m)
+            netIn(remX, mx)
             ins.get(c.rel).foreach(i => ins(c.rel) = Fixpoint.antiNullSafe(i, m))
           }
           if (c.delta != null) {
@@ -1016,7 +1031,7 @@ final class Engine(val catalog: Catalog) {
             }
           }
         }
-        (ins.toMap, rem.toMap)
+        (ins.toMap, rem.toMap, remX.toMap)
       }
       val isRecursive = scc.size > 1 || sccRules.exists(_.body.exists {
         case Pos(a) => a.rel == name
@@ -1482,7 +1497,7 @@ final class Engine(val catalog: Catalog) {
         // route through the same path so the table stays current.
         if (hasRemovals || auxSupportCache.get(name).exists(_._1 == v0)) {
           maintainAggSubtractable(name, r, cols, aggSpecs, keyIdxAll,
-            changedOccs, changedRels, deltaOf, removedOf, cached, v0) match {
+            changedOccs, changedRels, deltaOf, removedExactOf, cached, v0) match {
             case Some(df) => return Some(df)
             case None =>
               // outside the subtractable contract: drop a stale support

@@ -155,6 +155,85 @@ object Similarity {
     joined.withColumn("rank", row_number().over(w)).where(col("rank") <= k).drop("rank")
   }
 
+  /** Margin-based BITEXT MINING (Artetxe & Schwenk 2019 — the
+    * LASER/CCMatrix parallel-corpus miner): for every vector of `a`
+    * (one language side), its best `b` candidate under the RATIO
+    * margin
+    *   margin(x,y) = cos(x,y) / ((avgcos_k(x→B) + avgcos_k(y→A)) / 2),
+    * kept when margin ≥ `tau`. The margin normalizes each cosine by
+    * the two directions' k-NN neighborhood densities, which is what
+    * separates true translation pairs from hubs — raw cosine
+    * thresholds famously fail on hub vectors that are near everything.
+    *
+    * Returns (a_id, b_id, cos6, margin6) — one row per mined a-side
+    * vector, scores rounded to 6 dp.
+    *
+    * Scale shape: ONE cosine pair table feeds everything — the
+    * candidate lists AND both denominator averages are per-side top-k
+    * windows over the same pairs, so pair scoring (the expensive part)
+    * is paid once and margins touch only candidate rows. Pair
+    * generation here is the broadcast cross-join (right for a
+    * broadcastable side); above that bound the generator — not the
+    * margin algebra — swaps for the IVF-cell-blocked equi-join
+    * ([[ivfAssign]] both sides, join on cell) exactly as production
+    * miners shard by LSH/IVF bucket. */
+  def marginMining(a: DataFrame, b: DataFrame, k: Int = 4, tau: Double = 1.0,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, "need k >= 1 neighbours for the margin denominator")
+    val pa = a.select(col(idCol).as("a_id"), col(vecCol).as("av"))
+    val pb = b.select(col(idCol).as("b_id"), col(vecCol).as("bv"))
+    val pairs = pa.crossJoin(broadcast(pb))
+      .select(col("a_id"), col("b_id"),
+        VF.cosineSimilarity(col("av"), col("bv")).as("cos"))
+    val wa = Window.partitionBy("a_id").orderBy(col("cos").desc, col("b_id").asc)
+    val wb = Window.partitionBy("b_id").orderBy(col("cos").desc, col("a_id").asc)
+    val ranked = pairs
+      .withColumn("ra", row_number().over(wa))
+      .withColumn("rb", row_number().over(wb))
+      .where(col("ra") <= k || col("rb") <= k)
+    val da = ranked.where(col("ra") <= k).groupBy("a_id").agg(avg("cos").as("da"))
+    val db = ranked.where(col("rb") <= k).groupBy("b_id").agg(avg("cos").as("db"))
+    val cand = ranked.where(col("ra") <= k) // forward mining: a's k-NN list
+      .join(da, Seq("a_id")).join(db, Seq("b_id"))
+      .withColumn("margin", col("cos") / ((col("da") + col("db")) / 2))
+    val wBest = Window.partitionBy("a_id").orderBy(col("margin").desc, col("b_id").asc)
+    cand.withColumn("__rk", row_number().over(wBest))
+      .where(col("__rk") === 1 && col("margin") >= tau)
+      .select(col("a_id"), col("b_id"),
+        round(col("cos"), 6).as("cos6"), round(col("margin"), 6).as("margin6"))
+  }
+
+  /** SEMANTIC decontamination — the embedding-space twin of the
+    * text-overlap benchmark filters ([[Dedup.decontaminateBloom]],
+    * q120/q136): flag corpus vectors whose best cosine against ANY
+    * benchmark vector reaches `tau` (paraphrased eval leakage that
+    * n-gram overlap misses). Returns (idCol, bench_id, cos6) — one row
+    * per flagged corpus vector with its strongest benchmark match
+    * (ties to the smaller benchmark id); dropping them is one
+    * anti-join for the caller.
+    *
+    * Scale shape: the benchmark side is SMALL by nature (eval suites,
+    * not corpora) — it broadcasts, the corpus side is ONE scan, and
+    * the per-row argmax partial-aggregates map-side (max of a
+    * (cos, -bench_id) struct), so the only shuffle carries one slim
+    * row per SCORED corpus vector. No corpus-side explode survives
+    * the exchange. */
+  def semanticDecontamination(corpus: DataFrame, bench: DataFrame,
+                              tau: Double,
+                              idCol: String = "vec_id",
+                              vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("__cid"), col(vecCol).as("__cv"))
+    val b = bench.select(col(idCol).as("__bid"), col(vecCol).as("__bv"))
+    c.crossJoin(broadcast(b))
+      .select(col("__cid"),
+        struct(VF.cosineSimilarity(col("__cv"), col("__bv")).as("cos"),
+          (col("__bid") * -1).as("nb")).as("s"))
+      .groupBy("__cid").agg(max(col("s")).as("m"))
+      .where(col("m.cos") >= tau)
+      .select(col("__cid").as(idCol), (col("m.nb") * -1).as("bench_id"),
+        round(col("m.cos"), 6).as("cos6"))
+  }
+
   /** IVF cell id for every vector: nearest of `nCells` deterministic
     * seeded centroids (sampled data points at scale; here seeded Gaussian
     * directions which is equivalent for bucketing purposes). */

@@ -108,10 +108,11 @@ object Fixpoint {
     * when the relation has ≤ cap of them, None otherwise. The cache key is
     * the canonicalized logical plan, so the bound and full variants of the
     * same query (q54/q55: both scan the same edge relation) pay ONE
-    * collect between them. Only identity-pinned plans are cacheable
-    * (see [[cacheSafe]]): checkpoint-derived plans embed their RDD, so
-    * a changed relation can never produce a false hit, while file-scan
-    * plans bypass the cache entirely. */
+    * collect between them. Soundness comes from [[cacheSalt]]:
+    * checkpoint-derived plans embed their RDD identity, and file-scan
+    * leaves contribute their current file-listing fingerprint to the
+    * key — a changed or rewritten relation can never produce a false
+    * hit. */
   private val collectCache =
     new java.util.LinkedHashMap[(SparkSession, Any), Array[org.apache.spark.sql.Row]](16, 0.75f, true) {
       override def removeEldestEntry(
@@ -119,24 +120,42 @@ object Fixpoint {
         size > 8
     }
 
-  /** The cache is only sound when the plan's leaves pin their data by
-    * IDENTITY: checkpoint RDDs (all IQL paths) and literal local
-    * relations. A file-source leaf (`spark.read.parquet(path)`) names a
-    * LOCATION — rewriting its files in place between two calls would let
-    * a canonicalized-plan hit serve the old rows — so those plans skip
-    * the cache and simply pay their own collect. */
-  private def cacheSafe(df: DataFrame): Boolean =
-    df.queryExecution.analyzed.collectLeaves().forall {
-      case _: org.apache.spark.sql.execution.LogicalRDD => true
-      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
-      case _: org.apache.spark.sql.catalyst.plans.logical.OneRowRelation => true
-      case _ => false
+  /** Cache-soundness salt for a plan. The cache is sound when every
+    * leaf pins its data: checkpoint RDDs and literal relations pin by
+    * IDENTITY (the canonicalized plan embeds them — salt not needed),
+    * `Range` is pure by construction, and a FILE-source leaf
+    * (`spark.read.parquet(path)`) pins by CONTENT FINGERPRINT — its
+    * current file listing + total size enter the key, so rewriting the
+    * files in place between two calls changes the key instead of
+    * serving stale rows (Spark overwrite always lands new part-file
+    * names; a byte-in-place mutation outside Spark with identical
+    * names and sizes is outside the contract, exactly as for Spark's
+    * own FileIndex caching). Anything else → None → uncacheable. */
+  private def cacheSalt(df: DataFrame): Option[Seq[Any]] = {
+    val salts = df.queryExecution.analyzed.collectLeaves().map {
+      case _: org.apache.spark.sql.execution.LogicalRDD => "rdd"
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => "local"
+      case _: org.apache.spark.sql.catalyst.plans.logical.OneRowRelation => "one"
+      case _: org.apache.spark.sql.catalyst.plans.logical.Range => "range"
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            val files = fs.location.inputFiles
+            if (files.length > 4096) return None // listing too big to key
+            (java.util.Arrays.hashCode(files.asInstanceOf[Array[AnyRef]]),
+              fs.sizeInBytes)
+          case _ => return None
+        }
+      case _ => return None
     }
+    Some(salts.toSeq)
+  }
 
   private[graft] def collectUpTo(df: DataFrame, cap: Long): Option[Array[org.apache.spark.sql.Row]] = {
-    val safe = cacheSafe(df)
-    val key = (df.sparkSession, df.queryExecution.analyzed.canonicalized: Any)
-    if (safe) collectCache.synchronized {
+    val salt = cacheSalt(df)
+    val key = (df.sparkSession,
+      (df.queryExecution.analyzed.canonicalized, salt): Any)
+    if (salt.isDefined) collectCache.synchronized {
       val hit = collectCache.get(key)
       if (hit != null) return Some(hit)
     }
@@ -145,7 +164,7 @@ object Fixpoint {
     else {
       // don't pin very large results in the cache — re-collecting a rare
       // million-row closure beats holding 8 × ~100 MB on the driver
-      if (safe && rows.length <= 200000)
+      if (salt.isDefined && rows.length <= 200000)
         collectCache.synchronized { collectCache.put(key, rows) }
       Some(rows)
     }

@@ -176,6 +176,28 @@ class PlanQualitySpec extends SparkSpec {
       s"pair-dedup aggregation came back:\n$plan")
   }
 
+  test("semantic decontam broadcasts the benchmark and partial-aggregates the argmax") {
+    assume(new java.io.File(s"$sf/embeddings.parquet").exists)
+    val plan = planOf("q182_semantic_decontam")
+    // the benchmark set broadcasts (eval suites are small by nature)...
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
+    // ...and the per-corpus-row argmax combines map-side, so the only
+    // exchange carries one slim row per corpus vector, never the
+    // corpus × benchmark cross product
+    assert(plan.contains("partial_max") || plan.contains("HashAggregate(keys=[__cid"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("bitext margin mining computes its pair table once") {
+    assume(new java.io.File(s"$sf/embeddings.parquet").exists)
+    val plan = planOf("q181_bitext_margin")
+    // one broadcast pair generation; the two directional rank windows
+    // and both denominator averages all read the same scored pairs —
+    // no second cosine evaluation pass, no cartesian product
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("pca projection and hard negatives keep their scale shapes") {
     assume(new java.io.File(s"$sf/embeddings.parquet").exists)
     // projection with a trained model is map-only (model rides as

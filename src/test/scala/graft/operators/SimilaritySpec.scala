@@ -15,6 +15,37 @@ class SimilaritySpec extends SparkSpec {
   private lazy val query = emb.where(col("vec_id") === 0)
     .select(col("embedding")).head().getSeq[Float](0)
 
+  test("margin mining finds planted translations and rejects hub vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def unit(v: Array[Float]): Seq[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n).toSeq
+    }
+    def randv(): Array[Float] = Array.fill(16)(rnd.nextGaussian().toFloat)
+    // A side: 8 distinct directions; B side: near-copies of each
+    // (planted translations) + one HUB close to everything (the mean
+    // direction plus tiny noise) whose raw cosine to several A vectors
+    // beats some planted pairs
+    val aVecs = (0 until 8).map(i => i.toLong * 2 -> randv())
+    val mean = Array.tabulate(16)(j => aVecs.map(_._2(j)).sum / 8)
+    val bPlanted = aVecs.map { case (id, v) =>
+      (id + 1) -> unit(v.map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+    }
+    val hub = 999L -> unit(mean.map(x => x * 4f)) // same direction as the mean
+    val a = aVecs.map { case (id, v) => (id, unit(v)) }.toDF("vec_id", "embedding")
+    val b = (bPlanted :+ hub).toDF("vec_id", "embedding")
+    val mined = Similarity.marginMining(a, b, k = 3, tau = 1.0)
+      .select("a_id", "b_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every a finds ITS planted partner — never the hub, which the
+    // margin denominator (the hub is in everyone's k-NN list, so both
+    // averages absorb it) pushes below the planted pair
+    aVecs.foreach { case (id, _) =>
+      assert(mined.get(id).contains(id + 1),
+        s"a=$id mined ${mined.get(id)}, expected planted ${id + 1}") }
+    assert(!mined.values.toSet.contains(999L), "hub vector must not be mined")
+  }
+
   test("k-means centroids are deterministic and improve over iterations") {
     val c1 = Similarity.kmeansCentroids(emb, k = 8, iters = 2)
     val c2 = Similarity.kmeansCentroids(emb, k = 8, iters = 2)
