@@ -1633,6 +1633,34 @@ object SparkEntry {
       e.run("?dtot(D, S, C)").last // round 2 rides the carried table // decrement-maintained, never recomputed
     }),
 
+    // --- IQL: COUNT_DISTINCT retraction — deletes maintain through the
+    //     support-counted pairs tables: a value leaves a group's
+    //     distinct count only when its LAST supporting binding goes
+    //     (the even-id conditional delete removes SOME supports of
+    //     surviving values), and a whole dept dies cleanly; both rounds
+    //     decrement-maintained (EngineSpec pins the counters) ----------
+    "q183_iql_cd_retract" -> ((s, dir) => {
+      val e = iqlEngine(s, dir)
+      e.catalog.register("cemp2", T(s, dir, "orders").select(
+        col("o_orderkey").as("id"),
+        pmod(col("o_custkey"), lit(100L)).as("dept"),
+        pmod(floor(col("o_totalprice")).cast("long"), lit(500L)).as("sal")))
+      e.run(
+        """+cdt(D, count_distinct<S>, count<S>) <- cemp2(I, D, S)
+          |?cdt(D, C, N)
+          |""".stripMargin)
+      // ONE netted maintenance round covering both delete semantics:
+      // whole-group death (dept 7) and partial-support deletes (even-id
+      // sub-250 rows of dept 11 — surviving odd-id bindings keep their
+      // values' distinct counts alive); EngineSpec pins the multi-round
+      // carried-table behavior separately
+      e.run(
+        """-cemp2(I, D, S) <- cemp2(I, D, S), D = 7
+          |-cemp2(I, D, S) <- cemp2(I, D, S), D = 11, S < 250, I % 2 = 0
+          |""".stripMargin)
+      e.run("?cdt(D, C, N)").last // decrement-maintained via the pairs
+    }),
+
     "q93_iql_dirty_group_avg" -> ((s, dir) => {
       val e = iqlEngine(s, dir)
       e.catalog.register("aemp", T(s, dir, "orders").select(
@@ -3550,6 +3578,16 @@ object SparkEntry {
         |  CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS S,
         |  COUNT(*) AS C
         |FROM orders WHERE o_custkey % 50 <> 7 GROUP BY 1""".stripMargin,
+
+    // final state: dept 7 gone; dept 11 loses its even-id sub-250 rows
+    "q183_iql_cd_retract" ->
+      """WITH cemp2 AS (
+        |SELECT o_orderkey AS id, o_custkey % 100 AS dept,
+        |       CAST(FLOOR(o_totalprice) AS BIGINT) % 500 AS sal FROM orders)
+        |SELECT dept AS D, COUNT(DISTINCT sal) AS C, COUNT(*) AS N
+        |FROM cemp2
+        |WHERE dept <> 7 AND NOT (dept = 11 AND sal < 250 AND id % 2 = 0)
+        |GROUP BY dept""".stripMargin,
 
     // 900000003 is inserted then deleted before the re-query — absent
     "q93_iql_dirty_group_avg" ->

@@ -189,16 +189,20 @@ final class Engine(val catalog: Catalog) {
   private[graft] var maintainedCount: Long = 0L
 
   /** Auxiliary per-view COUNT_DISTINCT state: for a maintained view with
-    * a count_distinct head column, the distinct (group-keys, value)
-    * binding pairs at the stored version — what makes count_distinct
-    * maintenance O(delta) (new pairs anti-join this table; per-group
-    * increments merge by addition) instead of per-dirty-group
-    * recomputation. Keyed (view, head column index); seeded lazily from
-    * the pre-change body state on the first maintenance round, carried
-    * forward materialized thereafter. The reference keeps the analogous
-    * per-group multiset in its DD arrangements
-    * (`src/derived_relations.rs:1-60`). Bounded: one entry per
-    * count_distinct column of a maintained view, newest version only. */
+    * a count_distinct head column, the (group-keys, value) binding
+    * pairs at the stored version WITH their binding-support counts
+    * (`__s`) — what makes count_distinct maintenance O(delta) in both
+    * directions: inserts anti-join for genuinely-new pairs (per-group
+    * increments merge by addition) and bump supports of matched pairs;
+    * deletes decrement supports, and only a pair whose LAST binding
+    * goes (support hits 0) decrements the distinct count — per-group
+    * multiset semantics without per-dirty-group recomputation. Keyed
+    * (view, head column index); seeded lazily from the pre-change body
+    * state on the first maintenance round, carried forward materialized
+    * thereafter. The reference keeps the analogous per-group multiset
+    * in its DD arrangements (`src/derived_relations.rs:1-60`). Bounded:
+    * one entry per count_distinct column of a maintained view, newest
+    * version only. */
   private val auxPairsCache =
     mutable.HashMap.empty[(String, Int), (Long, DataFrame)]
   /** Observability: count_distinct delta-merges served (tests pin the
@@ -495,6 +499,23 @@ final class Engine(val catalog: Catalog) {
 
   // ------------------------------------------------------------ deletes
 
+  /** Bounded persist pool for DERIVED removal frames (conditional
+    * deletes, atomic updates): the logged `removed` plan is a semi-join
+    * the maintenance machinery evaluates several times per round (ΔG
+    * bindings, touched pairs, old-state seeds, netting antis) — persist
+    * caches the one evaluation. Plain `persist`, NOT a checkpoint:
+    * lineage survives, so when the pool evicts an old frame a late
+    * consumer silently recomputes instead of crashing on lost blocks. */
+  private val persistedRemovals = mutable.Queue.empty[DataFrame]
+  private def persistRemoval(df: DataFrame): DataFrame = synchronized {
+    val p = df.persist()
+    persistedRemovals.enqueue(p)
+    while (persistedRemovals.size > 16)
+      try persistedRemovals.dequeue().unpersist(false)
+      catch { case _: Throwable => () }
+    p
+  }
+
   private def deleteWhere(atom: Atom, body: Seq[BodyElem]): Unit = {
     if (catalog.relation(atom.rel).isEmpty) {
       // `-head(args) <- body` naming a RULE head: remove the structurally
@@ -527,7 +548,7 @@ final class Engine(val catalog: Catalog) {
     // conditional delete is a maintainable exact-tuple retraction, not
     // an opaque invalidation (reference: every delete feeds derived
     // relations as a (data, time, -1) update, src/derived_relations.rs)
-    val removed = rel.join(matching, rel.columns.toSeq, "left_semi")
+    val removed = persistRemoval(rel.join(matching, rel.columns.toSeq, "left_semi"))
     catalog.replace(atom.rel, rel.join(matching, rel.columns.toSeq, "left_anti"), removed)
   }
 
@@ -555,7 +576,8 @@ final class Engine(val catalog: Catalog) {
     // removed = matching tuples actually present, logged exactly (like
     // deleteWhere) so the update is a maintainable delete+insert batch
     // for downstream views, not an opaque invalidation
-    val removedRows = delRel.join(delMatch, delRel.columns.toSeq, "left_semi")
+    val removedRows = persistRemoval(
+      delRel.join(delMatch, delRel.columns.toSeq, "left_semi"))
     catalog.replace(del.rel, newDel, removedRows)
     catalog.appendDf(ins.rel, insDf)
   }
@@ -721,8 +743,8 @@ final class Engine(val catalog: Catalog) {
         deltaOf: Map[String, DataFrame], removedOf: Map[String, DataFrame],
         cached: DataFrame, v0: Long): Option[DataFrame] = {
       if (changedOccs.length != 1 || keyIdx.isEmpty) return None
-      if (aggSpecs.isEmpty ||
-          !aggSpecs.forall { case (f, _) => f == "sum" || f == "count" }) return None
+      if (aggSpecs.isEmpty || !aggSpecs.forall { case (f, _) =>
+        f == "sum" || f == "count" || f == "count_distinct" }) return None
       val changedRel = r.body(changedOccs.head) match {
         case Pos(a) => a.rel
         case _ => return None
@@ -737,6 +759,11 @@ final class Engine(val catalog: Catalog) {
       val sumArgOf: Map[Int, Term] = r.head.args.zipWithIndex.collect {
         case (Agg("sum", t), i) => i -> t
       }.toMap
+      // count_distinct columns maintain through the support-counted
+      // PAIRS tables ([[auxPairsCache]]) — per-pair births/deaths below
+      val cdSpecsS: Seq[(Term, Int)] = r.head.args.zipWithIndex.collect {
+        case (Agg("count_distinct", t), i) => (t, i)
+      }
       val kLen = keyIdx.length
       val keyNames = keyIdx.map(i => s"c$i")
 
@@ -746,17 +773,19 @@ final class Engine(val catalog: Catalog) {
             (nm, ar) => resolve(nm, ar)),
           hnswFrame, catalog.statRows)
 
+      val parts = Seq(removedOf.get(changedRel).map(b => (b, -1L)),
+        deltaOf.get(changedRel).map(b => (b, 1L))).flatten
+      if (parts.isEmpty) return Some(cached)
+
       // signed per-binding contributions; aggregated once into ΔG
       object SubBail extends scala.util.control.ControlThrowable
       val dG = try {
-        val parts = Seq(removedOf.get(changedRel).map(b => (b, -1L)),
-          deltaOf.get(changedRel).map(b => (b, 1L))).flatten
-        if (parts.isEmpty) return Some(cached)
         val signedFrames = parts.map { case (b, sgn) =>
           val bf = bindingsOf(b)
           val keyExprs = keyIdx.map(i => RuleCompiler.term(r.head.args(i), bf).as(s"c$i"))
           val contrib = aggSpecs.map { case (f, i) =>
             if (f == "count") lit(sgn).as(s"__v$i")
+            else if (f == "count_distinct") lit(0L).as(s"__v$i") // pairs path
             else {
               val c0 = RuleCompiler.term(sumArgOf(i), bf)
               val dt = try Some(bf.select(c0).schema.head.dataType)
@@ -773,18 +802,48 @@ final class Engine(val catalog: Catalog) {
             val c0 = RuleCompiler.term(sumArgOf(i), bf)
             when(c0.isNull, lit(0L)).otherwise(lit(sgn)).as(s"__nn$i")
           }
-          bf.select(keyExprs ++ contrib ++ Seq(lit(sgn).as("__dn")) ++ nnCols: _*)
+          // single-cd FUSION: aggregate at (keys, cd value) grain —
+          // nulls kept — so ONE aggregation + collect serves both the
+          // per-key ΔG rollup (driver-side) and the touched-pairs set;
+          // multi-cd views keep the key-grain pass (their pair grains
+          // differ per column)
+          val fusedCols = cdSpecsS match {
+            case Seq((arg, _)) =>
+              Seq(RuleCompiler.term(arg, bf).as("__v"), lit(sgn).as("__c"))
+            case _ => Seq.empty
+          }
+          bf.select(keyExprs ++ contrib ++ Seq(lit(sgn).as("__dn")) ++
+            nnCols ++ fusedCols: _*)
         }
+        val grain: Seq[String] =
+          if (cdSpecsS.length == 1) keyNames :+ "__v" else keyNames
+        val aggsOut =
+          aggSpecs.map { case (_, i) => sum(col(s"__v$i")).as(s"__v$i") } ++
+          Seq(sum(col("__dn")).as("__dn")) ++
+          sumSpecs.map(i => sum(col(s"__nn$i")).as(s"__nn$i")) ++
+          (if (cdSpecsS.length == 1) Seq(sum(col("__c")).as("__c")) else Seq.empty)
         signedFrames.reduce(_ unionByName _)
-          .groupBy(keyNames.map(col): _*)
-          .agg(sum(col(s"__v${aggSpecs.head._2}")).as(s"__v${aggSpecs.head._2}"),
-            (aggSpecs.tail.map { case (_, i) => sum(col(s"__v$i")).as(s"__v$i") } ++
-             Seq(sum(col("__dn")).as("__dn")) ++
-             sumSpecs.map(i => sum(col(s"__nn$i")).as(s"__nn$i"))): _*)
+          .groupBy(grain.map(col): _*)
+          .agg(aggsOut.head, aggsOut.tail: _*)
       } catch { case SubBail => return None }
-      // bounded dirty-group set; past the cap dirty-group recomputation
-      // is the better plan anyway
-      val dirty = dG.limit(1025).collect()
+      // bounded dirty set; past the cap dirty-group recomputation is
+      // the better plan anyway (pair grain under single-cd fusion)
+      val fused = cdSpecsS.length == 1
+      val dirtyRaw = dG.limit(2050).collect()
+      if (dirtyRaw.length > (if (fused) 2048 else 1024)) return None
+      // under fusion, roll the pair-grain rows up to key grain in
+      // memory: same row layout (keys ++ __v_i ++ __dn ++ __nn_i) as
+      // the key-grain aggregation emits directly
+      val dirty: Array[org.apache.spark.sql.Row] =
+        if (!fused) dirtyRaw
+        else {
+          val byKey = dirtyRaw.groupBy(row => (0 until kLen).map(row.get))
+          byKey.iterator.map { case (k, rows) =>
+            val sums = (kLen + 1 until kLen + 1 + aggSpecs.length + 1 + sumSpecs.length)
+              .map(p => rows.map(_.getLong(p)).sum)
+            org.apache.spark.sql.Row.fromSeq(k ++ sums)
+          }.toArray
+        }
       if (dirty.length > 1024) return None
       if (dirty.isEmpty) {
         // nothing changed in this view: keep the support table current
@@ -813,6 +872,26 @@ final class Engine(val catalog: Catalog) {
       val dMap: Map[Seq[Any], org.apache.spark.sql.Row] =
         dirty.map(row => (0 until kLen).map(j => normKey(row.get(j))).toSeq -> row).toMap
 
+      // dirty-row selection/exclusion via BROADCAST semi/anti joins
+      // against a literal key frame — never a reduce-built OR predicate
+      // (a 1000-term Or tree overflows the column-conversion stack, and
+      // a join is what the predicate was emulating anyway)
+      def keyLit(keys: Iterable[Seq[Any]], schemaFrom: DataFrame,
+                 names: Seq[String]): DataFrame = {
+        val schema = org.apache.spark.sql.types.StructType(
+          names.map(n => schemaFrom.schema(n).copy(nullable = true)))
+        catalog.spark.createDataFrame(
+          catalog.spark.sparkContext.parallelize(
+            keys.iterator.map(k => org.apache.spark.sql.Row.fromSeq(k)).toSeq, 1),
+          schema)
+      }
+      def sideOn(big: DataFrame, small: DataFrame, names: Seq[String],
+                 anti: Boolean): DataFrame = {
+        val cond = names.map(c => col(s"__b.`$c`") <=> col(s"__s.`$c`")).reduce(_ && _)
+        big.alias("__b").join(broadcast(small.alias("__s")), cond,
+          if (anti) "left_anti" else "left_semi")
+      }
+
       // COMBINED per-group state: the view row PLUS its support counts
       // in one materialized frame — the returned view is a projection of
       // it. One frame means one dirty collect and one update pass per
@@ -821,24 +900,38 @@ final class Engine(val catalog: Catalog) {
       // this halves the jobs. Carried forward when the version matches,
       // else seeded from the pre-change body state (one grouped pass,
       // head aggregates via the same aggFunc the evaluator uses).
+      // EXACT pre-change state of the changed rel (removedOf here is
+      // the exact netted map): what both seeds reconstruct against
+      val oldResolver: RuleCompiler.Resolver = (nm, ar) => {
+        val cur = resolve(nm, ar)
+        if (nm == changedRel) {
+          val mid = deltaOf.get(changedRel) match {
+            case Some(d) => Fixpoint.antiNullSafe(cur, d.toDF(cur.columns.toSeq: _*))
+            case None => cur
+          }
+          removedOf.get(changedRel) match {
+            case Some(rm) => mid.union(rm.toDF(cur.columns.toSeq: _*)).distinct()
+            case None => mid
+          }
+        } else cur
+      }
+      // the OLD-state body bindings, evaluated ONCE and shared by the
+      // combined seed and every cd pairs seed (each is a cheap grouped
+      // pass over the checkpoint instead of a full body re-evaluation);
+      // released before returning on every path
+      var oldBck: Option[DataFrame] = None
+      lazy val oldB: DataFrame = {
+        val ck = RuleCompiler.compileBody(r.body, oldResolver,
+          hnswFrame, catalog.statRows).localCheckpoint(true)
+        oldBck = Some(ck)
+        ck
+      }
+      def releaseOldB(): Unit = oldBck.foreach(df =>
+        Fixpoint.checkpointRddOf(df).foreach(_.unpersist(false)))
       val combined = auxSupportCache.get(name) match {
         case Some((v, df)) if v == v0 => df
         case _ =>
           auxSupportSeeds += 1
-          val oldResolver: RuleCompiler.Resolver = (nm, ar) => {
-            val cur = resolve(nm, ar)
-            if (nm == changedRel) {
-              val mid = deltaOf.get(changedRel) match {
-                case Some(d) => Fixpoint.antiNullSafe(cur, d.toDF(cur.columns.toSeq: _*))
-                case None => cur
-              }
-              removedOf.get(changedRel) match {
-                case Some(rm) => mid.union(rm.toDF(cur.columns.toSeq: _*)).distinct()
-                case None => mid
-              }
-            } else cur
-          }
-          val oldB = RuleCompiler.compileBody(r.body, oldResolver, hnswFrame, catalog.statRows)
           val sKeys = keyIdx.map(i => RuleCompiler.term(r.head.args(i), oldB).as(s"c$i"))
           val sAggs = r.head.args.zipWithIndex.collect {
             case (Agg(f, arg), i) => aggFunc(f, arg, oldB).as(s"c$i")
@@ -849,11 +942,119 @@ final class Engine(val catalog: Catalog) {
             .select(cols.map(col) ++ Seq(col("__n")) ++
               sumSpecs.map(i => col(s"__nn$i")): _*)).df
       }
-      val pred = dMap.keysIterator.map { k =>
-        (0 until kLen).map(j => col(keyNames(j)) <=> lit(k(j))).reduce(_ && _)
-      }.reduce(_ || _)
-      val dirtyCombined = combined.where(pred).limit(2050).collect()
-      if (dirtyCombined.length > 2048) return None
+      val dirtyKeysDf = keyLit(dMap.keys, combined, keyNames)
+      val dirtyCombined = sideOn(combined, dirtyKeysDf, keyNames, anti = false)
+        .limit(2050).collect()
+      if (dirtyCombined.length > 2048) { releaseOldB(); return None }
+
+      // ---- count_distinct: per-pair support math over the pairs
+      // tables. Touched pairs = the signed bindings' (keys, value)
+      // pairs with net binding-count deltas; a pair BORN (support
+      // 0 → >0) bumps its group's distinct count, a pair DYING
+      // (support → 0) decrements it. All driver-side over the bounded
+      // touched set; the pairs table itself updates in one map-only
+      // pass (literal pair predicate), like the combined frame.
+      val cdBorn = mutable.HashMap.empty[(Seq[Any], Int), Long]
+      val cdDied = mutable.HashMap.empty[(Seq[Any], Int), Long]
+      val cdAuxNew = Seq.newBuilder[((String, Int), DataFrame, DataFrame)]
+      // freshly-seeded pairs tables to release if a later column bails
+      val cdSeeded = mutable.ArrayBuffer.empty[DataFrame]
+      if (cdSpecsS.nonEmpty) {
+        // __c sits last in the fused pair-grain rows
+        val cPos = kLen + 1 + aggSpecs.length + 1 + sumSpecs.length
+        val ok = cdSpecsS.forall { case (arg, i) =>
+          val touched: Array[(Seq[Any], Long)] =
+            if (fused)
+              // already collected by the fused pass: non-null cd values
+              // with a net signed binding delta
+              dirtyRaw.iterator
+                .filter(row => row.get(kLen) != null && row.getLong(cPos) != 0L)
+                .map(row => ((0 to kLen).map(j => row.get(j)).toSeq,
+                  row.getLong(cPos))).toArray
+            else {
+              val frames = parts.map { case (b, sgn) =>
+                val bf = bindingsOf(b)
+                bf.select(keyIdx.map(j =>
+                    RuleCompiler.term(r.head.args(j), bf).as(s"c$j")) :+
+                  RuleCompiler.term(arg, bf).as("__v"): _*)
+                  .where(col("__v").isNotNull)
+                  .withColumn("__c", lit(sgn))
+              }
+              frames.reduce(_ unionByName _)
+                .groupBy((keyNames :+ "__v").map(col): _*)
+                .agg(sum(col("__c")).as("__dc"))
+                .where(col("__dc") =!= 0)
+                .limit(2050).collect()
+                .map(row => ((0 to kLen).map(j => row.get(j)).toSeq,
+                  row.getLong(kLen + 1)))
+            }
+          if (touched.length > 2048 ||
+              touched.exists { case (p, _) => !keyOk(p(kLen)) }) false
+          else {
+            val tMap = touched.map { case (p, dc) =>
+              (p.map(normKey), dc)
+            }.toMap
+            val auxP = auxPairsCache.get((name, i)) match {
+              case Some((v, df)) if v == v0 =>
+                df.toDF((keyNames :+ "__v" :+ "__s"): _*)
+              case _ =>
+                val seeded = Fixpoint.materialize(oldB
+                  .select(keyIdx.map(j =>
+                      RuleCompiler.term(r.head.args(j), oldB).as(s"c$j")) :+
+                    RuleCompiler.term(arg, oldB).as("__v"): _*)
+                  .where(col("__v").isNotNull)
+                  .groupBy((keyNames :+ "__v").map(col): _*)
+                  .agg(count(lit(1)).as("__s"))).df
+                cdSeeded += seeded
+                seeded
+            }
+            val pairNames = keyNames :+ "__v"
+            val touchedDf = keyLit(tMap.keys, auxP, pairNames)
+            val auxTouched = sideOn(auxP, touchedDf, pairNames, anti = false)
+              .limit(2050).collect()
+            if (auxTouched.length > 2048) false
+            else {
+              val sMap: Map[Seq[Any], Long] = auxTouched.map { row =>
+                ((0 to kLen).map(j => normKey(row.get(j))): Seq[Any]) ->
+                  row.getLong(kLen + 1)
+              }.toMap
+              val alive = Seq.newBuilder[org.apache.spark.sql.Row]
+              var sane = true
+              tMap.foreach { case (p, dc) =>
+                val s0 = sMap.getOrElse(p, 0L)
+                val s1 = s0 + dc
+                if (s1 < 0) sane = false // would need a phantom removal
+                val key = p.take(kLen)
+                if (s0 == 0L && s1 > 0L)
+                  cdBorn((key, i)) = cdBorn.getOrElse((key, i), 0L) + 1
+                if (s0 > 0L && s1 <= 0L)
+                  cdDied((key, i)) = cdDied.getOrElse((key, i), 0L) + 1
+                if (s1 > 0L)
+                  alive += org.apache.spark.sql.Row.fromSeq(p :+ s1)
+              }
+              if (!sane) false
+              else {
+                cdAuxNew += (((name, i),
+                  sideOn(auxP, touchedDf, pairNames, anti = true), {
+                    val sp = catalog.spark
+                    val schema = org.apache.spark.sql.types.StructType(
+                      auxP.schema.fields.map(_.copy(nullable = true)))
+                    val rows = alive.result()
+                    sp.createDataFrame(sp.sparkContext.parallelize(rows,
+                      Fixpoint.parallelizeParts(rows.size.toLong)), schema)
+                  }))
+                true
+              }
+            }
+          }
+        }
+        if (!ok) {
+          cdSeeded.foreach(df =>
+            Fixpoint.checkpointRddOf(df).foreach(_.unpersist(false)))
+          releaseOldB()
+          return None
+        }
+      }
       val nPos = cols.length
       val nnPosC = sumSpecs.zipWithIndex.map { case (i, p) =>
         i -> (cols.length + 1 + p) }.toMap
@@ -868,17 +1069,21 @@ final class Engine(val catalog: Catalog) {
         if (n1 > 0) {
           val nn1 = sumSpecs.map(i => i ->
             (old.map(_.getLong(nnPosC(i))).getOrElse(0L) + dRow.getLong(nnPos(i)))).toMap
+          val cdIdxSet = cdSpecsS.map(_._2).toSet
           val vals = cols.indices.map { i =>
             val kp = keyIdx.indexOf(i)
             if (kp >= 0) k(kp)
             else { // aggregate column
               val oldV = old.map(_.get(i)).orNull
-              val dV = dRow.getLong(vPos(i))
-              if (sumArgOf.contains(i)) { // sum
-                if (nn1(i) == 0L) null
-                else (if (oldV == null) 0L
-                      else oldV.asInstanceOf[Long]) + dV
-              } else (if (oldV == null) 0L else oldV.asInstanceOf[Long]) + dV
+              val base = if (oldV == null) 0L else oldV.asInstanceOf[Long]
+              if (cdIdxSet(i)) // count_distinct: pair births − deaths
+                base + cdBorn.getOrElse((k, i), 0L) - cdDied.getOrElse((k, i), 0L)
+              else {
+                val dV = dRow.getLong(vPos(i))
+                if (sumArgOf.contains(i)) { // sum
+                  if (nn1(i) == 0L) null else base + dV
+                } else base + dV
+              }
             }
           } ++ Seq(n1) ++ sumSpecs.map(nn1)
           newRows += org.apache.spark.sql.Row.fromSeq(vals)
@@ -891,12 +1096,23 @@ final class Engine(val catalog: Catalog) {
       val rows = newRows.result()
       val literal = spark.createDataFrame(spark.sparkContext.parallelize(rows,
         Fixpoint.parallelizeParts(rows.size.toLong)), combSchema)
-      val combinedOut = Fixpoint.materialize(combined.where(!pred).union(literal)).df
+      val combinedOut = Fixpoint.materialize(
+        sideOn(combined, dirtyKeysDf, keyNames, anti = true).union(literal)).df
       // the superseded state's blocks die with the update (combinedOut
       // is checkpoint-independent of `combined` once materialized)
       Fixpoint.checkpointRddOf(combined).foreach(_.unpersist(false))
       auxSupportCache(name) = (catalog.version, combinedOut)
+      // commit the updated pairs tables the same way
+      val vNow = catalog.version
+      cdAuxNew.result().foreach { case (key, keptPairs, aliveLit) =>
+        val out = Fixpoint.materialize(keptPairs.union(aliveLit)).df
+        auxPairsCache.put(key, (vNow, out)).foreach { case (_, old) =>
+          if (!(old eq out))
+            Fixpoint.checkpointRddOf(old).foreach(_.unpersist(false))
+        }
+      }
       aggDecrementCount += 1
+      releaseOldB()
       Some(combinedOut.select(cols.map(col): _*))
     }
 
@@ -1542,12 +1758,16 @@ final class Engine(val catalog: Catalog) {
           }
           def bindingsOf(resolver: RuleCompiler.Resolver): DataFrame =
             RuleCompiler.compileBody(r.body, resolver, hnswFrame, catalog.statRows)
+          // (keys, __v, __s): per-pair binding SUPPORT counts — what
+          // makes the pairs table decrementable under deletes (a pair
+          // leaves the distinct set only when its LAST binding goes)
           def pairsOf(b: DataFrame, arg: Term): DataFrame =
             b.select(groupTermIdx.map(i =>
                 RuleCompiler.term(r.head.args(i), b).as(s"c$i")) :+
               RuleCompiler.term(arg, b).as("__v"): _*)
               .where(col("__v").isNotNull) // count_distinct skips nulls
-              .distinct()
+              .groupBy((groupTermIdx.map(i => s"c$i") :+ "__v").map(col): _*)
+              .agg(count(lit(1)).as("__s"))
           lazy val oldBindings = bindingsOf { (nm, ar) =>
             val cur = resolve(nm, ar)
             if (nm == changedRel)
@@ -1570,14 +1790,21 @@ final class Engine(val catalog: Catalog) {
               .agg(aggsAll.head, aggsAll.tail: _*).drop("__nb")
           }
           val auxUpdates = Seq.newBuilder[((String, Int), DataFrame)]
+          val pairCols = keyCols :+ "__v"
           cdSpecs.foreach { case (arg, i) =>
             val aux = auxPairsCache.get((name, i)) match {
               case Some((v, df)) if v == v0 => df
               case _ => Fixpoint.materialize(pairsOf(oldBindings, arg)).df
             }
-            val dp = pairsOf(deltaB, arg)
+            val auxN = aux.toDF((pairCols :+ "__s"): _*)
+            val dpc = pairsOf(deltaB, arg).toDF((pairCols :+ "__c"): _*)
+            // pairs with NO aux row are genuinely new distinct values
+            // (cd increments); pairs with one bump its support
+            def pairCond(l: String, rr: String) =
+              pairCols.map(c => col(s"$l.$c") <=> col(s"$rr.$c")).reduce(_ && _)
             val newPairs = Fixpoint.materialize(
-              Fixpoint.antiNullSafe(dp, aux.toDF(dp.columns.toSeq: _*))).df
+              dpc.alias("__d").join(auxN.alias("__a"),
+                pairCond("__d", "__a"), "left_anti")).df
             val cnts = newPairs.groupBy(keyCols.map(col): _*)
               .agg(count(lit(1)).as(s"c$i"))
             // null-safe left join: null group keys must still pick up
@@ -1587,8 +1814,17 @@ final class Engine(val catalog: Catalog) {
               "left")
             acc = dj.select(col("__l.*"),
               coalesce(col(s"__r.c$i"), lit(0L)).as(s"c$i"))
+            // support upkeep: existing pairs add the delta's binding
+            // count, new pairs enter with theirs — one pass over the
+            // pairs table (the same cost class as the old append-union,
+            // which could not keep supports and so could not serve
+            // deletes)
+            val bumped = auxN.alias("__a").join(dpc.alias("__d"),
+                pairCond("__a", "__d"), "left")
+              .select(pairCols.map(c => col(s"__a.$c").as(c)) :+
+                (col("__a.__s") + coalesce(col("__d.__c"), lit(0L))).as("__s"): _*)
             auxUpdates += (((name, i), Fixpoint.materialize(
-              aux.toDF(dp.columns.toSeq: _*).union(newPairs)).df))
+              bumped.union(newPairs.toDF((pairCols :+ "__s"): _*))).df))
           }
           val vNow = catalog.version
           auxUpdates.result().foreach { case (k, df) =>

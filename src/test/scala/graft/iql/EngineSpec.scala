@@ -542,6 +542,34 @@ class EngineSpec extends SparkSpec {
       "conditional delete should decrement on the carried table")
   }
 
+  test("count_distinct deletes decrement via support-counted pairs") {
+    val e = new Engine(new Catalog(spark))
+    e.run(
+      """+ev[(1, "a", 10), (2, "a", 10), (3, "a", 20), (4, "b", 30)]
+        |+cdv(G, count_distinct<V>, count<V>) <- ev(I, G, V)
+        |""".stripMargin)
+    assert(rows(e.run("?cdv(G, C, N)").last) ==
+      Set(Seq("a", 2L, 3L), Seq("b", 1L, 1L)))
+    val (d0, m0) = (e.aggDecrementCount, e.maintainedCount)
+    // value 10 has TWO supporting bindings: deleting one must NOT drop
+    // the distinct count — the pair survives on its remaining support
+    e.run("""-ev[(1, "a", 10)]""")
+    assert(rows(e.run("?cdv(G, C, N)").last) ==
+      Set(Seq("a", 2L, 2L), Seq("b", 1L, 1L)))
+    assert(e.aggDecrementCount == d0 + 1, "cd delete should decrement, not dirty-group")
+    // deleting the LAST support of value 10 drops it
+    e.run("""-ev[(2, "a", 10)]""")
+    assert(rows(e.run("?cdv(G, C, N)").last) ==
+      Set(Seq("a", 1L, 1L), Seq("b", 1L, 1L)))
+    // whole-group death cleans the pairs away too
+    e.run("""-ev[(4, "b", 30)]""")
+    assert(rows(e.run("?cdv(G, C, N)").last) == Set(Seq("a", 1L, 1L)))
+    // mixed batch: a value dies while a NEW value (two supports) is born
+    e.run("-ev[(3, \"a\", 20)]\n+ev[(5, \"a\", 40), (6, \"a\", 40)]")
+    assert(rows(e.run("?cdv(G, C, N)").last) == Set(Seq("a", 1L, 2L)))
+    assert(e.maintainedCount == m0 + 4, "every cd round maintained, none recomputed")
+  }
+
   test("subtractable aggregates: delete-then-reinsert cancels; null sums go null on last support") {
     val e = new Engine(new Catalog(spark))
     e.run(

@@ -261,6 +261,47 @@ class MaintenanceFuzzSpec extends SparkSpec {
     }
   }
 
+  test("count_distinct decrement equals fresh recomputation on random mutation streams") {
+    val rng = new Random(20260818L)
+    (1 to 6).foreach { c =>
+      val groups = Seq("a", "b", "c")
+      var nextId = 0
+      val live = scala.collection.mutable.ArrayBuffer.empty[String]
+      def insBatch(n: Int): String = (0 until n).map { _ =>
+        nextId += 1
+        val t = s"""($nextId, "${groups(rng.nextInt(groups.size))}", ${rng.nextInt(4)})"""
+        live += t; t
+      }.mkString(",")
+      // small value domain (0-3) forces SHARED supports: most deletes
+      // must NOT move the distinct count, only last-support ones may
+      val rule = "+v(G, count_distinct<X>, sum<X>, count<X>) <- t(I, G, X)\n"
+      val e1 = new Engine(new Catalog(spark))
+      e1.run(s"+t[${insBatch(10 + rng.nextInt(6))}]\n$rule")
+      e1.run("?v(G, C, S, N)")
+      val decStart = e1.aggDecrementCount
+      (0 until 3).foreach { round =>
+        val nDel = math.min(live.size, 1 + rng.nextInt(3))
+        val dels = (0 until nDel).map(_ => live.remove(rng.nextInt(live.size)))
+        val stmts = Seq.newBuilder[String]
+        stmts += s"-t[${dels.mkString(",")}]"
+        if (rng.nextBoolean()) stmts += s"+t[${insBatch(1 + rng.nextInt(3))}]"
+        e1.run(stmts.result().mkString("\n"))
+        val maintained = rows(e1.run("?v(G, C, S, N)").last)
+        val expected =
+          if (live.isEmpty) Set.empty[Seq[Any]]
+          else {
+            val e2 = new Engine(new Catalog(spark))
+            e2.run(s"+t[${live.mkString(",")}]\n$rule")
+            rows(e2.run("?v(G, C, S, N)").last)
+          }
+        assert(maintained == expected,
+          s"case $c round $round diverged; live=$live")
+      }
+      assert(e1.aggDecrementCount > decStart,
+        s"case $c never took the cd decrement path")
+    }
+  }
+
   test("count_distinct delta-merge equals fresh recomputation on random insert streams") {
     val rng = new Random(20260814L)
     (1 to 8).foreach { c =>
