@@ -14,6 +14,13 @@ import graft.plans.Fixpoint
   * evaluation (non-recursive: one-shot union of rule bodies;
   * recursive: semi-naive fixpoint via [[Fixpoint]]).
   */
+object Engine {
+  /** Closure-size bound for the DRIVER-LOCAL linear-TC maintenance fast
+    * path; above it the distributed affected-source path serves. Tests
+    * shrink it to pin the distributed path on small fixtures. */
+  @volatile private[graft] var tcLocalClosureCap: Long = 1000000L
+}
+
 final class Engine(val catalog: Catalog) {
 
   /** First-k rows per group under a total sort order (reference
@@ -1981,7 +1988,7 @@ final class Engine(val catalog: Catalog) {
               acc.flatMap(a => Fixpoint.collectUpTo(f, Fixpoint.LocalEdgeRows).map(a ++ _))
             }
           val local = for {
-            cachedRows <- Fixpoint.collectUpTo(cached, 1000000L)
+            cachedRows <- Fixpoint.collectUpTo(cached, Engine.tcLocalClosureCap)
             insRows <- collectAll(insFrames)
             remRows <- collectAll(remFrames)
             // the post-change EDGE relation is only needed for deletes
@@ -2081,6 +2088,40 @@ final class Engine(val catalog: Catalog) {
             }
           }
           local match { case Some(df) => return Some(df); case None => () }
+          // DISTRIBUTED affected-source maintenance — the same algorithm
+          // past the driver caps: a pair (x, y) can only change if x
+          // reached some changed edge's TAIL in the OLD closure (the
+          // first changed edge on any appearing/disappearing path is
+          // reached from x by old edges alone), so unaffected sources
+          // keep their pairs VERBATIM (one anti-join on src) and
+          // affected sources re-derive by bound reachability over the
+          // post-change edges (the frontier-restricted semi-naive loop —
+          // iterations touch only affected-source rows). Cost scales
+          // with the DELETE CONE, not the closure: the generic DRed
+          // cascade below would instead run closure-sized over-delete
+          // joins per iteration. Dense graphs where the cone IS the
+          // database degrade to ~one bounded re-derivation, never worse.
+          if (hasRemovals) {
+            val changed = (insFrames ++ remFrames)
+              .map(_.toDF("__s", "__d")).reduce(_ union _)
+            val tails = Fixpoint.materialize(changed.select(col("__s")).distinct())
+            val cachedN = cached.toDF("c0", "c1")
+            val aff = Fixpoint.materialize(
+              cachedN.join(broadcast(tails.df),
+                  cachedN("c1") <=> tails.df("__s"), "left_semi")
+                .select(col("c0"))
+                .union(tails.df.select(col("__s").as("c0"))).distinct())
+            val affR = aff.df.toDF("__a")
+            val affDf = if (aff.count <= 2000000L) broadcast(affR) else affR
+            val kept = cachedN.join(affDf,
+              cachedN("c0") <=> col("__a"), "left_anti")
+            val reach = Fixpoint.boundReachability(
+              edgeDf.toDF("src", "dst"), aff.df.toDF("src"))
+            val out = Fixpoint.materialize(
+              kept.union(reach.toDF("c0", "c1")).toDF(cached.columns.toSeq: _*))
+            tails.unpersist(); aff.unpersist()
+            return Some(out.df)
+          }
         case _ => ()
       }
       // DRed-style delete propagation (the classic over-delete/re-derive

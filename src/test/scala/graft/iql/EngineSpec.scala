@@ -436,6 +436,33 @@ class EngineSpec extends SparkSpec {
     assert(rows(e2.run("?a(X)").last) == Set(Seq(5.0)))
   }
 
+  test("linear-TC deletes maintain through the distributed affected-source path past the local cap") {
+    val e = new Engine(new Catalog(spark))
+    e.run(
+      """+ed[(1, 2), (2, 3), (3, 4), (10, 11), (11, 12)]
+        |+r(X, Y) <- ed(X, Y)
+        |+r(X, Z) <- r(X, Y), ed(Y, Z)
+        |""".stripMargin)
+    assert(rows(e.run("?r(X, Y)").last).size == 9)
+    val before = e.maintainedCount
+    Engine.tcLocalClosureCap = 1L // pin the distributed path
+    try {
+      // delete inside the 1-2-3-4 chain: the 10-11-12 component is
+      // UNAFFECTED and must pass through verbatim (the anti-join side)
+      e.run("-ed[(2, 3)]")
+      assert(rows(e.run("?r(X, Y)").last) == Set(
+        Seq(1L, 2L), Seq(3L, 4L),
+        Seq(10L, 11L), Seq(10L, 12L), Seq(11L, 12L)))
+      assert(e.maintainedCount == before + 1,
+        "distributed affected-source delete should maintain, not recompute")
+      // mixed round: delete one component's edge + insert a bridge
+      e.run("-ed[(10, 11)]\n+ed[(2, 4)]")
+      assert(rows(e.run("?r(X, Y)").last) == Set(
+        Seq(1L, 2L), Seq(1L, 4L), Seq(2L, 4L), Seq(3L, 4L), Seq(11L, 12L)))
+      assert(e.maintainedCount == before + 2)
+    } finally Engine.tcLocalClosureCap = 1000000L
+  }
+
   test("negation-dependent maintenance: inserts into a negated rel kill, removals create") {
     val e = new Engine(new Catalog(spark))
     e.run(
