@@ -1118,6 +1118,11 @@ final class Engine(val catalog: Catalog) {
             Fixpoint.checkpointRddOf(old).foreach(_.unpersist(false))
         }
       }
+      // freshly-seeded pairs frames are folded into the committed
+      // tables above — release their checkpoint blocks (they were
+      // never cache entries, so the put-eviction above misses them)
+      cdSeeded.foreach(df =>
+        Fixpoint.checkpointRddOf(df).foreach(_.unpersist(false)))
       aggDecrementCount += 1
       releaseOldB()
       Some(combinedOut.select(cols.map(col): _*))

@@ -42,17 +42,12 @@ object ScaleCheck {
       val docsOut = root.resolve("documents.parquet")
       if (!Files.exists(docsOut)) {
         val docs = Tables.load(spark, dir1, "documents")
-        val cols = docs.columns.map {
-          case "doc_id" => col("doc_id")
-          case c => col(c)
-        }
         (0 until 10).map(i => docs.select(
             (col("doc_id") + lit(i * 1000000L)).as("doc_id") +:
               docs.columns.filterNot(_ == "doc_id").map(col).toSeq: _*))
           .reduce(_ unionByName _)
           .repartition(32)
           .write.mode("overwrite").parquet(docsOut.toString)
-        val _ = cols
       }
       Seq("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "embeddings").foreach { t =>
