@@ -818,6 +818,26 @@ object SparkEntry {
     // --- pipeline: bulk k-NN JOIN — exact top-3 neighbours for EVERY
     //     query row (broadcast queries + per-group window), the
     //     batch-ANN shape large pipelines run nightly ------------------
+    // --- pipeline: COMPOSED CURATION #5 (cross-lingual) — semantic
+    //     decontamination feeds margin-based bitext mining: corpus
+    //     vectors too close to the benchmark set drop FIRST (their
+    //     pairs must not enter training data), then the survivors'
+    //     two language sides mine translation pairs under the ratio
+    //     margin. Removing vectors changes k-NN lists and denominator
+    //     averages, so the composition is NOT a filter of q181's
+    //     output — the oracle replays the whole chain ------------------
+    "q184_curation_crosslingual" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val corpus = emb.where(col("vec_id") >= 25)
+      val flagged = Similarity.semanticDecontamination(
+        corpus, emb.where(col("vec_id") < 25), tau = 0.3)
+      val clean = corpus.join(flagged.select("vec_id"), Seq("vec_id"), "left_anti")
+      Similarity.marginMining(
+        clean.where(pmod(col("vec_id"), lit(2L)) === 0),
+        clean.where(pmod(col("vec_id"), lit(2L)) === 1),
+        k = 4, tau = 1.0)
+    }),
+
     // --- pipeline: SEMANTIC DECONTAMINATION — the embedding-space twin
     //     of the q120/q136 text-overlap benchmark filters: corpus
     //     vectors whose best cosine against the (broadcast) benchmark
@@ -2905,6 +2925,33 @@ object SparkEntry {
         |(1.0 - LEAST(punct_ratio / 0.2, 1.0)) * 0.3) *
         |CASE WHEN n_tokens >= 5 THEN 1.0 ELSE 0.0 END, 6) AS S
         |FROM f""".stripMargin,
+
+    "q184_curation_crosslingual" ->
+      """WITH bench AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 25),
+        |corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id >= 25),
+        |mx AS (SELECT c.vec_id, MAX(list_cosine_similarity(c.v, b.v)) AS m
+        |  FROM corpus c CROSS JOIN bench b GROUP BY c.vec_id),
+        |clean AS (SELECT c.* FROM corpus c JOIN mx USING (vec_id) WHERE mx.m < 0.3),
+        |a AS (SELECT vec_id AS a_id, v FROM clean WHERE vec_id % 2 = 0),
+        |b2 AS (SELECT vec_id AS b_id, v FROM clean WHERE vec_id % 2 = 1),
+        |pairs AS (SELECT a_id, b_id, list_cosine_similarity(a.v, b2.v) AS cos
+        |  FROM a CROSS JOIN b2),
+        |ranked AS (SELECT *,
+        |  ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id ASC) AS ra,
+        |  ROW_NUMBER() OVER (PARTITION BY b_id ORDER BY cos DESC, a_id ASC) AS rb
+        |  FROM pairs),
+        |da AS (SELECT a_id, AVG(cos) AS da FROM ranked WHERE ra <= 4 GROUP BY a_id),
+        |db AS (SELECT b_id, AVG(cos) AS db FROM ranked WHERE rb <= 4 GROUP BY b_id),
+        |cand AS (SELECT r.a_id, r.b_id, r.cos,
+        |  r.cos / ((da.da + db.db) / 2) AS margin
+        |  FROM ranked r JOIN da USING (a_id) JOIN db USING (b_id) WHERE r.ra <= 4),
+        |best AS (SELECT *,
+        |  ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY margin DESC, b_id ASC) AS rk
+        |  FROM cand)
+        |SELECT a_id, b_id, ROUND(cos, 6) AS cos6, ROUND(margin, 6) AS margin6
+        |FROM best WHERE rk = 1 AND margin >= 1.0""".stripMargin,
 
     "q182_semantic_decontam" ->
       """WITH b AS (SELECT vec_id AS bench_id, CAST(embedding AS DOUBLE[]) AS v
