@@ -73,6 +73,48 @@ class MaintenanceFuzzSpec extends SparkSpec {
     }
   }
 
+  test("distributed affected-source TC maintenance equals fresh recomputation on random graphs") {
+    val rng = new Random(20260819L)
+    Engine.tcLocalClosureCap = 1L // pin the distributed path
+    try {
+      (1 to 8).foreach { c =>
+        val nNodes = 5 + rng.nextInt(5)
+        val edgeSet = scala.collection.mutable.LinkedHashSet.from(
+          Seq.fill(6 + rng.nextInt(8))((rng.nextInt(nNodes), rng.nextInt(nNodes))))
+        def edgeStr(es: Iterable[(Int, Int)]) =
+          es.map { case (a, b) => s"($a, $b)" }.mkString(",")
+        val rules = "+r(X, Y) <- ed(X, Y)\n+r(X, Z) <- r(X, Y), ed(Y, Z)\n"
+        val e1 = new Engine(new Catalog(spark))
+        e1.run(s"+ed[${edgeStr(edgeSet)}]\n$rules")
+        e1.run("?r(X, Y)")
+        val m0 = e1.maintainedCount
+        var rounds = 0
+        (0 until 2).foreach { round =>
+          val dels = Seq.fill(1 + rng.nextInt(2))(
+            edgeSet.toSeq(rng.nextInt(edgeSet.size))).distinct
+          dels.foreach(edgeSet.remove)
+          val ins =
+            if (rng.nextBoolean()) {
+              val t = (rng.nextInt(nNodes), rng.nextInt(nNodes))
+              if (edgeSet.add(t)) Some(t) else None
+            } else None
+          e1.run(s"-ed[${edgeStr(dels)}]" +
+            ins.map(t => s"\n+ed[${edgeStr(Seq(t))}]").getOrElse(""))
+          rounds += 1
+          val maintained = rows(e1.run("?r(X, Y)").last)
+          val e2 = new Engine(new Catalog(spark))
+          if (edgeSet.nonEmpty) {
+            e2.run(s"+ed[${edgeStr(edgeSet)}]\n$rules")
+            assert(maintained == rows(e2.run("?r(X, Y)").last),
+              s"case $c round $round diverged; edges=$edgeSet dels=$dels ins=$ins")
+          } else assert(maintained.isEmpty)
+        }
+        assert(e1.maintainedCount == m0 + rounds,
+          s"case $c: a TC round recomputed instead of maintaining")
+      }
+    } finally Engine.tcLocalClosureCap = 1000000L
+  }
+
   test("negation-dependent maintenance equals fresh recomputation on random mutation streams") {
     val rng = new Random(20260817L)
     (1 to 10).foreach { c =>
