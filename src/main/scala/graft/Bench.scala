@@ -47,8 +47,18 @@ object Bench {
     // previous round's full-precision times, read BEFORE this run
     // overwrites the snapshot — the self-adjudication baseline
     val prevTimes: Map[String, Double] = try {
-      val txt = new String(java.nio.file.Files.readAllBytes(
+      val all = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("BENCH_FULL.json")), "UTF-8")
+      // scrape ONLY the "queries" object — the snapshot also carries an
+      // "isolated_retries" map of the same qNN:sec shape, and a flat
+      // scrape would let a retry value (often the larger one) replace
+      // the reported min as this round's adjudication baseline
+      val txt = {
+        val tag = "\"queries\":{"
+        val i = all.indexOf(tag)
+        val end = if (i < 0) -1 else all.indexOf("}", i + tag.length)
+        if (i < 0 || end < 0) all else all.substring(i + tag.length, end)
+      }
       "\"(q[0-9]+[a-z0-9_]*)\":([0-9.Ee+-]+)".r.findAllMatchIn(txt)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     } catch { case _: Throwable => Map.empty }

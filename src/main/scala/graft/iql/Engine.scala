@@ -237,6 +237,10 @@ final class Engine(val catalog: Catalog) {
     * second delete round riding the carried-forward table. */
   private[graft] var aggDecrementCount: Long = 0L
   private[graft] var auxSupportSeeds: Long = 0L
+  /** Observability: cd pairs-table seeds — tests pin that no-op rounds
+    * keep the carried tables current instead of stranding them at a
+    * stale version (which would force a body-scan reseed next round). */
+  private[graft] var cdPairsSeeds: Long = 0L
 
   /** Execute a whole program; returns the result of each `?` query in
     * order. Rules defined in the program (session or persistent) are
@@ -782,350 +786,417 @@ final class Engine(val catalog: Catalog) {
 
       val parts = Seq(removedOf.get(changedRel).map(b => (b, -1L)),
         deltaOf.get(changedRel).map(b => (b, 1L))).flatten
-      if (parts.isEmpty) return Some(cached)
-
-      // signed per-binding contributions; aggregated once into ΔG
-      object SubBail extends scala.util.control.ControlThrowable
-      val dG = try {
-        val signedFrames = parts.map { case (b, sgn) =>
-          val bf = bindingsOf(b)
-          val keyExprs = keyIdx.map(i => RuleCompiler.term(r.head.args(i), bf).as(s"c$i"))
-          val contrib = aggSpecs.map { case (f, i) =>
-            if (f == "count") lit(sgn).as(s"__v$i")
-            else if (f == "count_distinct") lit(0L).as(s"__v$i") // pairs path
-            else {
-              val c0 = RuleCompiler.term(sumArgOf(i), bf)
-              val dt = try Some(bf.select(c0).schema.head.dataType)
-                catch { case _: Throwable => None }
-              val c =
-                if (dt.exists(AnyValue.isAny)) AnyValue.asLong(c0)
-                else if (dt.forall(_.isInstanceOf[org.apache.spark.sql.types.NumericType]))
-                  c0.cast("long")
-                else throw SubBail // non-numeric sum arg: aggFunc's 0-sum
-              (coalesce(c, lit(0L)) * sgn).as(s"__v$i")
-            }
-          }
-          val nnCols = sumSpecs.map { i =>
-            val c0 = RuleCompiler.term(sumArgOf(i), bf)
-            when(c0.isNull, lit(0L)).otherwise(lit(sgn)).as(s"__nn$i")
-          }
-          // single-cd FUSION: aggregate at (keys, cd value) grain —
-          // nulls kept — so ONE aggregation + collect serves both the
-          // per-key ΔG rollup (driver-side) and the touched-pairs set;
-          // multi-cd views keep the key-grain pass (their pair grains
-          // differ per column)
-          val fusedCols = cdSpecsS match {
-            case Seq((arg, _)) =>
-              Seq(RuleCompiler.term(arg, bf).as("__v"), lit(sgn).as("__c"))
-            case _ => Seq.empty
-          }
-          bf.select(keyExprs ++ contrib ++ Seq(lit(sgn).as("__dn")) ++
-            nnCols ++ fusedCols: _*)
-        }
-        val grain: Seq[String] =
-          if (cdSpecsS.length == 1) keyNames :+ "__v" else keyNames
-        val aggsOut =
-          aggSpecs.map { case (_, i) => sum(col(s"__v$i")).as(s"__v$i") } ++
-          Seq(sum(col("__dn")).as("__dn")) ++
-          sumSpecs.map(i => sum(col(s"__nn$i")).as(s"__nn$i")) ++
-          (if (cdSpecsS.length == 1) Seq(sum(col("__c")).as("__c")) else Seq.empty)
-        signedFrames.reduce(_ unionByName _)
-          .groupBy(grain.map(col): _*)
-          .agg(aggsOut.head, aggsOut.tail: _*)
-      } catch { case SubBail => return None }
-      // bounded dirty set; past the cap dirty-group recomputation is
-      // the better plan anyway (pair grain under single-cd fusion)
-      val fused = cdSpecsS.length == 1
-      val dirtyRaw = dG.limit(2050).collect()
-      if (dirtyRaw.length > (if (fused) 2048 else 1024)) return None
-      // under fusion, roll the pair-grain rows up to key grain in
-      // memory: same row layout (keys ++ __v_i ++ __dn ++ __nn_i) as
-      // the key-grain aggregation emits directly
-      val dirty: Array[org.apache.spark.sql.Row] =
-        if (!fused) dirtyRaw
-        else {
-          val byKey = dirtyRaw.groupBy(row => (0 until kLen).map(row.get))
-          byKey.iterator.map { case (k, rows) =>
-            val sums = (kLen + 1 until kLen + 1 + aggSpecs.length + 1 + sumSpecs.length)
-              .map(p => rows.map(_.getLong(p)).sum)
-            org.apache.spark.sql.Row.fromSeq(k ++ sums)
-          }.toArray
-        }
-      if (dirty.length > 1024) return None
-      if (dirty.isEmpty) {
-        // nothing changed in this view: keep the support table current
+      // a round that nets to nothing still re-stamps the carried
+      // support/pairs tables to the new version — stranding them at v0
+      // would force a body-scan reseed on the next REAL delete round
+      def restampAux(): Unit = {
         auxSupportCache.get(name).foreach { case (v, df) =>
           if (v == v0) auxSupportCache(name) = (catalog.version, df) }
-        aggDecrementCount += 1
-        return Some(cached)
+        cdSpecsS.foreach { case (_, i) =>
+          auxPairsCache.get((name, i)).foreach { case (v, df) =>
+            if (v == v0) auxPairsCache((name, i)) = (catalog.version, df) } }
       }
-      def keyOk(v: Any): Boolean = v match {
-        case null => false
-        case d: Double => !d.isNaN
-        case f: Float => !f.isNaN
-        case _: Number | _: String | _: Boolean => true
-        case _ => false
-      }
-      if (dirty.exists(row => (0 until kLen).exists(j => !keyOk(row.get(j)))))
-        return None
-      def normKey(v: Any): Any = v match {
-        case d: Double if d == 0.0 => 0.0
-        case f: Float if f == 0.0f => 0.0f
-        case other => other
-      }
-      val vPos = aggSpecs.map(_._2).zipWithIndex.map { case (i, p) => i -> (kLen + p) }.toMap
-      val dnPos = kLen + aggSpecs.length
-      val nnPos = sumSpecs.zipWithIndex.map { case (i, p) => i -> (dnPos + 1 + p) }.toMap
-      val dMap: Map[Seq[Any], org.apache.spark.sql.Row] =
-        dirty.map(row => (0 until kLen).map(j => normKey(row.get(j))).toSeq -> row).toMap
+      if (parts.isEmpty) { restampAux(); return Some(cached) }
 
-      // dirty-row selection/exclusion via BROADCAST semi/anti joins
-      // against a literal key frame — never a reduce-built OR predicate
-      // (a 1000-term Or tree overflows the column-conversion stack, and
-      // a join is what the predicate was emulating anyway)
-      def keyLit(keys: Iterable[Seq[Any]], schemaFrom: DataFrame,
-                 names: Seq[String]): DataFrame = {
-        val schema = org.apache.spark.sql.types.StructType(
-          names.map(n => schemaFrom.schema(n).copy(nullable = true)))
-        catalog.spark.createDataFrame(
-          catalog.spark.sparkContext.parallelize(
-            keys.iterator.map(k => org.apache.spark.sql.Row.fromSeq(k)).toSeq, 1),
-          schema)
-      }
-      def sideOn(big: DataFrame, small: DataFrame, names: Seq[String],
-                 anti: Boolean): DataFrame = {
-        val cond = names.map(c => col(s"__b.`$c`") <=> col(s"__s.`$c`")).reduce(_ && _)
-        big.alias("__b").join(broadcast(small.alias("__s")), cond,
-          if (anti) "left_anti" else "left_semi")
-      }
-
-      // COMBINED per-group state: the view row PLUS its support counts
-      // in one materialized frame — the returned view is a projection of
-      // it. One frame means one dirty collect and one update pass per
-      // round instead of separate view/support maintenance: a
-      // maintenance round here is job-count-bound, not data-bound, and
-      // this halves the jobs. Carried forward when the version matches,
-      // else seeded from the pre-change body state (one grouped pass,
-      // head aggregates via the same aggFunc the evaluator uses).
-      // EXACT pre-change state of the changed rel (removedOf here is
-      // the exact netted map): what both seeds reconstruct against
-      val oldResolver: RuleCompiler.Resolver = (nm, ar) => {
-        val cur = resolve(nm, ar)
-        if (nm == changedRel) {
-          val mid = deltaOf.get(changedRel) match {
-            case Some(d) => Fixpoint.antiNullSafe(cur, d.toDF(cur.columns.toSeq: _*))
-            case None => cur
-          }
-          removedOf.get(changedRel) match {
-            case Some(rm) => mid.union(rm.toDF(cur.columns.toSeq: _*)).distinct()
-            case None => mid
-          }
-        } else cur
-      }
-      // the OLD-state body bindings, evaluated ONCE and shared by the
-      // combined seed and every cd pairs seed (each is a cheap grouped
-      // pass over the checkpoint instead of a full body re-evaluation);
-      // released before returning on every path
+      // ---- scratch lifecycle: one try/finally releases this round's
+      // scratch checkpoints (shared binding frames, the old-state body,
+      // fresh-but-uncommitted seeds) on EVERY bail path; `committed`
+      // marks the frames the commit path already handed off or released
+      // through its own superseded-state unpersists.
+      // Multi-cd views re-read the body bindings once per cd column
+      // (their pair grains differ, so the fused single-cd collect can't
+      // serve them) — those materialize each part's bindings ONCE,
+      // shared across the ΔG pass and every touched-pairs pass, so
+      // maintenance pays the body join |parts| times, not
+      // |parts|·(1+nCd) times.
+      val shareBindings = cdSpecsS.length >= 2
+      val bindingMats = mutable.ArrayBuffer.empty[DataFrame]
+      val boundCache = mutable.HashMap.empty[Int, DataFrame]
+      def boundOf(pi: Int): DataFrame =
+        if (!shareBindings) bindingsOf(parts(pi)._1)
+        else boundCache.getOrElseUpdate(pi, {
+          val m = Fixpoint.materialize(bindingsOf(parts(pi)._1)).df
+          bindingMats += m
+          m
+        })
       var oldBck: Option[DataFrame] = None
-      lazy val oldB: DataFrame = {
-        val ck = RuleCompiler.compileBody(r.body, oldResolver,
-          hnswFrame, catalog.statRows).localCheckpoint(true)
-        oldBck = Some(ck)
-        ck
-      }
-      def releaseOldB(): Unit = oldBck.foreach(df =>
-        Fixpoint.checkpointRddOf(df).foreach(_.unpersist(false)))
-      val combined = auxSupportCache.get(name) match {
-        case Some((v, df)) if v == v0 => df
-        case _ =>
-          auxSupportSeeds += 1
-          val sKeys = keyIdx.map(i => RuleCompiler.term(r.head.args(i), oldB).as(s"c$i"))
-          val sAggs = r.head.args.zipWithIndex.collect {
-            case (Agg(f, arg), i) => aggFunc(f, arg, oldB).as(s"c$i")
-          } ++ Seq(count(lit(1)).as("__n")) ++ sumSpecs.map { i =>
-            count(RuleCompiler.term(sumArgOf(i), oldB)).as(s"__nn$i") }
-          Fixpoint.materialize(oldB.groupBy(sKeys: _*)
-            .agg(sAggs.head, sAggs.tail: _*)
-            .select(cols.map(col) ++ Seq(col("__n")) ++
-              sumSpecs.map(i => col(s"__nn$i")): _*)).df
-      }
-      val dirtyKeysDf = keyLit(dMap.keys, combined, keyNames)
-      val dirtyCombined = sideOn(combined, dirtyKeysDf, keyNames, anti = false)
-        .limit(2050).collect()
-      if (dirtyCombined.length > 2048) { releaseOldB(); return None }
-
-      // ---- count_distinct: per-pair support math over the pairs
-      // tables. Touched pairs = the signed bindings' (keys, value)
-      // pairs with net binding-count deltas; a pair BORN (support
-      // 0 → >0) bumps its group's distinct count, a pair DYING
-      // (support → 0) decrements it. All driver-side over the bounded
-      // touched set; the pairs table itself updates in one map-only
-      // pass (literal pair predicate), like the combined frame.
-      val cdBorn = mutable.HashMap.empty[(Seq[Any], Int), Long]
-      val cdDied = mutable.HashMap.empty[(Seq[Any], Int), Long]
-      val cdAuxNew = Seq.newBuilder[((String, Int), DataFrame, DataFrame)]
-      // freshly-seeded pairs tables to release if a later column bails
+      var combinedFreshSeed: Option[DataFrame] = None
+      // freshly-seeded pairs tables: folded into the committed tables on
+      // success (released there), pure scratch on a bail
       val cdSeeded = mutable.ArrayBuffer.empty[DataFrame]
-      if (cdSpecsS.nonEmpty) {
-        // __c sits last in the fused pair-grain rows
-        val cPos = kLen + 1 + aggSpecs.length + 1 + sumSpecs.length
-        val ok = cdSpecsS.forall { case (arg, i) =>
-          val touched: Array[(Seq[Any], Long)] =
-            if (fused)
-              // already collected by the fused pass: non-null cd values
-              // with a net signed binding delta
-              dirtyRaw.iterator
-                .filter(row => row.get(kLen) != null && row.getLong(cPos) != 0L)
-                .map(row => ((0 to kLen).map(j => row.get(j)).toSeq,
-                  row.getLong(cPos))).toArray
-            else {
-              val frames = parts.map { case (b, sgn) =>
-                val bf = bindingsOf(b)
-                bf.select(keyIdx.map(j =>
-                    RuleCompiler.term(r.head.args(j), bf).as(s"c$j")) :+
-                  RuleCompiler.term(arg, bf).as("__v"): _*)
-                  .where(col("__v").isNotNull)
-                  .withColumn("__c", lit(sgn))
-              }
-              frames.reduce(_ unionByName _)
-                .groupBy((keyNames :+ "__v").map(col): _*)
-                .agg(sum(col("__c")).as("__dc"))
-                .where(col("__dc") =!= 0)
-                .limit(2050).collect()
-                .map(row => ((0 to kLen).map(j => row.get(j)).toSeq,
-                  row.getLong(kLen + 1)))
-            }
-          if (touched.length > 2048 ||
-              touched.exists { case (p, _) => !keyOk(p(kLen)) }) false
-          else {
-            val tMap = touched.map { case (p, dc) =>
-              (p.map(normKey), dc)
-            }.toMap
-            val auxP = auxPairsCache.get((name, i)) match {
-              case Some((v, df)) if v == v0 =>
-                df.toDF((keyNames :+ "__v" :+ "__s"): _*)
-              case _ =>
-                val seeded = Fixpoint.materialize(oldB
-                  .select(keyIdx.map(j =>
-                      RuleCompiler.term(r.head.args(j), oldB).as(s"c$j")) :+
-                    RuleCompiler.term(arg, oldB).as("__v"): _*)
-                  .where(col("__v").isNotNull)
-                  .groupBy((keyNames :+ "__v").map(col): _*)
-                  .agg(count(lit(1)).as("__s"))).df
-                cdSeeded += seeded
-                seeded
-            }
-            val pairNames = keyNames :+ "__v"
-            val touchedDf = keyLit(tMap.keys, auxP, pairNames)
-            val auxTouched = sideOn(auxP, touchedDf, pairNames, anti = false)
-              .limit(2050).collect()
-            if (auxTouched.length > 2048) false
-            else {
-              val sMap: Map[Seq[Any], Long] = auxTouched.map { row =>
-                ((0 to kLen).map(j => normKey(row.get(j))): Seq[Any]) ->
-                  row.getLong(kLen + 1)
-              }.toMap
-              val alive = Seq.newBuilder[org.apache.spark.sql.Row]
-              var sane = true
-              tMap.foreach { case (p, dc) =>
-                val s0 = sMap.getOrElse(p, 0L)
-                val s1 = s0 + dc
-                if (s1 < 0) sane = false // would need a phantom removal
-                val key = p.take(kLen)
-                if (s0 == 0L && s1 > 0L)
-                  cdBorn((key, i)) = cdBorn.getOrElse((key, i), 0L) + 1
-                if (s0 > 0L && s1 <= 0L)
-                  cdDied((key, i)) = cdDied.getOrElse((key, i), 0L) + 1
-                if (s1 > 0L)
-                  alive += org.apache.spark.sql.Row.fromSeq(p :+ s1)
-              }
-              if (!sane) false
+      var committed = false
+      try {
+
+        // signed per-binding contributions; aggregated once into ΔG
+        object SubBail extends scala.util.control.ControlThrowable
+        val dG = try {
+          val signedFrames = parts.indices.map { pi =>
+            val sgn = parts(pi)._2
+            val bf = boundOf(pi)
+            val keyExprs = keyIdx.map(i => RuleCompiler.term(r.head.args(i), bf).as(s"c$i"))
+            val contrib = aggSpecs.map { case (f, i) =>
+              if (f == "count") lit(sgn).as(s"__v$i")
+              else if (f == "count_distinct") lit(0L).as(s"__v$i") // pairs path
               else {
-                cdAuxNew += (((name, i),
-                  sideOn(auxP, touchedDf, pairNames, anti = true), {
-                    val sp = catalog.spark
-                    val schema = org.apache.spark.sql.types.StructType(
-                      auxP.schema.fields.map(_.copy(nullable = true)))
-                    val rows = alive.result()
-                    sp.createDataFrame(sp.sparkContext.parallelize(rows,
-                      Fixpoint.parallelizeParts(rows.size.toLong)), schema)
-                  }))
-                true
+                val c0 = RuleCompiler.term(sumArgOf(i), bf)
+                val dt = try Some(bf.select(c0).schema.head.dataType)
+                  catch { case _: Throwable => None }
+                val c =
+                  if (dt.exists(AnyValue.isAny)) AnyValue.asLong(c0)
+                  else if (dt.forall(_.isInstanceOf[org.apache.spark.sql.types.NumericType]))
+                    c0.cast("long")
+                  else throw SubBail // non-numeric sum arg: aggFunc's 0-sum
+                (coalesce(c, lit(0L)) * sgn).as(s"__v$i")
+              }
+            }
+            val nnCols = sumSpecs.map { i =>
+              val c0 = RuleCompiler.term(sumArgOf(i), bf)
+              when(c0.isNull, lit(0L)).otherwise(lit(sgn)).as(s"__nn$i")
+            }
+            // single-cd FUSION: aggregate at (keys, cd value) grain —
+            // nulls kept — so ONE aggregation + collect serves both the
+            // per-key ΔG rollup (driver-side) and the touched-pairs set;
+            // multi-cd views keep the key-grain pass (their pair grains
+            // differ per column)
+            val fusedCols = cdSpecsS match {
+              case Seq((arg, _)) =>
+                Seq(RuleCompiler.term(arg, bf).as("__v"), lit(sgn).as("__c"))
+              case _ => Seq.empty
+            }
+            bf.select(keyExprs ++ contrib ++ Seq(lit(sgn).as("__dn")) ++
+              nnCols ++ fusedCols: _*)
+          }
+          val grain: Seq[String] =
+            if (cdSpecsS.length == 1) keyNames :+ "__v" else keyNames
+          val aggsOut =
+            aggSpecs.map { case (_, i) => sum(col(s"__v$i")).as(s"__v$i") } ++
+            Seq(sum(col("__dn")).as("__dn")) ++
+            sumSpecs.map(i => sum(col(s"__nn$i")).as(s"__nn$i")) ++
+            (if (cdSpecsS.length == 1) Seq(sum(col("__c")).as("__c")) else Seq.empty)
+          signedFrames.reduce(_ unionByName _)
+            .groupBy(grain.map(col): _*)
+            .agg(aggsOut.head, aggsOut.tail: _*)
+        } catch { case SubBail => return None }
+        // bounded dirty set; past the cap dirty-group recomputation is
+        // the better plan anyway (pair grain under single-cd fusion)
+        val fused = cdSpecsS.length == 1
+        val dirtyRaw = dG.limit(2050).collect()
+        if (dirtyRaw.length > (if (fused) 2048 else 1024)) return None
+        // under fusion, roll the pair-grain rows up to key grain in
+        // memory: same row layout (keys ++ __v_i ++ __dn ++ __nn_i) as
+        // the key-grain aggregation emits directly
+        val dirty: Array[org.apache.spark.sql.Row] =
+          if (!fused) dirtyRaw
+          else {
+            val byKey = dirtyRaw.groupBy(row => (0 until kLen).map(row.get))
+            byKey.iterator.map { case (k, rows) =>
+              val sums = (kLen + 1 until kLen + 1 + aggSpecs.length + 1 + sumSpecs.length)
+                .map(p => rows.map(_.getLong(p)).sum)
+              org.apache.spark.sql.Row.fromSeq(k ++ sums)
+            }.toArray
+          }
+        if (dirty.length > 1024) return None
+        if (dirty.isEmpty) {
+          // nothing changed in this view (phantom delete, netted
+          // delete+reinsert): keep the carried tables current
+          restampAux()
+          aggDecrementCount += 1
+          return Some(cached)
+        }
+        def keyOk(v: Any): Boolean = v match {
+          case null => false
+          case d: Double => !d.isNaN
+          case f: Float => !f.isNaN
+          case _: Number | _: String | _: Boolean => true
+          case _ => false
+        }
+        if (dirty.exists(row => (0 until kLen).exists(j => !keyOk(row.get(j)))))
+          return None
+        def normKey(v: Any): Any = v match {
+          case d: Double if d == 0.0 => 0.0
+          case f: Float if f == 0.0f => 0.0f
+          case other => other
+        }
+        val vPos = aggSpecs.map(_._2).zipWithIndex.map { case (i, p) => i -> (kLen + p) }.toMap
+        val dnPos = kLen + aggSpecs.length
+        val nnPos = sumSpecs.zipWithIndex.map { case (i, p) => i -> (dnPos + 1 + p) }.toMap
+        val dMap: Map[Seq[Any], org.apache.spark.sql.Row] =
+          dirty.map(row => (0 until kLen).map(j => normKey(row.get(j))).toSeq -> row).toMap
+
+        // dirty-row selection/exclusion via BROADCAST semi/anti joins
+        // against a literal key frame — never a reduce-built OR predicate
+        // (a 1000-term Or tree overflows the column-conversion stack, and
+        // a join is what the predicate was emulating anyway)
+        def keyLit(keys: Iterable[Seq[Any]], schemaFrom: DataFrame,
+                   names: Seq[String]): DataFrame = {
+          val schema = org.apache.spark.sql.types.StructType(
+            names.map(n => schemaFrom.schema(n).copy(nullable = true)))
+          catalog.spark.createDataFrame(
+            catalog.spark.sparkContext.parallelize(
+              keys.iterator.map(k => org.apache.spark.sql.Row.fromSeq(k)).toSeq, 1),
+            schema)
+        }
+        def sideOn(big: DataFrame, small: DataFrame, names: Seq[String],
+                   anti: Boolean): DataFrame = {
+          val cond = names.map(c => col(s"__b.`$c`") <=> col(s"__s.`$c`")).reduce(_ && _)
+          big.alias("__b").join(broadcast(small.alias("__s")), cond,
+            if (anti) "left_anti" else "left_semi")
+        }
+
+        // COMBINED per-group state: the view row PLUS its support counts
+        // in one materialized frame — the returned view is a projection of
+        // it. One frame means one dirty collect and one update pass per
+        // round instead of separate view/support maintenance: a
+        // maintenance round here is job-count-bound, not data-bound, and
+        // this halves the jobs. Carried forward when the version matches,
+        // else seeded from the pre-change body state (one grouped pass,
+        // head aggregates via the same aggFunc the evaluator uses).
+        // EXACT pre-change state of the changed rel (removedOf here is
+        // the exact netted map): what both seeds reconstruct against
+        val oldResolver: RuleCompiler.Resolver = (nm, ar) => {
+          val cur = resolve(nm, ar)
+          if (nm == changedRel) {
+            val mid = deltaOf.get(changedRel) match {
+              case Some(d) => Fixpoint.antiNullSafe(cur, d.toDF(cur.columns.toSeq: _*))
+              case None => cur
+            }
+            removedOf.get(changedRel) match {
+              case Some(rm) => mid.union(rm.toDF(cur.columns.toSeq: _*)).distinct()
+              case None => mid
+            }
+          } else cur
+        }
+        // the OLD-state body bindings, evaluated ONCE and shared by the
+        // combined seed and every cd pairs seed (each is a cheap grouped
+        // pass over the checkpoint instead of a full body re-evaluation);
+        // the finally block releases it on every path
+        lazy val oldB: DataFrame = {
+          val ck = RuleCompiler.compileBody(r.body, oldResolver,
+            hnswFrame, catalog.statRows).localCheckpoint(true)
+          oldBck = Some(ck)
+          ck
+        }
+        // a STALE support entry (left in place by an earlier fallback
+        // round precisely because its checkpoint backed the served view
+        // then) is displaced by this round's commit and released there
+        val staleSupport = auxSupportCache.get(name).filter(_._1 != v0)
+        val combined = auxSupportCache.get(name) match {
+          case Some((v, df)) if v == v0 => df
+          case _ =>
+            auxSupportSeeds += 1
+            val sKeys = keyIdx.map(i => RuleCompiler.term(r.head.args(i), oldB).as(s"c$i"))
+            val sAggs = r.head.args.zipWithIndex.collect {
+              case (Agg(f, arg), i) => aggFunc(f, arg, oldB).as(s"c$i")
+            } ++ Seq(count(lit(1)).as("__n")) ++ sumSpecs.map { i =>
+              count(RuleCompiler.term(sumArgOf(i), oldB)).as(s"__nn$i") }
+            val seeded = Fixpoint.materialize(oldB.groupBy(sKeys: _*)
+              .agg(sAggs.head, sAggs.tail: _*)
+              .select(cols.map(col) ++ Seq(col("__n")) ++
+                sumSpecs.map(i => col(s"__nn$i")): _*)).df
+            combinedFreshSeed = Some(seeded)
+            seeded
+        }
+        val dirtyKeysDf = keyLit(dMap.keys, combined, keyNames)
+        val dirtyCombined = sideOn(combined, dirtyKeysDf, keyNames, anti = false)
+          .limit(2050).collect()
+        if (dirtyCombined.length > 2048) return None
+
+        // ---- count_distinct: per-pair support math over the pairs
+        // tables. Touched pairs = the signed bindings' (keys, value)
+        // pairs with net binding-count deltas; a pair BORN (support
+        // 0 → >0) bumps its group's distinct count, a pair DYING
+        // (support → 0) decrements it. All driver-side over the bounded
+        // touched set; the pairs table itself updates in one map-only
+        // pass (literal pair predicate), like the combined frame.
+        val cdBorn = mutable.HashMap.empty[(Seq[Any], Int), Long]
+        val cdDied = mutable.HashMap.empty[(Seq[Any], Int), Long]
+        val cdAuxNew = Seq.newBuilder[((String, Int), DataFrame, DataFrame)]
+        if (cdSpecsS.nonEmpty) {
+          // __c sits last in the fused pair-grain rows
+          val cPos = kLen + 1 + aggSpecs.length + 1 + sumSpecs.length
+          val ok = cdSpecsS.forall { case (arg, i) =>
+            val touched: Array[(Seq[Any], Long)] =
+              if (fused)
+                // already collected by the fused pass: non-null cd values
+                // with a net signed binding delta
+                dirtyRaw.iterator
+                  .filter(row => row.get(kLen) != null && row.getLong(cPos) != 0L)
+                  .map(row => ((0 to kLen).map(j => row.get(j)).toSeq,
+                    row.getLong(cPos))).toArray
+              else {
+                val frames = parts.indices.map { pi =>
+                  val sgn = parts(pi)._2
+                  val bf = boundOf(pi)
+                  bf.select(keyIdx.map(j =>
+                      RuleCompiler.term(r.head.args(j), bf).as(s"c$j")) :+
+                    RuleCompiler.term(arg, bf).as("__v"): _*)
+                    .where(col("__v").isNotNull)
+                    .withColumn("__c", lit(sgn))
+                }
+                frames.reduce(_ unionByName _)
+                  .groupBy((keyNames :+ "__v").map(col): _*)
+                  .agg(sum(col("__c")).as("__dc"))
+                  .where(col("__dc") =!= 0)
+                  .limit(2050).collect()
+                  .map(row => ((0 to kLen).map(j => row.get(j)).toSeq,
+                    row.getLong(kLen + 1)))
+              }
+            if (touched.length > 2048 ||
+                touched.exists { case (p, _) => !keyOk(p(kLen)) }) false
+            else {
+              val tMap = touched.map { case (p, dc) =>
+                (p.map(normKey), dc)
+              }.toMap
+              val auxP = auxPairsCache.get((name, i)) match {
+                case Some((v, df)) if v == v0 =>
+                  df.toDF((keyNames :+ "__v" :+ "__s"): _*)
+                case _ =>
+                  cdPairsSeeds += 1
+                  val seeded = Fixpoint.materialize(oldB
+                    .select(keyIdx.map(j =>
+                        RuleCompiler.term(r.head.args(j), oldB).as(s"c$j")) :+
+                      RuleCompiler.term(arg, oldB).as("__v"): _*)
+                    .where(col("__v").isNotNull)
+                    .groupBy((keyNames :+ "__v").map(col): _*)
+                    .agg(count(lit(1)).as("__s"))).df
+                  cdSeeded += seeded
+                  seeded
+              }
+              val pairNames = keyNames :+ "__v"
+              val touchedDf = keyLit(tMap.keys, auxP, pairNames)
+              val auxTouched = sideOn(auxP, touchedDf, pairNames, anti = false)
+                .limit(2050).collect()
+              if (auxTouched.length > 2048) false
+              else {
+                val sMap: Map[Seq[Any], Long] = auxTouched.map { row =>
+                  ((0 to kLen).map(j => normKey(row.get(j))): Seq[Any]) ->
+                    row.getLong(kLen + 1)
+                }.toMap
+                val alive = Seq.newBuilder[org.apache.spark.sql.Row]
+                var sane = true
+                tMap.foreach { case (p, dc) =>
+                  val s0 = sMap.getOrElse(p, 0L)
+                  val s1 = s0 + dc
+                  if (s1 < 0) sane = false // would need a phantom removal
+                  val key = p.take(kLen)
+                  if (s0 == 0L && s1 > 0L)
+                    cdBorn((key, i)) = cdBorn.getOrElse((key, i), 0L) + 1
+                  if (s0 > 0L && s1 <= 0L)
+                    cdDied((key, i)) = cdDied.getOrElse((key, i), 0L) + 1
+                  if (s1 > 0L)
+                    alive += org.apache.spark.sql.Row.fromSeq(p :+ s1)
+                }
+                if (!sane) false
+                else {
+                  cdAuxNew += (((name, i),
+                    sideOn(auxP, touchedDf, pairNames, anti = true), {
+                      val sp = catalog.spark
+                      val schema = org.apache.spark.sql.types.StructType(
+                        auxP.schema.fields.map(_.copy(nullable = true)))
+                      val rows = alive.result()
+                      sp.createDataFrame(sp.sparkContext.parallelize(rows,
+                        Fixpoint.parallelizeParts(rows.size.toLong)), schema)
+                    }))
+                  true
+                }
               }
             }
           }
+          if (!ok) return None
         }
-        if (!ok) {
-          cdSeeded.foreach(df =>
-            Fixpoint.checkpointRddOf(df).foreach(_.unpersist(false)))
-          releaseOldB()
-          return None
+        val nPos = cols.length
+        val nnPosC = sumSpecs.zipWithIndex.map { case (i, p) =>
+          i -> (cols.length + 1 + p) }.toMap
+        val oldMap = mutable.HashMap.empty[Seq[Any], org.apache.spark.sql.Row]
+        dirtyCombined.foreach { row =>
+          oldMap(keyIdx.map(i => normKey(row.get(i))).toSeq) = row
         }
-      }
-      val nPos = cols.length
-      val nnPosC = sumSpecs.zipWithIndex.map { case (i, p) =>
-        i -> (cols.length + 1 + p) }.toMap
-      val oldMap = mutable.HashMap.empty[Seq[Any], org.apache.spark.sql.Row]
-      dirtyCombined.foreach { row =>
-        oldMap(keyIdx.map(i => normKey(row.get(i))).toSeq) = row
-      }
-      val newRows = Seq.newBuilder[org.apache.spark.sql.Row]
-      dMap.foreach { case (k, dRow) =>
-        val old = oldMap.get(k)
-        val n1 = old.map(_.getLong(nPos)).getOrElse(0L) + dRow.getLong(dnPos)
-        if (n1 > 0) {
-          val nn1 = sumSpecs.map(i => i ->
-            (old.map(_.getLong(nnPosC(i))).getOrElse(0L) + dRow.getLong(nnPos(i)))).toMap
-          val cdIdxSet = cdSpecsS.map(_._2).toSet
-          val vals = cols.indices.map { i =>
-            val kp = keyIdx.indexOf(i)
-            if (kp >= 0) k(kp)
-            else { // aggregate column
-              val oldV = old.map(_.get(i)).orNull
-              val base = if (oldV == null) 0L else oldV.asInstanceOf[Long]
-              if (cdIdxSet(i)) // count_distinct: pair births − deaths
-                base + cdBorn.getOrElse((k, i), 0L) - cdDied.getOrElse((k, i), 0L)
-              else {
-                val dV = dRow.getLong(vPos(i))
-                if (sumArgOf.contains(i)) { // sum
-                  if (nn1(i) == 0L) null else base + dV
-                } else base + dV
+        val newRows = Seq.newBuilder[org.apache.spark.sql.Row]
+        dMap.foreach { case (k, dRow) =>
+          val old = oldMap.get(k)
+          val n1 = old.map(_.getLong(nPos)).getOrElse(0L) + dRow.getLong(dnPos)
+          if (n1 > 0) {
+            val nn1 = sumSpecs.map(i => i ->
+              (old.map(_.getLong(nnPosC(i))).getOrElse(0L) + dRow.getLong(nnPos(i)))).toMap
+            val cdIdxSet = cdSpecsS.map(_._2).toSet
+            val vals = cols.indices.map { i =>
+              val kp = keyIdx.indexOf(i)
+              if (kp >= 0) k(kp)
+              else { // aggregate column
+                val oldV = old.map(_.get(i)).orNull
+                val base = if (oldV == null) 0L else oldV.asInstanceOf[Long]
+                if (cdIdxSet(i)) // count_distinct: pair births − deaths
+                  base + cdBorn.getOrElse((k, i), 0L) - cdDied.getOrElse((k, i), 0L)
+                else {
+                  val dV = dRow.getLong(vPos(i))
+                  if (sumArgOf.contains(i)) { // sum
+                    if (nn1(i) == 0L) null else base + dV
+                  } else base + dV
+                }
               }
-            }
-          } ++ Seq(n1) ++ sumSpecs.map(nn1)
-          newRows += org.apache.spark.sql.Row.fromSeq(vals)
+            } ++ Seq(n1) ++ sumSpecs.map(nn1)
+            newRows += org.apache.spark.sql.Row.fromSeq(vals)
+          }
+          // n1 == 0: the group vanishes from view and support alike
         }
-        // n1 == 0: the group vanishes from view and support alike
-      }
-      val spark = catalog.spark
-      val combSchema = org.apache.spark.sql.types.StructType(
-        combined.schema.fields.map(_.copy(nullable = true)))
-      val rows = newRows.result()
-      val literal = spark.createDataFrame(spark.sparkContext.parallelize(rows,
-        Fixpoint.parallelizeParts(rows.size.toLong)), combSchema)
-      val combinedOut = Fixpoint.materialize(
-        sideOn(combined, dirtyKeysDf, keyNames, anti = true).union(literal)).df
-      // the superseded state's blocks die with the update (combinedOut
-      // is checkpoint-independent of `combined` once materialized)
-      Fixpoint.checkpointRddOf(combined).foreach(_.unpersist(false))
-      auxSupportCache(name) = (catalog.version, combinedOut)
-      // commit the updated pairs tables the same way
-      val vNow = catalog.version
-      cdAuxNew.result().foreach { case (key, keptPairs, aliveLit) =>
-        val out = Fixpoint.materialize(keptPairs.union(aliveLit)).df
-        auxPairsCache.put(key, (vNow, out)).foreach { case (_, old) =>
-          if (!(old eq out))
-            Fixpoint.checkpointRddOf(old).foreach(_.unpersist(false))
+        val spark = catalog.spark
+        val combSchema = org.apache.spark.sql.types.StructType(
+          combined.schema.fields.map(_.copy(nullable = true)))
+        val rows = newRows.result()
+        val literal = spark.createDataFrame(spark.sparkContext.parallelize(rows,
+          Fixpoint.parallelizeParts(rows.size.toLong)), combSchema)
+        val combinedOut = Fixpoint.materialize(
+          sideOn(combined, dirtyKeysDf, keyNames, anti = true).union(literal)).df
+        // the superseded state retires with the update (combinedOut is
+        // checkpoint-independent of `combined` once materialized). A
+        // CARRIED table's projection was a SERVED view — results handed
+        // out earlier (Engine.run frames, wire responses; the snapshot
+        // runner collects a whole script's queries at the end) may still
+        // hold lazy plans over it, so it ages through the
+        // [[graft.plans.Graveyard]] grace window instead of being freed
+        // under a live reader. The fresh seed was never served — its
+        // rows were consumed by the materialize above — eager release.
+        if (combinedFreshSeed.exists(_ eq combined))
+          Fixpoint.checkpointRddOf(combined).foreach(_.unpersist(false))
+        else
+          graft.plans.Graveyard.buryAndDrain(Fixpoint.checkpointRddOf(combined))
+        auxSupportCache(name) = (catalog.version, combinedOut)
+        // a displaced STALE support table (left in place by an earlier
+        // fallback round) was served too — same grace-window retirement,
+        // unless its checkpoint still backs the CURRENT view, which must
+        // stay live (that rare frame rides as a bounded carryover)
+        staleSupport.foreach { case (_, old) =>
+          Fixpoint.checkpointRddOf(old).foreach { s =>
+            if (!Fixpoint.checkpointRddOf(cached).exists(_ eq s))
+              graft.plans.Graveyard.buryAndDrain(Some(s)) } }
+        // commit the updated pairs tables the same way
+        val vNow = catalog.version
+        cdAuxNew.result().foreach { case (key, keptPairs, aliveLit) =>
+          val out = Fixpoint.materialize(keptPairs.union(aliveLit)).df
+          auxPairsCache.put(key, (vNow, out)).foreach { case (_, old) =>
+            if (!(old eq out))
+              Fixpoint.checkpointRddOf(old).foreach(_.unpersist(false))
+          }
+        }
+        // freshly-seeded pairs frames are folded into the committed
+        // tables above — release their checkpoint blocks (they were
+        // never cache entries, so the put-eviction above misses them)
+        cdSeeded.foreach(df =>
+          Fixpoint.checkpointRddOf(df).foreach(_.unpersist(false)))
+        aggDecrementCount += 1
+        committed = true
+        Some(combinedOut.select(cols.map(col): _*))
+
+      } finally {
+        def release(df: DataFrame): Unit =
+          Fixpoint.checkpointRddOf(df).foreach(_.unpersist(false))
+        bindingMats.foreach(release)
+        oldBck.foreach(release)
+        if (!committed) {
+          combinedFreshSeed.foreach(release)
+          cdSeeded.foreach(release)
         }
       }
-      // freshly-seeded pairs frames are folded into the committed
-      // tables above — release their checkpoint blocks (they were
-      // never cache entries, so the put-eviction above misses them)
-      cdSeeded.foreach(df =>
-        Fixpoint.checkpointRddOf(df).foreach(_.unpersist(false)))
-      aggDecrementCount += 1
-      releaseOldB()
-      Some(combinedOut.select(cols.map(col): _*))
     }
 
     private def tryMaintain(name: String): Option[DataFrame] = {
@@ -1728,10 +1799,15 @@ final class Engine(val catalog: Catalog) {
             changedOccs, changedRels, deltaOf, removedExactOf, cached, v0) match {
             case Some(df) => return Some(df)
             case None =>
-              // outside the subtractable contract: drop a stale support
-              // table (its version can no longer advance) and fall back
-              auxSupportCache.remove(name).foreach { case (_, df) =>
-                Fixpoint.checkpointRddOf(df).foreach(_.unpersist(false)) }
+              // outside the subtractable contract: fall back. The
+              // now-stale support table STAYS in the cache untouched —
+              // its checkpoint typically BACKS the served view (`cached`
+              // is a projection of it), so an eager unpersist here would
+              // free lineage-truncated blocks the dirty-group pass (or
+              // the insert-merge path below) is about to read. The next
+              // subtractable round finds its version stale, seeds fresh,
+              // and releases it then (view-aliasing checked at that
+              // point, where the superseded view is provably dead).
               if (hasRemovals) return dirtyGroupMaintain(r, keyIdxAll)
           }
         }
@@ -1806,7 +1882,9 @@ final class Engine(val catalog: Catalog) {
           cdSpecs.foreach { case (arg, i) =>
             val aux = auxPairsCache.get((name, i)) match {
               case Some((v, df)) if v == v0 => df
-              case _ => Fixpoint.materialize(pairsOf(oldBindings, arg)).df
+              case _ =>
+                cdPairsSeeds += 1
+                Fixpoint.materialize(pairsOf(oldBindings, arg)).df
             }
             val auxN = aux.toDF((pairCols :+ "__s"): _*)
             val dpc = pairsOf(deltaB, arg).toDF((pairCols :+ "__c"): _*)

@@ -46,44 +46,12 @@ object Dedup {
     * concurrent wire-server query may still hold a lazy plan over the
     * evicted checkpoint (whose lineage is truncated — unpersisting it
     * under a running reader fails that query with a lost-block error,
-    * not a recompute). They go to a grace-period graveyard drained on
-    * later builds: old enough to outlive any plausible in-flight
-    * reader, bounded so churn can't pile blocks up for the session. */
+    * not a recompute). They go to the shared grace-period
+    * [[graft.plans.Graveyard]] drained on later builds. */
   private val SigCacheMax = 8
-  private val GraveyardGraceNanos = 10L * 60 * 1000 * 1000 * 1000 // 10 min
-  private val GraveyardMinGraceNanos = 60L * 1000 * 1000 * 1000 // 1 min floor
-  private val GraveyardMax = 32
-  private val graveyard =
-    scala.collection.mutable.ArrayBuffer.empty[(Long, org.apache.spark.rdd.RDD[_])]
-  // private[graft]: TextAnalysis retires its per-call scratch
-  // checkpoints (gram-count / feature tables) through the same
-  // graveyard; synchronized on the buffer itself because those calls
-  // arrive outside the sigCache lock the original call sites hold
-  private[graft] def buryAndDrain(
-      evicted: Option[org.apache.spark.rdd.RDD[_]]): Unit = graveyard.synchronized {
-    val now = System.nanoTime()
-    evicted.foreach(r => graveyard += ((now, r)))
-    // full grace expired → always reclaim; over the cap → reclaim the
-    // oldest, but NEVER below the 1-minute floor (the overflow trim must
-    // not re-open the race it exists to close — pathological churn keeps
-    // a few extra blocks for at most a minute instead). An RDD whose
-    // context has stopped is dropped without an unpersist call — the
-    // block manager died with the context, and the call would throw.
-    def reclaim(entry: (Long, org.apache.spark.rdd.RDD[_])): Unit =
-      try { if (!entry._2.sparkContext.isStopped) entry._2.unpersist(false) }
-      catch { case _: Throwable => () }
-    val (expired, fresh) = graveyard.partition { case (t, _) =>
-      now - t > GraveyardGraceNanos }
-    expired.foreach(reclaim)
-    val overflowCount = math.max(0, fresh.length - GraveyardMax)
-    val (overflowEntries, rest) = fresh.splitAt(overflowCount) // oldest first
-    val (trim, kept) = overflowEntries.partition { case (t, _) =>
-      now - t > GraveyardMinGraceNanos }
-    trim.foreach(reclaim)
-    graveyard.clear()
-    graveyard ++= kept
-    graveyard ++= rest
-  }
+  private def buryAndDrain(
+      evicted: Option[org.apache.spark.rdd.RDD[_]]): Unit =
+    graft.plans.Graveyard.buryAndDrain(evicted)
   private val sigCache =
     new java.util.LinkedHashMap[(Int, Int, String, String, Int, Int, Boolean),
       (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame, Long)](16, 0.75f, true)

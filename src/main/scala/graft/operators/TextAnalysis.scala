@@ -10,8 +10,8 @@ import graft.functions.{TextFunctions => TF}
 object TextAnalysis {
 
   /** Per-call SCRATCH checkpoints (the LM gram-count table, the
-    * classifier feature table) retired through [[Dedup.buryAndDrain]]'s
-    * grace-period graveyard when the NEXT call to the same operator
+    * classifier feature table) retired through the shared grace-period
+    * [[graft.plans.Graveyard]] when the NEXT call to the same operator
     * arrives: a bench loop that re-runs q160/q161/q166 all session thus
     * holds at most ONE live scratch table per operator instead of
     * accumulating persisted blocks, while a result still lazily held
@@ -21,7 +21,8 @@ object TextAnalysis {
       slot: java.util.concurrent.atomic.AtomicReference[Option[org.apache.spark.rdd.RDD[_]]],
       df: DataFrame): DataFrame = {
     val ck = df.localCheckpoint(true)
-    Dedup.buryAndDrain(slot.getAndSet(graft.plans.Fixpoint.checkpointRddOf(ck)))
+    graft.plans.Graveyard.buryAndDrain(
+      slot.getAndSet(graft.plans.Fixpoint.checkpointRddOf(ck)))
     ck
   }
   private def scratchSlot() =

@@ -77,14 +77,31 @@ object Fixpoint {
     * concurrent queries on the shared session are unaffected. */
   private val loopSession = new ThreadLocal[SparkSession]()
 
-  /** The persisted RDD behind a localCheckpoint'ed frame (it lives
-    * inside the checkpoint's LogicalRDD) — owners capture it to
-    * unpersist deterministically instead of waiting for GC +
-    * ContextCleaner. One shared Spark-internal pattern match; the
-    * dedup signature cache uses it too. */
+  /** The persisted RDD behind a localCheckpoint'ed frame — owners
+    * capture it to unpersist deterministically instead of waiting for
+    * GC + ContextCleaner. One shared Spark-internal pattern match; the
+    * dedup signature cache uses it too.
+    *
+    * The LogicalRDD found in the plan is NOT always the persisted RDD
+    * itself: [[materialize]] re-binds the checkpointed frame through
+    * `createDataFrame(ck.rdd, …)`, which wraps the checkpoint in two
+    * never-persisted row-conversion layers — unpersisting THAT was a
+    * silent no-op, and every release of a materialized frame leaked
+    * its blocks for the session. Walk the narrow-dependency chain up
+    * to the RDD actually holding storage. A nice side effect: a frame
+    * whose checkpoint was already released resolves to None (storage
+    * level gone), so releases are idempotent. */
   private[graft] def checkpointRddOf(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
     df.queryExecution.logical.collectFirst {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.flatMap(persistedAncestor)
+  @annotation.tailrec
+  private def persistedAncestor(
+      r: org.apache.spark.rdd.RDD[_]): Option[org.apache.spark.rdd.RDD[_]] =
+    if (r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE) Some(r)
+    else r.dependencies match {
+      case Seq(d: org.apache.spark.NarrowDependency[_]) => persistedAncestor(d.rdd)
+      case _ => None
     }
 
   def materialize(df: DataFrame): Mat = {

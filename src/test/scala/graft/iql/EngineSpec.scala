@@ -569,6 +569,61 @@ class EngineSpec extends SparkSpec {
       "conditional delete should decrement on the carried table")
   }
 
+  test("fallback after a subtractable round must not free the view's backing blocks") {
+    val e = new Engine(new Catalog(spark))
+    e.run(
+      """+emp[(1, "eng", 10), (2, "eng", 20), (3, "ops", 5), (4, "qa", 7)]
+        |+dept[("eng"), ("ops"), ("qa")]
+        |+tot2(D, count<S>, sum<S>) <- emp(I, D, S), dept(D)
+        |""".stripMargin)
+    assert(rows(e.run("?tot2(D, C, S)").last) ==
+      Set(Seq("eng", 2L, 30L), Seq("ops", 1L, 5L), Seq("qa", 1L, 7L)))
+    val d0 = e.aggDecrementCount
+    // round 1: subtractable — the served view becomes a projection of
+    // the freshly-committed support table (they share one checkpoint)
+    e.run("""-emp[(1, "eng", 10)]""")
+    assert(rows(e.run("?tot2(D, C, S)").last) ==
+      Set(Seq("eng", 1L, 20L), Seq("ops", 1L, 5L), Seq("qa", 1L, 7L)))
+    assert(e.aggDecrementCount == d0 + 1)
+    // round 2: deletes touch BOTH body rels — outside the subtractable
+    // contract (single changed relation), so the round falls back to
+    // dirty-group maintenance, which READS the served view. Releasing
+    // the support table's checkpoint on that bail froze the view's
+    // lineage-truncated blocks out from under the read (lost-block
+    // SparkException before the fix).
+    e.run("-emp[(3, \"ops\", 5)]\n-dept[(\"ops\")]")
+    assert(rows(e.run("?tot2(D, C, S)").last) ==
+      Set(Seq("eng", 1L, 20L), Seq("qa", 1L, 7L)))
+    // round 3: the next subtractable round reseeds and displaces the
+    // stale support table cleanly
+    e.run("""-emp[(4, "qa", 7)]""")
+    assert(rows(e.run("?tot2(D, C, S)").last) == Set(Seq("eng", 1L, 20L)))
+    assert(e.aggDecrementCount == d0 + 2)
+  }
+
+  test("no-op delete rounds keep the carried cd pairs tables current") {
+    val e = new Engine(new Catalog(spark))
+    e.run(
+      """+ev2[(1, "a", 10), (2, "a", 20), (3, "b", 30)]
+        |+cdv3(G, count_distinct<V>) <- ev2(I, G, V)
+        |""".stripMargin)
+    assert(rows(e.run("?cdv3(G, C)").last) == Set(Seq("a", 2L), Seq("b", 1L)))
+    val s0 = e.cdPairsSeeds
+    // round 1: real delete seeds the pairs table
+    e.run("""-ev2[(3, "b", 30)]""")
+    assert(rows(e.run("?cdv3(G, C)").last) == Set(Seq("a", 2L)))
+    assert(e.cdPairsSeeds == s0 + 1)
+    // round 2: phantom delete nets to nothing — the carried tables must
+    // re-stamp to the new version, not strand at the old one
+    e.run("""-ev2[(99, "z", 1)]""")
+    assert(rows(e.run("?cdv3(G, C)").last) == Set(Seq("a", 2L)))
+    // round 3: the next real delete RIDES the carried tables (a strand
+    // would force a body-scan reseed here)
+    e.run("""-ev2[(1, "a", 10)]""")
+    assert(rows(e.run("?cdv3(G, C)").last) == Set(Seq("a", 1L)))
+    assert(e.cdPairsSeeds == s0 + 1, "no-op round must not strand the pairs table")
+  }
+
   test("count_distinct deletes decrement via support-counted pairs") {
     val e = new Engine(new Catalog(spark))
     e.run(
