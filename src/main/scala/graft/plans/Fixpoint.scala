@@ -106,9 +106,23 @@ object Fixpoint {
 
   def materialize(df: DataFrame): Mat = {
     val ck = df.localCheckpoint(true)
-    val rdd = ck.rdd
     val sess = Option(loopSession.get).getOrElse(ck.sparkSession)
-    Mat(sess.createDataFrame(rdd, ck.schema), rdd.count(), checkpointRddOf(ck))
+    // re-bind the checkpoint's InternalRow RDD to the target session
+    // DIRECTLY: `createDataFrame(ck.rdd, schema)` would wrap it in an
+    // InternalRow→Row→InternalRow conversion pair that every later read
+    // of the materialized frame pays (and whose wrapper RDDs defeated
+    // deterministic release — see [[checkpointRddOf]])
+    ck.queryExecution.logical.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    } match {
+      case Some(internal) =>
+        val reb = org.apache.spark.sql.graftglue.ColumnGlue
+          .internalCreateDataFrame(sess, internal, ck.schema)
+        Mat(reb, internal.count(), Some(internal))
+      case None => // never in practice: localCheckpoint always yields a LogicalRDD
+        val rdd = ck.rdd
+        Mat(sess.createDataFrame(rdd, ck.schema), rdd.count(), checkpointRddOf(ck))
+    }
   }
 
   private def maybeBroadcast(m: Mat): DataFrame =
