@@ -46,7 +46,7 @@ final class Engine(val catalog: Catalog) {
     * overlaid on base relations at resolve time, never persisted. */
   private val sessionFacts = mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[Seq[Any]]]
 
-  def clearSession(): Unit = { sessionRules.clear(); sessionFacts.clear(); matCache.clear() }
+  def clearSession(): Unit = { sessionRules.clear(); sessionFacts.clear(); clearMatCacheRetiring() }
 
   def sessionSummary: (Int, Int) = (sessionRules.length, sessionFacts.values.map(_.length).sum)
 
@@ -54,7 +54,7 @@ final class Engine(val catalog: Catalog) {
     * reference session-scoped inserts, `rest/handlers/ws.rs`). */
   def addSessionFacts(rel: String, rows: Seq[Seq[Any]]): Unit = {
     sessionFacts.getOrElseUpdate(rel, mutable.ArrayBuffer.empty) ++= rows
-    matCache.clear()
+    clearMatCacheRetiring()
   }
 
   /** Retract ephemeral session facts; returns how many were removed
@@ -67,7 +67,7 @@ final class Engine(val catalog: Catalog) {
         val before = buf.length
         val remaining = buf.filterNot(toRemove.contains)
         buf.clear(); buf ++= remaining
-        matCache.clear()
+        clearMatCacheRetiring()
         before - buf.length
     }
 
@@ -76,7 +76,7 @@ final class Engine(val catalog: Catalog) {
     val remaining = sessionRules.filterNot(_.head.rel == name)
     sessionRules.clear(); sessionRules ++= remaining
     sessionFacts.remove(name)
-    matCache.clear()
+    clearMatCacheRetiring()
   }
 
   /** Base relation + session-fact overlay (set semantics). */
@@ -187,9 +187,52 @@ final class Engine(val catalog: Catalog) {
   private def cachePut(rel: String, df: DataFrame): Unit = {
     val v = catalog.version
     // keep ONE entry per relation (the newest) — older versions are only
-    // useful as maintenance seeds and the latest seed dominates
+    // useful as maintenance seeds and the latest seed dominates. A
+    // DISPLACED entry retires its checkpoint through the Graveyard
+    // (guarded below), or its blocks would stay persisted for the
+    // session — one view-sized leak per recompute/maintenance round.
+    matCache.foreach { case ((r, _), old) =>
+      if (r == rel && !(old eq df)) retireDisplacedView(old, Some(df)) }
     matCache.filterInPlace { case ((r, ver), _) => r != rel || ver == v }
     matCache((rel, v)) = df
+  }
+  /** Retire a displaced cached view's checkpoint blocks via the
+    * grace-period [[graft.plans.Graveyard]] (results already handed to
+    * callers may still hold lazy plans over them — never free eagerly).
+    * Guards make this sound by construction:
+    *  - only frames whose plan ROOT is the checkpoint `LogicalRDD` (a
+    *    standalone materialization this cache solely owns). Lazy plans
+    *    over base tables are excluded (their leaf RDDs belong to the
+    *    catalog), and so are the subtractable-aggregate views — those
+    *    are PROJECTIONS of the live support table, whose lifecycle the
+    *    aux-cache commit path manages;
+    *  - never an RDD the replacement frame still references (an
+    *    incremental merge may read the old materialization lazily);
+    *  - only RDDs actually holding storage (literal/driver-computed
+    *    results parallelize unpersisted — nothing to retire). */
+  private def retireDisplacedView(old: DataFrame, replacement: Option[DataFrame]): Unit =
+    old.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD
+          if l.rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE =>
+        val keptByNew = replacement.exists(_.queryExecution.logical.collectFirst {
+          case n: org.apache.spark.sql.execution.LogicalRDD if n.rdd eq l.rdd => true
+        }.isDefined)
+        if (!keptByNew) {
+          viewRetirements += 1
+          graft.plans.Graveyard.buryAndDrain(Some(l.rdd))
+        }
+      case _ => ()
+    }
+  /** Observability: displaced-view retirements (tests pin that version
+    * bumps stop leaking view checkpoints). */
+  private[graft] var viewRetirements: Long = 0L
+  /** Invalidate every cached view, retiring owned materializations
+    * through the Graveyard — rule/session changes displace all views
+    * at once, and without retirement each invalidation leaked every
+    * checkpoint-backed view for the session. */
+  private def clearMatCacheRetiring(): Unit = {
+    matCache.valuesIterator.foreach(retireDisplacedView(_, None))
+    matCache.clear()
   }
   /** Observability: how many resolves were served by incremental
     * maintenance instead of recomputation (tests assert on this). */
@@ -252,14 +295,14 @@ final class Engine(val catalog: Catalog) {
       case InsertFacts(rel, rows) => catalog.insert(rel, rows)
       case SessionFact(rel, row) =>
         sessionFacts.getOrElseUpdate(rel, mutable.ArrayBuffer.empty) += row
-        matCache.clear()
+        clearMatCacheRetiring()
       case DeleteFacts(rel, rows) => catalog.delete(rel, rows)
       case DropRelation(rel) => catalog.dropRelation(rel)
       case RuleDef(rule) =>
         if (rule.persistent) catalog.addRule(rule)
         else if (!sessionRules.contains(rule)) { // dedup identical re-adds
           sessionRules += rule
-          matCache.clear()
+          clearMatCacheRetiring()
         }
       case DeleteWhere(atom, body) => deleteWhere(atom, body)
       case SchemaDecl(rel, fields) => catalog.declareSchema(rel, fields)
@@ -295,12 +338,12 @@ final class Engine(val catalog: Catalog) {
     case InsertFacts(rel, rows) => catalog.insert(rel, rows)
     case SessionFact(rel, row) =>
       sessionFacts.getOrElseUpdate(rel, mutable.ArrayBuffer.empty) += row
-      matCache.clear()
+      clearMatCacheRetiring()
     case DeleteFacts(rel, rows) => catalog.delete(rel, rows)
     case DropRelation(rel) => catalog.dropRelation(rel)
     case RuleDef(rule) =>
       if (rule.persistent) catalog.addRule(rule)
-      else if (!sessionRules.contains(rule)) { sessionRules += rule; matCache.clear() }
+      else if (!sessionRules.contains(rule)) { sessionRules += rule; clearMatCacheRetiring() }
     case DeleteWhere(atom, body) => deleteWhere(atom, body)
     case SchemaDecl(rel, fields) => catalog.declareSchema(rel, fields)
     case TypeAlias(alias, base) => catalog.addTypeAlias(alias, base)
@@ -539,7 +582,7 @@ final class Engine(val catalog: Catalog) {
           return
         case None =>
           val sess = sessionRules.find(r => r.head == atom && r.body == body)
-          sess.foreach { r => sessionRules -= r; matCache.clear() }
+          sess.foreach { r => sessionRules -= r; clearMatCacheRetiring() }
           if (sess.isDefined) return
       }
     }

@@ -569,6 +569,34 @@ class EngineSpec extends SparkSpec {
       "conditional delete should decrement on the carried table")
   }
 
+  test("displaced view materializations retire through the graveyard instead of leaking") {
+    val e = new Engine(new Catalog(spark))
+    e.run(
+      """+m3[(1, "a", 10), (2, "a", 20), (3, "b", 7)]
+        |+mg(G, min<V>) <- m3(I, G, V)
+        |""".stripMargin)
+    assert(rows(e.run("?mg(G, V)").last) == Set(Seq("a", 10L), Seq("b", 7L)))
+    val r0 = e.viewRetirements
+    // round 1: min-delete dirty-group maintenance materializes a new
+    // view; the displaced entry was a lazy PLAN (first evaluation) —
+    // nothing to retire yet
+    e.run("""-m3[(1, "a", 10)]""")
+    assert(rows(e.run("?mg(G, V)").last) == Set(Seq("a", 20L), Seq("b", 7L)))
+    // round 2: the new materialization displaces round 1's — that one
+    // is a checkpoint this cache owns, and it must RETIRE (before this
+    // landed, every maintenance round leaked one view-sized checkpoint)
+    e.run("""-m3[(3, "b", 7)]""")
+    assert(rows(e.run("?mg(G, V)").last) == Set(Seq("a", 20L)))
+    assert(e.viewRetirements > r0, "displaced materialized view should retire")
+    // a rule change invalidates maintenance; the re-derivation's
+    // cachePut displaces the held materialization — retire again
+    val r1 = e.viewRetirements
+    e.run("+extra(X) <- m3(X, G, V)")
+    assert(rows(e.run("?mg(G, V)").last) == Set(Seq("a", 20L)))
+    assert(e.viewRetirements > r1,
+      "re-derivation after a rule change should retire the displaced view")
+  }
+
   test("fallback after a subtractable round must not free the view's backing blocks") {
     val e = new Engine(new Catalog(spark))
     e.run(
