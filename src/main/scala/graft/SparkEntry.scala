@@ -865,6 +865,23 @@ object SparkEntry {
         k = 4, tau = 1.0)
     }),
 
+    // --- pipeline: IVF-CELL-BLOCKED bitext mining — the above-the-gate
+    //     generator (trained centroids, b assigned by cell, a expanded
+    //     to its nprobe best cells, ONE equi-join on cell — no
+    //     broadcast of either corpus side). Probed at nprobe = nCells
+    //     every (a,b) pair is generated exactly once, so the result
+    //     EQUALS the broadcast q181 — the oracle anchors the whole
+    //     generator machinery (a dropped or duplicated candidate pair
+    //     shifts a k-NN denominator) ------------------------------------
+    "q185_bitext_blocked" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val b = emb.where(pmod(col("vec_id"), lit(2L)) === 1)
+      val cent = Similarity.kmeansCentroids(b, k = 8, iters = 2)
+      Similarity.marginMiningBlocked(
+        emb.where(pmod(col("vec_id"), lit(2L)) === 0), b,
+        cent, nprobe = cent.length, k = 4, tau = 1.0)
+    }),
+
     "q64_knn_join" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       val queries = emb.where(col("vec_id") < 5)
@@ -2967,6 +2984,30 @@ object SparkEntry {
         |FROM r WHERE rn = 1 AND cos >= 0.3""".stripMargin,
 
     "q181_bitext_margin" ->
+      """WITH a AS (SELECT vec_id AS a_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id % 2 = 0),
+        |b AS (SELECT vec_id AS b_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id % 2 = 1),
+        |pairs AS (SELECT a_id, b_id, list_cosine_similarity(a.v, b.v) AS cos
+        |  FROM a CROSS JOIN b),
+        |ranked AS (SELECT *,
+        |  ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id ASC) AS ra,
+        |  ROW_NUMBER() OVER (PARTITION BY b_id ORDER BY cos DESC, a_id ASC) AS rb
+        |  FROM pairs),
+        |da AS (SELECT a_id, AVG(cos) AS da FROM ranked WHERE ra <= 4 GROUP BY a_id),
+        |db AS (SELECT b_id, AVG(cos) AS db FROM ranked WHERE rb <= 4 GROUP BY b_id),
+        |cand AS (SELECT r.a_id, r.b_id, r.cos,
+        |  r.cos / ((da.da + db.db) / 2) AS margin
+        |  FROM ranked r JOIN da USING (a_id) JOIN db USING (b_id) WHERE r.ra <= 4),
+        |best AS (SELECT *,
+        |  ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY margin DESC, b_id ASC) AS rk
+        |  FROM cand)
+        |SELECT a_id, b_id, ROUND(cos, 6) AS cos6, ROUND(margin, 6) AS margin6
+        |FROM best WHERE rk = 1 AND margin >= 1.0""".stripMargin,
+
+    // blocked generator probed at nprobe = nCells generates every pair
+    // exactly once == the broadcast form — same oracle as q181
+    "q185_bitext_blocked" ->
       """WITH a AS (SELECT vec_id AS a_id, CAST(embedding AS DOUBLE[]) AS v
         |  FROM embeddings WHERE vec_id % 2 = 0),
         |b AS (SELECT vec_id AS b_id, CAST(embedding AS DOUBLE[]) AS v

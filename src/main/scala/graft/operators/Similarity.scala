@@ -172,19 +172,39 @@ object Similarity {
     * candidate lists AND both denominator averages are per-side top-k
     * windows over the same pairs, so pair scoring (the expensive part)
     * is paid once and margins touch only candidate rows. Pair
-    * generation here is the broadcast cross-join (right for a
-    * broadcastable side); above that bound the generator — not the
-    * margin algebra — swaps for the IVF-cell-blocked equi-join
-    * ([[ivfAssign]] both sides, join on cell) exactly as production
-    * miners shard by LSH/IVF bucket. */
+    * generation is SIZE-GATED: a b-side of at most `broadcastCap` rows
+    * (a cap-probe, the HNSW capacity-guard pattern — never a full
+    * count) takes the broadcast cross-join; above the cap the
+    * generator — not the margin algebra — swaps for the
+    * IVF-cell-blocked equi-join ([[marginMiningBlocked]]: train
+    * centroids on b, assign both sides, equi-join on cell with
+    * per-a-row nprobe cell expansion) exactly as production miners
+    * shard by LSH/IVF bucket. A full second-language corpus never
+    * broadcasts. */
   def marginMining(a: DataFrame, b: DataFrame, k: Int = 4, tau: Double = 1.0,
-                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   broadcastCap: Long = 100000L, nCells: Int = 32,
+                   nprobe: Int = 8): DataFrame = {
     require(k >= 1, "need k >= 1 neighbours for the margin denominator")
+    val capProbe = math.min(broadcastCap + 1, Int.MaxValue.toLong).toInt
+    val bOverCap = b.select(col(idCol)).limit(capProbe).count() > broadcastCap
+    if (bOverCap) {
+      val cent = kmeansCentroids(b, math.max(2, nCells), iters = 2, idCol, vecCol)
+      return marginMiningBlocked(a, b, cent, nprobe, k, tau, idCol, vecCol)
+    }
     val pa = a.select(col(idCol).as("a_id"), col(vecCol).as("av"))
     val pb = b.select(col(idCol).as("b_id"), col(vecCol).as("bv"))
     val pairs = pa.crossJoin(broadcast(pb))
       .select(col("a_id"), col("b_id"),
         VF.cosineSimilarity(col("av"), col("bv")).as("cos"))
+    marginFromPairs(pairs, k, tau)
+  }
+
+  /** The margin algebra over a scored candidate pair table
+    * (a_id, b_id, cos) — shared by the broadcast and blocked
+    * generators, so the two paths can only differ in WHICH pairs are
+    * scored, never in how margins rank them. */
+  private def marginFromPairs(pairs: DataFrame, k: Int, tau: Double): DataFrame = {
     val wa = Window.partitionBy("a_id").orderBy(col("cos").desc, col("b_id").asc)
     val wb = Window.partitionBy("b_id").orderBy(col("cos").desc, col("a_id").asc)
     val ranked = pairs
@@ -201,6 +221,59 @@ object Similarity {
       .where(col("__rk") === 1 && col("margin") >= tau)
       .select(col("a_id"), col("b_id"),
         round(col("cos"), 6).as("cos6"), round(col("margin"), 6).as("margin6"))
+  }
+
+  /** The query's `nprobe` best cells as a per-ROW column expression —
+    * the distributed twin of the driver-side [[probeCells]]: same
+    * metric (min ‖v−c‖² = max (v·c − ‖c‖²/2)), same tie-break (lowest
+    * cell index). Codegen'd dot kernels against plan-literal
+    * centroids; `array_sort` over (negScore, cell) structs orders best
+    * first with ties to the smaller cell. */
+  private def probeCellsCol(v: Column, centroids: Array[Array[Double]],
+                            nprobe: Int): Column = {
+    import graft.functions.{VectorKernels => VK}
+    val np = math.min(math.max(nprobe, 1), centroids.length)
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      val halfSqNorm = c.map(x => x * x).sum / 2.0
+      struct((lit(halfSqNorm) - VK.dot(v, typedLit(c.toSeq))).as("negScore"),
+        lit(i).as("cell"))
+    }
+    transform(slice(array_sort(array(scored: _*)), 1, np),
+      s => s.getField("cell"))
+  }
+
+  /** IVF-CELL-BLOCKED pair generation for [[marginMining]] — the
+    * above-the-gate path, the shape production miners (CCMatrix-style)
+    * actually run when both language sides are full corpus slices:
+    * b assigns to its nearest centroid ([[ivfAssign]] — one map-only
+    * pass, at 100 TB a stored `partitionBy("cell")` layout); each
+    * a-row expands to its `nprobe` best cells ([[probeCellsCol]],
+    * codegen'd) and the candidate pairs come from ONE equi-join on
+    * `cell` — a hash-partitioned shuffle, never a broadcast of either
+    * corpus. Each b lives in exactly one cell and a's probe list is
+    * distinct cells, so no pair is generated twice and no dedup pass
+    * is needed. The margin algebra downstream is [[marginFromPairs]],
+    * byte-identical to the broadcast path's.
+    *
+    * Recall: approximate for nprobe < nCells (pairs split across
+    * unprobed cells are unseen — the standard IVF trade); with
+    * `nprobe = centroids.length` every (a,b) pair is generated exactly
+    * once and the result EQUALS the broadcast [[marginMining]] — the
+    * oracle anchor for the generator machinery. */
+  def marginMiningBlocked(a: DataFrame, b: DataFrame,
+                          centroids: Array[Array[Double]], nprobe: Int,
+                          k: Int = 4, tau: Double = 1.0,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, "need k >= 1 neighbours for the margin denominator")
+    val pb = ivfAssign(
+      b.select(col(idCol).as("b_id"), col(vecCol).as("bv")), centroids, "bv")
+    val pa = a.select(col(idCol).as("a_id"), col(vecCol).as("av"))
+      .withColumn("cell", explode(probeCellsCol(col("av"), centroids, nprobe)))
+    val pairs = pa.join(pb, Seq("cell"))
+      .select(col("a_id"), col("b_id"),
+        VF.cosineSimilarity(col("av"), col("bv")).as("cos"))
+    marginFromPairs(pairs, k, tau)
   }
 
   /** SEMANTIC decontamination — the embedding-space twin of the

@@ -67,6 +67,19 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q185 blocked bitext mining never broadcasts a corpus side") {
+    assume(new java.io.File(s"$sf/embeddings.parquet").exists)
+    // the blocked generator is an equi-join on cell — Catalyst may
+    // hash-broadcast a SMALL side by size (fine; at scale it flips to
+    // a shuffled join), but the nested-loop cross-join shape of the
+    // broadcast generator must be gone
+    val plan = planOf("q185_bitext_blocked")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // under the gate the broadcast form IS the nested-loop shape — the
+    // gate is what separates the two regimes
+    assert(planOf("q181_bitext_margin").contains("BroadcastNestedLoopJoin"))
+  }
+
   test("PQ ADC top-k is a TakeOrderedAndProject over the code scan") {
     assume(new java.io.File(s"$sf/embeddings.parquet").exists)
     val plan = planOf("q105_pq_adc_seeded")

@@ -46,6 +46,35 @@ class SimilaritySpec extends SparkSpec {
     assert(!mined.values.toSet.contains(999L), "hub vector must not be mined")
   }
 
+  test("blocked margin mining: all-cells probe equals broadcast; split-cell recall; gate") {
+    val a = emb.where(pmod(col("vec_id"), lit(2L)) === 0)
+    val b = emb.where(pmod(col("vec_id"), lit(2L)) === 1)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3))).toSet
+    val bcast = key(Similarity.marginMining(a, b, k = 4, tau = 1.0))
+    val cent = Similarity.kmeansCentroids(b, k = 8, iters = 2)
+    // nprobe = nCells: every pair generated exactly once -> exact equality
+    val blockedAll = key(Similarity.marginMiningBlocked(
+      a, b, cent, nprobe = cent.length, k = 4, tau = 1.0))
+    assert(blockedAll == bcast, "all-cells blocked mining != broadcast mining")
+    // the size gate routes an over-cap b side through the blocked path:
+    // broadcastCap = 0 forces it; nprobe = nCells keeps it exact
+    val gated = key(Similarity.marginMining(a, b, k = 4, tau = 1.0,
+      broadcastCap = 0L, nCells = 8, nprobe = 8))
+    assert(gated == bcast, "gated (forced-blocked) mining != broadcast mining")
+    // partial nprobe: planted near-copy translations land in their a
+    // twin's own cell, so even a 2-cell probe keeps high recall on the
+    // true pairs (the IVF trade drops only split-cell strays)
+    val partial = Similarity.marginMiningBlocked(
+      a, b, cent, nprobe = 4, k = 4, tau = 0.0)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactPairs = Similarity.marginMining(a, b, k = 4, tau = 0.0)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = partial.intersect(exactPairs).size.toDouble / exactPairs.size
+    assert(recall >= 0.5, s"partial-probe recall $recall too low")
+  }
+
   test("k-means centroids are deterministic and improve over iterations") {
     val c1 = Similarity.kmeansCentroids(emb, k = 8, iters = 2)
     val c2 = Similarity.kmeansCentroids(emb, k = 8, iters = 2)
