@@ -62,6 +62,35 @@ object Bench {
       "\"(q[0-9]+[a-z0-9_]*)\":([0-9.Ee+-]+)".r.findAllMatchIn(txt)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     } catch { case _: Throwable => Map.empty }
+    // ... AND the last COMMITTED round snapshot (BENCH_r{NN}.json): the
+    // BENCH_FULL baseline is the freshest *run*, which mid-round local
+    // runs refresh — a query that regressed early in the round then
+    // baselines on its own regressed time and escapes adjudication
+    // (r10's q80 measured 2.02× of r9 unretried exactly this way). The
+    // round file holds the driver-captured stdout tail: short qNN keys,
+    // escaped quotes, possibly front-truncated — slice to the object
+    // end before "failed" so isolated_retries values can't pose as
+    // baselines, then scrape the \"qNN\":sec pairs that survived.
+    val prevRound: Map[String, Double] = try {
+      val files = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.matches("BENCH_r[0-9]+\\.json"))
+      if (files.isEmpty) Map.empty
+      else {
+        val last = files.maxBy(f => f.getName.replaceAll("[^0-9]", "").toInt)
+        val all = new String(java.nio.file.Files.readAllBytes(last.toPath), "UTF-8")
+        val cut = all.indexOf("\\\"failed\\\"")
+        val txt = if (cut < 0) all else all.substring(0, cut)
+        "\\\\\"(q[0-9]+)\\\\\":([0-9.Ee+-]+)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    } catch { case _: Throwable => Map.empty }
+    // adjudication baseline = the FASTEST of the two sources that know
+    // this query (round file keys are the qNN short form)
+    def baseline(name: String): Option[Double] = {
+      val known = prevTimes.get(name).toSeq ++
+        prevRound.get(name.takeWhile(_ != '_')).toSeq
+      if (known.isEmpty) None else Some(known.min)
+    }
     val timed = SparkEntry.queries.toSeq.sortBy { case (n, _) => (qNum(n), n) }
       .filter { case (n, _) => only.isEmpty || only(n) }
       .map { case (name, fn) =>
@@ -96,7 +125,7 @@ object Bench {
     // the retry values so a TRUE regression (retry still slow) is
     // visible as such.
     val retried: Map[String, Double] = suiteResults.flatMap { case (n, t) =>
-      prevTimes.get(n) match {
+      baseline(n) match {
         case Some(p) if p > 0 && t > 2 * p && t > 0.2 =>
           System.gc()
           val t0 = System.nanoTime()

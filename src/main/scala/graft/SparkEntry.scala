@@ -1653,6 +1653,50 @@ object SparkEntry {
     //     rides it (EngineSpec pins the no-reseed counter), an insert
     //     round keeps it current, and a final delete round decrements
     //     again; dead groups vanish from the view -----------------------
+    // --- IQL: AVG RETRACTION — avg = carried decimal sum / non-null
+    //     count on the support table, so deletes DECREMENT per group
+    //     instead of dirty-group recomputing (round 1 seeds the table,
+    //     round 2 rides it; sal is integral so every engine's avg is
+    //     the same exact double) -----------------------------------------
+    "q186_iql_avg_decrement" -> ((s, dir) => {
+      val e = iqlEngine(s, dir)
+      e.catalog.register("vemp", T(s, dir, "orders").select(
+        col("o_orderkey").as("id"),
+        pmod(col("o_custkey"), lit(50L)).as("dept"),
+        floor(col("o_totalprice")).cast("long").as("sal")))
+      e.run(
+        """+vavg(D, avg<S>, count<S>) <- vemp(I, D, S)
+          |?vavg(D, A, C)
+          |""".stripMargin)
+      e.run("-vemp(I, D, S) <- vemp(I, D, S), D = 7") // decrement + seed
+      e.run("?vavg(D, A, C)")
+      e.run("-vemp(I, D, S) <- vemp(I, D, S), D = 11, I % 2 = 0")
+      e.run("?vavg(D, A, C)").last // round 2 rides the carried table
+    }),
+
+    // --- IQL: F64-SUM RETRACTION — double sums ride a DECIMAL-carried
+    //     support sum (exact, order-independent subtraction; in-place
+    //     f64 subtraction drifts), closing the lossy-subtraction
+    //     recompute class. sal values are quarters (dyadic rationals),
+    //     so decimal carry, IEEE recompute, and the DuckDB oracle all
+    //     agree bit for bit ----------------------------------------------
+    "q187_iql_fsum_decrement" -> ((s, dir) => {
+      val e = iqlEngine(s, dir)
+      e.catalog.register("femp", T(s, dir, "orders").select(
+        col("o_orderkey").as("id"),
+        pmod(col("o_custkey"), lit(50L)).as("dept"),
+        (floor(col("o_totalprice")).cast("double") +
+          lit(0.25) * pmod(col("o_orderkey"), lit(4L)).cast("double")).as("sal")))
+      e.run(
+        """+ftot(D, sum<S>, avg<S>, count<S>) <- femp(I, D, S)
+          |?ftot(D, S, A, C)
+          |""".stripMargin)
+      e.run("-femp(I, D, S) <- femp(I, D, S), D = 7")
+      e.run("?ftot(D, S, A, C)")
+      e.run("-femp(I, D, S) <- femp(I, D, S), D = 11, I % 2 = 0")
+      e.run("?ftot(D, S, A, C)").last // decimal-carried decrement
+    }),
+
     "q179_iql_agg_decrement" -> ((s, dir) => {
       val e = iqlEngine(s, dir)
       e.catalog.register("demp", T(s, dir, "orders").select(
@@ -3658,6 +3702,27 @@ object SparkEntry {
         |UNION ALL SELECT 900000002, 1, 2000
         |UNION ALL SELECT 900000003, 0, 3000)
         |SELECT dept AS D, CAST(SUM(sal) AS BIGINT) AS S, COUNT(sal) AS C FROM emp GROUP BY dept""".stripMargin,
+
+    // avg view after both delete rounds: dept 7 died; dept 11 lost its
+    // even-id rows (integral sal — every engine's avg is exact)
+    "q186_iql_avg_decrement" ->
+      """SELECT o_custkey % 50 AS D,
+        |  AVG(CAST(FLOOR(o_totalprice) AS BIGINT)) AS A,
+        |  COUNT(*) AS C
+        |FROM orders
+        |WHERE o_custkey % 50 <> 7
+        |  AND NOT (o_custkey % 50 = 11 AND o_orderkey % 2 = 0)
+        |GROUP BY 1""".stripMargin,
+
+    // f64 sum/avg view after both delete rounds (quarter-valued sal:
+    // decimal-carried maintenance == IEEE recompute == this oracle)
+    "q187_iql_fsum_decrement" ->
+      """WITH femp AS (SELECT o_orderkey AS id, o_custkey % 50 AS dept,
+        |  FLOOR(o_totalprice) + 0.25 * (o_orderkey % 4) AS sal FROM orders)
+        |SELECT dept AS D, SUM(sal) AS S, AVG(sal) AS A, COUNT(*) AS C
+        |FROM femp
+        |WHERE dept <> 7 AND NOT (dept = 11 AND id % 2 = 0)
+        |GROUP BY dept""".stripMargin,
 
     // the view after both delete rounds: dept 7 died (conditional
     // delete), the injected 999 group died (exact-tuple deletes)

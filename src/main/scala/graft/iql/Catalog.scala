@@ -32,8 +32,11 @@ final class Catalog(val spark: SparkSession) {
     * `src/incremental.rs`; our analogue logs the newly-inserted rows per
     * version so the engine can delta-extend a cached materialization
     * instead of recomputing). One entry PER version bump; `delta` is
-    * non-null only for pure inserts (monotone changes), `rel == "*"`
-    * marks a rule-set change that invalidates everything. Bounded. */
+    * non-null only for pure inserts (monotone changes); `rel ==
+    * "rule:<head>"` marks a rule-set change for that head (invalidates
+    * only dependents); `rel == "*"` marks an opaque catalog-wide change
+    * (relation drop, schema coercion) that invalidates everything.
+    * Bounded. */
   /** `delta` = inserted rows (non-null only for pure inserts); `removed`
     * = deleted rows (non-null only for exact-tuple deletes; MAY
     * over-approximate — a plain delete logs the requested literals,
@@ -73,11 +76,12 @@ final class Catalog(val spark: SparkSession) {
                         removedExact: DataFrame = null): Unit = {
     changeLog += Change(version, rel, delta, removed, rawDelta, removedExact)
     if (changeLog.length > 64) changeLog.remove(0, changeLog.length - 64)
-    val op = if (rel == "*") "rule_change"
+    val op = if (rel == "*" || rel.startsWith("rule:")) "rule_change"
       else if (delta != null) "insert"
       else if (removed != null) "delete"
       else "update"
-    changeListeners.foreach(l => try l(rel, op) catch { case _: Throwable => () })
+    val notifyRel = if (rel.startsWith("rule:")) rel.stripPrefix("rule:") else rel
+    changeListeners.foreach(l => try l(notifyRel, op) catch { case _: Throwable => () })
   }
   /** Declared schemas: rel → (fieldName, iql type). Validation is
     * all-or-nothing per insert batch (reference `src/schema/mod.rs:1-8`)
@@ -422,7 +426,13 @@ final class Catalog(val spark: SparkSession) {
   /** Re-registering an identical rule is a no-op (reference dedups rule
     * submissions); different bodies for the same head accumulate. */
   def addRule(rule: Ast.Rule): Unit = synchronized {
-    if (!ruleList.contains(rule)) { bump(); logChange("*", null); ruleList += rule }
+    // rule changes log the affected HEAD ("rule:<head>") instead of the
+    // invalidate-everything "*": the engine keeps materializations whose
+    // rule closure never reaches that head (reference invalidates only
+    // dependents, src/derived_relations.rs:30-37)
+    if (!ruleList.contains(rule)) {
+      bump(); logChange("rule:" + rule.head.rel, null); ruleList += rule
+    }
   }
 
   /** Remove the idx-th (1-based) clause of a head's rules. */
@@ -430,7 +440,7 @@ final class Catalog(val spark: SparkSession) {
     val clauses = ruleList.zipWithIndex.filter(_._1.head.rel == headRel)
     clauses.lift(idx - 1) match {
       case Some((_, globalIdx)) =>
-        bump(); logChange("*", null); ruleList.remove(globalIdx); true
+        bump(); logChange("rule:" + headRel, null); ruleList.remove(globalIdx); true
       case None => false
     }
   }
@@ -718,7 +728,7 @@ final class Catalog(val spark: SparkSession) {
   }
 
   def dropRule(headRel: String): Unit = synchronized {
-    bump(); logChange("*", null)
+    bump(); logChange("rule:" + headRel, null)
     val remaining = ruleList.filterNot(_.head.rel == headRel)
     ruleList.clear()
     ruleList ++= remaining

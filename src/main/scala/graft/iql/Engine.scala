@@ -54,7 +54,7 @@ final class Engine(val catalog: Catalog) {
     * reference session-scoped inserts, `rest/handlers/ws.rs`). */
   def addSessionFacts(rel: String, rows: Seq[Seq[Any]]): Unit = {
     sessionFacts.getOrElseUpdate(rel, mutable.ArrayBuffer.empty) ++= rows
-    clearMatCacheRetiring()
+    invalidateDependents(rel)
   }
 
   /** Retract ephemeral session facts; returns how many were removed
@@ -67,7 +67,7 @@ final class Engine(val catalog: Catalog) {
         val before = buf.length
         val remaining = buf.filterNot(toRemove.contains)
         buf.clear(); buf ++= remaining
-        clearMatCacheRetiring()
+        invalidateDependents(rel)
         before - buf.length
     }
 
@@ -76,7 +76,7 @@ final class Engine(val catalog: Catalog) {
     val remaining = sessionRules.filterNot(_.head.rel == name)
     sessionRules.clear(); sessionRules ++= remaining
     sessionFacts.remove(name)
-    clearMatCacheRetiring()
+    invalidateDependents(name)
   }
 
   /** Base relation + session-fact overlay (set semantics). */
@@ -234,6 +234,35 @@ final class Engine(val catalog: Catalog) {
     matCache.valuesIterator.foreach(retireDisplacedView(_, None))
     matCache.clear()
   }
+  /** Dependency invalidation for session rule/fact changes naming ONE
+    * relation: only cached views whose rule closure (over the
+    * post-change rule set) reaches `changedRel` lose their
+    * materialization; unrelated views stay live and keep serving (the
+    * reference invalidates only dependents,
+    * `src/derived_relations.rs:30-37`, `src/incremental.rs:77-80` —
+    * displacing every view on any `.rule` add was the Spark-side
+    * over-approximation). Persistent rule changes take the analogous
+    * path through the change log's `rule:<head>` entries in
+    * [[IdbEvaluator.tryMaintain]]. */
+  private def invalidateDependents(changedRel: String): Unit = {
+    val byHead = visibleRules(sessionRules.toSeq).groupBy(_.head.rel)
+    def closure(view: String): Set[String] = {
+      val seen = mutable.HashSet.empty[String]
+      def go(rel: String): Unit = if (seen.add(rel))
+        byHead.getOrElse(rel, Seq.empty).foreach(_.body.foreach {
+          case Pos(a) => go(a.rel)
+          case Neg(a) => go(a.rel)
+          case _ => ()
+        })
+      go(view)
+      seen.toSet
+    }
+    val affected = matCache.keysIterator.map(_._1).toSet
+      .filter(v => closure(v)(changedRel))
+    matCache.foreach { case ((r, _), df) =>
+      if (affected(r)) retireDisplacedView(df, None) }
+    matCache.filterInPlace { case ((r, _), _) => !affected(r) }
+  }
   /** Observability: how many resolves were served by incremental
     * maintenance instead of recomputation (tests assert on this). */
   private[graft] var maintainedCount: Long = 0L
@@ -295,14 +324,14 @@ final class Engine(val catalog: Catalog) {
       case InsertFacts(rel, rows) => catalog.insert(rel, rows)
       case SessionFact(rel, row) =>
         sessionFacts.getOrElseUpdate(rel, mutable.ArrayBuffer.empty) += row
-        clearMatCacheRetiring()
+        invalidateDependents(rel)
       case DeleteFacts(rel, rows) => catalog.delete(rel, rows)
       case DropRelation(rel) => catalog.dropRelation(rel)
       case RuleDef(rule) =>
         if (rule.persistent) catalog.addRule(rule)
         else if (!sessionRules.contains(rule)) { // dedup identical re-adds
           sessionRules += rule
-          clearMatCacheRetiring()
+          invalidateDependents(rule.head.rel)
         }
       case DeleteWhere(atom, body) => deleteWhere(atom, body)
       case SchemaDecl(rel, fields) => catalog.declareSchema(rel, fields)
@@ -338,12 +367,14 @@ final class Engine(val catalog: Catalog) {
     case InsertFacts(rel, rows) => catalog.insert(rel, rows)
     case SessionFact(rel, row) =>
       sessionFacts.getOrElseUpdate(rel, mutable.ArrayBuffer.empty) += row
-      clearMatCacheRetiring()
+      invalidateDependents(rel)
     case DeleteFacts(rel, rows) => catalog.delete(rel, rows)
     case DropRelation(rel) => catalog.dropRelation(rel)
     case RuleDef(rule) =>
       if (rule.persistent) catalog.addRule(rule)
-      else if (!sessionRules.contains(rule)) { sessionRules += rule; clearMatCacheRetiring() }
+      else if (!sessionRules.contains(rule)) {
+        sessionRules += rule; invalidateDependents(rule.head.rel)
+      }
     case DeleteWhere(atom, body) => deleteWhere(atom, body)
     case SchemaDecl(rel, fields) => catalog.declareSchema(rel, fields)
     case TypeAlias(alias, base) => catalog.addTypeAlias(alias, base)
@@ -582,7 +613,7 @@ final class Engine(val catalog: Catalog) {
           return
         case None =>
           val sess = sessionRules.find(r => r.head == atom && r.body == body)
-          sess.foreach { r => sessionRules -= r; clearMatCacheRetiring() }
+          sess.foreach { r => sessionRules -= r; invalidateDependents(atom.rel) }
           if (sess.isDefined) return
       }
     }
@@ -798,7 +829,7 @@ final class Engine(val catalog: Catalog) {
         cached: DataFrame, v0: Long): Option[DataFrame] = {
       if (changedOccs.length != 1 || keyIdx.isEmpty) return None
       if (aggSpecs.isEmpty || !aggSpecs.forall { case (f, _) =>
-        f == "sum" || f == "count" || f == "count_distinct" }) return None
+        f == "sum" || f == "count" || f == "count_distinct" || f == "avg" }) return None
       val changedRel = r.body(changedOccs.head) match {
         case Pos(a) => a.rel
         case _ => return None
@@ -807,12 +838,41 @@ final class Engine(val catalog: Catalog) {
       if (r.body.exists { case Neg(a) => a.rel == changedRel; case _ => false })
         return None
       val named = cached.toDF(cols: _*)
-      if (aggSpecs.exists { case (_, i) =>
-        named.schema(i).dataType != org.apache.spark.sql.types.LongType }) return None
+      // column-type contract: counts i64; sums i64 (view-value
+      // subtractable) or f64 (decimal-carried); avg f64 (derived from a
+      // decimal-carried sum + the non-null contributor count)
+      if (aggSpecs.exists { case (f, i) =>
+        val dt = named.schema(i).dataType
+        f match {
+          case "sum" => dt != org.apache.spark.sql.types.LongType &&
+            dt != org.apache.spark.sql.types.DoubleType
+          case "avg" => dt != org.apache.spark.sql.types.DoubleType
+          case _ => dt != org.apache.spark.sql.types.LongType
+        } }) return None
       val sumSpecs = aggSpecs.collect { case ("sum", i) => i }
       val sumArgOf: Map[Int, Term] = r.head.args.zipWithIndex.collect {
         case (Agg("sum", t), i) => i -> t
       }.toMap
+      val avgSpecs = aggSpecs.collect { case ("avg", i) => i }
+      val avgArgOf: Map[Int, Term] = r.head.args.zipWithIndex.collect {
+        case (Agg("avg", t), i) => i -> t
+      }.toMap
+      val numArgOf = sumArgOf ++ avgArgOf
+      // columns carrying a non-null-contributor count on the support
+      // table (a sum/avg whose last non-null contributor left goes null)
+      val nnSpecs = sumSpecs ++ avgSpecs
+      // columns whose RUNNING SUM is carried as DECIMAL(38,12) on the
+      // support table — f64 sums (in-place f64 subtraction is lossy and
+      // drifts over rounds) and avg (avg = carried sum / nn, which is
+      // what makes avg deletes subtractable at all). Decimal add/
+      // subtract cancel exactly and order-independently (the PageRank
+      // exactSum trick, GraphOps.scala): 26 integer digits of headroom;
+      // values beyond 12 dp round ONCE at ingest so increments and
+      // decrements of the same tuple still cancel exactly — no drift,
+      // at <=5e-13 per-value deviation from the IEEE scan sum.
+      val decSpecs = sumSpecs.filter(i =>
+        named.schema(i).dataType == org.apache.spark.sql.types.DoubleType) ++ avgSpecs
+      val DecT = "decimal(38,12)"
       // count_distinct columns maintain through the support-counted
       // PAIRS tables ([[auxPairsCache]]) — per-pair births/deaths below
       val cdSpecsS: Seq[(Term, Int)] = r.head.args.zipWithIndex.collect {
@@ -880,8 +940,20 @@ final class Engine(val catalog: Catalog) {
             val contrib = aggSpecs.map { case (f, i) =>
               if (f == "count") lit(sgn).as(s"__v$i")
               else if (f == "count_distinct") lit(0L).as(s"__v$i") // pairs path
-              else {
-                val c0 = RuleCompiler.term(sumArgOf(i), bf)
+              else if (decSpecs.contains(i)) {
+                // decimal-carried (f64 sum / avg): signed decimal delta
+                val c0 = RuleCompiler.term(numArgOf(i), bf)
+                val dt = try Some(bf.select(c0).schema.head.dataType)
+                  catch { case _: Throwable => None }
+                val cd =
+                  if (dt.exists(AnyValue.isAny)) AnyValue.asDouble(c0).cast(DecT)
+                  else if (dt.forall(_.isInstanceOf[org.apache.spark.sql.types.NumericType]))
+                    c0.cast(DecT)
+                  else throw SubBail // non-numeric arg
+                val signed = if (sgn < 0) -cd else cd
+                coalesce(signed, lit(0L).cast(DecT)).as(s"__v$i")
+              } else {
+                val c0 = RuleCompiler.term(numArgOf(i), bf)
                 val dt = try Some(bf.select(c0).schema.head.dataType)
                   catch { case _: Throwable => None }
                 val c =
@@ -892,9 +964,17 @@ final class Engine(val catalog: Catalog) {
                 (coalesce(c, lit(0L)) * sgn).as(s"__v$i")
               }
             }
-            val nnCols = sumSpecs.map { i =>
-              val c0 = RuleCompiler.term(sumArgOf(i), bf)
-              when(c0.isNull, lit(0L)).otherwise(lit(sgn)).as(s"__nn$i")
+            val nnCols = nnSpecs.map { i =>
+              val c0 = RuleCompiler.term(numArgOf(i), bf)
+              // avg skips values its converter nulls out (any-typed
+              // non-numerics) — count what the aggregate itself counts
+              val cc =
+                if (avgSpecs.contains(i)) {
+                  val dt = try Some(bf.select(c0).schema.head.dataType)
+                    catch { case _: Throwable => None }
+                  if (dt.exists(AnyValue.isAny)) AnyValue.asDouble(c0) else c0
+                } else c0
+              when(cc.isNull, lit(0L)).otherwise(lit(sgn)).as(s"__nn$i")
             }
             // single-cd FUSION: aggregate at (keys, cd value) grain —
             // nulls kept — so ONE aggregation + collect serves both the
@@ -912,9 +992,11 @@ final class Engine(val catalog: Catalog) {
           val grain: Seq[String] =
             if (cdSpecsS.length == 1) keyNames :+ "__v" else keyNames
           val aggsOut =
-            aggSpecs.map { case (_, i) => sum(col(s"__v$i")).as(s"__v$i") } ++
+            aggSpecs.map { case (_, i) =>
+              (if (decSpecs.contains(i)) sum(col(s"__v$i")).cast(DecT)
+               else sum(col(s"__v$i"))).as(s"__v$i") } ++
             Seq(sum(col("__dn")).as("__dn")) ++
-            sumSpecs.map(i => sum(col(s"__nn$i")).as(s"__nn$i")) ++
+            nnSpecs.map(i => sum(col(s"__nn$i")).as(s"__nn$i")) ++
             (if (cdSpecsS.length == 1) Seq(sum(col("__c")).as("__c")) else Seq.empty)
           signedFrames.reduce(_ unionByName _)
             .groupBy(grain.map(col): _*)
@@ -931,10 +1013,20 @@ final class Engine(val catalog: Catalog) {
         val dirty: Array[org.apache.spark.sql.Row] =
           if (!fused) dirtyRaw
           else {
+            // fused pair-grain positions: keys ++ __v ++ __v_i ++ __dn
+            // ++ __nn_i; decimal-carried __v_i roll up in BigDecimal
+            val decPos: Set[Int] = aggSpecs.zipWithIndex.collect {
+              case ((_, i), ai) if decSpecs.contains(i) => kLen + 1 + ai
+            }.toSet
             val byKey = dirtyRaw.groupBy(row => (0 until kLen).map(row.get))
             byKey.iterator.map { case (k, rows) =>
-              val sums = (kLen + 1 until kLen + 1 + aggSpecs.length + 1 + sumSpecs.length)
-                .map(p => rows.map(_.getLong(p)).sum)
+              val sums = (kLen + 1 until kLen + 1 + aggSpecs.length + 1 + nnSpecs.length)
+                .map { p =>
+                  if (decPos(p))
+                    rows.map(r => Option(r.getAs[java.math.BigDecimal](p))
+                      .getOrElse(java.math.BigDecimal.ZERO)).reduce(_.add(_)): Any
+                  else rows.map(_.getLong(p)).sum: Any
+                }
               org.apache.spark.sql.Row.fromSeq(k ++ sums)
             }.toArray
           }
@@ -962,7 +1054,7 @@ final class Engine(val catalog: Catalog) {
         }
         val vPos = aggSpecs.map(_._2).zipWithIndex.map { case (i, p) => i -> (kLen + p) }.toMap
         val dnPos = kLen + aggSpecs.length
-        val nnPos = sumSpecs.zipWithIndex.map { case (i, p) => i -> (dnPos + 1 + p) }.toMap
+        val nnPos = nnSpecs.zipWithIndex.map { case (i, p) => i -> (dnPos + 1 + p) }.toMap
         val dMap: Map[Seq[Any], org.apache.spark.sql.Row] =
           dirty.map(row => (0 until kLen).map(j => normKey(row.get(j))).toSeq -> row).toMap
 
@@ -1028,14 +1120,27 @@ final class Engine(val catalog: Catalog) {
           case _ =>
             auxSupportSeeds += 1
             val sKeys = keyIdx.map(i => RuleCompiler.term(r.head.args(i), oldB).as(s"c$i"))
+            def convOf(i: Int): Column = {
+              val c0 = RuleCompiler.term(numArgOf(i), oldB)
+              val dt = try Some(oldB.select(c0).schema.head.dataType)
+                catch { case _: Throwable => None }
+              if (avgSpecs.contains(i) && dt.exists(AnyValue.isAny))
+                AnyValue.asDouble(c0)
+              else c0
+            }
             val sAggs = r.head.args.zipWithIndex.collect {
               case (Agg(f, arg), i) => aggFunc(f, arg, oldB).as(s"c$i")
-            } ++ Seq(count(lit(1)).as("__n")) ++ sumSpecs.map { i =>
-              count(RuleCompiler.term(sumArgOf(i), oldB)).as(s"__nn$i") }
+            } ++ Seq(count(lit(1)).as("__n")) ++ nnSpecs.map { i =>
+              count(convOf(i)).as(s"__nn$i")
+            } ++ decSpecs.map { i =>
+              coalesce(sum(convOf(i).cast(DecT)), lit(0L).cast(DecT))
+                .cast(DecT).as(s"__sum$i")
+            }
             val seeded = Fixpoint.materialize(oldB.groupBy(sKeys: _*)
               .agg(sAggs.head, sAggs.tail: _*)
               .select(cols.map(col) ++ Seq(col("__n")) ++
-                sumSpecs.map(i => col(s"__nn$i")): _*)).df
+                nnSpecs.map(i => col(s"__nn$i")) ++
+                decSpecs.map(i => col(s"__sum$i")): _*)).df
             combinedFreshSeed = Some(seeded)
             seeded
         }
@@ -1056,7 +1161,7 @@ final class Engine(val catalog: Catalog) {
         val cdAuxNew = Seq.newBuilder[((String, Int), DataFrame, DataFrame)]
         if (cdSpecsS.nonEmpty) {
           // __c sits last in the fused pair-grain rows
-          val cPos = kLen + 1 + aggSpecs.length + 1 + sumSpecs.length
+          val cPos = kLen + 1 + aggSpecs.length + 1 + nnSpecs.length
           val ok = cdSpecsS.forall { case (arg, i) =>
             val touched: Array[(Seq[Any], Long)] =
               if (fused)
@@ -1148,8 +1253,10 @@ final class Engine(val catalog: Catalog) {
           if (!ok) return None
         }
         val nPos = cols.length
-        val nnPosC = sumSpecs.zipWithIndex.map { case (i, p) =>
+        val nnPosC = nnSpecs.zipWithIndex.map { case (i, p) =>
           i -> (cols.length + 1 + p) }.toMap
+        val sumPosC = decSpecs.zipWithIndex.map { case (i, p) =>
+          i -> (cols.length + 1 + nnSpecs.length + p) }.toMap
         val oldMap = mutable.HashMap.empty[Seq[Any], org.apache.spark.sql.Row]
         dirtyCombined.foreach { row =>
           oldMap(keyIdx.map(i => normKey(row.get(i))).toSeq) = row
@@ -1159,25 +1266,37 @@ final class Engine(val catalog: Catalog) {
           val old = oldMap.get(k)
           val n1 = old.map(_.getLong(nPos)).getOrElse(0L) + dRow.getLong(dnPos)
           if (n1 > 0) {
-            val nn1 = sumSpecs.map(i => i ->
+            val nn1 = nnSpecs.map(i => i ->
               (old.map(_.getLong(nnPosC(i))).getOrElse(0L) + dRow.getLong(nnPos(i)))).toMap
+            // decimal-carried running sums: exact add/subtract, pinned
+            // back to scale 12 (BigDecimal.add widens the scale)
+            val sum1: Map[Int, java.math.BigDecimal] = decSpecs.map { i =>
+              val base = old.flatMap(o =>
+                Option(o.getAs[java.math.BigDecimal](sumPosC(i))))
+                .getOrElse(java.math.BigDecimal.ZERO)
+              val d = Option(dRow.getAs[java.math.BigDecimal](vPos(i)))
+                .getOrElse(java.math.BigDecimal.ZERO)
+              i -> base.add(d).setScale(12, java.math.RoundingMode.HALF_UP)
+            }.toMap
             val cdIdxSet = cdSpecsS.map(_._2).toSet
             val vals = cols.indices.map { i =>
               val kp = keyIdx.indexOf(i)
               if (kp >= 0) k(kp)
-              else { // aggregate column
+              else if (cdIdxSet(i)) { // count_distinct: pair births − deaths
                 val oldV = old.map(_.get(i)).orNull
                 val base = if (oldV == null) 0L else oldV.asInstanceOf[Long]
-                if (cdIdxSet(i)) // count_distinct: pair births − deaths
-                  base + cdBorn.getOrElse((k, i), 0L) - cdDied.getOrElse((k, i), 0L)
-                else {
-                  val dV = dRow.getLong(vPos(i))
-                  if (sumArgOf.contains(i)) { // sum
-                    if (nn1(i) == 0L) null else base + dV
-                  } else base + dV
-                }
+                base + cdBorn.getOrElse((k, i), 0L) - cdDied.getOrElse((k, i), 0L)
+              } else if (avgArgOf.contains(i)) { // avg = carried sum / nn
+                if (nn1(i) == 0L) null else sum1(i).doubleValue / nn1(i)
+              } else if (decSpecs.contains(i)) { // f64 sum from the carry
+                if (nn1(i) == 0L) null else sum1(i).doubleValue
+              } else { // i64 sum / count: view value is itself the carry
+                val oldV = old.map(_.get(i)).orNull
+                val base = if (oldV == null) 0L else oldV.asInstanceOf[Long]
+                val dV = dRow.getLong(vPos(i))
+                if (sumArgOf.contains(i) && nn1(i) == 0L) null else base + dV
               }
-            } ++ Seq(n1) ++ sumSpecs.map(nn1)
+            } ++ Seq(n1) ++ nnSpecs.map(nn1) ++ decSpecs.map(sum1)
             newRows += org.apache.spark.sql.Row.fromSeq(vals)
           }
           // n1 == 0: the group vanishes from view and support alike
@@ -1245,12 +1364,18 @@ final class Engine(val catalog: Catalog) {
     private def tryMaintain(name: String): Option[DataFrame] = {
       if (!byHead.contains(name)) return None
       val (v0, cached) = cacheLatest(name).getOrElse(return None)
-      val changes = catalog.changesSince(v0)
+      val allChanges = catalog.changesSince(v0)
       // contiguity: one log entry per bump, none trimmed away
-      if (changes.map(_.version).toSet != (v0 + 1 to catalog.version).toSet) return None
-      // every change must carry a delta: inserts (delta) or exact-tuple
-      // deletes (removed); opaque changes (rule edits, conditional
-      // deletes, replaces) invalidate
+      if (allChanges.map(_.version).toSet != (v0 + 1 to catalog.version).toSet) return None
+      // rule-set changes name their head ("rule:<head>"): a view whose
+      // rule closure never reaches that head keeps its materialization —
+      // dependency invalidation, not displacement (the reference
+      // invalidates only dependents, src/derived_relations.rs:30-37).
+      // Views that DO reach it recompute below.
+      val (ruleChanges, changes) = allChanges.partition(_.rel.startsWith("rule:"))
+      // every fact change must carry a delta: inserts (delta) or
+      // exact-tuple deletes (removed); opaque changes (conditional
+      // deletes on unknown tuples, replaces, schema coercions) invalidate
       if (changes.exists(c => c.rel == "*" || (c.delta == null && c.removed == null)))
         return None
       val hasRemovals = changes.exists(_.removed != null)
@@ -1267,6 +1392,10 @@ final class Engine(val catalog: Catalog) {
         direct.toSet ++ direct.flatMap(d => depsOf(d, seen))
       }
       val deps = depsOf(name) + name
+      // a rule change whose head lies inside this view's closure means
+      // derivations appeared or vanished in ways the delta algebra
+      // can't see — recompute; heads outside the closure are invisible
+      if (ruleChanges.exists(rc => deps(rc.rel.stripPrefix("rule:")))) return None
       if ((deps & changedRels).isEmpty) return Some(cached) // untouched: still valid
       val scc = Stratifier.sccOf(rules).getOrElse(name, Set(name))
       // mutual recursion is maintained SCC-jointly, so every member's

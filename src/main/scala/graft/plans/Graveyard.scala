@@ -22,7 +22,10 @@ package graft.plans
   * binding scratch, loop deltas) skip the graveyard and release
   * eagerly. */
 object Graveyard {
-  private val GraceNanos = 10L * 60 * 1000 * 1000 * 1000L // 10 min
+  // grace override for A/B drag measurement (seconds); default 10 min
+  private val GraceNanos = sys.props.get("graft.graveyard.graceSec")
+    .orElse(sys.env.get("GRAFT_GRAVEYARD_GRACE_SEC"))
+    .map(_.toLong).getOrElse(600L) * 1000L * 1000 * 1000
   private val MinGraceNanos = 60L * 1000 * 1000 * 1000L // 1 min floor
   private val Max = 32
   private val buf =

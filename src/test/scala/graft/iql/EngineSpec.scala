@@ -569,6 +569,44 @@ class EngineSpec extends SparkSpec {
       "conditional delete should decrement on the carried table")
   }
 
+  test("avg deletes decrement through the carried sum/count support table") {
+    val e = new Engine(new Catalog(spark))
+    e.run(
+      """+aemp[(1, "eng", 10), (2, "eng", 20), (3, "eng", 60), (4, "ops", 5), (5, "qa", 7)]
+        |+av(D, avg<S>, count<S>) <- aemp(I, D, S)
+        |""".stripMargin)
+    assert(rows(e.run("?av(D, A, N)").last) ==
+      Set(Seq("eng", 30.0, 3L), Seq("ops", 5.0, 1L), Seq("qa", 7.0, 1L)))
+    val d0 = e.aggDecrementCount
+    val s0 = e.auxSupportSeeds
+    // avg = carried decimal sum / nn — a delete DECREMENTS instead of
+    // dirty-group recomputing (round 11; avg views previously fell back)
+    e.run("""-aemp[(3, "eng", 60)]""")
+    assert(rows(e.run("?av(D, A, N)").last) ==
+      Set(Seq("eng", 15.0, 2L), Seq("ops", 5.0, 1L), Seq("qa", 7.0, 1L)))
+    assert(e.aggDecrementCount == d0 + 1 && e.auxSupportSeeds == s0 + 1,
+      "avg delete should decrement, seeding the support table once")
+    // round 2 rides the carried table (no reseed); a whole group dies
+    e.run("""-aemp[(4, "ops", 5)]""")
+    assert(rows(e.run("?av(D, A, N)").last) ==
+      Set(Seq("eng", 15.0, 2L), Seq("qa", 7.0, 1L)))
+    assert(e.aggDecrementCount == d0 + 2 && e.auxSupportSeeds == s0 + 1,
+      "second avg delete round must ride the carried table")
+    // f64 args: the decimal-carried sums subtract exactly (quarters are
+    // exactly representable, so avg and sum match recompute bit for bit)
+    e.run(
+      """+bemp[(1, "a", 1.25), (2, "a", 2.5), (3, "b", 3.75)]
+        |+av2(D, avg<S>, sum<S>) <- bemp(I, D, S)
+        |""".stripMargin)
+    assert(rows(e.run("?av2(D, A, S)").last) ==
+      Set(Seq("a", 1.875, 3.75), Seq("b", 3.75, 3.75)))
+    e.run("""-bemp[(2, "a", 2.5)]""")
+    assert(rows(e.run("?av2(D, A, S)").last) ==
+      Set(Seq("a", 1.25, 1.25), Seq("b", 3.75, 3.75)))
+    assert(e.aggDecrementCount == d0 + 3,
+      "f64 avg+sum delete should decrement on the carried decimal sums")
+  }
+
   test("displaced view materializations retire through the graveyard instead of leaking") {
     val e = new Engine(new Catalog(spark))
     e.run(
@@ -588,13 +626,23 @@ class EngineSpec extends SparkSpec {
     e.run("""-m3[(3, "b", 7)]""")
     assert(rows(e.run("?mg(G, V)").last) == Set(Seq("a", 20L)))
     assert(e.viewRetirements > r0, "displaced materialized view should retire")
-    // a rule change invalidates maintenance; the re-derivation's
-    // cachePut displaces the held materialization — retire again
+    // an UNRELATED rule (head outside mg's closure) leaves the held
+    // materialization live — dependency invalidation, not displacement
     val r1 = e.viewRetirements
     e.run("+extra(X) <- m3(X, G, V)")
     assert(rows(e.run("?mg(G, V)").last) == Set(Seq("a", 20L)))
+    assert(e.viewRetirements == r1,
+      "unrelated rule change must not displace the view's materialization")
+    // a DEPENDENT rule change (head m3 is in mg's closure) invalidates;
+    // the re-derivation's cachePut displaces the held materialization —
+    // retire through the graveyard
+    e.run(
+      """+extra2[(9)]
+        |+m3(X, "c", 1) <- extra2(X)
+        |""".stripMargin)
+    assert(rows(e.run("?mg(G, V)").last) == Set(Seq("a", 20L), Seq("c", 1L)))
     assert(e.viewRetirements > r1,
-      "re-derivation after a rule change should retire the displaced view")
+      "re-derivation after a dependent rule change should retire the displaced view")
   }
 
   test("fallback after a subtractable round must not free the view's backing blocks") {
@@ -772,19 +820,26 @@ class EngineSpec extends SparkSpec {
       Set(Seq("eng", 3L, 179.0, 6L), Seq("ops", 2L, 14.0, 2L),
         Seq("qa", 1L, 8.0, 1L), Seq("new", 1L, 1.0, 1L)))
     assert(e.cdMergedCount == cdBefore + 2)
-    // a delete takes dirty-group (cd can shrink), stays correct
+    // a delete decrements through the subtractable path — the f64 sum
+    // rides the decimal-carried support sum (round 11; previously the
+    // double column forced dirty-group) and cd rides the pairs table
+    val dec0 = e.aggDecrementCount
     e.run("""-emp(10, "eng", 99.0)""")
     assert(rows(e.run("?cd(D, C, S, N)").last) ==
       Set(Seq("eng", 2L, 80.0, 5L), Seq("ops", 2L, 14.0, 2L),
         Seq("qa", 1L, 8.0, 1L), Seq("new", 1L, 1.0, 1L)))
     assert(e.cdMergedCount == cdBefore + 2)
-    // the pairs table is stale after the delete: the next insert must
-    // RESEED from the pre-change state, not trust it
+    assert(e.aggDecrementCount == dec0 + 1,
+      "f64-sum + cd delete should decrement on the carried tables")
+    // the support table is now LIVE, so the next insert also rides the
+    // subtractable path (keeping the carried tables current) instead of
+    // the delta-merge
     e.run("""+emp[(11, "eng", 99.0)]""")
     assert(rows(e.run("?cd(D, C, S, N)").last) ==
       Set(Seq("eng", 3L, 179.0, 6L), Seq("ops", 2L, 14.0, 2L),
         Seq("qa", 1L, 8.0, 1L), Seq("new", 1L, 1.0, 1L)))
-    assert(e.cdMergedCount == cdBefore + 3)
+    assert(e.aggDecrementCount == dec0 + 2,
+      "insert with a live support table should ride the subtractable path")
   }
 
   test("matCache stays bounded across many change/re-query rounds") {

@@ -303,6 +303,56 @@ class MaintenanceFuzzSpec extends SparkSpec {
     }
   }
 
+  test("avg + f64-sum decrement equals fresh recomputation on random mutation streams") {
+    val rng = new Random(20260821L)
+    (1 to 6).foreach { c =>
+      val groups = Seq("a", "b", "c")
+      var nextId = 0
+      val live = scala.collection.mutable.ArrayBuffer.empty[String]
+      def mkTuple(): String = {
+        nextId += 1
+        // quarters: exactly representable in binary AND decimal, so the
+        // decimal-carried maintenance (sum/avg from the support table)
+        // and the IEEE recompute agree bit for bit
+        s"""($nextId, "${groups(rng.nextInt(groups.size))}", ${rng.nextInt(28) * 0.25})"""
+      }
+      def insBatch(n: Int): String = (0 until n).map { _ =>
+        val t = mkTuple(); live += t; t
+      }.mkString(",")
+      val rule = "+v(G, avg<X>, sum<X>, count<X>) <- t(I, G, X)\n"
+      val e1 = new Engine(new Catalog(spark))
+      e1.run(s"+t[${insBatch(8 + rng.nextInt(6))}]\n$rule")
+      e1.run("?v(G, A, S, C)")
+      val decStart = e1.aggDecrementCount
+      (0 until 3 + rng.nextInt(3)).foreach { round =>
+        val nDel = math.min(live.size, rng.nextInt(4))
+        val dels = scala.collection.mutable.ArrayBuffer.empty[String]
+        (0 until nDel).foreach { _ =>
+          val i = rng.nextInt(live.size)
+          dels += live.remove(i)
+        }
+        if (rng.nextBoolean()) dels += s"""(9999, "a", ${rng.nextInt(28) * 0.25})""" // phantom
+        val stmts = Seq.newBuilder[String]
+        if (dels.nonEmpty) stmts += s"-t[${dels.mkString(",")}]"
+        if (rng.nextBoolean()) stmts += s"+t[${insBatch(1 + rng.nextInt(3))}]"
+        val prog = stmts.result().mkString("\n")
+        if (prog.nonEmpty) e1.run(prog)
+        val maintained = rows(e1.run("?v(G, A, S, C)").last)
+        val expected =
+          if (live.isEmpty) Set.empty[Seq[Any]]
+          else {
+            val e2 = new Engine(new Catalog(spark))
+            e2.run(s"+t[${live.mkString(",")}]\n$rule")
+            rows(e2.run("?v(G, A, S, C)").last)
+          }
+        assert(maintained == expected,
+          s"case $c round $round diverged; live=$live")
+      }
+      assert(e1.aggDecrementCount > decStart,
+        s"case $c never took the subtractable decrement path")
+    }
+  }
+
   test("count_distinct decrement equals fresh recomputation on random mutation streams") {
     val rng = new Random(20260818L)
     (1 to 6).foreach { c =>
