@@ -10,9 +10,18 @@ package graft.plans
   * provable at release time. Retired checkpoints therefore age here:
   * reclaimed only after a grace period long enough to outlive any
   * plausible in-flight reader, with a bounded buffer so churn can't
-  * pile blocks up for the session (overflow trims the oldest, but
-  * never below a 1-minute floor — the trim must not re-open the race
-  * it exists to close).
+  * pile blocks up for the session. The bound is BOTH count and
+  * estimated BYTES (block-manager storage info captured at burial —
+  * 32 retired views could be 32 multi-GB closures): overflow trims the
+  * oldest, but never below a 1-minute floor — the trim must not
+  * re-open the race it exists to close.
+  *
+  * Round-11 A/B (grace 10 s vs 10 min, affected-query subset and the
+  * full suite): grace length showed NO measurable bench effect
+  * (22.4 s vs 22.4 s on the subset; full suite at 10-min grace landed
+  * back at round-9 levels), so the round-10 in-suite drag was ambient
+  * measurement noise, not pinned blocks — the grace default stays
+  * 10 min and the bytes bound below is defensive, not corrective.
   *
   * Shared by the dedup signature cache (evicted tables), TextAnalysis
   * scratch retirement (LM gram counts, classifier features), and the
@@ -28,8 +37,9 @@ object Graveyard {
     .map(_.toLong).getOrElse(600L) * 1000L * 1000 * 1000
   private val MinGraceNanos = 60L * 1000 * 1000 * 1000L // 1 min floor
   private val Max = 32
-  private val buf =
-    scala.collection.mutable.ArrayBuffer.empty[(Long, org.apache.spark.rdd.RDD[_])]
+  private val MaxBytes = 2L * 1024 * 1024 * 1024 // 2 GiB of retired blocks
+  private val buf = scala.collection.mutable.ArrayBuffer
+    .empty[(Long, org.apache.spark.rdd.RDD[_], Long)] // (buriedAt, rdd, estBytes)
 
   /** Add `evicted` (if any) and reclaim everything past its grace. An
     * RDD whose context has stopped is dropped without an unpersist
@@ -37,20 +47,35 @@ object Graveyard {
   def buryAndDrain(evicted: Option[org.apache.spark.rdd.RDD[_]]): Unit =
     buf.synchronized {
       val now = System.nanoTime()
-      evicted.foreach(r => buf += ((now, r)))
-      def reclaim(entry: (Long, org.apache.spark.rdd.RDD[_])): Unit =
+      evicted.foreach { r =>
+        // size estimate from the block manager at burial time (storage
+        // info is driver-local metadata — no job); unknown sizes count 0
+        val est = try r.sparkContext.getRDDStorageInfo
+          .find(_.id == r.id).map(i => i.memSize + i.diskSize).getOrElse(0L)
+        catch { case _: Throwable => 0L }
+        buf += ((now, r, est))
+      }
+      def reclaim(entry: (Long, org.apache.spark.rdd.RDD[_], Long)): Unit =
         try { if (!entry._2.sparkContext.isStopped) entry._2.unpersist(false) }
         catch { case _: Throwable => () }
-      val (expired, fresh) = buf.partition { case (t, _) =>
+      val (expired, fresh) = buf.partition { case (t, _, _) =>
         now - t > GraceNanos }
       expired.foreach(reclaim)
-      val overflowCount = math.max(0, fresh.length - Max)
-      val (overflowEntries, rest) = fresh.splitAt(overflowCount) // oldest first
-      val (trim, kept) = overflowEntries.partition { case (t, _) =>
-        now - t > MinGraceNanos }
-      trim.foreach(reclaim)
+      // overflow on count OR cumulative bytes: walk oldest-first,
+      // trimming entries past the 1-minute floor until both bounds hold
+      val kept = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, org.apache.spark.rdd.RDD[_], Long)]
+      var overCount = math.max(0, fresh.length - Max)
+      var overBytes = fresh.iterator.map(_._3).sum - MaxBytes
+      fresh.foreach { entry =>
+        val pastFloor = now - entry._1 > MinGraceNanos
+        if ((overCount > 0 || overBytes > 0) && pastFloor) {
+          reclaim(entry)
+          overCount -= 1
+          overBytes -= entry._3
+        } else kept += entry
+      }
       buf.clear()
       buf ++= kept
-      buf ++= rest
     }
 }
