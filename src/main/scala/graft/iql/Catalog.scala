@@ -55,9 +55,17 @@ final class Catalog(val spark: SparkSession) {
     * TC local path, old-state reconstruction) keeps the free literal
     * `removed`. Null means `removed` is already exact (conditional
     * deletes derive their tuples from the data). */
+  /** `removedLiteralRows` >= 0 only for literal exact-tuple deletes:
+    * the driver-known (deduped) size of the requested batch. The
+    * engine's subtractable-aggregate path reads it as a cost signal —
+    * a first maintenance round driven solely by a tiny literal delete
+    * is cheaper as dirty-group recomputation than as a support-table
+    * seed (one full body pass + two materializations for a handful of
+    * dirty groups). -1 = unknown (conditional/frame deletes). */
   final case class Change(version: Long, rel: String, delta: DataFrame,
                           removed: DataFrame = null, rawDelta: DataFrame = null,
-                          removedExact: DataFrame = null)
+                          removedExact: DataFrame = null,
+                          removedLiteralRows: Long = -1L)
   val changeLog = mutable.ArrayBuffer.empty[Change]
   /** Change listeners (rel, operation): the wire server broadcasts
     * `persistent_update` notifications from here (reference: sessions
@@ -73,8 +81,10 @@ final class Catalog(val spark: SparkSession) {
   private def logChange(rel: String, delta: DataFrame,
                         removed: DataFrame = null,
                         rawDelta: DataFrame = null,
-                        removedExact: DataFrame = null): Unit = {
-    changeLog += Change(version, rel, delta, removed, rawDelta, removedExact)
+                        removedExact: DataFrame = null,
+                        removedLiteralRows: Long = -1L): Unit = {
+    changeLog += Change(version, rel, delta, removed, rawDelta, removedExact,
+      removedLiteralRows)
     if (changeLog.length > 64) changeLog.remove(0, changeLog.length - 64)
     val op = if (rel == "*" || rel.startsWith("rule:")) "rule_change"
       else if (delta != null) "insert"
@@ -99,8 +109,20 @@ final class Catalog(val spark: SparkSession) {
 
   def register(name: String, df: DataFrame): Unit = synchronized {
     bump(); logChange(name, null); relations(name) = df
+    literalRows.remove(name) // externally-registered frame: size unknown
     rebuildIndexesFor(name) // re-registering an indexed relation = opaque change
   }
+
+  /** Driver-known row-count UPPER BOUND for literal-built relations
+    * (exact batch sizes summed; deletes only shrink, so the bound stays
+    * valid without decrementing). Externally-registered frames are
+    * untracked — [[sizeSignal]] falls back to ANALYZE stats, else None
+    * ("assume big"). Consumed by the engine's maintenance cost gate:
+    * seeding an aggregate support table pays a full body pass, which a
+    * tiny literal delete on a BIG base doesn't amortize. */
+  private val literalRows = mutable.HashMap.empty[String, Long]
+  def sizeSignal(name: String): Option[Long] =
+    synchronized { literalRows.get(name).orElse(statRows(name)) }
 
   /** ANALYZE-style relation statistics (reference `src/statistics.rs`:
     * per-relation row counts + per-column distinct estimates drive
@@ -448,6 +470,7 @@ final class Catalog(val spark: SparkSession) {
   def dropRelation(name: String): Unit = synchronized {
     bump(); logChange("*", null) // may also drop rules of that head
     relations.remove(name)
+    literalRows.remove(name)
     indexes.filterInPlace { case ((r, _), _) => r != name }
     indexMeta.filterInPlace { case (_, (r, _, _)) => r != name }
     emptyPlaceholders -= name
@@ -538,6 +561,7 @@ final class Catalog(val spark: SparkSession) {
         val df = spark.createDataFrame(
           spark.sparkContext.parallelize(toRows(rows, schema)), schema).distinct()
         relations(name) = df
+        literalRows(name) = rows.distinct.size.toLong
         logChange(name, df) // whole relation is new = the insert delta
       case Some(df0) =>
         require(rows.forall(_.length == df0.schema.length),
@@ -555,6 +579,7 @@ final class Catalog(val spark: SparkSession) {
         // for consumers that tolerate the over-approximation.
         logChange(name, graft.plans.Fixpoint.antiNullSafe(add.distinct(), df),
           rawDelta = add)
+        literalRows.updateWith(name)(_.map(_ + rows.size)) // bound, not exact
         maintainIndexesOnInsert(name, rows, df.schema)
         maybeCompact(name)
     }
@@ -622,6 +647,50 @@ final class Catalog(val spark: SparkSession) {
     }
   }
 
+  /** EXACT removal set (requested tuples actually present in `base`) as
+    * a PRUNED plan. The naive `raw LEFT SEMI base` put the whole base on
+    * the shuffled side of a sort-merge semi join, so every IVM delete
+    * round that evaluated it paid an O(base) shuffle — the ScaleCheck
+    * retract probes measured ~1.9x round-time growth at 10x base for a
+    * FIXED 20-tuple delete. Pruned shape (the delete batch is tiny by
+    * construction):
+    *  1. when the batch is driver-known, a literal `IN` prefilter on the
+    *     leading column — a columnar source prunes row groups via
+    *     min/max + dictionary before reading (the 100 TB lever);
+    *  2. `base LEFT SEMI broadcast(raw)`: a map-only broadcast-hash
+    *     filter over the (pruned) scan — no base shuffle, <=|raw| rows out;
+    *  3. `raw LEFT SEMI broadcast(candidates)`: re-orients to raw's
+    *     deduped tuples (a registered base frame may carry duplicate
+    *     rows), both sides tiny.
+    * The only base-sized term left is the pruned scan itself. */
+  private def presenceExact(raw: DataFrame, base: DataFrame,
+                            literals: Seq[Seq[Any]]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val c0 = base.schema.fields.head
+    // integral/string/boolean leading keys only: float NaN/-0.0 and
+    // any-typed columns have <=> semantics a literal IN can't mirror
+    val prefilterable = (c0.dataType match {
+      case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
+           _: StringType | _: BooleanType => true
+      case _ => false
+    }) && literals.nonEmpty && literals.size <= 10000 &&
+      literals.forall(_.head match {
+        case null | _: java.lang.Number | _: String | _: java.lang.Boolean => true
+        case _ => false
+      })
+    val pruned = if (!prefilterable) base else {
+      val heads = literals.map(_.head).distinct
+      val nonNull = heads.filter(_ != null)
+      val p =
+        if (nonNull.isEmpty) col(c0.name).isNull
+        else if (heads.contains(null)) col(c0.name).isin(nonNull: _*) || col(c0.name).isNull
+        else col(c0.name).isin(nonNull: _*)
+      base.where(p)
+    }
+    val candidates = graft.plans.Fixpoint.semiNullSafe(pruned, raw, hintBroadcast = true)
+    graft.plans.Fixpoint.semiNullSafe(raw, candidates, hintBroadcast = true)
+  }
+
   /** Delete exact tuples (set semantics — reference `DeleteOp`).
     * Null-safe match so a tuple containing null is deletable. */
   def delete(name: String, rows: Seq[Seq[Any]]): Unit = synchronized {
@@ -631,13 +700,14 @@ final class Catalog(val spark: SparkSession) {
         spark.sparkContext.parallelize(toRows(rows, df.schema)), df.schema)
       // `removed` = the requested tuples (deduped) — free, possibly
       // over-approximate, what every over-delete-tolerant consumer
-      // evaluates repeatedly. `removedExact` = the lazy presence
-      // semi-join against the pre-delete frame, read ONLY by the
-      // subtractable-aggregate decrement, where a phantom removal would
-      // corrupt the view instead of just costing work.
+      // evaluates repeatedly. `removedExact` = the lazy PRUNED presence
+      // check ([[presenceExact]]), read ONLY by the subtractable-
+      // aggregate decrement, where a phantom removal would corrupt the
+      // view instead of just costing work.
       val raw = del.distinct()
       logChange(name, null, raw,
-        removedExact = graft.plans.Fixpoint.semiNullSafe(raw, df))
+        removedExact = presenceExact(raw, df, rows),
+        removedLiteralRows = rows.distinct.size.toLong)
       relations(name) = graft.plans.Fixpoint.antiNullSafe(df, del, hintBroadcast = true)
       maintainIndexesOnDelete(name, rows, df.schema)
     }
@@ -667,7 +737,7 @@ final class Catalog(val spark: SparkSession) {
         }.toSeq: _*)
       val raw = cast.distinct()
       logChange(name, null, raw, // raw + exact split — see [[delete]]
-        removedExact = graft.plans.Fixpoint.semiNullSafe(raw, base))
+        removedExact = presenceExact(raw, base, Seq.empty))
       relations(name) = graft.plans.Fixpoint.antiNullSafe(base, cast, hintBroadcast = true)
       maintainIndexesOnDeleteFrame(name, cast)
     }

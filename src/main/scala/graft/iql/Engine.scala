@@ -232,7 +232,33 @@ final class Engine(val catalog: Catalog) {
     * checkpoint-backed view for the session. */
   private def clearMatCacheRetiring(): Unit = {
     matCache.valuesIterator.foreach(retireDisplacedView(_, None))
+    matCache.keysIterator.map(_._1).toSet.foreach(evictAuxFor)
     matCache.clear()
+    // aux tables can outlive their matCache entry (a fallback round
+    // leaves the view uncached but the support table in place) — sweep
+    // the stragglers too, or a later round at a matching version would
+    // merge against pre-clear state
+    (auxSupportCache.keysIterator.toSet ++
+      auxPairsCache.keysIterator.map(_._1).toSet).foreach(evictAuxFor)
+  }
+  /** Evict `view`'s carried aggregate-support state ([[auxSupportCache]],
+    * [[auxPairsCache]]) alongside its materialization. Without this, a
+    * session rule/fact change (which does NOT bump the catalog version)
+    * leaves the support tables stamped at the pre-change version, and
+    * the next catalog delete's freshness check (`_._1 == v0`) would
+    * merge against pre-change state — wrong rows for every group, since
+    * the served view is a projection of the support frame. Retirement
+    * goes through the grace-period Graveyard (results handed out may
+    * still read these checkpoints lazily); an RDD is buried at most once
+    * even when several evicted frames share it. */
+  private def evictAuxFor(view: String): Unit = {
+    val buried = mutable.HashSet.empty[Int]
+    def bury(df: DataFrame): Unit =
+      Fixpoint.checkpointRddOf(df).foreach { r =>
+        if (buried.add(r.id)) graft.plans.Graveyard.buryAndDrain(Some(r)) }
+    auxSupportCache.remove(view).foreach { case (_, df) => bury(df) }
+    auxPairsCache.keysIterator.filter(_._1 == view).toSeq.foreach { k =>
+      auxPairsCache.remove(k).foreach { case (_, df) => bury(df) } }
   }
   /** Dependency invalidation for session rule/fact changes naming ONE
     * relation: only cached views whose rule closure (over the
@@ -262,6 +288,15 @@ final class Engine(val catalog: Catalog) {
     matCache.foreach { case ((r, _), df) =>
       if (affected(r)) retireDisplacedView(df, None) }
     matCache.filterInPlace { case ((r, _), _) => !affected(r) }
+    // the carried support/pairs tables of an affected view are state of
+    // the displaced rule set — evict them with the materialization (they
+    // keep their version stamp otherwise, and session changes don't bump
+    // the catalog version, so the stale-version freshness check alone
+    // cannot catch them). Aux entries can exist without a live matCache
+    // entry, so the affected set is recomputed over the aux keys.
+    (auxSupportCache.keysIterator.toSet ++
+      auxPairsCache.keysIterator.map(_._1).toSet)
+      .filter(v => closure(v)(changedRel)).foreach(evictAuxFor)
   }
   /** Observability: how many resolves were served by incremental
     * maintenance instead of recomputation (tests assert on this). */
@@ -304,6 +339,11 @@ final class Engine(val catalog: Catalog) {
     * Newest version only. */
   private val auxSupportCache =
     mutable.HashMap.empty[String, (Long, DataFrame)]
+  /** Views whose first tiny-literal-delete round took the dirty-group
+    * path instead of seeding a support table (the 2-competitive seed
+    * deferral in [[maintainAggSubtractable]]) — a second such round
+    * seeds. A workload signal, not cached state: never invalidated. */
+  private val seedDeferredOnce = mutable.HashSet.empty[String]
   /** Observability: delete rounds served by per-group decrement, and
     * how many of those had to (re)seed the support table — tests pin a
     * second delete round riding the carried-forward table. */
@@ -826,7 +866,8 @@ final class Engine(val catalog: Catalog) {
         cols: Seq[String], aggSpecs: Seq[(String, Int)], keyIdx: Seq[Int],
         changedOccs: Seq[Int], changedRels: Set[String],
         deltaOf: Map[String, DataFrame], removedOf: Map[String, DataFrame],
-        cached: DataFrame, v0: Long): Option[DataFrame] = {
+        cached: DataFrame, v0: Long,
+        tinyLiteralRound: Boolean = false): Option[DataFrame] = {
       if (changedOccs.length != 1 || keyIdx.isEmpty) return None
       if (aggSpecs.isEmpty || !aggSpecs.forall { case (f, _) =>
         f == "sum" || f == "count" || f == "count_distinct" || f == "avg" }) return None
@@ -877,6 +918,24 @@ final class Engine(val catalog: Catalog) {
       // PAIRS tables ([[auxPairsCache]]) — per-pair births/deaths below
       val cdSpecsS: Seq[(Term, Int)] = r.head.args.zipWithIndex.collect {
         case (Agg("count_distinct", t), i) => (t, i)
+      }
+      // FIRST-ROUND COST GATE (2-competitive seed deferral): seeding the
+      // support/pairs tables pays a full body pass plus their
+      // materializations — a one-off tiny literal delete on a big (or
+      // unknown-size) base doesn't amortize that; dirty-group
+      // recomputation of the handful of touched groups is ~3x cheaper at
+      // that shape (q93: 4-tuple delta over a 150k-row registered base).
+      // The FIRST such round therefore defers to dirty-group; a SECOND
+      // tiny-literal round on the same view is evidence of a repeating
+      // delete workload, where the seed amortizes — it seeds then, and
+      // every later round rides the carried table O(delta). Small
+      // literal-built bases (cheap seeds) and rounds with a live carried
+      // table are unaffected.
+      if (tinyLiteralRound) {
+        val carried = auxSupportCache.get(name).exists(_._1 == v0) ||
+          cdSpecsS.exists { case (_, i) =>
+            auxPairsCache.get((name, i)).exists(_._1 == v0) }
+        if (!carried && seedDeferredOnce.add(name)) return None
       }
       val kLen = keyIdx.length
       val keyNames = keyIdx.map(i => s"c$i")
@@ -1967,8 +2026,18 @@ final class Engine(val catalog: Catalog) {
         // recomputation. Insert rounds that find a live support table
         // route through the same path so the table stays current.
         if (hasRemovals || auxSupportCache.get(name).exists(_._1 == v0)) {
+          // tiny-literal-delete rounds over big/unknown-size bases don't
+          // amortize a first-round seed (see the gate in
+          // maintainAggSubtractable); literal-built small bases and any
+          // round with a carried table are unaffected
+          val tinyLiteral = hasRemovals && changes.forall(c =>
+            c.removed == null ||
+              (c.removedLiteralRows >= 0 && c.removedLiteralRows <= 64)) &&
+            changes.iterator.filter(_.removed != null).map(_.rel).toSet
+              .forall(rel => !catalog.sizeSignal(rel).exists(_ <= 20000))
           maintainAggSubtractable(name, r, cols, aggSpecs, keyIdxAll,
-            changedOccs, changedRels, deltaOf, removedExactOf, cached, v0) match {
+            changedOccs, changedRels, deltaOf, removedExactOf, cached, v0,
+            tinyLiteralRound = tinyLiteral) match {
             case Some(df) => return Some(df)
             case None =>
               // outside the subtractable contract: fall back. The

@@ -32,9 +32,11 @@ package graft.plans
   * eagerly. */
 object Graveyard {
   // grace override for A/B drag measurement (seconds); default 10 min
+  // a malformed override falls back to the default — a bare .toLong here
+  // would throw at class init and break every retirement for the session
   private val GraceNanos = sys.props.get("graft.graveyard.graceSec")
     .orElse(sys.env.get("GRAFT_GRAVEYARD_GRACE_SEC"))
-    .map(_.toLong).getOrElse(600L) * 1000L * 1000 * 1000
+    .flatMap(_.toLongOption).getOrElse(600L) * 1000L * 1000 * 1000
   private val MinGraceNanos = 60L * 1000 * 1000 * 1000L // 1 min floor
   private val Max = 32
   private val MaxBytes = 2L * 1024 * 1024 * 1024 // 2 GiB of retired blocks
@@ -62,11 +64,17 @@ object Graveyard {
         now - t > GraceNanos }
       expired.foreach(reclaim)
       // overflow on count OR cumulative bytes: walk oldest-first,
-      // trimming entries past the 1-minute floor until both bounds hold
+      // trimming entries past the 1-minute floor until both bounds hold.
+      // Within-floor entries are EXCLUDED from the overage totals — they
+      // are untrimmable by construction, and counting them (e.g. one
+      // >2 GiB retiree still inside the floor) would keep the overage
+      // positive forever and collapse every other entry's grace to the
+      // floor without reclaiming a single byte of the actual excess.
       val kept = scala.collection.mutable.ArrayBuffer
         .empty[(Long, org.apache.spark.rdd.RDD[_], Long)]
-      var overCount = math.max(0, fresh.length - Max)
-      var overBytes = fresh.iterator.map(_._3).sum - MaxBytes
+      val trimmable = fresh.filter { case (t, _, _) => now - t > MinGraceNanos }
+      var overCount = math.max(0, trimmable.length - Max)
+      var overBytes = trimmable.iterator.map(_._3).sum - MaxBytes
       fresh.foreach { entry =>
         val pastFloor = now - entry._1 > MinGraceNanos
         if ((overCount > 0 || overBytes > 0) && pastFloor) {

@@ -1088,6 +1088,34 @@ class EngineSpec extends SparkSpec {
     assert(rows(e.run("?tot(D2, S)").last) == Set(Seq(20L, 15L), Seq(30L, 20L)))
   }
 
+  test("session change between delete rounds evicts carried support tables (no stale merge)") {
+    val e = new Engine(new Catalog(spark))
+    e.run(
+      """+emp[(1, "eng", 10), (2, "eng", 20), (3, "ops", 5), (4, "qa", 7)]
+        |+tot(D, sum<S>, count<S>) <- emp(I, D, S)
+        |""".stripMargin)
+    e.run("?tot(D, S, C)")
+    // round 1 seeds the support table at version V
+    e.run("""-emp(4, "qa", 7)""")
+    assert(rows(e.run("?tot(D, S, C)").last) ==
+      Set(Seq("eng", 30L, 2L), Seq("ops", 5L, 1L)))
+    val s0 = e.auxSupportSeeds
+    // session fact on an UNRELATED relation: support state must survive
+    e.run("""other(1, 2)""")
+    // session fact on the dependency: does NOT bump the catalog version,
+    // but displaces the view AND its carried support state — a stale
+    // support table stamped at the same version would pass the delete
+    // round's freshness check and serve pre-session-change rows
+    e.run("""emp(5, "eng", 40)""")
+    assert(rows(e.run("?tot(D, S, C)").last) ==
+      Set(Seq("eng", 70L, 3L), Seq("ops", 5L, 1L)))
+    e.run("""-emp(2, "eng", 20)""")
+    assert(rows(e.run("?tot(D, S, C)").last) ==
+      Set(Seq("eng", 50L, 2L), Seq("ops", 5L, 1L)))
+    assert(e.auxSupportSeeds == s0 + 1,
+      "delete after a dependency session change must reseed, not merge stale state")
+  }
+
   test("incremental maintenance: session overlay stays consistent across persistent inserts") {
     val e = new Engine(new Catalog(spark))
     e.run(
