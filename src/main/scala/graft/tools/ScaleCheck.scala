@@ -183,13 +183,16 @@ object ScaleCheck {
     // 20-tuple delete batch; round 1 (which seeds the support/pairs
     // tables with one O(base) grouped pass) and the materialization
     // are untimed — the timed quantity is rounds riding the carried
-    // tables. Residual slope = the exact-removal presence semi-join
-    // (one broadcast-filtered base scan per round — the minimal cost
-    // of phantom-proof exact deletes without an indexed store; at
-    // 100 TB a key-partitioned layout prunes it). Observed: ~2× time
-    // at 10× base, i.e. sublinear and far from the view-recompute
-    // slope; every other stage is delta- or view-bound (support pass
-    // over 100 groups, bounded dirty collects).
+    // tables. The exact-removal presence check that used to put the
+    // whole base on the shuffled side of a sort-merge semi (the ~1.9×
+    // slope these probes measured through round 11) is now a
+    // broadcast-prefiltered map-only scan with a literal IN pushdown
+    // (Catalog.presenceExact) — observed post-fix: ~1.0-1.1× at 10×
+    // base, i.e. flat; every stage is delta- or view-bound (support
+    // pass over 100 groups, bounded dirty collects). Note the engine's
+    // 2-competitive seed deferral means round 1 here takes dirty-group
+    // and round 2 seeds; the min-of-rounds-2-and-3 sampling still
+    // times a carried round.
     def maintenanceProbe(name: String, rule: String, query: String)(n: Long): (Double, Long) = {
       val e = new graft.iql.Engine(new graft.iql.Catalog(spark))
       e.catalog.register("mbase", spark.range(n).select(
