@@ -1697,6 +1697,31 @@ object SparkEntry {
       e.run("?ftot(D, S, A, C)").last // decimal-carried decrement
     }),
 
+    // --- IQL: MIN/MAX RETRACTION — deletes maintain through a carried
+    //     top-2 (extremum count + runner-up) on the support table: a
+    //     non-exhausting delete leaves the value, an exhausting one
+    //     promotes the runner-up exactly; round 2's exact-tuple deletes
+    //     kill BOTH ends of the injected 999 group, so min and max each
+    //     promote riding the table seeded by round 1 (EngineSpec pins
+    //     the decrement counters; round 12 — previously min/max deletes
+    //     always fell to dirty-group recomputation) --------------------
+    "q188_iql_minmax_decrement" -> ((s, dir) => {
+      val e = iqlEngine(s, dir)
+      e.catalog.register("memp", T(s, dir, "orders").select(
+        col("o_orderkey").as("id"),
+        pmod(col("o_custkey"), lit(50L)).as("dept"),
+        pmod(floor(col("o_totalprice")).cast("long"), lit(1000L)).as("sal")))
+      e.run(
+        """+memp[(900000001, 999, 1), (900000002, 999, 5), (900000003, 999, 9)]
+          |+mmx(D, min<S>, max<S>, count<S>) <- memp(I, D, S)
+          |?mmx(D, L, H, C)
+          |""".stripMargin)
+      e.run("-memp(I, D, S) <- memp(I, D, S), D = 7") // round 1: seeds top-2
+      e.run("?mmx(D, L, H, C)")
+      e.run("-memp[(900000001, 999, 1), (900000003, 999, 9)]")
+      e.run("?mmx(D, L, H, C)").last // round 2 rides: both ends promote
+    }),
+
     "q179_iql_agg_decrement" -> ((s, dir) => {
       val e = iqlEngine(s, dir)
       e.catalog.register("demp", T(s, dir, "orders").select(
@@ -3723,6 +3748,16 @@ object SparkEntry {
         |FROM femp
         |WHERE dept <> 7 AND NOT (dept = 11 AND id % 2 = 0)
         |GROUP BY dept""".stripMargin,
+
+    // min/max view after both delete rounds: dept 7 died; the injected
+    // 999 group lost both extremes, leaving only the middle sentinel
+    "q188_iql_minmax_decrement" ->
+      """WITH memp AS (
+        |SELECT o_orderkey AS id, o_custkey % 50 AS dept,
+        |       CAST(FLOOR(o_totalprice) AS BIGINT) % 1000 AS sal FROM orders
+        |UNION ALL SELECT 900000002, 999, 5)
+        |SELECT dept AS D, MIN(sal) AS L, MAX(sal) AS H, COUNT(*) AS C
+        |FROM memp WHERE dept <> 7 GROUP BY dept""".stripMargin,
 
     // the view after both delete rounds: dept 7 died (conditional
     // delete), the injected 999 group died (exact-tuple deletes)

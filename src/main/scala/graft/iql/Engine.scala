@@ -870,7 +870,8 @@ final class Engine(val catalog: Catalog) {
         tinyLiteralRound: Boolean = false): Option[DataFrame] = {
       if (changedOccs.length != 1 || keyIdx.isEmpty) return None
       if (aggSpecs.isEmpty || !aggSpecs.forall { case (f, _) =>
-        f == "sum" || f == "count" || f == "count_distinct" || f == "avg" }) return None
+        f == "sum" || f == "count" || f == "count_distinct" || f == "avg" ||
+          f == "min" || f == "max" }) return None
       val changedRel = r.body(changedOccs.head) match {
         case Pos(a) => a.rel
         case _ => return None
@@ -881,12 +882,16 @@ final class Engine(val catalog: Catalog) {
       val named = cached.toDF(cols: _*)
       // column-type contract: counts i64; sums i64 (view-value
       // subtractable) or f64 (decimal-carried); avg f64 (derived from a
-      // decimal-carried sum + the non-null contributor count)
+      // decimal-carried sum + the non-null contributor count); min/max
+      // i64 or f64 (the top-2 carry compares driver-side, and
+      // Long.compare / Double.compare match Spark's orderings — other
+      // types bail to dirty-group)
       if (aggSpecs.exists { case (f, i) =>
         val dt = named.schema(i).dataType
         f match {
-          case "sum" => dt != org.apache.spark.sql.types.LongType &&
-            dt != org.apache.spark.sql.types.DoubleType
+          case "sum" | "min" | "max" =>
+            dt != org.apache.spark.sql.types.LongType &&
+              dt != org.apache.spark.sql.types.DoubleType
           case "avg" => dt != org.apache.spark.sql.types.DoubleType
           case _ => dt != org.apache.spark.sql.types.LongType
         } }) return None
@@ -898,10 +903,28 @@ final class Engine(val catalog: Catalog) {
       val avgArgOf: Map[Int, Term] = r.head.args.zipWithIndex.collect {
         case (Agg("avg", t), i) => i -> t
       }.toMap
-      val numArgOf = sumArgOf ++ avgArgOf
+      // min/max columns maintain through a TOP-2 CARRY on the support
+      // table — per group: the extremum's binding count (__k1), the
+      // runner-up value (__b2) and its count (__k2). A delete that
+      // doesn't exhaust the extremum's bindings leaves the value; one
+      // that does promotes the runner-up EXACTLY (nothing can sit
+      // strictly between the two smallest/largest distinct values); only
+      // when best AND runner-up both die is the new runner-up unknown —
+      // __k2 = -1 marks that, and the NEXT extremum-hitting delete on
+      // that group refills top-2 with one key-filtered pass. The
+      // reference maintains the same per-group extremum state in its
+      // MinDiff/MaxDiff semirings (`/root/reference/src/semiring_types.rs`,
+      // `src/derived_relations.rs:1-60`).
+      val mmSpecs: Seq[(String, Int)] = aggSpecs.filter { case (f, _) =>
+        f == "min" || f == "max" }
+      val mmArgOf: Map[Int, Term] = r.head.args.zipWithIndex.collect {
+        case (Agg(f, t), i) if f == "min" || f == "max" => i -> t
+      }.toMap
+      val numArgOf = sumArgOf ++ avgArgOf ++ mmArgOf
       // columns carrying a non-null-contributor count on the support
-      // table (a sum/avg whose last non-null contributor left goes null)
-      val nnSpecs = sumSpecs ++ avgSpecs
+      // table (a sum/avg whose last non-null contributor left goes
+      // null; a min/max whose nn hits 0 likewise)
+      val nnSpecs = sumSpecs ++ avgSpecs ++ mmSpecs.map(_._2)
       // columns whose RUNNING SUM is carried as DECIMAL(38,12) on the
       // support table — f64 sums (in-place f64 subtraction is lossy and
       // drifts over rounds) and avg (avg = carried sum / nn, which is
@@ -999,6 +1022,7 @@ final class Engine(val catalog: Catalog) {
             val contrib = aggSpecs.map { case (f, i) =>
               if (f == "count") lit(sgn).as(s"__v$i")
               else if (f == "count_distinct") lit(0L).as(s"__v$i") // pairs path
+              else if (f == "min" || f == "max") lit(0L).as(s"__v$i") // top-2 path
               else if (decSpecs.contains(i)) {
                 // decimal-carried (f64 sum / avg): signed decimal delta
                 val c0 = RuleCompiler.term(numArgOf(i), bf)
@@ -1170,6 +1194,46 @@ final class Engine(val catalog: Catalog) {
           oldBck = Some(ck)
           ck
         }
+        // TOP-2 per group for a min/max column over `b`'s bindings:
+        // (keys, __k1_i = extremum binding count, __b2_i = runner-up
+        // value, __k2_i = its count; missing group = all-null values).
+        // One (keys, value) grouped pass + a keyed window — both shuffle
+        // on the group keys, no collect; used by the seed (full body)
+        // and the refill (key-filtered body).
+        def mmTop2(b: DataFrame, f: String, i: Int,
+                   onlyKeys: Option[DataFrame] = None): DataFrame = {
+          val keysX = keyIdx.map(j => RuleCompiler.term(r.head.args(j), b).as(s"c$j"))
+          val grain0 = b.select(keysX :+ RuleCompiler.term(numArgOf(i), b).as("__v"): _*)
+            .where(col("__v").isNotNull)
+          // refill path: the broadcast key filter sits BELOW the
+          // aggregation, so the pass scans only the touched groups' rows
+          val grain1 = onlyKeys match {
+            case Some(kf) => sideOn(grain0, kf, keyNames, anti = false)
+            case None => grain0
+          }
+          val grain = grain1
+            .groupBy((keyNames :+ "__v").map(col): _*).agg(count(lit(1)).as("__k"))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(keyNames.map(col): _*)
+            .orderBy(if (f == "min") col("__v").asc else col("__v").desc)
+          grain.withColumn("__rn", row_number().over(w)).where(col("__rn") <= 2)
+            .groupBy(keyNames.map(col): _*).agg(
+              max(when(col("__rn") === 1, col("__v"))).as(s"__b1$i"),
+              max(when(col("__rn") === 1, col("__k"))).as(s"__k1$i"),
+              max(when(col("__rn") === 2, col("__v"))).as(s"__b2$i"),
+              coalesce(max(when(col("__rn") === 2, col("__k"))), lit(0L))
+                .as(s"__k2$i"))
+        }
+        // the final support-frame column order — seed, carried table,
+        // and the literal replacement rows must all agree on it
+        def supportCols: Seq[Column] =
+          cols.map(col) ++ Seq(col("__n")) ++
+            nnSpecs.map(i => col(s"__nn$i")) ++
+            decSpecs.map(i => col(s"__sum$i")) ++
+            mmSpecs.flatMap { case (_, i) => Seq(
+              coalesce(col(s"__k1$i"), lit(0L)).as(s"__k1$i"),
+              col(s"__b2$i"),
+              coalesce(col(s"__k2$i"), lit(0L)).as(s"__k2$i")) }
         // a STALE support entry (left in place by an earlier fallback
         // round precisely because its checkpoint backed the served view
         // then) is displaced by this round's commit and released there
@@ -1195,11 +1259,18 @@ final class Engine(val catalog: Catalog) {
               coalesce(sum(convOf(i).cast(DecT)), lit(0L).cast(DecT))
                 .cast(DecT).as(s"__sum$i")
             }
-            val seeded = Fixpoint.materialize(oldB.groupBy(sKeys: _*)
+            var seed0 = oldB.groupBy(sKeys: _*)
               .agg(sAggs.head, sAggs.tail: _*)
-              .select(cols.map(col) ++ Seq(col("__n")) ++
-                nnSpecs.map(i => col(s"__nn$i")) ++
-                decSpecs.map(i => col(s"__sum$i")): _*)).df
+            // graft the min/max top-2 triples on via a null-safe keyed
+            // join (left: a group of only-null values has no top-2 row)
+            mmSpecs.foreach { case (f, i) =>
+              val t2 = mmTop2(oldB, f, i).toDF((keyNames.map(_ + "__t") :+
+                s"__b1$i" :+ s"__k1$i" :+ s"__b2$i" :+ s"__k2$i"): _*)
+              val cond = keyNames.map(k => seed0(k) <=> t2(k + "__t")).reduce(_ && _)
+              seed0 = seed0.join(t2, cond, "left")
+                .drop((keyNames.map(_ + "__t") :+ s"__b1$i"): _*)
+            }
+            val seeded = Fixpoint.materialize(seed0.select(supportCols: _*)).df
             combinedFreshSeed = Some(seeded)
             seeded
         }
@@ -1316,10 +1387,133 @@ final class Engine(val catalog: Catalog) {
           i -> (cols.length + 1 + p) }.toMap
         val sumPosC = decSpecs.zipWithIndex.map { case (i, p) =>
           i -> (cols.length + 1 + nnSpecs.length + p) }.toMap
+        // position of __k1_i on the combined row (__b2 and __k2 follow)
+        val mmPosC = mmSpecs.map(_._2).zipWithIndex.map { case (i, p) =>
+          i -> (cols.length + 1 + nnSpecs.length + decSpecs.length + 3 * p) }.toMap
         val oldMap = mutable.HashMap.empty[Seq[Any], org.apache.spark.sql.Row]
         dirtyCombined.foreach { row =>
           oldMap(keyIdx.map(i => normKey(row.get(i))).toSeq) = row
         }
+
+        // ---- min/max: top-2 carry update. Per column, ONE bounded
+        // (keys, value) signed-net collect over the shared delta
+        // bindings; then pure driver math per dirty group: decrement/
+        // increment the carried counts of the extremum (view column)
+        // and runner-up, admit inserted values that are PROVABLY new
+        // (better than the runner-up — nothing can exist strictly
+        // between the two best distinct values), and promote exactly.
+        // Only a group whose best AND runner-up both die (or whose
+        // runner-up was already unknown) refills, via a key-filtered
+        // top-2 pass at the new state — bounded by the dirty set.
+        val mmResolved = mutable.HashMap.empty[(Seq[Any], Int), (Any, Long, Any, Long)]
+        if (mmSpecs.nonEmpty) {
+          val mmNets: Map[Int, Map[Seq[Any], Map[Any, Long]]] =
+            mmSpecs.map { case (_, i) =>
+              val frames = parts.indices.map { pi =>
+                val sgn = parts(pi)._2
+                val bf = boundOf(pi)
+                bf.select(keyIdx.map(j =>
+                    RuleCompiler.term(r.head.args(j), bf).as(s"c$j")) :+
+                  RuleCompiler.term(numArgOf(i), bf).as("__v"): _*)
+                  .where(col("__v").isNotNull)
+                  .withColumn("__c", lit(sgn))
+              }
+              val touched = frames.reduce(_ unionByName _)
+                .groupBy((keyNames :+ "__v").map(col): _*)
+                .agg(sum(col("__c")).as("__net")).where(col("__net") =!= 0)
+                .limit(2050).collect()
+              if (touched.length > 2048) return None
+              val byKey: Map[Seq[Any], Map[Any, Long]] = touched.groupBy { row =>
+                  val kk: Seq[Any] = (0 until kLen).map(j => normKey(row.get(j)))
+                  kk
+                }.map { case (k, rws) => k -> rws.map(row =>
+                  normKey(row.get(kLen)) -> row.getLong(kLen + 1)).toMap }
+              i -> byKey
+            }.toMap
+          val needRefill = mutable.HashSet.empty[(Seq[Any], Int)]
+          dMap.foreach { case (k, dRow) =>
+            val old = oldMap.get(k)
+            val n1 = old.map(_.getLong(nPos)).getOrElse(0L) + dRow.getLong(dnPos)
+            if (n1 > 0) mmSpecs.foreach { case (f, i) =>
+              def cmp(a: Any, b: Any): Int = {
+                val c = (a, b) match {
+                  case (x: java.lang.Long, y: java.lang.Long) =>
+                    java.lang.Long.compare(x, y)
+                  case (x: java.lang.Double, y: java.lang.Double) =>
+                    java.lang.Double.compare(x, y)
+                  case _ => 0
+                }
+                if (f == "min") c else -c
+              }
+              val nn1i = old.map(_.getLong(nnPosC(i))).getOrElse(0L) +
+                dRow.getLong(nnPos(i))
+              val net: Map[Any, Long] = mmNets(i).getOrElse(k, Map.empty)
+              val (b1, k1, b2, k2): (Any, Long, Any, Long) = old match {
+                case None => (null, 0L, null, 0L) // fresh group: no priors
+                case Some(o) =>
+                  (Option(o.get(i)).map(normKey).orNull,
+                   if (o.isNullAt(mmPosC(i))) 0L else o.getLong(mmPosC(i)),
+                   Option(o.get(mmPosC(i) + 1)).map(normKey).orNull,
+                   if (o.isNullAt(mmPosC(i) + 2)) 0L else o.getLong(mmPosC(i) + 2))
+              }
+              if (nn1i == 0L) {
+                mmResolved((k, i)) = (null, 0L, null, 0L) // only nulls remain
+              } else {
+                // complete knowledge: the group had at most one distinct
+                // non-null value, so every positive net is exact
+                val noUnknown = b2 == null && k2 == 0L
+                val k1p = if (b1 == null) 0L else k1 + net.getOrElse(b1, 0L)
+                val k2p = if (b2 != null) k2 + net.getOrElse(b2, 0L) else k2
+                if (k1p < 0L || (b2 != null && k2p < 0L)) needRefill += ((k, i))
+                else {
+                  val cand = net.iterator.filter { case (v, n) =>
+                    n > 0 && v != b1 && (b2 == null || v != b2) && (
+                      if (b2 != null) cmp(v, b2) < 0
+                      else if (noUnknown) true
+                      else b1 != null && cmp(v, b1) < 0)
+                  }.toSeq
+                  val L = ((if (b1 != null && k1p > 0) Seq((b1, k1p)) else Seq.empty) ++
+                    (if (b2 != null && k2p > 0) Seq((b2, k2p)) else Seq.empty) ++
+                    cand).sortWith((a, b) => cmp(a._1, b._1) < 0)
+                  if (L.size >= 2)
+                    mmResolved((k, i)) = (L(0)._1, L(0)._2, L(1)._1, L(1)._2)
+                  else if (L.size == 1)
+                    mmResolved((k, i)) =
+                      (L(0)._1, L(0)._2, null, if (noUnknown) 0L else -1L)
+                  else if (noUnknown) needRefill += ((k, i)) // nn1>0 contradiction
+                  else needRefill += ((k, i)) // best unknown: refill
+                }
+              }
+            }
+          }
+          // refill: per column, key-filtered new-state top-2 (the
+          // catalog already holds the post-change relations)
+          mmSpecs.foreach { case (f, i) =>
+            val ks = needRefill.iterator.collect { case (k, `i`) => k }.toSeq
+            if (ks.nonEmpty) {
+              val newBody = RuleCompiler.compileBody(r.body,
+                (nm, ar) => resolve(nm, ar), hnswFrame, catalog.statRows)
+              val got: Map[Seq[Any], org.apache.spark.sql.Row] =
+                mmTop2(newBody, f, i,
+                  onlyKeys = Some(keyLit(ks, combined, keyNames)))
+                .limit(2050).collect()
+                .map { row =>
+                  val kk: Seq[Any] = (0 until kLen).map(j => normKey(row.get(j)))
+                  kk -> row
+                }.toMap
+              ks.foreach { k =>
+                mmResolved((k, i)) = got.get(k) match {
+                  case Some(row) => (row.get(kLen),
+                    if (row.isNullAt(kLen + 1)) 0L else row.getLong(kLen + 1),
+                    row.get(kLen + 2),
+                    if (row.isNullAt(kLen + 3)) 0L else row.getLong(kLen + 3))
+                  case None => (null, 0L, null, 0L) // only nulls remain
+                }
+              }
+            }
+          }
+        }
+        val mmIdxSet = mmSpecs.map(_._2).toSet
         val newRows = Seq.newBuilder[org.apache.spark.sql.Row]
         dMap.foreach { case (k, dRow) =>
           val old = oldMap.get(k)
@@ -1345,6 +1539,8 @@ final class Engine(val catalog: Catalog) {
                 val oldV = old.map(_.get(i)).orNull
                 val base = if (oldV == null) 0L else oldV.asInstanceOf[Long]
                 base + cdBorn.getOrElse((k, i), 0L) - cdDied.getOrElse((k, i), 0L)
+              } else if (mmIdxSet(i)) { // min/max: top-2 carry (above)
+                mmResolved((k, i))._1
               } else if (avgArgOf.contains(i)) { // avg = carried sum / nn
                 if (nn1(i) == 0L) null else sum1(i).doubleValue / nn1(i)
               } else if (decSpecs.contains(i)) { // f64 sum from the carry
@@ -1355,7 +1551,9 @@ final class Engine(val catalog: Catalog) {
                 val dV = dRow.getLong(vPos(i))
                 if (sumArgOf.contains(i) && nn1(i) == 0L) null else base + dV
               }
-            } ++ Seq(n1) ++ nnSpecs.map(nn1) ++ decSpecs.map(sum1)
+            } ++ Seq(n1) ++ nnSpecs.map(nn1) ++ decSpecs.map(sum1) ++
+              mmSpecs.flatMap { case (_, i) =>
+                val t = mmResolved((k, i)); Seq(t._2, t._3, t._4) }
             newRows += org.apache.spark.sql.Row.fromSeq(vals)
           }
           // n1 == 0: the group vanishes from view and support alike

@@ -231,6 +231,8 @@ object ScaleCheck {
       "+mtot(D, sum<S>, count<S>, avg<S>) <- mbase(I, D, S)", "?mtot(D, S, C, A)")
     probeMaintenance("cd_retract_requery",
       "+mcd(D, count_distinct<S>, count<S>) <- mbase(I, D, S)", "?mcd(D, C, N)")
+    probeMaintenance("minmax_retract_requery",
+      "+mmm(D, min<S>, max<S>, count<S>) <- mbase(I, D, S)", "?mmm(D, L, H, C)")
 
     // ---- the original MinHash output-sensitivity probe ----
     {

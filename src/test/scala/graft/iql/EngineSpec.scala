@@ -607,30 +607,95 @@ class EngineSpec extends SparkSpec {
       "f64 avg+sum delete should decrement on the carried decimal sums")
   }
 
-  test("displaced view materializations retire through the graveyard instead of leaking") {
+  test("min/max deletes decrement through the carried top-2 support, promoting the runner-up") {
     val e = new Engine(new Catalog(spark))
     e.run(
-      """+m3[(1, "a", 10), (2, "a", 20), (3, "b", 7)]
+      """+xemp[(1, "eng", 10), (2, "eng", 10), (3, "eng", 20), (4, "eng", 30), (5, "ops", 5)]
+        |+mm(D, min<S>, max<S>, count<S>) <- xemp(I, D, S)
+        |""".stripMargin)
+    assert(rows(e.run("?mm(D, L, H, C)").last) ==
+      Set(Seq("eng", 10L, 30L, 4L), Seq("ops", 5L, 5L, 1L)))
+    val (d0, s0) = (e.aggDecrementCount, e.auxSupportSeeds)
+    // round 1: a PARTIAL extremum delete — min 10 has two supports, so
+    // the value must survive; seeds the top-2 support table
+    e.run("""-xemp[(1, "eng", 10)]""")
+    assert(rows(e.run("?mm(D, L, H, C)").last) ==
+      Set(Seq("eng", 10L, 30L, 3L), Seq("ops", 5L, 5L, 1L)))
+    assert(e.aggDecrementCount == d0 + 1 && e.auxSupportSeeds == s0 + 1,
+      "min/max delete should decrement via the top-2 carry")
+    // round 2: the LAST min support goes — the carried runner-up (20)
+    // promotes exactly, riding the carried table (no reseed)
+    e.run("""-xemp[(2, "eng", 10)]""")
+    assert(rows(e.run("?mm(D, L, H, C)").last) ==
+      Set(Seq("eng", 20L, 30L, 2L), Seq("ops", 5L, 5L, 1L)))
+    assert(e.aggDecrementCount == d0 + 2 && e.auxSupportSeeds == s0 + 1,
+      "runner-up promotion must ride the carried table")
+    // round 3: best AND runner-up both died in round 2's promotion
+    // bookkeeping (runner-up now unknown for eng) — deleting the new
+    // extremum refills top-2 from a key-filtered pass, still a
+    // decrement round
+    e.run("""-xemp[(3, "eng", 20)]""")
+    assert(rows(e.run("?mm(D, L, H, C)").last) ==
+      Set(Seq("eng", 30L, 30L, 1L), Seq("ops", 5L, 5L, 1L)))
+    assert(e.aggDecrementCount == d0 + 3)
+    // round 4: inserts better than both carried values re-rank them
+    e.run("""+xemp[(6, "eng", 1), (7, "eng", 2)]""")
+    assert(rows(e.run("?mm(D, L, H, C)").last) ==
+      Set(Seq("eng", 1L, 30L, 3L), Seq("ops", 5L, 5L, 1L)))
+    // round 5: delete the new best — the inserted runner-up (2) promotes
+    e.run("""-xemp[(6, "eng", 1)]""")
+    assert(rows(e.run("?mm(D, L, H, C)").last) ==
+      Set(Seq("eng", 2L, 30L, 2L), Seq("ops", 5L, 5L, 1L)))
+    // round 6: whole-group death and a fresh group in one mixed batch
+    e.run("-xemp(5, \"ops\", 5)\n+xemp[(8, \"qa\", 40)]")
+    assert(rows(e.run("?mm(D, L, H, C)").last) ==
+      Set(Seq("eng", 2L, 30L, 2L), Seq("qa", 40L, 40L, 1L)))
+    assert(e.auxSupportSeeds == s0 + 1, "all rounds rode one seeded table")
+  }
+
+  test("f64 min/max deletes decrement with NaN ordered greatest (Spark semantics)") {
+    val e = new Engine(new Catalog(spark))
+    e.run(
+      """+fmm[(1, "a", 1.5), (2, "a", 2.5), (3, "a", 3.5)]
+        |+fv(G, min<V>, max<V>) <- fmm(I, G, V)
+        |""".stripMargin)
+    assert(rows(e.run("?fv(G, L, H)").last) == Set(Seq("a", 1.5, 3.5)))
+    val d0 = e.aggDecrementCount
+    e.run("""-fmm[(1, "a", 1.5)]""")
+    assert(rows(e.run("?fv(G, L, H)").last) == Set(Seq("a", 2.5, 3.5)))
+    e.run("""-fmm[(3, "a", 3.5)]""")
+    assert(rows(e.run("?fv(G, L, H)").last) == Set(Seq("a", 2.5, 2.5)))
+    assert(e.aggDecrementCount == d0 + 2,
+      "f64 min/max deletes should decrement via the top-2 carry")
+  }
+
+  test("displaced view materializations retire through the graveyard instead of leaking") {
+    val e = new Engine(new Catalog(spark))
+    // min over a STRING column: outside the top-2 carry's Long/Double
+    // contract, so deletes stay on the dirty-group path — the shape
+    // whose per-round materializations this test pins
+    e.run(
+      """+m3[(1, "a", "v10"), (2, "a", "v20"), (3, "b", "v07")]
         |+mg(G, min<V>) <- m3(I, G, V)
         |""".stripMargin)
-    assert(rows(e.run("?mg(G, V)").last) == Set(Seq("a", 10L), Seq("b", 7L)))
+    assert(rows(e.run("?mg(G, V)").last) == Set(Seq("a", "v10"), Seq("b", "v07")))
     val r0 = e.viewRetirements
     // round 1: min-delete dirty-group maintenance materializes a new
     // view; the displaced entry was a lazy PLAN (first evaluation) —
     // nothing to retire yet
-    e.run("""-m3[(1, "a", 10)]""")
-    assert(rows(e.run("?mg(G, V)").last) == Set(Seq("a", 20L), Seq("b", 7L)))
+    e.run("""-m3[(1, "a", "v10")]""")
+    assert(rows(e.run("?mg(G, V)").last) == Set(Seq("a", "v20"), Seq("b", "v07")))
     // round 2: the new materialization displaces round 1's — that one
     // is a checkpoint this cache owns, and it must RETIRE (before this
     // landed, every maintenance round leaked one view-sized checkpoint)
-    e.run("""-m3[(3, "b", 7)]""")
-    assert(rows(e.run("?mg(G, V)").last) == Set(Seq("a", 20L)))
+    e.run("""-m3[(3, "b", "v07")]""")
+    assert(rows(e.run("?mg(G, V)").last) == Set(Seq("a", "v20")))
     assert(e.viewRetirements > r0, "displaced materialized view should retire")
     // an UNRELATED rule (head outside mg's closure) leaves the held
     // materialization live — dependency invalidation, not displacement
     val r1 = e.viewRetirements
     e.run("+extra(X) <- m3(X, G, V)")
-    assert(rows(e.run("?mg(G, V)").last) == Set(Seq("a", 20L)))
+    assert(rows(e.run("?mg(G, V)").last) == Set(Seq("a", "v20")))
     assert(e.viewRetirements == r1,
       "unrelated rule change must not displace the view's materialization")
     // a DEPENDENT rule change (head m3 is in mg's closure) invalidates;
@@ -638,9 +703,9 @@ class EngineSpec extends SparkSpec {
     // retire through the graveyard
     e.run(
       """+extra2[(9)]
-        |+m3(X, "c", 1) <- extra2(X)
+        |+m3(X, "c", "a1") <- extra2(X)
         |""".stripMargin)
-    assert(rows(e.run("?mg(G, V)").last) == Set(Seq("a", 20L), Seq("c", 1L)))
+    assert(rows(e.run("?mg(G, V)").last) == Set(Seq("a", "v20"), Seq("c", "a1")))
     assert(e.viewRetirements > r1,
       "re-derivation after a dependent rule change should retire the displaced view")
   }

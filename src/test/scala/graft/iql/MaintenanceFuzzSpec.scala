@@ -353,6 +353,112 @@ class MaintenanceFuzzSpec extends SparkSpec {
     }
   }
 
+  test("avg/f64 decrement tracks recomputation within 1e-9 on arbitrary (non-dyadic) doubles") {
+    // the decimal(38,12) carry rounds each ingested value ONCE to 12 dp,
+    // so maintained avg/sum may differ from an IEEE rescan by ~5e-13 per
+    // value — group membership and counts must still be EXACT
+    val rng = new Random(20260823L)
+    (1 to 4).foreach { c =>
+      val groups = Seq("a", "b", "c")
+      var nextId = 0
+      val live = scala.collection.mutable.ArrayBuffer.empty[String]
+      def mkTuple(): String = {
+        nextId += 1
+        // offset keeps |v| >= 3 so Double.toString never emits E-notation
+        s"""($nextId, "${groups(rng.nextInt(groups.size))}", ${rng.nextDouble() * 97.3 + 3.1})"""
+      }
+      def insBatch(n: Int): String = (0 until n).map { _ =>
+        val t = mkTuple(); live += t; t
+      }.mkString(",")
+      val rule = "+v(G, avg<X>, sum<X>, count<X>) <- t(I, G, X)\n"
+      val e1 = new Engine(new Catalog(spark))
+      e1.run(s"+t[${insBatch(8 + rng.nextInt(6))}]\n$rule")
+      e1.run("?v(G, A, S, C)")
+      val decStart = e1.aggDecrementCount
+      def asMap(rs: Set[Seq[Any]]): Map[Any, (Double, Double, Long)] =
+        rs.map(r => r(0) -> ((r(1).asInstanceOf[Double],
+          r(2).asInstanceOf[Double], r(3).asInstanceOf[Long]))).toMap
+      (0 until 4).foreach { round =>
+        val nDel = math.min(live.size, rng.nextInt(4))
+        val dels = (0 until nDel).map(_ => live.remove(rng.nextInt(live.size)))
+        val stmts = Seq.newBuilder[String]
+        if (dels.nonEmpty) stmts += s"-t[${dels.mkString(",")}]"
+        if (rng.nextBoolean()) stmts += s"+t[${insBatch(1 + rng.nextInt(3))}]"
+        val prog = stmts.result().mkString("\n")
+        if (prog.nonEmpty) e1.run(prog)
+        val maintained = asMap(rows(e1.run("?v(G, A, S, C)").last))
+        val expected =
+          if (live.isEmpty) Map.empty[Any, (Double, Double, Long)]
+          else {
+            val e2 = new Engine(new Catalog(spark))
+            e2.run(s"+t[${live.mkString(",")}]\n$rule")
+            asMap(rows(e2.run("?v(G, A, S, C)").last))
+          }
+        assert(maintained.keySet == expected.keySet,
+          s"case $c round $round group membership diverged")
+        maintained.foreach { case (g, (a1, s1, n1)) =>
+          val (a2, s2, n2) = expected(g)
+          assert(n1 == n2, s"case $c round $round count diverged for $g")
+          assert(math.abs(a1 - a2) <= 1e-9 * math.max(1.0, math.abs(a2)),
+            s"case $c round $round avg diverged for $g: $a1 vs $a2")
+          assert(math.abs(s1 - s2) <= 1e-9 * math.max(1.0, math.abs(s2)),
+            s"case $c round $round sum diverged for $g: $s1 vs $s2")
+        }
+      }
+      assert(e1.aggDecrementCount > decStart,
+        s"case $c never took the decrement path")
+    }
+  }
+
+  test("min/max decrement equals fresh recomputation on random mutation streams") {
+    val rng = new Random(20260822L)
+    (1 to 8).foreach { c =>
+      val groups = Seq("a", "b", "c")
+      var nextId = 0
+      val live = scala.collection.mutable.ArrayBuffer.empty[String]
+      def mkTuple(): String = {
+        nextId += 1
+        // small value domain (0-5) forces SHARED extremum supports and
+        // frequent runner-up promotions / refills
+        s"""($nextId, "${groups(rng.nextInt(groups.size))}", ${rng.nextInt(6)})"""
+      }
+      def insBatch(n: Int): String = (0 until n).map { _ =>
+        val t = mkTuple(); live += t; t
+      }.mkString(",")
+      val rule = "+v(G, min<X>, max<X>, count<X>) <- t(I, G, X)\n"
+      val e1 = new Engine(new Catalog(spark))
+      e1.run(s"+t[${insBatch(8 + rng.nextInt(6))}]\n$rule")
+      e1.run("?v(G, L, H, C)")
+      val decStart = e1.aggDecrementCount
+      (0 until 3 + rng.nextInt(3)).foreach { round =>
+        val nDel = math.min(live.size, rng.nextInt(4))
+        val dels = scala.collection.mutable.ArrayBuffer.empty[String]
+        (0 until nDel).foreach { _ =>
+          val i = rng.nextInt(live.size)
+          dels += live.remove(i)
+        }
+        if (rng.nextBoolean()) dels += s"""(9999, "a", ${rng.nextInt(6)})""" // phantom
+        val stmts = Seq.newBuilder[String]
+        if (dels.nonEmpty) stmts += s"-t[${dels.mkString(",")}]"
+        if (rng.nextBoolean()) stmts += s"+t[${insBatch(1 + rng.nextInt(3))}]"
+        val prog = stmts.result().mkString("\n")
+        if (prog.nonEmpty) e1.run(prog)
+        val maintained = rows(e1.run("?v(G, L, H, C)").last)
+        val expected =
+          if (live.isEmpty) Set.empty[Seq[Any]]
+          else {
+            val e2 = new Engine(new Catalog(spark))
+            e2.run(s"+t[${live.mkString(",")}]\n$rule")
+            rows(e2.run("?v(G, L, H, C)").last)
+          }
+        assert(maintained == expected,
+          s"case $c round $round diverged; live=$live")
+      }
+      assert(e1.aggDecrementCount > decStart,
+        s"case $c never took the min/max decrement path")
+    }
+  }
+
   test("count_distinct decrement equals fresh recomputation on random mutation streams") {
     val rng = new Random(20260818L)
     (1 to 6).foreach { c =>
