@@ -1705,6 +1705,31 @@ object SparkEntry {
     //     promote riding the table seeded by round 1 (EngineSpec pins
     //     the decrement counters; round 12 — previously min/max deletes
     //     always fell to dirty-group recomputation) --------------------
+    // --- IQL: DERIVED-NEGATED-DEPENDENCY IVM — the view negates a
+    //     DERIVED relation (highd), so a base change reaches it only
+    //     through that stratum: the engine diffs highd's cached
+    //     materialization against its new state and flip-routes the
+    //     diff (insert into highd kills downstream, removal creates) —
+    //     round 12; previously such changes recomputed the view. One
+    //     MIXED batch drives both directions at once --------------------
+    "q189_iql_neg_derived" -> ((s, dir) => {
+      val e = iqlEngine(s, dir)
+      e.catalog.register("nemp", T(s, dir, "orders").select(
+        col("o_orderkey").as("id"),
+        pmod(col("o_custkey"), lit(50L)).as("dept"),
+        floor(col("o_totalprice")).cast("long").as("sal")))
+      e.run(
+        """+nemp[(900000001, 999, 900001), (900000002, 999, 10)]
+          |+highd(D) <- nemp(I, D, S), S > 900000
+          |+lowonly(I, D) <- nemp(I, D, S), !highd(D)
+          |?lowonly(I, D)
+          |""".stripMargin)
+      // deleting dept 999's only high order CREATES its rows downstream;
+      // inserting a high order into dept 7 KILLS every dept-7 row
+      e.run("-nemp(900000001, 999, 900001)\n+nemp[(900000004, 7, 950000)]")
+      e.run("?lowonly(I, D)").last
+    }),
+
     "q188_iql_minmax_decrement" -> ((s, dir) => {
       val e = iqlEngine(s, dir)
       e.catalog.register("memp", T(s, dir, "orders").select(
@@ -3748,6 +3773,17 @@ object SparkEntry {
         |FROM femp
         |WHERE dept <> 7 AND NOT (dept = 11 AND id % 2 = 0)
         |GROUP BY dept""".stripMargin,
+
+    // final state: the 999 high sentinel is gone (999 rows return), the
+    // dept-7 high sentinel is present (all dept-7 rows excluded)
+    "q189_iql_neg_derived" ->
+      """WITH nemp AS (
+        |SELECT o_orderkey AS id, o_custkey % 50 AS dept,
+        |       CAST(FLOOR(o_totalprice) AS BIGINT) AS sal FROM orders
+        |UNION ALL SELECT 900000002, 999, 10
+        |UNION ALL SELECT 900000004, 7, 950000)
+        |SELECT id AS I, dept AS D FROM nemp
+        |WHERE dept NOT IN (SELECT dept FROM nemp WHERE sal > 900000)""".stripMargin,
 
     // min/max view after both delete rounds: dept 7 died; the injected
     // 999 group lost both extremes, leaving only the middle sentinel

@@ -1677,20 +1677,28 @@ final class Engine(val catalog: Catalog) {
       // relation KILLS derivations (DRed delete phase, the negated
       // occurrence flipped positive and bound to the insert delta) and a
       // removal CREATES them (flip-bound seeds in the insert
-      // continuation) — maintained below when every such relation is a
-      // directly-changed BASE relation appearing ONLY under Neg in this
-      // SCC's rules and the view is a plain Var/Const-head DRed shape.
-      // Outside that (derived negated deps, agg/rank heads, a rel
-      // changed on both sides of the sign) → recompute, as before.
+      // continuation) — maintained below when every such relation
+      // appears ONLY under Neg in this SCC's rules, the view is a plain
+      // Var/Const-head DRed shape, and the relation is either a
+      // directly-changed BASE relation or (round 12) a DERIVED relation
+      // whose own delta we can obtain by diffing its cached old
+      // materialization against its new state (the reference routes
+      // these through its stratified DD arrangements,
+      // `src/incremental.rs:77-80`). Outside that (agg/rank heads, a rel
+      // changed on both sides of the sign, a derived negated dep with no
+      // usable old snapshot) → recompute, as before.
       val negChanged = negRels.toSet
         .filter(n => ((depsOf(n) + n) & changedRels).nonEmpty)
+      val negDerived = negChanged.filter(byHead.contains)
       if (negChanged.nonEmpty) {
         val handleable = !rankHead && !aggHead &&
           sccRules.forall(_.head.args.forall(a =>
             a.isInstanceOf[Var] || a.isInstanceOf[Const])) &&
           scc.forall(m => baseOf(m).isEmpty) &&
-          negChanged.forall(n => !byHead.contains(n) && changedRels(n) &&
-            !bodyRels.contains(n))
+          negChanged.forall(n => !bodyRels.contains(n) &&
+            (if (byHead.contains(n))
+               !scc(n) && cacheLatest(n).exists(_._1 == v0)
+             else changedRels(n)))
         if (!handleable) return None
       }
       if (bodyRels.exists(b => !scc(b) && !changedRels(b) && byHead.contains(b) &&
@@ -1728,7 +1736,7 @@ final class Engine(val catalog: Catalog) {
       // presence semi-join once per round instead of phantom-corrupting
       // the view; every over-delete-tolerant consumer stays on the free
       // raw literals.
-      val (deltaOf, removedOf, removedExactOf): (Map[String, DataFrame],
+      val (deltaOf0, removedOf0, removedExactOf0): (Map[String, DataFrame],
           Map[String, DataFrame], Map[String, DataFrame]) = {
         val ins = mutable.HashMap.empty[String, DataFrame]
         val rem = mutable.HashMap.empty[String, DataFrame]
@@ -1761,6 +1769,40 @@ final class Engine(val catalog: Catalog) {
         }
         (ins.toMap, rem.toMap, remX.toMap)
       }
+      // DERIVED negated dependencies (round 12): the flip machinery
+      // needs the negated relation's OWN delta, which no change-log
+      // entry carries — diff its cached old materialization (v0,
+      // guaranteed by the handleable gate) against its new state
+      // (resolved recursively, itself maintained when possible).
+      // newN ∖ oldN are its inserts (kills downstream), oldN ∖ newN its
+      // removals (creates downstream) — exact by construction, no
+      // phantoms, so they inject into all three maps and the flip
+      // routing below treats the derived rel like a changed base rel.
+      // Bounded: diffs collect up to a cap (a bigger diff means the
+      // delete cone is view-sized and recompute is the better plan).
+      val (deltaOf, removedOf, removedExactOf): (Map[String, DataFrame],
+          Map[String, DataFrame], Map[String, DataFrame]) =
+        if (negDerived.isEmpty) (deltaOf0, removedOf0, removedExactOf0)
+        else {
+          val ins = mutable.HashMap.empty[String, DataFrame]
+          val rem = mutable.HashMap.empty[String, DataFrame]
+          negDerived.foreach { n =>
+            val oldN = cacheLatest(n).get._2
+            val newN = resolve(n, oldN.columns.length)
+            def lits(df: DataFrame): Option[DataFrame] = {
+              val rows = Fixpoint.collectUpTo(df, 4096L).getOrElse(return None)
+              if (rows.isEmpty) None
+              else Some(catalog.spark.createDataFrame(
+                catalog.spark.sparkContext.parallelize(rows.toSeq,
+                  Fixpoint.parallelizeParts(rows.length.toLong)),
+                org.apache.spark.sql.types.StructType(
+                  oldN.schema.fields.map(_.copy(nullable = true)))))
+            }
+            lits(Fixpoint.antiNullSafe(newN, oldN)).foreach(ins(n) = _)
+            lits(Fixpoint.antiNullSafe(oldN, newN)).foreach(rem(n) = _)
+          }
+          (deltaOf0 ++ ins, removedOf0 ++ rem, removedExactOf0 ++ rem)
+        }
       val isRecursive = scc.size > 1 || sccRules.exists(_.body.exists {
         case Pos(a) => a.rel == name
         case _ => false

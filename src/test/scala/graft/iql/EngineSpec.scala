@@ -498,6 +498,42 @@ class EngineSpec extends SparkSpec {
     assert(rows(e.run("?ok(X)").last) == Set(Seq(2L), Seq(3L)))
   }
 
+  test("negation-dependent maintenance through a DERIVED negated relation (diffed delta)") {
+    val e = new Engine(new Catalog(spark))
+    e.run(
+      """+p[(1), (2), (3), (4)]
+        |+flag[(2)]
+        |+bad(X) <- p(X), flag(X)
+        |+ok(X) <- p(X), !bad(X)
+        |""".stripMargin)
+    assert(rows(e.run("?ok(X)").last) == Set(Seq(1L), Seq(3L), Seq(4L)))
+    val m0 = e.maintainedCount
+    // insert into flag reaches ok only THROUGH the derived bad: bad's
+    // delta is diffed from its cached materialization and flip-routed
+    // as a kill (round 12; previously any change through a derived
+    // negated dep recomputed the view)
+    e.run("+flag[(3)]")
+    assert(rows(e.run("?ok(X)").last) == Set(Seq(1L), Seq(4L)))
+    val m1 = e.maintainedCount
+    assert(m1 > m0, "change through a derived negated dep should maintain, not recompute")
+    // removal from flag shrinks bad = a create downstream
+    e.run("-flag[(2)]")
+    assert(rows(e.run("?ok(X)").last) == Set(Seq(1L), Seq(2L), Seq(4L)))
+    val m2 = e.maintainedCount
+    assert(m2 > m1)
+    // MIXED batch: +flag(4) kills ok(4), -flag(3) creates ok(3), and a
+    // new base tuple p(5) arrives in the same transaction
+    e.run("+flag[(4)]\n-flag[(3)]\n+p[(5)]")
+    assert(rows(e.run("?ok(X)").last) ==
+      Set(Seq(1L), Seq(2L), Seq(3L), Seq(5L)))
+    assert(e.maintainedCount > m2)
+    // a batch that leaves bad UNCHANGED (flag insert of a non-p value)
+    // must not disturb the view
+    e.run("+flag[(99)]")
+    assert(rows(e.run("?ok(X)").last) ==
+      Set(Seq(1L), Seq(2L), Seq(3L), Seq(5L)))
+  }
+
   test("negation-dependent maintenance through a recursive view") {
     val e = new Engine(new Catalog(spark))
     e.run(

@@ -176,6 +176,56 @@ class MaintenanceFuzzSpec extends SparkSpec {
   }
   private val replayLog = scala.collection.mutable.ArrayBuffer.empty[String]
 
+  test("DERIVED-negated-dependency maintenance equals fresh recomputation on random streams") {
+    val rng = new Random(20260824L)
+    (1 to 10).foreach { c =>
+      val nNodes = 5 + rng.nextInt(4)
+      val p0 = (0 until nNodes).map(i => s"($i)").mkString(",")
+      val flag0 = Seq.fill(1 + rng.nextInt(2))(rng.nextInt(nNodes)).distinct
+      // the negated relation is DERIVED (bad = p ∧ flag, sometimes with
+      // a second rule), so every mutation reaches the view only through
+      // the diffed derived delta
+      val rules = rng.nextInt(2) match {
+        case 0 => "+bad(X) <- p(X), flag(X)\n+ok(X) <- p(X), !bad(X)\n"
+        case 1 => "+bad(X) <- p(X), flag(X)\n+bad(X) <- vip(X)\n" +
+          "+ok(X) <- p(X), !bad(X)\n"
+      }
+      val vip = if (rules.contains("vip")) s"+vip[(${rng.nextInt(nNodes)})]\n" else ""
+      val prog = s"+p[$p0]\n+flag[${flag0.map(b => s"($b)").mkString(",")}]\n$vip$rules"
+      val e1 = new Engine(new Catalog(spark))
+      e1.run(prog)
+      e1.run("?ok(X)")
+      val flagLive = scala.collection.mutable.ArrayBuffer.from(flag0)
+      var nextP = nNodes
+      (0 until 3).foreach { round =>
+        val stmts = Seq.newBuilder[String]
+        if (flagLive.nonEmpty && rng.nextBoolean()) {
+          val b = flagLive.remove(rng.nextInt(flagLive.size))
+          stmts += s"-flag[($b)]"
+        }
+        if (rng.nextBoolean()) {
+          val b = rng.nextInt(nNodes)
+          if (!flagLive.contains(b)) { flagLive += b; stmts += s"+flag[($b)]" }
+        }
+        if (rng.nextInt(3) == 0) { stmts += s"+p[($nextP)]"; nextP += 1 }
+        if (rng.nextInt(4) == 0) stmts += s"+flag[(${nNodes + 50})]" // outside p: no-op diff
+        val prog2 = stmts.result().mkString("\n")
+        if (prog2.nonEmpty) {
+          e1.run(prog2)
+          val maintained = rows(e1.run("?ok(X)").last)
+          val e2 = new Engine(new Catalog(spark))
+          e2.run(prog)
+          replayLog.foreach(e2.run)
+          e2.run(prog2)
+          replayLog += prog2
+          assert(maintained == rows(e2.run("?ok(X)").last),
+            s"case $c round $round diverged after:\n$prog2\nprogram:\n$prog")
+        }
+      }
+      replayLog.clear()
+    }
+  }
+
   test("insert-then-delete of the same tuple in one batch is a net no-op") {
     // round-5 ADVICE repro: '+r[(2)]' then '-r[(2)]' between re-queries
     // left the maintained view containing 2 — the insert continuation
