@@ -882,6 +882,25 @@ object SparkEntry {
         cent, nprobe = cent.length, k = 4, tau = 1.0)
     }),
 
+    // --- pipeline: BLOCKED-MINER RECALL REPORT — the production-nprobe
+    //     eval (q175 pattern): blocked mining at nprobe 4 and 8 (of 8
+    //     cells) vs the broadcast ground truth on the same slice,
+    //     precision/recall floor-scaled to integer micro-units. The
+    //     report's centroids are DETERMINISTIC (the first 8 b-vectors
+    //     by id) so the oracle replays the cell arithmetic; production
+    //     mining keeps trained k-means centroids (q185 anchors that
+    //     generator at nprobe = nCells) ---------------------------------
+    "q190_bitext_recall_report" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val aSide = emb.where(pmod(col("vec_id"), lit(2L)) === 0)
+      val bSide = emb.where(pmod(col("vec_id"), lit(2L)) === 1)
+      val cents = bSide.orderBy(col("vec_id")).limit(8)
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      Similarity.marginMiningRecallReport(aSide, bSide, cents,
+        nprobes = Seq(4, 8), k = 4, tau = 1.0)
+    }),
+
     "q64_knn_join" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       val queries = emb.where(col("vec_id") < 5)
@@ -3773,6 +3792,85 @@ object SparkEntry {
         |FROM femp
         |WHERE dept <> 7 AND NOT (dept = 11 AND id % 2 = 0)
         |GROUP BY dept""".stripMargin,
+
+    // full replication of the blocked recall report: deterministic
+    // centroids (first 8 b-vectors by id), same cell metric
+    // (dot(v,c) − ‖c‖²/2, ties to the smaller cell), same margin
+    // algebra, integer floor-division micro-units
+    "q190_bitext_recall_report" ->
+      """WITH a AS (SELECT vec_id AS a_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id % 2 = 0),
+        |b AS (SELECT vec_id AS b_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id % 2 = 1),
+        |cents AS (SELECT ROW_NUMBER() OVER (ORDER BY b_id) - 1 AS cell, v AS cv
+        |  FROM b ORDER BY b_id LIMIT 8),
+        |bcell AS (SELECT b_id, cell FROM (
+        |  SELECT b.b_id, c.cell, ROW_NUMBER() OVER (PARTITION BY b.b_id
+        |    ORDER BY list_dot_product(b.v, c.cv) - list_dot_product(c.cv, c.cv) / 2 DESC,
+        |      c.cell ASC) AS rn
+        |  FROM b CROSS JOIN cents c) WHERE rn = 1),
+        |acell AS (
+        |  SELECT a.a_id, c.cell, ROW_NUMBER() OVER (PARTITION BY a.a_id
+        |    ORDER BY list_dot_product(a.v, c.cv) - list_dot_product(c.cv, c.cv) / 2 DESC,
+        |      c.cell ASC) AS rn
+        |  FROM a CROSS JOIN cents c),
+        |tp AS (SELECT a_id, b_id, list_cosine_similarity(a.v, b.v) AS cos
+        |  FROM a CROSS JOIN b),
+        |tr AS (SELECT *,
+        |  ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id ASC) AS ra,
+        |  ROW_NUMBER() OVER (PARTITION BY b_id ORDER BY cos DESC, a_id ASC) AS rb
+        |  FROM tp),
+        |tda AS (SELECT a_id, AVG(cos) AS da FROM tr WHERE ra <= 4 GROUP BY a_id),
+        |tdb AS (SELECT b_id, AVG(cos) AS db FROM tr WHERE rb <= 4 GROUP BY b_id),
+        |tc AS (SELECT r.a_id, r.b_id, r.cos / ((tda.da + tdb.db) / 2) AS margin
+        |  FROM tr r JOIN tda USING (a_id) JOIN tdb USING (b_id) WHERE r.ra <= 4),
+        |truth AS (SELECT a_id, b_id FROM (SELECT *,
+        |  ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY margin DESC, b_id ASC) AS rk
+        |  FROM tc) WHERE rk = 1 AND margin >= 1.0),
+        |p4 AS (SELECT t.a_id, t.b_id, t.cos FROM tp t
+        |  JOIN acell ac ON ac.a_id = t.a_id AND ac.rn <= 4
+        |  JOIN bcell bc ON bc.b_id = t.b_id AND bc.cell = ac.cell),
+        |r4 AS (SELECT *,
+        |  ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id ASC) AS ra,
+        |  ROW_NUMBER() OVER (PARTITION BY b_id ORDER BY cos DESC, a_id ASC) AS rb
+        |  FROM p4),
+        |da4 AS (SELECT a_id, AVG(cos) AS da FROM r4 WHERE ra <= 4 GROUP BY a_id),
+        |db4 AS (SELECT b_id, AVG(cos) AS db FROM r4 WHERE rb <= 4 GROUP BY b_id),
+        |c4 AS (SELECT r.a_id, r.b_id, r.cos / ((da4.da + db4.db) / 2) AS margin
+        |  FROM r4 r JOIN da4 USING (a_id) JOIN db4 USING (b_id) WHERE r.ra <= 4),
+        |m4 AS (SELECT a_id, b_id FROM (SELECT *,
+        |  ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY margin DESC, b_id ASC) AS rk
+        |  FROM c4) WHERE rk = 1 AND margin >= 1.0),
+        |p8 AS (SELECT t.a_id, t.b_id, t.cos FROM tp t
+        |  JOIN acell ac ON ac.a_id = t.a_id AND ac.rn <= 8
+        |  JOIN bcell bc ON bc.b_id = t.b_id AND bc.cell = ac.cell),
+        |r8 AS (SELECT *,
+        |  ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id ASC) AS ra,
+        |  ROW_NUMBER() OVER (PARTITION BY b_id ORDER BY cos DESC, a_id ASC) AS rb
+        |  FROM p8),
+        |da8 AS (SELECT a_id, AVG(cos) AS da FROM r8 WHERE ra <= 4 GROUP BY a_id),
+        |db8 AS (SELECT b_id, AVG(cos) AS db FROM r8 WHERE rb <= 4 GROUP BY b_id),
+        |c8 AS (SELECT r.a_id, r.b_id, r.cos / ((da8.da + db8.db) / 2) AS margin
+        |  FROM r8 r JOIN da8 USING (a_id) JOIN db8 USING (b_id) WHERE r.ra <= 4),
+        |m8 AS (SELECT a_id, b_id FROM (SELECT *,
+        |  ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY margin DESC, b_id ASC) AS rk
+        |  FROM c8) WHERE rk = 1 AND margin >= 1.0),
+        |counts AS (
+        |  SELECT CAST(4 AS BIGINT) AS nprobe,
+        |    (SELECT COUNT(*) FROM truth) AS true_pairs,
+        |    (SELECT COUNT(*) FROM m4) AS mined_pairs,
+        |    (SELECT COUNT(*) FROM m4 JOIN truth USING (a_id, b_id)) AS matched_pairs
+        |  UNION ALL
+        |  SELECT CAST(8 AS BIGINT),
+        |    (SELECT COUNT(*) FROM truth),
+        |    (SELECT COUNT(*) FROM m8),
+        |    (SELECT COUNT(*) FROM m8 JOIN truth USING (a_id, b_id)))
+        |SELECT nprobe, true_pairs, mined_pairs, matched_pairs,
+        |  CAST(CASE WHEN mined_pairs = 0 THEN 0
+        |    ELSE (matched_pairs * 1000000) // mined_pairs END AS BIGINT) AS precision_micro,
+        |  CAST(CASE WHEN true_pairs = 0 THEN 0
+        |    ELSE (matched_pairs * 1000000) // true_pairs END AS BIGINT) AS recall_micro
+        |FROM counts""".stripMargin,
 
     // final state: the 999 high sentinel is gone (999 rows return), the
     // dept-7 high sentinel is present (all dept-7 rows excluded)

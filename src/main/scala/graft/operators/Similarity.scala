@@ -276,6 +276,59 @@ object Similarity {
     marginFromPairs(pairs, k, tau)
   }
 
+  /** MEASURED-RECALL REPORT for the blocked bitext miner (the q175
+    * eval-report pattern): mines with [[marginMiningBlocked]] at each
+    * production `nprobe` against the EXACT broadcast [[marginMining]]
+    * ground truth on the same (bounded) slice, and reports one row per
+    * nprobe — (nprobe, true_pairs, mined_pairs, matched_pairs,
+    * precision_micro, recall_micro), the ratios floor-scaled to integer
+    * micro-units so every engine lands on identical digits. `centroids`
+    * are caller-supplied and DETERMINISTIC (e.g. the first nCells
+    * b-vectors by id) so an external oracle can replay the cell
+    * arithmetic — the k-means path stays for production mining, where
+    * recall is better but the centroids are float-iteration artifacts
+    * no external engine reproduces bit-exactly.
+    *
+    * Scale shape: the truth side is the report's cost and is run ONCE
+    * on the bounded slice; each probed variant is the production
+    * equi-join generator. Counts are scalar aggregates (three jobs per
+    * nprobe), never a row collect. */
+  def marginMiningRecallReport(a: DataFrame, b: DataFrame,
+                               centroids: Array[Array[Double]],
+                               nprobes: Seq[Int], k: Int = 4,
+                               tau: Double = 1.0,
+                               idCol: String = "vec_id",
+                               vecCol: String = "embedding"): DataFrame = {
+    val spark = a.sparkSession
+    val pa = a.select(col(idCol).as("a_id"), col(vecCol).as("av"))
+    val pb = b.select(col(idCol).as("b_id"), col(vecCol).as("bv"))
+    val truthPairs = pa.crossJoin(broadcast(pb))
+      .select(col("a_id"), col("b_id"),
+        VF.cosineSimilarity(col("av"), col("bv")).as("cos"))
+    val truth = graft.plans.Fixpoint.materialize(
+      marginFromPairs(truthPairs, k, tau).select("a_id", "b_id")).df
+    val truthN = truth.count()
+    def micro(num: Long, den: Long): Long =
+      if (den == 0L) 0L else num * 1000000L / den
+    val rows = nprobes.map { np =>
+      val mined = graft.plans.Fixpoint.materialize(
+        marginMiningBlocked(a, b, centroids, np, k, tau, idCol, vecCol)
+          .select("a_id", "b_id")).df
+      val minedN = mined.count()
+      val matched = mined.join(truth, Seq("a_id", "b_id"), "left_semi").count()
+      graft.plans.Graveyard.buryAndDrain(graft.plans.Fixpoint.checkpointRddOf(mined))
+      org.apache.spark.sql.Row(np.toLong, truthN, minedN, matched,
+        micro(matched, minedN), micro(matched, truthN))
+    }
+    graft.plans.Graveyard.buryAndDrain(graft.plans.Fixpoint.checkpointRddOf(truth))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      "nprobe", "true_pairs", "mined_pairs", "matched_pairs",
+      "precision_micro", "recall_micro").map(n =>
+      org.apache.spark.sql.types.StructField(n,
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
   /** SEMANTIC decontamination — the embedding-space twin of the
     * text-overlap benchmark filters ([[Dedup.decontaminateBloom]],
     * q120/q136): flag corpus vectors whose best cosine against ANY

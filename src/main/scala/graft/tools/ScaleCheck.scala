@@ -63,6 +63,7 @@ object ScaleCheck {
       def rowRatio: Double = if (rows1 > 0) rows10.toDouble / rows1 else 1.0
       def regression: Boolean = kind match {
         case "scan" => ratio > 3.5
+        case "asymmetry" => false // ratio IS the measured win, not a slope
         case _ => ratio > 3.5 && ratio > rowRatio // output-sensitive
       }
       def json: String =
@@ -233,6 +234,42 @@ object ScaleCheck {
       "+mcd(D, count_distinct<S>, count<S>) <- mbase(I, D, S)", "?mcd(D, C, N)")
     probeMaintenance("minmax_retract_requery",
       "+mmm(D, min<S>, max<S>, count<S>) <- mbase(I, D, S)", "?mmm(D, L, H, C)")
+
+    // ---- rule-change invalidation is dependency-scoped ----
+    // Round 11 made rule adds invalidate only DEPENDENT views (EngineSpec
+    // pins the live-vs-retired counters); this probe makes the win
+    // scale-visible on a big base: after an UNRELATED rule lands, the
+    // view re-serves from its materialization (cache-hit cost, flat in
+    // base size); after a DEPENDENT rule lands (head inside the view's
+    // closure) it must re-derive and pays the body scan again.
+    // t1 = unrelated-add re-query, t10 = dependent-add re-query — the
+    // ratio IS the measured asymmetry, not a regression slope.
+    try {
+      val e = new graft.iql.Engine(new graft.iql.Catalog(spark))
+      e.catalog.register("rbase", spark.range(600000L).select(
+        col("id"), pmod(col("id"), lit(100L)).as("dept"),
+        pmod(col("id") * 48271L, lit(500L)).as("sal")).localCheckpoint(true))
+      e.run("+rmid(I, D, S) <- rbase(I, D, S)\n+rview(D, S) <- rmid(I, D, S), S > 250")
+      e.run("?rview(D, S)").last.count() // materialize (untimed)
+      e.run("+rtiny[(900000001)]")
+      e.run("?rview(D, S)").last.count() // settle post-insert maintenance
+      e.run("+runrel(X) <- rtiny(X)") // UNRELATED head: view stays live
+      val tHit0 = System.nanoTime()
+      val nHit = e.run("?rview(D, S)").last.count()
+      val tHit = (System.nanoTime() - tHit0) / 1e9
+      // DEPENDENT head (rmid is in rview's closure): re-derivation
+      e.run("+rmid(I, D, S) <- rtiny(I), rtiny(D), rtiny(S)")
+      val tMiss0 = System.nanoTime()
+      val nMiss = e.run("?rview(D, S)").last.count()
+      val tMiss = (System.nanoTime() - tMiss0) / 1e9
+      val entry = Entry("rule_invalidation_asymmetry", "asymmetry",
+        tHit, tMiss, nHit, nMiss)
+      println(entry.json)
+      entries += entry
+    } catch {
+      case ex: Throwable => println(
+        s"""{"name":"rule_invalidation_asymmetry","error":"${ex.getClass.getSimpleName}"}""")
+    }
 
     // ---- the original MinHash output-sensitivity probe ----
     {

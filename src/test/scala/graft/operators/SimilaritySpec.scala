@@ -75,6 +75,38 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"partial-probe recall $recall too low")
   }
 
+  test("recall report: planted translations bound the partial probe, full probe is exact") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def unit(v: Array[Float]): Seq[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n).toSeq
+    }
+    // 4 orthogonal cluster axes; each cluster holds 4 planted (a, b-twin)
+    // pairs tight around its axis — a twin always lands in its a's cell
+    val axes = (0 until 4).map { c =>
+      Array.tabulate(16)(j => if (j == c * 4) 1f else 0f) }
+    val pairs = for (c <- 0 until 4; i <- 0 until 4) yield {
+      val base = axes(c).map(x => x + 0.05f * rnd.nextGaussian().toFloat)
+      val aId = (c * 4 + i).toLong * 2
+      (aId, unit(base),
+       aId + 1, unit(base.map(x => x + 0.02f * rnd.nextGaussian().toFloat)))
+    }
+    val a = pairs.map(p => (p._1, p._2)).toDF("vec_id", "embedding")
+    val b = pairs.map(p => (p._3, p._4)).toDF("vec_id", "embedding")
+    val cents = axes.map(_.map(_.toDouble)).toArray
+    val rep = Similarity.marginMiningRecallReport(a, b, cents,
+      nprobes = Seq(1, 4), k = 3, tau = 1.0)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val (t4, m4, x4, p4, r4) = rep(4L) // nprobe = nCells: exact
+    assert(t4 == m4 && m4 == x4 && p4 == 1000000L && r4 == 1000000L,
+      s"full probe must equal ground truth, got $rep")
+    val (_, _, _, p1, r1) = rep(1L) // single cell still holds every twin
+    assert(r1 >= 750000L, s"planted-twin recall at nprobe=1 too low: $r1")
+    assert(p1 >= 750000L, s"planted-twin precision at nprobe=1 too low: $p1")
+  }
+
   test("k-means centroids are deterministic and improve over iterations") {
     val c1 = Similarity.kmeansCentroids(emb, k = 8, iters = 2)
     val c2 = Similarity.kmeansCentroids(emb, k = 8, iters = 2)
