@@ -892,7 +892,8 @@ object SparkEntry {
     //     generator at nprobe = nCells) ---------------------------------
     "q190_bitext_recall_report" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
-      val aSide = emb.where(pmod(col("vec_id"), lit(2L)) === 0)
+      val aSide = emb.where(pmod(col("vec_id"), lit(2L)) === 0 &&
+        col("vec_id") < 1000)
       val bSide = emb.where(pmod(col("vec_id"), lit(2L)) === 1)
       val cents = bSide.orderBy(col("vec_id")).limit(8)
         .select(col("embedding")).collect()
@@ -1738,14 +1739,14 @@ object SparkEntry {
         pmod(col("o_custkey"), lit(50L)).as("dept"),
         floor(col("o_totalprice")).cast("long").as("sal")))
       e.run(
-        """+nemp[(900000001, 999, 900001), (900000002, 999, 10)]
+        """+nemp[(900000020, 999, 900001), (900000040, 999, 10)]
           |+highd(D) <- nemp(I, D, S), S > 900000
-          |+lowonly(I, D) <- nemp(I, D, S), !highd(D)
+          |+lowonly(I, D) <- nemp(I, D, S), !highd(D), I % 20 = 0
           |?lowonly(I, D)
           |""".stripMargin)
       // deleting dept 999's only high order CREATES its rows downstream;
       // inserting a high order into dept 7 KILLS every dept-7 row
-      e.run("-nemp(900000001, 999, 900001)\n+nemp[(900000004, 7, 950000)]")
+      e.run("-nemp(900000020, 999, 900001)\n+nemp[(900000060, 7, 950000)]")
       e.run("?lowonly(I, D)").last
     }),
 
@@ -3799,7 +3800,7 @@ object SparkEntry {
     // algebra, integer floor-division micro-units
     "q190_bitext_recall_report" ->
       """WITH a AS (SELECT vec_id AS a_id, CAST(embedding AS DOUBLE[]) AS v
-        |  FROM embeddings WHERE vec_id % 2 = 0),
+        |  FROM embeddings WHERE vec_id % 2 = 0 AND vec_id < 1000),
         |b AS (SELECT vec_id AS b_id, CAST(embedding AS DOUBLE[]) AS v
         |  FROM embeddings WHERE vec_id % 2 = 1),
         |cents AS (SELECT ROW_NUMBER() OVER (ORDER BY b_id) - 1 AS cell, v AS cv
@@ -3878,10 +3879,11 @@ object SparkEntry {
       """WITH nemp AS (
         |SELECT o_orderkey AS id, o_custkey % 50 AS dept,
         |       CAST(FLOOR(o_totalprice) AS BIGINT) AS sal FROM orders
-        |UNION ALL SELECT 900000002, 999, 10
-        |UNION ALL SELECT 900000004, 7, 950000)
+        |UNION ALL SELECT 900000040, 999, 10
+        |UNION ALL SELECT 900000060, 7, 950000)
         |SELECT id AS I, dept AS D FROM nemp
-        |WHERE dept NOT IN (SELECT dept FROM nemp WHERE sal > 900000)""".stripMargin,
+        |WHERE id % 20 = 0
+        |  AND dept NOT IN (SELECT dept FROM nemp WHERE sal > 900000)""".stripMargin,
 
     // min/max view after both delete rounds: dept 7 died; the injected
     // 999 group lost both extremes, leaving only the middle sentinel
