@@ -201,6 +201,30 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("exact-delete presence check never shuffles the base relation") {
+    // Catalog.presenceExact: the pruned plan's only base-sized term must
+    // be a (broadcast-filtered) scan — a SortMergeJoin or base-side
+    // shuffle here is the O(base-shuffle)-per-maintenance-round shape
+    // the round-12 fix removed (ScaleCheck retract probes 1.9x -> ~1.0x)
+    val cat = new graft.iql.Catalog(spark)
+    import spark.implicits._
+    cat.register("pbase", spark.range(50000L).selectExpr(
+      "id", "id % 100 AS dept", "(id * 48271) % 500 AS sal"))
+    // (7,7,397) and (8,8,168) are present; the third tuple is a phantom
+    cat.delete("pbase", Seq(Seq(7L, 7L, 397L), Seq(8L, 8L, 168L),
+      Seq(999999L, 1L, 1L)))
+    val exact = cat.changeLog.last.removedExact
+    assert(exact != null)
+    val plan = exact.queryExecution.explainString(SimpleMode)
+    assert(!plan.contains("SortMergeJoin"), s"presence check shuffles the base:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"presence check not broadcast:\n$plan")
+    // the literal IN prefilter reaches the base scan's filter
+    assert(plan.contains(" IN (") || plan.contains("id#"),
+      s"missing literal prefilter:\n$plan")
+    // and it still computes the right rows: only the present tuple
+    assert(exact.count() == 2L)
+  }
+
   test("bitext margin mining computes its pair table once") {
     assume(new java.io.File(s"$sf/embeddings.parquet").exists)
     val plan = planOf("q181_bitext_margin")
