@@ -1194,16 +1194,19 @@ final class Engine(val catalog: Catalog) {
           oldBck = Some(ck)
           ck
         }
-        // TOP-2 per group for a min/max column over `b`'s bindings:
-        // (keys, __k1_i = extremum binding count, __b2_i = runner-up
-        // value, __k2_i = its count; missing group = all-null values).
-        // One (keys, value) grouped pass + a keyed window — both shuffle
-        // on the group keys, no collect; used by the seed (full body)
-        // and the refill (key-filtered body).
-        def mmTop2(b: DataFrame, f: String, i: Int,
-                   onlyKeys: Option[DataFrame] = None): DataFrame = {
+        // TOP-2 per group for min/max columns over `b`'s bindings:
+        // per spec (keys, __b1_i = extremum, __k1_i = its binding count,
+        // __b2_i = runner-up, __k2_i = its count; missing group =
+        // all-null values). `specs` MUST share one argument expression —
+        // min<S> and max<S> then ride ONE (keys, value) grouped pass and
+        // one exchange (the windows share the partitioning; Spark adds a
+        // sort per direction, not a shuffle). No collect; used by the
+        // seed (full body) and the refill (key-filtered body).
+        def mmTop2Multi(b: DataFrame, specs: Seq[(String, Int)],
+                        onlyKeys: Option[DataFrame] = None): DataFrame = {
+          val i0 = specs.head._2
           val keysX = keyIdx.map(j => RuleCompiler.term(r.head.args(j), b).as(s"c$j"))
-          val grain0 = b.select(keysX :+ RuleCompiler.term(numArgOf(i), b).as("__v"): _*)
+          val grain0 = b.select(keysX :+ RuleCompiler.term(numArgOf(i0), b).as("__v"): _*)
             .where(col("__v").isNotNull)
           // refill path: the broadcast key filter sits BELOW the
           // aggregation, so the pass scans only the touched groups' rows
@@ -1213,16 +1216,20 @@ final class Engine(val catalog: Catalog) {
           }
           val grain = grain1
             .groupBy((keyNames :+ "__v").map(col): _*).agg(count(lit(1)).as("__k"))
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy(keyNames.map(col): _*)
-            .orderBy(if (f == "min") col("__v").asc else col("__v").desc)
-          grain.withColumn("__rn", row_number().over(w)).where(col("__rn") <= 2)
-            .groupBy(keyNames.map(col): _*).agg(
-              max(when(col("__rn") === 1, col("__v"))).as(s"__b1$i"),
-              max(when(col("__rn") === 1, col("__k"))).as(s"__k1$i"),
-              max(when(col("__rn") === 2, col("__v"))).as(s"__b2$i"),
-              coalesce(max(when(col("__rn") === 2, col("__k"))), lit(0L))
-                .as(s"__k2$i"))
+          val ranked = specs.foldLeft(grain) { case (df, (f, i)) =>
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(keyNames.map(col): _*)
+              .orderBy(if (f == "min") col("__v").asc else col("__v").desc)
+            df.withColumn(s"__rn$i", row_number().over(w))
+          }
+          val aggs = specs.flatMap { case (_, i) => Seq(
+            max(when(col(s"__rn$i") === 1, col("__v"))).as(s"__b1$i"),
+            max(when(col(s"__rn$i") === 1, col("__k"))).as(s"__k1$i"),
+            max(when(col(s"__rn$i") === 2, col("__v"))).as(s"__b2$i"),
+            coalesce(max(when(col(s"__rn$i") === 2, col("__k"))), lit(0L))
+              .as(s"__k2$i")) }
+          ranked.where(specs.map(s => col(s"__rn${s._2}") <= 2).reduce(_ || _))
+            .groupBy(keyNames.map(col): _*).agg(aggs.head, aggs.tail: _*)
         }
         // the final support-frame column order — seed, carried table,
         // and the literal replacement rows must all agree on it
@@ -1262,13 +1269,18 @@ final class Engine(val catalog: Catalog) {
             var seed0 = oldB.groupBy(sKeys: _*)
               .agg(sAggs.head, sAggs.tail: _*)
             // graft the min/max top-2 triples on via a null-safe keyed
-            // join (left: a group of only-null values has no top-2 row)
-            mmSpecs.foreach { case (f, i) =>
-              val t2 = mmTop2(oldB, f, i).toDF((keyNames.map(_ + "__t") :+
-                s"__b1$i" :+ s"__k1$i" :+ s"__b2$i" :+ s"__k2$i"): _*)
+            // join (left: a group of only-null values has no top-2 row);
+            // columns sharing one argument (min<S>, max<S>) fuse into
+            // one grain pass and one join
+            mmSpecs.groupBy { case (_, i) => numArgOf(i) }.values.foreach { specs =>
+              val outCols = specs.flatMap { case (_, i) =>
+                Seq(s"__b1$i", s"__k1$i", s"__b2$i", s"__k2$i") }
+              val t2 = mmTop2Multi(oldB, specs)
+                .toDF((keyNames.map(_ + "__t") ++ outCols): _*)
               val cond = keyNames.map(k => seed0(k) <=> t2(k + "__t")).reduce(_ && _)
               seed0 = seed0.join(t2, cond, "left")
-                .drop((keyNames.map(_ + "__t") :+ s"__b1$i"): _*)
+                .drop((keyNames.map(_ + "__t") ++
+                  specs.map { case (_, i) => s"__b1$i" }): _*)
             }
             val seeded = Fixpoint.materialize(seed0.select(supportCols: _*)).df
             combinedFreshSeed = Some(seeded)
@@ -1407,14 +1419,16 @@ final class Engine(val catalog: Catalog) {
         // top-2 pass at the new state — bounded by the dirty set.
         val mmResolved = mutable.HashMap.empty[(Seq[Any], Int), (Any, Long, Any, Long)]
         if (mmSpecs.nonEmpty) {
-          val mmNets: Map[Int, Map[Seq[Any], Map[Any, Long]]] =
-            mmSpecs.map { case (_, i) =>
+          // one bounded nets collect per DISTINCT argument expression —
+          // min<S> and max<S> share it
+          val netsByTerm: Map[Term, Map[Seq[Any], Map[Any, Long]]] =
+            mmSpecs.map(i => numArgOf(i._2)).distinct.map { term =>
               val frames = parts.indices.map { pi =>
                 val sgn = parts(pi)._2
                 val bf = boundOf(pi)
                 bf.select(keyIdx.map(j =>
                     RuleCompiler.term(r.head.args(j), bf).as(s"c$j")) :+
-                  RuleCompiler.term(numArgOf(i), bf).as("__v"): _*)
+                  RuleCompiler.term(term, bf).as("__v"): _*)
                   .where(col("__v").isNotNull)
                   .withColumn("__c", lit(sgn))
               }
@@ -1428,8 +1442,10 @@ final class Engine(val catalog: Catalog) {
                   kk
                 }.map { case (k, rws) => k -> rws.map(row =>
                   normKey(row.get(kLen)) -> row.getLong(kLen + 1)).toMap }
-              i -> byKey
+              term -> byKey
             }.toMap
+          val mmNets: Map[Int, Map[Seq[Any], Map[Any, Long]]] =
+            mmSpecs.map { case (_, i) => i -> netsByTerm(numArgOf(i)) }.toMap
           val needRefill = mutable.HashSet.empty[(Seq[Any], Int)]
           dMap.foreach { case (k, dRow) =>
             val old = oldMap.get(k)
@@ -1494,7 +1510,7 @@ final class Engine(val catalog: Catalog) {
               val newBody = RuleCompiler.compileBody(r.body,
                 (nm, ar) => resolve(nm, ar), hnswFrame, catalog.statRows)
               val got: Map[Seq[Any], org.apache.spark.sql.Row] =
-                mmTop2(newBody, f, i,
+                mmTop2Multi(newBody, Seq((f, i)),
                   onlyKeys = Some(keyLit(ks, combined, keyNames)))
                 .limit(2050).collect()
                 .map { row =>
