@@ -736,8 +736,17 @@ final class Catalog(val spark: SparkSession) {
           else c.cast(f.dataType)
         }.toSeq: _*)
       val raw = cast.distinct()
+      // frame deletes are data-derived and unbounded — presenceExact
+      // force-broadcasts the batch, so cap-probe it first (bounded
+      // count, the HNSW capacity-guard pattern): a multi-million-row
+      // retraction falls back to the planner-chosen semi join instead
+      // of aborting the maintenance round on the broadcast limit
+      val smallBatch =
+        try raw.limit(100001).count() <= 100000L catch { case _: Throwable => false }
       logChange(name, null, raw, // raw + exact split — see [[delete]]
-        removedExact = presenceExact(raw, base, Seq.empty))
+        removedExact =
+          if (smallBatch) presenceExact(raw, base, Seq.empty)
+          else graft.plans.Fixpoint.semiNullSafe(raw, base))
       relations(name) = graft.plans.Fixpoint.antiNullSafe(base, cast, hintBroadcast = true)
       maintainIndexesOnDeleteFrame(name, cast)
     }
@@ -758,6 +767,7 @@ final class Catalog(val spark: SparkSession) {
     * delete instead of an opaque invalidation. */
   def replace(name: String, df: DataFrame, removed: DataFrame = null): Unit = synchronized {
     bump(); logChange(name, null, removed); relations(name) = df
+    literalRows.remove(name) // replacement frame: size unknown
     // a replace that DECLARES its removals (conditional delete, the
     // delete half of an atomic update) maintains indexes incrementally
     // like deleteDf; an opaque replacement rebuilds
@@ -775,10 +785,15 @@ final class Catalog(val spark: SparkSession) {
       case None =>
         val d = df.distinct()
         relations(name) = d
+        literalRows.remove(name) // derived frame: size unknown
         logChange(name, d)
       case Some(base) =>
         require(base.columns.length == df.columns.length,
           s"arity mismatch appending to $name")
+        // a derived append invalidates the literal size bound — a tiny
+        // literal-built relation grown by rule-driven appends must not
+        // keep reporting tiny to the seed-deferral cost gate
+        literalRows.remove(name)
         val renamed = df.toDF(base.columns: _*)
         val cast = renamed.select(
           base.schema.fields.map { f =>

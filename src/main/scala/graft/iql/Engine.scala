@@ -232,12 +232,11 @@ final class Engine(val catalog: Catalog) {
     * checkpoint-backed view for the session. */
   private def clearMatCacheRetiring(): Unit = {
     matCache.valuesIterator.foreach(retireDisplacedView(_, None))
-    matCache.keysIterator.map(_._1).toSet.foreach(evictAuxFor)
     matCache.clear()
-    // aux tables can outlive their matCache entry (a fallback round
-    // leaves the view uncached but the support table in place) — sweep
-    // the stragglers too, or a later round at a matching version would
-    // merge against pre-clear state
+    // sweep the aux key sets directly — they cover every view with
+    // carried state, including ones whose matCache entry a fallback
+    // round already displaced; left in place, a later round at a
+    // matching version would merge against pre-clear state
     (auxSupportCache.keysIterator.toSet ++
       auxPairsCache.keysIterator.map(_._1).toSet).foreach(evictAuxFor)
   }
@@ -1502,28 +1501,39 @@ final class Engine(val catalog: Catalog) {
               }
             }
           }
-          // refill: per column, key-filtered new-state top-2 (the
-          // catalog already holds the post-change relations)
-          mmSpecs.foreach { case (f, i) =>
-            val ks = needRefill.iterator.collect { case (k, `i`) => k }.toSeq
-            if (ks.nonEmpty) {
-              val newBody = RuleCompiler.compileBody(r.body,
-                (nm, ar) => resolve(nm, ar), hnswFrame, catalog.statRows)
-              val got: Map[Seq[Any], org.apache.spark.sql.Row] =
-                mmTop2Multi(newBody, Seq((f, i)),
-                  onlyKeys = Some(keyLit(ks, combined, keyNames)))
-                .limit(2050).collect()
-                .map { row =>
-                  val kk: Seq[Any] = (0 until kLen).map(j => normKey(row.get(j)))
-                  kk -> row
-                }.toMap
-              ks.foreach { k =>
-                mmResolved((k, i)) = got.get(k) match {
-                  case Some(row) => (row.get(kLen),
-                    if (row.isNullAt(kLen + 1)) 0L else row.getLong(kLen + 1),
-                    row.get(kLen + 2),
-                    if (row.isNullAt(kLen + 3)) 0L else row.getLong(kLen + 3))
-                  case None => (null, 0L, null, 0L) // only nulls remain
+          // refill: one key-filtered new-state top-2 pass per DISTINCT
+          // argument (min<S>/max<S> fuse, like the seed; the catalog
+          // already holds the post-change relations). The key filter is
+          // the union of the group's needy keys; each column consumes
+          // results only for its own refill set.
+          if (needRefill.nonEmpty) {
+            lazy val newBody = RuleCompiler.compileBody(r.body,
+              (nm, ar) => resolve(nm, ar), hnswFrame, catalog.statRows)
+            mmSpecs.groupBy { case (_, i) => numArgOf(i) }.values.foreach { specs =>
+              val perCol: Map[Int, Seq[Seq[Any]]] = specs.map { case (_, i) =>
+                i -> needRefill.iterator.collect { case (k, `i`) => k }.toSeq
+              }.toMap
+              val ksAll = perCol.valuesIterator.flatten.toSeq.distinct
+              if (ksAll.nonEmpty) {
+                val got: Map[Seq[Any], org.apache.spark.sql.Row] =
+                  mmTop2Multi(newBody, specs,
+                    onlyKeys = Some(keyLit(ksAll, combined, keyNames)))
+                  .limit(2050).collect()
+                  .map { row =>
+                    val kk: Seq[Any] = (0 until kLen).map(j => normKey(row.get(j)))
+                    kk -> row
+                  }.toMap
+                specs.zipWithIndex.foreach { case ((_, i), si) =>
+                  val base = kLen + 4 * si
+                  perCol(i).foreach { k =>
+                    mmResolved((k, i)) = got.get(k) match {
+                      case Some(row) => (row.get(base),
+                        if (row.isNullAt(base + 1)) 0L else row.getLong(base + 1),
+                        row.get(base + 2),
+                        if (row.isNullAt(base + 3)) 0L else row.getLong(base + 3))
+                      case None => (null, 0L, null, 0L) // only nulls remain
+                    }
+                  }
                 }
               }
             }
@@ -1802,8 +1812,15 @@ final class Engine(val catalog: Catalog) {
         else {
           val ins = mutable.HashMap.empty[String, DataFrame]
           val rem = mutable.HashMap.empty[String, DataFrame]
+          // snapshot EVERY old materialization before resolving ANY new
+          // state: resolve(n2) can transitively maintain-and-cachePut n1,
+          // displacing its v0 entry — a later cacheLatest(n1) would then
+          // diff new-vs-new and inject an empty (wrong) delta. Displaced
+          // frames stay readable through the Graveyard grace window.
+          val oldOf: Map[String, DataFrame] =
+            negDerived.iterator.map(n => n -> cacheLatest(n).get._2).toMap
           negDerived.foreach { n =>
-            val oldN = cacheLatest(n).get._2
+            val oldN = oldOf(n)
             val newN = resolve(n, oldN.columns.length)
             def lits(df: DataFrame): Option[DataFrame] = {
               val rows = Fixpoint.collectUpTo(df, 4096L).getOrElse(return None)
@@ -2805,11 +2822,18 @@ final class Engine(val catalog: Catalog) {
             val targetRel = r.body(dIdx) match { case Pos(a) => a.rel; case _ => "" }
             // non-bound occurrences of targetRel take the oldFrame branch
             // whether or not changedRels flags it (it always does in
-            // practice — overDerive only runs for changed relations)
+            // practice — overDerive only runs for changed relations).
+            // DERIVED negated deps are not in changedRels but carry
+            // INJECTED diffs — a sibling occurrence of one must also
+            // evaluate at the OLD state (resolve would give the new
+            // state, and a kill blocked by a sibling's post-change
+            // contents would be silently missed: under-deletion)
             val resolver = RuleCompiler.bindOccurrence(r, dIdx, bound,
               (nm, ar) =>
                 if (scc(nm)) sccCached(nm)
-                else if (nm == targetRel || changedRels(nm)) oldFrame(nm, ar)
+                else if (nm == targetRel || changedRels(nm) ||
+                         deltaOf.contains(nm) || removedOf.contains(nm))
+                  oldFrame(nm, ar)
                 else resolve(nm, ar))
             deriveRule(r, resolver).toDF(colsOf(r.head.rel): _*)
           }

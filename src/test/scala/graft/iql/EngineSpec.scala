@@ -534,6 +534,47 @@ class EngineSpec extends SparkSpec {
       Set(Seq(1L), Seq(2L), Seq(3L), Seq(5L)))
   }
 
+  test("two derived negated deps changing in ONE batch: kills see the sibling's old state") {
+    val e = new Engine(new Catalog(spark))
+    e.run(
+      """+p[(1), (2), (3)]
+        |+f1[(9)]
+        |+f2[(9)]
+        |+b1(X) <- p(X), f1(X)
+        |+b2(X) <- p(X), f2(X)
+        |+ok(X) <- p(X), !b1(X), !b2(X)
+        |""".stripMargin)
+    assert(rows(e.run("?ok(X)").last) == Set(Seq(1L), Seq(2L), Seq(3L)))
+    // both derived negated deps gain the SAME tuple in one batch: the
+    // kill driven through b1 must evaluate sibling !b2 at the OLD state
+    // (and vice versa) or neither driver kills ok(3) — under-deletion
+    e.run("+f1[(3)]\n+f2[(3)]")
+    assert(rows(e.run("?ok(X)").last) == Set(Seq(1L), Seq(2L)))
+    // and the reverse direction: both lose the tuple in one batch
+    e.run("-f1[(3)]\n-f2[(3)]")
+    assert(rows(e.run("?ok(X)").last) == Set(Seq(1L), Seq(2L), Seq(3L)))
+  }
+
+  test("derived negated dep depending on ANOTHER derived negated dep diffs both correctly") {
+    val e = new Engine(new Catalog(spark))
+    e.run(
+      """+p[(1), (2)]
+        |+f[(9)]
+        |+g[(99)]
+        |+n1(X) <- p(X), f(X)
+        |+n2(X) <- n1(X), g(X)
+        |+ok(X) <- p(X), !n1(X), !n2(X)
+        |""".stripMargin)
+    assert(rows(e.run("?ok(X)").last) == Set(Seq(1L), Seq(2L)))
+    // resolving n2's new state transitively maintains n1 — n1's OLD
+    // snapshot must be taken before that displaces it, or n1's diff
+    // comes out empty and the kill is dropped
+    e.run("+f[(1)]")
+    assert(rows(e.run("?ok(X)").last) == Set(Seq(2L)))
+    e.run("-f[(1)]")
+    assert(rows(e.run("?ok(X)").last) == Set(Seq(1L), Seq(2L)))
+  }
+
   test("negation-dependent maintenance through a recursive view") {
     val e = new Engine(new Catalog(spark))
     e.run(

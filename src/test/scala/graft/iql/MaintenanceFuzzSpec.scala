@@ -183,12 +183,15 @@ class MaintenanceFuzzSpec extends SparkSpec {
       val p0 = (0 until nNodes).map(i => s"($i)").mkString(",")
       val flag0 = Seq.fill(1 + rng.nextInt(2))(rng.nextInt(nNodes)).distinct
       // the negated relation is DERIVED (bad = p ∧ flag, sometimes with
-      // a second rule), so every mutation reaches the view only through
-      // the diffed derived delta
-      val rules = rng.nextInt(2) match {
+      // a second rule, sometimes TWO independent derived deps whose
+      // same-batch changes must see each other's OLD state), so every
+      // mutation reaches the view only through the diffed derived delta
+      val rules = rng.nextInt(3) match {
         case 0 => "+bad(X) <- p(X), flag(X)\n+ok(X) <- p(X), !bad(X)\n"
         case 1 => "+bad(X) <- p(X), flag(X)\n+bad(X) <- vip(X)\n" +
           "+ok(X) <- p(X), !bad(X)\n"
+        case 2 => "+bad(X) <- p(X), flag(X)\n+bad2(X) <- p(X), flag(X), vip(X)\n" +
+          "+ok(X) <- p(X), !bad(X), !bad2(X)\n"
       }
       val vip = if (rules.contains("vip")) s"+vip[(${rng.nextInt(nNodes)})]\n" else ""
       val prog = s"+p[$p0]\n+flag[${flag0.map(b => s"($b)").mkString(",")}]\n$vip$rules"
