@@ -968,8 +968,28 @@ final class Engine(val catalog: Catalog) {
             (nm, ar) => resolve(nm, ar)),
           hnswFrame, catalog.statRows)
 
-      val parts = Seq(removedOf.get(changedRel).map(b => (b, -1L)),
-        deltaOf.get(changedRel).map(b => (b, 1L))).flatten
+      // the changed-rel frames are delta-sized by contract here — the
+      // presence-checked exact removals and the anti-joined insert
+      // delta. Collect each ONCE into a literal frame (bounded): every
+      // downstream consumer (ΔG pass, min/max nets, cd touched pass,
+      // old-state reconstruction) then binds a broadcastable literal
+      // instead of re-executing the presence/anti-join plan — at scale
+      // each re-execution was another (pruned) base scan. Over the cap
+      // the frame stays lazy; the dirty-cap bails shortly after anyway.
+      def asLiteral(df: DataFrame): DataFrame =
+        Fixpoint.collectUpTo(df, 4096L) match {
+          case Some(rows) =>
+            catalog.spark.createDataFrame(
+              catalog.spark.sparkContext.parallelize(rows.toSeq,
+                Fixpoint.parallelizeParts(rows.length.toLong)),
+              org.apache.spark.sql.types.StructType(
+                df.schema.fields.map(_.copy(nullable = true))))
+          case None => df
+        }
+      val removedLit = removedOf.get(changedRel).map(asLiteral)
+      val deltaLit = deltaOf.get(changedRel).map(asLiteral)
+      val parts = Seq(removedLit.map(b => (b, -1L)),
+        deltaLit.map(b => (b, 1L))).flatten
       // a round that nets to nothing still re-stamps the carried
       // support/pairs tables to the new version — stranding them at v0
       // would force a body-scan reseed on the next REAL delete round
@@ -1173,11 +1193,11 @@ final class Engine(val catalog: Catalog) {
         val oldResolver: RuleCompiler.Resolver = (nm, ar) => {
           val cur = resolve(nm, ar)
           if (nm == changedRel) {
-            val mid = deltaOf.get(changedRel) match {
+            val mid = deltaLit match {
               case Some(d) => Fixpoint.antiNullSafe(cur, d.toDF(cur.columns.toSeq: _*))
               case None => cur
             }
-            removedOf.get(changedRel) match {
+            removedLit match {
               case Some(rm) => mid.union(rm.toDF(cur.columns.toSeq: _*)).distinct()
               case None => mid
             }
