@@ -1734,10 +1734,15 @@ object SparkEntry {
     //     MIXED batch drives both directions at once --------------------
     "q189_iql_neg_derived" -> ((s, dir) => {
       val e = iqlEngine(s, dir)
-      e.catalog.register("nemp", T(s, dir, "orders").select(
-        col("o_orderkey").as("id"),
-        pmod(col("o_custkey"), lit(50L)).as("dept"),
-        floor(col("o_totalprice")).cast("long").as("sal")))
+      // 1-in-20 id slice at the SOURCE: every DRed phase body scan
+      // rides the pruned base (the maintenance path is what this
+      // scenario measures, not repeated full-table scans)
+      e.catalog.register("nemp", T(s, dir, "orders")
+        .where(pmod(col("o_orderkey"), lit(20L)) === 0)
+        .select(
+          col("o_orderkey").as("id"),
+          pmod(col("o_custkey"), lit(50L)).as("dept"),
+          floor(col("o_totalprice")).cast("long").as("sal")))
       e.run(
         """+nemp[(900000020, 999, 900001), (900000040, 999, 10)]
           |+highd(D) <- nemp(I, D, S), S > 900000
@@ -3879,6 +3884,7 @@ object SparkEntry {
       """WITH nemp AS (
         |SELECT o_orderkey AS id, o_custkey % 50 AS dept,
         |       CAST(FLOOR(o_totalprice) AS BIGINT) AS sal FROM orders
+        |WHERE o_orderkey % 20 = 0
         |UNION ALL SELECT 900000040, 999, 10
         |UNION ALL SELECT 900000060, 7, 950000)
         |SELECT id AS I, dept AS D FROM nemp
