@@ -2821,16 +2821,18 @@ final class Engine(val catalog: Catalog) {
             } else insertPhase(vs)
           }
           // Driver-local DRed: both phases expressed as synthetic
-          // pure-positional programs over collected inputs and run
-          // in-process by LocalEval — a handful of bounded collects and
-          // one parallelize instead of 10-20 fixpoint jobs. Covers
-          // mutual recursion too (LocalEval solves multi-member SCCs).
-          // Bails (→ distributed DRed below, or recompute) when inputs
-          // exceed the collect caps or a rule shape is outside
-          // LocalEval's contract. Sign-flipped (negation-driven) kills
-          // are outside that pure-positional contract — skip.
-          if (negChanged.isEmpty) localDRed(scc, sccRules, sccCached, changedRels,
-              removedOf, name, midFrame) match {
+          // programs over collected inputs and run in-process by
+          // LocalEval — a handful of bounded collects and one
+          // parallelize instead of 10-20 fixpoint jobs. Covers mutual
+          // recursion too (LocalEval solves multi-member SCCs) and
+          // (round 12) sign-flipped negation-driven kills: the flipped
+          // seed binds the negated rel's insert delta with siblings at
+          // the old state, mirroring overDeriveNegFlip. Bails (→
+          // distributed DRed below, or recompute) when inputs exceed
+          // the collect caps or a rule shape is outside LocalEval's
+          // contract.
+          localDRed(scc, sccRules, sccCached, changedRels,
+              removedOf, deltaOf, negChanged, name, midFrame) match {
             case Some(vs) => return afterDelete(vs)
             case None => ()
           }
@@ -3232,7 +3234,8 @@ final class Engine(val catalog: Catalog) {
       * None to fall back to the distributed phases. */
     private def localDRed(scc: Set[String], sccRules: Seq[Rule],
         sccCached: Map[String, DataFrame], changedRels: Set[String],
-        removedOf: Map[String, DataFrame], name: String,
+        removedOf: Map[String, DataFrame], deltaOf: Map[String, DataFrame],
+        negChanged: Set[String], name: String,
         curOf: (String, Int) => DataFrame): Option[Map[String, DataFrame]] = {
       if (LocalEval.disabled) return None
       import org.apache.spark.sql.Row
@@ -3241,23 +3244,45 @@ final class Engine(val catalog: Catalog) {
       def dn(m: String) = "__dr_del_" + m
       def can(m: String) = "__dr_ca_" + m
       def rmn(c: String) = "__dr_rm_" + c
+      def insn(c: String) = "__dr_in_" + c
       def oldn(c: String) = "__dr_old_" + c
+      def killn(c: String) = "__dr_kl_" + c
       def kpn(m: String) = "__dr_kp_" + m
       def svn(m: String) = "__dr_sv_" + m
       def v2n(m: String) = "__dr_v2_" + m
+      // every relation the batch changed OR whose injected derived diff
+      // drives a sign-flip — each gets old/mid/kill-state stores below
+      val changedish = changedRels ++
+        negChanged.filter(n => deltaOf.contains(n) || removedOf.contains(n))
+      val negKillRels = negChanged.filter(deltaOf.contains)
 
-      // synthetic programs FIRST: shape-gate before paying any collect
+      // synthetic programs FIRST: shape-gate before paying any collect.
+      // Negated atoms of changed rels point at the OLD store too — a
+      // kill blocked by a sibling's post-change contents would be
+      // silently missed (the distributed overDerive routes them through
+      // oldFrame for the same reason).
       def mapOld(e: BodyElem): BodyElem = e match {
         case Pos(a) if scc(a.rel) => Pos(a.copy(rel = can(a.rel)))
-        case Pos(a) if changedRels(a.rel) => Pos(a.copy(rel = oldn(a.rel)))
+        case Pos(a) if changedish(a.rel) => Pos(a.copy(rel = oldn(a.rel)))
+        case Neg(a) if changedish(a.rel) => Neg(a.copy(rel = oldn(a.rel)))
         case other => other
       }
       val seedRules = sccRules.flatMap { r =>
         r.body.zipWithIndex.collect {
-          case (Pos(a), i) if changedRels(a.rel) =>
+          case (Pos(a), i) if changedish(a.rel) =>
             r.copy(head = Atom(dn(r.head.rel), r.head.args),
               body = r.body.zipWithIndex.map {
                 case (Pos(b), `i`) => Pos(b.copy(rel = rmn(b.rel)))
+                case (e, _) => mapOld(e)
+              })
+          // SIGN-FLIPPED kill driver: derivations that relied on ¬n(t)
+          // for a tuple t inserted into the negated rel — the occurrence
+          // flips positive and binds the insert delta, siblings at the
+          // old state (the local twin of overDeriveNegFlip)
+          case (Neg(a), i) if negKillRels(a.rel) =>
+            r.copy(head = Atom(dn(r.head.rel), r.head.args),
+              body = r.body.zipWithIndex.map {
+                case (Neg(b), `i`) => Pos(b.copy(rel = insn(b.rel)))
                 case (e, _) => mapOld(e)
               })
         }
@@ -3287,7 +3312,11 @@ final class Engine(val catalog: Catalog) {
         r.copy(head = Atom(svn(r.head.rel), r.head.args),
           body = Pos(Atom(dn(r.head.rel), r.head.args)) +: r.body.map {
             case Pos(a) if scc(a.rel) => Pos(a.copy(rel = v2n(a.rel)))
-            case other => other // changed rels re-derive at the NEW state
+            // negated changed rels re-derive against the KILL state
+            // (inserts applied — a kill must stick — removals restored:
+            // their creations belong to the insert phase)
+            case Neg(a) if changedish(a.rel) => Neg(a.copy(rel = killn(a.rel)))
+            case other => other // positive changed rels re-derive at mid
           })
       }
       val scc2: Set[String] = members.flatMap(m => Seq(svn(m), v2n(m))).toSet
@@ -3311,21 +3340,31 @@ final class Engine(val catalog: Catalog) {
         // insert-only rel has no removedOf entry to read one from);
         // unreferenced changed rels can't affect this SCC — skip them
         val changedArity = sccRules.flatMap(_.body.collect {
-          case Pos(a) if changedRels(a.rel) => (a.rel, a.args.length)
-          case Neg(a) if changedRels(a.rel) => (a.rel, a.args.length)
+          case Pos(a) if changedish(a.rel) => (a.rel, a.args.length)
+          case Neg(a) if changedish(a.rel) => (a.rel, a.args.length)
         }).toMap
         changedArity.foreach { case (c, ar) =>
-          Seq(rmn(c), oldn(c), c).foreach(arities(_) = ar)
+          Seq(rmn(c), insn(c), oldn(c), killn(c), c).foreach(arities(_) = ar)
           val rm = removedOf.get(c) match {
             case Some(df) => need(Fixpoint.collectUpTo(df, Fixpoint.LocalEdgeRows))
             case None => Array.empty[Row]
           }
+          val dl = deltaOf.get(c) match {
+            case Some(df) => need(Fixpoint.collectUpTo(df, Fixpoint.LocalEdgeRows))
+            case None => Array.empty[Row]
+          }
+          // cur = the MID state (current with the batch's inserts backed
+          // out) — old = mid ∪ removals EXACTLY; kill state = current
+          // (mid ∪ inserts) ∪ removals, matching the distributed
+          // killFrame without another resolve
           val cur = need(Fixpoint.collectUpTo(curOf(c, ar), Fixpoint.LocalEdgeRows))
-          stores(rmn(c)) = rm; stores(oldn(c)) = cur ++ rm; stores(c) = cur
+          stores(rmn(c)) = rm; stores(insn(c)) = dl
+          stores(oldn(c)) = cur ++ rm; stores(killn(c)) = cur ++ dl ++ rm
+          stores(c) = cur
         }
         sccRules.flatMap(_.body.collect {
-          case Pos(a) if !scc(a.rel) && !changedRels(a.rel) => (a.rel, a.args.length)
-          case Neg(a) if !scc(a.rel) && !changedRels(a.rel) => (a.rel, a.args.length)
+          case Pos(a) if !scc(a.rel) && !changedish(a.rel) => (a.rel, a.args.length)
+          case Neg(a) if !scc(a.rel) && !changedish(a.rel) => (a.rel, a.args.length)
         }).distinct.foreach { case (b, ar) =>
           arities(b) = ar
           stores(b) = need(Fixpoint.collectUpTo(resolve(b, ar), Fixpoint.LocalEdgeRows))
