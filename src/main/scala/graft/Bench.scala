@@ -160,33 +160,55 @@ object Bench {
       n -> math.min(t, retried.getOrElse(n, t)) }
     // ---- RETRACTION HEADLINE: the reference's BENCHMARKS.md:69-71
     // shape — time ONLY the delete + re-query against a MATERIALIZED
-    // 1k-node/2k-edge transitive closure (~1M pairs), so the BASELINE
-    // comparison reads off one number instead of being inferred from
-    // multi-statement scenario totals. Bench-only (no oracle row — the
-    // final state equals q54's closure minus the delete cone; the IVM
-    // correctness itself is oracle-pinned by q179/q183/q186/q187).
-    if (only.isEmpty || only("q200_tc_retract_requery")) try {
-      import org.apache.spark.sql.functions.{col, pmod}
-      def lcg(nodes: Long, edges: Long) =
-        spark.range(edges).select(
-          pmod(pmod(col("id") * 48271L, org.apache.spark.sql.functions.lit(65537L)),
-            org.apache.spark.sql.functions.lit(nodes)).as("src"),
-          pmod(pmod((col("id") + edges) * 16807L, org.apache.spark.sql.functions.lit(65537L)),
-            org.apache.spark.sql.functions.lit(nodes)).as("dst"))
-          .where(col("src") =!= col("dst")).localCheckpoint(true)
-      val e = new graft.iql.Engine(new graft.iql.Catalog(spark))
-      e.catalog.register("bed", lcg(1000L, 2000L))
-      e.run("+br(X, Y) <- bed(X, Y)\n+br(X, Z) <- br(X, Y), bed(Y, Z)")
-      e.run("?br(X, Y)").last.count() // materialize (untimed)
-      val dels = lcg(1000L, 2000L).limit(10).collect()
-        .map(r => s"(${r.getLong(0)}, ${r.getLong(1)})").mkString(",")
+    // 1k-node/2k-edge transitive closure (109,148 pairs — the same
+    // output scale an Erdos-Renyi digraph at the reference's 500n/1K
+    // config reaches, on a graph with 2× the nodes and edges), so the
+    // BASELINE comparison reads off one number instead of being
+    // inferred from multi-statement scenario totals. Bench-only (no
+    // oracle row — the final state equals this closure minus the
+    // delete cone; the IVM correctness itself is oracle-pinned by
+    // q179/q183/q186/q187). q202 is the same scenario at the table's
+    // heaviest row (−100 edges, BENCHMARKS.md:71: 1.13 s).
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    def thinEdges(nodes: Long, edges: Long) =
+      spark.range(edges).select(
+        pmod(pmod(col("id") * 48271L, lit(65537L)), lit(nodes)).as("src"),
+        pmod(pmod((col("id") + edges) * 16807L, lit(65537L)), lit(nodes)).as("dst"))
+        .where(col("src") =!= col("dst")).localCheckpoint(true)
+    def tcRetract(key: String, nDel: Int): Unit =
+      if (only.isEmpty || only(key)) try {
+        val e = new graft.iql.Engine(new graft.iql.Catalog(spark))
+        e.catalog.register("bed", thinEdges(1000L, 2000L))
+        e.run("+br(X, Y) <- bed(X, Y)\n+br(X, Z) <- br(X, Y), bed(Y, Z)")
+        e.run("?br(X, Y)").last.count() // materialize (untimed)
+        val dels = thinEdges(1000L, 2000L).limit(nDel).collect()
+          .map(r => s"(${r.getLong(0)}, ${r.getLong(1)})").mkString(",")
+        val t0 = System.nanoTime()
+        e.run(s"-bed[$dels]")
+        e.run("?br(X, Y)").last.count()
+        results = results :+ (key -> (System.nanoTime() - t0) / 1e9)
+      } catch { case ex: Throwable =>
+        System.err.println(s"[bench] $key: $ex") }
+    tcRetract("q200_tc_retract_requery", 10)
+    tcRetract("q202_tc_retract_100", 100)
+    // ---- FULL-CLOSURE HEADLINE at the reference's LARGEST recursion
+    // config (BENCHMARKS.md:20: 2,000 nodes / 4K edges, 10.49 s). q54
+    // pins the 1,000-node row with a DuckDB oracle; this entry extends
+    // q54's bench LCG (dense mixing: the 2,000-node closure is EXACTLY
+    // 4M pairs — every node reaches every node — 4× the reference's
+    // ~1M-pair output at this config, BENCHMARKS.md:108) through the
+    // same semi-naive fixpoint. Bench-only: TC correctness is q54's
+    // oracle.
+    if (only.isEmpty || only("q201_tc_2000")) try {
+      val g = spark.range(4000).select(
+        pmod(pmod(col("id") * 48271L, lit(65537L)), lit(2000L)).as("src"),
+        pmod(pmod(col("id") * 69621L + 12345L, lit(65537L)), lit(2000L)).as("dst"))
+        .localCheckpoint(true)
       val t0 = System.nanoTime()
-      e.run(s"-bed[$dels]")
-      e.run("?br(X, Y)").last.count()
-      results = results :+ ("q200_tc_retract_requery" ->
-        (System.nanoTime() - t0) / 1e9)
+      graft.plans.Fixpoint.transitiveClosure(g.toDF("src", "dst")).count()
+      results = results :+ ("q201_tc_2000" -> (System.nanoTime() - t0) / 1e9)
     } catch { case ex: Throwable =>
-      System.err.println(s"[bench] tc_retract_requery: $ex") }
+      System.err.println(s"[bench] q201_tc_2000: $ex") }
     val total = results.map(_._2).sum
     // The harness that collects this output keeps only the LAST ~2000
     // characters of stdout, so the machine-readable line must stay short:
