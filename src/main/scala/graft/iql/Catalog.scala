@@ -110,6 +110,7 @@ final class Catalog(val spark: SparkSession) {
   def register(name: String, df: DataFrame): Unit = synchronized {
     bump(); logChange(name, null); relations(name) = df
     literalRows.remove(name) // externally-registered frame: size unknown
+    overlays.remove(name)
     rebuildIndexesFor(name) // re-registering an indexed relation = opaque change
   }
 
@@ -471,6 +472,7 @@ final class Catalog(val spark: SparkSession) {
     bump(); logChange("*", null) // may also drop rules of that head
     relations.remove(name)
     literalRows.remove(name)
+    overlays.remove(name)
     indexes.filterInPlace { case ((r, _), _) => r != name }
     indexMeta.filterInPlace { case (_, (r, _, _)) => r != name }
     emptyPlaceholders -= name
@@ -545,6 +547,76 @@ final class Catalog(val spark: SparkSession) {
     emptyPlaceholders(name) && !relations.contains(name)
   }
 
+  /** LITERAL-CHURN OVERLAY: repeated literal inserts/deletes on one
+    * relation used to STACK one plan operator per batch (insert =
+    * union().distinct(), delete = a broadcast anti join), so after R
+    * maintenance rounds every scan of the relation replayed R broadcast
+    * builds — the per-round cost of an IVM workload grew linearly in
+    * ROUND COUNT, independent of data size (measured on the
+    * negated-derived probe: +5 jobs and +0.5 s per round). The overlay
+    * keeps the literal churn in two driver-side buffers and rebuilds
+    * the live frame as `(base ∖ (del ∪ ins)) ∪ ins` — upsert shape, so
+    * set semantics hold structurally without a distinct — at CONSTANT
+    * plan depth (one broadcast anti + one local-relation union)
+    * regardless of round count. Past [[OverlayCap]] buffered rows the
+    * buffers bake into a fresh checkpointed base (one pass, amortized
+    * over the cap; the displaced compaction checkpoint retires through
+    * the Graveyard). At 100 TB this is the LSM shape: deletes are
+    * tombstones against an immutable base, reads mask them, compaction
+    * is rare and sequential. Frame-level ops (register/replace/appendDf/
+    * conditional delete) reassign `relations(name)` directly; the
+    * `live eq current` identity check below detects that and starts a
+    * fresh overlay on the reassigned frame, so those paths need no
+    * coordination with this one. */
+  private final class Overlay(var base: DataFrame, var live: DataFrame,
+      var ownsBase: Boolean,
+      val ins: mutable.LinkedHashMap[Seq[Any], org.apache.spark.sql.Row],
+      val del: mutable.LinkedHashMap[Seq[Any], org.apache.spark.sql.Row])
+  private val overlays = mutable.HashMap.empty[String, Overlay]
+  private val OverlayCap = 4096
+  /** Buffer key for a typed literal row: value sequence with -0.0
+    * folded to 0.0 (the plan-side anti join compares with `<=>`, which
+    * treats them equal — the buffers must agree or a delete of 0.0
+    * would miss a buffered -0.0). */
+  private def overlayKey(r: org.apache.spark.sql.Row): Seq[Any] =
+    r.toSeq.map {
+      case d: Double if d == 0.0 => 0.0
+      case f: Float if f == 0.0f => 0.0f
+      case v => v
+    }
+  private def overlayFor(name: String, current: DataFrame): Overlay =
+    overlays.get(name) match {
+      case Some(o) if o.live eq current => o
+      case _ =>
+        val o = new Overlay(current, current, ownsBase = false,
+          mutable.LinkedHashMap.empty, mutable.LinkedHashMap.empty)
+        overlays(name) = o
+        o
+    }
+  private def overlayRebuild(name: String, o: Overlay,
+                             schema: StructType): DataFrame = {
+    def litFrame(rows: Seq[org.apache.spark.sql.Row]): DataFrame =
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    def plan: DataFrame = {
+      val mask = (o.del.valuesIterator ++ o.ins.valuesIterator).toSeq
+      val b = if (mask.isEmpty) o.base
+        else graft.plans.Fixpoint.antiNullSafe(o.base, litFrame(mask),
+          hintBroadcast = true)
+      if (o.ins.isEmpty) b else b.union(litFrame(o.ins.values.toSeq))
+    }
+    if (o.ins.size + o.del.size > OverlayCap) {
+      val compacted = plan.localCheckpoint(true)
+      if (o.ownsBase)
+        graft.plans.Graveyard.buryAndDrain(
+          graft.plans.Fixpoint.checkpointRddOf(o.base))
+      o.base = compacted; o.ownsBase = true
+      o.ins.clear(); o.del.clear()
+      o.live = compacted
+    } else o.live = plan
+    relations(name) = o.live
+    o.live
+  }
+
   def insert(name: String, rows: Seq[Seq[Any]]): Unit = synchronized {
     if (rows.isEmpty) {
       if (!relations.contains(name)) { bump(); logChange(name, null); emptyPlaceholders += name }
@@ -569,9 +641,17 @@ final class Catalog(val spark: SparkSession) {
         val df = widenFor(name, df0, rows)
         // LocalRelation (no RDD): collects of the raw batch are
         // driver-side, and the anti-join below streams it without a scan
+        val typed = toRows(rows, df.schema)
         val add = spark.createDataFrame(
-          java.util.Arrays.asList(toRows(rows, df.schema): _*), df.schema)
-        relations(name) = df.union(add).distinct()
+          java.util.Arrays.asList(typed: _*), df.schema)
+        // the literal batch lands in the overlay buffers (O(1) live-plan
+        // depth across rounds) instead of stacking union().distinct()
+        val o = overlayFor(name, df0)
+        if (!(df eq df0)) { // widened: the cast live frame is the new base
+          o.base = df; o.ownsBase = false; o.ins.clear(); o.del.clear()
+        }
+        typed.foreach { r => val k = overlayKey(r); o.del.remove(k); o.ins(k) = r }
+        overlayRebuild(name, o, df.schema)
         // delta = rows NOT previously present (lazy plan over the old
         // frame). No broadcast hint: the anti-join's build side is the
         // OLD relation, which can be arbitrarily large — let the planner
@@ -581,7 +661,6 @@ final class Catalog(val spark: SparkSession) {
           rawDelta = add)
         literalRows.updateWith(name)(_.map(_ + rows.size)) // bound, not exact
         maintainIndexesOnInsert(name, rows, df.schema)
-        maybeCompact(name)
     }
   }
 
@@ -708,7 +787,12 @@ final class Catalog(val spark: SparkSession) {
       logChange(name, null, raw,
         removedExact = presenceExact(raw, df, rows),
         removedLiteralRows = rows.distinct.size.toLong)
-      relations(name) = graft.plans.Fixpoint.antiNullSafe(df, del, hintBroadcast = true)
+      // tombstones land in the overlay buffers (O(1) live-plan depth
+      // across rounds) instead of stacking one anti join per batch
+      val o = overlayFor(name, df)
+      val typed = toRows(rows, df.schema)
+      typed.foreach { r => val k = overlayKey(r); o.ins.remove(k); o.del(k) = r }
+      overlayRebuild(name, o, df.schema)
       maintainIndexesOnDelete(name, rows, df.schema)
     }
   }

@@ -343,6 +343,10 @@ final class Engine(val catalog: Catalog) {
     * deferral in [[maintainAggSubtractable]]) — a second such round
     * seeds. A workload signal, not cached state: never invalidated. */
   private val seedDeferredOnce = mutable.HashSet.empty[String]
+  /** Observability: delete/mixed rounds served by the head-link
+    * restricted recompute (nonrecursive views; tests pin that the
+    * negated-derived scenario rides it instead of the DRed phases). */
+  private[graft] var linkMaintains: Long = 0L
   /** Observability: delete rounds served by per-group decrement, and
     * how many of those had to (re)seed the support table — tests pin a
     * second delete round riding the carried-forward table. */
@@ -2831,6 +2835,100 @@ final class Engine(val catalog: Catalog) {
           // distributed DRed below, or recompute) when inputs exceed
           // the collect caps or a rule shape is outside LocalEval's
           // contract.
+          // RESTRICTED RECOMPUTE BY HEAD-LINK KEYS: for a NONRECURSIVE
+          // single-member view whose every changed body occurrence —
+          // positive rel with delta/removals, negated rel with an
+          // injected derived diff — shares at least one variable with
+          // the head, the affected rows are exactly the head rows
+          // matching some changed tuple's projection onto those shared
+          // ("link") variables: a derivation that consumed a changed
+          // tuple, or whose negation gate flipped on a diff tuple,
+          // necessarily carries that tuple's link values into its head.
+          // So new = cached ∖ dirty ∪ derive(body ∧ dirty), ONE pass at
+          // the new state subsuming both DRed phases and the insert
+          // continuation, with the dirty predicate pushed below the
+          // body joins into pruned scans by Catalyst — the stratified-
+          // arrangement cost shape of the reference
+          // (`src/incremental.rs:77-80`) without the 10-20 fixpoint
+          // jobs. Phantom removals only over-approximate dirty (safe);
+          // a rel changed but absent from every body is reachable only
+          // through an injected-diff rel (positive derived deps bailed
+          // to recompute above) and needs no keys of its own. The DRed
+          // machinery below remains for recursive SCCs and for changed
+          // occurrences sharing nothing with the head.
+          def linkMaintain(): Option[DataFrame] = {
+            val changedTupleRels = deltaOf.keySet ++ removedOf.keySet
+            val occs: Seq[(Rule, Atom)] = sccRules.flatMap { r =>
+              r.body.collect {
+                case Pos(a) if changedTupleRels(a.rel) => (r, a)
+                case Neg(a) if changedTupleRels(a.rel) => (r, a)
+              }
+            }
+            if (occs.isEmpty) return Some(cached) // body never sees the change
+            // per occurrence: head positions sharing a Var with the
+            // atom, paired with the atom arg index carrying the value
+            val perOcc: Seq[(Atom, Seq[(Int, Int)])] = occs.map { case (r, a) =>
+              val links = r.head.args.zipWithIndex.flatMap {
+                case (Var(v), p) =>
+                  val q = a.args.indexWhere {
+                    case Var(w) => w == v
+                    case _ => false
+                  }
+                  if (q >= 0) Some((p, q)) else None
+                case _ => None
+              }
+              (a, links)
+            }
+            if (perOcc.exists(_._2.isEmpty)) return None // unrestrictable
+            val tuplesOf = mutable.HashMap.empty[String, Array[org.apache.spark.sql.Row]]
+            perOcc.map(_._1.rel).distinct.foreach { rel =>
+              val rows = Array.newBuilder[org.apache.spark.sql.Row]
+              (deltaOf.get(rel).toSeq ++ removedOf.get(rel).toSeq).foreach { df =>
+                rows ++= Fixpoint.collectUpTo(df, 1024L).getOrElse(return None)
+              }
+              tuplesOf(rel) = rows.result()
+            }
+            val disjuncts = Seq.newBuilder[Column]
+            var nDis = 0
+            perOcc.foreach { case (a, links) =>
+              val vals = tuplesOf(a.rel).iterator
+                .map(row => links.map { case (p, q) => (p, row.get(q)) })
+                .toSeq.distinct
+              // literal-expressible link values only: <=> literals are
+              // null- and NaN-safe, but array/struct/any-typed values
+              // have no faithful literal — those rounds take DRed
+              vals.foreach(_.foreach { case (_, v) => v match {
+                case null | _: java.lang.Number | _: String |
+                     _: java.lang.Boolean | _: java.sql.Timestamp |
+                     _: java.sql.Date => ()
+                case _ => return None
+              } })
+              nDis += vals.size
+              vals.foreach { tv =>
+                disjuncts += tv.map { case (p, v) =>
+                  col(cols(p)) <=> lit(v) }.reduce(_ && _)
+              }
+            }
+            if (nDis > 512) return None // predicate would bloat the plan
+            val ds = disjuncts.result()
+            if (ds.isEmpty) return Some(cached) // no tuple reaches the body
+            val dirtyPred = ds.reduce(_ || _)
+            linkMaintains += 1
+            val fresh = sccRules.map(r => deriveRule(r).toDF(cols: _*))
+              .reduce(_ union _).where(dirtyPred).distinct()
+            Some(Fixpoint.materialize(
+              cached.toDF(cols: _*).where(!dirtyPred).union(fresh)).df)
+          }
+          // Order: linkMaintain FIRST — its cost is a few delta-bound
+          // pruned jobs at ANY base size, while a localDRed attempt on a
+          // big base pays capped 200k-row collect probes before bailing
+          // (measured: those probes dominated the negated-derived round
+          // at 600k rows). localDRed keeps recursive SCCs and link-less
+          // shapes, where it replaces 10-20 fixpoint jobs.
+          if (!isRecursive && scc.size == 1) linkMaintain() match {
+            case Some(df) => return Some(df)
+            case None => ()
+          }
           localDRed(scc, sccRules, sccCached, changedRels,
               removedOf, deltaOf, negChanged, name, midFrame) match {
             case Some(vs) => return afterDelete(vs)

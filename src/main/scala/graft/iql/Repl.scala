@@ -369,7 +369,16 @@ object Storage {
     val d = java.nio.file.Paths.get(dir)
     java.nio.file.Files.createDirectories(d)
     catalog.relationNames.foreach { name =>
-      catalog.relation(name).get.write.mode("overwrite").parquet(s"$dir/$name.parquet")
+      // snapshot BEFORE the overwrite: a recovered relation's live plan
+      // may lazily read the very parquet files this write replaces (a
+      // re-save into the opened directory after WAL replay) — a
+      // pipelined plan would stream from files the overwrite already
+      // deleted. The checkpoint executes the read fully first; it is
+      // private to this call, so it releases eagerly.
+      val snap = catalog.relation(name).get.localCheckpoint(true)
+      try snap.write.mode("overwrite").parquet(s"$dir/$name.parquet")
+      finally graft.plans.Fixpoint.checkpointRddOf(snap)
+        .foreach(r => try r.unpersist(false) catch { case _: Throwable => () })
     }
     val decls = catalog.relationNames.flatMap(n =>
       catalog.declaredSchema(n).map(fs => Printer.schemaDecl(n, fs)))

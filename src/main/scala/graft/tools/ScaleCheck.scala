@@ -235,6 +235,49 @@ object ScaleCheck {
     probeMaintenance("minmax_retract_requery",
       "+mmm(D, min<S>, max<S>, count<S>) <- mbase(I, D, S)", "?mmm(D, L, H, C)")
 
+    // ---- negation-driven maintenance (q189's shape at scale) ----
+    // The view negates a DERIVED relation; each round's mixed batch
+    // moves one sentinel (insert a high row into a fresh dept = kills
+    // that dept downstream, delete the previous sentinel = re-creates
+    // its dept), so both flip directions run every round. The timed
+    // quantity is the riding round: the derived-stratum diff (two
+    // delta-sized collects) plus the DRed kill/rederive phases, whose
+    // only base-sized terms are broadcast-joined map-only scans.
+    def negProbe(n: Long): (Double, Long) = {
+      val e = new graft.iql.Engine(new graft.iql.Catalog(spark))
+      e.catalog.register("mbase", spark.range(n).select(
+        col("id"), pmod(col("id"), lit(100L)).as("dept"),
+        pmod(col("id") * 48271L, lit(500L)).as("sal")).localCheckpoint(true))
+      e.run("+nhigh(D) <- mbase(I, D, S), S >= 600\n" +
+        "+nview(I, D) <- mbase(I, D, S), !nhigh(D), I % 997 = 0")
+      e.run("?nview(I, D)").last.count() // materialize (untimed)
+      var i = 0
+      def round(): (Double, Long) = {
+        val prev = s"-mbase(${9100000 + i - 1}, ${(i + 99) % 100}, 600)\n"
+        val stmt = (if (i == 0) "" else prev) +
+          s"+mbase[(${9100000 + i}, ${i % 100}, 600)]"
+        val t0 = System.nanoTime()
+        e.run(stmt)
+        val rows = e.run("?nview(I, D)").last.count()
+        i += 1
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+      round() // warm (seeds the sentinel; insert-only round)
+      val samples = Seq(round(), round()) // both ride: mixed batches
+      (samples.map(_._1).min, samples.last._2)
+    }
+    try {
+      negProbe(60000L) // warm (codegen, first-plan costs)
+      val (t1, n1) = negProbe(60000L)
+      val (t10, n10) = negProbe(600000L)
+      val entry = Entry("neg_retract_requery", "scan", t1, t10, n1, n10)
+      println(entry.json)
+      entries += entry
+    } catch {
+      case ex: Throwable => println(
+        s"""{"name":"neg_retract_requery","error":"${ex.getClass.getSimpleName}"}""")
+    }
+
     // ---- rule-change invalidation is dependency-scoped ----
     // Round 11 made rule adds invalidate only DEPENDENT views (EngineSpec
     // pins the live-vs-retired counters); this probe makes the win

@@ -1702,4 +1702,43 @@ class EngineSpec extends SparkSpec {
     // path stops at 3: 1 -> 2, never 3; 4/5 unreachable
     assert(r == Set(Seq(1L, 1L), Seq(1L, 2L)))
   }
+
+  test("head-link restricted recompute serves nonrecursive negated-derived rounds") {
+    val e = new Engine(new Catalog(spark))
+    e.run(
+      """+hemp[(1, 10, 5), (2, 10, 900), (3, 20, 5), (4, 20, 7), (5, 30, 5)]
+        |+hhi(D) <- hemp(I, D, S), S > 100
+        |+hlow(I, D) <- hemp(I, D, S), !hhi(D)
+        |""".stripMargin)
+    assert(rows(e.run("?hlow(I, D)").last) ==
+      Set(Seq(3L, 20L), Seq(4L, 20L), Seq(5L, 30L)))
+    val l0 = e.linkMaintains
+    // one mixed batch: deleting dept 10's only high row CREATES its rows
+    // downstream; inserting a high row into dept 20 KILLS that dept
+    e.run("-hemp(2, 10, 900)\n+hemp[(6, 20, 901)]")
+    assert(rows(e.run("?hlow(I, D)").last) == Set(Seq(1L, 10L), Seq(5L, 30L)))
+    assert(e.linkMaintains >= l0 + 1,
+      "negated-derived round should ride the link-restricted recompute")
+    // second round rides the same path in the other direction
+    e.run("-hemp(6, 20, 901)")
+    assert(rows(e.run("?hlow(I, D)").last) ==
+      Set(Seq(1L, 10L), Seq(3L, 20L), Seq(4L, 20L), Seq(5L, 30L)))
+    assert(e.linkMaintains >= l0 + 2)
+  }
+
+  test("literal churn keeps the relation plan at constant depth") {
+    val e = new Engine(new Catalog(spark))
+    e.run("+chr[(1, 1), (2, 2), (3, 3)]")
+    // 40 insert+delete rounds used to stack 80 plan operators (one
+    // union().distinct() or anti join per batch) onto the live frame;
+    // the overlay folds them into two driver-side buffers
+    (0 until 40).foreach { i =>
+      e.run(s"+chr[(${100 + i}, $i)]")
+      e.run(s"-chr(${100 + i}, $i)")
+    }
+    val df = e.run("?chr(X, Y)").last
+    assert(rows(df) == Set(Seq(1L, 1L), Seq(2L, 2L), Seq(3L, 3L)))
+    val n = df.queryExecution.optimizedPlan.collect { case p => p }.size
+    assert(n < 20, s"literal churn stacked the live plan: $n nodes")
+  }
 }
