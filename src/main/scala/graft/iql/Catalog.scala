@@ -822,16 +822,30 @@ final class Catalog(val spark: SparkSession) {
       val raw = cast.distinct()
       // frame deletes are data-derived and unbounded — presenceExact
       // force-broadcasts the batch, so cap-probe it first (bounded
-      // count, the HNSW capacity-guard pattern): a multi-million-row
-      // retraction falls back to the planner-chosen semi join instead
-      // of aborting the maintenance round on the broadcast limit
-      val smallBatch =
-        try raw.limit(100001).count() <= 100000L catch { case _: Throwable => false }
+      // collect/count, the HNSW capacity-guard pattern): a multi-
+      // million-row retraction falls back to the planner-chosen semi
+      // join instead of aborting the maintenance round on the broadcast
+      // limit. A batch small enough to collect (≤4096) routes through
+      // the overlay tombstones — repeated conditional-delete rounds
+      // then keep the live plan at constant depth like literal deletes.
+      val smallRows = graft.plans.Fixpoint.collectUpTo(raw, 4096L)
+      val smallBatch = smallRows.isDefined ||
+        (try raw.limit(100001).count() <= 100000L catch { case _: Throwable => false })
       logChange(name, null, raw, // raw + exact split — see [[delete]]
         removedExact =
           if (smallBatch) presenceExact(raw, base, Seq.empty)
           else graft.plans.Fixpoint.semiNullSafe(raw, base))
-      relations(name) = graft.plans.Fixpoint.antiNullSafe(base, cast, hintBroadcast = true)
+      smallRows match {
+        case Some(rows) =>
+          if (rows.nonEmpty) {
+            val o = overlayFor(name, base)
+            rows.foreach { r => val k = overlayKey(r); o.ins.remove(k); o.del(k) = r }
+            overlayRebuild(name, o, base.schema)
+          } // empty conditional delete: the relation is unchanged
+        case None =>
+          relations(name) =
+            graft.plans.Fixpoint.antiNullSafe(base, cast, hintBroadcast = true)
+      }
       maintainIndexesOnDeleteFrame(name, cast)
     }
   }

@@ -2919,19 +2919,35 @@ final class Engine(val catalog: Catalog) {
             Some(Fixpoint.materialize(
               cached.toDF(cols: _*).where(!dirtyPred).union(fresh)).df)
           }
-          // Order: linkMaintain FIRST — its cost is a few delta-bound
-          // pruned jobs at ANY base size, while a localDRed attempt on a
-          // big base pays capped 200k-row collect probes before bailing
-          // (measured: those probes dominated the negated-derived round
-          // at 600k rows). localDRed keeps recursive SCCs and link-less
-          // shapes, where it replaces 10-20 fixpoint jobs.
-          if (!isRecursive && scc.size == 1) linkMaintain() match {
+          // Path order: on PROVABLY-SMALL inputs (every base relation in
+          // the SCC bodies has a driver-known size within the local
+          // collect cap — literal-built scenarios) the driver-local DRed
+          // wins: everything collects once and both phases run
+          // in-process. Anywhere else linkMaintain goes first — its cost
+          // is a few delta-bound pruned jobs at ANY base size, while a
+          // localDRed attempt on a big or unknown-size base pays capped
+          // 200k-row collect probes before bailing (measured: those
+          // probes dominated the negated-derived round at 600k rows).
+          // localDRed also keeps recursive SCCs and link-less shapes,
+          // where it replaces 10-20 fixpoint jobs.
+          val provablySmall = sccRules.flatMap(_.body.collect {
+            case Pos(a) => a.rel
+            case Neg(a) => a.rel
+          }).distinct.forall(rel => scc(rel) || byHead.contains(rel) ||
+            catalog.sizeSignal(rel).exists(_ <= Fixpoint.LocalEdgeRows))
+          def tryLink(): Option[DataFrame] =
+            if (!isRecursive && scc.size == 1) linkMaintain() else None
+          if (!provablySmall) tryLink() match {
             case Some(df) => return Some(df)
             case None => ()
           }
           localDRed(scc, sccRules, sccCached, changedRels,
               removedOf, deltaOf, negChanged, name, midFrame) match {
             case Some(vs) => return afterDelete(vs)
+            case None => ()
+          }
+          if (provablySmall) tryLink() match {
+            case Some(df) => return Some(df)
             case None => ()
           }
           // derivations of `r` with body occurrence `dIdx` (of relation

@@ -1704,10 +1704,16 @@ class EngineSpec extends SparkSpec {
   }
 
   test("head-link restricted recompute serves nonrecursive negated-derived rounds") {
+    import spark.implicits._
     val e = new Engine(new Catalog(spark))
+    // REGISTERED base (size unknown to the catalog): the link-restricted
+    // path goes first — a literal-built base would be provably small and
+    // ride the driver-local DRed instead
+    e.catalog.register("hemp",
+      Seq((1L, 10L, 5L), (2L, 10L, 900L), (3L, 20L, 5L), (4L, 20L, 7L),
+        (5L, 30L, 5L)).toDF("i", "d", "s"))
     e.run(
-      """+hemp[(1, 10, 5), (2, 10, 900), (3, 20, 5), (4, 20, 7), (5, 30, 5)]
-        |+hhi(D) <- hemp(I, D, S), S > 100
+      """+hhi(D) <- hemp(I, D, S), S > 100
         |+hlow(I, D) <- hemp(I, D, S), !hhi(D)
         |""".stripMargin)
     assert(rows(e.run("?hlow(I, D)").last) ==
