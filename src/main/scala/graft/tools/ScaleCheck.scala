@@ -278,6 +278,39 @@ object ScaleCheck {
         s"""{"name":"neg_retract_requery","error":"${ex.getClass.getSimpleName}"}""")
     }
 
+    // ---- round-count flatness (the literal-churn overlay) ----
+    // The OTHER scale axis: round COUNT, not data size. Before the
+    // overlay, every literal batch stacked one operator onto the live
+    // base plan, so round 50 re-executed 100 accumulated broadcast
+    // builds per scan and cost grew linearly in rounds. t1 = min of
+    // rounds 2-4, t10 = min of rounds 48-50 on one 600k-row engine;
+    // flat ratio = maintenance cost is independent of session age.
+    try {
+      val e = new graft.iql.Engine(new graft.iql.Catalog(spark))
+      e.catalog.register("cbase", spark.range(600000L).select(
+        col("id"), pmod(col("id"), lit(100L)).as("dept"),
+        pmod(col("id") * 48271L, lit(500L)).as("sal")).localCheckpoint(true))
+      e.run("+ctot(D, sum<S>, count<S>) <- cbase(I, D, S)")
+      e.run("?ctot(D, S, C)").last.count() // materialize (untimed)
+      def round(i: Int): (Double, Long) = {
+        val t0 = System.nanoTime()
+        e.run(s"+cbase[(${9200000 + i}, ${i % 100}, ${i % 500})]")
+        e.run(s"-cbase(${9200000 + i}, ${i % 100}, ${i % 500})")
+        val n = e.run("?ctot(D, S, C)").last.count()
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val all = (0 until 50).map(round)
+      val early = all.slice(1, 4).map(_._1).min
+      val late = all.slice(47, 50).map(_._1).min
+      val entry = Entry("churn_round50_vs_round3", "scan",
+        early, late, all(3)._2, all(49)._2)
+      println(entry.json)
+      entries += entry
+    } catch {
+      case ex: Throwable => println(
+        s"""{"name":"churn_round50_vs_round3","error":"${ex.getClass.getSimpleName}"}""")
+    }
+
     // ---- rule-change invalidation is dependency-scoped ----
     // Round 11 made rule adds invalidate only DEPENDENT views (EngineSpec
     // pins the live-vs-retired counters); this probe makes the win
