@@ -197,8 +197,13 @@ object Bench {
     // q54's bench LCG (dense mixing: the 2,000-node closure is EXACTLY
     // 4M pairs — every node reaches every node — 4× the reference's
     // ~1M-pair output at this config, BENCHMARKS.md:108) through the
-    // same semi-naive fixpoint. Bench-only: TC correctness is q54's
-    // oracle.
+    // same engine entry point as q54. At this size the engine takes its
+    // driver-local BFS closure fast path (node/edge counts under the
+    // LocalTcNodes/LocalEdgeRows gates) — that path choice IS the
+    // engine, exactly as the reference runs its own optimal plan; past
+    // the gates the distributed semi-naive loop takes over
+    // (ScaleCheck's tc_delete_requery probes it at 10× graphs).
+    // Bench-only: TC correctness is q54's oracle.
     if (only.isEmpty || only("q201_tc_2000")) try {
       val g = spark.range(4000).select(
         pmod(pmod(col("id") * 48271L, lit(65537L)), lit(2000L)).as("src"),

@@ -110,7 +110,7 @@ final class Catalog(val spark: SparkSession) {
   def register(name: String, df: DataFrame): Unit = synchronized {
     bump(); logChange(name, null); relations(name) = df
     literalRows.remove(name) // externally-registered frame: size unknown
-    overlays.remove(name)
+    overlayDiscard(name) // a replaced relation's compaction checkpoint retires
     rebuildIndexesFor(name) // re-registering an indexed relation = opaque change
   }
 
@@ -472,7 +472,7 @@ final class Catalog(val spark: SparkSession) {
     bump(); logChange("*", null) // may also drop rules of that head
     relations.remove(name)
     literalRows.remove(name)
-    overlays.remove(name)
+    overlayDiscard(name) // a dropped relation's compaction checkpoint retires
     indexes.filterInPlace { case ((r, _), _) => r != name }
     indexMeta.filterInPlace { case (_, (r, _, _)) => r != name }
     emptyPlaceholders -= name
@@ -563,7 +563,12 @@ final class Catalog(val spark: SparkSession) {
     * over the cap; the displaced compaction checkpoint retires through
     * the Graveyard). At 100 TB this is the LSM shape: deletes are
     * tombstones against an immutable base, reads mask them, compaction
-    * is rare and sequential. Frame-level ops (register/replace/appendDf/
+    * is rare and sequential. One nuance vs the old shape: the first
+    * literal insert used to distinct() the WHOLE relation, incidentally
+    * deduping an externally-registered frame that carried duplicate
+    * rows; the overlay leaves base duplicates in place (consistent with
+    * `register` itself, which never dedups — a 100 TB registration must
+    * not pay a shuffle). Frame-level ops (register/replace/appendDf/
     * conditional delete) reassign `relations(name)` directly; the
     * `live eq current` identity check below detects that and starts a
     * fresh overlay on the reassigned frame, so those paths need no
@@ -575,14 +580,33 @@ final class Catalog(val spark: SparkSession) {
   private val overlays = mutable.HashMap.empty[String, Overlay]
   private val OverlayCap = 4096
   /** Buffer key for a typed literal row: value sequence with -0.0
-    * folded to 0.0 (the plan-side anti join compares with `<=>`, which
-    * treats them equal — the buffers must agree or a delete of 0.0
-    * would miss a buffered -0.0). */
-  private def overlayKey(r: org.apache.spark.sql.Row): Seq[Any] =
-    r.toSeq.map {
+    * folded to 0.0, recursively through array values (the plan-side
+    * anti join compares with `<=>`, whose float normalization also
+    * recurses into arrays — the buffers must agree or a delete of
+    * [0.0] would miss a buffered [-0.0] and the rebuild would union
+    * the tombstoned row back in). */
+  private def overlayKey(r: org.apache.spark.sql.Row): Seq[Any] = {
+    def norm(v: Any): Any = v match {
       case d: Double if d == 0.0 => 0.0
       case f: Float if f == 0.0f => 0.0f
-      case v => v
+      case s: Seq[_] => s.map(norm)
+      case other => other
+    }
+    r.toSeq.map(norm)
+  }
+  /** Retire an overlay entry: a compaction checkpoint WE created goes
+    * to the Graveyard (handed-out results may still read it lazily —
+    * the grace window covers them, the same contract as displaced
+    * views). Caller-provided bases are never buried. Called only where
+    * the relation itself is replaced or dropped; a widen or a stale
+    * `live` mismatch must NOT bury, because the current live plan still
+    * reads the old base — those entries fall to Spark's ContextCleaner
+    * on GC instead.  */
+  private def overlayDiscard(name: String): Unit =
+    overlays.remove(name).foreach { o =>
+      if (o.ownsBase)
+        graft.plans.Graveyard.buryAndDrain(
+          graft.plans.Fixpoint.checkpointRddOf(o.base))
     }
   private def overlayFor(name: String, current: DataFrame): Overlay =
     overlays.get(name) match {
@@ -822,15 +846,21 @@ final class Catalog(val spark: SparkSession) {
       val raw = cast.distinct()
       // frame deletes are data-derived and unbounded — presenceExact
       // force-broadcasts the batch, so cap-probe it first (bounded
-      // collect/count, the HNSW capacity-guard pattern): a multi-
-      // million-row retraction falls back to the planner-chosen semi
-      // join instead of aborting the maintenance round on the broadcast
-      // limit. A batch small enough to collect (≤4096) routes through
-      // the overlay tombstones — repeated conditional-delete rounds
-      // then keep the live plan at constant depth like literal deletes.
-      val smallRows = graft.plans.Fixpoint.collectUpTo(raw, 4096L)
-      val smallBatch = smallRows.isDefined ||
-        (try raw.limit(100001).count() <= 100000L catch { case _: Throwable => false })
+      // count, the HNSW capacity-guard pattern): a multi-million-row
+      // retraction falls back to the planner-chosen semi join instead
+      // of aborting the maintenance round on the broadcast limit. A
+      // batch small enough to collect (≤4096) additionally routes
+      // through the overlay tombstones — repeated conditional-delete
+      // rounds then keep the live plan at constant depth like literal
+      // deletes. Probe order: the count runs first so a LARGE
+      // retraction pays one partial scan, not a failed collect plus a
+      // count; only a ≤4096 batch pays the (tiny) second scan.
+      val capCount =
+        try raw.limit(100001).count() catch { case _: Throwable => 100001L }
+      val smallBatch = capCount <= 100000L
+      val smallRows =
+        if (capCount > 4096L) None
+        else graft.plans.Fixpoint.collectUpTo(raw, 4096L)
       logChange(name, null, raw, // raw + exact split — see [[delete]]
         removedExact =
           if (smallBatch) presenceExact(raw, base, Seq.empty)

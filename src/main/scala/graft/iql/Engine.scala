@@ -1846,17 +1846,26 @@ final class Engine(val catalog: Catalog) {
           negDerived.foreach { n =>
             val oldN = oldOf(n)
             val newN = resolve(n, oldN.columns.length)
-            def lits(df: DataFrame): Option[DataFrame] = {
-              val rows = Fixpoint.collectUpTo(df, 4096L).getOrElse(return None)
-              if (rows.isEmpty) None
-              else Some(catalog.spark.createDataFrame(
+            def litFrame(rows: Array[org.apache.spark.sql.Row]): DataFrame =
+              catalog.spark.createDataFrame(
                 catalog.spark.sparkContext.parallelize(rows.toSeq,
                   Fixpoint.parallelizeParts(rows.length.toLong)),
                 org.apache.spark.sql.types.StructType(
-                  oldN.schema.fields.map(_.copy(nullable = true)))))
+                  oldN.schema.fields.map(_.copy(nullable = true))))
+            // A diff past the collect cap means the delete cone is
+            // plausibly view-sized — ABORT the round (the caller
+            // recomputes). Overflow must NOT be conflated with an empty
+            // diff: a >cap insert-side diff whose kills are silently
+            // dropped is under-deletion (a stale view served as fresh).
+            Seq(Fixpoint.antiNullSafe(newN, oldN) -> ins,
+                Fixpoint.antiNullSafe(oldN, newN) -> rem).foreach {
+              case (diff, sink) =>
+                Fixpoint.collectUpTo(diff, 4096L) match {
+                  case None => return None // overflow → recompute
+                  case Some(rs) if rs.isEmpty => ()
+                  case Some(rs) => sink(n) = litFrame(rs)
+                }
             }
-            lits(Fixpoint.antiNullSafe(newN, oldN)).foreach(ins(n) = _)
-            lits(Fixpoint.antiNullSafe(oldN, newN)).foreach(rem(n) = _)
           }
           (deltaOf0 ++ ins, removedOf0 ++ rem, removedExactOf0 ++ rem)
         }
