@@ -582,4 +582,70 @@ class MaintenanceFuzzSpec extends SparkSpec {
       assert(e1.cdMergedCount > cdStart, s"case $c never took the cd delta-merge path")
     }
   }
+
+  test("overlay mutation paths (literal ins/del + conditional delete) equal fresh recomputation") {
+    // hammers the catalog's literal-churn overlay across its three
+    // entry points -- literal insert (upsert buffer), literal delete
+    // (tombstone, incl. phantoms and reinsert-after-delete), and SMALL
+    // conditional delete (collected into tombstones) -- against a fresh
+    // engine, through both an aggregate view and a plain negated view,
+    // over enough rounds that buffers carry forward and interleave
+    val rng = new Random(20260915L)
+    (1 to 6).foreach { c =>
+      var nextId = 0
+      val live = scala.collection.mutable.LinkedHashMap.empty[Int, (Int, Int)]
+      def insBatch(n: Int): String = (0 until n).map { _ =>
+        nextId += 1
+        val g = rng.nextInt(4); val x = rng.nextInt(9)
+        live(nextId) = (g, x)
+        s"($nextId, $g, $x)"
+      }.mkString(",")
+      val rules =
+        "+agg(G, sum<X>, count<X>) <- t(I, G, X)\n" +
+        "+big(G) <- t(I, G, X), X >= 7\n" +
+        "+lows(I, G) <- t(I, G, X), !big(G)\n"
+      val e1 = new Engine(new Catalog(spark))
+      e1.run(s"+t[${insBatch(10 + rng.nextInt(6))}]\n$rules")
+      e1.run("?agg(G, S, C)"); e1.run("?lows(I, G)")
+      (0 until 5 + rng.nextInt(3)).foreach { round =>
+        val stmts = Seq.newBuilder[String]
+        // literal deletes of live tuples + a phantom sometimes
+        val nDel = math.min(live.size, rng.nextInt(3))
+        val delIds = rng.shuffle(live.keys.toSeq).take(nDel)
+        val dels = delIds.map { id =>
+          val (g, x) = live.remove(id).get; s"($id, $g, $x)"
+        } ++ (if (rng.nextBoolean()) Seq(s"(99999, 0, ${rng.nextInt(9)})") else Nil)
+        if (dels.nonEmpty) stmts += s"-t[${dels.mkString(",")}]"
+        // a small conditional delete: kill one (group, value) slice
+        if (rng.nextInt(3) == 0) {
+          val g = rng.nextInt(4); val x = rng.nextInt(9)
+          live.filterInPlace { case (_, (lg, lx)) => !(lg == g && lx == x) }
+          stmts += s"-t(I, G, X) <- t(I, G, X), G = $g, X = $x"
+        }
+        // fresh inserts, sometimes reinserting a just-deleted tuple
+        if (rng.nextBoolean()) stmts += s"+t[${insBatch(1 + rng.nextInt(3))}]"
+        if (delIds.nonEmpty && rng.nextInt(3) == 0) {
+          val id = delIds.head
+          val g = rng.nextInt(4); val x = rng.nextInt(9)
+          live(id) = (g, x)
+          stmts += s"+t[($id, $g, $x)]"
+        }
+        val prog = stmts.result().mkString("\n")
+        if (prog.nonEmpty) e1.run(prog)
+        val aggGot = rows(e1.run("?agg(G, S, C)").last)
+        val lowGot = rows(e1.run("?lows(I, G)").last)
+        val e2 = new Engine(new Catalog(spark))
+        val liveLits = live.map { case (id, (g, x)) => s"($id, $g, $x)" }
+        if (liveLits.isEmpty) {
+          assert(aggGot.isEmpty && lowGot.isEmpty, s"case $c round $round: empty base")
+        } else {
+          e2.run(s"+t[${liveLits.mkString(",")}]\n$rules")
+          assert(aggGot == rows(e2.run("?agg(G, S, C)").last),
+            s"case $c round $round agg diverged; live=$liveLits")
+          assert(lowGot == rows(e2.run("?lows(I, G)").last),
+            s"case $c round $round lows diverged; live=$liveLits")
+        }
+      }
+    }
+  }
 }
