@@ -579,6 +579,12 @@ final class Catalog(val spark: SparkSession) {
       val del: mutable.LinkedHashMap[Seq[Any], org.apache.spark.sql.Row])
   private val overlays = mutable.HashMap.empty[String, Overlay]
   private val OverlayCap = 4096
+  /** Driver-memory backstop for big/unknown-size bases that never hit
+    * the small-base compaction gate: past this many buffered rows the
+    * base compacts anyway (localCheckpoint spills through
+    * MEMORY_AND_DISK). A mask this size still broadcasts at ~tens of
+    * MB, so plan SHAPE was never the issue — only buffer growth. */
+  private val OverlayHardCap = 1 << 20
   /** Buffer key for a typed literal row: value sequence with -0.0
     * folded to 0.0, recursively through array values (the plan-side
     * anti join compares with `<=>`, whose float normalization also
@@ -628,7 +634,18 @@ final class Catalog(val spark: SparkSession) {
           hintBroadcast = true)
       if (o.ins.isEmpty) b else b.union(litFrame(o.ins.values.toSeq))
     }
-    if (o.ins.size + o.del.size > OverlayCap) {
+    // Compaction gate: baking the buffers in rewrites the WHOLE base
+    // through a checkpoint — right for a driver-built relation, wrong
+    // for a registered 100 TB table (inline rewrite of the base on the
+    // mutation path). Big or unknown-size bases keep buffering instead:
+    // the mask stays ONE broadcastable literal frame at any buffer
+    // size, so plan depth never grows — only past a much larger hard
+    // cap (driver-memory backstop) does a big base compact, spilling
+    // through MEMORY_AND_DISK. At warehouse scale the analogue is a
+    // periodic distributed rewrite job, not an inline one.
+    val buffered = o.ins.size + o.del.size
+    val smallBase = sizeSignal(name).exists(_ <= 1000000L)
+    if (buffered > OverlayCap && (smallBase || buffered > OverlayHardCap)) {
       val compacted = plan.localCheckpoint(true)
       if (o.ownsBase)
         graft.plans.Graveyard.buryAndDrain(
