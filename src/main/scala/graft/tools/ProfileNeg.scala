@@ -7,7 +7,11 @@ import org.apache.spark.sql.functions._
   * round (the `neg_retract_requery` ScaleCheck shape): prints per-round
   * mutate/requery wall time plus the engine's path counters, so a
   * regression in round cost is attributable to a PATH change (DRed vs
-  * link-restricted recompute) rather than guessed at. */
+  * link-restricted recompute) rather than guessed at.
+  *
+  * NOTE: the scenario (base schema, rules, sentinel arithmetic) MIRRORS
+  * ScaleCheck's `negProbe` by intent — if you tune the probe there,
+  * tune this to match, or the profiler stops explaining the probe. */
 object ProfileNeg {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(600000L)
