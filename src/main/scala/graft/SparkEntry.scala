@@ -1772,6 +1772,52 @@ object SparkEntry {
       e.run("?mmx(D, L, H, C)").last // round 2 rides: both ends promote
     }),
 
+    // --- IQL: TOP_K retraction — deletes maintain through the carried
+    //     prefix buffer (first k+slack distinct rows per group, full
+    //     multiplicities): a whole-group death, a top-trim promoting
+    //     runner-ups out of the carried slack, and a trim deep enough
+    //     to exhaust the slack and force the key-filtered refill pass —
+    //     all three decrement rounds, never a base recompute
+    //     (EngineSpec pins the counters) ------------------------------
+    "q191_iql_topk_retract" -> ((s, dir) => {
+      val e = iqlEngine(s, dir)
+      e.catalog.register("remp", T(s, dir, "orders").select(
+        col("o_orderkey").as("id"),
+        pmod(col("o_custkey"), lit(50L)).as("dept"),
+        pmod(floor(col("o_totalprice")).cast("long"), lit(100000L)).as("sal")))
+      e.run(
+        """+rbest(D, top_k<3, I, S:desc>) <- remp(I, D, S)
+          |?rbest(D, I, S)
+          |""".stripMargin)
+      e.run("-remp(I, D, S) <- remp(I, D, S), D = 7") // round 1: group death; seeds
+      e.run("?rbest(D, I, S)")
+      // round 2: shallow top-trim — runner-ups promote from the slack
+      e.run("-remp(I, D, S) <- remp(I, D, S), D = 11, S > 97000")
+      e.run("?rbest(D, I, S)")
+      // round 3: deep trim past the carried slack — refill pass
+      e.run("-remp(I, D, S) <- remp(I, D, S), D = 13, S > 60000")
+      e.run("?rbest(D, I, S)").last
+    }),
+
+    // --- IQL: WITHIN_RADIUS retraction — filter semantics: deletes
+    //     subtract the vanished bindings bag-exactly (exceptAll), no
+    //     window and no recompute --------------------------------------
+    "q192_iql_radius_retract" -> ((s, dir) => {
+      val e = iqlEngine(s, dir)
+      e.catalog.register("remp2", T(s, dir, "orders").select(
+        col("o_orderkey").as("id"),
+        pmod(col("o_custkey"), lit(50L)).as("dept"),
+        pmod(floor(col("o_totalprice")).cast("long"), lit(100000L)).as("sal")))
+      e.run(
+        """+rnear(D, within_radius<500, I, S>) <- remp2(I, D, S)
+          |?rnear(D, I, S)
+          |""".stripMargin)
+      e.run("-remp2(I, D, S) <- remp2(I, D, S), D = 7") // round 1
+      e.run("?rnear(D, I, S)")
+      e.run("-remp2(I, D, S) <- remp2(I, D, S), S < 100, I % 2 = 0") // round 2
+      e.run("?rnear(D, I, S)").last
+    }),
+
     "q179_iql_agg_decrement" -> ((s, dir) => {
       val e = iqlEngine(s, dir)
       e.catalog.register("demp", T(s, dir, "orders").select(
@@ -3900,6 +3946,31 @@ object SparkEntry {
         |UNION ALL SELECT 900000002, 999, 5)
         |SELECT dept AS D, MIN(sal) AS L, MAX(sal) AS H, COUNT(*) AS C
         |FROM memp WHERE dept <> 7 GROUP BY dept""".stripMargin,
+
+    // top-3 per dept after three delete rounds: dept 7 died, dept 11
+    // lost its top slice (slack promotion), dept 13 lost enough to
+    // force a buffer refill — final state is the rank over what's left
+    "q191_iql_topk_retract" ->
+      """WITH remp AS (
+        |SELECT o_orderkey AS id, o_custkey % 50 AS dept,
+        |       CAST(FLOOR(o_totalprice) AS BIGINT) % 100000 AS sal FROM orders)
+        |SELECT dept AS D, id AS I, sal AS S FROM (
+        |  SELECT dept, id, sal,
+        |         ROW_NUMBER() OVER (PARTITION BY dept ORDER BY sal DESC, id ASC) AS rn
+        |  FROM remp
+        |  WHERE dept <> 7 AND NOT (dept = 11 AND sal > 97000)
+        |    AND NOT (dept = 13 AND sal > 60000)) t
+        |WHERE rn <= 3""".stripMargin,
+
+    // radius filter after two delete rounds: dept 7 died, then the
+    // even-id sub-100 rows went (all inside the radius)
+    "q192_iql_radius_retract" ->
+      """WITH remp2 AS (
+        |SELECT o_orderkey AS id, o_custkey % 50 AS dept,
+        |       CAST(FLOOR(o_totalprice) AS BIGINT) % 100000 AS sal FROM orders)
+        |SELECT dept AS D, id AS I, sal AS S FROM remp2
+        |WHERE sal <= 500 AND dept <> 7
+        |  AND NOT (sal < 100 AND id % 2 = 0)""".stripMargin,
 
     // the view after both delete rounds: dept 7 died (conditional
     // delete), the injected 999 group died (exact-tuple deletes)

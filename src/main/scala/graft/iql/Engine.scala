@@ -356,6 +356,11 @@ final class Engine(val catalog: Catalog) {
     * keep the carried tables current instead of stranding them at a
     * stale version (which would force a body-scan reseed next round). */
   private[graft] var cdPairsSeeds: Long = 0L
+  /** Observability: rank-view (top_k) delete/mixed rounds served by the
+    * carried prefix-buffer update, and how many of those (re)seeded the
+    * buffer — tests pin later rounds riding the carried buffer. */
+  private[graft] var rankDecrementCount: Long = 0L
+  private[graft] var rankBufferSeeds: Long = 0L
 
   /** Execute a whole program; returns the result of each `?` query in
     * order. Rules defined in the program (session or persistent) are
@@ -1668,6 +1673,342 @@ final class Engine(val catalog: Catalog) {
       }
     }
 
+    /** RANK-view (`top_k` / `top_k_threshold`) delete maintenance through
+      * a carried PREFIX BUFFER on [[auxSupportCache]] — the Spark
+      * analogue of the reference's arranged per-group heaps (the DD
+      * arrangement behind `src/code_generator/mod.rs:2462-2560` keeps
+      * every group's multiset resident; a bounded prefix with refill is
+      * the state-bounded equivalent). Buffer invariant, per group: the
+      * first ≤ k+slack DISTINCT head rows in rank order, each carrying
+      * its FULL binding multiplicity `__n`, plus the group's total
+      * binding count `__tot` (denormalized). Every row of the group's
+      * multiset sorting ≤ the buffer's last row is IN the buffer — a
+      * true prefix — so the view's top-k expands from the buffer alone
+      * whenever sum(__n) ≥ k or the buffer is exhaustive
+      * (sum(__n) = __tot). Deletes DECREMENT multiplicities (a delete
+      * past the prefix only moves `__tot`); inserts merge in when they
+      * sort within the prefix (or the group is exhaustive); only a
+      * group whose prefix shrinks below k with bindings still beyond it
+      * refills, via ONE key-filtered pass — every stage is bounded by
+      * the buffer and the delta, never the base relation. */
+    private def maintainRankBuffered(name: String, r: Rule, rank: Rank,
+        cols: Seq[String], groupIdx: Seq[Int], outIdx: Seq[Int],
+        orderIdx: Int, changedOcc: Int, changedRel: String,
+        deltaOf: Map[String, DataFrame], removedOf: Map[String, DataFrame],
+        cached: DataFrame, v0: Long,
+        tinyLiteralRound: Boolean): Option[DataFrame] = {
+      import org.apache.spark.sql.types._
+      if (rank.func != "top_k" && rank.func != "top_k_threshold") return None
+      val k = rank.params(0).toLong
+      if (k <= 0L || k > 100000L) return None
+      // distinct-row capacity: k plus the slack deletes consume before a
+      // group needs a refill pass
+      val kdist = k + math.min(math.max(k, 16L), 1024L)
+      val named = cached.toDF(cols: _*)
+      // ordering contract: the buffer's lexicographic boundary compare
+      // must agree with the window sort the view was built with —
+      // numeric order column, atomically-comparable outs
+      def cmpOk(dt: DataType): Boolean = dt match {
+        case LongType | IntegerType | ShortType | ByteType | DoubleType |
+             FloatType | StringType | BooleanType | DateType | TimestampType => true
+        case _: DecimalType => true
+        case _ => false
+      }
+      val ordT = named.schema(orderIdx).dataType
+      if (ordT != LongType && ordT != DoubleType) return None
+      if (!outIdx.forall(i => cmpOk(named.schema(i).dataType))) return None
+
+      val carried0 = auxSupportCache.get(name).filter(_._1 == v0).map(_._2)
+      // 2-competitive seed deferral (same policy as the aggregate
+      // support tables): a one-off tiny literal delete on a big base
+      // doesn't amortize the full-body seed pass
+      if (carried0.isEmpty && tinyLiteralRound && seedDeferredOnce.add(name))
+        return None
+
+      val spark = catalog.spark
+      val W = org.apache.spark.sql.expressions.Window
+      val ordCol = col(cols(orderIdx))
+      val groupNames = groupIdx.map(cols)
+      val groupCols = groupNames.map(col)
+      val sortCols: Seq[Column] =
+        (if (rank.desc) ordCol.desc else ordCol.asc) +:
+          outIdx.map(i => col(cols(i)).asc)
+      val sortIdx: Seq[Int] = orderIdx +: outIdx
+      val nanIdx = sortIdx.filter { i =>
+        val dt = named.schema(i).dataType
+        dt == DoubleType || dt == FloatType
+      }
+      // a null or NaN sort-column value would corrupt the boundary
+      // compare (Column comparisons go null/false where the window sort
+      // has a defined order) — such rows bail the round to dirty-group
+      def violRow: Column =
+        sortIdx.map(i => col(cols(i)).isNull)
+          .foldLeft(lit(false))(_ || _) ||
+        nanIdx.map(i => isnan(col(cols(i)).cast(DoubleType)))
+          .foldLeft(lit(false))(_ || _)
+
+      def headRows(b0: DataFrame): DataFrame = {
+        val b = rank.func match {
+          case "top_k_threshold" =>
+            b0.filter(if (rank.desc) col(rank.orderVar.name) >= lit(rank.params(1))
+                      else col(rank.orderVar.name) <= lit(rank.params(1)))
+          case _ => b0
+        }
+        val prj = Seq.newBuilder[Column]; var i = 0
+        r.head.args.foreach {
+          case _: Rank =>
+            rank.outs.foreach { o => prj += col(o.name).as(s"c$i"); i += 1 }
+            prj += col(rank.orderVar.name).as(s"c$i"); i += 1
+          case t => prj += RuleCompiler.term(t, b).as(s"c$i"); i += 1
+        }
+        b.select(prj.result(): _*)
+      }
+      def bodyNow: DataFrame =
+        RuleCompiler.compileBody(r.body, (nm, ar) => resolve(nm, ar),
+          hnswFrame, catalog.statRows)
+
+      /** Buffer rows for (a slice of) the view: first ≤ kdist distinct
+        * head rows per group in rank order, full multiplicities,
+        * per-group total. One grouped pass + a grouped window — or a
+        * TakeOrdered for the ungrouped head (never a one-partition
+        * window over the body). */
+      def bufferFrom(hr: DataFrame): DataFrame = {
+        val cnt = hr.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__n"))
+        if (groupIdx.nonEmpty) {
+          val wAll = W.partitionBy(groupCols: _*)
+          val wOrd = wAll.orderBy(sortCols: _*)
+          cnt.withColumn("__tot", sum(col("__n")).over(wAll))
+            .withColumn("__rn", row_number().over(wOrd))
+            .where(col("__rn") <= kdist).drop("__rn")
+        } else {
+          val tot1 = cnt.agg(coalesce(sum(col("__n")), lit(0L)).as("__tot"))
+          cnt.crossJoin(tot1).orderBy(sortCols: _*).limit(kdist.toInt)
+        }
+      }
+      /** Top-k expansion of a committed buffer — a buffer-sized window
+        * (≤ kdist rows per group; for the ungrouped head the single
+        * partition holds ≤ kdist rows, not the base). */
+      def expand(buf: DataFrame): DataFrame = {
+        val w = W.partitionBy(groupCols: _*).orderBy(sortCols: _*)
+          .rowsBetween(W.unboundedPreceding, -1)
+        buf.withColumn("__start", coalesce(sum(col("__n")).over(w), lit(0L)))
+          .where(col("__start") < k)
+          .withColumn("__copies", least(col("__n"), lit(k) - col("__start")))
+          .withColumn("__dup", explode(sequence(lit(1L), col("__copies"))))
+          .select(cols.map(col): _*)
+      }
+      def retireSuperseded(old: DataFrame): Unit =
+        Fixpoint.checkpointRddOf(old).foreach { s =>
+          if (!Fixpoint.checkpointRddOf(cached).exists(_ eq s))
+            graft.plans.Graveyard.buryAndDrain(Some(s))
+        }
+
+      // ---------------- seed round: build the buffer at the NEW state;
+      // the round's answer falls out of the same frame
+      if (carried0.isEmpty) {
+        val seedMat = Fixpoint.materialize(bufferFrom(headRows(bodyNow))).df
+        if (!seedMat.where(violRow).isEmpty) {
+          Fixpoint.checkpointRddOf(seedMat).foreach(_.unpersist(false))
+          return None
+        }
+        // a STALE buffer left in place by an earlier fallback round is
+        // displaced by this commit — grace-window retirement
+        auxSupportCache.put(name, (catalog.version, seedMat))
+          .foreach { case (_, old) => retireSuperseded(old) }
+        rankBufferSeeds += 1
+        rankDecrementCount += 1
+        return Some(expand(seedMat))
+      }
+      val buf0 = carried0.get
+
+      // ---------------- update round riding the carried buffer
+      def asLiteral(df: DataFrame): (DataFrame, Long) =
+        Fixpoint.collectUpTo(df, 4096L) match {
+          case Some(rows) =>
+            (spark.createDataFrame(
+              spark.sparkContext.parallelize(rows.toSeq,
+                Fixpoint.parallelizeParts(rows.length.toLong)),
+              StructType(df.schema.fields.map(_.copy(nullable = true)))),
+             rows.length.toLong)
+          case None => (df, -1L)
+        }
+      def bindingsOf(bound: DataFrame): DataFrame =
+        RuleCompiler.compileBody(r.body,
+          RuleCompiler.bindOccurrence(r, changedOcc, bound,
+            (nm, ar) => resolve(nm, ar)),
+          hnswFrame, catalog.statRows)
+      val remLit = removedOf.get(changedRel).map(asLiteral)
+      val insLit = deltaOf.get(changedRel).map(asLiteral)
+      def restamp(): Unit =
+        auxSupportCache.get(name).foreach { case (v, df) =>
+          if (v == v0) auxSupportCache(name) = (catalog.version, df) }
+      if (remLit.forall(_._2 == 0L) && insLit.forall(_._2 == 0L) &&
+          (remLit.nonEmpty || insLit.nonEmpty)) {
+        restamp(); return Some(cached)
+      }
+      def countsOf(l: Option[(DataFrame, Long)], cn: String): Option[DataFrame] =
+        l.filter(_._2 != 0L).map { case (f, _) =>
+          headRows(bindingsOf(f))
+            .groupBy(cols.map(col): _*).agg(count(lit(1)).as(cn))
+        }
+      val remC = countsOf(remLit, "__rm")
+      val insC = countsOf(insLit, "__in")
+      val net: DataFrame = (remC, insC) match {
+        case (Some(a), Some(b)) =>
+          val cond = cols.map(n => a(n) <=> b(n)).reduce(_ && _)
+          a.join(b, cond, "full_outer").select(
+            cols.map(n => coalesce(a(n), b(n)).as(n)) ++ Seq(
+              coalesce(a("__rm"), lit(0L)).as("__rm"),
+              coalesce(b("__in"), lit(0L)).as("__in")): _*)
+        case (Some(a), None) => a.withColumn("__in", lit(0L))
+        case (None, Some(b)) =>
+          b.withColumn("__rm", lit(0L))
+            .select(cols.map(col) ++ Seq(col("__rm"), col("__in")): _*)
+        case (None, None) => restamp(); return Some(cached)
+      }
+
+      // a synthetic constant group key unifies the ungrouped head with
+      // the grouped algebra (every per-group frame here is bounded by
+      // the buffer + the delta, so the single group is not a skew risk)
+      val gN: Seq[String] = if (groupIdx.nonEmpty) groupNames else Seq("__g")
+      def withG(df: DataFrame): DataFrame =
+        if (groupIdx.nonEmpty) df else df.withColumn("__g", lit(0L))
+      val gCols = gN.map(col)
+      val bufG = withG(buf0)
+      val netG = withG(net)
+
+      // per-group info: carried cum/tot, the net tot drift, and the
+      // boundary (last buffer row in rank order — reverse-sort rn=1)
+      val gBuf = bufG.groupBy(gCols: _*).agg(
+        sum(col("__n")).as("__gcum"), max(col("__tot")).as("__gtot"))
+      val gNet = netG.groupBy(gCols: _*).agg(
+        sum(col("__in") - col("__rm")).as("__dtot"))
+      val gAll = {
+        val cond = gN.map(n => gBuf(n) <=> gNet(n)).reduce(_ && _)
+        gBuf.join(gNet, cond, "full_outer").select(
+          gN.map(n => coalesce(gBuf(n), gNet(n)).as(n)) ++ Seq(
+            gBuf("__gcum").as("__gcum"), gBuf("__gtot").as("__gtot"),
+            coalesce(gNet("__dtot"), lit(0L)).as("__dtot")): _*)
+          .withColumn("__ntot",
+            coalesce(col("__gtot"), lit(0L)) + col("__dtot"))
+      }
+      val revSort: Seq[Column] =
+        (if (rank.desc) ordCol.asc else ordCol.desc) +:
+          outIdx.map(i => col(cols(i)).desc)
+      val bnd = bufG
+        .withColumn("__rl", row_number().over(
+          W.partitionBy(gCols: _*).orderBy(revSort: _*)))
+        .where(col("__rl") === 1)
+        .select(gCols ++ sortIdx.map(i => col(cols(i)).as(s"__b$i")): _*)
+      val gInfo = {
+        val cond = gN.map(n => gAll(n) <=> bnd(n)).reduce(_ && _)
+        gAll.join(bnd, cond, "left_outer").select(
+          gN.map(n => gAll(n).as(n)) ++ Seq(
+            gAll("__gcum").as("__gcum"), gAll("__gtot").as("__gtot"),
+            gAll("__ntot").as("__ntot")) ++
+            sortIdx.map(i => bnd(s"__b$i").as(s"__b$i")): _*)
+      }
+
+      // row-level merge: carried buffer rows FULL OUTER the net deltas
+      val rowCond = cols.map(n => bufG(n) <=> netG(n)).reduce(_ && _)
+      val rowsAll = withG(bufG.join(netG, rowCond, "full_outer").select(
+        cols.map(n => coalesce(bufG(n), netG(n)).as(n)) ++ Seq(
+          bufG("__n").as("__n"),
+          coalesce(netG("__rm"), lit(0L)).as("__rm"),
+          coalesce(netG("__in"), lit(0L)).as("__in")): _*))
+      val joined = {
+        val cond = gN.map(n => rowsAll(n) <=> gInfo(n)).reduce(_ && _)
+        rowsAll.join(gInfo, cond, "left_outer").select(
+          (cols ++ (if (groupIdx.isEmpty) Seq("__g") else Nil))
+            .map(n => rowsAll(n).as(n)) ++ Seq(
+            rowsAll("__n").as("__n"), rowsAll("__rm").as("__rm"),
+            rowsAll("__in").as("__in"),
+            gInfo("__gcum").as("__gcum"), gInfo("__gtot").as("__gtot"),
+            gInfo("__ntot").as("__ntot")) ++
+            sortIdx.map(i => gInfo(s"__b$i").as(s"__b$i")): _*)
+      }
+      // belongs ⟺ the row sorts within the carried prefix: already in
+      // the buffer, a brand-new group, an exhaustive group (the buffer
+      // holds everything), or lexicographically ≤ the boundary row
+      def lt(i: Int): Column = {
+        val a = col(cols(i)); val b = col(s"__b$i")
+        if (i == orderIdx && rank.desc) a > b else a < b
+      }
+      val lexLeq: Column = sortIdx.foldRight(lit(true): Column) { (i, rest) =>
+        lt(i) || ((col(cols(i)) <=> col(s"__b$i")) && rest)
+      }
+      val isNewGroup = col("__gtot").isNull
+      val exhaustive = col("__gtot").isNotNull && (col("__gcum") <=> col("__gtot"))
+      val belongs = col("__n").isNotNull || isNewGroup || exhaustive || lexLeq
+      val n1 = coalesce(col("__n"), lit(0L)) + col("__in") - col("__rm")
+      val upd = joined
+        .withColumn("__n1", n1)
+        .withColumn("__belongs", belongs)
+        .withColumn("__keep", belongs && n1 > 0L)
+        // a belonging row driven negative means the removal bindings
+        // exceeded the carried multiplicity — contract breach, bail
+        .withColumn("__viol", violRow || (belongs && n1 < 0L))
+      val updMat = Fixpoint.materialize(upd).df
+      var committed = false
+      try {
+        val ntotOf = coalesce(col("__ntot"),
+          col("__in") - col("__rm")) // gInfo row always joins; defensive
+        val stats = updMat.groupBy(gCols: _*).agg(
+          sum(when(col("__keep"), col("__n1")).otherwise(lit(0L))).as("__cum2"),
+          max(ntotOf).as("__tot2"),
+          max(when(col("__viol"), lit(1L)).otherwise(lit(0L))).as("__v"))
+        val needs = stats.where(col("__v") === 1L ||
+          (col("__cum2") < k && col("__cum2") < col("__tot2") &&
+            col("__tot2") > 0L))
+        val needRows = Fixpoint.collectUpTo(needs, 2050L).getOrElse(return None)
+        if (needRows.exists(_.getLong(gN.length + 2) == 1L)) return None
+        val refillKeys: Seq[Seq[Any]] =
+          needRows.map(row => gN.indices.map(row.get)).toSeq
+        // refill keys must be literal-representable (the same contract
+        // as dirty-group's key predicate)
+        if (refillKeys.exists(_.exists(v => v == null || (v match {
+          case d: Double => d.isNaN
+          case f: Float => f.isNaN
+          case _: Number | _: String | _: Boolean => false
+          case _ => true
+        })))) return None
+
+        val wOrd = W.partitionBy(gCols: _*).orderBy(sortCols: _*)
+        val keptRows = updMat.where(col("__keep"))
+          .withColumn("__rn2", row_number().over(wOrd))
+          .where(col("__rn2") <= kdist)
+          .select(cols.map(col) ++ Seq(col("__n1").as("__n"),
+            col("__ntot").as("__tot")): _*)
+        val finalBuf =
+          if (refillKeys.isEmpty) keptRows
+          else if (groupIdx.isEmpty) {
+            // ungrouped refill = whole-view rebuild (there is only the
+            // one group) — still delta-triggered, not per-round
+            bufferFrom(headRows(bodyNow))
+          } else {
+            val keyPred: Column = refillKeys.map { kv =>
+              gN.indices.map(j => col(gN(j)) <=> lit(kv(j))).reduce(_ && _)
+            }.reduce(_ || _)
+            // ONE key-filtered body pass serves every refill group; the
+            // literal predicate pushes below the window into the scans
+            val refill = bufferFrom(headRows(bodyNow).where(keyPred))
+            keptRows.where(!keyPred).union(refill)
+          }
+        val outBuf = Fixpoint.materialize(
+          finalBuf.select(cols.map(col) ++ Seq(col("__n"), col("__tot")): _*)).df
+        // the superseded carried buffer backed the previously served
+        // view — grace-window retirement, same as the agg support table
+        retireSuperseded(buf0)
+        auxSupportCache(name) = (catalog.version, outBuf)
+        rankDecrementCount += 1
+        committed = true
+        Some(expand(outBuf))
+      } finally {
+        Fixpoint.checkpointRddOf(updMat).foreach(_.unpersist(false))
+        if (!committed) () // carried buffer stays at v0; next round reseeds
+      }
+    }
+
     private def tryMaintain(name: String): Option[DataFrame] = {
       if (!byHead.contains(name)) return None
       val (v0, cached) = cacheLatest(name).getOrElse(return None)
@@ -1981,11 +2322,13 @@ final class Engine(val catalog: Catalog) {
         // exact new result is the rank re-applied over cached ∪ (rank
         // over the delta bindings alone): every true top-k row is the
         // k-best of one of the two sides. within_radius is a plain
-        // filter, where the union alone is already exact. Deletes (an
-        // evicted row may need to return) and multiple changed
-        // occurrences (delta×delta double-counting — rank heads keep
-        // duplicates, no distinct to fold them) go through per-group
-        // dirty recomputation instead; recursion recomputes.
+        // filter: the union is exact for inserts and deletes subtract
+        // the vanished bindings bag-exactly ([[exceptAll]]). top_k
+        // DELETES ride the carried prefix buffer
+        // ([[maintainRankBuffered]]); multiple changed occurrences
+        // (delta×delta double-counting — rank heads keep duplicates, no
+        // distinct to fold them) and bail shapes go through per-group
+        // dirty recomputation; recursion recomputes.
         if (isRecursive || sccRules.size != 1 || changedRels(name))
           return None
         val r = sccRules.head
@@ -1994,35 +2337,63 @@ final class Engine(val catalog: Catalog) {
           case (Pos(a), i) if changedRels(a.rel) => i
         }
         if (changedOccs.isEmpty) return Some(cached)
-        if (hasRemovals || changedOccs.size > 1) {
-          // expanded output positions of the group terms (Rank widens to
-          // outs ++ order in the output row)
-          var idx2 = 0
-          val groupIdx2 = Seq.newBuilder[Int]
-          r.head.args.foreach {
-            case rk: Rank => idx2 += rk.outs.length + 1
-            case _ => groupIdx2 += idx2; idx2 += 1
-          }
-          return dirtyGroupMaintain(r, groupIdx2.result())
-        }
-        val deltaRanked = deltaDerive(r, changedOccs.head,
-          m => if (m == name) Some(cached) else None)
-        val merged = cached.union(deltaRanked)
         // output positions: head args expand Rank to outs ++ order
         var idx = 0
         var orderIdx = -1
-        val groupIdx = Seq.newBuilder[Int]
-        val outIdx = Seq.newBuilder[Int]
+        val groupIdxB = Seq.newBuilder[Int]
+        val outIdxB = Seq.newBuilder[Int]
         r.head.args.foreach {
           case rk: Rank =>
-            rk.outs.foreach { _ => outIdx += idx; idx += 1 }
+            rk.outs.foreach { _ => outIdxB += idx; idx += 1 }
             orderIdx = idx; idx += 1
-          case _ => groupIdx += idx; idx += 1
+          case _ => groupIdxB += idx; idx += 1
         }
+        val groupIdx = groupIdxB.result()
+        val outIdx = outIdxB.result()
+        val changedRel = r.body(changedOccs.head) match {
+          case Pos(a) => a.rel; case _ => ""
+        }
+        val relRemoved = removedExactOf.get(changedRel)
+        val relDelta = deltaOf.get(changedRel)
+        val bufferLive = auxSupportCache.get(name).exists(_._1 == v0)
+        if (changedOccs.size == 1 && rank.func == "within_radius" &&
+            relRemoved.nonEmpty) {
+          val remRanked = deriveRule(r,
+            RuleCompiler.bindOccurrence(r, changedOccs.head, relRemoved.get,
+              (nm, ar) => resolve(nm, ar))).toDF(cols: _*)
+          val insRanked = relDelta match {
+            case Some(_) => deltaDerive(r, changedOccs.head,
+              m => if (m == name) Some(cached) else None).toDF(cols: _*)
+            case None => cached.toDF(cols: _*).limit(0)
+          }
+          rankDecrementCount += 1
+          return Some(Fixpoint.materialize(
+            cached.toDF(cols: _*).exceptAll(remRanked).union(insRanked)).df)
+        }
+        if (changedOccs.size == 1 && rank.func != "within_radius" &&
+            (relRemoved.nonEmpty || bufferLive)) {
+          // same 2-competitive seed-deferral signal as the agg path
+          val tinyLiteral = hasRemovals && changes.forall(c =>
+            c.removed == null ||
+              (c.removedLiteralRows >= 0 && c.removedLiteralRows <= 64)) &&
+            changes.iterator.filter(_.removed != null).map(_.rel).toSet
+              .forall(rel => !catalog.sizeSignal(rel).exists(_ <= 20000))
+          maintainRankBuffered(name, r, rank, cols, groupIdx, outIdx,
+            orderIdx, changedOccs.head, changedRel, deltaOf, removedExactOf,
+            cached, v0, tinyLiteralRound = tinyLiteral) match {
+            case Some(df) => return Some(df)
+            case None => ()
+          }
+        }
+        if (relRemoved.nonEmpty || changedOccs.size > 1)
+          return dirtyGroupMaintain(r, groupIdx)
+        val deltaRanked = deltaDerive(r, changedOccs.head,
+          m => if (m == name) Some(cached) else None)
+        val merged = cached.union(deltaRanked)
         val ord0 = col(cols(orderIdx))
         val ord = if (rank.desc) ord0.desc else ord0.asc
-        val tiebreak = outIdx.result().map(i => col(cols(i)).asc)
-        val groups = groupIdx.result().map(i => col(cols(i)))
+        val tiebreak = outIdx.map(i => col(cols(i)).asc)
+        val groups = groupIdx.map(i => col(cols(i)))
         val reRanked = rank.func match {
           case "top_k" | "top_k_threshold" =>
             // both sides already satisfy any threshold — only the k-bound

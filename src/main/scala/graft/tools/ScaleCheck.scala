@@ -234,6 +234,8 @@ object ScaleCheck {
       "+mcd(D, count_distinct<S>, count<S>) <- mbase(I, D, S)", "?mcd(D, C, N)")
     probeMaintenance("minmax_retract_requery",
       "+mmm(D, min<S>, max<S>, count<S>) <- mbase(I, D, S)", "?mmm(D, L, H, C)")
+    probeMaintenance("topk_retract_requery",
+      "+mtk(D, top_k<3, I, S:desc>) <- mbase(I, D, S)", "?mtk(D, I, S)")
 
     // ---- negation-driven maintenance (q189's shape at scale) ----
     // The view negates a DERIVED relation; each round's mixed batch

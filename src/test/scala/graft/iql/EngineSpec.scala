@@ -746,6 +746,113 @@ class EngineSpec extends SparkSpec {
       "f64 min/max deletes should decrement via the top-2 carry")
   }
 
+  test("top_k deletes maintain through the carried prefix buffer") {
+    val e = new Engine(new Catalog(spark))
+    e.run(
+      """+temp[("eng","a",10),("eng","b",30),("eng","c",20),("eng","d",25),("ops","x",5),("ops","y",7)]
+        |+best(D, top_k<2, N, S:desc>) <- temp(D, N, S)
+        |""".stripMargin)
+    assert(rows(e.run("?best(D, N, S)").last) == Set(
+      Seq("eng", "b", 30L), Seq("eng", "d", 25L),
+      Seq("ops", "y", 7L), Seq("ops", "x", 5L)))
+    val (d0, s0) = (e.rankDecrementCount, e.rankBufferSeeds)
+    // round 1: delete the eng best — seeds the buffer; the slack row
+    // (20) fills the k=2 window without a group recompute
+    e.run("""-temp[("eng","b",30)]""")
+    assert(rows(e.run("?best(D, N, S)").last) == Set(
+      Seq("eng", "d", 25L), Seq("eng", "c", 20L),
+      Seq("ops", "y", 7L), Seq("ops", "x", 5L)))
+    assert(e.rankDecrementCount == d0 + 1 && e.rankBufferSeeds == s0 + 1,
+      "top_k delete should seed the prefix buffer once and decrement")
+    // round 2 rides the carried buffer (no reseed)
+    e.run("""-temp[("eng","d",25)]""")
+    assert(rows(e.run("?best(D, N, S)").last) == Set(
+      Seq("eng", "c", 20L), Seq("eng", "a", 10L),
+      Seq("ops", "y", 7L), Seq("ops", "x", 5L)))
+    assert(e.rankDecrementCount == d0 + 2 && e.rankBufferSeeds == s0 + 1,
+      "second top_k delete round must ride the carried buffer")
+    // round 3: an insert within the prefix merges into the live buffer
+    e.run("""+temp[("eng","e",40)]""")
+    assert(rows(e.run("?best(D, N, S)").last) == Set(
+      Seq("eng", "e", 40L), Seq("eng", "c", 20L),
+      Seq("ops", "y", 7L), Seq("ops", "x", 5L)))
+    // round 4: delete the inserted best — the buffer stayed current
+    // through the insert, so this round still rides it
+    e.run("""-temp[("eng","e",40)]""")
+    assert(rows(e.run("?best(D, N, S)").last) == Set(
+      Seq("eng", "c", 20L), Seq("eng", "a", 10L),
+      Seq("ops", "y", 7L), Seq("ops", "x", 5L)))
+    assert(e.rankBufferSeeds == s0 + 1, "all rounds rode one seeded buffer")
+    // round 5: whole-group death plus a fresh group in one mixed batch
+    e.run("-temp(D, N, S) <- temp(D, N, S), D = \"ops\"\n+temp[(\"qa\",\"q\",1)]")
+    assert(rows(e.run("?best(D, N, S)").last) == Set(
+      Seq("eng", "c", 20L), Seq("eng", "a", 10L), Seq("qa", "q", 1L)))
+    assert(e.rankBufferSeeds == s0 + 1)
+  }
+
+  test("top_k delete past the carried slack refills from a key-filtered pass") {
+    val e = new Engine(new Catalog(spark))
+    // 25 distinct rows in one group; k=1 carries 1+16=17 distinct rows
+    val facts = (1 to 25).map(i => s"""("g", "n$i", $i)""").mkString(",")
+    e.run(s"+kemp[$facts]\n+kb(D, top_k<1, N, S:desc>) <- kemp(D, N, S)")
+    assert(rows(e.run("?kb(D, N, S)").last) == Set(Seq("g", "n25", 25L)))
+    val s0 = e.rankBufferSeeds
+    // round 1 seeds (buffer = 25..9, tot = 25)
+    e.run("""-kemp[("g", "n25", 25)]""")
+    assert(rows(e.run("?kb(D, N, S)").last) == Set(Seq("g", "n24", 24L)))
+    // round 2: delete everything above 3 — the buffer empties while
+    // rows remain beyond it, forcing the refill pass; still no reseed
+    e.run("-kemp(D, N, S) <- kemp(D, N, S), S > 3")
+    assert(rows(e.run("?kb(D, N, S)").last) == Set(Seq("g", "n3", 3L)))
+    assert(e.rankBufferSeeds == s0 + 1,
+      "refill must ride the carried buffer, not reseed")
+    // round 3: the refilled buffer is exhaustive — rides again
+    e.run("""-kemp[("g", "n3", 3)]""")
+    assert(rows(e.run("?kb(D, N, S)").last) == Set(Seq("g", "n2", 2L)))
+    assert(e.rankBufferSeeds == s0 + 1)
+  }
+
+  test("ungrouped top_k deletes ride the buffer; duplicates keep multiplicities") {
+    val e = new Engine(new Catalog(spark))
+    // two bindings project to the SAME head row ("b", 30): the view is
+    // a bag, and a delete removes exactly one copy's binding
+    e.run(
+      """+uemp[(1, "a", 10), (2, "b", 30), (3, "b", 30), (4, "c", 20)]
+        |+ub(top_k<2, N, S:desc>) <- uemp(I, N, S)
+        |""".stripMargin)
+    val r0 = e.run("?ub(N, S)").last.collect().map(_.toSeq).toSeq
+    assert(r0.sortBy(_.toString) == Seq(Seq("b", 30L), Seq("b", 30L)).sortBy(_.toString))
+    val s0 = e.rankBufferSeeds
+    e.run("""-uemp[(2, "b", 30)]""") // one copy goes; the other stays
+    val r1 = e.run("?ub(N, S)").last.collect().map(_.toSeq).toSeq
+    assert(r1.sortBy(_.toString) == Seq(Seq("b", 30L), Seq("c", 20L)).sortBy(_.toString))
+    e.run("""-uemp[(3, "b", 30)]""") // the last copy; rides the buffer
+    val r2 = e.run("?ub(N, S)").last.collect().map(_.toSeq).toSeq
+    assert(r2.sortBy(_.toString) == Seq(Seq("c", 20L), Seq("a", 10L)).sortBy(_.toString))
+    assert(e.rankBufferSeeds == s0 + 1)
+  }
+
+  test("within_radius deletes subtract the vanished bindings bag-exactly") {
+    val e = new Engine(new Catalog(spark))
+    e.run(
+      """+pt2[("a", 1.0), ("b", 3.0), ("c", 0.5), ("d", 1.2)]
+        |+close2(within_radius<1.5, N, D>) <- pt2(N, D)
+        |""".stripMargin)
+    assert(rows(e.run("?close2(N, D)").last) ==
+      Set(Seq("a", 1.0), Seq("c", 0.5), Seq("d", 1.2)))
+    val d0 = e.rankDecrementCount
+    e.run("""-pt2[("c", 0.5)]""")
+    assert(rows(e.run("?close2(N, D)").last) ==
+      Set(Seq("a", 1.0), Seq("d", 1.2)))
+    assert(e.rankDecrementCount == d0 + 1,
+      "within_radius delete should subtract, not recompute")
+    // mixed batch: a delete and an insert inside the radius in one round
+    e.run("-pt2(N, D) <- pt2(N, D), D > 1.1\n+pt2[(\"e\", 0.9)]")
+    assert(rows(e.run("?close2(N, D)").last) ==
+      Set(Seq("a", 1.0), Seq("e", 0.9)))
+    assert(e.rankDecrementCount == d0 + 2)
+  }
+
   test("displaced view materializations retire through the graveyard instead of leaking") {
     val e = new Engine(new Catalog(spark))
     // min over a STRING column: outside the top-2 carry's Long/Double

@@ -512,6 +512,64 @@ class MaintenanceFuzzSpec extends SparkSpec {
     }
   }
 
+  test("top_k decrement equals fresh recomputation on random mutation streams") {
+    val rng = new Random(20260830L)
+    (1 to 8).foreach { c =>
+      val groups = Seq("a", "b")
+      val names = Seq("p", "q", "r")
+      // narrow value domain → shared head rows (multiplicities) and
+      // exhaustive buffers; wide domain → non-exhaustive buffers whose
+      // deletes exercise the boundary compare and the refill pass
+      val xDom = if (c % 2 == 0) 6 else 40
+      var nextId = 0
+      val live = scala.collection.mutable.ArrayBuffer.empty[String]
+      def mkTuple(): String = {
+        nextId += 1
+        s"""($nextId, "${groups(rng.nextInt(groups.size))}", "${names(
+          rng.nextInt(names.size))}", ${rng.nextInt(xDom)})"""
+      }
+      def insBatch(n: Int): String = (0 until n).map { _ =>
+        val t = mkTuple(); live += t; t
+      }.mkString(",")
+      val rule = "+v(G, top_k<2, N, X:desc>) <- t(I, G, N, X)\n"
+      // the view is a BAG (distinct ids can bind the same head row) —
+      // compare multisets, not sets
+      def bag(e: Engine): Map[Seq[Any], Int] =
+        e.run("?v(G, N, X)").last.collect().toSeq.map(_.toSeq)
+          .groupBy(identity).view.mapValues(_.size).toMap
+      val e1 = new Engine(new Catalog(spark))
+      e1.run(s"+t[${insBatch(10 + rng.nextInt(8))}]\n$rule")
+      e1.run("?v(G, N, X)")
+      val decStart = e1.rankDecrementCount
+      (0 until 3 + rng.nextInt(3)).foreach { round =>
+        val nDel = math.min(live.size, rng.nextInt(5))
+        val dels = scala.collection.mutable.ArrayBuffer.empty[String]
+        (0 until nDel).foreach { _ =>
+          val i = rng.nextInt(live.size)
+          dels += live.remove(i)
+        }
+        if (rng.nextBoolean()) dels += s"""(9999, "a", "p", 0)""" // phantom
+        val stmts = Seq.newBuilder[String]
+        if (dels.nonEmpty) stmts += s"-t[${dels.mkString(",")}]"
+        if (rng.nextBoolean()) stmts += s"+t[${insBatch(1 + rng.nextInt(3))}]"
+        val prog = stmts.result().mkString("\n")
+        if (prog.nonEmpty) e1.run(prog)
+        val maintained = bag(e1)
+        val expected =
+          if (live.isEmpty) Map.empty[Seq[Any], Int]
+          else {
+            val e2 = new Engine(new Catalog(spark))
+            e2.run(s"+t[${live.mkString(",")}]\n$rule")
+            bag(e2)
+          }
+        assert(maintained == expected,
+          s"case $c round $round diverged; live=$live")
+      }
+      assert(e1.rankDecrementCount > decStart,
+        s"case $c never took the top_k buffered path")
+    }
+  }
+
   test("count_distinct decrement equals fresh recomputation on random mutation streams") {
     val rng = new Random(20260818L)
     (1 to 6).foreach { c =>
