@@ -1799,6 +1799,28 @@ object SparkEntry {
       e.run("?rbest(D, I, S)").last
     }),
 
+    // --- IQL: AGGREGATE view with a NEGATED dependency — blocklist
+    //     moves maintain by DIRTY-GROUP recompute keyed off the flipped
+    //     negated occurrence (blocking a dept kills its group, an
+    //     unblock revives it), never a full recompute (EngineSpec pins
+    //     the counter) ------------------------------------------------
+    "q193_iql_agg_neg_retract" -> ((s, dir) => {
+      val e = iqlEngine(s, dir)
+      e.catalog.register("bemp2", T(s, dir, "orders").select(
+        col("o_orderkey").as("id"),
+        pmod(col("o_custkey"), lit(50L)).as("dept"),
+        floor(col("o_totalprice")).cast("long").as("sal")))
+      e.run(
+        """+bblk[(7)]
+          |+bv(D, sum<S>, count<S>) <- bemp2(I, D, S), !bblk(D)
+          |?bv(D, S, C)
+          |""".stripMargin)
+      e.run("+bblk[(11)]") // round 1: block dept 11 — its group dies
+      e.run("?bv(D, S, C)")
+      e.run("-bblk[(7)]") // round 2: unblock dept 7 — it revives
+      e.run("?bv(D, S, C)").last
+    }),
+
     // --- IQL: WITHIN_RADIUS retraction — filter semantics: deletes
     //     subtract the vanished bindings bag-exactly (exceptAll), no
     //     window and no recompute --------------------------------------
@@ -3961,6 +3983,13 @@ object SparkEntry {
         |  WHERE dept <> 7 AND NOT (dept = 11 AND sal > 97000)
         |    AND NOT (dept = 13 AND sal > 60000)) t
         |WHERE rn <= 3""".stripMargin,
+
+    // sum/count per dept after the blocklist moved {7} → {7,11} → {11}
+    "q193_iql_agg_neg_retract" ->
+      """SELECT o_custkey % 50 AS D,
+        |  CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS S,
+        |  COUNT(*) AS C
+        |FROM orders WHERE o_custkey % 50 <> 11 GROUP BY 1""".stripMargin,
 
     // radius filter after two delete rounds: dept 7 died, then the
     // even-id sub-100 rows went (all inside the radius)

@@ -361,6 +361,10 @@ final class Engine(val catalog: Catalog) {
     * buffer — tests pin later rounds riding the carried buffer. */
   private[graft] var rankDecrementCount: Long = 0L
   private[graft] var rankBufferSeeds: Long = 0L
+  /** Observability: rounds served by per-dirty-group recomputation —
+    * tests pin that negation-driven agg/rank changes take it instead of
+    * a full recompute. */
+  private[graft] var dirtyGroupMaintains: Long = 0L
 
   /** Execute a whole program; returns the result of each `?` query in
     * order. Rules defined in the program (session or persistent) are
@@ -2090,7 +2094,21 @@ final class Engine(val catalog: Catalog) {
             (if (byHead.contains(n))
                !scc(n) && cacheLatest(n).exists(_._1 == v0)
              else changedRels(n)))
-        if (!handleable) return None
+        // agg/rank heads: negation-driven binding changes maintain via
+        // DIRTY-GROUP recompute instead — the dirty keys come from the
+        // negated occurrence flipped positive and bound to the change
+        // (round 12). Scope: single non-recursive rule, each changed
+        // negated rel never appearing positively and either a
+        // directly-changed BASE relation or a DERIVED one with a v0
+        // snapshot (its delta injects through the same diff machinery
+        // the plain-head path uses below).
+        val groupedHandleable = (rankHead || aggHead) &&
+          sccRules.size == 1 && scc.size == 1 && !bodyRels.contains(name) &&
+          negChanged.forall(n => !bodyRels.contains(n) &&
+            (if (byHead.contains(n))
+               !scc(n) && cacheLatest(n).exists(_._1 == v0)
+             else changedRels(n)))
+        if (!handleable && !groupedHandleable) return None
       }
       if (bodyRels.exists(b => !scc(b) && !changedRels(b) && byHead.contains(b) &&
         (depsOf(b) & changedRels).nonEmpty)) return None
@@ -2269,26 +2287,44 @@ final class Engine(val catalog: Catalog) {
         * keys (non-aggregate / non-rank head terms). */
       def dirtyGroupMaintain(r: Rule, keyIdx: Seq[Int]): Option[DataFrame] = {
         if (keyIdx.isEmpty) return None // global head: every row is "dirty"
+        // occurrences the change reaches: positives bound directly, and
+        // (round 12) NEGATED occurrences of changed base rels — flipped
+        // positive and bound to the change, a binding killed by an
+        // insert into (or created by a removal from) the negated rel
+        // surfaces its group key exactly like a positive-side change
         val occs = r.body.zipWithIndex.collect {
           case (Pos(a), i) if deltaOf.contains(a.rel) || removedOf.contains(a.rel) =>
-            (a.rel, i)
+            (a, i, false)
+          case (Neg(a), i) if deltaOf.contains(a.rel) || removedOf.contains(a.rel) =>
+            (a, i, true)
         }
         if (occs.isEmpty) return Some(cached) // body never sees the change
-        // old ∪ new sibling frames: a vanished binding through TWO
-        // removed tuples still surfaces its key when either occurrence
-        // is bound to its removal and the sibling covers the old state
+        val negChangedHere: Set[String] =
+          occs.collect { case (a, _, true) => a.rel }.toSet
+        // sibling-state frames. Positive siblings: old ∪ new (a vanished
+        // binding through TWO removed tuples still surfaces its key when
+        // either occurrence is bound to its removal and the sibling
+        // covers the old state). CHANGED NEGATED siblings anti-join, so
+        // they must resolve to old ∩ new = current ∖ delta (a union
+        // there would SHRINK the key superset — a binding killed by two
+        // simultaneous negated-side inserts has to surface through each
+        // flip while the other negation still passes it).
         val oldNew: RuleCompiler.Resolver = (nm, ar) => {
           val cur = resolve(nm, ar)
-          removedOf.get(nm) match {
+          if (negChangedHere(nm)) deltaOf.get(nm) match {
+            case Some(d) => Fixpoint.antiNullSafe(cur, d.toDF(cur.columns.toSeq: _*))
+            case None => cur
+          } else removedOf.get(nm) match {
             case Some(rm) => cur.union(rm.toDF(cur.columns.toSeq: _*)).distinct()
             case None => cur
           }
         }
         val keyCols = keyIdx.map(i => col(cols(i)))
-        val keyFrames = occs.flatMap { case (rel, i) =>
-          (deltaOf.get(rel).toSeq ++ removedOf.get(rel).toSeq).map { changeDf =>
-            val resolver = RuleCompiler.bindOccurrence(r, i, changeDf, oldNew)
-            deriveRule(r, resolver).toDF(cols: _*).select(keyCols: _*)
+        val keyFrames = occs.flatMap { case (a, i, neg) =>
+          val rBound = if (neg) r.copy(body = r.body.updated(i, Pos(a))) else r
+          (deltaOf.get(a.rel).toSeq ++ removedOf.get(a.rel).toSeq).map { changeDf =>
+            val resolver = RuleCompiler.bindOccurrence(rBound, i, changeDf, oldNew)
+            deriveRule(rBound, resolver).toDF(cols: _*).select(keyCols: _*)
           }
         }
         val dirty = Fixpoint.collectUpTo(
@@ -2310,6 +2346,7 @@ final class Engine(val catalog: Catalog) {
         }.reduce(_ || _)
         val clean = cached.toDF(cols: _*).where(!dirtyPred)
         val dirtyNew = deriveRule(r).toDF(cols: _*).where(dirtyPred)
+        dirtyGroupMaintains += 1
         // materialize: the clean side filters the PREVIOUS cached frame —
         // left lazy, repeated maintenance rounds would nest filters
         // without bound
@@ -2336,7 +2373,7 @@ final class Engine(val catalog: Catalog) {
         val changedOccs = r.body.zipWithIndex.collect {
           case (Pos(a), i) if changedRels(a.rel) => i
         }
-        if (changedOccs.isEmpty) return Some(cached)
+        if (changedOccs.isEmpty && negChanged.isEmpty) return Some(cached)
         // output positions: head args expand Rank to outs ++ order
         var idx = 0
         var orderIdx = -1
@@ -2350,6 +2387,10 @@ final class Engine(val catalog: Catalog) {
         }
         val groupIdx = groupIdxB.result()
         val outIdx = outIdxB.result()
+        // negation-driven binding changes: the carried buffer can't see
+        // them (it binds the positive occurrence) — dirty-group keys
+        // from the flipped negated occurrence instead
+        if (negChanged.nonEmpty) return dirtyGroupMaintain(r, groupIdx)
         val changedRel = r.body(changedOccs.head) match {
           case Pos(a) => a.rel; case _ => ""
         }
@@ -2695,6 +2736,11 @@ final class Engine(val catalog: Catalog) {
         val cdSpecs = r.head.args.zipWithIndex.collect {
           case (Agg("count_distinct", arg), i) => (arg, i)
         }
+        // negation-driven binding changes: the merge/subtractable paths
+        // bind the positive occurrence and can't see them — dirty-group
+        // keys from the flipped negated occurrence instead (the carried
+        // support/pairs tables strand at v0 and reseed when next used)
+        if (negChanged.nonEmpty) return dirtyGroupMaintain(r, keyIdxAll)
 
         // SUBTRACTABLE-AGGREGATE rounds: sum/count are group-wise
         // subtractable, so deletes maintain by per-group DECREMENT

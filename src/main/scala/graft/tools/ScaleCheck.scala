@@ -280,6 +280,44 @@ object ScaleCheck {
         s"""{"name":"neg_retract_requery","error":"${ex.getClass.getSimpleName}"}""")
     }
 
+    // ---- negated dependency under an AGGREGATE head (q193's shape at
+    // scale): blocklist moves maintain by dirty-group recompute keyed
+    // off the flipped negated occurrence — per round two dirty groups
+    // (the newly blocked and the newly unblocked dept), their recompute
+    // a key-pruned scan, every other group's cached row kept verbatim.
+    def aggNegProbe(n: Long): (Double, Long) = {
+      val e = new graft.iql.Engine(new graft.iql.Catalog(spark))
+      e.catalog.register("mbase", spark.range(n).select(
+        col("id"), pmod(col("id"), lit(100L)).as("dept"),
+        pmod(col("id") * 48271L, lit(500L)).as("sal")).localCheckpoint(true))
+      e.run("+mblk[(999)]\n+mav(D, sum<S>, count<S>) <- mbase(I, D, S), !mblk(D)")
+      e.run("?mav(D, S, C)").last.count() // materialize (untimed)
+      var i = 0
+      def round(): (Double, Long) = {
+        val stmt = s"+mblk[(${i % 100})]" +
+          (if (i == 0) "" else s"\n-mblk[(${(i - 1) % 100})]")
+        val t0 = System.nanoTime()
+        e.run(stmt)
+        val rows = e.run("?mav(D, S, C)").last.count()
+        i += 1
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+      round() // warm
+      val samples = Seq(round(), round())
+      (samples.map(_._1).min, samples.last._2)
+    }
+    try {
+      aggNegProbe(60000L) // warm (codegen, first-plan costs)
+      val (t1, n1) = aggNegProbe(60000L)
+      val (t10, n10) = aggNegProbe(600000L)
+      val entry = Entry("aggneg_retract_requery", "scan", t1, t10, n1, n10)
+      println(entry.json)
+      entries += entry
+    } catch {
+      case ex: Throwable => println(
+        s"""{"name":"aggneg_retract_requery","error":"${ex.getClass.getSimpleName}"}""")
+    }
+
     // ---- round-count flatness (the literal-churn overlay) ----
     // The OTHER scale axis: round COUNT, not data size. Before the
     // overlay, every literal batch stacked one operator onto the live

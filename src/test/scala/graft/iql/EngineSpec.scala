@@ -832,6 +832,77 @@ class EngineSpec extends SparkSpec {
     assert(e.rankBufferSeeds == s0 + 1)
   }
 
+  test("agg views maintain dirty-group through negated base-rel changes") {
+    val e = new Engine(new Catalog(spark))
+    e.run(
+      """+gemp[(1, "eng", 10), (2, "eng", 20), (3, "ops", 5), (4, "qa", 7)]
+        |+gblk[("qa")]
+        |+gv(D, sum<S>, count<S>) <- gemp(I, D, S), !gblk(D)
+        |""".stripMargin)
+    assert(rows(e.run("?gv(D, S, C)").last) ==
+      Set(Seq("eng", 30L, 2L), Seq("ops", 5L, 1L)))
+    val d0 = e.dirtyGroupMaintains
+    // an insert into the negated rel KILLS that dept's bindings — the
+    // dirty keys come from the flipped negated occurrence
+    e.run("""+gblk[("ops")]""")
+    assert(rows(e.run("?gv(D, S, C)").last) == Set(Seq("eng", 30L, 2L)))
+    assert(e.dirtyGroupMaintains == d0 + 1,
+      "negated-side insert should maintain dirty-group, not recompute")
+    // a removal from the negated rel REVIVES the dept
+    e.run("""-gblk[("qa")]""")
+    assert(rows(e.run("?gv(D, S, C)").last) ==
+      Set(Seq("eng", 30L, 2L), Seq("qa", 7L, 1L)))
+    assert(e.dirtyGroupMaintains == d0 + 2)
+    // mixed round: a negated-side move AND a positive-side insert
+    e.run("-gblk[(\"ops\")]\n+gblk[(\"eng\")]\n+gemp[(5, \"qa\", 3)]")
+    assert(rows(e.run("?gv(D, S, C)").last) ==
+      Set(Seq("ops", 5L, 1L), Seq("qa", 10L, 2L)))
+    assert(e.dirtyGroupMaintains == d0 + 3)
+  }
+
+  test("agg views maintain dirty-group through DERIVED negated dependencies") {
+    val e = new Engine(new Catalog(spark))
+    e.run(
+      """+memp2[(1, "eng", 2), (2, "eng", 20), (3, "ops", 9), (4, "qa", 1), (5, "qa", 8)]
+        |+low2(D) <- memp2(I, D, S), S < 5
+        |+mv2(D, sum<S>, count<S>) <- memp2(I, D, S), !low2(D)
+        |""".stripMargin)
+    assert(rows(e.run("?mv2(D, S, C)").last) == Set(Seq("ops", 9L, 1L)))
+    val d0 = e.dirtyGroupMaintains
+    // deleting eng's low row shrinks the DERIVED low2 — its diff
+    // injects as a removal and the flip routing revives eng
+    e.run("""-memp2[(1, "eng", 2)]""")
+    assert(rows(e.run("?mv2(D, S, C)").last) ==
+      Set(Seq("ops", 9L, 1L), Seq("eng", 20L, 1L)))
+    assert(e.dirtyGroupMaintains == d0 + 1,
+      "derived-negated shrink should maintain dirty-group, not recompute")
+    // inserting a low row for ops grows low2 — the diff injects as an
+    // insert (a kill) and ops dies, while eng's cached row is kept
+    e.run("""+memp2[(6, "ops", 1)]""")
+    assert(rows(e.run("?mv2(D, S, C)").last) == Set(Seq("eng", 20L, 1L)))
+    assert(e.dirtyGroupMaintains == d0 + 2)
+  }
+
+  test("rank views maintain dirty-group through negated base-rel changes") {
+    val e = new Engine(new Catalog(spark))
+    e.run(
+      """+hemp[("eng","a",10),("eng","b",30),("ops","x",5),("ops","y",7),("qa","q",9)]
+        |+hblk[("qa")]
+        |+hb(D, top_k<1, N, S:desc>) <- hemp(D, N, S), !hblk(D)
+        |""".stripMargin)
+    assert(rows(e.run("?hb(D, N, S)").last) ==
+      Set(Seq("eng", "b", 30L), Seq("ops", "y", 7L)))
+    val d0 = e.dirtyGroupMaintains
+    e.run("""+hblk[("eng")]""") // kills eng
+    assert(rows(e.run("?hb(D, N, S)").last) == Set(Seq("ops", "y", 7L)))
+    assert(e.dirtyGroupMaintains == d0 + 1,
+      "negated-side insert on a rank view should maintain dirty-group")
+    e.run("""-hblk[("qa")]""") // revives qa
+    assert(rows(e.run("?hb(D, N, S)").last) ==
+      Set(Seq("ops", "y", 7L), Seq("qa", "q", 9L)))
+    assert(e.dirtyGroupMaintains == d0 + 2)
+  }
+
   test("within_radius deletes subtract the vanished bindings bag-exactly") {
     val e = new Engine(new Catalog(spark))
     e.run(

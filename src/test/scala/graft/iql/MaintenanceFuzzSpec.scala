@@ -570,6 +570,63 @@ class MaintenanceFuzzSpec extends SparkSpec {
     }
   }
 
+  test("agg/rank views with negated deps equal fresh recomputation on random streams") {
+    val rng = new Random(20260831L)
+    (1 to 8).foreach { c =>
+      val groups = Seq("a", "b", "c", "d")
+      var nextId = 0
+      val live = scala.collection.mutable.ArrayBuffer.empty[String]
+      val blocked = scala.collection.mutable.LinkedHashSet.empty[String]
+      def mkTuple(): String = {
+        nextId += 1
+        s"""($nextId, "${groups(rng.nextInt(groups.size))}", ${rng.nextInt(20)})"""
+      }
+      def insBatch(n: Int): String = (0 until n).map { _ =>
+        val t = mkTuple(); live += t; t
+      }.mkString(",")
+      val rankCase = c % 2 == 1
+      val rule =
+        if (rankCase) "+v(G, top_k<2, I, X:desc>) <- t(I, G, X), !blk(G)\n"
+        else "+v(G, sum<X>, count<X>) <- t(I, G, X), !blk(G)\n"
+      val q = if (rankCase) "?v(G, I, X)" else "?v(G, S, C)"
+      blocked += s""""${groups(rng.nextInt(groups.size))}""""
+      val e1 = new Engine(new Catalog(spark))
+      e1.run(s"+t[${insBatch(8 + rng.nextInt(6))}]\n" +
+        s"+blk[${blocked.map(g => s"($g)").mkString(",")}]\n$rule")
+      e1.run(q)
+      // (the deterministic counter pin lives in EngineSpec — a blocklist
+      // move touching a group with no live rows is a legitimate no-op)
+      (0 until 3 + rng.nextInt(3)).foreach { round =>
+        val stmts = Seq.newBuilder[String]
+        // move the blocklist: sometimes block a new group, sometimes
+        // unblock one, sometimes both in one batch
+        if (rng.nextBoolean()) {
+          val g = s""""${groups(rng.nextInt(groups.size))}""""
+          if (blocked.add(g)) stmts += s"+blk[($g)]"
+        }
+        if (blocked.nonEmpty && rng.nextBoolean()) {
+          val g = blocked.head
+          blocked -= g
+          stmts += s"-blk[($g)]"
+        }
+        // occasionally ride a positive-side change in the same batch
+        if (rng.nextBoolean()) stmts += s"+t[${insBatch(1 + rng.nextInt(2))}]"
+        val prog = stmts.result().mkString("\n")
+        if (prog.nonEmpty) e1.run(prog)
+        def bag(e: Engine): Map[Seq[Any], Int] =
+          e.run(q).last.collect().toSeq.map(_.toSeq)
+            .groupBy(identity).view.mapValues(_.size).toMap
+        val maintained = bag(e1)
+        val e2 = new Engine(new Catalog(spark))
+        e2.run(s"+t[${live.mkString(",")}]\n" +
+          (if (blocked.nonEmpty) s"+blk[${blocked.map(g => s"($g)").mkString(",")}]\n"
+           else "+blk[(\"__none\")]\n-blk[(\"__none\")]\n") + rule)
+        assert(maintained == bag(e2),
+          s"case $c round $round diverged; blocked=$blocked live=$live")
+      }
+    }
+  }
+
   test("count_distinct decrement equals fresh recomputation on random mutation streams") {
     val rng = new Random(20260818L)
     (1 to 6).foreach { c =>
