@@ -812,6 +812,27 @@ class EngineSpec extends SparkSpec {
     assert(e.rankBufferSeeds == s0 + 1)
   }
 
+  test("top_k_threshold deletes ride the buffer and keep the bound") {
+    val e = new Engine(new Catalog(spark))
+    e.run(
+      """+zemp[("eng","a",10),("eng","b",30),("eng","c",20),("eng","d",16)]
+        |+zb(D, top_k_threshold<2, 15, N, S:desc>) <- zemp(D, N, S)
+        |""".stripMargin)
+    assert(rows(e.run("?zb(D, N, S)").last) ==
+      Set(Seq("eng", "b", 30L), Seq("eng", "c", 20L)))
+    val s0 = e.rankBufferSeeds
+    // the buffer (and its totals) count only threshold-passing bindings:
+    // deleting the best admits d=16 from the slack, never a=10
+    e.run("""-zemp[("eng","b",30)]""")
+    assert(rows(e.run("?zb(D, N, S)").last) ==
+      Set(Seq("eng", "c", 20L), Seq("eng", "d", 16L)))
+    assert(e.rankBufferSeeds == s0 + 1)
+    // exhausting the above-threshold rows shrinks the view below k
+    e.run("""-zemp[("eng","c",20)]""")
+    assert(rows(e.run("?zb(D, N, S)").last) == Set(Seq("eng", "d", 16L)))
+    assert(e.rankBufferSeeds == s0 + 1, "rounds rode one seeded buffer")
+  }
+
   test("ungrouped top_k deletes ride the buffer; duplicates keep multiplicities") {
     val e = new Engine(new Catalog(spark))
     // two bindings project to the SAME head row ("b", 30): the view is
