@@ -1821,6 +1821,33 @@ object SparkEntry {
       e.run("?bv(D, S, C)").last
     }),
 
+    // --- IQL: STACKED VIEWS — a view over a derived aggregate stratum
+    //     maintains through BOTH strata: the lower view's own
+    //     maintenance produces its new state, the upper view gets the
+    //     lower's delta by STRATUM DIFF (old v0 materialization vs new)
+    //     and rides the normal insert/delete machinery; previously any
+    //     change reaching a body through a positive derived rel
+    //     invalidated the view outright ---------------------------------
+    "q194_iql_stacked_views" -> ((s, dir) => {
+      val e = iqlEngine(s, dir)
+      e.catalog.register("kemp2", T(s, dir, "orders").select(
+        col("o_orderkey").as("id"),
+        pmod(col("o_custkey"), lit(50L)).as("dept"),
+        floor(col("o_totalprice")).cast("long").as("sal")))
+      e.run(
+        """+k1(D, sum<S>) <- kemp2(I, D, S)
+          |+k2(D, T) <- k1(D, T), T > 500000000
+          |?k2(D, T)
+          |""".stripMargin)
+      // round 1: two sentinel depts cross the cut — k1 merges, k2 sees
+      // the diff as inserts
+      e.run("+kemp2[(900000001, 999, 600000000), (900000002, 998, 700000000)]")
+      e.run("?k2(D, T)")
+      // round 2: one sentinel dies — k1 decrements, k2 sees a removal
+      e.run("-kemp2[(900000001, 999, 600000000)]")
+      e.run("?k2(D, T)").last
+    }),
+
     // --- IQL: WITHIN_RADIUS retraction — filter semantics: deletes
     //     subtract the vanished bindings bag-exactly (exceptAll), no
     //     window and no recompute --------------------------------------
@@ -3983,6 +4010,16 @@ object SparkEntry {
         |  WHERE dept <> 7 AND NOT (dept = 11 AND sal > 97000)
         |    AND NOT (dept = 13 AND sal > 60000)) t
         |WHERE rn <= 3""".stripMargin,
+
+    // the stacked view after both rounds: only the surviving sentinel
+    // dept's sum clears the cut (real depts sum well below it at any sf)
+    "q194_iql_stacked_views" ->
+      """WITH kemp2 AS (
+        |SELECT o_orderkey AS id, o_custkey % 50 AS dept,
+        |       CAST(FLOOR(o_totalprice) AS BIGINT) AS sal FROM orders
+        |UNION ALL SELECT 900000002, 998, 700000000)
+        |SELECT dept AS D, CAST(SUM(sal) AS BIGINT) AS T FROM kemp2
+        |GROUP BY dept HAVING SUM(sal) > 500000000""".stripMargin,
 
     // sum/count per dept after the blocklist moved {7} → {7,11} → {11}
     "q193_iql_agg_neg_retract" ->

@@ -2030,9 +2030,13 @@ final class Engine(val catalog: Catalog) {
       // deletes on unknown tuples, replaces, schema coercions) invalidate
       if (changes.exists(c => c.rel == "*" || (c.delta == null && c.removed == null)))
         return None
-      val hasRemovals = changes.exists(_.removed != null)
-      val changedRels = changes.map(_.rel).toSet
-      if (changedRels.exists(byHead.contains)) return None // derived rel changed
+      // catalog-log view of the round; the downstream-visible
+      // changedRels/hasRemovals (defined after the stratum-diff
+      // injection below) may additionally carry positive DERIVED
+      // dependencies whose own delta was obtained by diffing
+      val hasRemovals0 = changes.exists(_.removed != null)
+      val changedRels0 = changes.map(_.rel).toSet
+      if (changedRels0.exists(byHead.contains)) return None // derived rel changed
 
       // dependency closure of a relation through the rule graph
       def depsOf(rel: String, seen: mutable.HashSet[String] = mutable.HashSet.empty): Set[String] = {
@@ -2048,7 +2052,7 @@ final class Engine(val catalog: Catalog) {
       // derivations appeared or vanished in ways the delta algebra
       // can't see — recompute; heads outside the closure are invisible
       if (ruleChanges.exists(rc => deps(rc.rel.stripPrefix("rule:")))) return None
-      if ((deps & changedRels).isEmpty) return Some(cached) // untouched: still valid
+      if ((deps & changedRels0).isEmpty) return Some(cached) // untouched: still valid
       val scc = Stratifier.sccOf(rules).getOrElse(name, Set(name))
       // mutual recursion is maintained SCC-jointly, so every member's
       // cache must exist at the SAME version — mixed-version snapshots
@@ -2083,7 +2087,7 @@ final class Engine(val catalog: Catalog) {
       // changed on both sides of the sign, a derived negated dep with no
       // usable old snapshot) → recompute, as before.
       val negChanged = negRels.toSet
-        .filter(n => ((depsOf(n) + n) & changedRels).nonEmpty)
+        .filter(n => ((depsOf(n) + n) & changedRels0).nonEmpty)
       val negDerived = negChanged.filter(byHead.contains)
       if (negChanged.nonEmpty) {
         val handleable = !rankHead && !aggHead &&
@@ -2093,7 +2097,7 @@ final class Engine(val catalog: Catalog) {
           negChanged.forall(n => !bodyRels.contains(n) &&
             (if (byHead.contains(n))
                !scc(n) && cacheLatest(n).exists(_._1 == v0)
-             else changedRels(n)))
+             else changedRels0(n)))
         // agg/rank heads: negation-driven binding changes maintain via
         // DIRTY-GROUP recompute instead — the dirty keys come from the
         // negated occurrence flipped positive and bound to the change
@@ -2107,11 +2111,23 @@ final class Engine(val catalog: Catalog) {
           negChanged.forall(n => !bodyRels.contains(n) &&
             (if (byHead.contains(n))
                !scc(n) && cacheLatest(n).exists(_._1 == v0)
-             else changedRels(n)))
+             else changedRels0(n)))
         if (!handleable && !groupedHandleable) return None
       }
-      if (bodyRels.exists(b => !scc(b) && !changedRels(b) && byHead.contains(b) &&
-        (depsOf(b) & changedRels).nonEmpty)) return None
+      // POSITIVE derived dependencies (round 12): a change reaching the
+      // body through a positive derived rel used to invalidate the view;
+      // it now maintains by the SAME stratum-diff injection as negated
+      // derived deps — the rel's old (v0) materialization diffs against
+      // its new state (itself maintained recursively by resolve), and
+      // the diff rides every downstream path as if the rel were a
+      // changed base relation (the reference's stacked DD arrangements,
+      // `src/incremental.rs:77-80`, re-expressed as stratum diffs). A
+      // missing or stale v0 snapshot → recompute, as before.
+      val posDerived: Set[String] = bodyRels.iterator.filter(b =>
+        !scc(b) && !changedRels0(b) && byHead.contains(b) &&
+        (depsOf(b) & changedRels0).nonEmpty).toSet
+      if (posDerived.exists(b => !cacheLatest(b).exists(_._1 == v0)))
+        return None
       if (sccRules.exists(_.body.exists { case Pos(a) =>
         a.rel == "hnsw_nearest"; case _ => false })) return None
 
@@ -2189,9 +2205,10 @@ final class Engine(val catalog: Catalog) {
       // routing below treats the derived rel like a changed base rel.
       // Bounded: diffs collect up to a cap (a bigger diff means the
       // delete cone is view-sized and recompute is the better plan).
+      val derivedDiff = negDerived ++ posDerived
       val (deltaOf, removedOf, removedExactOf): (Map[String, DataFrame],
           Map[String, DataFrame], Map[String, DataFrame]) =
-        if (negDerived.isEmpty) (deltaOf0, removedOf0, removedExactOf0)
+        if (derivedDiff.isEmpty) (deltaOf0, removedOf0, removedExactOf0)
         else {
           val ins = mutable.HashMap.empty[String, DataFrame]
           val rem = mutable.HashMap.empty[String, DataFrame]
@@ -2201,8 +2218,8 @@ final class Engine(val catalog: Catalog) {
           // diff new-vs-new and inject an empty (wrong) delta. Displaced
           // frames stay readable through the Graveyard grace window.
           val oldOf: Map[String, DataFrame] =
-            negDerived.iterator.map(n => n -> cacheLatest(n).get._2).toMap
-          negDerived.foreach { n =>
+            derivedDiff.iterator.map(n => n -> cacheLatest(n).get._2).toMap
+          derivedDiff.foreach { n =>
             val oldN = oldOf(n)
             val newN = resolve(n, oldN.columns.length)
             def litFrame(rows: Array[org.apache.spark.sql.Row]): DataFrame =
@@ -2228,6 +2245,17 @@ final class Engine(val catalog: Catalog) {
           }
           (deltaOf0 ++ ins, removedOf0 ++ rem, removedExactOf0 ++ rem)
         }
+      // downstream, an injected POSITIVE derived dep behaves exactly
+      // like a changed base relation: its diff frames are exact (no
+      // phantoms), so delta binding, decrement paths, and DRed old-state
+      // reconstruction (cur ∖ delta ∪ removed) all hold. Rels whose
+      // diff came up empty were not actually changed by this round.
+      // Negated derived deps stay OUT of changedRels by design — the
+      // flip routing below addresses them through negKills/negCreates.
+      val posInjected = posDerived.filter(b =>
+        deltaOf.contains(b) || removedOf.contains(b))
+      val changedRels = changedRels0 ++ posInjected
+      val hasRemovals = hasRemovals0 || posInjected.exists(removedOf.contains)
       val isRecursive = scc.size > 1 || sccRules.exists(_.body.exists {
         case Pos(a) => a.rel == name
         case _ => false
@@ -2414,7 +2442,9 @@ final class Engine(val catalog: Catalog) {
         if (changedOccs.size == 1 && rank.func != "within_radius" &&
             (relRemoved.nonEmpty || bufferLive)) {
           // same 2-competitive seed-deferral signal as the agg path
-          val tinyLiteral = hasRemovals && changes.forall(c =>
+          // catalog-log removals only: an INJECTED derived-rel removal
+          // binds a body over a cached view frame, where seeding is cheap
+          val tinyLiteral = hasRemovals0 && changes.forall(c =>
             c.removed == null ||
               (c.removedLiteralRows >= 0 && c.removedLiteralRows <= 64)) &&
             changes.iterator.filter(_.removed != null).map(_.rel).toSet
@@ -2753,7 +2783,9 @@ final class Engine(val catalog: Catalog) {
           // amortize a first-round seed (see the gate in
           // maintainAggSubtractable); literal-built small bases and any
           // round with a carried table are unaffected
-          val tinyLiteral = hasRemovals && changes.forall(c =>
+          // catalog-log removals only: an INJECTED derived-rel removal
+          // binds a body over a cached view frame, where seeding is cheap
+          val tinyLiteral = hasRemovals0 && changes.forall(c =>
             c.removed == null ||
               (c.removedLiteralRows >= 0 && c.removedLiteralRows <= 64)) &&
             changes.iterator.filter(_.removed != null).map(_.rel).toSet

@@ -881,6 +881,51 @@ class EngineSpec extends SparkSpec {
     assert(e.dirtyGroupMaintains == d0 + 3)
   }
 
+  test("views stacked on positive derived deps maintain via stratum diffs") {
+    val e = new Engine(new Catalog(spark))
+    e.run(
+      """+semp[(1, "eng", 10), (2, "eng", 20), (3, "ops", 5), (4, "qa", 40)]
+        |+s1(D, sum<S>) <- semp(I, D, S)
+        |+s2(D, T) <- s1(D, T), T > 12
+        |""".stripMargin)
+    assert(rows(e.run("?s2(D, T)").last) == Set(Seq("eng", 30L), Seq("qa", 40L)))
+    val m0 = e.maintainedCount
+    // a base insert maintains s1 (merge) AND s2 (its diff injects as a
+    // changed-base-rel delta) — previously s2 recomputed outright
+    e.run("""+semp[(5, "ops", 9)]""")
+    assert(rows(e.run("?s2(D, T)").last) ==
+      Set(Seq("eng", 30L), Seq("qa", 40L), Seq("ops", 14L)))
+    assert(e.maintainedCount >= m0 + 2,
+      "both strata should maintain, not recompute")
+    // a base delete: s1's group shrinks (decrement), s2 sees the diff
+    // as a removal (eng,30) plus an insert (eng,10) that fails T > 12
+    e.run("""-semp[(2, "eng", 20)]""")
+    assert(rows(e.run("?s2(D, T)").last) ==
+      Set(Seq("qa", 40L), Seq("ops", 14L)))
+    assert(e.maintainedCount >= m0 + 4)
+    // an untouched sibling base rel leaves the stack alone
+    e.run("""+unrel9[(1)]""")
+    assert(rows(e.run("?s2(D, T)").last) ==
+      Set(Seq("qa", 40L), Seq("ops", 14L)))
+  }
+
+  test("rank views over positive derived deps maintain via stratum diffs") {
+    val e = new Engine(new Catalog(spark))
+    e.run(
+      """+remp3[(1, "eng", 10), (2, "eng", 30), (3, "ops", 5), (4, "ops", 8), (5, "qa", 2)]
+        |+r1(D, sum<S>) <- remp3(I, D, S)
+        |+r2(top_k<2, D, T:desc>) <- r1(D, T)
+        |""".stripMargin)
+    assert(rows(e.run("?r2(D, T)").last) ==
+      Set(Seq("eng", 40L), Seq("ops", 13L)))
+    val m0 = e.maintainedCount
+    // boost qa past ops: r1 maintains, r2 re-ranks from the diff
+    e.run("""+remp3[(6, "qa", 20)]""")
+    assert(rows(e.run("?r2(D, T)").last) ==
+      Set(Seq("eng", 40L), Seq("qa", 22L)))
+    assert(e.maintainedCount >= m0 + 2)
+  }
+
   test("agg views maintain dirty-group through DERIVED negated dependencies") {
     val e = new Engine(new Catalog(spark))
     e.run(

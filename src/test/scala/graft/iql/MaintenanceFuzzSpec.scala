@@ -570,6 +570,60 @@ class MaintenanceFuzzSpec extends SparkSpec {
     }
   }
 
+  test("stacked views equal fresh recomputation on random mutation streams") {
+    val rng = new Random(20260901L)
+    (1 to 8).foreach { c =>
+      val groups = Seq("a", "b", "c")
+      var nextId = 0
+      val live = scala.collection.mutable.ArrayBuffer.empty[String]
+      def mkTuple(): String = {
+        nextId += 1
+        s"""($nextId, "${groups(rng.nextInt(groups.size))}", ${rng.nextInt(20)})"""
+      }
+      def insBatch(n: Int): String = (0 until n).map { _ =>
+        val t = mkTuple(); live += t; t
+      }.mkString(",")
+      val cut = 5 + rng.nextInt(40)
+      // a two-level stack: an aggregate stratum and a view over it —
+      // the upper stratum's delta only exists as a diff of the lower
+      val upper = rng.nextInt(3) match {
+        case 0 => s"+s2(G, T) <- s1(G, T), T > $cut\n"
+        case 1 => "+s2(top_k<2, G, T:desc>) <- s1(G, T)\n"
+        case 2 => s"+s2(G, sum<T>) <- s1(G, T), T > $cut\n"
+      }
+      val rule = "+s1(G, sum<X>) <- t(I, G, X)\n" + upper
+      def bag(e: Engine): Map[Seq[Any], Int] =
+        e.run("?s2(G, T)").last.collect().toSeq.map(_.toSeq)
+          .groupBy(identity).view.mapValues(_.size).toMap
+      val e1 = new Engine(new Catalog(spark))
+      e1.run(s"+t[${insBatch(8 + rng.nextInt(6))}]\n$rule")
+      e1.run("?s2(G, T)")
+      (0 until 3 + rng.nextInt(3)).foreach { round =>
+        val nDel = math.min(live.size, rng.nextInt(4))
+        val dels = scala.collection.mutable.ArrayBuffer.empty[String]
+        (0 until nDel).foreach { _ =>
+          val i = rng.nextInt(live.size)
+          dels += live.remove(i)
+        }
+        val stmts = Seq.newBuilder[String]
+        if (dels.nonEmpty) stmts += s"-t[${dels.mkString(",")}]"
+        if (rng.nextBoolean()) stmts += s"+t[${insBatch(1 + rng.nextInt(3))}]"
+        val prog = stmts.result().mkString("\n")
+        if (prog.nonEmpty) e1.run(prog)
+        val maintained = bag(e1)
+        val expected =
+          if (live.isEmpty) Map.empty[Seq[Any], Int]
+          else {
+            val e2 = new Engine(new Catalog(spark))
+            e2.run(s"+t[${live.mkString(",")}]\n$rule")
+            bag(e2)
+          }
+        assert(maintained == expected,
+          s"case $c round $round diverged; rule=$upper live=$live")
+      }
+    }
+  }
+
   test("agg/rank views with negated deps equal fresh recomputation on random streams") {
     val rng = new Random(20260831L)
     (1 to 8).foreach { c =>
