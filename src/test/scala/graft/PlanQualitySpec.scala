@@ -225,6 +225,34 @@ class PlanQualitySpec extends SparkSpec {
     assert(exact.count() == 2L)
   }
 
+  test("a riding top_k delete round serves from the carried buffer, not the base") {
+    // maintainRankBuffered: after the buffer seeds, a riding delete
+    // round's served view is an expansion over the checkpointed buffer
+    // (window + explode over ≤ k+slack rows per group) — a parquet /
+    // range rescan of the base in the served plan would mean the round
+    // recomputed after all
+    val cat = new graft.iql.Catalog(spark)
+    cat.register("tkbase", spark.range(50000L).selectExpr(
+      "id", "id % 100 AS dept", "(id * 48271) % 500 AS sal"))
+    val e = new graft.iql.Engine(cat)
+    e.run("+tkb(D, top_k<3, I, S:desc>) <- tkbase(I, D, S)")
+    e.run("?tkb(D, I, S)")
+    e.run("-tkbase[(7, 7, 397)]")   // deferral round (registered base)
+    e.run("?tkb(D, I, S)")
+    e.run("-tkbase[(8, 8, 168)]")   // seeds the buffer
+    e.run("?tkb(D, I, S)")
+    val s0 = e.rankBufferSeeds
+    e.run("-tkbase[(107, 7, 497)]") // rides the carried buffer
+    val served = e.run("?tkb(D, I, S)").last
+    assert(e.rankBufferSeeds == s0, "riding round must not reseed")
+    val plan = served.queryExecution.explainString(SimpleMode)
+    assert(!plan.contains("Range (0, 50000"),
+      s"riding round rescans the base:\n$plan")
+    assert(plan.contains("Window") || plan.contains("RunningWindowFunction"),
+      s"served view should expand the buffer via a keyed window:\n$plan")
+    assert(served.count() == 300L)
+  }
+
   test("bitext margin mining computes its pair table once") {
     assume(new java.io.File(s"$sf/embeddings.parquet").exists)
     val plan = planOf("q181_bitext_margin")
