@@ -812,6 +812,22 @@ class EngineSpec extends SparkSpec {
     assert(e.rankBufferSeeds == s0 + 1)
   }
 
+  test("ungrouped top_k refills by whole-view rebuild when the slack empties") {
+    val e = new Engine(new Catalog(spark))
+    // 25 distinct rows, ungrouped k=1 carries 17; deleting the top 20
+    // empties the buffer while rows remain beyond it
+    val facts = (1 to 25).map(i => s"""("n$i", $i)""").mkString(",")
+    e.run(s"+uk[$facts]\n+ub2(top_k<1, N, S:desc>) <- uk(N, S)")
+    assert(rows(e.run("?ub2(N, S)").last) == Set(Seq("n25", 25L)))
+    val s0 = e.rankBufferSeeds
+    e.run("""-uk[("n25", 25)]""") // seeds
+    assert(rows(e.run("?ub2(N, S)").last) == Set(Seq("n24", 24L)))
+    e.run("-uk(N, S) <- uk(N, S), S > 5") // past the slack → rebuild
+    assert(rows(e.run("?ub2(N, S)").last) == Set(Seq("n5", 5L)))
+    assert(e.rankBufferSeeds == s0 + 1,
+      "the ungrouped refill is a rebuild inside the riding round, not a reseed")
+  }
+
   test("top_k_threshold deletes ride the buffer and keep the bound") {
     val e = new Engine(new Catalog(spark))
     e.run(
@@ -907,6 +923,28 @@ class EngineSpec extends SparkSpec {
     e.run("""+unrel9[(1)]""")
     assert(rows(e.run("?s2(D, T)").last) ==
       Set(Seq("qa", 40L), Seq("ops", 14L)))
+  }
+
+  test("a three-level stack cascades stratum diffs") {
+    val e = new Engine(new Catalog(spark))
+    e.run(
+      """+w0[(1, "eng", 10), (2, "eng", 20), (3, "ops", 5), (4, "qa", 40)]
+        |+w1(D, sum<S>) <- w0(I, D, S)
+        |+w2(D, T) <- w1(D, T), T > 12
+        |+w3(D) <- w2(D, T), T < 35
+        |""".stripMargin)
+    assert(rows(e.run("?w3(D)").last) == Set(Seq("eng")))
+    val m0 = e.maintainedCount
+    // one base insert ripples: w1 merges, w2 and w3 ride their lower
+    // stratum's diff — three maintains, zero recomputes
+    e.run("""+w0[(5, "ops", 9)]""")
+    assert(rows(e.run("?w3(D)").last) == Set(Seq("eng"), Seq("ops")))
+    assert(e.maintainedCount >= m0 + 3,
+      "all three strata should maintain")
+    // a delete ripples the other way: eng's sum drops below the w2 cut
+    e.run("""-w0[(2, "eng", 20)]""")
+    assert(rows(e.run("?w3(D)").last) == Set(Seq("ops")))
+    assert(e.maintainedCount >= m0 + 6)
   }
 
   test("rank views over positive derived deps maintain via stratum diffs") {
