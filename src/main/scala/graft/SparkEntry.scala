@@ -1848,6 +1848,26 @@ object SparkEntry {
       e.run("?k2(D, T)").last
     }),
 
+    // --- IQL: GLOBAL aggregate retraction — a key-less sum/count view
+    //     has nowhere to hang a support table; the single view row IS
+    //     the carry, and a delete round is one delta-sized aggregate
+    //     plus arithmetic, never a base rescan (EngineSpec pins the
+    //     counter and the empty-view death) ----------------------------
+    "q195_iql_global_agg_retract" -> ((s, dir) => {
+      val e = iqlEngine(s, dir)
+      e.catalog.register("gemp4", T(s, dir, "orders").select(
+        col("o_orderkey").as("id"),
+        floor(col("o_totalprice")).cast("long").as("sal")))
+      e.run(
+        """+gtot(sum<S>, count<S>) <- gemp4(I, S)
+          |?gtot(S, C)
+          |""".stripMargin)
+      e.run("-gemp4(I, S) <- gemp4(I, S), S > 400000") // round 1: decrement
+      e.run("?gtot(S, C)")
+      e.run("-gemp4(I, S) <- gemp4(I, S), I % 7 = 0") // round 2: decrement
+      e.run("?gtot(S, C)").last
+    }),
+
     // --- IQL: WITHIN_RADIUS retraction — filter semantics: deletes
     //     subtract the vanished bindings bag-exactly (exceptAll), no
     //     window and no recompute --------------------------------------
@@ -4010,6 +4030,14 @@ object SparkEntry {
         |  WHERE dept <> 7 AND NOT (dept = 11 AND sal > 97000)
         |    AND NOT (dept = 13 AND sal > 60000)) t
         |WHERE rn <= 3""".stripMargin,
+
+    // the global sum/count after both decrement rounds
+    "q195_iql_global_agg_retract" ->
+      """SELECT CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS S,
+        |       COUNT(*) AS C
+        |FROM orders
+        |WHERE CAST(FLOOR(o_totalprice) AS BIGINT) <= 400000
+        |  AND o_orderkey % 7 <> 0""".stripMargin,
 
     // the stacked view after both rounds: only the surviving sentinel
     // dept's sum clears the cut (real depts sum well below it at any sf)

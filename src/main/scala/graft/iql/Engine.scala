@@ -2013,6 +2013,87 @@ final class Engine(val catalog: Catalog) {
       }
     }
 
+    /** GLOBAL (key-less) aggregate views under deletes: for heads made
+      * entirely of i64 sums and counts, the single view row IS the
+      * carry — a round is one delta-sized aggregate per change side plus
+      * a 1-row collect of the cached view, never a base rescan (the
+      * grouped analogue rides [[maintainAggSubtractable]]'s support
+      * table; a key-less head has nowhere to hang one). Requires a
+      * `count` column (emptiness is undecidable from sums alone — a
+      * global aggregate over an empty body is the EMPTY view, not a
+      * zero row) and bails on observed nulls, f64 sums (in-place f64
+      * subtraction drifts), min/max (a dead extremum needs a runner-up),
+      * avg, and count_distinct. */
+    private def maintainGlobalAggDecrement(r: Rule, cols: Seq[String],
+        aggSpecs: Seq[(String, Int)], changedOccs: Seq[Int],
+        deltaOf: Map[String, DataFrame], removedOf: Map[String, DataFrame],
+        cached: DataFrame): Option[DataFrame] = {
+      import org.apache.spark.sql.types.{LongType, StructType}
+      if (changedOccs.size != 1) return None
+      val named = cached.toDF(cols: _*)
+      if (!aggSpecs.forall { case (f, i) =>
+        f == "count" || (f == "sum" && named.schema(i).dataType == LongType)
+      }) return None
+      val countIdx = aggSpecs.collectFirst { case ("count", i) => i }
+        .getOrElse(return None)
+      val sumArgOf: Map[Int, Term] = r.head.args.zipWithIndex.collect {
+        case (Agg("sum", t), i) => i -> t
+      }.toMap
+      if (r.body.exists { case Neg(a) =>
+        deltaOf.contains(a.rel) || removedOf.contains(a.rel); case _ => false })
+        return None
+      val changedRel = r.body(changedOccs.head) match {
+        case Pos(a) => a.rel; case _ => return None
+      }
+      val oldRows = cached.collect() // the view is ≤ 1 row by shape
+      if (oldRows.length > 1) return None
+      val old = oldRows.headOption
+      val oldN = old.map(_.getLong(countIdx)).getOrElse(0L)
+      if (old.exists(row => sumArgOf.keys.exists(row.isNullAt)))
+        return None // an all-null sum history is not arithmetic-decrementable
+      // one delta-sized aggregate per change side: row count plus, per
+      // sum column, its total and its non-null contributor count (a
+      // null anywhere makes the subtraction inexact — bail)
+      val sumIdx = sumArgOf.keys.toSeq.sorted
+      def sideAgg(bound: DataFrame): Option[(Long, Map[Int, (Long, Long)])] = {
+        val b = RuleCompiler.compileBody(r.body,
+          RuleCompiler.bindOccurrence(r, changedOccs.head, bound,
+            (nm, ar) => resolve(nm, ar)),
+          hnswFrame, catalog.statRows)
+        val aggs = count(lit(1)).as("__n") +: sumIdx.flatMap { i =>
+          val c = RuleCompiler.term(sumArgOf(i), b)
+          Seq(coalesce(sum(c.cast("long")), lit(0L)).as(s"__s$i"),
+            count(c).as(s"__c$i"))
+        }
+        val row = b.agg(aggs.head, aggs.tail: _*).collect().head
+        val n = row.getLong(0)
+        val sums = sumIdx.zipWithIndex.map { case (i, j) =>
+          i -> (row.getLong(1 + 2 * j), row.getLong(2 + 2 * j))
+        }.toMap
+        if (sums.values.exists(_._2 != n)) None else Some((n, sums))
+      }
+      val rm = removedOf.get(changedRel).map(f => sideAgg(f).getOrElse(return None))
+      val ins = deltaOf.get(changedRel).map(f => sideAgg(f).getOrElse(return None))
+      if (rm.isEmpty && ins.isEmpty) return Some(cached)
+      val newN = oldN + ins.map(_._1).getOrElse(0L) - rm.map(_._1).getOrElse(0L)
+      if (newN < 0L) return None // contract breach → recompute
+      val spark = catalog.spark
+      val schema = StructType(named.schema.fields.map(_.copy(nullable = true)))
+      aggDecrementCount += 1
+      if (newN == 0L)
+        return Some(spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+      val vals = cols.indices.map { i =>
+        if (sumArgOf.contains(i)) {
+          val oldS = old.map(_.getLong(i)).getOrElse(0L)
+          oldS + ins.map(_._2(i)._1).getOrElse(0L) - rm.map(_._2(i)._1).getOrElse(0L)
+        } else newN // every non-sum head column is a count (guarded above)
+      }
+      Some(spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          Seq(org.apache.spark.sql.Row.fromSeq(vals)), 1), schema))
+    }
+
     private def tryMaintain(name: String): Option[DataFrame] = {
       if (!byHead.contains(name)) return None
       val (v0, cached) = cacheLatest(name).getOrElse(return None)
@@ -2804,7 +2885,12 @@ final class Engine(val catalog: Catalog) {
               // subtractable round finds its version stale, seeds fresh,
               // and releases it then (view-aliasing checked at that
               // point, where the superseded view is provably dead).
-              if (hasRemovals) return dirtyGroupMaintain(r, keyIdxAll)
+              if (hasRemovals) {
+                if (keyIdxAll.isEmpty)
+                  maintainGlobalAggDecrement(r, cols, aggSpecs, changedOccs,
+                    deltaOf, removedExactOf, cached).foreach(df => return Some(df))
+                return dirtyGroupMaintain(r, keyIdxAll)
+              }
           }
         }
         if (changedOccs.length != 1 ||

@@ -869,6 +869,32 @@ class EngineSpec extends SparkSpec {
     assert(e.rankBufferSeeds == s0 + 1)
   }
 
+  test("global aggregate views decrement under deletes — the view row is the carry") {
+    val e = new Engine(new Catalog(spark))
+    e.run(
+      """+gemp3[(1, 10), (2, 20), (3, 30)]
+        |+gt(sum<S>, count<S>) <- gemp3(I, S)
+        |""".stripMargin)
+    assert(rows(e.run("?gt(S, C)").last) == Set(Seq(60L, 3L)))
+    val d0 = e.aggDecrementCount
+    e.run("""-gemp3[(2, 20)]""")
+    assert(rows(e.run("?gt(S, C)").last) == Set(Seq(40L, 2L)))
+    assert(e.aggDecrementCount == d0 + 1,
+      "a key-less aggregate delete should decrement, not rescan")
+    // mixed round: a delete and an insert net into one arithmetic step
+    e.run("-gemp3[(1, 10)]\n+gemp3[(4, 5)]")
+    assert(rows(e.run("?gt(S, C)").last) == Set(Seq(35L, 2L)))
+    assert(e.aggDecrementCount == d0 + 2)
+    // the last rows die: a global aggregate over an empty body is the
+    // EMPTY view (reference semantics), not a zero row
+    e.run("-gemp3(I, S) <- gemp3(I, S), S > 0")
+    assert(rows(e.run("?gt(S, C)").last) == Set.empty[Seq[Any]])
+    assert(e.aggDecrementCount == d0 + 3)
+    // rebirth through the normal insert path
+    e.run("""+gemp3[(9, 7)]""")
+    assert(rows(e.run("?gt(S, C)").last) == Set(Seq(7L, 1L)))
+  }
+
   test("agg views maintain dirty-group through negated base-rel changes") {
     val e = new Engine(new Catalog(spark))
     e.run(

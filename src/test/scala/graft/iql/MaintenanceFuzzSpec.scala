@@ -570,6 +570,52 @@ class MaintenanceFuzzSpec extends SparkSpec {
     }
   }
 
+  test("global aggregate decrement equals fresh recomputation on random streams") {
+    val rng = new Random(20260902L)
+    (1 to 8).foreach { c =>
+      var nextId = 0
+      val live = scala.collection.mutable.ArrayBuffer.empty[String]
+      def mkTuple(): String = {
+        nextId += 1
+        s"($nextId, ${rng.nextInt(50)})"
+      }
+      def insBatch(n: Int): String = (0 until n).map { _ =>
+        val t = mkTuple(); live += t; t
+      }.mkString(",")
+      val rule = "+gv(sum<X>, count<X>) <- t(I, X)\n"
+      val e1 = new Engine(new Catalog(spark))
+      e1.run(s"+t[${insBatch(6 + rng.nextInt(6))}]\n$rule")
+      e1.run("?gv(S, C)")
+      val d0 = e1.aggDecrementCount
+      (0 until 3 + rng.nextInt(3)).foreach { round =>
+        val nDel = math.min(live.size, rng.nextInt(4))
+        val dels = scala.collection.mutable.ArrayBuffer.empty[String]
+        (0 until nDel).foreach { _ =>
+          val i = rng.nextInt(live.size)
+          dels += live.remove(i)
+        }
+        if (rng.nextBoolean()) dels += "(9999, 1)" // phantom
+        val stmts = Seq.newBuilder[String]
+        if (dels.nonEmpty) stmts += s"-t[${dels.mkString(",")}]"
+        if (rng.nextBoolean()) stmts += s"+t[${insBatch(1 + rng.nextInt(3))}]"
+        val prog = stmts.result().mkString("\n")
+        if (prog.nonEmpty) e1.run(prog)
+        val maintained = rows(e1.run("?gv(S, C)").last)
+        val expected =
+          if (live.isEmpty) Set.empty[Seq[Any]]
+          else {
+            val e2 = new Engine(new Catalog(spark))
+            e2.run(s"+t[${live.mkString(",")}]\n$rule")
+            rows(e2.run("?gv(S, C)").last)
+          }
+        assert(maintained == expected,
+          s"case $c round $round diverged; live=$live")
+      }
+      assert(e1.aggDecrementCount > d0,
+        s"case $c never took the global decrement path")
+    }
+  }
+
   test("stacked views equal fresh recomputation on random mutation streams") {
     val rng = new Random(20260901L)
     (1 to 8).foreach { c =>
