@@ -256,6 +256,7 @@ final class Engine(val catalog: Catalog) {
       Fixpoint.checkpointRddOf(df).foreach { r =>
         if (buried.add(r.id)) graft.plans.Graveyard.buryAndDrain(Some(r)) }
     auxSupportCache.remove(view).foreach { case (_, df) => bury(df) }
+    rankLocalBuf.remove(view) // driver copy of the evicted buffer
     auxPairsCache.keysIterator.filter(_._1 == view).toSeq.foreach { k =>
       auxPairsCache.remove(k).foreach { case (_, df) => bury(df) } }
   }
@@ -338,6 +339,17 @@ final class Engine(val catalog: Catalog) {
     * Newest version only. */
   private val auxSupportCache =
     mutable.HashMap.empty[String, (Long, DataFrame)]
+  /** Driver-resident copy of a rank view's carried prefix buffer —
+    * valid only while its frame IS the live [[auxSupportCache]] entry
+    * (identity-checked on read, so stale entries are inert): lets the
+    * local riding round ([[maintainRankBuffered]]) read the buffer rows
+    * with zero Spark jobs. Bounded by the local-ride collect cap;
+    * removed with the support state. */
+  private val rankLocalBuf =
+    mutable.HashMap.empty[String, (DataFrame, Array[org.apache.spark.sql.Row])]
+  /** Observability: rank riding rounds merged entirely driver-locally
+    * (the cap-gated fast path; tests pin it). */
+  private[graft] var rankLocalRides: Long = 0L
   /** Views whose first tiny-literal-delete round took the dirty-group
     * path instead of seeding a support table (the 2-competitive seed
     * deferral in [[maintainAggSubtractable]]) — a second such round
@@ -1850,6 +1862,197 @@ final class Engine(val catalog: Catalog) {
           (remLit.nonEmpty || insLit.nonEmpty)) {
         restamp(); return Some(cached)
       }
+
+      /** DRIVER-LOCAL riding round (cap-gated): the distributed merge
+        * algebra below runs ~7 Spark actions whose AQE stage-jobs cost
+        * ~25 scheduler round-trips per round — the right shape when the
+        * buffer or the delta is big, pure latency for the common round
+        * (bounded buffer, literal delta, no refill). Here the SAME
+        * merge runs on a driver-resident buffer copy, with one bounded
+        * delta-count collect per change side as the only Spark work;
+        * the committed buffer and the served view become literal
+        * frames (no lineage, no checkpoint to retire). Falls through
+        * to the distributed algebra unchanged on ANY complication:
+        * caps exceeded, a group needing a refill, contract violations
+        * (the distributed viol path decides those), or sort/key types
+        * whose driver compare can't mirror Spark's ordering — strings
+        * sort by UTF-8 bytes there but UTF-16 code units here, so only
+        * fixed-width numerics and booleans order locally (strings are
+        * still fine as EQUALITY-only merge keys). */
+      def localRide(): Option[DataFrame] = {
+        def ordOk(dt: DataType): Boolean = dt match {
+          case LongType | IntegerType | ShortType | ByteType | DoubleType |
+               FloatType | BooleanType => true
+          case _ => false
+        }
+        def keyOk(dt: DataType): Boolean = ordOk(dt) || dt == StringType
+        if (!sortIdx.forall(i => ordOk(named.schema(i).dataType))) return None
+        if (!cols.indices.forall(i => keyOk(named.schema(i).dataType))) return None
+        if (remLit.exists(_._2 < 0L) || insLit.exists(_._2 < 0L)) return None
+        val bufRows: Array[org.apache.spark.sql.Row] =
+          rankLocalBuf.get(name).filter(_._1 eq buf0).map(_._2).getOrElse {
+            Fixpoint.collectUpTo(buf0, 65536L).getOrElse(return None)
+          }
+        val nc = cols.length
+        // Spark normalizes -0.0 to 0.0 in grouping and ordering — boxed
+        // java equality does not; normalize so driver keys merge the
+        // same rows a shuffle would
+        def normV(v: Any): Any = v match {
+          case d: java.lang.Double if d.doubleValue() == 0.0 =>
+            java.lang.Double.valueOf(0.0)
+          case f: java.lang.Float if f.floatValue() == 0.0f =>
+            java.lang.Float.valueOf(0.0f)
+          case x => x
+        }
+        def anomalous(r: org.apache.spark.sql.Row): Boolean =
+          sortIdx.exists { i =>
+            r.isNullAt(i) || (r.get(i) match {
+              case d: java.lang.Double => d.isNaN
+              case f: java.lang.Float => f.isNaN
+              case _ => false
+            })
+          }
+        if (bufRows.exists(r => anomalous(r) || r.isNullAt(nc) || r.isNullAt(nc + 1)))
+          return None
+        def keyOf(r: org.apache.spark.sql.Row): Vector[Any] =
+          Vector.tabulate(nc)(j => normV(r.get(j)))
+        def gkeyOf(key: Vector[Any]): Vector[Any] = groupIdx.map(key).toVector
+        // one bounded grouped collect per change side — the only jobs
+        def sideCounts(l: Option[(DataFrame, Long)]):
+            Option[Map[Vector[Any], Long]] =
+          l.filter(_._2 != 0L) match {
+            case None => Some(Map.empty)
+            case Some((f, _)) =>
+              val plan = headRows(bindingsOf(f))
+                .groupBy(cols.map(col): _*).agg(count(lit(1)).as("__c"))
+              Fixpoint.collectUpTo(plan, 8192L).flatMap { rows =>
+                if (rows.exists(anomalous)) None // distributed viol path decides
+                else Some(rows.iterator.map(r => keyOf(r) -> r.getLong(nc)).toMap)
+              }
+          }
+        val remM = sideCounts(remLit).getOrElse(return None)
+        val insM = sideCounts(insLit).getOrElse(return None)
+        if (remM.isEmpty && insM.isEmpty) { restamp(); return Some(cached) }
+        val schemaDt = cols.indices.map(i => named.schema(i).dataType)
+        def cmpAt(i: Int, a: Any, b: Any): Int = schemaDt(i) match {
+          case DoubleType =>
+            val x = a.asInstanceOf[java.lang.Number].doubleValue()
+            val y = b.asInstanceOf[java.lang.Number].doubleValue()
+            if (x < y) -1 else if (x > y) 1 else 0
+          case FloatType =>
+            val x = a.asInstanceOf[java.lang.Number].floatValue()
+            val y = b.asInstanceOf[java.lang.Number].floatValue()
+            if (x < y) -1 else if (x > y) 1 else 0
+          case BooleanType => java.lang.Boolean.compare(
+            a.asInstanceOf[Boolean], b.asInstanceOf[Boolean])
+          case _ => java.lang.Long.compare(
+            a.asInstanceOf[java.lang.Number].longValue(),
+            b.asInstanceOf[java.lang.Number].longValue())
+        }
+        def rankCmp(a: Vector[Any], b: Vector[Any]): Int = {
+          var c = cmpAt(orderIdx, a(orderIdx), b(orderIdx))
+          if (rank.desc) c = -c
+          if (c != 0) return c
+          outIdx.foreach { i =>
+            val d = cmpAt(i, a(i), b(i)); if (d != 0) return d
+          }
+          0
+        }
+        // carried per-row multiplicities and per-group cum/tot/boundary
+        val mulOf = mutable.LinkedHashMap.empty[Vector[Any], Long]
+        val gtot = mutable.HashMap.empty[Vector[Any], Long]
+        val gcum = mutable.HashMap.empty[Vector[Any], Long]
+        val gbnd = mutable.HashMap.empty[Vector[Any], Vector[Any]]
+        bufRows.foreach { r =>
+          val key = keyOf(r)
+          mulOf(key) = r.getLong(nc)
+          val g = gkeyOf(key)
+          gcum(g) = gcum.getOrElse(g, 0L) + r.getLong(nc)
+          gtot(g) = r.getLong(nc + 1)
+          gbnd.get(g) match {
+            case Some(b) if rankCmp(key, b) <= 0 => ()
+            case _ => gbnd(g) = key
+          }
+        }
+        if (mulOf.size != bufRows.length) return None // dup keys: breach
+        val dtot = mutable.HashMap.empty[Vector[Any], Long]
+        remM.foreach { case (key, c) =>
+          val g = gkeyOf(key); dtot(g) = dtot.getOrElse(g, 0L) - c }
+        insM.foreach { case (key, c) =>
+          val g = gkeyOf(key); dtot(g) = dtot.getOrElse(g, 0L) + c }
+        // row-level merge — same belongs/keep algebra as the frames below
+        val kept = mutable.HashMap
+          .empty[Vector[Any], mutable.ArrayBuffer[(Vector[Any], Long)]]
+        val cum2 = mutable.HashMap.empty[Vector[Any], Long]
+        val allKeys = mulOf.keysIterator ++
+          (remM.keySet ++ insM.keySet).iterator.filterNot(mulOf.contains)
+        allKeys.foreach { key =>
+          val n = mulOf.get(key)
+          val delta = insM.getOrElse(key, 0L) - remM.getOrElse(key, 0L)
+          val g = gkeyOf(key)
+          val isNew = !gtot.contains(g)
+          val exhaustive = gtot.get(g).exists(t => gcum.getOrElse(g, 0L) == t)
+          val leq = gbnd.get(g).exists(b => rankCmp(key, b) <= 0)
+          val belongs = n.isDefined || isNew || exhaustive || leq
+          val n1 = n.getOrElse(0L) + delta
+          if (belongs && n1 < 0L) return None // breach: distributed path decides
+          if (belongs && n1 > 0L) {
+            kept.getOrElseUpdate(g, mutable.ArrayBuffer.empty) += ((key, n1))
+            cum2(g) = cum2.getOrElse(g, 0L) + n1
+          }
+        }
+        val allG = mutable.LinkedHashSet.empty[Vector[Any]]
+        gtot.keysIterator.foreach(allG += _)
+        dtot.keysIterator.foreach(allG += _)
+        val ntot = mutable.HashMap.empty[Vector[Any], Long]
+        allG.foreach { g =>
+          val t = gtot.getOrElse(g, 0L) + dtot.getOrElse(g, 0L)
+          if (t < 0L) return None
+          ntot(g) = t
+          val c2 = cum2.getOrElse(g, 0L)
+          if (c2 < k && c2 < t && t > 0L) return None // refill: distributed path
+        }
+        // commit: trimmed buffer + its top-k expansion, both literal
+        val rowOrd = new Ordering[(Vector[Any], Long)] {
+          def compare(a: (Vector[Any], Long), b: (Vector[Any], Long)): Int =
+            rankCmp(a._1, b._1)
+        }
+        val outBufRows = mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+        val servedRows = mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+        allG.foreach { g =>
+          val t = ntot(g)
+          kept.get(g).map(_.sorted(rowOrd)).foreach { rows =>
+            var start = 0L
+            rows.iterator.take(kdist.toInt).foreach { case (key, n1) =>
+              outBufRows += org.apache.spark.sql.Row.fromSeq(key ++ Seq(n1, t))
+              if (start < k) {
+                var j = math.min(n1, k - start)
+                while (j > 0L) {
+                  servedRows += org.apache.spark.sql.Row.fromSeq(key); j -= 1
+                }
+              }
+              start += n1
+            }
+          }
+        }
+        val bufSchema = StructType(buf0.schema.fields.map(_.copy(nullable = true)))
+        val servedSchema = StructType(named.schema.fields.map(_.copy(nullable = true)))
+        val bufDf = spark.createDataFrame(
+          java.util.Arrays.asList(outBufRows.toSeq: _*), bufSchema)
+        val servedDf = spark.createDataFrame(
+          java.util.Arrays.asList(servedRows.toSeq: _*), servedSchema)
+        retireSuperseded(buf0)
+        auxSupportCache(name) = (catalog.version, bufDf)
+        rankLocalBuf(name) = (bufDf, outBufRows.toArray)
+        rankDecrementCount += 1
+        rankLocalRides += 1
+        Some(servedDf)
+      }
+      localRide() match {
+        case Some(df) => return Some(df)
+        case None => ()
+      }
+
       def countsOf(l: Option[(DataFrame, Long)], cn: String): Option[DataFrame] =
         l.filter(_._2 != 0L).map { case (f, _) =>
           headRows(bindingsOf(f))
