@@ -19,6 +19,10 @@ object Engine {
     * path; above it the distributed affected-source path serves. Tests
     * shrink it to pin the distributed path on small fixtures. */
   @volatile private[graft] var tcLocalClosureCap: Long = 1000000L
+  /** Kill-switch for the driver-local rank riding round (A/B probing
+    * and a safety hatch; tests may pin the distributed algebra). */
+  @volatile private[graft] var rankLocalRideEnabled: Boolean =
+    sys.props.get("graft.rank.localRide").forall(_ != "false")
 }
 
 final class Engine(val catalog: Catalog) {
@@ -1880,6 +1884,7 @@ final class Engine(val catalog: Catalog) {
         * fixed-width numerics and booleans order locally (strings are
         * still fine as EQUALITY-only merge keys). */
       def localRide(): Option[DataFrame] = {
+        if (!Engine.rankLocalRideEnabled) return None
         def ordOk(dt: DataType): Boolean = dt match {
           case LongType | IntegerType | ShortType | ByteType | DoubleType |
                FloatType | BooleanType => true
@@ -2005,13 +2010,45 @@ final class Engine(val catalog: Catalog) {
         gtot.keysIterator.foreach(allG += _)
         dtot.keysIterator.foreach(allG += _)
         val ntot = mutable.HashMap.empty[Vector[Any], Long]
+        val refillG = mutable.LinkedHashSet.empty[Vector[Any]]
         allG.foreach { g =>
           val t = gtot.getOrElse(g, 0L) + dtot.getOrElse(g, 0L)
           if (t < 0L) return None
           ntot(g) = t
           val c2 = cum2.getOrElse(g, 0L)
-          if (c2 < k && c2 < t && t > 0L) return None // refill: distributed path
+          if (c2 < k && c2 < t && t > 0L) refillG += g
         }
+        // groups whose prefix shrank below k with bindings still beyond
+        // it REFILL: the same ONE key-filtered body pass the distributed
+        // algebra runs, collected (the refilled groups' fresh buffer
+        // slices are ≤ k+slack rows each) and merged here — the scan is
+        // the only distributed work of the round. Non-literal keys fall
+        // through (the distributed path bails those to dirty-group).
+        if (refillG.exists(_.exists(v => v == null || (v match {
+          case d: java.lang.Double => d.isNaN
+          case f: java.lang.Float => f.isNaN
+          case _: java.lang.Number | _: String | _: java.lang.Boolean => false
+          case _ => true
+        })))) return None
+        val refillRows: Map[Vector[Any], Seq[(Vector[Any], Long, Long)]] =
+          if (refillG.isEmpty) Map.empty
+          else {
+            val gNames = groupIdx.map(cols)
+            val frame =
+              if (groupIdx.isEmpty) bufferFrom(headRows(bodyNow))
+              else {
+                val keyPred = refillG.toSeq.map { kv =>
+                  gNames.indices.map(j => col(gNames(j)) <=> lit(kv(j)))
+                    .reduce(_ && _)
+                }.reduce(_ || _)
+                bufferFrom(headRows(bodyNow).where(keyPred))
+              }
+            val rows = Fixpoint.collectUpTo(frame, 8192L).getOrElse(return None)
+            if (rows.exists(r =>
+              anomalous(r) || r.isNullAt(nc) || r.isNullAt(nc + 1))) return None
+            rows.toSeq.map(r => (keyOf(r), r.getLong(nc), r.getLong(nc + 1)))
+              .groupBy(t3 => gkeyOf(t3._1))
+          }
         // commit: trimmed buffer + its top-k expansion, both literal
         val rowOrd = new Ordering[(Vector[Any], Long)] {
           def compare(a: (Vector[Any], Long), b: (Vector[Any], Long)): Int =
@@ -2019,19 +2056,33 @@ final class Engine(val catalog: Catalog) {
         }
         val outBufRows = mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
         val servedRows = mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
-        allG.foreach { g =>
-          val t = ntot(g)
-          kept.get(g).map(_.sorted(rowOrd)).foreach { rows =>
-            var start = 0L
-            rows.iterator.take(kdist.toInt).foreach { case (key, n1) =>
-              outBufRows += org.apache.spark.sql.Row.fromSeq(key ++ Seq(n1, t))
-              if (start < k) {
-                var j = math.min(n1, k - start)
-                while (j > 0L) {
-                  servedRows += org.apache.spark.sql.Row.fromSeq(key); j -= 1
-                }
+        def emit(rows: Iterator[(Vector[Any], Long, Long)]): Unit = {
+          var start = 0L
+          rows.foreach { case (key, n1, t) =>
+            outBufRows += org.apache.spark.sql.Row.fromSeq(key ++ Seq(n1, t))
+            if (start < k) {
+              var j = math.min(n1, k - start)
+              while (j > 0L) {
+                servedRows += org.apache.spark.sql.Row.fromSeq(key); j -= 1
               }
-              start += n1
+            }
+            start += n1
+          }
+        }
+        allG.foreach { g =>
+          if (refillG(g))
+            // refilled slice replaces the group's kept rows wholesale —
+            // its __n/__tot are the fresh post-change values
+            refillRows.get(g).foreach { rows =>
+              emit(rows.sortBy(_._1)(new Ordering[Vector[Any]] {
+                def compare(a: Vector[Any], b: Vector[Any]): Int = rankCmp(a, b)
+              }).iterator)
+            }
+          else {
+            val t = ntot(g)
+            kept.get(g).map(_.sorted(rowOrd)).foreach { rows =>
+              emit(rows.iterator.take(kdist.toInt)
+                .map { case (key, n1) => (key, n1, t) })
             }
           }
         }
