@@ -23,6 +23,9 @@ object Engine {
     * and a safety hatch; tests may pin the distributed algebra). */
   @volatile private[graft] var rankLocalRideEnabled: Boolean =
     sys.props.get("graft.rank.localRide").forall(_ != "false")
+  /** Kill-switch for the driver-resident aggregate-support mode. */
+  @volatile private[graft] var aggLocalSupportEnabled: Boolean =
+    sys.props.get("graft.agg.localSupport").forall(_ != "false")
 }
 
 final class Engine(val catalog: Catalog) {
@@ -260,9 +263,13 @@ final class Engine(val catalog: Catalog) {
       Fixpoint.checkpointRddOf(df).foreach { r =>
         if (buried.add(r.id)) graft.plans.Graveyard.buryAndDrain(Some(r)) }
     auxSupportCache.remove(view).foreach { case (_, df) => bury(df) }
-    rankLocalBuf.remove(view) // driver copy of the evicted buffer
+    rankLocalBuf.remove(view) // driver copies of the evicted state
+    aggLocalSupport.remove(view)
+    aggLocalBig.remove(view)
     auxPairsCache.keysIterator.filter(_._1 == view).toSeq.foreach { k =>
-      auxPairsCache.remove(k).foreach { case (_, df) => bury(df) } }
+      auxPairsCache.remove(k).foreach { case (_, df) => bury(df) }
+      aggLocalPairs.remove(k)
+      aggLocalBig.remove(k) }
   }
   /** Dependency invalidation for session rule/fact changes naming ONE
     * relation: only cached views whose rule closure (over the
@@ -354,6 +361,19 @@ final class Engine(val catalog: Catalog) {
   /** Observability: rank riding rounds merged entirely driver-locally
     * (the cap-gated fast path; tests pin it). */
   private[graft] var rankLocalRides: Long = 0L
+  /** Driver-resident copies of aggregate SUPPORT tables (and cd PAIRS
+    * tables), identity-keyed like [[rankLocalBuf]]: a maintenance round
+    * whose support fits the cap reads dirty rows by map lookup and
+    * commits a literal frame — no support-sized Spark action. Views
+    * whose support once exceeded the cap stop probing
+    * ([[aggLocalBig]]); the distributed update is the scale shape. */
+  private val aggLocalSupport =
+    mutable.HashMap.empty[String, (DataFrame, Array[org.apache.spark.sql.Row])]
+  private val aggLocalPairs =
+    mutable.HashMap.empty[(String, Int), (DataFrame, Array[org.apache.spark.sql.Row])]
+  private val aggLocalBig = mutable.HashSet.empty[Any]
+  /** Observability: subtractable rounds committed via the resident copy. */
+  private[graft] var aggLocalRounds: Long = 0L
   /** Views whose first tiny-literal-delete round took the dirty-group
     * path instead of seeding a support table (the 2-competitive seed
     * deferral in [[maintainAggSubtractable]]) — a second such round
@@ -1335,8 +1355,30 @@ final class Engine(val catalog: Catalog) {
             seeded
         }
         val dirtyKeysDf = keyLit(dMap.keys, combined, keyNames)
-        val dirtyCombined = sideOn(combined, dirtyKeysDf, keyNames, anti = false)
-          .limit(2050).collect()
+        // DRIVER-RESIDENT support mode (cap-gated): with the combined
+        // table's rows held on the driver (identity-keyed, collected
+        // once per carried frame), the dirty-row read is a map lookup
+        // and the commit below is a literal frame — the round's only
+        // support-sized Spark actions disappear. Beyond the cap the
+        // distributed semi/anti updates serve (the 100 TB shape), and
+        // the view stops probing.
+        val combinedLocal: Option[Array[org.apache.spark.sql.Row]] =
+          if (!Engine.aggLocalSupportEnabled || aggLocalBig(name)) None
+          else aggLocalSupport.get(name).filter(_._1 eq combined).map(_._2)
+            .orElse {
+              val got = Fixpoint.collectUpTo(combined, 65536L)
+              got match {
+                case Some(rows) => aggLocalSupport(name) = (combined, rows)
+                case None => aggLocalBig += name
+              }
+              got
+            }
+        val dirtyCombined = combinedLocal match {
+          case Some(rows) => rows.filter(row =>
+            dMap.contains(keyIdx.map(i => normKey(row.get(i))).toSeq))
+          case None => sideOn(combined, dirtyKeysDf, keyNames, anti = false)
+            .limit(2050).collect()
+        }
         if (dirtyCombined.length > 2048) return None
 
         // ---- count_distinct: per-pair support math over the pairs
@@ -1348,7 +1390,11 @@ final class Engine(val catalog: Catalog) {
         // pass (literal pair predicate), like the combined frame.
         val cdBorn = mutable.HashMap.empty[(Seq[Any], Int), Long]
         val cdDied = mutable.HashMap.empty[(Seq[Any], Int), Long]
-        val cdAuxNew = Seq.newBuilder[((String, Int), DataFrame, DataFrame)]
+        // committed lazily on success: each thunk yields the new pairs
+        // frame plus its driver rows when the resident-copy mode built
+        // it as a literal (None = distributed anti∪literal materialize)
+        val cdAuxNew = Seq.newBuilder[((String, Int),
+          () => (DataFrame, Option[Array[org.apache.spark.sql.Row]]))]
         if (cdSpecsS.nonEmpty) {
           // __c sits last in the fused pair-grain rows
           val cPos = kLen + 1 + aggSpecs.length + 1 + nnSpecs.length
@@ -1385,9 +1431,9 @@ final class Engine(val catalog: Catalog) {
               val tMap = touched.map { case (p, dc) =>
                 (p.map(normKey), dc)
               }.toMap
-              val auxP = auxPairsCache.get((name, i)) match {
+              val (auxPRaw, auxP) = auxPairsCache.get((name, i)) match {
                 case Some((v, df)) if v == v0 =>
-                  df.toDF((keyNames :+ "__v" :+ "__s"): _*)
+                  (df, df.toDF((keyNames :+ "__v" :+ "__s"): _*))
                 case _ =>
                   cdPairsSeeds += 1
                   val seeded = Fixpoint.materialize(oldB
@@ -1398,12 +1444,31 @@ final class Engine(val catalog: Catalog) {
                     .groupBy((keyNames :+ "__v").map(col): _*)
                     .agg(count(lit(1)).as("__s"))).df
                   cdSeeded += seeded
-                  seeded
+                  (seeded, seeded)
               }
+              // resident-copy mode for the pairs table — same contract
+              // as the combined frame above (identity-keyed, cap-gated)
+              val pairsLocal: Option[Array[org.apache.spark.sql.Row]] =
+                if (!Engine.aggLocalSupportEnabled || aggLocalBig((name, i))) None
+                else aggLocalPairs.get((name, i)).filter(_._1 eq auxPRaw).map(_._2)
+                  .orElse {
+                    val got = Fixpoint.collectUpTo(auxP, 65536L)
+                    got match {
+                      case Some(rows) => aggLocalPairs((name, i)) = (auxPRaw, rows)
+                      case None => aggLocalBig += ((name, i))
+                    }
+                    got
+                  }
               val pairNames = keyNames :+ "__v"
               val touchedDf = keyLit(tMap.keys, auxP, pairNames)
-              val auxTouched = sideOn(auxP, touchedDf, pairNames, anti = false)
-                .limit(2050).collect()
+              val auxTouched = pairsLocal match {
+                case Some(rows) => rows.filter { row =>
+                  val p: Seq[Any] = (0 to kLen).map(j => normKey(row.get(j)))
+                  tMap.contains(p)
+                }
+                case None => sideOn(auxP, touchedDf, pairNames, anti = false)
+                  .limit(2050).collect()
+              }
               if (auxTouched.length > 2048) false
               else {
                 val sMap: Map[Seq[Any], Long] = auxTouched.map { row =>
@@ -1426,15 +1491,28 @@ final class Engine(val catalog: Catalog) {
                 }
                 if (!sane) false
                 else {
-                  cdAuxNew += (((name, i),
-                    sideOn(auxP, touchedDf, pairNames, anti = true), {
-                      val sp = catalog.spark
-                      val schema = org.apache.spark.sql.types.StructType(
-                        auxP.schema.fields.map(_.copy(nullable = true)))
-                      val rows = alive.result()
-                      sp.createDataFrame(sp.sparkContext.parallelize(rows,
-                        Fixpoint.parallelizeParts(rows.size.toLong)), schema)
-                    }))
+                  val sp = catalog.spark
+                  val schema = org.apache.spark.sql.types.StructType(
+                    auxP.schema.fields.map(_.copy(nullable = true)))
+                  val aliveRows = alive.result()
+                  cdAuxNew += (((name, i), () => pairsLocal match {
+                    case Some(copy) =>
+                      val full = copy.filterNot { row =>
+                        val p: Seq[Any] = (0 to kLen).map(j => normKey(row.get(j)))
+                        tMap.contains(p)
+                      } ++ aliveRows
+                      (sp.createDataFrame(
+                        java.util.Arrays.asList(full.toSeq: _*), schema),
+                       Some(full))
+                    case None =>
+                      val aliveLit = sp.createDataFrame(
+                        sp.sparkContext.parallelize(aliveRows,
+                          Fixpoint.parallelizeParts(aliveRows.size.toLong)), schema)
+                      (Fixpoint.materialize(
+                        sideOn(auxP, touchedDf, pairNames, anti = true)
+                          .union(aliveLit)).df,
+                       None)
+                  }))
                   true
                 }
               }
@@ -1637,10 +1715,23 @@ final class Engine(val catalog: Catalog) {
         val combSchema = org.apache.spark.sql.types.StructType(
           combined.schema.fields.map(_.copy(nullable = true)))
         val rows = newRows.result()
-        val literal = spark.createDataFrame(spark.sparkContext.parallelize(rows,
-          Fixpoint.parallelizeParts(rows.size.toLong)), combSchema)
-        val combinedOut = Fixpoint.materialize(
-          sideOn(combined, dirtyKeysDf, keyNames, anti = true).union(literal)).df
+        // resident-copy commit: untouched rows + driver-merged
+        // replacements as ONE literal frame (no support-sized action,
+        // nothing to checkpoint); distributed commit otherwise
+        val (combinedOut, combinedOutRows) = combinedLocal match {
+          case Some(copy) =>
+            val full = copy.filterNot(row =>
+              dMap.contains(keyIdx.map(i => normKey(row.get(i))).toSeq)) ++ rows
+            (spark.createDataFrame(
+              java.util.Arrays.asList(full.toSeq: _*), combSchema), Some(full))
+          case None =>
+            val literal = spark.createDataFrame(
+              spark.sparkContext.parallelize(rows,
+                Fixpoint.parallelizeParts(rows.size.toLong)), combSchema)
+            (Fixpoint.materialize(
+              sideOn(combined, dirtyKeysDf, keyNames, anti = true)
+                .union(literal)).df, None)
+        }
         // the superseded state retires with the update (combinedOut is
         // checkpoint-independent of `combined` once materialized). A
         // CARRIED table's projection was a SERVED view — results handed
@@ -1655,6 +1746,11 @@ final class Engine(val catalog: Catalog) {
         else
           graft.plans.Graveyard.buryAndDrain(Fixpoint.checkpointRddOf(combined))
         auxSupportCache(name) = (catalog.version, combinedOut)
+        combinedOutRows match {
+          case Some(full) =>
+            aggLocalSupport(name) = (combinedOut, full); aggLocalRounds += 1
+          case None => aggLocalSupport.remove(name)
+        }
         // a displaced STALE support table (left in place by an earlier
         // fallback round) was served too — same grace-window retirement,
         // unless its checkpoint still backs the CURRENT view, which must
@@ -1665,8 +1761,12 @@ final class Engine(val catalog: Catalog) {
               graft.plans.Graveyard.buryAndDrain(Some(s)) } }
         // commit the updated pairs tables the same way
         val vNow = catalog.version
-        cdAuxNew.result().foreach { case (key, keptPairs, aliveLit) =>
-          val out = Fixpoint.materialize(keptPairs.union(aliveLit)).df
+        cdAuxNew.result().foreach { case (key, build) =>
+          val (out, localRows) = build()
+          localRows match {
+            case Some(rows) => aggLocalPairs(key) = (out, rows)
+            case None => aggLocalPairs.remove(key)
+          }
           auxPairsCache.put(key, (vNow, out)).foreach { case (_, old) =>
             if (!(old eq out))
               Fixpoint.checkpointRddOf(old).foreach(_.unpersist(false))

@@ -644,6 +644,11 @@ class EngineSpec extends SparkSpec {
     assert(rows(e.run("?tot(D, C, S)").last) == Set(Seq("eng", 2L, 12L)))
     assert(e.aggDecrementCount == d1 + 1 && e.auxSupportSeeds == s0 + 1,
       "conditional delete should decrement on the carried table")
+    // this support table is far under the resident-copy cap, so every
+    // riding round should have committed via the driver copy (a literal
+    // support frame, no support-sized Spark action)
+    assert(e.aggLocalRounds >= 2,
+      "riding rounds should commit through the resident support copy")
   }
 
   test("avg deletes decrement through the carried sum/count support table") {
