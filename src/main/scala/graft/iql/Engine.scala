@@ -265,11 +265,18 @@ final class Engine(val catalog: Catalog) {
     auxSupportCache.remove(view).foreach { case (_, df) => bury(df) }
     rankLocalBuf.remove(view) // driver copies of the evicted state
     aggLocalSupport.remove(view)
-    aggLocalBig.remove(view)
     auxPairsCache.keysIterator.filter(_._1 == view).toSeq.foreach { k =>
       auxPairsCache.remove(k).foreach { case (_, df) => bury(df) }
-      aggLocalPairs.remove(k)
-      aggLocalBig.remove(k) }
+      aggLocalPairs.remove(k) }
+    // sweep ALL of the view's over-cap markers (support, every pairs
+    // column — cached or not — and the rank buffer): a marker left from
+    // a bailed seeding round would otherwise outlive re-registration
+    // with smaller data
+    aggLocalBig.filterInPlace {
+      case s: String => s != view
+      case (s: String, _) => s != view
+      case _ => true
+    }
   }
   /** Dependency invalidation for session rule/fact changes naming ONE
     * relation: only cached views whose rule closure (over the
@@ -1935,6 +1942,8 @@ final class Engine(val catalog: Catalog) {
         // displaced by this commit — grace-window retirement
         auxSupportCache.put(name, (catalog.version, seedMat))
           .foreach { case (_, old) => retireSuperseded(old) }
+        rankLocalBuf.remove(name) // a reseed invalidates the driver copy
+        aggLocalBig.remove(("rank", name)) // ...and may have shrunk it
         rankBufferSeeds += 1
         rankDecrementCount += 1
         return Some(expand(seedMat))
@@ -1994,9 +2003,14 @@ final class Engine(val catalog: Catalog) {
         if (!sortIdx.forall(i => ordOk(named.schema(i).dataType))) return None
         if (!cols.indices.forall(i => keyOk(named.schema(i).dataType))) return None
         if (remLit.exists(_._2 < 0L) || insLit.exists(_._2 < 0L)) return None
+        if (aggLocalBig(("rank", name))) return None // buffer once over cap
         val bufRows: Array[org.apache.spark.sql.Row] =
           rankLocalBuf.get(name).filter(_._1 eq buf0).map(_._2).getOrElse {
-            Fixpoint.collectUpTo(buf0, 65536L).getOrElse(return None)
+            Fixpoint.collectUpTo(buf0, 65536L).getOrElse {
+              // memoized so later rounds skip the wasted probe (a
+              // reseed clears it — the one event that can shrink it)
+              aggLocalBig += (("rank", name)); return None
+            }
           }
         val nc = cols.length
         // Spark normalizes -0.0 to 0.0 in grouping and ordering — boxed
@@ -2156,12 +2170,18 @@ final class Engine(val catalog: Catalog) {
         }
         val outBufRows = mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
         val servedRows = mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+        // the served expansion is duplicated per multiplicity — bound it
+        // (sum over groups of min(k, tot)) or a high-k many-group view
+        // would materialize the whole expansion as driver rows where the
+        // distributed expand() runs as a lazy executor-side explode
+        object ServeCap extends scala.util.control.ControlThrowable
         def emit(rows: Iterator[(Vector[Any], Long, Long)]): Unit = {
           var start = 0L
           rows.foreach { case (key, n1, t) =>
             outBufRows += org.apache.spark.sql.Row.fromSeq(key ++ Seq(n1, t))
             if (start < k) {
               var j = math.min(n1, k - start)
+              if (servedRows.length + j > 262144L) throw ServeCap
               while (j > 0L) {
                 servedRows += org.apache.spark.sql.Row.fromSeq(key); j -= 1
               }
@@ -2169,7 +2189,7 @@ final class Engine(val catalog: Catalog) {
             start += n1
           }
         }
-        allG.foreach { g =>
+        try allG.foreach { g =>
           if (refillG(g))
             // refilled slice replaces the group's kept rows wholesale —
             // its __n/__tot are the fresh post-change values
@@ -2185,7 +2205,7 @@ final class Engine(val catalog: Catalog) {
                 .map { case (key, n1) => (key, n1, t) })
             }
           }
-        }
+        } catch { case ServeCap => return None } // expansion too big: distributed
         val bufSchema = StructType(buf0.schema.fields.map(_.copy(nullable = true)))
         val servedSchema = StructType(named.schema.fields.map(_.copy(nullable = true)))
         val bufDf = spark.createDataFrame(
@@ -2358,6 +2378,7 @@ final class Engine(val catalog: Catalog) {
         // view — grace-window retirement, same as the agg support table
         retireSuperseded(buf0)
         auxSupportCache(name) = (catalog.version, outBuf)
+        rankLocalBuf.remove(name) // driver copy of the displaced buffer
         rankDecrementCount += 1
         committed = true
         Some(expand(outBuf))

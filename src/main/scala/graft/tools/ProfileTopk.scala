@@ -16,18 +16,6 @@ object ProfileTopk {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    @volatile var trace = false
-    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        if (trace) {
-          val si = js.stageInfos
-          val nm = si.headOption.map(_.name).getOrElse("?")
-          val det = si.headOption.map(_.details).getOrElse("")
-          val caller = det.linesIterator.filter(_.contains("graft."))
-            .take(3).map(_.trim).mkString(" <- ")
-          println(s"[job ${js.jobId}] stages=${si.length} rows?} $nm | $caller")
-        }
-    })
     def phase[A](name: String)(body: => A): A = {
       val tracker = spark.sparkContext.statusTracker
       val j0 = tracker.getJobIdsForGroup(null).length

@@ -863,4 +863,116 @@ class MaintenanceFuzzSpec extends SparkSpec {
       }
     }
   }
+
+  test("top_k decrement with numeric outs rides the DRIVER-LOCAL round") {
+    // the string-out fuzz above exercises the distributed merge algebra
+    // (strings can't sort in the driver compare); this numeric-out twin
+    // covers the local riding round — multiplicities, boundary compares,
+    // group death, and the collected refill — against fresh recompute
+    val rng = new Random(20260916L)
+    var localRides = 0L
+    (1 to 6).foreach { c =>
+      val groups = Seq(1L, 2L)
+      val xDom = if (c % 2 == 0) 6 else 40
+      var nextId = 0
+      val live = scala.collection.mutable.ArrayBuffer.empty[String]
+      def mkTuple(): String = {
+        nextId += 1
+        s"($nextId, ${groups(rng.nextInt(groups.size))}, ${rng.nextInt(3)}, ${rng.nextInt(xDom)})"
+      }
+      def insBatch(n: Int): String = (0 until n).map { _ =>
+        val t = mkTuple(); live += t; t
+      }.mkString(",")
+      val rule = "+v(G, top_k<2, N, X:desc>) <- t(I, G, N, X)\n"
+      def bag(e: Engine): Map[Seq[Any], Int] =
+        e.run("?v(G, N, X)").last.collect().toSeq.map(_.toSeq)
+          .groupBy(identity).view.mapValues(_.size).toMap
+      val e1 = new Engine(new Catalog(spark))
+      e1.run(s"+t[${insBatch(10 + rng.nextInt(8))}]\n$rule")
+      e1.run("?v(G, N, X)")
+      (0 until 3 + rng.nextInt(3)).foreach { round =>
+        val nDel = math.min(live.size, rng.nextInt(5))
+        val dels = scala.collection.mutable.ArrayBuffer.empty[String]
+        (0 until nDel).foreach { _ =>
+          val i = rng.nextInt(live.size)
+          dels += live.remove(i)
+        }
+        if (rng.nextBoolean()) dels += "(9999, 1, 0, 0)" // phantom
+        val stmts = Seq.newBuilder[String]
+        if (dels.nonEmpty) stmts += s"-t[${dels.mkString(",")}]"
+        if (rng.nextBoolean()) stmts += s"+t[${insBatch(1 + rng.nextInt(3))}]"
+        val prog = stmts.result().mkString("\n")
+        if (prog.nonEmpty) e1.run(prog)
+        val maintained = bag(e1)
+        val expected =
+          if (live.isEmpty) Map.empty[Seq[Any], Int]
+          else {
+            val e2 = new Engine(new Catalog(spark))
+            e2.run(s"+t[${live.mkString(",")}]\n$rule")
+            bag(e2)
+          }
+        assert(maintained == expected,
+          s"case $c round $round diverged; live=$live")
+      }
+      localRides += e1.rankLocalRides
+    }
+    assert(localRides > 0L, "no case ever took the local riding round")
+  }
+
+  test("sum/count/cd decrement with local fast paths DISABLED (distributed algebra)") {
+    // the small numeric fixtures above all fit the resident-copy caps,
+    // so without this pin the distributed support/pairs update (the
+    // production path for big supports) would run in zero tests
+    Engine.aggLocalSupportEnabled = false
+    Engine.rankLocalRideEnabled = false
+    try {
+      val rng = new Random(20260917L)
+      (1 to 4).foreach { c =>
+        val groups = Seq("a", "b", "c")
+        var nextId = 0
+        val live = scala.collection.mutable.ArrayBuffer.empty[String]
+        def mkTuple(): String = {
+          nextId += 1
+          s"""($nextId, "${groups(rng.nextInt(groups.size))}", ${rng.nextInt(5)})"""
+        }
+        def insBatch(n: Int): String = (0 until n).map { _ =>
+          val t = mkTuple(); live += t; t
+        }.mkString(",")
+        val rule = "+v(G, sum<X>, count<X>, count_distinct<X>) <- t(I, G, X)\n"
+        val e1 = new Engine(new Catalog(spark))
+        e1.run(s"+t[${insBatch(8 + rng.nextInt(6))}]\n$rule")
+        e1.run("?v(G, S, C, D)")
+        val decStart = e1.aggDecrementCount
+        (0 until 3).foreach { round =>
+          val nDel = math.min(live.size, rng.nextInt(4))
+          val dels = scala.collection.mutable.ArrayBuffer.empty[String]
+          (0 until nDel).foreach { _ =>
+            val i = rng.nextInt(live.size)
+            dels += live.remove(i)
+          }
+          val stmts = Seq.newBuilder[String]
+          if (dels.nonEmpty) stmts += s"-t[${dels.mkString(",")}]"
+          if (rng.nextBoolean()) stmts += s"+t[${insBatch(1 + rng.nextInt(3))}]"
+          val prog = stmts.result().mkString("\n")
+          if (prog.nonEmpty) e1.run(prog)
+          val maintained = rows(e1.run("?v(G, S, C, D)").last)
+          val expected =
+            if (live.isEmpty) Set.empty[Seq[Any]]
+            else {
+              val e2 = new Engine(new Catalog(spark))
+              e2.run(s"+t[${live.mkString(",")}]\n$rule")
+              rows(e2.run("?v(G, S, C, D)").last)
+            }
+          assert(maintained == expected,
+            s"case $c round $round diverged; live=$live")
+        }
+        assert(e1.aggLocalRounds == 0L, "local mode must stay off under the flag")
+        assert(e1.aggDecrementCount > decStart,
+          s"case $c never took the subtractable decrement path")
+      }
+    } finally {
+      Engine.aggLocalSupportEnabled = true
+      Engine.rankLocalRideEnabled = true
+    }
+  }
 }
