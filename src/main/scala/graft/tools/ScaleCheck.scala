@@ -272,7 +272,9 @@ object ScaleCheck {
       negProbe(60000L) // warm (codegen, first-plan costs)
       val (t1, n1) = negProbe(60000L)
       val (t10, n10) = negProbe(600000L)
-      val entry = Entry("neg_retract_requery", "scan", t1, t10, n1, n10)
+      // output-sensitive: nview (I % 997 filter over the base) grows
+      // ~10x with the base, and each round's count() re-collects it
+      val entry = Entry("neg_retract_requery", "output-sensitive", t1, t10, n1, n10)
       println(entry.json)
       entries += entry
     } catch {
