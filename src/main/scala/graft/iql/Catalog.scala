@@ -580,11 +580,17 @@ final class Catalog(val spark: SparkSession) {
   private val overlays = mutable.HashMap.empty[String, Overlay]
   private val OverlayCap = 4096
   /** Driver-memory backstop for big/unknown-size bases that never hit
-    * the small-base compaction gate: past this many buffered rows the
-    * base compacts anyway (localCheckpoint spills through
-    * MEMORY_AND_DISK). A mask this size still broadcasts at ~tens of
-    * MB, so plan SHAPE was never the issue — only buffer growth. */
-  private val OverlayHardCap = 1 << 20
+    * the small-base compaction gate: past this cap the base compacts
+    * anyway (localCheckpoint spills through MEMORY_AND_DISK). The cap
+    * is BYTE-aware, not a fixed row count — 2^20 narrow rows broadcast
+    * at ~tens of MB, but the same count of wide rows (embedding
+    * vectors, long strings) would hold GBs in the driver buffers and
+    * the broadcast mask long before a row-count cap fired. Budget
+    * ~128 MB of schema-estimated width, clamped to [2^14, 2^20] rows. */
+  private def overlayHardCap(schema: StructType): Int = {
+    val width = math.max(16L, schema.defaultSize.toLong)
+    math.min(1L << 20, math.max(1L << 14, (128L << 20) / width)).toInt
+  }
   /** Buffer key for a typed literal row: value sequence with -0.0
     * folded to 0.0, recursively through array values (the plan-side
     * anti join compares with `<=>`, whose float normalization also
@@ -645,7 +651,7 @@ final class Catalog(val spark: SparkSession) {
     // periodic distributed rewrite job, not an inline one.
     val buffered = o.ins.size + o.del.size
     val smallBase = sizeSignal(name).exists(_ <= 1000000L)
-    if (buffered > OverlayCap && (smallBase || buffered > OverlayHardCap)) {
+    if (buffered > OverlayCap && (smallBase || buffered > overlayHardCap(schema))) {
       val compacted = plan.localCheckpoint(true)
       if (o.ownsBase)
         graft.plans.Graveyard.buryAndDrain(

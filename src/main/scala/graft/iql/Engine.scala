@@ -265,6 +265,7 @@ final class Engine(val catalog: Catalog) {
     auxSupportCache.remove(view).foreach { case (_, df) => bury(df) }
     rankLocalBuf.remove(view) // driver copies of the evicted state
     aggLocalSupport.remove(view)
+    globalAggNN.remove(view)
     auxPairsCache.keysIterator.filter(_._1 == view).toSeq.foreach { k =>
       auxPairsCache.remove(k).foreach { case (_, df) => bury(df) }
       aggLocalPairs.remove(k) }
@@ -381,6 +382,14 @@ final class Engine(val catalog: Catalog) {
   private val aggLocalBig = mutable.HashSet.empty[Any]
   /** Observability: subtractable rounds committed via the resident copy. */
   private[graft] var aggLocalRounds: Long = 0L
+  /** Per-view NON-NULL contributor counts for GLOBAL (key-less) sum
+    * views, version-stamped — decides the sum-goes-null transition the
+    * cached single row can't see (the grouped analogue carries `__nn`
+    * on the support table). Seeded from the post-change body on the
+    * first decrement round, then moved in lockstep with the count
+    * (deltas are null-free by the side-aggregate bail). */
+  private val globalAggNN =
+    mutable.HashMap.empty[String, (Long, Map[Int, Long])]
   /** Views whose first tiny-literal-delete round took the dirty-group
     * path instead of seeding a support table (the 2-competitive seed
     * deferral in [[maintainAggSubtractable]]) — a second such round
@@ -2399,12 +2408,18 @@ final class Engine(val catalog: Catalog) {
       * zero row) and bails on observed nulls, f64 sums (in-place f64
       * subtraction drifts), min/max (a dead extremum needs a runner-up),
       * avg, and count_distinct. */
-    private def maintainGlobalAggDecrement(r: Rule, cols: Seq[String],
+    private object GlobalBail extends scala.util.control.ControlThrowable
+
+    private def maintainGlobalAggDecrement(name: String, r: Rule,
+        cols: Seq[String],
         aggSpecs: Seq[(String, Int)], changedOccs: Seq[Int],
         deltaOf: Map[String, DataFrame], removedOf: Map[String, DataFrame],
-        cached: DataFrame): Option[DataFrame] = {
+        cached: DataFrame, v0: Long): Option[DataFrame] = {
       import org.apache.spark.sql.types.{LongType, StructType}
       if (changedOccs.size != 1) return None
+      // EDB facts unioned into the head would be mistaken for the
+      // aggregate row by the single-row arithmetic — recompute
+      if (baseOf(name).isDefined) return None
       val named = cached.toDF(cols: _*)
       if (!aggSpecs.forall { case (f, i) =>
         f == "count" || (f == "sum" && named.schema(i).dataType == LongType)
@@ -2424,49 +2439,98 @@ final class Engine(val catalog: Catalog) {
       if (oldRows.length > 1) return None
       val old = oldRows.headOption
       val oldN = old.map(_.getLong(countIdx)).getOrElse(0L)
-      if (old.exists(row => sumArgOf.keys.exists(row.isNullAt)))
-        return None // an all-null sum history is not arithmetic-decrementable
+      // the aggregate's view of a sum arg — exactly what sum() compiled
+      // over (any-typed columns go through the numeric projection; its
+      // nulls are what the aggregate skipped)
+      def convOf(i: Int, b: DataFrame): Column = {
+        val c0 = RuleCompiler.term(sumArgOf(i), b)
+        val dt = try Some(b.select(c0).schema.head.dataType)
+          catch { case _: Throwable => None }
+        if (dt.exists(AnyValue.isAny)) AnyValue.asLong(c0)
+        else if (dt.forall(_.isInstanceOf[org.apache.spark.sql.types.NumericType]))
+          c0.cast("long")
+        else throw GlobalBail
+      }
       // one delta-sized aggregate per change side: row count plus, per
       // sum column, its total and its non-null contributor count (a
       // null anywhere makes the subtraction inexact — bail)
       val sumIdx = sumArgOf.keys.toSeq.sorted
-      def sideAgg(bound: DataFrame): Option[(Long, Map[Int, (Long, Long)])] = {
+      def sideAgg(bound: DataFrame): Option[(Long, Map[Int, Long])] = {
         val b = RuleCompiler.compileBody(r.body,
           RuleCompiler.bindOccurrence(r, changedOccs.head, bound,
             (nm, ar) => resolve(nm, ar)),
           hnswFrame, catalog.statRows)
         val aggs = count(lit(1)).as("__n") +: sumIdx.flatMap { i =>
-          val c = RuleCompiler.term(sumArgOf(i), b)
-          Seq(coalesce(sum(c.cast("long")), lit(0L)).as(s"__s$i"),
-            count(c).as(s"__c$i"))
+          val c = convOf(i, b)
+          Seq(coalesce(sum(c), lit(0L)).as(s"__s$i"), count(c).as(s"__c$i"))
         }
         val row = b.agg(aggs.head, aggs.tail: _*).collect().head
         val n = row.getLong(0)
         val sums = sumIdx.zipWithIndex.map { case (i, j) =>
-          i -> (row.getLong(1 + 2 * j), row.getLong(2 + 2 * j))
+          i -> row.getLong(1 + 2 * j)
         }.toMap
-        if (sums.values.exists(_._2 != n)) None else Some((n, sums))
+        val nn = sumIdx.zipWithIndex.map { case (i, j) =>
+          i -> row.getLong(2 + 2 * j)
+        }
+        if (nn.exists(_._2 != n)) None else Some((n, sums))
       }
-      val rm = removedOf.get(changedRel).map(f => sideAgg(f).getOrElse(return None))
-      val ins = deltaOf.get(changedRel).map(f => sideAgg(f).getOrElse(return None))
-      if (rm.isEmpty && ins.isEmpty) return Some(cached)
-      val newN = oldN + ins.map(_._1).getOrElse(0L) - rm.map(_._1).getOrElse(0L)
-      if (newN < 0L) return None // contract breach → recompute
-      val spark = catalog.spark
-      val schema = StructType(named.schema.fields.map(_.copy(nullable = true)))
-      aggDecrementCount += 1
-      if (newN == 0L)
-        return Some(spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
-      val vals = cols.indices.map { i =>
-        if (sumArgOf.contains(i)) {
-          val oldS = old.map(_.getLong(i)).getOrElse(0L)
-          oldS + ins.map(_._2(i)._1).getOrElse(0L) - rm.map(_._2(i)._1).getOrElse(0L)
-        } else newN // every non-sum head column is a count (guarded above)
-      }
-      Some(spark.createDataFrame(
-        spark.sparkContext.parallelize(
-          Seq(org.apache.spark.sql.Row.fromSeq(vals)), 1), schema))
+      def restampNN(): Unit =
+        globalAggNN.get(name).foreach { case (v, m) =>
+          if (v == v0) globalAggNN(name) = (catalog.version, m) }
+      try {
+        val rm = removedOf.get(changedRel).map(f => sideAgg(f).getOrElse(return None))
+        val ins = deltaOf.get(changedRel).map(f => sideAgg(f).getOrElse(return None))
+        if (rm.isEmpty && ins.isEmpty) { restampNN(); return Some(cached) }
+        val newN = oldN + ins.map(_._1).getOrElse(0L) - rm.map(_._1).getOrElse(0L)
+        if (newN < 0L) return None // contract breach → recompute
+        // NON-NULL CONTRIBUTOR counts per sum column — what decides the
+        // sum-goes-null transition (a sum whose last non-null
+        // contributor left must serve NULL, which the cached value alone
+        // can't see). Carried forward version-stamped; seeded from the
+        // CURRENT (post-change) body with one aggregate whose row count
+        // doubles as a consistency check. Deltas are null-free by the
+        // sideAgg bail, so nn moves in lockstep with n.
+        val nn: Map[Int, Long] = globalAggNN.get(name)
+          .filter(_._1 == v0).map { case (_, m) =>
+            m.map { case (i, v) => i -> (v + (newN - oldN)) }
+          }.getOrElse {
+            if (sumIdx.isEmpty) Map.empty[Int, Long]
+            else {
+              val b = RuleCompiler.compileBody(r.body,
+                (nm, ar) => resolve(nm, ar), hnswFrame, catalog.statRows)
+              val aggs = count(lit(1)).as("__n") +:
+                sumIdx.map(i => count(convOf(i, b)).as(s"__c$i"))
+              val row = b.agg(aggs.head, aggs.tail: _*).collect().head
+              if (row.getLong(0) != newN) return None // view out of sync
+              sumIdx.zipWithIndex.map { case (i, j) =>
+                i -> row.getLong(1 + j) }.toMap
+            }
+          }
+        if (nn.values.exists(v => v < 0L || v > newN)) return None
+        val spark = catalog.spark
+        val schema = StructType(named.schema.fields.map(_.copy(nullable = true)))
+        aggDecrementCount += 1
+        globalAggNN(name) = (catalog.version, nn)
+        if (newN == 0L)
+          return Some(spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+        val vals = cols.indices.map { i =>
+          if (sumArgOf.contains(i)) {
+            if (nn(i) == 0L) null // no non-null contributors remain
+            else {
+              // a NULL old sum means zero non-null contributors then —
+              // its value contribution is exactly 0
+              val oldS = old.map(o =>
+                if (o.isNullAt(i)) 0L else o.getLong(i)).getOrElse(0L)
+              (oldS + ins.map(_._2(i)).getOrElse(0L) -
+                rm.map(_._2(i)).getOrElse(0L)): java.lang.Long
+            }
+          } else (newN: java.lang.Long) // non-sum head columns are counts
+        }
+        Some(spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            Seq(org.apache.spark.sql.Row.fromSeq(vals)), 1), schema))
+      } catch { case GlobalBail => None }
     }
 
     private def tryMaintain(name: String): Option[DataFrame] = {
@@ -2508,7 +2572,20 @@ final class Engine(val catalog: Catalog) {
       // derivations appeared or vanished in ways the delta algebra
       // can't see — recompute; heads outside the closure are invisible
       if (ruleChanges.exists(rc => deps(rc.rel.stripPrefix("rule:")))) return None
-      if ((deps & changedRels0).isEmpty) return Some(cached) // untouched: still valid
+      if ((deps & changedRels0).isEmpty) {
+        // untouched: still valid. Re-stamp the carried maintenance state
+        // alongside the view (cachePut moves it to the new version) —
+        // stranded at v0 it would read stale on the next REAL round and
+        // force a full-body reseed of the buffer/support tables
+        auxSupportCache.get(name).foreach { case (v, df) =>
+          if (v == v0) auxSupportCache(name) = (catalog.version, df) }
+        auxPairsCache.keysIterator.filter(_._1 == name).toSeq.foreach { k =>
+          auxPairsCache.get(k).foreach { case (v, df) =>
+            if (v == v0) auxPairsCache(k) = (catalog.version, df) } }
+        globalAggNN.get(name).foreach { case (v, m) =>
+          if (v == v0) globalAggNN(name) = (catalog.version, m) }
+        return Some(cached)
+      }
       val scc = Stratifier.sccOf(rules).getOrElse(name, Set(name))
       // mutual recursion is maintained SCC-jointly, so every member's
       // cache must exist at the SAME version — mixed-version snapshots
@@ -2564,6 +2641,7 @@ final class Engine(val catalog: Catalog) {
         // the plain-head path uses below).
         val groupedHandleable = (rankHead || aggHead) &&
           sccRules.size == 1 && scc.size == 1 && !bodyRels.contains(name) &&
+          baseOf(name).isEmpty && // EDB facts in the head: dirty rows would drop them
           negChanged.forall(n => !bodyRels.contains(n) &&
             (if (byHead.contains(n))
                !scc(n) && cacheLatest(n).exists(_._1 == v0)
@@ -2837,6 +2915,18 @@ final class Engine(val catalog: Catalog) {
         Some(Fixpoint.materialize(clean.union(dirtyNew)).df)
       }
 
+      // 2-competitive seed-deferral signal, shared by the rank-buffer
+      // and aggregate-support paths: a round driven solely by tiny
+      // LITERAL deletes (catalog-log removals only — an injected
+      // derived-rel removal binds a body over a cached view frame,
+      // where seeding is cheap) over big/unknown-size bases doesn't
+      // amortize a first-round seed pass
+      lazy val tinyLiteralRound = hasRemovals0 && changes.forall(c =>
+        c.removed == null ||
+          (c.removedLiteralRows >= 0 && c.removedLiteralRows <= 64)) &&
+        changes.iterator.filter(_.removed != null).map(_.rel).toSet
+          .forall(rel => !catalog.sizeSignal(rel).exists(_ <= 20000))
+
       if (rankHead) {
         // RANKING-view maintenance: under pure inserts a top-k window
         // only ADMITS rows — an evicted row can never re-enter — so the
@@ -2852,6 +2942,9 @@ final class Engine(val catalog: Catalog) {
         // dirty recomputation; recursion recomputes.
         if (isRecursive || sccRules.size != 1 || changedRels(name))
           return None
+        // EDB facts unioned into the head: the buffer/delta algebra
+        // re-derives from the rule body alone and would drop them
+        if (baseOf(name).isDefined) return None
         val r = sccRules.head
         val rank = r.head.args.collectFirst { case rk: Rank => rk }.get
         val changedOccs = r.body.zipWithIndex.collect {
@@ -2897,17 +2990,9 @@ final class Engine(val catalog: Catalog) {
         }
         if (changedOccs.size == 1 && rank.func != "within_radius" &&
             (relRemoved.nonEmpty || bufferLive)) {
-          // same 2-competitive seed-deferral signal as the agg path
-          // catalog-log removals only: an INJECTED derived-rel removal
-          // binds a body over a cached view frame, where seeding is cheap
-          val tinyLiteral = hasRemovals0 && changes.forall(c =>
-            c.removed == null ||
-              (c.removedLiteralRows >= 0 && c.removedLiteralRows <= 64)) &&
-            changes.iterator.filter(_.removed != null).map(_.rel).toSet
-              .forall(rel => !catalog.sizeSignal(rel).exists(_ <= 20000))
           maintainRankBuffered(name, r, rank, cols, groupIdx, outIdx,
             orderIdx, changedOccs.head, changedRel, deltaOf, removedExactOf,
-            cached, v0, tinyLiteralRound = tinyLiteral) match {
+            cached, v0, tinyLiteralRound = tinyLiteralRound) match {
             case Some(df) => return Some(df)
             case None => ()
           }
@@ -3212,6 +3297,9 @@ final class Engine(val catalog: Catalog) {
         // DIRTY-GROUP maintenance instead of full recompute.
         if (sccRules.length != 1 || isRecursive || changedRels(name))
           return None
+        // EDB facts unioned into the head: the merge/decrement algebra
+        // treats cached rows as pure rule aggregates — recompute instead
+        if (baseOf(name).isDefined) return None
         val r = sccRules.head
         val aggSpecs = r.head.args.zipWithIndex.collect { case (Agg(f, _), i) => (f, i) }
         val changedOccs = r.body.zipWithIndex.collect {
@@ -3239,16 +3327,9 @@ final class Engine(val catalog: Catalog) {
           // amortize a first-round seed (see the gate in
           // maintainAggSubtractable); literal-built small bases and any
           // round with a carried table are unaffected
-          // catalog-log removals only: an INJECTED derived-rel removal
-          // binds a body over a cached view frame, where seeding is cheap
-          val tinyLiteral = hasRemovals0 && changes.forall(c =>
-            c.removed == null ||
-              (c.removedLiteralRows >= 0 && c.removedLiteralRows <= 64)) &&
-            changes.iterator.filter(_.removed != null).map(_.rel).toSet
-              .forall(rel => !catalog.sizeSignal(rel).exists(_ <= 20000))
           maintainAggSubtractable(name, r, cols, aggSpecs, keyIdxAll,
             changedOccs, changedRels, deltaOf, removedExactOf, cached, v0,
-            tinyLiteralRound = tinyLiteral) match {
+            tinyLiteralRound = tinyLiteralRound) match {
             case Some(df) => return Some(df)
             case None =>
               // outside the subtractable contract: fall back. The
@@ -3262,8 +3343,9 @@ final class Engine(val catalog: Catalog) {
               // point, where the superseded view is provably dead).
               if (hasRemovals) {
                 if (keyIdxAll.isEmpty)
-                  maintainGlobalAggDecrement(r, cols, aggSpecs, changedOccs,
-                    deltaOf, removedExactOf, cached).foreach(df => return Some(df))
+                  maintainGlobalAggDecrement(name, r, cols, aggSpecs,
+                    changedOccs, deltaOf, removedExactOf, cached, v0)
+                    .foreach(df => return Some(df))
                 return dirtyGroupMaintain(r, keyIdxAll)
               }
           }

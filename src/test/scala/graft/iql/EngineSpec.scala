@@ -2060,4 +2060,65 @@ class EngineSpec extends SparkSpec {
     val n = df.queryExecution.optimizedPlan.collect { case p => p }.size
     assert(n < 20, s"literal churn stacked the live plan: $n nodes")
   }
+
+  test("global sum goes NULL when its last non-null contributor is deleted") {
+    // the view's single row can't see the transition — the carried
+    // non-null contributor count (globalAggNN) decides it; serving 0
+    // where a fresh recompute gives NULL was the round-12 review bug
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val cat = new Catalog(spark)
+    val e = new Engine(cat)
+    val schema = StructType(Seq(StructField("i", LongType), StructField("s", LongType)))
+    cat.register("gnn", spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, 5L), Row(2L, null)), schema))
+    e.run("+gv(sum<S>, count<S>) <- gnn(I, S)")
+    assert(rows(e.run("?gv(S, C)").last) == Set(Seq(5L, 2L)))
+    val d0 = e.aggDecrementCount
+    e.run("-gnn[(1, 5)]")
+    assert(rows(e.run("?gv(S, C)").last) == Set(Seq(null, 1L)),
+      "sum must go NULL with only null contributors left")
+    assert(e.aggDecrementCount == d0 + 1, "should decrement, not recompute")
+  }
+
+  test("maintenance preserves EDB facts unioned into agg/rank rule heads") {
+    // the buffer/decrement algebra re-derives from the rule body alone;
+    // a head relation that ALSO holds literal facts must fall back to
+    // recomputation or the facts vanish from the served view
+    val e = new Engine(new Catalog(spark))
+    e.run("+tf[(1, 10), (2, 20), (3, 30), (4, 40)]")
+    e.run("+vf(top_k<2, I, S:desc>) <- tf(I, S)")
+    e.run("+vf[(99, 999)]") // literal fact in the rule-headed relation
+    e.run("-tf[(4, 40)]")
+    assert(rows(e.run("?vf(I, S)").last) ==
+      Set(Seq(99L, 999L), Seq(3L, 30L), Seq(2L, 20L)),
+      "the literal fact must survive the delete round")
+    e.run("+tg[(1, 10), (2, 20)]")
+    e.run("+gg(sum<S>, count<S>) <- tg(I, S)")
+    e.run("+gg[(999, 999)]")
+    e.run("-tg[(1, 10)]")
+    assert(rows(e.run("?gg(S, C)").last) ==
+      Set(Seq(999L, 999L), Seq(20L, 1L)))
+  }
+
+  test("an untouched-relation round re-stamps the carried support state") {
+    // a change to an unrelated relation must not strand the support
+    // table at the old version — the next delete round would reseed
+    // with a full body pass
+    val e = new Engine(new Catalog(spark))
+    e.run("+emp9[(1, 10), (2, 20), (3, 30)]")
+    e.run("+tot9(sum<S>, count<S>) <- emp9(I, S)\n" +
+      "+vt9(D, sum<S>, count<S>) <- emp9(D, S)")
+    e.run("?vt9(D, S, C)")
+    val s0 = e.auxSupportSeeds
+    e.run("-emp9[(1, 10)]") // seeds the support table
+    e.run("?vt9(D, S, C)")
+    assert(e.auxSupportSeeds == s0 + 1)
+    e.run("+unrel9[(1)]") // untouched round for vt9
+    e.run("?vt9(D, S, C)")
+    e.run("-emp9[(2, 20)]") // must RIDE, not reseed
+    assert(rows(e.run("?vt9(D, S, C)").last) == Set(Seq(3L, 30L, 1L)))
+    assert(e.auxSupportSeeds == s0 + 1,
+      "unrelated change must not force a support reseed")
+  }
 }
