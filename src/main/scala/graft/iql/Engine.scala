@@ -947,15 +947,21 @@ final class Engine(val catalog: Catalog) {
       // column-type contract: counts i64; sums i64 (view-value
       // subtractable) or f64 (decimal-carried); avg f64 (derived from a
       // decimal-carried sum + the non-null contributor count); min/max
-      // i64 or f64 (the top-2 carry compares driver-side, and
-      // Long.compare / Double.compare match Spark's orderings — other
-      // types bail to dirty-group)
+      // i64, f64, or STRING (the top-2 carry compares driver-side —
+      // Long.compare / Double.compare match Spark's orderings, and
+      // strings compare as unsigned UTF-8 bytes, which IS Spark's
+      // binary string order where Java's compareTo is UTF-16 code-unit
+      // order — other types bail to dirty-group)
       if (aggSpecs.exists { case (f, i) =>
         val dt = named.schema(i).dataType
         f match {
-          case "sum" | "min" | "max" =>
+          case "sum" =>
             dt != org.apache.spark.sql.types.LongType &&
               dt != org.apache.spark.sql.types.DoubleType
+          case "min" | "max" =>
+            dt != org.apache.spark.sql.types.LongType &&
+              dt != org.apache.spark.sql.types.DoubleType &&
+              dt != org.apache.spark.sql.types.StringType
           case "avg" => dt != org.apache.spark.sql.types.DoubleType
           case _ => dt != org.apache.spark.sql.types.LongType
         } }) return None
@@ -1599,6 +1605,20 @@ final class Engine(val catalog: Catalog) {
                     java.lang.Long.compare(x, y)
                   case (x: java.lang.Double, y: java.lang.Double) =>
                     java.lang.Double.compare(x, y)
+                  case (x: String, y: String) =>
+                    // Spark orders strings as unsigned UTF-8 bytes;
+                    // String.compareTo (UTF-16 code units) disagrees for
+                    // supplementary characters vs U+E000..U+FFFF
+                    val xa = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+                    val ya = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+                    val n2 = math.min(xa.length, ya.length)
+                    var j = 0; var r = 0
+                    while (r == 0 && j < n2) {
+                      r = java.lang.Integer.compare(xa(j) & 0xff, ya(j) & 0xff)
+                      j += 1
+                    }
+                    if (r != 0) r
+                    else java.lang.Integer.compare(xa.length, ya.length)
                   case _ => 0
                 }
                 if (f == "min") c else -c

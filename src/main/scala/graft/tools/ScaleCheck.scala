@@ -236,6 +236,8 @@ object ScaleCheck {
       "+mmm(D, min<S>, max<S>, count<S>) <- mbase(I, D, S)", "?mmm(D, L, H, C)")
     probeMaintenance("topk_retract_requery",
       "+mtk(D, top_k<3, I, S:desc>) <- mbase(I, D, S)", "?mtk(D, I, S)")
+    probeMaintenance("globalagg_retract_requery",
+      "+mg(sum<S>, count<S>) <- mbase(I, D, S)", "?mg(S, C)")
 
     // ---- negation-driven maintenance (q189's shape at scale) ----
     // The view negates a DERIVED relation; each round's mixed batch

@@ -1061,24 +1061,28 @@ class EngineSpec extends SparkSpec {
 
   test("displaced view materializations retire through the graveyard instead of leaking") {
     val e = new Engine(new Catalog(spark))
-    // min over a STRING column: outside the top-2 carry's Long/Double
-    // contract, so deletes stay on the dirty-group path — the shape
-    // whose per-round materializations this test pins
+    // each round deletes from BOTH body relations (the maux tombstone
+    // nets to a no-op), putting it outside the subtractable contract
+    // (single changed relation) — deletes stay on the dirty-group
+    // path, the shape whose per-round materializations this test pins
+    // (string min alone no longer forces it: strings ride the top-2
+    // carry since round 12)
     e.run(
       """+m3[(1, "a", "v10"), (2, "a", "v20"), (3, "b", "v07")]
-        |+mg(G, min<V>) <- m3(I, G, V)
+        |+maux[("a"), ("b"), ("c")]
+        |+mg(G, min<V>) <- m3(I, G, V), maux(G)
         |""".stripMargin)
     assert(rows(e.run("?mg(G, V)").last) == Set(Seq("a", "v10"), Seq("b", "v07")))
     val r0 = e.viewRetirements
     // round 1: min-delete dirty-group maintenance materializes a new
     // view; the displaced entry was a lazy PLAN (first evaluation) —
     // nothing to retire yet
-    e.run("""-m3[(1, "a", "v10")]""")
+    e.run("-m3[(1, \"a\", \"v10\")]\n-maux[(\"c\")]\n+maux[(\"c\")]")
     assert(rows(e.run("?mg(G, V)").last) == Set(Seq("a", "v20"), Seq("b", "v07")))
     // round 2: the new materialization displaces round 1's — that one
     // is a checkpoint this cache owns, and it must RETIRE (before this
     // landed, every maintenance round leaked one view-sized checkpoint)
-    e.run("""-m3[(3, "b", "v07")]""")
+    e.run("-m3[(3, \"b\", \"v07\")]\n-maux[(\"c\")]\n+maux[(\"c\")]")
     assert(rows(e.run("?mg(G, V)").last) == Set(Seq("a", "v20")))
     assert(e.viewRetirements > r0, "displaced materialized view should retire")
     // an UNRELATED rule (head outside mg's closure) leaves the held

@@ -512,6 +512,56 @@ class MaintenanceFuzzSpec extends SparkSpec {
     }
   }
 
+  test("STRING min/max decrement equals fresh recomputation on random streams") {
+    // strings ride the same top-2 carry with an unsigned-UTF-8-byte
+    // driver compare (Spark's binary string order); the small word
+    // domain forces shared extremum supports and runner-up promotions
+    val rng = new Random(20260918L)
+    val words = Seq("ant", "bee", "cow", "doe", "elk", "fox")
+    (1 to 5).foreach { c =>
+      val groups = Seq("a", "b")
+      var nextId = 0
+      val live = scala.collection.mutable.ArrayBuffer.empty[String]
+      def mkTuple(): String = {
+        nextId += 1
+        s"""($nextId, "${groups(rng.nextInt(groups.size))}", "${words(rng.nextInt(words.size))}")"""
+      }
+      def insBatch(n: Int): String = (0 until n).map { _ =>
+        val t = mkTuple(); live += t; t
+      }.mkString(",")
+      val rule = "+v(G, min<X>, max<X>, count<X>) <- t(I, G, X)\n"
+      val e1 = new Engine(new Catalog(spark))
+      e1.run(s"+t[${insBatch(8 + rng.nextInt(6))}]\n$rule")
+      e1.run("?v(G, L, H, C)")
+      val decStart = e1.aggDecrementCount
+      (0 until 3 + rng.nextInt(3)).foreach { round =>
+        val nDel = math.min(live.size, rng.nextInt(4))
+        val dels = scala.collection.mutable.ArrayBuffer.empty[String]
+        (0 until nDel).foreach { _ =>
+          val i = rng.nextInt(live.size)
+          dels += live.remove(i)
+        }
+        val stmts = Seq.newBuilder[String]
+        if (dels.nonEmpty) stmts += s"-t[${dels.mkString(",")}]"
+        if (rng.nextBoolean()) stmts += s"+t[${insBatch(1 + rng.nextInt(3))}]"
+        val prog = stmts.result().mkString("\n")
+        if (prog.nonEmpty) e1.run(prog)
+        val maintained = rows(e1.run("?v(G, L, H, C)").last)
+        val expected =
+          if (live.isEmpty) Set.empty[Seq[Any]]
+          else {
+            val e2 = new Engine(new Catalog(spark))
+            e2.run(s"+t[${live.mkString(",")}]\n$rule")
+            rows(e2.run("?v(G, L, H, C)").last)
+          }
+        assert(maintained == expected,
+          s"case $c round $round diverged; live=$live")
+      }
+      assert(e1.aggDecrementCount > decStart,
+        s"case $c never took the min/max decrement path")
+    }
+  }
+
   test("top_k decrement equals fresh recomputation on random mutation streams") {
     val rng = new Random(20260830L)
     (1 to 8).foreach { c =>
