@@ -10,6 +10,12 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Suites share one SparkSession AND a few Engine-global tuning flags
+// (aggLocalSupportEnabled / rankLocalRideEnabled) that fuzz suites flip
+// for their duration — cross-suite parallelism inside the forked JVM
+// would race those flips against counter assertions in EngineSpec /
+// PlanQualitySpec.
+Test / parallelExecution := false
 run / fork := true
 run / connectInput := true // REPL (graft.Main) reads stdin
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

@@ -298,6 +298,11 @@ object Hnsw {
     * the driver holds the data, not after. */
   val DefaultMaxVectors: Long = 10L * 1000 * 1000
 
+  /** Typed refusal for relations past the capacity guard, so callers
+    * (the catalog's `createIndex`) can DEGRADE to the distributed ANN
+    * layouts instead of pattern-matching on a message string. */
+  final class CapacityExceeded(msg: String) extends IllegalArgumentException(msg)
+
   /** Build from a DataFrame's (id, vector) columns — collected to the
     * driver like the reference's index build (`src/index_manager.rs`).
     * Refuses relations above `maxVectors` (default [[DefaultMaxVectors]])
@@ -323,7 +328,7 @@ object Hnsw {
     val capProbe = math.min(maxVectors, Int.MaxValue - 2L).toInt + 1
     val rows = df.select(idCol, vecCol).limit(capProbe).collect()
     if (rows.length >= capProbe)
-      throw new IllegalArgumentException(
+      throw new CapacityExceeded(
         s"HNSW index build refused: relation exceeds $maxVectors vectors. " +
         "The driver-held HNSW graph serves low-latency probes up to ~10M " +
         "vectors; at this scale use the distributed ANN paths instead " +

@@ -156,31 +156,63 @@ final class Catalog(val spark: SparkSession) {
   /** Analyzed row count (stale allowed) — the join-order signal. */
   def statRows(name: String): Option[Long] = stats(name).map(_.rows)
 
+  /** Distributed fallback "indexes" for relations past the driver HNSW
+    * capacity: (rel, vecCol) → (idCol, metric, trained IVF centroids).
+    * [[hnswSearch]] probes these as cell-pruned exact scans
+    * ([[graft.operators.Similarity.ivfProbeCandidates]] + the codegen'd
+    * distance kernels), so `hnsw_nearest` over a too-big relation
+    * DEGRADES instead of refusing — the reference keeps one index
+    * abstraction over its base relation and maintains it through change
+    * (`src/index_manager.rs:84-126`); here the probe reads the LIVE
+    * relation and assigns cells on the fly, so mutations need no index
+    * upkeep at all. At warehouse scale the layout is instead written
+    * `partitionBy("cell")` ([[graft.operators.Similarity.ivfAssign]])
+    * and the probe prunes partitions; this in-catalog fallback is the
+    * automatic, zero-maintenance form of the same plan shape. */
+  val distIndexes = mutable.LinkedHashMap
+    .empty[(String, String), (String, String, Array[Array[Double]])]
+
   def createIndex(rel: String, idCol: String, vecCol: String,
                   metric: String = "cosine", m: Int = 16, efC: Int = 200,
-                  name: String = ""): graft.index.Hnsw = {
+                  name: String = "",
+                  maxVectors: Long = graft.index.Hnsw.DefaultMaxVectors): Unit = {
     // snapshot the frame under the lock; BUILD outside it (the build runs
     // Spark jobs — holding the catalog lock would wedge other connections)
     val df = synchronized {
       relations.getOrElse(rel,
         throw new IllegalArgumentException(s"unknown relation $rel"))
     }
-    val idx = graft.index.Hnsw.buildOpt(df, idCol, vecCol, metric, m, efC)
-      .getOrElse {
-        // empty relation: a declared vector[dim] fixes the dimension and
-        // mutation-path maintenance fills the graph as rows arrive
-        val dim = declaredSchema(rel)
-          .flatMap(_.collectFirst { case (n, t) if n == vecCol => t })
-          .flatMap(t => "vector\\[(\\d+)\\]".r.findFirstMatchIn(t).map(_.group(1).toInt))
-          .getOrElse(throw new IllegalArgumentException(
-            s"cannot index empty $rel($vecCol) without a declared vector[dim] schema"))
-        new graft.index.Hnsw(dim, metric, m, efC)
+    val metaName = if (name.nonEmpty) name else s"${rel}_$vecCol"
+    try {
+      val idx = graft.index.Hnsw.buildOpt(df, idCol, vecCol, metric, m, efC,
+        maxVectors).getOrElse {
+          // empty relation: a declared vector[dim] fixes the dimension and
+          // mutation-path maintenance fills the graph as rows arrive
+          val dim = declaredSchema(rel)
+            .flatMap(_.collectFirst { case (n, t) if n == vecCol => t })
+            .flatMap(t => "vector\\[(\\d+)\\]".r.findFirstMatchIn(t).map(_.group(1).toInt))
+            .getOrElse(throw new IllegalArgumentException(
+              s"cannot index empty $rel($vecCol) without a declared vector[dim] schema"))
+          new graft.index.Hnsw(dim, metric, m, efC)
+        }
+      synchronized {
+        indexes((rel, vecCol)) = idx
+        distIndexes.remove((rel, vecCol))
+        indexMeta(metaName) = (rel, idCol, vecCol)
       }
-    synchronized {
-      indexes((rel, vecCol)) = idx
-      indexMeta(if (name.nonEmpty) name else s"${rel}_$vecCol") = (rel, idCol, vecCol)
+    } catch {
+      case _: graft.index.Hnsw.CapacityExceeded =>
+        // AUTO-DEGRADE past the capacity guard: train IVF centroids once
+        // (k-means — a few distributed passes, index-create-time work
+        // like any build) and register the distributed probe instead
+        val cent = graft.operators.Similarity.kmeansCentroids(
+          df, k = 64, iters = 3, idCol = idCol, vecCol = vecCol)
+        synchronized {
+          indexes.remove((rel, vecCol))
+          distIndexes((rel, vecCol)) = (idCol, metric, cent)
+          indexMeta(metaName) = (rel, idCol, vecCol)
+        }
     }
-    idx
   }
 
   /** Resolve a named index → (hnsw, relation, idCol, vecCol). */
@@ -375,14 +407,46 @@ final class Catalog(val spark: SparkSession) {
     * base relation (the HnswScan node, reference `src/ir/mod.rs:361-376`). */
   def hnswSearch(rel: String, vecCol: String, query: Array[Float], k: Int,
                  efSearch: Int = 64): DataFrame = {
-    val idx = indexes.getOrElse((rel, vecCol),
-      throw new IllegalArgumentException(s"no index on $rel($vecCol)"))
-    val rows = idx.search(query, k, efSearch).map { case (id, d) =>
-      org.apache.spark.sql.Row(id, d)
+    indexes.get((rel, vecCol)) match {
+      case Some(idx) =>
+        val rows = idx.search(query, k, efSearch).map { case (id, d) =>
+          org.apache.spark.sql.Row(id, d)
+        }
+        val schema = StructType(Seq(StructField("id", LongType, nullable = false),
+          StructField("distance", DoubleType, nullable = false)))
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      case None => distIndexes.get((rel, vecCol)) match {
+        case Some((idCol, metric, cent)) =>
+          // over-capacity fallback: IVF-pruned exact scan of the LIVE
+          // relation, ranked under the index's own metric so the
+          // (id, distance) contract matches the graph probe. efSearch
+          // maps to probe breadth the way it maps to beam width on the
+          // graph: ~16 efSearch per probed cell, so the default 64
+          // probes 4 of 64 cells and efSearch >= 16*nCells is the
+          // exact brute-force anchor (TakeOrderedAndProject — per-
+          // partition heaps, no sort, no shuffle).
+          import org.apache.spark.sql.functions.{col, lit, typedLit}
+          val df = synchronized(relations(rel))
+          val nCells = cent.length
+          val nprobe = math.max(1, math.min(nCells,
+            math.ceil(efSearch / 16.0).toInt))
+          val q = query.toSeq
+          val cand = graft.operators.Similarity.ivfProbeCandidates(
+            df, q, cent, nprobe, vecCol)
+          val qc = typedLit(q)
+          val VF = graft.functions.VectorFunctions
+          val distCol = metric match {
+            case "euclidean" => VF.euclidean(col(vecCol), qc)
+            case "dot" => lit(0.0) - VF.dot(col(vecCol), qc)
+            case _ => lit(1.0) - VF.cosineSimilarity(col(vecCol), qc)
+          }
+          cand.select(col(idCol).cast(LongType).as("id"),
+              distCol.cast(DoubleType).as("distance"))
+            .orderBy(col("distance").asc, col("id").asc).limit(k)
+        case None =>
+          throw new IllegalArgumentException(s"no index on $rel($vecCol)")
+      }
     }
-    val schema = StructType(Seq(StructField("id", LongType, nullable = false),
-      StructField("distance", DoubleType, nullable = false)))
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
   /** Named type aliases (`type Email: string`) resolved at declaration. */
@@ -586,9 +650,26 @@ final class Catalog(val spark: SparkSession) {
     * at ~tens of MB, but the same count of wide rows (embedding
     * vectors, long strings) would hold GBs in the driver buffers and
     * the broadcast mask long before a row-count cap fired. Budget
-    * ~128 MB of schema-estimated width, clamped to [2^14, 2^20] rows. */
-  private def overlayHardCap(schema: StructType): Int = {
-    val width = math.max(16L, schema.defaultSize.toLong)
+    * ~128 MB of estimated width, clamped to [2^14, 2^20] rows.
+    * Width comes from SAMPLING the buffered rows themselves, not
+    * `StructType.defaultSize` — that estimator prices an ArrayType as
+    * one element (~8 bytes for a 768-dim vector) and every string at a
+    * flat 20 bytes, so exactly the wide shapes the cap exists for
+    * would still resolve to the 2^20 row ceiling. */
+  private def overlayHardCap(sample: Iterator[org.apache.spark.sql.Row]): Int = {
+    def sz(v: Any): Long = v match {
+      case null => 8L
+      case s: String => 24L + 2L * s.length
+      case b: Array[Byte] => 16L + b.length
+      case a: Seq[_] => 16L + a.iterator.map(sz).sum
+      case a: Array[_] => 16L + a.iterator.map(sz).sum
+      case r: org.apache.spark.sql.Row => 16L + r.toSeq.iterator.map(sz).sum
+      case _ => 8L
+    }
+    val rows = sample.take(64).toSeq
+    val width = if (rows.isEmpty) 16L
+      else math.max(16L, rows.iterator.map(r =>
+        r.toSeq.iterator.map(sz).sum).sum / rows.size)
     math.min(1L << 20, math.max(1L << 14, (128L << 20) / width)).toInt
   }
   /** Buffer key for a typed literal row: value sequence with -0.0
@@ -651,7 +732,8 @@ final class Catalog(val spark: SparkSession) {
     // periodic distributed rewrite job, not an inline one.
     val buffered = o.ins.size + o.del.size
     val smallBase = sizeSignal(name).exists(_ <= 1000000L)
-    if (buffered > OverlayCap && (smallBase || buffered > overlayHardCap(schema))) {
+    if (buffered > OverlayCap && (smallBase || buffered >
+        overlayHardCap(o.ins.valuesIterator ++ o.del.valuesIterator))) {
       val compacted = plan.localCheckpoint(true)
       if (o.ownsBase)
         graft.plans.Graveyard.buryAndDrain(
@@ -841,6 +923,32 @@ final class Catalog(val spark: SparkSession) {
       typed.foreach { r => val k = overlayKey(r); o.ins.remove(k); o.del(k) = r }
       overlayRebuild(name, o, df.schema)
       maintainIndexesOnDelete(name, rows, df.schema)
+    }
+  }
+
+  /** Exact-tuple delete where presence in the base is GUARANTEED by
+    * construction (conditional delete: the matching set was computed by
+    * joining the relation itself, so every tuple is present) — both the
+    * raw and the exact removal log entries are ONE literal frame.
+    * Downstream maintenance consumers re-read literals for free, where
+    * [[deleteWhere]]'s old replace path logged a lazy semi-join plan
+    * that re-ran the body join (with its broadcast builds) on every
+    * consumer evaluation — the q68 fixed-overhead tax. Tombstones ride
+    * the overlay like [[delete]], keeping live-plan depth constant
+    * across rounds. */
+  def deletePresent(name: String,
+      rowsM: Seq[org.apache.spark.sql.Row]): Unit = synchronized {
+    relations.get(name).foreach { df =>
+      bump()
+      val schema = StructType(df.schema.fields.map(_.copy(nullable = true)))
+      val lit = spark.createDataFrame(
+        java.util.Arrays.asList(rowsM: _*), schema)
+      logChange(name, null, lit, removedExact = lit,
+        removedLiteralRows = rowsM.size.toLong)
+      val o = overlayFor(name, df)
+      rowsM.foreach { r => val k = overlayKey(r); o.ins.remove(k); o.del(k) = r }
+      overlayRebuild(name, o, df.schema)
+      maintainIndexesOnDeleteFrame(name, lit)
     }
   }
 

@@ -243,9 +243,15 @@ final class Engine(val catalog: Catalog) {
     // sweep the aux key sets directly — they cover every view with
     // carried state, including ones whose matCache entry a fallback
     // round already displaced; left in place, a later round at a
-    // matching version would merge against pre-clear state
+    // matching version would merge against pre-clear state. Keyless
+    // global-agg views carry ONLY a globalAggNN entry (no support or
+    // pairs table), so its keys must join the sweep: session changes
+    // don't bump the catalog version, and a stale non-null count
+    // flips the sum-goes-null transition the wrong way.
     (auxSupportCache.keysIterator.toSet ++
-      auxPairsCache.keysIterator.map(_._1).toSet).foreach(evictAuxFor)
+      auxPairsCache.keysIterator.map(_._1).toSet ++
+      globalAggNN.keysIterator.toSet ++
+      namedDeltas.keysIterator.toSet).foreach(evictAuxFor)
   }
   /** Evict `view`'s carried aggregate-support state ([[auxSupportCache]],
     * [[auxPairsCache]]) alongside its materialization. Without this, a
@@ -266,6 +272,7 @@ final class Engine(val catalog: Catalog) {
     rankLocalBuf.remove(view) // driver copies of the evicted state
     aggLocalSupport.remove(view)
     globalAggNN.remove(view)
+    namedDeltas.remove(view)
     auxPairsCache.keysIterator.filter(_._1 == view).toSeq.foreach { k =>
       auxPairsCache.remove(k).foreach { case (_, df) => bury(df) }
       aggLocalPairs.remove(k) }
@@ -275,7 +282,8 @@ final class Engine(val catalog: Catalog) {
     // with smaller data
     aggLocalBig.filterInPlace {
       case s: String => s != view
-      case (s: String, _) => s != view
+      case ("rank", s: String) => s != view // rank buffer marker
+      case (s: String, _) => s != view // pairs-column markers
       case _ => true
     }
   }
@@ -314,7 +322,9 @@ final class Engine(val catalog: Catalog) {
     // cannot catch them). Aux entries can exist without a live matCache
     // entry, so the affected set is recomputed over the aux keys.
     (auxSupportCache.keysIterator.toSet ++
-      auxPairsCache.keysIterator.map(_._1).toSet)
+      auxPairsCache.keysIterator.map(_._1).toSet ++
+      globalAggNN.keysIterator.toSet ++ // keyless views: NN map only
+      namedDeltas.keysIterator.toSet)
       .filter(v => closure(v)(changedRel)).foreach(evictAuxFor)
   }
   /** Observability: how many resolves were served by incremental
@@ -390,6 +400,55 @@ final class Engine(val catalog: Catalog) {
     * (deltas are null-free by the side-aggregate bail). */
   private val globalAggNN =
     mutable.HashMap.empty[String, (Long, Map[Int, Long])]
+  /** Exact VIEW-LEVEL deltas surfaced by maintenance paths that can
+    * NAME their change (per-group decrement replacements, rank
+    * prefix-buffer merges, global-agg row swaps, dirty-group
+    * replacements): view → (fromVersion, toVersion, inserted view rows,
+    * removed view rows), driver-local and bounded. Consumed by the
+    * stacked-view stratum-diff injection in [[IdbEvaluator.tryMaintain]]
+    * — an upper view maintaining through a positive/negated DERIVED
+    * dependency reads the lower stratum's delta HERE instead of
+    * re-deriving it by two view-sized old-vs-new anti-joins (the
+    * reference propagates the lower stratum's delta directly through
+    * its stacked DD arrangements, `src/incremental.rs:77-80`; this is
+    * the Spark-side O(delta) equivalent). Rows are the SET-level diff
+    * (new ∖ old / old ∖ new under Spark's <=> float normalization), so
+    * downstream delta binding, decrement, and DRed reconstruction see
+    * exactly what the anti-join diff would have produced. Entries are
+    * only consumed when BOTH stamps match the consumer's round
+    * (fromVersion == the upper view's v0 snapshot version, toVersion ==
+    * the current catalog version) — anything stale misses and falls
+    * back to the anti-join diff. */
+  private val namedDeltas = mutable.HashMap
+    .empty[String, (Long, Long, Seq[org.apache.spark.sql.Row], Seq[org.apache.spark.sql.Row])]
+  /** Views whose exact delta a consumer wants THIS resolve — lets paths
+    * where naming costs extra Spark actions (dirty-group's bounded
+    * old/new collects) skip the work on ordinary top-level rounds. */
+  private val namedDeltaWanted = mutable.HashSet.empty[String]
+  /** Observability: stratum-diff injections served by a named delta
+    * instead of the O(lower-view) anti-join diff (tests pin the path). */
+  private[graft] var namedDeltaInjects: Long = 0L
+  private def recordNamedDelta(view: String, v0: Long,
+      ins: Seq[org.apache.spark.sql.Row],
+      rem: Seq[org.apache.spark.sql.Row]): Unit =
+    if (ins.length <= 4096 && rem.length <= 4096)
+      namedDeltas(view) = (v0, catalog.version, ins, rem)
+  /** Driver-side view-row equality matching Spark's null-safe compare:
+    * -0.0 folds to 0.0 (grouping/ordering normalization) and NaN equals
+    * NaN (boxed Double.equals already does), elementwise through
+    * arrays. */
+  private def ndNorm(v: Any): Any = v match {
+    case d: java.lang.Double if d.doubleValue() == 0.0 =>
+      java.lang.Double.valueOf(0.0)
+    case f: java.lang.Float if f.floatValue() == 0.0f =>
+      java.lang.Float.valueOf(0.0f)
+    case s: Seq[_] => s.map(ndNorm)
+    case x => x
+  }
+  private def ndRowEq(a: org.apache.spark.sql.Row,
+                      b: org.apache.spark.sql.Row): Boolean =
+    a.length == b.length &&
+      (0 until a.length).forall(i => ndNorm(a.get(i)) == ndNorm(b.get(i)))
   /** Views whose first tiny-literal-delete round took the dirty-group
     * path instead of seeding a support table (the 2-competitive seed
     * deferral in [[maintainAggSubtractable]]) — a second such round
@@ -736,9 +795,27 @@ final class Engine(val catalog: Catalog) {
     // removed = the matching tuples actually present — logged so the
     // conditional delete is a maintainable exact-tuple retraction, not
     // an opaque invalidation (reference: every delete feeds derived
-    // relations as a (data, time, -1) update, src/derived_relations.rs)
-    val removed = persistRemoval(rel.join(matching, rel.columns.toSeq, "left_semi"))
-    catalog.replace(atom.rel, rel.join(matching, rel.columns.toSeq, "left_anti"), removed)
+    // relations as a (data, time, -1) update, src/derived_relations.rs).
+    // SMALL matching sets (the common conditional delete) collect ONCE
+    // and take the literal-tombstone path: the body join runs exactly
+    // once, the logged removal is a literal every downstream consumer
+    // re-reads for free, and presence needs no semi-join — the body
+    // contains the deleted atom itself, so matching ⊆ relation by
+    // construction. Past the cap: the lazy replace (anti-join plan,
+    // presence-checked removal plan), as before.
+    val castM = matching.select(rel.schema.fields.map { f =>
+      val c = col(f.name)
+      val src = matching.schema(f.name).dataType
+      if (AnyValue.isAny(f.dataType) && !AnyValue.isAny(src))
+        AnyValue.encodeCol(c, src).as(f.name)
+      else c.cast(f.dataType)
+    }.toSeq: _*)
+    graft.plans.Fixpoint.collectUpTo(castM, 4096L) match {
+      case Some(rowsM) => catalog.deletePresent(atom.rel, rowsM.toSeq)
+      case None =>
+        val removed = persistRemoval(rel.join(matching, rel.columns.toSeq, "left_semi"))
+        catalog.replace(atom.rel, rel.join(matching, rel.columns.toSeq, "left_anti"), removed)
+    }
   }
 
   /** Atomic update `-old(args), +new(args) <- body`: both the deletion
@@ -1071,7 +1148,10 @@ final class Engine(val catalog: Catalog) {
           auxPairsCache.get((name, i)).foreach { case (v, df) =>
             if (v == v0) auxPairsCache((name, i)) = (catalog.version, df) } }
       }
-      if (parts.isEmpty) { restampAux(); return Some(cached) }
+      if (parts.isEmpty) {
+        restampAux(); recordNamedDelta(name, v0, Nil, Nil)
+        return Some(cached)
+      }
 
       // ---- scratch lifecycle: one try/finally releases this round's
       // scratch checkpoints (shared binding frames, the old-state body,
@@ -1208,6 +1288,7 @@ final class Engine(val catalog: Catalog) {
           // nothing changed in this view (phantom delete, netted
           // delete+reinsert): keep the carried tables current
           restampAux()
+          recordNamedDelta(name, v0, Nil, Nil)
           aggDecrementCount += 1
           return Some(cached)
         }
@@ -1815,6 +1896,30 @@ final class Engine(val catalog: Catalog) {
           Fixpoint.checkpointRddOf(df).foreach(_.unpersist(false)))
         aggDecrementCount += 1
         committed = true
+        // NAME the exact view-level delta for stacked-view consumers:
+        // per dirty group, the old view row (projection of the old
+        // combined row) vs the new one — pure driver math over the
+        // bounded dirty set, no extra Spark action. A group whose view
+        // row didn't change (e.g. deleted values summed to 0) is
+        // excluded, matching what the anti-join diff would see.
+        locally {
+          val newByKey: Map[Seq[Any], org.apache.spark.sql.Row] =
+            rows.iterator.map(row =>
+              (keyIdx.map(i => normKey(row.get(i))): Seq[Any]) -> row).toMap
+          def proj(row: org.apache.spark.sql.Row): org.apache.spark.sql.Row =
+            org.apache.spark.sql.Row.fromSeq(cols.indices.map(row.get))
+          val insB = Seq.newBuilder[org.apache.spark.sql.Row]
+          val remB = Seq.newBuilder[org.apache.spark.sql.Row]
+          dMap.keysIterator.foreach { kk =>
+            val o = oldMap.get(kk).map(proj)
+            val nw = newByKey.get(kk).map(proj)
+            (o, nw) match {
+              case (Some(a), Some(b)) if ndRowEq(a, b) => ()
+              case _ => o.foreach(remB += _); nw.foreach(insB += _)
+            }
+          }
+          recordNamedDelta(name, v0, insB.result(), remB.result())
+        }
         Some(combinedOut.select(cols.map(col): _*))
 
       } finally {
@@ -2002,7 +2107,8 @@ final class Engine(val catalog: Catalog) {
           if (v == v0) auxSupportCache(name) = (catalog.version, df) }
       if (remLit.forall(_._2 == 0L) && insLit.forall(_._2 == 0L) &&
           (remLit.nonEmpty || insLit.nonEmpty)) {
-        restamp(); return Some(cached)
+        restamp(); recordNamedDelta(name, v0, Nil, Nil)
+        return Some(cached)
       }
 
       /** DRIVER-LOCAL riding round (cap-gated): the distributed merge
@@ -2080,7 +2186,10 @@ final class Engine(val catalog: Catalog) {
           }
         val remM = sideCounts(remLit).getOrElse(return None)
         val insM = sideCounts(insLit).getOrElse(return None)
-        if (remM.isEmpty && insM.isEmpty) { restamp(); return Some(cached) }
+        if (remM.isEmpty && insM.isEmpty) {
+          restamp(); recordNamedDelta(name, v0, Nil, Nil)
+          return Some(cached)
+        }
         val schemaDt = cols.indices.map(i => named.schema(i).dataType)
         def cmpAt(i: Int, a: Any, b: Any): Int = schemaDt(i) match {
           case DoubleType =>
@@ -2246,6 +2355,48 @@ final class Engine(val catalog: Catalog) {
         rankLocalBuf(name) = (bufDf, outBufRows.toArray)
         rankDecrementCount += 1
         rankLocalRides += 1
+        // NAME the exact view-level delta: only TOUCHED groups (a delta
+        // binding or a refill) can change their served top-k prefix —
+        // diff each group's old prefix expansion (from the carried
+        // buffer rows) against the new one (kept/refilled rows), at the
+        // distinct-row level the stratum-diff consumer compares at.
+        // Pure driver math over the bounded buffer copy.
+        locally {
+          val touchedG: Set[Vector[Any]] =
+            (remM.keysIterator ++ insM.keysIterator).map(gkeyOf).toSet ++ refillG
+          val oldByG = mutable.HashMap
+            .empty[Vector[Any], mutable.ArrayBuffer[(Vector[Any], Long)]]
+          bufRows.foreach { r =>
+            val key = keyOf(r); val g = gkeyOf(key)
+            if (touchedG(g))
+              oldByG.getOrElseUpdate(g, mutable.ArrayBuffer.empty) +=
+                ((key, r.getLong(nc)))
+          }
+          def servedSet(rows: Seq[(Vector[Any], Long)]): Set[Vector[Any]] = {
+            var start = 0L
+            val b = Set.newBuilder[Vector[Any]]
+            rows.sorted(rowOrd).foreach { case (key, n) =>
+              if (start < k) b += key
+              start += n
+            }
+            b.result()
+          }
+          val insB = Seq.newBuilder[org.apache.spark.sql.Row]
+          val remB = Seq.newBuilder[org.apache.spark.sql.Row]
+          touchedG.foreach { g =>
+            val oldSet = servedSet(oldByG.getOrElse(g, mutable.ArrayBuffer.empty).toSeq)
+            val newSet =
+              if (refillG(g))
+                servedSet(refillRows.getOrElse(g, Seq.empty)
+                  .map(t3 => (t3._1, t3._2)))
+              else servedSet(kept.getOrElse(g, mutable.ArrayBuffer.empty).toSeq)
+            (oldSet -- newSet).foreach(key =>
+              remB += org.apache.spark.sql.Row.fromSeq(key))
+            (newSet -- oldSet).foreach(key =>
+              insB += org.apache.spark.sql.Row.fromSeq(key))
+          }
+          recordNamedDelta(name, v0, insB.result(), remB.result())
+        }
         Some(servedDf)
       }
       localRide() match {
@@ -2271,7 +2422,9 @@ final class Engine(val catalog: Catalog) {
         case (None, Some(b)) =>
           b.withColumn("__rm", lit(0L))
             .select(cols.map(col) ++ Seq(col("__rm"), col("__in")): _*)
-        case (None, None) => restamp(); return Some(cached)
+        case (None, None) =>
+          restamp(); recordNamedDelta(name, v0, Nil, Nil)
+          return Some(cached)
       }
 
       // a synthetic constant group key unifies the ungrouped head with
@@ -2500,7 +2653,10 @@ final class Engine(val catalog: Catalog) {
       try {
         val rm = removedOf.get(changedRel).map(f => sideAgg(f).getOrElse(return None))
         val ins = deltaOf.get(changedRel).map(f => sideAgg(f).getOrElse(return None))
-        if (rm.isEmpty && ins.isEmpty) { restampNN(); return Some(cached) }
+        if (rm.isEmpty && ins.isEmpty) {
+          restampNN(); recordNamedDelta(name, v0, Nil, Nil)
+          return Some(cached)
+        }
         val newN = oldN + ins.map(_._1).getOrElse(0L) - rm.map(_._1).getOrElse(0L)
         if (newN < 0L) return None // contract breach → recompute
         // NON-NULL CONTRIBUTOR counts per sum column — what decides the
@@ -2531,9 +2687,12 @@ final class Engine(val catalog: Catalog) {
         val schema = StructType(named.schema.fields.map(_.copy(nullable = true)))
         aggDecrementCount += 1
         globalAggNN(name) = (catalog.version, nn)
-        if (newN == 0L)
+        if (newN == 0L) {
+          // view dies to empty: the old single row is the exact removal
+          recordNamedDelta(name, v0, Nil, old.toSeq)
           return Some(spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+        }
         val vals = cols.indices.map { i =>
           if (sumArgOf.contains(i)) {
             if (nn(i) == 0L) null // no non-null contributors remain
@@ -2547,9 +2706,15 @@ final class Engine(val catalog: Catalog) {
             }
           } else (newN: java.lang.Long) // non-sum head columns are counts
         }
+        val newRow = org.apache.spark.sql.Row.fromSeq(vals)
+        // exact single-row swap for stacked-view consumers
+        old match {
+          case Some(o) if ndRowEq(o, newRow) =>
+            recordNamedDelta(name, v0, Nil, Nil)
+          case _ => recordNamedDelta(name, v0, Seq(newRow), old.toSeq)
+        }
         Some(spark.createDataFrame(
-          spark.sparkContext.parallelize(
-            Seq(org.apache.spark.sql.Row.fromSeq(vals)), 1), schema))
+          spark.sparkContext.parallelize(Seq(newRow), 1), schema))
       } catch { case GlobalBail => None }
     }
 
@@ -2775,25 +2940,47 @@ final class Engine(val catalog: Catalog) {
             derivedDiff.iterator.map(n => n -> cacheLatest(n).get._2).toMap
           derivedDiff.foreach { n =>
             val oldN = oldOf(n)
-            val newN = resolve(n, oldN.columns.length)
+            // flag the resolve so paths where naming costs extra bounded
+            // jobs (dirty-group) surface their delta too; try/finally —
+            // a thrown resolve must not leave the demand flag behind
+            val newN = {
+              namedDeltaWanted += n
+              try resolve(n, oldN.columns.length)
+              finally namedDeltaWanted -= n
+            }
             def litFrame(rows: Array[org.apache.spark.sql.Row]): DataFrame =
               catalog.spark.createDataFrame(
                 catalog.spark.sparkContext.parallelize(rows.toSeq,
                   Fixpoint.parallelizeParts(rows.length.toLong)),
                 org.apache.spark.sql.types.StructType(
                   oldN.schema.fields.map(_.copy(nullable = true))))
-            // A diff past the collect cap means the delete cone is
-            // plausibly view-sized — ABORT the round (the caller
-            // recomputes). Overflow must NOT be conflated with an empty
-            // diff: a >cap insert-side diff whose kills are silently
-            // dropped is under-deletion (a stale view served as fresh).
-            Seq(Fixpoint.antiNullSafe(newN, oldN) -> ins,
-                Fixpoint.antiNullSafe(oldN, newN) -> rem).foreach {
-              case (diff, sink) =>
-                Fixpoint.collectUpTo(diff, 4096L) match {
-                  case None => return None // overflow → recompute
-                  case Some(rs) if rs.isEmpty => ()
-                  case Some(rs) => sink(n) = litFrame(rs)
+            namedDeltas.get(n) match {
+              case Some((f, t, insRows, remRows))
+                  if f == v0 && t == catalog.version =>
+                // the lower stratum's maintenance path NAMED its exact
+                // view-level delta for this v0→current transition —
+                // inject those rows directly, O(delta), instead of
+                // re-deriving the delta with two view-sized anti-joins
+                // (the reference's stacked DD arrangements propagate the
+                // lower delta the same way, src/incremental.rs:77-80)
+                namedDeltaInjects += 1
+                if (insRows.nonEmpty) ins(n) = litFrame(insRows.toArray)
+                if (remRows.nonEmpty) rem(n) = litFrame(remRows.toArray)
+              case _ =>
+                // fallback: materialization diff. A diff past the collect
+                // cap means the delete cone is plausibly view-sized —
+                // ABORT the round (the caller recomputes). Overflow must
+                // NOT be conflated with an empty diff: a >cap insert-side
+                // diff whose kills are silently dropped is under-deletion
+                // (a stale view served as fresh).
+                Seq(Fixpoint.antiNullSafe(newN, oldN) -> ins,
+                    Fixpoint.antiNullSafe(oldN, newN) -> rem).foreach {
+                  case (diff, sink) =>
+                    Fixpoint.collectUpTo(diff, 4096L) match {
+                      case None => return None // overflow → recompute
+                      case Some(rs) if rs.isEmpty => ()
+                      case Some(rs) => sink(n) = litFrame(rs)
+                    }
                 }
             }
           }
@@ -2850,7 +3037,12 @@ final class Engine(val catalog: Catalog) {
         }
       def insertPhase(viewsNow: Map[String, DataFrame]): Option[DataFrame] =
         insertPhaseOf(name, scc, sccRules, changedRels, deltaOf, deltaDerive,
-          isRecursive, viewsNow, negSeedsFor)
+          isRecursive, viewsNow, negSeedsFor,
+          // the continuation's frontier deltas name the exact view delta
+          // only when the round starts from the v0 snapshot itself
+          // (mixed batches pass the DRed mid views instead)
+          exactFromV0 = if (viewsNow.get(name).exists(_ eq cached)) Some(v0)
+                        else None)
 
       /** DIRTY-GROUP maintenance — the general grouped-head fallback
         * (avg / count_distinct, ranked views under deletes, removals,
@@ -2880,7 +3072,10 @@ final class Engine(val catalog: Catalog) {
           case (Neg(a), i) if deltaOf.contains(a.rel) || removedOf.contains(a.rel) =>
             (a, i, true)
         }
-        if (occs.isEmpty) return Some(cached) // body never sees the change
+        if (occs.isEmpty) { // body never sees the change
+          recordNamedDelta(name, v0, Nil, Nil)
+          return Some(cached)
+        }
         val negChangedHere: Set[String] =
           occs.collect { case (a, _, true) => a.rel }.toSet
         // sibling-state frames. Positive siblings: old ∪ new (a vanished
@@ -2911,7 +3106,10 @@ final class Engine(val catalog: Catalog) {
         }
         val dirty = Fixpoint.collectUpTo(
           keyFrames.reduce(_ union _).distinct(), 64L).getOrElse(return None)
-        if (dirty.isEmpty) return Some(cached)
+        if (dirty.isEmpty) {
+          recordNamedDelta(name, v0, Nil, Nil)
+          return Some(cached)
+        }
         // null/NaN/non-primitive keys: a literal <=> predicate can't
         // reproduce the grouping semantics — recompute
         if (dirty.exists(_.toSeq.exists(v => v == null ||
@@ -2932,7 +3130,30 @@ final class Engine(val catalog: Catalog) {
         // materialize: the clean side filters the PREVIOUS cached frame —
         // left lazy, repeated maintenance rounds would nest filters
         // without bound
-        Some(Fixpoint.materialize(clean.union(dirtyNew)).df)
+        val out = Fixpoint.materialize(clean.union(dirtyNew)).df
+        // NAME the view-level delta when a stacked-view consumer asked
+        // for it: rows can only change inside the dirty groups, so two
+        // bounded key-filtered collects (a filter scan each — no join,
+        // no shuffle) pin the exact old/new dirty slices; everything
+        // else is provably unchanged. Gated on demand — an ordinary
+        // top-level round must not pay the two extra jobs.
+        if (namedDeltaWanted(name)) {
+          for {
+            oldRows <- Fixpoint.collectUpTo(
+              cached.toDF(cols: _*).where(dirtyPred), 4096L)
+            newRows <- Fixpoint.collectUpTo(out.where(dirtyPred), 4096L)
+          } {
+            def keyed(rs: Array[org.apache.spark.sql.Row])
+                : Map[Seq[Any], org.apache.spark.sql.Row] =
+              rs.iterator.map(r =>
+                (r.toSeq.map(ndNorm): Seq[Any]) -> r).toMap
+            val om = keyed(oldRows); val nm = keyed(newRows)
+            recordNamedDelta(name, v0,
+              nm.collect { case (kk, r) if !om.contains(kk) => r }.toSeq,
+              om.collect { case (kk, r) if !nm.contains(kk) => r }.toSeq)
+          }
+        }
+        Some(out)
       }
 
       // 2-competitive seed-deferral signal, shared by the rank-buffer
@@ -3522,7 +3743,10 @@ final class Engine(val catalog: Catalog) {
           oldRows <-
             if (newRows.isEmpty) Some(Array.empty[org.apache.spark.sql.Row])
             else Fixpoint.collectUpTo(cached.toDF(cols: _*), Fixpoint.LocalEdgeRows)
-        } yield if (newRows.isEmpty) cached else {
+        } yield if (newRows.isEmpty) {
+          recordNamedDelta(name, v0, Nil, Nil)
+          cached
+        } else {
           val keyIdx = cols.indices.filterNot(aggIdxSet)
           // One shared boxed NaN: Seq[Any] equality goes through
           // BoxesRunTime.equals, whose reference-equality short-circuit
@@ -3577,13 +3801,34 @@ final class Engine(val catalog: Catalog) {
             cached.toDF(cols: _*).schema.fields.map(_.copy(nullable = true)))
           val out = m.valuesIterator
             .map(a => org.apache.spark.sql.Row.fromSeq(a.toSeq)).toSeq
+          // NAME the exact view-level delta: only groups the delta
+          // aggregation touched can differ — per touched key, old row vs
+          // merged row, all driver-resident already
+          locally {
+            val oldByKey = oldRows.iterator.map(r => key(r) -> r).toMap
+            val insB = Seq.newBuilder[org.apache.spark.sql.Row]
+            val remB = Seq.newBuilder[org.apache.spark.sql.Row]
+            newRows.iterator.map(key).toSet[Seq[Any]].foreach { kk =>
+              val o = oldByKey.get(kk)
+              val nw = m.get(kk)
+                .map(a => org.apache.spark.sql.Row.fromSeq(a.toSeq))
+              (o, nw) match {
+                case (Some(a), Some(b)) if ndRowEq(a, b) => ()
+                case _ => o.foreach(remB += _); nw.foreach(insB += _)
+              }
+            }
+            recordNamedDelta(name, v0, insB.result(), remB.result())
+          }
           catalog.spark.createDataFrame(
             catalog.spark.sparkContext.parallelize(out,
               Fixpoint.parallelizeParts(out.size.toLong)), schema)
         } catch { case MergeBail => None }
         localMerged.foreach(df => return Some(df))
         val deltaAgg = Fixpoint.materialize(deltaAggDf)
-        if (deltaAgg.count == 0) return Some(cached)
+        if (deltaAgg.count == 0) {
+          recordNamedDelta(name, v0, Nil, Nil)
+          return Some(cached)
+        }
         val o = cached.toDF(cols: _*).withColumn("__op", lit(1)).alias("__o")
         val n = deltaAgg.df.withColumn("__np", lit(1)).alias("__n")
         val keyCond = cols.indices.filterNot(aggIdxSet).map(i =>
@@ -3885,7 +4130,10 @@ final class Engine(val catalog: Catalog) {
                 case Neg(a) if changedTupleRels(a.rel) => (r, a)
               }
             }
-            if (occs.isEmpty) return Some(cached) // body never sees the change
+            if (occs.isEmpty) { // body never sees the change
+              recordNamedDelta(name, v0, Nil, Nil)
+              return Some(cached)
+            }
             // per occurrence: head positions sharing a Var with the
             // atom, paired with the atom arg index carrying the value
             val perOcc: Seq[(Atom, Seq[(Int, Int)])] = occs.map { case (r, a) =>
@@ -3932,13 +4180,37 @@ final class Engine(val catalog: Catalog) {
             }
             if (nDis > 512) return None // predicate would bloat the plan
             val ds = disjuncts.result()
-            if (ds.isEmpty) return Some(cached) // no tuple reaches the body
+            if (ds.isEmpty) { // no tuple reaches the body
+              recordNamedDelta(name, v0, Nil, Nil)
+              return Some(cached)
+            }
             val dirtyPred = ds.reduce(_ || _)
             linkMaintains += 1
             val fresh = sccRules.map(r => deriveRule(r).toDF(cols: _*))
               .reduce(_ union _).where(dirtyPred).distinct()
-            Some(Fixpoint.materialize(
-              cached.toDF(cols: _*).where(!dirtyPred).union(fresh)).df)
+            val out = Fixpoint.materialize(
+              cached.toDF(cols: _*).where(!dirtyPred).union(fresh)).df
+            // NAME the view-level delta on demand (stacked-view
+            // consumer): rows can only change where the link predicate
+            // matches — two bounded filter-scan collects pin the exact
+            // old/new dirty slices (same contract as dirty-group's).
+            if (namedDeltaWanted(name)) {
+              for {
+                oldRows <- Fixpoint.collectUpTo(
+                  cached.toDF(cols: _*).where(dirtyPred), 4096L)
+                newRows <- Fixpoint.collectUpTo(out.where(dirtyPred), 4096L)
+              } {
+                def keyed(rs: Array[org.apache.spark.sql.Row])
+                    : Map[Seq[Any], org.apache.spark.sql.Row] =
+                  rs.iterator.map(r =>
+                    (r.toSeq.map(ndNorm): Seq[Any]) -> r).toMap
+                val om = keyed(oldRows); val nm = keyed(newRows)
+                recordNamedDelta(name, v0,
+                  nm.collect { case (kk, r) if !om.contains(kk) => r }.toSeq,
+                  om.collect { case (kk, r) if !nm.contains(kk) => r }.toSeq)
+              }
+            }
+            Some(out)
           }
           // Path order: on PROVABLY-SMALL inputs (every base relation in
           // the SCC bodies has a driver-known size within the local
@@ -4191,7 +4463,8 @@ final class Engine(val catalog: Catalog) {
         isRecursive: Boolean,
         viewsNow: Map[String, DataFrame],
         negSeedsFor: (String, String => Option[DataFrame]) => Seq[DataFrame] =
-          (_, _) => Seq.empty): Option[DataFrame] = {
+          (_, _) => Seq.empty,
+        exactFromV0: Option[Long] = None): Option[DataFrame] = {
       val cached = viewsNow(name)
       val arity = cached.columns.length
       val cols = (0 until arity).map(i => s"c$i")
@@ -4269,7 +4542,10 @@ final class Engine(val catalog: Catalog) {
       }
       seedContribs ++= negSeedsFor(name, m => viewsNow.get(m))
       val contribs = seedContribs.result()
-      if (contribs.isEmpty) return Some(cached) // no rule touches the delta
+      if (contribs.isEmpty) { // no rule touches the delta
+        exactFromV0.foreach(v0 => recordNamedDelta(name, v0, Nil, Nil))
+        return Some(cached)
+      }
       val recRules = sccRules.filter(_.body.exists {
         case Pos(a) => a.rel == name
         case _ => false
@@ -4324,6 +4600,26 @@ final class Engine(val catalog: Catalog) {
           }
           delta = next
         }
+      }
+      // NAME the exact continuation delta for stacked-view consumers:
+      // every delta part was anti-joined against the accumulator when it
+      // was built, so their union IS new ∖ old exactly (and old ∖ new is
+      // empty — inserts are monotone). Only when the round started from
+      // the v0 snapshot (pure-insert rounds; a mixed batch enters here
+      // from the DRed mid views, whose old→mid half this phase can't
+      // see) and a consumer asked. Bounded collects over materialized
+      // checkpoints — scans, no recomputation.
+      for (v0 <- exactFromV0 if namedDeltaWanted(name)) {
+        val insRows = Seq.newBuilder[org.apache.spark.sql.Row]
+        var left = 4096L
+        var ok = true
+        parts.drop(1).foreach { p =>
+          if (ok) Fixpoint.collectUpTo(p, left) match {
+            case Some(rs) => insRows ++= rs; left -= rs.length
+            case None => ok = false
+          }
+        }
+        if (ok) recordNamedDelta(name, v0, insRows.result(), Nil)
       }
       // compact deep part lists so repeated maintenance rounds don't nest
       // union plans without bound (the cached frame is the next round's

@@ -534,6 +534,19 @@ object Similarity {
     bruteForceTopK(probed, query, k, idCol, vecCol)
   }
 
+  /** Cell-pruned candidate frame for a trained-IVF probe — the pruning
+    * half of [[ivfTopKTrained]], exposed for metric-generic consumers
+    * (the catalog's over-capacity `hnsw_nearest` fallback ranks these
+    * candidates under the index's own metric). `nprobe >= nCells` keeps
+    * the whole frame (exact anchor). */
+  def ivfProbeCandidates(emb: DataFrame, query: Seq[Float],
+                         centroids: Array[Array[Double]], nprobe: Int,
+                         vecCol: String = "embedding"): DataFrame = {
+    val probes = probeCells(query, centroids, nprobe)
+    if (probes.length == centroids.length) emb
+    else emb.where(bestCell(col(vecCol), centroids).isin(probes.toSeq: _*))
+  }
+
   /** The query's `nprobe` best cells — same metric as [[bestCell]]:
     * min ‖q−c‖² = max (q·c − ‖c‖²/2); ties to the lowest index. */
   private def probeCells(query: Seq[Float], centroids: Array[Array[Double]],

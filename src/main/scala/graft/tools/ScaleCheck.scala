@@ -239,6 +239,76 @@ object ScaleCheck {
     probeMaintenance("globalagg_retract_requery",
       "+mg(sum<S>, count<S>) <- mbase(I, D, S)", "?mg(S, C)")
 
+    // ---- one decade further: the headline IVM claims at 100× base ----
+    // A flat 10× ratio can hide a term that only bites at the next
+    // decade (e.g. a presence prefilter whose IN-list pruning stops
+    // paying, or a broadcast build crossing a size cliff). Same probe
+    // shape, same fixed 20-tuple delta, base at 6M rows — the timed
+    // riding rounds must STAY delta/view-bound (support table is still
+    // 100 groups, pairs ≤ 50k, buffer ≤ ~2k rows at any base size).
+    def probeMaintenance100(name: String, rule: String, query: String): Unit = {
+      try {
+        val p = maintenanceProbe(name, rule, query) _
+        p(60000L) // warm (codegen, first-plan costs)
+        val (t1, n1) = p(60000L)
+        val (t100, n100) = p(6000000L)
+        val e = Entry(name, "scan", t1, t100, n1, n100)
+        println(e.json)
+        entries += e
+      } catch {
+        case ex: Throwable => println(s"""{"name":"$name","error":"${ex.getClass.getSimpleName}"}""")
+      }
+    }
+    probeMaintenance100("agg_decrement_requery_100x",
+      "+mtot(D, sum<S>, count<S>, avg<S>) <- mbase(I, D, S)", "?mtot(D, S, C, A)")
+    probeMaintenance100("cd_retract_requery_100x",
+      "+mcd(D, count_distinct<S>, count<S>) <- mbase(I, D, S)", "?mcd(D, C, N)")
+    probeMaintenance100("topk_retract_requery_100x",
+      "+mtk(D, top_k<3, I, S:desc>) <- mbase(I, D, S)", "?mtk(D, I, S)")
+
+    // ---- STACKED views over a BIG lower stratum (the r12 weak) ----
+    // An upper aggregate view over a DERIVED lower view that is itself
+    // base-sized: the round's lower-stratum delta used to be re-derived
+    // by two view-sized anti-joins; the maintenance paths now NAME their
+    // exact delta (namedDeltas) and the stratum-diff injection consumes
+    // it directly, leaving only map-only key-pruned scans as the
+    // base-sized terms. Fixed 20-tuple base delete per round; timed
+    // quantity is the riding rounds (seed rounds untimed) — flat means
+    // the stacked round is delta-bound, not lower-view-bound (the
+    // reference's stacked DD arrangements, src/incremental.rs:77-80).
+    def stackedProbe(n: Long): (Double, Long) = {
+      val e = new graft.iql.Engine(new graft.iql.Catalog(spark))
+      e.catalog.register("sbase", spark.range(n).select(
+        col("id"), pmod(col("id"), lit(100L)).as("dept"),
+        pmod(col("id") * 48271L, lit(500L)).as("sal")).localCheckpoint(true))
+      e.run("+slow(I, D, S) <- sbase(I, D, S), S >= 0\n" +
+        "+sup(D, sum<S>, count<S>) <- slow(I, D, S)")
+      e.run("?slow(I, D, S)").last.count() // materialize lower (untimed)
+      e.run("?sup(D, S, C)").last.count() // materialize upper (untimed)
+      def batch(lo: Long): String = (lo until lo + 20L)
+        .map(i => s"($i, ${i % 100}, ${(i * 48271) % 500})").mkString(",")
+      e.run(s"-sbase[${batch(0L)}]") // round 1: seeds the carried tables
+      e.run("?sup(D, S, C)").last.count()
+      val samples = Seq(100L, 200L).map { lo =>
+        val t0 = System.nanoTime()
+        e.run(s"-sbase[${batch(lo)}]")
+        val rows = e.run("?sup(D, S, C)").last.count()
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+      (samples.map(_._1).min, samples.last._2)
+    }
+    try {
+      stackedProbe(60000L) // warm (codegen, first-plan costs)
+      val (t1, n1) = stackedProbe(60000L)
+      val (t10, n10) = stackedProbe(600000L)
+      val e = Entry("stacked_big_lower_requery", "scan", t1, t10, n1, n10)
+      println(e.json)
+      entries += e
+    } catch {
+      case ex: Throwable => println(
+        s"""{"name":"stacked_big_lower_requery","error":"${ex.getClass.getSimpleName}"}""")
+    }
+
     // ---- negation-driven maintenance (q189's shape at scale) ----
     // The view negates a DERIVED relation; each round's mixed batch
     // moves one sentinel (insert a high row into a fresh dept = kills

@@ -229,6 +229,43 @@ class HnswSpec extends SparkSpec {
     assert(idx.size == 50)
   }
 
+  test("over-capacity createIndex degrades to the distributed IVF probe") {
+    // the 100 TB story for the driver-held structure as CODE: past the
+    // capacity guard, the catalog registers trained IVF centroids and
+    // hnsw_nearest probes become cell-pruned exact scans of the live
+    // relation (reference keeps one index abstraction over its base,
+    // src/index_manager.rs:84-126). With efSearch >= 16*nCells every
+    // cell is probed, so the fallback top-k must EQUAL brute force —
+    // the exact anchor.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val vs = mkVecs(60, 8)
+    val df = vs.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+    val cat = new graft.iql.Catalog(spark)
+    cat.register("bigvecs", df)
+    cat.createIndex("bigvecs", "vec_id", "embedding", maxVectors = 10L)
+    assert(!cat.indexes.contains(("bigvecs", "embedding")),
+      "no driver graph should exist past the capacity guard")
+    assert(cat.distIndexes.contains(("bigvecs", "embedding")),
+      "the distributed fallback should register instead of refusing")
+    val q = mkVecs(1, 8).head._2
+    // all-cells probe (efSearch >= 16 * nCells) == exact brute force
+    val got = cat.hnswSearch("bigvecs", "embedding", q, k = 5,
+      efSearch = 16 * 64).collect().map(_.getLong(0)).toSeq
+    val cos = new Hnsw(8, "cosine")
+    val exact = vs.map { case (id, v) => (id, cos.distance(q, v)) }
+      .sortBy { case (id, d) => (d, id) }.take(5).map(_._1)
+    assert(got == exact, s"fallback top-k $got != brute force $exact")
+    // a narrower probe still returns k rows from the pruned cells
+    val narrow = cat.hnswSearch("bigvecs", "embedding", q, k = 5, efSearch = 64)
+    assert(narrow.count() == 5)
+    // mutation needs no index upkeep: the probe reads the live relation
+    cat.delete("bigvecs", Seq(Seq(exact.head, vs(exact.head.toInt)._2.toSeq)))
+    val afterDel = cat.hnswSearch("bigvecs", "embedding", q, k = 5,
+      efSearch = 16 * 64).collect().map(_.getLong(0)).toSeq
+    assert(!afterDel.contains(exact.head), "deleted id must leave the probe")
+  }
+
   test("tombstone ratio past threshold auto-rebuilds the graph") {
     import spark.implicits._
     val s = new graft.iql.Session(spark)

@@ -2085,6 +2085,88 @@ class EngineSpec extends SparkSpec {
     assert(e.aggDecrementCount == d0 + 1, "should decrement, not recompute")
   }
 
+  test("session fact changes evict carried global-agg NN state") {
+    // a session fact add invalidates the view WITHOUT bumping the
+    // catalog version; the recomputed view re-caches at the same
+    // version, so a globalAggNN entry left behind would pass the next
+    // delete round's version check with a PRE-session-change non-null
+    // count — here it would say 0 non-null contributors remain and the
+    // sum would wrongly serve NULL over a live session fact of 8
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val cat = new Catalog(spark)
+    val e = new Engine(cat)
+    val schema = StructType(Seq(
+      StructField("i", LongType), StructField("s", LongType)))
+    cat.register("snn", spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, 5L), Row(2L, 6L), Row(3L, null)), schema))
+    e.run("+sv(sum<S>, count<S>) <- snn(I, S)")
+    assert(rows(e.run("?sv(S, C)").last) == Set(Seq(11L, 3L)))
+    // first decrement round seeds globalAggNN from the post-change body
+    e.run("-snn[(1, 5)]")
+    assert(rows(e.run("?sv(S, C)").last) == Set(Seq(6L, 2L)))
+    // session fact: adds a non-null contributor, invalidates the view,
+    // does NOT bump the catalog version
+    e.addSessionFacts("snn", Seq(Seq(4L, 8L)))
+    assert(rows(e.run("?sv(S, C)").last) == Set(Seq(14L, 3L)))
+    // the next catalog delete must reseed NN (now 2 non-null: 6 and 8);
+    // the stale carried count (1, pre-session-change) would hit 0 here
+    e.run("-snn[(2, 6)]")
+    assert(rows(e.run("?sv(S, C)").last) == Set(Seq(8L, 2L)),
+      "stale NN state must not flip the sum to NULL over a live contributor")
+  }
+
+  test("stacked rounds inject NAMED deltas instead of anti-join diffs") {
+    val e = new Engine(new Catalog(spark))
+    e.run(
+      """+nemp[(1, "eng", 10), (2, "eng", 20), (3, "ops", 5), (4, "qa", 40)]
+        |+nd1(D, sum<S>, count<S>) <- nemp(I, D, S)
+        |+nd2(D, T) <- nd1(D, T, C), T > 12
+        |""".stripMargin)
+    assert(rows(e.run("?nd2(D, T)").last) == Set(Seq("eng", 30L), Seq("qa", 40L)))
+    val i0 = e.namedDeltaInjects
+    // insert: nd1 maintains via the driver-local agg merge, which NAMES
+    // its exact view delta; nd2's stratum-diff injection must consume it
+    // instead of running the two view-sized anti-joins
+    e.run("""+nemp[(5, "ops", 9)]""")
+    assert(rows(e.run("?nd2(D, T)").last) ==
+      Set(Seq("eng", 30L), Seq("qa", 40L), Seq("ops", 14L)))
+    assert(e.namedDeltaInjects == i0 + 1,
+      "insert round should inject the named lower-stratum delta")
+    // delete: nd1 maintains via decrement/dirty-group — also named
+    e.run("""-nemp[(2, "eng", 20)]""")
+    assert(rows(e.run("?nd2(D, T)").last) ==
+      Set(Seq("qa", 40L), Seq("ops", 14L)))
+    assert(e.namedDeltaInjects == i0 + 2,
+      "delete round should inject the named lower-stratum delta")
+  }
+
+  test("rank prefix-buffer rounds name their delta for stacked consumers") {
+    val e = new Engine(new Catalog(spark))
+    e.run(
+      """+rnk0[("eng", 1, 10), ("eng", 2, 20), ("eng", 3, 30), ("ops", 4, 7), ("ops", 5, 9)]
+        |+rnk1(D, top_k<2, I, S:desc>) <- rnk0(D, I, S)
+        |+rnk2(D, I) <- rnk1(D, I, S), S > 8
+        |""".stripMargin)
+    assert(rows(e.run("?rnk2(D, I)").last) ==
+      Set(Seq("eng", 3L), Seq("eng", 2L), Seq("ops", 5L)))
+    // first delete seeds the prefix buffer (a seed round can't name its
+    // delta — consumer falls back to the anti-join diff, still exact)
+    e.run("""-rnk0[("eng", 3, 30)]""")
+    assert(rows(e.run("?rnk2(D, I)").last) ==
+      Set(Seq("eng", 2L), Seq("eng", 1L), Seq("ops", 5L)))
+    val i0 = e.namedDeltaInjects
+    val r0 = e.rankLocalRides
+    // second delete rides the driver-local buffer merge, which names
+    // the touched groups' prefix diff exactly
+    e.run("""-rnk0[("eng", 2, 20)]""")
+    assert(rows(e.run("?rnk2(D, I)").last) ==
+      Set(Seq("eng", 1L), Seq("ops", 5L)))
+    assert(e.rankLocalRides == r0 + 1, "round should ride the local buffer")
+    assert(e.namedDeltaInjects == i0 + 1,
+      "the riding round's named delta should reach the upper view")
+  }
+
   test("maintenance preserves EDB facts unioned into agg/rank rule heads") {
     // the buffer/decrement algebra re-derives from the rule body alone;
     // a head relation that ALSO holds literal facts must fall back to

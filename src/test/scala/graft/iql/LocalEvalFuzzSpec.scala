@@ -76,6 +76,98 @@ class LocalEvalFuzzSpec extends SparkSpec {
     assert(localSec < 30.0, s"NaN tuples churned instead of deduping ($localSec s)")
   }
 
+  test("maintained views equal fresh recomputation on random (program, mutation-stream) pairs") {
+    // the mutation-stream twin of the random-program fuzz: the RULES
+    // randomize too (recursion shape, stacked projection/agg/rank/
+    // negation views over the recursive stratum), and after every mixed
+    // batch EVERY declared view must equal a fresh engine evaluating
+    // the post-batch state — the composition coverage the per-class
+    // MaintenanceFuzzSpec streams can't reach (their view shapes are
+    // fixed). Seeded; 50 (program, stream) pairs.
+    val rng = new Random(20260915L)
+    (1 to 50).foreach { i =>
+      val nNodes = 4 + rng.nextInt(5)
+      val live = scala.collection.mutable.LinkedHashSet.empty[(Int, Int)]
+      val blk = scala.collection.mutable.LinkedHashSet.empty[Int]
+      def newEdge(): (Int, Int) = (rng.nextInt(nNodes), rng.nextInt(nNodes))
+      (0 until 4 + rng.nextInt(6)).foreach(_ => live += newEdge())
+      (0 until 1 + rng.nextInt(2)).foreach(_ => blk += rng.nextInt(nNodes))
+      def edgesStr = live.map(t => s"(${t._1}, ${t._2})").mkString(",")
+      def blkStr = blk.map(v => s"($v)").mkString(",")
+      val sb = new StringBuilder
+      rng.nextInt(3) match {
+        case 0 => sb.append("+r(X, Y) <- e(X, Y)\n")
+        case 1 => sb.append("+r(X, X) <- e(X, _)\n")
+        case 2 => sb.append("+r(X, Y) <- e(X, Y), X != Y\n")
+      }
+      rng.nextInt(4) match {
+        case 0 => sb.append("+r(X, Z) <- r(X, Y), e(Y, Z)\n")
+        case 1 => sb.append("+r(X, Z) <- r(X, Y), r(Y, Z)\n")
+        case 2 => sb.append("+r(X, Z) <- r(X, Y), e(Y, Z), !blk(Z)\n")
+        case 3 =>
+          sb.append("+r(X, Z) <- e(X, Y), r(Y, Z)\n")
+          sb.append(s"+r(X, Z) <- r(X, Y), e(Y, Z), Y < ${1 + rng.nextInt(nNodes)}\n")
+      }
+      // stacked views over the recursive stratum — random subset
+      val queries = scala.collection.mutable.ArrayBuffer("?r(X, Y)")
+      if (rng.nextBoolean()) {
+        sb.append("+sv(X) <- r(X, _)\n"); queries += "?sv(X)"
+      }
+      if (rng.nextBoolean()) {
+        sb.append("+av(X, count<Y>) <- r(X, Y)\n"); queries += "?av(X, N)"
+      }
+      if (rng.nextBoolean()) {
+        sb.append("+nv(X, Y) <- r(X, Y), !blk(Y)\n"); queries += "?nv(X, Y)"
+      }
+      if (rng.nextBoolean()) {
+        sb.append("+tv(top_k<2, X, Y:desc>) <- r(X, Y)\n"); queries += "?tv(X, Y)"
+      }
+      val rules = sb.toString
+      def bags(e: Engine): Seq[Map[Seq[Any], Int]] = queries.toSeq.map { q =>
+        e.run(q).last.collect().toSeq.map(_.toSeq)
+          .groupBy(identity).view.mapValues(_.size).toMap
+      }
+      val e1 = new Engine(new Catalog(spark))
+      e1.run(s"+e[$edgesStr]\n+blk[$blkStr]\n$rules")
+      bags(e1) // materialize every view (maintenance needs v0 snapshots)
+      (0 until 2 + rng.nextInt(2)).foreach { round =>
+        val stmts = Seq.newBuilder[String]
+        val nDel = math.min(live.size - 1, rng.nextInt(3))
+        if (nDel > 0) {
+          val dels = (0 until nDel).map { _ =>
+            val t = live.iterator.drop(rng.nextInt(live.size)).next()
+            live -= t; t
+          }
+          stmts += s"-e[${dels.map(t => s"(${t._1}, ${t._2})").mkString(",")}]"
+        }
+        if (rng.nextBoolean()) {
+          val add = Seq.fill(1 + rng.nextInt(2))(newEdge()).distinct
+            .filterNot(live)
+          if (add.nonEmpty) {
+            add.foreach(live += _)
+            stmts += s"+e[${add.map(t => s"(${t._1}, ${t._2})").mkString(",")}]"
+          }
+        }
+        if (rng.nextBoolean()) {
+          val v = rng.nextInt(nNodes)
+          if (blk.add(v)) stmts += s"+blk[($v)]"
+        }
+        if (blk.size > 1 && rng.nextBoolean()) {
+          val v = blk.head; blk -= v; stmts += s"-blk[($v)]"
+        }
+        val prog = stmts.result().mkString("\n")
+        if (prog.nonEmpty) e1.run(prog)
+        val maintained = bags(e1)
+        val e2 = new Engine(new Catalog(spark))
+        e2.run(s"+e[$edgesStr]\n+blk[$blkStr]\n$rules")
+        val fresh = bags(e2)
+        assert(maintained == fresh,
+          s"pair $i round $round diverged:\n$rules\nedges=$live blk=$blk\n" +
+            s"maintained=$maintained\nfresh=$fresh")
+      }
+    }
+  }
+
   test("local and distributed SCC evaluation agree on random programs") {
     val rng = new Random(20260812L)
     (1 to 14).foreach { i =>

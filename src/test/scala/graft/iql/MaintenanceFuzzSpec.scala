@@ -720,6 +720,124 @@ class MaintenanceFuzzSpec extends SparkSpec {
     }
   }
 
+  test("stacked views over min/max and top_k lower strata equal fresh recomputation") {
+    // the r12 classes (top-2 min/max carry, rank prefix buffer) as the
+    // LOWER stratum of a stack: their named/diffed deltas feed the
+    // upper view's injection. Every round is a MIXED batch (deletes and
+    // inserts in one statement) so the stratum-diff injection sees both
+    // directions at once — the composition the per-class fuzz samples
+    // thinly.
+    val rng = new Random(20260913L)
+    (1 to 9).foreach { c =>
+      val groups = Seq("a", "b", "c")
+      var nextId = 0
+      val live = scala.collection.mutable.ArrayBuffer.empty[String]
+      def mkTuple(): String = {
+        nextId += 1
+        s"""($nextId, "${groups(rng.nextInt(groups.size))}", ${rng.nextInt(20)})"""
+      }
+      def insBatch(n: Int): String = (0 until n).map { _ =>
+        val t = mkTuple(); live += t; t
+      }.mkString(",")
+      val cut = 3 + rng.nextInt(14)
+      // lower stratum: min / max / top_k (3-col); upper: filter / agg / rank
+      val (lower, q) = (c % 3) match {
+        case 0 => ("+s1(G, min<X>) <- t(I, G, X)\n", "?s2o(G, T)")
+        case 1 => ("+s1(G, max<X>) <- t(I, G, X)\n", "?s2o(G, T)")
+        case 2 => ("+s1(G, top_k<2, I, X:desc>) <- t(I, G, X)\n", "?s2o(G, T)")
+      }
+      val upper = if (c % 3 == 2) ((c / 3) % 3) match {
+        // top_k lower is 3-col (G, I, X)
+        case 0 => s"+s2o(G, T) <- s1(G, I, T), T > $cut\n"
+        case 1 => "+s2o(G, sum<T>) <- s1(G, I, T)\n"
+        case 2 => "+s2o(top_k<2, G, T:desc>) <- s1(G, I, T)\n"
+      } else ((c / 3) % 3) match {
+        case 0 => s"+s2o(G, T) <- s1(G, T), T > $cut\n"
+        case 1 => "+s2o(G, sum<T>) <- s1(G, T)\n"
+        case 2 => "+s2o(top_k<2, G, T:desc>) <- s1(G, T)\n"
+      }
+      val rule = lower + upper
+      def bag(e: Engine): Map[Seq[Any], Int] =
+        e.run(q).last.collect().toSeq.map(_.toSeq)
+          .groupBy(identity).view.mapValues(_.size).toMap
+      val e1 = new Engine(new Catalog(spark))
+      e1.run(s"+t[${insBatch(8 + rng.nextInt(6))}]\n$rule")
+      e1.run(q)
+      (0 until 3 + rng.nextInt(3)).foreach { round =>
+        val nDel = math.min(live.size, 1 + rng.nextInt(3))
+        val dels = scala.collection.mutable.ArrayBuffer.empty[String]
+        (0 until nDel).foreach { _ =>
+          val i = rng.nextInt(live.size)
+          dels += live.remove(i)
+        }
+        // ALWAYS mixed: the delete and the insert cross one injection
+        val prog = s"-t[${dels.mkString(",")}]\n+t[${insBatch(1 + rng.nextInt(3))}]"
+        e1.run(prog)
+        val maintained = bag(e1)
+        val expected = {
+          val e2 = new Engine(new Catalog(spark))
+          e2.run(s"+t[${live.mkString(",")}]\n$rule")
+          bag(e2)
+        }
+        assert(maintained == expected,
+          s"case $c round $round diverged; rule=$rule live=$live")
+      }
+    }
+  }
+
+  test("negated rel appearing POSITIVELY in the same body equals fresh recomputation") {
+    // the handleable gates exclude a rel changed on both sides of the
+    // sign (maintenance must recompute); this pins that the exclusion
+    // actually routes to a correct answer rather than a stale ride
+    val rng = new Random(20260914L)
+    (1 to 6).foreach { c =>
+      val groups = Seq("a", "b", "c")
+      var nextId = 0
+      val live = scala.collection.mutable.ArrayBuffer.empty[String]
+      val bliv = scala.collection.mutable.LinkedHashSet.empty[Int]
+      def mkTuple(): String = {
+        nextId += 1
+        s"""($nextId, "${groups(rng.nextInt(groups.size))}", ${rng.nextInt(8)})"""
+      }
+      def insBatch(n: Int): String = (0 until n).map { _ =>
+        val t = mkTuple(); live += t; t
+      }.mkString(",")
+      // b appears positively (b(X)) AND negated (!b(I)) in one body
+      val rule =
+        if (c % 2 == 0) "+v9(I, G) <- t(I, G, X), b(X), !b(I)\n"
+        else "+v9(G, count<I>) <- t(I, G, X), b(X), !b(I)\n"
+      val q = if (c % 2 == 0) "?v9(I, G)" else "?v9(G, N)"
+      (0 until 3).foreach(_ => bliv += rng.nextInt(8))
+      def bag(e: Engine): Map[Seq[Any], Int] =
+        e.run(q).last.collect().toSeq.map(_.toSeq)
+          .groupBy(identity).view.mapValues(_.size).toMap
+      val e1 = new Engine(new Catalog(spark))
+      e1.run(s"+t[${insBatch(8 + rng.nextInt(6))}]\n" +
+        s"+b[${bliv.map(v => s"($v)").mkString(",")}]\n$rule")
+      e1.run(q)
+      (0 until 3 + rng.nextInt(2)).foreach { round =>
+        val stmts = Seq.newBuilder[String]
+        // move b (both sign sides of the same body see the change)
+        if (rng.nextBoolean()) {
+          val v = rng.nextInt(8)
+          if (bliv.add(v)) stmts += s"+b[($v)]"
+        }
+        if (bliv.size > 1 && rng.nextBoolean()) {
+          val v = bliv.head; bliv -= v; stmts += s"-b[($v)]"
+        }
+        if (rng.nextBoolean()) stmts += s"+t[${insBatch(1 + rng.nextInt(2))}]"
+        val prog = stmts.result().mkString("\n")
+        if (prog.nonEmpty) e1.run(prog)
+        val maintained = bag(e1)
+        val e2 = new Engine(new Catalog(spark))
+        e2.run(s"+t[${live.mkString(",")}]\n" +
+          s"+b[${bliv.map(v => s"($v)").mkString(",")}]\n$rule")
+        assert(maintained == bag(e2),
+          s"case $c round $round diverged; b=$bliv live=$live")
+      }
+    }
+  }
+
   test("agg/rank views with negated deps equal fresh recomputation on random streams") {
     val rng = new Random(20260831L)
     (1 to 8).foreach { c =>
