@@ -119,8 +119,19 @@ object Bench {
       case _ => -1L
     }
     val envCpus = osBean.getAvailableProcessors
+    // hypervisor CPU STEAL is invisible to the load average (the host
+    // runs someone else's work; our runnable queue stays short while
+    // every tick stretches) — measured 10%+ steal on runs whose uniform
+    // ~1.4x drag loadavg called quiet. Read it from /proc/stat.
+    def cpuTicks(): Option[(Long, Long)] = try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      val f = try src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+      finally src.close()
+      Some(((if (f.length > 7) f(7) else 0L), f.sum))
+    } catch { case _: Throwable => None }
     val loadStart = loadAvg
     val cpuStart = procCpuNs
+    val ticksStart = cpuTicks()
     val wallStart = System.nanoTime()
     val retryLoad = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val timed = SparkEntry.queries.toSeq.sortBy { case (n, _) => (qNum(n), n) }
@@ -248,11 +259,16 @@ object Bench {
         (cpuEnd - cpuStart).toDouble / wallNs
       else -1.0
     val extLoad = math.max(loadStart, loadEnd) - math.max(ourCores, 0.0)
-    val contended = extLoad > math.max(2.0, envCpus / 8.0)
+    val stealPct: Double = (for {
+      (s0, t0) <- ticksStart
+      (s1, t1) <- cpuTicks()
+      if t1 > t0
+    } yield 100.0 * (s1 - s0) / (t1 - t0)).getOrElse(-1.0)
+    val contended = extLoad > math.max(2.0, envCpus / 8.0) || stealPct > 5.0
     def f2(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val envJson =
-      s"""{"cpus":$envCpus,"load_start":${f2(loadStart)},"load_end":${f2(loadEnd)},"proc_cpu_cores":${f2(ourCores)},"ext_load":${f2(extLoad)},"retry_load":${
+      s"""{"cpus":$envCpus,"load_start":${f2(loadStart)},"load_end":${f2(loadEnd)},"proc_cpu_cores":${f2(ourCores)},"ext_load":${f2(extLoad)},"steal_pct":${f2(stealPct)},"retry_load":${
         retryLoad.map { case (k, v) => "\"" + k + "\":" + f2(v) }
           .mkString("{", ",", "}")},"contended":$contended}"""
     // The harness that collects this output keeps only the LAST ~2000

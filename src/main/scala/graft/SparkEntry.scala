@@ -1868,6 +1868,23 @@ object SparkEntry {
       e.run("?gtot(S, C)").last
     }),
 
+    // --- ANN: over-capacity HNSW AUTO-FALLBACK — createIndex past the
+    //     capacity guard registers the distributed IVF probe instead of
+    //     refusing (the reference keeps one index abstraction over its
+    //     base relation, src/index_manager.rs:84-126); with efSearch >=
+    //     16*nCells every cell is probed, so the result must EQUAL
+    //     brute force: q91's exact twin through the degraded path ------
+    "q196_hnsw_overcap_fallback" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0).toArray
+      val cat = new graft.iql.Catalog(s)
+      cat.register("embeddings", emb)
+      cat.createIndex("embeddings", "vec_id", "embedding", maxVectors = 64L)
+      cat.hnswSearch("embeddings", "embedding", q, 10, efSearch = 16 * 64)
+        .select(col("id").as("vec_id"))
+    }),
+
     // --- IQL: WITHIN_RADIUS retraction — filter semantics: deletes
     //     subtract the vanished bindings bag-exactly (exceptAll), no
     //     window and no recompute --------------------------------------
@@ -4038,6 +4055,13 @@ object SparkEntry {
         |FROM orders
         |WHERE CAST(FLOOR(o_totalprice) AS BIGINT) <= 400000
         |  AND o_orderkey % 7 <> 0""".stripMargin,
+
+    // over-capacity fallback probed with every IVF cell == brute force
+    "q196_hnsw_overcap_fallback" ->
+      """SELECT vec_id FROM embeddings
+        |ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC,
+        |vec_id ASC LIMIT 10""".stripMargin,
 
     // the stacked view after both rounds: only the surviving sentinel
     // dept's sum clears the cut (real depts sum well below it at any sf)

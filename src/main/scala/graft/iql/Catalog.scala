@@ -125,6 +125,7 @@ final class Catalog(val spark: SparkSession) {
   def sizeSignal(name: String): Option[Long] =
     synchronized { literalRows.get(name).orElse(statRows(name)) }
 
+
   /** ANALYZE-style relation statistics (reference `src/statistics.rs`:
     * per-relation row counts + per-column distinct estimates drive
     * selectivity). Explicit artifacts like the reference's — computed
@@ -202,17 +203,30 @@ final class Catalog(val spark: SparkSession) {
       }
     } catch {
       case _: graft.index.Hnsw.CapacityExceeded =>
-        // AUTO-DEGRADE past the capacity guard: train IVF centroids once
-        // (k-means — a few distributed passes, index-create-time work
-        // like any build) and register the distributed probe instead
-        val cent = graft.operators.Similarity.kmeansCentroids(
-          df, k = 64, iters = 3, idCol = idCol, vecCol = vecCol)
+        // AUTO-DEGRADE past the capacity guard: SEEDED hyperplane
+        // centroids (data-independent — the untrained IVF option) cost
+        // no training pass over a relation already too big for the
+        // driver graph and keep the probe-time bestCell expression
+        // bounded at 16 cells; k-means-trained layouts remain available
+        // through the explicit Similarity IVF operators when recall
+        // tuning matters. (A 64-centroid TRAINED fallback measured
+        // ~147 s of codegen+train per createIndex at sf0.1.)
+        val dim = df.select(vecCol).head().getSeq[Float](0).length
+        val cent = graft.functions.LshFunctions.hyperplanes(
+          dim, 16, table = 0, seed = 0xCE11L)
         synchronized {
           indexes.remove((rel, vecCol))
           distIndexes((rel, vecCol)) = (idCol, metric, cent)
           indexMeta(metaName) = (rel, idCol, vecCol)
         }
     }
+  }
+
+  /** Resolve a named index that degraded to the distributed fallback →
+    * (relation, idCol, vecCol); [[hnswSearch]] serves its probes. */
+  def distByName(name: String): Option[(String, String, String)] = synchronized {
+    indexMeta.get(name).collect { case (rel, idCol, vecCol)
+      if distIndexes.contains((rel, vecCol)) => (rel, idCol, vecCol) }
   }
 
   /** Resolve a named index → (hnsw, relation, idCol, vecCol). */
@@ -538,6 +552,7 @@ final class Catalog(val spark: SparkSession) {
     literalRows.remove(name)
     overlayDiscard(name) // a dropped relation's compaction checkpoint retires
     indexes.filterInPlace { case ((r, _), _) => r != name }
+    distIndexes.filterInPlace { case ((r, _), _) => r != name }
     indexMeta.filterInPlace { case (_, (r, _, _)) => r != name }
     emptyPlaceholders -= name
     val remaining = ruleList.filterNot(_.head.rel == name)

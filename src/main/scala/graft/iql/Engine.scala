@@ -133,15 +133,28 @@ final class Engine(val catalog: Catalog) {
       case other => throw new IllegalArgumentException(
         s"hnsw_nearest: efSearch must be an integer literal, got $other")
     }.getOrElse(64)
-    val (idx, _, _, _) = catalog.indexByName(idxName).getOrElse(
-      throw new IllegalArgumentException(s"unknown index '$idxName' " +
-        s"(create one with .index create $idxName on <rel>(<col>))"))
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField(idVar,
         org.apache.spark.sql.types.LongType, nullable = false),
       org.apache.spark.sql.types.StructField(distVar,
         org.apache.spark.sql.types.DoubleType, nullable = false)))
-    def probeRows(q: Array[Float]) = idx.search(q, k, math.max(ef, k))
+    // graph probe when the driver-held index exists; past the capacity
+    // guard the name resolves to the distributed IVF fallback and each
+    // probe is a cell-pruned exact scan (one Spark job — so the Var
+    // fan-out cap below tightens accordingly)
+    val distFallback = catalog.indexByName(idxName).isEmpty
+    val probeRows: Array[Float] => Seq[(Long, Double)] =
+      catalog.indexByName(idxName) match {
+        case Some((idx, _, _, _)) => q => idx.search(q, k, math.max(ef, k))
+        case None => catalog.distByName(idxName) match {
+          case Some((rel, _, vecCol)) => q =>
+            catalog.hnswSearch(rel, vecCol, q, k, math.max(ef, k))
+              .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+          case None => throw new IllegalArgumentException(
+            s"unknown index '$idxName' " +
+              s"(create one with .index create $idxName on <rel>(<col>))")
+        }
+      }
     a.args(1) match {
       case Const(s: Seq[_]) =>
         val q = s.map {
@@ -161,7 +174,7 @@ final class Engine(val catalog: Catalog) {
         // driver-side probe fan-out is bounded: beyond this, route the
         // bulk case through the distributed knn join
         // (graft.operators.Similarity) instead of a driver loop
-        val MaxProbeQueries = 100000
+        val MaxProbeQueries = if (distFallback) 64 else 100000
         val qRows = curDf.select(qv).distinct().limit(MaxProbeQueries + 1).collect()
         require(qRows.length <= MaxProbeQueries,
           s"hnsw_nearest: more than $MaxProbeQueries distinct query vectors — " +
@@ -454,6 +467,42 @@ final class Engine(val catalog: Catalog) {
     * deferral in [[maintainAggSubtractable]]) — a second such round
     * seeds. A workload signal, not cached state: never invalidated. */
   private val seedDeferredOnce = mutable.HashSet.empty[String]
+  /** Identity-keyed memo for driver-local collects of UNCHANGED small
+    * frames: the in-process DRed re-collects every unchanged body rel
+    * each round, but an untouched relation keeps its exact frame object
+    * (mutations swap it), so identity hits are safe by construction and
+    * a stable dimension rel costs its collect job once per session
+    * instead of once per round. Bounded: only results ≤4096 rows enter,
+    * at most 64 entries (cleared wholesale when full — entries for
+    * displaced frames age out with the sweep). */
+  private val localCollectMemo =
+    new java.util.IdentityHashMap[DataFrame, Array[org.apache.spark.sql.Row]]()
+  /** Frames observed OVER a collect cap, keyed by identity with the
+    * FAILED cap — a stable big frame (an unchanged 600k base) then
+    * answers "not small" at that cap or below without re-scanning every
+    * round, while a larger-cap caller (the in-process DRed's 200k-row
+    * collects) still gets its own attempt. Mutated frames are new
+    * objects and re-probe, which is one early-stopping CollectLimit
+    * job. */
+  private val localCollectBig =
+    new java.util.IdentityHashMap[DataFrame, java.lang.Long]()
+  private def collectMemoized(df: DataFrame,
+      cap: Long): Option[Array[org.apache.spark.sql.Row]] =
+    if (Option(localCollectBig.get(df)).exists(c => cap <= c)) None
+    else Option(localCollectMemo.get(df)).filter(_.length <= cap).orElse {
+      val got = Fixpoint.collectUpTo(df, cap)
+      got match {
+        case Some(rows) if rows.length <= 4096 =>
+          if (localCollectMemo.size >= 64) localCollectMemo.clear()
+          localCollectMemo.put(df, rows)
+        case None =>
+          if (localCollectBig.size >= 256) localCollectBig.clear()
+          val prev = Option(localCollectBig.get(df)).map(_.longValue).getOrElse(0L)
+          localCollectBig.put(df, math.max(prev, cap))
+        case _ => ()
+      }
+      got
+    }
   /** Observability: delete/mixed rounds served by the head-link
     * restricted recompute (nonrecursive views; tests pin that the
     * negated-derived scenario rides it instead of the DRed phases). */
@@ -810,7 +859,19 @@ final class Engine(val catalog: Catalog) {
         AnyValue.encodeCol(c, src).as(f.name)
       else c.cast(f.dataType)
     }.toSeq: _*)
-    graft.plans.Fixpoint.collectUpTo(castM, 4096L) match {
+    // byte-aware cap: fixed-width rows collect up to 64k (a 15k-row
+    // conditional delete stays all-literal end to end — the over-cap
+    // replace path re-evaluates the matching plan in every downstream
+    // consumer, which measured ~3x on q195's two delete rounds); rows
+    // that can carry vectors / strings / dynamic values keep the
+    // conservative 4k bound
+    val wide = rel.schema.fields.exists(f => f.dataType match {
+      case _: org.apache.spark.sql.types.ArrayType |
+           _: org.apache.spark.sql.types.BinaryType |
+           org.apache.spark.sql.types.StringType => true
+      case dt => AnyValue.isAny(dt)
+    })
+    graft.plans.Fixpoint.collectUpTo(castM, if (wide) 4096L else 65536L) match {
       case Some(rowsM) => catalog.deletePresent(atom.rel, rowsM.toSeq)
       case None =>
         val removed = persistRemoval(rel.join(matching, rel.columns.toSeq, "left_semi"))
@@ -4223,11 +4284,23 @@ final class Engine(val catalog: Catalog) {
           // probes dominated the negated-derived round at 600k rows).
           // localDRed also keeps recursive SCCs and link-less shapes,
           // where it replaces 10-20 fixpoint jobs.
+          // [[collectMemoized]] extends the literal-size signal to
+          // REGISTERED frames: a ≤4096-row base probes small with one
+          // early-stopping collect whose ROWS the in-process DRed then
+          // reuses by frame identity (zero extra jobs), so a 25-row
+          // registered base takes the driver-local path instead of
+          // paying the distributed round's broadcasts + checkpoint
+          // every delete (the q68 r12 regression). Big bases stop the
+          // probe at 4097 rows (memoized negative while the frame is
+          // unchanged) and keep the linkMaintain-first order.
           val provablySmall = sccRules.flatMap(_.body.collect {
-            case Pos(a) => a.rel
-            case Neg(a) => a.rel
-          }).distinct.forall(rel => scc(rel) || byHead.contains(rel) ||
-            catalog.sizeSignal(rel).exists(_ <= Fixpoint.LocalEdgeRows))
+            case Pos(a) => (a.rel, a.args.length)
+            case Neg(a) => (a.rel, a.args.length)
+          }).distinct.forall { case (rel, ar) =>
+            scc(rel) || byHead.contains(rel) ||
+            catalog.sizeSignal(rel).exists(_ <= Fixpoint.LocalEdgeRows) ||
+            collectMemoized(resolve(rel, ar), 4096L).isDefined
+          }
           def tryLink(): Option[DataFrame] =
             if (!isRecursive && scc.size == 1) linkMaintain() else None
           if (!provablySmall) tryLink() match {
@@ -4798,7 +4871,7 @@ final class Engine(val catalog: Catalog) {
           case Neg(a) if !scc(a.rel) && !changedish(a.rel) => (a.rel, a.args.length)
         }).distinct.foreach { case (b, ar) =>
           arities(b) = ar
-          stores(b) = need(Fixpoint.collectUpTo(resolve(b, ar), Fixpoint.LocalEdgeRows))
+          stores(b) = need(collectMemoized(resolve(b, ar), Fixpoint.LocalEdgeRows))
         }
 
         val out1 = mutable.HashMap.empty[String, Array[Row]]

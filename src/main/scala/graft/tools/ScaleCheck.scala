@@ -194,11 +194,23 @@ object ScaleCheck {
     // 2-competitive seed deferral means round 1 here takes dirty-group
     // and round 2 seeds; the min-of-rounds-2-and-3 sampling still
     // times a carried round.
-    def maintenanceProbe(name: String, rule: String, query: String)(n: Long): (Double, Long) = {
+    def maintenanceProbe(name: String, rule: String, query: String,
+                         parquetBase: Boolean = false)(n: Long): (Double, Long) = {
       val e = new graft.iql.Engine(new graft.iql.Catalog(spark))
-      e.catalog.register("mbase", spark.range(n).select(
+      val base0 = spark.range(n).select(
         col("id"), pmod(col("id"), lit(100L)).as("dept"),
-        pmod(col("id") * 48271L, lit(500L)).as("sal")).localCheckpoint(true))
+        pmod(col("id") * 48271L, lit(500L)).as("sal"))
+      // the 100× probes read a PARQUET base: the exact-removal presence
+      // prefilter's literal IN prunes row groups by id min/max there —
+      // the designed 100 TB shape — where an in-memory frame forces a
+      // full (map-only) scan per round and fakes a slope at 6M rows
+      val base = if (!parquetBase) base0.localCheckpoint(true) else {
+        val p = s"/tmp/graft_scale_mbase_$n.parquet"
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+          base0.write.mode("overwrite").parquet(p)
+        spark.read.parquet(p)
+      }
+      e.catalog.register("mbase", base)
       e.run(rule)
       e.run(query).last.count() // materialize (untimed)
       def batch(lo: Long): String = (lo until lo + 20L)
@@ -248,7 +260,7 @@ object ScaleCheck {
     // 100 groups, pairs ≤ 50k, buffer ≤ ~2k rows at any base size).
     def probeMaintenance100(name: String, rule: String, query: String): Unit = {
       try {
-        val p = maintenanceProbe(name, rule, query) _
+        val p = maintenanceProbe(name, rule, query, parquetBase = true) _
         p(60000L) // warm (codegen, first-plan costs)
         val (t1, n1) = p(60000L)
         val (t100, n100) = p(6000000L)

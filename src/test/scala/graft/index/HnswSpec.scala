@@ -256,9 +256,20 @@ class HnswSpec extends SparkSpec {
     val exact = vs.map { case (id, v) => (id, cos.distance(q, v)) }
       .sortBy { case (id, d) => (d, id) }.take(5).map(_._1)
     assert(got == exact, s"fallback top-k $got != brute force $exact")
-    // a narrower probe still returns k rows from the pruned cells
+    // a narrower probe returns up to k rows from the pruned cells
+    // (approximate by design: efSearch 64 probes 4 of the ~60 cells,
+    // which may hold fewer than k vectors)
     val narrow = cat.hnswSearch("bigvecs", "embedding", q, k = 5, efSearch = 64)
-    assert(narrow.count() == 5)
+      .count()
+    assert(narrow >= 1 && narrow <= 5, s"narrow probe returned $narrow rows")
+    // the IQL hnsw_nearest atom resolves the same fallback by name
+    val e = new graft.iql.Engine(cat)
+    val qLit = q.map(v => f"$v%.6f").mkString("[", ", ", "]")
+    val viaIql = e.run(
+      s"""?- hnsw_nearest("bigvecs_embedding", $qLit, 5, Id, D, ${16 * 64})""")
+      .last.collect().map(_.getLong(0)).toSeq.sorted
+    assert(viaIql == exact.sorted,
+      s"IQL atom over the fallback returned $viaIql, expected ${exact.sorted}")
     // mutation needs no index upkeep: the probe reads the live relation
     cat.delete("bigvecs", Seq(Seq(exact.head, vs(exact.head.toInt)._2.toSeq)))
     val afterDel = cat.hnswSearch("bigvecs", "embedding", q, k = 5,
