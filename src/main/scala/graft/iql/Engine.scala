@@ -852,13 +852,17 @@ final class Engine(val catalog: Catalog) {
     // contains the deleted atom itself, so matching ⊆ relation by
     // construction. Past the cap: the lazy replace (anti-join plan,
     // presence-checked removal plan), as before.
+    // distinct AFTER the cast — a narrowing cast can collapse values
+    // the pre-cast distinct kept apart, and the literal-tombstone log
+    // entry is consumed un-rededuped (removedLiteralRows >= 0 tells the
+    // netting fold the frame is distinct by construction)
     val castM = matching.select(rel.schema.fields.map { f =>
       val c = col(f.name)
       val src = matching.schema(f.name).dataType
       if (AnyValue.isAny(f.dataType) && !AnyValue.isAny(src))
         AnyValue.encodeCol(c, src).as(f.name)
       else c.cast(f.dataType)
-    }.toSeq: _*)
+    }.toSeq: _*).distinct()
     // byte-aware cap: fixed-width rows collect up to 64k (a 15k-row
     // conditional delete stays all-literal end to end — the over-cap
     // replace path re-evaluates the matching plan in every downstream
@@ -2948,8 +2952,14 @@ final class Engine(val catalog: Catalog) {
         val remX = mutable.HashMap.empty[String, DataFrame]
         changes.sortBy(_.version).foreach { c =>
           if (c.removed != null) { // removals first: updates are -old,+new
-            val m = c.removed.distinct()
-            val mx = (if (c.removedExact != null) c.removedExact else c.removed).distinct()
+            // literal-logged removals (removedLiteralRows >= 0: literal
+            // and small-conditional deletes) are deduped at log time —
+            // re-distincting a LocalRelation here costs a shuffle per
+            // consumer evaluation for nothing
+            def dedup(df: DataFrame): DataFrame =
+              if (c.removedLiteralRows >= 0) df else df.distinct()
+            val m = dedup(c.removed)
+            val mx = dedup(if (c.removedExact != null) c.removedExact else c.removed)
             def netIn(acc: mutable.HashMap[String, DataFrame], v: DataFrame): Unit = {
               val fresh = ins.get(c.rel) match {
                 case Some(i) => Fixpoint.antiNullSafe(v, i)
