@@ -321,6 +321,46 @@ object ScaleCheck {
         s"""{"name":"stacked_big_lower_requery","error":"${ex.getClass.getSimpleName}"}""")
     }
 
+    // ---- same stack, AGGREGATE lower stratum with a VIEW-SIZED group
+    // count (one group per base id): the lower view is maintained by
+    // the per-group decrement whose support table exceeds the
+    // driver-resident cap (distributed map-only commit passes), and its
+    // NAMED delta feeds an ungrouped top_k upper view — the probe above
+    // covers the other naming family (plain lower via the
+    // link-restricted recompute).
+    def stackedAggProbe(n: Long): (Double, Long) = {
+      val e = new graft.iql.Engine(new graft.iql.Catalog(spark))
+      e.catalog.register("pbase", spark.range(n).select(
+        col("id"), pmod(col("id"), lit(100L)).as("dept"),
+        pmod(col("id") * 48271L, lit(500L)).as("sal")).localCheckpoint(true))
+      e.run("+plow(I, sum<S>, count<S>) <- pbase(I, D, S)\n" +
+        "+pup(top_k<5, I, T:desc>) <- plow(I, T, C)")
+      e.run("?plow(I, T, C)").last.count() // materialize lower (untimed)
+      e.run("?pup(I, T)").last.count() // materialize upper (untimed)
+      def batch(lo: Long): String = (lo until lo + 20L)
+        .map(i => s"($i, ${i % 100}, ${(i * 48271) % 500})").mkString(",")
+      e.run(s"-pbase[${batch(0L)}]") // round 1: seeds the carried tables
+      e.run("?pup(I, T)").last.count()
+      val samples = Seq(100L, 200L).map { lo =>
+        val t0 = System.nanoTime()
+        e.run(s"-pbase[${batch(lo)}]")
+        val rows = e.run("?pup(I, T)").last.count()
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+      (samples.map(_._1).min, samples.last._2)
+    }
+    try {
+      stackedAggProbe(60000L) // warm
+      val (t1, n1) = stackedAggProbe(60000L)
+      val (t10, n10) = stackedAggProbe(600000L)
+      val e = Entry("stacked_agg_lower_requery", "scan", t1, t10, n1, n10)
+      println(e.json)
+      entries += e
+    } catch {
+      case ex: Throwable => println(
+        s"""{"name":"stacked_agg_lower_requery","error":"${ex.getClass.getSimpleName}"}""")
+    }
+
     // ---- negation-driven maintenance (q189's shape at scale) ----
     // The view negates a DERIVED relation; each round's mixed batch
     // moves one sentinel (insert a high row into a fresh dept = kills
