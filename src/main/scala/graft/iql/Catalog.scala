@@ -203,17 +203,36 @@ final class Catalog(val spark: SparkSession) {
       }
     } catch {
       case _: graft.index.Hnsw.CapacityExceeded =>
-        // AUTO-DEGRADE past the capacity guard: SEEDED hyperplane
-        // centroids (data-independent — the untrained IVF option) cost
-        // no training pass over a relation already too big for the
-        // driver graph and keep the probe-time bestCell expression
-        // bounded at 16 cells; k-means-trained layouts remain available
-        // through the explicit Similarity IVF operators when recall
-        // tuning matters. (A 64-centroid TRAINED fallback measured
-        // ~147 s of codegen+train per createIndex at sf0.1.)
-        val dim = df.select(vecCol).head().getSeq[Float](0).length
-        val cent = graft.functions.LshFunctions.hyperplanes(
-          dim, 16, table = 0, seed = 0xCE11L)
+        // AUTO-DEGRADE past the capacity guard: DATA-DERIVED coarse
+        // centroids — the first 16 vectors by id (ONE bounded
+        // TakeOrdered pass over a relation already too big for the
+        // driver graph; deterministic, and SQL-replicable so the q197
+        // recall report is oracle-exact, the q190 centroid precedent).
+        // Centroids drawn from the data distribution partition it far
+        // better than the r13 seeded random hyperplanes did (data-
+        // independent planes through the origin mostly split the bulk
+        // of an embedding cloud into empty/full half-spaces), at the
+        // cost of one bounded scan instead of the ~147 s a 64-centroid
+        // k-means train measured per createIndex at sf0.1. k-means-
+        // trained layouts remain available through the explicit
+        // Similarity IVF operators when recall tuning matters.
+        // Degenerate relations (under 2 usable vectors) keep the seeded
+        // hyperplane fallback.
+        import org.apache.spark.sql.functions.col
+        val cent0: Array[Array[Double]] =
+          try df.where(col(vecCol).isNotNull)
+            .orderBy(col(idCol)).limit(16)
+            .select(col(vecCol)).collect()
+            .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+          catch { case scala.util.control.NonFatal(_) =>
+            Array.empty[Array[Double]] }
+        val cent =
+          if (cent0.length >= 2) cent0
+          else {
+            val dim = df.select(vecCol).head().getSeq[Float](0).length
+            graft.functions.LshFunctions.hyperplanes(
+              dim, 16, table = 0, seed = 0xCE11L)
+          }
         synchronized {
           indexes.remove((rel, vecCol))
           distIndexes((rel, vecCol)) = (idCol, metric, cent)
@@ -435,9 +454,10 @@ final class Catalog(val spark: SparkSession) {
           // relation, ranked under the index's own metric so the
           // (id, distance) contract matches the graph probe. efSearch
           // maps to probe breadth the way it maps to beam width on the
-          // graph: ~16 efSearch per probed cell, so the default 64
-          // probes 4 of 64 cells and efSearch >= 16*nCells is the
-          // exact brute-force anchor (TakeOrderedAndProject — per-
+          // graph: ~16 efSearch per probed cell over the 16 seeded
+          // hyperplane cells registered by the degrade, so the default
+          // 64 probes 4 of 16 cells and efSearch >= 256 (16*nCells) is
+          // the exact brute-force anchor (TakeOrderedAndProject — per-
           // partition heaps, no sort, no shuffle).
           import org.apache.spark.sql.functions.{col, lit, typedLit}
           val df = synchronized(relations(rel))
@@ -725,6 +745,12 @@ final class Catalog(val spark: SparkSession) {
         overlays(name) = o
         o
     }
+  // INVARIANT every mutation path must keep: the served frame is a NEW
+  // DataFrame object on every rebuild/replace. Engine-side caches
+  // (localCollectMemo/localCollectBig, aggLocalSupport, rankLocalBuf)
+  // key by frame identity and treat an identical object as unchanged
+  // data — serving a mutated relation through a reused object would
+  // make them silently stale.
   private def overlayRebuild(name: String, o: Overlay,
                              schema: StructType): DataFrame = {
     def litFrame(rows: Seq[org.apache.spark.sql.Row]): DataFrame =

@@ -26,6 +26,30 @@ object Engine {
   /** Kill-switch for the driver-resident aggregate-support mode. */
   @volatile private[graft] var aggLocalSupportEnabled: Boolean =
     sys.props.get("graft.agg.localSupport").forall(_ != "false")
+  /** Kill-switch for the over-cap keyed-parquet support path (tests pin
+    * the distributed anti-join commit with it off). */
+  @volatile private[graft] var supportParquetEnabled: Boolean =
+    sys.props.get("graft.agg.supportParquet").forall(_ != "false")
+
+  /** JVM-wide scratch root for over-cap support-table parquet layouts;
+    * removed on JVM exit (individual dirs retire on compaction, one
+    * grace generation late — served frames may still read them). */
+  private[iql] lazy val supportScratch: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft-support-")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteDir(p.toString)))
+    p
+  }
+  private val supportDirSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[iql] def supportDir(tag: String): String = {
+    val safe = tag.replaceAll("[^A-Za-z0-9_-]", "_")
+    supportScratch.resolve(safe + "-" + supportDirSeq.incrementAndGet()).toString
+  }
+  private[iql] def deleteDir(dir: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(dir))
+  }
 }
 
 final class Engine(val catalog: Catalog) {
@@ -142,9 +166,12 @@ final class Engine(val catalog: Catalog) {
     // guard the name resolves to the distributed IVF fallback and each
     // probe is a cell-pruned exact scan (one Spark job — so the Var
     // fan-out cap below tightens accordingly)
-    val distFallback = catalog.indexByName(idxName).isEmpty
+    // resolve the name ONCE: a concurrent createIndex/degrade between
+    // two lookups could make the fan-out cap disagree with the probe
+    val resolvedIdx = catalog.indexByName(idxName)
+    val distFallback = resolvedIdx.isEmpty
     val probeRows: Array[Float] => Seq[(Long, Double)] =
-      catalog.indexByName(idxName) match {
+      resolvedIdx match {
         case Some((idx, _, _, _)) => q => idx.search(q, k, math.max(ef, k))
         case None => catalog.distByName(idxName) match {
           case Some((rel, _, vecCol)) => q =>
@@ -253,6 +280,15 @@ final class Engine(val catalog: Catalog) {
   private def clearMatCacheRetiring(): Unit = {
     matCache.valuesIterator.foreach(retireDisplacedView(_, None))
     matCache.clear()
+    // identity-keyed collect memos hold strong refs to their frames;
+    // entries for views displaced by this sweep would otherwise pin
+    // superseded plans (and up to 64×4096 rows) for the engine's life.
+    // Correctness never depends on these maps — identity keys plus the
+    // every-mutation-swaps-the-frame-object invariant (Catalog
+    // overlayRebuild/replace always build a new DataFrame) make stale
+    // entries unreachable — this is purely a memory release.
+    localCollectMemo.clear()
+    localCollectBig.clear()
     // sweep the aux key sets directly — they cover every view with
     // carried state, including ones whose matCache entry a fallback
     // round already displaced; left in place, a later round at a
@@ -264,6 +300,7 @@ final class Engine(val catalog: Catalog) {
     (auxSupportCache.keysIterator.toSet ++
       auxPairsCache.keysIterator.map(_._1).toSet ++
       globalAggNN.keysIterator.toSet ++
+      supportParquet.keysIterator.toSet ++ // over-cap overlay state
       namedDeltas.keysIterator.toSet).foreach(evictAuxFor)
   }
   /** Evict `view`'s carried aggregate-support state ([[auxSupportCache]],
@@ -284,6 +321,10 @@ final class Engine(val catalog: Catalog) {
     auxSupportCache.remove(view).foreach { case (_, df) => bury(df) }
     rankLocalBuf.remove(view) // driver copies of the evicted state
     aggLocalSupport.remove(view)
+    // keyed-parquet overlay state ties to the evicted served frame;
+    // its dirs stay on disk until JVM exit (earlier results may still
+    // read them lazily) — bounded by the shutdown-hook scratch root
+    supportParquet.remove(view)
     globalAggNN.remove(view)
     namedDeltas.remove(view)
     auxPairsCache.keysIterator.filter(_._1 == view).toSeq.foreach { k =>
@@ -337,6 +378,7 @@ final class Engine(val catalog: Catalog) {
     (auxSupportCache.keysIterator.toSet ++
       auxPairsCache.keysIterator.map(_._1).toSet ++
       globalAggNN.keysIterator.toSet ++ // keyless views: NN map only
+      supportParquet.keysIterator.toSet ++ // over-cap overlay state
       namedDeltas.keysIterator.toSet)
       .filter(v => closure(v)(changedRel)).foreach(evictAuxFor)
   }
@@ -403,6 +445,69 @@ final class Engine(val catalog: Catalog) {
   private val aggLocalPairs =
     mutable.HashMap.empty[(String, Int), (DataFrame, Array[org.apache.spark.sql.Row])]
   private val aggLocalBig = mutable.HashSet.empty[Any]
+  /** OVER-CAP support tables on the keyed-parquet scale path. Past the
+    * driver-resident cap the old commit re-materialized the WHOLE
+    * support table behind an anti-join every round — O(lower-view) per
+    * 20-tuple delta (the r13 `stacked_agg_lower_requery` 1.81×-at-10×
+    * weak). Instead: the table is written ONCE into a range-partitioned
+    * key-SORTED parquet layout (`base`, immutable — min/max row-group
+    * and page stats make key-point scans pruned) and each round's
+    * replacements/tombstones accumulate in the driver `overlay` keyed
+    * by group key. A round's dirty read = overlay lookups + one
+    * IN-prefiltered pruned scan of `base` for the keys the overlay
+    * doesn't hold; its commit = pure driver bookkeeping — both bounded
+    * by the delta, never the view. The served frame is base ANTI
+    * overlay-keys UNION overlay-survivors, rebuilt per commit from the
+    * same two parts (constant plan depth); when the overlay outgrows
+    * [[Engine.aggLocalSupportEnabled]]'s 64k sibling cap it folds into
+    * a fresh base write (one amortized view-sized pass per ~24 over-cap
+    * rounds). The reference holds this state as DD arrangements updated
+    * in place (`src/incremental.rs:77-80`); a log-structured
+    * base+overlay is the storage-backed equivalent — an LSM level-0 in
+    * driver memory over an immutable sorted run. */
+  private final class PqSupport(
+      var dir: String, var base: DataFrame,
+      val overlay: mutable.LinkedHashMap[Seq[Any], Option[org.apache.spark.sql.Row]],
+      var served: DataFrame, var prevDir: Option[String])
+  private val supportParquet = mutable.HashMap.empty[String, PqSupport]
+  /** Views whose support schema failed the parquet round-trip — the
+    * distributed anti-join commit keeps serving those. */
+  private val supportParquetNo = mutable.HashSet.empty[String]
+  /** Observability: over-cap rounds committed via the overlay. */
+  private[graft] var supportParquetRounds: Long = 0L
+
+  /** One-off write of an over-cap `combined` support table into the
+    * keyed layout (range-partitioned + key-sorted so parquet stats
+    * prune key-IN scans). None — remembered — when the schema or key
+    * types don't round-trip (exotic `any` payloads). */
+  private def pqTransition(name: String, combined: DataFrame,
+      keyNames: Seq[String]): Option[PqSupport] = {
+    if (!Engine.supportParquetEnabled || supportParquetNo(name)) return None
+    try {
+      val dir = Engine.supportDir(name)
+      val keyCols = keyNames.map(col)
+      combined.repartitionByRange(32, keyCols: _*)
+        .sortWithinPartitions(keyCols: _*)
+        .write.mode("overwrite").parquet(dir)
+      val base = catalog.spark.read.parquet(dir)
+        .select(combined.columns.map(col).toSeq: _*)
+      val st = new PqSupport(dir, base, mutable.LinkedHashMap.empty, combined, None)
+      supportParquet(name) = st
+      Some(st)
+    } catch { case scala.util.control.NonFatal(_) =>
+      supportParquetNo += name; None }
+  }
+
+  /** Per-column IN superset of `keys`, pushed into the parquet scan for
+    * row-group/page pruning; EXACTNESS comes from the broadcast
+    * semi-join stacked above it (multi-key supersets over-select). */
+  private def pqKeyIn(keyNames: Seq[String], keys: Seq[Seq[Any]]): Column =
+    keyNames.zipWithIndex.map { case (kn, j) =>
+      val vals = keys.map(_(j))
+      val nn = vals.filter(_ != null).distinct
+      val c0 = if (nn.isEmpty) lit(false) else col(kn).isin(nn: _*)
+      if (vals.contains(null)) c0 || col(kn).isNull else c0
+    }.reduce(_ && _)
   /** Observability: subtractable rounds committed via the resident copy. */
   private[graft] var aggLocalRounds: Long = 0L
   /** Per-view NON-NULL contributor counts for GLOBAL (key-less) sum
@@ -1541,11 +1646,39 @@ final class Engine(val catalog: Catalog) {
               }
               got
             }
+        // over-cap SCALE path: keyed parquet base + driver overlay (see
+        // [[supportParquet]]) — the dirty read is overlay lookups plus
+        // one IN-pruned base scan for keys the overlay doesn't hold,
+        // never a view-sized pass
+        val pqState: Option[PqSupport] =
+          if (combinedLocal.isDefined) None
+          else supportParquet.get(name).filter(_.served eq combined)
+            .orElse(pqTransition(name, combined, keyNames))
         val dirtyCombined = combinedLocal match {
           case Some(rows) => rows.filter(row =>
             dMap.contains(keyIdx.map(i => normKey(row.get(i))).toSeq))
-          case None => sideOn(combined, dirtyKeysDf, keyNames, anti = false)
-            .limit(2050).collect()
+          case None => pqState match {
+            case Some(st) =>
+              val (hit, miss) =
+                dMap.keysIterator.toSeq.partition(st.overlay.contains)
+              val fromOverlay = hit.flatMap(st.overlay(_))
+              val fromBase: Array[org.apache.spark.sql.Row] =
+                if (miss.isEmpty) Array.empty
+                else try {
+                  sideOn(st.base.where(pqKeyIn(keyNames, miss)),
+                    keyLit(miss, combined, keyNames), keyNames, anti = false)
+                    .limit(2050).collect()
+                } catch { case scala.util.control.NonFatal(_) =>
+                  // key type without a literal form: unpruned exact scan
+                  val missSet = miss.toSet
+                  sideOn(st.base, dirtyKeysDf, keyNames, anti = false)
+                    .limit(2050).collect().filter(row =>
+                      missSet(keyIdx.map(i => normKey(row.get(i))).toSeq))
+                }
+              (fromOverlay ++ fromBase).toArray
+            case None => sideOn(combined, dirtyKeysDf, keyNames, anti = false)
+              .limit(2050).collect()
+          }
         }
         if (dirtyCombined.length > 2048) return None
 
@@ -1906,13 +2039,54 @@ final class Engine(val catalog: Catalog) {
               dMap.contains(keyIdx.map(i => normKey(row.get(i))).toSeq)) ++ rows
             (spark.createDataFrame(
               java.util.Arrays.asList(full.toSeq: _*), combSchema), Some(full))
-          case None =>
-            val literal = spark.createDataFrame(
-              spark.sparkContext.parallelize(rows,
-                Fixpoint.parallelizeParts(rows.size.toLong)), combSchema)
-            (Fixpoint.materialize(
-              sideOn(combined, dirtyKeysDf, keyNames, anti = true)
-                .union(literal)).df, None)
+          case None => pqState match {
+            case Some(st) =>
+              // O(delta) overlay commit: dirty groups become
+              // replacements (survivors) or tombstones (vanished); the
+              // base parquet never rewrites on the round path
+              val newByKey = rows.iterator.map(row =>
+                (keyIdx.map(i => normKey(row.get(i))): Seq[Any]) -> row).toMap
+              dMap.keysIterator.foreach(kk => st.overlay(kk) = newByKey.get(kk))
+              def overlayLit: DataFrame = spark.createDataFrame(
+                java.util.Arrays.asList(
+                  st.overlay.valuesIterator.flatten.toSeq: _*), combSchema)
+              def overlayAnti: DataFrame = sideOn(st.base,
+                keyLit(st.overlay.keys, combined, keyNames), keyNames,
+                anti = true)
+              if (st.overlay.size > 49152) {
+                // fold the overlay into a fresh keyed base (amortized:
+                // one view-sized pass per ~24 over-cap rounds); the
+                // grace-aged previous dir retires now, the displaced
+                // one holds until the NEXT fold (served frames handed
+                // out earlier may still read it lazily)
+                val dir2 = Engine.supportDir(name)
+                val keyCols = keyNames.map(col)
+                overlayAnti.union(overlayLit)
+                  .repartitionByRange(32, keyCols: _*)
+                  .sortWithinPartitions(keyCols: _*)
+                  .write.mode("overwrite").parquet(dir2)
+                st.prevDir.foreach(Engine.deleteDir)
+                st.prevDir = Some(st.dir)
+                st.dir = dir2
+                st.base = spark.read.parquet(dir2)
+                  .select(combined.columns.map(col).toSeq: _*)
+                st.overlay.clear()
+              }
+              val servedNew =
+                if (st.overlay.isEmpty)
+                  st.base.select(combined.columns.map(col).toSeq: _*)
+                else overlayAnti.union(overlayLit)
+              st.served = servedNew
+              supportParquetRounds += 1
+              (servedNew, None)
+            case None =>
+              val literal = spark.createDataFrame(
+                spark.sparkContext.parallelize(rows,
+                  Fixpoint.parallelizeParts(rows.size.toLong)), combSchema)
+              (Fixpoint.materialize(
+                sideOn(combined, dirtyKeysDf, keyNames, anti = true)
+                  .union(literal)).df, None)
+          }
         }
         // the superseded state retires with the update (combinedOut is
         // checkpoint-independent of `combined` once materialized). A

@@ -356,6 +356,14 @@ object ScaleCheck {
       val e = Entry("stacked_agg_lower_requery", "scan", t1, t10, n1, n10)
       println(e.json)
       entries += e
+      // one decade further: the r14 keyed-parquet overlay commit must
+      // keep the riding round delta-bound at 6M groups too (the
+      // transition round's one-off base write is untimed by design —
+      // the probe times the min of two riding rounds)
+      val (t100, n100) = stackedAggProbe(6000000L)
+      val e100 = Entry("stacked_agg_lower_requery_100x", "scan", t1, t100, n1, n100)
+      println(e100.json)
+      entries += e100
     } catch {
       case ex: Throwable => println(
         s"""{"name":"stacked_agg_lower_requery","error":"${ex.getClass.getSimpleName}"}""")

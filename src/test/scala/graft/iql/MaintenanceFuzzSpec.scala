@@ -1089,10 +1089,25 @@ class MaintenanceFuzzSpec extends SparkSpec {
 
   test("sum/count/cd decrement with local fast paths DISABLED (distributed algebra)") {
     // the small numeric fixtures above all fit the resident-copy caps,
-    // so without this pin the distributed support/pairs update (the
-    // production path for big supports) would run in zero tests
+    // so without this pin the over-cap support machinery (the
+    // production path for big supports) would run in zero tests. With
+    // the resident copy off, the support table rides the KEYED-PARQUET
+    // overlay path (r14): base written once, commits are driver
+    // overlay mutations, dirty reads are IN-pruned base scans.
+    distributedAggFuzz(pinLegacyCommit = false)
+  }
+
+  test("sum/count/cd decrement, distributed LEGACY commit (parquet path off)") {
+    // the pre-r14 over-cap shape — full anti-join re-materialization
+    // per commit — stays the fallback for schemas that don't round-trip
+    // parquet; keep it differentially fuzzed too
+    distributedAggFuzz(pinLegacyCommit = true)
+  }
+
+  private def distributedAggFuzz(pinLegacyCommit: Boolean): Unit = {
     Engine.aggLocalSupportEnabled = false
     Engine.rankLocalRideEnabled = false
+    if (pinLegacyCommit) Engine.supportParquetEnabled = false
     try {
       val rng = new Random(20260917L)
       (1 to 4).foreach { c =>
@@ -1137,10 +1152,17 @@ class MaintenanceFuzzSpec extends SparkSpec {
         assert(e1.aggLocalRounds == 0L, "local mode must stay off under the flag")
         assert(e1.aggDecrementCount > decStart,
           s"case $c never took the subtractable decrement path")
+        if (pinLegacyCommit)
+          assert(e1.supportParquetRounds == 0L,
+            "legacy run must not touch the parquet overlay path")
+        else
+          assert(e1.supportParquetRounds > 0L,
+            s"case $c never committed via the parquet overlay")
       }
     } finally {
       Engine.aggLocalSupportEnabled = true
       Engine.rankLocalRideEnabled = true
+      Engine.supportParquetEnabled = true
     }
   }
 }
