@@ -1885,6 +1885,50 @@ object SparkEntry {
         .select(col("id").as("vec_id"))
     }),
 
+    // --- IQL: over-capacity HNSW fallback RECALL at production nprobe —
+    //     q196 anchors the degenerate all-cells probe (== brute force);
+    //     this reports what the degraded index actually returns at the
+    //     default narrow probes (efSearch 64 → 4 of 16 cells, 128 → 8).
+    //     The degrade's centroids are DATA-DERIVED (first 16 vectors by
+    //     id), so DuckDB replicates assignment, probe selection, and
+    //     top-k exactly — an oracle-exact recall report, not a
+    //     rows-only claim (q190's centroid precedent) ------------------
+    "q197_hnsw_fallback_recall" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val cat = new graft.iql.Catalog(s)
+      cat.register("embeddings", emb)
+      cat.createIndex("embeddings", "vec_id", "embedding", maxVectors = 64L)
+      val queries = emb.where(col("vec_id") >= 16 && col("vec_id") < 24)
+        .orderBy(col("vec_id")).select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toArray)
+      val k = 10
+      def topIds(q: Array[Float], ef: Int): Set[Long] =
+        cat.hnswSearch("embeddings", "embedding", q, k, ef)
+          .collect().map(_.getLong(0)).toSet
+      val report = Seq(4, 8).map { nprobe =>
+        var hits = 0L
+        var total = 0L
+        queries.foreach { q =>
+          val truth = topIds(q, 16 * 16) // all cells: exact (q196 anchor)
+          val got = topIds(q, 16 * nprobe)
+          hits += got.intersect(truth).size.toLong
+          total += truth.size.toLong
+        }
+        org.apache.spark.sql.Row(nprobe.toLong, hits, total,
+          if (total == 0L) 0L else hits * 1000000L / total)
+      }
+      s.createDataFrame(java.util.Arrays.asList(report: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("nprobe",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("hits",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("total",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("recall_micro",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    }),
+
     // --- IQL: WITHIN_RADIUS retraction — filter semantics: deletes
     //     subtract the vanished bindings bag-exactly (exceptAll), no
     //     window and no recompute --------------------------------------
@@ -4062,6 +4106,57 @@ object SparkEntry {
         |ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
         |(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC,
         |vec_id ASC LIMIT 10""".stripMargin,
+
+    // replicates the degraded index end to end: data-derived centroids
+    // (first 16 vectors by id), euclidean-Voronoi cell assignment with
+    // ties to the lowest cell, top-nprobe probe selection under the
+    // same score, cosine top-10 within the probed cells, recall vs the
+    // exhaustive top-10
+    "q197_hnsw_fallback_recall" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cents AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+        |  FROM e ORDER BY vec_id LIMIT 16),
+        |ecell AS (SELECT vec_id, cell FROM (
+        |  SELECT e.vec_id, c.cell, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |    ORDER BY list_dot_product(e.v, c.cv) - list_dot_product(c.cv, c.cv) / 2 DESC,
+        |      c.cell ASC) AS rn
+        |  FROM e CROSS JOIN cents c) WHERE rn = 1),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id BETWEEN 16 AND 23),
+        |qcell AS (
+        |  SELECT q.q_id, c.cell, ROW_NUMBER() OVER (PARTITION BY q.q_id
+        |    ORDER BY list_dot_product(q.qv, c.cv) - list_dot_product(c.cv, c.cv) / 2 DESC,
+        |      c.cell ASC) AS rn
+        |  FROM q CROSS JOIN cents c),
+        |pairs AS (SELECT q.q_id, e.vec_id,
+        |    1 - list_cosine_similarity(q.qv, e.v) AS dist
+        |  FROM q CROSS JOIN e),
+        |truth AS (SELECT q_id, vec_id FROM (SELECT *,
+        |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist ASC, vec_id ASC) AS rk
+        |  FROM pairs) WHERE rk <= 10),
+        |g4 AS (SELECT q_id, vec_id FROM (SELECT p.q_id, p.vec_id,
+        |  ROW_NUMBER() OVER (PARTITION BY p.q_id ORDER BY p.dist ASC, p.vec_id ASC) AS rk
+        |  FROM pairs p
+        |  JOIN qcell qc ON qc.q_id = p.q_id AND qc.rn <= 4
+        |  JOIN ecell ec ON ec.vec_id = p.vec_id AND ec.cell = qc.cell)
+        |  WHERE rk <= 10),
+        |g8 AS (SELECT q_id, vec_id FROM (SELECT p.q_id, p.vec_id,
+        |  ROW_NUMBER() OVER (PARTITION BY p.q_id ORDER BY p.dist ASC, p.vec_id ASC) AS rk
+        |  FROM pairs p
+        |  JOIN qcell qc ON qc.q_id = p.q_id AND qc.rn <= 8
+        |  JOIN ecell ec ON ec.vec_id = p.vec_id AND ec.cell = qc.cell)
+        |  WHERE rk <= 10),
+        |counts AS (
+        |  SELECT CAST(4 AS BIGINT) AS nprobe,
+        |    (SELECT COUNT(*) FROM g4 JOIN truth USING (q_id, vec_id)) AS hits,
+        |    (SELECT COUNT(*) FROM truth) AS total
+        |  UNION ALL
+        |  SELECT CAST(8 AS BIGINT),
+        |    (SELECT COUNT(*) FROM g8 JOIN truth USING (q_id, vec_id)),
+        |    (SELECT COUNT(*) FROM truth))
+        |SELECT nprobe, hits, total,
+        |  CAST(CASE WHEN total = 0 THEN 0
+        |    ELSE (hits * 1000000) // total END AS BIGINT) AS recall_micro
+        |FROM counts""".stripMargin,
 
     // the stacked view after both rounds: only the surviving sentinel
     // dept's sum clears the cut (real depts sum well below it at any sf)

@@ -454,11 +454,12 @@ final class Catalog(val spark: SparkSession) {
           // relation, ranked under the index's own metric so the
           // (id, distance) contract matches the graph probe. efSearch
           // maps to probe breadth the way it maps to beam width on the
-          // graph: ~16 efSearch per probed cell over the 16 seeded
-          // hyperplane cells registered by the degrade, so the default
+          // graph: ~16 efSearch per probed cell over the 16 data-
+          // derived cells registered by the degrade, so the default
           // 64 probes 4 of 16 cells and efSearch >= 256 (16*nCells) is
           // the exact brute-force anchor (TakeOrderedAndProject — per-
-          // partition heaps, no sort, no shuffle).
+          // partition heaps, no sort, no shuffle). Narrow-probe recall
+          // is measured (q197 report; HnswSpec floor at nprobe 4/8).
           import org.apache.spark.sql.functions.{col, lit, typedLit}
           val df = synchronized(relations(rel))
           val nCells = cent.length
