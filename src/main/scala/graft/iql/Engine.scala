@@ -30,6 +30,15 @@ object Engine {
     * the distributed anti-join commit with it off). */
   @volatile private[graft] var supportParquetEnabled: Boolean =
     sys.props.get("graft.agg.supportParquet").forall(_ != "false")
+  /** Base-size ceiling (plan-stats bytes) under which a conditional
+    * delete probes for the eager literal-tombstone path; above it the
+    * lazy replace defers the body scan into the next maintenance round
+    * (see the gate comment in [[Engine.deleteWhere]]). Tunable for
+    * tests/profiling. */
+  @volatile private[graft] var deleteLiteralMaxBaseBytes: Long =
+    sys.props.get("graft.delete.literalMaxBaseBytes")
+      .orElse(sys.env.get("GRAFT_DELETE_LITERAL_MAX")) // forked-JVM A/B
+      .map(_.toLong).getOrElse(524288L)
 
   /** JVM-wide scratch root for over-cap support-table parquet layouts;
     * removed on JVM exit (individual dirs retire on compaction, one
@@ -980,7 +989,47 @@ final class Engine(val catalog: Catalog) {
            org.apache.spark.sql.types.StringType => true
       case dt => AnyValue.isAny(dt)
     })
-    graft.plans.Fixpoint.collectUpTo(castM, if (wide) 4096L else 65536L) match {
+    // EAGER-LITERAL GATE: the probe's body-join collect is a base-sized
+    // scan paid at DELETE-STATEMENT time. The r14 job-count adjudication
+    // of the r13 q191/q193 watch items (ProfileQ191 on HEAD vs the r12
+    // commit, same session) found the probe is pure added latency for
+    // RANK-view consumers — 3-4 probe jobs (~0.4-1.0 s) per delete on a
+    // 150k-row base while the prefix-buffer ride gains nothing (the
+    // lazy replace fuses the same scan into the next round's netted
+    // evaluation: r12 ran identical rounds at 0 delete-time jobs and
+    // half the query jobs; A/B bench q191 1.84 s lazy vs 2.65 s
+    // literal). AGGREGATE consumers are the opposite — their support
+    // maintenance re-reads the removal several times and literals are
+    // free (A/B: q183 1.55 vs 2.08, q186 1.12 vs 1.39, q188 2.31 vs
+    // 2.56 — literal wins). So: lazy only when the base is big (plan-
+    // stats bytes — metadata-cheap and REAL for file scans, local
+    // relations, and localCheckpoints; unknown reports huge) AND the
+    // relation transitively feeds a top_k/top_k_threshold view;
+    // eager-literal otherwise (q68's driver-small DRed path included).
+    val baseBytes =
+      try rel.queryExecution.optimizedPlan.stats.sizeInBytes
+      catch { case scala.util.control.NonFatal(_) => BigInt(Long.MaxValue) }
+    val feedsRankView: Boolean = {
+      val byHead = currentRules.groupBy(_.head.rel)
+      def reaches(view: String): Boolean = {
+        val seen = mutable.HashSet.empty[String]
+        def go(rel0: String): Boolean = rel0 == atom.rel ||
+          (seen.add(rel0) && byHead.getOrElse(rel0, Seq.empty).exists(_.body.exists {
+            case Pos(a) => go(a.rel)
+            case Neg(a) => go(a.rel)
+            case _ => false
+          }))
+        go(view)
+      }
+      currentRules.exists(r => r.head.args.exists {
+        case rk: Rank => rk.func == "top_k" || rk.func == "top_k_threshold"
+        case _ => false
+      } && reaches(r.head.rel))
+    }
+    val probed =
+      if (baseBytes > Engine.deleteLiteralMaxBaseBytes && feedsRankView) None
+      else graft.plans.Fixpoint.collectUpTo(castM, if (wide) 4096L else 65536L)
+    probed match {
       case Some(rowsM) => catalog.deletePresent(atom.rel, rowsM.toSeq)
       case None =>
         val removed = persistRemoval(rel.join(matching, rel.columns.toSeq, "left_semi"))

@@ -339,7 +339,13 @@ object ScaleCheck {
       e.run("?pup(I, T)").last.count() // materialize upper (untimed)
       def batch(lo: Long): String = (lo until lo + 20L)
         .map(i => s"($i, ${i % 100}, ${(i * 48271) % 500})").mkString(",")
-      e.run(s"-pbase[${batch(0L)}]") // round 1: seeds the carried tables
+      // round 1 DEFERS the support seed (2-competitive tiny-literal
+      // policy) and round 2 pays it — plus, over the cap, the one-off
+      // keyed-parquet base write; both stay untimed so the timed
+      // quantity is pure RIDING rounds, matching the probe's intent
+      e.run(s"-pbase[${batch(0L)}]")
+      e.run("?pup(I, T)").last.count()
+      e.run(s"-pbase[${batch(50L)}]") // seeds + transitions (untimed)
       e.run("?pup(I, T)").last.count()
       val samples = Seq(100L, 200L).map { lo =>
         val t0 = System.nanoTime()
@@ -367,6 +373,59 @@ object ScaleCheck {
     } catch {
       case ex: Throwable => println(
         s"""{"name":"stacked_agg_lower_requery","error":"${ex.getClass.getSimpleName}"}""")
+    }
+
+    // ---- MID-SIZE CONDITIONAL DELETE rounds at scale (r13 directive
+    // #6: the conditional-delete literal path had no ScaleCheck entry).
+    // An aggregate-fed base takes the EAGER-LITERAL shape under the r14
+    // consumer gate: the delete statement collects the matching window
+    // once (the id-range predicate prunes parquet row groups, so the
+    // probe scan is window-bound, not base-bound) and every downstream
+    // consumer re-reads a literal. Fixed ~20k-row matching window per
+    // round; flat means the round is bounded by the matched set, not
+    // the base. Job counts ride the notes array.
+    var cdJobs = (0, 0)
+    def condDelProbe(n: Long): (Double, Long, Int) = {
+      val e = new graft.iql.Engine(new graft.iql.Catalog(spark))
+      val p = s"/tmp/graft_scale_cdbase_$n.parquet"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+        spark.range(n).select(
+          col("id"), pmod(col("id"), lit(100L)).as("dept"),
+          pmod(col("id") * 48271L, lit(500L)).as("sal"))
+          .write.mode("overwrite").parquet(p)
+      e.catalog.register("cbase", spark.read.parquet(p))
+      e.run("+cdt(D, sum<S>, count<S>) <- cbase(I, D, S)")
+      e.run("?cdt(D, S, C)").last.count() // materialize (untimed)
+      e.run("-cbase(I, D, S) <- cbase(I, D, S), I >= 0, I < 20000") // seeds
+      e.run("?cdt(D, S, C)").last.count()
+      val tracker = spark.sparkContext.statusTracker
+      // max job id, not list length — the tracker evicts old entries,
+      // so a length delta can go negative over a long run
+      def maxJob: Int = {
+        val ids = tracker.getJobIdsForGroup(null)
+        if (ids.isEmpty) 0 else ids.max
+      }
+      val j0 = maxJob
+      val samples = Seq(100000L, 200000L).map { lo =>
+        val t0 = System.nanoTime()
+        e.run(s"-cbase(I, D, S) <- cbase(I, D, S), I >= $lo, I < ${lo + 20000L}")
+        val rows = e.run("?cdt(D, S, C)").last.count()
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+      val dj = maxJob - j0
+      (samples.map(_._1).min, samples.last._2, dj)
+    }
+    try {
+      condDelProbe(600000L) // warm
+      val (t1, n1, j1) = condDelProbe(600000L)
+      val (t10, n10, j10) = condDelProbe(6000000L)
+      cdJobs = (j1, j10)
+      val e = Entry("cond_delete_requery", "scan", t1, t10, n1, n10)
+      println(e.json)
+      entries += e
+    } catch {
+      case ex: Throwable => println(
+        s"""{"name":"cond_delete_requery","error":"${ex.getClass.getSimpleName}"}""")
     }
 
     // ---- negation-driven maintenance (q189's shape at scale) ----
@@ -542,7 +601,8 @@ object ScaleCheck {
     // q134/q155; the mix stage is a map-only splitmix pass (q145 shape).
     val notes = Seq(
       "\"q150_curation_span_mix: skipped — fully-replicated corpus dup-covers every doc, " +
-      "the quality gate empties the mix input; heavy stages covered by q134/q155\"")
+      "the quality gate empties the mix input; heavy stages covered by q134/q155\"",
+      s""""cond_delete_requery: two timed rounds (mid-size literal path) ran ${cdJobs._1} jobs at 600k and ${cdJobs._2} jobs at 6M"""")
     val json =
       s"""{"sf":"$dir1","scale":"10x","entries":[${all.map(_.json).mkString(",")}],""" +
       s""""regressions":[${regressions.map("\"" + _ + "\"").mkString(",")}],""" +

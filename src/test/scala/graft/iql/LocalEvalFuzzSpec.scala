@@ -122,7 +122,36 @@ class LocalEvalFuzzSpec extends SparkSpec {
       if (rng.nextBoolean()) {
         sb.append("+tv(top_k<2, X, Y:desc>) <- r(X, Y)\n"); queries += "?tv(X, Y)"
       }
+      // r14: the remaining aggregate head classes join the sampler —
+      // min/max (top-2 carry), avg + count_distinct (pairs tables),
+      // GLOBAL sum/count (keyless: globalAggNN carry), and ungrouped
+      // within_radius (filter semantics)
+      if (rng.nextBoolean()) {
+        sb.append("+mv(X, min<Y>, max<Y>) <- r(X, Y)\n"); queries += "?mv(X, Mn, Mx)"
+      }
+      if (rng.nextBoolean()) {
+        sb.append("+dv(X, count_distinct<Y>, avg<Y>) <- r(X, Y)\n")
+        queries += "?dv(X, D, A)"
+      }
+      if (rng.nextBoolean()) {
+        sb.append("+gv(sum<Y>, count<Y>) <- r(X, Y)\n"); queries += "?gv(S, C)"
+      }
+      if (rng.nextBoolean()) {
+        sb.append("+wv(within_radius<1, X, Y>) <- r(X, Y)\n"); queries += "?wv(X, Y)"
+      }
+      // a droppable view for mid-stream RULE CHURN (dependency-scoped
+      // invalidation + the r13 globalAggNN session-change eviction):
+      // exact-clause removal, so no anonymous vars in the body
+      val churnRule = "+cv(X, count<Y>) <- r(X, Y), !blk(X)"
+      sb.append(churnRule).append('\n')
+      queries += "?cv(X, N)"
       val rules = sb.toString
+      var cvDropped = false
+      var lvAdded = false
+      def rulesNow: String =
+        (if (cvDropped) rules.linesIterator.filterNot(_.contains("cv(")).mkString("\n") + "\n"
+         else rules) +
+          (if (lvAdded) "+lv(X, count<Y>) <- r(X, Y)\n" else "")
       def bags(e: Engine): Seq[Map[Seq[Any], Int]] = queries.toSeq.map { q =>
         e.run(q).last.collect().toSeq.map(_.toSeq)
           .groupBy(identity).view.mapValues(_.size).toMap
@@ -131,6 +160,20 @@ class LocalEvalFuzzSpec extends SparkSpec {
       e1.run(s"+e[$edgesStr]\n+blk[$blkStr]\n$rules")
       bags(e1) // materialize every view (maintenance needs v0 snapshots)
       (0 until 2 + rng.nextInt(2)).foreach { round =>
+        // rule churn rides OUTSIDE the mixed batch (a rule change is its
+        // own statement class): drop the churn view once, add a late
+        // view once — both force dependency-scoped invalidation while
+        // every OTHER view must keep maintaining correctly
+        if (!cvDropped && rng.nextInt(4) == 0) {
+          e1.run(s"-cv(X, count<Y>) <- r(X, Y), !blk(X)")
+          queries -= "?cv(X, N)"
+          cvDropped = true
+        }
+        if (!lvAdded && rng.nextInt(4) == 0) {
+          e1.run("+lv(X, count<Y>) <- r(X, Y)")
+          queries += "?lv(X, N)"
+          lvAdded = true
+        }
         val stmts = Seq.newBuilder[String]
         val nDel = math.min(live.size - 1, rng.nextInt(3))
         if (nDel > 0) {
@@ -159,10 +202,10 @@ class LocalEvalFuzzSpec extends SparkSpec {
         if (prog.nonEmpty) e1.run(prog)
         val maintained = bags(e1)
         val e2 = new Engine(new Catalog(spark))
-        e2.run(s"+e[$edgesStr]\n+blk[$blkStr]\n$rules")
+        e2.run(s"+e[$edgesStr]\n+blk[$blkStr]\n$rulesNow")
         val fresh = bags(e2)
         assert(maintained == fresh,
-          s"pair $i round $round diverged:\n$rules\nedges=$live blk=$blk\n" +
+          s"pair $i round $round diverged:\n$rulesNow\nedges=$live blk=$blk\n" +
             s"maintained=$maintained\nfresh=$fresh")
       }
     }
