@@ -321,8 +321,13 @@ object Bench {
     } catch { case _: Throwable => None }
     val calibVsPrevPct: Double =
       prevCalibMin.map(p => 100.0 * (calib.min / p - 1.0)).getOrElse(0.0)
+    // the cross-run threshold is wider than the in-run one: the
+    // committed floor may have been captured at a luckier CPU frequency
+    // / cache placement, and ~10% cross-run spread was measured between
+    // genuinely quiet runs — 12% flags real contamination (the r13
+    // contaminated capture ran 16% slow) without tripping on variance
     val contended = extLoad > math.max(2.0, envCpus / 8.0) || stealPct > 5.0 ||
-      calibDriftPct > 10.0 || calibVsPrevPct > 8.0
+      calibDriftPct > 10.0 || calibVsPrevPct > 12.0
     def f2(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     def f3(v: Double): String =

@@ -30,6 +30,10 @@ object Engine {
     * the distributed anti-join commit with it off). */
   @volatile private[graft] var supportParquetEnabled: Boolean =
     sys.props.get("graft.agg.supportParquet").forall(_ != "false")
+  /** Driver-resident cap (rows) for the rank prefix-buffer local ride;
+    * tests shrink it to force the keyed-parquet PARTIAL mode on small
+    * fixtures. */
+  @volatile private[graft] var rankBufLocalCap: Long = 65536L
   /** Base-size ceiling (plan-stats bytes) under which a conditional
     * delete probes for the eager literal-tombstone path; above it the
     * lazy replace defers the body scan into the next maintenance round
@@ -309,7 +313,8 @@ final class Engine(val catalog: Catalog) {
     (auxSupportCache.keysIterator.toSet ++
       auxPairsCache.keysIterator.map(_._1).toSet ++
       globalAggNN.keysIterator.toSet ++
-      supportParquet.keysIterator.toSet ++ // over-cap overlay state
+      supportParquet.keysIterator.map(_.takeWhile(_ != '#')).toSet ++
+      rankParquet.keysIterator.toSet ++
       namedDeltas.keysIterator.toSet).foreach(evictAuxFor)
   }
   /** Evict `view`'s carried aggregate-support state ([[auxSupportCache]],
@@ -332,8 +337,11 @@ final class Engine(val catalog: Catalog) {
     aggLocalSupport.remove(view)
     // keyed-parquet overlay state ties to the evicted served frame;
     // its dirs stay on disk until JVM exit (earlier results may still
-    // read them lazily) — bounded by the shutdown-hook scratch root
-    supportParquet.remove(view)
+    // read them lazily) — bounded by the shutdown-hook scratch root.
+    // Pairs-table entries are keyed "<view>#cd<i>" — sweep those too.
+    supportParquet.filterInPlace((k, _) =>
+      k != view && !k.startsWith(view + "#"))
+    rankParquet.remove(view)
     globalAggNN.remove(view)
     namedDeltas.remove(view)
     auxPairsCache.keysIterator.filter(_._1 == view).toSeq.foreach { k =>
@@ -387,7 +395,8 @@ final class Engine(val catalog: Catalog) {
     (auxSupportCache.keysIterator.toSet ++
       auxPairsCache.keysIterator.map(_._1).toSet ++
       globalAggNN.keysIterator.toSet ++ // keyless views: NN map only
-      supportParquet.keysIterator.toSet ++ // over-cap overlay state
+      supportParquet.keysIterator.map(_.takeWhile(_ != '#')).toSet ++
+      rankParquet.keysIterator.toSet ++
       namedDeltas.keysIterator.toSet)
       .filter(v => closure(v)(changedRel)).foreach(evictAuxFor)
   }
@@ -485,12 +494,55 @@ final class Engine(val catalog: Catalog) {
   /** Observability: over-cap rounds committed via the overlay. */
   private[graft] var supportParquetRounds: Long = 0L
 
+  /** OVER-CAP RANK prefix buffers on the same keyed-parquet scale path
+    * as [[supportParquet]]: past the driver-resident cap the r13
+    * distributed merge algebra ran SIX buffer-sized passes plus two
+    * buffer-sized checkpoints per riding round (profiled 2.6× per
+    * decade on a view-sized group count). Instead the buffer is written
+    * ONCE into a group-key-sorted parquet layout and the riding round
+    * runs the SAME driver merge [[maintainRankBuffered]]'s local ride
+    * uses — but over the TOUCHED GROUPS' rows only (overlay lookups +
+    * one IN-pruned base scan), committing each touched group's fresh
+    * buffer slice (or tombstone) into the driver overlay. The served
+    * buffer is base ANTI overlay-groups UNION overlay-rows; the served
+    * view is its lazy top-k expansion. Per-group invariants (prefix
+    * boundary, cum, tot) make the partial merge exact: no formula
+    * reads another group's rows. */
+  private final class PqRankBuf(
+      var dir: String, var base: DataFrame,
+      val overlay: mutable.LinkedHashMap[Vector[Any], Seq[org.apache.spark.sql.Row]],
+      var served: DataFrame, var prevDir: Option[String],
+      var overlayRows: Long)
+  private val rankParquet = mutable.HashMap.empty[String, PqRankBuf]
+  private val rankParquetNo = mutable.HashSet.empty[String]
+  /** Observability: over-cap rank rounds committed via the overlay. */
+  private[graft] var rankParquetRides: Long = 0L
+
+  private def pqRankTransition(name: String, buf: DataFrame,
+      groupNames: Seq[String]): Option[PqRankBuf] = {
+    if (!Engine.supportParquetEnabled || rankParquetNo(name)) return None
+    try {
+      val dir = Engine.supportDir(name + "-rank")
+      val gCols = groupNames.map(col)
+      buf.repartitionByRange(32, gCols: _*)
+        .sortWithinPartitions(gCols: _*)
+        .write.mode("overwrite").parquet(dir)
+      val base = catalog.spark.read.parquet(dir)
+        .select(buf.columns.map(col).toSeq: _*)
+      val st = new PqRankBuf(dir, base, mutable.LinkedHashMap.empty, buf, None, 0L)
+      rankParquet(name) = st
+      Some(st)
+    } catch { case scala.util.control.NonFatal(_) =>
+      rankParquetNo += name; None }
+  }
+
   /** One-off write of an over-cap `combined` support table into the
     * keyed layout (range-partitioned + key-sorted so parquet stats
     * prune key-IN scans). None — remembered — when the schema or key
     * types don't round-trip (exotic `any` payloads). */
   private def pqTransition(name: String, combined: DataFrame,
-      keyNames: Seq[String]): Option[PqSupport] = {
+      keyNames: Seq[String],
+      servedMarker: DataFrame = null): Option[PqSupport] = {
     if (!Engine.supportParquetEnabled || supportParquetNo(name)) return None
     try {
       val dir = Engine.supportDir(name)
@@ -500,11 +552,32 @@ final class Engine(val catalog: Catalog) {
         .write.mode("overwrite").parquet(dir)
       val base = catalog.spark.read.parquet(dir)
         .select(combined.columns.map(col).toSeq: _*)
-      val st = new PqSupport(dir, base, mutable.LinkedHashMap.empty, combined, None)
+      val st = new PqSupport(dir, base, mutable.LinkedHashMap.empty,
+        Option(servedMarker).getOrElse(combined), None)
       supportParquet(name) = st
       Some(st)
     } catch { case scala.util.control.NonFatal(_) =>
       supportParquetNo += name; None }
+  }
+
+  // dirty-row selection/exclusion via BROADCAST semi/anti joins
+  // against a literal key frame — never a reduce-built OR predicate
+  // (a 1000-term Or tree overflows the column-conversion stack, and
+  // a join is what the predicate was emulating anyway)
+  private def keyLit(keys: Iterable[Seq[Any]], schemaFrom: DataFrame,
+                     names: Seq[String]): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(
+      names.map(n => schemaFrom.schema(n).copy(nullable = true)))
+    catalog.spark.createDataFrame(
+      catalog.spark.sparkContext.parallelize(
+        keys.iterator.map(k => org.apache.spark.sql.Row.fromSeq(k)).toSeq, 1),
+      schema)
+  }
+  private def sideOn(big: DataFrame, small: DataFrame, names: Seq[String],
+                     anti: Boolean): DataFrame = {
+    val cond = names.map(c => col(s"__b.`$c`") <=> col(s"__s.`$c`")).reduce(_ && _)
+    big.alias("__b").join(broadcast(small.alias("__s")), cond,
+      if (anti) "left_anti" else "left_semi")
   }
 
   /** Per-column IN superset of `keys`, pushed into the parquet scan for
@@ -1531,26 +1604,6 @@ final class Engine(val catalog: Catalog) {
         val dMap: Map[Seq[Any], org.apache.spark.sql.Row] =
           dirty.map(row => (0 until kLen).map(j => normKey(row.get(j))).toSeq -> row).toMap
 
-        // dirty-row selection/exclusion via BROADCAST semi/anti joins
-        // against a literal key frame — never a reduce-built OR predicate
-        // (a 1000-term Or tree overflows the column-conversion stack, and
-        // a join is what the predicate was emulating anyway)
-        def keyLit(keys: Iterable[Seq[Any]], schemaFrom: DataFrame,
-                   names: Seq[String]): DataFrame = {
-          val schema = org.apache.spark.sql.types.StructType(
-            names.map(n => schemaFrom.schema(n).copy(nullable = true)))
-          catalog.spark.createDataFrame(
-            catalog.spark.sparkContext.parallelize(
-              keys.iterator.map(k => org.apache.spark.sql.Row.fromSeq(k)).toSeq, 1),
-            schema)
-        }
-        def sideOn(big: DataFrame, small: DataFrame, names: Seq[String],
-                   anti: Boolean): DataFrame = {
-          val cond = names.map(c => col(s"__b.`$c`") <=> col(s"__s.`$c`")).reduce(_ && _)
-          big.alias("__b").join(broadcast(small.alias("__s")), cond,
-            if (anti) "left_anti" else "left_semi")
-        }
-
         // COMBINED per-group state: the view row PLUS its support counts
         // in one materialized frame — the returned view is a projection of
         // it. One frame means one dirty collect and one update pass per
@@ -1811,13 +1864,44 @@ final class Engine(val catalog: Catalog) {
                   }
               val pairNames = keyNames :+ "__v"
               val touchedDf = keyLit(tMap.keys, auxP, pairNames)
+              // over-cap pairs tables ride the same keyed-parquet
+              // overlay as the combined frame ([[supportParquet]],
+              // keyed "<view>#cd<i>"): touched-pair reads are overlay
+              // lookups + one IN-pruned base scan, commits mutate the
+              // overlay — no pairs-table-sized pass per round
+              val pqP: Option[PqSupport] =
+                if (pairsLocal.isDefined) None
+                else supportParquet.get(s"$name#cd$i")
+                  .filter(_.served eq auxPRaw)
+                  .orElse(pqTransition(s"$name#cd$i", auxP, pairNames,
+                    servedMarker = auxPRaw))
               val auxTouched = pairsLocal match {
                 case Some(rows) => rows.filter { row =>
                   val p: Seq[Any] = (0 to kLen).map(j => normKey(row.get(j)))
                   tMap.contains(p)
                 }
-                case None => sideOn(auxP, touchedDf, pairNames, anti = false)
-                  .limit(2050).collect()
+                case None => pqP match {
+                  case Some(st) =>
+                    val (hit, miss) =
+                      tMap.keysIterator.toSeq.partition(st.overlay.contains)
+                    val fromOv = hit.flatMap(st.overlay(_))
+                    val fromBase: Array[org.apache.spark.sql.Row] =
+                      if (miss.isEmpty) Array.empty
+                      else try {
+                        sideOn(st.base.where(pqKeyIn(pairNames, miss)),
+                          keyLit(miss, auxP, pairNames), pairNames,
+                          anti = false).limit(2050).collect()
+                      } catch { case scala.util.control.NonFatal(_) =>
+                        val missSet = miss.toSet
+                        sideOn(st.base, touchedDf, pairNames, anti = false)
+                          .limit(2050).collect().filter { row =>
+                            missSet((0 to kLen).map(j => normKey(row.get(j))): Seq[Any])
+                          }
+                      }
+                    (fromOv ++ fromBase).toArray
+                  case None => sideOn(auxP, touchedDf, pairNames, anti = false)
+                    .limit(2050).collect()
+                }
               }
               if (auxTouched.length > 2048) false
               else {
@@ -1854,14 +1938,50 @@ final class Engine(val catalog: Catalog) {
                       (sp.createDataFrame(
                         java.util.Arrays.asList(full.toSeq: _*), schema),
                        Some(full))
-                    case None =>
-                      val aliveLit = sp.createDataFrame(
-                        sp.sparkContext.parallelize(aliveRows,
-                          Fixpoint.parallelizeParts(aliveRows.size.toLong)), schema)
-                      (Fixpoint.materialize(
-                        sideOn(auxP, touchedDf, pairNames, anti = true)
-                          .union(aliveLit)).df,
-                       None)
+                    case None => pqP match {
+                      case Some(st) =>
+                        // O(delta) overlay commit — alive pairs replace,
+                        // dead pairs tombstone; base parquet immutable
+                        val newByKey = aliveRows.iterator.map(row =>
+                          ((0 to kLen).map(j => normKey(row.get(j))): Seq[Any]) -> row)
+                          .toMap
+                        tMap.keysIterator.foreach(p =>
+                          st.overlay(p) = newByKey.get(p))
+                        def ovLit: DataFrame = sp.createDataFrame(
+                          java.util.Arrays.asList(
+                            st.overlay.valuesIterator.flatten.toSeq: _*), schema)
+                        def ovAnti: DataFrame = sideOn(st.base,
+                          keyLit(st.overlay.keys, auxP, pairNames),
+                          pairNames, anti = true)
+                        if (st.overlay.size > 49152) {
+                          val dir2 = Engine.supportDir(s"$name-cd$i")
+                          val pc = pairNames.map(col)
+                          ovAnti.union(ovLit).repartitionByRange(32, pc: _*)
+                            .sortWithinPartitions(pc: _*)
+                            .write.mode("overwrite").parquet(dir2)
+                          st.prevDir.foreach(Engine.deleteDir)
+                          st.prevDir = Some(st.dir)
+                          st.dir = dir2
+                          st.base = sp.read.parquet(dir2)
+                            .select(auxP.columns.map(col).toSeq: _*)
+                          st.overlay.clear()
+                        }
+                        val servedNew =
+                          if (st.overlay.isEmpty)
+                            st.base.select(auxP.columns.map(col).toSeq: _*)
+                          else ovAnti.union(ovLit)
+                        st.served = servedNew
+                        supportParquetRounds += 1
+                        (servedNew, None)
+                      case None =>
+                        val aliveLit = sp.createDataFrame(
+                          sp.sparkContext.parallelize(aliveRows,
+                            Fixpoint.parallelizeParts(aliveRows.size.toLong)), schema)
+                        (Fixpoint.materialize(
+                          sideOn(auxP, touchedDf, pairNames, anti = true)
+                            .union(aliveLit)).df,
+                         None)
+                    }
                   }))
                   true
                 }
@@ -2365,6 +2485,7 @@ final class Engine(val catalog: Catalog) {
         auxSupportCache.put(name, (catalog.version, seedMat))
           .foreach { case (_, old) => retireSuperseded(old) }
         rankLocalBuf.remove(name) // a reseed invalidates the driver copy
+        rankParquet.remove(name) // ...and the parquet overlay state
         aggLocalBig.remove(("rank", name)) // ...and may have shrunk it
         rankBufferSeeds += 1
         rankDecrementCount += 1
@@ -2426,15 +2547,6 @@ final class Engine(val catalog: Catalog) {
         if (!sortIdx.forall(i => ordOk(named.schema(i).dataType))) return None
         if (!cols.indices.forall(i => keyOk(named.schema(i).dataType))) return None
         if (remLit.exists(_._2 < 0L) || insLit.exists(_._2 < 0L)) return None
-        if (aggLocalBig(("rank", name))) return None // buffer once over cap
-        val bufRows: Array[org.apache.spark.sql.Row] =
-          rankLocalBuf.get(name).filter(_._1 eq buf0).map(_._2).getOrElse {
-            Fixpoint.collectUpTo(buf0, 65536L).getOrElse {
-              // memoized so later rounds skip the wasted probe (a
-              // reseed clears it — the one event that can shrink it)
-              aggLocalBig += (("rank", name)); return None
-            }
-          }
         val nc = cols.length
         // Spark normalizes -0.0 to 0.0 in grouping and ordering — boxed
         // java equality does not; normalize so driver keys merge the
@@ -2454,8 +2566,6 @@ final class Engine(val catalog: Catalog) {
               case _ => false
             })
           }
-        if (bufRows.exists(r => anomalous(r) || r.isNullAt(nc) || r.isNullAt(nc + 1)))
-          return None
         def keyOf(r: org.apache.spark.sql.Row): Vector[Any] =
           Vector.tabulate(nc)(j => normV(r.get(j)))
         def gkeyOf(key: Vector[Any]): Vector[Any] = groupIdx.map(key).toVector
@@ -2478,6 +2588,57 @@ final class Engine(val catalog: Catalog) {
           restamp(); recordNamedDelta(name, v0, Nil, Nil)
           return Some(cached)
         }
+        // ---- buffer-row acquisition. Under the cap: the driver-
+        // resident copy (identity-memoized). OVER the cap: the keyed-
+        // parquet partial mode (see [[rankParquet]]) fetches ONLY the
+        // touched groups' rows — overlay lookups plus one IN-pruned
+        // base scan — and the merge below runs on that slice; every
+        // per-group invariant it reads (boundary, cum, tot) lives in
+        // the group's own rows, so the partial merge is exact. The
+        // ungrouped head stays full-copy (one group; over-cap means a
+        // genuinely huge single buffer — the distributed algebra's
+        // shape).
+        var pqR: Option[PqRankBuf] =
+          if (groupIdx.isEmpty) None
+          else rankParquet.get(name).filter(_.served eq buf0)
+        if (pqR.isEmpty && groupIdx.nonEmpty && aggLocalBig(("rank", name)))
+          pqR = pqRankTransition(name, buf0, groupNames)
+        val fullRows: Option[Array[org.apache.spark.sql.Row]] =
+          if (pqR.isDefined) None
+          else rankLocalBuf.get(name).filter(_._1 eq buf0).map(_._2).orElse {
+            if (aggLocalBig(("rank", name))) None
+            else Fixpoint.collectUpTo(buf0, Engine.rankBufLocalCap).orElse {
+              // memoized so later rounds skip the wasted probe (a
+              // reseed clears it — the one event that can shrink it);
+              // the first over-cap round transitions to parquet NOW
+              aggLocalBig += (("rank", name))
+              if (groupIdx.nonEmpty) pqR = pqRankTransition(name, buf0, groupNames)
+              None
+            }
+          }
+        if (fullRows.isEmpty && pqR.isEmpty) return None // distributed algebra
+        val bufRows: Array[org.apache.spark.sql.Row] = fullRows.getOrElse {
+          val st = pqR.get
+          val touched = (remM.keySet ++ insM.keySet).iterator
+            .map(gkeyOf).toSeq.distinct
+          val (hit, miss) = touched.partition(st.overlay.contains)
+          val fromOverlay = hit.flatMap(st.overlay(_))
+          val fromBase: Array[org.apache.spark.sql.Row] =
+            if (miss.isEmpty) Array.empty
+            else {
+              val missSeqs = miss.map(_.toSeq)
+              val got = try {
+                sideOn(st.base.where(pqKeyIn(groupNames, missSeqs)),
+                  keyLit(missSeqs, st.base, groupNames), groupNames,
+                  anti = false).limit(65537).collect()
+              } catch { case scala.util.control.NonFatal(_) => return None }
+              if (got.length > 65536) return None // distributed algebra
+              got
+            }
+          (fromOverlay ++ fromBase).toArray
+        }
+        if (bufRows.exists(r => anomalous(r) || r.isNullAt(nc) || r.isNullAt(nc + 1)))
+          return None
         val schemaDt = cols.indices.map(i => named.schema(i).dataType)
         def cmpAt(i: Int, a: Any, b: Any): Int = schemaDt(i) match {
           case DoubleType =>
@@ -2593,6 +2754,105 @@ final class Engine(val catalog: Catalog) {
         val rowOrd = new Ordering[(Vector[Any], Long)] {
           def compare(a: (Vector[Any], Long), b: (Vector[Any], Long)): Int =
             rankCmp(a._1, b._1)
+        }
+        val keyOrd = new Ordering[Vector[Any]] {
+          def compare(a: Vector[Any], b: Vector[Any]): Int = rankCmp(a, b)
+        }
+        // ---- PARTIAL (over-cap) commit: each touched group's fresh
+        // buffer slice (or tombstone) lands in the driver overlay; the
+        // untouched groups stay in the immutable parquet base, the
+        // served buffer is base ANTI overlay-groups UNION overlay rows,
+        // and the served view is its LAZY top-k expansion (a query pays
+        // one window pass; the round itself runs no buffer-sized work).
+        pqR.foreach { st =>
+          allG.foreach { g =>
+            val fresh: Seq[org.apache.spark.sql.Row] =
+              if (refillG(g))
+                refillRows.getOrElse(g, Seq.empty).sortBy(_._1)(keyOrd)
+                  .map { case (key, n1, t) =>
+                    org.apache.spark.sql.Row.fromSeq(key ++ Seq(n1, t)) }
+              else {
+                val t = ntot(g)
+                kept.get(g).map(_.sorted(rowOrd).iterator.take(kdist.toInt)
+                    .map { case (key, n1) =>
+                      org.apache.spark.sql.Row.fromSeq(key ++ Seq(n1, t)) }
+                    .toSeq)
+                  .getOrElse(Seq.empty)
+              }
+            val prevLen = st.overlay.get(g).map(_.length.toLong).getOrElse(0L)
+            st.overlay(g) = fresh
+            st.overlayRows += fresh.length.toLong - prevLen
+          }
+          val bufSchemaP = StructType(buf0.schema.fields.map(_.copy(nullable = true)))
+          def ovLit: DataFrame = spark.createDataFrame(
+            java.util.Arrays.asList(
+              st.overlay.valuesIterator.flatten.toSeq: _*), bufSchemaP)
+          def ovAnti: DataFrame = sideOn(st.base,
+            keyLit(st.overlay.keys.map(_.toSeq), st.base, groupNames),
+            groupNames, anti = true)
+          if (st.overlayRows > 49152L) {
+            // fold into a fresh keyed base (amortized, same policy as
+            // the agg support overlay); previous-previous dir retires
+            val dir2 = Engine.supportDir(name + "-rank")
+            val gC = groupNames.map(col)
+            ovAnti.union(ovLit).repartitionByRange(32, gC: _*)
+              .sortWithinPartitions(gC: _*)
+              .write.mode("overwrite").parquet(dir2)
+            st.prevDir.foreach(Engine.deleteDir)
+            st.prevDir = Some(st.dir)
+            st.dir = dir2
+            st.base = spark.read.parquet(dir2)
+              .select(buf0.columns.map(col).toSeq: _*)
+            st.overlay.clear(); st.overlayRows = 0L
+          }
+          val servedBuf =
+            if (st.overlay.isEmpty) st.base.select(buf0.columns.map(col).toSeq: _*)
+            else ovAnti.union(ovLit)
+          st.served = servedBuf
+          retireSuperseded(buf0)
+          auxSupportCache(name) = (catalog.version, servedBuf)
+          rankLocalBuf.remove(name)
+          rankDecrementCount += 1
+          rankParquetRides += 1
+          // named delta: same touched-group diff as the full-copy mode
+          // below — bufRows here IS the touched groups' old rows
+          locally {
+            val touchedG: Set[Vector[Any]] =
+              (remM.keysIterator ++ insM.keysIterator).map(gkeyOf).toSet ++ refillG
+            val oldByG = mutable.HashMap
+              .empty[Vector[Any], mutable.ArrayBuffer[(Vector[Any], Long)]]
+            bufRows.foreach { r =>
+              val key = keyOf(r); val g = gkeyOf(key)
+              if (touchedG(g))
+                oldByG.getOrElseUpdate(g, mutable.ArrayBuffer.empty) +=
+                  ((key, r.getLong(nc)))
+            }
+            def servedSet(rows: Seq[(Vector[Any], Long)]): Set[Vector[Any]] = {
+              var start = 0L
+              val b = Set.newBuilder[Vector[Any]]
+              rows.sorted(rowOrd).foreach { case (key, n) =>
+                if (start < k) b += key
+                start += n
+              }
+              b.result()
+            }
+            val insB = Seq.newBuilder[org.apache.spark.sql.Row]
+            val remB = Seq.newBuilder[org.apache.spark.sql.Row]
+            touchedG.foreach { g =>
+              val oldSet = servedSet(oldByG.getOrElse(g, mutable.ArrayBuffer.empty).toSeq)
+              val newSet =
+                if (refillG(g))
+                  servedSet(refillRows.getOrElse(g, Seq.empty)
+                    .map(t3 => (t3._1, t3._2)))
+                else servedSet(kept.getOrElse(g, mutable.ArrayBuffer.empty).toSeq)
+              (oldSet -- newSet).foreach(key =>
+                remB += org.apache.spark.sql.Row.fromSeq(key))
+              (newSet -- oldSet).foreach(key =>
+                insB += org.apache.spark.sql.Row.fromSeq(key))
+            }
+            recordNamedDelta(name, v0, insB.result(), remB.result())
+          }
+          return Some(expand(servedBuf))
         }
         val outBufRows = mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
         val servedRows = mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]

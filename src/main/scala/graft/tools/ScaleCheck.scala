@@ -375,6 +375,54 @@ object ScaleCheck {
         s"""{"name":"stacked_agg_lower_requery","error":"${ex.getClass.getSimpleName}"}""")
     }
 
+    // ---- OVER-CAP RANK BUFFER riding rounds (r14): a top_k view with
+    // a VIEW-SIZED group count (one group per id) carries a prefix
+    // buffer past the driver cap; riding rounds must run the PARTIAL
+    // parquet-overlay merge (touched groups only) instead of the six
+    // buffer-sized distributed passes. A small global-agg view stacked
+    // on top is what the round re-queries, so the timed quantity is
+    // maintenance (delta-bound via named-delta injection), not the
+    // inherent cost of counting a view-sized result. Seed + transition
+    // rounds stay untimed, as in the stacked probes.
+    def rankBufProbe(n: Long): (Double, Long) = {
+      val e = new graft.iql.Engine(new graft.iql.Catalog(spark))
+      e.catalog.register("rbase", spark.range(n).select(
+        col("id"), pmod(col("id"), lit(100L)).as("dept"),
+        pmod(col("id") * 48271L, lit(500L)).as("sal")).localCheckpoint(true))
+      e.run("+rvw(I, top_k<1, S:desc>) <- rbase(I, D, S)\n" +
+        "+rup(sum<S>, count<S>) <- rvw(I, S)")
+      e.run("?rvw(I, S)").last.count() // materialize lower (untimed)
+      e.run("?rup(S, C)").last.count() // materialize upper (untimed)
+      def batch(lo: Long): String = (lo until lo + 20L)
+        .map(i => s"($i, ${i % 100}, ${(i * 48271) % 500})").mkString(",")
+      e.run(s"-rbase[${batch(0L)}]") // buffer seed round (untimed)
+      e.run("?rup(S, C)").last.count()
+      e.run(s"-rbase[${batch(50L)}]") // first ride: over-cap transition
+      e.run("?rup(S, C)").last.count()
+      val samples = Seq(100L, 200L).map { lo =>
+        val t0 = System.nanoTime()
+        e.run(s"-rbase[${batch(lo)}]")
+        val rows = e.run("?rup(S, C)").last.count()
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+      (samples.map(_._1).min, samples.last._2)
+    }
+    try {
+      rankBufProbe(60000L) // warm
+      val (t1, n1) = rankBufProbe(60000L)
+      val (t10, n10) = rankBufProbe(600000L)
+      val e = Entry("topk_viewgroups_requery", "scan", t1, t10, n1, n10)
+      println(e.json)
+      entries += e
+      val (t100, n100) = rankBufProbe(6000000L)
+      val e100 = Entry("topk_viewgroups_requery_100x", "scan", t1, t100, n1, n100)
+      println(e100.json)
+      entries += e100
+    } catch {
+      case ex: Throwable => println(
+        s"""{"name":"topk_viewgroups_requery","error":"${ex.getClass.getSimpleName}"}""")
+    }
+
     // ---- MID-SIZE CONDITIONAL DELETE rounds at scale (r13 directive
     // #6: the conditional-delete literal path had no ScaleCheck entry).
     // An aggregate-fed base takes the EAGER-LITERAL shape under the r14

@@ -563,6 +563,24 @@ class MaintenanceFuzzSpec extends SparkSpec {
   }
 
   test("top_k decrement equals fresh recomputation on random mutation streams") {
+    topkFuzz(forcePartial = false)
+  }
+
+  test("top_k decrement via the OVER-CAP parquet-overlay partial merge (cap pinned to 0)") {
+    // every riding round transitions to the keyed-parquet base + driver
+    // overlay and merges only the touched groups' rows — the r14 scale
+    // path for view-sized prefix buffers, differentially fuzzed on the
+    // same streams as the full-copy mode
+    topkFuzz(forcePartial = true)
+  }
+
+  private def topkFuzz(forcePartial: Boolean): Unit = {
+    if (forcePartial) Engine.rankBufLocalCap = 0L
+    try topkFuzzBody(forcePartial)
+    finally Engine.rankBufLocalCap = 65536L
+  }
+
+  private def topkFuzzBody(forcePartial: Boolean): Unit = {
     val rng = new Random(20260830L)
     (1 to 8).foreach { c =>
       val groups = Seq("a", "b")
@@ -573,10 +591,15 @@ class MaintenanceFuzzSpec extends SparkSpec {
       val xDom = if (c % 2 == 0) 6 else 40
       var nextId = 0
       val live = scala.collection.mutable.ArrayBuffer.empty[String]
+      // the driver merge (full-copy AND partial) only rides numeric
+      // sort keys — the partial twin numbers the name column so the
+      // over-cap path actually engages; the string variant keeps the
+      // distributed algebra covered
       def mkTuple(): String = {
         nextId += 1
-        s"""($nextId, "${groups(rng.nextInt(groups.size))}", "${names(
-          rng.nextInt(names.size))}", ${rng.nextInt(xDom)})"""
+        val nm = if (forcePartial) s"${rng.nextInt(names.size)}"
+          else s""""${names(rng.nextInt(names.size))}""""
+        s"""($nextId, "${groups(rng.nextInt(groups.size))}", $nm, ${rng.nextInt(xDom)})"""
       }
       def insBatch(n: Int): String = (0 until n).map { _ =>
         val t = mkTuple(); live += t; t
@@ -598,7 +621,9 @@ class MaintenanceFuzzSpec extends SparkSpec {
           val i = rng.nextInt(live.size)
           dels += live.remove(i)
         }
-        if (rng.nextBoolean()) dels += s"""(9999, "a", "p", 0)""" // phantom
+        if (rng.nextBoolean())
+          dels += (if (forcePartial) s"""(9999, "a", 0, 0)"""
+            else s"""(9999, "a", "p", 0)""") // phantom
         val stmts = Seq.newBuilder[String]
         if (dels.nonEmpty) stmts += s"-t[${dels.mkString(",")}]"
         if (rng.nextBoolean()) stmts += s"+t[${insBatch(1 + rng.nextInt(3))}]"
@@ -617,6 +642,12 @@ class MaintenanceFuzzSpec extends SparkSpec {
       }
       assert(e1.rankDecrementCount > decStart,
         s"case $c never took the top_k buffered path")
+      if (forcePartial)
+        assert(e1.rankParquetRides > 0L,
+          s"case $c never rode the parquet-overlay partial merge")
+      else
+        assert(e1.rankParquetRides == 0L,
+          "full-copy run must not touch the partial merge")
     }
   }
 
