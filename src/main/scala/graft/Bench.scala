@@ -313,14 +313,19 @@ object Bench {
     // calib floor is the absolute reference at fixed hardware — a run
     // whose fastest calibration sits >8% above the last committed quiet
     // floor is uniformly dragged no matter what loadavg/steal attribute
-    val prevCalibMin: Option[Double] = try {
+    // MEDIANS on both sides: a single turbo-fast or GC-slow sample
+    // must not become the reference (a 0.224 s turbo floor was captured
+    // between two 0.25-0.28 s samples — min-based comparison would
+    // flag every later quiet run against it)
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
+    val prevCalibMed: Option[Double] = try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("BENCH_FULL.json")), "UTF-8")
       """"calib":\[([0-9.,]+)\]""".r.findFirstMatchIn(txt)
-        .map(_.group(1).split(",").map(_.toDouble).min)
+        .map(m => median(m.group(1).split(",").map(_.toDouble).toSeq))
     } catch { case _: Throwable => None }
     val calibVsPrevPct: Double =
-      prevCalibMin.map(p => 100.0 * (calib.min / p - 1.0)).getOrElse(0.0)
+      prevCalibMed.map(p => 100.0 * (median(calib) / p - 1.0)).getOrElse(0.0)
     // the cross-run threshold is wider than the in-run one: the
     // committed floor may have been captured at a luckier CPU frequency
     // / cache placement, and ~10% cross-run spread was measured between

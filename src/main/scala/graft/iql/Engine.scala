@@ -34,6 +34,11 @@ object Engine {
     * tests shrink it to force the keyed-parquet PARTIAL mode on small
     * fixtures. */
   @volatile private[graft] var rankBufLocalCap: Long = 65536L
+  /** Row cap under which a within_radius view keeps the per-round
+    * literal materialize (driver-collectable = small); above it the
+    * parquet base + driver bag carry rides. Tests shrink it to force
+    * the carry on small fixtures. */
+  @volatile private[graft] var radiusCarryMinRows: Long = 65536L
   /** Base-size ceiling (plan-stats bytes) under which a conditional
     * delete probes for the eager literal-tombstone path; above it the
     * lazy replace defers the body scan into the next maintenance round
@@ -315,6 +320,7 @@ final class Engine(val catalog: Catalog) {
       globalAggNN.keysIterator.toSet ++
       supportParquet.keysIterator.map(_.takeWhile(_ != '#')).toSet ++
       rankParquet.keysIterator.toSet ++
+      radiusCarry.keysIterator.toSet ++
       namedDeltas.keysIterator.toSet).foreach(evictAuxFor)
   }
   /** Evict `view`'s carried aggregate-support state ([[auxSupportCache]],
@@ -342,6 +348,7 @@ final class Engine(val catalog: Catalog) {
     supportParquet.filterInPlace((k, _) =>
       k != view && !k.startsWith(view + "#"))
     rankParquet.remove(view)
+    radiusCarry.remove(view)
     globalAggNN.remove(view)
     namedDeltas.remove(view)
     auxPairsCache.keysIterator.filter(_._1 == view).toSeq.foreach { k =>
@@ -397,6 +404,7 @@ final class Engine(val catalog: Catalog) {
       globalAggNN.keysIterator.toSet ++ // keyless views: NN map only
       supportParquet.keysIterator.map(_.takeWhile(_ != '#')).toSet ++
       rankParquet.keysIterator.toSet ++
+      radiusCarry.keysIterator.toSet ++
       namedDeltas.keysIterator.toSet)
       .filter(v => closure(v)(changedRel)).foreach(evictAuxFor)
   }
@@ -517,6 +525,127 @@ final class Engine(val catalog: Catalog) {
   private val rankParquetNo = mutable.HashSet.empty[String]
   /** Observability: over-cap rank rounds committed via the overlay. */
   private[graft] var rankParquetRides: Long = 0L
+
+  /** Riding-round carry for BIG within_radius views. The view is a bag
+    * FILTER, so after r rounds it is exactly base ∖ Rem ⊎ Ins for the
+    * accumulated removed/inserted binding bags. The old round committed
+    * `materialize(cached.exceptAll(rem).union(ins))` — a view-sized
+    * shuffle plus a view-sized checkpoint per round. Instead the view
+    * is written ONCE to parquet (`base`, immutable — a checkpoint base
+    * would be freed under the lazy serve by view retirement) and the
+    * bags stay driver-resident: a riding round collects its two
+    * DELTA-bound bag frames, cancels fresh removals against the carried
+    * insert bag (bag-exact — preserves sequential except/union
+    * semantics), and serves base.exceptAll(remLit).union(insLit) at
+    * constant plan depth. Bags past the cap fold into a fresh base
+    * write (amortized). Gated to plan-stats-big views
+    * ([[Engine.radiusCarryMinBytes]]) — small views keep the literal
+    * materialize round the test corpus pins. */
+  private final class RadiusCarry(
+      var dir: String, var base: DataFrame,
+      var rem: mutable.ArrayBuffer[org.apache.spark.sql.Row],
+      var ins: mutable.ArrayBuffer[org.apache.spark.sql.Row],
+      var served: DataFrame, var prevDir: Option[String])
+  private val radiusCarry = mutable.HashMap.empty[String, RadiusCarry]
+  private val radiusCarryNo = mutable.HashSet.empty[String]
+  /** Observability: riding rounds committed via the radius carry. */
+  private[graft] var radiusCarryRides: Long = 0L
+
+  /** One within_radius riding round over the carry; None → the caller
+    * falls back to the literal view-sized materialize round. */
+  private def radiusCarryRound(name: String, cached: DataFrame,
+      cols: Seq[String], remRanked: DataFrame,
+      insRanked: DataFrame): Option[DataFrame] = {
+    if (!Engine.supportParquetEnabled || radiusCarryNo(name)) return None
+    val spark = catalog.spark
+    val carried = radiusCarry.get(name).filter(_.served eq cached)
+    if (carried.isEmpty &&
+        collectMemoized(cached, Engine.radiusCarryMinRows).isDefined)
+      return None // small view: the corpus-pinned literal round serves
+    val remRows = Fixpoint.collectUpTo(remRanked, 8192L).getOrElse {
+      radiusCarry.remove(name); return None // over-cap delta: fall back
+    }
+    val insRows = Fixpoint.collectUpTo(insRanked, 8192L).getOrElse {
+      radiusCarry.remove(name); return None
+    }
+    val st = carried.getOrElse {
+      try {
+        val dir = Engine.supportDir(name + "-radius")
+        cached.toDF(cols: _*).write.mode("overwrite").parquet(dir)
+        val base = spark.read.parquet(dir).toDF(cols: _*)
+        val c = new RadiusCarry(dir, base, mutable.ArrayBuffer.empty,
+          mutable.ArrayBuffer.empty, cached, None)
+        radiusCarry(name) = c
+        c
+      } catch { case scala.util.control.NonFatal(_) =>
+        radiusCarryNo += name; return None }
+    }
+    // cancel fresh removals against the carried INSERT bag first (any
+    // matching between equal rows is equivalent in a bag); the leftover
+    // joins the rem bag, whose copies exact-removal guarantees exist in
+    // the base. ndNorm mirrors Spark's set-op equality (NaN = NaN,
+    // -0.0 = 0.0).
+    def bagKey(r: org.apache.spark.sql.Row): Seq[Any] = r.toSeq.map(ndNorm)
+    val remain = mutable.HashMap.empty[Seq[Any], Int]
+    st.ins.foreach(r =>
+      remain.updateWith(bagKey(r))(c => Some(c.getOrElse(0) + 1)))
+    val remLeft = mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    remRows.foreach { r =>
+      val k = bagKey(r)
+      remain.get(k) match {
+        case Some(c) if c > 0 => remain(k) = c - 1
+        case _ => remLeft += r
+      }
+    }
+    val newIns = mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    st.ins.foreach { r =>
+      val k = bagKey(r)
+      val c = remain.getOrElse(k, 0)
+      if (c > 0) { newIns += r; remain(k) = c - 1 }
+    }
+    st.ins = newIns
+    st.rem ++= remLeft
+    st.ins ++= insRows
+    val schema = org.apache.spark.sql.types.StructType(
+      st.base.schema.fields.map(_.copy(nullable = true)))
+    def bagLit(rows: Seq[org.apache.spark.sql.Row]): DataFrame =
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    // serve: UNTOUCHED base rows pass through a broadcast anti
+    // (map-only); only the slice matching a removed row's key pays the
+    // bag-exact exceptAll shuffle — a query is one base scan plus a
+    // rem-bounded shuffle, and the round itself ran zero view-sized work
+    def serveFrame(): DataFrame =
+      if (st.rem.isEmpty && st.ins.isEmpty) st.base.select(cols.map(col): _*)
+      else if (st.rem.isEmpty) st.base.union(bagLit(st.ins.toSeq))
+      else {
+        val remKeys = bagLit(st.rem.distinct.toSeq)
+        val untouched = Fixpoint.antiNullSafe(st.base, remKeys,
+          hintBroadcast = true)
+        val touched = Fixpoint.semiNullSafe(st.base, remKeys,
+          hintBroadcast = true)
+        val kept = touched.exceptAll(bagLit(st.rem.toSeq))
+        val out = untouched.union(kept)
+        if (st.ins.isEmpty) out else out.union(bagLit(st.ins.toSeq))
+      }
+    if (st.rem.size + st.ins.size > 49152) {
+      // fold the bags into a fresh base write (amortized); the
+      // grace-aged previous dir retires now
+      try {
+        val dir2 = Engine.supportDir(name + "-radius")
+        serveFrame().write.mode("overwrite").parquet(dir2)
+        st.prevDir.foreach(Engine.deleteDir)
+        st.prevDir = Some(st.dir)
+        st.dir = dir2
+        st.base = spark.read.parquet(dir2).toDF(cols: _*)
+        st.rem.clear(); st.ins.clear()
+      } catch { case scala.util.control.NonFatal(_) =>
+        radiusCarry.remove(name); radiusCarryNo += name; return None }
+    }
+    val served = serveFrame()
+    st.served = served
+    radiusCarryRides += 1
+    Some(served)
+  }
 
   private def pqRankTransition(name: String, buf: DataFrame,
       groupNames: Seq[String]): Option[PqRankBuf] = {
@@ -3780,6 +3909,11 @@ final class Engine(val catalog: Catalog) {
             case None => cached.toDF(cols: _*).limit(0)
           }
           rankDecrementCount += 1
+          // BIG views ride the parquet-base + driver-bag carry (see
+          // [[radiusCarry]]): the round is two delta-bound collects and
+          // pure driver bag math — never a view-sized shuffle/checkpoint
+          radiusCarryRound(name, cached, cols, remRanked, insRanked)
+            .foreach(df => return Some(df))
           return Some(Fixpoint.materialize(
             cached.toDF(cols: _*).exceptAll(remRanked).union(insRanked)).df)
         }

@@ -52,6 +52,23 @@ object ProfileOvercap {
       }
     }
 
+    if (what == "radius") (1 to 2).foreach { run =>
+      graft.iql.Engine.supportParquetEnabled = run == 2 // run 1 = legacy
+      println(s"=== radius run $run (n=$n, carry=${run == 2}) ===")
+      val e = new graft.iql.Engine(new graft.iql.Catalog(spark))
+      e.catalog.register("wbase", spark.range(n).select(
+        col("id"), pmod(col("id"), lit(100L)).as("dept"),
+        pmod(col("id") * 48271L, lit(500L)).as("sal")).localCheckpoint(true))
+      phase("rule + materialize")(e.run(
+        "+wv(D, within_radius<400, I, S>) <- wbase(I, D, S)\n?wv(D, I, S)\n").last.count())
+      Seq(0L, 100L, 200L, 300L).zipWithIndex.foreach { case (lo, i) =>
+        phase(s"round${i + 1} (${if (i == 0) "first" else "riding"})") {
+          e.run(s"-wbase[${batch(lo)}]"); e.run("?wv(D, I, S)").last.count()
+        }
+      }
+      println(s"  carryRides=${e.radiusCarryRides}")
+    }
+
     if (what == "both" || what == "rank") (1 to 2).foreach { run =>
       println(s"=== rank run $run (n=$n) ===")
       val e = new graft.iql.Engine(new graft.iql.Catalog(spark))

@@ -651,6 +651,74 @@ class MaintenanceFuzzSpec extends SparkSpec {
     }
   }
 
+  test("within_radius mutation streams equal fresh recomputation (literal rounds)") {
+    radiusFuzz(forceCarry = false)
+  }
+
+  test("within_radius mutation streams via the BIG-VIEW parquet carry (gate pinned to 0)") {
+    // every riding round transitions to the parquet base + driver
+    // rem/ins bags (the r14 scale path for view-sized radius filters)
+    // and must still equal fresh recomputation — including the
+    // sequential bag semantics the ins-cancel preserves
+    radiusFuzz(forceCarry = true)
+  }
+
+  private def radiusFuzz(forceCarry: Boolean): Unit = {
+    if (forceCarry) Engine.radiusCarryMinRows = 0L
+    try {
+      val rng = new Random(20260916L)
+      (1 to 6).foreach { c =>
+        val groups = Seq("a", "b")
+        var nextId = 0
+        val live = scala.collection.mutable.ArrayBuffer.empty[String]
+        def mkTuple(): String = {
+          nextId += 1
+          s"""($nextId, "${groups(rng.nextInt(groups.size))}", ${rng.nextInt(12)})"""
+        }
+        def insBatch(n: Int): String = (0 until n).map { _ =>
+          val t = mkTuple(); live += t; t
+        }.mkString(",")
+        val rule = "+w(G, within_radius<3, I, X>) <- t(I, G, X)\n"
+        def bag(e: Engine): Map[Seq[Any], Int] =
+          e.run("?w(G, I, X)").last.collect().toSeq.map(_.toSeq)
+            .groupBy(identity).view.mapValues(_.size).toMap
+        val e1 = new Engine(new Catalog(spark))
+        e1.run(s"+t[${insBatch(10 + rng.nextInt(8))}]\n$rule")
+        e1.run("?w(G, I, X)")
+        (0 until 3 + rng.nextInt(2)).foreach { round =>
+          val nDel = math.min(live.size, rng.nextInt(4))
+          val dels = scala.collection.mutable.ArrayBuffer.empty[String]
+          (0 until nDel).foreach { _ =>
+            val i = rng.nextInt(live.size)
+            dels += live.remove(i)
+          }
+          if (rng.nextBoolean()) dels += s"""(9999, "a", 0)""" // phantom
+          val stmts = Seq.newBuilder[String]
+          if (dels.nonEmpty) stmts += s"-t[${dels.mkString(",")}]"
+          if (rng.nextBoolean()) stmts += s"+t[${insBatch(1 + rng.nextInt(3))}]"
+          val prog = stmts.result().mkString("\n")
+          if (prog.nonEmpty) e1.run(prog)
+          val maintained = bag(e1)
+          val expected =
+            if (live.isEmpty) Map.empty[Seq[Any], Int]
+            else {
+              val e2 = new Engine(new Catalog(spark))
+              e2.run(s"+t[${live.mkString(",")}]\n$rule")
+              bag(e2)
+            }
+          assert(maintained == expected,
+            s"case $c round $round diverged (forceCarry=$forceCarry); live=$live")
+        }
+        if (forceCarry)
+          assert(e1.radiusCarryRides > 0L,
+            s"case $c never rode the radius carry")
+        else
+          assert(e1.radiusCarryRides == 0L,
+            "literal run must not touch the radius carry")
+      }
+    } finally Engine.radiusCarryMinRows = 65536L
+  }
+
   test("global aggregate decrement equals fresh recomputation on random streams") {
     val rng = new Random(20260902L)
     (1 to 8).foreach { c =>
