@@ -203,31 +203,33 @@ final class Catalog(val spark: SparkSession) {
       }
     } catch {
       case _: graft.index.Hnsw.CapacityExceeded =>
-        // AUTO-DEGRADE past the capacity guard: DATA-DERIVED coarse
-        // centroids — the first 16 vectors by id (ONE bounded
-        // TakeOrdered pass over a relation already too big for the
-        // driver graph; deterministic, and SQL-replicable so the q197
-        // recall report is oracle-exact, the q190 centroid precedent).
-        // Centroids drawn from the data distribution partition it far
-        // better than the r13 seeded random hyperplanes did (data-
-        // independent planes through the origin mostly split the bulk
-        // of an embedding cloud into empty/full half-spaces), at the
-        // cost of one bounded scan instead of the ~147 s a 64-centroid
-        // k-means train measured per createIndex at sf0.1. k-means-
-        // trained layouts remain available through the explicit
-        // Similarity IVF operators when recall tuning matters.
-        // Degenerate relations (under 2 usable vectors) keep the seeded
-        // hyperplane fallback.
+        // AUTO-DEGRADE past the capacity guard: TRAINED coarse
+        // quantizer — deterministic Lloyd k-means (64 cells, 5
+        // iterations) over a BOUNDED sample (the first 4096 non-null
+        // vectors by id; one TakeOrdered pass over a relation already
+        // too big for the driver graph, then a driver-local train in
+        // the tens of milliseconds — never the full-relation k-means
+        // the Similarity operators run when recall tuning matters).
+        // Everything is deterministic and SQL-replicable — sample
+        // selection, first-k init, argmax cell assignment with ties to
+        // the lowest cell, and means rounded through Float so the
+        // DuckDB replay's summation order can't drift a centroid —
+        // which keeps the q197 recall report oracle-exact (measured
+        // ≥0.92 recall@10 at the default efSearch-64 probe on the
+        // structure-free worst-case corpus; the r14 first-16-by-id
+        // centroids measured 0.49). Degenerate relations (under 2
+        // usable vectors) keep the seeded hyperplane fallback.
         import org.apache.spark.sql.functions.col
-        val cent0: Array[Array[Double]] =
+        val sample: Array[Array[Double]] =
           try df.where(col(vecCol).isNotNull)
-            .orderBy(col(idCol)).limit(16)
+            .orderBy(col(idCol)).limit(4096)
             .select(col(vecCol)).collect()
             .map(_.getSeq[Float](0).map(_.toDouble).toArray)
           catch { case scala.util.control.NonFatal(_) =>
             Array.empty[Array[Double]] }
         val cent =
-          if (cent0.length >= 2) cent0
+          if (sample.length >= 2)
+            Catalog.trainCoarseCentroids(sample, k = 64, iters = 5)
           else {
             val dim = df.select(vecCol).head().getSeq[Float](0).length
             graft.functions.LshFunctions.hyperplanes(
@@ -454,17 +456,17 @@ final class Catalog(val spark: SparkSession) {
           // relation, ranked under the index's own metric so the
           // (id, distance) contract matches the graph probe. efSearch
           // maps to probe breadth the way it maps to beam width on the
-          // graph: ~16 efSearch per probed cell over the 16 data-
-          // derived cells registered by the degrade, so the default
-          // 64 probes 4 of 16 cells and efSearch >= 256 (16*nCells) is
-          // the exact brute-force anchor (TakeOrderedAndProject — per-
-          // partition heaps, no sort, no shuffle). Narrow-probe recall
-          // is measured (q197 report; HnswSpec floor at nprobe 4/8).
+          // graph: nprobe = ⌈3·efSearch/8⌉ over the 64 k-means-trained
+          // cells the degrade registers, so the default efSearch 64
+          // probes 24 of 64 cells (37.5% — the width calibrated to hold
+          // recall@10 ≥ 0.9 on the structure-free worst-case corpus,
+          // q197/HnswSpec) and efSearch ≥ 171 probes every cell — the
+          // exact brute-force anchor (TakeOrderedAndProject — per-
+          // partition heaps, no sort, no shuffle).
           import org.apache.spark.sql.functions.{col, lit, typedLit}
           val df = synchronized(relations(rel))
           val nCells = cent.length
-          val nprobe = math.max(1, math.min(nCells,
-            math.ceil(efSearch / 16.0).toInt))
+          val nprobe = math.max(1, math.min(nCells, (3 * efSearch + 7) / 8))
           val q = query.toSeq
           val cand = graft.operators.Similarity.ivfProbeCandidates(
             df, q, cent, nprobe, vecCol)
@@ -1118,5 +1120,59 @@ final class Catalog(val spark: SparkSession) {
     val remaining = ruleList.filterNot(_.head.rel == headRel)
     ruleList.clear()
     ruleList ++= remaining
+  }
+}
+
+object Catalog {
+  /** Deterministic Lloyd k-means for the over-capacity degrade's coarse
+    * quantizer. Every step is replicable by the DuckDB oracle (q197):
+    * init = the first `k` sample vectors (sample arrives sorted by id),
+    * assignment = argmax of `dot(v,c) − |c|²/2` (the euclidean-Voronoi
+    * score the probe itself uses) with ties to the LOWEST cell, update
+    * = per-dimension mean over the cell's members ROUNDED THROUGH FLOAT
+    * — a double mean differs across engines by summation order (~1e-16
+    * relative), and the float grid (~6e-8 relative) absorbs that, so
+    * both sides land on bit-identical centroids; an empty cell keeps
+    * its previous centroid. Bounded: `sample` is ≤4096 vectors, so the
+    * train is driver-local milliseconds at any relation size. */
+  private[iql] def trainCoarseCentroids(sample: Array[Array[Double]],
+      k: Int, iters: Int): Array[Array[Double]] = {
+    val n = sample.length
+    val kk = math.min(k, n)
+    val dim = sample(0).length
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    var cent = Array.tabulate(kk)(i => sample(i).clone())
+    var it = 0
+    while (it < iters) {
+      val half = cent.map(c => dot(c, c) / 2)
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val counts = new Array[Long](kk)
+      var i = 0
+      while (i < n) { // sample order = vec_id order: deterministic sums
+        val v = sample(i)
+        var best = 0; var bestS = Double.NegativeInfinity
+        var j = 0
+        while (j < kk) {
+          val s = dot(v, cent(j)) - half(j)
+          if (s > bestS) { bestS = s; best = j } // strict >: ties → lowest
+          j += 1
+        }
+        counts(best) += 1
+        val acc = sums(best)
+        var d = 0
+        while (d < dim) { acc(d) += v(d); d += 1 }
+        i += 1
+      }
+      cent = Array.tabulate(kk) { j =>
+        if (counts(j) == 0L) cent(j)
+        else sums(j).map(s => (s / counts(j)).toFloat.toDouble)
+      }
+      it += 1
+    }
+    cent
   }
 }
