@@ -167,8 +167,10 @@ object Bench {
     val wallStart = System.nanoTime()
     val retryLoad = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     // per-query steal attribution: /proc/stat sampled between queries,
-    // so a contaminated row reads off the artifact without a re-run
-    var lastTicks = ticksStart
+    // so a contaminated row reads off the artifact without a re-run.
+    // Sampled HERE — after the ~2.5 s calibration burn — so the first
+    // query's window covers its own execution, not the calibration.
+    var lastTicks = cpuTicks()
     val querySteal = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val timed = SparkEntry.queries.toSeq.sortBy { case (n, _) => (qNum(n), n) }
       .filter { case (n, _) => only.isEmpty || only(n) }
@@ -318,11 +320,19 @@ object Bench {
     // between two 0.25-0.28 s samples — min-based comparison would
     // flag every later quiet run against it)
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
+    // the reference floor is the snapshot's explicit `calib_ref` when
+    // present (written below: a CONTENDED run carries the previous
+    // quiet floor forward instead of publishing its own dragged
+    // medians — unconditional overwrites let successive contaminated
+    // captures ratchet the reference up and silently weaken this
+    // check); older snapshots fall back to the median of their samples
     val prevCalibMed: Option[Double] = try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("BENCH_FULL.json")), "UTF-8")
-      """"calib":\[([0-9.,]+)\]""".r.findFirstMatchIn(txt)
-        .map(m => median(m.group(1).split(",").map(_.toDouble).toSeq))
+      """"calib_ref":([0-9.]+)""".r.findFirstMatchIn(txt)
+        .map(_.group(1).toDouble)
+        .orElse(""""calib":\[([0-9.,]+)\]""".r.findFirstMatchIn(txt)
+          .map(m => median(m.group(1).split(",").map(_.toDouble).toSeq)))
     } catch { case _: Throwable => None }
     val calibVsPrevPct: Double =
       prevCalibMed.map(p => 100.0 * (median(calib) / p - 1.0)).getOrElse(0.0)
@@ -337,8 +347,12 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // next-run reference floor: a quiet run publishes its own median; a
+    // contended run carries the previous quiet floor forward
+    val calibRef: Double =
+      if (contended) prevCalibMed.getOrElse(median(calib)) else median(calib)
     val envJson =
-      s"""{"cpus":$envCpus,"load_start":${f2(loadStart)},"load_end":${f2(loadEnd)},"proc_cpu_cores":${f2(ourCores)},"ext_load":${f2(extLoad)},"steal_pct":${f2(stealPct)},"calib":[${calib.map(f3).mkString(",")}],"calib_drift_pct":${f2(calibDriftPct)},"calib_vs_prev_pct":${f2(calibVsPrevPct)},"retry_load":${
+      s"""{"cpus":$envCpus,"load_start":${f2(loadStart)},"load_end":${f2(loadEnd)},"proc_cpu_cores":${f2(ourCores)},"ext_load":${f2(extLoad)},"steal_pct":${f2(stealPct)},"calib":[${calib.map(f3).mkString(",")}],"calib_ref":${f3(calibRef)},"calib_drift_pct":${f2(calibDriftPct)},"calib_vs_prev_pct":${f2(calibVsPrevPct)},"retry_load":${
         retryLoad.map { case (k, v) => "\"" + k + "\":" + f2(v) }
           .mkString("{", ",", "}")},"contended":$contended}"""
     // The harness that collects this output keeps only the LAST ~2000

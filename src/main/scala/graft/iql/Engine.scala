@@ -39,6 +39,11 @@ object Engine {
     * parquet base + driver bag carry rides. Tests shrink it to force
     * the carry on small fixtures. */
   @volatile private[graft] var radiusCarryMinRows: Long = 65536L
+  /** Overlay-entry count past which a carrier folds into a fresh base
+    * write (one amortized state-sized pass per ~24 over-cap rounds).
+    * Tunable so fuzz can pin it low and exercise base-rewrite +
+    * grace-dir retirement interleaved with riding rounds. */
+  @volatile private[graft] var carrierFoldCap: Long = 49152L
   /** Base-size ceiling (plan-stats bytes) under which a conditional
     * delete probes for the eager literal-tombstone path; above it the
     * lazy replace defers the body scan into the next maintenance round
@@ -67,6 +72,22 @@ object Engine {
       Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
     }
     rm(new java.io.File(dir))
+  }
+
+  /** Displaced carrier dirs (fold, eviction, re-transition) retire
+    * through this bounded JVM-wide FIFO instead of deleting eagerly —
+    * a frame handed to a caller stays readable until 16 further
+    * displacement events have happened engine-wide, and the bound
+    * keeps a long-lived engine's scratch disk O(1) in view churn
+    * (evictions and re-transitions used to abandon their layouts until
+    * JVM exit). Contract for callers holding served frames: a result
+    * read lazily more than one carrier generation after its round may
+    * need re-querying — the engine itself never re-reads a retired
+    * generation. */
+  private val retiredDirs = new java.util.ArrayDeque[String]()
+  private[iql] def retireDir(dir: String): Unit = retiredDirs.synchronized {
+    retiredDirs.addLast(dir)
+    while (retiredDirs.size > 16) deleteDir(retiredDirs.pollFirst())
   }
 }
 
@@ -318,9 +339,7 @@ final class Engine(val catalog: Catalog) {
     (auxSupportCache.keysIterator.toSet ++
       auxPairsCache.keysIterator.map(_._1).toSet ++
       globalAggNN.keysIterator.toSet ++
-      supportParquet.keysIterator.map(_.takeWhile(_ != '#')).toSet ++
-      rankParquet.keysIterator.toSet ++
-      radiusCarry.keysIterator.toSet ++
+      carriers.keysIterator.map(_.takeWhile(_ != '#')).toSet ++
       namedDeltas.keysIterator.toSet).foreach(evictAuxFor)
   }
   /** Evict `view`'s carried aggregate-support state ([[auxSupportCache]],
@@ -341,14 +360,16 @@ final class Engine(val catalog: Catalog) {
     auxSupportCache.remove(view).foreach { case (_, df) => bury(df) }
     rankLocalBuf.remove(view) // driver copies of the evicted state
     aggLocalSupport.remove(view)
-    // keyed-parquet overlay state ties to the evicted served frame;
-    // its dirs stay on disk until JVM exit (earlier results may still
-    // read them lazily) — bounded by the shutdown-hook scratch root.
-    // Pairs-table entries are keyed "<view>#cd<i>" — sweep those too.
-    supportParquet.filterInPlace((k, _) =>
-      k != view && !k.startsWith(view + "#"))
-    rankParquet.remove(view)
-    radiusCarry.remove(view)
+    // carrier state ties to the evicted served frame; its dirs retire
+    // through the bounded grace queue (earlier results may still read
+    // them lazily for one carrier generation). Sub-state entries are
+    // keyed "<view>#cd<i>"/"<view>#rank"/"<view>#radius" — sweep those
+    // too, and clear the deny-list so a re-created view gets a fresh
+    // parquet attempt instead of being pinned to the legacy commit.
+    def ofView(k: String): Boolean = k == view || k.startsWith(view + "#")
+    carriers.keysIterator.filter(ofView).toSeq.foreach { k =>
+      carriers.remove(k).foreach(_.dirs.foreach(Engine.retireDir)) }
+    carrierNo.filterInPlace(k => !ofView(k))
     globalAggNN.remove(view)
     namedDeltas.remove(view)
     auxPairsCache.keysIterator.filter(_._1 == view).toSeq.foreach { k =>
@@ -402,9 +423,7 @@ final class Engine(val catalog: Catalog) {
     (auxSupportCache.keysIterator.toSet ++
       auxPairsCache.keysIterator.map(_._1).toSet ++
       globalAggNN.keysIterator.toSet ++ // keyless views: NN map only
-      supportParquet.keysIterator.map(_.takeWhile(_ != '#')).toSet ++
-      rankParquet.keysIterator.toSet ++
-      radiusCarry.keysIterator.toSet ++
+      carriers.keysIterator.map(_.takeWhile(_ != '#')).toSet ++
       namedDeltas.keysIterator.toSet)
       .filter(v => closure(v)(changedRel)).foreach(evictAuxFor)
   }
@@ -491,95 +510,182 @@ final class Engine(val catalog: Catalog) {
     * in place (`src/incremental.rs:77-80`); a log-structured
     * base+overlay is the storage-backed equivalent — an LSM level-0 in
     * driver memory over an immutable sorted run. */
-  private final class PqSupport(
+  /** The ONE log-structured carrier every over-cap carried state rides
+    * (the r15 consolidation of three hand-rolled copies): agg support
+    * tables (map key = view name), cd pairs tables (`<view>#cd<i>`),
+    * rank prefix buffers (`<view>#rank`), and big within_radius views
+    * (`<view>#radius`). KEYED carriers hold a driver overlay of per-key
+    * replacement row-sets (empty set = tombstone) over the immutable
+    * base — [[carrierOpen]]/[[carrierDirty]]/[[carrierCommit]] are the
+    * shared lifecycle; the RADIUS carrier is a bag filter (base ∖ rem ⊎
+    * ins), so it keeps its two bags and shares only the base/fold/
+    * retire plumbing ([[radiusCarryRound]]). */
+  private final class Carrier(
+      val tag: String, val colNames: Seq[String], val keyNames: Seq[String],
       var dir: String, var base: DataFrame,
-      val overlay: mutable.LinkedHashMap[Seq[Any], Option[org.apache.spark.sql.Row]],
-      var served: DataFrame, var prevDir: Option[String])
-  private val supportParquet = mutable.HashMap.empty[String, PqSupport]
-  /** Views whose support schema failed the parquet round-trip — the
-    * distributed anti-join commit keeps serving those. */
-  private val supportParquetNo = mutable.HashSet.empty[String]
+      var served: DataFrame, var prevDir: Option[String]) {
+    /** Literal-frame schema: the logical frame's, nullable (parquet
+      * round-trips may widen nullability — unions must stay aligned). */
+    var litSchema: org.apache.spark.sql.types.StructType = _
+    val overlay =
+      mutable.LinkedHashMap.empty[Seq[Any], Seq[org.apache.spark.sql.Row]]
+    var overlayRows: Long = 0L
+    /** Radius-carrier bags (unused by keyed carriers). */
+    val remBag = mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val insBag = mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    def dirs: Seq[String] = dir +: prevDir.toSeq
+  }
+  private val carriers = mutable.HashMap.empty[String, Carrier]
+  /** Carrier keys whose state schema failed the parquet round-trip —
+    * the legacy distributed commit keeps serving those. Swept with
+    * [[evictAuxFor]] so a dropped/re-created view gets a fresh attempt
+    * (a transient IO failure used to pin the view to the O(view)
+    * commit for the engine's lifetime). */
+  private val carrierNo = mutable.HashSet.empty[String]
   /** Observability: over-cap rounds committed via the overlay. */
   private[graft] var supportParquetRounds: Long = 0L
-
-  /** OVER-CAP RANK prefix buffers on the same keyed-parquet scale path
-    * as [[supportParquet]]: past the driver-resident cap the r13
-    * distributed merge algebra ran SIX buffer-sized passes plus two
-    * buffer-sized checkpoints per riding round (profiled 2.6× per
-    * decade on a view-sized group count). Instead the buffer is written
-    * ONCE into a group-key-sorted parquet layout and the riding round
-    * runs the SAME driver merge [[maintainRankBuffered]]'s local ride
-    * uses — but over the TOUCHED GROUPS' rows only (overlay lookups +
-    * one IN-pruned base scan), committing each touched group's fresh
-    * buffer slice (or tombstone) into the driver overlay. The served
-    * buffer is base ANTI overlay-groups UNION overlay-rows; the served
-    * view is its lazy top-k expansion. Per-group invariants (prefix
-    * boundary, cum, tot) make the partial merge exact: no formula
-    * reads another group's rows. */
-  private final class PqRankBuf(
-      var dir: String, var base: DataFrame,
-      val overlay: mutable.LinkedHashMap[Vector[Any], Seq[org.apache.spark.sql.Row]],
-      var served: DataFrame, var prevDir: Option[String],
-      var overlayRows: Long)
-  private val rankParquet = mutable.HashMap.empty[String, PqRankBuf]
-  private val rankParquetNo = mutable.HashSet.empty[String]
   /** Observability: over-cap rank rounds committed via the overlay. */
   private[graft] var rankParquetRides: Long = 0L
-
-  /** Riding-round carry for BIG within_radius views. The view is a bag
-    * FILTER, so after r rounds it is exactly base ∖ Rem ⊎ Ins for the
-    * accumulated removed/inserted binding bags. The old round committed
-    * `materialize(cached.exceptAll(rem).union(ins))` — a view-sized
-    * shuffle plus a view-sized checkpoint per round. Instead the view
-    * is written ONCE to parquet (`base`, immutable — a checkpoint base
-    * would be freed under the lazy serve by view retirement) and the
-    * bags stay driver-resident: a riding round collects its two
-    * DELTA-bound bag frames, cancels fresh removals against the carried
-    * insert bag (bag-exact — preserves sequential except/union
-    * semantics), and serves base.exceptAll(remLit).union(insLit) at
-    * constant plan depth. Bags past the cap fold into a fresh base
-    * write (amortized). Gated to plan-stats-big views
-    * ([[Engine.radiusCarryMinBytes]]) — small views keep the literal
-    * materialize round the test corpus pins. */
-  private final class RadiusCarry(
-      var dir: String, var base: DataFrame,
-      var rem: mutable.ArrayBuffer[org.apache.spark.sql.Row],
-      var ins: mutable.ArrayBuffer[org.apache.spark.sql.Row],
-      var served: DataFrame, var prevDir: Option[String])
-  private val radiusCarry = mutable.HashMap.empty[String, RadiusCarry]
-  private val radiusCarryNo = mutable.HashSet.empty[String]
   /** Observability: riding rounds committed via the radius carry. */
   private[graft] var radiusCarryRides: Long = 0L
+  /** Observability: carrier folds (base rewrites) — the fold-boundary
+    * fuzz pins the cap low and asserts several fire mid-stream. */
+  private[graft] var carrierFolds: Long = 0L
 
-  /** One within_radius riding round over the carry; None → the caller
-    * falls back to the literal view-sized materialize round. */
+  /** Transition `frame` into a carrier under `key`: ONE
+    * range-partitioned key-SORTED parquet write (min/max row-group and
+    * page stats make key-point scans pruned; an unkeyed radius base
+    * writes as-is), read back as the immutable `base`. `servedMarker`
+    * overrides the served identity when the caller serves a different
+    * frame object (cd pairs, radius). Replacing an existing carrier
+    * retires its dirs through the grace queue; a failed write lands the
+    * key in [[carrierNo]]. */
+  private def carrierOpen(key: String, frame: DataFrame,
+      keyNames: Seq[String], servedMarker: DataFrame = null): Option[Carrier] = {
+    if (!Engine.supportParquetEnabled || carrierNo(key)) return None
+    try {
+      val dir = Engine.supportDir(key)
+      val keyCols = keyNames.map(col)
+      val laidOut =
+        if (keyNames.isEmpty) frame
+        else frame.repartitionByRange(32, keyCols: _*)
+          .sortWithinPartitions(keyCols: _*)
+      laidOut.write.mode("overwrite").parquet(dir)
+      val base = catalog.spark.read.parquet(dir)
+        .select(frame.columns.map(col).toSeq: _*)
+      carriers.remove(key).foreach(_.dirs.foreach(Engine.retireDir))
+      val st = new Carrier(key, frame.columns.toSeq, keyNames, dir, base,
+        Option(servedMarker).getOrElse(frame), None)
+      st.litSchema = org.apache.spark.sql.types.StructType(
+        frame.schema.fields.map(_.copy(nullable = true)))
+      carriers(key) = st
+      Some(st)
+    } catch { case scala.util.control.NonFatal(_) =>
+      carrierNo += key; None }
+  }
+
+  /** Touched-key rows of a keyed carrier: overlay hits plus ONE
+    * IN-prefiltered, broadcast-semi-joined base scan for the misses
+    * (never a state-sized pass). On an unliteralizable key type the
+    * scan retries unpruned and filters driver-side via `rowKey`. None
+    * past `cap` rows or on IO failure — the caller falls back. */
+  private def carrierDirty(st: Carrier, keys: Seq[Seq[Any]], cap: Int,
+      rowKey: org.apache.spark.sql.Row => Seq[Any]):
+      Option[Array[org.apache.spark.sql.Row]] =
+    try {
+      val (hit, miss) = keys.partition(st.overlay.contains)
+      val fromOverlay = hit.flatMap(st.overlay(_))
+      val fromBase: Array[org.apache.spark.sql.Row] =
+        if (miss.isEmpty) Array.empty
+        else try {
+          sideOn(st.base.where(pqKeyIn(st.keyNames, miss)),
+            keyLit(miss, st.base, st.keyNames), st.keyNames, anti = false)
+            .limit(cap + 2).collect()
+        } catch { case scala.util.control.NonFatal(_) =>
+          val missSet = miss.map(_.toSeq).toSet
+          sideOn(st.base, keyLit(keys, st.base, st.keyNames), st.keyNames,
+            anti = false).limit(cap + 2).collect()
+            .filter(row => missSet(rowKey(row).toSeq))
+        }
+      val all = (fromOverlay ++ fromBase).toArray
+      if (all.length > cap) None else Some(all)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** O(delta) commit of a keyed carrier round: per-key replacement
+    * row-sets land in the overlay; past the fold cap the overlay folds
+    * into a fresh keyed base write (one amortized state-sized pass per
+    * ~24 over-cap rounds — the displaced dir ages through the grace
+    * queue, so frames handed out earlier keep reading). Returns the
+    * fresh served frame — base ANTI overlay-keys UNION overlay rows at
+    * constant plan depth — and records it as the carrier's identity. */
+  private def carrierCommit(st: Carrier,
+      updates: Iterator[(Seq[Any], Seq[org.apache.spark.sql.Row])]): DataFrame = {
+    val spark = catalog.spark
+    updates.foreach { case (k, rows) =>
+      val prev = st.overlay.get(k).map(_.length.toLong).getOrElse(0L)
+      st.overlay(k) = rows
+      st.overlayRows += rows.length.toLong - prev
+    }
+    def ovLit: DataFrame = spark.createDataFrame(
+      java.util.Arrays.asList(
+        st.overlay.valuesIterator.flatten.toSeq: _*), st.litSchema)
+    def ovAnti: DataFrame = sideOn(st.base,
+      keyLit(st.overlay.keys, st.base, st.keyNames), st.keyNames, anti = true)
+    if (math.max(st.overlay.size.toLong, st.overlayRows) > Engine.carrierFoldCap) {
+      val dir2 = Engine.supportDir(st.tag)
+      val keyCols = st.keyNames.map(col)
+      ovAnti.union(ovLit).repartitionByRange(32, keyCols: _*)
+        .sortWithinPartitions(keyCols: _*)
+        .write.mode("overwrite").parquet(dir2)
+      st.prevDir.foreach(Engine.retireDir)
+      st.prevDir = Some(st.dir)
+      st.dir = dir2
+      st.base = spark.read.parquet(dir2)
+        .select(st.colNames.map(col): _*)
+      st.overlay.clear(); st.overlayRows = 0L
+      carrierFolds += 1
+    }
+    val served =
+      if (st.overlay.isEmpty) st.base.select(st.colNames.map(col): _*)
+      else ovAnti.union(ovLit)
+    st.served = served
+    served
+  }
+
+  /** One within_radius riding round over the carry (bag form of the
+    * [[Carrier]] — the view is a bag FILTER, so after r rounds it is
+    * exactly base ∖ Rem ⊎ Ins for the accumulated removed/inserted
+    * binding bags; the old round committed a view-sized
+    * `materialize(except∪union)` per round). Riding rounds collect the
+    * two DELTA-bound bag frames, cancel fresh removals against the
+    * carried insert bag (bag-exact — preserves sequential except/union
+    * semantics), and serve base.exceptAll(remLit).union(insLit) at
+    * constant plan depth; bags past the cap fold into a fresh base
+    * write (amortized). Gated to plan-stats-big views
+    * ([[Engine.radiusCarryMinRows]]) — small views keep the literal
+    * materialize round the test corpus pins. None → the caller falls
+    * back to that literal round. */
   private def radiusCarryRound(name: String, cached: DataFrame,
       cols: Seq[String], remRanked: DataFrame,
       insRanked: DataFrame): Option[DataFrame] = {
-    if (!Engine.supportParquetEnabled || radiusCarryNo(name)) return None
+    val key = name + "#radius"
+    if (!Engine.supportParquetEnabled || carrierNo(key)) return None
     val spark = catalog.spark
-    val carried = radiusCarry.get(name).filter(_.served eq cached)
+    def drop(): Unit =
+      carriers.remove(key).foreach(_.dirs.foreach(Engine.retireDir))
+    val carried = carriers.get(key).filter(_.served eq cached)
     if (carried.isEmpty &&
         collectMemoized(cached, Engine.radiusCarryMinRows).isDefined)
       return None // small view: the corpus-pinned literal round serves
     val remRows = Fixpoint.collectUpTo(remRanked, 8192L).getOrElse {
-      radiusCarry.remove(name); return None // over-cap delta: fall back
+      drop(); return None // over-cap delta: fall back
     }
     val insRows = Fixpoint.collectUpTo(insRanked, 8192L).getOrElse {
-      radiusCarry.remove(name); return None
+      drop(); return None
     }
-    val st = carried.getOrElse {
-      try {
-        val dir = Engine.supportDir(name + "-radius")
-        cached.toDF(cols: _*).write.mode("overwrite").parquet(dir)
-        val base = spark.read.parquet(dir).toDF(cols: _*)
-        val c = new RadiusCarry(dir, base, mutable.ArrayBuffer.empty,
-          mutable.ArrayBuffer.empty, cached, None)
-        radiusCarry(name) = c
-        c
-      } catch { case scala.util.control.NonFatal(_) =>
-        radiusCarryNo += name; return None }
-    }
+    val st = carried.orElse(
+      carrierOpen(key, cached.toDF(cols: _*), Seq.empty,
+        servedMarker = cached)).getOrElse(return None)
     // cancel fresh removals against the carried INSERT bag first (any
     // matching between equal rows is equivalent in a bag); the leftover
     // joins the rem bag, whose copies exact-removal guarantees exist in
@@ -587,7 +693,7 @@ final class Engine(val catalog: Catalog) {
     // -0.0 = 0.0).
     def bagKey(r: org.apache.spark.sql.Row): Seq[Any] = r.toSeq.map(ndNorm)
     val remain = mutable.HashMap.empty[Seq[Any], Int]
-    st.ins.foreach(r =>
+    st.insBag.foreach(r =>
       remain.updateWith(bagKey(r))(c => Some(c.getOrElse(0) + 1)))
     val remLeft = mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
     remRows.foreach { r =>
@@ -598,95 +704,53 @@ final class Engine(val catalog: Catalog) {
       }
     }
     val newIns = mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
-    st.ins.foreach { r =>
+    st.insBag.foreach { r =>
       val k = bagKey(r)
       val c = remain.getOrElse(k, 0)
       if (c > 0) { newIns += r; remain(k) = c - 1 }
     }
-    st.ins = newIns
-    st.rem ++= remLeft
-    st.ins ++= insRows
-    val schema = org.apache.spark.sql.types.StructType(
-      st.base.schema.fields.map(_.copy(nullable = true)))
+    st.insBag.clear(); st.insBag ++= newIns
+    st.remBag ++= remLeft
+    st.insBag ++= insRows
     def bagLit(rows: Seq[org.apache.spark.sql.Row]): DataFrame =
-      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), st.litSchema)
     // serve: UNTOUCHED base rows pass through a broadcast anti
     // (map-only); only the slice matching a removed row's key pays the
     // bag-exact exceptAll shuffle — a query is one base scan plus a
     // rem-bounded shuffle, and the round itself ran zero view-sized work
     def serveFrame(): DataFrame =
-      if (st.rem.isEmpty && st.ins.isEmpty) st.base.select(cols.map(col): _*)
-      else if (st.rem.isEmpty) st.base.union(bagLit(st.ins.toSeq))
+      if (st.remBag.isEmpty && st.insBag.isEmpty)
+        st.base.select(cols.map(col): _*)
+      else if (st.remBag.isEmpty) st.base.union(bagLit(st.insBag.toSeq))
       else {
-        val remKeys = bagLit(st.rem.distinct.toSeq)
+        val remKeys = bagLit(st.remBag.distinct.toSeq)
         val untouched = Fixpoint.antiNullSafe(st.base, remKeys,
           hintBroadcast = true)
         val touched = Fixpoint.semiNullSafe(st.base, remKeys,
           hintBroadcast = true)
-        val kept = touched.exceptAll(bagLit(st.rem.toSeq))
+        val kept = touched.exceptAll(bagLit(st.remBag.toSeq))
         val out = untouched.union(kept)
-        if (st.ins.isEmpty) out else out.union(bagLit(st.ins.toSeq))
+        if (st.insBag.isEmpty) out else out.union(bagLit(st.insBag.toSeq))
       }
-    if (st.rem.size + st.ins.size > 49152) {
+    if (st.remBag.size + st.insBag.size > Engine.carrierFoldCap) {
       // fold the bags into a fresh base write (amortized); the
-      // grace-aged previous dir retires now
+      // displaced dir ages through the grace queue
       try {
-        val dir2 = Engine.supportDir(name + "-radius")
+        val dir2 = Engine.supportDir(st.tag)
         serveFrame().write.mode("overwrite").parquet(dir2)
-        st.prevDir.foreach(Engine.deleteDir)
+        st.prevDir.foreach(Engine.retireDir)
         st.prevDir = Some(st.dir)
         st.dir = dir2
         st.base = spark.read.parquet(dir2).toDF(cols: _*)
-        st.rem.clear(); st.ins.clear()
+        st.remBag.clear(); st.insBag.clear()
+        carrierFolds += 1
       } catch { case scala.util.control.NonFatal(_) =>
-        radiusCarry.remove(name); radiusCarryNo += name; return None }
+        drop(); carrierNo += key; return None }
     }
     val served = serveFrame()
     st.served = served
     radiusCarryRides += 1
     Some(served)
-  }
-
-  private def pqRankTransition(name: String, buf: DataFrame,
-      groupNames: Seq[String]): Option[PqRankBuf] = {
-    if (!Engine.supportParquetEnabled || rankParquetNo(name)) return None
-    try {
-      val dir = Engine.supportDir(name + "-rank")
-      val gCols = groupNames.map(col)
-      buf.repartitionByRange(32, gCols: _*)
-        .sortWithinPartitions(gCols: _*)
-        .write.mode("overwrite").parquet(dir)
-      val base = catalog.spark.read.parquet(dir)
-        .select(buf.columns.map(col).toSeq: _*)
-      val st = new PqRankBuf(dir, base, mutable.LinkedHashMap.empty, buf, None, 0L)
-      rankParquet(name) = st
-      Some(st)
-    } catch { case scala.util.control.NonFatal(_) =>
-      rankParquetNo += name; None }
-  }
-
-  /** One-off write of an over-cap `combined` support table into the
-    * keyed layout (range-partitioned + key-sorted so parquet stats
-    * prune key-IN scans). None — remembered — when the schema or key
-    * types don't round-trip (exotic `any` payloads). */
-  private def pqTransition(name: String, combined: DataFrame,
-      keyNames: Seq[String],
-      servedMarker: DataFrame = null): Option[PqSupport] = {
-    if (!Engine.supportParquetEnabled || supportParquetNo(name)) return None
-    try {
-      val dir = Engine.supportDir(name)
-      val keyCols = keyNames.map(col)
-      combined.repartitionByRange(32, keyCols: _*)
-        .sortWithinPartitions(keyCols: _*)
-        .write.mode("overwrite").parquet(dir)
-      val base = catalog.spark.read.parquet(dir)
-        .select(combined.columns.map(col).toSeq: _*)
-      val st = new PqSupport(dir, base, mutable.LinkedHashMap.empty,
-        Option(servedMarker).getOrElse(combined), None)
-      supportParquet(name) = st
-      Some(st)
-    } catch { case scala.util.control.NonFatal(_) =>
-      supportParquetNo += name; None }
   }
 
   // dirty-row selection/exclusion via BROADCAST semi/anti joins
@@ -1877,36 +1941,22 @@ final class Engine(val catalog: Catalog) {
               }
               got
             }
-        // over-cap SCALE path: keyed parquet base + driver overlay (see
-        // [[supportParquet]]) — the dirty read is overlay lookups plus
+        // over-cap SCALE path: keyed parquet base + driver overlay (the
+        // shared [[Carrier]]) — the dirty read is overlay lookups plus
         // one IN-pruned base scan for keys the overlay doesn't hold,
         // never a view-sized pass
-        val pqState: Option[PqSupport] =
+        val pqState: Option[Carrier] =
           if (combinedLocal.isDefined) None
-          else supportParquet.get(name).filter(_.served eq combined)
-            .orElse(pqTransition(name, combined, keyNames))
+          else carriers.get(name).filter(_.served eq combined)
+            .orElse(carrierOpen(name, combined, keyNames))
         val dirtyCombined = combinedLocal match {
           case Some(rows) => rows.filter(row =>
             dMap.contains(keyIdx.map(i => normKey(row.get(i))).toSeq))
           case None => pqState match {
             case Some(st) =>
-              val (hit, miss) =
-                dMap.keysIterator.toSeq.partition(st.overlay.contains)
-              val fromOverlay = hit.flatMap(st.overlay(_))
-              val fromBase: Array[org.apache.spark.sql.Row] =
-                if (miss.isEmpty) Array.empty
-                else try {
-                  sideOn(st.base.where(pqKeyIn(keyNames, miss)),
-                    keyLit(miss, combined, keyNames), keyNames, anti = false)
-                    .limit(2050).collect()
-                } catch { case scala.util.control.NonFatal(_) =>
-                  // key type without a literal form: unpruned exact scan
-                  val missSet = miss.toSet
-                  sideOn(st.base, dirtyKeysDf, keyNames, anti = false)
-                    .limit(2050).collect().filter(row =>
-                      missSet(keyIdx.map(i => normKey(row.get(i))).toSeq))
-                }
-              (fromOverlay ++ fromBase).toArray
+              carrierDirty(st, dMap.keysIterator.toSeq, 2048,
+                row => keyIdx.map(i => normKey(row.get(i))))
+                .getOrElse(return None)
             case None => sideOn(combined, dirtyKeysDf, keyNames, anti = false)
               .limit(2050).collect()
           }
@@ -1993,46 +2043,32 @@ final class Engine(val catalog: Catalog) {
                   }
               val pairNames = keyNames :+ "__v"
               val touchedDf = keyLit(tMap.keys, auxP, pairNames)
-              // over-cap pairs tables ride the same keyed-parquet
-              // overlay as the combined frame ([[supportParquet]],
-              // keyed "<view>#cd<i>"): touched-pair reads are overlay
-              // lookups + one IN-pruned base scan, commits mutate the
-              // overlay — no pairs-table-sized pass per round
-              val pqP: Option[PqSupport] =
+              // over-cap pairs tables ride the same [[Carrier]] as the
+              // combined frame (keyed "<view>#cd<i>"): touched-pair
+              // reads are overlay lookups + one IN-pruned base scan,
+              // commits mutate the overlay — no pairs-table-sized pass
+              // per round
+              val pqP: Option[Carrier] =
                 if (pairsLocal.isDefined) None
-                else supportParquet.get(s"$name#cd$i")
+                else carriers.get(s"$name#cd$i")
                   .filter(_.served eq auxPRaw)
-                  .orElse(pqTransition(s"$name#cd$i", auxP, pairNames,
+                  .orElse(carrierOpen(s"$name#cd$i", auxP, pairNames,
                     servedMarker = auxPRaw))
-              val auxTouched = pairsLocal match {
-                case Some(rows) => rows.filter { row =>
+              val auxTouchedOpt = pairsLocal match {
+                case Some(rows) => Some(rows.filter { row =>
                   val p: Seq[Any] = (0 to kLen).map(j => normKey(row.get(j)))
                   tMap.contains(p)
-                }
+                })
                 case None => pqP match {
                   case Some(st) =>
-                    val (hit, miss) =
-                      tMap.keysIterator.toSeq.partition(st.overlay.contains)
-                    val fromOv = hit.flatMap(st.overlay(_))
-                    val fromBase: Array[org.apache.spark.sql.Row] =
-                      if (miss.isEmpty) Array.empty
-                      else try {
-                        sideOn(st.base.where(pqKeyIn(pairNames, miss)),
-                          keyLit(miss, auxP, pairNames), pairNames,
-                          anti = false).limit(2050).collect()
-                      } catch { case scala.util.control.NonFatal(_) =>
-                        val missSet = miss.toSet
-                        sideOn(st.base, touchedDf, pairNames, anti = false)
-                          .limit(2050).collect().filter { row =>
-                            missSet((0 to kLen).map(j => normKey(row.get(j))): Seq[Any])
-                          }
-                      }
-                    (fromOv ++ fromBase).toArray
-                  case None => sideOn(auxP, touchedDf, pairNames, anti = false)
-                    .limit(2050).collect()
+                    carrierDirty(st, tMap.keysIterator.toSeq, 2048,
+                      row => (0 to kLen).map(j => normKey(row.get(j))))
+                  case None => Some(sideOn(auxP, touchedDf, pairNames,
+                    anti = false).limit(2050).collect())
                 }
               }
-              if (auxTouched.length > 2048) false
+              val auxTouched = auxTouchedOpt.getOrElse(Array.empty)
+              if (auxTouchedOpt.isEmpty || auxTouched.length > 2048) false
               else {
                 val sMap: Map[Seq[Any], Long] = auxTouched.map { row =>
                   ((0 to kLen).map(j => normKey(row.get(j))): Seq[Any]) ->
@@ -2074,32 +2110,8 @@ final class Engine(val catalog: Catalog) {
                         val newByKey = aliveRows.iterator.map(row =>
                           ((0 to kLen).map(j => normKey(row.get(j))): Seq[Any]) -> row)
                           .toMap
-                        tMap.keysIterator.foreach(p =>
-                          st.overlay(p) = newByKey.get(p))
-                        def ovLit: DataFrame = sp.createDataFrame(
-                          java.util.Arrays.asList(
-                            st.overlay.valuesIterator.flatten.toSeq: _*), schema)
-                        def ovAnti: DataFrame = sideOn(st.base,
-                          keyLit(st.overlay.keys, auxP, pairNames),
-                          pairNames, anti = true)
-                        if (st.overlay.size > 49152) {
-                          val dir2 = Engine.supportDir(s"$name-cd$i")
-                          val pc = pairNames.map(col)
-                          ovAnti.union(ovLit).repartitionByRange(32, pc: _*)
-                            .sortWithinPartitions(pc: _*)
-                            .write.mode("overwrite").parquet(dir2)
-                          st.prevDir.foreach(Engine.deleteDir)
-                          st.prevDir = Some(st.dir)
-                          st.dir = dir2
-                          st.base = sp.read.parquet(dir2)
-                            .select(auxP.columns.map(col).toSeq: _*)
-                          st.overlay.clear()
-                        }
-                        val servedNew =
-                          if (st.overlay.isEmpty)
-                            st.base.select(auxP.columns.map(col).toSeq: _*)
-                          else ovAnti.union(ovLit)
-                        st.served = servedNew
+                        val servedNew = carrierCommit(st,
+                          tMap.keysIterator.map(p => p -> newByKey.get(p).toSeq))
                         supportParquetRounds += 1
                         (servedNew, None)
                       case None =>
@@ -2342,39 +2354,11 @@ final class Engine(val catalog: Catalog) {
               // O(delta) overlay commit: dirty groups become
               // replacements (survivors) or tombstones (vanished); the
               // base parquet never rewrites on the round path
+              // ([[carrierCommit]] folds past the cap, amortized)
               val newByKey = rows.iterator.map(row =>
                 (keyIdx.map(i => normKey(row.get(i))): Seq[Any]) -> row).toMap
-              dMap.keysIterator.foreach(kk => st.overlay(kk) = newByKey.get(kk))
-              def overlayLit: DataFrame = spark.createDataFrame(
-                java.util.Arrays.asList(
-                  st.overlay.valuesIterator.flatten.toSeq: _*), combSchema)
-              def overlayAnti: DataFrame = sideOn(st.base,
-                keyLit(st.overlay.keys, combined, keyNames), keyNames,
-                anti = true)
-              if (st.overlay.size > 49152) {
-                // fold the overlay into a fresh keyed base (amortized:
-                // one view-sized pass per ~24 over-cap rounds); the
-                // grace-aged previous dir retires now, the displaced
-                // one holds until the NEXT fold (served frames handed
-                // out earlier may still read it lazily)
-                val dir2 = Engine.supportDir(name)
-                val keyCols = keyNames.map(col)
-                overlayAnti.union(overlayLit)
-                  .repartitionByRange(32, keyCols: _*)
-                  .sortWithinPartitions(keyCols: _*)
-                  .write.mode("overwrite").parquet(dir2)
-                st.prevDir.foreach(Engine.deleteDir)
-                st.prevDir = Some(st.dir)
-                st.dir = dir2
-                st.base = spark.read.parquet(dir2)
-                  .select(combined.columns.map(col).toSeq: _*)
-                st.overlay.clear()
-              }
-              val servedNew =
-                if (st.overlay.isEmpty)
-                  st.base.select(combined.columns.map(col).toSeq: _*)
-                else overlayAnti.union(overlayLit)
-              st.served = servedNew
+              val servedNew = carrierCommit(st,
+                dMap.keysIterator.map(kk => kk -> newByKey.get(kk).toSeq))
               supportParquetRounds += 1
               (servedNew, None)
             case None =>
@@ -2614,7 +2598,8 @@ final class Engine(val catalog: Catalog) {
         auxSupportCache.put(name, (catalog.version, seedMat))
           .foreach { case (_, old) => retireSuperseded(old) }
         rankLocalBuf.remove(name) // a reseed invalidates the driver copy
-        rankParquet.remove(name) // ...and the parquet overlay state
+        carriers.remove(name + "#rank") // ...and the parquet overlay state
+          .foreach(_.dirs.foreach(Engine.retireDir))
         aggLocalBig.remove(("rank", name)) // ...and may have shrunk it
         rankBufferSeeds += 1
         rankDecrementCount += 1
@@ -2727,11 +2712,12 @@ final class Engine(val catalog: Catalog) {
         // ungrouped head stays full-copy (one group; over-cap means a
         // genuinely huge single buffer — the distributed algebra's
         // shape).
-        var pqR: Option[PqRankBuf] =
+        val rankKey = name + "#rank"
+        var pqR: Option[Carrier] =
           if (groupIdx.isEmpty) None
-          else rankParquet.get(name).filter(_.served eq buf0)
+          else carriers.get(rankKey).filter(_.served eq buf0)
         if (pqR.isEmpty && groupIdx.nonEmpty && aggLocalBig(("rank", name)))
-          pqR = pqRankTransition(name, buf0, groupNames)
+          pqR = carrierOpen(rankKey, buf0, groupNames)
         val fullRows: Option[Array[org.apache.spark.sql.Row]] =
           if (pqR.isDefined) None
           else rankLocalBuf.get(name).filter(_._1 eq buf0).map(_._2).orElse {
@@ -2741,7 +2727,7 @@ final class Engine(val catalog: Catalog) {
               // reseed clears it — the one event that can shrink it);
               // the first over-cap round transitions to parquet NOW
               aggLocalBig += (("rank", name))
-              if (groupIdx.nonEmpty) pqR = pqRankTransition(name, buf0, groupNames)
+              if (groupIdx.nonEmpty) pqR = carrierOpen(rankKey, buf0, groupNames)
               None
             }
           }
@@ -2749,22 +2735,9 @@ final class Engine(val catalog: Catalog) {
         val bufRows: Array[org.apache.spark.sql.Row] = fullRows.getOrElse {
           val st = pqR.get
           val touched = (remM.keySet ++ insM.keySet).iterator
-            .map(gkeyOf).toSeq.distinct
-          val (hit, miss) = touched.partition(st.overlay.contains)
-          val fromOverlay = hit.flatMap(st.overlay(_))
-          val fromBase: Array[org.apache.spark.sql.Row] =
-            if (miss.isEmpty) Array.empty
-            else {
-              val missSeqs = miss.map(_.toSeq)
-              val got = try {
-                sideOn(st.base.where(pqKeyIn(groupNames, missSeqs)),
-                  keyLit(missSeqs, st.base, groupNames), groupNames,
-                  anti = false).limit(65537).collect()
-              } catch { case scala.util.control.NonFatal(_) => return None }
-              if (got.length > 65536) return None // distributed algebra
-              got
-            }
-          (fromOverlay ++ fromBase).toArray
+            .map(gkeyOf(_): Seq[Any]).toSeq.distinct
+          carrierDirty(st, touched, 65536,
+            r => gkeyOf(keyOf(r))).getOrElse(return None)
         }
         if (bufRows.exists(r => anomalous(r) || r.isNullAt(nc) || r.isNullAt(nc + 1)))
           return None
@@ -2894,50 +2867,21 @@ final class Engine(val catalog: Catalog) {
         // and the served view is its LAZY top-k expansion (a query pays
         // one window pass; the round itself runs no buffer-sized work).
         pqR.foreach { st =>
-          allG.foreach { g =>
-            val fresh: Seq[org.apache.spark.sql.Row] =
-              if (refillG(g))
-                refillRows.getOrElse(g, Seq.empty).sortBy(_._1)(keyOrd)
-                  .map { case (key, n1, t) =>
+          def fresh(g: Vector[Any]): Seq[org.apache.spark.sql.Row] =
+            if (refillG(g))
+              refillRows.getOrElse(g, Seq.empty).sortBy(_._1)(keyOrd)
+                .map { case (key, n1, t) =>
+                  org.apache.spark.sql.Row.fromSeq(key ++ Seq(n1, t)) }
+            else {
+              val t = ntot(g)
+              kept.get(g).map(_.sorted(rowOrd).iterator.take(kdist.toInt)
+                  .map { case (key, n1) =>
                     org.apache.spark.sql.Row.fromSeq(key ++ Seq(n1, t)) }
-              else {
-                val t = ntot(g)
-                kept.get(g).map(_.sorted(rowOrd).iterator.take(kdist.toInt)
-                    .map { case (key, n1) =>
-                      org.apache.spark.sql.Row.fromSeq(key ++ Seq(n1, t)) }
-                    .toSeq)
-                  .getOrElse(Seq.empty)
-              }
-            val prevLen = st.overlay.get(g).map(_.length.toLong).getOrElse(0L)
-            st.overlay(g) = fresh
-            st.overlayRows += fresh.length.toLong - prevLen
-          }
-          val bufSchemaP = StructType(buf0.schema.fields.map(_.copy(nullable = true)))
-          def ovLit: DataFrame = spark.createDataFrame(
-            java.util.Arrays.asList(
-              st.overlay.valuesIterator.flatten.toSeq: _*), bufSchemaP)
-          def ovAnti: DataFrame = sideOn(st.base,
-            keyLit(st.overlay.keys.map(_.toSeq), st.base, groupNames),
-            groupNames, anti = true)
-          if (st.overlayRows > 49152L) {
-            // fold into a fresh keyed base (amortized, same policy as
-            // the agg support overlay); previous-previous dir retires
-            val dir2 = Engine.supportDir(name + "-rank")
-            val gC = groupNames.map(col)
-            ovAnti.union(ovLit).repartitionByRange(32, gC: _*)
-              .sortWithinPartitions(gC: _*)
-              .write.mode("overwrite").parquet(dir2)
-            st.prevDir.foreach(Engine.deleteDir)
-            st.prevDir = Some(st.dir)
-            st.dir = dir2
-            st.base = spark.read.parquet(dir2)
-              .select(buf0.columns.map(col).toSeq: _*)
-            st.overlay.clear(); st.overlayRows = 0L
-          }
-          val servedBuf =
-            if (st.overlay.isEmpty) st.base.select(buf0.columns.map(col).toSeq: _*)
-            else ovAnti.union(ovLit)
-          st.served = servedBuf
+                  .toSeq)
+                .getOrElse(Seq.empty)
+            }
+          val servedBuf = carrierCommit(st,
+            allG.iterator.map(g => (g: Seq[Any]) -> fresh(g)))
           retireSuperseded(buf0)
           auxSupportCache(name) = (catalog.version, servedBuf)
           rankLocalBuf.remove(name)
@@ -3898,24 +3842,40 @@ final class Engine(val catalog: Catalog) {
         val relRemoved = removedExactOf.get(changedRel)
         val relDelta = deltaOf.get(changedRel)
         val bufferLive = auxSupportCache.get(name).exists(_._1 == v0)
+        // INSERT-ONLY rounds on a view already riding the carry keep
+        // riding it (an empty rem side appends to the ins bag): the
+        // merged-union path below would materialize a NEW cached frame,
+        // breaking the carry's served identity, and the next delete
+        // round would re-write the ENTIRE view to a fresh base — on
+        // alternating insert/delete workloads the carry degenerated to
+        // one view-sized write per delete round.
+        val radiusCarried = rank.func == "within_radius" &&
+          carriers.get(name + "#radius").exists(_.served eq cached)
         if (changedOccs.size == 1 && rank.func == "within_radius" &&
-            relRemoved.nonEmpty) {
-          val remRanked = deriveRule(r,
-            RuleCompiler.bindOccurrence(r, changedOccs.head, relRemoved.get,
-              (nm, ar) => resolve(nm, ar))).toDF(cols: _*)
+            (relRemoved.nonEmpty || radiusCarried)) {
+          val remRanked = relRemoved match {
+            case Some(rem) => deriveRule(r,
+              RuleCompiler.bindOccurrence(r, changedOccs.head, rem,
+                (nm, ar) => resolve(nm, ar))).toDF(cols: _*)
+            case None => cached.toDF(cols: _*).limit(0)
+          }
           val insRanked = relDelta match {
             case Some(_) => deltaDerive(r, changedOccs.head,
               m => if (m == name) Some(cached) else None).toDF(cols: _*)
             case None => cached.toDF(cols: _*).limit(0)
           }
-          rankDecrementCount += 1
+          if (relRemoved.nonEmpty) rankDecrementCount += 1
           // BIG views ride the parquet-base + driver-bag carry (see
-          // [[radiusCarry]]): the round is two delta-bound collects and
-          // pure driver bag math — never a view-sized shuffle/checkpoint
+          // [[radiusCarryRound]]): the round is two delta-bound collects
+          // and pure driver bag math — never a view-sized
+          // shuffle/checkpoint
           radiusCarryRound(name, cached, cols, remRanked, insRanked)
             .foreach(df => return Some(df))
-          return Some(Fixpoint.materialize(
-            cached.toDF(cols: _*).exceptAll(remRanked).union(insRanked)).df)
+          if (relRemoved.nonEmpty)
+            return Some(Fixpoint.materialize(
+              cached.toDF(cols: _*).exceptAll(remRanked).union(insRanked)).df)
+          // carry fell away mid-round (over-cap delta / IO): fall
+          // through to the insert-only merged path below
         }
         if (changedOccs.size == 1 && rank.func != "within_radius" &&
             (relRemoved.nonEmpty || bufferLive)) {

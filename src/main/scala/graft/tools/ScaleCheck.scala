@@ -76,6 +76,12 @@ object ScaleCheck {
       val n = f.count()
       ((System.nanoTime() - t0) / 1e9, n)
     }
+    // sub-second probes report the MEDIAN of >=5 timed riding rounds:
+    // with a min-of-2 a single AQE-scheduler blip (~0.3 s on these
+    // quantities) flipped probe verdicts between captures (r14's
+    // committed stacked_agg 1.59x vs the 1.02x measured two commits
+    // earlier) — the median of five is immune to any two outliers
+    def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
     val entries = Seq.newBuilder[Entry]
     // `metric` measures the quantity that DRIVES an operator's work —
     // result-row count by default, but e.g. the span miners' cost
@@ -192,8 +198,8 @@ object ScaleCheck {
     // base, i.e. flat; every stage is delta- or view-bound (support
     // pass over 100 groups, bounded dirty collects). Note the engine's
     // 2-competitive seed deferral means round 1 here takes dirty-group
-    // and round 2 seeds; the min-of-rounds-2-and-3 sampling still
-    // times a carried round.
+    // and round 2 seeds; the median sampling starts at
+    // round 2, so every timed round rides the carried tables.
     def maintenanceProbe(name: String, rule: String, query: String,
                          parquetBase: Boolean = false)(n: Long): (Double, Long) = {
       val e = new graft.iql.Engine(new graft.iql.Catalog(spark))
@@ -217,15 +223,14 @@ object ScaleCheck {
         .map(i => s"($i, ${i % 100}, ${(i * 48271) % 500})").mkString(",")
       e.run(s"-mbase[${batch(0L)}]") // round 1: seeds the carried tables
       e.run(query).last.count()
-      // rounds 2 and 3 both ride the carried tables — take the min so
-      // a single GC pause on a sub-second quantity can't fake a slope
-      val samples = Seq(100L, 200L).map { lo =>
+      // rounds 2..6 all ride the carried tables — median of five
+      val samples = Seq(100L, 200L, 300L, 400L, 500L).map { lo =>
         val t0 = System.nanoTime()
         e.run(s"-mbase[${batch(lo)}]")
         val n = e.run(query).last.count()
         ((System.nanoTime() - t0) / 1e9, n)
       }
-      (samples.map(_._1).min, samples.last._2)
+      (med(samples.map(_._1)), samples.last._2)
     }
     def probeMaintenance(name: String, rule: String, query: String): Unit = {
       try {
@@ -301,13 +306,13 @@ object ScaleCheck {
         .map(i => s"($i, ${i % 100}, ${(i * 48271) % 500})").mkString(",")
       e.run(s"-sbase[${batch(0L)}]") // round 1: seeds the carried tables
       e.run("?sup(D, S, C)").last.count()
-      val samples = Seq(100L, 200L).map { lo =>
+      val samples = Seq(100L, 200L, 300L, 400L, 500L).map { lo =>
         val t0 = System.nanoTime()
         e.run(s"-sbase[${batch(lo)}]")
         val rows = e.run("?sup(D, S, C)").last.count()
         ((System.nanoTime() - t0) / 1e9, rows)
       }
-      (samples.map(_._1).min, samples.last._2)
+      (med(samples.map(_._1)), samples.last._2)
     }
     try {
       stackedProbe(60000L) // warm (codegen, first-plan costs)
@@ -347,13 +352,13 @@ object ScaleCheck {
       e.run("?pup(I, T)").last.count()
       e.run(s"-pbase[${batch(50L)}]") // seeds + transitions (untimed)
       e.run("?pup(I, T)").last.count()
-      val samples = Seq(100L, 200L).map { lo =>
+      val samples = Seq(100L, 200L, 300L, 400L, 500L).map { lo =>
         val t0 = System.nanoTime()
         e.run(s"-pbase[${batch(lo)}]")
         val rows = e.run("?pup(I, T)").last.count()
         ((System.nanoTime() - t0) / 1e9, rows)
       }
-      (samples.map(_._1).min, samples.last._2)
+      (med(samples.map(_._1)), samples.last._2)
     }
     try {
       stackedAggProbe(60000L) // warm
@@ -399,13 +404,13 @@ object ScaleCheck {
       e.run("?rup(S, C)").last.count()
       e.run(s"-rbase[${batch(50L)}]") // first ride: over-cap transition
       e.run("?rup(S, C)").last.count()
-      val samples = Seq(100L, 200L).map { lo =>
+      val samples = Seq(100L, 200L, 300L, 400L, 500L).map { lo =>
         val t0 = System.nanoTime()
         e.run(s"-rbase[${batch(lo)}]")
         val rows = e.run("?rup(S, C)").last.count()
         ((System.nanoTime() - t0) / 1e9, rows)
       }
-      (samples.map(_._1).min, samples.last._2)
+      (med(samples.map(_._1)), samples.last._2)
     }
     try {
       rankBufProbe(60000L) // warm
@@ -422,6 +427,61 @@ object ScaleCheck {
       case ex: Throwable => println(
         s"""{"name":"topk_viewgroups_requery","error":"${ex.getClass.getSimpleName}"}""")
     }
+
+    // ---- WITHIN_RADIUS riding rounds on the bag carry (r15: the
+    // fourth carrier family gets the same 10x/100x coverage as its agg/
+    // cd/topk siblings). The radius view is a FILTER, so its size
+    // tracks the base — a view-sized re-query count would drown the
+    // maintenance signal — hence the radius binds the ID column
+    // (id <= 1000: exactly ~1001 rows at ANY base size) and the carry
+    // gate is pinned open (radiusCarryMinRows = 0, the fuzz seam) so
+    // the small fixture still rides the production bag-carry path.
+    // Timed quantity: five riding rounds' median — two delta-bound
+    // collects plus driver bag math per round; the delete statement's
+    // presence check is the only base-sized term (IN-pruned on the
+    // parquet bases).
+    def radiusProbe(n: Long, parquetBase: Boolean)(dummy: Long): (Double, Long) = {
+      val e = new graft.iql.Engine(new graft.iql.Catalog(spark))
+      val base0 = spark.range(n).select(
+        col("id"), pmod(col("id"), lit(100L)).as("dept"),
+        pmod(col("id") * 48271L, lit(500L)).as("sal"))
+      val base = if (!parquetBase) base0.localCheckpoint(true) else {
+        val pq = s"/tmp/graft_scale_mbase_$n.parquet"
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(pq)))
+          base0.write.mode("overwrite").parquet(pq)
+        spark.read.parquet(pq)
+      }
+      e.catalog.register("mbase", base)
+      e.run("+mrad(D, within_radius<1000, S, I>) <- mbase(I, D, S)")
+      e.run("?mrad(D, S, I)").last.count() // materialize (untimed)
+      def batch(lo: Long): String = (lo until lo + 20L)
+        .map(i => s"($i, ${i % 100}, ${(i * 48271) % 500})").mkString(",")
+      e.run(s"-mbase[${batch(0L)}]") // round 1: opens the carry (untimed)
+      e.run("?mrad(D, S, I)").last.count()
+      val samples = Seq(100L, 200L, 300L, 400L, 500L).map { lo =>
+        val t0 = System.nanoTime()
+        e.run(s"-mbase[${batch(lo)}]")
+        val rows = e.run("?mrad(D, S, I)").last.count()
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+      (med(samples.map(_._1)), samples.last._2)
+    }
+    try {
+      graft.iql.Engine.radiusCarryMinRows = 0L // force the carry path
+      radiusProbe(60000L, parquetBase = false)(0L) // warm
+      val (t1, n1) = radiusProbe(60000L, parquetBase = false)(0L)
+      val (t10, n10) = radiusProbe(600000L, parquetBase = false)(0L)
+      val e = Entry("radius_retract_requery", "scan", t1, t10, n1, n10)
+      println(e.json)
+      entries += e
+      val (t100, n100) = radiusProbe(6000000L, parquetBase = true)(0L)
+      val e100 = Entry("radius_retract_requery_100x", "scan", t1, t100, n1, n100)
+      println(e100.json)
+      entries += e100
+    } catch {
+      case ex: Throwable => println(
+        s"""{"name":"radius_retract_requery","error":"${ex.getClass.getSimpleName}"}""")
+    } finally graft.iql.Engine.radiusCarryMinRows = 65536L
 
     // ---- MID-SIZE CONDITIONAL DELETE rounds at scale (r13 directive
     // #6: the conditional-delete literal path had no ScaleCheck entry).
@@ -454,14 +514,14 @@ object ScaleCheck {
         if (ids.isEmpty) 0 else ids.max
       }
       val j0 = maxJob
-      val samples = Seq(100000L, 200000L).map { lo =>
+      val samples = Seq(100000L, 200000L, 300000L, 400000L, 500000L).map { lo =>
         val t0 = System.nanoTime()
         e.run(s"-cbase(I, D, S) <- cbase(I, D, S), I >= $lo, I < ${lo + 20000L}")
         val rows = e.run("?cdt(D, S, C)").last.count()
         ((System.nanoTime() - t0) / 1e9, rows)
       }
       val dj = maxJob - j0
-      (samples.map(_._1).min, samples.last._2, dj)
+      (med(samples.map(_._1)), samples.last._2, dj)
     }
     try {
       condDelProbe(600000L) // warm
@@ -504,8 +564,8 @@ object ScaleCheck {
         ((System.nanoTime() - t0) / 1e9, rows)
       }
       round() // warm (seeds the sentinel; insert-only round)
-      val samples = Seq(round(), round()) // both ride: mixed batches
-      (samples.map(_._1).min, samples.last._2)
+      val samples = Seq.fill(5)(round()) // all ride: mixed batches
+      (med(samples.map(_._1)), samples.last._2)
     }
     try {
       negProbe(60000L) // warm (codegen, first-plan costs)
@@ -544,8 +604,8 @@ object ScaleCheck {
         ((System.nanoTime() - t0) / 1e9, rows)
       }
       round() // warm
-      val samples = Seq(round(), round())
-      (samples.map(_._1).min, samples.last._2)
+      val samples = Seq.fill(5)(round())
+      (med(samples.map(_._1)), samples.last._2)
     }
     try {
       aggNegProbe(60000L) // warm (codegen, first-plan costs)

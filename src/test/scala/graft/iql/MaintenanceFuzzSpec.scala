@@ -1203,6 +1203,57 @@ class MaintenanceFuzzSpec extends SparkSpec {
     distributedAggFuzz(pinLegacyCommit = true)
   }
 
+  test("fold boundary: low-cap carrier folds interleave with riding rounds") {
+    // the production fold cap (~49k overlay entries) fires only in
+    // profiled runs; pin it to 8 so base REWRITES plus grace-dir
+    // retirement interleave with riding rounds under the same
+    // differential comparison — each round's overlay commit, fold
+    // write, and post-fold serve must all stay exact while dirs churn
+    // through the retirement queue.
+    Engine.aggLocalSupportEnabled = false
+    Engine.carrierFoldCap = 8L
+    try {
+      val rng = new Random(20260816L)
+      val e1 = new Engine(new Catalog(spark))
+      var nextId = 0
+      val live = scala.collection.mutable.ArrayBuffer.empty[String]
+      def mkTuple(): String = {
+        nextId += 1
+        s"($nextId, ${rng.nextInt(12)}, ${rng.nextInt(5)})"
+      }
+      def insBatch(n: Int): String = (0 until n).map { _ =>
+        val t = mkTuple(); live += t; t
+      }.mkString(",")
+      val rule = "+v(G, sum<X>, count<X>, count_distinct<X>) <- t(I, G, X)\n"
+      e1.run(s"+t[${insBatch(40)}]\n$rule")
+      e1.run("?v(G, S, C, D)")
+      (0 until 14).foreach { round =>
+        val nDel = math.min(live.size, 1 + rng.nextInt(3))
+        val dels = (0 until nDel).map(_ => live.remove(rng.nextInt(live.size)))
+        val stmts = Seq.newBuilder[String]
+        stmts += s"-t[${dels.mkString(",")}]"
+        if (rng.nextBoolean()) stmts += s"+t[${insBatch(1 + rng.nextInt(2))}]"
+        e1.run(stmts.result().mkString("\n"))
+        val maintained = rows(e1.run("?v(G, S, C, D)").last)
+        val expected =
+          if (live.isEmpty) Set.empty[Seq[Any]]
+          else {
+            val e2 = new Engine(new Catalog(spark))
+            e2.run(s"+t[${live.mkString(",")}]\n$rule")
+            rows(e2.run("?v(G, S, C, D)").last)
+          }
+        assert(maintained == expected, s"round $round diverged; live=$live")
+      }
+      assert(e1.supportParquetRounds > 0L,
+        "the run never committed via the carrier overlay")
+      assert(e1.carrierFolds >= 3L,
+        s"expected >=3 mid-stream folds, saw ${e1.carrierFolds}")
+    } finally {
+      Engine.aggLocalSupportEnabled = true
+      Engine.carrierFoldCap = 49152L
+    }
+  }
+
   private def distributedAggFuzz(pinLegacyCommit: Boolean): Unit = {
     Engine.aggLocalSupportEnabled = false
     Engine.rankLocalRideEnabled = false
