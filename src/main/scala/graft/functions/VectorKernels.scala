@@ -299,6 +299,99 @@ object VectorKernels {
       copy(child = newChild)
   }
 
+  /** IVF cell assignment: argmax over a driver-resident centroid
+    * matrix of `v·cᵢ − ‖cᵢ‖²/2` (= argmin ‖v−cᵢ‖², valid Lloyd
+    * assignment on unnormalized embeddings), ties to the LOWEST cell.
+    * `cents` is the matrix flattened row-major; it rides the generated
+    * class as a REFERENCE OBJECT, so the plan tree is O(1) in the cell
+    * count — the previous greatest-of-structs form built `cells` dot
+    * kernels each embedding its own typedLit array (O(cells·dim) tree
+    * nodes), and at 64 trained cells every degraded-ANN probe paid
+    * ~0.5 s of re-analysis/codegen on that tree. A Vector (structural
+    * equality) keys the codegen cache, so repeated probes of the same
+    * index compile once. Per-value semantics match the struct form
+    * bit-for-bit: dot summed in index order, then the precomputed
+    * half-norm subtracted; a wrong-length vector or null element nulls
+    * the result. */
+  final case class BestCell(child: Expression, cents: Vector[Double], dim: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = IntegerType
+    override def nullable: Boolean = true
+    override def prettyName: String = "best_cell"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (elemOk(child.dataType)) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs a numeric array input, got ${child.dataType}")
+
+    private def et = child.dataType.asInstanceOf[ArrayType].elementType
+    @transient private lazy val flat: Array[Double] = cents.toArray
+    @transient private lazy val halves: Array[Double] = {
+      val n = cents.length / dim
+      Array.tabulate(n) { c =>
+        var s = 0.0; var i = 0
+        while (i < dim) { val x = flat(c * dim + i); s += x * x; i += 1 }
+        s / 2.0
+      }
+    }
+
+    override def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      if (x.numElements() != dim) return null
+      val nCells = flat.length / dim
+      var best = 0
+      var bestS = Double.NegativeInfinity
+      var c = 0
+      while (c < nCells) {
+        var s = 0.0
+        var i = 0
+        while (i < dim) {
+          if (x.isNullAt(i)) return null
+          s += flat(c * dim + i) * readElem(et, x, i)
+          i += 1
+        }
+        s -= halves(c)
+        if (s > bestS) { bestS = s; best = c } // strict >: ties → lowest
+        c += 1
+      }
+      best
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, x => {
+        val cRef = ctx.addReferenceObj("bestCellCents", flat, "double[]")
+        val hRef = ctx.addReferenceObj("bestCellHalves", halves, "double[]")
+        val c = ctx.freshName("c")
+        val i = ctx.freshName("i")
+        val s = ctx.freshName("s")
+        val best = ctx.freshName("best")
+        val bestS = ctx.freshName("bestS")
+        val off = ctx.freshName("off")
+        s"""
+           |if ($x.numElements() != $dim) { ${ev.isNull} = true; }
+           |else {
+           |  int $best = 0;
+           |  double $bestS = Double.NEGATIVE_INFINITY;
+           |  int ${c}n = $cRef.length / $dim;
+           |  for (int $c = 0; $c < ${c}n && !${ev.isNull}; $c++) {
+           |    double $s = 0.0;
+           |    int $off = $c * $dim;
+           |    for (int $i = 0; $i < $dim; $i++) {
+           |      if ($x.isNullAt($i)) { ${ev.isNull} = true; break; }
+           |      $s += $cRef[$off + $i] * ${getElem(et, x, i)};
+           |    }
+           |    $s -= $hRef[$c];
+           |    if (!${ev.isNull} && $s > $bestS) { $bestS = $s; $best = $c; }
+           |  }
+           |  if (!${ev.isNull}) ${ev.value} = $best;
+           |}
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Unit-normalized copy of a numeric array as array<double> (or
     * array<float> with `asFloat`, for the dialect's f32 `normalize`
     * builtin); a zero vector stays zero. One pass computes the norm, a
@@ -517,6 +610,9 @@ object VectorKernels {
   def dot(a: Column, b: Column): Column =
     ExpressionUtils.column(VecFold(ExpressionUtils.expression(a),
       ExpressionUtils.expression(b), "dot"))
+  def bestCell(v: Column, centroids: Array[Array[Double]]): Column =
+    ExpressionUtils.column(BestCell(ExpressionUtils.expression(v),
+      centroids.flatten.toVector, centroids(0).length))
   def sqDiffSum(a: Column, b: Column): Column =
     ExpressionUtils.column(VecFold(ExpressionUtils.expression(a),
       ExpressionUtils.expression(b), "sqdiff"))

@@ -499,23 +499,14 @@ object Similarity {
     cent
   }
 
-  /** Nearest (min squared-Euclidean) centroid index for a vector.
-    * argmin ‖v−c‖² = argmax (v·c − ‖c‖²/2), so each centroid costs one
-    * codegen'd dot kernel plus a precomputed constant — a valid Lloyd's
-    * assignment step on unnormalized embeddings (raw dot would let
-    * large-norm centroids absorb everything and need not converge).
-    * Ties break to the LOWEST cell index. */
-  private def bestCell(v: Column, centroids: Array[Array[Double]]): Column = {
-    import graft.functions.{VectorKernels => VK}
-    if (centroids.length == 1) return lit(0) // greatest() needs >1 args
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      val halfSqNorm = c.map(x => x * x).sum / 2.0
-      // negate the index so equal scores pick the smallest i via greatest
-      struct((VK.dot(v, typedLit(c.toSeq)) - lit(halfSqNorm)).as("score"),
-        lit(-i).as("negCell"))
-    }
-    -greatest(scored: _*).getField("negCell")
-  }
+  /** Nearest (min squared-Euclidean) centroid index for a vector —
+    * the single O(1)-plan-size [[graft.functions.VectorKernels.BestCell]]
+    * kernel (the old per-centroid greatest-of-structs form made every
+    * probe plan O(cells·dim) tree nodes and re-paid analysis+codegen
+    * on it). Ties break to the LOWEST cell index. */
+  private def bestCell(v: Column, centroids: Array[Array[Double]]): Column =
+    if (centroids.length == 1) lit(0)
+    else graft.functions.VectorKernels.bestCell(v, centroids)
 
   /** IVF with TRAINED centroids: restrict the exact search to the
     * query's `nprobe` best cells. With `nprobe = centroids.length` the
