@@ -663,8 +663,20 @@ class MaintenanceFuzzSpec extends SparkSpec {
     radiusFuzz(forceCarry = true)
   }
 
-  private def radiusFuzz(forceCarry: Boolean): Unit = {
+  test("within_radius carry folds mid-stream (fold cap pinned low)") {
+    // the radius BAG fold (rebase write + grace-dir retirement) is
+    // separate code from the keyed carriers' shared fold — pin the cap
+    // to 0 so EVERY riding round with a delta rebases the parquet base
+    // and retires the displaced dir, under the same differential
+    // comparison (the radius filter passes ~1/3 of mutations, so a
+    // small positive cap rarely fires on these fixtures)
+    radiusFuzz(forceCarry = true, foldCap = 0L)
+  }
+
+  private def radiusFuzz(forceCarry: Boolean, foldCap: Long = 49152L): Unit = {
     if (forceCarry) Engine.radiusCarryMinRows = 0L
+    Engine.carrierFoldCap = foldCap
+    var totalFolds = 0L
     try {
       val rng = new Random(20260916L)
       (1 to 6).foreach { c =>
@@ -715,8 +727,15 @@ class MaintenanceFuzzSpec extends SparkSpec {
         else
           assert(e1.radiusCarryRides == 0L,
             "literal run must not touch the radius carry")
+        totalFolds += e1.carrierFolds
       }
-    } finally Engine.radiusCarryMinRows = 65536L
+      if (foldCap < 100L)
+        assert(totalFolds >= 3L,
+          s"expected >=3 mid-stream radius folds across cases, saw $totalFolds")
+    } finally {
+      Engine.radiusCarryMinRows = 65536L
+      Engine.carrierFoldCap = 49152L
+    }
   }
 
   test("global aggregate decrement equals fresh recomputation on random streams") {
