@@ -39,6 +39,176 @@ object GraphOps {
       Fixpoint.checkpointRddOf(ck))
   }
 
+  // ───────────────────────────────────────────────────────────────────
+  // Driver-local fast path for the power-iteration family — the same
+  // size-gated pattern as [[Fixpoint.LocalEdgeRows]] (TC/CC): an
+  // iteration of the distributed loop costs 7-9 Spark jobs of pure
+  // fixed overhead under AQE (exchange materializations, barrier
+  // checkpoints, scalar collects — ProfileJobs r15: q140_hits 56 jobs,
+  // q107_pagerank 45 jobs for a 2,000-edge graph), three orders of
+  // magnitude more than computing the fixpoint in-process. Below the
+  // edge cap we collect the edge list once, replay the IDENTICAL
+  // arithmetic driver-side (same decimal(38,30) conversions via
+  // Spark's own Decimal class, same value-sorted sequential double
+  // folds, same HALF_UP rounding java.math.BigDecimal semantics), and
+  // parallelize the result back; above the cap the distributed loop is
+  // untouched — that is the 100 TB path, probed by ScaleCheck's
+  // pagerank/hits entries at above-gate sizes. GraphOpsSpec pins
+  // local == distributed BIT-FOR-BIT (doubleToRawLongBits) on both sum
+  // modes, and q107/q140's DuckDB oracle hashes pin the absolute
+  // values.
+  // ───────────────────────────────────────────────────────────────────
+
+  /** Collects (src, dst) under `cap` rows, or None (over cap / null
+    * endpoint — both take the distributed path). The probe is a
+    * limit(cap+1), never a full count. */
+  private def edgesUnder(e: DataFrame, cap: Long): Option[Array[(Long, Long)]] = {
+    if (cap <= 0L) return None
+    val rows = e.limit(math.min(cap + 1, Int.MaxValue.toLong).toInt).collect()
+    if (rows.length > cap || rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) None
+    else Some(rows.map(r => (r.getLong(0), r.getLong(1))))
+  }
+
+  /** Replays Spark's `sum(cast(c as decimal(38,30))).cast("double")`:
+    * each double converts through [[org.apache.spark.sql.types.Decimal]]
+    * (the identical shortest-string BigDecimal conversion + HALF_UP
+    * changePrecision the Cast expression runs), sums exactly (same-scale
+    * decimal addition is exact and order-independent at these
+    * magnitudes), and the final BigDecimal→double is the same
+    * correctly-rounded `doubleValue`. */
+  private def decimalSum(vals: java.util.ArrayList[Double]): Double = {
+    var acc = java.math.BigDecimal.ZERO
+    var i = 0
+    while (i < vals.size()) {
+      val d = org.apache.spark.sql.types.Decimal(vals.get(i))
+      d.changePrecision(38, 30)
+      acc = acc.add(d.toJavaBigDecimal)
+      i += 1
+    }
+    acc.doubleValue()
+  }
+
+  /** Replays Spark's exactSum aggregate:
+    * `aggregate(sort_array(collect_list(c)), 0.0, acc + x)` — ascending
+    * IEEE-total-order sort (java.util.Arrays.sort matches Spark's double
+    * ordering), then a sequential double fold from 0.0. */
+  private def exactSortedSum(vals: java.util.ArrayList[Double]): Double = {
+    val arr = new Array[Double](vals.size())
+    var i = 0
+    while (i < arr.length) { arr(i) = vals.get(i); i += 1 }
+    java.util.Arrays.sort(arr)
+    var s = 0.0
+    i = 0
+    while (i < arr.length) { s += arr(i); i += 1 }
+    s
+  }
+
+  /** Replays Spark's `round(x, 10)` on DoubleType: codegen calls
+    * java.math.BigDecimal.valueOf(x).setScale(10, HALF_UP).doubleValue(). */
+  private def round10(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(10, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  private def rankSchema(cols: String*): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField(cols.head,
+        org.apache.spark.sql.types.LongType, nullable = false) +:
+      cols.tail.map(c => org.apache.spark.sql.types.StructField(c,
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+
+  private def localPageRank(spark: org.apache.spark.sql.SparkSession,
+                            edges: Array[(Long, Long)], iters: Int,
+                            damping: Double, exactSum: Boolean): DataFrame = {
+    val nodeSet = new java.util.LinkedHashSet[Long]()
+    edges.foreach { case (u, v) => nodeSet.add(u); nodeSet.add(v) }
+    val nodes = new Array[Long](nodeSet.size())
+    locally { var i = 0; val it = nodeSet.iterator(); while (it.hasNext) { nodes(i) = it.next(); i += 1 } }
+    val n = nodes.length.toLong
+    val odeg = new java.util.HashMap[Long, Long]()
+    edges.foreach { case (u, _) => odeg.merge(u, 1L, _ + _) }
+    val base = (1.0 - damping) / n
+    var pr = new java.util.HashMap[Long, Double]()
+    nodes.foreach(pr.put(_, 1.0 / n))
+    var it0 = 0
+    while (it0 < iters) {
+      val contribs = new java.util.HashMap[Long, java.util.ArrayList[Double]]()
+      edges.foreach { case (u, v) =>
+        // identical expression shape to the distributed `pr / odeg`
+        // (long promotes to double, one IEEE division per edge row)
+        val c = pr.get(u) / odeg.get(u).toDouble
+        contribs.computeIfAbsent(v, _ => new java.util.ArrayList[Double]()).add(c)
+      }
+      val next = new java.util.HashMap[Long, Double]()
+      nodes.foreach { v =>
+        val lst = contribs.get(v)
+        val s =
+          if (lst == null) 0.0
+          else if (exactSum) exactSortedSum(lst)
+          else decimalSum(lst)
+        val x = base + damping * s
+        next.put(v, if (exactSum) x else round10(x))
+      }
+      pr = next
+      it0 += 1
+    }
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(nodes.map(v =>
+        org.apache.spark.sql.Row(v, pr.get(v).doubleValue())): _*)
+    spark.createDataFrame(rows, rankSchema("node", "pr"))
+  }
+
+  private def localHits(spark: org.apache.spark.sql.SparkSession,
+                        edges: Array[(Long, Long)], iters: Int,
+                        exactSum: Boolean): DataFrame = {
+    val nodeSet = new java.util.LinkedHashSet[Long]()
+    edges.foreach { case (u, v) => nodeSet.add(u); nodeSet.add(v) }
+    val nodes = new Array[Long](nodeSet.size())
+    locally { var i = 0; val it = nodeSet.iterator(); while (it.hasNext) { nodes(i) = it.next(); i += 1 } }
+    def summed(contribOf: ((Long, Long)) => (Long, Double)): java.util.HashMap[Long, Double] = {
+      val m = new java.util.HashMap[Long, java.util.ArrayList[Double]]()
+      edges.foreach { e =>
+        val (node, c) = contribOf(e)
+        m.computeIfAbsent(node, _ => new java.util.ArrayList[Double]()).add(c)
+      }
+      val out = new java.util.HashMap[Long, Double]()
+      nodes.foreach { v =>
+        val lst = m.get(v)
+        out.put(v,
+          if (lst == null) 0.0
+          else if (exactSum) exactSortedSum(lst)
+          else decimalSum(lst))
+      }
+      out
+    }
+    def normalized(raw: java.util.HashMap[Long, Double]): java.util.HashMap[Long, Double] = {
+      var mx = java.lang.Double.NEGATIVE_INFINITY
+      nodes.foreach { v => val x = raw.get(v); if (x > mx) mx = x }
+      val out = new java.util.HashMap[Long, Double]()
+      nodes.foreach { v =>
+        val norm = if (mx == 0.0) 0.0 else raw.get(v) / mx
+        out.put(v, if (exactSum) norm else round10(norm))
+      }
+      out
+    }
+    var hNorm = new java.util.HashMap[Long, Double]()
+    nodes.foreach(hNorm.put(_, 1.0))
+    var aNorm: java.util.HashMap[Long, Double] = null
+    var it0 = 0
+    while (it0 < iters) {
+      val hCur = hNorm
+      aNorm = normalized(summed { case (u, v) => (v, hCur.get(u)) })
+      val aCur = aNorm
+      hNorm = normalized(summed { case (u, v) => (u, aCur.get(v)) })
+      it0 += 1
+    }
+    val hFin = hNorm; val aFin = aNorm
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(nodes.map(v =>
+        org.apache.spark.sql.Row(v, hFin.get(v).doubleValue(),
+          aFin.get(v).doubleValue())): _*)
+    spark.createDataFrame(rows, rankSchema("node", "hub", "authority"))
+  }
+
   /** Fixed-iteration PageRank: PR₀ = 1/N;
     * PRₜ₊₁(v) = (1−d)/N + d·Σ_{(u,v)∈E} PRₜ(u)/outdeg(u).
     * Parallel (duplicate) edges contribute once each; dangling-node
@@ -69,9 +239,15 @@ object GraphOps {
     * as soon as the next exists. */
   def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
                srcCol: String = "src", dstCol: String = "dst",
-               exactSum: Boolean = false): DataFrame = {
+               exactSum: Boolean = false,
+               localCap: Long = Fixpoint.LocalEdgeRows): DataFrame = {
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
+    edgesUnder(e, localCap) match {
+      case Some(arr) if arr.nonEmpty =>
+        return localPageRank(edges.sparkSession, arr, iters, damping, exactSum)
+      case _ => ()
+    }
     val nodesM = barrier(
       e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node"))).distinct())
@@ -136,10 +312,16 @@ object GraphOps {
     * Parallel edges contribute once each; nodes with
     * no in-edges (resp. out-edges) hold authority (resp. hub) 0. */
   def hits(edges: DataFrame, iters: Int, srcCol: String = "src",
-           dstCol: String = "dst", exactSum: Boolean = false): DataFrame = {
+           dstCol: String = "dst", exactSum: Boolean = false,
+           localCap: Long = Fixpoint.LocalEdgeRows): DataFrame = {
     require(iters >= 1, "need iters >= 1")
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
+    edgesUnder(e, localCap) match {
+      case Some(arr) if arr.nonEmpty =>
+        return localHits(edges.sparkSession, arr, iters, exactSum)
+      case _ => ()
+    }
     val nodesM = barrier(
       e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node"))).distinct())

@@ -147,6 +147,25 @@ object ScaleCheck {
       graft.operators.GraphOps.pageRank(g, iters = 5))
     probeGraph("hits_5iter")(g =>
       graft.operators.GraphOps.hits(g, iters = 5))
+    // r15: pagerank/hits gained a driver-local fast path below
+    // Fixpoint.LocalEdgeRows (200k edges) — the 2k/20k probes above now
+    // measure THAT (flat by construction). These probe the DISTRIBUTED
+    // loop at 1× and 10× ABOVE the gate (300k → 3M edges), the 100 TB
+    // shape the bench queries no longer exercise.
+    val gd1 = lcgGraph(30000L, 300000L)
+    val gd10 = lcgGraph(300000L, 3000000L)
+    def probeGraphDist(name: String)(f: DataFrame => DataFrame): Unit = {
+      f(gd1).count() // warm
+      val (t1, n1) = timeCount(f(gd1))
+      val (t10, n10) = timeCount(f(gd10))
+      val e = Entry(name, "scan", t1, t10, n1, n10)
+      println(e.json)
+      entries += e
+    }
+    probeGraphDist("pagerank_5iter_dist")(g =>
+      graft.operators.GraphOps.pageRank(g, iters = 5))
+    probeGraphDist("hits_5iter_dist")(g =>
+      graft.operators.GraphOps.hits(g, iters = 5))
 
     // ---- retraction IVM: delete-cone-bound, not database-bound ----
     // The reference's headline (BENCHMARKS.md:69-71) is re-query

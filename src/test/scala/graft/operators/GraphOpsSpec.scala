@@ -75,6 +75,37 @@ class GraphOpsSpec extends SparkSpec {
     assert(exa == hm(GraphOps.hits(edges.repartition(5), iters = 3, exactSum = true)))
   }
 
+  test("driver-local fast path equals the distributed loop bit-for-bit") {
+    import spark.implicits._
+    // LCG graph with parallel edges, self-loops, and dangling nodes —
+    // every structural case the two paths must agree on. localCap = 0
+    // forces the distributed loop on the same graph; doubles compare by
+    // raw bit pattern, not tolerance.
+    val edges = (0 until 400).map { i =>
+      ((i.toLong * 48271 % 65537) % 80, ((i.toLong * 69621 + 12345) % 65537) % 80)
+    }.toDF("src", "dst")
+    def bits(m: Map[Long, Double]): Map[Long, Long] =
+      m.map { case (k, v) => k -> java.lang.Double.doubleToRawLongBits(v) }
+    for (exact <- Seq(false, true)) {
+      val loc = GraphOps.pageRank(edges, iters = 5, exactSum = exact)
+      val dist = GraphOps.pageRank(edges, iters = 5, exactSum = exact, localCap = 0L)
+      assert(bits(ranks(loc)) == bits(ranks(dist)), s"pagerank exactSum=$exact diverged")
+      assert(loc.schema.map(f => (f.name, f.dataType)) ==
+        dist.schema.map(f => (f.name, f.dataType)), "pagerank schema diverged")
+    }
+    def hb(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long)] = df.collect()
+      .map(x => x.getAs[Long]("node") ->
+        ((java.lang.Double.doubleToRawLongBits(x.getAs[Double]("hub")),
+          java.lang.Double.doubleToRawLongBits(x.getAs[Double]("authority"))))).toMap
+    for (exact <- Seq(false, true)) {
+      val loc = GraphOps.hits(edges, iters = 3, exactSum = exact)
+      val dist = GraphOps.hits(edges, iters = 3, exactSum = exact, localCap = 0L)
+      assert(hb(loc) == hb(dist), s"hits exactSum=$exact diverged")
+      assert(loc.schema.map(f => (f.name, f.dataType)) ==
+        dist.schema.map(f => (f.name, f.dataType)), "hits schema diverged")
+    }
+  }
+
   test("triangle counts: K4, orientation-stressing hub, parallel/self edges") {
     import spark.implicits._
     def counts(df: org.apache.spark.sql.DataFrame) =
