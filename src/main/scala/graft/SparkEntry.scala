@@ -1907,18 +1907,27 @@ object SparkEntry {
         .orderBy(col("vec_id")).select(col("embedding")).collect()
         .map(_.getSeq[Float](0).toArray)
       val k = 10
-      def topIds(q: Array[Float], ef: Int): Set[Long] =
-        cat.hnswSearch("embeddings", "embedding", q, k, ef)
-          .collect().map(_.getLong(0)).toSet
+      // r15: all 8 queries of a probe width resolve in ONE batched
+      // Spark action (hnswSearchBatch — row cells computed once, shared
+      // across the probe set) and the exact ground truth is hoisted out
+      // of the config loop (it does not depend on the probe width; the
+      // old per-(config, query) loop ran 32 sequential probe jobs).
+      // Identical report: the batch API's per-query top-k is pinned
+      // row-for-row to the per-query hnswSearch by CatalogSpec.
+      def topSets(ef: Int): Map[Long, Set[Long]] =
+        cat.hnswSearchBatch("embeddings", "embedding", queries, k, ef)
+          .collect().groupBy(_.getLong(0))
+          .map { case (qi, rs) => qi -> rs.map(_.getLong(1)).toSet }
+      val truth = topSets(16 * 16) // all cells: exact (q196 anchor)
       // (nprobe, efSearch): ⌈3·ef/8⌉ = 24 at the default 64, 36 at 96
       val report = Seq((24, 64), (36, 96)).map { case (nprobe, ef) =>
+        val got = topSets(ef)
         var hits = 0L
         var total = 0L
-        queries.foreach { q =>
-          val truth = topIds(q, 16 * 16) // all cells: exact (q196 anchor)
-          val got = topIds(q, ef)
-          hits += got.intersect(truth).size.toLong
-          total += truth.size.toLong
+        queries.indices.foreach { i =>
+          val t = truth.getOrElse(i.toLong, Set.empty[Long])
+          hits += got.getOrElse(i.toLong, Set.empty[Long]).intersect(t).size.toLong
+          total += t.size.toLong
         }
         org.apache.spark.sql.Row(nprobe.toLong, hits, total,
           if (total == 0L) 0L else hits * 1000000L / total)

@@ -486,6 +486,78 @@ final class Catalog(val spark: SparkSession) {
     }
   }
 
+  /** Batched [[hnswSearch]]: the identical per-query (id, distance)
+    * top-k for EVERY query in one call, keyed by the query's position —
+    * (qi, id, distance). Graph-backed indexes answer each query from
+    * the in-memory graph exactly as the per-query form (no Spark jobs
+    * either way); the over-capacity distributed fallback computes every
+    * query's probe in ONE Spark action — each row's cell assignment is
+    * computed once and shared across the probe set, and the per-query
+    * top-k is a (distance asc, id asc) row_number window, the same
+    * deterministic total order as the per-query orderBy().limit(k).
+    * Recall-report consumers (q197 ran 32 sequential probe jobs before
+    * this) amortize the scan across their whole query set; at 100 TB
+    * one pass over the cell-pruned layout replaces |queries| passes.
+    * CatalogSpec pins batch == per-query row-for-row on both backends. */
+  def hnswSearchBatch(rel: String, vecCol: String,
+                      queries: Seq[Array[Float]], k: Int,
+                      efSearch: Int = 64): DataFrame = {
+    val batchSchema = StructType(Seq(
+      StructField("qi", LongType, nullable = false),
+      StructField("id", LongType, nullable = false),
+      StructField("distance", DoubleType, nullable = false)))
+    if (queries.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batchSchema)
+    indexes.get((rel, vecCol)) match {
+      case Some(idx) =>
+        val rows = queries.zipWithIndex.flatMap { case (q, i) =>
+          idx.search(q, k, efSearch).map { case (id, d) =>
+            org.apache.spark.sql.Row(i.toLong, id, d) }
+        }
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*), batchSchema)
+      case None => distIndexes.get((rel, vecCol)) match {
+        case Some((idCol, metric, cent)) =>
+          import org.apache.spark.sql.functions.{array, array_contains, col,
+            explode, lit, row_number, struct, typedLit}
+          val df = synchronized(relations(rel))
+          val nCells = cent.length
+          val nprobe = math.max(1, math.min(nCells, (3 * efSearch + 7) / 8))
+          val VF = graft.functions.VectorFunctions
+          val qStructs = queries.zipWithIndex.map { case (q, i) =>
+            struct(lit(i.toLong).as("qi"), typedLit(q.toSeq).as("qv"),
+              typedLit(graft.operators.Similarity.probeCells(
+                q.toSeq, cent, nprobe).toSeq).as("pc"))
+          }
+          val withQ = df.select(col(idCol), col(vecCol),
+              explode(array(qStructs: _*)).as("q"))
+          // all-cells probe (the exact anchor) skips cell work entirely,
+          // matching ivfProbeCandidates' whole-frame branch
+          val cand =
+            if (nprobe >= nCells) withQ
+            else graft.operators.Similarity.ivfAssign(df, cent, vecCol)
+              .select(col(idCol), col(vecCol), col("cell"),
+                explode(array(qStructs: _*)).as("q"))
+              .where(array_contains(col("q.pc"), col("cell")))
+          val qc = col("q.qv")
+          val distCol = metric match {
+            case "euclidean" => VF.euclidean(col(vecCol), qc)
+            case "dot" => lit(0.0) - VF.dot(col(vecCol), qc)
+            case _ => lit(1.0) - VF.cosineSimilarity(col(vecCol), qc)
+          }
+          val scored = cand.select(col("q.qi").as("qi"),
+            col(idCol).cast(LongType).as("id"),
+            distCol.cast(DoubleType).as("distance"))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("qi").orderBy(col("distance").asc, col("id").asc)
+          scored.withColumn("__rn", row_number().over(w))
+            .where(col("__rn") <= k).drop("__rn")
+        case None =>
+          throw new IllegalArgumentException(s"no index on $rel($vecCol)")
+      }
+    }
+  }
+
   /** Named type aliases (`type Email: string`) resolved at declaration. */
   private val typeAliases = mutable.LinkedHashMap.empty[String, String]
   def addTypeAlias(alias: String, base: String): Unit = synchronized {

@@ -207,13 +207,23 @@ object Similarity {
   private def marginFromPairs(pairs: DataFrame, k: Int, tau: Double): DataFrame = {
     val wa = Window.partitionBy("a_id").orderBy(col("cos").desc, col("b_id").asc)
     val wb = Window.partitionBy("b_id").orderBy(col("cos").desc, col("a_id").asc)
-    val ranked = pairs
-      .withColumn("ra", row_number().over(wa))
-      .withColumn("rb", row_number().over(wb))
-      .where(col("ra") <= k || col("rb") <= k)
-    val da = ranked.where(col("ra") <= k).groupBy("a_id").agg(avg("cos").as("da"))
-    val db = ranked.where(col("rb") <= k).groupBy("b_id").agg(avg("cos").as("db"))
-    val cand = ranked.where(col("ra") <= k) // forward mining: a's k-NN list
+    // r15: one rank-filtered branch per side, the filter DIRECTLY on
+    // that side's row_number, so InferWindowGroupLimit inserts a
+    // per-partition partial top-k BEFORE each exchange. The previous
+    // single `ra <= k || rb <= k` chain defeated the pushdown for BOTH
+    // windows and dragged the FULL pair table through two back-to-back
+    // full shuffles+sorts — at corpus scale the scored pair table is
+    // the pipeline's biggest intermediate, so each exchange now carries
+    // ~k rows per group instead of the whole table (plan diff:
+    // WindowGroupLimit(Partial) under both exchanges,
+    // plans/r15/q181_bitext_margin_{before,after}.txt). Same result:
+    // row_number over (cos desc, id asc) is a deterministic total order
+    // per group, so each side's top-k row set is unchanged.
+    val rankedA = pairs.withColumn("ra", row_number().over(wa)).where(col("ra") <= k)
+    val rankedB = pairs.withColumn("rb", row_number().over(wb)).where(col("rb") <= k)
+    val da = rankedA.groupBy("a_id").agg(avg("cos").as("da"))
+    val db = rankedB.groupBy("b_id").agg(avg("cos").as("db"))
+    val cand = rankedA // forward mining: a's k-NN list
       .join(da, Seq("a_id")).join(db, Seq("b_id"))
       .withColumn("margin", col("cos") / ((col("da") + col("db")) / 2))
     val wBest = Window.partitionBy("a_id").orderBy(col("margin").desc, col("b_id").asc)
@@ -305,18 +315,32 @@ object Similarity {
     val truthPairs = pa.crossJoin(broadcast(pb))
       .select(col("a_id"), col("b_id"),
         VF.cosineSimilarity(col("av"), col("bv")).as("cos"))
-    val truth = graft.plans.Fixpoint.materialize(
-      marginFromPairs(truthPairs, k, tau).select("a_id", "b_id")).df
-    val truthN = truth.count()
+    val truthM = graft.plans.Fixpoint.materialize(
+      marginFromPairs(truthPairs, k, tau).select("a_id", "b_id"))
+    val truth = truthM.df
+    val truthN = truthM.count
     def micro(num: Long, den: Long): Long =
       if (den == 0L) 0L else num * 1000000L / den
+    // r15: every probed variant counts in ONE aggregated action — the
+    // variants union under an `np` key, match-against-truth is a
+    // broadcast left join (truth is the report's bounded slice by
+    // contract) and mined/matched are one grouped count. The previous
+    // shape ran 3 jobs per nprobe (materialize, count, semi-join count)
+    // plus a checkpoint each; mined rows were only ever counted, so
+    // materializing them bought nothing.
+    val minedAll = nprobes.map { np =>
+      marginMiningBlocked(a, b, centroids, np, k, tau, idCol, vecCol)
+        .select(lit(np.toLong).as("np"), col("a_id"), col("b_id"))
+    }.reduce(_ union _)
+    val counts = minedAll
+      .join(broadcast(truth.withColumn("__t", lit(1L))), Seq("a_id", "b_id"), "left")
+      .groupBy("np")
+      .agg(count(lit(1)).as("mined"),
+        coalesce(sum(col("__t")), lit(0L)).as("matched"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     val rows = nprobes.map { np =>
-      val mined = graft.plans.Fixpoint.materialize(
-        marginMiningBlocked(a, b, centroids, np, k, tau, idCol, vecCol)
-          .select("a_id", "b_id")).df
-      val minedN = mined.count()
-      val matched = mined.join(truth, Seq("a_id", "b_id"), "left_semi").count()
-      graft.plans.Graveyard.buryAndDrain(graft.plans.Fixpoint.checkpointRddOf(mined))
+      val (minedN, matched) = counts.getOrElse(np.toLong, (0L, 0L))
       org.apache.spark.sql.Row(np.toLong, truthN, minedN, matched,
         micro(matched, minedN), micro(matched, truthN))
     }
@@ -539,9 +563,11 @@ object Similarity {
   }
 
   /** The query's `nprobe` best cells — same metric as [[bestCell]]:
-    * min ‖q−c‖² = max (q·c − ‖c‖²/2); ties to the lowest index. */
-  private def probeCells(query: Seq[Float], centroids: Array[Array[Double]],
-                         nprobe: Int): Array[Int] = {
+    * min ‖q−c‖² = max (q·c − ‖c‖²/2); ties to the lowest index.
+    * `private[graft]`: the catalog's batched over-capacity probe
+    * ([[graft.iql.Catalog.hnswSearchBatch]]) reuses the exact selection. */
+  private[graft] def probeCells(query: Seq[Float], centroids: Array[Array[Double]],
+                                nprobe: Int): Array[Int] = {
     def cellScore(c: Array[Double]): Double =
       query.zip(c).map { case (x, y) => x.toDouble * y }.sum -
         c.map(x => x * x).sum / 2.0

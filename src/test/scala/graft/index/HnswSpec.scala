@@ -315,6 +315,38 @@ class HnswSpec extends SparkSpec {
     assert(rDefault >= 0.9, s"default-probe recall floor: $rDefault")
   }
 
+  test("hnswSearchBatch equals per-query hnswSearch row-for-row on both backends") {
+    import spark.implicits._
+    val vs = mkVecs(240, 8)
+    val df = vs.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+    val queries = vs.filter { case (id, _) => id >= 16 && id < 28 }.map(_._2)
+    def batchRows(cat: graft.iql.Catalog, rel: String, ef: Int): Map[Long, Seq[(Long, Double)]] =
+      cat.hnswSearchBatch(rel, "embedding", queries, 10, ef).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).map { case (qi, rs) =>
+          qi -> rs.map(r => (r._2, r._3)).sortBy(t => (t._2, t._1)).toSeq }
+    def singleRows(cat: graft.iql.Catalog, rel: String, ef: Int): Map[Long, Seq[(Long, Double)]] =
+      queries.zipWithIndex.map { case (q, i) =>
+        i.toLong -> cat.hnswSearch(rel, "embedding", q, 10, ef).collect()
+          .map(r => (r.getLong(0), r.getDouble(1))).sortBy(t => (t._2, t._1)).toSeq
+      }.toMap
+    // distributed over-capacity fallback (trained coarse quantizer)
+    val catD = new graft.iql.Catalog(spark)
+    catD.register("bvecs", df)
+    catD.createIndex("bvecs", "vec_id", "embedding", maxVectors = 64L)
+    assert(catD.distIndexes.contains(("bvecs", "embedding")))
+    for (ef <- Seq(64, 96, 16 * 16))
+      assert(batchRows(catD, "bvecs", ef) == singleRows(catD, "bvecs", ef),
+        s"distributed fallback batch != per-query at efSearch=$ef")
+    // in-memory graph backend
+    val catG = new graft.iql.Catalog(spark)
+    catG.register("gvecs", df)
+    catG.createIndex("gvecs", "vec_id", "embedding")
+    assert(catG.indexes.contains(("gvecs", "embedding")))
+    assert(batchRows(catG, "gvecs", 64) == singleRows(catG, "gvecs", 64),
+      "graph backend batch != per-query")
+  }
+
   test("tombstone ratio past threshold auto-rebuilds the graph") {
     import spark.implicits._
     val s = new graft.iql.Session(spark)
