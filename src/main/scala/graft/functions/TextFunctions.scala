@@ -202,6 +202,69 @@ object TextFunctions {
   def fnvMix64(s: Column): Column =
     ColumnGlue.column(FnvMix64Expr(ColumnGlue.expression(s)))
 
+  /** One-pass hashed-feature bucketing for the DSIR / quality-classifier
+    * family: for a token array t of length n, the buckets
+    * `pmod(fnvMix64(f), buckets)` of all n unigrams followed by all n−1
+    * space-joined bigrams, as one array&lt;long&gt; per row.
+    * Semantically identical to
+    * `explode(concat(t, wordShinglesOf(t, 2))) → pmod(fnvMix64(f), B)`
+    * — FNV-1a is byte-sequential, so each bigram's hash continues the
+    * first token's raw FNV state through the 0x20 separator and the
+    * second token's bytes with NO shingle-string allocation (the old
+    * path built every bigram via slice + array_join: one string copy
+    * plus a re-hash per bigram — the dominant cost of the classifier's
+    * feature build). TextAnalysisSpec pins kernel == explode+hash
+    * equality. CodegenFallback: one eval per document row. */
+  final case class FnvFeatureBuckets(child: Expression, buckets: Long)
+    extends UnaryExpression with CodegenFallback {
+    require(buckets > 0, "need buckets > 0")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "fnv_feature_buckets"
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs array<string>, got $other")
+    }
+    @inline private def pmodB(h: Long): Long = {
+      val m = h % buckets
+      if (m < 0) m + buckets else m
+    }
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val n = arr.numElements()
+      val byteArrs = new Array[Array[Byte]](n)
+      val rawFnv = new Array[Long](n) // FNV state BEFORE the splitmix finalizer
+      val out = new Array[Long](if (n >= 2) 2 * n - 1 else n)
+      var i = 0
+      while (i < n) {
+        val b = arr.getUTF8String(i).getBytes
+        byteArrs(i) = b
+        var h = FnvBasis
+        var j = 0
+        while (j < b.length) { h = (h ^ (b(j) & 0xFF)) * FnvPrime; j += 1 }
+        rawFnv(i) = h
+        out(i) = pmodB(mix64(h))
+        i += 1
+      }
+      i = 0
+      while (i < n - 1) {
+        var h = (rawFnv(i) ^ 0x20L) * FnvPrime // the joining space byte
+        val b = byteArrs(i + 1)
+        var j = 0
+        while (j < b.length) { h = (h ^ (b(j) & 0xFF)) * FnvPrime; j += 1 }
+        out(n + i) = pmodB(mix64(h))
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+    }
+    override protected def withNewChildInternal(newChild: Expression): FnvFeatureBuckets =
+      copy(child = newChild)
+  }
+
+  /** [[FnvFeatureBuckets]] as a Column function. */
+  def fnvFeatureBuckets(toks: Column, buckets: Long): Column =
+    ColumnGlue.column(FnvFeatureBuckets(ColumnGlue.expression(toks), buckets))
+
   /** One-pass winnowing kernel: the DISTINCT sliding-window-min
     * fingerprints of a document's k-codepoint grams, as one
     * array&lt;long&gt; per row. Semantically identical to

@@ -455,9 +455,11 @@ object Sampling {
     import graft.functions.{TextFunctions => TF}
     def feats(df: DataFrame) = df
       .select(col(idCol).as("id"), TF.tokens(col(textCol)).as("t"))
+      // r15: one-pass bucket kernel — identical to the old
+      // explode(concat(t, shingles₂)) → pmod(fnvMix64(f), B) chain
+      // (TextAnalysisSpec pins equality), no per-bigram string build
       .select(col("id"),
-        explode(concat(col("t"), TF.wordShinglesOf(col("t"), 2))).as("f"))
-      .select(col("id"), pmod(TF.fnvMix64(col("f")), lit(buckets.toLong)).as("b"))
+        explode(TF.fnvFeatureBuckets(col("t"), buckets.toLong)).as("b"))
     val rawF = feats(raw).localCheckpoint(true) // counts AND scoring read it
     def bucketCounts(f: DataFrame): Map[Long, Long] =
       f.groupBy("b").agg(count(lit(1)).as("c")).collect()

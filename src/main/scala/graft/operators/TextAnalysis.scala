@@ -1017,29 +1017,29 @@ object TextAnalysis {
     // checkpointed: (bucket, occurrences/total) pairs. Each GD step is
     // then MAP-ONLY over this table for margins and errors — the only
     // per-iteration exchange is the B-bounded gradient groupBy. The
-    // margin fold runs over the SORTED (b unique per doc) feature list
-    // in DECIMAL(38,30) — a fixed sequence of exact-to-30-dp additions,
-    // each step re-capped to scale 30, so the fold is deterministic and
-    // within 1e-28 of the oracle's exact decimal SUM (identical doubles
-    // after the cast for any margin above ~1e-12).
+    // margin is the exact decimal(38,30) sum of the per-feature w·v
+    // products — order-independent (same-scale decimal addition is
+    // exact), within 1e-28 of the oracle's exact decimal SUM (identical
+    // doubles after the cast for any margin above ~1e-12). r15: the sum
+    // runs as the compiled [[graft.functions.VectorKernels.decimalMarginFold]]
+    // kernel — ONE evaluation per document row — instead of the old
+    // interpreted higher-order `aggregate` fold (~|fs| expression-tree
+    // walks per row, ~70% of each training iteration); the kernel's
+    // arithmetic is bit-identical (TextAnalysisSpec pins kernel == HOF
+    // fold on randomized features).
     val fv = checkpointRetiring(clsScratch, base
       .select(col("id"), col("y"),
         (lit(1.0) / (size(col("t")).cast("double") * 2 - 1)).as("invn"),
-        explode(concat(col("t"), TF.wordShinglesOf(col("t"), 2))).as("f"))
-      .select(col("id"), col("y"), col("invn"),
-        pmod(TF.fnvMix64(col("f")), lit(buckets.toLong)).as("b"))
+        // r15: one-pass bucket kernel — identical buckets to
+        // explode(concat(t, shingles₂)) → pmod(fnvMix64(f), B), with no
+        // per-bigram string allocation (TextAnalysisSpec pins equality)
+        explode(TF.fnvFeatureBuckets(col("t"), buckets.toLong)).as("b"))
       .groupBy("id", "y", "invn", "b").agg(count(lit(1)).cast("double").as("cnt"))
       .select(col("id"), col("y"), col("b"), (col("cnt") * col("invn")).as("v"))
       .groupBy("id", "y").agg(sort_array(collect_list(struct(col("b"), col("v")))).as("fs")))
     val nDocs = fv.count().toDouble
-    def marginOf(ws: Array[Double]): Column = {
-      val wLit = typedLit(ws.toSeq)
-      aggregate(col("fs"), lit(0).cast("decimal(38,30)"),
-        (acc, s) => (acc +
-          (element_at(wLit, s("b").cast("int") + 1) * s("v")).cast("decimal(38,30)"))
-          .cast("decimal(38,30)"))
-        .cast("double")
-    }
+    def marginOf(ws: Array[Double]): Column =
+      graft.functions.VectorKernels.decimalMarginFold(col("fs"), ws)
     def sigmoid(m: Column): Column =
       lit(0.5) + lit(0.5) * m / (lit(1.0) + abs(m))
     var w: Array[Double] = Array.fill(buckets)(0.0)

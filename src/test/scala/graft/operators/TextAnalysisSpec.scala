@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => TF}
 
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
@@ -380,6 +381,57 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+
+  test("decimalMarginFold kernel equals the interpreted decimal HOF fold bit-for-bit") {
+    // the r15 compiled margin kernel must reproduce the r14 per-element
+    // `aggregate(..., (acc + (w(b)·v)::decimal(38,30))::decimal(38,30))`
+    // fold EXACTLY — randomized (b, v) feature lists incl. negatives,
+    // tiny magnitudes (sub-1e-30 rounding at scale 30) and zeros
+    val rng = new scala.util.Random(20260817L)
+    val buckets = 64
+    val w = Array.tabulate(buckets)(i => (rng.nextDouble() - 0.5) * math.pow(10.0, (i % 7) - 3))
+    val rows = (0 until 200).map { id =>
+      val n = 1 + rng.nextInt(80)
+      val fs = (0 until n).map { _ =>
+        (rng.nextInt(buckets).toLong,
+          (rng.nextDouble() - 0.5) * math.pow(10.0, rng.nextInt(40) - 35))
+      }
+      (id.toLong, fs)
+    }
+    val df = rows.toDF("id", "fs")
+    val wLit = typedLit(w.toSeq)
+    val hof = aggregate(col("fs"), lit(0).cast("decimal(38,30)"),
+      (acc, s) => (acc +
+        (element_at(wLit, s("_1").cast("int") + 1) * s("_2")).cast("decimal(38,30)"))
+        .cast("decimal(38,30)"))
+      .cast("double")
+    val kern = graft.functions.VectorKernels.decimalMarginFold(col("fs"), w)
+    val got = df.select(col("id"), hof.as("h"), kern.as("k")).collect()
+    got.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)),
+        s"id ${r.getLong(0)}: HOF ${r.getDouble(1)} != kernel ${r.getDouble(2)}")
+    }
+  }
+
+  test("fnvFeatureBuckets kernel equals explode(concat(t, shingles))+fnvMix64+pmod") {
+    val rng = new scala.util.Random(20260818L)
+    val words = Vector("alpha", "b", "γreek", "δ", "committee", "x1", "", "naïve", "zz")
+    val docs = (0 until 120).map { id =>
+      val n = rng.nextInt(12) // incl. 0- and 1-token docs
+      (id.toLong, (0 until n).map(_ => words(rng.nextInt(words.length))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val base = docs.select(col("doc_id"), TF.tokens(col("text")).as("t"))
+    def counts(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Long] =
+      df.groupBy("doc_id", "b").count().collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val old = counts(base.select(col("doc_id"),
+      explode(concat(col("t"), TF.wordShinglesOf(col("t"), 2))).as("f"))
+      .select(col("doc_id"), pmod(TF.fnvMix64(col("f")), lit(64L)).as("b")))
+    val kern = counts(base.select(col("doc_id"),
+      explode(TF.fnvFeatureBuckets(col("t"), 64L)).as("b")))
+    assert(old == kern, "kernel bucket multiset diverged from the HOF chain")
+  }
 
   test("classifier trains null-predicate rows as negatives (the oracle's labeling)") {
     val docs = Seq(
