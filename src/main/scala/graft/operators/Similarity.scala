@@ -192,12 +192,28 @@ object Similarity {
       val cent = kmeansCentroids(b, math.max(2, nCells), iters = 2, idCol, vecCol)
       return marginMiningBlocked(a, b, cent, nprobe, k, tau, idCol, vecCol)
     }
-    val pa = a.select(col(idCol).as("a_id"), col(vecCol).as("av"))
-    val pb = b.select(col(idCol).as("b_id"), col(vecCol).as("bv"))
+    val pa = a.select(col(idCol).as("a_id"), col(vecCol).as("av"),
+      VF.norm(col(vecCol)).as("na"))
+    val pb = b.select(col(idCol).as("b_id"), col(vecCol).as("bv"),
+      VF.norm(col(vecCol)).as("nb"))
     val pairs = pa.crossJoin(broadcast(pb))
       .select(col("a_id"), col("b_id"),
-        VF.cosineSimilarity(col("av"), col("bv")).as("cos"))
+        pairCos(col("av"), col("bv"), col("na"), col("nb")).as("cos"))
     marginFromPairs(pairs, k, tau)
+  }
+
+  /** cosine(a, b) with each side's norm HOISTED to one evaluation per
+    * input row instead of one per PAIR — `na`/`nb` must be
+    * `VF.norm(vec)` projected before the join. Bit-identical to
+    * [[VF.cosineSimilarity]]: same `norm(a) * norm(b)` product (the
+    * norms are the same doubles, computed from the same arrays), same
+    * zero-denominator guard, same dot/den division — only WHERE the
+    * norms are computed moves. On a |a|×|b| pair table this removes
+    * 2 of the 3 array traversals per pair (SimilaritySpec pins
+    * equality). */
+  private[operators] def pairCos(av: Column, bv: Column, na: Column, nb: Column): Column = {
+    val den = na * nb
+    when(den === 0.0, lit(0.0)).otherwise(VF.dot(av, bv) / den)
   }
 
   /** The margin algebra over a scored candidate pair table
@@ -277,12 +293,14 @@ object Similarity {
                           vecCol: String = "embedding"): DataFrame = {
     require(k >= 1, "need k >= 1 neighbours for the margin denominator")
     val pb = ivfAssign(
-      b.select(col(idCol).as("b_id"), col(vecCol).as("bv")), centroids, "bv")
-    val pa = a.select(col(idCol).as("a_id"), col(vecCol).as("av"))
+      b.select(col(idCol).as("b_id"), col(vecCol).as("bv"),
+        VF.norm(col(vecCol)).as("nb")), centroids, "bv")
+    val pa = a.select(col(idCol).as("a_id"), col(vecCol).as("av"),
+      VF.norm(col(vecCol)).as("na"))
       .withColumn("cell", explode(probeCellsCol(col("av"), centroids, nprobe)))
     val pairs = pa.join(pb, Seq("cell"))
       .select(col("a_id"), col("b_id"),
-        VF.cosineSimilarity(col("av"), col("bv")).as("cos"))
+        pairCos(col("av"), col("bv"), col("na"), col("nb")).as("cos"))
     marginFromPairs(pairs, k, tau)
   }
 
@@ -310,11 +328,13 @@ object Similarity {
                                idCol: String = "vec_id",
                                vecCol: String = "embedding"): DataFrame = {
     val spark = a.sparkSession
-    val pa = a.select(col(idCol).as("a_id"), col(vecCol).as("av"))
-    val pb = b.select(col(idCol).as("b_id"), col(vecCol).as("bv"))
+    val pa = a.select(col(idCol).as("a_id"), col(vecCol).as("av"),
+      VF.norm(col(vecCol)).as("na"))
+    val pb = b.select(col(idCol).as("b_id"), col(vecCol).as("bv"),
+      VF.norm(col(vecCol)).as("nb"))
     val truthPairs = pa.crossJoin(broadcast(pb))
       .select(col("a_id"), col("b_id"),
-        VF.cosineSimilarity(col("av"), col("bv")).as("cos"))
+        pairCos(col("av"), col("bv"), col("na"), col("nb")).as("cos"))
     val truthM = graft.plans.Fixpoint.materialize(
       marginFromPairs(truthPairs, k, tau).select("a_id", "b_id"))
     val truth = truthM.df
@@ -372,11 +392,13 @@ object Similarity {
                               tau: Double,
                               idCol: String = "vec_id",
                               vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("__cid"), col(vecCol).as("__cv"))
-    val b = bench.select(col(idCol).as("__bid"), col(vecCol).as("__bv"))
+    val c = corpus.select(col(idCol).as("__cid"), col(vecCol).as("__cv"),
+      VF.norm(col(vecCol)).as("__cn"))
+    val b = bench.select(col(idCol).as("__bid"), col(vecCol).as("__bv"),
+      VF.norm(col(vecCol)).as("__bn"))
     c.crossJoin(broadcast(b))
       .select(col("__cid"),
-        struct(VF.cosineSimilarity(col("__cv"), col("__bv")).as("cos"),
+        struct(pairCos(col("__cv"), col("__bv"), col("__cn"), col("__bn")).as("cos"),
           (col("__bid") * -1).as("nb")).as("s"))
       .groupBy("__cid").agg(max(col("s")).as("m"))
       .where(col("m.cos") >= tau)

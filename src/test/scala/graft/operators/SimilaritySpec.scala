@@ -15,6 +15,31 @@ class SimilaritySpec extends SparkSpec {
   private lazy val query = emb.where(col("vec_id") === 0)
     .select(col("embedding")).head().getSeq[Float](0)
 
+  test("hoisted-norm pair cosine equals per-pair cosineSimilarity bit-for-bit") {
+    // r15: the pair generators hoist each side's norm to one evaluation
+    // per input row; the per-pair value must be the IDENTICAL double,
+    // including the zero-vector guard
+    import graft.functions.{VectorFunctions => VF}
+    val withZero = emb.select(col("vec_id"), when(col("vec_id") === 3,
+      expr("transform(embedding, x -> float(0.0))")).otherwise(col("embedding")).as("embedding"))
+    val a = withZero.where(col("vec_id") < 20)
+      .select(col("vec_id").as("a_id"), col("embedding").as("av"),
+        VF.norm(col("embedding")).as("na"))
+    val b = withZero.where(col("vec_id") >= 20 && col("vec_id") < 40)
+      .select(col("vec_id").as("b_id"), col("embedding").as("bv"),
+        VF.norm(col("embedding")).as("nb"))
+    val both = a.crossJoin(broadcast(b)).select(
+      VF.cosineSimilarity(col("av"), col("bv")).as("ref"),
+      Similarity.pairCos(col("av"), col("bv"), col("na"), col("nb")).as("hoisted"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)),
+        s"${r.getDouble(0)} != ${r.getDouble(1)}")
+    }
+  }
+
   test("margin mining finds planted translations and rejects hub vectors") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
