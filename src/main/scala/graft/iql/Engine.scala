@@ -4320,10 +4320,26 @@ final class Engine(val catalog: Catalog) {
             // (cd increments); pairs with one bump its support
             def pairCond(l: String, rr: String) =
               pairCols.map(c => col(s"$l.$c") <=> col(s"$rr.$c")).reduce(_ && _)
-            val newPairs = Fixpoint.materialize(
-              dpc.alias("__d").join(auxN.alias("__a"),
-                pairCond("__d", "__a"), "left_anti")).df
-            val cnts = newPairs.groupBy(keyCols.map(col): _*)
+            // support upkeep: existing pairs add the delta's binding
+            // count, new pairs enter with theirs — one pass over the
+            // pairs table (the same cost class as the old append-union,
+            // which could not keep supports and so could not serve
+            // deletes). r15: the updated table and the new-pairs slice
+            // materialize in ONE tagged checkpoint (a __new flag on the
+            // union) instead of two — the new-pairs anti-join result was
+            // checkpointed separately only to be counted and unioned.
+            val newPairsRaw = dpc.alias("__d").join(auxN.alias("__a"),
+              pairCond("__d", "__a"), "left_anti")
+            val bumped = auxN.alias("__a").join(dpc.alias("__d"),
+                pairCond("__a", "__d"), "left")
+              .select(pairCols.map(c => col(s"__a.$c").as(c)) :+
+                (col("__a.__s") + coalesce(col("__d.__c"), lit(0L))).as("__s"): _*)
+            val tagged = Fixpoint.materialize(
+              bumped.withColumn("__new", lit(false))
+                .union(newPairsRaw.toDF((pairCols :+ "__s"): _*)
+                  .withColumn("__new", lit(true)))).df
+            val cnts = tagged.where(col("__new"))
+              .groupBy(keyCols.map(col): _*)
               .agg(count(lit(1)).as(s"c$i"))
             // null-safe left join: null group keys must still pick up
             // their increment, exactly as the <=> merge below groups them
@@ -4332,17 +4348,7 @@ final class Engine(val catalog: Catalog) {
               "left")
             acc = dj.select(col("__l.*"),
               coalesce(col(s"__r.c$i"), lit(0L)).as(s"c$i"))
-            // support upkeep: existing pairs add the delta's binding
-            // count, new pairs enter with theirs — one pass over the
-            // pairs table (the same cost class as the old append-union,
-            // which could not keep supports and so could not serve
-            // deletes)
-            val bumped = auxN.alias("__a").join(dpc.alias("__d"),
-                pairCond("__a", "__d"), "left")
-              .select(pairCols.map(c => col(s"__a.$c").as(c)) :+
-                (col("__a.__s") + coalesce(col("__d.__c"), lit(0L))).as("__s"): _*)
-            auxUpdates += (((name, i), Fixpoint.materialize(
-              bumped.union(newPairs.toDF((pairCols :+ "__s"): _*))).df))
+            auxUpdates += (((name, i), tagged.select((pairCols :+ "__s").map(col): _*)))
           }
           val vNow = catalog.version
           auxUpdates.result().foreach { case (k, df) =>
