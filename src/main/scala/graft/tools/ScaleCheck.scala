@@ -151,9 +151,19 @@ object ScaleCheck {
     // Fixpoint.LocalEdgeRows (200k edges) — the 2k/20k probes above now
     // measure THAT (flat by construction). These probe the DISTRIBUTED
     // loop at 1× and 10× ABOVE the gate (300k → 3M edges), the 100 TB
-    // shape the bench queries no longer exercise.
-    val gd1 = lcgGraph(30000L, 300000L)
-    val gd10 = lcgGraph(300000L, 3000000L)
+    // shape the bench queries no longer exercise. NOT the lcgGraph
+    // generator: its inner pmod 65537 caps distinct nodes at 65536, so
+    // a "10×" graph past that is really 10× DENSITY (the first capture
+    // measured row_ratio 2.18 and flagged a bogus regression); xxhash64
+    // spreads ids uniformly at any node count, and these probes need
+    // determinism only, not oracle replication.
+    def bigGraph(nodes: Long, edges: Long): DataFrame =
+      spark.range(edges).select(
+        pmod(xxhash64(col("id")), lit(nodes)).as("src"),
+        pmod(xxhash64(col("id"), lit(1L)), lit(nodes)).as("dst"))
+        .where(col("src") =!= col("dst")).localCheckpoint(true)
+    val gd1 = bigGraph(30000L, 300000L)
+    val gd10 = bigGraph(300000L, 3000000L)
     def probeGraphDist(name: String)(f: DataFrame => DataFrame): Unit = {
       f(gd1).count() // warm
       val (t1, n1) = timeCount(f(gd1))
