@@ -386,11 +386,23 @@ object Bench {
         java.nio.file.Paths.get("BENCH_FULL.json"),
         (full + "\n").getBytes("UTF-8"))
       catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json: $e") }
-    // stop BEFORE printing: the machine-readable line must be the LAST
-    // thing in the output window — shutdown logging after it could push
-    // it out of the driver's bounded tail
+    // stop BEFORE printing: the machine-readable lines must be the LAST
+    // thing in the output window — shutdown logging after them could
+    // push them out of the driver's bounded tail
     try spark.stop() catch { case _: Throwable => () }
+    // line 1: the full contract line (metric/value/unit/queries/sf, one
+    // entry per query — never an entry removed). At 203 queries it is
+    // ~4.5 KB and the collecting harness keeps only the LAST ~2000
+    // characters of stdout, so on its own it truncated mid-line and the
+    // driver's perf comparison parsed null for two rounds running
+    // (BENCH_r14/r15 `parsed: null`).
     println(
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$shortQs,"failed":$failedShort,"isolated_retries":$retriesShort,"contended":$contended,"env":$envJson,"sf":"$sfDir"}""")
+    // line 2 (LAST): a compact summary that fits the ~2000-char tail
+    // window whole, so the driver can parse SOMETHING every round. The
+    // full per-query map lives in line 1 and (full-precision, full
+    // names) in BENCH_FULL.json.
+    println(
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n":${results.length},"failed":$failedShort,"retried":${retried.size},"contended":$contended,"ext_load":${f2(extLoad)},"steal_pct":${f2(stealPct)},"calib":[${calib.map(f3).mkString(",")}],"calib_vs_prev_pct":${f2(calibVsPrevPct)},"cpus":$envCpus,"queries_in":"BENCH_FULL.json","sf":"$sfDir"}""")
   }
 }
