@@ -187,6 +187,20 @@ object Similarity {
                    nprobe: Int = 8): DataFrame = {
     require(k >= 1, "need k >= 1 neighbours for the margin denominator")
     val capProbe = math.min(broadcastCap + 1, Int.MaxValue.toLong).toInt
+    if (blockLocalOk(a, idCol, vecCol) && blockLocalOk(b, idCol, vecCol)) {
+      // r16: the cap probe IS the b-side collect — limit(cap+1) stays a
+      // bounded single job, and an under-cap b never builds a separate
+      // BroadcastExchange (the block-local generator ships the collected
+      // rows once as a task broadcast)
+      val bRows = b.select(col(idCol), col(vecCol)).limit(capProbe).collect()
+      if (bRows.length > broadcastCap) {
+        val cent = kmeansCentroids(b, math.max(2, nCells), iters = 2, idCol, vecCol)
+        return marginMiningBlocked(a, b, cent, nprobe, k, tau, idCol, vecCol)
+      }
+      return marginFromTopK(
+        topKScoreAgainstBlock(a, bRows, k, idCol, vecCol).localCheckpoint(true),
+        k, tau)
+    }
     val bOverCap = b.select(col(idCol)).limit(capProbe).count() > broadcastCap
     if (bOverCap) {
       val cent = kmeansCentroids(b, math.max(2, nCells), iters = 2, idCol, vecCol)
@@ -200,6 +214,241 @@ object Similarity {
       .select(col("a_id"), col("b_id"),
         pairCos(col("av"), col("bv"), col("na"), col("nb")).as("cos"))
     marginFromPairs(pairs, k, tau)
+  }
+
+  // ── r16 block-local pair scoring ──────────────────────────────────────
+  // The pair table used to be generated THREE times per mined side: the
+  // margin algebra consumes it once per rank window (a-side, b-side) and
+  // once more for the candidate list, and Catalyst shares none of those
+  // subtrees — the physical plan carried three BroadcastNestedLoopJoin
+  // scans (plans/r15/q181_bitext_margin_after.txt), so the |a|×|b| cosine
+  // work was paid three times and every emitted pair row copied both
+  // vectors. Now ONE pass scores each a-row against the whole b block in
+  // a compiled loop and emits ONLY the per-side top-k candidate rows
+  // (a-side complete per row since the whole b block is local; b-side as
+  // per-partition partials merged by one small window), materialized
+  // once — (a_id, b_id, cos) rows, never a joined vector row. Guide §1.2
+  // ("the distributed algorithm": don't compute things three times),
+  // §2.3 (shuffle/score slim rows, not payloads), §3 (broadcast shape).
+
+  /** Fast path applies to long ids + float-array vectors (every caller
+    * in the catalog; anything else keeps the generic Catalyst path). */
+  private def blockLocalOk(df: DataFrame, idCol: String, vecCol: String): Boolean =
+    df.schema(idCol).dataType == org.apache.spark.sql.types.LongType &&
+      (df.schema(vecCol).dataType match {
+        case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, _) => true
+        case _ => false
+      })
+
+  /** `ORDER BY cos DESC, partner ASC` over nullable doubles, exactly as
+    * Spark's window sort orders them: DESC puts NULL cos last, NaN
+    * greatest among non-null (before +Inf), -0.0 == 0.0; ties break to
+    * the ascending partner id with NULL id first (ASC NULLS FIRST).
+    * Returns true when (c1, p1) sorts strictly before (c2, p2). */
+  private def candBefore(c1: java.lang.Double, p1: java.lang.Long,
+                         c2: java.lang.Double, p2: java.lang.Long): Boolean = {
+    val byCos =
+      if (c1 == null && c2 == null) 0
+      else if (c1 == null) -1 // NULL cos sorts last under DESC
+      else if (c2 == null) 1
+      else {
+        val x = c1.doubleValue(); val y = c2.doubleValue()
+        // Spark's nan-safe double ordering: x == y covers -0.0 vs 0.0,
+        // NaN == NaN, NaN greater than everything else
+        if (x == y) 0
+        else if (x < y) -1
+        else if (x > y) 1
+        else if (java.lang.Double.isNaN(x)) 1
+        else -1
+      }
+    if (byCos != 0) byCos > 0
+    else if (p1 == null) p2 != null // ASC NULLS FIRST on the partner id
+    else if (p2 == null) false
+    else p1.longValue() < p2.longValue()
+  }
+
+  /** Bounded top-k buffer under [[candBefore]] — insertion sort; k is
+    * the margin k (tiny). */
+  private final class TopKBuf(k: Int) {
+    val cos = new Array[java.lang.Double](k)
+    val id = new Array[java.lang.Long](k)
+    var n = 0
+    def offer(c: java.lang.Double, p: java.lang.Long): Unit = {
+      if (n == k && !candBefore(c, p, cos(n - 1), id(n - 1))) return
+      var i = if (n < k) n else k - 1
+      while (i > 0 && candBefore(c, p, cos(i - 1), id(i - 1))) {
+        cos(i) = cos(i - 1); id(i) = id(i - 1); i -= 1
+      }
+      cos(i) = c; id(i) = p
+      if (n < k) n += 1
+    }
+  }
+
+  /** (vector as doubles or null, norm or null) from a Row's float-array
+    * column — the identical arithmetic of `VF.norm` (Σ x² in index
+    * order, then the correctly-rounded sqrt); a null array or any null
+    * element nulls both, matching the kernels' null contract. */
+  private def rowVecNorm(r: org.apache.spark.sql.Row, i: Int): (Array[Double], java.lang.Double) = {
+    if (r.isNullAt(i)) return (null, null)
+    val s = r.getSeq[Any](i)
+    val n = s.length
+    val arr = new Array[Double](n)
+    var j = 0
+    while (j < n) {
+      val e = s(j)
+      if (e == null) return (null, null)
+      arr(j) = e.asInstanceOf[Float].toDouble
+      j += 1
+    }
+    var ns = 0.0
+    j = 0
+    while (j < n) { ns += arr(j) * arr(j); j += 1 }
+    (arr, java.lang.Double.valueOf(math.sqrt(ns)))
+  }
+
+  /** cosine with the exact [[pairCos]] semantics over pre-read arrays:
+    * `when(na*nb === 0, 0) otherwise dot/(na*nb)` — the zero-denominator
+    * shortcut fires BEFORE any length/null check (two zero vectors of
+    * different lengths score 0, exactly as the column form), a null norm
+    * or length mismatch yields null, and the dot folds in index order. */
+  private def cosOf(av: Array[Double], na: java.lang.Double,
+                    bv: Array[Double], nb: java.lang.Double): java.lang.Double = {
+    if (na != null && nb != null && na.doubleValue() * nb.doubleValue() == 0.0)
+      return java.lang.Double.valueOf(0.0)
+    if (na == null || nb == null) return null
+    if (av.length != bv.length) return null
+    var dot = 0.0
+    var i = 0
+    while (i < av.length) { dot += av(i) * bv(i); i += 1 }
+    java.lang.Double.valueOf(dot / (na.doubleValue() * nb.doubleValue()))
+  }
+
+  private val topKSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("kind",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("a_id",
+      org.apache.spark.sql.types.LongType, nullable = true),
+    org.apache.spark.sql.types.StructField("b_id",
+      org.apache.spark.sql.types.LongType, nullable = true),
+    org.apache.spark.sql.types.StructField("cos",
+      org.apache.spark.sql.types.DoubleType, nullable = true)))
+
+  /** ONE pass over `a` scoring each row against the whole collected b
+    * block: emits kind-0 rows (the a-row's COMPLETE top-k — every b is
+    * local) and kind-1 rows (per-partition partial top-k per b, merged
+    * exactly by the small final window in [[marginFromTopK]]). The b
+    * block rides a task broadcast once per executor; pair rows carry
+    * (a_id, b_id, cos) only. */
+  private def topKScoreAgainstBlock(a: DataFrame, bRows: Array[org.apache.spark.sql.Row],
+                                    k: Int, idCol: String, vecCol: String): DataFrame = {
+    val spark = a.sparkSession
+    val nB = bRows.length
+    val bIds = new Array[java.lang.Long](nB)
+    val bVecs = new Array[Array[Double]](nB)
+    val bNorms = new Array[java.lang.Double](nB)
+    var j = 0
+    while (j < nB) {
+      val r = bRows(j)
+      bIds(j) = if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
+      val (v, nm) = rowVecNorm(r, 1)
+      bVecs(j) = v; bNorms(j) = nm
+      j += 1
+    }
+    val bc = spark.sparkContext.broadcast((bIds, bVecs, bNorms))
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(topKSchema)
+    a.select(col(idCol), col(vecCol)).mapPartitions { it =>
+      val (ids, vecs, norms) = bc.value
+      val m = ids.length
+      val bTop = new Array[TopKBuf](m)
+      val aSide = it.flatMap { r =>
+        val aId: java.lang.Long =
+          if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
+        val (av, na) = rowVecNorm(r, 1)
+        val heap = new TopKBuf(k)
+        var i = 0
+        while (i < m) {
+          val c = cosOf(av, na, vecs(i), norms(i))
+          heap.offer(c, ids(i))
+          var bt = bTop(i)
+          if (bt == null) { bt = new TopKBuf(k); bTop(i) = bt }
+          bt.offer(c, aId)
+          i += 1
+        }
+        (0 until heap.n).iterator.map(x =>
+          org.apache.spark.sql.Row(0, aId, heap.id(x), heap.cos(x)))
+      }
+      aSide ++ (0 until m).iterator.flatMap { i =>
+        val bt = bTop(i)
+        if (bt == null) Iterator.empty
+        else (0 until bt.n).iterator.map(x =>
+          org.apache.spark.sql.Row(1, bt.id(x), ids(i), bt.cos(x)))
+      }
+    }
+  }
+
+  /** Per-partition partial top-k on BOTH sides of an already-scored
+    * (a_id, b_id, cos) pair frame — the blocked generator's one-pass
+    * consumption: each task keeps k per a_id and k per b_id of its rows,
+    * the final windows in [[marginFromTopK]] merge the partials exactly
+    * (the order is a strict total order, so per-partition top-k loses
+    * nothing the global top-k keeps). */
+  private def topKBothSides(pairs: DataFrame, k: Int): DataFrame = {
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(topKSchema)
+    pairs.select(col("a_id"), col("b_id"), col("cos")).mapPartitions { it =>
+      val aTop = new java.util.HashMap[java.lang.Long, TopKBuf]()
+      val bTop = new java.util.HashMap[java.lang.Long, TopKBuf]()
+      it.foreach { r =>
+        val aId: java.lang.Long =
+          if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
+        val bId: java.lang.Long =
+          if (r.isNullAt(1)) null else java.lang.Long.valueOf(r.getLong(1))
+        val c: java.lang.Double =
+          if (r.isNullAt(2)) null else java.lang.Double.valueOf(r.getDouble(2))
+        var at = aTop.get(aId)
+        if (at == null) { at = new TopKBuf(k); aTop.put(aId, at) }
+        at.offer(c, bId)
+        var bt = bTop.get(bId)
+        if (bt == null) { bt = new TopKBuf(k); bTop.put(bId, bt) }
+        bt.offer(c, aId)
+      }
+      import scala.jdk.CollectionConverters._
+      aTop.entrySet().iterator().asScala.flatMap { e =>
+        val t = e.getValue
+        (0 until t.n).iterator.map(x =>
+          org.apache.spark.sql.Row(0, e.getKey, t.id(x), t.cos(x)))
+      } ++ bTop.entrySet().iterator().asScala.flatMap { e =>
+        val t = e.getValue
+        (0 until t.n).iterator.map(x =>
+          org.apache.spark.sql.Row(1, t.id(x), e.getKey, t.cos(x)))
+      }
+    }
+  }
+
+  /** The margin algebra over a MATERIALIZED (kind, a_id, b_id, cos)
+    * candidate frame: final per-side top-k windows (exact merges of the
+    * generators' partials — tiny inputs, k rows per key per partition),
+    * then the identical denominator averages, margin, best-per-a filter
+    * and 6-dp rounding of [[marginFromPairs]]. */
+  private def marginFromTopK(ranked: DataFrame, k: Int, tau: Double): DataFrame = {
+    val wa = Window.partitionBy("a_id").orderBy(col("cos").desc, col("b_id").asc)
+    val wb = Window.partitionBy("b_id").orderBy(col("cos").desc, col("a_id").asc)
+    val rankedA = ranked.where(col("kind") === 0).drop("kind")
+      .withColumn("ra", row_number().over(wa)).where(col("ra") <= k)
+    val rankedB = ranked.where(col("kind") === 1).drop("kind")
+      .withColumn("rb", row_number().over(wb)).where(col("rb") <= k)
+    val da = rankedA.groupBy("a_id").agg(avg("cos").as("da"))
+    val db = rankedB.groupBy("b_id").agg(avg("cos").as("db"))
+    val cand = rankedA
+      .join(da, Seq("a_id")).join(db, Seq("b_id"))
+      .withColumn("margin", col("cos") / ((col("da") + col("db")) / 2))
+    val wBest = Window.partitionBy("a_id").orderBy(col("margin").desc, col("b_id").asc)
+    cand.withColumn("__rk", row_number().over(wBest))
+      .where(col("__rk") === 1 && col("margin") >= tau)
+      .select(col("a_id"), col("b_id"),
+        round(col("cos"), 6).as("cos6"), round(col("margin"), 6).as("margin6"))
   }
 
   /** cosine(a, b) with each side's norm HOISTED to one evaluation per
@@ -217,24 +466,24 @@ object Similarity {
   }
 
   /** The margin algebra over a scored candidate pair table
-    * (a_id, b_id, cos) — shared by the broadcast and blocked
-    * generators, so the two paths can only differ in WHICH pairs are
-    * scored, never in how margins rank them. */
+    * (a_id, b_id, cos) — the GENERIC fallback (non-long ids or non-float
+    * vectors); the catalog paths ride the r16 block-local top-k
+    * generators + [[marginFromTopK]], which rank identically. */
   private def marginFromPairs(pairs: DataFrame, k: Int, tau: Double): DataFrame = {
     val wa = Window.partitionBy("a_id").orderBy(col("cos").desc, col("b_id").asc)
     val wb = Window.partitionBy("b_id").orderBy(col("cos").desc, col("a_id").asc)
-    // r15: one rank-filtered branch per side, the filter DIRECTLY on
-    // that side's row_number, so InferWindowGroupLimit inserts a
-    // per-partition partial top-k BEFORE each exchange. The previous
-    // single `ra <= k || rb <= k` chain defeated the pushdown for BOTH
-    // windows and dragged the FULL pair table through two back-to-back
-    // full shuffles+sorts — at corpus scale the scored pair table is
-    // the pipeline's biggest intermediate, so each exchange now carries
-    // ~k rows per group instead of the whole table (plan diff:
+    // One rank-filtered branch per side, the filter DIRECTLY on that
+    // side's row_number, so InferWindowGroupLimit inserts a
+    // per-partition partial top-k BEFORE each exchange. (r15 note,
+    // corrected per the committed plans: Catalyst split the earlier
+    // single `ra <= k || rb <= k` chain into the same per-branch
+    // rank-filtered windows on its own — both forms plan
     // WindowGroupLimit(Partial) under both exchanges,
-    // plans/r15/q181_bitext_margin_{before,after}.txt). Same result:
-    // row_number over (cos desc, id asc) is a deterministic total order
-    // per group, so each side's top-k row set is unchanged.
+    // plans/r15/q181_bitext_margin_{before,after}.txt — the explicit
+    // two-branch form just guarantees that shape without relying on
+    // cross-branch filter pruning.) row_number over (cos desc, id asc)
+    // is a deterministic total order per group, so each side's top-k
+    // row set is unchanged either way.
     val rankedA = pairs.withColumn("ra", row_number().over(wa)).where(col("ra") <= k)
     val rankedB = pairs.withColumn("rb", row_number().over(wb)).where(col("rb") <= k)
     val da = rankedA.groupBy("a_id").agg(avg("cos").as("da"))
@@ -301,7 +550,13 @@ object Similarity {
     val pairs = pa.join(pb, Seq("cell"))
       .select(col("a_id"), col("b_id"),
         pairCos(col("av"), col("bv"), col("na"), col("nb")).as("cos"))
-    marginFromPairs(pairs, k, tau)
+    // r16: consume the equi-join ONCE — per-partition two-sided partial
+    // top-k, materialized small, merged by the final windows — instead
+    // of re-running the join + cosine scan for each of the margin
+    // algebra's three consumers (see the block-local notes above)
+    if (blockLocalOk(a, idCol, vecCol) && blockLocalOk(b, idCol, vecCol))
+      marginFromTopK(topKBothSides(pairs, k).localCheckpoint(true), k, tau)
+    else marginFromPairs(pairs, k, tau)
   }
 
   /** MEASURED-RECALL REPORT for the blocked bitext miner (the q175
@@ -328,15 +583,25 @@ object Similarity {
                                idCol: String = "vec_id",
                                vecCol: String = "embedding"): DataFrame = {
     val spark = a.sparkSession
-    val pa = a.select(col(idCol).as("a_id"), col(vecCol).as("av"),
-      VF.norm(col(vecCol)).as("na"))
-    val pb = b.select(col(idCol).as("b_id"), col(vecCol).as("bv"),
-      VF.norm(col(vecCol)).as("nb"))
-    val truthPairs = pa.crossJoin(broadcast(pb))
-      .select(col("a_id"), col("b_id"),
-        pairCos(col("av"), col("bv"), col("na"), col("nb")).as("cos"))
-    val truthM = graft.plans.Fixpoint.materialize(
-      marginFromPairs(truthPairs, k, tau).select("a_id", "b_id"))
+    // r16: the exact truth side rides the same block-local generator as
+    // the under-cap miner (the truth slice is bounded by the report's
+    // contract) — one scored pass instead of three cross-join scans
+    val truthMined: DataFrame =
+      if (blockLocalOk(a, idCol, vecCol) && blockLocalOk(b, idCol, vecCol)) {
+        val bRows = b.select(col(idCol), col(vecCol)).collect()
+        marginFromTopK(
+          topKScoreAgainstBlock(a, bRows, k, idCol, vecCol).localCheckpoint(true),
+          k, tau)
+      } else {
+        val pa = a.select(col(idCol).as("a_id"), col(vecCol).as("av"),
+          VF.norm(col(vecCol)).as("na"))
+        val pb = b.select(col(idCol).as("b_id"), col(vecCol).as("bv"),
+          VF.norm(col(vecCol)).as("nb"))
+        marginFromPairs(pa.crossJoin(broadcast(pb))
+          .select(col("a_id"), col("b_id"),
+            pairCos(col("av"), col("bv"), col("na"), col("nb")).as("cos")), k, tau)
+      }
+    val truthM = graft.plans.Fixpoint.materialize(truthMined.select("a_id", "b_id"))
     val truth = truthM.df
     val truthN = truthM.count
     def micro(num: Long, den: Long): Long =

@@ -142,6 +142,86 @@ class SimilaritySpec extends SparkSpec {
     assert(!c1.zip(c0).forall { case (a, b) => a.sameElements(b) })
   }
 
+  test("block-local margin mining equals the window-pipeline reference bit-for-bit") {
+    // r16: the miner scores pairs in ONE block-local pass (per-side
+    // top-k generators + small final windows) instead of three
+    // cross-join scans; this pins the mined rows — ids, cos6, margin6 —
+    // bit-for-bit against the old full-window pipeline over adversarial
+    // inputs: zero vectors (den==0 shortcut), duplicated vectors (cos
+    // ties -> id tie-break), a NaN element (NaN sorts greatest), a null
+    // element and a null vector (null cos sorts last), a hub, and a
+    // length-mismatched vector (null dot, but 0 against the zero vec).
+    import org.apache.spark.sql.{Row => SRow}
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(42)
+    def vec(): Seq[java.lang.Float] =
+      Seq.fill(8)(java.lang.Float.valueOf(rnd.nextGaussian().toFloat))
+    val dup = vec()
+    val aRows: Seq[SRow] = (0L until 40L).map { i =>
+      val v: Seq[java.lang.Float] =
+        if (i == 2) Seq.fill(8)(java.lang.Float.valueOf(0f)) // zero vector
+        else if (i == 4) dup
+        else if (i == 6) dup // duplicate -> cos ties on the b side
+        else if (i == 8) vec().updated(3, null: java.lang.Float) // null element
+        else vec()
+      SRow(java.lang.Long.valueOf(i), v)
+    } :+ SRow(null, vec()) // null id
+    val bRows: Seq[SRow] = (100L until 130L).map { i =>
+      val v: Seq[java.lang.Float] =
+        if (i == 101) Seq.fill(8)(java.lang.Float.valueOf(0f))
+        else if (i == 103) Seq.fill(5)(java.lang.Float.valueOf(1f)) // length mismatch
+        else if (i == 105) vec().updated(0, java.lang.Float.valueOf(Float.NaN))
+        else if (i == 107) null // null vector
+        else vec()
+      SRow(java.lang.Long.valueOf(i), v)
+    }
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = true),
+      StructField("embedding", ArrayType(FloatType, containsNull = true), nullable = true)))
+    val a = spark.createDataFrame(java.util.Arrays.asList(aRows: _*), schema)
+      .localCheckpoint(true)
+    val b = spark.createDataFrame(java.util.Arrays.asList(bRows: _*), schema)
+      .localCheckpoint(true)
+    // reference: the pre-r16 pipeline — one scored cross join, full
+    // rank windows on both sides, the identical margin algebra
+    def reference(k: Int, tau: Double): Array[SRow] = {
+      import graft.functions.{VectorFunctions => VF}
+      val pa = a.select(col("vec_id").as("a_id"), col("embedding").as("av"),
+        VF.norm(col("embedding")).as("na"))
+      val pb = b.select(col("vec_id").as("b_id"), col("embedding").as("bv"),
+        VF.norm(col("embedding")).as("nb"))
+      val pairs = pa.crossJoin(broadcast(pb))
+        .select(col("a_id"), col("b_id"),
+          Similarity.pairCos(col("av"), col("bv"), col("na"), col("nb")).as("cos"))
+      val wa = Window.partitionBy("a_id").orderBy(col("cos").desc, col("b_id").asc)
+      val wb = Window.partitionBy("b_id").orderBy(col("cos").desc, col("a_id").asc)
+      val rankedA = pairs.withColumn("ra", row_number().over(wa)).where(col("ra") <= k)
+      val rankedB = pairs.withColumn("rb", row_number().over(wb)).where(col("rb") <= k)
+      val da = rankedA.groupBy("a_id").agg(avg("cos").as("da"))
+      val db = rankedB.groupBy("b_id").agg(avg("cos").as("db"))
+      val cand = rankedA.join(da, Seq("a_id")).join(db, Seq("b_id"))
+        .withColumn("margin", col("cos") / ((col("da") + col("db")) / 2))
+      val wBest = Window.partitionBy("a_id").orderBy(col("margin").desc, col("b_id").asc)
+      cand.withColumn("__rk", row_number().over(wBest))
+        .where(col("__rk") === 1 && col("margin") >= tau)
+        .select(col("a_id"), col("b_id"),
+          round(col("cos"), 6).as("cos6"), round(col("margin"), 6).as("margin6"))
+        .collect()
+    }
+    def key(rs: Array[SRow]): Set[(Any, Any, Long, Long)] = rs.map { r =>
+      (r.get(0), r.get(1),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(3)))
+    }.toSet
+    for ((k, tau) <- Seq((3, 0.8), (4, 1.0), (1, 0.0))) {
+      val ref = key(reference(k, tau))
+      val got = key(Similarity.marginMining(a, b, k = k, tau = tau).collect())
+      assert(got == ref, s"k=$k tau=$tau: block-local miner diverged\n" +
+        s"missing=${ref -- got}\nextra=${got -- ref}")
+    }
+  }
+
   test("sharded HNSW: executor-built shards probe with high recall, deterministically") {
     val idx = Similarity.hnswShardedIndex(emb, nShards = 4).localCheckpoint(true)
     assert(idx.count() == 4, "one serialized index row per non-empty shard")
