@@ -605,7 +605,11 @@ object SparkEntry {
         .where(coalesce(col("dup_chars"), lit(0L)) * 10 <=
           length(TF.normText(col("text"))) * 3)
         .select(col("doc_id"), col("lang"))
-      Sampling.temperatureMix(keep, "doc_id", "lang")
+      // r16: the temperature mix consumes its input twice (stratum
+      // counts, then copy decisions) — un-checkpointed, the second
+      // consumption re-ran the entire span-dedup gate above; one
+      // checkpoint of the slim (id, lang) survivor list serves both
+      Sampling.temperatureMix(keep.localCheckpoint(true), "doc_id", "lang")
     }),
 
     // --- pipeline: deterministic stratified sampling (domain mixing) —

@@ -856,10 +856,13 @@ object Dedup {
     * raw substrings with no hash replication. */
   def duplicateSpans(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                      k: Int = 20, minDocs: Int = 2): DataFrame = {
-    val (grams, _) = mat(docs
+    // r16: plain eager checkpoint — the mat() row count was never used
+    // here and cost one full pass over the materialized gram table
+    val grams = docs
       .select(col(idCol).as("id"),
         posexplode(TF.kgramHashes(TF.normText(col(textCol)), k)).as(Seq("pos0", "h")))
-      .select(col("id"), (col("pos0") + 1).cast("long").as("pos"), col("h")))
+      .select(col("id"), (col("pos0") + 1).cast("long").as("pos"), col("h"))
+      .localCheckpoint(true)
     // grams shared by >= minDocs docs; at 100 TB this table is itself
     // large — a plain shuffle semi-join, deliberately not broadcast.
     // minDocs = 2 (the substring-dedup default) avoids the distinct

@@ -61,6 +61,29 @@ object TimeSpans {
         val s = sig(f())
         println(f"[t] $name%-10s ${(System.nanoTime() - t0) / 1e9}%6.2f s  sig=$s")
     }
+    // stage breakdown of the current shape (r16): where do the ~2.5 s go?
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    for (round <- 1 to 2) {
+      def t(name: String)(f: => Unit): Unit = {
+        val t0 = System.nanoTime()
+        f
+        if (round == 2) println(f"[t] $name%-12s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      }
+      t("grams-noop") { noop(gramsOf(docs)) }
+      t("grams-mat") {
+        val ck = gramsOf(docs).localCheckpoint(true); ck.rdd.count(); ()
+      }
+      val ck = gramsOf(docs).localCheckpoint(true)
+      t("agg-common") {
+        noop(ck.groupBy("h").agg(min(col("id")).as("__a"), max(col("id")).as("__b"))
+          .where(col("__a") < col("__b")).select("h"))
+      }
+      val common = ck.groupBy("h").agg(min(col("id")).as("__a"), max(col("id")).as("__b"))
+        .where(col("__a") < col("__b")).select("h")
+      t("semi-join") { noop(ck.join(common, Seq("h"), "left_semi")) }
+      t("islands") { noop(islands(ck.join(common, Seq("h"), "left_semi"))) }
+    }
     spark.stop()
   }
 }
