@@ -237,6 +237,11 @@ object TextFunctions {
       val out = new Array[Long](if (n >= 2) 2 * n - 1 else n)
       var i = 0
       while (i < n) {
+        // token arrays come from tokens()/split — never null elements in
+        // practice; fail LOUDLY (named kernel + index) instead of the
+        // latent NPE if a future caller feeds one
+        require(!arr.isNullAt(i),
+          s"$prettyName: null token at index $i (callers must pass null-free token arrays)")
         val b = arr.getUTF8String(i).getBytes
         byteArrs(i) = b
         var h = FnvBasis

@@ -781,9 +781,16 @@ object VectorKernels {
         // scale digit is dropped, HALF_UP), and the fold's outer
         // .cast(decimal(38,30)) only pads it back — so the running sum
         // rounds to scale 29 at EVERY step. Replicated exactly.
-        acc = acc.add(java.math.BigDecimal.valueOf(weights(b) * v)
-            .setScale(30, java.math.RoundingMode.HALF_UP))
-          .setScale(29, java.math.RoundingMode.HALF_UP)
+        val p = java.math.BigDecimal.valueOf(weights(b) * v)
+          .setScale(30, java.math.RoundingMode.HALF_UP)
+        // mirror CheckOverflow's null-on-overflow (a product needing
+        // >= 1e8 integral digits, a sum >= 1e9): the replaced fold's
+        // Cast/Add would null the whole margin there, and null poisons
+        // the rest of the fold — unreachable for classifier magnitudes,
+        // guarded so the kernel can never silently diverge
+        if (p.precision > 38) return null
+        acc = acc.add(p).setScale(29, java.math.RoundingMode.HALF_UP)
+        if (acc.precision > 38) return null
         i += 1
       }
       acc.doubleValue()
@@ -796,4 +803,57 @@ object VectorKernels {
   def decimalMarginFold(fs: Column, weights: Array[Double]): Column =
     ExpressionUtils.column(DecimalMarginFold(
       ExpressionUtils.expression(fs), weights.toVector))
+
+  /** [[DecimalMarginFold]]'s map-only twin for the STREAMING scorer
+    * ([[graft.operators.TextAnalysis.scoreQualityWith]]): per row,
+    * Σ over the doc's hashed feature-bucket OCCURRENCES of
+    * weights(b)·invn — the same per-step arithmetic as the replaced
+    * higher-order fold: the double product converts through
+    * `cast(x as decimal(38,30))` (shortest-string BigDecimal + HALF_UP
+    * setScale(30)), the running sum rounds to scale 29 each step (the
+    * Add precision-loss rule), overflow mirrors CheckOverflow's null,
+    * and the total converts back with the correctly-rounded
+    * `doubleValue`. One compiled evaluation per document row instead of
+    * ~2n interpreted expression-tree walks. */
+  final case class DecimalOccFold(left: Expression, right: Expression,
+                                  weights: Vector[Double])
+      extends BinaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "decimal_occ_fold"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(LongType, _), DoubleType) => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs (array<long>, double), got $other")
+      }
+
+    override def nullSafeEval(bs: Any, inv: Any): Any = {
+      val arr = bs.asInstanceOf[ArrayData]
+      val invn = inv.asInstanceOf[Double]
+      val n = arr.numElements()
+      var acc = java.math.BigDecimal.ZERO
+      var i = 0
+      while (i < n) {
+        if (arr.isNullAt(i)) return null
+        val b = arr.getLong(i).toInt
+        val p = java.math.BigDecimal.valueOf(weights(b) * invn)
+          .setScale(30, java.math.RoundingMode.HALF_UP)
+        if (p.precision > 38) return null
+        acc = acc.add(p).setScale(29, java.math.RoundingMode.HALF_UP)
+        if (acc.precision > 38) return null
+        i += 1
+      }
+      acc.doubleValue()
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def decimalOccFold(buckets: Column, invn: Column, weights: Array[Double]): Column =
+    ExpressionUtils.column(DecimalOccFold(ExpressionUtils.expression(buckets),
+      ExpressionUtils.expression(invn), weights.toVector))
 }

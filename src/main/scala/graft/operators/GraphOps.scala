@@ -81,7 +81,13 @@ object GraphOps {
     var i = 0
     while (i < vals.size()) {
       val d = org.apache.spark.sql.types.Decimal(vals.get(i))
-      d.changePrecision(38, 30)
+      // changePrecision returning false is Spark's Cast-to-null case
+      // (>= 1e8 integral digits): unreachable for PageRank/HITS values
+      // (all bounded by node count), but fail LOUDLY if a future caller
+      // exceeds it — silently keeping the unrounded Decimal would
+      // diverge from the distributed loop's null-absorbing sum
+      require(d.changePrecision(38, 30),
+        s"decimalSum contribution ${vals.get(i)} does not fit decimal(38,30)")
       acc = acc.add(d.toJavaBigDecimal)
       i += 1
     }

@@ -1075,20 +1075,26 @@ object TextAnalysis {
                        idCol: String = "doc_id",
                        textCol: String = "text"): DataFrame = {
     val buckets = weights.length
-    val wLit = typedLit(weights.toSeq)
     val toksC = TF.tokens(col(textCol))
+    // r16: the margin folded per-occurrence decimal through an
+    // INTERPRETED higher-order `aggregate` (one expression-tree walk per
+    // unigram+bigram occurrence) over features built by per-bigram
+    // slice+concat — the last interpreted decimal fold in the repo. Now
+    // the one-pass FNV bucket kernel emits the identical bucket sequence
+    // (unigrams then bigrams, TextAnalysisSpec-pinned) and
+    // decimal_occ_fold replays the identical per-step cast/add/round
+    // arithmetic as ONE compiled evaluation per row — the same kernel
+    // treatment the batch classifier got in r15 (guide §4: kill
+    // interpreted expressions in the hot path). Bit-equality pinned in
+    // TextAnalysisSpec.
     docs
       .select(col(idCol), toksC.as("__t"))
       .where(size(col("__t")) > 0)
       .select(col(idCol),
-        (lit(1.0) / (size(col("__t")).cast("double") * 2 - 1)).as("__invn"),
-        concat(col("__t"), TF.wordShinglesOf(col("__t"), 2)).as("__f"))
-      .select(col(idCol),
-        aggregate(col("__f"), lit(0).cast("decimal(38,30)"),
-          (acc, f) => (acc + (element_at(wLit,
-            pmod(TF.fnvMix64(f), lit(buckets.toLong)).cast("int") + 1) * col("__invn"))
-            .cast("decimal(38,30)")).cast("decimal(38,30)"))
-          .cast("double").as("__m"))
+        graft.functions.VectorKernels.decimalOccFold(
+          TF.fnvFeatureBuckets(col("__t"), buckets.toLong),
+          lit(1.0) / (size(col("__t")).cast("double") * 2 - 1),
+          weights).as("__m"))
       .select(col(idCol),
         round(lit(0.5) + lit(0.5) * col("__m") / (lit(1.0) + abs(col("__m"))), 6)
           .as("quality_score"))

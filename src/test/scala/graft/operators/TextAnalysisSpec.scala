@@ -433,6 +433,69 @@ class TextAnalysisSpec extends SparkSpec {
     assert(old == kern, "kernel bucket multiset diverged from the HOF chain")
   }
 
+  test("fnvFeatureBuckets emits the exact concat(t, shingles) SEQUENCE, not just the multiset") {
+    // r16: scoreQualityWith folds the buckets through a per-step
+    // scale-29-rounding decimal chain, which is ORDER-sensitive — the
+    // kernel must emit unigram buckets in token order then bigram
+    // buckets in order, exactly as explode(concat(t, shingles)) did
+    val rng = new scala.util.Random(20260818L)
+    val words = Vector("alpha", "b", "γreek", "δ", "committee", "x1", "naïve", "zz")
+    val docs = (0 until 80).map { id =>
+      val n = rng.nextInt(10)
+      (id.toLong, (0 until n).map(_ => words(rng.nextInt(words.length))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val base = docs.select(col("doc_id"), TF.tokens(col("text")).as("t"))
+    val got = base.select(col("doc_id"),
+      TF.fnvFeatureBuckets(col("t"), 64L).as("ks"),
+      transform(concat(col("t"), TF.wordShinglesOf(col("t"), 2)),
+        f => pmod(TF.fnvMix64(f), lit(64L))).as("ref")).collect()
+    got.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"doc ${r.getLong(0)}: bucket sequence diverged")
+    }
+  }
+
+  test("scoreQualityWith kernel path equals the interpreted HOF scorer bit-for-bit") {
+    // r16: the streaming scorer's per-occurrence decimal fold runs as
+    // the compiled decimal_occ_fold kernel over the one-pass bucket
+    // array; scores must match the replaced expression chain exactly
+    val rng = new scala.util.Random(20260819L)
+    val words = Vector("alpha", "b", "γreek", "δ", "committee", "x1", "naïve",
+      "zz", "the", "of")
+    val docs = (0 until 150).map { id =>
+      val n = rng.nextInt(25) // incl. empty and 1-token docs
+      (id.toLong, (0 until n).map(_ => words(rng.nextInt(words.length))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val buckets = 64
+    val w = Array.tabulate(buckets)(i =>
+      (rng.nextDouble() - 0.5) * math.pow(10.0, (i % 7) - 3))
+    // the replaced implementation, verbatim
+    val wLit = typedLit(w.toSeq)
+    val ref = docs
+      .select(col("doc_id"), TF.tokens(col("text")).as("__t"))
+      .where(size(col("__t")) > 0)
+      .select(col("doc_id"),
+        (lit(1.0) / (size(col("__t")).cast("double") * 2 - 1)).as("__invn"),
+        concat(col("__t"), TF.wordShinglesOf(col("__t"), 2)).as("__f"))
+      .select(col("doc_id"),
+        aggregate(col("__f"), lit(0).cast("decimal(38,30)"),
+          (acc, f) => (acc + (element_at(wLit,
+            pmod(TF.fnvMix64(f), lit(buckets.toLong)).cast("int") + 1) * col("__invn"))
+            .cast("decimal(38,30)")).cast("decimal(38,30)"))
+          .cast("double").as("__m"))
+      .select(col("doc_id"),
+        round(lit(0.5) + lit(0.5) * col("__m") / (lit(1.0) + abs(col("__m"))), 6)
+          .as("quality_score"))
+      .collect().map(r => r.getLong(0) ->
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1))).toMap
+    val got = TextAnalysis.scoreQualityWith(docs, w)
+      .collect().map(r => r.getLong(0) ->
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1))).toMap
+    assert(got == ref, s"scorer diverged: missing=${ref.keySet -- got.keySet} " +
+      s"extra=${got.keySet -- ref.keySet} " +
+      s"diff=${ref.keys.filter(k => got.get(k) != ref.get(k)).take(5)}")
+  }
+
   test("classifier trains null-predicate rows as negatives (the oracle's labeling)") {
     val docs = Seq(
       (1L, "en", "clean fluent text with many proper words"),
