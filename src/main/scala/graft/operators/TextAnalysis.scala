@@ -997,11 +997,22 @@ object TextAnalysis {
     * state: interleaved runs over different corpora/scales (sf0.01 and
     * sf0.1 dirs, concurrent tests) each keep the weights trained on
     * THEIR corpus instead of racing over a last-write-wins slot. */
+  /** Doc ceiling for the driver-local GD replay (the Fixpoint
+    * LocalEdgeRows pattern): per-doc feature lists are bucket-bounded
+    * (|fs| ≤ buckets after the groupBy), so the collect is at most
+    * docs × buckets (b, v) pairs — ~70 MB transiently at this cap with
+    * the default 64 buckets, the Fixpoint CC stance on driver peaks.
+    * Above it the distributed per-iteration loop runs, byte-identical
+    * to before (probed by ScaleCheck's cls_train_dist, which forces it
+    * via localTrainDocs = 0). */
+  val LocalTrainDocs: Long = 65536L
+
   def qualityClassifierTrain(docs: DataFrame, targetPred: Column,
                              buckets: Int = 64, iters: Int = 8,
                              lr: Double = 4.0, l2: Double = 0.0009765625,
                              idCol: String = "doc_id",
-                             textCol: String = "text"): (Array[Double], DataFrame) = {
+                             textCol: String = "text",
+                             localTrainDocs: Long = LocalTrainDocs): (Array[Double], DataFrame) = {
     val spark = docs.sparkSession
     // a NULL predicate result labels 0 (the oracle's CASE ... ELSE 0):
     // without the coalesce those rows would train with y = NULL —
@@ -1043,25 +1054,152 @@ object TextAnalysis {
     def sigmoid(m: Column): Column =
       lit(0.5) + lit(0.5) * m / (lit(1.0) + abs(m))
     var w: Array[Double] = Array.fill(buckets)(0.0)
-    var it = 0
-    while (it < iters) {
-      // err is projected BELOW the explode: in a single select the
-      // margin fold would land in the post-Generate projection and
-      // re-evaluate once per exploded feature (measured 40x)
-      val g = fv
-        .select((sigmoid(marginOf(w)) - col("y")).as("err"), col("fs"))
-        .select(col("err"), explode(col("fs")).as("s"))
-        .select(col("s.b").as("b"), (col("err") * col("s.v")).as("t"))
-        .groupBy("b")
-        .agg(sum(col("t").cast("decimal(38,30)")).cast("double").as("g"))
-        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-      w = Array.tabulate(buckets) { b =>
-        w(b) - lr * (g.getOrElse(b.toLong, 0.0) / nDocs + l2 * w(b))
+    // r16: below the doc gate the GD loop replays ON THE DRIVER with
+    // arithmetic identical to the distributed iteration — each of the
+    // `iters` steps was a full scheduler job (scan + explode + B-bounded
+    // aggregate + collect) of almost pure fixed overhead at bench scale
+    // (~0.4 s/step measured vs ~10 ms of actual compute; the
+    // PageRank/HITS LocalEdgeRows pattern, guide §1.2). One bounded
+    // collect of (y, fs) replaces all `iters` jobs; the margin is the
+    // exact DecimalMarginFold chain, the gradient the exact
+    // sum(cast(t as decimal(38,30))) (order-independent — same-scale
+    // decimal addition is exact), the weight update the identical double
+    // expression. TextAnalysisSpec pins local == distributed weights
+    // AND scores bit-for-bit. The final scoring pass below is the
+    // UNCHANGED distributed plan either way.
+    if (iters > 0 && nDocs <= localTrainDocs) {
+      val rows = fv.select(col("y"), col("fs")).collect()
+      w = localGdReplay(rows, buckets, iters, lr, l2, nDocs)
+    } else {
+      var it = 0
+      while (it < iters) {
+        // err is projected BELOW the explode: in a single select the
+        // margin fold would land in the post-Generate projection and
+        // re-evaluate once per exploded feature (measured 40x)
+        val g = fv
+          .select((sigmoid(marginOf(w)) - col("y")).as("err"), col("fs"))
+          .select(col("err"), explode(col("fs")).as("s"))
+          .select(col("s.b").as("b"), (col("err") * col("s.v")).as("t"))
+          .groupBy("b")
+          .agg(sum(col("t").cast("decimal(38,30)")).cast("double").as("g"))
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        w = Array.tabulate(buckets) { b =>
+          w(b) - lr * (g.getOrElse(b.toLong, 0.0) / nDocs + l2 * w(b))
+        }
+        it += 1
       }
-      it += 1
     }
     (w, fv.select(col("id").as(idCol),
       round(sigmoid(marginOf(w)), 6).as("quality_score")))
+  }
+
+  /** Driver-local replay of the distributed GD iteration, bit-for-bit:
+    * per doc the margin is the exact [[graft.functions.VectorKernels.DecimalMarginFold]]
+    * chain (per-product cast to decimal(38,30) via shortest-string
+    * BigDecimal + HALF_UP setScale, per-step scale-29 rounding,
+    * overflow → null doc, which the distributed Sum would skip), the
+    * error the identical `0.5 + (0.5·m)/(1+|m|) − y` double expression,
+    * each gradient term the identical `cast(err·v as decimal(38,30))`,
+    * per-bucket sums exact same-scale decimal addition
+    * (order-independent, so accumulation order is free), absent buckets
+    * 0.0, and the weight update the identical double expression. */
+  private def localGdReplay(rows: Array[org.apache.spark.sql.Row], buckets: Int,
+                            iters: Int, lr: Double, l2: Double,
+                            nDocs: Double): Array[Double] = {
+    val n = rows.length
+    val ys = new Array[Double](n)
+    val bss = new Array[Array[Int]](n)
+    val vss = new Array[Array[Double]](n)
+    var i = 0
+    while (i < n) {
+      val r = rows(i)
+      ys(i) = r.getDouble(0)
+      val fs = r.getSeq[org.apache.spark.sql.Row](1)
+      val m = fs.length
+      val bs = new Array[Int](m)
+      val vs = new Array[Double](m)
+      var j = 0
+      while (j < m) {
+        val s = fs(j)
+        bs(j) = s.getLong(0).toInt
+        vs(j) = s.getDouble(1)
+        j += 1
+      }
+      bss(i) = bs
+      vss(i) = vs
+      i += 1
+    }
+    // per-chunk partial gradients merge exactly: same-scale decimal
+    // addition is exact, hence associative and commutative — any chunk
+    // split and merge order yields the bit-identical per-bucket sum the
+    // distributed Sum produces, so the doc loop parallelizes freely
+    val nChunks = math.max(1, math.min(
+      Runtime.getRuntime.availableProcessors, (n + 1023) / 1024))
+    val bounds = Array.tabulate(nChunks + 1)(c => (c.toLong * n / nChunks).toInt)
+    var w = Array.fill(buckets)(0.0)
+    var it = 0
+    while (it < iters) {
+      val wCur = w
+      val partials = java.util.stream.IntStream.range(0, nChunks).parallel()
+        .mapToObj[Array[java.math.BigDecimal]] { c =>
+          val gsum = new Array[java.math.BigDecimal](buckets)
+          var i = bounds(c)
+          while (i < bounds(c + 1)) {
+            val bs = bss(i)
+            val vs = vss(i)
+            var acc = java.math.BigDecimal.ZERO
+            var mNull = false
+            var j = 0
+            while (j < bs.length && !mNull) {
+              val p = java.math.BigDecimal.valueOf(wCur(bs(j)) * vs(j))
+                .setScale(30, java.math.RoundingMode.HALF_UP)
+              if (p.precision > 38) mNull = true
+              else {
+                acc = acc.add(p).setScale(29, java.math.RoundingMode.HALF_UP)
+                if (acc.precision > 38) mNull = true
+              }
+              j += 1
+            }
+            // a null margin (decimal overflow — unreachable for
+            // classifier magnitudes) nulls the doc's err and every
+            // gradient term, which the distributed Sum ignores: skip
+            // the doc's contributions
+            if (!mNull) {
+              val mv = acc.doubleValue()
+              val err = 0.5 + (0.5 * mv) / (1.0 + math.abs(mv)) - ys(i)
+              j = 0
+              while (j < bs.length) {
+                val t = err * vs(j)
+                val d = org.apache.spark.sql.types.Decimal(t)
+                require(d.changePrecision(38, 30),
+                  s"gradient term $t does not fit decimal(38,30)")
+                val b = bs(j)
+                gsum(b) =
+                  if (gsum(b) == null) d.toJavaBigDecimal
+                  else gsum(b).add(d.toJavaBigDecimal)
+                j += 1
+              }
+            }
+            i += 1
+          }
+          gsum
+        }.toArray(k => new Array[Array[java.math.BigDecimal]](k))
+      val gsum = new Array[java.math.BigDecimal](buckets)
+      partials.foreach { part =>
+        var b = 0
+        while (b < buckets) {
+          if (part(b) != null)
+            gsum(b) = if (gsum(b) == null) part(b) else gsum(b).add(part(b))
+          b += 1
+        }
+      }
+      w = Array.tabulate(buckets) { b =>
+        val g = if (gsum(b) == null) 0.0 else gsum(b).doubleValue()
+        w(b) - lr * (g / nDocs + l2 * w(b))
+      }
+      it += 1
+    }
+    w
   }
 
   /** MAP-ONLY scoring with an already-trained weight vector — the form

@@ -177,6 +177,26 @@ object ScaleCheck {
     probeGraphDist("hits_5iter_dist")(g =>
       graft.operators.GraphOps.hits(g, iters = 5))
 
+    // r16: the quality classifier's GD loop rides a driver-local replay
+    // below TextAnalysis.LocalTrainDocs (the PageRank pattern), so the
+    // q160 probe above measures that path at both scales (5k and 50k
+    // docs are both under the gate). The DISTRIBUTED per-iteration loop
+    // keeps its own 10× slope evidence here, forced via
+    // localTrainDocs = 0; 4 iterations bound the probe's cost — the
+    // slope, not the step count, is what's probed.
+    {
+      def train(dir: String): DataFrame =
+        graft.operators.TextAnalysis.qualityClassifierTrain(
+          Tables.load(spark, dir, "documents"), col("lang") === "en",
+          iters = 4, localTrainDocs = 0L)._2
+      train(dir1).count() // warm
+      val (t1, n1) = timeCount(train(dir1))
+      val (t10, n10) = timeCount(train(dir10))
+      val e = Entry("cls_train_dist", "scan", t1, t10, n1, n10)
+      println(e.json)
+      entries += e
+    }
+
     // ---- retraction IVM: delete-cone-bound, not database-bound ----
     // The reference's headline (BENCHMARKS.md:69-71) is re-query
     // latency after retracting a few edges from a materialized

@@ -496,6 +496,34 @@ class TextAnalysisSpec extends SparkSpec {
       s"diff=${ref.keys.filter(k => got.get(k) != ref.get(k)).take(5)}")
   }
 
+  test("driver-local GD replay equals the distributed training loop bit-for-bit") {
+    // r16: below LocalTrainDocs the gradient-descent loop replays on
+    // the driver; weights AND final scores must match the distributed
+    // iteration exactly (doubleToRawLongBits)
+    val rng = new scala.util.Random(20260820L)
+    val words = Vector("alpha", "beta", "γreek", "δelta", "committee", "x1",
+      "naïve", "zz", "the", "of", "and", "data")
+    val docs = (0 until 300).map { id =>
+      val n = 1 + rng.nextInt(30)
+      (id.toLong, if (id % 3 == 0) "en" else "fr",
+        (0 until n).map(_ => words(rng.nextInt(words.length))).mkString(" "))
+    }.toDF("doc_id", "lang", "text").localCheckpoint(true)
+    val (wLocal, sLocal) = TextAnalysis.qualityClassifierTrain(
+      docs, col("lang") === "en")
+    val (wDist, sDist) = TextAnalysis.qualityClassifierTrain(
+      docs, col("lang") === "en", localTrainDocs = 0L)
+    assert(wLocal.length == wDist.length)
+    wLocal.indices.foreach { b =>
+      assert(java.lang.Double.doubleToRawLongBits(wLocal(b)) ==
+        java.lang.Double.doubleToRawLongBits(wDist(b)),
+        s"weight $b: local ${wLocal(b)} != distributed ${wDist(b)}")
+    }
+    def scores(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) ->
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1))).toMap
+    assert(scores(sLocal) == scores(sDist), "scores diverged")
+  }
+
   test("classifier trains null-predicate rows as negatives (the oracle's labeling)") {
     val docs = Seq(
       (1L, "en", "clean fluent text with many proper words"),
