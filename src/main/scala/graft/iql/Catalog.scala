@@ -518,34 +518,82 @@ final class Catalog(val spark: SparkSession) {
         spark.createDataFrame(java.util.Arrays.asList(rows: _*), batchSchema)
       case None => distIndexes.get((rel, vecCol)) match {
         case Some((idCol, metric, cent)) =>
-          import org.apache.spark.sql.functions.{array, array_contains, col,
-            explode, lit, row_number, struct, typedLit}
+          import org.apache.spark.sql.functions.{array_contains, broadcast,
+            col, lit, row_number}
           val df = synchronized(relations(rel))
           val nCells = cent.length
           val nprobe = math.max(1, math.min(nCells, (3 * efSearch + 7) / 8))
           val VF = graft.functions.VectorFunctions
-          val qStructs = queries.zipWithIndex.map { case (q, i) =>
-            struct(lit(i.toLong).as("qi"), typedLit(q.toSeq).as("qv"),
-              typedLit(graft.operators.Similarity.probeCells(
-                q.toSeq, cent, nprobe).toSeq).as("pc"))
-          }
-          val withQ = df.select(col(idCol), col(vecCol),
-              explode(array(qStructs: _*)).as("q"))
-          // all-cells probe (the exact anchor) skips cell work entirely,
-          // matching ivfProbeCandidates' whole-frame branch
-          val cand =
-            if (nprobe >= nCells) withQ
-            else graft.operators.Similarity.ivfAssign(df, cent, vecCol)
-              .select(col(idCol), col(vecCol), col("cell"),
-                explode(array(qStructs: _*)).as("q"))
-              .where(array_contains(col("q.pc"), col("cell")))
-          val qc = col("q.qv")
+          // Two carriers for the query set, same candidate set / distance
+          // kernels / window order either way:
+          //  - small batches bake (qi, qv, pc) into the plan as struct
+          //    literals under one explode — no broadcast-exchange jobs
+          //    (A/B: the broadcast form cost q197 +3 jobs, 1.33→1.55 s);
+          //  - LARGE batches ride a broadcast frame instead, because the
+          //    literal form grows the analyzed plan O(|queries| · dim),
+          //    re-pays analysis+codegen per batch and can hit plan-size
+          //    limits at the batch sizes the API targets.
+          val dim = queries.head.length
+          val literalCells = queries.length.toLong * (dim + nprobe)
+          // threshold overridable for tests (CatalogSpec forces the
+          // broadcast carrier on a small batch to pin row equality)
+          val literalCap = sys.props.get("graft.batchLiteralCells")
+            .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(8192L)
+          import org.apache.spark.sql.functions.{array, explode, struct, typedLit}
+          val cand: DataFrame =
+            if (literalCells <= literalCap) {
+              // small batch: (qi, qv, pc) bake into the plan as struct
+              // literals under one per-row explode — no join, no
+              // broadcast-exchange jobs (A/B: the broadcast carrier cost
+              // q197 +3 jobs, 1.33 → 1.55 s at 24-32 queries)
+              val qStructs = queries.zipWithIndex.map { case (q, i) =>
+                struct(lit(i.toLong).as("qi"), typedLit(q.toSeq).as("qv"),
+                  typedLit(graft.operators.Similarity.probeCells(
+                    q.toSeq, cent, nprobe).toSeq).as("pc"))
+              }
+              val base =
+                if (nprobe >= nCells)
+                  df.select(col(idCol), col(vecCol),
+                    explode(array(qStructs: _*)).as("q"))
+                else graft.operators.Similarity.ivfAssign(df, cent, vecCol)
+                  .select(col(idCol), col(vecCol), col("cell"),
+                    explode(array(qStructs: _*)).as("q"))
+                  .where(array_contains(col("q.pc"), col("cell")))
+              base.select(col(idCol), col(vecCol), col("q.qi").as("qi"),
+                col("q.qv").as("qv"))
+            } else {
+              // LARGE batch: the literal form grows the analyzed plan
+              // O(|queries| · dim), re-pays analysis+codegen per batch
+              // and can hit plan-size limits — ride a broadcast frame
+              // of (qi, qv, pc) rows instead; same candidate set
+              val qSchema = StructType(Seq(
+                StructField("qi", LongType, nullable = false),
+                StructField("qv", org.apache.spark.sql.types.ArrayType(
+                  org.apache.spark.sql.types.FloatType, containsNull = false),
+                  nullable = false),
+                StructField("pc", org.apache.spark.sql.types.ArrayType(
+                  org.apache.spark.sql.types.IntegerType, containsNull = false),
+                  nullable = false)))
+              val qRows = queries.zipWithIndex.map { case (q, i) =>
+                org.apache.spark.sql.Row(i.toLong, q.toSeq,
+                  graft.operators.Similarity.probeCells(q.toSeq, cent, nprobe).toSeq)
+              }
+              val qDf = broadcast(spark.createDataFrame(
+                java.util.Arrays.asList(qRows: _*), qSchema))
+              if (nprobe >= nCells)
+                df.select(col(idCol), col(vecCol)).crossJoin(qDf)
+              else graft.operators.Similarity.ivfAssign(df, cent, vecCol)
+                .select(col(idCol), col(vecCol), col("cell"))
+                .crossJoin(qDf)
+                .where(array_contains(col("pc"), col("cell")))
+            }
+          val qc = col("qv")
           val distCol = metric match {
             case "euclidean" => VF.euclidean(col(vecCol), qc)
             case "dot" => lit(0.0) - VF.dot(col(vecCol), qc)
             case _ => lit(1.0) - VF.cosineSimilarity(col(vecCol), qc)
           }
-          val scored = cand.select(col("q.qi").as("qi"),
+          val scored = cand.select(col("qi"),
             col(idCol).cast(LongType).as("id"),
             distCol.cast(DoubleType).as("distance"))
           val w = org.apache.spark.sql.expressions.Window

@@ -345,6 +345,15 @@ class HnswSpec extends SparkSpec {
     assert(catG.indexes.contains(("gvecs", "embedding")))
     assert(batchRows(catG, "gvecs", 64) == singleRows(catG, "gvecs", 64),
       "graph backend batch != per-query")
+    // r16: LARGE batches ride a broadcast (qi, qv, pc) frame instead of
+    // plan literals — force that carrier on the same small batch and
+    // pin row equality against the literal carrier's results
+    System.setProperty("graft.batchLiteralCells", "0")
+    try {
+      for (ef <- Seq(64, 16 * 16))
+        assert(batchRows(catD, "bvecs", ef) == singleRows(catD, "bvecs", ef),
+          s"broadcast-carrier batch != per-query at efSearch=$ef")
+    } finally System.clearProperty("graft.batchLiteralCells")
   }
 
   test("tombstone ratio past threshold auto-rebuilds the graph") {
