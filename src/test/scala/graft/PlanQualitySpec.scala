@@ -71,13 +71,17 @@ class PlanQualitySpec extends SparkSpec {
     assume(new java.io.File(s"$sf/embeddings.parquet").exists)
     // the blocked generator is an equi-join on cell — Catalyst may
     // hash-broadcast a SMALL side by size (fine; at scale it flips to
-    // a shuffled join), but the nested-loop cross-join shape of the
-    // broadcast generator must be gone
+    // a shuffled join), but a nested-loop cross-join of corpus sides
+    // must never appear
     val plan = planOf("q185_bitext_blocked")
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
-    // under the gate the broadcast form IS the nested-loop shape — the
-    // gate is what separates the two regimes
-    assert(planOf("q181_bitext_margin").contains("BroadcastNestedLoopJoin"))
+    // r16: under the gate the broadcast form is the BLOCK-LOCAL
+    // generator (one mapPartitions pass over a against the collected b
+    // block) — no join of any kind generates pairs anymore; the margin
+    // algebra reads the materialized (kind, a_id, b_id, cos) candidates
+    val bplan = planOf("q181_bitext_margin")
+    assert(!bplan.contains("BroadcastNestedLoopJoin"), bplan)
+    assert(bplan.contains("ExistingRDD"), bplan)
   }
 
   test("PQ ADC top-k is a TakeOrderedAndProject over the code scan") {
@@ -264,10 +268,14 @@ class PlanQualitySpec extends SparkSpec {
   test("bitext margin mining computes its pair table once") {
     assume(new java.io.File(s"$sf/embeddings.parquet").exists)
     val plan = planOf("q181_bitext_margin")
-    // one broadcast pair generation; the two directional rank windows
-    // and both denominator averages all read the same scored pairs —
-    // no second cosine evaluation pass, no cartesian product
-    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    // r16: ONE block-local scoring pass materializes the per-side top-k
+    // candidates; the rank windows and both denominator averages read
+    // that checkpoint (Scan ExistingRDD) — no pair-generating join of
+    // any kind survives in the plan, so the |a|×|b| cosine work can
+    // only have run once (the r15 shape re-ran a
+    // BroadcastNestedLoopJoin subtree per consumer — six in the plan)
+    assert(plan.contains("ExistingRDD"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
 

@@ -243,11 +243,17 @@ class SnapshotSpec extends SparkSpec {
       val files = Files.list(dir).iterator().asScala
         .filter(_.toString.endsWith(".iql")).toSeq.sortBy(_.toString)
       assert(files.nonEmpty)
-      val failures = files.flatMap { f =>
+      // r16: scripts are independent (each runs its own Session over the
+      // shared SparkSession) — overlap them to cut the corpus's
+      // wall-clock ~4× (it was the suite's second-slowest block and the
+      // driver's test window timed out)
+      val failBuf = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      inParallel(files) { f =>
         val name = s"$cat/${f.getFileName}"
-        if (skip.contains(name)) None
-        else checkFile(f).map(err => s"$name: $err")
+        if (!skip.contains(name))
+          checkFile(f).foreach(err => failBuf.add(s"$name: $err"))
       }
+      val failures = failBuf.asScala.toSeq.sorted
       val total = files.size
       info(s"$cat: ${total - failures.size}/$total passed")
       assert(failures.isEmpty, failures.mkString("\n"))
