@@ -16,7 +16,7 @@ class MaintenanceFuzzSpec extends SparkSpec {
 
   test("maintained mutations equal fresh recomputation on random recursive programs") {
     val rng = new Random(20260813L)
-    (1 to 12).foreach { i =>
+    (1 to fuzzCases(12)).foreach { i =>
       val nNodes = 4 + rng.nextInt(5)
       val edgeSet = Seq.fill(5 + rng.nextInt(8))(
         (rng.nextInt(nNodes), rng.nextInt(nNodes))).distinct
@@ -77,7 +77,7 @@ class MaintenanceFuzzSpec extends SparkSpec {
     val rng = new Random(20260819L)
     Engine.tcLocalClosureCap = 1L // pin the distributed path
     try {
-      (1 to 8).foreach { c =>
+      (1 to fuzzCases(8)).foreach { c =>
         val nNodes = 5 + rng.nextInt(5)
         val edgeSet = scala.collection.mutable.LinkedHashSet.from(
           Seq.fill(6 + rng.nextInt(8))((rng.nextInt(nNodes), rng.nextInt(nNodes))))
@@ -117,7 +117,7 @@ class MaintenanceFuzzSpec extends SparkSpec {
 
   test("negation-dependent maintenance equals fresh recomputation on random mutation streams") {
     val rng = new Random(20260817L)
-    (1 to 10).foreach { c =>
+    (1 to fuzzCases(10)).foreach { c =>
       val nNodes = 4 + rng.nextInt(4)
       val edgeSet = Seq.fill(5 + rng.nextInt(7))(
         (rng.nextInt(nNodes), rng.nextInt(nNodes))).distinct
@@ -178,7 +178,7 @@ class MaintenanceFuzzSpec extends SparkSpec {
 
   test("DERIVED-negated-dependency maintenance equals fresh recomputation on random streams") {
     val rng = new Random(20260824L)
-    (1 to 10).foreach { c =>
+    (1 to fuzzCases(10)).foreach { c =>
       val nNodes = 5 + rng.nextInt(4)
       val p0 = (0 until nNodes).map(i => s"($i)").mkString(",")
       val flag0 = Seq.fill(1 + rng.nextInt(2))(rng.nextInt(nNodes)).distinct
@@ -259,7 +259,7 @@ class MaintenanceFuzzSpec extends SparkSpec {
 
   test("min-agg value-iteration continuation equals fresh recomputation on random graphs") {
     val rng = new Random(20260814L)
-    (1 to 8).foreach { i =>
+    (1 to fuzzCases(8)).foreach { i =>
       val nNodes = 4 + rng.nextInt(5)
       val edgeSet = Seq.fill(6 + rng.nextInt(8))(
         (rng.nextInt(nNodes), rng.nextInt(nNodes), 1 + rng.nextInt(9))).distinct
@@ -309,7 +309,7 @@ class MaintenanceFuzzSpec extends SparkSpec {
 
   test("sum/count decrement maintenance equals fresh recomputation on random mutation streams") {
     val rng = new Random(20260815L)
-    (1 to 8).foreach { c =>
+    (1 to fuzzCases(8)).foreach { c =>
       val groups = Seq("a", "b", "c")
       var nextId = 0
       val live = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -358,7 +358,7 @@ class MaintenanceFuzzSpec extends SparkSpec {
 
   test("avg + f64-sum decrement equals fresh recomputation on random mutation streams") {
     val rng = new Random(20260821L)
-    (1 to 6).foreach { c =>
+    (1 to fuzzCases(6)).foreach { c =>
       val groups = Seq("a", "b", "c")
       var nextId = 0
       val live = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -411,7 +411,7 @@ class MaintenanceFuzzSpec extends SparkSpec {
     // so maintained avg/sum may differ from an IEEE rescan by ~5e-13 per
     // value — group membership and counts must still be EXACT
     val rng = new Random(20260823L)
-    (1 to 4).foreach { c =>
+    (1 to fuzzCases(4)).foreach { c =>
       val groups = Seq("a", "b", "c")
       var nextId = 0
       val live = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -465,7 +465,7 @@ class MaintenanceFuzzSpec extends SparkSpec {
 
   test("min/max decrement equals fresh recomputation on random mutation streams") {
     val rng = new Random(20260822L)
-    (1 to 8).foreach { c =>
+    (1 to fuzzCases(8)).foreach { c =>
       val groups = Seq("a", "b", "c")
       var nextId = 0
       val live = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -518,7 +518,7 @@ class MaintenanceFuzzSpec extends SparkSpec {
     // domain forces shared extremum supports and runner-up promotions
     val rng = new Random(20260918L)
     val words = Seq("ant", "bee", "cow", "doe", "elk", "fox")
-    (1 to 5).foreach { c =>
+    (1 to fuzzCases(5)).foreach { c =>
       val groups = Seq("a", "b")
       var nextId = 0
       val live = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -582,7 +582,7 @@ class MaintenanceFuzzSpec extends SparkSpec {
 
   private def topkFuzzBody(forcePartial: Boolean): Unit = {
     val rng = new Random(20260830L)
-    (1 to 8).foreach { c =>
+    (1 to fuzzCases(8)).foreach { c =>
       val groups = Seq("a", "b")
       val names = Seq("p", "q", "r")
       // narrow value domain → shared head rows (multiplicities) and
@@ -679,7 +679,7 @@ class MaintenanceFuzzSpec extends SparkSpec {
     var totalFolds = 0L
     try {
       val rng = new Random(20260916L)
-      (1 to 6).foreach { c =>
+      (1 to fuzzCases(6)).foreach { c =>
         val groups = Seq("a", "b")
         var nextId = 0
         val live = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -740,7 +740,7 @@ class MaintenanceFuzzSpec extends SparkSpec {
 
   test("global aggregate decrement equals fresh recomputation on random streams") {
     val rng = new Random(20260902L)
-    (1 to 8).foreach { c =>
+    (1 to fuzzCases(8)).foreach { c =>
       var nextId = 0
       val live = scala.collection.mutable.ArrayBuffer.empty[String]
       def mkTuple(): String = {
@@ -786,7 +786,7 @@ class MaintenanceFuzzSpec extends SparkSpec {
 
   test("stacked views equal fresh recomputation on random mutation streams") {
     val rng = new Random(20260901L)
-    (1 to 8).foreach { c =>
+    (1 to fuzzCases(8)).foreach { c =>
       val groups = Seq("a", "b", "c")
       var nextId = 0
       val live = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -846,7 +846,7 @@ class MaintenanceFuzzSpec extends SparkSpec {
     // directions at once — the composition the per-class fuzz samples
     // thinly.
     val rng = new Random(20260913L)
-    (1 to 9).foreach { c =>
+    (1 to fuzzCases(9)).foreach { c =>
       val groups = Seq("a", "b", "c")
       var nextId = 0
       val live = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -908,7 +908,7 @@ class MaintenanceFuzzSpec extends SparkSpec {
     // sign (maintenance must recompute); this pins that the exclusion
     // actually routes to a correct answer rather than a stale ride
     val rng = new Random(20260914L)
-    (1 to 6).foreach { c =>
+    (1 to fuzzCases(6)).foreach { c =>
       val groups = Seq("a", "b", "c")
       var nextId = 0
       val live = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -958,7 +958,7 @@ class MaintenanceFuzzSpec extends SparkSpec {
 
   test("agg/rank views with negated deps equal fresh recomputation on random streams") {
     val rng = new Random(20260831L)
-    (1 to 8).foreach { c =>
+    (1 to fuzzCases(8)).foreach { c =>
       val groups = Seq("a", "b", "c", "d")
       var nextId = 0
       val live = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -1015,7 +1015,7 @@ class MaintenanceFuzzSpec extends SparkSpec {
 
   test("count_distinct decrement equals fresh recomputation on random mutation streams") {
     val rng = new Random(20260818L)
-    (1 to 6).foreach { c =>
+    (1 to fuzzCases(6)).foreach { c =>
       val groups = Seq("a", "b", "c")
       var nextId = 0
       val live = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -1056,7 +1056,7 @@ class MaintenanceFuzzSpec extends SparkSpec {
 
   test("count_distinct delta-merge equals fresh recomputation on random insert streams") {
     val rng = new Random(20260814L)
-    (1 to 8).foreach { c =>
+    (1 to fuzzCases(8)).foreach { c =>
       val groups = Seq("a", "b", "c", "d")
       var nextId = 0
       def batch(n: Int): String = (0 until n).map { _ =>
@@ -1092,7 +1092,7 @@ class MaintenanceFuzzSpec extends SparkSpec {
     // engine, through both an aggregate view and a plain negated view,
     // over enough rounds that buffers carry forward and interleave
     val rng = new Random(20260915L)
-    (1 to 6).foreach { c =>
+    (1 to fuzzCases(6)).foreach { c =>
       var nextId = 0
       val live = scala.collection.mutable.LinkedHashMap.empty[Int, (Int, Int)]
       def insBatch(n: Int): String = (0 until n).map { _ =>
@@ -1157,7 +1157,7 @@ class MaintenanceFuzzSpec extends SparkSpec {
     // group death, and the collected refill — against fresh recompute
     val rng = new Random(20260916L)
     var localRides = 0L
-    (1 to 6).foreach { c =>
+    (1 to fuzzCases(6)).foreach { c =>
       val groups = Seq(1L, 2L)
       val xDom = if (c % 2 == 0) 6 else 40
       var nextId = 0
@@ -1279,7 +1279,7 @@ class MaintenanceFuzzSpec extends SparkSpec {
     if (pinLegacyCommit) Engine.supportParquetEnabled = false
     try {
       val rng = new Random(20260917L)
-      (1 to 4).foreach { c =>
+      (1 to fuzzCases(4)).foreach { c =>
         val groups = Seq("a", "b", "c")
         var nextId = 0
         val live = scala.collection.mutable.ArrayBuffer.empty[String]
